@@ -1,0 +1,133 @@
+"""Pig string builtins (SURVEY.md §2.7 "String") as Column expressions.
+
+Pig's conventions (org/apache/pig/builtin/*.java upstream — reference
+checkout is empty, see SURVEY.md §0) differ from Spark's in indexing:
+Pig is 0-based with stop-exclusive SUBSTRING (Java String.substring),
+Spark SQL is 1-based with length.  These wrappers present Pig semantics
+so a reference user gets identical answers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def CONCAT(*cols: Column | str) -> Column:
+    """Pig CONCAT: 2+ args, any-null → null.  Spark concat matches exactly."""
+    return F.concat(*[_col(c) for c in cols])
+
+
+def SPRINTF(fmt: str, *cols: Column | str) -> Column:
+    return F.format_string(fmt, *[_col(c) for c in cols])
+
+
+def SUBSTRING(c: Column | str, start: int, stop: int) -> Column:
+    """Pig SUBSTRING(s, start, stop): 0-based, stop-exclusive (D4).
+
+    Maps to Spark substring(s, start+1, stop-start).  Pig (Java) raises on
+    out-of-range; Spark clamps — we keep Spark's forgiving behavior and
+    document the divergence.
+    """
+    return F.substring(_col(c), start + 1, stop - start)
+
+
+def INDEXOF(c: Column | str, needle: str, from_index: int = 0) -> Column:
+    """Pig INDEXOF: 0-based first occurrence, -1 if absent (D4)."""
+    return (F.locate(needle, _col(c), pos=from_index + 1) - F.lit(1)).cast("int")
+
+
+def LAST_INDEX_OF(c: Column | str, needle: str) -> Column:
+    """Pig LAST_INDEX_OF: 0-based last occurrence, -1 if absent.
+
+    No direct Spark builtin — computed from the reversed string, staying
+    JVM-side: last = len - (pos of reversed needle in reversed s) - len(needle) + 1 - 1.
+    """
+    s = _col(c)
+    rev_pos = F.locate(needle[::-1], F.reverse(s))  # 1-based in reversed
+    return (
+        F.when(rev_pos == 0, F.lit(-1))
+        .otherwise(F.length(s) - rev_pos - F.lit(len(needle) - 1))
+        .cast("int")
+    )
+
+
+def UPPER(c: Column | str) -> Column:
+    return F.upper(_col(c))
+
+
+def LOWER(c: Column | str) -> Column:
+    return F.lower(_col(c))
+
+
+def UCFIRST(c: Column | str) -> Column:
+    s = _col(c)
+    return F.concat(F.upper(F.substring(s, 1, 1)), F.expr(f"substring({_sql(c)}, 2)"))
+
+
+def LCFIRST(c: Column | str) -> Column:
+    s = _col(c)
+    return F.concat(F.lower(F.substring(s, 1, 1)), F.expr(f"substring({_sql(c)}, 2)"))
+
+
+def _sql(c: Column | str) -> str:
+    if isinstance(c, str):
+        return c
+    raise TypeError("UCFIRST/LCFIRST take a column name string")
+
+
+def TRIM(c: Column | str) -> Column:
+    return F.trim(_col(c))
+
+
+def LTRIM(c: Column | str) -> Column:
+    return F.ltrim(_col(c))
+
+
+def RTRIM(c: Column | str) -> Column:
+    return F.rtrim(_col(c))
+
+
+def REPLACE(c: Column | str, pattern: str, replacement: str) -> Column:
+    """Pig REPLACE is REGEX replace (String.replaceAll) → regexp_replace,
+    not literal replace.  The most common silent-wrong-answer trap (D4).
+    """
+    return F.regexp_replace(_col(c), pattern, replacement)
+
+
+def REGEX_EXTRACT(c: Column | str, pattern: str, index: int) -> Column:
+    return F.regexp_extract(_col(c), pattern, index)
+
+
+def STARTSWITH(c: Column | str, prefix: str) -> Column:
+    return F.startswith(_col(c), F.lit(prefix))
+
+
+def ENDSWITH(c: Column | str, suffix: str) -> Column:
+    return F.endswith(_col(c), F.lit(suffix))
+
+
+def EQUALS_IGNORE_CASE(a: Column | str, b: Column | str) -> Column:
+    return F.lower(_col(a)) == F.lower(_col(b))
+
+
+def STRSPLIT(c: Column | str, pattern: str, limit: int = -1) -> Column:
+    """Pig STRSPLIT returns a tuple; the array is the Spark-native shape."""
+    return F.split(_col(c), pattern, limit)
+
+
+#: Pig TOKENIZE's delimiter class: space, double-quote, comma, parens, star
+#: (org/apache/pig/builtin/TOKENIZE.java uses StringTokenizer " \",()*").
+_TOKENIZE_DELIMS = '[ ",()*]'
+
+
+def TOKENIZE(c: Column | str) -> Column:
+    """Pig TOKENIZE: string → bag of words.  StringTokenizer drops empty
+    tokens, so filter out the '' fragments split() produces.
+    """
+    arr = F.split(_col(c), _TOKENIZE_DELIMS)
+    return F.filter(arr, lambda t: t != F.lit(""))

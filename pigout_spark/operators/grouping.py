@@ -1,0 +1,107 @@
+"""Pig GROUP / COGROUP / aggregation (SURVEY.md §2.4) and the nested-
+FOREACH rewrites (§7 phase 4).
+
+Pig's GROUP *collects* a bag per key; aggregation happens in a later
+FOREACH.  Fusing GROUP+FOREACH-agg into ``groupBy().agg()`` is the
+fundamental rewrite: it lets Spark partial-aggregate map-side (Pig needed
+the Algebraic-interface combiner for that) and never materializes the
+bag.  ``group_bag``/``cogroup`` keep literal bag semantics for the rare
+scripts that need the bag itself.
+
+At 100 TB: group_agg is one shuffle with map-side combine; group_bag is
+one shuffle but moves every row — only use it when the bag is consumed
+whole.  Nested FOREACH {ORDER/LIMIT} per group → window row_number, which
+shuffles once by the group key (no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _keys(by) -> list:
+    return [by] if isinstance(by, (str, Column)) else list(by)
+
+
+def group_agg(df: DataFrame, by, aggs: list[Column]) -> DataFrame:
+    """Pig `G = GROUP A BY k; R = FOREACH G GENERATE group, agg(A.x);`
+    fused.  `by=None` is GROUP ALL (global aggregate, no shuffle of keys).
+    """
+    if by is None:
+        return df.agg(*aggs)
+    return df.groupBy(*_keys(by)).agg(*aggs)
+
+
+def group_bag(df: DataFrame, by, bag_name: str = "bag") -> DataFrame:
+    """Literal Pig GROUP: (group, bag of whole tuples).
+
+    collect_list(struct(*)) — the bag is unordered, matching Pig's
+    no-order guarantee for bags (SURVEY.md §7-H1).
+    """
+    keys = _keys(by)
+    payload = [c for c in df.columns if c not in {k if isinstance(k, str) else None for k in keys}]
+    return df.groupBy(*keys).agg(F.collect_list(F.struct(*payload)).alias(bag_name))
+
+
+def cogroup(
+    dfs: list[DataFrame],
+    keys: list[str],
+    inner: bool = False,
+    bag_names: list[str] | None = None,
+) -> DataFrame:
+    """Pig n-ary COGROUP: (group, bagA, bagB, ...).
+
+    Per-input groupBy+collect_list, then joined on the key.  INNER drops
+    groups with an empty bag on any input → inner join; default keeps all
+    groups → full outer with empty-array fill (Pig yields empty bags, not
+    nulls).
+    """
+    if len(dfs) != len(keys):
+        raise ValueError("one key column per input")
+    names = bag_names or [f"bag_{i}" for i in range(len(dfs))]
+    how = "inner" if inner else "full_outer"
+    out: DataFrame | None = None
+    for i, (df, key, name) in enumerate(zip(dfs, keys, names)):
+        payload = [c for c in df.columns if c != key]
+        g = df.groupBy(F.col(key).alias("group")).agg(
+            F.collect_list(F.struct(*payload)).alias(name)
+        )
+        out = g if out is None else out.join(g, "group", how)
+    assert out is not None
+    # Pig: a key absent from one input yields an EMPTY bag, never null.
+    for name in names:
+        out = out.withColumn(
+            name, F.coalesce(F.col(name), F.array().cast(out.schema[name].dataType))
+        )
+    return out
+
+
+def nested_topk(
+    df: DataFrame,
+    by,
+    order: list[Column],
+    k: int,
+    keep_rank: str | None = None,
+) -> DataFrame:
+    """Pig nested FOREACH { t = ORDER A BY x; t = LIMIT t k; GENERATE ... }
+    — per-group top-k without materializing bags: window row_number over
+    the group key, filter rank ≤ k.  One shuffle on the group key; never
+    a global sort (SURVEY.md §2.2 "Nested FOREACH block").
+    """
+    rn = keep_rank or "__rn"
+    w = Window.partitionBy(*_keys(by)).orderBy(*order)
+    out = df.withColumn(rn, F.row_number().over(w)).filter(F.col(rn) <= k)
+    return out if keep_rank else out.drop(rn)
+
+
+def cube_agg(df: DataFrame, dims: list[str], aggs: list[Column]) -> DataFrame:
+    """Pig `CUBE A BY CUBE(a,b)` (SURVEY.md §2.4).  Pig fills rolled-up
+    dimensions with the string 'all'; Spark uses NULL + grouping().  We
+    keep Spark's NULL convention (documented divergence)."""
+    return df.cube(*dims).agg(*aggs)
+
+
+def rollup_agg(df: DataFrame, dims: list[str], aggs: list[Column]) -> DataFrame:
+    """Pig `CUBE A BY ROLLUP(a,b)` → hierarchical rollup."""
+    return df.rollup(*dims).agg(*aggs)

@@ -1,0 +1,91 @@
+"""Pig JOIN / CROSS variants (SURVEY.md §2.3).
+
+All Pig joins are equi-joins; the USING clause picks a physical strategy.
+Spark mapping:
+
+- default           → df.join(...)           (Catalyst: SMJ/SHJ, AQE may
+                                               flip to broadcast at runtime)
+- USING 'replicated'→ broadcast(small side)  (fragment-replicate join)
+- USING 'skewed'    → AQE skew-join handling (no code: session conf)
+- USING 'merge'     → SortMergeJoin          (Catalyst default for large
+                                               sides; bucketed tables skip
+                                               the sort entirely)
+- CROSS             → crossJoin; Pig's theta-join idiom CROSS+FILTER is
+                      better expressed as a non-equi join condition, which
+                      Spark supports natively (richer than the reference).
+
+Semi/anti joins have no Pig operator (idiom: COGROUP + IsEmpty filter,
+SURVEY.md §2.3) but map to first-class left_semi/left_anti here — same
+results, one shuffle instead of two.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _cond(left: DataFrame, right: DataFrame, on) -> Column | list[str]:
+    """`on` may be a column name, list of names, (left_keys, right_keys)
+    pair (Pig's JOIN A BY k1, B BY k2 with different names), or a Column
+    condition (theta join)."""
+    if isinstance(on, Column):
+        return on
+    if isinstance(on, str):
+        return [on]
+    if (
+        isinstance(on, tuple)
+        and len(on) == 2
+        and all(isinstance(x, (list, tuple)) for x in on)
+    ):
+        lks, rks = on
+        cond = None
+        for lk, rk in zip(lks, rks):
+            c = left[lk] == right[rk]
+            cond = c if cond is None else (cond & c)
+        return cond
+    return list(on)
+
+
+def join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    how: str = "inner",
+    using: str | None = None,
+) -> DataFrame:
+    """Pig `J = JOIN A BY k [LEFT|RIGHT|FULL] [, B BY k] [USING '...'];`
+
+    Null join keys do not match (Pig and Spark agree); null-safe equality
+    is available via a Column condition with `<=>` if ever needed.
+    """
+    if using == "replicated":
+        # Fragment-replicate join: Pig loads the small side into every map
+        # task's memory; Spark's broadcast hash join is the same plan.
+        right = F.broadcast(right)
+    elif using in ("skewed", "merge", "merge-sparse", None):
+        # skewed  → AQE skew-join splits hot partitions at runtime.
+        # merge   → Catalyst already picks SortMergeJoin for big inputs.
+        pass
+    else:
+        raise ValueError(f"unknown join strategy {using!r}")
+    return left.join(right, _cond(left, right, on), how)
+
+
+def cross(left: DataFrame, right: DataFrame, condition: Column | None = None) -> DataFrame:
+    """Pig CROSS (n-ary via chaining).  With `condition`, the CROSS+FILTER
+    theta-join idiom — expressed as a join condition so Catalyst can plan
+    BroadcastNestedLoopJoin instead of materializing the product."""
+    if condition is not None:
+        return left.join(right, condition)
+    return left.crossJoin(right)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """Pig idiom COGROUP+`not IsEmpty(B)` → left_semi (one shuffle)."""
+    return left.join(right, _cond(left, right, on), "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """Pig idiom COGROUP+`IsEmpty(B)` → left_anti."""
+    return left.join(right, _cond(left, right, on), "left_anti")

@@ -1,0 +1,125 @@
+"""Pig per-row operators (SURVEY.md §2.2): FOREACH/GENERATE, FLATTEN,
+FILTER, SPLIT, SAMPLE, ASSERT, STREAM THROUGH.
+
+All declarative except STREAM, which by definition runs an external
+process — implemented over mapInPandas so rows move in Arrow batches,
+not one Python object at a time.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def foreach(df: DataFrame, *exprs: Column | str) -> DataFrame:
+    """Pig `FOREACH A GENERATE e1, e2 AS x, ...` → select.  Alias with
+    Column.alias, project ranges with df.columns slicing at call site."""
+    return df.select(*exprs)
+
+
+def flatten(df: DataFrame, col: str, outer: bool = False, prefix: str | None = None) -> DataFrame:
+    """Pig FLATTEN inside GENERATE.
+
+    - bag/array column → one row per element (empty bag drops the row;
+      `outer=True` keeps it with nulls — explode vs explode_outer),
+    - tuple/struct column → fields become top-level columns,
+    - map column → (key, value) rows.
+    """
+    dtype = dict(df.dtypes)[col]
+    if dtype.startswith("struct"):
+        others = [c for c in df.columns if c != col]
+        return df.select(*others, f"{col}.*")
+    ex = F.explode_outer if outer else F.explode
+    if dtype.startswith("map"):
+        others = [c for c in df.columns if c != col]
+        kk = f"{prefix or col}_key"
+        vv = f"{prefix or col}_value"
+        return df.select(*others, ex(col).alias(kk, vv))
+    others = [c for c in df.columns if c != col]
+    return df.select(*others, ex(col).alias(prefix or col))
+
+
+def filter_by(df: DataFrame, predicate: Column | str) -> DataFrame:
+    """Pig `FILTER A BY p` — `matches` → rlike, CASE → when/otherwise,
+    all expressible in the predicate Column."""
+    return df.filter(predicate)
+
+
+def split(df: DataFrame, branches: dict[str, Column], otherwise: str | None = None,
+          persist: bool = True) -> dict[str, DataFrame]:
+    """Pig `SPLIT A INTO X IF p1, Y IF p2 [, Z OTHERWISE];`
+
+    Rows may match several branches (same as Pig).  The parent is
+    persisted by default: each branch is a separate action downstream and
+    Spark would otherwise rescan the source per branch — this is the
+    MultiQueryOptimizer analog (SURVEY.md §4.1, H5).
+    """
+    if persist:
+        df = df.persist()
+    out = {name: df.filter(pred) for name, pred in branches.items()}
+    if otherwise is not None:
+        none_match = None
+        for pred in branches.values():
+            none_match = ~pred if none_match is None else (none_match & ~pred)
+        # Pig OTHERWISE: rows where every predicate is false or null.
+        out[otherwise] = df.filter(F.coalesce(none_match, F.lit(True)))
+    return out
+
+
+def sample(df: DataFrame, fraction: float, seed: int | None = None) -> DataFrame:
+    """Pig `SAMPLE A f` — Bernoulli row sample (Pig rewrites to
+    FILTER BY RANDOM() <= f; df.sample is the same semantics)."""
+    return df.sample(fraction=fraction, seed=seed)
+
+
+def assert_by(df: DataFrame, predicate: Column, message: str = "assertion failed") -> DataFrame:
+    """Pig `ASSERT A BY p` — job fails if any row violates p.
+
+    Implemented as a filter over assert_true so the check is distributed,
+    pipelined, and — crucially — not prunable: a checked-then-dropped
+    column would be eliminated by Catalyst before it ever evaluated.
+    assert_true returns NULL on success, so isNull keeps every row."""
+    return df.filter(F.assert_true(predicate, F.lit(message)).isNull())
+
+
+def stream_through(df: DataFrame, cmd: list[str], output_schema: str,
+                   serializer=None, deserializer=None) -> DataFrame:
+    """Pig `STREAM A THROUGH \\`cmd\\`` — pipe rows through an external
+    executable with a tab-delimited line protocol (PigStreaming default).
+
+    mapInPandas: each Arrow batch is written to the subprocess as TSV
+    lines, its stdout parsed back as TSV rows of `output_schema`.  The
+    subprocess is per-partition, matching Pig's one-process-per-task.
+    """
+    import subprocess
+
+    def run(batches: Iterable) -> Iterator:
+        import io
+
+        import pandas as pd
+
+        proc = subprocess.Popen(
+            cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True
+        )
+        chunks = []
+        for pdf in batches:
+            chunks.append(pdf)
+        payload = "".join(
+            "\t".join("" if pd.isna(v) else str(v) for v in row) + "\n"
+            for pdf in chunks
+            for row in pdf.itertuples(index=False)
+        )
+        out, _ = proc.communicate(payload)
+        if proc.returncode != 0:
+            raise RuntimeError(f"STREAM command {cmd} exited {proc.returncode}")
+        names = [
+            f.strip().replace(":", " ").split()[0] for f in output_schema.split(",")
+        ]
+        yield pd.read_csv(
+            io.StringIO(out), sep="\t", names=names, header=None, dtype=str
+        )
+
+    return df.mapInPandas(run, schema=output_schema)

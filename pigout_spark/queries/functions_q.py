@@ -1,0 +1,196 @@
+"""Scalar-function corpus (SURVEY.md §2.7) — string/date/JSON builtins
+exercised with their Pig semantics against SQL oracles written in each
+engine's *native* convention, so the index-convention wrappers (D4) are
+actually verified, not just mirrored.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pigout_spark.functions.strings import (
+    CONCAT,
+    INDEXOF,
+    LAST_INDEX_OF,
+    LOWER,
+    REPLACE,
+    SUBSTRING,
+    UPPER,
+)
+from pigout_spark.queries.registry import query, t
+
+
+# --- §2.7 string builtins with Pig index conventions (D4) ---
+@query(
+    "q18_string_funcs",
+    """
+    SELECT c_custkey,
+           substring(c_name, 1, 8) AS name_prefix,
+           strpos(c_name, '_') - 1 AS underscore_at,
+           upper(c_mktsegment) AS seg_upper,
+           regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked,
+           c_name || '/' || c_mktsegment AS name_seg,
+           length(c_name) AS name_len
+    FROM customer
+    """,
+)
+def q18_string_funcs(spark, sf_dir):
+    """Pig builtins SUBSTRING (0-based stop-exclusive), INDEXOF (0-based,
+    -1 missing), UPPER, REPLACE (regex!), CONCAT, SIZE — the oracle uses
+    DuckDB's native 1-based functions, so a convention slip fails the
+    hash (SURVEY.md §7-H4)."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        SUBSTRING("c_name", 0, 8).alias("name_prefix"),
+        INDEXOF("c_name", "_").alias("underscore_at"),
+        UPPER("c_mktsegment").alias("seg_upper"),
+        REPLACE("c_name", "[0-9]+", "#").alias("name_masked"),
+        CONCAT("c_name", F.lit("/"), "c_mktsegment").alias("name_seg"),
+        F.length("c_name").cast("long").alias("name_len"),
+    )
+
+
+# --- §2.7 date/time builtins ---
+@query(
+    "q19_date_funcs",
+    """
+    SELECT event_type,
+           year(ts) AS y, month(ts) AS m,
+           COUNT(*) AS n,
+           MIN(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS first_day,
+           MAX(date_part('hour', ts)) AS max_hour
+    FROM events
+    GROUP BY event_type, year(ts), month(ts)
+    """,
+)
+def q19_date_funcs(spark, sf_dir):
+    """Pig GetYear/GetMonth/GetHour + grouping.  Raw ts is never emitted
+    (nanosecond fixture vs microsecond Spark — FIXTURES.md gotcha);
+    day-truncated timestamps are safe."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.date_trunc("day", "ts").cast("timestamp_ntz")).alias("first_day"),
+        F.max(F.hour("ts")).alias("max_hour"),
+    )
+
+
+# --- extension surface: JSON scalar functions (reference has only JsonLoader) ---
+@query(
+    "q20_json",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT))
+                AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q20_json(spark, sf_dir):
+    """events.props is a JSON string (FIXTURES.md).  Spark side uses the
+    real JSON path function (get_json_object); the oracle parses with a
+    regex so it does not depend on DuckDB's JSON extension."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- §1.1 scalar projection (1×1 relation used as a scalar) ---
+@query(
+    "q21_scalar_projection",
+    """
+    SELECT c_nationkey, COUNT(*) AS n_above
+    FROM customer
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(20,4))) AS DOUBLE)
+                              / COUNT(c_acctbal) FROM customer)
+    GROUP BY c_nationkey
+    """,
+)
+def q21_scalar_projection(spark, sf_dir):
+    """Pig scalar projection: `B = GROUP A ALL; FOREACH A ... B.avg` —
+    a 1×1 relation used as a scalar.  Spark-first: crossJoin(broadcast(
+    global agg)) — no driver-side collect, stays one plan."""
+    c = t(spark, sf_dir, "customer")
+    avg_df = c.agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(20,4)")).cast("double")
+            / F.count("c_acctbal")
+        ).alias("__avg")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_above"))
+    )
+
+
+# --- §2.4 DISTINCT aggregates ---
+@query(
+    "q22_distinct_agg",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q22_distinct_agg(spark, sf_dir):
+    """Pig nested FOREACH { d = DISTINCT A.partkey; GENERATE COUNT(d) } →
+    count_distinct, no bag materialization."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- beyond-reference: partitioned window functions (Pig has only RANK) ---
+@query(
+    "q23_window_lag",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id,
+             date_diff('second',
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id),
+                       ts) AS gap_s
+      FROM events
+    )
+    SELECT user_id, COUNT(*) AS n_events,
+           COUNT(gap_s) AS n_gaps, CAST(SUM(gap_s) AS BIGINT) AS total_gap_s
+    FROM seq GROUP BY user_id
+    """,
+)
+def q23_window_lag(spark, sf_dir):
+    """Beyond-reference (Pig has no lag/lead — SURVEY.md §2.5): per-user
+    event gaps.  Gap uses floor-to-second diffs, identical under the
+    ns→µs fixture truncation."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_id",
+        (
+            F.unix_timestamp(F.col("ts").cast("timestamp"))
+            - F.unix_timestamp(F.lag("ts").over(w).cast("timestamp"))
+        ).alias("gap_s"),
+    )
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("gap_s").alias("n_gaps"),
+        F.sum("gap_s").alias("total_gap_s"),
+    )

@@ -1,0 +1,73 @@
+"""Registry plumbing + cross-engine determinism helpers.
+
+Floating-point discipline (FIXTURES.md "gotchas", hardened): a plain
+SUM(double) over 60k rows differs between engines by ~1e-3 at 1e9
+magnitude — more than any fixed rounding can absorb at boundaries.  So
+every hashed aggregate of a double goes through DECIMAL(20,4): the
+double→decimal conversion is per-value deterministic, decimal addition is
+exact and associative, and the final cast back to double is exact for our
+magnitudes (< 2^53 quanta).  Both engines then produce bit-identical
+doubles.  Averages divide two such exact doubles (IEEE division is
+deterministic).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pigout_spark.catalog import load_table
+
+
+@dataclass(frozen=True)
+class Q:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None
+
+
+REGISTRY: dict[str, Q] = {}
+
+
+def query(name: str, sql: str | None = None):
+    """Register a query under ``name`` with its DuckDB oracle SQL."""
+
+    def deco(fn):
+        REGISTRY[name] = Q(fn, sql)
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def dsum(col: Column | str, alias: str) -> Column:
+    """Exact cross-engine double sum (see module docstring).
+    SQL twin: CAST(SUM(CAST(x AS DECIMAL(20,4))) AS DOUBLE) AS alias."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(20,4)")).cast("double").alias(alias)
+
+
+def davg(col: Column | str, alias: str) -> Column:
+    """Exact cross-engine average: exact sum / count.
+    SQL twin: CAST(SUM(CAST(x AS DECIMAL(20,4))) AS DOUBLE)
+              / COUNT(x) AS alias."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.sum(c.cast("decimal(20,4)")).cast("double") / F.count(c)
+    ).alias(alias)
+
+
+def SQL_DSUM(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(20,4))) AS DOUBLE) AS {alias}"
+
+
+def SQL_DAVG(expr: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL(20,4))) AS DOUBLE)"
+        f" / COUNT({expr}) AS {alias}"
+    )

@@ -1,0 +1,60 @@
+"""Pig LOAD/STORE + the LoadFunc/StoreFunc families (SURVEY.md §2.1).
+
+Pig's pluggable loaders map onto Spark's format registry; pushdown
+(LoadPushDown / predicate pushdown into ORC+Parquet) is native to the
+DataSource API — `.explain` shows PushedFilters/ReadSchema reaching the
+scan, which is the §4.1 PartitionFilter/PredicatePushdown story for free.
+
+| Pig loader            | here                              |
+| PigStorage(delim)     | fmt="csv", sep=delim, header opt  |
+| TextLoader            | fmt="text"                        |
+| JsonLoader/Storage    | fmt="json"                        |
+| Parquet               | fmt="parquet" (fixture default)   |
+| OrcStorage            | fmt="orc"                         |
+| AvroStorage           | fmt="avro" (needs spark-avro jar — gated) |
+| BinStorage            | not needed: parquet is the interchange format |
+| HBaseStorage          | out of scope (external connector) |
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+_FORMATS = {"parquet", "csv", "json", "text", "orc", "avro"}
+
+
+def _check_fmt(fmt: str) -> str:
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {sorted(_FORMATS)}")
+    return fmt
+
+
+def load(
+    spark: SparkSession,
+    uri: str,
+    fmt: str = "parquet",
+    schema: str | None = None,
+    **options,
+) -> DataFrame:
+    """Pig `A = LOAD 'uri' USING fn(...) [AS (schema)]`.
+
+    `schema` is a DDL string — the `AS` clause.  Without it, parquet/orc
+    are self-describing and csv/json infer (Pig's schemaless bytearray
+    mode narrowed to schema-on-read, divergence D2).
+    """
+    reader = spark.read.format(_check_fmt(fmt))
+    if schema:
+        reader = reader.schema(schema)
+    elif fmt in ("csv", "json"):
+        reader = reader.option("inferSchema", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(uri)
+
+
+def store(df: DataFrame, uri: str, fmt: str = "parquet", mode: str = "overwrite", **options) -> None:
+    """Pig `STORE A INTO 'uri' USING fn;`"""
+    writer = df.write.format(_check_fmt(fmt)).mode(mode)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(uri)

@@ -1,0 +1,93 @@
+"""Pig builtin-function semantics (SURVEY.md §2.7), especially the
+index-convention divergences (D4) flagged as the likeliest source of
+silent wrong answers (§7-H4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pigout_spark.functions import (
+    BAG_TO_STRING,
+    CONCAT,
+    DIFF,
+    INDEXOF,
+    IS_EMPTY,
+    LAST_INDEX_OF,
+    REPLACE,
+    SIZE,
+    SUBSTRING,
+    SUBTRACT,
+    TOKENIZE,
+)
+from pigout_spark.functions.datetime_fns import (
+    ADD_DURATION,
+    DAYS_BETWEEN,
+    GET_MONTH,
+    GET_YEAR,
+)
+
+
+def one(spark, col):
+    return spark.range(1).select(col.alias("v")).first()["v"]
+
+
+def test_substring_pig_conventions(spark):
+    # Pig: SUBSTRING('hello world', 0, 5) = 'hello' (0-based, stop-exclusive)
+    assert one(spark, SUBSTRING(F.lit("hello world"), 0, 5)) == "hello"
+    assert one(spark, SUBSTRING(F.lit("hello world"), 6, 11)) == "world"
+    assert one(spark, SUBSTRING(F.lit("hello"), 1, 3)) == "el"
+
+
+def test_indexof_pig_conventions(spark):
+    # Pig: 0-based, -1 when absent
+    assert one(spark, INDEXOF(F.lit("hello"), "l")) == 2
+    assert one(spark, INDEXOF(F.lit("hello"), "z")) == -1
+    assert one(spark, INDEXOF(F.lit("hello"), "h")) == 0
+    assert one(spark, INDEXOF(F.lit("hello"), "l", 3)) == 3
+
+
+def test_last_index_of(spark):
+    assert one(spark, LAST_INDEX_OF(F.lit("hello"), "l")) == 3
+    assert one(spark, LAST_INDEX_OF(F.lit("hello"), "z")) == -1
+    assert one(spark, LAST_INDEX_OF(F.lit("abcabc"), "bc")) == 4
+
+
+def test_replace_is_regex(spark):
+    # Pig REPLACE uses String.replaceAll — regex, not literal.
+    assert one(spark, REPLACE(F.lit("a1b22c"), "[0-9]+", "#")) == "a#b#c"
+
+
+def test_concat_null_propagates(spark):
+    assert one(spark, CONCAT(F.lit("a"), F.lit(None).cast("string"))) is None
+    assert one(spark, CONCAT(F.lit("a"), F.lit("b"), F.lit("c"))) == "abc"
+
+
+def test_tokenize_delimiter_class(spark):
+    # StringTokenizer " \",()*" drops empty tokens.
+    got = one(spark, TOKENIZE(F.lit('one two,three(four)five*six"seven')))
+    assert got == ["one", "two", "three", "four", "five", "six", "seven"]
+
+
+def test_bag_builtins(spark):
+    arr = F.array(F.lit(1), F.lit(2), F.lit(2), F.lit(3))
+    arr2 = F.array(F.lit(2), F.lit(9))
+    assert one(spark, SIZE(arr)) == 4
+    assert one(spark, IS_EMPTY(F.array().cast("array<int>"))) is True
+    assert one(spark, BAG_TO_STRING(F.array(F.lit("a"), F.lit("b")), "_")) == "a_b"
+    assert one(spark, SUBTRACT(arr, arr2)) == [1, 3]
+    assert sorted(one(spark, DIFF(arr, arr2))) == [1, 3, 9]
+
+
+def test_datetime_builtins(spark):
+    ts = F.lit("2024-03-15 10:30:00").cast("timestamp")
+    assert one(spark, GET_YEAR(ts)) == 2024
+    assert one(spark, GET_MONTH(ts)) == 3
+    df = spark.createDataFrame([Row(dt="2024-03-15 10:30:00")]).select(
+        F.col("dt").cast("timestamp").alias("dt")
+    )
+    got = df.select(ADD_DURATION("dt", "P1DT2H").alias("v")).first()["v"]
+    assert str(got) == "2024-03-16 12:30:00"
+    a = F.lit("2024-03-15 00:00:00").cast("timestamp")
+    b = F.lit("2024-03-10 00:00:00").cast("timestamp")
+    assert one(spark, DAYS_BETWEEN(a, b)) == 5

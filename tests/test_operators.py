@@ -1,0 +1,146 @@
+"""Relational operator semantics (SURVEY.md §2.2–2.6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pigout_spark.operators import (
+    anti_join,
+    cogroup,
+    cross,
+    flatten,
+    join,
+    row_rank,
+    sample,
+    semi_join,
+    split,
+    union,
+    union_onschema,
+)
+from pigout_spark.operators.grouping import group_bag, nested_topk
+from pigout_spark.operators.relational import assert_by, stream_through
+
+
+def test_join_strategies_same_result(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], ["k", "va"])
+    b = spark.createDataFrame([(1, 10), (3, 30), (4, 40)], ["k", "vb"])
+    base = sorted(join(a, b, "k").collect())
+    assert sorted(join(a, b, "k", using="replicated").collect()) == base
+    assert sorted(join(a, b, "k", using="skewed").collect()) == base
+    assert sorted(join(a, b, "k", using="merge").collect()) == base
+    assert len(base) == 2
+
+
+def test_outer_join_null_keys_do_not_match(spark):
+    # Pig & Spark agree: null keys never match (SURVEY.md §1.2).
+    a = spark.createDataFrame([(None, "x"), (1, "y")], "k int, va string")
+    b = spark.createDataFrame([(None, 10), (1, 11)], "k int, vb int")
+    got = join(a, b, (["k"], ["k"]), how="full").count()
+    assert got == 3  # (1,1) matches; two null rows null-extend
+
+
+def test_semi_anti(spark):
+    a = spark.createDataFrame([(1,), (2,), (3,)], ["k"])
+    b = spark.createDataFrame([(2,), (3,), (4,)], ["k"])
+    assert sorted(r.k for r in semi_join(a, b, "k").collect()) == [2, 3]
+    assert sorted(r.k for r in anti_join(a, b, "k").collect()) == [1]
+
+
+def test_cross_and_theta(spark):
+    a = spark.createDataFrame([(1,), (2,)], ["x"])
+    b = spark.createDataFrame([(10,), (20,)], ["y"])
+    assert cross(a, b).count() == 4
+    theta = cross(a, b, F.col("x") * 10 < F.col("y"))
+    assert sorted((r.x, r.y) for r in theta.collect()) == [(1, 20)]
+
+
+def test_cogroup_empty_bags_not_null(spark):
+    a = spark.createDataFrame([(1, "a1"), (2, "a2")], ["k", "v"])
+    b = spark.createDataFrame([(2, "b2"), (3, "b3")], ["k", "v"])
+    cg = cogroup([a, b], ["k", "k"], bag_names=["ba", "bb"])
+    rows = {r.group: (len(r.ba), len(r.bb)) for r in cg.collect()}
+    assert rows == {1: (1, 0), 2: (1, 1), 3: (0, 1)}  # empty bag, never null
+
+
+def test_cogroup_inner_drops_empty(spark):
+    a = spark.createDataFrame([(1, "a1"), (2, "a2")], ["k", "v"])
+    b = spark.createDataFrame([(2, "b2"), (3, "b3")], ["k", "v"])
+    cg = cogroup([a, b], ["k", "k"], inner=True)
+    assert [r.group for r in cg.collect()] == [2]
+
+
+def test_group_bag_multiset(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "a"), (1, "b")], ["k", "v"])
+    bag = group_bag(df, "k").first()["bag"]
+    assert sorted(r.v for r in bag) == ["a", "a", "b"]  # duplicates kept
+
+
+def test_flatten_variants(spark):
+    df = spark.createDataFrame([Row(k=1, bag=["a", "b"]), Row(k=2, bag=[])])
+    assert flatten(df, "bag").count() == 2  # empty bag drops row (Pig)
+    assert flatten(df, "bag", outer=True).count() == 3  # keep-empty variant
+    st = spark.createDataFrame([Row(k=1, s=Row(x=1, y=2))])
+    assert set(flatten(st, "s").columns) == {"k", "x", "y"}
+    mp = spark.createDataFrame([Row(k=1, m={"a": 1, "b": 2})])
+    fm = flatten(mp, "m")
+    assert set(fm.columns) == {"k", "m_key", "m_value"} and fm.count() == 2
+
+
+def test_split_otherwise_handles_null_predicates(spark):
+    # Pig OTHERWISE catches rows where every predicate is false OR null.
+    df = spark.createDataFrame([(1,), (5,), (None,)], "x int")
+    parts = split(
+        df, {"low": F.col("x") < 3, "high": F.col("x") >= 5}, otherwise="rest"
+    )
+    assert [r.x for r in parts["low"].collect()] == [1]
+    assert [r.x for r in parts["high"].collect()] == [5]
+    assert [r.x for r in parts["rest"].collect()] == [None]
+
+
+def test_union_onschema_null_fills(spark):
+    a = spark.createDataFrame([(1, "x")], ["k", "va"])
+    b = spark.createDataFrame([(2, 9.5)], ["k", "vb"])
+    u = union_onschema(a, b)
+    assert set(u.columns) == {"k", "va", "vb"}
+    assert u.count() == 2
+    assert union(a, a).count() == 2  # duplicates kept (bag union)
+
+
+def test_sample_deterministic_with_seed(spark, sf_dir):
+    from pigout_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    n1 = sample(li, 0.1, seed=42).count()
+    n2 = sample(li, 0.1, seed=42).count()
+    assert n1 == n2 and 0 < n1 < 6000
+
+
+def test_row_rank_two_pass(spark):
+    df = spark.createDataFrame([(v,) for v in [30, 10, 20, 40, 5]], ["x"]).repartition(3)
+    got = {r.x: r.rank for r in row_rank(df, "x").collect()}
+    assert got == {5: 1, 10: 2, 20: 3, 30: 4, 40: 5}
+
+
+def test_nested_topk(spark):
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 1), ("a", 2), ("b", 9)], ["g", "v"]
+    )
+    top = nested_topk(df, "g", [F.desc("v")], 2)
+    assert sorted((r.g, r.v) for r in top.collect()) == [("a", 2), ("a", 3), ("b", 9)]
+
+
+def test_assert_by(spark):
+    df = spark.createDataFrame([(1,), (2,)], ["x"])
+    assert assert_by(df, F.col("x") > 0).count() == 2
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        assert_by(df, F.col("x") > 1).count()
+
+
+def test_stream_through(spark):
+    # Pig: B = STREAM A THROUGH `cat`; — identity via external process.
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]).coalesce(1)
+    out = stream_through(df, ["cat"], "k string, v string")
+    assert sorted((r.k, r.v) for r in out.collect()) == [("1", "a"), ("2", "b")]
