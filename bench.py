@@ -20,7 +20,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from pigout_spark.session import get_spark  # noqa: E402
 
 #: Headline set: the scan→group→agg spine, the big shuffling joins, the
-#: window/top-k path, cube, tokenize-explode, and the extension pillars.
+#: window/top-k path, cube, tokenize-explode, and the extension pillars
+#: (dedup, similarity, text, streaming-in-batch).
 HEADLINE = [
     "q01_group_agg",
     "q03_join_agg",
@@ -30,6 +31,15 @@ HEADLINE = [
     "q13_flatten_tokenize",
     "q15_nested_topk",
     "q22_distinct_agg",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "sim_ann_buckets",
+    "text_quality",
+    "text_fingerprint",
+    "stream_tumbling",
+    "stream_session",
 ]
 
 
@@ -38,9 +48,7 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    names = [n for n in HEADLINE if n in qs] + [
-        n for n in qs if n.startswith(("dedup_", "sim_", "text_", "stream_")) and n in qs
-    ]
+    names = [n for n in HEADLINE if n in qs]
     spark = get_spark("pigout-bench")
     # Warmup: trigger JVM + whole-stage-codegen on a trivial plan.
     spark.range(1_000_000).selectExpr("sum(id)").collect()

@@ -1,0 +1,187 @@
+"""Deduplication operators for document corpora.
+
+All hash functions are md5-based so results are deterministic and
+engine-independent (verifiable against any SQL oracle) — no seeded
+murmur3 or JVM-specific hashing in the semantics path.
+
+Scale notes (100 TB):
+- exact dedup: one shuffle on the fingerprint (map-side combine).
+- MinHash+LSH: tokens→signatures is a groupBy(doc) shuffle; candidate
+  generation joins on (band_index, band_hash) — band buckets are the
+  join key, so work is proportional to collisions, never O(n²).
+- n-gram Jaccard: inverted-index self-join on token; cap high-df tokens
+  (``max_df``) to stop hub-token blowup — a stopword-frequency token
+  contributes C(df,2) pairs.
+- SimHash: two shuffles (doc×bit partial agg, then doc agg); fingerprint
+  is a 16/32-bit int, cheap to bucket for Hamming-neighbor search.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ws_tokens(text_col: Column | str, distinct: bool = True) -> Column:
+    """Whitespace tokens, empty fragments dropped; the shared shingle
+    base for the dedup family."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    arr = F.filter(F.split(c, " "), lambda t: t != F.lit(""))
+    return F.array_distinct(arr) if distinct else arr
+
+
+def exact_groups(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup groups: md5 fingerprint of the content columns →
+    (fp, rep_id = min id, n_dups).  hash-groupBy, one shuffle."""
+    fp = F.md5(F.concat_ws("\x1f", *content_cols)).alias("fp")
+    return df.groupBy(fp).agg(
+        F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Keep one representative row (lowest id) per exact-content group."""
+    fp = F.md5(F.concat_ws("\x1f", *content_cols))
+    w = Window.partitionBy(fp).orderBy(id_col)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    ).drop("__rn")
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8
+) -> DataFrame:
+    """Deterministic MinHash: hash family h_i(tok) = md5(tok || '#i'),
+    signature m_i = min over the doc's distinct tokens (min over hex
+    strings — lexicographic order is engine-independent for hex)."""
+    toks = df.select(
+        F.col(id_col), F.explode(ws_tokens(text_col)).alias("tok")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("tok"), F.lit(f"#{i}")))).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    return toks.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate candidates: band the signature
+    (``num_hashes/rows_per_band`` bands), bucket-join on
+    (band_index, band_hash), emit distinct ordered pairs.
+
+    The join key is the band bucket — never a cross join; candidate
+    volume scales with true collisions (shingle→minhash→band→bucket-join).
+    """
+    if num_hashes % rows_per_band:
+        raise ValueError("num_hashes must be divisible by rows_per_band")
+    sig = minhash_signature(df, id_col, text_col, num_hashes)
+    n_bands = num_hashes // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.md5(
+                    F.concat(
+                        *[F.col(f"m{j * rows_per_band + r}") for r in range(rows_per_band)]
+                    )
+                ).alias("bv"),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    b = sig.select(F.col(id_col), F.explode(bands).alias("bk")).select(
+        id_col, "bk.band", "bk.bv"
+    )
+    left = b.alias("l")
+    right = b.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact token-set Jaccard over an inverted-index self-join.
+
+    |A∩B| from the token join, |A| and |B| from per-doc token counts;
+    jaccard = inter / (|A| + |B| - inter).  ``max_df`` drops tokens that
+    appear in more than that many docs before pairing (each such token
+    costs C(df, 2) join rows — the 100 TB guard)."""
+    toks = df.select(F.col(id_col), F.explode(ws_tokens(text_col)).alias("tok"))
+    if max_df is not None:
+        keep = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).filter(
+            F.col("df") <= max_df
+        )
+        toks = toks.join(F.broadcast(keep.select("tok")), "tok")
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jac", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+        )
+        .filter(F.col("jac") >= threshold)
+        .select("doc_a", "doc_b", "jac")
+    )
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash over whitespace tokens (with multiplicity).
+
+    Per token: a 32-bit value from the first 8 hex chars of md5; each of
+    the 16 low bits contributes ±1; fingerprint bit b = sign of the sum.
+    Returns (id, simhash int).  Near-dup search then buckets by rotated
+    fingerprints / Hamming distance — fingerprint stage only here."""
+    toks = df.select(
+        F.col(id_col), F.explode(ws_tokens(text_col, distinct=False)).alias("tok")
+    )
+    h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    toks = toks.withColumn("h", h)
+    sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(16)
+        ]
+    )
+    fp = None
+    for b in range(16):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else (fp + term)
+    return sums.select(F.col(id_col), fp.cast("long").alias("simhash"))

@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (array<float>).
+
+Everything computes in JVM-side higher-order functions (zip_with +
+aggregate fold) — no Python in the hot path.  Floats are cast to double
+*before* multiplication and folded left-to-right, which makes the dot
+product bit-identical to a SQL left-fold (list_reduce) — the property
+the DuckDB oracle checks ride on.
+
+Scale notes (100 TB):
+- brute-force top-k: broadcast the query set, per-partition scoring,
+  per-query top-k via window on the query key.  Right when |queries| is
+  small; cost is one scan of the corpus, no shuffle of the corpus.
+- hyperplane LSH: 8 signed projections → 256 buckets; bucketing is a
+  narrow map, candidate search is a bucket-equi-join.  The ANN path —
+  never a cross join (FIXTURES.md design constraint).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column | str) -> Column:
+    c = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product: ((0 + x₁y₁) + x₂y₂) + … — the exact
+    summation order list_reduce uses, so cross-engine bit-identical."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id: str = "q_id",
+) -> DataFrame:
+    """Exact cosine top-k per query vector (the correctness baseline).
+
+    queries is broadcast (small by contract); the corpus is scanned once
+    with per-row scoring, then per-query top-k via window row_number on
+    the query key — no corpus shuffle, no global sort."""
+    from pyspark.sql import Window
+
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    )
+    q = queries.select(F.col(id_col).alias(q_id), as_double(vec_col).alias("qv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col(q_id))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy(q_id).orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(q_id, "neighbor_id", "cos", "rn")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 1000) -> list[list[float]]:
+    """Deterministic hyperplanes (plain Python PRNG, engine-neutral —
+    the constants embed into both the Spark plan and any SQL oracle)."""
+    out = []
+    for i in range(n_planes):
+        rng = random.Random(seed + i)
+        out.append([rng.uniform(-1.0, 1.0) for _ in range(dim)])
+    return out
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Signed-projection bucket code: bit i = (v · plane_i >= 0)."""
+    v = as_double(vec_col) if not isinstance(vec_col, Column) else vec_col
+    code = None
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot(v, lit_plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        code = bit if code is None else (code + bit)
+    return code.cast("int")
+
+
+def ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket, then exact cosine within the bucket.  The bucket code is the
+    join key → shuffle-by-bucket, never O(n²)."""
+    from pyspark.sql import Window
+
+    withb = emb.select(
+        F.col(id_col), as_double(vec_col).alias("v"),
+        lsh_bucket(as_double(vec_col), planes).alias("bucket"),
+    )
+    q = withb.select(
+        F.col(id_col).alias("q_id"), F.col("v").alias("qv"), "bucket"
+    ).join(queries.select(F.col(id_col).alias("q_id")), "q_id")
+    cand = withb.select(
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), "bucket"
+    )
+    scored = (
+        q.join(cand, "bucket")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "neighbor_id", "cos", "rn")
+    )

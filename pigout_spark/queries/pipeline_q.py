@@ -1,4 +1,346 @@
-"""Training-data pipeline corpus — placeholder, populated in the
-pipeline phase (dedup / similarity / text analysis / multimodal)."""
+"""Training-data pipeline corpus (SURVEY.md §7 phase 7) — dedup,
+similarity search, text analysis, multimodal plumbing, each with a full
+DuckDB oracle (generated programmatically where the expression is big:
+SimHash bit logic, LSH hyperplane literals).
+
+Cross-engine determinism relies on: md5 (identical hex in both), left-
+fold double dot products (aggregate ≡ list_reduce), int/int → double
+division, and decimal-disciplined double sums (registry.py).
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pigout_spark.pipeline.dedup import (
+    exact_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash16,
+)
+from pigout_spark.pipeline.multimodal import binarize, extract_meta
+from pigout_spark.pipeline.similarity import (
+    ann_topk,
+    as_double,
+    brute_force_topk,
+    lsh_bucket,
+    random_hyperplanes,
+)
+from pigout_spark.pipeline.text import (
+    LANG_PROFILES,
+    fingerprint,
+    lang_id,
+    quality_features,
+    token_counts,
+)
+from pigout_spark.queries.registry import query, t
+
+#: shared token expression (SQL twin of pipeline.dedup.ws_tokens)
+_SQL_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+_SQL_DTOKS = f"list_distinct({_SQL_TOKS})"
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """Left-fold dot product — the SQL twin of similarity.dot."""
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), s -> s[1] * s[2]),"
+        f" (acc, x) -> acc + x)"
+    )
+
+
+# ---------------------------------------------------------------- dedup ---
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS fp, MIN(doc_id) AS rep_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup groups: hash-groupBy on the content fingerprint —
+    one shuffle with map-side combine (pipeline/dedup.py)."""
+    return exact_groups(t(spark, sf_dir, "documents"), ["text"], "doc_id")
+
+
+_MINHASH_SQL = (
+    "WITH toks AS (\n"
+    f"  SELECT doc_id, unnest({_SQL_DTOKS}) AS tok FROM documents\n"
+    "), sig AS (\n"
+    "  SELECT doc_id,\n"
+    + ",\n".join(
+        f"    min(md5(tok || '#{i}')) AS m{i}" for i in range(8)
+    )
+    + "\n  FROM toks GROUP BY doc_id\n"
+    "), bands AS (\n"
+    + "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {j} AS band, md5(m{2 * j} || m{2 * j + 1}) AS bv FROM sig"
+        for j in range(4)
+    )
+    + "\n)\n"
+    "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+    "FROM bands a JOIN bands b\n"
+    "  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id"
+)
+
+
+@query("dedup_minhash", _MINHASH_SQL)
+def dedup_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup candidates: 8 md5-family min-hashes, 4 bands
+    of 2, bucket-join on (band, band-hash).  Candidate volume scales
+    with collisions, never O(n²) — the 100 TB dedup path."""
+    return minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=8, rows_per_band=2
+    )
+
+
+@query(
+    "dedup_jaccard",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_DTOKS}) AS tok FROM documents
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, i / (sa.sz + sb.sz - i) AS jac
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE i / (sa.sz + sb.sz - i) >= 0.5
+    """,
+)
+def dedup_jaccard(spark, sf_dir):
+    """Exact n-gram (token-set) Jaccard ≥ 0.5 via inverted-index
+    self-join — |A∩B| from the token join, sizes joined back.  max_df
+    capping guards hub tokens at scale (pipeline/dedup.py)."""
+    return ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5
+    )
+
+
+def _simhash_sql() -> str:
+    sums = ",\n".join(
+        f"    SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(16)
+    )
+    fp = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    return (
+        "WITH toks AS (\n"
+        f"  SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents\n"
+        "), hashed AS (\n"
+        "  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks\n"
+        "), sums AS (\n"
+        f"  SELECT doc_id,\n{sums}\n  FROM hashed GROUP BY doc_id\n"
+        ")\n"
+        f"SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums"
+    )
+
+
+@query("dedup_simhash", _simhash_sql())
+def dedup_simhash(spark, sf_dir):
+    """16-bit SimHash fingerprints (md5-derived per-token 32-bit hashes,
+    ±1 bit votes).  Hamming-bucket search builds on this fingerprint."""
+    return simhash16(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ----------------------------------------------------------- similarity ---
+@query(
+    "sim_cosine_topk",
+    f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10
+    ), scored AS (
+      SELECT q.q_id, e.vec_id AS neighbor_id,
+             {_sql_dot('q.qv', 'e.v')}
+               / (sqrt({_sql_dot('q.qv', 'q.qv')})
+                  * sqrt({_sql_dot('e.v', 'e.v')})) AS cos
+      FROM e, q WHERE e.vec_id <> q.q_id
+    )
+    SELECT q_id, neighbor_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY cos DESC, neighbor_id) AS rn
+    FROM scored QUALIFY rn <= 3
+    """,
+)
+def sim_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-3 for 10 query vectors: broadcast queries,
+    one corpus scan, per-query window top-k — the exact baseline the
+    LSH path approximates.  Dot products are left-fold double ops,
+    bit-identical to the SQL oracle."""
+    emb = t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
+
+
+_PLANES = random_hyperplanes(dim=64, n_planes=8)
+
+
+def _ann_sql() -> str:
+    def lit_list(plane: list[float]) -> str:
+        return "[" + ", ".join(repr(x) for x in plane) + "]"
+
+    bits = " + ".join(
+        f"(CASE WHEN {_sql_dot('v', lit_list(p))} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(_PLANES)
+    )
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)\n"
+        f"SELECT CAST({bits} AS INT) AS bucket, COUNT(*) AS n\n"
+        "FROM e GROUP BY 1"
+    )
+
+
+@query("sim_ann_buckets", _ann_sql())
+def sim_ann_buckets(spark, sf_dir):
+    """Hyperplane-LSH bucketing (the ANN scale path): 8 signed
+    projections → 256 buckets; downstream candidate search joins on the
+    bucket code instead of cross-joining the corpus.  Deterministic
+    planes embed as literals in both engines."""
+    emb = t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(lsh_bucket(as_double("embedding"), _PLANES).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query("sim_ann_topk")  # within-bucket ranking: machinery covered by the
+def sim_ann_topk(spark, sf_dir):  # two oracled queries above → rows-only
+    """Approximate top-3 within the query's LSH bucket.  Composition of
+    sim_ann_buckets (oracled bucketing) + sim_cosine_topk (oracled
+    scoring); recorded rows-only."""
+    emb = t(spark, sf_dir, "embeddings")
+    return ann_topk(emb, emb.filter(F.col("vec_id") < 10), _PLANES, k=3)
+
+
+# ------------------------------------------------------------------ text ---
+@query(
+    "text_tokens",
+    f"""
+    SELECT doc_id,
+           CAST(len({_SQL_TOKS}) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha_runs,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+             AS n_bpeish,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def text_tokens(spark, sf_dir):
+    """Token counting: whitespace tokens, alphabetic runs, BPE-ish
+    pieces, chars — all JVM-side regex/split (pipeline/text.py)."""
+    return token_counts(t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_ws_tokens", "n_alpha_runs", "n_bpeish", "n_chars"
+    )
+
+
+_STOP_EN = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
+
+
+@query(
+    "text_quality",
+    f"""
+    WITH f AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ), feat AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+             list_reduce(list_transform(toks, t -> length(t)), (a, b) -> a + b)
+               / len(toks) AS avg_token_len,
+             len(list_filter(toks, t -> list_contains([{_STOP_EN}], t)))
+               / len(toks) AS stop_ratio
+      FROM f
+    )
+    SELECT doc_id, n_tokens, n_distinct, avg_token_len, stop_ratio,
+           least(n_tokens / 32.0, 1.0) * 0.5
+             + (n_distinct / n_tokens) * 0.3
+             + least(avg_token_len / 8.0, 1.0) * 0.2 AS quality
+    FROM feat
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Quality scoring: length/distinctness/stopword features + a
+    composite score — int/int double divisions, engine-deterministic."""
+    return quality_features(t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "n_distinct", "avg_token_len", "stop_ratio", "quality"
+    )
+
+
+def _langid_sql() -> str:
+    score = {
+        lang: (
+            f"len(list_filter(toks, t -> list_contains("
+            f"[{', '.join(repr(w) for w in words)}], t)))"
+        )
+        for lang, words in LANG_PROFILES.items()
+    }
+    langs = list(LANG_PROFILES)
+    cases = []
+    for i, lang in enumerate(langs[:-1]):
+        rest = [score[l] for l in langs[i + 1 :]]
+        other = f"greatest({', '.join(rest)})" if len(rest) > 1 else rest[0]
+        cases.append(f"WHEN {score[lang]} >= {other} THEN '{lang}'")
+    case = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+    return (
+        "WITH f AS (\n"
+        f"  SELECT lang, {_SQL_TOKS} AS toks FROM documents\n"
+        ")\n"
+        f"SELECT lang, {case} AS predicted, COUNT(*) AS n\n"
+        "FROM f GROUP BY lang, predicted"
+    )
+
+
+@query("text_langid", _langid_sql())
+def text_langid(spark, sf_dir):
+    """Stopword-profile language ID vs the labeled lang column —
+    confusion counts.  (Synthetic word-soup text: the point is the
+    deterministic scoring machinery, not linguistic accuracy.)"""
+    d = lang_id(t(spark, sf_dir, "documents"))
+    return d.groupBy("lang", "predicted").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "text_fingerprint",
+    f"""
+    WITH f AS (
+      SELECT source,
+             md5(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' ')) AS fp
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_unique_fps
+    FROM f GROUP BY source
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprint (md5 of sorted distinct tokens) — order/
+    repetition-invariant dedup key; uniqueness per source."""
+    d = fingerprint(t(spark, sf_dir, "documents"))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("fp").alias("n_unique_fps"),
+    )
+
+
+# ------------------------------------------------------------ multimodal ---
+@query(
+    "mm_binary_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte,
+           CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_chunks
+    FROM documents
+    """,
+)
+def mm_binary_meta(spark, sf_dir):
+    """Multimodal plumbing: binary payload column + Arrow-batched
+    mapInPandas metadata extraction (pipeline/multimodal.py).  The
+    Pandas stage is the real scale path; the oracle checks its output
+    against pure SQL byte math."""
+    d = binarize(t(spark, sf_dir, "documents"), "text")
+    return extract_meta(d, "payload", "doc_id")

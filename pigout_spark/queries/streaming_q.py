@@ -1,4 +1,104 @@
-"""Streaming-extension corpus — placeholder, populated in the streaming
-phase (tumbling/sliding/session windows, batch-checkable)."""
+"""Streaming-extension corpus (SURVEY.md §2.8/§7 phase 7a): windowed
+aggregations over `events`, run in batch mode so the DuckDB oracle can
+check them (time_bucket / lag-based sessionization SQL).
+
+Timestamps are truncated to seconds in BOTH engines before windowing:
+the fixture is nanosecond-precision, Spark reads microseconds — second
+granularity removes the truncation mismatch entirely (FIXTURES.md).
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pigout_spark.queries.registry import SQL_DSUM, dsum, query, t
+from pigout_spark.streaming.windows import session_agg, sliding_agg, tumbling_agg
+
+
+def _events_s(spark, sf_dir):
+    """events with ts truncated to whole seconds (cross-engine safe)."""
+    return t(spark, sf_dir, "events").withColumn(
+        "ts", F.date_trunc("second", "ts").cast("timestamp_ntz")
+    )
+
+
+@query(
+    "stream_tumbling",
+    f"""
+    SELECT time_bucket(INTERVAL '1 hour',
+                       CAST(date_trunc('second', ts) AS TIMESTAMP)) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           {SQL_DSUM("value", "sum_value")}
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark, sf_dir):
+    """Tumbling 1-hour event-time windows per event_type.  Same code
+    runs under readStream + withWatermark; batch mode here for the
+    oracle (streaming/windows.py)."""
+    e = _events_s(spark, sf_dir)
+    out = tumbling_agg(
+        e,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n"), dsum("value", "sum_value")],
+    )
+    return out.select("window_start", "event_type", "n", "sum_value")
+
+
+@query(
+    "stream_sliding",
+    """
+    WITH e AS (
+      SELECT CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts FROM events
+    ), assigned AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start FROM e
+      UNION ALL
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL 30 MINUTE FROM e
+    )
+    SELECT window_start, COUNT(*) AS n FROM assigned GROUP BY 1
+    """,
+)
+def stream_sliding(spark, sf_dir):
+    """Sliding 1-hour windows every 30 minutes: each event lands in two
+    windows (starts at tb30(ts) and tb30(ts)−30m — the oracle's
+    phase-shifted union)."""
+    e = _events_s(spark, sf_dir)
+    out = sliding_agg(e, "ts", "1 hour", "30 minutes", [], [F.count(F.lit(1)).alias("n")])
+    return out.select("window_start", "n")
+
+
+@query(
+    "stream_session",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts FROM events
+    ), flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def stream_session(spark, sf_dir):
+    """Session windows, 30-minute gap, per user.  Spark merges events
+    with gap ≤ 30m — a gap of exactly the threshold still merges
+    (verified empirically; tests/test_streaming.py) — so the oracle's
+    lag rule is strict `>`."""
+    e = _events_s(spark, sf_dir)
+    out = session_agg(
+        e, "ts", "30 minutes", ["user_id"], [F.count(F.lit(1)).alias("n_events")]
+    )
+    return out.select("user_id", "session_start", "n_events")

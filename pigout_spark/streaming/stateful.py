@@ -1,0 +1,99 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+The reference has nothing like this (batch MapReduce only); it is the
+beyond-reference path for per-key logic that windowed aggregation can't
+express (e.g. sessionization that must emit per-session records with
+custom fields, counters with timeouts).
+
+State is partitioned by key — scales horizontally; the watermark bounds
+state size via timeouts.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: output schema of sessionize_stateful
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+_STATE_SCHEMA = "start long, last long, n long"
+
+
+def _session_fn(gap_seconds: int):
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(last, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
+        ts_us = sorted(
+            int(t.value // 1000)
+            for pdf in pdfs
+            for t in pd.to_datetime(pdf["ts"])
+        )
+        if not ts_us:
+            return
+        out = []
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = ts_us[0], ts_us[0], 0
+        for t in ts_us:
+            # gap strictly greater than the threshold opens a session —
+            # matches F.session_window (a gap of exactly the threshold
+            # merges; tests/test_streaming.py::test_session_gap_boundary)
+            if t - last > gap_seconds * 1_000_000:
+                out.append((user_id, start, last, n))
+                start, n = t, 0
+            last = t
+            n += 1
+        state.update((start, last, n))
+        state.setTimeoutDuration(gap_seconds * 1000)
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in out],
+                    "session_start": [pd.Timestamp(r[1], unit="us") for r in out],
+                    "session_end": [pd.Timestamp(r[2], unit="us") for r in out],
+                    "n_events": [r[3] for r in out],
+                }
+            )
+
+    return fn
+
+
+def sessionize_stateful(
+    events: DataFrame, gap_seconds: int = 1800, user_col: str = "user_id"
+) -> DataFrame:
+    """Per-user sessionization with explicit state: emits each CLOSED
+    session (a new event ≥ gap after the last, or state timeout).
+
+    Streaming input → applyInPandasWithState with processing-time
+    timeout.  The in-flight session lives in GroupState; output rows are
+    closed sessions only (the batch session_agg covers the
+    oracle-checkable variant)."""
+    return events.groupBy(user_col).applyInPandasWithState(
+        _session_fn(gap_seconds),
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

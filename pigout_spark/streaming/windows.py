@@ -1,0 +1,52 @@
+"""Event-time windowed aggregation: tumbling / sliding / session +
+watermark helper.  Batch/stream agnostic: ``df`` may come from
+``spark.read`` (oracle-checkable) or ``spark.readStream`` (production).
+
+Scale notes: window aggregation shuffles on (window, keys) with
+map-side partial aggregation; sliding windows multiply rows by
+window/slide before the shuffle (factor 2 at 1h/30m).  Watermarks bound
+streaming state; in batch mode they are a no-op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_watermark(df: DataFrame, ts_col: str, delay: str) -> DataFrame:
+    """Late-data bound (streaming state eviction).  No-op on batch
+    DataFrames, so oracle-checked batch runs share the code path."""
+    return df.withWatermark(ts_col, delay) if df.isStreaming else df
+
+
+def tumbling_agg(
+    df: DataFrame, ts_col: str, duration: str, keys: list[str], aggs: list[Column]
+) -> DataFrame:
+    """Non-overlapping event-time windows: one output row per
+    (bucket, keys).  `window_start` replaces the raw struct."""
+    out = df.groupBy(F.window(ts_col, duration).alias("__w"), *keys).agg(*aggs)
+    return out.withColumn("window_start", F.col("__w.start")).drop("__w")
+
+
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    keys: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    """Overlapping windows (each event lands in duration/slide of them)."""
+    out = df.groupBy(F.window(ts_col, duration, slide).alias("__w"), *keys).agg(*aggs)
+    return out.withColumn("window_start", F.col("__w.start")).drop("__w")
+
+
+def session_agg(
+    df: DataFrame, ts_col: str, gap: str, keys: list[str], aggs: list[Column]
+) -> DataFrame:
+    """Session windows: events within ``gap`` of the previous event merge;
+    a gap ≥ the threshold starts a new session.  `session_start` is the
+    first event's timestamp."""
+    out = df.groupBy(F.session_window(ts_col, gap).alias("__w"), *keys).agg(*aggs)
+    return out.withColumn("session_start", F.col("__w.start")).drop("__w")

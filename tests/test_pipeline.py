@@ -1,0 +1,153 @@
+"""Pipeline extension semantics: dedup, similarity, text, multimodal."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from pigout_spark.pipeline.dedup import (
+    exact_dedup,
+    exact_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash16,
+)
+from pigout_spark.pipeline.multimodal import (
+    binarize,
+    extract_meta,
+    fake_decode_image,
+    sample_frames,
+)
+from pigout_spark.pipeline.similarity import (
+    ann_topk,
+    brute_force_topk,
+    random_hyperplanes,
+)
+from pigout_spark.pipeline.text import lang_id, quality_features, token_counts
+
+
+def docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark):
+    df = docs(spark, [(1, "a b"), (2, "a b"), (3, "c")])
+    groups = exact_groups(df, ["text"], "doc_id")
+    got = {r.rep_id: r.n_dups for r in groups.collect()}
+    assert got == {1: 2, 3: 1}
+    kept = exact_dedup(df, ["text"], "doc_id")
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 3]
+
+
+def test_minhash_identical_docs_always_pair(spark):
+    df = docs(spark, [(1, "w1 w2 w3 w4"), (2, "w1 w2 w3 w4"), (3, "zz yy xx qq")])
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(df, "doc_id", "text").collect()}
+    assert (1, 2) in pairs  # identical token sets share every band
+    assert (1, 3) not in pairs and (2, 3) not in pairs  # disjoint sets
+
+
+def test_ngram_jaccard_exact_values(spark):
+    df = docs(spark, [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")])
+    got = {(r.doc_a, r.doc_b): r.jac for r in
+           ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5).collect()}
+    assert got == {(1, 2): 3 / 5}  # |∩|=3, |∪|=5
+
+
+def test_jaccard_max_df_caps_hub_tokens(spark):
+    rows = [(i, f"hub unique{i}") for i in range(6)]
+    df = docs(spark, rows)
+    no_cap = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.1)
+    capped = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.1, max_df=3)
+    assert no_cap.count() == 15  # 'hub' pairs everything: C(6,2)
+    assert capped.count() == 0  # hub token dropped, nothing shares
+
+
+def test_simhash_properties(spark):
+    df = docs(spark, [(1, "a b c"), (2, "a b c"), (3, "p q r s t")])
+    got = {r.doc_id: r.simhash for r in simhash16(df, "doc_id", "text").collect()}
+    assert got[1] == got[2]  # same tokens → same fingerprint
+    assert 0 <= got[1] < (1 << 16)
+
+
+def test_brute_force_topk_orders_by_cosine(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1]),
+        Row(vec_id=2, embedding=[0.0, 1.0]),
+        Row(vec_id=3, embedding=[1.0, 0.05]),
+    ]
+    emb = spark.createDataFrame(rows)
+    top = brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=2)
+    got = [(r.neighbor_id, r.rn) for r in top.orderBy("rn").collect()]
+    assert got == [(3, 1), (1, 2)]  # 3 is closer to [1,0] than 1
+
+
+def test_ann_topk_within_bucket(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(50)
+    ]
+    emb = spark.createDataFrame(rows)
+    planes = random_hyperplanes(dim=8, n_planes=4)
+    out = ann_topk(emb, emb.filter(F.col("vec_id") < 3), planes, k=2)
+    rows_out = out.collect()
+    assert all(r.rn <= 2 for r in rows_out)
+    assert all(r.q_id != r.neighbor_id for r in rows_out)
+    # approximate ⊆ exact candidate space: cosines must be valid
+    assert all(-1.0 - 1e-9 <= r.cos <= 1.0 + 1e-9 for r in rows_out)
+
+
+def test_token_counts(spark):
+    df = docs(spark, [(1, "ab cd12 ef")])
+    r = token_counts(df).first()
+    assert r.n_ws_tokens == 3
+    assert r.n_alpha_runs == 3  # ab, cd, ef
+    assert r.n_bpeish == 4  # ab, cd, 12, ef
+    assert r.n_chars == 10
+
+
+def test_quality_features(spark):
+    df = docs(spark, [(1, "the the fast")])
+    r = quality_features(df).first()
+    assert r.n_tokens == 3 and r.n_distinct == 2
+    assert math.isclose(r.stop_ratio, 2 / 3)
+    assert math.isclose(r.avg_token_len, (3 + 3 + 4) / 3)
+    assert 0.0 <= r.quality <= 1.0
+
+
+def test_lang_id_precedence(spark):
+    df = spark.createDataFrame(
+        [(1, "the fast thing"), (2, "le chat et la")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r.predicted for r in lang_id(df).collect()}
+    assert got == {1: "en", 2: "fr"}
+
+
+def test_multimodal_meta_and_frames(spark):
+    df = docs(spark, [(1, "x" * 130), (2, "y")])
+    b = binarize(df, "text")
+    meta = {r.doc_id: r for r in extract_meta(b).collect()}
+    assert meta[1].byte_len == 130 and meta[1].n_chunks == 3
+    assert meta[2].byte_len == 1 and meta[2].first_byte == ord("y")
+    frames = sample_frames(b, stride=2).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    assert by_doc[1] == [0, 2]  # chunks 0,1,2 → stride 2 keeps 0 and 2
+    assert by_doc[2] == [0]
+
+
+def test_fake_decode_is_deterministic():
+    a = fake_decode_image(b"\x00" * 130)
+    assert a == {"width": 3, "height": 3, "mode": "RGB"}
+    import pytest as _pytest
+
+    from pigout_spark.pipeline.multimodal import decode_image
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"123")

@@ -1,0 +1,86 @@
+"""Streaming surface: batch-mode window semantics + a real
+applyInPandasWithState streaming run (memory sink)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from pigout_spark.streaming.stateful import sessionize_stateful
+from pigout_spark.streaming.windows import session_agg, sliding_agg, tumbling_agg
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+
+def test_tumbling_counts(spark):
+    rows = [(1, T0), (1, T0 + dt.timedelta(minutes=50)), (1, T0 + dt.timedelta(minutes=70))]
+    out = tumbling_agg(
+        _events(spark, rows), "ts", "1 hour", ["user_id"], [F.count(F.lit(1)).alias("n")]
+    )
+    got = {r.window_start: r.n for r in out.collect()}
+    assert got == {T0: 2, T0 + dt.timedelta(hours=1): 1}
+
+
+def test_sliding_double_assignment(spark):
+    rows = [(1, T0 + dt.timedelta(minutes=10))]
+    out = sliding_agg(
+        _events(spark, rows), "ts", "1 hour", "30 minutes", [], [F.count(F.lit(1)).alias("n")]
+    )
+    starts = sorted(r.window_start for r in out.collect())
+    # event at 00:10 belongs to windows starting 23:30 and 00:00
+    assert starts == [T0 - dt.timedelta(minutes=30), T0]
+
+
+def test_session_gap_boundary(spark):
+    rows = [
+        (1, T0),
+        (1, T0 + dt.timedelta(minutes=29)),  # < gap → same session
+        (1, T0 + dt.timedelta(minutes=59)),  # exactly 30m after last → MERGES
+        (1, T0 + dt.timedelta(minutes=90)),  # 31m after last → new session
+    ]
+    out = session_agg(
+        _events(spark, rows), "ts", "30 minutes", ["user_id"], [F.count(F.lit(1)).alias("n")]
+    )
+    got = sorted((r.session_start, r.n) for r in out.collect())
+    assert got == [(T0, 3), (T0 + dt.timedelta(minutes=90), 1)]
+
+
+def test_sessionize_stateful_streaming(spark):
+    rows = [
+        (1, T0),
+        (1, T0 + dt.timedelta(minutes=10)),
+        (1, T0 + dt.timedelta(minutes=45)),  # ≥30m gap → closes session 1
+        (2, T0),
+    ]
+    src = tempfile.mkdtemp(prefix="pigout_stream_src")
+    try:
+        _events(spark, rows).coalesce(1).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+        )
+        out = sessionize_stateful(stream, gap_seconds=1800)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("sessions")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("select * from sessions").collect()
+        # only user 1's first session closed (by the 00:45 event);
+        # in-flight sessions await timeout and are not emitted
+        assert len(got) == 1
+        r = got[0]
+        assert r.user_id == 1 and r.n_events == 2
+        assert r.session_start == T0
+        assert r.session_end == T0 + dt.timedelta(minutes=10)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
