@@ -18,8 +18,24 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+#: Mersenne prime modulus for the MinHash permutation family.
+MINHASH_P = 2_147_483_647
+
+
+def minhash_perms(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) constants for h_i(x) = (a·x + b) mod P.
+    Base hash x is 28 bits (7 hex chars of md5) so a·x stays < 2^59 —
+    exact in int64 in every engine."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P))
+        for _ in range(num_hashes)
+    ]
 
 
 def ws_tokens(text_col: Column | str, distinct: bool = True) -> Column:
@@ -51,17 +67,24 @@ def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFram
 def minhash_signature(
     df: DataFrame, id_col: str, text_col: str, num_hashes: int = 8
 ) -> DataFrame:
-    """Deterministic MinHash: hash family h_i(tok) = md5(tok || '#i'),
-    signature m_i = min over the doc's distinct tokens (min over hex
-    strings — lexicographic order is engine-independent for hex)."""
-    toks = df.select(
-        F.col(id_col), F.explode(ws_tokens(text_col)).alias("tok")
-    )
+    """Deterministic MinHash via one base hash + a universal-hash family:
+
+        x(tok) = int64 of the first 7 hex chars of md5(tok)   (28 bits)
+        h_i(tok) = (a_i · x + b_i) mod P,  m_i = min over distinct tokens
+
+    ONE md5 per token (the expensive op), then num_hashes cheap integer
+    permutations folded into the groupBy's map-side partial min.  All
+    arithmetic is exact int64 — engine-independent, SQL-mirrorable.
+    Shuffle: (doc, token-hash) rows with partial aggregation — at scale
+    the combiner reduces it to ~num_hashes longs per doc."""
+    toks = df.select(F.col(id_col), F.explode(ws_tokens(text_col)).alias("tok"))
+    x = F.conv(F.substring(F.md5("tok"), 1, 7), 16, 10).cast("long")
+    hdf = toks.select(F.col(id_col), x.alias("x"))
     aggs = [
-        F.min(F.md5(F.concat(F.col("tok"), F.lit(f"#{i}")))).alias(f"m{i}")
-        for i in range(num_hashes)
+        F.min((F.col("x") * a + b) % MINHASH_P).alias(f"m{i}")
+        for i, (a, b) in enumerate(minhash_perms(num_hashes))
     ]
-    return toks.groupBy(id_col).agg(*aggs)
+    return hdf.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -87,8 +110,9 @@ def minhash_lsh_pairs(
             F.struct(
                 F.lit(j).alias("band"),
                 F.md5(
-                    F.concat(
-                        *[F.col(f"m{j * rows_per_band + r}") for r in range(rows_per_band)]
+                    F.concat_ws(
+                        "_",
+                        *[F.col(f"m{j * rows_per_band + r}") for r in range(rows_per_band)],
                     )
                 ).alias("bv"),
             )

@@ -59,14 +59,20 @@ def brute_force_topk(
     the query key — no corpus shuffle, no global sort."""
     from pyspark.sql import Window
 
+    # Norms are precomputed per vector (not per pair): the fold over the
+    # 64-dim array is the unit of work — at |Q| queries this saves
+    # 2·|corpus|·|Q| folds, leaving one dot per pair.
     c = emb.select(
-        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
-    )
-    q = queries.select(F.col(id_col).alias(q_id), as_double(vec_col).alias("qv"))
+        F.col(id_col).alias("neighbor_id"),
+        as_double(vec_col).alias("cv"),
+    ).withColumn("cn", norm(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias(q_id), as_double(vec_col).alias("qv")
+    ).withColumn("qn", norm(F.col("qv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col(q_id))
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy(q_id).orderBy(F.desc("cos"), "neighbor_id")
     return (
@@ -113,17 +119,19 @@ def ann_topk(
     withb = emb.select(
         F.col(id_col), as_double(vec_col).alias("v"),
         lsh_bucket(as_double(vec_col), planes).alias("bucket"),
-    )
+    ).withColumn("nrm", norm(F.col("v")))
     q = withb.select(
-        F.col(id_col).alias("q_id"), F.col("v").alias("qv"), "bucket"
+        F.col(id_col).alias("q_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"), "bucket",
     ).join(queries.select(F.col(id_col).alias("q_id")), "q_id")
     cand = withb.select(
-        F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), "bucket"
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"), "bucket",
     )
     scored = (
         q.join(cand, "bucket")
         .filter(F.col("neighbor_id") != F.col("q_id"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "neighbor_id")
     return (

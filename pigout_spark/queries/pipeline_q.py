@@ -62,34 +62,53 @@ def dedup_exact(spark, sf_dir):
     return exact_groups(t(spark, sf_dir, "documents"), ["text"], "doc_id")
 
 
-_MINHASH_SQL = (
-    "WITH toks AS (\n"
-    f"  SELECT doc_id, unnest({_SQL_DTOKS}) AS tok FROM documents\n"
-    "), sig AS (\n"
-    "  SELECT doc_id,\n"
-    + ",\n".join(
-        f"    min(md5(tok || '#{i}')) AS m{i}" for i in range(8)
-    )
-    + "\n  FROM toks GROUP BY doc_id\n"
-    "), bands AS (\n"
-    + "\n  UNION ALL\n".join(
-        f"  SELECT doc_id, {j} AS band, md5(m{2 * j} || m{2 * j + 1}) AS bv FROM sig"
-        for j in range(4)
-    )
-    + "\n)\n"
-    "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
-    "FROM bands a JOIN bands b\n"
-    "  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id"
-)
+#: 16 hashes / 8 rows per band → 2 bands, candidate threshold
+#: s ≈ (1/2)^(1/8) ≈ 0.92.  The synthetic corpus draws ~16-token docs
+#: from a tiny shared vocabulary, so baseline inter-doc Jaccard is ~0.5;
+#: lower thresholds make LSH degenerate to all-pairs.  Real corpora use
+#: wider vocabularies — tune bands/rows per corpus.
+_MH_HASHES, _MH_ROWS = 16, 8
 
 
-@query("dedup_minhash", _MINHASH_SQL)
+def _minhash_sql(num_hashes: int, rows_per_band: int) -> str:
+    from pigout_spark.pipeline.dedup import MINHASH_P, minhash_perms
+
+    perms = minhash_perms(num_hashes)
+    n_bands = num_hashes // rows_per_band
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {j} AS band, md5(concat_ws('_', {ms})) AS bv FROM sig".format(
+            j=j,
+            ms=", ".join(f"m{j * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for j in range(n_bands)
+    )
+    return (
+        "WITH toks AS (\n"
+        f"  SELECT doc_id, unnest({_SQL_DTOKS}) AS tok FROM documents\n"
+        "), hashed AS (\n"
+        "  SELECT doc_id, ('0x' || substr(md5(tok), 1, 7))::BIGINT AS x FROM toks\n"
+        "), sig AS (\n"
+        "  SELECT doc_id,\n"
+        + ",\n".join(
+            f"    min((x * {a} + {b}) % {MINHASH_P}) AS m{i}"
+            for i, (a, b) in enumerate(perms)
+        )
+        + "\n  FROM hashed GROUP BY doc_id\n"
+        f"), bands AS (\n{band_rows}\n)\n"
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+        "FROM bands a JOIN bands b\n"
+        "  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id"
+    )
+
+
+@query("dedup_minhash", _minhash_sql(_MH_HASHES, _MH_ROWS))
 def dedup_minhash(spark, sf_dir):
-    """MinHash+LSH near-dup candidates: 8 md5-family min-hashes, 4 bands
-    of 2, bucket-join on (band, band-hash).  Candidate volume scales
-    with collisions, never O(n²) — the 100 TB dedup path."""
+    """MinHash+LSH near-dup candidates: 16 md5-family min-hashes, 2
+    bands of 8, bucket-join on (band, band-hash).  Candidate volume
+    scales with collisions, never O(n²) — the 100 TB dedup path."""
     return minhash_lsh_pairs(
-        t(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=8, rows_per_band=2
+        t(spark, sf_dir, "documents"), "doc_id", "text",
+        num_hashes=_MH_HASHES, rows_per_band=_MH_ROWS,
     )
 
 
