@@ -14,6 +14,7 @@ from pigout_spark.queries import core  # noqa: F401,E402
 from pigout_spark.queries import functions_q  # noqa: F401,E402
 from pigout_spark.queries import pipeline_q  # noqa: F401,E402
 from pigout_spark.queries import streaming_q  # noqa: F401,E402
+from pigout_spark.queries import udf_q  # noqa: F401,E402
 
 
 def queries():

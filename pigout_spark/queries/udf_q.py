@@ -1,0 +1,222 @@
+"""UDF-surface corpus (SURVEY.md §2.9) + the remaining §2 operators:
+STREAM THROUGH, literal GROUP-bag consumption, UNION ONSCHEMA, SAMPLE,
+datetime arithmetic, IN-filter.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from pigout_spark.functions.udf import algebraic_agg, eval_func, udtf
+from pigout_spark.operators.grouping import group_bag
+from pigout_spark.operators.relational import sample, stream_through
+from pigout_spark.operators.sets import union_onschema
+from pigout_spark.queries.registry import SQL_DSUM, dsum, query, t
+
+
+# --- §2.9 EvalFunc → Arrow-batched scalar pandas_udf ---
+@query(
+    "q24_pandas_udf",
+    f"""
+    SELECT l_returnflag,
+           {SQL_DSUM("l_extendedprice * (1 - l_discount)", "revenue")},
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q24_pandas_udf(spark, sf_dir):
+    """Pig EvalFunc analog: per-row revenue computed in an Arrow-batched
+    pandas_udf (IEEE double ops — bit-identical to the SQL expression),
+    then decimal-disciplined aggregation.  Demonstrates the UDF escape
+    hatch staying vectorized."""
+
+    @eval_func("double")
+    def revenue(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1 - disc)
+
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("rev", revenue("l_extendedprice", "l_discount"))
+        .groupBy("l_returnflag")
+        .agg(dsum("rev", "revenue"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- §2.9 Algebraic/Accumulator → GROUPED_AGG pandas_udf ---
+@query(
+    "q25_udaf",
+    """
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q25_udaf(spark, sf_dir):
+    """Pig Algebraic UDAF analog: custom aggregate as a GROUPED_AGG
+    pandas_udf.  Sums integer cents — order-free exact arithmetic, so
+    the oracle is a plain SQL SUM."""
+
+    @algebraic_agg("long")
+    def cents_sum(x: pd.Series) -> int:
+        return int((x * 100).round().sum())
+
+    @algebraic_agg("long")
+    def n_rows(x: pd.Series) -> int:
+        # GROUPED_AGG UDFs cannot mix with built-in aggregates in one
+        # agg() — the count is a UDF too.
+        return int(len(x))
+
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        cents_sum("o_totalprice").alias("cents"), n_rows("o_totalprice").alias("n")
+    )
+
+
+# --- §2.9 bag-returning EvalFunc + FLATTEN (UDTF) ---
+@query(
+    "q26_udtf",
+    """
+    WITH grams AS (
+      SELECT unnest(list_transform(range(1, length(p_brand)),
+                                   i -> substr(p_brand, CAST(i AS INT), 2))) AS bigram
+      FROM part
+    )
+    SELECT bigram, COUNT(*) AS n FROM grams GROUP BY bigram
+    """,
+)
+def q26_udtf(spark, sf_dir):
+    """Pig bag-returning EvalFunc consumed by FLATTEN: a Python UDF
+    yields the bag (char bigrams), explode multiplies rows."""
+
+    @eval_func("array<string>")
+    def bigrams(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: [v[i : i + 2] for i in range(len(v) - 1)])
+
+    p = t(spark, sf_dir, "part")
+    out = udtf(p.select(bigrams("p_brand").alias("bs")), F.col("bs"), "bigram")
+    return out.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- §2.2 STREAM ... THROUGH (external executable) ---
+@query(
+    "q27_stream_through",
+    """
+    SELECT CAST(o_orderkey AS VARCHAR) AS k, o_orderstatus AS s
+    FROM orders
+    """,
+)
+def q27_stream_through(spark, sf_dir):
+    """Pig `STREAM A THROUGH \\`cat\\``: rows round-trip through an
+    external process via the TSV line protocol (mapInPandas +
+    subprocess).  Identity command → the oracle is the projection
+    itself (strings only: the line protocol is untyped, D2)."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    return stream_through(o, ["cat"], "k string, s string")
+
+
+# --- §2.4 literal GROUP bag, consumed as a value ---
+@query(
+    "q28_group_bag",
+    """
+    SELECT s_nationkey AS nationkey,
+           array_to_string(list_sort(list(s_name)), ',') AS names,
+           COUNT(*) AS n
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def q28_group_bag(spark, sf_dir):
+    """Pig GROUP with the bag consumed whole (BagToString over a sorted
+    bag).  collect_list → array_sort → array_join; bag order is
+    unspecified in Pig, so canonicalize by sorting (§7-H1)."""
+    s = t(spark, sf_dir, "supplier")
+    g = group_bag(s.select("s_nationkey", "s_name"), "s_nationkey")
+    return g.select(
+        F.col("s_nationkey").alias("nationkey"),
+        F.array_join(F.array_sort(F.transform("bag", lambda r: r["s_name"])), ",").alias(
+            "names"
+        ),
+        F.size("bag").cast("long").alias("n"),
+    )
+
+
+# --- §2.6 UNION ONSCHEMA ---
+@query(
+    "q29_union_onschema",
+    """
+    SELECT c_custkey AS id, c_name AS name, CAST(NULL AS DOUBLE) AS bal
+    FROM customer
+    UNION ALL
+    SELECT s_suppkey AS id, CAST(NULL AS VARCHAR) AS name, s_acctbal AS bal
+    FROM supplier
+    """,
+)
+def q29_union_onschema(spark, sf_dir):
+    """Pig UNION ONSCHEMA: union by column name, null-filling columns
+    missing on either side."""
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name")
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"), F.col("s_acctbal").alias("bal")
+    )
+    return union_onschema(c, s)
+
+
+# --- §2.2 SAMPLE (non-deterministic across engines → rows-only) ---
+@query("q30_sample")
+def q30_sample(spark, sf_dir):
+    """Pig `SAMPLE A 0.1` — Bernoulli sample, seeded for Spark-side
+    reproducibility; no SQL oracle (engines sample differently)."""
+    li = t(spark, sf_dir, "lineitem")
+    return sample(li.select("l_orderkey", "l_linenumber"), 0.1, seed=42)
+
+
+# --- §2.7 datetime arithmetic (AddDuration / *Between) ---
+@query(
+    "q31_datetime_arith",
+    """
+    SELECT month(o_orderdate) AS m,
+           COUNT(*) AS n,
+           MIN(o_orderdate + INTERVAL 3 MONTH) AS first_plus3m,
+           MAX(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate))
+             AS max_days_since
+    FROM orders GROUP BY month(o_orderdate)
+    """,
+)
+def q31_datetime_arith(spark, sf_dir):
+    """Pig AddDuration('P3M') and DaysBetween over order dates."""
+    from pigout_spark.functions.datetime_fns import ADD_DURATION
+
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy(F.month("o_orderdate").alias("m")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(ADD_DURATION("o_orderdate", "P3M")).alias("first_plus3m"),
+        F.max(
+            F.datediff(
+                "o_orderdate", F.lit("1995-01-01 00:00:00").cast("timestamp_ntz")
+            )
+        ).alias("max_days_since"),
+    )
+
+
+# --- §2.2 IN operator ---
+@query(
+    "q32_in_filter",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderstatus
+    """,
+)
+def q32_in_filter(spark, sf_dir):
+    """Pig `FILTER A BY p IN (...)` → isin."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
