@@ -43,6 +43,46 @@ HEADLINE = [
 ]
 
 
+def _warmup(spark, sf_dir: str) -> None:
+    """One-time engine-path initialization, kept OUT of per-query time
+    (BASELINE.md: amortize fixed session costs; DuckDB pays none).
+
+    Exercises each physical machinery the headline queries use — parquet
+    reader, hash aggregate, shuffle+AQE, broadcast join, window, explode,
+    higher-order funcs, Python-UDF runner, noop sink — on throwaway tiny
+    plans, never the benchmarked queries themselves."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")  # parquet path
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    j = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    j.groupBy("r_name").count().write.format("noop").mode("overwrite").save()
+    nation.join(region, nation.n_regionkey == region.r_regionkey).groupBy(
+        "r_name"
+    ).count().collect()  # shuffle join + AQE
+    nation.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("n_regionkey").orderBy("n_name"))
+    ).collect()  # window
+    nation.select(
+        F.explode(F.split("n_name", "_")).alias("t")
+    ).groupBy("t").count().collect()  # explode + agg
+    nation.select(
+        F.aggregate(
+            F.transform(F.split("n_name", "_"), F.length),
+            F.lit(0),
+            lambda a, x: a + x,
+        )
+    ).collect()  # higher-order functions
+
+    @pandas_udf("long")
+    def _plus1(s):
+        return s + 1
+
+    nation.select(_plus1("n_nationkey")).collect()  # Python-UDF runner
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entrymod
@@ -50,8 +90,7 @@ def main() -> None:
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs]
     spark = get_spark("pigout-bench")
-    # Warmup: trigger JVM + whole-stage-codegen on a trivial plan.
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    _warmup(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in names:

@@ -105,36 +105,44 @@ def minhash_lsh_pairs(
         raise ValueError("num_hashes must be divisible by rows_per_band")
     sig = minhash_signature(df, id_col, text_col, num_hashes)
     n_bands = num_hashes // rows_per_band
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "_",
-                        *[F.col(f"m{j * rows_per_band + r}") for r in range(rows_per_band)],
-                    )
-                ).alias("bv"),
+    bv = [
+        F.md5(
+            F.concat_ws(
+                "_",
+                *[F.col(f"m{j * rows_per_band + r}") for r in range(rows_per_band)],
             )
-            for j in range(n_bands)
-        ]
-    )
-    b = sig.select(F.col(id_col), F.explode(bands).alias("bk")).select(
-        id_col, "bk.band", "bk.bv"
-    )
-    left = b.alias("l")
-    right = b.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bv") == F.col("r.bv"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        ).alias(f"bv{j}")
+        for j in range(n_bands)
+    ]
+    sigb = sig.select(F.col(id_col), *bv)
+    # Exactly-once emission: a pair colliding in several bands is emitted
+    # only from the FIRST such band — each band row carries the prior
+    # bands' values and the join filters out pairs that already collided
+    # earlier.  Removes the whole DISTINCT shuffle over the (large)
+    # candidate set; output is duplicate-free by construction.
+    stacked = None
+    for j in range(n_bands):
+        row = sigb.select(
+            F.col(id_col),
+            F.lit(j).alias("band"),
+            F.col(f"bv{j}").alias("bv"),
+            F.array(*[F.col(f"bv{i}") for i in range(j)]).alias("prior"),
         )
-        .select(
-            F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b")
-        )
-        .distinct()
+        stacked = row if stacked is None else stacked.unionAll(row)
+    left = stacked.alias("l")
+    right = stacked.alias("r")
+    no_prior_collision = ~F.exists(
+        F.zip_with(F.col("l.prior"), F.col("r.prior"), lambda a, b: a == b),
+        lambda x: x,
+    )
+    return left.join(
+        right,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bv") == F.col("r.bv"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        & no_prior_collision,
+    ).select(
+        F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b")
     )
 
 

@@ -1,0 +1,68 @@
+"""Physical-plan audits: the 100 TB scale contract, asserted.
+
+A query that silently regresses to a cartesian product, loses its
+broadcast, or sorts globally for a top-k would still pass value checks
+at test scale — these tests pin the plan shape instead.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = entrymod.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q05_broadcasts_small_dims(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q05_broadcast_join")
+    # region/nation and supplier sides are fragment-replicated
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q09_topk_avoids_global_sort(spark, sf_dir):
+    # ORDER+LIMIT must plan TakeOrderedAndProject (per-partition top-k),
+    # not a full Sort — Pig's LimitOptimizer equivalent.
+    plan = plan_of(spark, sf_dir, "q09_order_limit")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q01_partial_aggregation(spark, sf_dir):
+    # map-side combine: partial + final HashAggregate pair
+    plan = plan_of(spark, sf_dir, "q01_group_agg")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_theta_join_is_not_cartesian(spark, sf_dir):
+    # CROSS+FILTER idiom must plan as an equi-join with residual filter
+    plan = plan_of(spark, sf_dir, "q07_cross_theta")
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_minhash", "dedup_jaccard", "sim_ann_buckets", "sim_ann_topk"],
+)
+def test_pipeline_ops_never_cartesian(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_brute_force_broadcasts_queries(spark, sf_dir):
+    # the deliberate product is corpus × broadcast(10 queries) — must be
+    # a broadcast nested loop, never a shuffle cartesian
+    plan = plan_of(spark, sf_dir, "sim_cosine_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_nested_topk_single_shuffle_on_group_key(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q15_nested_topk")
+    # window over the group key: exactly one exchange, partitioned by it
+    assert plan.count("Exchange hashpartitioning(o_custkey") == 1
+    assert "Exchange SinglePartition" not in plan
