@@ -192,6 +192,40 @@ def ngram_jaccard_pairs(
     )
 
 
+def embedding_cosine_dups(
+    df: DataFrame,
+    planes: list[list[float]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicates: candidate pairs restricted to
+    the same hyperplane-LSH bucket, exact cosine ≥ threshold within the
+    bucket.  The bucket code is the join key — shuffle-by-bucket, never
+    O(n²) over the corpus (pipeline/similarity.py machinery)."""
+    from pigout_spark.pipeline.similarity import as_double, dot, lsh_bucket, norm
+
+    b = df.select(
+        F.col(id_col),
+        as_double(vec_col).alias("v"),
+        lsh_bucket(as_double(vec_col), planes).alias("bucket"),
+    ).withColumn("nrm", norm(F.col("v")))
+    left = b.alias("l")
+    right = b.alias("r")
+    pairs = left.join(
+        right,
+        (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(
+        F.col(f"l.{id_col}").alias("id_a"),
+        F.col(f"r.{id_col}").alias("id_b"),
+        (dot(F.col("l.v"), F.col("r.v")) / (F.col("l.nrm") * F.col("r.nrm"))).alias(
+            "cos"
+        ),
+    )
+    return pairs.filter(F.col("cos") >= threshold)
+
+
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash over whitespace tokens (with multiplicity).
 

@@ -14,7 +14,7 @@ from pigout_spark.functions.strings import TOKENIZE
 from pigout_spark.operators.grouping import cogroup, cube_agg, nested_topk, rollup_agg
 from pigout_spark.operators.joins import anti_join, cross, join, semi_join
 from pigout_spark.operators.relational import filter_by, flatten, foreach, split
-from pigout_spark.operators.sets import union
+from pigout_spark.operators.sets import except_all, intersect, union
 from pigout_spark.operators.sorting import order_by, rank
 from pigout_spark.queries.registry import SQL_DAVG, SQL_DSUM, davg, dsum, query, t
 
@@ -441,6 +441,38 @@ def q15_nested_topk(spark, sf_dir):
         3,
         keep_rank="rn",
     )
+
+
+# --- §2.6 INTERSECT / EXCEPT (Pig idioms via COGROUP+IsEmpty → first-class) ---
+@query(
+    "q17_intersect_except",
+    """
+    SELECT 'both' AS kind, COUNT(*) AS n FROM (
+      SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity < 5
+      INTERSECT
+      SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity >= 45
+    )
+    UNION ALL
+    SELECT 'only_low' AS kind, COUNT(*) AS n FROM (
+      SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity < 5
+      EXCEPT
+      SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity >= 45
+    )
+    """,
+)
+def q17_intersect_except(spark, sf_dir):
+    """Set ops the reference lacks (Pig idiom: COGROUP + IsEmpty):
+    parts appearing in both low- and high-quantity lines vs only low."""
+    li = t(spark, sf_dir, "lineitem")
+    low = li.filter(F.col("l_quantity") < 5).select("l_partkey").distinct()
+    high = li.filter(F.col("l_quantity") >= 45).select("l_partkey").distinct()
+    both = intersect(low, high).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both").alias("kind"), "n"
+    )
+    only_low = except_all(low, high).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("only_low").alias("kind"), "n"
+    )
+    return union(both, only_low)
 
 
 # --- §2.2 SPLIT ... OTHERWISE ---

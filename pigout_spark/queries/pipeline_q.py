@@ -198,17 +198,22 @@ def sim_cosine_topk(spark, sf_dir):
 _PLANES = random_hyperplanes(dim=64, n_planes=8)
 
 
-def _ann_sql() -> str:
+def _sql_bucket_bits(var: str) -> str:
+    """SQL twin of similarity.lsh_bucket over column ``var``."""
+
     def lit_list(plane: list[float]) -> str:
         return "[" + ", ".join(repr(x) for x in plane) + "]"
 
-    bits = " + ".join(
-        f"(CASE WHEN {_sql_dot('v', lit_list(p))} >= 0 THEN {1 << i} ELSE 0 END)"
+    return " + ".join(
+        f"(CASE WHEN {_sql_dot(var, lit_list(p))} >= 0 THEN {1 << i} ELSE 0 END)"
         for i, p in enumerate(_PLANES)
     )
+
+
+def _ann_sql() -> str:
     return (
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)\n"
-        f"SELECT CAST({bits} AS INT) AS bucket, COUNT(*) AS n\n"
+        f"SELECT CAST({_sql_bucket_bits('v')} AS INT) AS bucket, COUNT(*) AS n\n"
         "FROM e GROUP BY 1"
     )
 
@@ -234,6 +239,34 @@ def sim_ann_topk(spark, sf_dir):  # two oracled queries above → rows-only
     scoring); recorded rows-only."""
     emb = t(spark, sf_dir, "embeddings")
     return ann_topk(emb, emb.filter(F.col("vec_id") < 10), _PLANES, k=3)
+
+
+def _emb_dedup_sql(threshold: float) -> str:
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
+        "b AS (\n"
+        f"  SELECT vec_id, v, CAST({_sql_bucket_bits('v')} AS INT) AS bucket,\n"
+        f"         sqrt({_sql_dot('v', 'v')}) AS nrm\n"
+        "  FROM e\n"
+        "), pairs AS (\n"
+        "  SELECT a.vec_id AS id_a, r.vec_id AS id_b,\n"
+        f"         {_sql_dot('a.v', 'r.v')} / (a.nrm * r.nrm) AS cos\n"
+        "  FROM b a JOIN b r ON a.bucket = r.bucket AND a.vec_id < r.vec_id\n"
+        ")\n"
+        f"SELECT id_a, id_b, cos FROM pairs WHERE cos >= {threshold}"
+    )
+
+
+@query("dedup_embedding", _emb_dedup_sql(0.3))
+def dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup: same-LSH-bucket candidates, exact
+    cosine ≥ 0.3 within the bucket — the no-cross-join dedup path for
+    embedding spaces (pipeline/dedup.py:embedding_cosine_dups)."""
+    from pigout_spark.pipeline.dedup import embedding_cosine_dups
+
+    return embedding_cosine_dups(
+        t(spark, sf_dir, "embeddings"), _PLANES, threshold=0.3
+    )
 
 
 # ------------------------------------------------------------------ text ---
