@@ -1,0 +1,640 @@
+"""Pig Latin front-end (subset) — the reference's user-facing entry
+points re-created over DataFrames (SURVEY.md §3.1: script runner, Grunt
+shell, PigServer API).
+
+A statement-by-statement compiler: each Pig Latin assignment becomes a
+DataFrame (aliased with its Pig alias, so ``A::x`` / ``A.x``
+disambiguation resolves through Spark's column resolution), and the
+plan stays fully declarative — Catalyst sees exactly what a hand-written
+DataFrame program would produce.  No custom execution: parse → rewrite
+expressions to Spark SQL → ``F.expr``.
+
+Supported statements (the workhorse subset of the Pig Latin manual):
+
+    A = LOAD 'uri' [USING PigStorage(',')] [AS (n:type, ...)];
+    A = LOAD 'tablename';                      -- catalog-registered table
+    B = FILTER A BY <expr>;
+    C = FOREACH A GENERATE <expr> [AS name], ...;   -- incl. FLATTEN(...)
+    G = GROUP A BY <expr> | ALL;  /  COGROUP via GROUP of 1 relation
+    E = FOREACH G GENERATE group, COUNT(A), SUM(A.x), ...;  -- fused agg
+    J = JOIN A BY k [LEFT|RIGHT|FULL] [OUTER], B BY k [USING 'replicated'];
+    O = ORDER A BY x [ASC|DESC], ...;
+    L = LIMIT A n;          D = DISTINCT A;        U = UNION A, B, ...;
+    S = SAMPLE A 0.1;       R = RANK A BY x [DESC];
+    C = CROSS A, B;
+    SPLIT A INTO X IF p, Y IF q [, Z OTHERWISE];
+    STORE A INTO 'uri' [USING ...];      DUMP A;      DESCRIBE A;
+
+Expression rewrites applied before Spark's SQL parser takes over:
+``$i`` positional refs → column names; ``A::x`` → ``A.x``; ``x matches
+'p'`` → anchored RLIKE (Pig's matches is a FULL match — Java
+String.matches); Pig builtin names → Spark equivalents (including the
+index-convention shims, divergence D4); ``m#'k'`` map access →
+``m['k']``.
+
+Out of scope (documented): macros/IMPORT, parameter substitution,
+REGISTER of external UDF jars (native Python UDFs cover this — §2.9),
+MAPREDUCE, nested FOREACH blocks (use the operators API), multi-field
+group keys appear as a struct named ``group``.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pigout_spark.catalog import Catalog
+from pigout_spark.operators.joins import join as op_join
+from pigout_spark.operators.relational import split as op_split
+from pigout_spark.operators.sorting import rank as op_rank
+
+
+class PigSyntaxError(ValueError):
+    pass
+
+
+# ------------------------------------------------------------ expressions ---
+
+#: Pig builtin → Spark SQL function name (1:1 renames; the SQL parser
+#: handles arity).  Index-convention shims below handle the rest.
+_FN_RENAME = {
+    "UPPER": "upper",
+    "LOWER": "lower",
+    "TRIM": "trim",
+    "LTRIM": "ltrim",
+    "RTRIM": "rtrim",
+    "CONCAT": "concat",
+    "SPRINTF": "format_string",
+    "STRSPLIT": "split",
+    "REPLACE": "regexp_replace",
+    "REGEX_EXTRACT": "regexp_extract",
+    "STARTSWITH": "startswith",
+    "ENDSWITH": "endswith",
+    "SIZE": "size",
+    "ABS": "abs",
+    "CEIL": "ceil",
+    "FLOOR": "floor",
+    "ROUND": "round",
+    "ROUND_TO": "round",
+    "EXP": "exp",
+    "LOG": "ln",
+    "LOG10": "log10",
+    "SQRT": "sqrt",
+    "RANDOM": "rand",
+    "GETYEAR": "year",
+    "GETMONTH": "month",
+    "GETDAY": "dayofmonth",
+    "GETHOUR": "hour",
+    "GETMINUTE": "minute",
+    "GETSECOND": "second",
+    "GETWEEK": "weekofyear",
+    "TODATE": "to_timestamp",
+    "TOSTRING": "date_format",
+    "TOUNIXTIME": "unix_timestamp",
+    "CURRENTTIME": "current_timestamp",
+    "ISEMPTY": "",  # handled via template below
+    "TOTUPLE": "struct",
+    "TOBAG": "array",
+    "TOMAP": "map",
+    "BAGTOSTRING": "array_join",
+    "KEYSET": "map_keys",
+    "VALUELIST": "map_values",
+    "INDEXOF": "",  # template
+    "SUBSTRING": "",  # template
+    "TOKENIZE": "",  # template
+}
+
+#: templates for builtins whose semantics need argument rewrites (D4).
+#: INDEXOF is handled inline (optional third argument).
+_FN_TEMPLATE = {
+    "SUBSTRING": lambda a: f"substring({a[0]}, ({a[1]}) + 1, ({a[2]}) - ({a[1]}))",
+    "TOKENIZE": lambda a: (
+        f"filter(split({a[0]}, '[ \\\",()*]'), __t -> __t != '')"
+    ),
+    "ISEMPTY": lambda a: f"(size({a[0]}) = 0)",
+}
+
+
+def _rewrite_matches(expr: str) -> str:
+    """`x matches 'pat'` → `x RLIKE '^(?:pat)$'` (Pig matches = full
+    match, Java String.matches)."""
+
+    def sub(m: re.Match) -> str:
+        return f"{m.group(1)} RLIKE '^(?:{m.group(2)})$'"
+
+    return re.sub(
+        r"(\S+)\s+matches\s+'((?:[^'\\]|\\.)*)'", sub, expr, flags=re.IGNORECASE
+    )
+
+
+def _split_args(arglist: str) -> list[str]:
+    """Split a function arg list on top-level commas."""
+    args, depth, start, quote = [], 0, 0, None
+    for i, ch in enumerate(arglist):
+        if quote:
+            if ch == quote and arglist[i - 1] != "\\":
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            args.append(arglist[start:i].strip())
+            start = i + 1
+    tail = arglist[start:].strip()
+    if tail:
+        args.append(tail)
+    return args
+
+
+def _rewrite_functions(expr: str) -> str:
+    """Rewrite Pig builtin calls (rename or template), innermost-first."""
+    pattern = re.compile(r"\b([A-Za-z_][A-Za-z_0-9]*)\s*\(")
+    while True:
+        changed = False
+        for m in pattern.finditer(expr):
+            name = m.group(1)
+            if name == name.lower():
+                # all-lowercase = already Spark SQL (incl. our own rewrite
+                # output) — never re-rewrite, or substring() would gain an
+                # index shift on every pass.  Pig builtins are uppercase.
+                continue
+            uname = name.upper().replace("_", "") if name.upper() in (
+                "GET_YEAR", "GET_MONTH", "GET_DAY", "GET_HOUR", "GET_MINUTE",
+                "GET_SECOND", "GET_WEEK", "TO_DATE", "TO_STRING", "TO_UNIX_TIME",
+                "CURRENT_TIME", "IS_EMPTY",
+            ) else name.upper()
+            if uname not in _FN_RENAME and uname not in _FN_TEMPLATE:
+                continue
+            # find matching close paren
+            depth, j, quote = 1, m.end(), None
+            while j < len(expr) and depth:
+                ch = expr[j]
+                if quote:
+                    if ch == quote and expr[j - 1] != "\\":
+                        quote = None
+                elif ch in "'\"":
+                    quote = ch
+                elif ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                j += 1
+            inner = expr[m.end() : j - 1]
+            args = _split_args(inner)
+            if uname == "INDEXOF":
+                base = f"(locate({args[1]}, {args[0]}) - 1)" if len(args) == 2 else (
+                    f"(locate({args[1]}, {args[0]}, ({args[2]}) + 1) - 1)"
+                )
+                new = base
+            elif uname in _FN_TEMPLATE:
+                new = _FN_TEMPLATE[uname](args)
+            else:
+                new = f"{_FN_RENAME[uname]}({inner})"
+            if new != expr[m.start() : j]:
+                expr = expr[: m.start()] + new + expr[j:]
+                changed = True
+                break  # restart scan after mutation
+        if not changed:
+            return expr
+
+
+def translate_expr(expr: str, columns: list[str] | None = None) -> str:
+    """Pig expression → Spark SQL expression string."""
+    out = expr.strip()
+    if columns:
+        out = re.sub(
+            r"\$(\d+)",
+            lambda m: columns[int(m.group(1))],
+            out,
+        )
+    out = out.replace("::", ".")
+    out = re.sub(r"#\s*'((?:[^'\\]|\\.)*)'", r"['\1']", out)  # map#'k' → map['k']
+    out = _rewrite_matches(out)
+    out = _rewrite_functions(out)
+    return out
+
+
+#: aggregate-call rewrites for FOREACH over a grouped relation
+_AGG_FN = {"COUNT": "count", "SUM": "sum", "AVG": "avg", "MIN": "min", "MAX": "max",
+           "COUNT_STAR": "count"}
+
+
+def _rewrite_agg_calls(item: str, child: str) -> str:
+    """COUNT(A) → count(1); SUM(A.x) → sum(x); over child alias A."""
+    out = re.sub(
+        rf"\b(COUNT_STAR|COUNT)\s*\(\s*{child}\s*\)",
+        "count(1)",
+        item,
+        flags=re.IGNORECASE,
+    )
+    out = re.sub(
+        rf"\b(SUM|AVG|MIN|MAX|COUNT)\s*\(\s*{child}\s*\.\s*(\w+)\s*\)",
+        lambda m: f"{_AGG_FN[m.group(1).upper()]}({m.group(2)})",
+        out,
+        flags=re.IGNORECASE,
+    )
+    return out
+
+
+# -------------------------------------------------------------- statements ---
+
+_PIG_TYPES = {
+    "int": "int",
+    "long": "bigint",
+    "float": "float",
+    "double": "double",
+    "chararray": "string",
+    "bytearray": "binary",
+    "boolean": "boolean",
+    "datetime": "timestamp",
+    "biginteger": "decimal(38,0)",
+    "bigdecimal": "decimal(38,18)",
+}
+
+
+def _as_schema(spec: str) -> str:
+    """`(a:int, b:chararray)` → Spark DDL `a int, b string`."""
+    fields = _split_args(spec.strip().lstrip("(").rstrip(")"))
+    out = []
+    for f_ in fields:
+        if ":" in f_:
+            name, typ = f_.split(":", 1)
+            out.append(f"{name.strip()} {_PIG_TYPES.get(typ.strip().lower(), typ.strip())}")
+        else:
+            out.append(f"{f_.strip()} string")
+    return ", ".join(out)
+
+
+@dataclass
+class _Grouped:
+    """A GROUP result kept symbolic so FOREACH-agg can fuse (SURVEY §2.4)."""
+
+    child: str
+    child_df: DataFrame
+    keys: list[str]  # SQL exprs; empty = GROUP ALL
+    materialized: DataFrame | None = None
+
+    def materialize(self) -> DataFrame:
+        """Literal (group, bag) shape, for DUMP/STORE of a bare GROUP."""
+        if self.materialized is None:
+            payload = F.collect_list(F.struct(*self.child_df.columns)).alias(self.child)
+            if not self.keys:
+                self.materialized = self.child_df.agg(payload)
+            else:
+                key = (
+                    F.expr(self.keys[0]).alias("group")
+                    if len(self.keys) == 1
+                    else F.struct(*[F.expr(k) for k in self.keys]).alias("group")
+                )
+                self.materialized = self.child_df.groupBy(key).agg(payload)
+        return self.materialized
+
+
+class PigSession:
+    """PigServer/Grunt analog: feed it statements, read back DataFrames.
+
+        pig = PigSession(spark, catalog)
+        pig.execute(script_text)
+        df = pig.df("result_alias")
+    """
+
+    def __init__(self, spark: SparkSession, catalog: Catalog | None = None) -> None:
+        self.spark = spark
+        self.catalog = catalog
+        self.rels: dict[str, DataFrame | _Grouped] = {}
+
+    # -- public API ------------------------------------------------------
+    def execute(self, script: str) -> None:
+        for stmt in self._statements(script):
+            self._run(stmt)
+
+    def df(self, alias: str) -> DataFrame:
+        rel = self.rels[alias]
+        return rel.materialize() if isinstance(rel, _Grouped) else rel
+
+    def dump(self, alias: str, n: int = 20):
+        rows = self.df(alias).limit(n).collect()
+        for r in rows:
+            print(tuple(r))
+        return rows
+
+    def describe(self, alias: str) -> str:
+        return self.df(alias).schema.simpleString()
+
+    # -- machinery -------------------------------------------------------
+    @staticmethod
+    def _statements(script: str):
+        # strip comments: -- line and /* block */
+        script = re.sub(r"/\*.*?\*/", " ", script, flags=re.DOTALL)
+        script = re.sub(r"--[^\n]*", " ", script)
+        buf, quote = [], None
+        for ch in script:
+            if quote:
+                if ch == quote and (not buf or buf[-1] != "\\"):
+                    quote = None
+                buf.append(ch)
+            elif ch in "'\"":
+                quote = ch
+                buf.append(ch)
+            elif ch == ";":
+                stmt = "".join(buf).strip()
+                if stmt:
+                    yield stmt
+                buf = []
+            else:
+                buf.append(ch)
+        tail = "".join(buf).strip()
+        if tail:
+            yield tail
+
+    def _get(self, alias: str) -> DataFrame:
+        if alias not in self.rels:
+            raise PigSyntaxError(f"unknown alias {alias!r}")
+        rel = self.rels[alias]
+        return rel.materialize() if isinstance(rel, _Grouped) else rel
+
+    def _run(self, stmt: str) -> None:
+        m = re.match(r"^(\w+)\s*=\s*(.*)$", stmt, re.DOTALL)
+        if m and m.group(1).upper() not in ("SPLIT",):
+            alias, rhs = m.group(1), m.group(2).strip()
+            self.rels[alias] = self._compile_op(alias, rhs)
+            return
+        kw = stmt.split(None, 1)[0].upper()
+        if kw == "STORE":
+            sm = re.match(
+                r"STORE\s+(\w+)\s+INTO\s+'([^']+)'(?:\s+USING\s+(\w+)\s*\(\s*(?:'([^']*)')?\s*\))?",
+                stmt,
+                re.IGNORECASE,
+            )
+            if not sm:
+                raise PigSyntaxError(f"bad STORE: {stmt}")
+            alias, uri, fn, arg = sm.groups()
+            df = self._get(alias)
+            if fn and fn.lower() == "pigstorage":
+                df.write.mode("overwrite").option("sep", arg or "\t").csv(uri)
+            elif fn and fn.lower() == "jsonstorage":
+                df.write.mode("overwrite").json(uri)
+            else:
+                df.write.mode("overwrite").parquet(uri)
+        elif kw == "DUMP":
+            self.dump(stmt.split(None, 1)[1].strip())
+        elif kw == "DESCRIBE":
+            print(self.describe(stmt.split(None, 1)[1].strip()))
+        elif kw == "SPLIT":
+            sm = re.match(
+                r"SPLIT\s+(\w+)\s+INTO\s+(.*)$", stmt, re.IGNORECASE | re.DOTALL
+            )
+            if not sm:
+                raise PigSyntaxError(f"bad SPLIT: {stmt}")
+            child = self._get(sm.group(1))
+            branches: dict[str, Column] = {}
+            otherwise = None
+            for part in _split_args(sm.group(2)):
+                bm = re.match(r"(\w+)\s+IF\s+(.*)$", part.strip(), re.IGNORECASE | re.DOTALL)
+                om = re.match(r"(\w+)\s+OTHERWISE\s*$", part.strip(), re.IGNORECASE)
+                if bm:
+                    branches[bm.group(1)] = F.expr(
+                        translate_expr(bm.group(2), child.columns)
+                    )
+                elif om:
+                    otherwise = om.group(1)
+                else:
+                    raise PigSyntaxError(f"bad SPLIT branch: {part}")
+            for name, df in op_split(child, branches, otherwise=otherwise).items():
+                self.rels[name] = df
+        else:
+            raise PigSyntaxError(f"unsupported statement: {stmt[:80]}")
+
+    # -- operator compilation -------------------------------------------
+    def _compile_op(self, alias: str, rhs: str) -> DataFrame | _Grouped:
+        kw = rhs.split(None, 1)[0].upper()
+        fn = getattr(self, f"_op_{kw.lower()}", None)
+        if fn is None:
+            raise PigSyntaxError(f"unsupported operator: {kw}")
+        out = fn(rhs)
+        return out.alias(alias) if isinstance(out, DataFrame) else out
+
+    def _op_load(self, rhs: str) -> DataFrame:
+        m = re.match(
+            r"LOAD\s+'([^']+)'"
+            r"(?:\s+USING\s+(\w+)\s*\(\s*(?:'([^']*)')?\s*\))?"
+            r"(?:\s+AS\s+(\(.*\)))?\s*$",
+            rhs,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise PigSyntaxError(f"bad LOAD: {rhs}")
+        uri, fn, arg, schema = m.groups()
+        if self.catalog is not None and "/" not in uri and "." not in uri:
+            return self.catalog.load(self.spark, uri)
+        fn = (fn or "").lower()
+        if fn == "pigstorage" or (not fn and not uri.endswith(".parquet")):
+            reader = self.spark.read.option("sep", arg or "\t")
+            if schema:
+                return reader.schema(_as_schema(schema)).csv(uri)
+            return reader.option("inferSchema", "true").csv(uri)
+        if fn == "jsonloader":
+            reader = self.spark.read
+            if schema:
+                reader = reader.schema(_as_schema(schema))
+            return reader.json(uri)
+        if fn == "textloader":
+            return self.spark.read.text(uri)
+        return self.spark.read.parquet(uri)
+
+    def _op_filter(self, rhs: str) -> DataFrame:
+        m = re.match(r"FILTER\s+(\w+)\s+BY\s+(.*)$", rhs, re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise PigSyntaxError(f"bad FILTER: {rhs}")
+        child = self._get(m.group(1))
+        return child.filter(F.expr(translate_expr(m.group(2), child.columns)))
+
+    def _op_foreach(self, rhs: str) -> DataFrame:
+        m = re.match(
+            r"FOREACH\s+(\w+)\s+GENERATE\s+(.*)$", rhs, re.IGNORECASE | re.DOTALL
+        )
+        if not m:
+            raise PigSyntaxError(f"bad FOREACH: {rhs}")
+        child_name, items_s = m.group(1), m.group(2)
+        rel = self.rels.get(child_name)
+        if isinstance(rel, _Grouped):
+            return self._foreach_grouped(rel, items_s)
+        child = self._get(child_name)
+        cols: list[Column] = []
+        for item in _split_args(items_s):
+            am = re.match(r"(.*?)\s+AS\s+(\w+)\s*$", item, re.IGNORECASE | re.DOTALL)
+            expr_s, name = (am.group(1), am.group(2)) if am else (item, None)
+            expr_s = expr_s.strip()
+            fm = re.match(r"FLATTEN\s*\((.*)\)\s*$", expr_s, re.IGNORECASE | re.DOTALL)
+            if fm:
+                inner = translate_expr(fm.group(1), child.columns)
+                c = F.explode(F.expr(inner))
+                cols.append(c.alias(name) if name else c.alias(fm.group(1).strip()))
+                continue
+            if expr_s == "*":
+                cols.extend(F.col(c) for c in child.columns)
+                continue
+            rm = re.match(r"(\w+)\s*\.\.\s*(\w+)$", expr_s)  # range projection a..b
+            if rm:
+                i, j = child.columns.index(rm.group(1)), child.columns.index(rm.group(2))
+                cols.extend(F.col(c) for c in child.columns[i : j + 1])
+                continue
+            c = F.expr(translate_expr(expr_s, child.columns))
+            cols.append(c.alias(name) if name else c)
+        return child.select(*cols)
+
+    def _foreach_grouped(self, g: _Grouped, items_s: str) -> DataFrame:
+        """The GROUP+FOREACH fusion: aggregate without materializing bags."""
+        key_cols: list[Column] = []
+        if g.keys:
+            if len(g.keys) == 1:
+                key_cols = [F.expr(g.keys[0]).alias("group")]
+            else:
+                key_cols = [
+                    F.struct(*[F.expr(k) for k in g.keys]).alias("group")
+                ]
+        aggs: list[Column] = []
+        out_names: list[str] = []
+        for item in _split_args(items_s):
+            am = re.match(r"(.*?)\s+AS\s+(\w+)\s*$", item, re.IGNORECASE | re.DOTALL)
+            expr_s, name = (am.group(1), am.group(2)) if am else (item, None)
+            expr_s = expr_s.strip()
+            if expr_s.lower() == "group":
+                out_names.append(name or "group")
+                continue
+            sql = _rewrite_agg_calls(expr_s, g.child)
+            sql = translate_expr(sql, g.child_df.columns)
+            c = F.expr(sql)
+            aggs.append(c.alias(name) if name else c)
+        grouped = (
+            g.child_df.groupBy(*key_cols) if key_cols else g.child_df.groupBy()
+        )
+        out = grouped.agg(*aggs)
+        if out_names and out_names[0] != "group":
+            out = out.withColumnRenamed("group", out_names[0])
+        return out
+
+    def _op_group(self, rhs: str) -> _Grouped:
+        m = re.match(
+            r"GROUP\s+(\w+)\s+(?:BY\s+(.*)|(ALL))\s*$", rhs, re.IGNORECASE | re.DOTALL
+        )
+        if not m:
+            raise PigSyntaxError(f"bad GROUP: {rhs}")
+        child_name = m.group(1)
+        child = self._get(child_name)
+        if m.group(3):  # ALL
+            return _Grouped(child_name, child, [])
+        keys_s = m.group(2).strip()
+        if keys_s.startswith("("):
+            keys = [translate_expr(k, child.columns) for k in _split_args(keys_s[1:-1])]
+        else:
+            keys = [translate_expr(keys_s, child.columns)]
+        return _Grouped(child_name, child, keys)
+
+    def _op_join(self, rhs: str) -> DataFrame:
+        m = re.match(
+            r"JOIN\s+(\w+)\s+BY\s+([^,]+?)\s*(LEFT|RIGHT|FULL)?\s*(?:OUTER)?\s*,\s*"
+            r"(\w+)\s+BY\s+([^,]+?)\s*(?:USING\s+'(\w[\w-]*)')?\s*$",
+            rhs,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise PigSyntaxError(f"bad JOIN: {rhs}")
+        la, lk, how, ra, rk, using = m.groups()
+        left, right = self._get(la), self._get(ra)
+        cond = F.expr(
+            f"{la}.{translate_expr(lk, left.columns)} = "
+            f"{ra}.{translate_expr(rk, right.columns)}"
+        )
+        return op_join(
+            left, right, cond, how=(how or "inner").lower(), using=using
+        )
+
+    def _op_cross(self, rhs: str) -> DataFrame:
+        names = [a.strip() for a in rhs[len("CROSS") :].split(",")]
+        out = self._get(names[0])
+        for nm in names[1:]:
+            out = out.crossJoin(self._get(nm))
+        return out
+
+    def _op_order(self, rhs: str) -> DataFrame:
+        m = re.match(r"ORDER\s+(\w+)\s+BY\s+(.*)$", rhs, re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise PigSyntaxError(f"bad ORDER: {rhs}")
+        child = self._get(m.group(1))
+        cols = []
+        for part in _split_args(m.group(2)):
+            dm = re.match(r"(.*?)\s+(ASC|DESC)\s*$", part.strip(), re.IGNORECASE)
+            e, direction = (dm.group(1), dm.group(2).upper()) if dm else (part, "ASC")
+            c = F.expr(translate_expr(e, child.columns))
+            cols.append(c.desc() if direction == "DESC" else c.asc())
+        return child.orderBy(*cols)
+
+    def _op_limit(self, rhs: str) -> DataFrame:
+        m = re.match(r"LIMIT\s+(\w+)\s+(\d+)\s*$", rhs, re.IGNORECASE)
+        if not m:
+            raise PigSyntaxError(f"bad LIMIT: {rhs}")
+        return self._get(m.group(1)).limit(int(m.group(2)))
+
+    def _op_distinct(self, rhs: str) -> DataFrame:
+        return self._get(rhs.split(None, 1)[1].strip()).distinct()
+
+    def _op_union(self, rhs: str) -> DataFrame:
+        body = rhs.split(None, 1)[1]
+        onschema = False
+        if body.upper().startswith("ONSCHEMA"):
+            onschema = True
+            body = body[len("ONSCHEMA") :]
+        dfs = [self._get(a.strip()) for a in body.split(",")]
+        out = dfs[0]
+        for df in dfs[1:]:
+            out = (
+                out.unionByName(df, allowMissingColumns=True)
+                if onschema
+                else out.unionAll(df)
+            )
+        return out
+
+    def _op_sample(self, rhs: str) -> DataFrame:
+        m = re.match(r"SAMPLE\s+(\w+)\s+([\d.]+)\s*$", rhs, re.IGNORECASE)
+        if not m:
+            raise PigSyntaxError(f"bad SAMPLE: {rhs}")
+        return self._get(m.group(1)).sample(fraction=float(m.group(2)), seed=42)
+
+    def _op_rank(self, rhs: str) -> DataFrame:
+        m = re.match(
+            r"RANK\s+(\w+)(?:\s+BY\s+(.*?))?\s*(DENSE)?\s*$", rhs, re.IGNORECASE | re.DOTALL
+        )
+        if not m:
+            raise PigSyntaxError(f"bad RANK: {rhs}")
+        child = self._get(m.group(1))
+        if not m.group(2):
+            from pigout_spark.operators.sorting import row_rank
+
+            return row_rank(child, out="rank_" + m.group(1))
+        cols = []
+        for part in _split_args(m.group(2)):
+            dm = re.match(r"(.*?)\s+(ASC|DESC)\s*$", part.strip(), re.IGNORECASE)
+            e, direction = (dm.group(1), dm.group(2).upper()) if dm else (part, "ASC")
+            c = F.expr(translate_expr(e, child.columns))
+            cols.append(c.desc() if direction == "DESC" else c.asc())
+        return op_rank(
+            child, *cols, dense=bool(m.group(3)), out="rank_" + m.group(1)
+        )
+
+
+def run_script(
+    spark: SparkSession, script: str, catalog: Catalog | None = None
+) -> PigSession:
+    """`pigout script.pig` analog: execute a whole script, return the
+    session for inspecting aliases."""
+    pig = PigSession(spark, catalog)
+    pig.execute(script)
+    return pig

@@ -1,0 +1,213 @@
+"""Pig Latin front-end: scripts must produce the same results as the
+equivalent hand-written DataFrame plans."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pigout_spark.catalog import Catalog
+from pigout_spark.latin import PigSession, PigSyntaxError, run_script, translate_expr
+
+
+@pytest.fixture()
+def pig(spark, sf_dir):
+    return PigSession(spark, Catalog().register_fixture_dir(sf_dir))
+
+
+def test_translate_expr_rewrites():
+    assert translate_expr("$0 + 1", ["a", "b"]) == "a + 1"
+    assert translate_expr("A::x > 2") == "A.x > 2"
+    assert (
+        translate_expr("name matches 'B.*'") == "name RLIKE '^(?:B.*)$'"
+    )
+    assert translate_expr("m#'key'") == "m['key']"
+    assert (
+        translate_expr("SUBSTRING(s, 0, 5)")
+        == "substring(s, (0) + 1, (5) - (0))"
+    )
+    assert translate_expr("UPPER(s)") == "upper(s)"
+    assert "filter(split(" in translate_expr("TOKENIZE(text)")
+
+
+def test_load_filter_foreach_store_roundtrip(pig, spark, sf_dir):
+    pig.execute(
+        """
+        -- classic projection script
+        li = LOAD 'lineitem';
+        cheap = FILTER li BY l_quantity < 5 AND l_discount > 0.05;
+        out = FOREACH cheap GENERATE l_orderkey, l_extendedprice * (1 - l_discount) AS net;
+        """
+    )
+    got = pig.df("out")
+    from pigout_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    want = (
+        li.filter((F.col("l_quantity") < 5) & (F.col("l_discount") > 0.05))
+        .select("l_orderkey", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"))
+    )
+    assert got.columns == ["l_orderkey", "net"]
+    assert got.count() == want.count() > 0
+
+
+def test_group_foreach_fusion_is_one_agg(pig):
+    pig.execute(
+        """
+        li = LOAD 'lineitem';
+        g = GROUP li BY l_returnflag;
+        s = FOREACH g GENERATE group, COUNT(li) AS n, SUM(li.l_quantity) AS qty,
+                               AVG(li.l_discount) AS disc;
+        """
+    )
+    out = pig.df("s")
+    assert out.columns == ["group", "n", "qty", "disc"]
+    rows = {r.group: r for r in out.collect()}
+    assert set(rows) == {"A", "N", "R"}
+    assert all(r.n > 0 and r.qty > 0 for r in rows.values())
+    # fused: the plan aggregates directly, no collect_list bag anywhere
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" not in plan
+
+
+def test_group_all(pig):
+    pig.execute(
+        "o = LOAD 'orders'; g = GROUP o ALL;"
+        " t = FOREACH g GENERATE COUNT(o) AS n, MAX(o.o_totalprice) AS mx;"
+    )
+    r = pig.df("t").first()
+    assert r.n == 6000 // 4  # 1,500 orders at sf0.001
+    assert r.mx > 0
+
+
+def test_join_replicated_and_wordcount(pig):
+    pig.execute(
+        """
+        n = LOAD 'nation';
+        r = LOAD 'region';
+        j = JOIN n BY n_regionkey, r BY r_regionkey USING 'replicated';
+        g = GROUP j BY r_name;
+        c = FOREACH g GENERATE group, COUNT(j) AS n_nations;
+        """
+    )
+    got = {r.group: r.n_nations for r in pig.df("c").collect()}
+    assert sum(got.values()) == 25
+    plan = pig.df("j")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_outer_join(pig):
+    pig.execute(
+        """
+        c = LOAD 'customer';
+        o = LOAD 'orders';
+        j = JOIN c BY c_custkey LEFT OUTER, o BY o_custkey;
+        """
+    )
+    assert pig.df("j").count() >= 1500
+
+
+def test_flatten_tokenize_wordcount(pig):
+    pig.execute(
+        """
+        d = LOAD 'documents';
+        words = FOREACH d GENERATE FLATTEN(TOKENIZE(text)) AS w;
+        g = GROUP words BY w;
+        counts = FOREACH g GENERATE group, COUNT(words) AS n;
+        """
+    )
+    out = {r.group: r.n for r in pig.df("counts").collect()}
+    assert len(out) > 10 and all(n > 0 for n in out.values())
+
+
+def test_order_limit_distinct_union_sample(pig):
+    pig.execute(
+        """
+        o = LOAD 'orders';
+        ord = ORDER o BY o_totalprice DESC, o_orderkey;
+        top = LIMIT ord 5;
+        """
+    )
+    top = pig.df("top").collect()
+    assert len(top) == 5
+    assert top[0].o_totalprice >= top[-1].o_totalprice
+    pig.execute(
+        "p1 = FOREACH o GENERATE o_orderstatus; d = DISTINCT p1;"
+        " u = UNION p1, p1; s = SAMPLE o 0.5;"
+    )
+    assert pig.df("d").count() == 3
+    assert pig.df("u").count() == 2 * pig.df("p1").count()
+    assert 0 < pig.df("s").count() < 1500
+
+
+def test_split_statement(pig):
+    pig.execute(
+        """
+        li = LOAD 'lineitem';
+        SPLIT li INTO small IF l_quantity < 10, big IF l_quantity >= 40, mid OTHERWISE;
+        """
+    )
+    n = pig.df("small").count() + pig.df("big").count() + pig.df("mid").count()
+    assert n == 6000
+
+
+def test_rank_by(pig):
+    pig.execute(
+        "c = LOAD 'customer'; r = RANK c BY c_acctbal DESC;"
+    )
+    out = pig.df("r")
+    assert "rank_c" in out.columns
+    first = out.orderBy("rank_c").first()
+    assert first.rank_c == 1
+
+
+def test_filter_matches_is_full_match(pig):
+    pig.execute(
+        "c = LOAD 'customer';"
+        " m = FILTER c BY c_mktsegment matches 'BUILD.*';"
+        " nomatch = FILTER c BY c_mktsegment matches 'UILDING';"
+    )
+    assert pig.df("m").count() > 0
+    assert pig.df("nomatch").count() == 0  # substring must NOT match
+
+
+def test_store_and_reload(pig, spark, tmp_path):
+    uri = str(tmp_path / "out_csv")
+    pig.execute(
+        "n = LOAD 'nation';"
+        f" STORE n INTO '{uri}' USING PigStorage(',');"
+    )
+    back = spark.read.option("sep", ",").csv(uri)
+    assert back.count() == 25
+
+
+def test_positional_refs_and_describe(pig, capsys):
+    pig.execute(
+        "r = LOAD 'region'; p = FOREACH r GENERATE $1 AS name; DESCRIBE p;"
+    )
+    assert pig.df("p").columns == ["name"]
+    assert "name:string" in capsys.readouterr().out
+
+
+def test_syntax_errors(pig):
+    with pytest.raises(PigSyntaxError):
+        pig.execute("x = FROBNICATE y;")
+    with pytest.raises(PigSyntaxError):
+        pig.execute("b = FILTER nope BY 1 = 1;")
+
+
+def test_run_script_end_to_end(spark, sf_dir):
+    pig = run_script(
+        spark,
+        """
+        li = LOAD 'lineitem';
+        o  = LOAD 'orders';
+        j  = JOIN li BY l_orderkey, o BY o_orderkey;
+        g  = GROUP j BY o_orderpriority;
+        res = FOREACH g GENERATE group, COUNT(j) AS n, SUM(j.l_quantity) AS qty;
+        """,
+        Catalog().register_fixture_dir(sf_dir),
+    )
+    out = pig.df("res").collect()
+    assert len(out) == 5 and sum(r.n for r in out) == 6000
