@@ -1,0 +1,68 @@
+"""Property-based checks (hypothesis) for the Pig index-convention shims
+— SURVEY.md §7-H4 flags these off-by-ones as the likeliest silent-wrong-
+answer source, so they get randomized verification against the Java/Pig
+reference semantics (Python slicing/find match Java here).
+
+hypothesis draws one batch per test (max_examples=1 with a list
+strategy) so the Spark round-trips stay bounded.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from pigout_spark.functions.strings import INDEXOF, LAST_INDEX_OF, SUBSTRING, TOKENIZE
+
+_text = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), max_codepoint=0x7F),
+    min_size=0,
+    max_size=12,
+)
+
+
+def _one(spark, s: str, *cols):
+    return spark.createDataFrame([(s,)], "s string").select(*cols).first()
+
+
+@settings(max_examples=1, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_text, st.integers(0, 5), st.integers(0, 8)),
+        min_size=25,
+        max_size=25,
+    )
+)
+def test_substring_matches_java_semantics(spark, cases):
+    for s, a, b in cases:
+        if not (a <= b <= len(s)):
+            continue  # Pig/Java raises out-of-range; we document clamping
+        got = _one(spark, s, SUBSTRING("s", a, b).alias("o")).o
+        assert (got or "") == s[a:b], (s, a, b, got)
+
+
+@settings(max_examples=1, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_text, _text.filter(lambda n: 1 <= len(n) <= 3)),
+        min_size=15,
+        max_size=15,
+    )
+)
+def test_indexof_matches_python_find(spark, cases):
+    for s, n in cases:
+        r = _one(
+            spark, s, INDEXOF("s", n).alias("i"), LAST_INDEX_OF("s", n).alias("li")
+        )
+        assert r.i == s.find(n), (s, n, r.i)
+        assert r.li == s.rfind(n), (s, n, r.li)
+
+
+@settings(max_examples=1, deadline=None)
+@given(st.lists(_text, min_size=8, max_size=8))
+def test_tokenize_matches_stringtokenizer(spark, words):
+    s = " ".join(words) + ',extra(paren)"quoted"*star'
+    got = _one(spark, s, TOKENIZE("s").alias("t")).t
+    want = [t for t in re.split(r'[ ",()*]', s) if t]
+    assert got == want
