@@ -49,13 +49,16 @@ def filter_by(df: DataFrame, predicate: Column | str) -> DataFrame:
 
 
 def split(df: DataFrame, branches: dict[str, Column], otherwise: str | None = None,
-          persist: bool = True) -> dict[str, DataFrame]:
+          persist: bool = False) -> dict[str, DataFrame]:
     """Pig `SPLIT A INTO X IF p1, Y IF p2 [, Z OTHERWISE];`
 
-    Rows may match several branches (same as Pig).  The parent is
-    persisted by default: each branch is a separate action downstream and
-    Spark would otherwise rescan the source per branch — this is the
-    MultiQueryOptimizer analog (SURVEY.md §4.1, H5).
+    Rows may match several branches (same as Pig).  Pass ``persist=True``
+    when the branches feed separate downstream actions (each action
+    rescans the parent otherwise — the MultiQueryOptimizer concern,
+    SURVEY.md §4.1/H5) and manage the lifetime with
+    ``plans.MultiSinkPlan``: a persist left dangling pollutes Spark's
+    global cache — the cached fragment silently substitutes into ANY
+    later plan sharing it, e.g. bypassing parquet filter pushdown.
     """
     if persist:
         df = df.persist()

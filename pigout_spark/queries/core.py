@@ -491,8 +491,8 @@ def q17_intersect_except(spark, sf_dir):
 )
 def q16_split(spark, sf_dir):
     """Pig: SPLIT lineitem INTO low IF q<10, high IF q>=40, mid OTHERWISE;
-    The parent is persisted (multi-sink scan sharing — the
-    MultiQueryOptimizer analog, SURVEY.md §4.1/H5)."""
+    Branches re-unioned into one action here, so no persist needed
+    (multi-action scripts pass persist=True under plans.MultiSinkPlan)."""
     li = t(spark, sf_dir, "lineitem").select("l_quantity")
     branches = split(
         li,
