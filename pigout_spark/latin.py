@@ -18,6 +18,7 @@ Supported statements (the workhorse subset of the Pig Latin manual):
     G = GROUP A BY <expr> | ALL;  /  COGROUP via GROUP of 1 relation
     E = FOREACH G GENERATE group, COUNT(A), SUM(A.x), ...;  -- fused agg
     J = JOIN A BY k [LEFT|RIGHT|FULL] [OUTER], B BY k [USING 'replicated'];
+    CG = COGROUP A BY k, B BY k [, ...];       -- side-by-side bags
     O = ORDER A BY x [ASC|DESC], ...;
     L = LIMIT A n;          D = DISTINCT A;        U = UNION A, B, ...;
     S = SAMPLE A 0.1;       R = RANK A BY x [DESC];
@@ -537,6 +538,22 @@ class PigSession:
         else:
             keys = [translate_expr(keys_s, child.columns)]
         return _Grouped(child_name, child, keys)
+
+    def _op_cogroup(self, rhs: str) -> DataFrame:
+        """COGROUP A BY k1, B BY k2 [, ...] — side-by-side bags named
+        after the input aliases (operators/grouping.py:cogroup)."""
+        from pigout_spark.operators.grouping import cogroup as op_cogroup
+
+        parts = _split_args(rhs.split(None, 1)[1])
+        dfs, keys, names = [], [], []
+        for part in parts:
+            pm = re.match(r"(\w+)\s+BY\s+(\w+)\s*$", part.strip(), re.IGNORECASE)
+            if not pm:
+                raise PigSyntaxError(f"bad COGROUP input: {part}")
+            names.append(pm.group(1))
+            dfs.append(self._get(pm.group(1)))
+            keys.append(pm.group(2))
+        return op_cogroup(dfs, keys, bag_names=names)
 
     def _op_join(self, rhs: str) -> DataFrame:
         m = re.match(

@@ -81,6 +81,31 @@ def cross(left: DataFrame, right: DataFrame, condition: Column | None = None) ->
     return left.crossJoin(right)
 
 
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: list[str] | str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Manual skew-salting for the case AQE can't fix: one pathological
+    key whose partition exceeds an executor, joined to a side too large
+    to broadcast.  The skewed side gets a random salt in [0, salt); the
+    other side is exploded ×salt so every (key, salt) bucket pairs up —
+    the hot key spreads over ``salt`` reducers at the cost of
+    replicating the other side ``salt``×.
+
+    Results equal the plain join (same multiset of matches).  Prefer AQE
+    skew handling (on by default, session.py); reach for this only when
+    runtime splitting is insufficient."""
+    keys = [on] if isinstance(on, str) else list(on)
+    sk = skewed.withColumn("__salt", (F.rand() * salt).cast("int"))
+    ot = other.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return sk.join(ot, keys + ["__salt"], how).drop("__salt")
+
+
 def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
     """Pig idiom COGROUP+`not IsEmpty(B)` → left_semi (one shuffle)."""
     return left.join(right, _cond(left, right, on), "left_semi")

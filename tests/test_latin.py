@@ -211,3 +211,35 @@ def test_run_script_end_to_end(spark, sf_dir):
     )
     out = pig.df("res").collect()
     assert len(out) == 5 and sum(r.n for r in out) == 6000
+
+
+def test_cogroup_statement(pig):
+    pig.execute(
+        """
+        c = LOAD 'customer';
+        s = LOAD 'supplier';
+        cg = COGROUP c BY c_nationkey, s BY s_nationkey;
+        """
+    )
+    out = pig.df("cg")
+    assert set(out.columns) == {"group", "c", "s"}
+    rows = out.collect()
+    # empty bags are empty arrays, never null (Pig semantics)
+    assert all(r.c is not None and r.s is not None for r in rows)
+    assert sum(len(r.c) for r in rows) == 150  # sf0.001 customers
+
+
+def test_group_multi_key_struct(pig):
+    pig.execute(
+        """
+        li = LOAD 'lineitem';
+        g = GROUP li BY (l_returnflag, l_linestatus);
+        agg = FOREACH g GENERATE group, COUNT(li) AS n;
+        """
+    )
+    out = pig.df("agg")
+    rows = out.collect()
+    assert len(rows) == 6  # 3 flags x 2 statuses
+    assert {(r.group[0], r.group[1]) for r in rows} == {
+        ("A", "F"), ("A", "O"), ("N", "F"), ("N", "O"), ("R", "F"), ("R", "O")
+    }

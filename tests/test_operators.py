@@ -144,3 +144,16 @@ def test_stream_through(spark):
     df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]).coalesce(1)
     out = stream_through(df, ["cat"], "k string, v string")
     assert sorted((r.k, r.v) for r in out.collect()) == [("1", "a"), ("2", "b")]
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pigout_spark.operators.joins import salted_join
+
+    big = spark.createDataFrame(
+        [(k, i) for i in range(200) for k in ("hot" if i % 2 else f"k{i}",)],
+        ["k", "v"],
+    )
+    dim = spark.createDataFrame([("hot", 1), ("k4", 2), ("k10", 3)], ["k", "d"])
+    plain = sorted((r.k, r.v, r.d) for r in big.join(dim, "k").collect())
+    salted = sorted((r.k, r.v, r.d) for r in salted_join(big, dim, "k", salt=4).collect())
+    assert salted == plain and len(plain) > 0
