@@ -232,11 +232,31 @@ def sim_ann_buckets(spark, sf_dir):
     )
 
 
-@query("sim_ann_topk")  # within-bucket ranking: machinery covered by the
-def sim_ann_topk(spark, sf_dir):  # two oracled queries above → rows-only
-    """Approximate top-3 within the query's LSH bucket.  Composition of
-    sim_ann_buckets (oracled bucketing) + sim_cosine_topk (oracled
-    scoring); recorded rows-only."""
+def _ann_topk_sql() -> str:
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
+        "b AS (\n"
+        f"  SELECT vec_id, v, CAST({_sql_bucket_bits('v')} AS INT) AS bucket,\n"
+        f"         sqrt({_sql_dot('v', 'v')}) AS nrm\n"
+        "  FROM e\n"
+        "), scored AS (\n"
+        "  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,\n"
+        f"         {_sql_dot('q.v', 'c.v')} / (q.nrm * c.nrm) AS cos\n"
+        "  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id\n"
+        "  WHERE q.vec_id < 10\n"
+        ")\n"
+        "SELECT q_id, neighbor_id, cos,\n"
+        "       ROW_NUMBER() OVER (PARTITION BY q_id\n"
+        "                          ORDER BY cos DESC, neighbor_id) AS rn\n"
+        "FROM scored QUALIFY rn <= 3"
+    )
+
+
+@query("sim_ann_topk", _ann_topk_sql())
+def sim_ann_topk(spark, sf_dir):
+    """Approximate top-3 within the query's LSH bucket: bucket-equi-join
+    candidates, exact cosine inside the bucket — the full ANN path with
+    its oracle (bucket bits + left-fold dots shared with SQL)."""
     emb = t(spark, sf_dir, "embeddings")
     return ann_topk(emb, emb.filter(F.col("vec_id") < 10), _PLANES, k=3)
 
