@@ -24,6 +24,9 @@ Supported statements (the workhorse subset of the Pig Latin manual):
     S = SAMPLE A 0.1;       R = RANK A BY x [DESC];
     C = CROSS A, B;
     SPLIT A INTO X IF p, Y IF q [, Z OTHERWISE];
+    B = STREAM A THROUGH `cmd` [AS (n:type, ...)];
+    DEFINE alias `cmd`;                        -- streaming command binding
+    %declare NAME 'value';                     -- + run_script(params={...})
     STORE A INTO 'uri' [USING ...];      DUMP A;      DESCRIBE A;
 
 Expression rewrites applied before Spark's SQL parser takes over:
@@ -306,15 +309,33 @@ class PigSession:
         df = pig.df("result_alias")
     """
 
-    def __init__(self, spark: SparkSession, catalog: Catalog | None = None) -> None:
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: Catalog | None = None,
+        params: dict[str, str] | None = None,
+    ) -> None:
         self.spark = spark
         self.catalog = catalog
         self.rels: dict[str, DataFrame | _Grouped] = {}
+        self.params: dict[str, str] = dict(params or {})  # -param analog
+        self.defines: dict[str, str] = {}  # DEFINE alias `cmd`
 
     # -- public API ------------------------------------------------------
     def execute(self, script: str) -> None:
         for stmt in self._statements(script):
-            self._run(stmt)
+            self._run(self._substitute(stmt))
+
+    def _substitute(self, stmt: str) -> str:
+        """Pig parameter substitution: $NAME / ${NAME} from -param /
+        %declare.  Positional $0-style refs survive (digits are never
+        parameter names)."""
+        if not self.params:
+            return stmt
+        def sub(m: re.Match) -> str:
+            name = m.group(1) or m.group(2)
+            return self.params.get(name, m.group(0))
+        return re.sub(r"\$\{(\w+)\}|\$([A-Za-z_]\w*)", sub, stmt)
 
     def df(self, alias: str) -> DataFrame:
         rel = self.rels[alias]
@@ -368,6 +389,20 @@ class PigSession:
             self.rels[alias] = self._compile_op(alias, rhs)
             return
         kw = stmt.split(None, 1)[0].upper()
+        if kw == "%DECLARE":
+            dm = re.match(r"%DECLARE\s+(\w+)\s+'([^']*)'", stmt, re.IGNORECASE)
+            if not dm:
+                raise PigSyntaxError(f"bad %declare: {stmt}")
+            self.params[dm.group(1)] = dm.group(2)
+            return
+        if kw == "DEFINE":
+            dm = re.match(r"DEFINE\s+(\w+)\s+`([^`]+)`", stmt, re.IGNORECASE)
+            if not dm:
+                raise PigSyntaxError(
+                    f"unsupported DEFINE (only `cmd` bindings): {stmt[:60]}"
+                )
+            self.defines[dm.group(1)] = dm.group(2)
+            return
         if kw == "STORE":
             sm = re.match(
                 r"STORE\s+(\w+)\s+INTO\s+'([^']+)'(?:\s+USING\s+(\w+)\s*\(\s*(?:'([^']*)')?\s*\))?",
@@ -539,6 +574,31 @@ class PigSession:
             keys = [translate_expr(keys_s, child.columns)]
         return _Grouped(child_name, child, keys)
 
+    def _op_stream(self, rhs: str) -> DataFrame:
+        """STREAM A THROUGH `cmd` [AS (schema)] — or THROUGH a DEFINEd
+        alias.  Line protocol via operators/relational.py:stream_through;
+        without AS, output fields mirror the input names as strings
+        (the protocol is untyped — D2)."""
+        from pigout_spark.operators.relational import stream_through
+
+        m = re.match(
+            r"STREAM\s+(\w+)\s+THROUGH\s+(?:`([^`]+)`|(\w+))(?:\s+AS\s+(\(.*\)))?\s*$",
+            rhs,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise PigSyntaxError(f"bad STREAM: {rhs}")
+        child = self._get(m.group(1))
+        cmd = m.group(2) or self.defines.get(m.group(3) or "")
+        if not cmd:
+            raise PigSyntaxError(f"STREAM THROUGH unknown alias: {m.group(3)}")
+        schema = (
+            _as_schema(m.group(4))
+            if m.group(4)
+            else ", ".join(f"{c} string" for c in child.columns)
+        )
+        return stream_through(child, ["sh", "-c", cmd], schema)
+
     def _op_cogroup(self, rhs: str) -> DataFrame:
         """COGROUP A BY k1, B BY k2 [, ...] — side-by-side bags named
         after the input aliases (operators/grouping.py:cogroup)."""
@@ -648,10 +708,13 @@ class PigSession:
 
 
 def run_script(
-    spark: SparkSession, script: str, catalog: Catalog | None = None
+    spark: SparkSession,
+    script: str,
+    catalog: Catalog | None = None,
+    params: dict[str, str] | None = None,
 ) -> PigSession:
     """`pigout script.pig` analog: execute a whole script, return the
-    session for inspecting aliases."""
-    pig = PigSession(spark, catalog)
+    session for inspecting aliases.  ``params`` is the `-param` analog."""
+    pig = PigSession(spark, catalog, params=params)
     pig.execute(script)
     return pig

@@ -243,3 +243,30 @@ def test_group_multi_key_struct(pig):
     assert {(r.group[0], r.group[1]) for r in rows} == {
         ("A", "F"), ("A", "O"), ("N", "F"), ("N", "O"), ("R", "F"), ("R", "O")
     }
+
+
+def test_params_declare_and_stream(pig):
+    pig.execute(
+        """
+        %declare MINQTY '40';
+        li = LOAD 'lineitem';
+        big = FILTER li BY l_quantity >= $MINQTY;
+        p = FOREACH big GENERATE l_orderkey, l_linenumber;
+        DEFINE identity `cat`;
+        piped = STREAM p THROUGH identity AS (k:chararray, ln:chararray);
+        """
+    )
+    n_big = pig.df("big").count()
+    assert n_big > 0
+    piped = pig.df("piped")
+    assert piped.columns == ["k", "ln"] and piped.count() == n_big
+
+
+def test_run_script_params_arg(spark, sf_dir):
+    pig = run_script(
+        spark,
+        "li = LOAD 'lineitem'; f = FILTER li BY l_quantity < $CUT;",
+        Catalog().register_fixture_dir(sf_dir),
+        params={"CUT": "3"},
+    )
+    assert pig.df("f").count() > 0
