@@ -62,6 +62,20 @@ def DIFF(a: Column | str, b: Column | str) -> Column:
     return F.array_union(F.array_except(_col(a), _col(b)), F.array_except(_col(b), _col(a)))
 
 
+def TOP(n: int, field: str, bag: Column | str) -> Column:
+    """Pig TOP(n, column, bag): the n tuples with the largest values of
+    ``field`` — array_sort descending by the field, then slice.  (Pig
+    uses a priority queue per group; semantics identical, order of the
+    result bag unspecified in Pig — here it is descending.)"""
+    srt = F.array_sort(
+        _col(bag),
+        lambda a, b: F.when(a[field] < b[field], 1)
+        .when(a[field] > b[field], -1)
+        .otherwise(0),
+    )
+    return F.slice(srt, 1, n)
+
+
 def KEYSET(c: Column | str) -> Column:
     return F.map_keys(_col(c))
 

@@ -91,3 +91,14 @@ def test_datetime_builtins(spark):
     a = F.lit("2024-03-15 00:00:00").cast("timestamp")
     b = F.lit("2024-03-10 00:00:00").cast("timestamp")
     assert one(spark, DAYS_BETWEEN(a, b)) == 5
+
+
+def test_top_n_of_bag(spark):
+    from pigout_spark.functions.bags import TOP
+
+    df = spark.createDataFrame(
+        [(1, [{"k": "a", "v": 1}, {"k": "b", "v": 9}, {"k": "c", "v": 5}])],
+        "g int, bag array<struct<k:string,v:int>>",
+    )
+    got = df.select(TOP(2, "v", "bag").alias("t")).first().t
+    assert [(r.k, r.v) for r in got] == [("b", 9), ("c", 5)]
