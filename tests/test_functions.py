@@ -102,3 +102,12 @@ def test_top_n_of_bag(spark):
     )
     got = df.select(TOP(2, "v", "bag").alias("t")).first().t
     assert [(r.k, r.v) for r in got] == [("b", 9), ("c", 5)]
+
+
+def test_datamodel_lazy_cast_and_positional(spark):
+    from pigout_spark.datamodel import describe, lazy_cast, positional
+
+    df = spark.createDataFrame([("42", "x")], ["raw", "s"])
+    assert df.select(lazy_cast("raw", "long").alias("v")).first().v == 42
+    assert df.select(positional(df, 1).alias("p")).first().p == "x"
+    assert describe(df) == "struct<raw:string,s:string>"
