@@ -103,6 +103,74 @@ def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     return code.cast("int")
 
 
+def ivf_assign(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its
+    nearest-by-cosine centroid.  Centroids are the ``n_centroids``
+    lowest-id vectors (deterministic; production swaps in k-means
+    centroids — the dataflow is identical).
+
+    One broadcast of the centroid set, one scan of the corpus, argmax
+    via a per-vector window over n_centroids scored rows.  Returns
+    (id, v double[], nrm, cell)."""
+    from pyspark.sql import Window
+
+    base = emb.select(
+        F.col(id_col), as_double(vec_col).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    cents = base.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("c_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    scored = base.crossJoin(F.broadcast(cents)).withColumn(
+        "s", dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("s"), "c_id")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "v", "nrm", F.col("c_id").alias("cell"))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids_max: int,
+    k: int,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: candidates restricted to the query's cell
+    (nprobe=1), exact cosine within the cell.  The cell id is the join
+    key — shuffle-by-cell, never O(n²)."""
+    from pyspark.sql import Window
+
+    cells = ivf_assign(emb, n_centroids, id_col, vec_col)
+    q = cells.filter(F.col(id_col) < query_ids_max).select(
+        F.col(id_col).alias("q_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"), "cell",
+    )
+    cand = cells.select(
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"), "cell",
+    )
+    scored = (
+        q.join(cand, "cell")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .withColumn("cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "neighbor_id", "cos", "rn")
+    )
+
+
 def ann_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -289,6 +289,67 @@ def dedup_embedding(spark, sf_dir):
     )
 
 
+_IVF_CELLS_SQL = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), b AS (
+  SELECT vec_id, v, sqrt({_sql_dot('v', 'v')}) AS nrm FROM e
+), c AS (
+  SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM b WHERE vec_id < 8
+), scored AS (
+  SELECT b.vec_id, b.v, b.nrm, c.c_id,
+         {_sql_dot('b.v', 'c.cv')} / (b.nrm * c.cn) AS s
+  FROM b, c
+), cells AS (
+  SELECT vec_id, v, nrm, c_id AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY s DESC, c_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+"""
+
+
+@query(
+    "sim_ivf_cells",
+    _IVF_CELLS_SQL + "SELECT cell, COUNT(*) AS n FROM cells GROUP BY cell",
+)
+def sim_ivf_cells(spark, sf_dir):
+    """IVF coarse quantization (the other ANN scale path besides LSH):
+    nearest-centroid cell per vector, centroids = 8 lowest-id vectors
+    (deterministic stand-in for k-means — identical dataflow).  Cell
+    histogram checked exactly against SQL."""
+    from pigout_spark.pipeline.similarity import ivf_assign
+
+    cells = ivf_assign(t(spark, sf_dir, "embeddings"), n_centroids=8)
+    return cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "sim_ivf_topk",
+    _IVF_CELLS_SQL
+    + f"""
+    , q AS (
+      SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM cells WHERE vec_id < 10
+    ), scored2 AS (
+      SELECT q.q_id, c.vec_id AS neighbor_id,
+             {_sql_dot('q.qv', 'c.v')} / (q.qn * c.nrm) AS cos
+      FROM q JOIN cells c ON q.cell = c.cell AND c.vec_id <> q.q_id
+    )
+    SELECT q_id, neighbor_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY cos DESC, neighbor_id) AS rn
+    FROM scored2 QUALIFY rn <= 3
+    """,
+)
+def sim_ivf_topk(spark, sf_dir):
+    """IVF approximate top-3 (nprobe=1): exact cosine within the
+    query's cell only — shuffle-by-cell, never a corpus cross join."""
+    from pigout_spark.pipeline.similarity import ivf_topk
+
+    return ivf_topk(t(spark, sf_dir, "embeddings"), query_ids_max=10, k=3)
+
+
 # ------------------------------------------------------------------ text ---
 @query(
     "text_tokens",

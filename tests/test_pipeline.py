@@ -151,3 +151,27 @@ def test_fake_decode_is_deterministic():
 
     with _pytest.raises(NotImplementedError):
         decode_image(b"123")
+
+
+def test_ivf_assign_and_topk(spark):
+    import random
+
+    rng = random.Random(3)
+    from pyspark.sql import Row
+
+    from pigout_spark.pipeline.similarity import ivf_assign, ivf_topk
+
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(8)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows)
+    cells = ivf_assign(emb, n_centroids=4)
+    got = {r.vec_id: r.cell for r in cells.collect()}
+    assert len(got) == 40
+    assert all(0 <= c < 4 for c in got.values())
+    # a centroid must live in its own cell (cosine with itself = 1)
+    assert all(got[i] == i for i in range(4))
+    top = ivf_topk(emb, query_ids_max=2, k=3)
+    out = top.collect()
+    assert all(r.rn <= 3 and r.q_id != r.neighbor_id for r in out)
