@@ -92,6 +92,23 @@ def lang_id(df: DataFrame, text_col: str = "text", out: str = "predicted") -> Da
     return df.withColumn(out, pred)
 
 
+#: modulus for the polynomial rolling hash (large prime < 2^31)
+ROLLING_P = 1_000_000_007
+
+
+def rolling_hash(text_col: Column | str, base: int = 31) -> Column:
+    """Polynomial rolling hash over the characters:
+    h = fold(c: h*base + ascii(c) mod P).  Left fold in exact int64 —
+    engine-independent (SQL twin: list_reduce over split chars)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    chars = F.filter(F.split(c, ""), lambda ch: ch != F.lit(""))
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * base + F.ascii(ch)) % ROLLING_P,
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fp") -> DataFrame:
     """Document fingerprint: md5 over the sorted distinct token set —
     invariant to token order and repetition (near-exact dedup key)."""

@@ -459,6 +459,31 @@ def text_fingerprint(spark, sf_dir):
     )
 
 
+@query(
+    "text_rolling_hash",
+    """
+    SELECT doc_id,
+           CASE WHEN length(text) = 0 THEN 0 ELSE
+             list_reduce(
+               list_transform(string_split_regex(text, ''),
+                              c -> CAST(ascii(c) AS BIGINT)),
+               (a, b) -> (a * 31 + b) % 1000000007)
+           END AS rhash
+    FROM documents
+    """,
+)
+def text_rolling_hash(spark, sf_dir):
+    """Per-document polynomial rolling hash (char-level content
+    fingerprint; chunked variants build shingle fingerprints from the
+    same fold).  Exact int64 arithmetic — left fold matches list_reduce
+    (first step yields c1 from acc=0)."""
+    from pigout_spark.pipeline.text import rolling_hash
+
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", rolling_hash("text").alias("rhash")
+    )
+
+
 # ------------------------------------------------------------ multimodal ---
 @query(
     "mm_binary_meta",
