@@ -120,15 +120,24 @@ def minhash_lsh_pairs(
     # bands' values and the join filters out pairs that already collided
     # earlier.  Removes the whole DISTINCT shuffle over the (large)
     # candidate set; output is duplicate-free by construction.
-    stacked = None
-    for j in range(n_bands):
-        row = sigb.select(
-            F.col(id_col),
-            F.lit(j).alias("band"),
-            F.col(f"bv{j}").alias("bv"),
-            F.array(*[F.col(f"bv{i}") for i in range(j)]).alias("prior"),
-        )
-        stacked = row if stacked is None else stacked.unionAll(row)
+    #
+    # Stacked via ONE explode (not a unionAll of per-band selects): a
+    # union duplicates the whole signature subtree per branch, and the
+    # self-join doubles it again — explode keeps one subtree and the
+    # join's identical shuffles become a ReusedExchange.
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.col(f"bv{j}").alias("bv"),
+                F.array(*[F.col(f"bv{i}") for i in range(j)]).alias("prior"),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    stacked = sigb.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
+        id_col, "bk.band", "bk.bv", "bk.prior"
+    )
     left = stacked.alias("l")
     right = stacked.alias("r")
     no_prior_collision = ~F.exists(
