@@ -86,3 +86,11 @@ def VALUELIST(c: Column | str) -> Column:
 
 def VALUESET(c: Column | str) -> Column:
     return F.array_distinct(F.map_values(_col(c)))
+
+
+def PLUCK(df, prefix: str, keep: list[str] | None = None):
+    """Pig PluckTuple(prefix): project the columns whose names start
+    with ``prefix`` (the join-disambiguation idiom), plus any ``keep``
+    columns verbatim."""
+    cols = list(keep or []) + [c for c in df.columns if c.startswith(prefix)]
+    return df.select(*cols)

@@ -156,6 +156,61 @@ def q22_distinct_agg(spark, sf_dir):
     )
 
 
+# --- §2.7 COR / COV builtins (Pig 0.8+: correlation & covariance) ---
+@query(
+    "q33_corr_cov",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(26,4))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (n * sxy - sx * sy) / (n * (n - 1)) AS cov_samp,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr
+    FROM s
+    """,
+)
+def q33_corr_cov(spark, sf_dir):
+    """Pig COR/COV builtins (quantity vs extendedprice per returnflag).
+    Computed from decimal-exact component sums cast to double, then one
+    deterministic IEEE formula — identical in both engines (the native
+    corr()/covar() aggregates stream differently per engine and would
+    not hash-match)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    li = t(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q.cast("decimal(20,4)")).cast("double").alias("sx"),
+        F.sum(p.cast("decimal(20,4)")).cast("double").alias("sy"),
+        F.sum((q * q).cast("decimal(24,4)")).cast("double").alias("sxx"),
+        F.sum((p * p).cast("decimal(28,4)")).cast("double").alias("syy"),
+        F.sum((q * p).cast("decimal(26,4)")).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        "l_returnflag",
+        "n",
+        (num / (n * (n - 1))).alias("cov_samp"),
+        (
+            num
+            / (
+                F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        ).alias("corr"),
+    )
+
+
 # --- beyond-reference: partitioned window functions (Pig has only RANK) ---
 @query(
     "q23_window_lag",

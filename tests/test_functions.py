@@ -111,3 +111,11 @@ def test_datamodel_lazy_cast_and_positional(spark):
     assert df.select(lazy_cast("raw", "long").alias("v")).first().v == 42
     assert df.select(positional(df, 1).alias("p")).first().p == "x"
     assert describe(df) == "struct<raw:string,s:string>"
+
+
+def test_pluck_prefix_select(spark):
+    from pigout_spark.functions.bags import PLUCK
+
+    df = spark.createDataFrame([(1, 2, 3)], ["a_x", "a_y", "b_z"])
+    assert PLUCK(df, "a_").columns == ["a_x", "a_y"]
+    assert PLUCK(df, "a_", keep=["b_z"]).columns == ["b_z", "a_x", "a_y"]
