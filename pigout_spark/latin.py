@@ -616,23 +616,39 @@ class PigSession:
         return op_cogroup(dfs, keys, bag_names=names)
 
     def _op_join(self, rhs: str) -> DataFrame:
-        m = re.match(
-            r"JOIN\s+(\w+)\s+BY\s+([^,]+?)\s*(LEFT|RIGHT|FULL)?\s*(?:OUTER)?\s*,\s*"
-            r"(\w+)\s+BY\s+([^,]+?)\s*(?:USING\s+'(\w[\w-]*)')?\s*$",
-            rhs,
-            re.IGNORECASE | re.DOTALL,
-        )
-        if not m:
-            raise PigSyntaxError(f"bad JOIN: {rhs}")
-        la, lk, how, ra, rk, using = m.groups()
-        left, right = self._get(la), self._get(ra)
-        cond = F.expr(
-            f"{la}.{translate_expr(lk, left.columns)} = "
-            f"{ra}.{translate_expr(rk, right.columns)}"
-        )
-        return op_join(
-            left, right, cond, how=(how or "inner").lower(), using=using
-        )
+        """JOIN A BY k1 [LEFT|RIGHT|FULL [OUTER]], B BY k2 [, C BY k3 ...]
+        [USING '...'].  N-ary joins are inner (Pig: outer is binary-only);
+        all keys equate transitively, chained left-deep."""
+        body = rhs.split(None, 1)[1]
+        um = re.search(r"\s+USING\s+'(\w[\w-]*)'\s*$", body, re.IGNORECASE)
+        using = um.group(1) if um else None
+        if um:
+            body = body[: um.start()]
+        inputs = []  # (alias, key_expr, outer_modifier)
+        for part in _split_args(body):
+            pm = re.match(
+                r"(\w+)\s+BY\s+(.+?)(?:\s+(LEFT|RIGHT|FULL)\s*(?:OUTER)?)?\s*$",
+                part.strip(),
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not pm:
+                raise PigSyntaxError(f"bad JOIN input: {part}")
+            inputs.append((pm.group(1), pm.group(2), pm.group(3)))
+        if len(inputs) < 2:
+            raise PigSyntaxError(f"JOIN needs >= 2 inputs: {rhs}")
+        how = next((o for _, _, o in inputs if o), None)
+        if how and len(inputs) > 2:
+            raise PigSyntaxError("outer JOIN is binary-only (as in Pig)")
+        la, lk, _ = inputs[0]
+        out = self._get(la)
+        lkey = f"{la}.{translate_expr(lk, out.columns)}"
+        for ra, rk, _ in inputs[1:]:
+            right = self._get(ra)
+            cond = F.expr(
+                f"{lkey} = {ra}.{translate_expr(rk, right.columns)}"
+            )
+            out = op_join(out, right, cond, how=(how or "inner").lower(), using=using)
+        return out
 
     def _op_cross(self, rhs: str) -> DataFrame:
         names = [a.strip() for a in rhs[len("CROSS") :].split(",")]

@@ -270,3 +270,32 @@ def test_run_script_params_arg(spark, sf_dir):
         params={"CUT": "3"},
     )
     assert pig.df("f").count() > 0
+
+
+def test_nary_join(pig):
+    pig.execute(
+        """
+        c = LOAD 'customer';
+        n = LOAD 'nation';
+        r = LOAD 'region';
+        cn = JOIN c BY c_nationkey, n BY n_nationkey;
+        g = GROUP cn BY n_name;
+        cnt = FOREACH g GENERATE group, COUNT(cn) AS n_cust;
+        """
+    )
+    assert sum(row.n_cust for row in pig.df("cnt").collect()) == 150
+    pig.execute(
+        """
+        o = LOAD 'orders';
+        li = LOAD 'lineitem';
+        j3 = JOIN o BY o_custkey, c BY c_custkey, n BY n_nationkey;
+        """
+    )
+    # 3-way join on transitively-equal keys parses and runs
+    assert pig.df("j3").count() >= 0
+
+
+def test_nary_outer_join_rejected(pig):
+    pig.execute("c = LOAD 'customer'; o = LOAD 'orders'; n = LOAD 'nation';")
+    with pytest.raises(PigSyntaxError):
+        pig.execute("j = JOIN c BY c_custkey LEFT OUTER, o BY o_custkey, n BY n_nationkey;")
