@@ -356,7 +356,7 @@ class PigSession:
         # strip comments: -- line and /* block */
         script = re.sub(r"/\*.*?\*/", " ", script, flags=re.DOTALL)
         script = re.sub(r"--[^\n]*", " ", script)
-        buf, quote = [], None
+        buf, quote, depth = [], None, 0
         for ch in script:
             if quote:
                 if ch == quote and (not buf or buf[-1] != "\\"):
@@ -365,7 +365,13 @@ class PigSession:
             elif ch in "'\"":
                 quote = ch
                 buf.append(ch)
-            elif ch == ";":
+            elif ch == "{":
+                depth += 1
+                buf.append(ch)
+            elif ch == "}":
+                depth -= 1
+                buf.append(ch)
+            elif ch == ";" and depth == 0:
                 stmt = "".join(buf).strip()
                 if stmt:
                     yield stmt
@@ -493,6 +499,11 @@ class PigSession:
         return child.filter(F.expr(translate_expr(m.group(2), child.columns)))
 
     def _op_foreach(self, rhs: str) -> DataFrame:
+        bm = re.match(
+            r"FOREACH\s+(\w+)\s*\{(.*)\}\s*$", rhs, re.IGNORECASE | re.DOTALL
+        )
+        if bm:
+            return self._foreach_nested(bm.group(1), bm.group(2))
         m = re.match(
             r"FOREACH\s+(\w+)\s+GENERATE\s+(.*)$", rhs, re.IGNORECASE | re.DOTALL
         )
@@ -525,6 +536,157 @@ class PigSession:
             c = F.expr(translate_expr(expr_s, child.columns))
             cols.append(c.alias(name) if name else c)
         return child.select(*cols)
+
+    def _foreach_nested(self, group_alias: str, body: str) -> DataFrame:
+        """Nested FOREACH block (SURVEY.md §2.2, hard-point H1):
+
+            X = FOREACH G {
+              t = FILTER A BY p;        -- inner pipeline over the bag
+              s = ORDER t BY f DESC;
+              l = LIMIT s 3;
+              d = DISTINCT A.f;
+              GENERATE group, COUNT(t) AS n, ...;   -- aggregate path
+              -- or: GENERATE group, FLATTEN(l);    -- top-k path
+            };
+
+        Never materializes bags.  The aggregate path compiles inner
+        FILTER to conditional aggregates (COUNT(t) → count over a
+        when(p, ...)), inner DISTINCT to count_distinct.  The top-k
+        path (FLATTEN of an ORDER+LIMIT alias) compiles to a window
+        row_number over the group key (operators/grouping.py design).
+        """
+        rel = self.rels.get(group_alias)
+        if not isinstance(rel, _Grouped):
+            raise PigSyntaxError(
+                f"nested FOREACH needs a GROUP result, got {group_alias!r}"
+            )
+        child_df = rel.child_df
+        cols = child_df.columns
+        # -- parse the inner pipeline --------------------------------
+        specs: dict[str, dict] = {}  # alias → {filter, order, limit, distinct}
+        generate: str | None = None
+        for stmt in self._statements(body):
+            gm = re.match(r"GENERATE\s+(.*)$", stmt.strip(), re.IGNORECASE | re.DOTALL)
+            if gm:
+                generate = gm.group(1)
+                continue
+            am = re.match(r"(\w+)\s*=\s*(.*)$", stmt.strip(), re.DOTALL)
+            if not am:
+                raise PigSyntaxError(f"bad nested statement: {stmt}")
+            name, op = am.group(1), am.group(2).strip()
+            kw = op.split(None, 1)[0].upper()
+
+            def base_spec(src: str) -> dict:
+                if src == rel.child:
+                    return {"filter": None, "order": None, "limit": None, "distinct": None}
+                if src in specs:
+                    return dict(specs[src])
+                raise PigSyntaxError(f"unknown inner alias {src!r}")
+
+            if kw == "FILTER":
+                fm = re.match(r"FILTER\s+(\w+)\s+BY\s+(.*)$", op, re.IGNORECASE | re.DOTALL)
+                spec = base_spec(fm.group(1))
+                pred = translate_expr(fm.group(2), cols)
+                spec["filter"] = (
+                    f"({spec['filter']}) AND ({pred})" if spec["filter"] else pred
+                )
+                specs[name] = spec
+            elif kw == "ORDER":
+                om = re.match(r"ORDER\s+(\w+)\s+BY\s+(.*)$", op, re.IGNORECASE | re.DOTALL)
+                spec = base_spec(om.group(1))
+                spec["order"] = om.group(2).strip()
+                specs[name] = spec
+            elif kw == "LIMIT":
+                lm = re.match(r"LIMIT\s+(\w+)\s+(\d+)\s*$", op, re.IGNORECASE)
+                spec = base_spec(lm.group(1))
+                spec["limit"] = int(lm.group(2))
+                specs[name] = spec
+            elif kw == "DISTINCT":
+                dm = re.match(r"DISTINCT\s+(\w+)(?:\.(\w+))?\s*$", op, re.IGNORECASE)
+                if not dm:
+                    raise PigSyntaxError(f"bad nested DISTINCT: {op}")
+                spec = base_spec(dm.group(1))
+                spec["distinct"] = dm.group(2)  # None = whole tuple
+                specs[name] = spec
+            else:
+                raise PigSyntaxError(f"unsupported nested op: {kw}")
+        if generate is None:
+            raise PigSyntaxError("nested FOREACH block must end with GENERATE")
+
+        # -- top-k path: GENERATE [group,] FLATTEN(alias) -------------
+        fl = re.match(
+            r"(?:group\s*,\s*)?FLATTEN\s*\(\s*(\w+)\s*\)\s*$",
+            generate.strip(),
+            re.IGNORECASE,
+        )
+        if fl and fl.group(1) in specs and specs[fl.group(1)].get("limit") is not None:
+            from pigout_spark.operators.grouping import nested_topk
+
+            spec = specs[fl.group(1)]
+            df = child_df
+            if spec["filter"]:
+                df = df.filter(F.expr(spec["filter"]))
+            order_cols = []
+            for part in _split_args(spec["order"] or ""):
+                dm2 = re.match(r"(.*?)\s+(ASC|DESC)\s*$", part.strip(), re.IGNORECASE)
+                e, d = (dm2.group(1), dm2.group(2).upper()) if dm2 else (part, "ASC")
+                c = F.expr(translate_expr(e, cols))
+                order_cols.append(c.desc() if d == "DESC" else c.asc())
+            if not order_cols:
+                raise PigSyntaxError("FLATTEN of a LIMIT alias needs an ORDER")
+            keys = [F.expr(k) for k in rel.keys] if rel.keys else []
+            if not keys:
+                raise PigSyntaxError("top-k block needs GROUP BY keys")
+            return nested_topk(df, keys, order_cols, spec["limit"])
+
+        # -- aggregate path ------------------------------------------
+        key_cols = []
+        if rel.keys:
+            key_cols = [
+                F.expr(rel.keys[0]).alias("group")
+                if len(rel.keys) == 1
+                else F.struct(*[F.expr(k) for k in rel.keys]).alias("group")
+            ]
+        aggs = []
+        for item in _split_args(generate):
+            am2 = re.match(r"(.*?)\s+AS\s+(\w+)\s*$", item, re.IGNORECASE | re.DOTALL)
+            expr_s, name = (am2.group(1), am2.group(2)) if am2 else (item, None)
+            expr_s = expr_s.strip()
+            if expr_s.lower() == "group":
+                continue
+            cm = re.match(
+                r"(COUNT|SUM|AVG|MIN|MAX)\s*\(\s*(\w+)(?:\.(\w+))?\s*\)\s*$",
+                expr_s,
+                re.IGNORECASE,
+            )
+            if not cm:
+                raise PigSyntaxError(
+                    f"nested GENERATE supports agg(alias[.field]) items, got: {item}"
+                )
+            fn, src, field = cm.group(1).upper(), cm.group(2), cm.group(3)
+            spec = specs.get(src) if src != rel.child else {
+                "filter": None, "distinct": None
+            }
+            if spec is None:
+                raise PigSyntaxError(f"unknown inner alias {src!r}")
+            dfield = spec.get("distinct")
+            target = field or dfield
+            val = (
+                F.expr(translate_expr(target, cols)) if target else F.lit(1)
+            )
+            if spec.get("filter"):
+                val = F.when(F.expr(spec["filter"]), val)
+            if dfield is not None or (spec.get("distinct") is not None):
+                if fn != "COUNT":
+                    raise PigSyntaxError("only COUNT over a DISTINCT inner alias")
+                c = F.count_distinct(val)
+            elif fn == "COUNT":
+                c = F.count(val)
+            else:
+                c = getattr(F, fn.lower())(val)
+            aggs.append(c.alias(name) if name else c)
+        grouped = child_df.groupBy(*key_cols) if key_cols else child_df.groupBy()
+        return grouped.agg(*aggs)
 
     def _foreach_grouped(self, g: _Grouped, items_s: str) -> DataFrame:
         """The GROUP+FOREACH fusion: aggregate without materializing bags."""

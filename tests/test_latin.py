@@ -299,3 +299,58 @@ def test_nary_outer_join_rejected(pig):
     pig.execute("c = LOAD 'customer'; o = LOAD 'orders'; n = LOAD 'nation';")
     with pytest.raises(PigSyntaxError):
         pig.execute("j = JOIN c BY c_custkey LEFT OUTER, o BY o_custkey, n BY n_nationkey;")
+
+
+def test_nested_foreach_aggregate_path(pig, spark, sf_dir):
+    pig.execute(
+        """
+        li = LOAD 'lineitem';
+        g = GROUP li BY l_returnflag;
+        x = FOREACH g {
+          cheap = FILTER li BY l_quantity < 10;
+          parts = DISTINCT li.l_partkey;
+          GENERATE group, COUNT(cheap) AS n_cheap, SUM(cheap.l_quantity) AS q_cheap,
+                   COUNT(parts) AS n_parts, MAX(li.l_extendedprice) AS mx;
+        };
+        """
+    )
+    out = pig.df("x")
+    assert out.columns == ["group", "n_cheap", "q_cheap", "n_parts", "mx"]
+    # no bag materialization anywhere
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" not in plan
+    # cross-check against hand-written conditional aggregation
+    from pigout_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    want = {
+        r["l_returnflag"]: (r["n"], r["np"])
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(F.col("l_quantity") < 10, 1)).alias("n"),
+            F.count_distinct("l_partkey").alias("np"),
+        )
+        .collect()
+    }
+    got = {r.group: (r.n_cheap, r.n_parts) for r in out.collect()}
+    assert got == want
+
+
+def test_nested_foreach_topk_path(pig):
+    pig.execute(
+        """
+        o = LOAD 'orders';
+        g = GROUP o BY o_custkey;
+        top = FOREACH g {
+          s = ORDER o BY o_totalprice DESC, o_orderkey ASC;
+          l = LIMIT s 2;
+          GENERATE group, FLATTEN(l);
+        };
+        """
+    )
+    out = pig.df("top")
+    counts = out.groupBy("o_custkey").count().collect()
+    assert max(r["count"] for r in counts) <= 2
+    # plan uses a window over the group key, not bags
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" not in plan
