@@ -66,3 +66,29 @@ def test_tokenize_matches_stringtokenizer(spark, words):
     got = _one(spark, s, TOKENIZE("s").alias("t")).t
     want = [t for t in re.split(r'[ ",()*]', s) if t]
     assert got == want
+
+
+def test_fuzz_oracle_sample(spark):
+    """A small seed of the randomized differential fuzz (tools/
+    fuzz_oracle.py runs the full sweep): random scan→filter→group→agg
+    plans must hash-match DuckDB."""
+    import random
+
+    import duckdb
+
+    from tools.fuzz_oracle import TABLES, gen_query
+    from tools.selfcheck import value_hash
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    rng = random.Random(1234)
+    for _ in range(8):
+        build, sql = gen_query(rng)
+        spdf = build(spark, sf_dir).toPandas()
+        opdf = con.execute(sql).df()
+        assert len(spdf) == len(opdf), sql
+        assert value_hash(spdf) == value_hash(opdf), sql

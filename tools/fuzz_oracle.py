@@ -1,0 +1,145 @@
+"""Randomized engine-vs-DuckDB differential testing (a sqllogictest-ish
+fuzz over the mapping layer).
+
+Generates random scan→filter→group→agg plans over the fixture schema as
+BOTH a DataFrame expression and the equivalent SQL, runs them on Spark
+and DuckDB, and hash-compares results with the same normalization the
+selfcheck uses.  Catches mapping bugs broadly instead of per-curated-
+query.
+
+    python tools/fuzz_oracle.py [n_queries] [seed] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb
+
+from pyspark.sql import functions as F
+
+from pigout_spark.catalog import load_table
+from pigout_spark.session import get_spark
+from tools.selfcheck import _normalize, value_hash
+
+#: (table, group-able string cols, filterable numeric cols, aggregable
+#: double cols, int-ish cols)
+TABLES = {
+    "lineitem": (
+        ["l_returnflag", "l_linestatus"],
+        [("l_quantity", 1.0, 50.0), ("l_discount", 0.0, 0.1), ("l_tax", 0.0, 0.1)],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        ["l_orderkey", "l_partkey", "l_suppkey"],
+    ),
+    "orders": (
+        ["o_orderstatus", "o_orderpriority"],
+        [("o_totalprice", 1000.0, 500000.0)],
+        ["o_totalprice"],
+        ["o_orderkey", "o_custkey"],
+    ),
+    "customer": (
+        ["c_mktsegment"],
+        [("c_acctbal", -1000.0, 10000.0)],
+        ["c_acctbal"],
+        ["c_custkey", "c_nationkey"],
+    ),
+    "events": (
+        ["event_type"],
+        [("value", 0.0, 200.0)],
+        ["value"],
+        ["user_id", "event_id"],
+    ),
+}
+
+_CMP = ["<", "<=", ">", ">="]
+
+
+def gen_query(rng: random.Random):
+    """One random plan → (builder(spark, sf_dir) -> DataFrame, sql)."""
+    table = rng.choice(list(TABLES))
+    strs, nums, doubles, ints = TABLES[table]
+    preds, fexprs = [], []
+    for _ in range(rng.randint(0, 2)):
+        col, lo, hi = rng.choice(nums)
+        op = rng.choice(_CMP)
+        val = round(rng.uniform(lo, hi), 2)
+        preds.append(f"{col} {op} {val}")
+    if rng.random() < 0.4:
+        col = rng.choice(strs)
+        preds.append(f"{col} IS NOT NULL")
+    where = " AND ".join(preds)
+
+    keys = rng.sample(strs, rng.randint(1, len(strs)))
+    aggs_sql, aggs_df = [], []
+    for i, _ in enumerate(range(rng.randint(1, 3))):
+        kind = rng.choice(["count", "dsum", "min", "max", "cd"])
+        if kind == "count":
+            aggs_sql.append(f"COUNT(*) AS a{i}")
+            aggs_df.append(F.count(F.lit(1)).alias(f"a{i}"))
+        elif kind == "dsum":
+            c = rng.choice(doubles)
+            aggs_sql.append(
+                f"CAST(SUM(CAST({c} AS DECIMAL(20,4))) AS DOUBLE) AS a{i}"
+            )
+            aggs_df.append(
+                F.sum(F.col(c).cast("decimal(20,4)")).cast("double").alias(f"a{i}")
+            )
+        elif kind in ("min", "max"):
+            c = rng.choice(doubles + ints)
+            aggs_sql.append(f"{kind.upper()}({c}) AS a{i}")
+            aggs_df.append(getattr(F, kind)(c).alias(f"a{i}"))
+        else:
+            c = rng.choice(ints)
+            aggs_sql.append(f"COUNT(DISTINCT {c}) AS a{i}")
+            aggs_df.append(F.count_distinct(c).alias(f"a{i}"))
+
+    sql = f"SELECT {', '.join(keys)}, {', '.join(aggs_sql)} FROM {table}"
+    if where:
+        sql += f" WHERE {where}"
+    sql += f" GROUP BY {', '.join(keys)}"
+
+    def build(spark, sf_dir):
+        df = load_table(spark, sf_dir, table)
+        if where:
+            df = df.filter(where)
+        return df.groupBy(*keys).agg(*aggs_df)
+
+    return build, sql
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else 42
+    sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.01"
+    rng = random.Random(seed)
+    spark = get_spark("fuzz-oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    bad = 0
+    for i in range(n):
+        build, sql = gen_query(rng)
+        spdf = build(spark, sf_dir).toPandas()
+        opdf = con.execute(sql).df()
+        ok = (
+            len(spdf) == len(opdf)
+            and list(_normalize(spdf).columns) == list(_normalize(opdf).columns)
+            and value_hash(spdf) == value_hash(opdf)
+        )
+        if not ok:
+            bad += 1
+            print(f"MISMATCH #{i}: {sql}")
+        else:
+            print(f"ok #{i}: {len(spdf)} rows :: {sql[:100]}")
+    print(f"\n{bad} mismatches of {n}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
