@@ -34,11 +34,15 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
+    "dedup_embedding",
     "sim_cosine_topk",
     "sim_ann_buckets",
+    "sim_ivf_topk",
     "text_quality",
     "text_fingerprint",
+    "text_rolling_hash",
     "stream_tumbling",
+    "stream_sliding",
     "stream_session",
 ]
 
