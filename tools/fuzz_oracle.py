@@ -57,9 +57,96 @@ TABLES = {
 
 _CMP = ["<", "<=", ">", ">="]
 
+#: unique-key tuples per table (top-k tiebreaks must be total orders)
+UNIQUE_KEYS = {
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "orders": ["o_orderkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id"],
+}
+
+#: join edges: (left, lkey, right, rkey)
+JOINS = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+]
+
+
+def gen_topk(rng: random.Random):
+    """Random ORDER BY ... LIMIT with a unique tiebreak."""
+    table = rng.choice(list(TABLES))
+    strs, nums, doubles, ints = TABLES[table]
+    sortcol = rng.choice(doubles)
+    direction = rng.choice(["ASC", "DESC"])
+    n = rng.randint(3, 25)
+    keys = UNIQUE_KEYS[table]
+    cols = keys + [sortcol]
+    where = ""
+    if rng.random() < 0.5:
+        col, lo, hi = rng.choice(nums)
+        where = f"{col} {rng.choice(_CMP)} {round(rng.uniform(lo, hi), 2)}"
+    order_sql = f"{sortcol} {direction}, " + ", ".join(keys)
+    sql = f"SELECT {', '.join(cols)} FROM {table}"
+    if where:
+        sql += f" WHERE {where}"
+    sql += f" ORDER BY {order_sql} LIMIT {n}"
+
+    def build(spark, sf_dir):
+        df = load_table(spark, sf_dir, table).select(*cols)
+        if where:
+            df = df.filter(where)
+        oc = [F.col(sortcol).desc() if direction == "DESC" else F.col(sortcol).asc()]
+        oc += [F.col(k) for k in keys]
+        return df.orderBy(*oc).limit(n)
+
+    return build, sql
+
+
+def gen_join(rng: random.Random):
+    """Random two-table equi-join + group + aggs."""
+    lt, lk, rt, rk = rng.choice(JOINS)
+    lstrs, lnums, ldoubles, _ = TABLES[lt]
+    rstrs, rnums, rdoubles, _ = TABLES[rt]
+    keys = [rng.choice(lstrs), rng.choice(rstrs)]
+    preds = []
+    if rng.random() < 0.7:
+        col, lo, hi = rng.choice(lnums + rnums)
+        preds.append(f"{col} {rng.choice(_CMP)} {round(rng.uniform(lo, hi), 2)}")
+    where = " AND ".join(preds)
+    c = rng.choice(ldoubles + rdoubles)
+    aggs_sql = [
+        "COUNT(*) AS a0",
+        f"CAST(SUM(CAST({c} AS DECIMAL(20,4))) AS DOUBLE) AS a1",
+    ]
+    sql = (
+        f"SELECT {', '.join(keys)}, {', '.join(aggs_sql)} "
+        f"FROM {lt} JOIN {rt} ON {lt}.{lk} = {rt}.{rk}"
+    )
+    if where:
+        sql += f" WHERE {where}"
+    sql += f" GROUP BY {', '.join(keys)}"
+
+    def build(spark, sf_dir):
+        ldf = load_table(spark, sf_dir, lt)
+        rdf = load_table(spark, sf_dir, rt)
+        df = ldf.join(rdf, ldf[lk] == rdf[rk])
+        if where:
+            df = df.filter(where)
+        return df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("a0"),
+            F.sum(F.col(c).cast("decimal(20,4)")).cast("double").alias("a1"),
+        )
+
+    return build, sql
+
 
 def gen_query(rng: random.Random):
     """One random plan → (builder(spark, sf_dir) -> DataFrame, sql)."""
+    r = rng.random()
+    if r < 0.2:
+        return gen_topk(rng)
+    if r < 0.45:
+        return gen_join(rng)
     table = rng.choice(list(TABLES))
     strs, nums, doubles, ints = TABLES[table]
     preds, fexprs = [], []
