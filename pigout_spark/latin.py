@@ -27,6 +27,7 @@ Supported statements (the workhorse subset of the Pig Latin manual):
     B = STREAM A THROUGH `cmd` [AS (n:type, ...)];
     DEFINE alias `cmd`;                        -- streaming command binding
     %declare NAME 'value';                     -- + run_script(params={...})
+    ASSERT A BY p [, 'message'];
     STORE A INTO 'uri' [USING ...];      DUMP A;      DESCRIBE A;
 
 Expression rewrites applied before Spark's SQL parser takes over:
@@ -425,6 +426,22 @@ class PigSession:
                 df.write.mode("overwrite").json(uri)
             else:
                 df.write.mode("overwrite").parquet(uri)
+        elif kw == "ASSERT":
+            am = re.match(
+                r"ASSERT\s+(\w+)\s+BY\s+(.*?)(?:\s*,\s*'([^']*)')?\s*$",
+                stmt,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not am:
+                raise PigSyntaxError(f"bad ASSERT: {stmt}")
+            from pigout_spark.operators.relational import assert_by
+
+            child = self._get(am.group(1))
+            self.rels[am.group(1)] = assert_by(
+                child,
+                F.expr(translate_expr(am.group(2), child.columns)),
+                am.group(3) or f"ASSERT failed on {am.group(1)}",
+            )
         elif kw == "DUMP":
             self.dump(stmt.split(None, 1)[1].strip())
         elif kw == "DESCRIBE":

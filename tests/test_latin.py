@@ -354,3 +354,13 @@ def test_nested_foreach_topk_path(pig):
     # plan uses a window over the group key, not bags
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "collect_list" not in plan
+
+
+def test_assert_statement(pig):
+    pig.execute(
+        "li = LOAD 'lineitem'; ASSERT li BY l_quantity > 0, 'qty must be positive';"
+    )
+    assert pig.df("li").count() == 6000  # all rows satisfy → passes
+    pig.execute("ASSERT li BY l_quantity > 49;")
+    with pytest.raises(Exception):
+        pig.df("li").count()  # violated → job fails at action time
