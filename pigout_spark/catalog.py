@@ -103,13 +103,46 @@ class Catalog:
         if name not in self._tables:
             raise KeyError(f"table {name!r} not registered; have {self.names()}")
         spec = self._tables[name]
+        df = self._raw_load(spark, spec)
+        if spec.transform is not None:
+            df = spec.transform(df)
+        return df
+
+    def _raw_load(self, spark: SparkSession, spec: TableSpec) -> DataFrame:
         apply_runtime_confs(spark)  # the driver's session may lack our confs
         reader = spark.read.format(spec.fmt)
         if spec.schema:
             reader = reader.schema(spec.schema)
         for k, v in spec.options.items():
             reader = reader.option(k, v)
-        df = reader.load(spec.uri)
+        return reader.load(spec.uri)
+
+    def load_stream(self, spark: SparkSession, name: str) -> DataFrame:
+        """readStream variant of load(): the registered URI becomes a
+        file-stream source (new files = new micro-batches).  The schema
+        is taken from a batch read of what's already there — production
+        registries declare it in the TableSpec instead.  Post-load
+        transforms apply identically, so batch-developed pipelines move
+        to streaming unchanged (streaming/windows.py parity)."""
+        import os
+
+        if name not in self._tables:
+            raise KeyError(f"table {name!r} not registered; have {self.names()}")
+        spec = self._tables[name]
+        apply_runtime_confs(spark)
+        # raw (pre-transform) schema: the stream reader sees the file
+        # layout; transforms apply after
+        schema = spec.schema or self._raw_load(spark, spec).schema
+        reader = spark.readStream.format(spec.fmt).schema(schema)
+        for k, v in spec.options.items():
+            reader = reader.option(k, v)
+        uri = spec.uri
+        if os.path.isfile(uri.removeprefix("file:")):
+            # file-stream sources require a directory: stream the parent
+            # filtered to this table's file(s)
+            reader = reader.option("pathGlobFilter", os.path.basename(uri))
+            uri = os.path.dirname(uri)
+        df = reader.load(uri)
         if spec.transform is not None:
             df = spec.transform(df)
         return df

@@ -88,7 +88,19 @@ _FN_RENAME = {
     "LOG": "ln",
     "LOG10": "log10",
     "SQRT": "sqrt",
+    "CBRT": "cbrt",
     "RANDOM": "rand",
+    "SIN": "sin",
+    "COS": "cos",
+    "TAN": "tan",
+    "ASIN": "asin",
+    "ACOS": "acos",
+    "ATAN": "atan",
+    "SINH": "sinh",
+    "COSH": "cosh",
+    "TANH": "tanh",
+    "COPYSIGN": "copysign",
+    "SUBTRACT": "array_except",
     "GETYEAR": "year",
     "GETMONTH": "month",
     "GETDAY": "dayofmonth",

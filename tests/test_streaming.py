@@ -122,3 +122,25 @@ def test_sessionize_stateful_streaming(spark):
         assert r.session_end == T0 + dt.timedelta(minutes=10)
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_catalog_load_stream_events(spark, sf_dir):
+    """Catalog.load_stream: the fixture events table as a file-stream
+    source, including the nanosecond-ts normalization transform."""
+    from pigout_spark.catalog import Catalog
+
+    cat = Catalog().register_fixture_dir(sf_dir)
+    stream = cat.load_stream(spark, "events")
+    assert stream.isStreaming
+    assert dict(stream.dtypes)["ts"].startswith("timestamp")
+    out = tumbling_agg(stream, "ts", "1 hour", ["event_type"], [F.count(F.lit(1)).alias("n")])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ev_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    total = spark.sql("select sum(n) s from ev_stream").first().s
+    assert total == 1000  # all sf0.001 events arrived through the stream
