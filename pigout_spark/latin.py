@@ -296,14 +296,21 @@ class _Grouped:
     child: str
     child_df: DataFrame
     keys: list[str]  # SQL exprs; empty = GROUP ALL
+    mode: str = "group"  # "group" | "cube" | "rollup" (SURVEY §2.4 CUBE stmt)
     materialized: DataFrame | None = None
 
     def materialize(self) -> DataFrame:
-        """Literal (group, bag) shape, for DUMP/STORE of a bare GROUP."""
+        """Literal (group, bag) shape, for DUMP/STORE of a bare GROUP.
+        For CUBE/ROLLUP the bag field is named `cube` as in Pig."""
         if self.materialized is None:
-            payload = F.collect_list(F.struct(*self.child_df.columns)).alias(self.child)
+            bag_name = self.child if self.mode == "group" else "cube"
+            payload = F.collect_list(F.struct(*self.child_df.columns)).alias(bag_name)
             if not self.keys:
                 self.materialized = self.child_df.agg(payload)
+            elif self.mode in ("cube", "rollup"):
+                dims = [F.expr(k) for k in self.keys]
+                grouped = getattr(self.child_df, self.mode)(*dims)
+                self.materialized = grouped.agg(payload)
             else:
                 key = (
                     F.expr(self.keys[0]).alias("group")
@@ -718,35 +725,65 @@ class PigSession:
         return grouped.agg(*aggs)
 
     def _foreach_grouped(self, g: _Grouped, items_s: str) -> DataFrame:
-        """The GROUP+FOREACH fusion: aggregate without materializing bags."""
+        """The GROUP+FOREACH fusion: aggregate without materializing bags.
+        CUBE/ROLLUP results fuse the same way — `FLATTEN(group)` emits the
+        dimensions (NULL filler for rolled-up levels, divergence from
+        Pig's 'all' string documented at operators/grouping.py:cube_agg),
+        and aggregates may reference the Pig-named `cube` bag."""
+        cube_mode = g.mode in ("cube", "rollup")
         key_cols: list[Column] = []
         if g.keys:
-            if len(g.keys) == 1:
-                key_cols = [F.expr(g.keys[0]).alias("group")]
+            if cube_mode or len(g.keys) > 1:
+                key_cols = [F.expr(k) for k in g.keys]
             else:
-                key_cols = [
-                    F.struct(*[F.expr(k) for k in g.keys]).alias("group")
-                ]
+                key_cols = [F.expr(g.keys[0]).alias("group")]
         aggs: list[Column] = []
         out_names: list[str] = []
         for item in _split_args(items_s):
             am = re.match(r"(.*?)\s+AS\s+(\w+)\s*$", item, re.IGNORECASE | re.DOTALL)
             expr_s, name = (am.group(1), am.group(2)) if am else (item, None)
             expr_s = expr_s.strip()
-            if expr_s.lower() == "group":
+            if expr_s.lower() == "group" or re.match(
+                r"FLATTEN\s*\(\s*group\s*\)\s*$", expr_s, re.IGNORECASE
+            ):
                 out_names.append(name or "group")
                 continue
             sql = _rewrite_agg_calls(expr_s, g.child)
+            if cube_mode:
+                sql = _rewrite_agg_calls(sql, "cube")
             sql = translate_expr(sql, g.child_df.columns)
             c = F.expr(sql)
             aggs.append(c.alias(name) if name else c)
-        grouped = (
-            g.child_df.groupBy(*key_cols) if key_cols else g.child_df.groupBy()
-        )
+        if cube_mode:
+            grouped = getattr(g.child_df, g.mode)(*key_cols)
+        elif len(g.keys) > 1:
+            grouped = g.child_df.groupBy(
+                F.struct(*key_cols).alias("group")
+            )
+        else:
+            grouped = (
+                g.child_df.groupBy(*key_cols) if key_cols else g.child_df.groupBy()
+            )
         out = grouped.agg(*aggs)
-        if out_names and out_names[0] != "group":
+        if not cube_mode and out_names and out_names[0] != "group":
             out = out.withColumnRenamed("group", out_names[0])
         return out
+
+    def _op_cube(self, rhs: str) -> _Grouped:
+        """CUBE A BY CUBE(a,b) / CUBE A BY ROLLUP(a,b) (SURVEY §2.4,
+        Pig 0.11+).  Kept symbolic like GROUP; the following FOREACH
+        fuses to df.cube()/df.rollup() + agg — no bag materialization."""
+        m = re.match(
+            r"CUBE\s+(\w+)\s+BY\s+(CUBE|ROLLUP)\s*\((.*)\)\s*$",
+            rhs,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise PigSyntaxError(f"bad CUBE: {rhs}")
+        child_name, mode, dims_s = m.group(1), m.group(2).lower(), m.group(3)
+        child = self._get(child_name)
+        keys = [translate_expr(k, child.columns) for k in _split_args(dims_s)]
+        return _Grouped(child_name, child, keys, mode=mode)
 
     def _op_group(self, rhs: str) -> _Grouped:
         m = re.match(

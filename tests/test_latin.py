@@ -364,3 +364,57 @@ def test_assert_statement(pig):
     pig.execute("ASSERT li BY l_quantity > 49;")
     with pytest.raises(Exception):
         pig.df("li").count()  # violated → job fails at action time
+
+
+def test_cube_statement(pig, spark, sf_dir):
+    """CUBE A BY CUBE(a,b): fused to df.cube(); matches a hand plan."""
+    pig.execute(
+        """
+        n = LOAD 'nation';
+        c = CUBE n BY CUBE(n_regionkey, n_name);
+        out = FOREACH c GENERATE FLATTEN(group), COUNT(cube) AS n;
+        """
+    )
+    got = pig.df("out")
+    assert set(got.columns) == {"n_regionkey", "n_name", "n"}
+    exp = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .cube("n_regionkey", "n_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from collections import Counter
+    assert Counter(map(tuple, got.collect())) == Counter(map(tuple, exp.collect()))
+
+
+def test_rollup_statement(pig, spark, sf_dir):
+    """CUBE A BY ROLLUP(a): hierarchical; aggregates over child alias too."""
+    pig.execute(
+        """
+        li = LOAD 'lineitem';
+        r = CUBE li BY ROLLUP(l_returnflag, l_linestatus);
+        out = FOREACH r GENERATE FLATTEN(group), SUM(li.l_quantity) AS qty;
+        """
+    )
+    got = pig.df("out")
+    exp = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    from collections import Counter
+    assert Counter(map(tuple, got.collect())) == Counter(map(tuple, exp.collect()))
+
+
+def test_cube_bare_dump_materializes_bag(pig):
+    """DUMP of a bare CUBE materializes (dims…, cube bag) rows."""
+    pig.execute(
+        """
+        n = LOAD 'nation';
+        c = CUBE n BY CUBE(n_regionkey);
+        """
+    )
+    rows = pig.df("c").collect()
+    # 5 region keys + the all-rolled-up row
+    assert len(rows) == 6
+    total = next(r for r in rows if r.n_regionkey is None)
+    assert len(total.cube) == 25  # every nation in the rolled-up bag
