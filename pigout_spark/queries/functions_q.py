@@ -249,3 +249,92 @@ def q23_window_lag(spark, sf_dir):
         F.count("gap_s").alias("n_gaps"),
         F.sum("gap_s").alias("total_gap_s"),
     )
+
+
+# --- §2.7 math builtins (ABS CEIL FLOOR ROUND ROUND_TO SQRT LOG LOG10 SIN) ---
+@query(
+    "q34_math_funcs",
+    """
+    SELECT p_partkey,
+           abs(p_size - 25) AS size_dev,
+           CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+           CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+           CAST(round(p_retailprice) AS BIGINT) AS price_round,
+           round(p_retailprice, 1) AS price_round1,
+           sqrt(p_size) AS size_sqrt,
+           round(ln(p_retailprice), 6) AS price_ln,
+           round(log10(p_retailprice), 6) AS price_log10,
+           round(sin(p_size), 6) AS size_sin,
+           p_size % 7 AS size_mod
+    FROM part
+    """,
+)
+def q34_math_funcs(spark, sf_dir):
+    """Pig math builtins (SURVEY.md §2.7) — 1:1 to pyspark.sql.functions.
+    Exact ops (ABS/CEIL/FLOOR/ROUND/SQRT/MOD) hash-match raw; the
+    transcendentals (LOG/LOG10/SIN) are libm-implementation-specific at
+    the last ulp, so both sides round to 6 decimals (a 1-ulp divergence
+    flips the 6th digit with probability ~1e-10 — deterministic in
+    practice, and the convention is documented here for the oracle)."""
+    p = t(spark, sf_dir, "part")
+    sz, price = F.col("p_size"), F.col("p_retailprice")
+    return p.select(
+        "p_partkey",
+        F.abs(sz - 25).alias("size_dev"),
+        F.ceil(price).alias("price_ceil"),
+        F.floor(price).alias("price_floor"),
+        F.round(price).cast("long").alias("price_round"),
+        F.round(price, 1).alias("price_round1"),
+        F.sqrt(sz).alias("size_sqrt"),
+        F.round(F.log(price), 6).alias("price_ln"),
+        F.round(F.log10(price), 6).alias("price_log10"),
+        F.round(F.sin(sz), 6).alias("size_sin"),
+        (sz % 7).alias("size_mod"),
+    )
+
+
+# --- §2.7 string builtins, part 2 (trim/affix/regex/sprintf/split/case) ---
+@query(
+    "q35_string_funcs2",
+    """
+    SELECT c_custkey,
+           trim('  ' || c_mktsegment || ' ') AS seg_trim,
+           starts_with(c_name, 'Customer') AS is_cust,
+           CASE WHEN c_name LIKE '%1' THEN TRUE ELSE FALSE END AS ends_1,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           printf('%05d/%s', c_custkey, c_mktsegment) AS tag,
+           string_split(c_name, '_')[2] AS name_part2,
+           upper(substring(c_mktsegment, 1, 1)) || lower(substring(c_mktsegment, 2))
+             AS seg_title
+    FROM customer
+    """,
+)
+def q35_string_funcs2(spark, sf_dir):
+    """Pig string builtins round 2 (SURVEY.md §2.7): TRIM, STARTSWITH /
+    ENDSWITH, REGEX_EXTRACT (1-based group), SPRINTF, STRSPLIT (+ element
+    projection — Pig tuples project positionally), UCFIRST+LOWER title
+    casing.  Oracle uses DuckDB-native forms so the D4 wrappers are
+    verified against an independent convention."""
+    from pigout_spark.functions.strings import (
+        ENDSWITH,
+        REGEX_EXTRACT,
+        SPRINTF,
+        STARTSWITH,
+        STRSPLIT,
+        TRIM,
+    )
+
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        TRIM(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" "))).alias("seg_trim"),
+        STARTSWITH("c_name", "Customer").alias("is_cust"),
+        ENDSWITH("c_name", "1").alias("ends_1"),
+        REGEX_EXTRACT("c_name", "([0-9]+)", 1).alias("digits"),
+        SPRINTF("%05d/%s", "c_custkey", "c_mktsegment").alias("tag"),
+        F.get(STRSPLIT("c_name", "_"), 1).alias("name_part2"),
+        F.concat(
+            F.upper(F.substring("c_mktsegment", 1, 1)),
+            F.lower(F.expr("substring(c_mktsegment, 2)")),
+        ).alias("seg_title"),
+    )
