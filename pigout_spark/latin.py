@@ -340,6 +340,8 @@ class PigSession:
         self.rels: dict[str, DataFrame | _Grouped] = {}
         self.params: dict[str, str] = dict(params or {})  # -param analog
         self.defines: dict[str, str] = {}  # DEFINE alias `cmd`
+        # DEFINE name(params) RETURNS alias { body } (Pig 0.9+ macros)
+        self.macros: dict[str, tuple[list[str], str, str]] = {}
 
     # -- public API ------------------------------------------------------
     def execute(self, script: str) -> None:
@@ -422,12 +424,31 @@ class PigSession:
             self.params[dm.group(1)] = dm.group(2)
             return
         if kw == "DEFINE":
+            mm = re.match(
+                r"DEFINE\s+(\w+)\s*\(([^)]*)\)\s+RETURNS\s+(\w+)\s*\{(.*)\}\s*$",
+                stmt,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if mm:  # Pig macro (AP parser/QueryParserDriver macro expansion)
+                params = [p.strip() for p in mm.group(2).split(",") if p.strip()]
+                self.macros[mm.group(1)] = (params, mm.group(3), mm.group(4))
+                return
             dm = re.match(r"DEFINE\s+(\w+)\s+`([^`]+)`", stmt, re.IGNORECASE)
             if not dm:
                 raise PigSyntaxError(
-                    f"unsupported DEFINE (only `cmd` bindings): {stmt[:60]}"
+                    f"unsupported DEFINE (`cmd` or macro RETURNS): {stmt[:60]}"
                 )
             self.defines[dm.group(1)] = dm.group(2)
+            return
+        if kw == "IMPORT":
+            im = re.match(r"IMPORT\s+'([^']+)'\s*$", stmt, re.IGNORECASE)
+            if not im:
+                raise PigSyntaxError(f"bad IMPORT: {stmt}")
+            with open(im.group(1), encoding="utf-8") as fh:
+                self.execute(fh.read())  # macro files: DEFINE…RETURNS stmts
+            return
+        if kw == "EXPLAIN":
+            self.df(stmt.split(None, 1)[1].strip()).explain("formatted")
             return
         if kw == "STORE":
             sm = re.match(
@@ -492,12 +513,39 @@ class PigSession:
 
     # -- operator compilation -------------------------------------------
     def _compile_op(self, alias: str, rhs: str) -> DataFrame | _Grouped:
+        mm = re.match(r"(\w+)\s*\((.*)\)\s*$", rhs, re.DOTALL)
+        if mm and mm.group(1) in self.macros:
+            return self._invoke_macro(mm.group(1), mm.group(2))
         kw = rhs.split(None, 1)[0].upper()
         fn = getattr(self, f"_op_{kw.lower()}", None)
         if fn is None:
             raise PigSyntaxError(f"unsupported operator: {kw}")
         out = fn(rhs)
         return out.alias(alias) if isinstance(out, DataFrame) else out
+
+    def _invoke_macro(self, name: str, args_s: str) -> DataFrame | _Grouped:
+        """Expand `X = macro(args)` (Pig 0.9+ macros).  The body runs in
+        a child scope — inner aliases never leak (Pig's own expansion
+        renames them; a scope is the Spark-first equivalent).  Relation
+        args substitute textually as $param, exactly like Pig's
+        parameter substitution; the $RETURNS alias maps to a gensym
+        read back from the child scope."""
+        params, ret, body = self.macros[name]
+        args = [a.strip() for a in _split_args(args_s)] if args_s.strip() else []
+        if len(args) != len(params):
+            raise PigSyntaxError(
+                f"macro {name}: expected {len(params)} args, got {len(args)}"
+            )
+        sub = dict(zip(params, args))
+        sub[ret] = f"__macro_{name}_ret"
+        child = PigSession(self.spark, self.catalog, params={**self.params, **sub})
+        child.rels = dict(self.rels)
+        child.defines = dict(self.defines)
+        child.macros = dict(self.macros)
+        child.execute(body)
+        if sub[ret] not in child.rels:
+            raise PigSyntaxError(f"macro {name} never assigned ${ret}")
+        return child.rels[sub[ret]]
 
     def _op_load(self, rhs: str) -> DataFrame:
         m = re.match(

@@ -418,3 +418,55 @@ def test_cube_bare_dump_materializes_bag(pig):
     assert len(rows) == 6
     total = next(r for r in rows if r.n_regionkey is None)
     assert len(total.cube) == 25  # every nation in the rolled-up bag
+
+
+def test_macro_define_and_invoke(pig, spark, sf_dir):
+    """DEFINE name(params) RETURNS out { … } + invocation (Pig 0.9+).
+    Inner aliases stay scoped to the macro expansion."""
+    pig.execute(
+        """
+        DEFINE top_nations(rel, min_key) RETURNS out {
+          f = FILTER $rel BY n_nationkey >= $min_key;
+          g = GROUP f BY n_regionkey;
+          $out = FOREACH g GENERATE group, COUNT(f) AS n;
+        };
+        n = LOAD 'nation';
+        big = top_nations(n, 10);
+        """
+    )
+    got = {(r[0], r[1]) for r in pig.df("big").collect()}
+    exp = {
+        (r[0], r[1])
+        for r in spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .filter("n_nationkey >= 10")
+        .groupBy(F.col("n_regionkey").alias("group"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == exp
+    assert "f" not in pig.rels and "g" not in pig.rels  # no alias leakage
+
+
+def test_macro_import(pig, tmp_path):
+    """IMPORT 'macros.pig' loads DEFINE…RETURNS macros from a file."""
+    mfile = tmp_path / "macros.pig"
+    mfile.write_text(
+        "DEFINE just_names(rel) RETURNS out {"
+        " $out = FOREACH $rel GENERATE n_name; };"
+    )
+    pig.execute(
+        f"""
+        IMPORT '{mfile}';
+        n = LOAD 'nation';
+        names = just_names(n);
+        """
+    )
+    assert pig.df("names").columns == ["n_name"]
+    assert pig.df("names").count() == 25
+
+
+def test_explain_statement(pig, capsys):
+    """EXPLAIN alias prints the (formatted) physical plan."""
+    pig.execute("n = LOAD 'nation'; EXPLAIN n;")
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
