@@ -66,3 +66,35 @@ def test_nested_topk_single_shuffle_on_group_key(spark, sf_dir):
     # window over the group key: exactly one exchange, partitioned by it
     assert plan.count("Exchange hashpartitioning(o_custkey") == 1
     assert "Exchange SinglePartition" not in plan
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path_factory):
+    """plans/bucketing.py: a join between two tables bucketed+sorted on
+    the join key plans with ZERO ShuffleExchange (Pig 'merge' join; the
+    100 TB fact-to-fact path).  Auto-broadcast is disabled so the small
+    test fixtures take the same SortMergeJoin a 100 TB input would."""
+    from pyspark.sql import functions as F
+
+    from pigout_spark.plans.bucketing import bucketed, write_bucketed
+
+    tmp = str(tmp_path_factory.mktemp("buckets"))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    write_bucketed(li, f"{tmp}/li", "li_bkt", 8, "l_orderkey")
+    write_bucketed(od, f"{tmp}/od", "od_bkt", 8, "o_orderkey")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed(spark, "li_bkt").join(
+            bucketed(spark, "od_bkt"),
+            on=F.col("l_orderkey") == F.col("o_orderkey"),
+        ).select("l_orderkey", "l_quantity", "o_totalprice")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "ShuffleExchange" not in plan
+        assert "Bucketed: true" in plan
+        assert j.count() == li.count()  # every lineitem has its order
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS li_bkt")
+        spark.sql("DROP TABLE IF EXISTS od_bkt")

@@ -140,13 +140,87 @@ def gen_join(rng: random.Random):
     return build, sql
 
 
+#: (SQL set op, DataFrame method) — SQL INTERSECT/EXCEPT are DISTINCT
+#: semantics in both engines (Spark: intersect/subtract); UNION ALL is
+#: the Pig bag union (dup-keeping).
+_SETOPS = [("UNION ALL", "unionAll"), ("INTERSECT", "intersect"), ("EXCEPT", "subtract")]
+
+
+def gen_setop(rng: random.Random):
+    """Random UNION ALL / INTERSECT / EXCEPT of two filtered projections."""
+    table = rng.choice(list(TABLES))
+    strs, nums, doubles, ints = TABLES[table]
+    cols = [rng.choice(strs), rng.choice(ints)]
+
+    def pred() -> str:
+        col, lo, hi = rng.choice(nums)
+        return f"{col} {rng.choice(_CMP)} {round(rng.uniform(lo, hi), 2)}"
+
+    p1, p2 = pred(), pred()
+    op_sql, op_df = rng.choice(_SETOPS)
+    sql = (
+        f"SELECT {', '.join(cols)} FROM {table} WHERE {p1} "
+        f"{op_sql} SELECT {', '.join(cols)} FROM {table} WHERE {p2}"
+    )
+
+    def build(spark, sf_dir):
+        df = load_table(spark, sf_dir, table)
+        a = df.filter(p1).select(*cols)
+        b = df.filter(p2).select(*cols)
+        return getattr(a, op_df)(b)
+
+    return build, sql
+
+
+def gen_string(rng: random.Random):
+    """Random Pig string-shim compositions vs DuckDB-native SQL: fuzzes
+    the D4 index conventions (SUBSTRING 0-based stop-exclusive, INDEXOF
+    0-based/-1-missing) at random offsets incl. out-of-range (SURVEY
+    §7-H4)."""
+    start = rng.randint(0, 12)
+    stop = start + rng.randint(0, 10)
+    needle = rng.choice(["_", "0", "1", "Cust", "zz"])
+    sql = (
+        "SELECT c_custkey, "
+        f"substring(c_name, {start + 1}, {max(stop - start, 0)}) AS s1, "
+        f"strpos(c_name, '{needle}') - 1 AS i1, "
+        "upper(c_mktsegment) || '/' || c_name AS s2, "
+        "length(trim(c_name)) AS n1 "
+        "FROM customer"
+    )
+
+    def build(spark, sf_dir):
+        from pigout_spark.functions.strings import (
+            CONCAT,
+            INDEXOF,
+            SUBSTRING,
+            TRIM,
+            UPPER,
+        )
+
+        df = load_table(spark, sf_dir, "customer")
+        return df.select(
+            "c_custkey",
+            SUBSTRING("c_name", start, stop).alias("s1"),
+            INDEXOF("c_name", needle).alias("i1"),
+            CONCAT(UPPER("c_mktsegment"), F.lit("/"), "c_name").alias("s2"),
+            F.length(TRIM("c_name")).cast("long").alias("n1"),
+        )
+
+    return build, sql
+
+
 def gen_query(rng: random.Random):
     """One random plan → (builder(spark, sf_dir) -> DataFrame, sql)."""
     r = rng.random()
     if r < 0.2:
         return gen_topk(rng)
-    if r < 0.45:
+    if r < 0.4:
         return gen_join(rng)
+    if r < 0.52:
+        return gen_setop(rng)
+    if r < 0.62:
+        return gen_string(rng)
     table = rng.choice(list(TABLES))
     strs, nums, doubles, ints = TABLES[table]
     preds, fexprs = [], []
