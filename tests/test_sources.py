@@ -74,3 +74,20 @@ def test_predicate_pushdown_reaches_scan(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,5" in plan
     # column pruning: the scan must read only the two needed columns
     assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_partitioned_store_prunes_partitions(spark, sf_dir, tmp_path):
+    """store(partition_by=...): hive-layout sink; a downstream filter on
+    the partition column reaches the scan as a PartitionFilter (whole
+    directories skipped — the 100 TB pruning path)."""
+    from pigout_spark.sources.io import load, store
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dst = str(tmp_path / "li_part")
+    store(li, dst, partition_by=["l_returnflag"])
+    back = load(spark, dst).filter("l_returnflag = 'R'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(l_returnflag" in plan
+    assert back.count() == li.filter("l_returnflag = 'R'").count()
+    # partition column round-trips (as string — hive layout convention)
+    assert set(back.select("l_returnflag").distinct().toPandas()["l_returnflag"]) == {"R"}
