@@ -175,3 +175,34 @@ def test_ivf_assign_and_topk(spark):
     top = ivf_topk(emb, query_ids_max=2, k=3)
     out = top.collect()
     assert all(r.rn <= 3 and r.q_id != r.neighbor_id for r in out)
+
+
+def test_ann_recall_vs_brute_force(spark, sf_dir):
+    """The approximate paths must actually approximate: recall@10
+    against the exact brute-force baseline on the fixture embeddings.
+    Everything is seeded/deterministic, so these are fixed values
+    (measured: IVF 0.46 with cell-share chance at 0.125; LSH-3-planes
+    0.213 with bucket-share chance at 0.125) — the floors guard
+    regressions in centroid assignment / bucket coding, and document
+    the recall-vs-cost knob (more planes = smaller buckets = cheaper
+    join, lower recall: 6 planes measures 0.043)."""
+    from pigout_spark.catalog import load_table
+    from pigout_spark.pipeline.similarity import (
+        ann_topk,
+        brute_force_topk,
+        ivf_topk,
+        random_hyperplanes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 30")
+    k = 10
+    exact = {(r.q_id, r.neighbor_id) for r in brute_force_topk(emb, queries, k).collect()}
+    assert len(exact) == 300  # 30 queries × k
+
+    ivf = {(r.q_id, r.neighbor_id) for r in ivf_topk(emb, 30, k, n_centroids=8).collect()}
+    assert len(ivf & exact) / len(exact) >= 0.40  # >> 1/8 chance
+
+    planes = random_hyperplanes(64, 3)
+    ann = {(r.q_id, r.neighbor_id) for r in ann_topk(emb, queries, planes, k).collect()}
+    assert len(ann & exact) / len(exact) >= 0.18  # > 1/8 chance
