@@ -338,3 +338,34 @@ def q35_string_funcs2(spark, sf_dir):
             F.lower(F.expr("substring(c_mktsegment, 2)")),
         ).alias("seg_title"),
     )
+
+
+# --- beyond-reference: exact percentiles (the DataFu Quantile analog —
+# --- Pig itself has no percentile builtin; DataFu's was the standard add-on) ---
+@query(
+    "q36_percentiles",
+    """
+    SELECT l_returnflag,
+           median(l_quantity) AS med_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty,
+           quantile_disc(l_extendedprice, 0.5) AS med_price_disc,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q36_percentiles(spark, sf_dir):
+    """Exact per-group percentiles: continuous (interpolated between
+    order statistics — deterministic, no float-summation-order issues)
+    and discrete (an actual data value).  Spark `percentile` ==
+    DuckDB `quantile_cont`; `percentile_disc`'s lower-bound convention
+    matches `quantile_disc`."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("med_qty"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").alias(
+            "med_price_disc"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
