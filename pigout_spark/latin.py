@@ -876,20 +876,31 @@ class PigSession:
         return stream_through(child, ["sh", "-c", cmd], schema)
 
     def _op_cogroup(self, rhs: str) -> DataFrame:
-        """COGROUP A BY k1, B BY k2 [, ...] — side-by-side bags named
-        after the input aliases (operators/grouping.py:cogroup)."""
+        """COGROUP A BY k1 [INNER], B BY k2 [INNER], … — side-by-side
+        bags named after the input aliases (operators/grouping.py:
+        cogroup).  Any INNER flag drops groups with an empty bag on that
+        side (Pig semantics: INNER is per-input; all-INNER ≡ the
+        operators-layer inner=True fast path)."""
         from pigout_spark.operators.grouping import cogroup as op_cogroup
 
         parts = _split_args(rhs.split(None, 1)[1])
-        dfs, keys, names = [], [], []
+        dfs, keys, names, inners = [], [], [], []
         for part in parts:
-            pm = re.match(r"(\w+)\s+BY\s+(\w+)\s*$", part.strip(), re.IGNORECASE)
+            pm = re.match(
+                r"(\w+)\s+BY\s+(\w+)(\s+INNER)?\s*$", part.strip(), re.IGNORECASE
+            )
             if not pm:
                 raise PigSyntaxError(f"bad COGROUP input: {part}")
             names.append(pm.group(1))
             dfs.append(self._get(pm.group(1)))
             keys.append(pm.group(2))
-        return op_cogroup(dfs, keys, bag_names=names)
+            inners.append(bool(pm.group(3)))
+        out = op_cogroup(dfs, keys, inner=all(inners), bag_names=names)
+        if not all(inners):
+            for name, is_inner in zip(names, inners):
+                if is_inner:
+                    out = out.filter(F.size(F.col(name)) > 0)
+        return out
 
     def _op_join(self, rhs: str) -> DataFrame:
         """JOIN A BY k1 [LEFT|RIGHT|FULL [OUTER]], B BY k2 [, C BY k3 ...]

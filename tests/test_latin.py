@@ -470,3 +470,21 @@ def test_explain_statement(pig, capsys):
     pig.execute("n = LOAD 'nation'; EXPLAIN n;")
     out = capsys.readouterr().out
     assert "Physical Plan" in out
+
+
+def test_cogroup_inner_flag(pig, spark, sf_dir):
+    """COGROUP … INNER drops groups whose bag is empty on that side."""
+    pig.execute(
+        """
+        c = LOAD 'customer';
+        hi = FILTER c BY c_acctbal > 5000;
+        both = COGROUP c BY c_custkey, hi BY c_custkey INNER;
+        free = COGROUP c BY c_custkey, hi BY c_custkey;
+        """
+    )
+    both, free = pig.df("both"), pig.df("free")
+    # low-balance customers have an empty hi-bag; INNER drops them
+    n_empty = free.filter(F.size("hi") == 0).count()
+    assert n_empty > 0
+    assert both.filter(F.size("hi") == 0).count() == 0
+    assert both.count() == free.count() - n_empty
