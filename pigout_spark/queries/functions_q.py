@@ -369,3 +369,35 @@ def q36_percentiles(spark, sf_dir):
         ),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --- §2.7 map constructors & ops (TOMAP, KEYSET, VALUELIST, m#'key') ---
+@query(
+    "q37_map_ops",
+    """
+    SELECT c_custkey,
+           'name,seg' AS keys_sorted,
+           c_mktsegment AS seg_val,
+           c_name || '|' || c_mktsegment AS vals_joined,
+           CAST(2 AS BIGINT) AS n_keys
+    FROM customer
+    """,
+)
+def q37_map_ops(spark, sf_dir):
+    """Pig map ops (SURVEY.md §2.7): TOMAP construction, KEYSET,
+    VALUELIST, SIZE, and the `m#'key'` lookup (element_at).  Map keys
+    here are constants, so the oracle states the expected output
+    directly — the Spark side must actually round-trip through a real
+    MapType column to reproduce it."""
+    from pigout_spark.functions.bags import KEYSET, SIZE, TO_MAP, VALUELIST
+
+    c = t(spark, sf_dir, "customer")
+    m = TO_MAP(F.lit("name"), F.col("c_name"), F.lit("seg"), F.col("c_mktsegment"))
+    withm = c.select("c_custkey", m.alias("m"))
+    return withm.select(
+        "c_custkey",
+        F.array_join(F.array_sort(KEYSET("m")), ",").alias("keys_sorted"),
+        F.element_at("m", F.lit("seg")).alias("seg_val"),
+        F.array_join(VALUELIST("m"), "|").alias("vals_joined"),
+        SIZE("m").alias("n_keys"),
+    )
