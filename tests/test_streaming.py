@@ -144,3 +144,39 @@ def test_catalog_load_stream_events(spark, sf_dir):
     q.awaitTermination(120)
     total = spark.sql("select sum(n) s from ev_stream").first().s
     assert total == 1000  # all sf0.001 events arrived through the stream
+
+
+def test_append_mode_parquet_sink_with_watermark(spark, tmp_path):
+    """The production sink path: watermarked tumbling agg → append-mode
+    parquet sink with a checkpoint.  Append emits a window only once its
+    end passes the watermark (exactly-once finalized results on disk);
+    the still-open tail window stays in state and never reaches the
+    sink.  Restartability comes from the checkpoint dir."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from pigout_spark.streaming.windows import tumbling_agg, with_watermark
+
+    src, sink, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ckpt"))
+    rows = [
+        (1, T0),
+        (1, T0 + dt.timedelta(minutes=5)),
+        (1, T0 + dt.timedelta(minutes=12)),
+        (1, T0 + dt.timedelta(hours=2)),  # advances watermark; window stays open
+    ]
+    spark.createDataFrame(rows, "user_id long, ts timestamp").write.parquet(src)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    out = tumbling_agg(
+        with_watermark(stream, "ts", "10 minutes"),
+        "ts", "10 minutes", ["user_id"], [F.count(F.lit(1)).alias("n")],
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.window_start, r.n) for r in spark.read.parquet(sink).collect()}
+    assert got == {(T0, 2), (T0 + dt.timedelta(minutes=10), 1)}
