@@ -450,6 +450,17 @@ class PigSession:
         if kw == "EXPLAIN":
             self.df(stmt.split(None, 1)[1].strip()).explain("formatted")
             return
+        if kw == "ILLUSTRATE":
+            # Pig's ILLUSTRATE walks the plan with sampled rows; the
+            # Spark-first rendering is schema + a small row sample
+            # (full example-generation is a Pig-internal debugger, not
+            # query surface).
+            alias = stmt.split(None, 1)[1].strip()
+            df = self.df(alias)
+            print(f"-- {alias}: {df.schema.simpleString()}")
+            for r in df.limit(5).collect():
+                print(tuple(r))
+            return
         if kw == "STORE":
             sm = re.match(
                 r"STORE\s+(\w+)\s+INTO\s+'([^']+)'(?:\s+USING\s+(\w+)\s*\(\s*(?:'([^']*)')?\s*\))?",

@@ -488,3 +488,11 @@ def test_cogroup_inner_flag(pig, spark, sf_dir):
     assert n_empty > 0
     assert both.filter(F.size("hi") == 0).count() == 0
     assert both.count() == free.count() - n_empty
+
+
+def test_illustrate_statement(pig, capsys):
+    """ILLUSTRATE alias: schema line + a small row sample."""
+    pig.execute("n = LOAD 'nation'; ILLUSTRATE n;")
+    out = capsys.readouterr().out
+    assert "-- n: struct<" in out
+    assert out.count("(") == 5  # five sample tuples
