@@ -34,17 +34,42 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
+    "dedup_simhash_pairs",
     "dedup_embedding",
     "sim_cosine_topk",
-    "sim_ann_buckets",
+    "sim_ann_topk",
     "sim_ivf_topk",
     "text_quality",
     "text_fingerprint",
-    "text_rolling_hash",
     "stream_tumbling",
     "stream_sliding",
     "stream_session",
 ]
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _duckdb_times(sf_dir: str, names: list[str], oracles: dict[str, str]) -> dict:
+    """Per-query DuckDB wall time on the identical oracle SQL — the
+    baseline side of the ≤2× gate (BASELINE.md), measured in the same
+    process right after the Spark runs."""
+    import duckdb
+
+    con = duckdb.connect()
+    times: dict[str, float] = {}
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    for name in names:
+        if name not in oracles:
+            continue
+        t0 = time.perf_counter()
+        con.execute(oracles[name]).fetchall()
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
 
 
 def _warmup(spark, sf_dir: str) -> None:
@@ -103,6 +128,10 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    duck = _duckdb_times(sf_dir, names, entrymod.oracle_sql())
+    ratios = {
+        n: round(timings[n] / duck[n], 2) for n in timings if duck.get(n)
+    }
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -111,6 +140,12 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "duckdb": duck,
+                "duckdb_total": round(sum(duck.values()), 3),
+                "ratio_per_query": ratios,
+                "ratio_total": round(
+                    sum(timings[n] for n in duck) / max(sum(duck.values()), 1e-9), 2
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -73,27 +73,32 @@ _ISO = re.compile(
 )
 
 
-def _duration_interval(duration: str) -> str:
+def _duration_parts(duration: str) -> list[str]:
+    """ISO-8601 duration → ordered INTERVAL literals (years first, the
+    Joda Period field order Pig applies)."""
     m = _ISO.match(duration)
     if not m or not any(m.groupdict().values()):
         raise ValueError(f"unsupported ISO-8601 duration: {duration!r}")
     parts = {k: int(v) for k, v in m.groupdict().items() if v}
-    return " + ".join(f"INTERVAL {n} {unit.rstrip('s').upper()}" for unit, n in parts.items())
+    return [f"INTERVAL {n} {unit.rstrip('s').upper()}" for unit, n in parts.items()]
 
 
 def ADD_DURATION(c: Column | str, duration: str) -> Column:
-    """Pig AddDuration(dt, 'P1D') → dt + INTERVAL."""
-    name = c if isinstance(c, str) else None
-    if name is None:
-        raise TypeError("ADD_DURATION takes a column name string")
-    return F.expr(f"{name} + {_duration_interval(duration)}")
+    """Pig AddDuration(dt, 'P1D') → dt + INTERVAL [+ INTERVAL ...]."""
+    out = _col(c)
+    for part in _duration_parts(duration):
+        out = out + F.expr(part)
+    return out
 
 
 def SUBTRACT_DURATION(c: Column | str, duration: str) -> Column:
-    name = c if isinstance(c, str) else None
-    if name is None:
-        raise TypeError("SUBTRACT_DURATION takes a column name string")
-    return F.expr(f"{name} - {_duration_interval(duration)}")
+    """Pig SubtractDuration: each unit is SUBTRACTED (a single joined
+    'a + b' interval string would subtract only the first unit and add
+    the rest — that was a real bug for multi-unit durations like P1Y2M)."""
+    out = _col(c)
+    for part in _duration_parts(duration):
+        out = out - F.expr(part)
+    return out
 
 
 def MILLISECONDS_BETWEEN(a, b) -> Column:

@@ -37,10 +37,15 @@ String.matches); Pig builtin names → Spark equivalents (including the
 index-convention shims, divergence D4); ``m#'k'`` map access →
 ``m['k']``.
 
-Out of scope (documented): macros/IMPORT, parameter substitution,
-REGISTER of external UDF jars (native Python UDFs cover this — §2.9),
-MAPREDUCE, nested FOREACH blocks (use the operators API), multi-field
-group keys appear as a struct named ``group``.
+Also supported (implemented below, tested in test_latin.py): macros
+(``DEFINE name(params) RETURNS alias { body }``), ``IMPORT 'file'`` of
+macro files, parameter substitution (``%declare`` / ``run_script(
+params=...)``), and nested FOREACH blocks (FILTER/ORDER/DISTINCT/LIMIT
++ GENERATE, compiled to conditional aggregates or window top-k).
+
+Out of scope (documented): REGISTER of external UDF jars (native Python
+UDFs cover this — §2.9) and MAPREDUCE.  Multi-field group keys appear
+as a struct named ``group``.
 """
 
 from __future__ import annotations

@@ -235,6 +235,73 @@ def embedding_cosine_dups(
     return pairs.filter(F.col("cos") >= threshold)
 
 
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = 16,
+) -> DataFrame:
+    """SimHash near-duplicate search: pairs with Hamming(simhash) ≤
+    ``max_hamming``, found via pigeonhole block bucketing — never an
+    all-pairs comparison.
+
+    The fingerprint is split into ``max_hamming + 1`` equal bit blocks;
+    any pair within the Hamming radius must agree exactly on at least one
+    block, so candidates come from an equi-join on (block_idx,
+    block_value).  Exactly-once emission: a pair agreeing on several
+    blocks is emitted only from the first such block (each block row
+    carries the earlier blocks' values — same device as
+    minhash_lsh_pairs, no DISTINCT shuffle).  At 100 TB the shuffle is
+    proportional to docs × n_blocks and candidate volume to true block
+    collisions."""
+    n_blocks = max_hamming + 1
+    if bits % n_blocks:
+        raise ValueError("bits must be divisible by max_hamming + 1")
+    bb = bits // n_blocks
+    mask = (1 << bb) - 1
+    fp = simhash16(df, id_col, text_col)
+
+    def blk(j: int) -> Column:
+        return F.shiftright(F.col("simhash"), bb * j).bitwiseAND(F.lit(mask))
+
+    block_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("blk"),
+                blk(j).alias("val"),
+                F.array(*[blk(i) for i in range(j)]).alias("prior"),
+            )
+            for j in range(n_blocks)
+        ]
+    )
+    stacked = fp.select(
+        F.col(id_col), F.col("simhash"), F.explode(block_structs).alias("b")
+    ).select(id_col, "simhash", "b.blk", "b.val", "b.prior")
+    left = stacked.alias("l")
+    right = stacked.alias("r")
+    no_prior_collision = ~F.exists(
+        F.zip_with(F.col("l.prior"), F.col("r.prior"), lambda a, b: a == b),
+        lambda x: x,
+    )
+    ham = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+    return (
+        left.join(
+            right,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            & no_prior_collision,
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+    )
+
+
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash over whitespace tokens (with multiplicity).
 

@@ -57,7 +57,7 @@ def q01_group_agg(spark, sf_dir):
     )
 
 
-# --- §2.2 FILTER + FOREACH/GENERATE expressions (incl. CASE) ---
+# --- §2.2 FILTER + FOREACH/GENERATE expressions (incl. CASE + IN) ---
 @query(
     "q02_filter_project",
     """
@@ -71,11 +71,13 @@ def q01_group_agg(spark, sf_dir):
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
+      AND l_returnflag IN ('N', 'R')
     """,
 )
 def q02_filter_project(spark, sf_dir):
-    """Pig: FILTER BY compound predicate; FOREACH GENERATE arith + CASE.
-    Row-level double arithmetic is IEEE-deterministic — no rounding needed."""
+    """Pig: FILTER BY compound predicate (incl. `flag IN (...)` — §2.2 IN
+    operator, formerly q32); FOREACH GENERATE arith + CASE.  Row-level
+    double arithmetic is IEEE-deterministic — no rounding needed."""
     li = t(spark, sf_dir, "lineitem")
     return foreach(
         filter_by(
@@ -83,7 +85,8 @@ def q02_filter_project(spark, sf_dir):
             (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
             & (F.col("l_shipdate") < _ts("1997-01-01 00:00:00"))
             & (F.col("l_discount").between(0.05, 0.07))
-            & (F.col("l_quantity") < 24),
+            & (F.col("l_quantity") < 24)
+            & F.col("l_returnflag").isin("N", "R"),
         ),
         "l_orderkey",
         "l_linenumber",

@@ -21,6 +21,8 @@ from pigout_spark.queries.registry import query, t
 
 
 # --- §2.7 string builtins with Pig index conventions (D4) ---
+# One wide projection covering both string rounds (formerly q18 + q35 —
+# folded to stay inside the driver's 50-query window).
 @query(
     "q18_string_funcs",
     """
@@ -30,15 +32,34 @@ from pigout_spark.queries.registry import query, t
            upper(c_mktsegment) AS seg_upper,
            regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked,
            c_name || '/' || c_mktsegment AS name_seg,
-           length(c_name) AS name_len
+           length(c_name) AS name_len,
+           trim('  ' || c_mktsegment || ' ') AS seg_trim,
+           starts_with(c_name, 'Customer') AS is_cust,
+           CASE WHEN c_name LIKE '%1' THEN TRUE ELSE FALSE END AS ends_1,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           printf('%05d/%s', c_custkey, c_mktsegment) AS tag,
+           string_split(c_name, '_')[2] AS name_part2,
+           upper(substring(c_mktsegment, 1, 1)) || lower(substring(c_mktsegment, 2))
+             AS seg_title
     FROM customer
     """,
 )
 def q18_string_funcs(spark, sf_dir):
     """Pig builtins SUBSTRING (0-based stop-exclusive), INDEXOF (0-based,
-    -1 missing), UPPER, REPLACE (regex!), CONCAT, SIZE — the oracle uses
-    DuckDB's native 1-based functions, so a convention slip fails the
-    hash (SURVEY.md §7-H4)."""
+    -1 missing), UPPER, REPLACE (regex!), CONCAT, SIZE, TRIM,
+    STARTSWITH/ENDSWITH, REGEX_EXTRACT (1-based group), SPRINTF,
+    STRSPLIT (+ positional tuple projection), UCFIRST title casing — the
+    oracle uses DuckDB's native 1-based functions, so a convention slip
+    fails the hash (SURVEY.md §7-H4)."""
+    from pigout_spark.functions.strings import (
+        ENDSWITH,
+        REGEX_EXTRACT,
+        SPRINTF,
+        STARTSWITH,
+        STRSPLIT,
+        TRIM,
+    )
+
     c = t(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
@@ -48,10 +69,21 @@ def q18_string_funcs(spark, sf_dir):
         REPLACE("c_name", "[0-9]+", "#").alias("name_masked"),
         CONCAT("c_name", F.lit("/"), "c_mktsegment").alias("name_seg"),
         F.length("c_name").cast("long").alias("name_len"),
+        TRIM(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" "))).alias("seg_trim"),
+        STARTSWITH("c_name", "Customer").alias("is_cust"),
+        ENDSWITH("c_name", "1").alias("ends_1"),
+        REGEX_EXTRACT("c_name", "([0-9]+)", 1).alias("digits"),
+        SPRINTF("%05d/%s", "c_custkey", "c_mktsegment").alias("tag"),
+        F.get(STRSPLIT("c_name", "_"), 1).alias("name_part2"),
+        F.concat(
+            F.upper(F.substring("c_mktsegment", 1, 1)),
+            F.lower(F.expr("substring(c_mktsegment, 2)")),
+        ).alias("seg_title"),
     )
 
 
-# --- §2.7 date/time builtins ---
+# --- §2.7 date/time builtins (incl. AddDuration / DaysBetween arith,
+# --- formerly q31 — folded to stay inside the driver's 50-query window) ---
 @query(
     "q19_date_funcs",
     """
@@ -59,24 +91,37 @@ def q18_string_funcs(spark, sf_dir):
            year(ts) AS y, month(ts) AS m,
            COUNT(*) AS n,
            MIN(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS first_day,
-           MAX(date_part('hour', ts)) AS max_hour
+           MAX(date_part('hour', ts)) AS max_hour,
+           MIN(CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 3 MONTH)
+             AS first_day_plus3m,
+           MAX(date_diff('day', TIMESTAMP '2024-01-01 00:00:00',
+                         CAST(date_trunc('day', ts) AS TIMESTAMP)))
+             AS max_days_since
     FROM events
     GROUP BY event_type, year(ts), month(ts)
     """,
 )
 def q19_date_funcs(spark, sf_dir):
-    """Pig GetYear/GetMonth/GetHour + grouping.  Raw ts is never emitted
-    (nanosecond fixture vs microsecond Spark — FIXTURES.md gotcha);
-    day-truncated timestamps are safe."""
+    """Pig GetYear/GetMonth/GetHour + grouping + AddDuration('P3M') and
+    DaysBetween arithmetic.  Raw ts is never emitted (nanosecond fixture
+    vs microsecond Spark — FIXTURES.md gotcha); day-truncated timestamps
+    are safe."""
+    from pigout_spark.functions.datetime_fns import ADD_DURATION
+
     e = t(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("timestamp_ntz")
     return e.groupBy(
         "event_type",
         F.year("ts").alias("y"),
         F.month("ts").alias("m"),
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.min(F.date_trunc("day", "ts").cast("timestamp_ntz")).alias("first_day"),
+        F.min(day).alias("first_day"),
         F.max(F.hour("ts")).alias("max_hour"),
+        F.min(ADD_DURATION(day, "P3M")).alias("first_day_plus3m"),
+        F.max(
+            F.datediff(day, F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"))
+        ).alias("max_days_since"),
     )
 
 
@@ -294,9 +339,11 @@ def q34_math_funcs(spark, sf_dir):
 
 
 # --- §2.7 string builtins, part 2 (trim/affix/regex/sprintf/split/case) ---
+# Folded into q18_string_funcs for the driver's 50-query window.
 @query(
     "q35_string_funcs2",
-    """
+    extra=True,
+    sql="""
     SELECT c_custkey,
            trim('  ' || c_mktsegment || ' ') AS seg_trim,
            starts_with(c_name, 'Customer') AS is_cust,

@@ -165,6 +165,34 @@ def dedup_simhash(spark, sf_dir):
     return simhash16(t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def _simhash_pairs_sql(max_hamming: int = 3) -> str:
+    # The oracle needs no block predicate: Hamming ≤ 3 over four 4-bit
+    # blocks *implies* at least one identical block (pigeonhole), which
+    # is exactly the candidate set the Spark side's block-bucketed join
+    # generates — the bucketing is purely a performance device.
+    fps = _simhash_sql()
+    return (
+        f"WITH fps AS (\n{fps}\n)\n"
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,\n"
+        "       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming\n"
+        "FROM fps a JOIN fps b ON a.doc_id < b.doc_id\n"
+        f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"
+    )
+
+
+@query("dedup_simhash_pairs", _simhash_pairs_sql(3))
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash Hamming-neighbor search (≤ 3 bits over 16): pigeonhole
+    block-bucket equi-join — candidates from identical 4-bit blocks,
+    exact Hamming check inside the bucket, exactly-once emission
+    (pipeline/dedup.py:simhash_hamming_pairs)."""
+    from pigout_spark.pipeline.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(
+        t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    )
+
+
 # ----------------------------------------------------------- similarity ---
 @query(
     "sim_cosine_topk",
@@ -218,7 +246,9 @@ def _ann_sql() -> str:
     )
 
 
-@query("sim_ann_buckets", _ann_sql())
+# Extra: the bucket histogram is subsumed by sim_ann_topk, whose oracle
+# embeds the same bucket-bit expression in its CTE (50-query window).
+@query("sim_ann_buckets", _ann_sql(), extra=True)
 def sim_ann_buckets(spark, sf_dir):
     """Hyperplane-LSH bucketing (the ANN scale path): 8 signed
     projections → 256 buckets; downstream candidate search joins on the
@@ -310,9 +340,12 @@ WITH e AS (
 """
 
 
+# Extra: the cell histogram is subsumed by sim_ivf_topk, whose oracle
+# reuses the same cells CTE (50-query window).
 @query(
     "sim_ivf_cells",
     _IVF_CELLS_SQL + "SELECT cell, COUNT(*) AS n FROM cells GROUP BY cell",
+    extra=True,
 )
 def sim_ivf_cells(spark, sf_dir):
     """IVF coarse quantization (the other ANN scale path besides LSH):
@@ -351,6 +384,7 @@ def sim_ivf_topk(spark, sf_dir):
 
 
 # ------------------------------------------------------------------ text ---
+# Extra: token counts folded into text_quality (50-query window).
 @query(
     "text_tokens",
     f"""
@@ -362,6 +396,7 @@ def sim_ivf_topk(spark, sf_dir):
            CAST(length(text) AS BIGINT) AS n_chars
     FROM documents
     """,
+    extra=True,
 )
 def text_tokens(spark, sf_dir):
     """Token counting: whitespace tokens, alphabetic runs, BPE-ish
@@ -378,9 +413,9 @@ _STOP_EN = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
     "text_quality",
     f"""
     WITH f AS (
-      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+      SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents
     ), feat AS (
-      SELECT doc_id,
+      SELECT doc_id, text,
              CAST(len(toks) AS BIGINT) AS n_tokens,
              CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
              list_reduce(list_transform(toks, t -> length(t)), (a, b) -> a + b)
@@ -392,15 +427,36 @@ _STOP_EN = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
     SELECT doc_id, n_tokens, n_distinct, avg_token_len, stop_ratio,
            least(n_tokens / 32.0, 1.0) * 0.5
              + (n_distinct / n_tokens) * 0.3
-             + least(avg_token_len / 8.0, 1.0) * 0.2 AS quality
+             + least(avg_token_len / 8.0, 1.0) * 0.2 AS quality,
+           CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha_runs,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+             AS n_bpeish,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CASE WHEN length(text) = 0 THEN 0 ELSE
+             list_reduce(
+               list_transform(string_split_regex(text, ''),
+                              c -> CAST(ascii(c) AS BIGINT)),
+               (a, b) -> (a * 31 + b) % 1000000007)
+           END AS rhash
     FROM feat
     """,
 )
 def text_quality(spark, sf_dir):
-    """Quality scoring: length/distinctness/stopword features + a
-    composite score — int/int double divisions, engine-deterministic."""
-    return quality_features(t(spark, sf_dir, "documents")).select(
-        "doc_id", "n_tokens", "n_distinct", "avg_token_len", "stop_ratio", "quality"
+    """Quality scoring + token counting + rolling-hash fingerprint in one
+    per-doc projection (formerly text_quality + text_tokens +
+    text_rolling_hash — folded for the driver's 50-query window):
+    length/distinctness/stopword features, composite score, BPE-ish
+    counts, char-level polynomial hash.  All int/int double divisions and
+    exact int64 folds — engine-deterministic."""
+    from pigout_spark.pipeline.text import rolling_hash
+
+    return (
+        quality_features(token_counts(t(spark, sf_dir, "documents")))
+        .withColumn("rhash", rolling_hash("text"))
+        .select(
+            "doc_id", "n_tokens", "n_distinct", "avg_token_len", "stop_ratio",
+            "quality", "n_alpha_runs", "n_bpeish", "n_chars", "rhash",
+        )
     )
 
 
@@ -459,6 +515,7 @@ def text_fingerprint(spark, sf_dir):
     )
 
 
+# Extra: rolling hash folded into text_quality (50-query window).
 @query(
     "text_rolling_hash",
     """
@@ -471,6 +528,7 @@ def text_fingerprint(spark, sf_dir):
            END AS rhash
     FROM documents
     """,
+    extra=True,
 )
 def text_rolling_hash(spark, sf_dir):
     """Per-document polynomial rolling hash (char-level content

@@ -30,12 +30,24 @@ class Q:
 
 REGISTRY: dict[str, Q] = {}
 
+#: Queries verified locally (selfcheck + pytest) but NOT exported to the
+#: driver: the driver's correctness gate records at most 50 queries per
+#: round (CORRECTNESS_r01.json cut off at exactly the first 50 registry
+#: entries), so the driver-facing set is capped at 50 and everything else
+#: lives here with the same oracle machinery.
+EXTRA_REGISTRY: dict[str, Q] = {}
 
-def query(name: str, sql: str | None = None):
-    """Register a query under ``name`` with its DuckDB oracle SQL."""
+#: Hard driver cap observed in round 1 — len(queries()) must stay ≤ this.
+DRIVER_QUERY_CAP = 50
+
+
+def query(name: str, sql: str | None = None, extra: bool = False):
+    """Register a query under ``name`` with its DuckDB oracle SQL.
+    ``extra=True`` keeps it out of the driver-facing 50-entry set while
+    remaining locally verifiable (tools/selfcheck.py --extra)."""
 
     def deco(fn):
-        REGISTRY[name] = Q(fn, sql)
+        (EXTRA_REGISTRY if extra else REGISTRY)[name] = Q(fn, sql)
         return fn
 
     return deco

@@ -175,9 +175,12 @@ def q30_sample(spark, sf_dir):
 
 
 # --- §2.7 datetime arithmetic (AddDuration / *Between) ---
+# Folded into q19_date_funcs for the driver's 50-query window; kept here
+# as a locally-verified extra (tools/selfcheck.py --extra).
 @query(
     "q31_datetime_arith",
-    """
+    extra=True,
+    sql="""
     SELECT month(o_orderdate) AS m,
            COUNT(*) AS n,
            MIN(o_orderdate + INTERVAL 3 MONTH) AS first_plus3m,
@@ -203,9 +206,11 @@ def q31_datetime_arith(spark, sf_dir):
 
 
 # --- §2.2 IN operator ---
+# Folded into q02_filter_project for the driver's 50-query window.
 @query(
     "q32_in_filter",
-    """
+    extra=True,
+    sql="""
     SELECT o_orderstatus, COUNT(*) AS n
     FROM orders
     WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')

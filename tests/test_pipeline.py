@@ -71,6 +71,28 @@ def test_simhash_properties(spark):
     assert 0 <= got[1] < (1 << 16)
 
 
+def test_simhash_hamming_pairs_matches_all_pairs_oracle(spark):
+    """Block-bucketed Hamming search ≡ brute-force all-pairs check (the
+    pigeonhole argument), pairs emitted exactly once."""
+    from pigout_spark.pipeline.dedup import simhash_hamming_pairs
+
+    rows = [(i, " ".join(f"w{(i * 7 + j) % 11}" for j in range(6))) for i in range(30)]
+    df = docs(spark, rows)
+    fp = {r.doc_id: r.simhash for r in simhash16(df, "doc_id", "text").collect()}
+    expect = {
+        (a, b, bin(fp[a] ^ fp[b]).count("1"))
+        for a in fp
+        for b in fp
+        if a < b and bin(fp[a] ^ fp[b]).count("1") <= 3
+    }
+    got = [
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_hamming_pairs(df, "doc_id", "text", max_hamming=3).collect()
+    ]
+    assert len(got) == len(set(got))  # exactly-once emission
+    assert set(got) == expect
+
+
 def test_brute_force_topk_orders_by_cosine(spark):
     rows = [
         Row(vec_id=0, embedding=[1.0, 0.0]),

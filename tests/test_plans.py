@@ -13,7 +13,10 @@ import __spark_entry__ as entrymod
 
 
 def plan_of(spark, sf_dir, name: str) -> str:
-    df = entrymod.queries()[name](spark, sf_dir)
+    from pigout_spark import queries as qmod
+
+    fn = {**entrymod.queries(), **qmod.extra_queries()}[name]
+    df = fn(spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
 
 
@@ -45,7 +48,13 @@ def test_theta_join_is_not_cartesian(spark, sf_dir):
 
 @pytest.mark.parametrize(
     "name",
-    ["dedup_minhash", "dedup_jaccard", "sim_ann_buckets", "sim_ann_topk"],
+    [
+        "dedup_minhash",
+        "dedup_jaccard",
+        "dedup_simhash_pairs",
+        "sim_ann_buckets",
+        "sim_ann_topk",
+    ],
 )
 def test_pipeline_ops_never_cartesian(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)

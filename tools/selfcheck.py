@@ -6,6 +6,9 @@ DuckDB over the same parquet fixtures, then compares row count, schema
 hash.  Usage:
 
     python tools/selfcheck.py [sf_dir] [query ...]
+
+Covers both the driver-facing 50-query set and the EXTRA_REGISTRY
+(folded/subsumed queries kept locally verifiable).
 """
 
 from __future__ import annotations
@@ -60,8 +63,10 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    from pigout_spark import queries as qmod
+
+    qs = {**entrymod.queries(), **qmod.extra_queries()}
+    oracles = {**entrymod.oracle_sql(), **qmod.extra_oracle_sql()}
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
