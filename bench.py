@@ -50,6 +50,11 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
+#: best-of-N per query, BOTH engines: single-run wall times on this box
+#: swing ±50% run-to-run (shared machine); min-of-2 reports the
+#: steady-state each engine can actually sustain, symmetrically.
+N_RUNS = 2
+
 
 def _duckdb_times(sf_dir: str, names: list[str], oracles: dict[str, str]) -> dict:
     """Per-query DuckDB wall time on the identical oracle SQL — the
@@ -66,9 +71,13 @@ def _duckdb_times(sf_dir: str, names: list[str], oracles: dict[str, str]) -> dic
     for name in names:
         if name not in oracles:
             continue
-        t0 = time.perf_counter()
-        con.execute(oracles[name]).fetchall()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            con.execute(oracles[name]).fetchall()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 3)
     return times
 
 
@@ -123,10 +132,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     duck = _duckdb_times(sf_dir, names, entrymod.oracle_sql())
     ratios = {

@@ -27,6 +27,18 @@ from pyspark.sql import functions as F
 MINHASH_P = 2_147_483_647
 
 
+def _pin_partitions(df: DataFrame, *keys: str) -> DataFrame:
+    """Repartition by the upcoming join keys with an EXPLICIT partition
+    count (spark.sql.shuffle.partitions).  Candidate-pair joins have
+    huge output amplification from tiny inputs; AQE sizes stages by
+    shuffle INPUT bytes, so it coalesces the join down to one task and
+    serializes the expensive pair generation.  An explicit count is
+    exempt from AQE coalescing, and since it hash-partitions on the join
+    keys the join reuses it — no extra exchange."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n, *[F.col(k) for k in keys])
+
+
 def minhash_perms(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
     """Deterministic (a, b) constants for h_i(x) = (a·x + b) mod P.
     Base hash x is 28 bits (7 hex chars of md5) so a·x stays < 2^59 —
@@ -135,8 +147,12 @@ def minhash_lsh_pairs(
             for j in range(n_bands)
         ]
     )
-    stacked = sigb.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
-        id_col, "bk.band", "bk.bv", "bk.prior"
+    stacked = _pin_partitions(
+        sigb.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
+            id_col, "bk.band", "bk.bv", "bk.prior"
+        ),
+        "band",
+        "bv",
     )
     left = stacked.alias("l")
     right = stacked.alias("r")
@@ -175,6 +191,7 @@ def ngram_jaccard_pairs(
         )
         toks = toks.join(F.broadcast(keep.select("tok")), "tok")
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    toks = _pin_partitions(toks, "tok")
     a = toks.alias("a")
     b = toks.alias("b")
     inter = (
@@ -275,9 +292,13 @@ def simhash_hamming_pairs(
             for j in range(n_blocks)
         ]
     )
-    stacked = fp.select(
-        F.col(id_col), F.col("simhash"), F.explode(block_structs).alias("b")
-    ).select(id_col, "simhash", "b.blk", "b.val", "b.prior")
+    stacked = _pin_partitions(
+        fp.select(
+            F.col(id_col), F.col("simhash"), F.explode(block_structs).alias("b")
+        ).select(id_col, "simhash", "b.blk", "b.val", "b.prior"),
+        "blk",
+        "val",
+    )
     left = stacked.alias("l")
     right = stacked.alias("r")
     no_prior_collision = ~F.exists(
@@ -302,28 +323,68 @@ def simhash_hamming_pairs(
     )
 
 
+#: bit-sliced SimHash packing: 3 popcount fields of 20 bits per long.
+#: Field width bounds tokens-per-doc at 2^20-1 (≈1M whitespace tokens ≈
+#: 6 MB of text) — beyond that, chunk the document first.
+_SH_FIELDS, _SH_FW = 3, 20
+
+
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash over whitespace tokens (with multiplicity).
 
     Per token: a 32-bit value from the first 8 hex chars of md5; each of
     the 16 low bits contributes ±1; fingerprint bit b = sign of the sum.
-    Returns (id, simhash int).  Near-dup search then buckets by rotated
-    fingerprints / Hamming distance — fingerprint stage only here."""
-    toks = df.select(
-        F.col(id_col), F.explode(ws_tokens(text_col, distinct=False)).alias("tok")
+    Returns (id, simhash int) for docs with ≥1 token (the Q/oracle
+    convention — token-less docs have no votes).  Near-dup search
+    buckets these fingerprints (simhash_hamming_pairs).
+
+    ZERO-shuffle formulation: SimHash is doc-local, so instead of
+    explode→groupBy (two exchanges) the whole fingerprint folds over the
+    token array in one narrow map — one md5 per token (transform), then
+    a bit-sliced fold packing the 16 popcounts into 6 longs (3 fields ×
+    20 bits each; caps docs at 2^20-1 ≈ 1M tokens — chunk beyond that).
+    Fingerprint bit b: pop_b·2 > n ⟺ the ±1 vote sum is positive,
+    exactly the semantics the SQL oracle states.  At 100 TB this runs at
+    scan speed with no exchange at all."""
+    n_groups = -(-16 // _SH_FIELDS)  # 6
+    mask = (1 << _SH_FW) - 1
+
+    def pack(h: Column, g: int) -> Column:
+        out = None
+        for r in range(_SH_FIELDS):
+            b = g * _SH_FIELDS + r
+            if b >= 16:
+                break
+            field = F.shiftleft(F.shiftright(h, b).bitwiseAND(F.lit(1)), _SH_FW * r)
+            out = field if out is None else out + field
+        return out
+
+    base = df.select(
+        F.col(id_col), ws_tokens(text_col, distinct=False).alias("__toks")
+    ).select(
+        F.col(id_col),
+        F.size("__toks").cast("long").alias("__n"),
+        F.transform(
+            "__toks",
+            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+        ).alias("__hs"),
     )
-    h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
-    toks = toks.withColumn("h", h)
-    sums = toks.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
-            ).alias(f"s{b}")
-            for b in range(16)
-        ]
+    zero = F.lit(0).cast("long")
+    acc0 = F.struct(*[zero.alias(f"p{g}") for g in range(n_groups)])
+    folded = F.aggregate(
+        F.col("__hs"),
+        acc0,
+        lambda acc, h: F.struct(
+            *[(acc[f"p{g}"] + pack(h, g)).alias(f"p{g}") for g in range(n_groups)]
+        ),
+    )
+    withacc = base.filter(F.col("__n") > 0).select(
+        F.col(id_col), F.col("__n").alias("n"), folded.alias("acc")
     )
     fp = None
     for b in range(16):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        g, r = divmod(b, _SH_FIELDS)
+        pop = F.shiftright(F.col("acc")[f"p{g}"], _SH_FW * r).bitwiseAND(F.lit(mask))
+        term = F.when(pop * 2 > F.col("n"), F.lit(1 << b)).otherwise(F.lit(0))
         fp = term if fp is None else (fp + term)
-    return sums.select(F.col(id_col), fp.cast("long").alias("simhash"))
+    return withacc.select(F.col(id_col), fp.cast("long").alias("simhash"))
