@@ -59,7 +59,6 @@ from pyspark.sql import functions as F
 from pigout_spark.catalog import Catalog
 from pigout_spark.operators.joins import join as op_join
 from pigout_spark.operators.relational import split as op_split
-from pigout_spark.operators.sorting import rank as op_rank
 
 
 class PigSyntaxError(ValueError):
@@ -1015,14 +1014,19 @@ class PigSession:
             from pigout_spark.operators.sorting import row_rank
 
             return row_rank(child, out="rank_" + m.group(1))
-        cols = []
+        # RANK BY routes to the scalable two-pass rank_by (never the
+        # keyless-global-window op_rank — a silent single-partition
+        # stage at scale; see operators/sorting.py).
+        from pigout_spark.operators.sorting import rank_by
+
+        keys, asc = [], []
         for part in _split_args(m.group(2)):
             dm = re.match(r"(.*?)\s+(ASC|DESC)\s*$", part.strip(), re.IGNORECASE)
             e, direction = (dm.group(1), dm.group(2).upper()) if dm else (part, "ASC")
-            c = F.expr(translate_expr(e, child.columns))
-            cols.append(c.desc() if direction == "DESC" else c.asc())
-        return op_rank(
-            child, *cols, dense=bool(m.group(3)), out="rank_" + m.group(1)
+            keys.append(F.expr(translate_expr(e, child.columns)))
+            asc.append(direction == "ASC")
+        return rank_by(
+            child, keys, asc, dense=bool(m.group(3)), out="rank_" + m.group(1)
         )
 
 

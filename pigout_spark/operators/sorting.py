@@ -35,7 +35,8 @@ def rank(df: DataFrame, *order: Column | str, dense: bool = False, out: str = "r
 
     Uses a global window: acceptable when the ranked result is small or
     the caller immediately limits.  For full-relation ranking at scale,
-    prefer ``row_rank`` (no single-partition stage).
+    ``rank_by`` below computes the identical semantics without a
+    single-partition stage (latin.py routes RANK there).
     """
     w = Window.orderBy(*order)
     fn = F.dense_rank() if dense else F.rank()
@@ -48,37 +49,85 @@ def dense_rank(df: DataFrame, *order: Column | str, out: str = "rank") -> DataFr
 
 def row_rank(df: DataFrame, *order: Column | str, out: str = "rank") -> DataFrame:
     """Pig bare `RANK A [BY ...]` = unique 1-based row numbers — the
-    scalable two-pass plan (Pig's own POCounter/PORank design):
+    scalable two-pass plan (Pig's own POCounter/PORank design), entirely
+    JVM-side:
 
       1. range-partition sort by the rank keys (skipped if no keys),
-      2. per-partition row count → driver (tiny: one long per partition),
-      3. prefix-sum offsets, map each partition adding offset + local idx.
+      2. stamp (partition, local-index) from monotonically_increasing_id
+         — its documented bit layout is partitionId << 33 | rowInPartition,
+         so both come from one narrow projection, no shuffle,
+      3. per-partition counts (tiny aggregate) → prefix-sum offsets via a
+         window over the ~#partitions count rows,
+      4. broadcast-join the offsets back on partition id:
+         rank = offset + local + 1.
 
-    No single-partition window anywhere, so it survives 100 TB.
+    The sort exchange feeds both the counts branch and the probe side of
+    the join — identical subplans, so Spark reuses the exchange
+    (ReusedExchange) and the stamped partition ids are guaranteed
+    consistent.  No Python runner, no RDD round-trip, no
+    single-partition stage over data rows.
     """
     if order:
         df = df.orderBy(*order)
-    sdf = df
-    spark = sdf.sparkSession
-    rdd = sdf.rdd  # row order within/across partitions is the sorted order
-    counts = rdd.mapPartitionsWithIndex(
-        lambda i, it: [(i, sum(1 for _ in it))]
-    ).collectAsMap()
-    offsets = {}
-    acc = 0
-    for i in sorted(counts):
-        offsets[i] = acc
-        acc += counts[i]
-    boff = spark.sparkContext.broadcast(offsets)
-    fields = sdf.columns
+    mid = F.monotonically_increasing_id()
+    stamped = (
+        df.withColumn("__mid", mid)
+        .withColumn("__pid", F.shiftright("__mid", 33))
+        .withColumn("__local", F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)))
+        .drop("__mid")
+    )
+    counts = stamped.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    # prefix sum over per-partition counts: one row per partition — a
+    # single-partition window over ~1e5 rows at 100 TB, never data rows
+    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("__cnt").over(woff), F.lit(0)).alias("__off")
+    )
+    return (
+        stamped.join(F.broadcast(offsets), "__pid")
+        .withColumn(out, F.col("__off") + F.col("__local") + 1)
+        .drop("__pid", "__local", "__off")
+    )
 
-    def add_rank(i, it):
-        base = boff.value.get(i, 0)
-        for j, row in enumerate(it, start=1):
-            yield (*row, base + j)
 
-    out_rdd = rdd.mapPartitionsWithIndex(add_rank)
-    from pyspark.sql.types import LongType, StructField, StructType
+def rank_by(
+    df: DataFrame,
+    keys: list[Column | str],
+    ascending: list[bool] | None = None,
+    dense: bool = False,
+    out: str = "rank",
+) -> DataFrame:
+    """Scalable `RANK A BY keys [DENSE]` — SQL rank semantics (ties share
+    a rank) with no global-window single-partition stage:
 
-    schema = StructType(list(sdf.schema.fields) + [StructField(out, LongType(), False)])
-    return spark.createDataFrame(out_rdd, schema)
+    - rank: unique row numbers from ``row_rank`` (range-partitioned),
+      then rank = MIN(row_number) over the key group — a window
+      partitioned BY THE KEY VALUES, i.e. an ordinary hash shuffle.
+    - dense rank: the key group's 1-based index among distinct keys —
+      ``row_rank`` over the (small) distinct-key set, shuffle-joined
+      back on the keys.
+
+    ``keys`` are plain value expressions; ``ascending`` gives each key's
+    sort direction (default all ascending).  latin.py routes all
+    `RANK A BY ...` statements here so a script author never gets the
+    keyless-global-window scale killer silently."""
+    kcols = [F.col(k) if isinstance(k, str) else k for k in keys]
+    asc = ascending or [True] * len(kcols)
+    order = [k if a else k.desc() for k, a in zip(kcols, asc)]
+    if dense:
+        dk_named = df.select(
+            *[k.alias(f"__k{i}") for i, k in enumerate(kcols)]
+        ).distinct()
+        dk_order = [
+            F.col(f"__k{i}") if a else F.col(f"__k{i}").desc()
+            for i, a in enumerate(asc)
+        ]
+        dk = row_rank(dk_named, *dk_order, out=out)
+        cond = None
+        for i, k in enumerate(kcols):
+            c = k.eqNullSafe(F.col(f"__k{i}"))
+            cond = c if cond is None else cond & c
+        return df.join(dk, cond).drop(*[f"__k{i}" for i in range(len(kcols))])
+    rr = row_rank(df, *order, out="__rn")
+    wkey = Window.partitionBy(*kcols)
+    return rr.withColumn(out, F.min("__rn").over(wkey)).drop("__rn")

@@ -171,19 +171,30 @@ def minhash_lsh_pairs(
     )
 
 
+#: Default document-frequency cap for the Jaccard inverted index.  A
+#: token appearing in df docs contributes C(df, 2) join rows, so ONE
+#: stopword-frequency token on a billion-doc corpus is quadrillions of
+#: pairs — the guard must be on unless deliberately disabled.
+DEFAULT_MAX_DF = 10_000
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = DEFAULT_MAX_DF,
 ) -> DataFrame:
     """Exact token-set Jaccard over an inverted-index self-join.
 
     |A∩B| from the token join, |A| and |B| from per-doc token counts;
     jaccard = inter / (|A| + |B| - inter).  ``max_df`` drops tokens that
     appear in more than that many docs before pairing (each such token
-    costs C(df, 2) join rows — the 100 TB guard)."""
+    costs C(df, 2) join rows — the 100 TB guard).  ON BY DEFAULT
+    (``DEFAULT_MAX_DF``); pass ``max_df=None`` to deliberately disable
+    on corpora known to have no hub tokens.  Note dropping a token
+    shrinks the affected docs' token sets, so reported Jaccard values
+    are over the capped vocabulary."""
     toks = df.select(F.col(id_col), F.explode(ws_tokens(text_col)).alias("tok"))
     if max_df is not None:
         keep = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).filter(
@@ -220,28 +231,73 @@ def ngram_jaccard_pairs(
 
 def embedding_cosine_dups(
     df: DataFrame,
-    planes: list[list[float]],
+    planes: list,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates: candidate pairs restricted to
-    the same hyperplane-LSH bucket, exact cosine ≥ threshold within the
+    a shared hyperplane-LSH bucket, exact cosine ≥ threshold within the
     bucket.  The bucket code is the join key — shuffle-by-bucket, never
-    O(n²) over the corpus (pipeline/similarity.py machinery)."""
+    O(n²) over the corpus (pipeline/similarity.py machinery).
+
+    Scale knobs:
+    - ``planes`` is either one plane list (single 2^p-bucket code) or a
+      list of BANDS (each a plane list): with multiple independent
+      codes, a pair is a candidate if it shares ANY band's bucket —
+      recall rises with bands at linear candidate cost, and each band's
+      buckets stay small (the C(n_bucket, 2) blowup of one coarse code).
+      Exactly-once emission via the prior-bands device (as in
+      minhash_lsh_pairs) — no DISTINCT over candidates.
+    - ``max_bucket`` drops (band, bucket) groups larger than the cap
+      before pairing — a skew guard: one degenerate bucket (e.g. the
+      all-zeros region) otherwise contributes C(n, 2) pairs.
+    """
     from pigout_spark.pipeline.similarity import as_double, dot, lsh_bucket, norm
 
-    b = df.select(
-        F.col(id_col),
-        as_double(vec_col).alias("v"),
-        lsh_bucket(as_double(vec_col), planes).alias("bucket"),
-    ).withColumn("nrm", norm(F.col("v")))
-    left = b.alias("l")
-    right = b.alias("r")
+    bands = planes if isinstance(planes[0][0], list) else [planes]
+    codes = [
+        lsh_bucket(as_double(vec_col), bands[j]).alias(f"c{j}")
+        for j in range(len(bands))
+    ]
+    b = df.select(F.col(id_col), as_double(vec_col).alias("v"), *codes).withColumn(
+        "nrm", norm(F.col("v"))
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.col(f"c{j}").alias("code"),
+                F.array(*[F.col(f"c{i}") for i in range(j)]).alias("prior"),
+            )
+            for j in range(len(bands))
+        ]
+    )
+    stacked = b.select(
+        F.col(id_col), "v", "nrm", F.explode(band_structs).alias("bk")
+    ).select(id_col, "v", "nrm", "bk.band", "bk.code", "bk.prior")
+    if max_bucket is not None:
+        small = (
+            stacked.groupBy("band", "code")
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") <= max_bucket)
+            .select("band", "code")
+        )
+        stacked = stacked.join(F.broadcast(small), ["band", "code"])
+    stacked = _pin_partitions(stacked, "band", "code")
+    left = stacked.alias("l")
+    right = stacked.alias("r")
+    no_prior_collision = ~F.exists(
+        F.zip_with(F.col("l.prior"), F.col("r.prior"), lambda a, b: a == b),
+        lambda x: x,
+    )
     pairs = left.join(
         right,
-        (F.col("l.bucket") == F.col("r.bucket"))
-        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.code") == F.col("r.code"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        & no_prior_collision,
     ).select(
         F.col(f"l.{id_col}").alias("id_a"),
         F.col(f"r.{id_col}").alias("id_b"),

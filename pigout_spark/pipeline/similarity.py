@@ -136,6 +136,40 @@ def ivf_assign(
     )
 
 
+def ivf_probe_cells(
+    emb: DataFrame,
+    n_centroids: int,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ids_max: int | None = None,
+) -> DataFrame:
+    """Top-``nprobe`` nearest cells per vector (the IVF probe list).
+    Centroids always come from the FULL ``emb`` (the ids < n_centroids
+    contract); ``ids_max`` optionally restricts which vectors get probe
+    lists (the query subset).  Same broadcast-score-window dataflow as
+    ivf_assign; returns one row per (id, cell) — ``nprobe`` rows per
+    vector."""
+    from pyspark.sql import Window
+
+    base = emb.select(
+        F.col(id_col), as_double(vec_col).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    cents = base.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("c_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    probed = base if ids_max is None else base.filter(F.col(id_col) < ids_max)
+    scored = probed.crossJoin(F.broadcast(cents)).withColumn(
+        "s", dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("s"), "c_id")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= nprobe)
+        .select(id_col, "v", "nrm", F.col("c_id").alias("cell"))
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_ids_max: int,
@@ -143,17 +177,33 @@ def ivf_topk(
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF approximate top-k: candidates restricted to the query's cell
-    (nprobe=1), exact cosine within the cell.  The cell id is the join
-    key — shuffle-by-cell, never O(n²)."""
+    """IVF approximate top-k: candidates restricted to the query's
+    ``nprobe`` nearest cells, exact cosine within those cells.  The cell
+    id is the join key — shuffle-by-cell, never O(n²).
+
+    Scale knobs (production: nlist ≈ √N, nprobe 4–32): ``n_centroids``
+    trades cell size against centroid-scoring cost; ``nprobe`` trades
+    recall against candidate volume — each probed cell contributes its
+    members once (a candidate lives in exactly one cell, so no dedup
+    shuffle is needed)."""
     from pyspark.sql import Window
 
     cells = ivf_assign(emb, n_centroids, id_col, vec_col)
-    q = cells.filter(F.col(id_col) < query_ids_max).select(
-        F.col(id_col).alias("q_id"), F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"), "cell",
-    )
+    if nprobe <= 1:
+        q = cells.filter(F.col(id_col) < query_ids_max).select(
+            F.col(id_col).alias("q_id"), F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"), "cell",
+        )
+    else:
+        probes = ivf_probe_cells(
+            emb, n_centroids, nprobe, id_col, vec_col, ids_max=query_ids_max
+        )
+        q = probes.select(
+            F.col(id_col).alias("q_id"), F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"), "cell",
+        )
     cand = cells.select(
         F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"),
         F.col("nrm").alias("cn"), "cell",

@@ -118,8 +118,53 @@ def test_sample_deterministic_with_seed(spark, sf_dir):
 
 def test_row_rank_two_pass(spark):
     df = spark.createDataFrame([(v,) for v in [30, 10, 20, 40, 5]], ["x"]).repartition(3)
-    got = {r.x: r.rank for r in row_rank(df, "x").collect()}
+    ranked = row_rank(df, "x")
+    got = {r.x: r.rank for r in ranked.collect()}
     assert got == {5: 1, 10: 2, 20: 3, 30: 4, 40: 5}
+    # entirely JVM-side: no Python runner ("Scan ExistingRDD" here is the
+    # createDataFrame test input, not an RDD round-trip — the parquet
+    # test below asserts the full plan shape)
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+
+
+def test_row_rank_large_input_unique_and_ordered(spark, sf_dir):
+    """Exchange-reuse alignment check at real size: ranks must be a
+    permutation of 1..N and order-consistent with the sort key."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    n = li.count()
+    ranked = row_rank(li, "l_extendedprice", "l_orderkey", "l_linenumber", out="r")
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "Scan ExistingRDD" not in plan
+    assert ranked.count() == n
+    assert ranked.select("r").distinct().count() == n
+    assert ranked.agg(F.min("r"), F.max("r")).first() == (1, n)
+    # order consistency on a sample boundary: the max-price row ranks last
+    top = ranked.orderBy(F.desc("l_extendedprice")).first()
+    assert top.r == n
+
+
+def test_rank_by_matches_window_semantics(spark):
+    from pigout_spark.operators.sorting import rank, rank_by
+
+    rows = [("a", 10), ("b", 10), ("c", 20), ("d", 20), ("e", 5), ("f", 30)]
+    df = spark.createDataFrame(rows, ["id", "v"]).repartition(3)
+    for dense in (False, True):
+        want = {
+            r.id: r.rank
+            for r in rank(df, F.col("v"), dense=dense).collect()
+        }
+        got = {
+            r.id: r.rank
+            for r in rank_by(df, ["v"], dense=dense).collect()
+        }
+        assert got == want, f"dense={dense}"
+    # descending direction
+    want = {r.id: r.rank for r in rank(df, F.col("v").desc()).collect()}
+    got = {r.id: r.rank for r in rank_by(df, ["v"], [False]).collect()}
+    assert got == want
 
 
 def test_nested_topk(spark):

@@ -58,10 +58,32 @@ def test_ngram_jaccard_exact_values(spark):
 def test_jaccard_max_df_caps_hub_tokens(spark):
     rows = [(i, f"hub unique{i}") for i in range(6)]
     df = docs(spark, rows)
-    no_cap = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.1)
+    no_cap = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.1, max_df=None)
     capped = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.1, max_df=3)
     assert no_cap.count() == 15  # 'hub' pairs everything: C(6,2)
     assert capped.count() == 0  # hub token dropped, nothing shares
+
+
+def test_jaccard_pair_volume_bounded_by_capped_df(spark):
+    """Skewed corpus: candidate volume must stay ≤ Σ_tok C(min(df,cap), 2)
+    — i.e. tokens past the cap contribute ZERO pairs, so a single hub
+    token cannot blow up the join (the 100 TB guard, on by default)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    # 40 docs all sharing 'hub'; pairs of docs additionally share 'g<k>'
+    rows = [(i, f"hub g{i // 2} u{i}") for i in range(40)]
+    df = docs(spark, rows)
+    max_df = 5
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.0, max_df=max_df)
+    # bound: hub (df=40 > 5) contributes 0; each g<k> (df=2) C(2,2)=1
+    toks = df.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    dfs = {r.tok: r.n for r in toks.groupBy("tok").agg(F.count("*").alias("n")).collect()}
+    bound = sum(
+        (n * (n - 1)) // 2 for n in (min(v, max_df) for v in dfs.values())
+    )
+    got = pairs.count()
+    assert got <= bound
+    assert got == 20  # exactly the g<k> pairs; hub contributed nothing
 
 
 def test_simhash_properties(spark):
@@ -197,6 +219,57 @@ def test_ivf_assign_and_topk(spark):
     top = ivf_topk(emb, query_ids_max=2, k=3)
     out = top.collect()
     assert all(r.rn <= 3 and r.q_id != r.neighbor_id for r in out)
+
+
+def test_embedding_dedup_multiband_and_bucket_cap(spark, sf_dir):
+    """Multi-band codes find a SUPERSET of any single band's pairs
+    (exactly once each); max_bucket caps candidate volume per bucket."""
+    from pigout_spark.catalog import load_table
+    from pigout_spark.pipeline.dedup import embedding_cosine_dups
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    b0 = random_hyperplanes(64, 6, seed=1000)
+    b1 = random_hyperplanes(64, 6, seed=2000)
+    single = {(r.id_a, r.id_b) for r in
+              embedding_cosine_dups(emb, b0, threshold=0.3).collect()}
+    multi_rows = embedding_cosine_dups(emb, [b0, b1], threshold=0.3).collect()
+    multi = {(r.id_a, r.id_b) for r in multi_rows}
+    assert len(multi_rows) == len(multi)  # exactly-once across bands
+    assert single <= multi
+    assert len(multi) > len(single)  # second band adds recall
+
+    # bucket cap: dropping buckets larger than the cap can only shrink
+    # the candidate set, and every surviving bucket obeys the cap
+    capped = embedding_cosine_dups(emb, b0, threshold=-1.0, max_bucket=20)
+    n_cap = capped.count()
+    uncapped = embedding_cosine_dups(emb, b0, threshold=-1.0)
+    assert n_cap <= uncapped.count()
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from pigout_spark.pipeline.similarity import as_double, lsh_bucket
+
+    sizes = (
+        emb.select(lsh_bucket(as_double("embedding"), b0).alias("b"))
+        .groupBy("b").agg(F.count(F.lit(1)).alias("n"))
+    )
+    bound = sum(r.n * (r.n - 1) // 2 for r in sizes.collect() if r.n <= 20)
+    assert n_cap == bound
+
+
+def test_ivf_nprobe_improves_recall(spark, sf_dir):
+    from pigout_spark.catalog import load_table
+    from pigout_spark.pipeline.similarity import brute_force_topk, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 30")
+    k = 10
+    exact = {(r.q_id, r.neighbor_id) for r in brute_force_topk(emb, queries, k).collect()}
+    r1 = {(r.q_id, r.neighbor_id) for r in ivf_topk(emb, 30, k, nprobe=1).collect()}
+    r3 = {(r.q_id, r.neighbor_id) for r in ivf_topk(emb, 30, k, nprobe=3).collect()}
+    rec1 = len(r1 & exact) / len(exact)
+    rec3 = len(r3 & exact) / len(exact)
+    assert rec3 > rec1  # probing more cells must raise recall
+    assert rec3 >= 0.6  # measured 0.697 at nprobe=3, nlist=8 on the fixture
 
 
 def test_ann_recall_vs_brute_force(spark, sf_dir):
