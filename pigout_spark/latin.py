@@ -226,7 +226,44 @@ def _rewrite_functions(expr: str) -> str:
             return expr
 
 
-def translate_expr(expr: str, columns: list[str] | None = None) -> str:
+def _rewrite_size_typed(expr: str, dtypes: dict[str, str]) -> str:
+    """Pig SIZE is type-dispatched: chararray → character count,
+    bytearray → byte count, bag/tuple/map → element count, numerics → 1
+    (null in → null out).  Spark has no one function covering all of
+    those and CASE branches type-check statically, so bare-column
+    SIZE(col) arguments are dispatched here at compile time from the
+    relation's schema; non-column arguments fall through to size()
+    (collections — the remaining divergence is documented in
+    COVERAGE.md §2.7)."""
+
+    def sub(m: re.Match) -> str:
+        col = m.group(1)
+        dt = dtypes.get(col)
+        if dt is None:
+            return m.group(0)
+        if dt == "string":
+            return f"char_length({col})"
+        if dt == "binary":
+            return f"octet_length({col})"
+        if dt.startswith(("array", "map")):
+            return f"size({col})"
+        if dt.startswith("struct"):
+            n = dt.count(",") + 1
+            return f"if({col} IS NULL, NULL, {n})"
+        return f"if({col} IS NULL, NULL, 1)"  # numeric/bool/timestamp → 1
+
+    return re.sub(r"\bSIZE\s*\(\s*(\w+)\s*\)", sub, expr, flags=re.IGNORECASE)
+
+
+
+def _dtypes(df) -> dict[str, str]:
+    return dict(df.dtypes)
+
+def translate_expr(
+    expr: str,
+    columns: list[str] | None = None,
+    dtypes: dict[str, str] | None = None,
+) -> str:
     """Pig expression → Spark SQL expression string."""
     out = expr.strip()
     if columns:
@@ -238,6 +275,8 @@ def translate_expr(expr: str, columns: list[str] | None = None) -> str:
     out = out.replace("::", ".")
     out = re.sub(r"#\s*'((?:[^'\\]|\\.)*)'", r"['\1']", out)  # map#'k' → map['k']
     out = _rewrite_matches(out)
+    if dtypes:
+        out = _rewrite_size_typed(out, dtypes)
     out = _rewrite_functions(out)
     return out
 
@@ -247,12 +286,21 @@ _AGG_FN = {"COUNT": "count", "SUM": "sum", "AVG": "avg", "MIN": "min", "MAX": "m
            "COUNT_STAR": "count"}
 
 
-def _rewrite_agg_calls(item: str, child: str) -> str:
-    """COUNT(A) → count(1); SUM(A.x) → sum(x); over child alias A."""
+def _rewrite_agg_calls(item: str, child: str, first_col: str | None = None) -> str:
+    """COUNT_STAR(A) → count(1); COUNT(A) → count(<first field>) — Pig's
+    COUNT excludes tuples whose FIRST field is null (the classic COUNT
+    vs COUNT_STAR gotcha; builtin COUNT javadoc); SUM(A.x) → sum(x);
+    over child alias A."""
     out = re.sub(
-        rf"\b(COUNT_STAR|COUNT)\s*\(\s*{child}\s*\)",
+        rf"\bCOUNT_STAR\s*\(\s*{child}\s*\)",
         "count(1)",
         item,
+        flags=re.IGNORECASE,
+    )
+    out = re.sub(
+        rf"\bCOUNT\s*\(\s*{child}\s*\)",
+        f"count({first_col})" if first_col else "count(1)",
+        out,
         flags=re.IGNORECASE,
     )
     out = re.sub(
@@ -346,6 +394,8 @@ class PigSession:
         self.defines: dict[str, str] = {}  # DEFINE alias `cmd`
         # DEFINE name(params) RETURNS alias { body } (Pig 0.9+ macros)
         self.macros: dict[str, tuple[list[str], str, str]] = {}
+        # `SET key 'value'` session options (e.g. pigout.cube.all_marker)
+        self.options: dict[str, str] = {}
 
     # -- public API ------------------------------------------------------
     def execute(self, script: str) -> None:
@@ -421,6 +471,14 @@ class PigSession:
             self.rels[alias] = self._compile_op(alias, rhs)
             return
         kw = stmt.split(None, 1)[0].upper()
+        if kw == "SET":
+            sm = re.match(
+                r"SET\s+([\w.]+)\s+(?:'([^']*)'|(\S+))\s*$", stmt, re.IGNORECASE
+            )
+            if not sm:
+                raise PigSyntaxError(f"bad SET: {stmt}")
+            self.options[sm.group(1)] = sm.group(2) or sm.group(3)
+            return
         if kw == "%DECLARE":
             dm = re.match(r"%DECLARE\s+(\w+)\s+'([^']*)'", stmt, re.IGNORECASE)
             if not dm:
@@ -595,7 +653,9 @@ class PigSession:
         if not m:
             raise PigSyntaxError(f"bad FILTER: {rhs}")
         child = self._get(m.group(1))
-        return child.filter(F.expr(translate_expr(m.group(2), child.columns)))
+        return child.filter(
+            F.expr(translate_expr(m.group(2), child.columns, _dtypes(child)))
+        )
 
     def _op_foreach(self, rhs: str) -> DataFrame:
         bm = re.match(
@@ -632,7 +692,7 @@ class PigSession:
                 i, j = child.columns.index(rm.group(1)), child.columns.index(rm.group(2))
                 cols.extend(F.col(c) for c in child.columns[i : j + 1])
                 continue
-            c = F.expr(translate_expr(expr_s, child.columns))
+            c = F.expr(translate_expr(expr_s, child.columns, _dtypes(child)))
             cols.append(c.alias(name) if name else c)
         return child.select(*cols)
 
@@ -811,23 +871,32 @@ class PigSession:
             ):
                 out_names.append(name or "group")
                 continue
-            sql = _rewrite_agg_calls(expr_s, g.child)
+            first = g.child_df.columns[0] if g.child_df.columns else None
+            sql = _rewrite_agg_calls(expr_s, g.child, first)
             if cube_mode:
-                sql = _rewrite_agg_calls(sql, "cube")
+                sql = _rewrite_agg_calls(sql, "cube", first)
             sql = translate_expr(sql, g.child_df.columns)
             c = F.expr(sql)
             aggs.append(c.alias(name) if name else c)
         if cube_mode:
-            grouped = getattr(g.child_df, g.mode)(*key_cols)
+            if self.options.get("pigout.cube.all_marker", "").lower() == "true":
+                # Pig-compat: rolled-up dims get the string 'all'
+                # (grouping.py handles the grouping()-flag machinery)
+                from pigout_spark.operators.grouping import cube_agg, rollup_agg
+
+                fn = cube_agg if g.mode == "cube" else rollup_agg
+                out = fn(g.child_df, g.keys, aggs, all_marker=True)
+            else:
+                out = getattr(g.child_df, g.mode)(*key_cols).agg(*aggs)
         elif len(g.keys) > 1:
-            grouped = g.child_df.groupBy(
+            out = g.child_df.groupBy(
                 F.struct(*key_cols).alias("group")
-            )
+            ).agg(*aggs)
         else:
             grouped = (
                 g.child_df.groupBy(*key_cols) if key_cols else g.child_df.groupBy()
             )
-        out = grouped.agg(*aggs)
+            out = grouped.agg(*aggs)
         if not cube_mode and out_names and out_names[0] != "group":
             out = out.withColumnRenamed("group", out_names[0])
         return out

@@ -95,13 +95,43 @@ def nested_topk(
     return out if keep_rank else out.drop(rn)
 
 
-def cube_agg(df: DataFrame, dims: list[str], aggs: list[Column]) -> DataFrame:
+def _fill_all_marker(
+    df: DataFrame, dims: list[str], aggs: list[Column], mode: str
+) -> DataFrame:
+    """Pig-compat 'all' filler: rolled-up dimension slots get the string
+    'all' (Pig CubeDimensions behavior) instead of Spark's NULL.  Uses
+    grouping() flags computed inside the agg, so data NULLs stay NULL
+    and only rollup slots become 'all'; dims are cast to string (Pig's
+    'all' is a chararray in a dim column)."""
+    gcols = [F.grouping(d).alias(f"__g_{i}") for i, d in enumerate(dims)]
+    out = getattr(df, mode)(*dims).agg(*gcols, *aggs)
+    for i, d in enumerate(dims):
+        out = out.withColumn(
+            d,
+            F.when(F.col(f"__g_{i}") == 1, F.lit("all")).otherwise(
+                F.col(d).cast("string")
+            ),
+        )
+    return out.drop(*[f"__g_{i}" for i in range(len(dims))])
+
+
+def cube_agg(
+    df: DataFrame, dims: list[str], aggs: list[Column], all_marker: bool = False
+) -> DataFrame:
     """Pig `CUBE A BY CUBE(a,b)` (SURVEY.md §2.4).  Pig fills rolled-up
-    dimensions with the string 'all'; Spark uses NULL + grouping().  We
-    keep Spark's NULL convention (documented divergence)."""
+    dimensions with the string 'all'; Spark uses NULL + grouping().
+    Default keeps Spark's NULL convention; ``all_marker=True`` restores
+    Pig's 'all' strings for ported scripts (latin.py:
+    `SET pigout.cube.all_marker true`)."""
+    if all_marker:
+        return _fill_all_marker(df, dims, aggs, "cube")
     return df.cube(*dims).agg(*aggs)
 
 
-def rollup_agg(df: DataFrame, dims: list[str], aggs: list[Column]) -> DataFrame:
+def rollup_agg(
+    df: DataFrame, dims: list[str], aggs: list[Column], all_marker: bool = False
+) -> DataFrame:
     """Pig `CUBE A BY ROLLUP(a,b)` → hierarchical rollup."""
+    if all_marker:
+        return _fill_all_marker(df, dims, aggs, "rollup")
     return df.rollup(*dims).agg(*aggs)

@@ -97,7 +97,16 @@ def salted_join(
 
     Results equal the plain join (same multiset of matches).  Prefer AQE
     skew handling (on by default, session.py); reach for this only when
-    runtime splitting is insufficient."""
+    runtime splitting is insufficient.
+
+    Only inner and left joins are supported: the other side is exploded
+    ×salt, so a right/full outer join would emit each unmatched ``other``
+    row once per salt value (duplicates)."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, not {how!r}: the "
+            "exploded side duplicates unmatched rows under right/full outer"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     sk = skewed.withColumn("__salt", (F.rand() * salt).cast("int"))
     ot = other.withColumn(

@@ -93,36 +93,59 @@ def stream_through(df: DataFrame, cmd: list[str], output_schema: str,
     """Pig `STREAM A THROUGH \\`cmd\\`` — pipe rows through an external
     executable with a tab-delimited line protocol (PigStreaming default).
 
-    mapInPandas: each Arrow batch is written to the subprocess as TSV
-    lines, its stdout parsed back as TSV rows of `output_schema`.  The
-    subprocess is per-partition, matching Pig's one-process-per-task.
-    """
+    mapInPandas: a writer thread feeds the subprocess one Arrow batch at
+    a time while the main thread reads its stdout incrementally in
+    chunks — a true pipe, never the whole partition as one in-memory
+    string on either side (a partition holds GBs at 100 TB; peak memory
+    here is one Arrow batch + one read chunk).  The subprocess is
+    per-partition, matching Pig's one-process-per-task."""
     import subprocess
 
     def run(batches: Iterable) -> Iterator:
         import io
+        import threading
 
         import pandas as pd
 
         proc = subprocess.Popen(
             cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True
         )
-        chunks = []
-        for pdf in batches:
-            chunks.append(pdf)
-        payload = "".join(
-            "\t".join("" if pd.isna(v) else str(v) for v in row) + "\n"
-            for pdf in chunks
-            for row in pdf.itertuples(index=False)
-        )
-        out, _ = proc.communicate(payload)
-        if proc.returncode != 0:
-            raise RuntimeError(f"STREAM command {cmd} exited {proc.returncode}")
+
+        def feed() -> None:
+            try:
+                for pdf in batches:
+                    for row in pdf.itertuples(index=False):
+                        proc.stdin.write(
+                            "\t".join("" if pd.isna(v) else str(v) for v in row)
+                            + "\n"
+                        )
+            finally:
+                proc.stdin.close()
+
+        writer = threading.Thread(target=feed, daemon=True)
+        writer.start()
         names = [
             f.strip().replace(":", " ").split()[0] for f in output_schema.split(",")
         ]
-        yield pd.read_csv(
-            io.StringIO(out), sep="\t", names=names, header=None, dtype=str
-        )
+        # stream stdout in bounded chunks; emit a pandas batch per chunk
+        chunk_rows = 10_000
+        buf: list[str] = []
+        for line in proc.stdout:
+            buf.append(line)
+            if len(buf) >= chunk_rows:
+                yield pd.read_csv(
+                    io.StringIO("".join(buf)), sep="\t", names=names,
+                    header=None, dtype=str,
+                )
+                buf = []
+        writer.join()
+        rc = proc.wait()
+        if rc != 0:
+            raise RuntimeError(f"STREAM command {cmd} exited {rc}")
+        if buf:
+            yield pd.read_csv(
+                io.StringIO("".join(buf)), sep="\t", names=names,
+                header=None, dtype=str,
+            )
 
     return df.mapInPandas(run, schema=output_schema)

@@ -22,10 +22,47 @@ from pyspark.sql import DataFrame, SparkSession
 
 _FORMATS = {"parquet", "csv", "json", "text", "orc", "avro"}
 
+_AVRO_AVAILABLE: bool | None = None
+
+
+def avro_available(spark: SparkSession | None = None) -> bool:
+    """True when the spark-avro module is on the session's classpath.
+    Avro ships as an external Spark module (org.apache.spark:spark-avro);
+    AvroStorage support is gated on detecting it rather than dropped —
+    clusters that carry the jar get fmt='avro' with no code change."""
+    global _AVRO_AVAILABLE
+    if _AVRO_AVAILABLE is None:
+        if spark is None:
+            from pigout_spark.session import get_spark
+
+            spark = get_spark()
+        import shutil
+        import tempfile
+
+        # probe with a real one-row write: classpath checks false-positive
+        # (avro *classes* can be present while the data source module is
+        # not deployed); the result is cached for the process
+        d = tempfile.mkdtemp(prefix="avro_probe")
+        try:
+            spark.createDataFrame([(1,)], "x int").write.format("avro").mode(
+                "overwrite"
+            ).save(f"{d}/probe")
+            _AVRO_AVAILABLE = True
+        except Exception:
+            _AVRO_AVAILABLE = False
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    return _AVRO_AVAILABLE
+
 
 def _check_fmt(fmt: str) -> str:
     if fmt not in _FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; one of {sorted(_FORMATS)}")
+    if fmt == "avro" and not avro_available():
+        raise RuntimeError(
+            "fmt='avro' needs the spark-avro jar on the classpath "
+            "(org.apache.spark:spark-avro_2.13); not present in this session"
+        )
     return fmt
 
 

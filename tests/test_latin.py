@@ -162,6 +162,58 @@ def test_rank_by(pig):
     assert first.rank_c == 1
 
 
+def test_count_excludes_null_first_field(pig, spark, tmp_path):
+    """Pig COUNT(A) skips tuples whose FIRST field is null; COUNT_STAR
+    counts all — the classic gotcha, now compiled faithfully."""
+    uri = str(tmp_path / "nully.parquet")
+    spark.createDataFrame(
+        [(None, "g"), (1, "g"), (2, "g"), (None, "h")], "v int, k string"
+    ).write.parquet(uri)
+    pig.execute(
+        f"n = LOAD '{uri}';"
+        " g = GROUP n BY k;"
+        " out = FOREACH g GENERATE group, COUNT(n) AS c, COUNT_STAR(n) AS cs;"
+    )
+    got = {r.group: (r.c, r.cs) for r in pig.df("out").collect()}
+    assert got == {"g": (2, 3), "h": (0, 1)}
+
+
+def test_size_type_dispatch(pig, spark, tmp_path):
+    """Pig SIZE: chararray → char count, bag → element count, numeric →
+    1, null → null — dispatched on the column type at compile time."""
+    uri = str(tmp_path / "sized.parquet")
+    spark.createDataFrame(
+        [("abcd", [1, 2, 3], 7.5), (None, [], None)],
+        "s string, arr array<int>, x double",
+    ).write.parquet(uri)
+    pig.execute(
+        f"t = LOAD '{uri}';"
+        " out = FOREACH t GENERATE s, SIZE(s) AS ls, SIZE(arr) AS la, SIZE(x) AS lx;"
+    )
+    rows = {r.s: r for r in pig.df("out").collect()}
+    r0, r1 = rows["abcd"], rows[None]
+    assert (r0.ls, r0.la, r0.lx) == (4, 3, 1)
+    assert (r1.ls, r1.la, r1.lx) == (None, 0, None)
+
+
+def test_cube_all_marker_compat(pig):
+    """`SET pigout.cube.all_marker true` restores Pig's 'all' string in
+    rolled-up dimension slots (default keeps Spark's NULL convention)."""
+    pig.execute(
+        """
+        SET pigout.cube.all_marker true;
+        o = LOAD 'orders';
+        c = CUBE o BY CUBE(o_orderstatus, o_orderpriority);
+        s = FOREACH c GENERATE FLATTEN(group), COUNT(o) AS n;
+        """
+    )
+    rows = pig.df("s").collect()
+    vals_status = {r.o_orderstatus for r in rows}
+    assert "all" in vals_status and None not in vals_status
+    grand = [r for r in rows if r.o_orderstatus == "all" and r.o_orderpriority == "all"]
+    assert len(grand) == 1 and grand[0].n == 1500  # sf0.001 orders
+
+
 def test_filter_matches_is_full_match(pig):
     pig.execute(
         "c = LOAD 'customer';"

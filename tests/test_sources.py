@@ -24,6 +24,23 @@ def _df(spark):
     )
 
 
+def test_avro_gated_on_jar_detection(spark, tmpdir):
+    """AvroStorage: fmt='avro' works when spark-avro is on the classpath
+    and fails with a clear gating error when it isn't — capability
+    detection, not a dropped feature."""
+    from pigout_spark.sources.io import avro_available
+
+    df = _df(spark)
+    uri = f"{tmpdir}/avro"
+    if avro_available(spark):
+        store(df, uri, fmt="avro")
+        back = load(spark, uri, fmt="avro")
+        assert back.count() == 2
+    else:
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            store(df, uri, fmt="avro")
+
+
 @pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
 def test_roundtrip(spark, tmpdir, fmt):
     df = _df(spark)
