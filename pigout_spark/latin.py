@@ -396,6 +396,8 @@ class PigSession:
         self.macros: dict[str, tuple[list[str], str, str]] = {}
         # `SET key 'value'` session options (e.g. pigout.cube.all_marker)
         self.options: dict[str, str] = {}
+        # REGISTER'd python UDFs: (namespace, fn) → spark SQL udf name
+        self.udfs: dict[tuple[str, str], str] = {}
 
     # -- public API ------------------------------------------------------
     def execute(self, script: str) -> None:
@@ -405,13 +407,96 @@ class PigSession:
     def _substitute(self, stmt: str) -> str:
         """Pig parameter substitution: $NAME / ${NAME} from -param /
         %declare.  Positional $0-style refs survive (digits are never
-        parameter names)."""
+        parameter names).  REGISTER'd UDF calls ``ns.fn(...)`` rewrite
+        to their Spark-SQL-registered names here (before expression
+        translation, so the lowercase result passes through the builtin
+        rewriter untouched)."""
+        for (ns, fn), sqlname in self.udfs.items():
+            stmt = re.sub(rf"\b{ns}\s*\.\s*{fn}\s*\(", f"{sqlname}(", stmt)
         if not self.params:
             return stmt
         def sub(m: re.Match) -> str:
             name = m.group(1) or m.group(2)
             return self.params.get(name, m.group(0))
         return re.sub(r"\$\{(\w+)\}|\$([A-Za-z_]\w*)", sub, stmt)
+
+    def _register_python_udfs(self, path: str, ns: str) -> None:
+        """``REGISTER 'udfs.py' [USING jython] AS ns`` — Pig script UDFs
+        run as native CPython (strictly more capable than Jython; same
+        per-tuple call contract, but Arrow-batched transfer).
+
+        The file is executed in a namespace pre-seeded with Pig's
+        ``@outputSchema('name:type')`` decorator; each top-level function
+        defined IN the file becomes a Spark SQL UDF named ``ns__fn``.
+        Return types come from @outputSchema (Pig type names) or, absent
+        that, the function's Python return annotation (int→bigint,
+        float→double, str→string, bool→boolean).  Calls ``ns.fn(...)``
+        in any later statement are rewritten to the registered name, so
+        they compose with every expression context (FOREACH, FILTER,
+        nested blocks)."""
+        import pandas as pd
+        from pyspark.sql.pandas.functions import pandas_udf
+
+        def outputSchema(schema: str):  # Pig decorator shim
+            def deco(fn):
+                fn._pig_output_schema = schema
+                return fn
+            return deco
+
+        glb: dict = {"outputSchema": outputSchema}
+        with open(path, encoding="utf-8") as fh:
+            src = fh.read()
+        # dont_inherit: without it the UDF file inherits THIS module's
+        # `from __future__ import annotations` and its return hints
+        # become strings instead of classes
+        exec(compile(src, path, "exec", dont_inherit=True), glb)
+        _ANN_TYPES = {
+            int: "bigint", float: "double", str: "string", bool: "boolean",
+            "int": "bigint", "float": "double", "str": "string", "bool": "boolean",
+        }
+        registered = []
+        for name, fn in list(glb.items()):
+            if name.startswith("_") or not callable(fn):
+                continue
+            code = getattr(fn, "__code__", None)
+            if code is None or code.co_filename != path:
+                continue  # imported helpers, the decorator itself, etc.
+            schema = getattr(fn, "_pig_output_schema", None)
+            if schema:
+                pig_t = schema.rsplit(":", 1)[-1].strip().lower()
+                ret = _PIG_TYPES.get(pig_t, pig_t)
+            else:
+                ann = getattr(fn, "__annotations__", {}).get("return")
+                if ann not in _ANN_TYPES:
+                    raise PigSyntaxError(
+                        f"UDF {name} in {path} needs @outputSchema or a "
+                        "return annotation (int/float/str/bool)"
+                    )
+                ret = _ANN_TYPES[ann]
+
+            def make(fn_inner, ret_type):
+                # pandas_udf infers from type hints and rejects *args —
+                # generate a wrapper with the UDF's exact arity
+                import inspect
+
+                nargs = len(inspect.signature(fn_inner).parameters)
+                args = ", ".join(f"c{i}" for i in range(nargs))
+                hints = ", ".join(f"c{i}: pd.Series" for i in range(nargs))
+                lns: dict = {"pd": pd, "fn": fn_inner}
+                exec(
+                    f"def wrapped({hints}) -> pd.Series:\n"
+                    f"    return pd.Series([fn(*v) for v in zip({args})],"
+                    f" dtype=object)\n",
+                    lns,
+                )
+                return pandas_udf(ret_type)(lns["wrapped"])
+
+            sqlname = f"{ns}__{name}"
+            self.spark.udf.register(sqlname, make(fn, ret))
+            self.udfs[(ns, name)] = sqlname
+            registered.append(name)
+        if not registered:
+            raise PigSyntaxError(f"REGISTER {path!r}: no top-level functions found")
 
     def df(self, alias: str) -> DataFrame:
         rel = self.rels[alias]
@@ -502,6 +587,30 @@ class PigSession:
                 )
             self.defines[dm.group(1)] = dm.group(2)
             return
+        if kw == "REGISTER":
+            rm = re.match(
+                r"REGISTER\s+'([^']+)'"
+                r"(?:\s+USING\s+(\w+))?(?:\s+AS\s+(\w+))?\s*$",
+                stmt,
+                re.IGNORECASE,
+            )
+            if not rm:
+                raise PigSyntaxError(f"bad REGISTER: {stmt}")
+            path, engine, ns = rm.groups()
+            if path.endswith(".py") or (engine or "").lower() in (
+                "jython", "streaming_python", "python", "cpython",
+            ):
+                import os
+
+                self._register_python_udfs(
+                    path, ns or os.path.splitext(os.path.basename(path))[0]
+                )
+                return
+            raise PigSyntaxError(
+                "REGISTER supports Python UDF files (.py, run as native "
+                "CPython — the Jython/streaming_python analog); external "
+                "jars are out of scope"
+            )
         if kw == "IMPORT":
             im = re.match(r"IMPORT\s+'([^']+)'\s*$", stmt, re.IGNORECASE)
             if not im:

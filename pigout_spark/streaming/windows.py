@@ -50,3 +50,28 @@ def session_agg(
     first event's timestamp."""
     out = df.groupBy(F.session_window(ts_col, gap).alias("__w"), *keys).agg(*aggs)
     return out.withColumn("session_start", F.col("__w.start")).drop("__w")
+
+
+def stream_dedup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str | None = None,
+    watermark_delay: str | None = None,
+) -> DataFrame:
+    """Streaming deduplication — the incremental counterpart of the
+    batch dedup family (pipeline/dedup.py) for continuously-arriving
+    training data: keep the FIRST row per key (e.g. content fingerprint).
+
+    With a watermark, state for a key is evicted once the watermark
+    passes its event time (``dropDuplicatesWithinWatermark``: duplicates
+    arriving within the delay are dropped, state stays bounded — the
+    only sane configuration at 100 TB/day).  Without one, exact
+    dedup with unbounded state (batch, or short-lived streams only).
+    Batch DataFrames take the same code path minus the watermark, so the
+    semantics are oracle-checkable."""
+    if ts_col is not None and watermark_delay is not None:
+        wdf = with_watermark(df, ts_col, watermark_delay)
+        if wdf.isStreaming:
+            return wdf.dropDuplicatesWithinWatermark(keys)
+        return wdf.dropDuplicates(keys)
+    return df.dropDuplicates(keys)

@@ -196,6 +196,37 @@ def test_size_type_dispatch(pig, spark, tmp_path):
     assert (r1.ls, r1.la, r1.lx) == (None, 0, None)
 
 
+def test_register_python_udfs(pig, tmp_path):
+    """REGISTER 'udfs.py' AS ns: Pig script UDFs as native Python —
+    @outputSchema and annotation-typed functions usable in FOREACH and
+    FILTER expressions."""
+    udf_file = tmp_path / "myudfs.py"
+    udf_file.write_text(
+        "@outputSchema('rev:double')\n"
+        "def revenue(price, disc):\n"
+        "    return price * (1.0 - disc)\n"
+        "\n"
+        "def shout(s) -> str:\n"
+        "    return s.upper() + '!'\n"
+    )
+    pig.execute(
+        f"REGISTER '{udf_file}' USING jython AS fns;"
+        " li = LOAD 'lineitem';"
+        " out = FOREACH li GENERATE l_orderkey,"
+        "       fns.revenue(l_extendedprice, l_discount) AS rev,"
+        "       fns.shout(l_returnflag) AS flag;"
+        " big = FILTER out BY rev > 0;"
+    )
+    r = pig.df("out").first()
+    assert abs(r.rev) >= 0 and r.flag.endswith("!") and r.flag[:-1].isupper()
+    assert pig.df("big").count() > 0
+    # missing type info is a clear error
+    bad = tmp_path / "bad.py"
+    bad.write_text("def untyped(x):\n    return x\n")
+    with pytest.raises(PigSyntaxError, match="outputSchema"):
+        pig.execute(f"REGISTER '{bad}' AS b;")
+
+
 def test_cube_all_marker_compat(pig):
     """`SET pigout.cube.all_marker true` restores Pig's 'all' string in
     rolled-up dimension slots (default keeps Spark's NULL convention)."""

@@ -180,3 +180,41 @@ def test_append_mode_parquet_sink_with_watermark(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r.window_start, r.n) for r in spark.read.parquet(sink).collect()}
     assert got == {(T0, 2), (T0 + dt.timedelta(minutes=10), 1)}
+
+
+def test_stream_dedup_within_watermark(spark):
+    """Streaming dedup (the incremental exact-dedup path): duplicates of
+    a key arriving within the watermark delay are dropped, state bounded
+    by the watermark; batch takes the same code path."""
+    from pigout_spark.streaming.windows import stream_dedup
+
+    rows = [
+        ("fp_a", T0),
+        ("fp_a", T0 + dt.timedelta(minutes=1)),   # dup within delay
+        ("fp_b", T0 + dt.timedelta(minutes=2)),
+        ("fp_b", T0 + dt.timedelta(minutes=2)),   # exact dup
+        ("fp_c", T0 + dt.timedelta(hours=3)),     # advances watermark
+    ]
+    src = tempfile.mkdtemp(prefix="pigout_dedup_src")
+    try:
+        spark.createDataFrame(rows, "fp string, ts timestamp").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+        stream = spark.readStream.schema("fp string, ts timestamp").parquet(src)
+        out = stream_dedup(stream, ["fp"], ts_col="ts", watermark_delay="10 minutes")
+        q = (
+            out.writeStream.format("memory")
+            .queryName("dedup_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(r.fp for r in spark.sql("select fp from dedup_stream").collect())
+        assert got == ["fp_a", "fp_b", "fp_c"]
+
+        # batch path: same call, same semantics, oracle-checkable
+        batch = spark.createDataFrame(rows, "fp string, ts timestamp")
+        assert stream_dedup(batch, ["fp"], "ts", "10 minutes").count() == 3
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
