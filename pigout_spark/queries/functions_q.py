@@ -448,3 +448,55 @@ def q37_map_ops(spark, sf_dir):
         F.array_join(VALUELIST("m"), "|").alias("vals_joined"),
         SIZE("m").alias("n_keys"),
     )
+
+
+# --- §2.5 scalable RANK BY / bare RANK — oracle-verified against SQL
+# --- window semantics (local extras: the driver's 50-query window is
+# --- full; tools/selfcheck.py runs these) ---
+@query(
+    "x_rank_by_scalable",
+    """
+    SELECT c_custkey,
+           RANK() OVER (ORDER BY c_acctbal DESC) AS rnk,
+           DENSE_RANK() OVER (ORDER BY c_acctbal DESC) AS drnk
+    FROM customer
+    """,
+    extra=True,
+)
+def x_rank_by_scalable(spark, sf_dir):
+    """rank_by (no keyless global window: MIN(row_number) over the key
+    group / distinct-key join) must hash-match SQL RANK/DENSE_RANK —
+    the scale-safe plan produces bit-identical rank values."""
+    from pigout_spark.operators.sorting import rank_by
+
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    r = rank_by(c, ["c_acctbal"], [False], out="rnk")
+    d = rank_by(c, ["c_acctbal"], [False], dense=True, out="drnk").select(
+        "c_custkey", "drnk"
+    )
+    return r.join(d, "c_custkey").select(
+        "c_custkey", F.col("rnk").cast("int"), F.col("drnk").cast("int")
+    )
+
+
+@query(
+    "x_row_rank_two_pass",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey,
+                                   l_linenumber) AS BIGINT) AS rn
+    FROM lineitem
+    """,
+    extra=True,
+)
+def x_row_rank_two_pass(spark, sf_dir):
+    """Bare RANK (unique row numbers, Pig POCounter two-pass) over a
+    deterministic total order must hash-match SQL ROW_NUMBER."""
+    from pigout_spark.operators.sorting import row_rank
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    return row_rank(
+        li, "l_extendedprice", "l_orderkey", "l_linenumber", out="rn"
+    ).select("l_orderkey", "l_linenumber", "rn")

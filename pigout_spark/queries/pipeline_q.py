@@ -560,3 +560,34 @@ def mm_binary_meta(spark, sf_dir):
     against pure SQL byte math."""
     d = binarize(t(spark, sf_dir, "documents"), "text")
     return extract_meta(d, "payload", "doc_id")
+
+
+# Local extra (driver window full): the frame-sampling plumbing —
+# mapInPandas row multiplication — against a pure-SQL byte-math oracle.
+@query(
+    "x_mm_frames",
+    """
+    WITH d AS (
+      SELECT doc_id, encode(text) AS payload FROM documents
+    ), n AS (
+      SELECT doc_id, payload,
+             CAST(ceil(octet_length(payload) / 64.0) AS BIGINT) AS n_chunks
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(unnest(range(0, n_chunks, 2)) AS INT) AS frame_idx,
+           CAST(octet_length(payload) AS BIGINT) AS byte_len
+    FROM n
+    """,
+    extra=True,
+)
+def x_mm_frames(spark, sf_dir):
+    """sample_frames (video-pipeline shape: payload → every-2nd 64-byte
+    'frame') joined back to byte length — frame indices and row
+    multiplication must match the SQL range() oracle exactly."""
+    from pigout_spark.pipeline.multimodal import binarize, sample_frames
+
+    d = binarize(t(spark, sf_dir, "documents"), "text")
+    frames = sample_frames(d, stride=2)
+    lens = d.select("doc_id", F.octet_length("payload").cast("long").alias("byte_len"))
+    return frames.join(lens, "doc_id").select("doc_id", "frame_idx", "byte_len")

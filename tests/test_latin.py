@@ -227,6 +227,23 @@ def test_register_python_udfs(pig, tmp_path):
         pig.execute(f"REGISTER '{bad}' AS b;")
 
 
+def test_example_udfs_and_compat_script(spark, sf_dir):
+    """examples/udfs_and_compat.pig runs end-to-end: REGISTER'd Python
+    UDF + SET all_marker + CUBE, through run_script."""
+    import pathlib
+
+    from pigout_spark.latin import run_script
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    script = (root / "examples" / "udfs_and_compat.pig").read_text()
+    # the script REGISTERs by repo-relative path
+    script = script.replace("examples/udfs.py", str(root / "examples" / "udfs.py"))
+    ses = run_script(spark, script, Catalog().register_fixture_dir(sf_dir))
+    rows = ses.df("by_dim").collect()
+    grand = [r for r in rows if r.l_returnflag == "all" and r.l_linestatus == "all"]
+    assert len(grand) == 1 and grand[0].n == 6000 and grand[0].net_total > 0
+
+
 def test_cube_all_marker_compat(pig):
     """`SET pigout.cube.all_marker true` restores Pig's 'all' string in
     rolled-up dimension slots (default keeps Spark's NULL convention)."""
