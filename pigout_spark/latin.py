@@ -26,6 +26,9 @@ Supported statements (the workhorse subset of the Pig Latin manual):
     SPLIT A INTO X IF p, Y IF q [, Z OTHERWISE];
     B = STREAM A THROUGH `cmd` [AS (n:type, ...)];
     DEFINE alias `cmd`;                        -- streaming command binding
+    REGISTER 'udfs.py' [USING jython] AS ns;   -- script UDFs (CPython)
+    SET key 'value';                           -- session options
+    RUN 'script.pig';  /  EXEC 'script.pig';   -- Grunt script execution
     %declare NAME 'value';                     -- + run_script(params={...})
     ASSERT A BY p [, 'message'];
     STORE A INTO 'uri' [USING ...];      DUMP A;      DESCRIBE A;
@@ -611,12 +614,17 @@ class PigSession:
                 "CPython — the Jython/streaming_python analog); external "
                 "jars are out of scope"
             )
-        if kw == "IMPORT":
-            im = re.match(r"IMPORT\s+'([^']+)'\s*$", stmt, re.IGNORECASE)
+        if kw in ("IMPORT", "RUN", "EXEC"):
+            # IMPORT 'macros.pig' (macro files) and Grunt's RUN/EXEC
+            # 'script.pig' (execute a whole script in THIS session —
+            # its aliases become visible here, Pig's documented RUN
+            # behavior; EXEC isolation is not needed since nothing is
+            # lazily queued per-statement)
+            im = re.match(rf"{kw}\s+'([^']+)'\s*;?\s*$", stmt, re.IGNORECASE)
             if not im:
-                raise PigSyntaxError(f"bad IMPORT: {stmt}")
+                raise PigSyntaxError(f"bad {kw}: {stmt}")
             with open(im.group(1), encoding="utf-8") as fh:
-                self.execute(fh.read())  # macro files: DEFINE…RETURNS stmts
+                self.execute(fh.read())
             return
         if kw == "EXPLAIN":
             self.df(stmt.split(None, 1)[1].strip()).explain("formatted")

@@ -227,6 +227,18 @@ def test_register_python_udfs(pig, tmp_path):
         pig.execute(f"REGISTER '{bad}' AS b;")
 
 
+def test_run_script_statement(pig, tmp_path):
+    """Grunt RUN 'script.pig': executes in the CURRENT session, aliases
+    visible afterwards (Pig's documented RUN behavior)."""
+    sub = tmp_path / "sub.pig"
+    sub.write_text(
+        "n = LOAD 'nation';\nbig = FILTER n BY n_nationkey >= 10;\n"
+    )
+    pig.execute(f"RUN '{sub}'; c = FOREACH big GENERATE n_name;")
+    assert pig.df("big").count() == 15
+    assert pig.df("c").columns == ["n_name"]
+
+
 def test_example_udfs_and_compat_script(spark, sf_dir):
     """examples/udfs_and_compat.pig runs end-to-end: REGISTER'd Python
     UDF + SET all_marker + CUBE, through run_script."""

@@ -210,17 +210,51 @@ def gen_string(rng: random.Random):
     return build, sql
 
 
+def gen_window(rng: random.Random):
+    """Random partitioned window function with a total-order tiebreak
+    (rank values must be engine-deterministic)."""
+    table = rng.choice(list(UNIQUE_KEYS))
+    strs, nums, doubles, ints = TABLES[table]
+    part = rng.choice(strs)
+    sortcol = rng.choice(doubles)
+    keys = UNIQUE_KEYS[table]
+    fn = rng.choice(["ROW_NUMBER", "RANK", "DENSE_RANK"])
+    direction = rng.choice(["ASC", "DESC"])
+    cols = list(dict.fromkeys(keys + [part, sortcol]))
+    order_sql = f"{sortcol} {direction}, " + ", ".join(keys)
+    sql = (
+        f"SELECT {', '.join(cols)}, CAST({fn}() OVER (PARTITION BY {part} "
+        f"ORDER BY {order_sql}) AS BIGINT) AS w FROM {table}"
+    )
+
+    def build(spark, sf_dir):
+        from pyspark.sql import Window
+
+        df = load_table(spark, sf_dir, table).select(*cols)
+        oc = [F.col(sortcol).desc() if direction == "DESC" else F.col(sortcol).asc()]
+        oc += [F.col(k) for k in keys]
+        w = Window.partitionBy(part).orderBy(*oc)
+        fns = {
+            "ROW_NUMBER": F.row_number, "RANK": F.rank, "DENSE_RANK": F.dense_rank,
+        }
+        return df.withColumn("w", fns[fn]().over(w).cast("long"))
+
+    return build, sql
+
+
 def gen_query(rng: random.Random):
     """One random plan → (builder(spark, sf_dir) -> DataFrame, sql)."""
     r = rng.random()
-    if r < 0.2:
+    if r < 0.18:
         return gen_topk(rng)
-    if r < 0.4:
+    if r < 0.36:
         return gen_join(rng)
-    if r < 0.52:
+    if r < 0.48:
         return gen_setop(rng)
-    if r < 0.62:
+    if r < 0.58:
         return gen_string(rng)
+    if r < 0.68:
+        return gen_window(rng)
     table = rng.choice(list(TABLES))
     strs, nums, doubles, ints = TABLES[table]
     preds, fexprs = [], []
