@@ -119,6 +119,13 @@ def _warmup(spark, sf_dir: str) -> None:
         return s + 1
 
     nation.select(_plus1("n_nationkey")).collect()  # Python-UDF runner
+    nation.cube("n_regionkey").count().collect()  # Expand (cube/rollup)
+    nation.select(
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"), "n_nationkey"
+    ).groupBy(F.session_window("ts", "5 minutes")).count().collect()  # session windows
+    nation.select(
+        F.bit_count(F.shiftright(F.col("n_nationkey"), 1).bitwiseAND(7))
+    ).collect()  # bit ops (simhash family)
 
 
 def main() -> None:
