@@ -1,0 +1,136 @@
+"""Pig BuildBloom / Bloom builtins (Pig 0.10+) — bloom-join reduction,
+Spark-first.
+
+Pig's pattern: ``BuildBloom`` aggregates the small relation's keys into
+a bloom filter, ``Bloom(key)`` filters the big relation BEFORE the join,
+so the shuffle moves only probable matches.  Spark's own runtime
+row-level bloom join does this automatically above size thresholds; this
+module provides the explicit, deterministic version for when the
+optimizer can't see it (pre-filtering before a write, cross-job reuse,
+or Pig script parity).
+
+Design: the filter is an ``array<long>`` of ``n_longs`` words
+(m = 64·n_longs bits).  Keys hash through one md5 (28-bit base) and k
+universal-hash probes (exact int64 arithmetic — the MinHash family
+device, engine-independent and SQL-mirrorable).  Build is a global
+aggregate of ``bit_or`` over per-row masks — map-side combined, the
+result is ONE row of n_longs longs, broadcast to the probe side.  At
+100 TB: build cost is a scan of the small side; probe cost is 4 integer
+ops per row; the only data movement is the (tiny) filter itself.
+
+No false negatives ever; false-positive rate ≈ (1 - e^{-k·n/m})^k —
+size ``n_longs`` for the build-side cardinality (e.g. 1M keys at 1% FP
+needs m ≈ 9.6M bits ≈ 150k longs ≈ 1.2 MB — still broadcast-cheap).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Mersenne prime for the universal-hash probe family (shared with the
+#: MinHash family in pipeline/dedup.py).
+_P = 2_147_483_647
+
+
+def _probe_params(k: int, seed: int) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(k)]
+
+
+def _with_positions(
+    df: DataFrame, col: Column | str, m: int, k: int, seed: int
+) -> DataFrame:
+    """Attach __h0..__h{k-1} bit-position columns for ``col``.
+
+    One md5 per row (CSE collapses the shared subexpression), then k
+    exact-int64 universal hashes into [0, m)."""
+    c = F.col(col) if isinstance(col, str) else col
+    x = F.conv(F.substring(F.md5(c.cast("string")), 1, 7), 16, 10).cast("long")
+    out = df.withColumn("__x", x)
+    for i, (a, b) in enumerate(_probe_params(k, seed)):
+        out = out.withColumn(f"__h{i}", ((F.col("__x") * a + b) % _P) % m)
+    return out.drop("__x")
+
+
+def bloom_build(
+    df: DataFrame,
+    col: Column | str,
+    n_longs: int = 64,
+    k: int = 4,
+    seed: int = 11,
+) -> DataFrame:
+    """Pig ``BuildBloom``: aggregate ``col``'s values into a bloom
+    filter.  Returns a ONE-ROW DataFrame with column ``bloom``
+    (array<long> of ``n_longs`` words) — broadcast it to probe sides."""
+    m = n_longs * 64
+    withh = _with_positions(df, col, m, k, seed)
+    # per-word bit_or aggregate: word j accumulates every probe whose
+    # position lands in it (shiftleft takes an expression shift in SQL)
+    words = []
+    for j in range(n_longs):
+        contrib = None
+        for i in range(k):
+            t = F.expr(
+                f"if(shiftright(__h{i}, 6) = {j},"
+                f" shiftleft(1L, cast(__h{i} % 64 as int)), 0L)"
+            )
+            contrib = t if contrib is None else contrib.bitwiseOR(t)
+        words.append(F.bit_or(contrib).alias(f"__w{j}"))
+    agg = withh.agg(*words)
+    return agg.select(
+        F.array(*[F.coalesce(F.col(f"__w{j}"), F.lit(0)) for j in range(n_longs)])
+        .cast("array<long>")
+        .alias("bloom")
+    )
+
+
+def bloom_filter(
+    df: DataFrame,
+    col: Column | str,
+    bloom_df: DataFrame,
+    n_longs: int = 64,
+    k: int = 4,
+    seed: int = 11,
+) -> DataFrame:
+    """Pig ``Bloom(key)`` filter: keep rows whose ``col`` is *probably*
+    in the filter (never drops a true member).  ``bloom_df`` is
+    ``bloom_build``'s output with MATCHING n_longs/k/seed; it is
+    broadcast — the probe is a narrow map."""
+    m = n_longs * 64
+    withh = _with_positions(df, col, m, k, seed).crossJoin(F.broadcast(bloom_df))
+    cond = None
+    for i in range(k):
+        t = F.expr(
+            f"(shiftright(element_at(bloom, cast(shiftright(__h{i}, 6) + 1 as int)),"
+            f" cast(__h{i} % 64 as int)) & 1) = 1"
+        )
+        cond = t if cond is None else cond & t
+    return withh.filter(cond).drop("bloom", *[f"__h{i}" for i in range(k)])
+
+
+def bloom_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    how: str = "inner",
+    n_longs: int = 64,
+    k: int = 4,
+    seed: int = 11,
+) -> DataFrame:
+    """The full bloom-join reduction: build on the dim side, pre-filter
+    the fact side, then the real join (exact results — bloom false
+    positives are eliminated by the join itself).  ``how`` is restricted
+    to inner/left_semi: pre-filtering the fact side would corrupt outer
+    semantics."""
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            f"bloom_join pre-filters the fact side; {how!r} outer semantics "
+            "would lose unmatched fact rows — use a plain join"
+        )
+    bf = bloom_build(dim, dim_key, n_longs, k, seed)
+    pruned = bloom_filter(fact, fact_key, bf, n_longs, k, seed)
+    return pruned.join(dim, F.col(fact_key) == F.col(dim_key), how)

@@ -202,3 +202,35 @@ def test_salted_join_matches_plain_join(spark):
     plain = sorted((r.k, r.v, r.d) for r in big.join(dim, "k").collect())
     salted = sorted((r.k, r.v, r.d) for r in salted_join(big, dim, "k", salt=4).collect())
     assert salted == plain and len(plain) > 0
+
+
+def test_bloom_build_filter_and_join(spark, sf_dir):
+    """Pig BuildBloom/Bloom: no false negatives ever, real pruning on
+    disjoint keys, and bloom_join ≡ plain join (FPs eliminated by the
+    join itself)."""
+    from pigout_spark.catalog import load_table
+    from pigout_spark.operators.bloom import bloom_build, bloom_filter, bloom_join
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    members = c.filter("c_custkey < 30").select("c_custkey")
+    bf = bloom_build(members, "c_custkey")
+    assert len(bf.first().bloom) == 64
+
+    # every true member survives (no false negatives)
+    kept = bloom_filter(c.filter("c_custkey < 30"), "c_custkey", bf)
+    assert kept.count() == members.count()
+    # disjoint keys are (almost all) pruned: FP rate at 30 keys in
+    # 4096 bits with k=4 is ~1e-5
+    rest = bloom_filter(c.filter("c_custkey >= 30"), "c_custkey", bf)
+    assert rest.count() <= 2
+
+    # bloom_join == plain join, with the fact side pre-pruned
+    want = o.join(members, o.o_custkey == members.c_custkey).count()
+    got = bloom_join(o, members, "o_custkey", "c_custkey").count()
+    assert got == want > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="outer"):
+        bloom_join(o, members, "o_custkey", "c_custkey", how="left")
