@@ -591,3 +591,68 @@ def x_mm_frames(spark, sf_dir):
     frames = sample_frames(d, stride=2)
     lens = d.select("doc_id", F.octet_length("payload").cast("long").alias("byte_len"))
     return frames.join(lens, "doc_id").select("doc_id", "frame_idx", "byte_len")
+
+
+# ------------------------------------------------------------- curation ---
+@query(
+    "x_decontaminate",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_SQL_TOKS} AS tk FROM documents
+    ), sh AS (
+      SELECT doc_id, lang,
+             unnest(CASE WHEN len(tk) >= 4 THEN
+               list_transform(range(0, len(tk) - 3),
+                              i -> md5(array_to_string(tk[i+1:i+4], ' ')))
+             ELSE CAST([] AS VARCHAR[]) END) AS sh
+      FROM t
+    ), bench AS (
+      SELECT DISTINCT sh FROM sh WHERE lang = 'en'
+    ), bad AS (
+      SELECT DISTINCT s.doc_id FROM sh s JOIN bench b ON s.sh = b.sh
+      WHERE s.lang <> 'en'
+    )
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE d.lang <> 'en' AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+    extra=True,
+)
+def x_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (13-gram rule, n=4 at fixture doc
+    length): non-English docs sharing any 4-token shingle with the
+    'en' corpus are dropped — shingle inverted-join, never doc×doc
+    (pipeline/curation.py)."""
+    from pigout_spark.pipeline.curation import decontaminate
+
+    d = t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("lang") == "en")
+    train = d.filter(F.col("lang") != "en")
+    return decontaminate(train, bench, n=4).select("doc_id", "lang")
+
+
+@query(
+    "x_token_budget",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, CAST(len({_SQL_TOKS}) AS BIGINT) AS ntok
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source,
+             SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id, source FROM c WHERE cum <= 200
+    """,
+    extra=True,
+)
+def x_token_budget(spark, sf_dir):
+    """Token-budget selection: per source, docs in id order until a
+    200-token budget — per-group window cumsum, one shuffle on the
+    group key (pipeline/curation.py)."""
+    from pigout_spark.pipeline.curation import token_budget_select
+
+    d = t(spark, sf_dir, "documents")
+    return token_budget_select(
+        d, "source", budget=200, order_col=F.col("doc_id"), ascending=True
+    ).select("doc_id", "source")

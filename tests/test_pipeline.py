@@ -301,3 +301,53 @@ def test_ann_recall_vs_brute_force(spark, sf_dir):
     planes = random_hyperplanes(64, 3)
     ann = {(r.q_id, r.neighbor_id) for r in ann_topk(emb, queries, planes, k).collect()}
     assert len(ann & exact) / len(exact) >= 0.18  # > 1/8 chance
+
+
+def test_decontaminate_drops_shingle_overlap(spark):
+    from pigout_spark.pipeline.curation import decontaminate
+
+    train = docs(spark, [
+        (1, "a b c d e f"),       # contains benchmark 4-gram 'b c d e'
+        (2, "z y x w v u"),       # clean
+        (3, "short doc"),         # shorter than n -> no shingles, kept
+    ])
+    bench = docs(spark, [(100, "q q b c d e q q")])
+    kept = decontaminate(train, bench, n=4)
+    assert sorted(r.doc_id for r in kept.collect()) == [2, 3]
+
+
+def test_stratified_sample_fractions(spark, sf_dir):
+    from pigout_spark.catalog import load_table
+    from pigout_spark.pipeline.curation import stratified_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    langs = [r.lang for r in d.select("lang").distinct().collect()]
+    keep, drop = langs[0], langs[1]
+    out = stratified_sample(d, "lang", {keep: 1.0, drop: 0.0})
+    got = {r.lang for r in out.select("lang").distinct().collect()}
+    assert keep in got and drop not in got
+    assert out.filter(F.col("lang") == keep).count() == d.filter(
+        F.col("lang") == keep
+    ).count()
+    # seeded: reproducible mixture
+    a = stratified_sample(d, "lang", {l: 0.5 for l in langs}, seed=7).count()
+    b = stratified_sample(d, "lang", {l: 0.5 for l in langs}, seed=7).count()
+    assert a == b
+
+
+def test_token_budget_select(spark):
+    from pigout_spark.pipeline.curation import token_budget_select
+
+    rows = [
+        # (id, text, group, score) — 3/2/4-token docs in group g
+        (1, "a b c", "g", 3.0),
+        (2, "d e", "g", 2.0),
+        (3, "f g h i", "g", 1.0),
+        (4, "x y z w v", "h", 9.0),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "src", "score"])
+    out = token_budget_select(df, "src", budget=5, order_col="score")
+    got = sorted(r.doc_id for r in out.collect())
+    # g best-first: doc1 (3 toks, cum 3), doc2 (cum 5 = budget), doc3
+    # would cross (cum 9) -> excluded; h: doc4 (5 toks, cum 5)
+    assert got == [1, 2, 4]
