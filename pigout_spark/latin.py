@@ -567,11 +567,17 @@ class PigSession:
                 raise PigSyntaxError(f"bad SET: {stmt}")
             self.options[sm.group(1)] = sm.group(2) or sm.group(3)
             return
-        if kw == "%DECLARE":
-            dm = re.match(r"%DECLARE\s+(\w+)\s+'([^']*)'", stmt, re.IGNORECASE)
+        if kw in ("%DECLARE", "%DEFAULT"):
+            dm = re.match(
+                rf"{kw}\s+(\w+)\s+'([^']*)'", stmt, re.IGNORECASE
+            )
             if not dm:
-                raise PigSyntaxError(f"bad %declare: {stmt}")
-            self.params[dm.group(1)] = dm.group(2)
+                raise PigSyntaxError(f"bad {kw.lower()}: {stmt}")
+            # %default only fills a parameter not already set (e.g. by
+            # run_script(params=...) — the -param analog); %declare
+            # always overwrites (Pig's precedence rules)
+            if kw == "%DECLARE" or dm.group(1) not in self.params:
+                self.params[dm.group(1)] = dm.group(2)
             return
         if kw == "DEFINE":
             mm = re.match(

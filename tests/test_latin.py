@@ -227,6 +227,21 @@ def test_register_python_udfs(pig, tmp_path):
         pig.execute(f"REGISTER '{bad}' AS b;")
 
 
+def test_default_param_does_not_override(spark, sf_dir):
+    """%default fills only unset params; run_script(params=...) wins
+    (Pig's -param precedence)."""
+    from pigout_spark.latin import run_script
+
+    script = (
+        "%default LIM '3';\n"
+        "o = LOAD 'orders';\n"
+        "top = LIMIT o $LIM;\n"
+    )
+    cat = Catalog().register_fixture_dir(sf_dir)
+    assert run_script(spark, script, cat).df("top").count() == 3
+    assert run_script(spark, script, cat, params={"LIM": "7"}).df("top").count() == 7
+
+
 def test_run_script_statement(pig, tmp_path):
     """Grunt RUN 'script.pig': executes in the CURRENT session, aliases
     visible afterwards (Pig's documented RUN behavior)."""
