@@ -153,6 +153,25 @@ class Catalog:
             self.load(spark, name).createOrReplaceTempView(name)
 
 
+#: Table-handle cache: a DataFrame is an immutable plan handle, and a
+#: metastore-backed catalog resolves a table name to a cached relation
+#: (Spark's own SessionCatalog caches HMS relation metadata the same
+#: way).  Re-running `spark.read.parquet` per query re-reads the footer
+#: and costs ~50-100 ms of py4j/schema work per table — pure plan-
+#: construction overhead.  Keyed by applicationId so a restarted
+#: session never sees stale handles.
+_HANDLE_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """One-shot fixture loader used throughout queries and tests."""
-    return Catalog().register_fixture_dir(sf_dir).load(spark, name)
+    """Fixture loader used throughout queries and tests (cached)."""
+    try:
+        key = (spark.sparkContext.applicationId, sf_dir, name)
+    except Exception:
+        key = None
+    if key is not None and key in _HANDLE_CACHE:
+        return _HANDLE_CACHE[key]
+    df = Catalog().register_fixture_dir(sf_dir).load(spark, name)
+    if key is not None:
+        _HANDLE_CACHE[key] = df
+    return df

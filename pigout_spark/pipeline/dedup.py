@@ -27,16 +27,7 @@ from pyspark.sql import functions as F
 MINHASH_P = 2_147_483_647
 
 
-def _pin_partitions(df: DataFrame, *keys: str) -> DataFrame:
-    """Repartition by the upcoming join keys with an EXPLICIT partition
-    count (spark.sql.shuffle.partitions).  Candidate-pair joins have
-    huge output amplification from tiny inputs; AQE sizes stages by
-    shuffle INPUT bytes, so it coalesces the join down to one task and
-    serializes the expensive pair generation.  An explicit count is
-    exempt from AQE coalescing, and since it hash-partitions on the join
-    keys the join reuses it — no extra exchange."""
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    return df.repartition(n, *[F.col(k) for k in keys])
+from pigout_spark.plans.partitioning import pin_partitions as _pin_partitions  # noqa: E402
 
 
 def minhash_perms(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
@@ -258,7 +249,7 @@ def embedding_cosine_dups(
 
     bands = planes if isinstance(planes[0][0], list) else [planes]
     codes = [
-        lsh_bucket(as_double(vec_col), bands[j]).alias(f"c{j}")
+        lsh_bucket(vec_col, bands[j]).alias(f"c{j}")
         for j in range(len(bands))
     ]
     b = df.select(F.col(id_col), as_double(vec_col).alias("v"), *codes).withColumn(

@@ -92,15 +92,137 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 1000) -> list[list[f
     return out
 
 
-def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Signed-projection bucket code: bit i = (v · plane_i >= 0)."""
-    v = as_double(vec_col) if not isinstance(vec_col, Column) else vec_col
+def lsh_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
+    """Signed-projection bucket code: bit i = (v · plane_i >= 0).
+
+    A string input is treated as the raw array column NAME and compiled
+    as one SQL expression (see lsh_bucket_sql — plan construction is
+    ~100× fewer py4j calls than per-literal Columns); a Column input
+    keeps the combinator path for arbitrary expressions."""
+    if isinstance(vec_col, str):
+        return F.expr(lsh_bucket_sql(as_double_sql(vec_col), planes))
     code = None
     for i, plane in enumerate(planes):
         lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        bit = F.when(dot(v, lit_plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bit = F.when(dot(vec_col, lit_plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         code = bit if code is None else (code + bit)
     return code.cast("int")
+
+
+#: Codebook cache keyed by (corpus plan semanticHash, n, id, vec) —
+#: a production IVF loads its k-means codebook once per job, not once
+#: per query plan.  Bounded: entries are n_centroids rows each.
+_CENTROID_CACHE: dict = {}
+
+
+def _collect_centroids(
+    emb: DataFrame, n_centroids: int, id_col: str, vec_col: str
+) -> list[tuple[int, list[float], float]]:
+    """Pull the centroid vectors to the driver as plain floats.
+
+    IVF centroids are driver-sized BY DEFINITION — FAISS keeps its
+    nlist≈√N codebook in RAM on every node; at 1e9 vectors that is
+    ~30k×64 doubles ≈ 15 MB.  This collects ``n_centroids`` rows, never
+    the corpus, and lets cell assignment be a pure narrow map (no
+    crossJoin, no window, no shuffle).  The norm is folded left-to-right
+    in Python — IEEE doubles, bit-identical to the SQL/Spark left fold.
+    """
+    import math
+
+    try:
+        key = (emb.semanticHash(), n_centroids, id_col, vec_col)
+    except Exception:
+        key = None
+    if key is not None and key in _CENTROID_CACHE:
+        return _CENTROID_CACHE[key]
+    rows = (
+        emb.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("c_id"), as_double(vec_col).alias("cv"))
+        .collect()
+    )
+    out = []
+    for r in sorted(rows, key=lambda r: r.c_id):
+        cv = [float(x) for x in r.cv]
+        acc = 0.0
+        for x in cv:
+            acc = acc + x * x
+        out.append((int(r.c_id), cv, math.sqrt(acc)))
+    if key is not None:
+        _CENTROID_CACHE[key] = out
+    return out
+
+
+# --- single-expr SQL builders -------------------------------------------
+# Literal-heavy expressions (a 64-dim plane is 64 literals; 8 planes are
+# 512) are built as ONE SQL string parsed JVM-side by F.expr — the
+# Column-combinator route costs one py4j round trip PER literal and
+# dominated plan-construction time (~0.6 s per ANN query).  The parsed
+# Catalyst tree is identical, so results are bit-for-bit the same.
+
+
+def _dlit_sql(x: float) -> str:
+    """Exact double literal: repr round-trips IEEE doubles."""
+    return f"CAST('{repr(float(x))}' AS DOUBLE)"
+
+
+def _arr_sql(xs: list[float]) -> str:
+    return "array(" + ", ".join(_dlit_sql(x) for x in xs) + ")"
+
+
+def _dot_sql(a_sql: str, b_sql: str) -> str:
+    """SQL twin of dot(): the same left fold, same summation order."""
+    return (
+        f"aggregate(zip_with({a_sql}, {b_sql}, (x, y) -> x * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def as_double_sql(col: str) -> str:
+    return f"transform({col}, x -> CAST(x AS DOUBLE))"
+
+
+def lsh_bucket_sql(vec_sql: str, planes: list[list[float]]) -> str:
+    """SQL form of lsh_bucket over a double-array SQL fragment."""
+    bits = " + ".join(
+        f"(CASE WHEN {_dot_sql(vec_sql, _arr_sql(p))} >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"CAST({bits} AS INT)"
+
+
+def _cell_scores_sql(v: str, nrm: str, cents: list) -> list[tuple[int, str]]:
+    """Cosine of column ``v`` against each collected centroid (ascending
+    c_id) as SQL fragments — the same left fold the oracle SQL uses."""
+    return [
+        (c_id, f"({_dot_sql(v, _arr_sql(cv))} / ({nrm} * {_dlit_sql(cn)}))")
+        for c_id, cv, cn in cents
+    ]
+
+
+def _argmax_cell(v: str, nrm: str, cents: list) -> Column:
+    """Nearest-centroid id = first element of the sorted probe array.
+
+    NOT a when-chain fold: a fold duplicates every score subexpression
+    into each later branch (2^n copies of the first 64-dim dot — Spark
+    does no cross-branch CSE), while the array constructor evaluates
+    each score exactly once.  Sort order (-s asc, c_id asc) ==
+    ROW_NUMBER() OVER (ORDER BY s DESC, c_id) = 1."""
+    return F.expr(f"element_at({_probe_cells_sql(v, nrm, cents, 1)}, 1)")
+
+
+def _probe_cells_sql(v: str, nrm: str, cents: list, nprobe: int) -> str:
+    """Array of the ``nprobe`` nearest cell ids: sort an n_centroids
+    struct array by (-s asc, c_id asc) — double negation is exact, so
+    the order equals (s DESC, c_id) — then slice.  Narrow, no shuffle."""
+    structs = ", ".join(
+        f"named_struct('negs', -({s}), 'c_id', {c_id})"
+        for c_id, s in _cell_scores_sql(v, nrm, cents)
+    )
+    return (
+        f"transform(slice(sort_array(array({structs})), 1, {nprobe}), "
+        f"st -> st.c_id)"
+    )
 
 
 def ivf_assign(
@@ -114,25 +236,15 @@ def ivf_assign(
     lowest-id vectors (deterministic; production swaps in k-means
     centroids — the dataflow is identical).
 
-    One broadcast of the centroid set, one scan of the corpus, argmax
-    via a per-vector window over n_centroids scored rows.  Returns
-    (id, v double[], nrm, cell)."""
-    from pyspark.sql import Window
-
-    base = emb.select(
-        F.col(id_col), as_double(vec_col).alias("v")
-    ).withColumn("nrm", norm(F.col("v")))
-    cents = base.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("c_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
-    )
-    scored = base.crossJoin(F.broadcast(cents)).withColumn(
-        "s", dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("s"), "c_id")
+    Centroids are collected once (driver-sized — _collect_centroids)
+    and embedded as literals, so assignment is one narrow projection
+    over the corpus: zero shuffles, no crossJoin, no window — the plan
+    a 1000-executor scan wants.  Returns (id, v double[], nrm, cell)."""
+    cents = _collect_centroids(emb, n_centroids, id_col, vec_col)
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, "v", "nrm", F.col("c_id").alias("cell"))
+        emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+        .withColumn("nrm", norm(F.col("v")))
+        .withColumn("cell", _argmax_cell("v", "nrm", cents))
     )
 
 
@@ -147,26 +259,20 @@ def ivf_probe_cells(
     """Top-``nprobe`` nearest cells per vector (the IVF probe list).
     Centroids always come from the FULL ``emb`` (the ids < n_centroids
     contract); ``ids_max`` optionally restricts which vectors get probe
-    lists (the query subset).  Same broadcast-score-window dataflow as
-    ivf_assign; returns one row per (id, cell) — ``nprobe`` rows per
-    vector."""
-    from pyspark.sql import Window
-
+    lists (the query subset).  Narrow: literal centroids + in-row
+    sort/slice/explode — ``nprobe`` rows per vector, no shuffle."""
+    cents = _collect_centroids(emb, n_centroids, id_col, vec_col)
     base = emb.select(
         F.col(id_col), as_double(vec_col).alias("v")
     ).withColumn("nrm", norm(F.col("v")))
-    cents = base.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("c_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
-    )
     probed = base if ids_max is None else base.filter(F.col(id_col) < ids_max)
-    scored = probed.crossJoin(F.broadcast(cents)).withColumn(
-        "s", dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("s"), "c_id")
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= nprobe)
-        .select(id_col, "v", "nrm", F.col("c_id").alias("cell"))
+    return probed.select(
+        F.col(id_col),
+        "v",
+        "nrm",
+        F.explode(
+            F.expr(_probe_cells_sql("v", "nrm", cents, nprobe))
+        ).alias("cell"),
     )
 
 
@@ -181,13 +287,20 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF approximate top-k: candidates restricted to the query's
     ``nprobe`` nearest cells, exact cosine within those cells.  The cell
-    id is the join key — shuffle-by-cell, never O(n²).
+    id is the join key — never O(n²).
 
     Scale knobs (production: nlist ≈ √N, nprobe 4–32): ``n_centroids``
     trades cell size against centroid-scoring cost; ``nprobe`` trades
     recall against candidate volume — each probed cell contributes its
     members once (a candidate lives in exactly one cell, so no dedup
-    shuffle is needed)."""
+    shuffle is needed).
+
+    Physical plan: the query side is ≤ ``query_ids_max`` rows BY
+    CONTRACT (same as brute_force_topk) and is broadcast, so the corpus
+    is never shuffled — cell assignment stays a narrow map over the
+    scan, and the only shuffle is the per-query top-k window.  For
+    LARGE query sets (all-pairs near-dup), use embedding_cosine_dups,
+    whose bucket join shuffles both sides by design."""
     from pyspark.sql import Window
 
     cells = ivf_assign(emb, n_centroids, id_col, vec_col)
@@ -209,7 +322,7 @@ def ivf_topk(
         F.col("nrm").alias("cn"), "cell",
     )
     scored = (
-        q.join(cand, "cell")
+        F.broadcast(q).join(cand, "cell")
         .filter(F.col("neighbor_id") != F.col("q_id"))
         .withColumn("cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     )
@@ -231,23 +344,30 @@ def ann_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
     bucket, then exact cosine within the bucket.  The bucket code is the
-    join key → shuffle-by-bucket, never O(n²)."""
+    join key → never O(n²).
+
+    Physical plan: ``queries`` is small BY CONTRACT (same as
+    brute_force_topk) — the restricted query side is broadcast, so the
+    corpus is never shuffled: bucketing stays a narrow map over the
+    scan, and the only shuffle is the per-query top-k window.  For
+    LARGE query sets (all-pairs near-dup), use embedding_cosine_dups,
+    whose bucket join shuffles both sides by design."""
     from pyspark.sql import Window
 
     withb = emb.select(
         F.col(id_col), as_double(vec_col).alias("v"),
-        lsh_bucket(as_double(vec_col), planes).alias("bucket"),
+        lsh_bucket(vec_col, planes).alias("bucket"),
     ).withColumn("nrm", norm(F.col("v")))
     q = withb.select(
         F.col(id_col).alias("q_id"), F.col("v").alias("qv"),
         F.col("nrm").alias("qn"), "bucket",
-    ).join(queries.select(F.col(id_col).alias("q_id")), "q_id")
+    ).join(F.broadcast(queries.select(F.col(id_col).alias("q_id"))), "q_id")
     cand = withb.select(
         F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"),
         F.col("nrm").alias("cn"), "bucket",
     )
     scored = (
-        q.join(cand, "bucket")
+        F.broadcast(q).join(cand, "bucket")
         .filter(F.col("neighbor_id") != F.col("q_id"))
         .withColumn("cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
     )

@@ -256,7 +256,7 @@ def sim_ann_buckets(spark, sf_dir):
     planes embed as literals in both engines."""
     emb = t(spark, sf_dir, "embeddings")
     return (
-        emb.select(lsh_bucket(as_double("embedding"), _PLANES).alias("bucket"))
+        emb.select(lsh_bucket("embedding", _PLANES).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
