@@ -51,9 +51,9 @@ TABLES = (
 ).split()
 
 #: best-of-N per query, BOTH engines: single-run wall times on this box
-#: swing ±50% run-to-run (shared machine); min-of-2 reports the
+#: swing ±50% run-to-run (shared machine); min-of-3 reports the
 #: steady-state each engine can actually sustain, symmetrically.
-N_RUNS = 2
+N_RUNS = 3
 
 
 def _duckdb_times(sf_dir: str, names: list[str], oracles: dict[str, str]) -> dict:

@@ -81,10 +81,11 @@ def minhash_signature(
     Shuffle: (doc, token-hash) rows with partial aggregation — at scale
     the combiner reduces it to ~num_hashes longs per doc."""
     toks = df.select(F.col(id_col), F.explode(ws_tokens(text_col)).alias("tok"))
-    x = F.conv(F.substring(F.md5("tok"), 1, 7), 16, 10).cast("long")
+    x = F.expr("CAST(conv(substring(md5(tok), 1, 7), 16, 10) AS BIGINT)")
     hdf = toks.select(F.col(id_col), x.alias("x"))
+    # one F.expr per permutation (not one py4j call per arithmetic op)
     aggs = [
-        F.min((F.col("x") * a + b) % MINHASH_P).alias(f"m{i}")
+        F.expr(f"min((x * {a}L + {b}L) % {MINHASH_P}L)").alias(f"m{i}")
         for i, (a, b) in enumerate(minhash_perms(num_hashes))
     ]
     return hdf.groupBy(id_col).agg(*aggs)
@@ -109,11 +110,10 @@ def minhash_lsh_pairs(
     sig = minhash_signature(df, id_col, text_col, num_hashes)
     n_bands = num_hashes // rows_per_band
     bv = [
-        F.md5(
-            F.concat_ws(
-                "_",
-                *[F.col(f"m{j * rows_per_band + r}") for r in range(rows_per_band)],
-            )
+        F.expr(
+            "md5(concat_ws('_', "
+            + ", ".join(f"m{j * rows_per_band + r}" for r in range(rows_per_band))
+            + "))"
         ).alias(f"bv{j}")
         for j in range(n_bands)
     ]
@@ -128,15 +128,16 @@ def minhash_lsh_pairs(
     # union duplicates the whole signature subtree per branch, and the
     # self-join doubles it again — explode keeps one subtree and the
     # join's identical shuffles become a ReusedExchange.
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band"),
-                F.col(f"bv{j}").alias("bv"),
-                F.array(*[F.col(f"bv{i}") for i in range(j)]).alias("prior"),
-            )
+    band_structs = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('band', {j}, 'bv', bv{j}, 'prior', "
+            + ("array(" + ", ".join(f"bv{i}" for i in range(j)) + ")"
+               if j else "array()")
+            + ")"
             for j in range(n_bands)
-        ]
+        )
+        + ")"
     )
     stacked = _pin_partitions(
         sigb.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
@@ -396,42 +397,42 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     n_groups = -(-16 // _SH_FIELDS)  # 6
     mask = (1 << _SH_FW) - 1
 
-    def pack(h: Column, g: int) -> Column:
-        out = None
+    # The whole fingerprint compiles as ONE SQL string (F.expr parses it
+    # JVM-side in a single py4j call) — the Column-combinator form built
+    # ~300 expression nodes through py4j and cost ~0.4 s of plan
+    # construction per query.  The parsed Catalyst tree is identical.
+    def pack_sql(g: int) -> str:
+        terms = []
         for r in range(_SH_FIELDS):
             b = g * _SH_FIELDS + r
             if b >= 16:
                 break
-            field = F.shiftleft(F.shiftright(h, b).bitwiseAND(F.lit(1)), _SH_FW * r)
-            out = field if out is None else out + field
-        return out
+            terms.append(f"shiftleft(shiftright(h, {b}) & 1L, {_SH_FW * r})")
+        return " + ".join(terms)
 
-    base = df.select(
-        F.col(id_col), ws_tokens(text_col, distinct=False).alias("__toks")
-    ).select(
-        F.col(id_col),
-        F.size("__toks").cast("long").alias("__n"),
-        F.transform(
-            "__toks",
-            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
-        ).alias("__hs"),
+    acc0 = ", ".join(f"'p{g}', 0L" for g in range(n_groups))
+    step = ", ".join(f"'p{g}', acc.p{g} + ({pack_sql(g)})" for g in range(n_groups))
+    fold_sql = (
+        f"aggregate(transform(__toks, t -> "
+        f"CAST(conv(substring(md5(t), 1, 8), 16, 10) AS BIGINT)), "
+        f"named_struct({acc0}), (acc, h) -> named_struct({step}))"
     )
-    zero = F.lit(0).cast("long")
-    acc0 = F.struct(*[zero.alias(f"p{g}") for g in range(n_groups)])
-    folded = F.aggregate(
-        F.col("__hs"),
-        acc0,
-        lambda acc, h: F.struct(
-            *[(acc[f"p{g}"] + pack(h, g)).alias(f"p{g}") for g in range(n_groups)]
-        ),
-    )
-    withacc = base.filter(F.col("__n") > 0).select(
-        F.col(id_col), F.col("__n").alias("n"), folded.alias("acc")
-    )
-    fp = None
+    fp_terms = []
     for b in range(16):
         g, r = divmod(b, _SH_FIELDS)
-        pop = F.shiftright(F.col("acc")[f"p{g}"], _SH_FW * r).bitwiseAND(F.lit(mask))
-        term = F.when(pop * 2 > F.col("n"), F.lit(1 << b)).otherwise(F.lit(0))
-        fp = term if fp is None else (fp + term)
-    return withacc.select(F.col(id_col), fp.cast("long").alias("simhash"))
+        fp_terms.append(
+            f"(CASE WHEN (shiftright(acc.p{g}, {_SH_FW * r}) & {mask}L) * 2 > n "
+            f"THEN {1 << b} ELSE 0 END)"
+        )
+    fp_sql = "CAST(" + " + ".join(fp_terms) + " AS BIGINT)"
+
+    return (
+        df.select(F.col(id_col), ws_tokens(text_col, distinct=False).alias("__toks"))
+        .filter(F.size("__toks") > 0)
+        .select(
+            F.col(id_col),
+            F.size("__toks").cast("long").alias("n"),
+            F.expr(fold_sql).alias("acc"),
+        )
+        .select(F.col(id_col), F.expr(fp_sql).alias("simhash"))
+    )
