@@ -12,7 +12,8 @@ scan, which is the §4.1 PartitionFilter/PredicatePushdown story for free.
 | Parquet               | fmt="parquet" (fixture default)   |
 | OrcStorage            | fmt="orc"                         |
 | AvroStorage           | fmt="avro" (needs spark-avro jar — gated) |
-| BinStorage            | not needed: parquet is the interchange format |
+| SequenceFileLoader    | load_sequencefile / store_sequencefile (RDD API) |
+| BinStorage            | interchange role → parquet; container round-trip → sequencefile |
 | HBaseStorage          | out of scope (external connector) |
 """
 
@@ -114,3 +115,68 @@ def store(
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.save(uri)
+
+
+# --- Hadoop SequenceFile (Pig SequenceFileLoader / BinStorage container) ---
+# The DataFrame source registry has no sequencefile format, so this is
+# one of the rare legitimate RDD-API uses (per-partition Hadoop IO).
+# Both directions stay fully parallel: saveAsSequenceFile writes one
+# file per partition; sc.sequenceFile splits on sync markers exactly
+# like any Hadoop input format — the 100 TB story is the same as Pig's.
+
+
+def store_sequencefile(
+    df: DataFrame, uri: str, sep: str = "\t", key_col: str | None = None
+) -> None:
+    """STORE into a Text/Text SequenceFile.
+
+    Layout mirrors Pig's common SequenceFile usage (PigStorage rows in a
+    binary container): key = ``key_col`` (or the first column) as text,
+    value = the remaining fields ``sep``-joined.  NULL renders as the
+    empty string (PigStorage convention).
+    """
+    cols = list(df.columns)
+    key = key_col or cols[0]
+    if key not in cols:
+        raise ValueError(f"key_col {key!r} not in {cols}")
+    rest = [c for c in cols if c != key]
+
+    def to_kv(row):
+        def s(v):
+            return "" if v is None else str(v)
+
+        return (s(row[key]), sep.join(s(row[c]) for c in rest))
+
+    df.rdd.map(to_kv).saveAsSequenceFile(uri)
+
+
+def load_sequencefile(
+    spark: SparkSession,
+    uri: str,
+    schema: str,
+    sep: str = "\t",
+) -> DataFrame:
+    """LOAD a Text/Text SequenceFile written by store_sequencefile.
+
+    ``schema`` is the DDL string (the Pig ``AS`` clause); the first
+    schema column is the key, the rest parse from the ``sep``-joined
+    value.  Empty string → NULL on non-string columns via the csv-style
+    cast (Pig bytearray→type coercion, divergence D2)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromDDL(schema)
+    names = [f.name for f in st.fields]
+    rdd = spark.sparkContext.sequenceFile(uri)
+    raw = spark.createDataFrame(rdd, "k string, v string")
+    parts = F.split(F.col("v"), sep, -1)
+    cols = [F.col("k").alias(names[0])] + [
+        parts.getItem(i).alias(n) for i, n in enumerate(names[1:])
+    ]
+    out = raw.select(*cols)
+    casts = [
+        (F.when(F.col(f.name) != "", F.col(f.name)).cast(f.dataType)
+         if f.dataType.typeName() != "string" else F.col(f.name)).alias(f.name)
+        for f in st.fields
+    ]
+    return out.select(*casts)
