@@ -160,7 +160,30 @@ class Catalog:
 #: and costs ~50-100 ms of py4j/schema work per table — pure plan-
 #: construction overhead.  Keyed by applicationId so a restarted
 #: session never sees stale handles.
+#:
+#: STALENESS CONTRACT: the cached handle captures the parquet file
+#: index at first load, so REWRITING a fixture path mid-application
+#: yields stale reads until ``invalidate_table_cache()`` is called
+#: (Spark's own ``REFRESH TABLE`` has the identical contract).  Tests
+#: that rewrite fixtures must invalidate explicitly.
 _HANDLE_CACHE: dict = {}
+
+
+def invalidate_table_cache(sf_dir: str | None = None, name: str | None = None) -> None:
+    """Drop cached table handles (the ``REFRESH TABLE`` analog) — all of
+    them, or only those matching ``sf_dir`` and/or ``name``.  Also clears
+    pipeline.similarity's derived centroid cache, which is keyed off
+    these handles' plans."""
+    for key in list(_HANDLE_CACHE):
+        _, k_dir, k_name = key
+        if (sf_dir is None or k_dir == sf_dir) and (name is None or k_name == name):
+            del _HANDLE_CACHE[key]
+    try:
+        from pigout_spark.pipeline import similarity
+
+        similarity._CENTROID_CACHE.clear()
+    except Exception:
+        pass
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

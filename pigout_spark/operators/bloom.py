@@ -133,4 +133,14 @@ def bloom_join(
         )
     bf = bloom_build(dim, dim_key, n_longs, k, seed)
     pruned = bloom_filter(fact, fact_key, bf, n_longs, k, seed)
-    return pruned.join(dim, F.col(fact_key) == F.col(dim_key), how)
+    if fact_key == dim_key:
+        # same-named key: join(on=name) resolves unambiguously and emits
+        # the key column once (a bare col(name) == col(name) condition
+        # would be ambiguous → AnalysisException)
+        return pruned.join(dim, on=fact_key, how=how)
+    # distinct names: qualify both sides so any OTHER same-named columns
+    # can't make the key reference ambiguous
+    f, d = pruned.alias("__bjf"), dim.alias("__bjd")
+    return f.join(
+        d, F.col(f"__bjf.{fact_key}") == F.col(f"__bjd.{dim_key}"), how
+    )

@@ -111,6 +111,12 @@ def stream_through(df: DataFrame, cmd: list[str], output_schema: str,
             cmd, stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True
         )
 
+        # The writer thread must not die silently: a serialization error
+        # mid-feed truncates the subprocess's input, and if the command
+        # still exits 0 the task would yield silently-partial output.
+        # Captured here and re-raised in the task thread after join().
+        feed_err: list[BaseException] = []
+
         def feed() -> None:
             try:
                 for pdf in batches:
@@ -119,8 +125,17 @@ def stream_through(df: DataFrame, cmd: list[str], output_schema: str,
                             "\t".join("" if pd.isna(v) else str(v) for v in row)
                             + "\n"
                         )
+            except BrokenPipeError:
+                # the command closed stdin early (e.g. `head`) — legal in
+                # the Pig streaming protocol, not a feed failure
+                pass
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                feed_err.append(e)
             finally:
-                proc.stdin.close()
+                try:
+                    proc.stdin.close()
+                except BrokenPipeError:
+                    pass
 
         writer = threading.Thread(target=feed, daemon=True)
         writer.start()
@@ -139,6 +154,10 @@ def stream_through(df: DataFrame, cmd: list[str], output_schema: str,
                 )
                 buf = []
         writer.join()
+        if feed_err:
+            raise RuntimeError(
+                f"STREAM feed thread failed for {cmd}"
+            ) from feed_err[0]
         rc = proc.wait()
         if rc != 0:
             raise RuntimeError(f"STREAM command {cmd} exited {rc}")

@@ -176,6 +176,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     threshold: float = 0.5,
     max_df: int | None = DEFAULT_MAX_DF,
+    observation=None,
 ) -> DataFrame:
     """Exact token-set Jaccard over an inverted-index self-join.
 
@@ -186,12 +187,24 @@ def ngram_jaccard_pairs(
     (``DEFAULT_MAX_DF``); pass ``max_df=None`` to deliberately disable
     on corpora known to have no hub tokens.  Note dropping a token
     shrinks the affected docs' token sets, so reported Jaccard values
-    are over the capped vocabulary."""
+    are over the capped vocabulary.
+
+    Pass a ``pyspark.sql.Observation`` as ``observation`` to see whether
+    the cap actually dropped tokens on this corpus: after the first
+    action, ``observation.get`` holds ``dropped_tokens`` (distinct
+    tokens removed) and ``max_observed_df`` — the semantics shift is
+    then measurable rather than silent.  Zero execution overhead (the
+    metric rides the existing document-frequency aggregate)."""
     toks = df.select(F.col(id_col), F.explode(ws_tokens(text_col)).alias("tok"))
     if max_df is not None:
-        keep = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).filter(
-            F.col("df") <= max_df
-        )
+        dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        if observation is not None:
+            dfreq = dfreq.observe(
+                observation,
+                F.count(F.when(F.col("df") > max_df, 1)).alias("dropped_tokens"),
+                F.max("df").alias("max_observed_df"),
+            )
+        keep = dfreq.filter(F.col("df") <= max_df)
         toks = toks.join(F.broadcast(keep.select("tok")), "tok")
     sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     toks = _pin_partitions(toks, "tok")
@@ -426,9 +439,22 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
     fp_sql = "CAST(" + " + ".join(fp_terms) + " AS BIGINT)"
 
+    # Enforce the field-width cap (docstring): a doc with ≥2^20 tokens
+    # would overflow its 20-bit popcount field into the neighbor and
+    # silently corrupt the fingerprint — fail the job instead.
+    # assert_true returns NULL on success, so the filter keeps every row
+    # and cannot be pruned (same device as operators.relational.assert_by).
+    cap_ok = F.assert_true(
+        F.size("__toks") < F.lit(1 << _SH_FW),
+        F.lit(
+            f"simhash16: document exceeds {(1 << _SH_FW) - 1} tokens; "
+            "chunk the document before fingerprinting"
+        ),
+    ).isNull()
     return (
         df.select(F.col(id_col), ws_tokens(text_col, distinct=False).alias("__toks"))
         .filter(F.size("__toks") > 0)
+        .filter(cap_ok)
         .select(
             F.col(id_col),
             F.size("__toks").cast("long").alias("n"),

@@ -109,9 +109,15 @@ def lsh_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
     return code.cast("int")
 
 
-#: Codebook cache keyed by (corpus plan semanticHash, n, id, vec) —
-#: a production IVF loads its k-means codebook once per job, not once
-#: per query plan.  Bounded: entries are n_centroids rows each.
+#: Codebook cache keyed by (applicationId, corpus plan semanticHash,
+#: params) — a production IVF loads its k-means codebook once per job,
+#: not once per query plan.  Bounded: entries are n_centroids rows each.
+#:
+#: STALENESS CONTRACT: semanticHash hashes the logical plan, not the
+#: data — rewriting the source files mid-application returns stale
+#: centroids (silently changing cell assignments).  Call
+#: ``catalog.invalidate_table_cache()`` after rewriting fixtures; the
+#: applicationId key component already isolates restarted sessions.
 _CENTROID_CACHE: dict = {}
 
 
@@ -129,12 +135,6 @@ def _collect_centroids(
     """
     import math
 
-    try:
-        key = (emb.semanticHash(), n_centroids, id_col, vec_col)
-    except Exception:
-        key = None
-    if key is not None and key in _CENTROID_CACHE:
-        return _CENTROID_CACHE[key]
     rows = (
         emb.filter(F.col(id_col) < n_centroids)
         .select(F.col(id_col).alias("c_id"), as_double(vec_col).alias("cv"))
@@ -147,9 +147,97 @@ def _collect_centroids(
         for x in cv:
             acc = acc + x * x
         out.append((int(r.c_id), cv, math.sqrt(acc)))
-    if key is not None:
-        _CENTROID_CACHE[key] = out
     return out
+
+
+def _norm_py(cv: list[float]) -> float:
+    """Python twin of norm(): same left fold, bit-identical IEEE."""
+    import math
+
+    acc = 0.0
+    for x in cv:
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float], float]]:
+    """Seeded spherical-k-means codebook, trained on the cluster and
+    collected to the driver (FAISS-style: the codebook is driver-sized
+    BY DEFINITION — nlist≈√N rows).
+
+    Deterministic and engine-neutral BY CONSTRUCTION, so a SQL oracle
+    can replay the identical training and get bit-identical centroids:
+
+    - init: the ``n_centroids`` lowest-id vectors (a fixed seed);
+    - assign: nearest centroid by cosine, ties → lowest c_id — the same
+      narrow-map argmax the serving path uses (`_argmax_cell`);
+    - update: per-cell per-dimension EXACT mean — values quantized to
+      int64 cents (round(x·10⁴), the registry.py dsum device: exact,
+      order-independent, combiner-friendly), summed as int64, then
+      CAST(.. AS DOUBLE)/10⁴/count.  No order-dependent double sums
+      anywhere, so Spark and the SQL mirror agree bitwise;
+    - an emptied cell keeps its previous centroid (standard k-means).
+
+    Each iteration is one narrow assignment map + one (cell, dim)
+    groupBy collecting n_centroids·dim rows — at 100 TB, train on a
+    deterministic sample (e.g. ``emb.filter(id % s == 0)``) exactly as
+    FAISS does; the dataflow is unchanged.  Results are cached per
+    (applicationId, plan, params) — see _CENTROID_CACHE contract."""
+    try:
+        key = (
+            emb.sparkSession.sparkContext.applicationId,
+            emb.semanticHash(),
+            n_centroids,
+            n_iters,
+            id_col,
+            vec_col,
+        )
+    except Exception:
+        key = None
+    if key is not None and key in _CENTROID_CACHE:
+        return _CENTROID_CACHE[key]
+
+    cents = _collect_centroids(emb, n_centroids, id_col, vec_col)
+    base = emb.select(
+        F.col(id_col), as_double(vec_col).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    dim = len(cents[0][1]) if cents else 0
+    for _ in range(n_iters):
+        assigned = base.withColumn("cell", _argmax_cell("v", "nrm", cents))
+        stats = (
+            assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(
+                F.sum(F.round(F.col("x") * 10000).cast("long")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        by_cell: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in stats:
+            by_cell.setdefault(int(r.cell), {})[int(r.dim)] = (int(r.s), int(r.n))
+        new_cents = []
+        for c_id, cv, cn in cents:
+            dims = by_cell.get(c_id)
+            if not dims:
+                new_cents.append((c_id, cv, cn))  # emptied cell: keep
+                continue
+            # float(s) is exact (|s| < 2^53); /1e4 then /n mirrors the
+            # SQL CAST(SUM(..) AS DOUBLE)/10000.0/COUNT(*) op-for-op.
+            ncv = [
+                float(dims[d][0]) / 10000.0 / dims[d][1] for d in range(dim)
+            ]
+            new_cents.append((c_id, ncv, _norm_py(ncv)))
+        cents = new_cents
+    if key is not None:
+        _CENTROID_CACHE[key] = cents
+    return cents
 
 
 # --- single-expr SQL builders -------------------------------------------
@@ -230,17 +318,18 @@ def ivf_assign(
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_iters: int = 3,
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its
-    nearest-by-cosine centroid.  Centroids are the ``n_centroids``
-    lowest-id vectors (deterministic; production swaps in k-means
-    centroids — the dataflow is identical).
+    nearest-by-cosine centroid.  Centroids come from the seeded
+    spherical k-means codebook (``kmeans_centroids``; ``n_iters=0``
+    degenerates to the raw lowest-id-vectors init).
 
-    Centroids are collected once (driver-sized — _collect_centroids)
-    and embedded as literals, so assignment is one narrow projection
-    over the corpus: zero shuffles, no crossJoin, no window — the plan
-    a 1000-executor scan wants.  Returns (id, v double[], nrm, cell)."""
-    cents = _collect_centroids(emb, n_centroids, id_col, vec_col)
+    Centroids are trained/collected once (driver-sized) and embedded as
+    literals, so assignment is one narrow projection over the corpus:
+    zero shuffles, no crossJoin, no window — the plan a 1000-executor
+    scan wants.  Returns (id, v double[], nrm, cell)."""
+    cents = kmeans_centroids(emb, n_centroids, n_iters, id_col, vec_col)
     return (
         emb.select(F.col(id_col), as_double(vec_col).alias("v"))
         .withColumn("nrm", norm(F.col("v")))
@@ -255,13 +344,14 @@ def ivf_probe_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     ids_max: int | None = None,
+    n_iters: int = 3,
 ) -> DataFrame:
     """Top-``nprobe`` nearest cells per vector (the IVF probe list).
-    Centroids always come from the FULL ``emb`` (the ids < n_centroids
-    contract); ``ids_max`` optionally restricts which vectors get probe
-    lists (the query subset).  Narrow: literal centroids + in-row
+    Centroids always train on the FULL ``emb`` (same codebook as
+    ivf_assign); ``ids_max`` optionally restricts which vectors get
+    probe lists (the query subset).  Narrow: literal centroids + in-row
     sort/slice/explode — ``nprobe`` rows per vector, no shuffle."""
-    cents = _collect_centroids(emb, n_centroids, id_col, vec_col)
+    cents = kmeans_centroids(emb, n_centroids, n_iters, id_col, vec_col)
     base = emb.select(
         F.col(id_col), as_double(vec_col).alias("v")
     ).withColumn("nrm", norm(F.col("v")))
@@ -284,6 +374,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    n_iters: int = 3,
 ) -> DataFrame:
     """IVF approximate top-k: candidates restricted to the query's
     ``nprobe`` nearest cells, exact cosine within those cells.  The cell
@@ -303,7 +394,7 @@ def ivf_topk(
     whose bucket join shuffles both sides by design."""
     from pyspark.sql import Window
 
-    cells = ivf_assign(emb, n_centroids, id_col, vec_col)
+    cells = ivf_assign(emb, n_centroids, id_col, vec_col, n_iters)
     if nprobe <= 1:
         q = cells.filter(F.col(id_col) < query_ids_max).select(
             F.col(id_col).alias("q_id"), F.col("v").alias("qv"),
@@ -311,7 +402,8 @@ def ivf_topk(
         )
     else:
         probes = ivf_probe_cells(
-            emb, n_centroids, nprobe, id_col, vec_col, ids_max=query_ids_max
+            emb, n_centroids, nprobe, id_col, vec_col,
+            ids_max=query_ids_max, n_iters=n_iters,
         )
         q = probes.select(
             F.col(id_col).alias("q_id"), F.col("v").alias("qv"),

@@ -319,25 +319,64 @@ def dedup_embedding(spark, sf_dir):
     )
 
 
-_IVF_CELLS_SQL = f"""
-WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-), b AS (
-  SELECT vec_id, v, sqrt({_sql_dot('v', 'v')}) AS nrm FROM e
-), c AS (
-  SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM b WHERE vec_id < 8
-), scored AS (
-  SELECT b.vec_id, b.v, b.nrm, c.c_id,
-         {_sql_dot('b.v', 'c.cv')} / (b.nrm * c.cn) AS s
-  FROM b, c
-), cells AS (
-  SELECT vec_id, v, nrm, c_id AS cell FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                 ORDER BY s DESC, c_id) AS rn
-    FROM scored
-  ) WHERE rn = 1
-)
-"""
+def _sql_assign(src: str, cents: str, out: str) -> str:
+    """Nearest-centroid-by-cosine assignment CTE: ties → lowest c_id
+    (the SQL twin of similarity._argmax_cell)."""
+    return (
+        f"{out} AS (\n"
+        f"  SELECT vec_id, v, nrm, c_id AS cell FROM (\n"
+        f"    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id\n"
+        f"                                 ORDER BY s DESC, c_id) AS rn\n"
+        f"    FROM (\n"
+        f"      SELECT b.vec_id, b.v, b.nrm, c.c_id,\n"
+        f"             {_sql_dot('b.v', 'c.cv')} / (b.nrm * c.cn) AS s\n"
+        f"      FROM {src} b, {cents} c)\n"
+        f"  ) WHERE rn = 1\n)"
+    )
+
+
+def _kmeans_cells_sql(n_centroids: int = 8, n_iters: int = 3, dim: int = 64) -> str:
+    """SQL replay of similarity.kmeans_centroids + final assignment —
+    the unrolled training loop as chained CTEs.  Bit-identical to the
+    Spark side by construction: init = lowest-id vectors, assignment =
+    cosine argmax (ties → c_id), update = EXACT per-dimension mean via
+    int64 cents (round(x·10⁴) — order-independent integer sums, then
+    CAST(… AS DOUBLE)/10⁴/COUNT(*)); emptied cells keep their previous
+    centroid (COALESCE)."""
+    coal = "COALESCE(m.cv, p.cv)"
+    parts = [
+        "WITH e AS (\n"
+        "  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings\n"
+        "), b AS (\n"
+        f"  SELECT vec_id, v, sqrt({_sql_dot('v', 'v')}) AS nrm FROM e\n"
+        "), c0 AS (\n"
+        f"  SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM b WHERE vec_id < {n_centroids}\n"
+        ")"
+    ]
+    prev = "c0"
+    for it in range(1, n_iters + 1):
+        parts.append(", " + _sql_assign("b", prev, f"a{it}"))
+        parts.append(
+            f", m{it} AS (\n"
+            f"  SELECT cell, list(mv ORDER BY dim) AS cv FROM (\n"
+            f"    SELECT cell, i AS dim,\n"
+            f"           CAST(SUM(CAST(round(v[i] * 10000) AS BIGINT)) AS DOUBLE)\n"
+            f"             / 10000.0 / COUNT(*) AS mv\n"
+            f"    FROM a{it}, range(1, {dim + 1}) t(i) GROUP BY cell, i\n"
+            f"  ) GROUP BY cell\n)"
+        )
+        parts.append(
+            f", c{it} AS (\n"
+            f"  SELECT p.c_id, {coal} AS cv,\n"
+            f"         sqrt({_sql_dot(coal, coal)}) AS cn\n"
+            f"  FROM {prev} p LEFT JOIN m{it} m ON m.cell = p.c_id\n)"
+        )
+        prev = f"c{it}"
+    parts.append(", " + _sql_assign("b", prev, "cells") + "\n")
+    return "\n".join(parts)
+
+
+_IVF_CELLS_SQL = _kmeans_cells_sql()
 
 
 # Extra: the cell histogram is subsumed by sim_ivf_topk, whose oracle
@@ -349,8 +388,9 @@ WITH e AS (
 )
 def sim_ivf_cells(spark, sf_dir):
     """IVF coarse quantization (the other ANN scale path besides LSH):
-    nearest-centroid cell per vector, centroids = 8 lowest-id vectors
-    (deterministic stand-in for k-means — identical dataflow).  Cell
+    nearest-centroid cell per vector under the seeded spherical-k-means
+    codebook (similarity.kmeans_centroids — trained in Spark, replayed
+    bit-identically by the oracle's unrolled CTE chain).  Cell
     histogram checked exactly against SQL."""
     from pigout_spark.pipeline.similarity import ivf_assign
 
@@ -377,7 +417,8 @@ def sim_ivf_cells(spark, sf_dir):
 )
 def sim_ivf_topk(spark, sf_dir):
     """IVF approximate top-3 (nprobe=1): exact cosine within the
-    query's cell only — shuffle-by-cell, never a corpus cross join."""
+    query's cell only — shuffle-by-cell, never a corpus cross join.
+    Cells come from the k-means codebook (sim_ivf_cells docstring)."""
     from pigout_spark.pipeline.similarity import ivf_topk
 
     return ivf_topk(t(spark, sf_dir, "embeddings"), query_ids_max=10, k=3)

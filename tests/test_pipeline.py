@@ -303,6 +303,49 @@ def test_ann_recall_vs_brute_force(spark, sf_dir):
     assert len(ann & exact) / len(exact) >= 0.18  # > 1/8 chance
 
 
+def test_kmeans_ivf_recall_on_clustered_fixture(spark):
+    """On genuinely CLUSTERED data (the case IVF exists for), the
+    k-means codebook must recover the cluster structure: recall@5 vs
+    brute force ≥ 0.9 at nprobe=2, and the trained codebook must beat
+    the untrained (n_iters=0, first-N-vectors) one.  Seeded fixture:
+    8 Gaussian clusters in 16 dims, ids shuffled so the k-means init
+    (lowest-id vectors) starts from arbitrary cluster members."""
+    import random
+
+    from pyspark.sql import Row
+
+    from pigout_spark.pipeline.similarity import brute_force_topk, ivf_topk
+
+    rng = random.Random(42)
+    centers = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(8)]
+    pts = []
+    for i in range(320):
+        c = centers[i % 8]
+        pts.append([x + rng.gauss(0, 0.15) for x in c])
+    order = list(range(320))
+    rng.shuffle(order)
+    rows = [Row(vec_id=i, embedding=pts[order[i]]) for i in range(320)]
+    emb = spark.createDataFrame(rows)
+
+    k = 5
+    queries = emb.filter("vec_id < 30")
+    exact = {
+        (r.q_id, r.neighbor_id) for r in brute_force_topk(emb, queries, k).collect()
+    }
+    trained = {
+        (r.q_id, r.neighbor_id)
+        for r in ivf_topk(emb, 30, k, n_centroids=8, nprobe=2, n_iters=3).collect()
+    }
+    untrained = {
+        (r.q_id, r.neighbor_id)
+        for r in ivf_topk(emb, 30, k, n_centroids=8, nprobe=2, n_iters=0).collect()
+    }
+    rec_trained = len(trained & exact) / len(exact)
+    rec_untrained = len(untrained & exact) / len(exact)
+    assert rec_trained >= 0.9
+    assert rec_trained > rec_untrained
+
+
 def test_decontaminate_drops_shingle_overlap(spark):
     from pigout_spark.pipeline.curation import decontaminate
 
