@@ -176,7 +176,6 @@ def ngram_jaccard_pairs(
     text_col: str,
     threshold: float = 0.5,
     max_df: int | None = DEFAULT_MAX_DF,
-    observation=None,
 ) -> DataFrame:
     """Exact token-set Jaccard over an inverted-index self-join.
 
@@ -189,48 +188,115 @@ def ngram_jaccard_pairs(
     shrinks the affected docs' token sets, so reported Jaccard values
     are over the capped vocabulary.
 
-    Pass a ``pyspark.sql.Observation`` as ``observation`` to see whether
-    the cap actually dropped tokens on this corpus: after the first
-    action, ``observation.get`` holds ``dropped_tokens`` (distinct
-    tokens removed) and ``max_observed_df`` — the semantics shift is
-    then measurable rather than silent.  Zero execution overhead (the
-    metric rides the existing document-frequency aggregate)."""
-    toks = df.select(F.col(id_col), F.explode(ws_tokens(text_col)).alias("tok"))
+    Whether the cap actually bites on a given corpus is measurable, not
+    silent: run ``jaccard_maxdf_stats`` (same tokenization, one cheap
+    aggregate) before committing to a threshold — it reports how many
+    distinct tokens the cap would drop and the observed max df.
+
+    Candidate generation is PPJoin-style prefix+length filtered (the
+    naive inverted index emits a row per shared token — C(df,2) per
+    token — then thresholds AFTER the shuffle):
+
+    - canonical token order: sort by (md5(tok), tok) — engine-neutral,
+      uniform, and computed in a narrow map (no global df ordering
+      needed; random order loses a little prefix selectivity but costs
+      nothing);
+    - prefix filter: only the first ⌊(1−t)·|d|⌋+1 tokens of each doc
+      are indexed — any pair with jac ≥ t must share a prefix token
+      (if all common tokens sat past A's prefix, overlap ≤ |A| −
+      prefix_A < t·|A| ≤ required overlap — contradiction);
+    - length filter: jac ≥ t ⟹ t·max(|A|,|B|) ≤ min(|A|,|B|),
+      applied inside the join condition before anything shuffles on;
+    - verification: candidates join back to the full token arrays and
+      the exact |A∩B| comes from array_intersect — same output as the
+      naive index, strictly fewer candidate rows.
+    """
+    arr = df.select(F.col(id_col), ws_tokens(text_col).alias("__toks"))
     if max_df is not None:
+        toks = arr.select(F.col(id_col), F.explode("__toks").alias("tok"))
         dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-        if observation is not None:
-            dfreq = dfreq.observe(
-                observation,
-                F.count(F.when(F.col("df") > max_df, 1)).alias("dropped_tokens"),
-                F.max("df").alias("max_observed_df"),
+        # hub tokens are FEW by definition (df > max_df) — broadcast the
+        # dropped set as one aggregated row and subtract it narrowly,
+        # keeping the doc's token array intact for verification
+        dropped = dfreq.filter(F.col("df") > max_df).agg(
+            F.collect_list("tok").alias("__dropped")
+        )
+        arr = arr.crossJoin(F.broadcast(dropped)).select(
+            F.col(id_col),
+            F.array_except("__toks", F.coalesce("__dropped", F.array())).alias(
+                "__toks"
+            ),
+        )
+    sized = arr.select(
+        F.col(id_col), "__toks", F.size("__toks").alias("sz")
+    ).filter(F.col("sz") > 0)
+    # prefix length p = ⌊(1−t)·sz⌋+1 under canonical (md5, tok) order;
+    # +1e-9 guards float error at exact-integer boundaries (can only
+    # ENLARGE the prefix — conservative, never misses a pair)
+    prefix = sized.select(
+        F.col(id_col),
+        "sz",
+        F.explode(
+            F.slice(
+                F.expr("transform(sort_array(transform(__toks, "
+                       "t -> struct(md5(t) AS h, t AS tok))), s -> s.tok)"),
+                F.lit(1),
+                (F.floor((1.0 - threshold) * F.col("sz") + 1e-9) + 1).cast("int"),
             )
-        keep = dfreq.filter(F.col("df") <= max_df)
-        toks = toks.join(F.broadcast(keep.select("tok")), "tok")
-    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    toks = _pin_partitions(toks, "tok")
-    a = toks.alias("a")
-    b = toks.alias("b")
-    inter = (
+        ).alias("tok"),
+    )
+    prefix = _pin_partitions(prefix, "tok")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.tok") == F.col("b.tok"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (
+                F.greatest(F.col("a.sz"), F.col("b.sz")) * threshold
+                <= F.least(F.col("a.sz"), F.col("b.sz"))
+            ),
         )
         .groupBy(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(F.first(F.col("a.sz")).alias("na"), F.first(F.col("b.sz")).alias("nb"))
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("nb"))
+    ta = sized.select(F.col(id_col).alias("doc_a"), F.col("__toks").alias("__ta"))
+    tb = sized.select(F.col(id_col).alias("doc_b"), F.col("__toks").alias("__tb"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("__ta", "__tb")))
         .withColumn(
             "jac", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
         )
         .filter(F.col("jac") >= threshold)
         .select("doc_a", "doc_b", "jac")
+    )
+
+
+def jaccard_maxdf_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_df: int = DEFAULT_MAX_DF,
+) -> DataFrame:
+    """One-row report of what ``ngram_jaccard_pairs``'s df-cap would do
+    on this corpus: ``dropped_tokens`` (distinct tokens with df >
+    ``max_df``), ``max_observed_df``, ``affected_rows`` (token
+    occurrences removed).  Same tokenization as the pair join; one
+    groupBy — run it when a silent vocabulary cap would be a semantics
+    concern (the cap changes reported Jaccard values wherever it bites).
+    """
+    toks = df.select(F.explode(ws_tokens(text_col)).alias("tok"))
+    return toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).agg(
+        F.count(F.when(F.col("df") > max_df, 1)).alias("dropped_tokens"),
+        F.max("df").alias("max_observed_df"),
+        F.coalesce(
+            F.sum(F.when(F.col("df") > max_df, F.col("df"))), F.lit(0)
+        ).alias("affected_rows"),
     )
 
 

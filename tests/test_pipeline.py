@@ -86,6 +86,87 @@ def test_jaccard_pair_volume_bounded_by_capped_df(spark):
     assert got == 20  # exactly the g<k> pairs; hub contributed nothing
 
 
+def test_jaccard_maxdf_stats_reports_drops(spark):
+    """The df-cap's semantics shift must be measurable: the stats
+    helper reports how many distinct tokens the cap would remove (zero
+    when it never bites)."""
+    from pigout_spark.pipeline.dedup import jaccard_maxdf_stats
+
+    rows = [(i, f"hub unique{i}") for i in range(6)]
+    df = docs(spark, rows)
+    r = jaccard_maxdf_stats(df, "doc_id", "text", max_df=3).first()
+    assert r.dropped_tokens == 1  # 'hub' (df=6 > 3)
+    assert r.max_observed_df == 6
+    assert r.affected_rows == 6
+    quiet = jaccard_maxdf_stats(df, "doc_id", "text", max_df=100).first()
+    assert quiet.dropped_tokens == 0 and quiet.affected_rows == 0
+
+
+def test_dedup_family_adversarial_skew(spark):
+    """Adversarial corpus: 200 byte-identical docs (one degenerate
+    bucket/band everywhere), 50 empty docs, 100 docs tied together by a
+    single hub token.  Every dedup operator must (a) stay correct,
+    (b) keep candidate volume at its combinatorial bound — the hub
+    token contributes ZERO jaccard pairs under the default cap, and
+    identical docs pair exactly once despite colliding in every band."""
+    from pigout_spark.pipeline.dedup import simhash_hamming_pairs
+
+    n_id, n_empty, n_hub, cap = 100, 50, 150, 120
+    rows = (
+        [(i, "same text tokens here") for i in range(n_id)]
+        + [(n_id + i, "") for i in range(n_empty)]
+        + [(n_id + n_empty + i, f"hub only{i}") for i in range(n_hub)]
+    )
+    df = docs(spark, rows)
+    ident = {(a, b) for a in range(n_id) for b in range(a + 1, n_id)}
+    empty_lo, empty_hi = n_id, n_id + n_empty
+
+    # minhash: the identical block collides in EVERY band — the
+    # exactly-once device must emit each pair once, not once per band
+    mh = minhash_lsh_pairs(df, "doc_id", "text").collect()
+    mh_pairs = {(r.doc_a, r.doc_b) for r in mh}
+    assert len(mh) == len(mh_pairs)  # no duplicate emissions
+    assert {p for p in mh_pairs if p[0] < n_id and p[1] < n_id} == ident
+
+    # simhash pairs: identical fingerprints agree on every block; still
+    # exactly-once, and empty docs are excluded (no tokens → no votes)
+    sh = simhash_hamming_pairs(df, "doc_id", "text", max_hamming=3).collect()
+    sh_pairs = {(r.doc_a, r.doc_b) for r in sh}
+    assert len(sh) == len(sh_pairs)
+    assert {p for p in sh_pairs if p[0] < n_id and p[1] < n_id} >= ident
+    assert not any(
+        empty_lo <= a < empty_hi or empty_lo <= b < empty_hi
+        for a, b in sh_pairs
+    )
+
+    # jaccard: the hub token (df=150 > cap) contributes NOTHING, while
+    # the identical block's tokens (df=100 ≤ cap) survive — the pair
+    # set is exactly the identical block at jac=1.0
+    jc = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5, max_df=cap)
+    jrows = jc.collect()
+    assert {(r.doc_a, r.doc_b) for r in jrows} == ident
+    assert all(r.jac == 1.0 for r in jrows)
+
+
+def test_pair_joins_keep_pinned_parallelism_under_skew(spark):
+    """The candidate joins must keep their EXPLICIT partition count in
+    the plan (plans.partitioning.pin_partitions): without it AQE sizes
+    the stage by shuffle-input bytes and coalesces the amplifying pair
+    join to one task (SCALE.md 'Pair-join parallelism')."""
+    from pigout_spark.pipeline.dedup import simhash_hamming_pairs
+
+    rows = [(i, "same text tokens here") for i in range(100)]
+    df = docs(spark, rows)
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    for q in (
+        minhash_lsh_pairs(df, "doc_id", "text"),
+        ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5),
+        simhash_hamming_pairs(df, "doc_id", "text"),
+    ):
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert f", {n}), REPARTITION_BY_NUM" in plan, plan
+
+
 def test_simhash_properties(spark):
     df = docs(spark, [(1, "a b c"), (2, "a b c"), (3, "p q r s t")])
     got = {r.doc_id: r.simhash for r in simhash16(df, "doc_id", "text").collect()}
