@@ -1,11 +1,13 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` payloads
 with typed struct metadata, processed in Arrow-batched Pandas stages.
 
-The container has no image/audio libraries, so the *decode* step is
-stubbed (clearly-marked NotImplementedError + a deterministic fake);
-the Spark-side plumbing — schema, partitioning, mapInPandas batch shape
-— is real and tested.  On a real cluster you swap ``fake_decode_image``
-for a PIL/ffmpeg call and nothing else changes.
+The *decode* step is capability-gated (the io.py:avro_available
+pattern): when PIL/pillow is importable, ``decode_image`` really
+decodes and ``decode_images`` uses it; otherwise the deterministic
+``fake_decode_image`` keeps every schema/partitioning/batch-shape path
+tested, and asking for the real path explicitly raises a clearly-marked
+NotImplementedError.  A cluster that carries pillow gets real decode
+with no code change.
 
 Schema convention:
     payload  binary          the raw media bytes
@@ -22,6 +24,23 @@ from pyspark.sql import functions as F
 #: chunk size for the frame-sampling stub (stands in for video frames)
 CHUNK = 64
 
+_IMAGING_AVAILABLE: bool | None = None
+
+
+def imaging_available() -> bool:
+    """True when PIL/pillow is importable (driver-side probe; executors
+    on the same image share the answer — same gating idea as
+    sources/io.py:avro_available for the avro jar)."""
+    global _IMAGING_AVAILABLE
+    if _IMAGING_AVAILABLE is None:
+        try:
+            import PIL.Image  # noqa: F401
+
+            _IMAGING_AVAILABLE = True
+        except ImportError:
+            _IMAGING_AVAILABLE = False
+    return _IMAGING_AVAILABLE
+
 
 def binarize(df: DataFrame, col: str, out: str = "payload") -> DataFrame:
     """Attach a binary payload column (here: utf-8 bytes of a string
@@ -30,17 +49,21 @@ def binarize(df: DataFrame, col: str, out: str = "payload") -> DataFrame:
 
 
 def decode_image(payload: bytes) -> dict:
-    """Real image decode — requires an imaging library not present in
-    this container.  STUB: see fake_decode_image for the deterministic
-    stand-in used by tests."""
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as e:
+    """Image decode → {width, height, mode}.  REAL when pillow is
+    present (PIL.Image.open over an in-memory buffer); otherwise raises
+    NotImplementedError — use fake_decode_image (or decode_images,
+    which falls back automatically) for deterministic testing."""
+    if not imaging_available():
         raise NotImplementedError(
             "image decode requires PIL/pillow (not in this container); "
             "use fake_decode_image for deterministic testing"
-        ) from e
-    raise NotImplementedError("wire PIL decode here on a real cluster")
+        )
+    import io
+
+    import PIL.Image
+
+    with PIL.Image.open(io.BytesIO(payload)) as im:
+        return {"width": im.width, "height": im.height, "mode": im.mode}
 
 
 def fake_decode_image(payload: bytes) -> dict:
@@ -52,6 +75,46 @@ def fake_decode_image(payload: bytes) -> dict:
         "height": (n // 64) + 1,
         "mode": "L" if n % 2 else "RGB",
     }
+
+
+def decode_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    use: str = "auto",
+) -> DataFrame:
+    """Decode a binary image column to (id, width, height, mode) via an
+    Arrow-batched narrow map (mapInPandas — no shuffle, scales with the
+    scan).  ``use``: 'auto' picks the real PIL decode when the imaging
+    probe passes and the deterministic fake otherwise; 'real'/'fake'
+    force a path ('real' without pillow raises at plan build, not
+    mid-job on an executor)."""
+    if use not in ("auto", "real", "fake"):
+        raise ValueError(f"use must be auto|real|fake, got {use!r}")
+    if use == "real" and not imaging_available():
+        decode_image(b"")  # raises the canonical NotImplementedError
+    real = use == "real" or (use == "auto" and imaging_available())
+    schema = f"{id_col} long, width int, height int, mode string"
+
+    def run(batches: Iterable) -> Iterator:
+        import pandas as pd
+
+        # the driver's probe decides the path for the whole job; a
+        # worker missing pillow raises the canonical error rather than
+        # silently mixing fake values into real output
+        fn = decode_image if real else fake_decode_image
+        for pdf in batches:
+            metas = [fn(b) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "width": pd.Series([m["width"] for m in metas], dtype="int32"),
+                    "height": pd.Series([m["height"] for m in metas], dtype="int32"),
+                    "mode": pd.Series([m["mode"] for m in metas], dtype=object),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
 
 
 def extract_meta(df: DataFrame, payload_col: str = "payload",

@@ -13,15 +13,39 @@ from pyspark.sql import functions as F
 
 from pigout_spark.pipeline.dedup import ws_tokens
 
-#: Small per-language stopword profiles for the n-gram/stopword
-#: language-ID heuristic.  Order = tie-break precedence.
+#: Per-language stopword profiles (whole-token hits) for Latin-script
+#: language ID.  Order = tie-break precedence.  Chinese is NOT here —
+#: script detection handles CJK (the old pinyin profile collided with
+#: European stopwords: "de" is also the top Spanish/French word).
 LANG_PROFILES: dict[str, list[str]] = {
-    "en": ["the", "and", "of", "to", "a", "in"],
-    "fr": ["le", "la", "et", "les", "des", "un"],
-    "es": ["el", "la", "y", "de", "que", "los"],
-    "de": ["der", "die", "und", "das", "ein", "zu"],
-    "zh": ["de", "he", "shi", "zai", "le", "you"],
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "fr": ["le", "la", "et", "les", "des", "un", "est", "dans", "que", "sur"],
+    "es": ["el", "la", "y", "de", "que", "los", "en", "del", "las", "por"],
+    "de": ["der", "die", "und", "das", "ein", "zu", "mit", "ist", "nicht", "dem"],
 }
+
+#: Character-substring profiles (counted as substrings of
+#: ' '||lower(text)||' ', so ' the ' hits word boundaries and 'sch'
+#: hits inside words) — the n-gram half of the Latin-script score.
+LANG_SUBSTRINGS: dict[str, list[str]] = {
+    "en": [" th", "he ", "ing ", " of ", "tion"],
+    "fr": [" l'", " d'", "é", "è", "aux ", "eux "],
+    "es": ["ción", "ñ", " y ", "ado ", " los "],
+    "de": ["sch", "ä", "ö", "ü", "ß", "ein", "cht"],
+}
+
+#: Non-Latin script ranges, in precedence order: Japanese kana before
+#: CJK (Japanese text mixes kana + kanji; kana is the discriminator),
+#: Hangul, then Han → zh, Cyrillic → ru.  A language wins when its
+#: script covers ≥5% of characters.  Ranges built from codepoints so
+#: the regex character classes are unambiguous in both engines (RE2 and
+#: Java regex both accept literal-char ranges).
+SCRIPT_RANGES: list[tuple[str, str]] = [
+    ("ja", f"[{chr(0x3040)}-{chr(0x30FF)}]"),  # hiragana + katakana
+    ("ko", f"[{chr(0xAC00)}-{chr(0xD7AF)}]"),  # hangul syllables
+    ("zh", f"[{chr(0x4E00)}-{chr(0x9FFF)}]"),  # CJK unified ideographs
+    ("ru", f"[{chr(0x0400)}-{chr(0x04FF)}]"),  # cyrillic
+]
 
 
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -74,11 +98,55 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("quality", score)
 
 
+def script_char_count(text: Column | str, char_class: str) -> Column:
+    """Count of characters in a regex character class: length of the
+    text with everything OUTSIDE the class removed.  Pure column expr
+    (regexp_replace is global in Spark; the SQL twin passes 'g')."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(F.regexp_replace(c, f"[^{char_class[1:-1]}]", ""))
+
+
+def substring_count(padded: Column, pat: str) -> Column:
+    """Occurrences of a literal substring: (len − len(remove(pat)))/|pat|
+    — exact integer arithmetic in both engines (the difference is always
+    a multiple of |pat|)."""
+    return (F.length(padded) - F.length(F.replace(padded, F.lit(pat)))) / F.lit(
+        len(pat)
+    )
+
+
+def _latin_scores(df_text: Column) -> dict[str, Column]:
+    """Per-Latin-language score: 3·(stopword token hits) + (character
+    substring hits over ' '||lower(text)||' ')."""
+    toks = ws_tokens(F.lower(df_text), distinct=False)
+    padded = F.concat(F.lit(" "), F.lower(df_text), F.lit(" "))
+    return {
+        lang: F.lit(3) * _stop_count(toks, LANG_PROFILES[lang])
+        + sum(
+            (substring_count(padded, p) for p in LANG_SUBSTRINGS[lang]),
+            F.lit(0.0),
+        )
+        for lang in LANG_PROFILES
+    }
+
+
 def lang_id(df: DataFrame, text_col: str = "text", out: str = "predicted") -> DataFrame:
-    """Stopword-profile language ID: score = stopword hits per language,
-    argmax with fixed precedence (LANG_PROFILES order) on ties."""
-    toks = ws_tokens(text_col, distinct=False)
-    scores = {lang: _stop_count(toks, words) for lang, words in LANG_PROFILES.items()}
+    """Language ID heuristic, pure column expressions (rides whole-stage
+    codegen — zero Python):
+
+    1. script detection first: a non-Latin script (kana → ja, hangul →
+       ko, CJK → zh, cyrillic → ru, in that precedence — kana beats CJK
+       because Japanese text mixes kanji in) wins when it covers ≥5% of
+       characters;
+    2. otherwise Latin-script scoring: 3·stopword-token hits +
+       character-n-gram/substring hits per language (LANG_PROFILES /
+       LANG_SUBSTRINGS), argmax with fixed precedence on ties.
+
+    A heuristic, not a model — deterministic, engine-mirrorable, and
+    honest about its limits (short/mixed texts default toward 'en')."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    scores = _latin_scores(text)
     langs = list(LANG_PROFILES)
     pred = None
     for i, lang in enumerate(langs):
@@ -89,6 +157,10 @@ def lang_id(df: DataFrame, text_col: str = "text", out: str = "predicted") -> Da
             else F.lit(True)
         )
         pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    # script overrides take precedence over the Latin chain
+    for lang, cc in reversed(SCRIPT_RANGES):
+        cnt = script_char_count(text, cc)
+        pred = F.when((cnt >= 1) & (cnt * 20 >= n_chars), lang).otherwise(pred)
     return df.withColumn(out, pred)
 
 

@@ -501,24 +501,50 @@ def text_quality(spark, sf_dir):
     )
 
 
+def _sqlstr(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
 def _langid_sql() -> str:
-    score = {
-        lang: (
+    """SQL twin of pipeline.text.lang_id: script-range detection first
+    (ja/ko/zh/ru precedence), then the Latin 3·stopword + substring
+    score argmax.  Same integer/double arithmetic in both engines."""
+    from pigout_spark.pipeline.text import LANG_SUBSTRINGS, SCRIPT_RANGES
+
+    score = {}
+    for lang, words in LANG_PROFILES.items():
+        stop = (
             f"len(list_filter(toks, t -> list_contains("
             f"[{', '.join(repr(w) for w in words)}], t)))"
         )
-        for lang, words in LANG_PROFILES.items()
-    }
+        subs = " + ".join(
+            f"(length(padded) - length(replace(padded, {_sqlstr(p)}, '')))"
+            f" / {len(p)}"
+            for p in LANG_SUBSTRINGS[lang]
+        )
+        score[lang] = f"(3 * {stop} + {subs})"
     langs = list(LANG_PROFILES)
     cases = []
+    # script overrides first, in precedence order
+    for lang, cc in SCRIPT_RANGES:
+        cnt = (
+            f"length(regexp_replace(text, {_sqlstr('[^' + cc[1:-1] + ']')},"
+            f" '', 'g'))"
+        )
+        cases.append(
+            f"WHEN {cnt} >= 1 AND {cnt} * 20 >= length(text) THEN '{lang}'"
+        )
     for i, lang in enumerate(langs[:-1]):
         rest = [score[l] for l in langs[i + 1 :]]
         other = f"greatest({', '.join(rest)})" if len(rest) > 1 else rest[0]
         cases.append(f"WHEN {score[lang]} >= {other} THEN '{lang}'")
     case = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+    toks_lower = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
     return (
         "WITH f AS (\n"
-        f"  SELECT lang, {_SQL_TOKS} AS toks FROM documents\n"
+        f"  SELECT lang, text, {toks_lower} AS toks,\n"
+        "         ' ' || lower(text) || ' ' AS padded\n"
+        "  FROM documents\n"
         ")\n"
         f"SELECT lang, {case} AS predicted, COUNT(*) AS n\n"
         "FROM f GROUP BY lang, predicted"

@@ -253,6 +253,28 @@ def test_lang_id_precedence(spark):
     assert got == {1: "en", 2: "fr"}
 
 
+def test_lang_id_on_real_multilingual_text(spark):
+    """Genuinely multilingual sentences — script ranges catch the
+    non-Latin scripts (incl. kana-over-CJK precedence for Japanese) and
+    the stopword+n-gram score separates the Latin languages."""
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog in the field", "en"),
+        (2, "Le chat est sur la table et les enfants jouent dans le jardin", "fr"),
+        (3, "El perro come la comida que los niños dejaron en la mesa", "es"),
+        (4, "Der Hund und die Katze spielen nicht mit dem Ball", "de"),
+        (5, "这是一个中文句子用来测试语言识别功能", "zh"),
+        (6, "Это русский текст для проверки определения языка", "ru"),
+        (7, "これは日本語のテストです、漢字も含まれています", "ja"),
+        (8, "한국어 텍스트입니다 언어 감지를 테스트합니다", "ko"),
+        (9, "", "en"),  # empty text: deterministic default
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r.predicted for r in lang_id(df).collect()}
+    assert got == {i: lang for i, _, lang in rows}
+
+
 def test_multimodal_meta_and_frames(spark):
     df = docs(spark, [(1, "x" * 130), (2, "y")])
     b = binarize(df, "text")
@@ -272,10 +294,38 @@ def test_fake_decode_is_deterministic():
     assert a == {"width": 3, "height": 3, "mode": "RGB"}
     import pytest as _pytest
 
-    from pigout_spark.pipeline.multimodal import decode_image
+    from pigout_spark.pipeline.multimodal import decode_image, imaging_available
 
-    with _pytest.raises(NotImplementedError):
-        decode_image(b"123")
+    if not imaging_available():
+        with _pytest.raises(NotImplementedError):
+            decode_image(b"123")
+
+
+def test_decode_images_probe_gated(spark):
+    """decode_images: 'fake' always works (deterministic schema-true
+    stand-in); 'auto' matches whichever path the probe selects; 'real'
+    without pillow fails at plan build, not mid-job."""
+    import pytest as _pytest
+
+    from pigout_spark.pipeline.multimodal import decode_images, imaging_available
+
+    df = binarize(docs(spark, [(1, "x" * 130), (2, "y")]), "text")
+    fake = {r.doc_id: r for r in decode_images(df, use="fake").collect()}
+    assert fake[1].width == 3 and fake[1].height == 3 and fake[1].mode == "RGB"
+    assert fake[2].width == 2 and fake[2].height == 1 and fake[2].mode == "L"
+    if imaging_available():
+        # utf-8 text is not a valid image — the REAL path must try to
+        # decode and fail, proving it is not the fake
+        with _pytest.raises(Exception):
+            decode_images(df, use="real").collect()
+    else:
+        with _pytest.raises(NotImplementedError):
+            decode_images(df, use="real")
+        # auto falls back to the fake
+        auto = {r.doc_id: r for r in decode_images(df, use="auto").collect()}
+        assert {k: (v.width, v.height) for k, v in auto.items()} == {
+            k: (v.width, v.height) for k, v in fake.items()
+        }
 
 
 def test_ivf_assign_and_topk(spark):
