@@ -6,10 +6,13 @@ Spark mapping:
 - default           → df.join(...)           (Catalyst: SMJ/SHJ, AQE may
                                                flip to broadcast at runtime)
 - USING 'replicated'→ broadcast(small side)  (fragment-replicate join)
-- USING 'skewed'    → AQE skew-join handling (no code: session conf)
-- USING 'merge'     → SortMergeJoin          (Catalyst default for large
-                                               sides; bucketed tables skip
-                                               the sort entirely)
+- USING 'skewed'    → per-join SALTED join for inner/left (the exact
+                      analog of Pig's hot-key splitting, pinned in the
+                      plan); other join types rely on AQE's runtime
+                      skew splitting (session conf, also always on)
+- USING 'merge'     → per-join SHUFFLE_MERGE hint pinning SortMergeJoin
+                      (AQE may otherwise flip to broadcast); bucketed
+                      tables skip the sort entirely
 - CROSS             → crossJoin; Pig's theta-join idiom CROSS+FILTER is
                       better expressed as a non-equi join condition, which
                       Spark supports natively (richer than the reference).
@@ -53,21 +56,33 @@ def join(
     on,
     how: str = "inner",
     using: str | None = None,
+    salt: int = 16,
 ) -> DataFrame:
     """Pig `J = JOIN A BY k [LEFT|RIGHT|FULL] [, B BY k] [USING '...'];`
 
     Null join keys do not match (Pig and Spark agree); null-safe equality
     is available via a Column condition with `<=>` if ever needed.
+
+    The USING hint is honored PER JOIN (module docstring): 'replicated'
+    broadcasts, 'merge' pins SortMergeJoin via the SHUFFLE_MERGE hint,
+    'skewed' salts this join's hot keys (inner/left; other types fall
+    back to AQE's runtime splitting, which is also always on).
     """
     if using == "replicated":
         # Fragment-replicate join: Pig loads the small side into every map
         # task's memory; Spark's broadcast hash join is the same plan.
         right = F.broadcast(right)
-    elif using in ("skewed", "merge", "merge-sparse", None):
-        # skewed  → AQE skew-join splits hot partitions at runtime.
-        # merge   → Catalyst already picks SortMergeJoin for big inputs.
-        pass
-    else:
+    elif using in ("merge", "merge-sparse"):
+        # Pin SortMergeJoin for THIS join (Pig's map-side merge join on
+        # sorted inputs).  Catalyst drops the sort when the inputs are
+        # bucketed+sorted (plans/bucketing.py) — Pig's zero-sort path.
+        left = left.hint("merge")
+    elif using == "skewed":
+        if how in ("inner", "left", "left_outer", "leftouter"):
+            return salted_join(left, right, on, salt=salt, how=how)
+        # right/full outer can't be salted (the exploded side would
+        # duplicate unmatched rows) — AQE runtime splitting covers it
+    elif using is not None:
         raise ValueError(f"unknown join strategy {using!r}")
     return left.join(right, _cond(left, right, on), how)
 
@@ -84,7 +99,7 @@ def cross(left: DataFrame, right: DataFrame, condition: Column | None = None) ->
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,
-    on: list[str] | str,
+    on,
     salt: int = 16,
     how: str = "inner",
 ) -> DataFrame:
@@ -101,18 +116,26 @@ def salted_join(
 
     Only inner and left joins are supported: the other side is exploded
     ×salt, so a right/full outer join would emit each unmatched ``other``
-    row once per salt value (duplicates)."""
+    row once per salt value (duplicates).
+
+    ``on`` takes the same forms as join(): same-named column name(s)
+    (key columns emitted once, as in df.join(on=names)), a (left_keys,
+    right_keys) pair, or an arbitrary equi-join Column condition (both
+    sides' columns kept)."""
     if how not in ("inner", "left", "left_outer", "leftouter"):
         raise ValueError(
             f"salted_join supports inner/left joins, not {how!r}: the "
             "exploded side duplicates unmatched rows under right/full outer"
         )
-    keys = [on] if isinstance(on, str) else list(on)
     sk = skewed.withColumn("__salt", (F.rand() * salt).cast("int"))
     ot = other.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
-    return sk.join(ot, keys + ["__salt"], how).drop("__salt")
+    if isinstance(on, (str, list)):
+        keys = [on] if isinstance(on, str) else list(on)
+        return sk.join(ot, keys + ["__salt"], how).drop("__salt")
+    cond = _cond(sk, ot, on) & (sk["__salt"] == ot["__salt"])
+    return sk.join(ot, cond, how).drop(sk["__salt"]).drop(ot["__salt"])
 
 
 def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:

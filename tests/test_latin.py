@@ -97,6 +97,47 @@ def test_join_replicated_and_wordcount(pig):
     assert "BroadcastHashJoin" in plan
 
 
+def test_join_merge_hint_pins_sort_merge(pig):
+    """USING 'merge' must plan SortMergeJoin even where Catalyst would
+    otherwise broadcast the (tiny) side — the per-join hint, not a
+    session-wide conf."""
+    pig.execute(
+        """
+        n = LOAD 'nation';
+        r = LOAD 'region';
+        jm = JOIN n BY n_regionkey, r BY r_regionkey USING 'merge';
+        jd = JOIN n BY n_regionkey, r BY r_regionkey;
+        """
+    )
+    merged = pig.df("jm")._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in merged
+    assert "BroadcastHashJoin" not in merged
+    # the default plan for the same join broadcasts — proving the hint
+    # changed THIS join rather than some global setting
+    default = pig.df("jd")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in default
+    assert pig.df("jm").count() == pig.df("jd").count() == 25
+
+
+def test_join_skewed_hint_salts(pig):
+    """USING 'skewed' must salt THIS join: the plan shuffles on
+    (key, __salt) and explodes the other side; results equal the
+    default join's."""
+    pig.execute(
+        """
+        c = LOAD 'customer';
+        o = LOAD 'orders';
+        js = JOIN o BY o_custkey, c BY c_custkey USING 'skewed';
+        jd = JOIN o BY o_custkey, c BY c_custkey;
+        """
+    )
+    salted = pig.df("js")._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in salted
+    assert "explode" in salted.lower()
+    assert pig.df("js").count() == pig.df("jd").count()
+    assert sorted(pig.df("js").columns) == sorted(pig.df("jd").columns)
+
+
 def test_outer_join(pig):
     pig.execute(
         """
