@@ -132,7 +132,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entrymod
 
-    qs = entrymod.queries()
+    from pigout_spark import queries as qmod
+
+    # headline queries come from BOTH registries: rotation of the
+    # driver-facing 50 must not silently shrink the bench set
+    qs = {**qmod.extra_queries(), **entrymod.queries()}
     names = [n for n in HEADLINE if n in qs]
     spark = get_spark("pigout-bench")
     _warmup(spark, sf_dir)
@@ -148,7 +152,9 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
-    duck = _duckdb_times(sf_dir, names, entrymod.oracle_sql())
+    duck = _duckdb_times(
+        sf_dir, names, {**qmod.extra_oracle_sql(), **entrymod.oracle_sql()}
+    )
     ratios = {
         n: round(timings[n] / duck[n], 2) for n in timings if duck.get(n)
     }

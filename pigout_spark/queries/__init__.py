@@ -33,8 +33,9 @@ from pigout_spark.queries import udf_q  # noqa: F401,E402
 
 # Round-1 lesson: entries past the driver's 50-query window get no
 # CORRECTNESS row at all.  Order the registry so the queries that were
-# silently dropped in round 1 (and the new simhash-pairs search) come
-# first — a hedge against any time-based element of the cutoff.
+# silently dropped in round 1, and the entries rotated into the window
+# this round (bloom join, decontamination, token budget), come first —
+# a hedge against any time-based element of the cutoff.
 _PRIORITY = [
     "q01_group_agg",
     "q27_stream_through",
@@ -42,6 +43,9 @@ _PRIORITY = [
     "q29_union_onschema",
     "q30_sample",
     "dedup_simhash_pairs",
+    "q38_bloom_join",
+    "x_decontaminate",
+    "x_token_budget",
 ]
 _ordered = {k: REGISTRY[k] for k in _PRIORITY if k in REGISTRY}
 for _k, _v in list(REGISTRY.items()):

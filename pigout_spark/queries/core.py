@@ -509,3 +509,32 @@ def q16_split(spark, sf_dir):
         for name, df in branches.items()
     ]
     return union(*parts)
+
+
+# --- §2.3 bloom join (Pig BuildBloom / Bloom) ---
+@query(
+    "q38_bloom_join",
+    f"""
+    SELECT p.p_brand, COUNT(*) AS n_items,
+           {SQL_DSUM("l.l_quantity", "sum_qty")}
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size >= 45
+    GROUP BY p.p_brand
+    """,
+)
+def q38_bloom_join(spark, sf_dir):
+    """Pig `DEFINE bb BuildBloom(...)` + `FILTER ... BY Bloom(key)` +
+    JOIN: build the filter on the (selective) dim side, pre-filter the
+    fact side before the shuffle, then the exact join — bloom false
+    positives are eliminated by the join itself, so results equal the
+    plain join (the oracle).  operators/bloom.py."""
+    from pigout_spark.operators.bloom import bloom_join
+
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_size") >= 45)
+    return bloom_join(li, part, "l_partkey", "p_partkey").groupBy(
+        "p_brand"
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum("l_quantity", "sum_qty"),
+    )

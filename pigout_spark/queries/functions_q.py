@@ -189,6 +189,7 @@ def q21_scalar_projection(spark, sf_dir):
     FROM lineitem
     GROUP BY l_returnflag
     """,
+    extra=True,
 )
 def q22_distinct_agg(spark, sf_dir):
     """Pig nested FOREACH { d = DISTINCT A.partkey; GENERATE COUNT(d) } →
@@ -272,6 +273,7 @@ def q33_corr_cov(spark, sf_dir):
            COUNT(gap_s) AS n_gaps, CAST(SUM(gap_s) AS BIGINT) AS total_gap_s
     FROM seq GROUP BY user_id
     """,
+    extra=True,
 )
 def q23_window_lag(spark, sf_dir):
     """Beyond-reference (Pig has no lag/lead — SURVEY.md §2.5): per-user

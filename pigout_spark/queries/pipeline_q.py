@@ -682,7 +682,6 @@ def x_mm_frames(spark, sf_dir):
     SELECT d.doc_id, d.lang FROM documents d
     WHERE d.lang <> 'en' AND d.doc_id NOT IN (SELECT doc_id FROM bad)
     """,
-    extra=True,
 )
 def x_decontaminate(spark, sf_dir):
     """Benchmark decontamination (13-gram rule, n=4 at fixture doc
@@ -711,7 +710,6 @@ def x_decontaminate(spark, sf_dir):
     )
     SELECT doc_id, source FROM c WHERE cum <= 200
     """,
-    extra=True,
 )
 def x_token_budget(spark, sf_dir):
     """Token-budget selection: per source, docs in id order until a

@@ -61,6 +61,7 @@ def stream_tumbling(spark, sf_dir):
     )
     SELECT window_start, COUNT(*) AS n FROM assigned GROUP BY 1
     """,
+    extra=True,
 )
 def stream_sliding(spark, sf_dir):
     """Sliding 1-hour windows every 30 minutes: each event lands in two
