@@ -922,6 +922,12 @@ class PigSession:
             return nested_topk(df, keys, order_cols, spec["limit"])
 
         # -- aggregate path ------------------------------------------
+        # Aggregates over ORDER+LIMIT inner aliases (e.g. SUM of the
+        # top-3 per group) compile to ONE window pass: rn = row_number
+        # over (group keys) ordered by (alias-predicate DESC, alias
+        # order) — passing rows sort first, so rn ≤ limit AND predicate
+        # is exactly "row is in the alias's limited bag".  All GENERATE
+        # items then fold into one groupBy over the augmented child.
         key_cols = []
         if rel.keys:
             key_cols = [
@@ -929,6 +935,36 @@ class PigSession:
                 if len(rel.keys) == 1
                 else F.struct(*[F.expr(k) for k in rel.keys]).alias("group")
             ]
+        from pyspark.sql import Window
+
+        df_base = child_df
+        limit_flags: dict[str, Column] = {}
+
+        def _limit_flag(src: str, spec: dict) -> Column:
+            nonlocal df_base
+            if src in limit_flags:
+                return limit_flags[src]
+            if spec.get("order") is None:
+                raise PigSyntaxError(
+                    f"aggregate over LIMIT alias {src!r} needs an inner ORDER "
+                    "(Pig's unordered LIMIT is nondeterministic)"
+                )
+            pred = F.expr(spec["filter"]) if spec.get("filter") else F.lit(True)
+            order_cols = [pred.cast("int").desc()]
+            for part in _split_args(spec["order"]):
+                dm2 = re.match(r"(.*?)\s+(ASC|DESC)\s*$", part.strip(), re.IGNORECASE)
+                e, d = (dm2.group(1), dm2.group(2).upper()) if dm2 else (part, "ASC")
+                c = F.expr(translate_expr(e, cols))
+                order_cols.append(c.desc() if d == "DESC" else c.asc())
+            w = Window.partitionBy(
+                *[F.expr(k) for k in rel.keys] if rel.keys else []
+            ).orderBy(*order_cols)
+            rn_col = f"__rn_{src}"
+            df_base = df_base.withColumn(rn_col, F.row_number().over(w))
+            flag = pred & (F.col(rn_col) <= spec["limit"])
+            limit_flags[src] = flag
+            return flag
+
         aggs = []
         for item in _split_args(generate):
             am2 = re.match(r"(.*?)\s+AS\s+(\w+)\s*$", item, re.IGNORECASE | re.DOTALL)
@@ -956,7 +992,13 @@ class PigSession:
             val = (
                 F.expr(translate_expr(target, cols)) if target else F.lit(1)
             )
-            if spec.get("filter"):
+            if spec.get("limit") is not None:
+                if dfield is not None:
+                    raise PigSyntaxError(
+                        "DISTINCT over a LIMIT alias is not supported"
+                    )
+                val = F.when(_limit_flag(src, spec), val)
+            elif spec.get("filter"):
                 val = F.when(F.expr(spec["filter"]), val)
             if dfield is not None or (spec.get("distinct") is not None):
                 if fn != "COUNT":
@@ -967,7 +1009,7 @@ class PigSession:
             else:
                 c = getattr(F, fn.lower())(val)
             aggs.append(c.alias(name) if name else c)
-        grouped = child_df.groupBy(*key_cols) if key_cols else child_df.groupBy()
+        grouped = df_base.groupBy(*key_cols) if key_cols else df_base.groupBy()
         return grouped.agg(*aggs)
 
     def _foreach_grouped(self, g: _Grouped, items_s: str) -> DataFrame:

@@ -524,6 +524,95 @@ def test_nested_foreach_topk_path(pig):
     assert "collect_list" not in plan
 
 
+def test_nested_foreach_aggregate_over_limit_alias(pig, spark, sf_dir):
+    """SUM/COUNT over an ORDER+LIMIT inner alias (top-k aggregation) —
+    compiles to one window row_number + conditional aggregates, mixable
+    with unlimited aggregates in the same GENERATE."""
+    pig.execute(
+        """
+        o = LOAD 'orders';
+        g = GROUP o BY o_orderpriority;
+        x = FOREACH g {
+          s = ORDER o BY o_totalprice DESC, o_orderkey ASC;
+          l = LIMIT s 3;
+          GENERATE group, SUM(l.o_totalprice) AS top3_sum,
+                   COUNT(l) AS top3_n, COUNT(o) AS n;
+        };
+        """
+    )
+    out = pig.df("x")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" not in plan
+    from pyspark.sql import Window
+
+    from pigout_spark.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    want = {
+        r.o_orderpriority: (round(r.s, 2), r.tn, r.n)
+        for r in o.withColumn("rn", F.row_number().over(w))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("rn") <= 3, F.col("o_totalprice"))).alias("s"),
+            F.count(F.when(F.col("rn") <= 3, 1)).alias("tn"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    got = {
+        r.group: (round(r.top3_sum, 2), r.top3_n, r.n) for r in out.collect()
+    }
+    assert got == want
+
+    # filtered THEN limited alias: only passing rows are numbered
+    pig.execute(
+        """
+        y = FOREACH g {
+          f = FILTER o BY o_orderstatus == 'F';
+          s2 = ORDER f BY o_totalprice DESC;
+          l2 = LIMIT s2 2;
+          GENERATE group, COUNT(l2) AS n2;
+        };
+        """
+    )
+    wantf = {
+        r.o_orderpriority: r.n2
+        for r in o.filter(F.col("o_orderstatus") == "F")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("o_orderpriority").orderBy(
+                    F.desc("o_totalprice")
+                )
+            ),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.when(F.col("rn") <= 2, 1)).alias("n2"))
+        .collect()
+    }
+    gotf = {r.group: r.n2 for r in pig.df("y").collect()}
+    assert gotf == wantf
+
+    # LIMIT without ORDER in the aggregate path is rejected (unordered
+    # LIMIT is nondeterministic)
+    import pytest as _pytest
+
+    from pigout_spark.latin import PigSyntaxError
+
+    with _pytest.raises(PigSyntaxError):
+        pig.execute(
+            """
+            z = FOREACH g {
+              l3 = LIMIT o 2;
+              GENERATE group, COUNT(l3) AS n3;
+            };
+            """
+        )
+
+
 def test_assert_statement(pig):
     pig.execute(
         "li = LOAD 'lineitem'; ASSERT li BY l_quantity > 0, 'qty must be positive';"
