@@ -860,15 +860,25 @@ class PigSession:
 
             def base_spec(src: str) -> dict:
                 if src == rel.child:
-                    return {"filter": None, "order": None, "limit": None, "distinct": None}
+                    return {
+                        "filter": None, "order": None, "limit": None,
+                        "distinct": None, "proj": None,
+                    }
                 if src in specs:
                     return dict(specs[src])
                 raise PigSyntaxError(f"unknown inner alias {src!r}")
 
+            def subst_proj(expr: str, spec: dict) -> str:
+                """Inline an inner FOREACH's projections: downstream
+                FILTER/ORDER/aggregates reference the projected names."""
+                for k, v in (spec.get("proj") or {}).items():
+                    expr = re.sub(rf"\b{k}\b", f"({v})", expr)
+                return expr
+
             if kw == "FILTER":
                 fm = re.match(r"FILTER\s+(\w+)\s+BY\s+(.*)$", op, re.IGNORECASE | re.DOTALL)
                 spec = base_spec(fm.group(1))
-                pred = translate_expr(fm.group(2), cols)
+                pred = translate_expr(subst_proj(fm.group(2), spec), cols)
                 spec["filter"] = (
                     f"({spec['filter']}) AND ({pred})" if spec["filter"] else pred
                 )
@@ -876,7 +886,32 @@ class PigSession:
             elif kw == "ORDER":
                 om = re.match(r"ORDER\s+(\w+)\s+BY\s+(.*)$", op, re.IGNORECASE | re.DOTALL)
                 spec = base_spec(om.group(1))
-                spec["order"] = om.group(2).strip()
+                spec["order"] = subst_proj(om.group(2).strip(), spec)
+                specs[name] = spec
+            elif kw == "FOREACH":
+                pm2 = re.match(
+                    r"FOREACH\s+(\w+)\s+GENERATE\s+(.*)$", op,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if not pm2:
+                    raise PigSyntaxError(f"bad inner FOREACH: {op}")
+                spec = base_spec(pm2.group(1))
+                proj: dict[str, str] = {}
+                for it in _split_args(pm2.group(2)):
+                    am3 = re.match(
+                        r"(.*?)\s+AS\s+(\w+)\s*$", it.strip(),
+                        re.IGNORECASE | re.DOTALL,
+                    )
+                    if am3:
+                        e, out_name = am3.group(1).strip(), am3.group(2)
+                    elif re.match(r"^\w+$", it.strip()):
+                        e = out_name = it.strip()
+                    else:
+                        raise PigSyntaxError(
+                            f"inner FOREACH expressions need AS aliases: {it}"
+                        )
+                    proj[out_name] = translate_expr(subst_proj(e, spec), cols)
+                spec["proj"] = proj
                 specs[name] = spec
             elif kw == "LIMIT":
                 lm = re.match(r"LIMIT\s+(\w+)\s+(\d+)\s*$", op, re.IGNORECASE)
@@ -905,6 +940,11 @@ class PigSession:
             from pigout_spark.operators.grouping import nested_topk
 
             spec = specs[fl.group(1)]
+            if spec.get("proj"):
+                raise PigSyntaxError(
+                    "FLATTEN of a projected (inner FOREACH) alias is not "
+                    "supported in the top-k path — project after the FOREACH"
+                )
             df = child_df
             if spec["filter"]:
                 df = df.filter(F.expr(spec["filter"]))
@@ -989,9 +1029,13 @@ class PigSession:
                 raise PigSyntaxError(f"unknown inner alias {src!r}")
             dfield = spec.get("distinct")
             target = field or dfield
-            val = (
-                F.expr(translate_expr(target, cols)) if target else F.lit(1)
-            )
+            proj = spec.get("proj") or {}
+            if target and target in proj:
+                val = F.expr(proj[target])
+            elif target:
+                val = F.expr(translate_expr(target, cols))
+            else:
+                val = F.lit(1)
             if spec.get("limit") is not None:
                 if dfield is not None:
                     raise PigSyntaxError(

@@ -613,6 +613,63 @@ def test_nested_foreach_aggregate_over_limit_alias(pig, spark, sf_dir):
         )
 
 
+def test_nested_foreach_inner_projection(pig, spark, sf_dir):
+    """Inner FOREACH projections feed downstream FILTER/ORDER/aggregates:
+    p = FOREACH o GENERATE expr AS x; ... SUM(chain.x)."""
+    pig.execute(
+        """
+        o = LOAD 'orders';
+        g = GROUP o BY o_orderpriority;
+        x = FOREACH g {
+          p = FOREACH o GENERATE o_totalprice * 0.9 AS disc;
+          hi = FILTER p BY disc > 100000.0;
+          GENERATE group, SUM(hi.disc) AS s, COUNT(hi) AS n;
+        };
+        """
+    )
+    from pigout_spark.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    disc = F.col("o_totalprice") * 0.9
+    want = {
+        r.o_orderpriority: (round(r.s, 2), r.n)
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(disc > 100000.0, disc)).alias("s"),
+            F.count(F.when(disc > 100000.0, 1)).alias("n"),
+        )
+        .collect()
+    }
+    got = {r.group: (round(r.s, 2), r.n) for r in pig.df("x").collect()}
+    assert got == want
+
+    # projection + order + limit chain: top-2 by projected value
+    pig.execute(
+        """
+        y = FOREACH g {
+          p2 = FOREACH o GENERATE o_totalprice * 2.0 AS dbl;
+          s2 = ORDER p2 BY dbl DESC;
+          l2 = LIMIT s2 2;
+          GENERATE group, SUM(l2.dbl) AS top2;
+        };
+        """
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        (F.col("o_totalprice") * 2.0).desc()
+    )
+    want2 = {
+        r.o_orderpriority: round(r.s, 2)
+        for r in o.withColumn("rn", F.row_number().over(w))
+        .groupBy("o_orderpriority")
+        .agg(F.sum(F.when(F.col("rn") <= 2, F.col("o_totalprice") * 2.0)).alias("s"))
+        .collect()
+    }
+    got2 = {r.group: round(r.top2, 2) for r in pig.df("y").collect()}
+    assert got2 == want2
+
+
 def test_assert_statement(pig):
     pig.execute(
         "li = LOAD 'lineitem'; ASSERT li BY l_quantity > 0, 'qty must be positive';"
