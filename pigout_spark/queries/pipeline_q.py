@@ -637,6 +637,33 @@ def mm_binary_meta(spark, sf_dir):
 
 
 # Local extra (driver window full): the frame-sampling plumbing —
+# The decode stage (probe-gated: real PIL when present, deterministic
+# fake otherwise) — the FAKE path is pure byte math, so it gets a full
+# SQL oracle keeping the mapInPandas schema/batch plumbing hash-checked.
+@query(
+    "x_mm_decode",
+    """
+    WITH d AS (
+      SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+    )
+    SELECT doc_id,
+           CAST(n % 64 + 1 AS INT) AS width,
+           CAST(n // 64 + 1 AS INT) AS height,
+           CASE WHEN n % 2 = 1 THEN 'L' ELSE 'RGB' END AS mode
+    FROM d
+    """,
+    extra=True,
+)
+def x_mm_decode(spark, sf_dir):
+    """decode_images over binary payloads (use='fake' pins the
+    deterministic path regardless of whether pillow is present, so the
+    oracle holds on any cluster; pipeline/multimodal.py)."""
+    from pigout_spark.pipeline.multimodal import binarize, decode_images
+
+    d = binarize(t(spark, sf_dir, "documents"), "text")
+    return decode_images(d, use="fake")
+
+
 # mapInPandas row multiplication — against a pure-SQL byte-math oracle.
 @query(
     "x_mm_frames",

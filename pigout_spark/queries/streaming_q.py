@@ -103,3 +103,21 @@ def stream_session(spark, sf_dir):
         e, "ts", "30 minutes", ["user_id"], [F.count(F.lit(1)).alias("n_events")]
     )
     return out.select("user_id", "session_start", "n_events")
+
+
+@query(
+    "x_stream_dedup",
+    "SELECT DISTINCT user_id, event_type FROM events",
+    extra=True,
+)
+def x_stream_dedup(spark, sf_dir):
+    """Stream dedup (dropDuplicatesWithinWatermark under readStream;
+    plain dropDuplicates in batch — streaming/windows.py:stream_dedup).
+    Projected to the key columns so the batch result is deterministic
+    and equals DISTINCT keys for the oracle."""
+    e = _events_s(spark, sf_dir)
+    from pigout_spark.streaming.windows import stream_dedup
+
+    return stream_dedup(e, ["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
