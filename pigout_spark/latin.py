@@ -147,7 +147,11 @@ def _rewrite_matches(expr: str) -> str:
     match, Java String.matches)."""
 
     def sub(m: re.Match) -> str:
-        return f"{m.group(1)} RLIKE '^(?:{m.group(2)})$'"
+        # The output is a Spark SQL string literal: its parser consumes
+        # backslash escapes ('\d' parses as 'd'), so regex backslashes
+        # must be doubled to reach RLIKE intact.
+        pat = m.group(2).replace("\\", "\\\\")
+        return f"{m.group(1)} RLIKE '^(?:{pat})$'"
 
     return re.sub(
         r"(\S+)\s+matches\s+'((?:[^'\\]|\\.)*)'", sub, expr, flags=re.IGNORECASE
@@ -870,10 +874,24 @@ class PigSession:
 
             def subst_proj(expr: str, spec: dict) -> str:
                 """Inline an inner FOREACH's projections: downstream
-                FILTER/ORDER/aggregates reference the projected names."""
-                for k, v in (spec.get("proj") or {}).items():
-                    expr = re.sub(rf"\b{k}\b", f"({v})", expr)
-                return expr
+                FILTER/ORDER/aggregates reference the projected names.
+
+                Substitution skips quoted string literals (a projected
+                name inside '...' is data, not a reference) and uses a
+                callable replacement so a projection containing
+                backslashes (e.g. a `matches` regex translated to
+                rlike '...\\d+') is inserted verbatim, never
+                re-interpreted as a re.sub escape/group template."""
+                proj = spec.get("proj") or {}
+                if not proj:
+                    return expr
+                parts = re.split(r"('(?:[^'\\]|\\.)*')", expr)
+                for i in range(0, len(parts), 2):  # even = outside quotes
+                    for k, v in proj.items():
+                        parts[i] = re.sub(
+                            rf"\b{k}\b", lambda m, v=v: f"({v})", parts[i]
+                        )
+                return "".join(parts)
 
             if kw == "FILTER":
                 fm = re.match(r"FILTER\s+(\w+)\s+BY\s+(.*)$", op, re.IGNORECASE | re.DOTALL)
@@ -1032,6 +1050,15 @@ class PigSession:
             proj = spec.get("proj") or {}
             if target and target in proj:
                 val = F.expr(proj[target])
+            elif target and spec.get("proj"):
+                # Pig semantics: an inner FOREACH's output has ONLY the
+                # projected fields — referencing anything else is an
+                # unknown-field error, not a fall-through to the base
+                # relation's columns.
+                raise PigSyntaxError(
+                    f"unknown field {target!r} in projected alias {src!r} "
+                    f"(its FOREACH projects only {sorted(proj)})"
+                )
             elif target:
                 val = F.expr(translate_expr(target, cols))
             else:

@@ -253,9 +253,14 @@ def ngram_jaccard_pairs(
             b,
             (F.col("a.tok") == F.col("b.tok"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            # length filter: jac(a,b) ≤ min/max, so max·t ≤ min is necessary;
+            # +1e-9 mirrors the prefix-length guard (IEEE rounding can push
+            # t·max just above an integer, e.g. 0.7*10 = 7.000000000000001 —
+            # the slack only ADMITS extra candidates, which the exact
+            # `jac >= threshold` verification below then filters)
             & (
                 F.greatest(F.col("a.sz"), F.col("b.sz")) * threshold
-                <= F.least(F.col("a.sz"), F.col("b.sz"))
+                <= F.least(F.col("a.sz"), F.col("b.sz")) + 1e-9
             ),
         )
         .groupBy(

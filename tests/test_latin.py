@@ -670,6 +670,77 @@ def test_nested_foreach_inner_projection(pig, spark, sf_dir):
     assert got2 == want2
 
 
+def test_inner_projection_subst_is_literal_safe(pig, spark, sf_dir):
+    """Projection inlining must not rewrite string literals, and a
+    projection containing regex backslashes must be inserted verbatim
+    (not re-interpreted as a re.sub escape template) — ADVICE r3."""
+    # alias 'O' collides with the literal 'O' in the filter: rewriting
+    # inside the quotes would turn st=='O' into st==st (always true on
+    # non-null) — the correct result counts only status-O orders
+    pig.execute(
+        """
+        o = LOAD 'orders';
+        g = GROUP o BY o_orderpriority;
+        x = FOREACH g {
+          p = FOREACH o GENERATE o_orderstatus AS O;
+          f = FILTER p BY O == 'O';
+          GENERATE group, COUNT(f) AS n;
+        };
+        """
+    )
+    from pigout_spark.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    want = {
+        r.o_orderpriority: r.n
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n"))
+        .collect()
+    }
+    got = {r.group: r.n for r in pig.df("x").collect()}
+    assert got == want
+
+    # projection translating to RLIKE '^(?:\d-URGENT)$': the backslash
+    # must survive substitution into the downstream FILTER
+    pig.execute(
+        """
+        y = FOREACH g {
+          p2 = FOREACH o GENERATE (o_orderkey matches '\\d') AS single;
+          f2 = FILTER p2 BY single;
+          GENERATE group, COUNT(f2) AS n1;
+        };
+        """
+    )
+    want2 = {
+        r.o_orderpriority: r.n1
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            F.count(
+                F.when(F.col("o_orderkey").cast("string").rlike(r"^\d$"), 1)
+            ).alias("n1")
+        )
+        .collect()
+    }
+    got2 = {r.group: r.n1 for r in pig.df("y").collect()}
+    assert got2 == want2
+
+
+def test_projected_alias_unknown_field_rejected(pig):
+    """Pig semantics: an inner FOREACH's output has only the projected
+    fields — aggregating a base column through it is an error, not a
+    silent fall-through to the base relation (ADVICE r3)."""
+    pig.execute("o = LOAD 'orders'; g = GROUP o BY o_orderpriority;")
+    with pytest.raises(PigSyntaxError, match="unknown field"):
+        pig.execute(
+            """
+            x = FOREACH g {
+              p = FOREACH o GENERATE o_totalprice * 2.0 AS dbl;
+              GENERATE group, SUM(p.o_totalprice) AS s;
+            };
+            """
+        )
+
+
 def test_assert_statement(pig):
     pig.execute(
         "li = LOAD 'lineitem'; ASSERT li BY l_quantity > 0, 'qty must be positive';"

@@ -55,6 +55,19 @@ def test_ngram_jaccard_exact_values(spark):
     assert got == {(1, 2): 3 / 5}  # |∩|=3, |∪|=5
 
 
+def test_jaccard_length_filter_float_boundary(spark):
+    """A pair whose exact Jaccard EQUALS the threshold must survive the
+    PPJoin length filter: 0.7*10 = 7.000000000000001 in IEEE, so without
+    the +1e-9 slack the sz=7 ⊂ sz=10 pair is dropped before exact
+    verification ever sees it (ADVICE r3)."""
+    seven = " ".join(f"t{i}" for i in range(7))
+    ten = " ".join(f"t{i}" for i in range(10))
+    df = docs(spark, [(1, seven), (2, ten)])
+    got = {(r.doc_a, r.doc_b): r.jac for r in
+           ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.7).collect()}
+    assert got == {(1, 2): 0.7}  # |∩|=7, |∪|=10, jac == t exactly
+
+
 def test_jaccard_max_df_caps_hub_tokens(spark):
     rows = [(i, f"hub unique{i}") for i in range(6)]
     df = docs(spark, rows)
