@@ -78,6 +78,27 @@ def sample(df: DataFrame, fraction: float, seed: int | None = None) -> DataFrame
     return df.sample(fraction=fraction, seed=seed)
 
 
+def hash_sample(
+    df: DataFrame, fraction: float, key_cols: list[str], buckets: int = 10_000
+) -> DataFrame:
+    """Deterministic SAMPLE: keep rows whose md5 bucket of the key
+    falls under ``fraction·buckets``.
+
+    The engine-neutral complement to Bernoulli :func:`sample` — md5 is
+    identical everywhere, so any engine (DuckDB:
+    ``('0x'||substring(md5(k),1,8))::BIGINT % buckets``) selects the
+    SAME rows, making the sample oracle-checkable, reproducible across
+    runs/partitionings, and consistent for the same key across tables
+    (sample orders and their lineitems together by sampling both on
+    orderkey).  A narrow per-row filter — no shuffle, no state — and
+    the md5 prefix is uniform, so the kept fraction concentrates
+    tightly around ``fraction`` at any scale.
+    """
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    bucket = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint") % buckets
+    return df.filter(bucket < int(round(fraction * buckets)))
+
+
 def assert_by(df: DataFrame, predicate: Column, message: str = "assertion failed") -> DataFrame:
     """Pig `ASSERT A BY p` — job fails if any row violates p.
 

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from pigout_spark.functions.udf import algebraic_agg, eval_func, udtf
 from pigout_spark.operators.grouping import group_bag
-from pigout_spark.operators.relational import sample, stream_through
+from pigout_spark.operators.relational import hash_sample, sample, stream_through
 from pigout_spark.operators.sets import union_onschema
 from pigout_spark.queries.registry import SQL_DSUM, dsum, query, t
 
@@ -165,11 +165,33 @@ def q29_union_onschema(spark, sf_dir):
     return union_onschema(c, s)
 
 
-# --- §2.2 SAMPLE (non-deterministic across engines → rows-only) ---
-@query("q30_sample")
+# --- §2.2 SAMPLE ---
+@query(
+    "q30_sample",
+    """
+    SELECT l_orderkey, l_linenumber FROM lineitem
+    WHERE ('0x' || substring(md5(l_orderkey::VARCHAR || '|' ||
+                                 l_linenumber::VARCHAR), 1, 8))::BIGINT
+          % 10000 < 1000
+    """,
+)
 def q30_sample(spark, sf_dir):
-    """Pig `SAMPLE A 0.1` — Bernoulli sample, seeded for Spark-side
-    reproducibility; no SQL oracle (engines sample differently)."""
+    """Pig `SAMPLE A 0.1` via the deterministic md5 hash-sample — the
+    oracle-checkable variant (identical row selection in any engine).
+    Pig's own Bernoulli semantics stay available as `sample()`
+    (x_sample_bernoulli extra, rows-only by nature)."""
+    li = t(spark, sf_dir, "lineitem")
+    return hash_sample(
+        li.select("l_orderkey", "l_linenumber"),
+        0.1,
+        ["l_orderkey", "l_linenumber"],
+    )
+
+
+@query("x_sample_bernoulli", extra=True)
+def x_sample_bernoulli(spark, sf_dir):
+    """Pig `SAMPLE A 0.1` literal semantics — Bernoulli, seeded for
+    Spark-side reproducibility; rows-only (engines sample differently)."""
     li = t(spark, sf_dir, "lineitem")
     return sample(li.select("l_orderkey", "l_linenumber"), 0.1, seed=42)
 

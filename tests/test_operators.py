@@ -116,6 +116,41 @@ def test_sample_deterministic_with_seed(spark, sf_dir):
     assert n1 == n2 and 0 < n1 < 6000
 
 
+def test_hash_sample_deterministic_and_partition_stable(spark, sf_dir):
+    """md5 hash-sample selects the SAME rows regardless of seed/run/
+    partitioning (unlike Bernoulli), and the kept fraction concentrates
+    around f.  Cross-engine identity is pinned by q30_sample's oracle."""
+    from pigout_spark.catalog import load_table
+    from pigout_spark.operators.relational import hash_sample
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    keys = ["l_orderkey", "l_linenumber"]
+    a = {tuple(r) for r in hash_sample(li, 0.1, keys).collect()}
+    b = {tuple(r) for r in hash_sample(li.repartition(7), 0.1, keys).collect()}
+    assert a == b and a  # identical rows under a different partitioning
+    n = li.count()
+    assert 0.07 * n < len(a) < 0.13 * n
+    # same key ⇒ same verdict across relations: orderkey-sampled orders
+    # and lineitems stay join-consistent
+    o = load_table(spark, sf_dir, "orders")
+    so = {r.o_orderkey for r in hash_sample(o, 0.2, ["o_orderkey"]).collect()}
+    sl = {
+        r.l_orderkey
+        for r in hash_sample(
+            load_table(spark, sf_dir, "lineitem"), 0.2, ["l_orderkey"]
+        ).collect()
+    }
+    all_l = {
+        r.l_orderkey
+        for r in load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey")
+        .collect()
+    }
+    assert sl == {k for k in all_l if k in so}
+
+
 def test_row_rank_two_pass(spark):
     df = spark.createDataFrame([(v,) for v in [30, 10, 20, 40, 5]], ["x"]).repartition(3)
     ranked = row_rank(df, "x")
