@@ -1098,6 +1098,7 @@ class PigSession:
                 key_cols = [F.expr(g.keys[0]).alias("group")]
         aggs: list[Column] = []
         out_names: list[str] = []
+        flatten_group = False
         for item in _split_args(items_s):
             am = re.match(r"(.*?)\s+AS\s+(\w+)\s*$", item, re.IGNORECASE | re.DOTALL)
             expr_s, name = (am.group(1), am.group(2)) if am else (item, None)
@@ -1105,6 +1106,7 @@ class PigSession:
             if expr_s.lower() == "group" or re.match(
                 r"FLATTEN\s*\(\s*group\s*\)\s*$", expr_s, re.IGNORECASE
             ):
+                flatten_group = flatten_group or expr_s.lower() != "group"
                 out_names.append(name or "group")
                 continue
             first = g.child_df.columns[0] if g.child_df.columns else None
@@ -1135,6 +1137,11 @@ class PigSession:
             out = grouped.agg(*aggs)
         if not cube_mode and out_names and out_names[0] != "group":
             out = out.withColumnRenamed("group", out_names[0])
+        if flatten_group and not cube_mode and len(g.keys) > 1:
+            # Pig FLATTEN(group) on a multi-key group: the key tuple
+            # expands into its fields (named after the key expressions).
+            rest = [c for c in out.columns if c != "group"]
+            out = out.select(F.col("group.*"), *rest)
         return out
 
     def _op_cube(self, rhs: str) -> _Grouped:

@@ -34,10 +34,17 @@ from pigout_spark.queries import udf_q  # noqa: F401,E402
 # Round-1 lesson: entries past the driver's 50-query window get no
 # CORRECTNESS row at all.  Order the registry so the queries that were
 # silently dropped in round 1, and the entries rotated into the window
-# this round (bloom join, decontamination, token budget), come first —
-# a hedge against any time-based element of the cutoff.
+# this round (r4: the Latin front end end-to-end, the scale-safe rank
+# rewrites, stream dedup — displacing q10/q18/q37/stream_session whose
+# rows stay covered by x_rank_*/q13/q28/stream_tumbling and who keep
+# their local oracle as extras), come first — a hedge against any
+# time-based element of the cutoff.
 _PRIORITY = [
     "q01_group_agg",
+    "x_latin_q01",
+    "x_rank_by_scalable",
+    "x_row_rank_two_pass",
+    "x_stream_dedup",
     "q27_stream_through",
     "q28_group_bag",
     "q29_union_onschema",

@@ -57,6 +57,54 @@ def q01_group_agg(spark, sf_dir):
     )
 
 
+# --- §3.1 the Latin front end itself, driver-checked end-to-end ---
+@query(
+    "x_latin_q01",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {SQL_DSUM("l_quantity", "sum_qty")},
+           {SQL_DSUM("l_extendedprice", "sum_base_price")},
+           {SQL_DSUM("l_extendedprice * (1 - l_discount)", "sum_disc_price")},
+           {SQL_DAVG("l_quantity", "avg_qty")},
+           {SQL_DAVG("l_discount", "avg_disc")},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def x_latin_q01(spark, sf_dir):
+    """q01 driven through the Pig Latin front end (latin.py): parse →
+    translate → the same fused GROUP+FOREACH plan, hash-checked against
+    the identical oracle as q01_group_agg.  The script applies the
+    repo's cents discipline in Pig itself — ROUND(x*10000.0) projected
+    before the group; integral doubles sum exactly (< 2^53), so the
+    result is bit-identical to dsum/davg in any partitioning."""
+    from pigout_spark.catalog import Catalog
+    from pigout_spark.latin import run_script
+
+    script = """
+    li = LOAD 'lineitem';
+    f  = FILTER li BY l_shipdate <= '1998-09-02 00:00:00';
+    p  = FOREACH f GENERATE l_returnflag, l_linestatus,
+           ROUND(l_quantity * 10000.0) AS q_c,
+           ROUND(l_extendedprice * 10000.0) AS bp_c,
+           ROUND(l_extendedprice * (1.0 - l_discount) * 10000.0) AS dp_c,
+           ROUND(l_discount * 10000.0) AS d_c,
+           l_quantity AS qty;
+    g  = GROUP p BY (l_returnflag, l_linestatus);
+    out = FOREACH g GENERATE FLATTEN(group),
+           SUM(p.q_c) / 10000.0 AS sum_qty,
+           SUM(p.bp_c) / 10000.0 AS sum_base_price,
+           SUM(p.dp_c) / 10000.0 AS sum_disc_price,
+           SUM(p.q_c) / 10000.0 / COUNT(p.qty) AS avg_qty,
+           SUM(p.d_c) / 10000.0 / COUNT(p.qty) AS avg_disc,
+           COUNT(p) AS count_order;
+    """
+    pig = run_script(spark, script, Catalog().register_fixture_dir(sf_dir))
+    return pig.df("out")
+
+
 # --- §2.2 FILTER + FOREACH/GENERATE expressions (incl. CASE + IN) ---
 @query(
     "q02_filter_project",
@@ -307,7 +355,9 @@ def q09_order_limit(spark, sf_dir):
 # --- §2.5 RANK [DENSE] ---
 @query(
     "q10_rank",
-    """
+    extra=True,  # r4 rotation: RANK is driver-covered by the scale-safe
+    # x_rank_by_scalable / x_row_rank_two_pass variants
+    sql="""
     SELECT c_custkey, c_acctbal,
            RANK() OVER (ORDER BY c_acctbal DESC) AS rnk,
            DENSE_RANK() OVER (ORDER BY c_acctbal DESC) AS drnk

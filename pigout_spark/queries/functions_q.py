@@ -25,7 +25,8 @@ from pigout_spark.queries.registry import query, t
 # folded to stay inside the driver's 50-query window).
 @query(
     "q18_string_funcs",
-    """
+    extra=True,  # r4 rotation: strings stay driver-covered via q13
+    sql="""
     SELECT c_custkey,
            substring(c_name, 1, 8) AS name_prefix,
            strpos(c_name, '_') - 1 AS underscore_at,
@@ -423,7 +424,8 @@ def q36_percentiles(spark, sf_dir):
 # --- §2.7 map constructors & ops (TOMAP, KEYSET, VALUELIST, m#'key') ---
 @query(
     "q37_map_ops",
-    """
+    extra=True,  # r4 rotation: bag/map builtins stay driver-covered via q28
+    sql="""
     SELECT c_custkey,
            'name,seg' AS keys_sorted,
            c_mktsegment AS seg_val,
@@ -452,9 +454,9 @@ def q37_map_ops(spark, sf_dir):
     )
 
 
-# --- §2.5 scalable RANK BY / bare RANK — oracle-verified against SQL
-# --- window semantics (local extras: the driver's 50-query window is
-# --- full; tools/selfcheck.py runs these) ---
+# --- §2.5 scalable RANK BY / bare RANK — the repo's scale story for
+# --- Pig RANK (no keyless global window); rotated INTO the driver
+# --- window in r4 (q10's plain-window variant is the local extra) ---
 @query(
     "x_rank_by_scalable",
     """
@@ -463,7 +465,6 @@ def q37_map_ops(spark, sf_dir):
            DENSE_RANK() OVER (ORDER BY c_acctbal DESC) AS drnk
     FROM customer
     """,
-    extra=True,
 )
 def x_rank_by_scalable(spark, sf_dir):
     """rank_by (no keyless global window: MIN(row_number) over the key
@@ -489,7 +490,6 @@ def x_rank_by_scalable(spark, sf_dir):
                                    l_linenumber) AS BIGINT) AS rn
     FROM lineitem
     """,
-    extra=True,
 )
 def x_row_rank_two_pass(spark, sf_dir):
     """Bare RANK (unique row numbers, Pig POCounter two-pass) over a

@@ -74,7 +74,9 @@ def stream_sliding(spark, sf_dir):
 
 @query(
     "stream_session",
-    """
+    extra=True,  # r4 rotation: streaming driver rows are stream_tumbling
+    # + x_stream_dedup; session stays oracle-checked locally
+    sql="""
     WITH e AS (
       SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts FROM events
     ), flagged AS (
@@ -108,7 +110,6 @@ def stream_session(spark, sf_dir):
 @query(
     "x_stream_dedup",
     "SELECT DISTINCT user_id, event_type FROM events",
-    extra=True,
 )
 def x_stream_dedup(spark, sf_dir):
     """Stream dedup (dropDuplicatesWithinWatermark under readStream;

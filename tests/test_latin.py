@@ -741,6 +741,33 @@ def test_projected_alias_unknown_field_rejected(pig):
         )
 
 
+def test_flatten_group_multikey_expands_tuple(pig, spark, sf_dir):
+    """Pig FLATTEN(group) on a multi-key GROUP expands the key tuple
+    into its fields (plain `group` keeps the struct)."""
+    pig.execute(
+        """
+        li = LOAD 'lineitem';
+        g = GROUP li BY (l_returnflag, l_linestatus);
+        x = FOREACH g GENERATE FLATTEN(group), COUNT(li) AS n;
+        s = FOREACH g GENERATE group, COUNT(li) AS n;
+        """
+    )
+    x = pig.df("x")
+    assert x.columns == ["l_returnflag", "l_linestatus", "n"]
+    assert pig.df("s").columns == ["group", "n"]
+    from pigout_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    want = {
+        (r.l_returnflag, r.l_linestatus): r.n
+        for r in li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {(r.l_returnflag, r.l_linestatus): r.n for r in x.collect()}
+    assert got == want
+
+
 def test_assert_statement(pig):
     pig.execute(
         "li = LOAD 'lineitem'; ASSERT li BY l_quantity > 0, 'qty must be positive';"
