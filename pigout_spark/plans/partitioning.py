@@ -28,6 +28,18 @@ def pin_partitions(df: DataFrame, *keys: str) -> DataFrame:
     return df.repartition(n, *[F.col(k) for k in keys])
 
 
+def _parse_bytes(v: str) -> int:
+    """Spark size-conf string → bytes ('134217728', '128m', '1g', '64kb')."""
+    s = str(v).strip().lower()
+    mult = 1
+    for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                   ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if s.endswith(suf):
+            s, mult = s[: -len(suf)], m
+            break
+    return int(s) * mult
+
+
 def fan_out(df: DataFrame, factor: int = 1) -> DataFrame:
     """Round-robin repartition a SMALL scan so downstream compute-heavy
     narrow maps (md5-per-token folds, 64-dim dot products) use the whole
@@ -36,16 +48,31 @@ def fan_out(df: DataFrame, factor: int = 1) -> DataFrame:
     A single-row-group parquet file scans as ONE task; a narrow map
     behind it then runs on one core while the rest idle — measured 2.6×
     on the simhash fold at sf0.1/local[32].  GUARDED: when the scan
-    already yields at least the session's shuffle parallelism (any real
-    table at scale — 100 TB scans in thousands of tasks), this is a
+    would already yield at least the session's shuffle parallelism (any
+    real table at scale — 100 TB scans in thousands of tasks), this is a
     no-op, so the extra exchange exists exactly when the cluster would
     otherwise be idle.  The Pig analog is the PARALLEL clause.
+
+    The guard is decided purely from driver-side metadata — Catalyst's
+    logical-plan size estimate against ``spark.sql.files.maxPartitionBytes``
+    (the scan splitter's packing bound) — never by materializing
+    ``df.rdd`` to count partitions: the RDD probe forces plan translation
+    + file listing per call, which at 100 TB is itself a metadata storm.
+    Column pruning makes the estimate undershoot the on-disk scan size,
+    which only errs toward fanning out — correct on the idle-cluster
+    side, and still a guaranteed no-op at production widths.  Streaming
+    DataFrames pass through untouched by construction.
     """
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")) * factor
+    if df.isStreaming:
+        return df
+    conf = df.sparkSession.conf
+    n = int(conf.get("spark.sql.shuffle.partitions", "32")) * factor
+    max_pb = _parse_bytes(conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
     try:
-        cur = df.rdd.getNumPartitions()
+        est_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:
         return df
-    if cur >= n:
+    est_tasks = max(1, -(-est_bytes // max_pb))  # ceil
+    if est_tasks >= n:
         return df
     return df.repartition(n)

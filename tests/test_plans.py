@@ -113,3 +113,35 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS li_bkt")
         spark.sql("DROP TABLE IF EXISTS od_bkt")
+
+
+def test_fan_out_metadata_guard(spark, sf_dir):
+    """fan_out decides from Catalyst stats vs maxPartitionBytes — no
+    df.rdd materialization.  Small scan → repartitioned to shuffle
+    parallelism; 'large' input (maxPartitionBytes shrunk so the scan
+    estimate already covers the cluster) → the SAME df back, no
+    exchange; streaming df → untouched by construction."""
+    from pigout_spark.plans.partitioning import _parse_bytes, fan_out
+
+    assert _parse_bytes("134217728") == 134217728
+    assert _parse_bytes("128m") == 128 << 20
+    assert _parse_bytes("64kb") == 64 << 10
+    assert _parse_bytes("1g") == 1 << 30
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    small = fan_out(docs)
+    assert small is not docs
+    assert "Repartition" in small._jdf.queryExecution().optimizedPlan().toString()
+    assert small.rdd.getNumPartitions() == n  # test-side probe only
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+    try:
+        big = fan_out(docs)
+        assert big is docs  # guard no-ops without touching the plan
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+    stream = spark.readStream.format("rate").load()
+    assert fan_out(stream) is stream
