@@ -950,19 +950,14 @@ class PigSession:
 
         # -- top-k path: GENERATE [group,] FLATTEN(alias) -------------
         fl = re.match(
-            r"(?:group\s*,\s*)?FLATTEN\s*\(\s*(\w+)\s*\)\s*$",
+            r"(group\s*,\s*)?FLATTEN\s*\(\s*(\w+)\s*\)\s*$",
             generate.strip(),
             re.IGNORECASE,
         )
-        if fl and fl.group(1) in specs and specs[fl.group(1)].get("limit") is not None:
+        if fl and fl.group(2) in specs and specs[fl.group(2)].get("limit") is not None:
             from pigout_spark.operators.grouping import nested_topk
 
-            spec = specs[fl.group(1)]
-            if spec.get("proj"):
-                raise PigSyntaxError(
-                    "FLATTEN of a projected (inner FOREACH) alias is not "
-                    "supported in the top-k path — project after the FOREACH"
-                )
+            spec = specs[fl.group(2)]
             df = child_df
             if spec["filter"]:
                 df = df.filter(F.expr(spec["filter"]))
@@ -977,7 +972,20 @@ class PigSession:
             keys = [F.expr(k) for k in rel.keys] if rel.keys else []
             if not keys:
                 raise PigSyntaxError("top-k block needs GROUP BY keys")
-            return nested_topk(df, keys, order_cols, spec["limit"])
+            out = nested_topk(df, keys, order_cols, spec["limit"])
+            if spec.get("proj"):
+                # FLATTEN of a projected alias emits only the projected
+                # fields (the inner FOREACH's schema), plus the group
+                # keys when GENERATE named them.  The projections (and
+                # the order, substituted at parse time) are expressions
+                # over the base columns, so they evaluate after the
+                # window filter — same rows, projected schema.
+                sel = [F.expr(k) for k in rel.keys] if fl.group(1) else []
+                sel += [
+                    F.expr(v).alias(k2) for k2, v in spec["proj"].items()
+                ]
+                out = out.select(*sel)
+            return out
 
         # -- aggregate path ------------------------------------------
         # Aggregates over ORDER+LIMIT inner aliases (e.g. SUM of the

@@ -741,6 +741,102 @@ def test_projected_alias_unknown_field_rejected(pig):
         )
 
 
+def test_nested_topk_flatten_of_projected_alias(pig, spark, sf_dir):
+    """FLATTEN of an ORDER+LIMIT alias that chains through an inner
+    FOREACH projection: emits the projected schema (plus group keys
+    when named), same window top-k plan — the r3 explicit reject is now
+    a supported shape."""
+    pig.execute(
+        """
+        o = LOAD 'orders';
+        g = GROUP o BY o_orderpriority;
+        y = FOREACH g {
+          p = FOREACH o GENERATE o_orderkey AS k, o_totalprice * 2.0 AS dbl;
+          s = ORDER p BY dbl DESC;
+          l = LIMIT s 2;
+          GENERATE group, FLATTEN(l);
+        };
+        """
+    )
+    out = pig.df("y")
+    assert out.columns == ["o_orderpriority", "k", "dbl"]
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" not in plan
+    from pyspark.sql import Window
+
+    from pigout_spark.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        (F.col("o_totalprice") * 2.0).desc()
+    )
+    want = {
+        (r.o_orderpriority, r.o_orderkey, round(r.o_totalprice * 2.0, 2))
+        for r in o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .collect()
+    }
+    got = {(r.o_orderpriority, r.k, round(r.dbl, 2)) for r in out.collect()}
+    assert got == want
+
+    # without `group,` only the projected fields come out
+    pig.execute(
+        """
+        z = FOREACH g {
+          p2 = FOREACH o GENERATE o_orderkey AS k;
+          s2 = ORDER p2 BY k ASC;
+          l2 = LIMIT s2 1;
+          GENERATE FLATTEN(l2);
+        };
+        """
+    )
+    z = pig.df("z")
+    assert z.columns == ["k"]
+    wmin = o.groupBy("o_orderpriority").agg(F.min("o_orderkey").alias("k"))
+    assert {r.k for r in z.collect()} == {r.k for r in wmin.collect()}
+
+
+def test_nested_multi_alias_chain(pig, spark, sf_dir):
+    """FILTER -> FOREACH -> ORDER -> LIMIT chained through four inner
+    aliases, consumed by aggregates alongside an unchained alias."""
+    pig.execute(
+        """
+        o = LOAD 'orders';
+        g = GROUP o BY o_orderpriority;
+        x = FOREACH g {
+          f = FILTER o BY o_orderstatus == 'F';
+          p = FOREACH f GENERATE o_totalprice * 0.5 AS hp;
+          s = ORDER p BY hp DESC;
+          l = LIMIT s 3;
+          GENERATE group, SUM(l.hp) AS top3, COUNT(f) AS nf;
+        };
+        """
+    )
+    out = pig.df("x")
+    from pyspark.sql import Window
+
+    from pigout_spark.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    half = F.col("o_totalprice") * 0.5
+    isf = F.col("o_orderstatus") == "F"
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        isf.cast("int").desc(), half.desc()
+    )
+    want = {
+        r.o_orderpriority: (round(r.s or 0.0, 2), r.nf)
+        for r in o.withColumn("rn", F.row_number().over(w))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(isf & (F.col("rn") <= 3), half)).alias("s"),
+            F.count(F.when(isf, 1)).alias("nf"),
+        )
+        .collect()
+    }
+    got = {r.group: (round(r.top3 or 0.0, 2), r.nf) for r in out.collect()}
+    assert got == want
+
+
 def test_flatten_group_multikey_expands_tuple(pig, spark, sf_dir):
     """Pig FLATTEN(group) on a multi-key GROUP expands the key tuple
     into its fields (plain `group` keeps the struct)."""
