@@ -22,6 +22,14 @@ LANG_PROFILES: dict[str, list[str]] = {
     "fr": ["le", "la", "et", "les", "des", "un", "est", "dans", "que", "sur"],
     "es": ["el", "la", "y", "de", "que", "los", "en", "del", "las", "por"],
     "de": ["der", "die", "und", "das", "ein", "zu", "mit", "ist", "nicht", "dem"],
+    # r4 widening: pt/it/nl.  Lists lean on tokens the earlier-precedence
+    # Romance profiles DON'T claim (pt "não/do/da/em", it "di/che/il",
+    # nl "het/van/een") so pt≠es and it≠es are actually discriminated —
+    # shared tokens score both sides equally and ties fall to the
+    # earlier language, so distinctive tokens carry the decision.
+    "pt": ["do", "da", "em", "não", "os", "um", "uma", "para", "com", "mais"],
+    "it": ["di", "che", "il", "per", "non", "con", "del", "sono", "anche", "una"],
+    "nl": ["het", "een", "van", "ik", "dat", "die", "niet", "voor", "maar", "zijn"],
 }
 
 #: Character-substring profiles (counted as substrings of
@@ -32,6 +40,9 @@ LANG_SUBSTRINGS: dict[str, list[str]] = {
     "fr": [" l'", " d'", "é", "è", "aux ", "eux "],
     "es": ["ción", "ñ", " y ", "ado ", " los "],
     "de": ["sch", "ä", "ö", "ü", "ß", "ein", "cht"],
+    "pt": ["ção", "ão ", "õe", " não ", "nh"],
+    "it": ["zione", " gli ", " è ", " di ", "ttà"],
+    "nl": ["ij", " het ", " een ", "oe", " van "],
 }
 
 #: Non-Latin script ranges, in precedence order: Japanese kana before

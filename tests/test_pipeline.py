@@ -280,6 +280,14 @@ def test_lang_id_on_real_multilingual_text(spark):
         (7, "これは日本語のテストです、漢字も含まれています", "ja"),
         (8, "한국어 텍스트입니다 언어 감지를 테스트합니다", "ko"),
         (9, "", "en"),  # empty text: deterministic default
+        # r4 widening — the pt/es and it/es pairs are the hard cases
+        # (shared Romance stopwords); distinctive tokens must win
+        (10, "Não vou para a praia porque está chovendo muito hoje", "pt"),
+        (11, "A informação não está disponível em um arquivo com os dados", "pt"),
+        (12, "Il gatto è sul tavolo e non sono sicuro che anche il cane dorma", "it"),
+        (13, "La situazione della città è difficile per una famiglia", "it"),
+        (14, "Het is een mooie dag en ik ga met de fiets naar het werk", "nl"),
+        (15, "Dat huis van mijn ouders is niet ver van een klein bos", "nl"),
     ]
     df = spark.createDataFrame(
         [(i, t) for i, t, _ in rows], ["doc_id", "text"]
