@@ -349,6 +349,84 @@ def test_decode_images_probe_gated(spark):
         }
 
 
+def golden_png_1x1_gray() -> bytes:
+    """A valid 1×1 8-bit grayscale PNG built byte-for-byte from the PNG
+    spec (signature, IHDR, one zlib scanline, IEND + CRCs) — stdlib
+    only, so the REAL decode expectation is pinned without pillow."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)  # 1x1, gray
+    idat = zlib.compress(b"\x00\x00")  # filter byte + one pixel
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def golden_bmp_2x3_rgb() -> bytes:
+    """A valid 2×3 24-bit BMP (BITMAPFILEHEADER + BITMAPINFOHEADER +
+    4-byte-padded bottom-up rows) from the BMP spec."""
+    import struct
+
+    row = b"\x00\x00\xff" * 2 + b"\x00\x00"  # 2 px + pad to 8 bytes
+    px = row * 3
+    header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(px), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, 2, 3, 1, 24, 0, len(px), 2835, 2835, 0, 0
+    )
+    return header + info + px
+
+
+#: PIL's expected output for the spec-constructed goldens — (w, h, mode)
+REAL_DECODE_GOLDEN = {"png": (1, 1, "L"), "bmp": (2, 3, "RGB")}
+
+
+def test_real_decode_golden_pin(spark):
+    """The use='real' branch is diff-pinned: spec-valid image bytes with
+    their PIL-decoded (width, height, mode) stated as goldens.  Where
+    pillow exists the real branch EXECUTES against them end-to-end
+    (decode_image and the mapInPandas decode_images path); in this
+    container the canonical NotImplementedError is asserted and the
+    goldens stand as the real branch's contract."""
+    import pytest as _pytest
+
+    from pigout_spark.pipeline.multimodal import (
+        decode_image,
+        decode_images,
+        imaging_available,
+    )
+
+    png, bmp = golden_png_1x1_gray(), golden_bmp_2x3_rgb()
+    if not imaging_available():
+        with _pytest.raises(NotImplementedError):
+            decode_image(png)
+        _pytest.skip("pillow absent — goldens pin the real branch's contract")
+    w, h, mode = REAL_DECODE_GOLDEN["png"]
+    assert decode_image(png) == {"width": w, "height": h, "mode": mode}
+    w, h, mode = REAL_DECODE_GOLDEN["bmp"]
+    assert decode_image(bmp) == {"width": w, "height": h, "mode": mode}
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(bmp))],
+        "doc_id long, payload binary",
+    )
+    got = {
+        r.doc_id: (r.width, r.height, r.mode)
+        for r in decode_images(df, use="real").collect()
+    }
+    assert got == {1: REAL_DECODE_GOLDEN["png"], 2: REAL_DECODE_GOLDEN["bmp"]}
+
+
 def test_ivf_assign_and_topk(spark):
     import random
 
