@@ -533,3 +533,75 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         .select(F.col(id_col), F.expr(fp_sql).alias("simhash"))
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    left: str = "doc_a",
+    right: str = "doc_b",
+    out_id: str = "doc_id",
+    out_root: str = "cluster_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a duplicate-pair graph → (doc, cluster)
+    with ``cluster_id`` = the smallest doc id in the component.  The
+    step every pair generator above feeds: near-dup dedup keeps one doc
+    per CLUSTER, not per pair (pair relations aren't transitive-closed).
+
+    Min-label propagation with pointer jumping, driver-coordinated
+    (iterative CC is the one legitimately loop-shaped op in this
+    module).  Per iteration: neighbor messages (edges ⋈ labels — one
+    shuffle), label-of-label jumping (labels ⋈ labels on lbl=id), and
+    one min-aggregate; ``localCheckpoint`` truncates lineage so plan
+    depth stays constant.  Pointer jumping halves path lengths each
+    round, so convergence is O(log diameter) iterations, not
+    O(diameter) — an adversarial million-doc chain needs ~20 rounds,
+    and real dup clusters (near-cliques from threshold pairing)
+    converge in 2–3.  Convergence is a short-circuit ``limit(1)``
+    probe for any label that still shrank; exceeding ``max_iter``
+    raises rather than returning half-merged clusters.
+
+    100 TB: every step is a key-equi join or partial agg on doc ids —
+    no broadcast of anything data-sized, no driver materialization;
+    state per round is one (id, lbl) row per doc in any pair.
+    """
+    e = pairs.select(F.col(left).alias("u"), F.col(right).alias("v"))
+    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    labels = (
+        edges.select("u").distinct()
+        .select(F.col("u").alias("id"), F.col("u").alias("lbl"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        msgs = edges.join(labels, edges["u"] == labels["id"]).select(
+            F.col("v").alias("id"), F.col("lbl")
+        )
+        jump = (
+            labels.alias("a")
+            .join(labels.alias("b"), F.col("a.lbl") == F.col("b.id"))
+            .select(F.col("a.id").alias("id"), F.col("b.lbl").alias("lbl"))
+        )
+        new = (
+            labels.select("id", "lbl")
+            .union(msgs)
+            .union(jump)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        shrank = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") < F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if shrank == 0:
+            return labels.select(
+                F.col("id").alias(out_id), F.col("lbl").alias(out_root)
+            )
+    raise RuntimeError(
+        f"dedup_clusters did not converge in {max_iter} iterations — "
+        "pathological graph topology; raise max_iter"
+    )

@@ -105,7 +105,7 @@ def x_latin_q01(spark, sf_dir):
     return pig.df("out")
 
 
-# --- §2.2 FILTER + FOREACH/GENERATE expressions (incl. CASE + IN) ---
+# --- §2.2 ASSERT + FILTER + FOREACH/GENERATE (incl. CASE + IN) ---
 @query(
     "q02_filter_project",
     """
@@ -123,10 +123,19 @@ def x_latin_q01(spark, sf_dir):
     """,
 )
 def q02_filter_project(spark, sf_dir):
-    """Pig: FILTER BY compound predicate (incl. `flag IN (...)` — §2.2 IN
-    operator, formerly q32); FOREACH GENERATE arith + CASE.  Row-level
-    double arithmetic is IEEE-deterministic — no rounding needed."""
-    li = t(spark, sf_dir, "lineitem")
+    """Pig: ASSERT li BY l_quantity > 0 (every fixture row satisfies it,
+    so output — and the oracle — are unchanged while the distributed
+    non-prunable check executes in the driver gate); FILTER BY compound
+    predicate (incl. `flag IN (...)` — §2.2 IN operator, formerly q32);
+    FOREACH GENERATE arith + CASE.  Row-level double arithmetic is
+    IEEE-deterministic — no rounding needed."""
+    from pigout_spark.operators.relational import assert_by
+
+    li = assert_by(
+        t(spark, sf_dir, "lineitem"),
+        F.col("l_quantity") > 0,
+        "lineitem quantity must be positive",
+    )
     return foreach(
         filter_by(
             li,

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from pigout_spark.pipeline.dedup import (
+    dedup_clusters,
     exact_groups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -106,6 +107,35 @@ def _minhash_sql(num_hashes: int, rows_per_band: int) -> str:
         "FROM bands a JOIN bands b\n"
         "  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id"
     )
+
+
+def _clusters_sql() -> str:
+    """Transitive closure of the MinHash pair graph via a recursive CTE
+    — the SQL twin of pointer-jumping connected components."""
+    return (
+        "WITH RECURSIVE pairs AS (\n" + _minhash_sql(_MH_HASHES, _MH_ROWS)
+        + "\n), edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs"
+        "  UNION SELECT doc_b, doc_a FROM pairs),\n"
+        "reach(u, v) AS (SELECT u, v FROM edges UNION"
+        "  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),\n"
+        "allr AS (SELECT u, v FROM reach UNION SELECT u, u AS v FROM edges)\n"
+        "SELECT u AS doc_id, CAST(MIN(v) AS BIGINT) AS cluster_id"
+        " FROM allr GROUP BY u"
+    )
+
+
+@query("x_dedup_clusters", _clusters_sql(), extra=True)
+def x_dedup_clusters(spark, sf_dir):
+    """Duplicate CLUSTERS from MinHash pairs: connected components via
+    min-label propagation + pointer jumping (pipeline/dedup.py:
+    dedup_clusters).  Near-dup retention keeps one doc per component —
+    pairs alone aren't transitive-closed.  Oracle: recursive-CTE
+    transitive closure over the identical pair SQL."""
+    pairs = minhash_lsh_pairs(
+        tf(spark, sf_dir, "documents"), "doc_id", "text",
+        num_hashes=_MH_HASHES, rows_per_band=_MH_ROWS,
+    )
+    return dedup_clusters(pairs)
 
 
 @query("dedup_minhash", _minhash_sql(_MH_HASHES, _MH_ROWS))

@@ -624,3 +624,35 @@ def test_token_budget_select(spark):
     # g best-first: doc1 (3 toks, cum 3), doc2 (cum 5 = budget), doc3
     # would cross (cum 9) -> excluded; h: doc4 (5 toks, cum 5)
     assert got == [1, 2, 4]
+
+
+def test_dedup_clusters_topologies(spark):
+    """Connected components over pair graphs: a 64-node chain (worst
+    case for plain label propagation — pointer jumping must converge in
+    O(log n) rounds, well under the 25-iteration cap), a clique, and
+    disjoint small components."""
+    from pigout_spark.pipeline.dedup import dedup_clusters
+
+    chain = [(i, i + 1) for i in range(1, 64)]
+    clique = [(a, b) for a in range(100, 106) for b in range(a + 1, 106)]
+    smalls = [(200, 201), (300, 301)]
+    pairs = spark.createDataFrame(
+        chain + clique + smalls, ["doc_a", "doc_b"]
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()
+    }
+    assert all(got[i] == 1 for i in range(1, 65))
+    assert all(got[i] == 100 for i in range(100, 106))
+    assert got[200] == got[201] == 200 and got[300] == got[301] == 300
+    assert len(got) == 64 + 6 + 4
+
+
+def test_dedup_clusters_merges_across_pair_sources(spark):
+    """Components bridge pairs that no single generator would link
+    transitively: a-b and b-c pairs put a,c in one cluster."""
+    from pigout_spark.pipeline.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame([(5, 9), (9, 2), (7, 5)], ["doc_a", "doc_b"])
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == {2: 2, 5: 2, 7: 2, 9: 2}
