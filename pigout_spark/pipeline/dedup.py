@@ -605,3 +605,35 @@ def dedup_clusters(
         f"dedup_clusters did not converge in {max_iter} iterations — "
         "pathological graph topology; raise max_iter"
     )
+
+
+def retain_per_cluster(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str | None = None,
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Near-dup RETENTION: keep one representative doc per duplicate
+    cluster — highest ``score_col`` (ties → lowest id; no score →
+    lowest id), docs absent from ``clusters`` are their own singleton.
+
+    The last step of the dedup chain (pairs → ``dedup_clusters`` →
+    retain): one left equi-join on doc id plus one window over the
+    cluster key.  Cluster sizes are bounded by near-dup group sizes
+    (not corpus size), so the window partition never degenerates; at
+    100 TB both shuffles key on ids — no broadcast of corpus-sized
+    state, no driver materialization.
+    """
+    j = df.join(clusters.select(id_col, cluster_col), id_col, "left").withColumn(
+        cluster_col, F.coalesce(F.col(cluster_col), F.col(id_col))
+    )
+    order = (
+        [F.desc(score_col), F.asc(id_col)] if score_col else [F.asc(id_col)]
+    )
+    w = Window.partitionBy(cluster_col).orderBy(*order)
+    return (
+        j.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

@@ -197,3 +197,39 @@ def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fp") -> DataF
     invariant to token order and repetition (near-exact dedup key)."""
     canon = F.array_join(F.array_sort(F.array_distinct(ws_tokens(text_col))), " ")
     return df.withColumn(out, F.md5(canon))
+
+
+#: PII patterns, applied in this order (email before phone so digits in
+#: an already-scrubbed token can't re-match; IP before phone because the
+#: phone class has no dots but shares digits).  RE2/Java-regex common
+#: subset only — no lookaround, no backreferences — so Spark and any
+#: SQL oracle match the SAME spans.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d -]{7,}\d", "<PHONE>"),
+]
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", out: str = "text_scrubbed"
+) -> DataFrame:
+    """PII scrubbing for training corpora: replace emails / IPv4s /
+    phone-shaped digit runs with typed placeholder tokens and count the
+    matches per category (``n_email``/``n_ip``/``n_phone``).
+
+    Pure per-row regexp_replace / regexp_extract_all column expressions
+    — a narrow map with zero shuffle that rides whole-stage codegen and
+    scales with the scan; patterns are the RE2∩Java subset so the scrub
+    is engine-mirrorable (oracle-checkable).  A heuristic scrub, not a
+    PII guarantee: it redacts the shapes above, nothing more."""
+    cols = {}
+    scrubbed = F.col(text_col)
+    for name, pat, rep in PII_PATTERNS:
+        # count BEFORE this category's scrub, on the text as the scrub
+        # sees it (prior categories already replaced)
+        cols[f"n_{name}"] = F.size(
+            F.regexp_extract_all(scrubbed, F.lit(pat), 0)
+        ).cast("long")
+        scrubbed = F.regexp_replace(scrubbed, pat, rep)
+    return df.withColumns({**cols, out: scrubbed})

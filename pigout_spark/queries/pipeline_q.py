@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from pigout_spark.pipeline.dedup import (
     dedup_clusters,
+    retain_per_cluster,
     exact_groups,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -147,6 +148,51 @@ def dedup_minhash(spark, sf_dir):
         tf(spark, sf_dir, "documents"), "doc_id", "text",
         num_hashes=_MH_HASHES, rows_per_band=_MH_ROWS,
     )
+
+
+def _retain_sql() -> str:
+    """Retention twin: clusters (recursive CTE) left-joined to docs,
+    ROW_NUMBER over the cluster keeps the longest doc (ties → lowest
+    id); unclustered docs are their own singleton."""
+    return f"""
+    WITH docs_s AS (
+      SELECT doc_id, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ), cl AS (
+      {_clusters_sql()}
+    ), j AS (
+      SELECT d.doc_id, d.n_tokens,
+             COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM docs_s d LEFT JOIN cl c ON d.doc_id = c.doc_id
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY cluster_id ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM j
+    )
+    SELECT doc_id, cluster_id, n_tokens FROM r WHERE rn = 1
+    """
+
+
+@query("x_dedup_retain", _retain_sql(), extra=True)
+def x_dedup_retain(spark, sf_dir):
+    """The full dedup chain end-to-end: MinHash pairs → connected
+    components (dedup_clusters) → one retained doc per cluster
+    (retain_per_cluster, keep-longest policy).  What a 100 TB curation
+    run actually ships: the retained corpus, not the pair list."""
+    from pigout_spark.pipeline.dedup import ws_tokens
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(ws_tokens("text", distinct=False)).cast("long").alias("n_tokens"),
+    )
+    pairs = minhash_lsh_pairs(
+        tf(spark, sf_dir, "documents"), "doc_id", "text",
+        num_hashes=_MH_HASHES, rows_per_band=_MH_ROWS,
+    )
+    kept = retain_per_cluster(
+        docs, dedup_clusters(pairs), score_col="n_tokens"
+    )
+    return kept.select("doc_id", "cluster_id", "n_tokens")
 
 
 @query(
@@ -459,6 +505,61 @@ def sim_ivf_topk(spark, sf_dir):
     from pigout_spark.pipeline.similarity import ivf_topk
 
     return ivf_topk(tf(spark, sf_dir, "embeddings"), query_ids_max=10, k=3)
+
+
+def _pii_sql() -> str:
+    """SQL twin of scrub_pii over PII-augmented fixture text: the same
+    patterns in the same order, counts taken on the text as each
+    category's scrub sees it."""
+    from pigout_spark.pipeline.text import PII_PATTERNS
+
+    aug = (
+        "text || ' contact doc' || CAST(doc_id AS VARCHAR) || '@mail.example'"
+        " || ' ip 10.0.0.' || CAST(doc_id % 255 AS VARCHAR)"
+        " || ' tel +1 555-000-' || CAST(doc_id AS VARCHAR)"
+    )
+    stages, cur, names = [f"aug AS (SELECT doc_id, {aug} AS t0 FROM documents)"], "t0", []
+    for i, (name, pat, rep) in enumerate(PII_PATTERNS):
+        nxt = f"t{i + 1}"
+        prev = "aug" if i == 0 else f"s{i - 1}"
+        carried = ", ".join(f"n_{n}" for n in names)
+        carried = (carried + ", ") if carried else ""
+        stages.append(
+            f"s{i} AS (SELECT doc_id, {carried}"
+            f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS BIGINT) AS n_{name}, "
+            f"regexp_replace({cur}, '{pat}', '{rep}', 'g') AS {nxt} FROM {prev})"
+        )
+        cur, names = nxt, names + [name]
+    cols = ", ".join(f"n_{n}" for n in names)
+    return (
+        "WITH " + ",\n".join(stages)
+        + f"\nSELECT doc_id, {cols}, md5({cur}) AS scrub_fp FROM s{len(names) - 1}"
+    )
+
+
+@query("x_text_pii", _pii_sql(), extra=True)
+def x_text_pii(spark, sf_dir):
+    """PII scrubbing (pipeline/text.py:scrub_pii) hash-checked against
+    the SQL twin: fixture text augmented with deterministic per-doc
+    email/IP/phone, scrubbed, and fingerprinted — the md5 pins every
+    replacement span, not just the counts."""
+    from pigout_spark.pipeline.text import scrub_pii
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact doc"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example"),
+            F.lit(" ip 10.0.0."), (F.col("doc_id") % 255).cast("string"),
+            F.lit(" tel +1 555-000-"), F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    out = scrub_pii(d)
+    return out.select(
+        "doc_id", "n_email", "n_ip", "n_phone",
+        F.md5("text_scrubbed").alias("scrub_fp"),
+    )
 
 
 # ------------------------------------------------------------------ text ---

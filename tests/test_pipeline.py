@@ -656,3 +656,46 @@ def test_dedup_clusters_merges_across_pair_sources(spark):
     pairs = spark.createDataFrame([(5, 9), (9, 2), (7, 5)], ["doc_a", "doc_b"])
     got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
     assert got == {2: 2, 5: 2, 7: 2, 9: 2}
+
+
+def test_retain_per_cluster_policies(spark):
+    """Retention keeps the best-scored doc per cluster (ties → lowest
+    id) and passes unclustered docs through as singletons."""
+    from pigout_spark.pipeline.dedup import retain_per_cluster
+
+    docs_df = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 5), (9, 7)],
+        ["doc_id", "score"],
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)], ["doc_id", "cluster_id"]
+    )
+    kept = retain_per_cluster(docs_df, clusters, score_col="score")
+    got = {(r.doc_id, r.cluster_id) for r in kept.collect()}
+    # cluster 1: scores 10/30/30 → doc 2 (ties break low); 4 and 9 kept
+    assert got == {(2, 1), (4, 4), (9, 9)}
+    # no-score policy: lowest id per cluster
+    kept2 = retain_per_cluster(docs_df, clusters)
+    assert {r.doc_id for r in kept2.collect()} == {1, 4, 9}
+
+
+def test_scrub_pii_shapes(spark):
+    """Each category redacts independently; counts are per-category on
+    the text as that category's scrub sees it; clean text untouched."""
+    from pigout_spark.pipeline.text import scrub_pii
+
+    rows = [
+        (1, "write a@b.io and c.d+tag@e.org today"),
+        (2, "hosts 10.0.0.1 and 255.255.255.255"),
+        (3, "call +44 20 7946 0958 or 555-867-5309 x"),
+        (4, "no pii here at all"),
+    ]
+    out = {r.doc_id: r for r in scrub_pii(docs(spark, rows)).collect()}
+    assert (out[1].n_email, out[1].n_ip, out[1].n_phone) == (2, 0, 0)
+    assert out[1].text_scrubbed == "write <EMAIL> and <EMAIL> today"
+    assert (out[2].n_email, out[2].n_ip) == (0, 2)
+    assert out[2].text_scrubbed == "hosts <IP> and <IP>"
+    assert out[3].n_phone == 2
+    assert out[3].text_scrubbed == "call <PHONE> or <PHONE> x"
+    assert out[4].text_scrubbed == "no pii here at all"
+    assert (out[4].n_email, out[4].n_ip, out[4].n_phone) == (0, 0, 0)
