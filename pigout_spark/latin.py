@@ -1107,14 +1107,23 @@ class PigSession:
         aggs: list[Column] = []
         out_names: list[str] = []
         flatten_group = False
+        flatten_names: list[str] | None = None
         for item in _split_args(items_s):
             am = re.match(r"(.*?)\s+AS\s+(\w+)\s*$", item, re.IGNORECASE | re.DOTALL)
             expr_s, name = (am.group(1), am.group(2)) if am else (item, None)
             expr_s = expr_s.strip()
-            if expr_s.lower() == "group" or re.match(
-                r"FLATTEN\s*\(\s*group\s*\)\s*$", expr_s, re.IGNORECASE
-            ):
-                flatten_group = flatten_group or expr_s.lower() != "group"
+            fg = re.match(
+                r"FLATTEN\s*\(\s*group\s*\)\s*(?:AS\s*\(\s*([\w\s,]+?)\s*\))?\s*$",
+                expr_s,
+                re.IGNORECASE,
+            )
+            if expr_s.lower() == "group" or fg:
+                if fg:
+                    flatten_group = True
+                    if fg.group(1):  # FLATTEN(group) AS (a, b) renames
+                        flatten_names = [
+                            n.strip() for n in fg.group(1).split(",")
+                        ]
                 out_names.append(name or "group")
                 continue
             first = g.child_df.columns[0] if g.child_df.columns else None
@@ -1147,9 +1156,22 @@ class PigSession:
             out = out.withColumnRenamed("group", out_names[0])
         if flatten_group and not cube_mode and len(g.keys) > 1:
             # Pig FLATTEN(group) on a multi-key group: the key tuple
-            # expands into its fields (named after the key expressions).
+            # expands into its fields (named after the key expressions,
+            # or the AS (a, b) rename list).
+            fields = [f.name for f in out.schema["group"].dataType.fields]
+            if flatten_names is not None and len(flatten_names) != len(fields):
+                raise PigSyntaxError(
+                    f"FLATTEN(group) AS expects {len(fields)} names, "
+                    f"got {flatten_names}"
+                )
             rest = [c for c in out.columns if c != "group"]
-            out = out.select(F.col("group.*"), *rest)
+            keys_out = [
+                F.col(f"group.{f}").alias(
+                    flatten_names[i] if flatten_names else f
+                )
+                for i, f in enumerate(fields)
+            ]
+            out = out.select(*keys_out, *rest)
         return out
 
     def _op_cube(self, rhs: str) -> _Grouped:

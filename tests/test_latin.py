@@ -851,6 +851,15 @@ def test_flatten_group_multikey_expands_tuple(pig, spark, sf_dir):
     x = pig.df("x")
     assert x.columns == ["l_returnflag", "l_linestatus", "n"]
     assert pig.df("s").columns == ["group", "n"]
+    # AS (a, b) renames the expanded fields; arity is checked
+    pig.execute(
+        "y = FOREACH g GENERATE FLATTEN(group) AS (flag, status), COUNT(li) AS n;"
+    )
+    assert pig.df("y").columns == ["flag", "status", "n"]
+    with pytest.raises(PigSyntaxError, match="expects 2 names"):
+        pig.execute(
+            "z = FOREACH g GENERATE FLATTEN(group) AS (only_one), COUNT(li) AS n;"
+        )
     from pigout_spark.catalog import load_table
 
     li = load_table(spark, sf_dir, "lineitem")

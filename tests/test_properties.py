@@ -92,3 +92,37 @@ def test_fuzz_oracle_sample(spark):
         opdf = con.execute(sql).df()
         assert len(spdf) == len(opdf), sql
         assert value_hash(spdf) == value_hash(opdf), sql
+
+
+@settings(max_examples=1, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_dedup_clusters_matches_union_find(spark, edges):
+    """Connected components (pointer-jumping label propagation) must
+    equal a reference union-find on random edge lists — including
+    self-loops, duplicate and reversed edges."""
+    from pigout_spark.pipeline.dedup import dedup_clusters
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in parent}
+
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == want
