@@ -29,14 +29,21 @@ from pigout_spark.queries.registry import SQL_DSUM, dsum, query, t
 def q24_pandas_udf(spark, sf_dir):
     """Pig EvalFunc analog: per-row revenue computed in an Arrow-batched
     pandas_udf (IEEE double ops — bit-identical to the SQL expression),
-    then decimal-disciplined aggregation.  Demonstrates the UDF escape
-    hatch staying vectorized."""
+    then decimal-disciplined aggregation.  A FilterFunc precedes it
+    (every fixture row passes — discount < 1 — so the oracle is
+    unchanged while the boolean-UDF surface executes in the driver
+    gate, r4).  Demonstrates the UDF escape hatch staying vectorized."""
+    from pigout_spark.functions.udf import filter_func
 
     @eval_func("double")
     def revenue(price: pd.Series, disc: pd.Series) -> pd.Series:
         return price * (1 - disc)
 
-    li = t(spark, sf_dir, "lineitem")
+    @filter_func
+    def sane_discount(disc: pd.Series) -> pd.Series:
+        return disc < 1.0
+
+    li = t(spark, sf_dir, "lineitem").filter(sane_discount("l_discount"))
     return (
         li.withColumn("rev", revenue("l_extendedprice", "l_discount"))
         .groupBy("l_returnflag")
