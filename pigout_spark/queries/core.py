@@ -105,6 +105,39 @@ def x_latin_q01(spark, sf_dir):
     return pig.df("out")
 
 
+@query(
+    "x_latin_topk",
+    """
+    WITH r AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT o_orderpriority, o_orderkey, o_totalprice FROM r WHERE rn <= 3
+    """,
+    extra=True,
+)
+def x_latin_topk(spark, sf_dir):
+    """The nested-FOREACH top-k block compiled by the Latin front end,
+    hash-checked against the SQL window equivalent (the DataFrame-layer
+    twin is q15_nested_topk)."""
+    from pigout_spark.catalog import Catalog
+    from pigout_spark.latin import run_script
+
+    script = """
+    o = LOAD 'orders';
+    g = GROUP o BY o_orderpriority;
+    top = FOREACH g {
+      s = ORDER o BY o_totalprice DESC, o_orderkey ASC;
+      l = LIMIT s 3;
+      GENERATE group, FLATTEN(l);
+    };
+    """
+    pig = run_script(spark, script, Catalog().register_fixture_dir(sf_dir))
+    return pig.df("top").select("o_orderpriority", "o_orderkey", "o_totalprice")
+
+
 # --- §2.2 ASSERT + FILTER + FOREACH/GENERATE (incl. CASE + IN) ---
 @query(
     "q02_filter_project",

@@ -107,6 +107,44 @@ def q26_udtf(spark, sf_dir):
     return out.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
 
 
+# --- §2.9 scripted UDFs through the Latin front end (oracle extra) ---
+@query(
+    "x_latin_udf",
+    """
+    SELECT l_returnflag,
+           CASE WHEN l_quantity < 10 THEN 'small' ELSE 'large' END AS qty_class,
+           COUNT(*) AS n,
+           MIN(l_extendedprice * (1 - l_discount)) AS min_net
+    FROM lineitem GROUP BY l_returnflag,
+           CASE WHEN l_quantity < 10 THEN 'small' ELSE 'large' END
+    """,
+    extra=True,
+)
+def x_latin_udf(spark, sf_dir):
+    """REGISTER'd Python script UDFs driven through a Pig script and
+    hash-checked: classify() groups rows, net_price() feeds MIN (per-row
+    IEEE double — bit-identical to the SQL expression; MIN is
+    order-independent).  Also exercises FLATTEN(group) AS renames."""
+    from pathlib import Path
+
+    from pigout_spark.catalog import Catalog
+    from pigout_spark.latin import run_script
+
+    udfs = Path(__file__).resolve().parents[2] / "examples" / "udfs.py"
+    script = f"""
+    REGISTER '{udfs}' AS fns;
+    li = LOAD 'lineitem';
+    p = FOREACH li GENERATE l_returnflag,
+          fns.classify(l_quantity) AS qty_class,
+          fns.net_price(l_extendedprice, l_discount) AS net;
+    g = GROUP p BY (l_returnflag, qty_class);
+    out = FOREACH g GENERATE FLATTEN(group) AS (l_returnflag, qty_class),
+          COUNT(p) AS n, MIN(p.net) AS min_net;
+    """
+    pig = run_script(spark, script, Catalog().register_fixture_dir(sf_dir))
+    return pig.df("out")
+
+
 # --- §2.2 STREAM ... THROUGH (external executable) ---
 @query(
     "q27_stream_through",
