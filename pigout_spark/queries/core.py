@@ -121,20 +121,25 @@ def x_latin_q01(spark, sf_dir):
 def x_latin_topk(spark, sf_dir):
     """The nested-FOREACH top-k block compiled by the Latin front end,
     hash-checked against the SQL window equivalent (the DataFrame-layer
-    twin is q15_nested_topk)."""
+    twin is q15_nested_topk).  The limit arrives via `-param` + the sort
+    key via %declare, so parameter substitution sits in the checked
+    path too."""
     from pigout_spark.catalog import Catalog
     from pigout_spark.latin import run_script
 
     script = """
+    %declare SORTKEY 'o_totalprice';
     o = LOAD 'orders';
     g = GROUP o BY o_orderpriority;
     top = FOREACH g {
-      s = ORDER o BY o_totalprice DESC, o_orderkey ASC;
-      l = LIMIT s 3;
+      s = ORDER o BY $SORTKEY DESC, o_orderkey ASC;
+      l = LIMIT s $K;
       GENERATE group, FLATTEN(l);
     };
     """
-    pig = run_script(spark, script, Catalog().register_fixture_dir(sf_dir))
+    pig = run_script(
+        spark, script, Catalog().register_fixture_dir(sf_dir), params={"K": "3"}
+    )
     return pig.df("top").select("o_orderpriority", "o_orderkey", "o_totalprice")
 
 
