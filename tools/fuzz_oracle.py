@@ -242,19 +242,138 @@ def gen_window(rng: random.Random):
     return build, sql
 
 
+def _latin_session(spark, sf_dir, script, params=None):
+    from pigout_spark.catalog import Catalog
+    from pigout_spark.latin import run_script
+
+    return run_script(
+        spark, script, Catalog().register_fixture_dir(sf_dir), params=params
+    )
+
+
+def gen_latin(rng: random.Random):
+    """Random Pig Latin scripts through the FRONT END (parse → translate
+    → plan) vs hand-written SQL — fuzzes the compiler itself, not just
+    the DataFrame layer underneath it."""
+    table = rng.choice([t for t in TABLES if t != "events"])  # raw ts is ns
+    strs, nums, doubles, ints = TABLES[table]
+    shape = rng.randint(0, 3)
+
+    if shape == 0:
+        # FILTER + FOREACH arithmetic projection
+        col, lo, hi = rng.choice(nums)
+        val = round(rng.uniform(lo, hi), 2)
+        op = rng.choice(_CMP)
+        a, b = rng.choice(doubles), rng.choice(ints)
+        k = rng.choice(strs)
+        mult = rng.randint(2, 9)
+        script = f"""
+        t = LOAD '{table}';
+        f = FILTER t BY {col} {op} {val};
+        p = FOREACH f GENERATE {k}, {b}, {a} * {mult}.0 + {b} AS e1;
+        """
+        sql = (
+            f"SELECT {k}, {b}, {a} * {mult}.0 + {b} AS e1 "
+            f"FROM {table} WHERE {col} {op} {val}"
+        )
+
+        def build(spark, sf_dir):
+            return _latin_session(spark, sf_dir, script).df("p")
+
+        return build, sql
+
+    if shape == 1:
+        # GROUP (1-2 keys) + COUNT_STAR/MIN/MAX aggregate
+        ks = rng.sample(strs, min(len(strs), rng.randint(1, 2)))
+        c = rng.choice(doubles + ints)
+        mfn = rng.choice(["MIN", "MAX"])
+        if len(ks) == 1:
+            gen, sel = "group", f'{ks[0]} AS "group"'
+        else:
+            gen = f"FLATTEN(group) AS ({', '.join(ks)})"
+            sel = ", ".join(ks)
+        script = f"""
+        t = LOAD '{table}';
+        g = GROUP t BY {ks[0] if len(ks) == 1 else '(' + ', '.join(ks) + ')'};
+        out = FOREACH g GENERATE {gen}, COUNT_STAR(t) AS n, {mfn}(t.{c}) AS m;
+        """
+        sql = (
+            f"SELECT {sel}, COUNT(*) AS n, {mfn}({c}) AS m "
+            f"FROM {table} GROUP BY {', '.join(ks)}"
+        )
+
+        def build(spark, sf_dir):
+            return _latin_session(spark, sf_dir, script).df("out")
+
+        return build, sql
+
+    if shape == 2:
+        # ORDER + LIMIT with unique tiebreak, via -param for the limit
+        keys = UNIQUE_KEYS[table]
+        d = rng.choice(doubles)
+        n = rng.randint(3, 20)
+        direction = rng.choice(["ASC", "DESC"])
+        cols = list(dict.fromkeys(keys + [d]))
+        script = f"""
+        t = LOAD '{table}';
+        p = FOREACH t GENERATE {', '.join(cols)};
+        s = ORDER p BY {d} {direction}, {', '.join(keys)};
+        l = LIMIT s $N;
+        """
+        sql = (
+            f"SELECT {', '.join(cols)} FROM {table} "
+            f"ORDER BY {d} {direction}, {', '.join(keys)} LIMIT {n}"
+        )
+
+        def build(spark, sf_dir):
+            return _latin_session(
+                spark, sf_dir, script, params={"N": str(n)}
+            ).df("l")
+
+        return build, sql
+
+    # nested FOREACH top-k: ORDER+LIMIT inside a GROUP block
+    k = rng.choice(strs)
+    d = rng.choice(doubles)
+    keys = UNIQUE_KEYS[table]
+    n = rng.randint(1, 4)
+    cols = list(dict.fromkeys([k] + keys + [d]))
+    script = f"""
+    t = LOAD '{table}';
+    g = GROUP t BY {k};
+    top = FOREACH g {{
+      s = ORDER t BY {d} DESC, {', '.join(keys)};
+      l = LIMIT s {n};
+      GENERATE group, FLATTEN(l);
+    }};
+    """
+    sql = (
+        f"WITH r AS (SELECT {', '.join(cols)}, ROW_NUMBER() OVER "
+        f"(PARTITION BY {k} ORDER BY {d} DESC, {', '.join(keys)}) AS rn "
+        f"FROM {table}) SELECT {', '.join(cols)} FROM r WHERE rn <= {n}"
+    )
+
+    def build(spark, sf_dir):
+        return _latin_session(spark, sf_dir, script).df("top").select(*cols)
+
+    return build, sql
+
+
 def gen_query(rng: random.Random):
     """One random plan → (builder(spark, sf_dir) -> DataFrame, sql)."""
     r = rng.random()
-    if r < 0.18:
+    if r < 0.16:
         return gen_topk(rng)
-    if r < 0.36:
+    if r < 0.32:
         return gen_join(rng)
-    if r < 0.48:
+    if r < 0.42:
         return gen_setop(rng)
-    if r < 0.58:
+    if r < 0.52:
         return gen_string(rng)
-    if r < 0.68:
+    if r < 0.60:
         return gen_window(rng)
+    if r < 0.74:
+        return gen_latin(rng)
     table = rng.choice(list(TABLES))
     strs, nums, doubles, ints = TABLES[table]
     preds, fexprs = [], []
