@@ -233,3 +233,50 @@ def scrub_pii(
         ).cast("long")
         scrubbed = F.regexp_replace(scrubbed, pat, rep)
     return df.withColumns({**cols, out: scrubbed})
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into ≤``max_tokens``-token chunks with
+    ``overlap`` tokens of context carried between consecutive chunks —
+    the pre-tokenization step of a training pipeline (context-window
+    packing happens downstream of it).
+
+    Output: (id, chunk_idx, chunk_text, n_chunk_tokens), zero-token
+    docs dropped.  Chunk starts are 0, stride, 2·stride, … < n with
+    stride = max_tokens − overlap, so every token lands in ≥1 chunk and
+    consecutive chunks share exactly ``overlap`` tokens (fewer in the
+    final partial chunk).
+
+    One narrow map + explode — no shuffle; row amplification is
+    bounded by ⌈n/stride⌉ per doc, proportional to corpus token count
+    regardless of document skew.  Engine-mirrorable: whitespace
+    tokenization + arithmetic slicing only.
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be smaller than max_tokens")
+    stride = max_tokens - overlap
+    toks = ws_tokens(text_col, distinct=False)
+    base = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .withColumn("__n", F.size("__toks"))
+        .filter(F.col("__n") > 0)
+    )
+    starts = F.sequence(F.lit(0), F.col("__n") - 1, F.lit(stride))
+    ex = base.select(
+        F.col(id_col),
+        "__toks",
+        F.posexplode(starts).alias("chunk_idx", "__start"),
+    )
+    chunk = F.slice("__toks", F.col("__start") + 1, max_tokens)
+    return ex.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+    )

@@ -585,6 +585,41 @@ def text_tokens(spark, sf_dir):
     )
 
 
+@query(
+    "x_text_chunks",
+    f"""
+    WITH f AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, toks, len(toks) AS n FROM f WHERE len(toks) > 0
+    ), c AS (
+      SELECT doc_id, toks, n, unnest(range(0, n, 48)) AS start FROM s
+    )
+    SELECT doc_id,
+           CAST(start // 48 AS BIGINT) AS chunk_idx,
+           md5(array_to_string(list_slice(toks, start + 1,
+                                          least(start + 64, n)), ' '))
+             AS chunk_fp,
+           CAST(least(start + 64, n) - start AS BIGINT) AS n_chunk_tokens
+    FROM c
+    """,
+    extra=True,
+)
+def x_text_chunks(spark, sf_dir):
+    """Document chunking (64-token windows, 16-token overlap → stride
+    48) hash-checked: the md5 chunk fingerprint pins exact token
+    membership and order, not just counts."""
+    from pigout_spark.pipeline.text import chunk_documents
+
+    out = chunk_documents(
+        t(spark, sf_dir, "documents"), max_tokens=64, overlap=16
+    )
+    return out.select(
+        "doc_id", "chunk_idx",
+        F.md5("chunk_text").alias("chunk_fp"), "n_chunk_tokens",
+    )
+
+
 _STOP_EN = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
 
 

@@ -699,3 +699,29 @@ def test_scrub_pii_shapes(spark):
     assert out[3].text_scrubbed == "call <PHONE> or <PHONE> x"
     assert out[4].text_scrubbed == "no pii here at all"
     assert (out[4].n_email, out[4].n_ip, out[4].n_phone) == (0, 0, 0)
+
+
+def test_chunk_documents_overlap_and_bounds(spark):
+    """Chunks share exactly `overlap` tokens, cover every token, stay
+    ≤ max_tokens; zero-token docs vanish; bad overlap rejected."""
+    import pytest as _pytest
+
+    from pigout_spark.pipeline.text import chunk_documents
+
+    text = " ".join(f"t{i}" for i in range(10))
+    df = docs(spark, [(1, text), (2, "a"), (3, "  ")])
+    out = sorted(
+        chunk_documents(df, max_tokens=4, overlap=1).collect(),
+        key=lambda r: (r.doc_id, r.chunk_idx),
+    )
+    one = [r for r in out if r.doc_id == 1]
+    assert [r.chunk_text for r in one] == [
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9", "t9",
+    ]
+    assert all(r.n_chunk_tokens <= 4 for r in out)
+    assert [r.doc_id for r in out if r.doc_id != 1] == [2]  # doc 3 dropped
+    # consecutive chunks share exactly the overlap token
+    for a, b in zip(one, one[1:]):
+        assert a.chunk_text.split()[-1] == b.chunk_text.split()[0]
+    with _pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=4, overlap=4)
