@@ -280,3 +280,57 @@ def chunk_documents(
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
     )
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repetition signals for quality filtering (the Gopher-rules
+    family): the fraction of token 2-grams taken by the single most
+    frequent 2-gram, and the duplicate-line fraction.
+
+    Docs with < 2 tokens are dropped (no 2-grams to measure).  The
+    2-gram histogram is an explode + per-(doc, gram) count + per-doc
+    max — the same shuffle shape as token counting, proportional to
+    corpus token count; the line stats are a narrow array expression.
+    """
+    toks = ws_tokens(text_col, distinct=False)
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda x: x != F.lit(""))
+    base = (
+        df.select(
+            F.col(id_col),
+            toks.alias("__t"),
+            F.size(lines).alias("__nl"),
+            F.size(F.array_distinct(lines)).alias("__ndl"),
+        )
+        .withColumn("__n", F.size("__t"))
+        .filter(F.col("__n") >= 2)
+    )
+    grams = base.select(
+        F.col(id_col),
+        "__n",
+        "__nl",
+        "__ndl",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__n") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("__t", i), F.element_at("__t", i + 1)
+                ),
+            )
+        ).alias("__gram"),
+    )
+    counts = grams.groupBy(id_col, "__n", "__nl", "__ndl", "__gram").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    return counts.groupBy(id_col, "__n", "__nl", "__ndl").agg(
+        F.max("__cnt").alias("__top")
+    ).select(
+        F.col(id_col),
+        (F.col("__n") - 1).cast("long").alias("n_2grams"),
+        F.col("__top").cast("long").alias("top_2gram_n"),
+        (F.col("__top") / (F.col("__n") - 1)).alias("top_2gram_frac"),
+        F.when(F.col("__nl") > 0, 1.0 - F.col("__ndl") / F.col("__nl"))
+        .otherwise(0.0)
+        .alias("dup_line_frac"),
+    )

@@ -620,6 +620,41 @@ def x_text_chunks(spark, sf_dir):
     )
 
 
+@query(
+    "x_text_repetition",
+    f"""
+    WITH f AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks,
+             list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+      FROM documents
+    ), s AS (
+      SELECT doc_id, toks, len(toks) AS n, len(lines) AS nl,
+             len(list_distinct(lines)) AS ndl
+      FROM f WHERE len(toks) >= 2
+    ), g AS (
+      SELECT doc_id, n, nl, ndl,
+             unnest(list_transform(range(1, n),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS gram
+      FROM s
+    ), c AS (
+      SELECT doc_id, n, nl, ndl, gram, COUNT(*) AS cnt FROM g GROUP BY ALL
+    )
+    SELECT doc_id, CAST(n - 1 AS BIGINT) AS n_2grams,
+           CAST(MAX(cnt) AS BIGINT) AS top_2gram_n,
+           MAX(cnt) / (n - 1) AS top_2gram_frac,
+           CASE WHEN nl > 0 THEN 1.0 - ndl / nl ELSE 0.0 END AS dup_line_frac
+    FROM c GROUP BY doc_id, n, nl, ndl
+    """,
+    extra=True,
+)
+def x_text_repetition(spark, sf_dir):
+    """Repetition quality signals (Gopher-rules family): most-frequent
+    2-gram fraction + duplicate-line fraction, hash-checked."""
+    from pigout_spark.pipeline.text import repetition_features
+
+    return repetition_features(t(spark, sf_dir, "documents"))
+
+
 _STOP_EN = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
 
 

@@ -725,3 +725,22 @@ def test_chunk_documents_overlap_and_bounds(spark):
         assert a.chunk_text.split()[-1] == b.chunk_text.split()[0]
     with _pytest.raises(ValueError):
         chunk_documents(df, max_tokens=4, overlap=4)
+
+
+def test_repetition_features_values(spark):
+    """Exact fractions: all-same doc → top 2-gram frac 1.0; all-distinct
+    → 1/(n-1); duplicated lines measured on the newline split."""
+    from pigout_spark.pipeline.text import repetition_features
+
+    rows = [
+        (1, "spam spam spam spam"),
+        (2, "all tokens differ here now"),
+        (3, "a x\nb y\na x\nb y\na x"),
+        (4, "solo"),  # < 2 tokens → dropped
+    ]
+    got = {r.doc_id: r for r in repetition_features(docs(spark, rows)).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1].top_2gram_frac == 1.0 and got[1].n_2grams == 3
+    assert got[2].top_2gram_frac == 0.25 and got[2].top_2gram_n == 1
+    assert abs(got[3].dup_line_frac - (1 - 2 / 5)) < 1e-12
+    assert got[1].dup_line_frac == 0.0
