@@ -108,6 +108,42 @@ def stream_session(spark, sf_dir):
 
 
 @query(
+    "x_stream_join",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, event_id,
+             CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts
+      FROM events
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id AND a.event_id <> b.event_id
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    GROUP BY a.event_type, b.event_type
+    """,
+    extra=True,
+)
+def x_stream_join(spark, sf_dir):
+    """Stream-stream interval join (streaming/windows.py:interval_join)
+    in its batch-checkable form: per-user event pairs within a 5-minute
+    follow window, counted by type transition.  The streaming run with
+    watermarked state eviction is pinned by
+    test_interval_join_runs_as_real_stream."""
+    from pigout_spark.streaming.windows import interval_join
+
+    e = _events_s(spark, sf_dir).select("user_id", "event_type", "event_id", "ts")
+    j = interval_join(e, e, ["user_id"], "ts", "ts", "0 seconds", "5 minutes")
+    return (
+        j.filter(F.col("l.event_id") != F.col("r.event_id"))
+        .groupBy(
+            F.col("l.event_type").alias("type_a"),
+            F.col("r.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
     "x_stream_dedup",
     "SELECT DISTINCT user_id, event_type FROM events",
 )

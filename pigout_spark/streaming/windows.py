@@ -75,3 +75,41 @@ def stream_dedup(
             return wdf.dropDuplicatesWithinWatermark(keys)
         return wdf.dropDuplicates(keys)
     return df.dropDuplicates(keys)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    lower: str = "0 seconds",
+    upper: str = "5 minutes",
+    watermark_delay: str | None = None,
+) -> DataFrame:
+    """Stream-stream interval join: rows pair when the keys match and
+    ``right_ts − left_ts ∈ [lower, upper]``.
+
+    In streaming, BOTH sides carry the watermark and the time-range
+    condition bounds join state (Spark evicts a buffered left row once
+    the right watermark passes ``left_ts + upper`` and vice versa) —
+    without the range the state is unbounded and the join is rejected.
+    Matches emit immediately (inner join); the watermark only governs
+    eviction.  Batch DataFrames take the identical code path minus
+    watermarks, so the semantics are oracle-checkable.
+
+    Column naming: output keeps both sides' columns; disambiguate by
+    selecting from the aliased sides ``l``/``r``.
+    """
+    if watermark_delay is not None:
+        left = with_watermark(left, left_ts, watermark_delay)
+        right = with_watermark(right, right_ts, watermark_delay)
+    l, r = left.alias("l"), right.alias("r")
+    cond = None
+    for k in keys:
+        c = F.col(f"l.{k}") == F.col(f"r.{k}")
+        cond = c if cond is None else (cond & c)
+    lo = F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {lower}")
+    hi = F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}")
+    rng = (F.col(f"r.{right_ts}") >= lo) & (F.col(f"r.{right_ts}") <= hi)
+    return l.join(r, cond & rng)

@@ -218,3 +218,71 @@ def test_stream_dedup_within_watermark(spark):
         assert stream_dedup(batch, ["fp"], "ts", "10 minutes").count() == 3
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_interval_join_batch_semantics(spark):
+    """Interval join pairs rows with matching keys inside the time
+    range only — inclusive bounds, no cross-key pairs."""
+    from pigout_spark.streaming.windows import interval_join
+
+    rows = [
+        (1, T0, "a"),
+        (1, T0 + dt.timedelta(minutes=3), "b"),
+        (1, T0 + dt.timedelta(minutes=5), "e"),
+        (1, T0 + dt.timedelta(minutes=20), "c"),
+        (2, T0 + dt.timedelta(minutes=1), "d"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, tag string")
+    out = interval_join(df, df, ["user_id"], "ts", "ts", "0 seconds", "5 minutes")
+    pairs = {
+        (r.ta, r.tb)
+        for r in out.select(
+            F.col("l.tag").alias("ta"), F.col("r.tag").alias("tb")
+        ).collect()
+        if r.ta != r.tb
+    }
+    # a→b (3m), a→e (exactly 5m: inclusive), b→e (2m); c isolated;
+    # d on another key
+    assert pairs == {("a", "b"), ("a", "e"), ("b", "e")}
+
+
+def test_interval_join_runs_as_real_stream(spark):
+    """The same interval_join code runs as a stream-stream join under
+    readStream: watermarks on both sides + the range condition bound
+    the state, and inner matches emit."""
+    from pigout_spark.streaming.windows import interval_join
+
+    rows = [
+        (1, T0),
+        (1, T0 + dt.timedelta(minutes=2)),
+        (1, T0 + dt.timedelta(minutes=30)),
+    ]
+    src = tempfile.mkdtemp(prefix="pigout_stream_ij")
+    try:
+        _events(spark, rows).coalesce(1).write.mode("overwrite").parquet(src)
+        schema = "user_id long, ts timestamp"
+        a = spark.readStream.schema(schema).parquet(src)
+        b = spark.readStream.schema(schema).parquet(src)
+        out = interval_join(
+            a, b, ["user_id"], "ts", "ts", "0 seconds", "5 minutes",
+            watermark_delay="10 minutes",
+        ).select(
+            F.col("l.ts").alias("ts_a"), F.col("r.ts").alias("ts_b")
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("ij")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.ts_a, r.ts_b) for r in spark.sql("SELECT * FROM ij").collect()
+        }
+        t1 = T0 + dt.timedelta(minutes=2)
+        t2 = T0 + dt.timedelta(minutes=30)
+        assert got == {(T0, T0), (T0, t1), (t1, t1), (t2, t2)}
+    finally:
+        spark.sql("DROP VIEW IF EXISTS ij")
+        shutil.rmtree(src, ignore_errors=True)
