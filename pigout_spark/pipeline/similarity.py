@@ -469,3 +469,35 @@ def ann_topk(
         .filter(F.col("rn") <= k)
         .select("q_id", "neighbor_id", "cos", "rn")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|v|/127``,
+    ``q_i = round(v_i / scale)`` ∈ [−127, 127] — the storage step for
+    100 TB embedding tables (4× smaller than float32, 8× than float64;
+    reconstruction error ≤ scale/2 per component).
+
+    Pure narrow column expressions (transform/array_max), zero shuffle;
+    round() is half-away-from-zero in both Spark and DuckDB, and the
+    scale division is IEEE — the codes are engine-identical, so the
+    quantizer itself is oracle-checkable.  All-zero vectors get
+    ``scale = 0`` and all-zero codes.  Output: (id, scale, qvec).
+    """
+    v = as_double(vec_col)
+    scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    qv = F.when(
+        scale > 0,
+        F.transform(v, lambda x: F.round(x / scale).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.select(
+        F.col(id_col), scale.alias("scale"), qv.alias("qvec")
+    )
+
+
+def dequantize(qvec: Column | str, scale: Column | str) -> Column:
+    """Inverse of :func:`quantize_embeddings`: q_i · scale."""
+    q = F.col(qvec) if isinstance(qvec, str) else qvec
+    s = F.col(scale) if isinstance(scale, str) else scale
+    return F.transform(q, lambda x: x.cast("double") * s)

@@ -562,6 +562,54 @@ def x_text_pii(spark, sf_dir):
     )
 
 
+@query(
+    "x_emb_quantize",
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM e
+    ), q AS (
+      SELECT vec_id, v, scale,
+             CASE WHEN scale > 0
+                  THEN list_transform(v, x -> CAST(round(x / scale) AS INT))
+                  ELSE list_transform(v, x -> 0) END AS qv
+      FROM s
+    )
+    SELECT vec_id, scale,
+           md5(array_to_string(qv, ',')) AS q_fp,
+           list_max(list_transform(range(1, len(v) + 1),
+                    i -> abs(v[i] - qv[i] * scale))) AS max_err
+    FROM q
+    """,
+    extra=True,
+)
+def x_emb_quantize(spark, sf_dir):
+    """int8 embedding quantization hash-checked: the md5 of the code
+    array pins every quantized value, and max_err (≤ scale/2 by
+    construction) pins the reconstruction chain."""
+    from pigout_spark.pipeline.similarity import dequantize, quantize_embeddings
+
+    emb = tf(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb)
+    joined = q.join(
+        emb.select("vec_id", as_double("embedding").alias("v")), "vec_id"
+    )
+    return joined.select(
+        "vec_id",
+        "scale",
+        F.md5(F.array_join("qvec", ",")).alias("q_fp"),
+        F.array_max(
+            F.zip_with(
+                F.col("v"), dequantize("qvec", "scale"),
+                lambda a, b: F.abs(a - b),
+            )
+        ).alias("max_err"),
+    )
+
+
 # ------------------------------------------------------------------ text ---
 # Extra: token counts folded into text_quality (50-query window).
 @query(

@@ -744,3 +744,36 @@ def test_repetition_features_values(spark):
     assert got[2].top_2gram_frac == 0.25 and got[2].top_2gram_n == 1
     assert abs(got[3].dup_line_frac - (1 - 2 / 5)) < 1e-12
     assert got[1].dup_line_frac == 0.0
+
+
+def test_quantize_embeddings_bounds_and_roundtrip(spark):
+    """Codes stay in [-127, 127], reconstruction error ≤ scale/2 per
+    component, zero vectors quantize to zeros with scale 0."""
+    from pigout_spark.pipeline.similarity import dequantize, quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0]), (3, [1e-5, -2e-5, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    q = quantize_embeddings(df)
+    rows = {r.vec_id: r for r in q.collect()}
+    assert rows[1].qvec == [64, -127, 32]
+    assert rows[2].scale == 0.0 and rows[2].qvec == [0, 0, 0]
+    assert rows[3].qvec[1] == -127  # max-magnitude component saturates
+    err = (
+        q.join(df, "vec_id")
+        .select(
+            "vec_id",
+            "scale",
+            F.array_max(
+                F.zip_with(
+                    dequantize("qvec", "scale"),
+                    F.col("embedding"),
+                    lambda a, b: F.abs(a - b),
+                )
+            ).alias("e"),
+        )
+        .collect()
+    )
+    for r in err:
+        assert r.e <= r.scale / 2 + 1e-15
