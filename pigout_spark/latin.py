@@ -881,16 +881,23 @@ class PigSession:
                 callable replacement so a projection containing
                 backslashes (e.g. a `matches` regex translated to
                 rlike '...\\d+') is inserted verbatim, never
-                re-interpreted as a re.sub escape/group template."""
+                re-interpreted as a re.sub escape/group template.
+                All keys are substituted in a SINGLE alternation pass:
+                inserted projection text is never rescanned, so a
+                projection whose value contains another key's name (or
+                its own string literals) can't be corrupted by a later
+                substitution, and the result is dict-order-independent."""
                 proj = spec.get("proj") or {}
                 if not proj:
                     return expr
+                pat = re.compile(
+                    r"\b(" + "|".join(re.escape(k) for k in proj) + r")\b"
+                )
                 parts = re.split(r"('(?:[^'\\]|\\.)*')", expr)
                 for i in range(0, len(parts), 2):  # even = outside quotes
-                    for k, v in proj.items():
-                        parts[i] = re.sub(
-                            rf"\b{k}\b", lambda m, v=v: f"({v})", parts[i]
-                        )
+                    parts[i] = pat.sub(
+                        lambda m: f"({proj[m.group(1)]})", parts[i]
+                    )
                 return "".join(parts)
 
             if kw == "FILTER":

@@ -86,15 +86,30 @@ def hash_sample(
 
     The engine-neutral complement to Bernoulli :func:`sample` — md5 is
     identical everywhere, so any engine (DuckDB:
-    ``('0x'||substring(md5(k),1,8))::BIGINT % buckets``) selects the
-    SAME rows, making the sample oracle-checkable, reproducible across
-    runs/partitionings, and consistent for the same key across tables
-    (sample orders and their lineitems together by sampling both on
-    orderkey).  A narrow per-row filter — no shuffle, no state — and
-    the md5 prefix is uniform, so the kept fraction concentrates
-    tightly around ``fraction`` at any scale.
+    ``('0x'||substring(md5(k),1,8))::BIGINT % buckets`` over the same
+    coalesced key) selects the SAME rows, making the sample
+    oracle-checkable, reproducible across runs/partitionings, and
+    consistent for the same key across tables (sample orders and their
+    lineitems together by sampling both on orderkey).  A narrow per-row
+    filter — no shuffle, no state — and the md5 prefix is uniform, so
+    the kept fraction concentrates tightly around ``fraction`` at any
+    scale.
+
+    NULL key components are coalesced to a ``\\x00`` sentinel BEFORE
+    concatenation: ``concat_ws`` would otherwise silently skip NULLs
+    (``(NULL,'x')`` and ``('x',NULL)`` collide) while DuckDB's ``||``
+    nulls the whole key (NULL-keyed rows dropped by the oracle, kept by
+    Spark).  The DuckDB twin is
+    ``md5(coalesce(k1::VARCHAR, chr(0)) || '|' || ...)`` — same bytes,
+    same rows, on any engine, for nullable keys too.
     """
-    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    key = F.concat_ws(
+        "|",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+            for c in key_cols
+        ],
+    )
     bucket = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint") % buckets
     return df.filter(bucket < int(round(fraction * buckets)))
 

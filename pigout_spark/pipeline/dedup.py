@@ -557,12 +557,15 @@ def dedup_clusters(
     round, so convergence is O(log diameter) iterations, not
     O(diameter) — an adversarial million-doc chain needs ~20 rounds,
     and real dup clusters (near-cliques from threshold pairing)
-    converge in 2–3.  Convergence detection is joinless: labels are
-    monotonically non-increasing per doc, so ANY change strictly
-    decreases Σlabel — one decimal aggregate per round on the
-    already-checkpointed state instead of an old⋈new comparison.
-    Exceeding ``max_iter`` raises rather than returning half-merged
-    clusters.
+    converge in 2–3.  Convergence detection for numeric ids is
+    joinless: labels are monotonically non-increasing per doc, so ANY
+    change strictly decreases Σlabel — one decimal aggregate per round
+    on the already-checkpointed state instead of an old⋈new comparison.
+    Non-numeric ids (string/hash/UUID) can't be summed, so they use an
+    old⋈new changed-label probe (key-equi join, ``limit(1)``) — never
+    the silent one-iteration false convergence a NULL-summing probe
+    would give.  Exceeding ``max_iter`` raises rather than returning
+    half-merged clusters.
 
     100 TB: every step is a key-equi join or partial agg on doc ids —
     no broadcast of anything data-sized, no driver materialization;
@@ -586,10 +589,25 @@ def dedup_clusters(
 
     def _total(lbls: DataFrame):
         # exact Σlabel (decimal accumulator — no int64 overflow at any
-        # corpus size); strictly decreases while any label can shrink
-        return lbls.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
+        # corpus size); strictly decreases while any label can shrink.
+        # try_cast, not cast: ANSI mode throws on non-numeric ids, and
+        # the NULL result is exactly the signal that selects the
+        # join-probe path below
+        return lbls.agg(
+            F.sum(F.col("lbl").try_cast("decimal(38,0)"))
+        ).first()[0]
 
+    # Convergence probe selection: the joinless Σlabel probe only works
+    # when labels cast to a number.  String/hash/UUID doc ids (common in
+    # dedup) cast to NULL — every round's Σ would be None and
+    # None == None would declare convergence after ONE iteration,
+    # silently returning half-merged clusters.  Probe the cast once up
+    # front: numeric ids keep the one-aggregate fast path; otherwise
+    # fall back to an old⋈new changed-label check (one key-equi join on
+    # two checkpointed (id,lbl) frames, short-circuited by limit(1)) —
+    # correct for ANY orderable id type.
     prev_total = _total(labels)
+    numeric_probe = prev_total is not None or labels.isEmpty()
     for _ in range(max_iter):
         msgs = edges.join(labels, edges["u"] == labels["id"]).select(
             F.col("v").alias("id"), F.col("lbl")
@@ -599,7 +617,7 @@ def dedup_clusters(
             .join(labels.alias("b"), F.col("a.lbl") == F.col("b.id"))
             .select(F.col("a.id").alias("id"), F.col("b.lbl").alias("lbl"))
         )
-        labels = (
+        new_labels = (
             labels.select("id", "lbl")
             .union(msgs)
             .union(jump)
@@ -607,12 +625,24 @@ def dedup_clusters(
             .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint()
         )
-        total = _total(labels)
-        if total == prev_total:
+        if numeric_probe:
+            total = _total(new_labels)
+            converged = total == prev_total
+            prev_total = total
+        else:
+            converged = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+                .where(F.col("n.lbl") != F.col("o.lbl"))
+                .limit(1)
+                .count()
+                == 0
+            )
+        labels = new_labels
+        if converged:
             return labels.select(
                 F.col("id").alias(out_id), F.col("lbl").alias(out_root)
             )
-        prev_total = total
     raise RuntimeError(
         f"dedup_clusters did not converge in {max_iter} iterations — "
         "pathological graph topology; raise max_iter"

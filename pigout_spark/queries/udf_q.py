@@ -215,8 +215,10 @@ def q29_union_onschema(spark, sf_dir):
     "q30_sample",
     """
     SELECT l_orderkey, l_linenumber FROM lineitem
-    WHERE ('0x' || substring(md5(l_orderkey::VARCHAR || '|' ||
-                                 l_linenumber::VARCHAR), 1, 8))::BIGINT
+    WHERE ('0x' || substring(md5(coalesce(l_orderkey::VARCHAR, chr(0))
+                                 || '|' ||
+                                 coalesce(l_linenumber::VARCHAR, chr(0))),
+                             1, 8))::BIGINT
           % 10000 < 1000
     """,
 )

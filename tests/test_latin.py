@@ -613,6 +613,38 @@ def test_nested_foreach_aggregate_over_limit_alias(pig, spark, sf_dir):
         )
 
 
+def test_nested_projection_literal_not_rescanned(pig, spark, sf_dir):
+    """Single-pass substitution: a projection value inserted for one
+    key may contain a string literal equal to ANOTHER key's name; a
+    sequential per-key rescan would rewrite that literal into an
+    expression (ADVICE r4: proj {s: \"..'pad'..\", pad: ...} on
+    \"s == .. AND pad > ..\" corrupted 'pad')."""
+    pig.execute(
+        """
+        o = LOAD 'orders';
+        g = GROUP o BY o_orderpriority;
+        x = FOREACH g {
+          p = FOREACH o GENERATE CONCAT(o_orderstatus, 'pad') AS s,
+                                 o_totalprice AS pad;
+          hi = FILTER p BY s == 'Opad' AND pad > 1000.0;
+          GENERATE group, COUNT(hi) AS c;
+        };
+        """
+    )
+    from pigout_spark.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    keep = (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 1000.0)
+    want = {
+        r.o_orderpriority: r.c
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.count(F.when(keep, 1)).alias("c"))
+        .collect()
+    }
+    got = {r.group: r.c for r in pig.df("x").collect()}
+    assert got == want and sum(got.values()) > 0
+
+
 def test_nested_foreach_inner_projection(pig, spark, sf_dir):
     """Inner FOREACH projections feed downstream FILTER/ORDER/aggregates:
     p = FOREACH o GENERATE expr AS x; ... SUM(chain.x)."""

@@ -151,6 +151,39 @@ def test_hash_sample_deterministic_and_partition_stable(spark, sf_dir):
     assert sl == {k for k in all_l if k in so}
 
 
+def test_hash_sample_null_keys_cross_engine(spark):
+    """NULL key components must neither collide nor get oracle-dropped:
+    each component is coalesced to a \\x00 sentinel before concat, so
+    the DuckDB twin (coalesce || '|' || coalesce) selects the SAME rows.
+    Bare concat_ws would skip NULLs ((NULL,'x') == ('x',NULL)) while
+    DuckDB's || nulls the whole key (ADVICE r4)."""
+    import duckdb
+
+    from pigout_spark.operators.relational import hash_sample
+
+    rows = [(1, "x", None), (2, None, "x"), (3, None, None), (4, "x", "y")] + [
+        (i, f"k{i}", f"v{i % 7}") for i in range(5, 400)
+    ]
+    df = spark.createDataFrame(rows, ["id", "a", "b"])
+    got = {r.id for r in hash_sample(df, 0.5, ["a", "b"]).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id INT, a VARCHAR, b VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    want = {
+        r[0]
+        for r in con.execute(
+            """
+            SELECT id FROM t
+            WHERE ('0x' || substring(md5(
+                      coalesce(a, chr(0)) || '|' || coalesce(b, chr(0))
+                  ), 1, 8))::BIGINT % 10000 < 5000
+            """
+        ).fetchall()
+    }
+    con.close()
+    assert got == want  # NULL-keyed rows 1-3 get the same verdict on both
+
+
 def test_row_rank_two_pass(spark):
     df = spark.createDataFrame([(v,) for v in [30, 10, 20, 40, 5]], ["x"]).repartition(3)
     ranked = row_rank(df, "x")

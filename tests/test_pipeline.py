@@ -658,6 +658,26 @@ def test_dedup_clusters_merges_across_pair_sources(spark):
     assert got == {2: 2, 5: 2, 7: 2, 9: 2}
 
 
+def test_dedup_clusters_string_ids(spark):
+    """Non-numeric doc ids (string/hash/UUID — the common case in
+    dedup) must use the changed-label join probe: casting them for the
+    Σlabel probe yields NULL, and a naive ``None == None`` comparison
+    would declare convergence after ONE round, silently returning a
+    half-merged chain (ADVICE r4)."""
+    from pigout_spark.pipeline.dedup import dedup_clusters
+
+    # an 8-hop chain needs multiple propagation rounds — exactly the
+    # topology a false one-round convergence would leave half-merged
+    ids = [f"doc-{c}" for c in "abcdefghi"]
+    pairs = spark.createDataFrame(
+        list(zip(ids, ids[1:])) + [("zz-1", "zz-2")], ["doc_a", "doc_b"]
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert all(got[i] == "doc-a" for i in ids)
+    assert got["zz-1"] == got["zz-2"] == "zz-1"
+    assert len(got) == len(ids) + 2
+
+
 def test_retain_per_cluster_policies(spark):
     """Retention keeps the best-scored doc per cluster (ties → lowest
     id) and passes unclustered docs through as singletons."""
