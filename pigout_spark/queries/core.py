@@ -116,7 +116,6 @@ def x_latin_q01(spark, sf_dir):
     )
     SELECT o_orderpriority, o_orderkey, o_totalprice FROM r WHERE rn <= 3
     """,
-    extra=True,
 )
 def x_latin_topk(spark, sf_dir):
     """The nested-FOREACH top-k block compiled by the Latin front end,
@@ -367,6 +366,7 @@ def q07_cross_theta(spark, sf_dir):
       SELECT s_nationkey AS nk FROM supplier
     )
     """,
+    extra=True,  # r5 rotation: local oracle retained; operator family stays driver-covered
 )
 def q08_union_distinct(spark, sf_dir):
     """Pig: U = UNION A, B; D = DISTINCT U.  UNION keeps duplicates
@@ -456,6 +456,7 @@ def q11_cube(spark, sf_dir):
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
+    extra=True,  # r5 rotation: local oracle retained; operator family stays driver-covered
 )
 def q12_rollup(spark, sf_dir):
     """Pig: CUBE A BY ROLLUP(status, priority) — hierarchical rollup."""
@@ -502,6 +503,7 @@ def q13_flatten_tokenize(spark, sf_dir):
     FULL JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n FROM supplier GROUP BY 1) ss
     ON cc.nk = ss.nk
     """,
+    extra=True,  # r5 rotation: local oracle retained; operator family stays driver-covered
 )
 def q14_cogroup(spark, sf_dir):
     """Pig: COGROUP customer BY c_nationkey, supplier BY s_nationkey;
@@ -559,6 +561,7 @@ def q15_nested_topk(spark, sf_dir):
       SELECT DISTINCT l_partkey FROM lineitem WHERE l_quantity >= 45
     )
     """,
+    extra=True,  # r5 rotation: local oracle retained; operator family stays driver-covered
 )
 def q17_intersect_except(spark, sf_dir):
     """Set ops the reference lacks (Pig idiom: COGROUP + IsEmpty):
@@ -588,6 +591,7 @@ def q17_intersect_except(spark, sf_dir):
     SELECT 'mid' AS branch, COUNT(*) AS n, {SQL_DSUM("l_quantity", "sum_qty")}
     FROM lineitem WHERE NOT (l_quantity < 10) AND NOT (l_quantity >= 40)
     """,
+    extra=True,  # r5 rotation: local oracle retained; operator family stays driver-covered
 )
 def q16_split(spark, sf_dir):
     """Pig: SPLIT lineitem INTO low IF q<10, high IF q>=40, mid OTHERWISE;

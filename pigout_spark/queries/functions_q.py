@@ -101,6 +101,7 @@ def q18_string_funcs(spark, sf_dir):
     FROM events
     GROUP BY event_type, year(ts), month(ts)
     """,
+    extra=True,  # r5 rotation: local oracle retained; operator family stays driver-covered
 )
 def q19_date_funcs(spark, sf_dir):
     """Pig GetYear/GetMonth/GetHour + grouping + AddDuration('P3M') and
@@ -137,6 +138,7 @@ def q19_date_funcs(spark, sf_dir):
     FROM events
     GROUP BY event_type
     """,
+    extra=True,  # r5 rotation: local oracle retained; operator family stays driver-covered
 )
 def q20_json(spark, sf_dir):
     """events.props is a JSON string (FIXTURES.md).  Spark side uses the
@@ -159,6 +161,7 @@ def q20_json(spark, sf_dir):
                               / COUNT(c_acctbal) FROM customer)
     GROUP BY c_nationkey
     """,
+    extra=True,  # r5 rotation: local oracle retained; operator family stays driver-covered
 )
 def q21_scalar_projection(spark, sf_dir):
     """Pig scalar projection: `B = GROUP A ALL; FOREACH A ... B.avg` —
@@ -223,6 +226,7 @@ def q22_distinct_agg(spark, sf_dir):
              / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr
     FROM s
     """,
+    extra=True,  # r5 rotation: local oracle retained; operator family stays driver-covered
 )
 def q33_corr_cov(spark, sf_dir):
     """Pig COR/COV builtins (quantity vs extendedprice per returnflag).
@@ -316,6 +320,7 @@ def q23_window_lag(spark, sf_dir):
            p_size % 7 AS size_mod
     FROM part
     """,
+    extra=True,  # r5 rotation: local oracle retained; operator family stays driver-covered
 )
 def q34_math_funcs(spark, sf_dir):
     """Pig math builtins (SURVEY.md §2.7) — 1:1 to pyspark.sql.functions.
@@ -403,6 +408,7 @@ def q35_string_funcs2(spark, sf_dir):
     FROM lineitem
     GROUP BY l_returnflag
     """,
+    extra=True,  # r5 rotation: local oracle retained; operator family stays driver-covered
 )
 def q36_percentiles(spark, sf_dir):
     """Exact per-group percentiles: continuous (interpolated between

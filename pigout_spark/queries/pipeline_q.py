@@ -125,7 +125,7 @@ def _clusters_sql() -> str:
     )
 
 
-@query("x_dedup_clusters", _clusters_sql(), extra=True)
+@query("x_dedup_clusters", _clusters_sql())
 def x_dedup_clusters(spark, sf_dir):
     """Duplicate CLUSTERS from MinHash pairs: connected components via
     min-label propagation + pointer jumping (pipeline/dedup.py:
@@ -173,7 +173,7 @@ def _retain_sql() -> str:
     """
 
 
-@query("x_dedup_retain", _retain_sql(), extra=True)
+@query("x_dedup_retain", _retain_sql())
 def x_dedup_retain(spark, sf_dir):
     """The full dedup chain end-to-end: MinHash pairs → connected
     components (dedup_clusters) → one retained doc per cluster
@@ -537,7 +537,7 @@ def _pii_sql() -> str:
     )
 
 
-@query("x_text_pii", _pii_sql(), extra=True)
+@query("x_text_pii", _pii_sql())
 def x_text_pii(spark, sf_dir):
     """PII scrubbing (pipeline/text.py:scrub_pii) hash-checked against
     the SQL twin: fixture text augmented with deterministic per-doc
@@ -584,7 +584,6 @@ def x_text_pii(spark, sf_dir):
                     i -> abs(v[i] - qv[i] * scale))) AS max_err
     FROM q
     """,
-    extra=True,
 )
 def x_emb_quantize(spark, sf_dir):
     """int8 embedding quantization hash-checked: the md5 of the code
@@ -651,7 +650,6 @@ def text_tokens(spark, sf_dir):
            CAST(least(start + 64, n) - start AS BIGINT) AS n_chunk_tokens
     FROM c
     """,
-    extra=True,
 )
 def x_text_chunks(spark, sf_dir):
     """Document chunking (64-token windows, 16-token overlap → stride
@@ -693,7 +691,6 @@ def x_text_chunks(spark, sf_dir):
            CASE WHEN nl > 0 THEN 1.0 - ndl / nl ELSE 0.0 END AS dup_line_frac
     FROM c GROUP BY doc_id, n, nl, ndl
     """,
-    extra=True,
 )
 def x_text_repetition(spark, sf_dir):
     """Repetition quality signals (Gopher-rules family): most-frequent

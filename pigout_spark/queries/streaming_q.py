@@ -121,7 +121,6 @@ def stream_session(spark, sf_dir):
      AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
     GROUP BY a.event_type, b.event_type
     """,
-    extra=True,
 )
 def x_stream_join(spark, sf_dir):
     """Stream-stream interval join (streaming/windows.py:interval_join)

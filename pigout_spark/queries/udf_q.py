@@ -23,16 +23,20 @@ from pigout_spark.queries.registry import SQL_DSUM, dsum, query, t
     SELECT l_returnflag,
            {SQL_DSUM("l_extendedprice * (1 - l_discount)", "revenue")},
            COUNT(*) AS n
-    FROM lineitem GROUP BY l_returnflag
+    FROM lineitem
+    WHERE l_discount < 0.06
+    GROUP BY l_returnflag
     """,
 )
 def q24_pandas_udf(spark, sf_dir):
     """Pig EvalFunc analog: per-row revenue computed in an Arrow-batched
     pandas_udf (IEEE double ops — bit-identical to the SQL expression),
-    then decimal-disciplined aggregation.  A FilterFunc precedes it
-    (every fixture row passes — discount < 1 — so the oracle is
-    unchanged while the boolean-UDF surface executes in the driver
-    gate, r4).  Demonstrates the UDF escape hatch staying vectorized."""
+    then decimal-disciplined aggregation.  A DISCRIMINATIVE FilterFunc
+    precedes it — discount < 0.06 drops roughly half the fixture rows
+    and is mirrored in the oracle WHERE, so a boolean UDF returning
+    wrong verdicts hash-mismatches (r5: the r4 predicate passed every
+    row by construction and could not catch a broken FilterFunc).
+    Demonstrates the UDF escape hatch staying vectorized."""
     from pigout_spark.functions.udf import filter_func
 
     @eval_func("double")
@@ -40,10 +44,10 @@ def q24_pandas_udf(spark, sf_dir):
         return price * (1 - disc)
 
     @filter_func
-    def sane_discount(disc: pd.Series) -> pd.Series:
-        return disc < 1.0
+    def low_discount(disc: pd.Series) -> pd.Series:
+        return disc < 0.06
 
-    li = t(spark, sf_dir, "lineitem").filter(sane_discount("l_discount"))
+    li = t(spark, sf_dir, "lineitem").filter(low_discount("l_discount"))
     return (
         li.withColumn("rev", revenue("l_extendedprice", "l_discount"))
         .groupBy("l_returnflag")
@@ -118,7 +122,6 @@ def q26_udtf(spark, sf_dir):
     FROM lineitem GROUP BY l_returnflag,
            CASE WHEN l_quantity < 10 THEN 'small' ELSE 'large' END
     """,
-    extra=True,
 )
 def x_latin_udf(spark, sf_dir):
     """REGISTER'd Python script UDFs driven through a Pig script and
