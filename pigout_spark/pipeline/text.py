@@ -141,7 +141,12 @@ def _latin_scores(df_text: Column) -> dict[str, Column]:
     }
 
 
-def lang_id(df: DataFrame, text_col: str = "text", out: str = "predicted") -> DataFrame:
+def lang_id(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "predicted",
+    margin: str | None = "lang_margin",
+) -> DataFrame:
     """Language ID heuristic, pure column expressions (rides whole-stage
     codegen — zero Python):
 
@@ -154,7 +159,16 @@ def lang_id(df: DataFrame, text_col: str = "text", out: str = "predicted") -> Da
        LANG_SUBSTRINGS), argmax with fixed precedence on ties.
 
     A heuristic, not a model — deterministic, engine-mirrorable, and
-    honest about its limits (short/mixed texts default toward 'en')."""
+    honest about its limits (short/mixed texts default toward 'en').
+
+    ``margin`` (r5) adds a confidence column so downstream filtering can
+    threshold instead of trusting every label: for Latin-chain rows it
+    is ``winner score − best other score`` (0 ⇒ ambiguous tie — e.g.
+    every empty/stopword-free text), for script-detected rows the
+    script-coverage ratio ``20·count/chars`` (≥ 1 whenever the 5%
+    trigger fired).  Comparable within a path, not across paths; all
+    arithmetic is exact-replayable cross-engine.  Pass ``margin=None``
+    to skip the column."""
     text = F.col(text_col)
     n_chars = F.length(text)
     scores = _latin_scores(text)
@@ -168,11 +182,32 @@ def lang_id(df: DataFrame, text_col: str = "text", out: str = "predicted") -> Da
             else F.lit(True)
         )
         pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    # the Latin margin chain picks the same winner as the chain above
+    # (both resolve to the first global-max language in precedence
+    # order), so winner and margin never disagree
+    marg = None
+    if margin is not None:
+        for i, lang in enumerate(langs):
+            others = [scores[l] for l in langs if l != lang]
+            omax = F.greatest(*others) if len(others) > 1 else others[0]
+            branch = scores[lang] - omax
+            if i == len(langs) - 1:
+                marg = marg.otherwise(branch)
+            else:
+                cond = scores[lang] >= omax
+                marg = (
+                    F.when(cond, branch) if marg is None
+                    else marg.when(cond, branch)
+                )
     # script overrides take precedence over the Latin chain
     for lang, cc in reversed(SCRIPT_RANGES):
         cnt = script_char_count(text, cc)
-        pred = F.when((cnt >= 1) & (cnt * 20 >= n_chars), lang).otherwise(pred)
-    return df.withColumn(out, pred)
+        hit = (cnt >= 1) & (cnt * 20 >= n_chars)
+        pred = F.when(hit, lang).otherwise(pred)
+        if margin is not None:
+            marg = F.when(hit, (cnt * 20) / n_chars).otherwise(marg)
+    outdf = df.withColumn(out, pred)
+    return outdf if margin is None else outdf.withColumn(margin, marg)
 
 
 #: modulus for the polynomial rolling hash (large prime < 2^31)
@@ -333,4 +368,92 @@ def repetition_features(
         F.when(F.col("__nl") > 0, 1.0 - F.col("__ndl") / F.col("__nl"))
         .otherwise(0.0)
         .alias("dup_line_frac"),
+    )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    idx_col: str = "chunk_idx",
+    ntok_col: str = "n_chunk_tokens",
+    out_seq: str = "seq_idx",
+) -> DataFrame:
+    """Pack chunks into fixed-token-budget training sequences — the
+    pipeline stage :func:`chunk_documents` defers to ("context-window
+    packing happens downstream").
+
+    Exact greedy NEXT-FIT within each document: walk chunks in
+    ``idx_col`` order, keep appending to the current sequence while its
+    token total stays within ``budget``, else start a new sequence.
+    Deterministic (the chunk order is a total order per doc), so any
+    engine replaying the same walk assigns identical sequence ids —
+    the DuckDB oracle does it with a recursive CTE.  A chunk larger
+    than ``budget`` (impossible for chunk_documents output when
+    ``budget >= max_tokens``) becomes its own over-budget singleton
+    sequence — standard next-fit; every multi-chunk sequence is
+    guaranteed ≤ ``budget``.
+
+    Output: one row per chunk — (id, chunk_idx, n tokens, seq_idx) —
+    ready to group by (id, seq_idx) for sequence assembly.
+
+    100 TB: ONE shuffle (groupBy doc id); per-doc state is an array of
+    (chunk_idx, n) pairs bounded by ⌈doc tokens/stride⌉ — document-
+    not corpus-sized.  The next-fit walk itself is a Catalyst
+    ``aggregate`` fold over that array: whole-stage-codegen JVM
+    expression, zero Python, zero extra shuffle, no window over an
+    unbounded partition.  Sequences never cross documents, so the
+    operation parallelizes per doc with no global order — the property
+    that makes packing scale-free.
+    """
+    acc_t = "struct<fill:bigint,seq:bigint,out:array<struct<idx:bigint,n:bigint,seq:bigint>>>"
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(idx_col).cast("long").alias("idx"),
+                F.col(ntok_col).cast("long").alias("n"),
+            )
+        )
+    )
+    # init: an already-over-budget phantom sequence -1, so the first
+    # chunk always "overflows" into sequence 0 — no first-row special
+    # case inside the fold
+    init = F.expr(
+        f"cast(named_struct('fill', {budget} + 1, 'seq', -1, "
+        f"'out', array()) as {acc_t})"
+    )
+
+    def step(acc, x):
+        fits = (acc["fill"] + x["n"]) <= F.lit(budget)
+        seq = F.when(fits, acc["seq"]).otherwise(acc["seq"] + 1)
+        return F.struct(
+            F.when(fits, acc["fill"] + x["n"]).otherwise(x["n"]).alias("fill"),
+            seq.alias("seq"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        x["idx"].alias("idx"),
+                        x["n"].alias("n"),
+                        seq.alias("seq"),
+                    )
+                ),
+            ).alias("out"),
+        )
+
+    packed = (
+        chunks.groupBy(id_col)
+        .agg(arr.alias("__chunks"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.aggregate("__chunks", init, step, lambda a: a["out"])
+            ).alias("__a"),
+        )
+    )
+    return packed.select(
+        F.col(id_col),
+        F.col("__a.idx").alias(idx_col),
+        F.col("__a.n").alias(ntok_col),
+        F.col("__a.seq").alias(out_seq),
     )

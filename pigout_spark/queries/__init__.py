@@ -48,6 +48,8 @@ _PRIORITY = [
     "x_text_pii",
     "x_text_repetition",
     "x_emb_quantize",
+    "x_text_pack",
+    "sim_quant_topk",
     "x_stream_join",
     "x_latin_topk",
     "x_latin_udf",

@@ -507,6 +507,61 @@ def sim_ivf_topk(spark, sf_dir):
     return ivf_topk(tf(spark, sf_dir, "embeddings"), query_ids_max=10, k=3)
 
 
+@query(
+    "sim_quant_topk",
+    f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), nn AS (
+      SELECT vec_id, v, sqrt({_sql_dot('v', 'v')}) AS nrm FROM e
+    ), sc AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM e
+    ), dq AS (
+      SELECT vec_id,
+             CASE WHEN scale > 0
+                  THEN list_transform(v, x -> CAST(round(x / scale) AS INT) * scale)
+                  ELSE list_transform(v, x -> 0.0) END AS dv
+      FROM sc
+    ), dn AS (
+      SELECT vec_id, dv, sqrt({_sql_dot('dv', 'dv')}) AS dnrm FROM dq
+    ), q AS (
+      SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM nn WHERE vec_id < 10
+    ), coarse AS (
+      SELECT q.q_id, d.vec_id AS neighbor_id, q.qv, q.qn,
+             {_sql_dot('q.qv', 'd.dv')} / (q.qn * d.dnrm) AS qcos
+      FROM q JOIN dn d ON d.vec_id <> q.q_id
+    ), surv AS (
+      SELECT q_id, neighbor_id, qv, qn,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY qcos DESC, neighbor_id) AS qrn
+      FROM coarse QUALIFY qrn <= 12
+    ), ex AS (
+      SELECT s.q_id, s.neighbor_id,
+             {_sql_dot('s.qv', 'n2.v')} / (s.qn * n2.nrm) AS cos
+      FROM surv s JOIN nn n2 ON n2.vec_id = s.neighbor_id
+    )
+    SELECT q_id, neighbor_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY cos DESC, neighbor_id) AS rn
+    FROM ex QUALIFY rn <= 3
+    """,
+)
+def sim_quant_topk(spark, sf_dir):
+    """int8-rescore top-3: coarse rank on dequantized int8 codes (the
+    4×-smaller scan), exact rescore of the top 12 (rescore=4·k) on full
+    floats — the search-side payoff of x_emb_quantize's storage cut.
+    The oracle replays quantize → dequant-coarse → rescore with
+    identical IEEE arithmetic (round half-away-from-zero, left-fold
+    dots), so ranks hash-match exactly."""
+    from pigout_spark.pipeline.similarity import quantized_topk
+
+    return quantized_topk(
+        tf(spark, sf_dir, "embeddings"), query_ids_max=10, k=3, rescore=4
+    )
+
+
 def _pii_sql() -> str:
     """SQL twin of scrub_pii over PII-augmented fixture text: the same
     patterns in the same order, counts taken on the text as each
@@ -666,6 +721,71 @@ def x_text_chunks(spark, sf_dir):
     )
 
 
+_PACK_BUDGET = 96  # ≥ chunk max_tokens (64) ⇒ every sequence ≤ budget;
+# small enough that two full 64-token chunks can NOT share a sequence —
+# the fixture packs a real mix of 1- and multi-sequence docs
+
+
+@query(
+    "x_text_pack",
+    f"""
+    WITH RECURSIVE f AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, len(toks) AS n FROM f WHERE len(toks) > 0
+    ), c AS (
+      SELECT doc_id, n, unnest(range(0, n, 48)) AS start FROM s
+    ), ch AS (
+      SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_idx,
+             CAST(least(start + 64, n) - start AS BIGINT) AS nt
+      FROM c
+    ), walk(doc_id, chunk_idx, nt, fill, seq) AS (
+      SELECT doc_id, chunk_idx, nt, nt, CAST(0 AS BIGINT)
+      FROM ch WHERE chunk_idx = 0
+      UNION ALL
+      SELECT ch.doc_id, ch.chunk_idx, ch.nt,
+             CASE WHEN w.fill + ch.nt <= {_PACK_BUDGET}
+                  THEN w.fill + ch.nt ELSE ch.nt END,
+             CASE WHEN w.fill + ch.nt <= {_PACK_BUDGET}
+                  THEN w.seq ELSE w.seq + 1 END
+      FROM walk w
+      JOIN ch ON ch.doc_id = w.doc_id AND ch.chunk_idx = w.chunk_idx + 1
+    )
+    SELECT doc_id, seq AS seq_idx, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(nt) AS BIGINT) AS n_seq_tokens,
+           md5(array_to_string(list_sort(list(chunk_idx)), ','))
+             AS chunk_span_fp
+    FROM walk GROUP BY doc_id, seq
+    """,
+)
+def x_text_pack(spark, sf_dir):
+    """Sequence PACKING (chunks → fixed-token-budget training
+    sequences): exact greedy next-fit per doc, hash-checked — the
+    oracle replays the identical walk with a recursive CTE, and
+    chunk_span_fp pins exact chunk membership per sequence (not just
+    counts).  Budget 96 ≥ chunk max_tokens 64, so no sequence
+    exceeds the budget (pinned by test_pack_sequences_*)."""
+    from pigout_spark.pipeline.text import chunk_documents, pack_sequences
+
+    ch = chunk_documents(
+        t(spark, sf_dir, "documents"), max_tokens=64, overlap=16
+    )
+    p = pack_sequences(ch, _PACK_BUDGET)
+    return p.groupBy("doc_id", "seq_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("n_chunk_tokens").cast("long").alias("n_seq_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("chunk_idx")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("chunk_span_fp"),
+    )
+
+
 @query(
     "x_text_repetition",
     f"""
@@ -761,7 +881,10 @@ def _sqlstr(s: str) -> str:
 def _langid_sql() -> str:
     """SQL twin of pipeline.text.lang_id: script-range detection first
     (ja/ko/zh/ru precedence), then the Latin 3·stopword + substring
-    score argmax.  Same integer/double arithmetic in both engines."""
+    score argmax, plus the r5 confidence margin (winner − best other
+    Latin score; script rows: coverage ratio).  Same integer/double
+    arithmetic in both engines, so the margin threshold count is
+    hash-exact."""
     from pigout_spark.pipeline.text import LANG_SUBSTRINGS, SCRIPT_RANGES
 
     score = {}
@@ -777,40 +900,63 @@ def _langid_sql() -> str:
         )
         score[lang] = f"(3 * {stop} + {subs})"
     langs = list(LANG_PROFILES)
-    cases = []
+    sdefs = ",\n         ".join(f"{score[l]} AS s_{l}" for l in langs)
+    pred_cases, marg_cases = [], []
     # script overrides first, in precedence order
     for lang, cc in SCRIPT_RANGES:
         cnt = (
             f"length(regexp_replace(text, {_sqlstr('[^' + cc[1:-1] + ']')},"
             f" '', 'g'))"
         )
-        cases.append(
-            f"WHEN {cnt} >= 1 AND {cnt} * 20 >= length(text) THEN '{lang}'"
-        )
-    for i, lang in enumerate(langs[:-1]):
-        rest = [score[l] for l in langs[i + 1 :]]
-        other = f"greatest({', '.join(rest)})" if len(rest) > 1 else rest[0]
-        cases.append(f"WHEN {score[lang]} >= {other} THEN '{lang}'")
-    case = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+        hit = f"{cnt} >= 1 AND {cnt} * 20 >= length(text)"
+        pred_cases.append(f"WHEN {hit} THEN '{lang}'")
+        marg_cases.append(f"WHEN {hit} THEN {cnt} * 20 / length(text)")
+    # Latin chain: winner = first global-max language (same winner the
+    # Spark chain picks); margin = winner − best other
+    for i, lang in enumerate(langs):
+        others = ", ".join(f"s_{l}" for l in langs if l != lang)
+        omax = f"greatest({others})"
+        if i == len(langs) - 1:
+            pred_cases.append(f"ELSE '{lang}'")
+            marg_cases.append(f"ELSE s_{lang} - {omax}")
+        else:
+            pred_cases.append(f"WHEN s_{lang} >= {omax} THEN '{lang}'")
+            marg_cases.append(f"WHEN s_{lang} >= {omax} THEN s_{lang} - {omax}")
+    pred = "CASE " + " ".join(pred_cases) + " END"
+    marg = "CASE " + " ".join(marg_cases) + " END"
     toks_lower = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
     return (
         "WITH f AS (\n"
         f"  SELECT lang, text, {toks_lower} AS toks,\n"
         "         ' ' || lower(text) || ' ' AS padded\n"
         "  FROM documents\n"
+        "), sc AS (\n"
+        f"  SELECT lang, text,\n         {sdefs}\n  FROM f\n"
+        "), lab AS (\n"
+        f"  SELECT lang, {pred} AS predicted, {marg} AS margin FROM sc\n"
         ")\n"
-        f"SELECT lang, {case} AS predicted, COUNT(*) AS n\n"
-        "FROM f GROUP BY lang, predicted"
+        "SELECT lang, predicted, COUNT(*) AS n,\n"
+        "       CAST(SUM(CASE WHEN margin < 1.0 THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_low_margin\n"
+        "FROM lab GROUP BY lang, predicted"
     )
 
 
 @query("text_langid", _langid_sql())
 def text_langid(spark, sf_dir):
     """Stopword-profile language ID vs the labeled lang column —
-    confusion counts.  (Synthetic word-soup text: the point is the
-    deterministic scoring machinery, not linguistic accuracy.)"""
+    confusion counts plus how many predictions per cell are LOW-MARGIN
+    (margin < 1: no clear stopword/substring edge — the rows a
+    downstream quality filter would drop or re-route).  (Synthetic
+    word-soup text: the point is the deterministic scoring machinery,
+    not linguistic accuracy.)"""
     d = lang_id(t(spark, sf_dir, "documents"))
-    return d.groupBy("lang", "predicted").agg(F.count(F.lit(1)).alias("n"))
+    return d.groupBy("lang", "predicted").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("lang_margin") < 1.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_low_margin"),
+    )
 
 
 @query(

@@ -215,24 +215,66 @@ def test_row_rank_large_input_unique_and_ordered(spark, sf_dir):
 
 
 def test_rank_by_matches_window_semantics(spark):
+    """rank()/rank_by() match a literal global-window SQL rank (the
+    reference semantics, fine at 6 rows) in both directions and both
+    dense modes."""
+    from pyspark.sql import Window
+
     from pigout_spark.operators.sorting import rank, rank_by
 
     rows = [("a", 10), ("b", 10), ("c", 20), ("d", 20), ("e", 5), ("f", 30)]
     df = spark.createDataFrame(rows, ["id", "v"]).repartition(3)
     for dense in (False, True):
+        fn = F.dense_rank() if dense else F.rank()
         want = {
             r.id: r.rank
-            for r in rank(df, F.col("v"), dense=dense).collect()
+            for r in df.withColumn(
+                "rank", fn.over(Window.orderBy("v"))
+            ).collect()
         }
-        got = {
-            r.id: r.rank
-            for r in rank_by(df, ["v"], dense=dense).collect()
-        }
-        assert got == want, f"dense={dense}"
-    # descending direction
-    want = {r.id: r.rank for r in rank(df, F.col("v").desc()).collect()}
-    got = {r.id: r.rank for r in rank_by(df, ["v"], [False]).collect()}
-    assert got == want
+        assert {
+            r.id: r.rank for r in rank(df, F.col("v"), dense=dense).collect()
+        } == want, f"rank dense={dense}"
+        assert {
+            r.id: r.rank for r in rank_by(df, ["v"], dense=dense).collect()
+        } == want, f"rank_by dense={dense}"
+    # descending direction, via the sort-order Column form
+    want = {
+        r.id: r.rank
+        for r in df.withColumn(
+            "rank", F.rank().over(Window.orderBy(F.col("v").desc()))
+        ).collect()
+    }
+    assert {r.id: r.rank for r in rank(df, F.col("v").desc()).collect()} == want
+    assert {r.id: r.rank for r in rank_by(df, ["v"], [False]).collect()} == want
+
+
+def test_rank_public_api_never_single_partitions_data(spark, sf_dir):
+    """The public rank() footgun is closed (r4 verdict #1): its plan
+    must contain NO single-partition exchange over data rows — the only
+    Exchange SinglePartition allowed is the one feeding the tiny
+    per-partition-counts aggregate inside row_rank's offset branch."""
+    from pigout_spark.catalog import load_table
+    from pigout_spark.operators.sorting import rank
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    plan = (
+        rank(li, F.col("l_extendedprice").desc())
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    lines = plan.splitlines()
+    single = [i for i, l in enumerate(lines) if "Exchange SinglePartition" in l]
+    assert single, "offset branch should still prefix-sum on one partition"
+    for i in single:
+        # the child (next tree line) must be the counts aggregate, not
+        # a data-row operator
+        assert "HashAggregate" in lines[i + 1] and "count" in lines[i + 1], (
+            lines[i : i + 2]
+        )
 
 
 def test_nested_topk(spark):

@@ -797,3 +797,129 @@ def test_quantize_embeddings_bounds_and_roundtrip(spark):
     )
     for r in err:
         assert r.e <= r.scale / 2 + 1e-15
+
+
+def test_pack_sequences_next_fit_exact_and_budget(spark):
+    """Packing is exact greedy next-fit per doc: matches a sequential
+    reference walk on a skewed corpus (one huge doc among tiny ones),
+    and no multi-chunk sequence exceeds the budget."""
+    from pigout_spark.pipeline.text import pack_sequences
+
+    budget = 100
+    skew = [("big", i, n) for i, n in enumerate([64] * 40 + [17])] + [
+        ("tiny1", 0, 3),
+        ("tiny2", 0, 99),
+        ("mid", 0, 50),
+        ("mid", 1, 50),
+        ("mid", 2, 1),
+    ]
+    df = spark.createDataFrame(
+        skew, ["doc_id", "chunk_idx", "n_chunk_tokens"]
+    ).repartition(5)
+    out = pack_sequences(df, budget)
+    rows = out.collect()
+    assert len(rows) == len(skew)  # every chunk assigned exactly once
+
+    def ref_next_fit(ns):
+        fill, seq, got = budget + 1, -1, []
+        for n in ns:
+            if fill + n <= budget:
+                fill += n
+            else:
+                fill, seq = n, seq + 1
+            got.append(seq)
+        return got
+
+    by_doc: dict = {}
+    for r in sorted(rows, key=lambda r: (r.doc_id, r.chunk_idx)):
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.n_chunk_tokens, r.seq_idx))
+    for doc, triples in by_doc.items():
+        ns = [n for _, n, _ in triples]
+        assert [s for _, _, s in triples] == ref_next_fit(ns), doc
+    # hard budget guarantee (all chunks <= budget here)
+    sums = (
+        out.groupBy("doc_id", "seq_idx")
+        .agg(F.sum("n_chunk_tokens").alias("tot"))
+        .collect()
+    )
+    assert all(r.tot <= budget for r in sums)
+    # the skewed doc really splits: 41 chunks, only one 64-chunk fits
+    # per 100-token sequence (64+64 > 100; the final 17 rides with the
+    # last 64)
+    assert max(s for _, _, s in by_doc["big"]) == 39  # 40 sequences: 0..39
+
+
+def test_pack_sequences_oversized_chunk_is_singleton(spark):
+    """A chunk larger than the budget becomes its own over-budget
+    singleton sequence (documented next-fit behavior), without
+    disturbing neighbors."""
+    from pigout_spark.pipeline.text import pack_sequences
+
+    df = spark.createDataFrame(
+        [("d", 0, 10), ("d", 1, 500), ("d", 2, 10)],
+        ["doc_id", "chunk_idx", "n_chunk_tokens"],
+    )
+    got = {
+        r.chunk_idx: r.seq_idx for r in pack_sequences(df, 100).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2}
+
+
+def test_quantized_topk_recall_vs_float_path(spark, sf_dir):
+    """int8-rescore search must track the exact float path: with
+    rescore=4 the top-k sets should be near-identical (quantization
+    error ≤ scale/2 per component barely perturbs cosine ranks, and
+    the exact rescore fixes any coarse-rank displacement inside the
+    rescore window).  Also pins that the final scores ARE the exact
+    float cosines, not quantized ones."""
+    from pigout_spark.catalog import load_table
+    from pigout_spark.pipeline.similarity import brute_force_topk, quantized_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 10
+    exact_rows = brute_force_topk(emb, emb.filter("vec_id < 30"), k).collect()
+    exact = {(r.q_id, r.neighbor_id) for r in exact_rows}
+    got_rows = quantized_topk(emb, 30, k, rescore=4).collect()
+    got = {(r.q_id, r.neighbor_id) for r in got_rows}
+    assert len(exact) == 300 and len(got) == 300
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.95  # measured 1.0 on the fixture; floor guards drift
+    # scores on agreeing pairs are the exact float cosines
+    ecos = {(r.q_id, r.neighbor_id): r.cos for r in exact_rows}
+    for r in got_rows:
+        key = (r.q_id, r.neighbor_id)
+        if key in ecos:
+            assert r.cos == ecos[key]
+
+
+def test_lang_id_margin_flags_ambiguous_rows(spark):
+    """The r5 margin column makes low-confidence predictions
+    identifiable: clear-signal sentences get a positive margin, texts
+    with zero language evidence (empty / stopword-free symbol soup)
+    get margin 0, and script-detected rows report their coverage ratio
+    (>= 1 whenever the 5% trigger fired)."""
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog in the field"),
+        (2, "Le chat est sur la table et les enfants jouent dans le jardin"),
+        (3, ""),  # no evidence at all
+        (4, "zzz qqq 12345 @@@"),  # no stopwords, no n-grams
+        (5, "这是一个中文句子用来测试语言识别功能"),  # script row
+    ]
+    out = {
+        r.doc_id: (r.predicted, r.lang_margin)
+        for r in lang_id(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert out[1][0] == "en" and out[1][1] >= 1.0
+    assert out[2][0] == "fr" and out[2][1] >= 1.0
+    assert out[3][1] == 0.0 and out[4][1] == 0.0  # ambiguous → margin 0
+    assert out[5][0] == "zh" and out[5][1] >= 1.0  # full coverage ≈ 20
+    # thresholding recovers exactly the ambiguous rows
+    flagged = {d for d, (_, m) in out.items() if m < 1.0}
+    assert flagged == {3, 4}
+    # margin=None keeps the legacy single-column shape
+    cols = lang_id(
+        spark.createDataFrame(rows, ["doc_id", "text"]), margin=None
+    ).columns
+    assert "lang_margin" not in cols
