@@ -582,3 +582,74 @@ def quantized_topk(
         .filter(F.col("rn") <= k)
         .select("q_id", "neighbor_id", "cos", "rn")
     )
+
+
+def ivf_quantized_topk(
+    emb: DataFrame,
+    query_ids_max: int,
+    k: int,
+    n_centroids: int = 8,
+    rescore: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iters: int = 3,
+) -> DataFrame:
+    """IVF × int8 rescore — the two approximations composed, i.e. the
+    FAISS IVF-PQ serving layout done with DataFrame ops: candidates
+    restricted to the query's cell (IVF), coarse-scored on dequantized
+    int8 codes, exact float rescore of the top ``rescore·k``.
+
+    100 TB: the production table is ONE narrow relation
+    (id, cell, scale, int8 codes) — the search scan reads 4× fewer
+    bytes than float32 AND only the probed cells' rows move through the
+    cell join; the float table is touched just for |Q|·rescore·k
+    key-equi point lookups.  Derived inline here (same
+    self-containment note as :func:`quantized_topk`); centroids are
+    driver-sized literals, queries broadcast, corpus never shuffled.
+    """
+    from pyspark.sql import Window
+
+    cells = ivf_assign(emb, n_centroids, id_col, vec_col, n_iters)
+    scale = F.array_max(F.transform(F.col("v"), F.abs)) / F.lit(127.0)
+    dv = F.when(
+        scale > 0,
+        F.transform(
+            F.col("v"),
+            lambda x: F.round(x / scale).cast("int").cast("double") * scale,
+        ),
+    ).otherwise(F.transform(F.col("v"), lambda x: F.lit(0.0)))
+    cand = cells.select(
+        F.col(id_col).alias("neighbor_id"), F.col("cell"), dv.alias("dv")
+    ).withColumn("dn", norm(F.col("dv")))
+    q = cells.filter(F.col(id_col) < query_ids_max).select(
+        F.col(id_col).alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "cell",
+    )
+    coarse = (
+        F.broadcast(q)
+        .join(cand, "cell")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .withColumn(
+            "qcos", dot(F.col("qv"), F.col("dv")) / (F.col("qn") * F.col("dn"))
+        )
+    )
+    ws = Window.partitionBy("q_id").orderBy(F.desc("qcos"), "neighbor_id")
+    surv = (
+        coarse.withColumn("qrn", F.row_number().over(ws))
+        .filter(F.col("qrn") <= rescore * k)
+        .select("q_id", "neighbor_id", "qv", "qn")
+    )
+    full = emb.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
+    exact = surv.join(full, "neighbor_id").withColumn(
+        "cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "neighbor_id", "cos", "rn")
+    )

@@ -508,6 +508,60 @@ def sim_ivf_topk(spark, sf_dir):
 
 
 @query(
+    "x_sim_ivfq_topk",
+    _IVF_CELLS_SQL
+    + f"""
+    , sc2 AS (
+      SELECT vec_id, v, nrm, cell,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM cells
+    ), dq2 AS (
+      SELECT vec_id, cell,
+             CASE WHEN scale > 0
+                  THEN list_transform(v, x -> CAST(round(x / scale) AS INT) * scale)
+                  ELSE list_transform(v, x -> 0.0) END AS dv
+      FROM sc2
+    ), dn2 AS (
+      SELECT vec_id, cell, dv, sqrt({_sql_dot('dv', 'dv')}) AS dnrm FROM dq2
+    ), q2 AS (
+      SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell
+      FROM cells WHERE vec_id < 10
+    ), coarse2 AS (
+      SELECT q.q_id, d.vec_id AS neighbor_id, q.qv, q.qn,
+             {_sql_dot('q.qv', 'd.dv')} / (q.qn * d.dnrm) AS qcos
+      FROM q2 q JOIN dn2 d ON q.cell = d.cell AND d.vec_id <> q.q_id
+    ), surv2 AS (
+      SELECT q_id, neighbor_id, qv, qn,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY qcos DESC, neighbor_id) AS qrn
+      FROM coarse2 QUALIFY qrn <= 12
+    ), ex2 AS (
+      SELECT s.q_id, s.neighbor_id,
+             {_sql_dot('s.qv', 'c2.v')} / (s.qn * c2.nrm) AS cos
+      FROM surv2 s JOIN cells c2 ON c2.vec_id = s.neighbor_id
+    )
+    SELECT q_id, neighbor_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY cos DESC, neighbor_id) AS rn
+    FROM ex2 QUALIFY rn <= 3
+    """,
+    extra=True,  # 50-query window full; selfcheck + pytest verified
+)
+def x_sim_ivfq_topk(spark, sf_dir):
+    """IVF × int8 composed (the FAISS IVF-PQ-style serving layout):
+    cell-restricted candidates coarse-scored on dequantized int8
+    codes, exact float rescore of the top 12 — both approximations in
+    one plan, hash-checked against the oracle replaying the same
+    codebook, quantizer, and fold arithmetic."""
+    from pigout_spark.pipeline.similarity import ivf_quantized_topk
+
+    return ivf_quantized_topk(
+        tf(spark, sf_dir, "embeddings"), query_ids_max=10, k=3,
+        n_centroids=8, rescore=4,
+    )
+
+
+@query(
     "sim_quant_topk",
     f"""
     WITH e AS (

@@ -923,3 +923,27 @@ def test_lang_id_margin_flags_ambiguous_rows(spark):
         spark.createDataFrame(rows, ["doc_id", "text"]), margin=None
     ).columns
     assert "lang_margin" not in cols
+
+
+def test_ivf_quantized_tracks_ivf_float_path(spark, sf_dir):
+    """Composing int8 coarse scoring with IVF must not lose what IVF
+    finds: with rescore=4 the composed top-k matches the float IVF
+    path nearly exactly (both share the cell restriction; quantization
+    noise is absorbed by the rescore window)."""
+    from pigout_spark.catalog import load_table
+    from pigout_spark.pipeline.similarity import ivf_quantized_topk, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 5
+    base = {
+        (r.q_id, r.neighbor_id)
+        for r in ivf_topk(emb, 20, k, n_centroids=8).collect()
+    }
+    got = {
+        (r.q_id, r.neighbor_id)
+        for r in ivf_quantized_topk(
+            emb, 20, k, n_centroids=8, rescore=4
+        ).collect()
+    }
+    assert len(base) == len(got)
+    assert len(got & base) / len(base) >= 0.95  # measured 1.0 on fixture

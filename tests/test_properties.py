@@ -126,3 +126,55 @@ def test_dedup_clusters_matches_union_find(spark, edges):
     pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
     got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
     assert got == want
+
+
+@settings(max_examples=1, deadline=None)
+@given(
+    st.lists(  # (doc bucket, chunk token counts) — skewed doc sizes
+        st.lists(st.integers(1, 130), min_size=1, max_size=12),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(64, 128),
+)
+def test_pack_sequences_invariants_random(spark, docs_chunks, budget):
+    """Randomized packing invariants: every chunk assigned exactly once,
+    per-sequence totals never exceed the budget unless the sequence is
+    an oversized singleton, sequence ids are dense 0..max per doc, and
+    the assignment equals the sequential next-fit reference."""
+    from pigout_spark.pipeline.text import pack_sequences
+
+    rows = [
+        (f"d{di}", ci, n)
+        for di, chunks in enumerate(docs_chunks)
+        for ci, n in enumerate(chunks)
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "chunk_idx", "n_chunk_tokens"]
+    ).repartition(4)
+    got = pack_sequences(df, budget).collect()
+    assert len(got) == len(rows)
+    by_doc: dict = {}
+    for r in sorted(got, key=lambda r: (r.doc_id, r.chunk_idx)):
+        by_doc.setdefault(r.doc_id, []).append((r.n_chunk_tokens, r.seq_idx))
+    for di, chunks in enumerate(docs_chunks):
+        pairs = by_doc[f"d{di}"]
+        assert [n for n, _ in pairs] == chunks
+        # reference next-fit
+        fill, seq, want = budget + 1, -1, []
+        for n in chunks:
+            if fill + n <= budget:
+                fill += n
+            else:
+                fill, seq = n, seq + 1
+            want.append(seq)
+        assert [s for _, s in pairs] == want
+        # budget / singleton invariant + dense ids
+        totals: dict = {}
+        counts: dict = {}
+        for n, s in pairs:
+            totals[s] = totals.get(s, 0) + n
+            counts[s] = counts.get(s, 0) + 1
+        assert sorted(totals) == list(range(len(totals)))
+        for s, tot in totals.items():
+            assert tot <= budget or counts[s] == 1
