@@ -712,15 +712,68 @@ class PigSession:
             raise PigSyntaxError(f"unsupported statement: {stmt[:80]}")
 
     # -- operator compilation -------------------------------------------
+
+    #: operators whose honored-PARALLEL output repartition is safe;
+    #: ORDER/RANK/LIMIT outputs are ordered (a round-robin repartition
+    #: would scramble them) and stay AQE-governed even under honor
+    _PARALLEL_OK = {
+        "JOIN", "COGROUP", "CROSS", "DISTINCT", "UNION",
+        "FILTER", "FOREACH", "SAMPLE", "GROUP", "CUBE",
+    }
+
+    def _strip_parallel(self, rhs: str) -> tuple[str, int | None]:
+        """Pig `... PARALLEL n` (the reducer-count clause — present on
+        most production reduce-side statements).  Always ACCEPTED so
+        scripts parse unchanged; by default it is superseded by Spark's
+        own parallelism model (spark.sql.shuffle.partitions + AQE
+        runtime coalescing — per-operator reducer counts tuned for a
+        MapReduce cluster are the wrong knob on Spark) and a one-time
+        warning records the divergence.  `SET pigout.parallel.honor
+        true` applies it faithfully: GROUP pre-partitions the child on
+        the group keys with n (the following fused agg reuses that
+        exchange — n reduce partitions and n output files, no extra
+        shuffle); other reduce-side outputs get repartition(n)."""
+        pm = re.search(r"\s+PARALLEL\s+(\d+)\s*$", rhs, re.IGNORECASE)
+        if not pm:
+            return rhs, None
+        if self.options.get("pigout.parallel.honor", "").lower() != "true":
+            if not getattr(self, "_parallel_warned", False):
+                self._parallel_warned = True
+                import warnings
+
+                warnings.warn(
+                    "PARALLEL accepted but superseded by Spark "
+                    "(spark.sql.shuffle.partitions + AQE); "
+                    "SET pigout.parallel.honor true to apply it",
+                    stacklevel=3,
+                )
+            return rhs[: pm.start()], None
+        return rhs[: pm.start()], int(pm.group(1))
+
+    def _apply_parallel(self, out: DataFrame | _Grouped, n: int):
+        if isinstance(out, _Grouped):
+            # plain keyed GROUP: pre-partition the child on the group
+            # keys — the fused agg's exchange requirement is already
+            # satisfied, so the agg runs with exactly n partitions
+            if out.mode == "group" and out.keys:
+                out.child_df = out.child_df.repartition(
+                    n, *[F.expr(k) for k in out.keys]
+                )
+            return out
+        return out.repartition(n)
+
     def _compile_op(self, alias: str, rhs: str) -> DataFrame | _Grouped:
         mm = re.match(r"(\w+)\s*\((.*)\)\s*$", rhs, re.DOTALL)
         if mm and mm.group(1) in self.macros:
             return self._invoke_macro(mm.group(1), mm.group(2))
+        rhs, par = self._strip_parallel(rhs)
         kw = rhs.split(None, 1)[0].upper()
         fn = getattr(self, f"_op_{kw.lower()}", None)
         if fn is None:
             raise PigSyntaxError(f"unsupported operator: {kw}")
         out = fn(rhs)
+        if par is not None and kw in self._PARALLEL_OK:
+            out = self._apply_parallel(out, par)
         return out.alias(alias) if isinstance(out, DataFrame) else out
 
     def _invoke_macro(self, name: str, args_s: str) -> DataFrame | _Grouped:

@@ -1045,3 +1045,60 @@ def test_illustrate_statement(pig, capsys):
     out = capsys.readouterr().out
     assert "-- n: struct<" in out
     assert out.count("(") == 5  # five sample tuples
+
+
+def test_parallel_clause_accepted_and_superseded(pig, recwarn):
+    """Pig `PARALLEL n` (the reducer-count clause on reduce-side
+    statements) must PARSE everywhere — production scripts carry it on
+    most GROUP/JOIN/ORDER lines — and by default is superseded by
+    Spark's parallelism model (shuffle.partitions + AQE), with a
+    one-time warning recording the divergence."""
+    pig.execute(
+        """
+        li = LOAD 'lineitem';
+        g = GROUP li BY l_returnflag PARALLEL 16;
+        out = FOREACH g GENERATE group, COUNT(li) AS n;
+        o = LOAD 'orders'; c = LOAD 'customer';
+        j = JOIN o BY o_custkey, c BY c_custkey PARALLEL 8;
+        s = ORDER o BY o_totalprice DESC PARALLEL 4;
+        d = DISTINCT o PARALLEL 4;
+        r = LOAD 'region'; n2 = LOAD 'nation';
+        x = CROSS r, n2 PARALLEL 2;
+        """
+    )
+    assert pig.df("out").count() == 3
+    assert pig.df("j").count() > 0
+    warns = [w for w in recwarn.list if "PARALLEL" in str(w.message)]
+    assert len(warns) == 1  # warned once, not once per statement
+
+
+def test_parallel_honor_applies_reducer_counts(pig, spark):
+    """`SET pigout.parallel.honor true` applies PARALLEL faithfully:
+    the fused GROUP agg runs on exactly n partitions via ONE exchange
+    (the group-key pre-partition satisfies the agg's distribution —
+    no second shuffle), and join output lands in n partitions.
+    Ordered outputs (ORDER ... PARALLEL) stay untouched — a
+    repartition would scramble the sort."""
+    pig.execute(
+        """
+        SET pigout.parallel.honor true;
+        li = LOAD 'lineitem';
+        g = GROUP li BY l_returnflag PARALLEL 16;
+        out = FOREACH g GENERATE group, COUNT(li) AS n;
+        o = LOAD 'orders'; c = LOAD 'customer';
+        j = JOIN o BY o_custkey, c BY c_custkey PARALLEL 8;
+        s = ORDER o BY o_totalprice DESC PARALLEL 4;
+        """
+    )
+    assert pig.df("out").rdd.getNumPartitions() == 16
+    assert pig.df("j").rdd.getNumPartitions() == 8
+    plan = pig.df("out")._jdf.queryExecution().executedPlan().toString()
+    # the agg chain reuses the single REPARTITION_BY_NUM exchange (an
+    # executed AQE dump appends the initial plan — inspect the final
+    # section only)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("REPARTITION_BY_NUM") == 1
+    assert final.count("Exchange") == 1
+    # ordered output is still globally sorted
+    vals = [r.o_totalprice for r in pig.df("s").collect()]
+    assert vals == sorted(vals, reverse=True)
