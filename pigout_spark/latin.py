@@ -266,6 +266,59 @@ def _rewrite_size_typed(expr: str, dtypes: dict[str, str]) -> str:
 def _dtypes(df) -> dict[str, str]:
     return dict(df.dtypes)
 
+def _find_bincond(s: str) -> tuple[int, int, int, int] | None:
+    """Locate the first closing Pig bincond `(cond ? a : b)` —
+    (open, '?', ':', close) indices — quote-aware, nesting-aware (the
+    '?'/':' must sit at the paren's own depth)."""
+    stack: list[list[int | None]] = []
+    in_q = False
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if in_q:
+            if c == "\\":
+                i += 2
+                continue
+            if c == "'":
+                in_q = False
+        elif c == "'":
+            in_q = True
+        elif c == "(":
+            stack.append([i, None, None])
+        elif c == "?" and stack and stack[-1][1] is None:
+            stack[-1][1] = i
+        elif c == ":" and stack and stack[-1][1] is not None and stack[-1][2] is None:
+            stack[-1][2] = i
+        elif c == ")" and stack:
+            p, qm, cl = stack.pop()
+            if qm is not None and cl is not None:
+                return (int(p), int(qm), int(cl), i)
+        i += 1
+    return None
+
+
+def _rewrite_bincond(s: str) -> str:
+    """Pig bincond `(cond ? a : b)` → `(CASE WHEN cond THEN a ELSE b
+    END)` — Pig's only ternary, ubiquitous in real scripts.  Loops so
+    nested binconds (in the condition or either branch) rewrite too."""
+    while True:
+        hit = _find_bincond(s)
+        if hit is None:
+            return s
+        p, qm, cl, close = hit
+        s = (
+            s[:p]
+            + "(CASE WHEN "
+            + s[p + 1 : qm]
+            + " THEN "
+            + s[qm + 1 : cl]
+            + " ELSE "
+            + s[cl + 1 : close]
+            + " END)"
+            + s[close + 1 :]
+        )
+
+
 def translate_expr(
     expr: str,
     columns: list[str] | None = None,
@@ -281,6 +334,7 @@ def translate_expr(
         )
     out = out.replace("::", ".")
     out = re.sub(r"#\s*'((?:[^'\\]|\\.)*)'", r"['\1']", out)  # map#'k' → map['k']
+    out = _rewrite_bincond(out)
     out = _rewrite_matches(out)
     if dtypes:
         out = _rewrite_size_typed(out, dtypes)
@@ -1343,13 +1397,31 @@ class PigSession:
         how = next((o for _, _, o in inputs if o), None)
         if how and len(inputs) > 2:
             raise PigSyntaxError("outer JOIN is binary-only (as in Pig)")
+        def keylist(alias: str, kexpr: str, cols: list[str]) -> list[str]:
+            # `BY (k1, k2, …)` — the multi-key form every real script
+            # uses for compound keys; a parenthesized single expression
+            # degenerates to the 1-key case
+            ks = kexpr.strip()
+            keys = (
+                _split_args(ks[1:-1])
+                if ks.startswith("(") and ks.endswith(")")
+                else [ks]
+            )
+            return [f"{alias}.{translate_expr(k, cols)}" for k in keys]
+
         la, lk, _ = inputs[0]
         out = self._get(la)
-        lkey = f"{la}.{translate_expr(lk, out.columns)}"
+        lkeys = keylist(la, lk, out.columns)
         for ra, rk, _ in inputs[1:]:
             right = self._get(ra)
+            rkeys = keylist(ra, rk, right.columns)
+            if len(rkeys) != len(lkeys):
+                raise PigSyntaxError(
+                    f"JOIN key arity mismatch: {la} has {len(lkeys)}, "
+                    f"{ra} has {len(rkeys)}"
+                )
             cond = F.expr(
-                f"{lkey} = {ra}.{translate_expr(rk, right.columns)}"
+                " AND ".join(f"{l} = {r}" for l, r in zip(lkeys, rkeys))
             )
             out = op_join(out, right, cond, how=(how or "inner").lower(), using=using)
         return out

@@ -1102,3 +1102,62 @@ def test_parallel_honor_applies_reducer_counts(pig, spark):
     # ordered output is still globally sorted
     vals = [r.o_totalprice for r in pig.df("s").collect()]
     assert vals == sorted(vals, reverse=True)
+
+
+def test_bincond_ternary(pig, spark, sf_dir):
+    """Pig bincond `(cond ? a : b)` — the language's only ternary,
+    ubiquitous in real scripts — compiles to CASE WHEN, including
+    nested binconds and ?/: characters inside string literals."""
+    pig.execute(
+        """
+        o = LOAD 'orders';
+        x = FOREACH o GENERATE o_orderkey,
+              (o_totalprice > 150000.0 ? 'big'
+                 : (o_totalprice > 50000.0 ? 'mid' : 'small')) AS sz;
+        f = FILTER x BY (sz == 'big' ? 1 : 0) == 1;
+        """
+    )
+    from pigout_spark.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    want = {
+        r.o_orderkey: r.sz
+        for r in o.select(
+            "o_orderkey",
+            F.when(F.col("o_totalprice") > 150000.0, "big")
+            .when(F.col("o_totalprice") > 50000.0, "mid")
+            .otherwise("small")
+            .alias("sz"),
+        ).collect()
+    }
+    got = {r.o_orderkey: r.sz for r in pig.df("x").collect()}
+    assert got == want and len(set(want.values())) == 3
+    assert pig.df("f").count() == sum(1 for v in want.values() if v == "big") > 0
+
+
+def test_join_multi_key(pig, spark, sf_dir):
+    """`JOIN a BY (k1, k2), b BY (k1, k2)` — compound-key joins, the
+    standard form in real scripts — builds a conjunctive equi-join
+    (still a hash-joinable condition, no cartesian)."""
+    pig.execute(
+        """
+        li = LOAD 'lineitem';
+        o = LOAD 'orders';
+        j = JOIN li BY (l_orderkey, l_suppkey % 2), o BY (o_orderkey, o_orderkey % 2);
+        """
+    )
+    from pigout_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    want = li.join(
+        o,
+        (li["l_orderkey"] == o["o_orderkey"])
+        & (li["l_suppkey"] % 2 == o["o_orderkey"] % 2),
+    ).count()
+    assert pig.df("j").count() == want > 0
+    plan = pig.df("j")._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan
+    # arity mismatch is a parse-time error, not a wrong plan
+    with pytest.raises(PigSyntaxError):
+        pig.execute("bad = JOIN li BY (l_orderkey, l_suppkey), o BY o_orderkey;")
