@@ -139,7 +139,82 @@ _FN_TEMPLATE = {
         f"filter(split({a[0]}, '[ \\\",()*]'), __t -> __t != '')"
     ),
     "ISEMPTY": lambda a: f"(size({a[0]}) = 0)",
+    "EQUALSIGNORECASE": lambda a: f"(lower({a[0]}) = lower({a[1]}))",
 }
+
+#: Pig C-style cast types → Spark SQL cast targets
+_CAST_TYPES = {
+    "int": "INT",
+    "long": "BIGINT",
+    "float": "FLOAT",
+    "double": "DOUBLE",
+    "chararray": "STRING",
+    "boolean": "BOOLEAN",
+    "bytearray": "BINARY",
+    "biginteger": "DECIMAL(38,0)",
+    "bigdecimal": "DECIMAL(38,18)",
+    "datetime": "TIMESTAMP",
+}
+
+_CAST_RE = re.compile(
+    r"\(\s*(" + "|".join(_CAST_TYPES) + r")\s*\)\s*", re.IGNORECASE
+)
+
+
+def _rewrite_casts(s: str) -> str:
+    """Pig C-style casts `(int)x` → `CAST(x AS INT)` — the standard
+    bytearray-to-typed idiom in real scripts.  The cast binds to the
+    next primary expression: an identifier chain with optional call/
+    subscript, a parenthesized expression, or another cast (chains
+    rewrite on successive passes)."""
+    while True:
+        m = _CAST_RE.search(s)
+        if m is None:
+            return s
+        target = _CAST_TYPES[m.group(1).lower()]
+        i, n = m.end(), len(s)
+        if i < n and s[i] == "(":
+            j, depth, quote = i + 1, 1, None
+            while j < n and depth:
+                ch = s[j]
+                if quote:
+                    if ch == quote and s[j - 1] != "\\":
+                        quote = None
+                elif ch == "'":
+                    quote = ch
+                elif ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                j += 1
+            operand_end = j
+        else:
+            pm = re.match(r"[\w.$]+", s[i:])
+            if not pm:  # bare parenthesized column, not a cast — skip
+                return s
+            operand_end = i + pm.end()
+            # attached call or map subscript belongs to the operand
+            while operand_end < n and s[operand_end] in "([":
+                close = {"(": ")", "[": "]"}[s[operand_end]]
+                j, depth, quote = operand_end + 1, 1, None
+                while j < n and depth:
+                    ch = s[j]
+                    if quote:
+                        if ch == quote and s[j - 1] != "\\":
+                            quote = None
+                    elif ch == "'":
+                        quote = ch
+                    elif ch == s[operand_end]:
+                        depth += 1
+                    elif ch == close:
+                        depth -= 1
+                    j += 1
+                operand_end = j
+        s = (
+            s[: m.start()]
+            + f"CAST({s[i:operand_end]} AS {target})"
+            + s[operand_end:]
+        )
 
 
 def _rewrite_matches(expr: str) -> str:
@@ -335,6 +410,7 @@ def translate_expr(
     out = out.replace("::", ".")
     out = re.sub(r"#\s*'((?:[^'\\]|\\.)*)'", r"['\1']", out)  # map#'k' → map['k']
     out = _rewrite_bincond(out)
+    out = _rewrite_casts(out)
     out = _rewrite_matches(out)
     if dtypes:
         out = _rewrite_size_typed(out, dtypes)
@@ -816,10 +892,50 @@ class PigSession:
             return out
         return out.repartition(n)
 
+    #: operator keywords an inline `(STMT …)` relation argument may start
+    #: with (Pig 0.12+ nested statements: `FOREACH (GROUP li BY k) …`)
+    _INLINE_KWS = {
+        "GROUP", "COGROUP", "FILTER", "FOREACH", "ORDER", "DISTINCT",
+        "LIMIT", "JOIN", "UNION", "CROSS", "SAMPLE", "CUBE", "RANK",
+    }
+
+    def _inline_nested(self, rhs: str) -> str:
+        """Rewrite `KW (GROUP li BY k) rest` → compile the parenthesized
+        statement to a hidden alias and substitute it: the Pig 0.12+
+        inline-statement idiom (`x = FOREACH (GROUP li BY k) GENERATE
+        …`).  Recursion through _compile_op handles arbitrarily nested
+        inlines."""
+        im = re.match(r"(\w+)\s*\(", rhs)
+        if not im:
+            return rhs
+        inner_kw = re.match(r"\s*(\w+)", rhs[im.end():])
+        if not inner_kw or inner_kw.group(1).upper() not in self._INLINE_KWS:
+            return rhs
+        # balanced-paren extraction of the inline statement
+        j, depth, quote = im.end(), 1, None
+        while j < len(rhs) and depth:
+            ch = rhs[j]
+            if quote:
+                if ch == quote and rhs[j - 1] != "\\":
+                    quote = None
+            elif ch == "'":
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            j += 1
+        inner = rhs[im.end() : j - 1].strip()
+        self._inline_n = getattr(self, "_inline_n", 0) + 1
+        tmp = f"__inline_{self._inline_n}"
+        self.rels[tmp] = self._compile_op(tmp, inner)
+        return f"{im.group(1)} {tmp} {rhs[j:].strip()}".strip()
+
     def _compile_op(self, alias: str, rhs: str) -> DataFrame | _Grouped:
         mm = re.match(r"(\w+)\s*\((.*)\)\s*$", rhs, re.DOTALL)
         if mm and mm.group(1) in self.macros:
             return self._invoke_macro(mm.group(1), mm.group(2))
+        rhs = self._inline_nested(rhs)
         rhs, par = self._strip_parallel(rhs)
         kw = rhs.split(None, 1)[0].upper()
         fn = getattr(self, f"_op_{kw.lower()}", None)
@@ -1304,12 +1420,19 @@ class PigSession:
         keys = [translate_expr(k, child.columns) for k in _split_args(dims_s)]
         return _Grouped(child_name, child, keys, mode=mode)
 
-    def _op_group(self, rhs: str) -> _Grouped:
+    def _op_group(self, rhs: str) -> _Grouped | DataFrame:
         m = re.match(
             r"GROUP\s+(\w+)\s+(?:BY\s+(.*)|(ALL))\s*$", rhs, re.IGNORECASE | re.DOTALL
         )
         if not m:
             raise PigSyntaxError(f"bad GROUP: {rhs}")
+        # Pig treats GROUP and COGROUP as synonyms: GROUP over several
+        # `alias BY key` inputs IS a COGROUP (common in real scripts)
+        if m.group(2) and any(
+            re.match(r"\w+\s+BY\s", p.strip(), re.IGNORECASE)
+            for p in _split_args(m.group(2))
+        ):
+            return self._op_cogroup("COGROUP " + rhs.split(None, 1)[1])
         child_name = m.group(1)
         child = self._get(child_name)
         if m.group(3):  # ALL

@@ -1161,3 +1161,84 @@ def test_join_multi_key(pig, spark, sf_dir):
     # arity mismatch is a parse-time error, not a wrong plan
     with pytest.raises(PigSyntaxError):
         pig.execute("bad = JOIN li BY (l_orderkey, l_suppkey), o BY o_orderkey;")
+
+
+def test_inline_nested_statements(pig, spark, sf_dir):
+    """Pig 0.12+ inline statements: `FOREACH (GROUP li BY k) GENERATE`
+    and arbitrarily nested forms compile via hidden aliases — the
+    GROUP+FOREACH still fuses to one agg (no bag materialization)."""
+    pig.execute(
+        """
+        li = LOAD 'lineitem';
+        x = FOREACH (GROUP li BY l_returnflag) GENERATE group, COUNT(li) AS n;
+        z = FOREACH (GROUP (FILTER li BY l_quantity > 10) BY l_returnflag)
+              GENERATE group, COUNT($1) AS n;
+        """
+    )
+    from pigout_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    want = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()
+    }
+    assert {r.group: r.n for r in pig.df("x").collect()} == want
+    wantz = {
+        r.l_returnflag: r.n
+        for r in li.filter("l_quantity > 10")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {r.group: r.n for r in pig.df("z").collect()} == wantz
+    plan = pig.df("x")._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" not in plan  # fusion survived the inline form
+
+
+def test_c_style_casts(pig, spark, sf_dir):
+    """Pig C-style casts `(int)x`, `(chararray)x`, `(long)(expr)` — the
+    standard bytearray-to-typed idiom — compile to CAST."""
+    pig.execute(
+        """
+        o = LOAD 'orders';
+        c = FOREACH o GENERATE (int)o_totalprice AS ti,
+                               (chararray)o_orderkey AS sk,
+                               (long)(o_totalprice * 100.0) AS cents;
+        """
+    )
+    out = pig.df("c")
+    assert dict(out.dtypes) == {"ti": "int", "sk": "string", "cents": "bigint"}
+    # values match the DataFrame reference
+    from pigout_spark.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    want = {
+        r.sk: r.cents
+        for r in o.select(
+            F.col("o_orderkey").cast("string").alias("sk"),
+            (F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
+        ).collect()
+    }
+    assert {r.sk: r.cents for r in out.collect()} == want
+
+
+def test_group_of_two_relations_is_cogroup(pig):
+    """Pig treats GROUP and COGROUP as synonyms — GROUP over several
+    `alias BY key` inputs produces the side-by-side-bags shape."""
+    pig.execute(
+        """
+        o = LOAD 'orders'; li = LOAD 'lineitem';
+        gm = GROUP o BY o_orderkey, li BY l_orderkey;
+        cg = COGROUP o BY o_orderkey, li BY l_orderkey;
+        """
+    )
+    assert pig.df("gm").columns == pig.df("cg").columns
+    assert pig.df("gm").count() == pig.df("cg").count() > 0
+
+
+def test_equals_ignore_case(pig):
+    pig.execute(
+        "o = LOAD 'orders'; e = FILTER o BY EqualsIgnoreCase(o_orderstatus, 'o');"
+    )
+    rows = pig.df("e").select("o_orderstatus").distinct().collect()
+    assert {r.o_orderstatus for r in rows} == {"O"}
