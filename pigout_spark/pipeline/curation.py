@@ -115,3 +115,39 @@ def token_budget_select(
         .filter(F.col("__cum") <= budget)
         .drop("__ntok", "__cum")
     )
+
+
+def shuffle_deterministic(
+    df: DataFrame,
+    key_cols: list[str],
+    seed: str = "0",
+    out: str = "shuffle_rank",
+) -> DataFrame:
+    """Deterministic global SHUFFLE for training-set export: order rows
+    by ``md5(seed || key)`` and stamp the 1-based shuffle position —
+    the step after packing that fixes the (reproducible) sample order a
+    training run will consume.
+
+    Seeded and engine-neutral (md5 — any engine derives the identical
+    permutation, so the order itself is oracle-checkable); changing
+    ``seed`` gives an independent permutation without touching data.
+
+    100 TB: the hash sort is Spark's sample-based RANGE partition —
+    uniformly distributed keys (md5) make the ranges perfectly
+    balanced, so this is the best-case total order; the rank stamp
+    rides :func:`~pigout_spark.operators.sorting.row_rank`'s two-pass
+    counter (no single-partition window over data rows).
+    """
+    from pigout_spark.operators.sorting import row_rank
+
+    key = F.concat_ws(
+        "|",
+        F.lit(seed),
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+            for c in key_cols
+        ],
+    )
+    return row_rank(
+        df.withColumn("__skey", F.md5(key)), "__skey", out=out
+    ).drop("__skey")

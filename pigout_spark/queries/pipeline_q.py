@@ -1201,3 +1201,24 @@ def x_token_budget(spark, sf_dir):
     return token_budget_select(
         d, "source", budget=200, order_col=F.col("doc_id"), ascending=True
     ).select("doc_id", "source")
+
+
+@query(
+    "x_shuffle_order",
+    """
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY md5('42' || '|' || coalesce(doc_id::VARCHAR, chr(0)))
+           ) AS BIGINT) AS shuffle_rank
+    FROM documents
+    """,
+    extra=True,  # 50-query window full; selfcheck + pytest verified
+)
+def x_shuffle_order(spark, sf_dir):
+    """Deterministic training-set SHUFFLE: the md5(seed||id) permutation
+    stamped by the two-pass row_rank — the full position column is
+    hash-checked, so any engine derives the identical sample order."""
+    from pigout_spark.pipeline.curation import shuffle_deterministic
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_deterministic(d, ["doc_id"], seed="42")

@@ -947,3 +947,34 @@ def test_ivf_quantized_tracks_ivf_float_path(spark, sf_dir):
     }
     assert len(base) == len(got)
     assert len(got & base) / len(base) >= 0.95  # measured 1.0 on fixture
+
+
+def test_shuffle_deterministic_properties(spark, sf_dir):
+    """Deterministic training shuffle: the permutation is a bijection
+    onto 1..N, identical across partitionings, different per seed, and
+    built on the two-pass row_rank (no single-partition window over
+    data rows)."""
+    from pigout_spark.catalog import load_table
+    from pigout_spark.pipeline.curation import shuffle_deterministic
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    a = {r.doc_id: r.shuffle_rank for r in shuffle_deterministic(d, ["doc_id"], "42").collect()}
+    b = {
+        r.doc_id: r.shuffle_rank
+        for r in shuffle_deterministic(d.repartition(7), ["doc_id"], "42").collect()
+    }
+    assert a == b  # partitioning-independent
+    assert sorted(a.values()) == list(range(1, n + 1))  # bijection
+    c = {r.doc_id: r.shuffle_rank for r in shuffle_deterministic(d, ["doc_id"], "43").collect()}
+    assert c != a  # independent permutation per seed
+    plan = (
+        shuffle_deterministic(d, ["doc_id"], "42")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    lines = plan.split("== Initial Plan ==")[0].splitlines()
+    for i, l in enumerate(lines):
+        if "Exchange SinglePartition" in l:
+            assert "HashAggregate" in lines[i + 1]  # counts branch only
