@@ -1242,3 +1242,41 @@ def test_equals_ignore_case(pig):
     )
     rows = pig.df("e").select("o_orderstatus").distinct().collect()
     assert {r.o_orderstatus for r in rows} == {"O"}
+
+
+def test_etl_compat_example_script(pig, spark, sf_dir):
+    """examples/etl_compat.pig — the r5 syntax soup (PARALLEL, bincond,
+    C-style casts, inline statements, compound join keys) in ONE
+    realistic script — runs end-to-end and matches the DataFrame
+    reference."""
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    pig.execute((root / "examples" / "etl_compat.pig").read_text())
+    from pigout_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cls = o.select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 100.0).cast("long").alias("cents"),
+        F.when(F.col("o_totalprice") > 150000.0, "big")
+        .when(F.col("o_totalprice") > 50000.0, "mid")
+        .otherwise("small")
+        .alias("bucket"),
+    )
+    want = {
+        r.bucket: (r.n_lines, r.total_cents)
+        for r in li.join(cls, li["l_orderkey"] == cls["o_orderkey"])
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_lines"), F.sum("cents").alias("total_cents")
+        )
+        .collect()
+    }
+    got = {
+        r.bucket: (r.n_lines, r.total_cents)
+        for r in pig.df("by_bucket").collect()
+    }
+    assert got == want and set(got) == {"big", "mid", "small"}
+    assert pig.df("big_only").count() == 1
