@@ -145,3 +145,48 @@ def test_fan_out_metadata_guard(spark, sf_dir):
 
     stream = spark.readStream.format("rate").load()
     assert fan_out(stream) is stream
+
+
+def test_pack_sequences_single_doc_shuffle(spark, sf_dir):
+    """x_text_pack: ONE hash exchange (groupBy doc) feeds the whole
+    fold+explode chain — no window over an unbounded partition, no
+    Python, no second shuffle before the final agg's (doc, seq) key
+    (which hash-partitions a strict superset of the doc key)."""
+    plan = plan_of(spark, sf_dir, "x_text_pack")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "EvalPython" not in final  # fold is JVM-side
+    assert "Exchange SinglePartition" not in final
+    assert "CartesianProduct" not in final
+
+
+def test_quantized_topk_broadcasts_queries_no_corpus_shuffle(spark, sf_dir):
+    """sim_quant_topk: the query side is broadcast; the only exchanges
+    are the per-query top-k windows and the rescore point-lookup join —
+    the corpus-wide coarse scan itself is never hash-shuffled."""
+    plan = plan_of(spark, sf_dir, "sim_quant_topk")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastNestedLoopJoin" in final or "BroadcastHashJoin" in final
+    assert "CartesianProduct" not in final
+    assert "EvalPython" not in final
+
+
+def test_ivf_quantized_joins_on_cell(spark, sf_dir):
+    """x_sim_ivfq_topk: candidates come through the cell equi-join with
+    a broadcast query side — never a corpus×queries nested loop over
+    unrestricted candidates."""
+    plan = plan_of(spark, sf_dir, "x_sim_ivfq_topk")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final  # cell join, broadcast q side
+    assert "CartesianProduct" not in final
+
+
+def test_shuffle_order_no_data_single_partition(spark, sf_dir):
+    """x_shuffle_order: the total order is range-partitioned; the only
+    Exchange SinglePartition feeds row_rank's tiny counts aggregate."""
+    plan = plan_of(spark, sf_dir, "x_shuffle_order")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "rangepartitioning" in final.lower()
+    lines = final.splitlines()
+    for i, l in enumerate(lines):
+        if "Exchange SinglePartition" in l:
+            assert "HashAggregate" in lines[i + 1] and "count" in lines[i + 1]
