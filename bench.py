@@ -39,6 +39,8 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_ann_topk",
     "sim_ivf_topk",
+    "sim_quant_topk",
+    "x_text_pack",
     "text_quality",
     "text_fingerprint",
     "stream_tumbling",
