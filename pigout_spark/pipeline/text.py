@@ -457,3 +457,47 @@ def pack_sequences(
         F.col("__a.n").alias(ntok_col),
         F.col("__a.seq").alias(out_seq),
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out: str = "mean_logprob",
+) -> DataFrame:
+    """Unigram language-model score — the classic perplexity-proxy
+    quality signal (CCNet-style): train a unigram model ON THE CORPUS
+    ITSELF (token frequencies), then score each doc by its mean token
+    log-probability.  Low scores flag gibberish / boilerplate /
+    out-of-distribution docs; zero-token docs are dropped.
+
+    Two aggregation passes, both corpus-token-proportional: (1) the
+    frequency table — explode + groupBy(token) with map-side combine;
+    (2) per-doc mean — tokens equi-joined to frequencies on the token
+    then groupBy(doc).  At 100 TB the frequency table is vocabulary-
+    sized (≪ corpus); Spark broadcasts it when small and shuffle-joins
+    on the token otherwise — stopword-token skew on that join is AQE
+    skew-split territory, same as every token-keyed shuffle here.
+    Output adds n_tokens alongside the score so downstream filters can
+    length-threshold in the same pass.
+    """
+    toks = ws_tokens(text_col, distinct=False)
+    base = (
+        df.select(F.col(id_col), F.explode(toks).alias("__tok"))
+    )
+    freq = base.groupBy("__tok").agg(F.count(F.lit(1)).alias("__tf"))
+    total = freq.agg(F.sum("__tf").alias("__n")).select(
+        F.col("__n").cast("double")
+    )
+    scored = (
+        base.join(freq, "__tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            (F.log(F.col("__tf") / F.col("__n"))).alias("__lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.avg("__lp").alias(out),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+    )

@@ -1222,3 +1222,36 @@ def x_shuffle_order(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents").select("doc_id")
     return shuffle_deterministic(d, ["doc_id"], seed="42")
+
+
+@query(
+    "x_text_unigram",
+    f"""
+    WITH b AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+    ), fr AS (
+      SELECT tok, COUNT(*) AS tf FROM b GROUP BY tok
+    ), tot AS (
+      SELECT CAST(SUM(tf) AS DOUBLE) AS n FROM fr
+    )
+    SELECT doc_id,
+           ROUND(AVG(ln(tf / n)), 6) AS mean_logprob6,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM b JOIN fr USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    extra=True,  # 50-query window full; selfcheck + pytest verified
+)
+def x_text_unigram(spark, sf_dir):
+    """Unigram-LM quality score (the CCNet-style perplexity proxy):
+    corpus-trained token frequencies → per-doc mean log-probability.
+    Rounded to 6 decimals for the hash (ln is transcendental — engines
+    agree to ~1 ulp, q34's convention), counts exact."""
+    from pigout_spark.pipeline.text import unigram_logprob
+
+    out = unigram_logprob(tf(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.round("mean_logprob", 6).alias("mean_logprob6"),
+        "n_tokens",
+    )

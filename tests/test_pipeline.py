@@ -978,3 +978,33 @@ def test_shuffle_deterministic_properties(spark, sf_dir):
     for i, l in enumerate(lines):
         if "Exchange SinglePartition" in l:
             assert "HashAggregate" in lines[i + 1]  # counts branch only
+
+
+def test_unigram_logprob_semantics(spark):
+    """Unigram LM score: matches a hand-computed reference on a tiny
+    corpus, and rare-token documents score strictly lower than
+    common-token ones (the property that makes it a quality signal)."""
+    import math
+
+    from pigout_spark.pipeline.text import unigram_logprob
+
+    rows = [
+        (1, "a a a a"),       # common tokens only
+        (2, "a a rare1 a"),   # one rare token
+        (3, "rare2 rare3"),   # all rare
+        (4, ""),              # zero tokens → dropped
+    ]
+    out = {
+        r.doc_id: (r.mean_logprob, r.n_tokens)
+        for r in unigram_logprob(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    # corpus: a×7, rare1, rare2, rare3 → N=10
+    lp = {"a": math.log(7 / 10), "rare1": math.log(1 / 10),
+          "rare2": math.log(1 / 10), "rare3": math.log(1 / 10)}
+    assert 4 not in out and out[1][1] == 4 and out[2][1] == 4 and out[3][1] == 2
+    assert abs(out[1][0] - lp["a"]) < 1e-12
+    assert abs(out[2][0] - (3 * lp["a"] + lp["rare1"]) / 4) < 1e-12
+    assert abs(out[3][0] - (lp["rare2"] + lp["rare3"]) / 2) < 1e-12
+    assert out[3][0] < out[2][0] < out[1][0]
