@@ -151,3 +151,68 @@ def shuffle_deterministic(
     return row_rank(
         df.withColumn("__skey", F.md5(key)), "__skey", out=out
     ).drop("__skey")
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    target_weights: dict[str, float],
+    target_rows: int,
+    id_cols: list[str],
+    seed: str = "0",
+) -> DataFrame:
+    """Domain-MIXTURE sampling: draw a training set whose composition
+    matches ``target_weights`` (domain → fraction, normalized here) at
+    ``target_rows`` total size — the "mix sources by recipe" step every
+    pretraining corpus build runs (news×0.3, web×0.5, code×0.2, …).
+
+    Per-domain Bernoulli rate r_d = min(1, w_d·T / n_d), realized as a
+    DETERMINISTIC md5 threshold over ``id_cols`` (the hash_sample
+    discipline: NULL-safe ``\\x00``-sentinel key, uniform on [0, 2^32)
+    from the first 8 hex chars) — reproducible across engines and runs,
+    no RNG state.  A domain missing from ``target_weights`` is dropped
+    (explicit recipe, like ``stratified_sample``); an UNDERWEIGHT domain
+    (n_d < w_d·T) is kept whole — the standard mixture fallback (rate
+    caps at 1; upsampling is a separate epoch-repeat concern).  Output
+    size is Binomial-concentrated around min(n_d, w_d·T) per domain.
+
+    100 TB: the per-domain counts are a domain-cardinality-sized
+    aggregate (tiny) broadcast back onto the corpus; selection itself is
+    a narrow map (hash + threshold compare) — no corpus shuffle at all.
+    """
+    total_w = sum(target_weights.values())
+    rates = {d: w / total_w for d, w in target_weights.items()}
+    counts = (
+        df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__nd"))
+    )
+    rate_expr = F.coalesce(
+        *[
+            F.when(
+                F.col(domain_col) == F.lit(d),
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(frac) * target_rows) / F.col("__nd"),
+                ),
+            )
+            for d, frac in rates.items()
+        ],
+        F.lit(-1.0),  # domain not in the recipe → dropped
+    )
+    key = F.concat_ws(
+        "|",
+        F.lit(seed),
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+            for c in id_cols
+        ],
+    )
+    u = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        df.join(F.broadcast(counts), domain_col)
+        .withColumn("__rate", rate_expr)
+        .filter(u < F.col("__rate"))
+        .drop("__nd", "__rate")
+    )

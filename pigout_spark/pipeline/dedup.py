@@ -679,3 +679,119 @@ def retain_per_cluster(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def _positioned_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, start, sh): every ``n``-token shingle WITH its 0-based start
+    position — the positional variant of curation's shingle builder.
+    Docs shorter than ``n`` tokens contribute no rows."""
+    toks = ws_tokens(text_col, distinct=False)
+    d = df.select(F.col(id_col), toks.alias("__toks")).filter(
+        F.size("__toks") >= n
+    )
+    starts = F.sequence(F.lit(0), F.size("__toks") - n)
+    return d.select(
+        F.col(id_col),
+        F.explode(starts).alias("start"),
+        F.col("__toks"),
+    ).select(
+        F.col(id_col),
+        F.col("start").cast("long").alias("start"),
+        F.col("__toks"),
+    ).select(
+        F.col(id_col),
+        "start",
+        F.md5(
+            F.concat_ws(" ", F.slice("__toks", F.col("start") + 1, n))
+        ).alias("sh"),
+    )
+
+
+def duplicate_passage_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-internal duplicate-PASSAGE detection: emit every position
+    of every ``n``-token shingle that occurs in ≥ ``min_docs`` DISTINCT
+    documents — the n-gram-granularity member of the exact-substring
+    dedup family (suffix-array substring dedup's MapReduce-friendly
+    approximation).  Distinct from :func:`~pigout_spark.pipeline.text.
+    repetition_features` (within-doc repetition) and from curation's
+    ``decontaminate`` (cross-corpus): this finds boilerplate/quotation
+    spans REPEATED ACROSS the training corpus itself, positioned so a
+    downstream rewrite can cut the span rather than drop the doc.
+
+    Output: (id, start, sh, ndocs) — one row per duplicated shingle
+    position; ``ndocs`` is the corpus-wide distinct-document frequency
+    of that shingle.
+
+    100 TB: token-proportional all the way — positional shingle explode
+    (narrow), one groupBy(sh) with map-side partial count-distinct, one
+    key-equi join back on sh.  Never doc×doc.  A ubiquitous boilerplate
+    shingle is a skewed join key — AQE skew-join splits it; the output
+    size is inherent to the spec (every duplicated position is the
+    deliverable).  Count-distinct over doc ids per shingle is the one
+    memory-bound term; its partial aggregation keys on (sh, id) pairs,
+    both shuffle-friendly.
+    """
+    sh = _positioned_shingles(df, id_col, text_col, n)
+    counts = (
+        sh.groupBy("sh")
+        .agg(F.count_distinct(F.col(id_col)).alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+    )
+    return sh.join(counts, "sh").select(id_col, "start", "sh", "ndocs")
+
+
+def passage_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicate-passage profile: total shingle positions,
+    positions whose shingle is duplicated corpus-wide (≥ ``min_docs``
+    distinct docs), and the duplicated fraction — the doc-level signal
+    for "mostly boilerplate" filtering when span surgery is overkill.
+
+    Docs with fewer than ``n`` tokens have no shingles and are emitted
+    with zero counts and fraction 0.0 (they cannot carry a duplicated
+    passage).  Same shuffle profile as
+    :func:`duplicate_passage_spans` plus one groupBy(id).
+    """
+    sh = _positioned_shingles(df, id_col, text_col, n)
+    counts = (
+        sh.groupBy("sh")
+        .agg(F.count_distinct(F.col(id_col)).alias("__ndocs"))
+    )
+    per_doc = (
+        sh.join(counts, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("__ndocs") >= min_docs, 1).otherwise(0)
+            ).alias("n_dup_shingles"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_dup_shingles", F.lit(0)).alias("n_dup_shingles"),
+            F.when(
+                F.coalesce("n_shingles", F.lit(0)) > 0,
+                F.col("n_dup_shingles") / F.col("n_shingles"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_fraction"),
+        )
+    )

@@ -1255,3 +1255,127 @@ def x_text_unigram(spark, sf_dir):
         F.round("mean_logprob", 6).alias("mean_logprob6"),
         "n_tokens",
     )
+
+
+@query(
+    "x_dedup_passages",
+    f"""
+    WITH f AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, toks, len(toks) AS n FROM f WHERE len(toks) >= 13
+    ), p AS (
+      SELECT doc_id, unnest(range(0, n - 12)) AS start, toks FROM s
+    ), h AS (
+      SELECT doc_id, CAST(start AS BIGINT) AS start,
+             md5(array_to_string(list_slice(toks, start + 1, start + 13),
+                                 ' ')) AS sh
+      FROM p
+    ), c AS (
+      SELECT sh, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS ndocs
+      FROM h GROUP BY sh
+    )
+    SELECT doc_id, start, sh, ndocs
+    FROM h JOIN c USING (sh) WHERE ndocs >= 2
+    """,
+    extra=True,  # 50-query window full; selfcheck + pytest verified
+)
+def x_dedup_passages(spark, sf_dir):
+    """Duplicate-passage detection (exact-substring dedup family, Lee
+    et al.'s problem at 13-gram granularity): every POSITION of every
+    13-token shingle shared by ≥2 distinct docs — span-level output so
+    downstream surgery can cut boilerplate instead of dropping docs.
+    The hash pins doc, position, shingle hash, and corpus df."""
+    from pigout_spark.pipeline.dedup import duplicate_passage_spans
+
+    return duplicate_passage_spans(
+        tf(spark, sf_dir, "documents"), n=13, min_docs=2
+    )
+
+
+@query(
+    "x_passage_stats",
+    f"""
+    WITH f AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, toks, len(toks) AS n FROM f WHERE len(toks) >= 13
+    ), p AS (
+      SELECT doc_id, unnest(range(0, n - 12)) AS start, toks FROM s
+    ), h AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(toks, start + 1, start + 13),
+                                 ' ')) AS sh
+      FROM p
+    ), c AS (
+      SELECT sh, COUNT(DISTINCT doc_id) AS nd FROM h GROUP BY sh
+    ), pd AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_shingles
+      FROM h JOIN c USING (sh) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(n_shingles, 0) AS n_shingles,
+           coalesce(n_dup_shingles, 0) AS n_dup_shingles,
+           CASE WHEN coalesce(n_shingles, 0) > 0
+                THEN n_dup_shingles / n_shingles ELSE 0.0
+           END AS dup_fraction
+    FROM documents d LEFT JOIN pd USING (doc_id)
+    """,
+    extra=True,  # 50-query window full; selfcheck + pytest verified
+)
+def x_passage_stats(spark, sf_dir):
+    """Per-doc duplicate-passage profile: shingle positions, duplicated
+    positions, duplicated fraction — the doc-level 'mostly boilerplate'
+    filter signal; sub-13-token docs emitted with zeros."""
+    from pigout_spark.pipeline.dedup import passage_dup_stats
+
+    return passage_dup_stats(
+        tf(spark, sf_dir, "documents"), n=13, min_docs=2
+    )
+
+
+#: mixture recipe for the oracle — exercises the rate cap (src0 kept
+#: whole: 0.5·60 > 25), fractional rates (src1, src2), and recipe-absent
+#: domains (src3… dropped).  Rate literals are Python-computed floats
+#: embedded via repr() so Spark and DuckDB compare against the exact
+#: same double.
+_MIX_W = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+_MIX_T = 60
+_MIX_RATES_SQL = ", ".join(
+    f"('{d}', {w * _MIX_T!r})" for d, w in _MIX_W.items()
+)
+
+
+@query(
+    "x_mixture_sample",
+    f"""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS nd
+      FROM documents GROUP BY source
+    ), recipe(source, wt) AS (
+      VALUES {_MIX_RATES_SQL}
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d
+    JOIN counts USING (source)
+    JOIN recipe USING (source)
+    WHERE ('0x' || substring(md5('7' || '|' ||
+                   coalesce(d.doc_id::VARCHAR, chr(0))), 1, 8))::BIGINT
+          / 4294967296.0
+          < least(1.0, wt / nd)
+    """,
+    extra=True,  # 50-query window full; selfcheck + pytest verified
+)
+def x_mixture_sample(spark, sf_dir):
+    """Domain-mixture sampling to a target recipe (news×0.5 web×0.3 …):
+    per-domain deterministic md5-threshold rates min(1, w_d·T/n_d) —
+    counts aggregate broadcast back, selection a narrow map.  The hash
+    pins the exact surviving row set in both engines."""
+    from pigout_spark.pipeline.curation import mixture_sample
+
+    d = t(spark, sf_dir, "documents")
+    return mixture_sample(
+        d, "source", _MIX_W, _MIX_T, ["doc_id"], seed="7"
+    ).select("doc_id", "source")

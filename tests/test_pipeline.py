@@ -1008,3 +1008,107 @@ def test_unigram_logprob_semantics(spark):
     assert abs(out[2][0] - (3 * lp["a"] + lp["rare1"]) / 4) < 1e-12
     assert abs(out[3][0] - (lp["rare2"] + lp["rare3"]) / 2) < 1e-12
     assert out[3][0] < out[2][0] < out[1][0]
+
+
+def test_duplicate_passage_spans_positions(spark):
+    """Span detection finds the shared 3-gram at its exact positions in
+    each doc, counts distinct docs (within-doc repeats don't inflate
+    ndocs), and ignores shingles unique to one doc."""
+    from pigout_spark.pipeline.dedup import duplicate_passage_spans
+
+    rows = [
+        (1, "the quick brown fox jumps"),       # "the quick brown" @0
+        (2, "intro the quick brown fox"),       # @1, "quick brown fox" @2
+        (3, "the quick brown the quick brown"), # @0 and @3 (same doc)
+        (4, "totally different words here"),
+        (5, "ab"),                              # < n tokens → no shingles
+    ]
+    out = duplicate_passage_spans(
+        spark.createDataFrame(rows, ["doc_id", "text"]), n=3, min_docs=2
+    ).collect()
+    spans = {(r.doc_id, r.start): r.ndocs for r in out}
+    # "the quick brown" in docs 1,2,3 → ndocs=3 at every position
+    assert spans[(1, 0)] == 3 and spans[(2, 1)] == 3
+    assert spans[(3, 0)] == 3 and spans[(3, 3)] == 3
+    # "quick brown fox" in docs 1,2 → ndocs=2
+    assert spans[(1, 1)] == 2 and spans[(2, 2)] == 2
+    # nothing from the unique doc or the short doc
+    assert not any(d in (4, 5) for d, _ in spans)
+
+
+def test_passage_dup_stats_fractions(spark):
+    """Per-doc stats: correct totals, duplicated counts, exact
+    fractions; short docs appear with zeros rather than vanishing."""
+    from pigout_spark.pipeline.dedup import passage_dup_stats
+
+    rows = [
+        (1, "a b c d"),   # shingles: abc, bcd
+        (2, "a b c e"),   # shingles: abc, bce
+        (3, "x y"),       # too short
+    ]
+    out = {
+        r.doc_id: r
+        for r in passage_dup_stats(
+            spark.createDataFrame(rows, ["doc_id", "text"]), n=3, min_docs=2
+        ).collect()
+    }
+    assert (out[1].n_shingles, out[1].n_dup_shingles) == (2, 1)
+    assert abs(out[1].dup_fraction - 0.5) < 1e-12
+    assert (out[2].n_shingles, out[2].n_dup_shingles) == (2, 1)
+    assert (out[3].n_shingles, out[3].n_dup_shingles) == (3 - 3, 0)
+    assert out[3].dup_fraction == 0.0
+
+
+def test_duplicate_passages_no_cartesian(spark):
+    """The passage join is key-equi on the shingle hash — the physical
+    plan must not contain a cartesian/nested-loop product."""
+    from pigout_spark.pipeline.dedup import duplicate_passage_spans
+
+    df = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} shared shared shared") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    plan = duplicate_passage_spans(df, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mixture_sample_recipe_and_determinism(spark):
+    """Mixture sampling: underweight domains kept whole (rate caps at
+    1), recipe-absent domains dropped, fractional domains near their
+    target count, and the selection is bit-identical across runs."""
+    from pigout_spark.pipeline.curation import mixture_sample
+
+    rows = [(f"a{i}", "a") for i in range(40)] + \
+           [(f"b{i}", "b") for i in range(400)] + \
+           [(f"c{i}", "c") for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = mixture_sample(
+        df, "source", {"a": 0.5, "b": 0.5}, target_rows=200,
+        id_cols=["doc_id"], seed="1",
+    )
+    got = out.groupBy("source").count().collect()
+    by = {r.source: r["count"] for r in got}
+    # a: rate = min(1, 100/40) = 1 → all 40 kept, exactly
+    assert by.get("a") == 40
+    # b: rate = 100/400 = 0.25 → ~100 of 400 (binomial, generous bounds)
+    assert 60 <= by.get("b", 0) <= 140
+    # c: not in recipe → dropped entirely
+    assert "c" not in by
+    # deterministic: identical row set on a second run
+    ids1 = {r.doc_id for r in out.collect()}
+    ids2 = {
+        r.doc_id
+        for r in mixture_sample(
+            df, "source", {"a": 0.5, "b": 0.5}, 200, ["doc_id"], seed="1"
+        ).collect()
+    }
+    assert ids1 == ids2
+    # a different seed draws a different (same-rate) subset of b
+    ids3 = {
+        r.doc_id
+        for r in mixture_sample(
+            df, "source", {"a": 0.5, "b": 0.5}, 200, ["doc_id"], seed="2"
+        ).collect()
+    }
+    assert ids1 != ids3
