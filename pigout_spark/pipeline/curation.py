@@ -216,3 +216,118 @@ def mixture_sample(
         .filter(u < F.col("__rate"))
         .drop("__nd", "__rate")
     )
+
+
+def importance_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    target_text_col: str | None = None,
+) -> DataFrame:
+    """Data-selection IMPORTANCE WEIGHTS (the DSIR recipe with unigram
+    features): score every corpus doc by how much more likely its
+    tokens are under a TARGET-domain language model than under the
+    corpus model — ``log w(x) = Σ_tok [ln p_t(tok) − ln p_c(tok)]``,
+    both unigram models Laplace-smoothed (``+α`` over the joint
+    vocabulary) so unseen tokens stay finite.  High log-weight docs
+    "look like the target" (e.g. Wikipedia, a benchmark's domain);
+    feed the output to :func:`importance_resample` for the draw.
+
+    Output: (id, log_weight, n_tokens); zero-token docs are dropped
+    (no evidence either way).
+
+    100 TB: the target corpus is typically small (a quality reference
+    set) — its frequency table is vocabulary-sized either way.  The
+    corpus side pays one explode + groupBy(token) (map-side combine)
+    for its own model, one token-keyed join of its token stream
+    against the two frequency tables (broadcast when vocabulary-sized,
+    shuffle otherwise; stopword skew → AQE), and one groupBy(doc).
+    Scalars (N_c, N_t, |V|) ride a broadcast single-row frame — no
+    driver collect in the data path.
+    """
+    from pigout_spark.pipeline.dedup import ws_tokens
+
+    ttext = target_text_col or text_col
+    ctoks = (
+        corpus.select(F.col(id_col), F.explode(ws_tokens(text_col, distinct=False)).alias("__tok"))
+    )
+    cf = ctoks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cf"))
+    tf_ = (
+        target.select(F.explode(ws_tokens(ttext, distinct=False)).alias("__tok"))
+        .groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    vocab = (
+        cf.select("__tok").union(tf_.select("__tok")).distinct()
+        .agg(F.count(F.lit(1)).cast("double").alias("__v"))
+    )
+    scalars = (
+        cf.agg(F.sum("__cf").cast("double").alias("__nc"))
+        .crossJoin(tf_.agg(F.sum("__tf").cast("double").alias("__nt")))
+        .crossJoin(vocab)
+    )
+    a = F.lit(float(alpha))
+    lr = (
+        F.log((F.coalesce(F.col("__tf"), F.lit(0)) + a) / (F.col("__nt") + a * F.col("__v")))
+        - F.log((F.col("__cf") + a) / (F.col("__nc") + a * F.col("__v")))
+    )
+    scored = (
+        ctoks.join(cf, "__tok")
+        .join(tf_, "__tok", "left")
+        .crossJoin(F.broadcast(scalars))
+        .select(F.col(id_col), lr.alias("__lr"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("__lr").alias("log_weight"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+    )
+
+
+def importance_resample(
+    corpus: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    seed: str = "0",
+    target_text_col: str | None = None,
+) -> DataFrame:
+    """Importance RESAMPLING: draw ``k`` docs without replacement with
+    probability ∝ their importance weight — the Gumbel top-k trick
+    (score = log w + Gumbel noise; the top-k by score IS the weighted
+    draw), exactly DSIR's selection step.
+
+    The Gumbel variate is DETERMINISTIC: u = (md5-prefix + 0.5)/2³²
+    ∈ (0,1) from (seed, id) — the hash_sample discipline — then
+    g = −ln(−ln u); identical draw in any engine, reproducible across
+    runs, seed swaps give independent draws.  Output: (id, score)
+    for the k selected docs.
+
+    100 TB: weights as in :func:`importance_weights`; the top-k is
+    TakeOrdered (per-partition heaps + driver merge of k·P rows) —
+    no global sort, no single-partition window.
+    """
+    w = importance_weights(
+        corpus, target, id_col, text_col, alpha, target_text_col
+    )
+    key = F.concat_ws(
+        "|",
+        F.lit(seed),
+        F.coalesce(F.col(id_col).cast("string"), F.lit("\x00")),
+    )
+    u = (
+        (F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double") + 0.5)
+        / F.lit(4294967296.0)
+    )
+    gumbel = -F.log(-F.log(u))
+    return (
+        w.select(
+            F.col(id_col),
+            (F.col("log_weight") + gumbel).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

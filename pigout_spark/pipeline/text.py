@@ -501,3 +501,127 @@ def unigram_logprob(
         F.avg("__lp").alias(out),
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
     )
+
+
+def word_frequencies(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(word, n): corpus word-frequency table — THE corpus-sized pass of
+    BPE tokenizer training (everything after it is vocabulary-sized).
+    One explode + groupBy(word) with map-side combine."""
+    return (
+        df.select(F.explode(ws_tokens(text_col, distinct=False)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """BPE pair statistics (tokenizer-training primitive): corpus-wide
+    frequency of each adjacent CHARACTER pair inside words, weighted by
+    word frequency — the quantity BPE's first merge decision maximizes.
+
+    Two stages: the corpus-sized word count
+    (:func:`word_frequencies`), then pair extraction over the VOCABULARY
+    (distinct words — ≪ corpus), so the expensive explode never touches
+    corpus volume.  Pure column expressions (substring over a character
+    index sequence): zero Python, whole-stage codegen.
+
+    100 TB: stage 1 is one token-keyed shuffle (map-side combined);
+    stage 2 is vocabulary-sized — at web scale ~10⁷ distinct words vs
+    ~10¹³ tokens, a 10⁶× reduction before any per-character work.
+    """
+    wc = word_frequencies(df, text_col)
+    pairs = wc.filter(F.length("word") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "n",
+    )
+    return pairs.groupBy("pair").agg(F.sum("n").alias("cnt"))
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+) -> list[tuple[str, str]]:
+    """Train ``n_merges`` BPE merges on the corpus — the classic
+    scalable formulation: ONE corpus-sized pass (word frequencies),
+    then every iteration operates on the vocabulary table only.
+
+    Each word is held as a space-joined symbol string (chars to start);
+    per round: count adjacent symbol pairs weighted by word frequency,
+    pick the most frequent (ties → lexicographic, deterministic),
+    apply the merge with one ``regexp_replace`` narrow map.  The only
+    driver-side data is the argmax pair (1 row per round).
+
+    Greedy/sequential by definition (merge i+1 depends on i) — the
+    parallelism is WITHIN each round, as in every production BPE
+    trainer; rounds are vocabulary-sized Spark jobs, not corpus-sized.
+    Returns the merge list [(left, right), ...] in training order.
+    """
+    spark = df.sparkSession
+    vocab = (
+        word_frequencies(df, text_col)
+        .select(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word")),
+                    lambda i: F.col("word").substr(i, F.lit(1)),
+                ),
+            ).alias("sym"),
+            "n",
+        )
+    )
+    vocab = vocab.localCheckpoint(eager=True)  # corpus pass runs ONCE
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        toks = F.split("sym", " ")
+        pair_arr = F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                "\x1f", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        )
+        best = (
+            vocab.filter(F.size(toks) >= 2)
+            .select(F.explode(pair_arr).alias("pair"), "n")
+            .groupBy("pair")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break  # every word fully merged
+        left, right = best[0]["pair"].split("\x1f")
+        merges.append((left, right))
+        # merge every "left right" symbol bigram; \x00 guards keep the
+        # replace anchored on symbol boundaries (start/end included)
+        pat = (
+            "(?<=^|\\s)" + _re_quote(left) + " " + _re_quote(right) + "(?=\\s|$)"
+        )
+        vocab = vocab.withColumn(
+            "sym", F.regexp_replace("sym", pat, _repl_quote(left + right))
+        ).localCheckpoint(eager=True)  # constant-depth lineage per round
+    return merges
+
+
+def _re_quote(s: str) -> str:
+    """Java-regex literal quoting for symbol text."""
+    import re as _re
+
+    return _re.escape(s)
+
+
+def _repl_quote(s: str) -> str:
+    """Quote a regexp_replace REPLACEMENT (Matcher.quoteReplacement):
+    backslashes and ``$`` group refs are the only metacharacters."""
+    return s.replace("\\", "\\\\").replace("$", "\\$")

@@ -1379,3 +1379,117 @@ def x_mixture_sample(spark, sf_dir):
     return mixture_sample(
         d, "source", _MIX_W, _MIX_T, ["doc_id"], seed="7"
     ).select("doc_id", "source")
+
+
+@query(
+    "x_bpe_pairs",
+    f"""
+    WITH f AS (
+      SELECT {_SQL_TOKS} AS toks FROM documents
+    ), w AS (
+      SELECT unnest(toks) AS word FROM f
+    ), wc AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY word
+    ), i AS (
+      SELECT word, n, unnest(range(1, length(word))) AS i
+      FROM wc WHERE length(word) >= 2
+    )
+    SELECT substring(word, i, 2) AS pair, CAST(SUM(n) AS BIGINT) AS cnt
+    FROM i GROUP BY pair
+    """,
+    extra=True,  # 50-query window full; selfcheck + pytest verified
+)
+def x_bpe_pairs(spark, sf_dir):
+    """BPE tokenizer-training pair statistics: adjacent character-pair
+    frequency weighted by word frequency — the corpus pass is the word
+    count; pair extraction runs over the vocabulary only (the scalable
+    BPE formulation; pipeline/text.py bpe_pair_counts + bpe_train)."""
+    from pigout_spark.pipeline.text import bpe_pair_counts
+
+    return bpe_pair_counts(tf(spark, sf_dir, "documents"))
+
+
+#: DSIR oracle CTE spine, shared by weights + resample: unigram models
+#: over corpus (all documents) and target (source='src0'), Laplace α=0.5
+#: over the joint vocabulary.
+_DSIR_CTES = f"""
+    WITH ct AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+    ), cf AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cfn FROM ct GROUP BY tok
+    ), tt AS (
+      SELECT unnest({_SQL_TOKS}) AS tok FROM documents WHERE source = 'src0'
+    ), tfq AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS tfn FROM tt GROUP BY tok
+    ), vv AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS v
+      FROM (SELECT tok FROM cf UNION SELECT tok FROM tfq)
+    ), sc AS (
+      SELECT (SELECT CAST(SUM(cfn) AS DOUBLE) FROM cf) AS nc,
+             (SELECT CAST(SUM(tfn) AS DOUBLE) FROM tfq) AS nt,
+             (SELECT v FROM vv) AS v
+    ), w AS (
+      SELECT doc_id,
+             SUM(ln((coalesce(tfn, 0) + 0.5) / (nt + 0.5 * v))
+                 - ln((cfn + 0.5) / (nc + 0.5 * v))) AS log_weight,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM ct JOIN cf USING (tok) LEFT JOIN tfq USING (tok)
+      CROSS JOIN sc
+      GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "x_dsir_weights",
+    _DSIR_CTES
+    + """
+    SELECT doc_id, ROUND(log_weight, 6) AS log_weight6, n_tokens
+    FROM w
+    """,
+    extra=True,  # 50-query window full; selfcheck + pytest verified
+)
+def x_dsir_weights(spark, sf_dir):
+    """DSIR-style importance weights: per-doc log-likelihood ratio of a
+    target-domain unigram LM (here: the src0 slice) vs the corpus LM,
+    Laplace-smoothed over the joint vocabulary — the data-selection
+    scoring pass (pipeline/curation.py importance_weights).  Rounded
+    to 6 decimals (ln transcendental; x_text_unigram convention)."""
+    from pigout_spark.pipeline.curation import importance_weights
+
+    d = t(spark, sf_dir, "documents")
+    out = importance_weights(d, d.filter(F.col("source") == "src0"))
+    return out.select(
+        "doc_id", F.round("log_weight", 6).alias("log_weight6"), "n_tokens"
+    )
+
+
+@query(
+    "x_dsir_sample",
+    _DSIR_CTES
+    + """
+    , g AS (
+      SELECT doc_id,
+             log_weight
+             - ln(-ln((('0x' || substring(md5('5' || '|' ||
+                          coalesce(doc_id::VARCHAR, chr(0))), 1, 8))::BIGINT
+                       + 0.5) / 4294967296.0)) AS score
+      FROM w
+    )
+    SELECT doc_id, ROUND(score, 6) AS score6
+    FROM g ORDER BY score DESC, doc_id LIMIT 100
+    """,
+    extra=True,  # 50-query window full; selfcheck + pytest verified
+)
+def x_dsir_sample(spark, sf_dir):
+    """DSIR selection step: Gumbel top-k resampling (score = log w +
+    deterministic md5-derived Gumbel noise; top-k by score IS the
+    weighted without-replacement draw) — TakeOrdered, no global sort.
+    The hash pins the exact 100-doc draw in both engines."""
+    from pigout_spark.pipeline.curation import importance_resample
+
+    d = t(spark, sf_dir, "documents")
+    out = importance_resample(
+        d, d.filter(F.col("source") == "src0"), k=100, seed="5"
+    )
+    return out.select("doc_id", F.round("score", 6).alias("score6"))

@@ -1112,3 +1112,95 @@ def test_mixture_sample_recipe_and_determinism(spark):
         ).collect()
     }
     assert ids1 != ids3
+
+
+def test_bpe_pair_counts_weighted(spark):
+    """Pair counts are word-frequency weighted character bigrams:
+    hand-computed on a tiny corpus."""
+    from pigout_spark.pipeline.text import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "ab ab abc"), (2, "ab x")], ["doc_id", "text"]
+    )
+    got = {r.pair: r.cnt for r in bpe_pair_counts(df).collect()}
+    # 'ab'×3 + 'abc'×1 → pair "ab" = 4; "bc" from abc = 1; "x" no pairs
+    assert got == {"ab": 4, "bc": 1}
+
+
+def test_bpe_train_merge_order(spark):
+    """bpe_train reproduces the classic low/lower/lowest example: the
+    first merges build 'low' greedily, ties break lexicographically,
+    and merges apply left-to-right non-overlapping."""
+    from pigout_spark.pipeline.text import bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "low low low low lower lowest newest newest")],
+        ["doc_id", "text"],
+    )
+    merges = bpe_train(df, 3)
+    # l-o and o-w both appear 6x; 'lo' < 'ow' lexicographically → (l,o)
+    # first, then (lo,w) at 6.  Next: e-s and s-t at 3 ('es' wins tie
+    # vs 'st'; w-e is 2, n-e/e-w 2).
+    assert merges == [("l", "o"), ("lo", "w"), ("e", "s")]
+
+
+def test_bpe_train_overlapping_merge_left_to_right(spark):
+    """Merging (a,a) over 'aaaa' (symbols 'a a a a') must produce
+    'aa aa' (left-to-right non-overlapping), so the next round can
+    merge (aa,aa) — the standard BPE application order."""
+    from pigout_spark.pipeline.text import bpe_train
+
+    df = spark.createDataFrame([(1, "aaaa aaaa")], ["doc_id", "text"])
+    merges = bpe_train(df, 2)
+    assert merges == [("a", "a"), ("aa", "aa")]
+
+
+def test_importance_weights_favor_target_like_docs(spark):
+    """DSIR scoring: docs made of target-domain tokens get strictly
+    higher log-weights than out-of-domain docs; zero-token docs drop;
+    weights are finite even for tokens unseen in the target (Laplace)."""
+    from pigout_spark.pipeline.curation import importance_weights
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "physics quantum theory physics"),
+            (2, "physics quantum"),
+            (3, "celebrity gossip scandal gossip"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    target = spark.createDataFrame(
+        [(100, "physics quantum field theory quantum physics")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in importance_weights(corpus, target).collect()}
+    assert 4 not in out
+    assert out[1].n_tokens == 4
+    # target-like docs beat the gossip doc per token and in total
+    assert out[1].log_weight > 0 > out[3].log_weight
+    assert out[2].log_weight > out[3].log_weight
+    import math
+    assert all(math.isfinite(r.log_weight) for r in out.values())
+
+
+def test_importance_resample_weighted_and_deterministic(spark):
+    """Gumbel top-k: the draw is reproducible for a fixed seed, changes
+    with the seed, and target-like docs are strongly over-represented
+    vs a uniform draw."""
+    from pigout_spark.pipeline.curation import importance_resample
+
+    rows = [(i, "physics quantum theory") for i in range(50)] + [
+        (i, "random noise words") for i in range(50, 100)
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    target = spark.createDataFrame(
+        [(0, "physics quantum field theory")], ["doc_id", "text"]
+    )
+    d1 = {r.doc_id for r in importance_resample(corpus, target, 20, seed="a").collect()}
+    d2 = {r.doc_id for r in importance_resample(corpus, target, 20, seed="a").collect()}
+    d3 = {r.doc_id for r in importance_resample(corpus, target, 20, seed="b").collect()}
+    assert d1 == d2 and len(d1) == 20
+    assert d1 != d3
+    # physics docs (ids < 50) dominate the draw
+    assert sum(1 for i in d1 if i < 50) >= 16
