@@ -36,6 +36,9 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_simhash_pairs",
     "dedup_embedding",
+    "x_dedup_passages",
+    "x_passage_stats",
+    "x_dsir_weights",
     "sim_cosine_topk",
     "sim_ann_topk",
     "sim_ivf_topk",
