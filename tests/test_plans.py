@@ -190,3 +190,31 @@ def test_shuffle_order_no_data_single_partition(spark, sf_dir):
     for i, l in enumerate(lines):
         if "Exchange SinglePartition" in l:
             assert "HashAggregate" in lines[i + 1] and "count" in lines[i + 1]
+
+
+@pytest.mark.parametrize(
+    "name", ["x_dedup_passages", "x_passage_stats", "x_mixture_sample"]
+)
+def test_late_r5_ops_key_equi_joins_only(spark, sf_dir, name):
+    """Passage detection and mixture sampling are pure key-equi joins —
+    no cartesian, no nested-loop fallback anywhere in the plan."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mixture_sample_broadcasts_domain_counts(spark, sf_dir):
+    """The domain-count frame must come back as a broadcast hash join —
+    a shuffle join here would shuffle the whole corpus to sample it."""
+    plan = plan_of(spark, sf_dir, "x_mixture_sample")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # corpus must never shuffle to meet counts
+
+
+def test_dsir_no_cartesian_scalars_broadcast(spark, sf_dir):
+    """DSIR's token joins are key-equi; the single-row scalar frame
+    (N_c, N_t, |V|) rides a broadcast — the only nested-loop node
+    allowed (the q21 scalar-projection pattern)."""
+    for name in ("x_dsir_weights", "x_dsir_sample"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan
