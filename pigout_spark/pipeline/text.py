@@ -625,3 +625,130 @@ def _repl_quote(s: str) -> str:
     """Quote a regexp_replace REPLACEMENT (Matcher.quoteReplacement):
     backslashes and ``$`` group refs are the only metacharacters."""
     return s.replace("\\", "\\\\").replace("$", "\\$")
+
+
+def bpe_apply_merges(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Reference BPE encode of one word: repeatedly merge the
+    lowest-rank adjacent pair (ties cannot occur — ranks are unique),
+    applying each chosen merge left-to-right — the standard algorithm,
+    shared by the Spark path and tests."""
+    syms = list(word)
+    while len(syms) >= 2:
+        best_rank, best_pair = None, None
+        for pair in zip(syms, syms[1:]):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, pair
+        if best_pair is None:
+            break
+        out, i = [], 0
+        while i < len(syms):
+            if (
+                i + 1 < len(syms)
+                and (syms[i], syms[i + 1]) == best_pair
+            ):
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply trained BPE ``merges`` (from :func:`bpe_train`) to every
+    document: output (id, array of BPE token strings, token count) —
+    the ENCODE step that turns curation output into tokenizer-ready
+    counts (real pipelines re-verify token budgets post-BPE, since
+    whitespace counts undercount code/URLs).
+
+    Scalable layout: the per-word merge loop (inherently sequential,
+    Python) runs ONLY over the DISTINCT-WORD vocabulary via an
+    Arrow-batched ``mapInPandas`` — at web scale ~10⁷ words, not ~10¹³
+    tokens — producing a (word → token array) map that the corpus
+    token stream equi-joins (broadcast when vocabulary-sized).  The
+    corpus itself never meets Python.
+
+    100 TB: one corpus explode + groupBy(doc) reassembly around a
+    vocabulary-sized join; the merge table is a driver-held list
+    (tokenizer merge files are ~10⁴–10⁵ entries — KBs) shipped in the
+    UDF closure.
+    """
+    import pandas as _pd
+
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def run(batches):
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "toks": [bpe_apply_merges(w, ranks) for w in pdf["word"]],
+                }
+            )
+
+    toks = ws_tokens(text_col, distinct=False)
+    # positional explode so reassembly preserves document token order
+    words = df.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "word")
+    )
+    vocab_map = (
+        words.select("word")
+        .distinct()
+        .mapInPandas(run, schema="word string, toks array<string>")
+    )
+    return (
+        words.join(vocab_map, "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "toks"))
+                    ),
+                    lambda s: s["toks"],
+                )
+            ).alias(out)
+        )
+        .withColumn("n_bpe_tokens", F.size(out).cast("long"))
+    )
+
+
+def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row corpus summary — the dashboard numbers every curation
+    run reports: docs, empty docs, total/distinct whitespace tokens,
+    total chars, exact-duplicate text rate.
+
+    Single pass over the corpus: one explode+agg for token totals
+    (map-side combined) cross-joined with doc-level aggregates; the
+    duplicate rate reuses the exact-dedup fingerprint groupBy.  All
+    broadcast-sized intermediates (each aggregate is one row).
+    """
+    toks = ws_tokens(text_col, distinct=False)
+    docs = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.length(F.trim(F.col(text_col))) == 0, 1).otherwise(0)
+        ).alias("n_empty_docs"),
+        F.sum(F.length(text_col)).alias("n_chars"),
+        F.sum(F.size(toks)).cast("long").alias("n_tokens"),
+    )
+    vocab = (
+        df.select(F.explode(toks).alias("__tok"))
+        .agg(F.count_distinct("__tok").alias("n_distinct_tokens"))
+    )
+    dups = (
+        df.groupBy(F.md5(F.col(text_col)).alias("__fp"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(
+            F.sum(F.col("__n") - 1).cast("long").alias("n_exact_dup_docs")
+        )
+    )
+    return docs.crossJoin(F.broadcast(vocab)).crossJoin(F.broadcast(dups))

@@ -1493,3 +1493,53 @@ def x_dsir_sample(spark, sf_dir):
         d, d.filter(F.col("source") == "src0"), k=100, seed="5"
     )
     return out.select("doc_id", F.round("score", 6).alias("score6"))
+
+
+@query(
+    "x_corpus_stats",
+    f"""
+    WITH d AS (
+      SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents
+    ), a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_empty_docs,
+             CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+             CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+      FROM d
+    ), v AS (
+      SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+      FROM (SELECT unnest(toks) AS tok FROM d)
+    ), du AS (
+      SELECT CAST(SUM(c - 1) AS BIGINT) AS n_exact_dup_docs
+      FROM (SELECT COUNT(*) AS c FROM documents GROUP BY md5(text))
+    )
+    SELECT * FROM a, v, du
+    """,
+    extra=True,  # 50-query window full; selfcheck + pytest verified
+)
+def x_corpus_stats(spark, sf_dir):
+    """One-row corpus dashboard: docs, empties, chars, tokens, vocab,
+    exact-dup count — the summary every curation run logs; one corpus
+    pass, broadcast-sized intermediates (pipeline/text.py)."""
+    from pigout_spark.pipeline.text import corpus_stats
+
+    return corpus_stats(t(spark, sf_dir, "documents"))
+
+
+@query("x_bpe_encode", extra=True)  # rows-only: the per-word merge loop
+# (train 8 merges, encode the corpus) is genuinely non-SQL-expressible —
+# iterative argmax-dependent rewriting; pytest pins exact token output.
+def x_bpe_encode(spark, sf_dir):
+    """BPE encode with corpus-trained merges: Python confined to the
+    DISTINCT-WORD vocabulary (mapInPandas), corpus re-assembled by a
+    positional join — never row-at-a-time over corpus volume."""
+    from pigout_spark.pipeline.text import bpe_encode, bpe_train
+
+    d = t(spark, sf_dir, "documents")
+    merges = bpe_train(d, 8)
+    return bpe_encode(d, merges).select(
+        "doc_id",
+        F.md5(F.concat_ws("\x1f", "bpe_tokens")).alias("bpe_fp"),
+        "n_bpe_tokens",
+    )

@@ -1204,3 +1204,59 @@ def test_importance_resample_weighted_and_deterministic(spark):
     assert d1 != d3
     # physics docs (ids < 50) dominate the draw
     assert sum(1 for i in d1 if i < 50) >= 16
+
+
+def test_bpe_encode_exact_tokens(spark):
+    """Encode with trained merges reproduces hand-derived BPE: 'lowest'
+    → low+est, 'newest' → n+ew+est, order preserved, counts right —
+    and the Python merge loop only ever sees the distinct vocabulary."""
+    from pigout_spark.pipeline.text import bpe_encode, bpe_train
+
+    df = spark.createDataFrame(
+        [
+            (1, "low low low low lower lowest newest newest"),
+            (2, "low newest"),
+        ],
+        ["doc_id", "text"],
+    )
+    merges = bpe_train(df, 5)
+    assert merges == [("l", "o"), ("lo", "w"), ("e", "s"), ("es", "t"), ("e", "w")]
+    out = {r.doc_id: r for r in bpe_encode(df, merges).collect()}
+    assert out[2].bpe_tokens == ["low", "n", "ew", "est"]
+    assert out[1].bpe_tokens == (
+        ["low"] * 5 + ["e", "r"] + ["low", "est"] + ["n", "ew", "est"] * 2
+    )
+    assert out[1].n_bpe_tokens == 15
+
+
+def test_bpe_apply_merges_rank_order_not_list_order(spark):
+    """The encode loop must pick the LOWEST-RANK pair present, not the
+    leftmost: with merges [(a,b) rank0, (b,c) rank1] the word 'abc'
+    becomes [ab, c] — (a,b) wins even though (b,c) is also present."""
+    from pigout_spark.pipeline.text import bpe_apply_merges
+
+    ranks = {("a", "b"): 0, ("b", "c"): 1}
+    assert bpe_apply_merges("abc", ranks) == ["ab", "c"]
+    # and the other priority: (b,c) rank0 consumes first
+    assert bpe_apply_merges("abc", {("b", "c"): 0, ("a", "b"): 1}) == ["a", "bc"]
+
+
+def test_corpus_stats_values(spark):
+    """Corpus dashboard numbers on a hand-countable corpus, including
+    empty docs and exact duplicates."""
+    from pigout_spark.pipeline.text import corpus_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c"),
+            (2, "a b c"),   # exact dup of 1
+            (3, "d e"),
+            (4, "  "),      # empty after trim
+        ],
+        ["doc_id", "text"],
+    )
+    r = corpus_stats(df).collect()[0]
+    assert r.n_docs == 4 and r.n_empty_docs == 1
+    assert r.n_tokens == 8 and r.n_distinct_tokens == 5
+    assert r.n_exact_dup_docs == 1
+    assert r.n_chars == 5 + 5 + 3 + 2
