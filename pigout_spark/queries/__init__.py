@@ -37,8 +37,10 @@ from pigout_spark.queries import udf_q  # noqa: F401,E402
 # dedup chain, chunking/PII/repetition curation ops, int8 quantization,
 # the stream-stream interval join, and the Latin TOP-K/UDF script paths
 # — displacing settled single-family rows q08/q12/q14/q16/q17/q19/q20/
-# q21/q33/q34/q36, all of which keep their local oracle as extras and
-# whose operator families stay driver-covered elsewhere) come first —
+# q21/q33/q34/q36; late-r5 adds the duplicate-passage/mixture/BPE/DSIR/
+# corpus-stats family, displacing q04/q07/q28/q29/q30/dedup_jaccard/
+# sim_ann_topk — every displaced row keeps its local oracle as an extra
+# and its operator family stays driver-covered elsewhere) come first —
 # a hedge against any time-based element of the cutoff.
 _PRIORITY = [
     "q01_group_agg",
@@ -57,10 +59,14 @@ _PRIORITY = [
     "x_rank_by_scalable",
     "x_row_rank_two_pass",
     "x_stream_dedup",
+    "x_dedup_passages",
+    "x_passage_stats",
+    "x_mixture_sample",
+    "x_bpe_pairs",
+    "x_dsir_weights",
+    "x_dsir_sample",
+    "x_corpus_stats",
     "q27_stream_through",
-    "q28_group_bag",
-    "q29_union_onschema",
-    "q30_sample",
     "dedup_simhash_pairs",
     "q38_bloom_join",
     "x_decontaminate",

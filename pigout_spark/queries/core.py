@@ -238,6 +238,7 @@ def q03_join_agg(spark, sf_dir):
     LEFT JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY c.c_custkey
     """,
+    extra=True,  # late-r5 rotation: settled driver-green row parked as local extra
 )
 def q04_outer_join(spark, sf_dir):
     """Pig: JOIN customer BY c_custkey LEFT OUTER, orders BY o_custkey;
@@ -341,6 +342,7 @@ def q06_semi_anti(spark, sf_dir):
     WHERE s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal
     GROUP BY s.s_nationkey
     """,
+    extra=True,  # late-r5 rotation: settled driver-green row parked as local extra
 )
 def q07_cross_theta(spark, sf_dir):
     """Pig idiom: CROSS supplier, customer; FILTER BY theta predicate.

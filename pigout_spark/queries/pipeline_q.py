@@ -213,6 +213,7 @@ def x_dedup_retain(spark, sf_dir):
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE i / (sa.sz + sb.sz - i) >= 0.5
     """,
+    extra=True,  # late-r5 rotation: settled driver-green row parked as local extra
 )
 def dedup_jaccard(spark, sf_dir):
     """Exact n-gram (token-set) Jaccard ≥ 0.5 via inverted-index
@@ -365,7 +366,7 @@ def _ann_topk_sql() -> str:
     )
 
 
-@query("sim_ann_topk", _ann_topk_sql())
+@query("sim_ann_topk", _ann_topk_sql(), extra=True)
 def sim_ann_topk(spark, sf_dir):
     """Approximate top-3 within the query's LSH bucket: bucket-equi-join
     candidates, exact cosine inside the bucket — the full ANN path with
@@ -1278,7 +1279,6 @@ def x_text_unigram(spark, sf_dir):
     SELECT doc_id, start, sh, ndocs
     FROM h JOIN c USING (sh) WHERE ndocs >= 2
     """,
-    extra=True,  # 50-query window full; selfcheck + pytest verified
 )
 def x_dedup_passages(spark, sf_dir):
     """Duplicate-passage detection (exact-substring dedup family, Lee
@@ -1323,7 +1323,6 @@ def x_dedup_passages(spark, sf_dir):
            END AS dup_fraction
     FROM documents d LEFT JOIN pd USING (doc_id)
     """,
-    extra=True,  # 50-query window full; selfcheck + pytest verified
 )
 def x_passage_stats(spark, sf_dir):
     """Per-doc duplicate-passage profile: shingle positions, duplicated
@@ -1366,7 +1365,6 @@ _MIX_RATES_SQL = ", ".join(
           / 4294967296.0
           < least(1.0, wt / nd)
     """,
-    extra=True,  # 50-query window full; selfcheck + pytest verified
 )
 def x_mixture_sample(spark, sf_dir):
     """Domain-mixture sampling to a target recipe (news×0.5 web×0.3 …):
@@ -1397,7 +1395,6 @@ def x_mixture_sample(spark, sf_dir):
     SELECT substring(word, i, 2) AS pair, CAST(SUM(n) AS BIGINT) AS cnt
     FROM i GROUP BY pair
     """,
-    extra=True,  # 50-query window full; selfcheck + pytest verified
 )
 def x_bpe_pairs(spark, sf_dir):
     """BPE tokenizer-training pair statistics: adjacent character-pair
@@ -1447,7 +1444,6 @@ _DSIR_CTES = f"""
     SELECT doc_id, ROUND(log_weight, 6) AS log_weight6, n_tokens
     FROM w
     """,
-    extra=True,  # 50-query window full; selfcheck + pytest verified
 )
 def x_dsir_weights(spark, sf_dir):
     """DSIR-style importance weights: per-doc log-likelihood ratio of a
@@ -1479,7 +1475,6 @@ def x_dsir_weights(spark, sf_dir):
     SELECT doc_id, ROUND(score, 6) AS score6
     FROM g ORDER BY score DESC, doc_id LIMIT 100
     """,
-    extra=True,  # 50-query window full; selfcheck + pytest verified
 )
 def x_dsir_sample(spark, sf_dir):
     """DSIR selection step: Gumbel top-k resampling (score = log w +
@@ -1516,7 +1511,6 @@ def x_dsir_sample(spark, sf_dir):
     )
     SELECT * FROM a, v, du
     """,
-    extra=True,  # 50-query window full; selfcheck + pytest verified
 )
 def x_corpus_stats(spark, sf_dir):
     """One-row corpus dashboard: docs, empties, chars, tokens, vocab,

@@ -174,6 +174,7 @@ def q27_stream_through(spark, sf_dir):
            COUNT(*) AS n
     FROM supplier GROUP BY s_nationkey
     """,
+    extra=True,  # late-r5 rotation: settled driver-green row parked as local extra
 )
 def q28_group_bag(spark, sf_dir):
     """Pig GROUP with the bag consumed whole (BagToString over a sorted
@@ -200,6 +201,7 @@ def q28_group_bag(spark, sf_dir):
     SELECT s_suppkey AS id, CAST(NULL AS VARCHAR) AS name, s_acctbal AS bal
     FROM supplier
     """,
+    extra=True,  # late-r5 rotation: settled driver-green row parked as local extra
 )
 def q29_union_onschema(spark, sf_dir):
     """Pig UNION ONSCHEMA: union by column name, null-filling columns
@@ -224,6 +226,7 @@ def q29_union_onschema(spark, sf_dir):
                              1, 8))::BIGINT
           % 10000 < 1000
     """,
+    extra=True,  # late-r5 rotation: settled driver-green row parked as local extra
 )
 def q30_sample(spark, sf_dir):
     """Pig `SAMPLE A 0.1` via the deterministic md5 hash-sample — the
