@@ -5,7 +5,11 @@ Generates random scan→filter→group→agg plans over the fixture schema as
 BOTH a DataFrame expression and the equivalent SQL, runs them on Spark
 and DuckDB, and hash-compares results with the same normalization the
 selfcheck uses.  Catches mapping bugs broadly instead of per-curated-
-query.
+query.  Also fuzzes the Latin compiler (gen_latin) and the late-r5
+pipeline ops (gen_pipeline: passage spans/stats, mixture sampling,
+corpus stats, DSIR weights) over RANDOM inline corpora with NULL/empty/
+unicode/boilerplate edge cases — the fixture corpus never exercises
+those.
 
     python tools/fuzz_oracle.py [n_queries] [seed] [sf_dir]
 """
@@ -372,8 +376,10 @@ def gen_query(rng: random.Random):
         return gen_string(rng)
     if r < 0.60:
         return gen_window(rng)
-    if r < 0.74:
+    if r < 0.72:
         return gen_latin(rng)
+    if r < 0.86:
+        return gen_pipeline(rng)
     table = rng.choice(list(TABLES))
     strs, nums, doubles, ints = TABLES[table]
     preds, fexprs = [], []
@@ -453,6 +459,220 @@ def main() -> int:
             print(f"ok #{i}: {len(spdf)} rows :: {sql[:100]}")
     print(f"\n{bad} mismatches of {n}")
     return 1 if bad else 0
+
+
+
+
+# ---------------------------------------------------------------- pipeline ---
+#: SQL twin of pipeline.dedup.ws_tokens (same as queries/pipeline_q.py)
+_P_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+def _values_cte(rows) -> str:
+    """Inline random corpus as a CTE shadowing the `documents` view."""
+    vals = []
+    for i, text, src in rows:
+        t = "NULL" if text is None else "'" + text.replace("'", "''") + "'"
+        vals.append(f"({i}, {t}, '{src}')")
+    return (
+        "WITH documents AS (SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS __t(doc_id, text, source))"
+    )
+
+
+def _rand_corpus(rng: random.Random):
+    """Random docs with edge cases: NULL text, empties, multi-space,
+    unicode tokens, and an injected repeated boilerplate span."""
+    vocab = [f"w{i}" for i in range(rng.randint(3, 8))] + ["é", "ß"]
+    boiler = [rng.choice(vocab) for _ in range(rng.randint(3, 5))]
+    rows = []
+    for i in range(rng.randint(6, 40)):
+        r = rng.random()
+        if r < 0.05:
+            text = None
+        elif r < 0.12:
+            text = ""
+        else:
+            toks = [rng.choice(vocab) for _ in range(rng.randint(0, 12))]
+            if rng.random() < 0.5:
+                pos = rng.randint(0, len(toks))
+                toks[pos:pos] = boiler
+            sep = "  " if rng.random() < 0.15 else " "
+            text = sep.join(toks)
+        rows.append((i, text, f"s{rng.randint(0, 3)}"))
+    # guarantee a non-empty target slice for the DSIR case
+    rows.append((len(rows), " ".join(boiler), "s0"))
+    return rows
+
+
+def gen_pipeline(rng: random.Random):
+    """Differential-fuzz the late-r5 pipeline ops on a random corpus."""
+    rows = _rand_corpus(rng)
+    cte = _values_cte(rows)
+
+    def mkdf(spark):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+
+    kind = rng.choice(["spans", "stats", "mixture", "corpus", "dsir"])
+    if kind in ("spans", "stats"):
+        n = rng.randint(2, 4)
+        md = rng.randint(2, 3)
+        if kind == "spans":
+            sql = (
+                cte
+                + f"""
+                , f AS (SELECT doc_id, {_P_TOKS} AS toks FROM documents),
+                s AS (SELECT doc_id, toks, len(toks) AS n FROM f
+                      WHERE len(toks) >= {n}),
+                p AS (SELECT doc_id, unnest(range(0, n - {n - 1})) AS start,
+                             toks FROM s),
+                h AS (SELECT doc_id, CAST(start AS BIGINT) AS start,
+                             md5(array_to_string(list_slice(toks, start + 1,
+                                 start + {n}), ' ')) AS sh FROM p),
+                c AS (SELECT sh, CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+                             AS ndocs FROM h GROUP BY sh)
+                SELECT doc_id, start, sh, ndocs
+                FROM h JOIN c USING (sh) WHERE ndocs >= {md}
+                """
+            )
+
+            def build(spark, sf_dir):
+                from pigout_spark.pipeline.dedup import duplicate_passage_spans
+
+                return duplicate_passage_spans(mkdf(spark), n=n, min_docs=md)
+
+            return build, sql
+        sql = (
+            cte
+            + f"""
+            , f AS (SELECT doc_id, {_P_TOKS} AS toks FROM documents),
+            s AS (SELECT doc_id, toks, len(toks) AS n FROM f
+                  WHERE len(toks) >= {n}),
+            p AS (SELECT doc_id, unnest(range(0, n - {n - 1})) AS start,
+                         toks FROM s),
+            h AS (SELECT doc_id, md5(array_to_string(list_slice(toks,
+                         start + 1, start + {n}), ' ')) AS sh FROM p),
+            c AS (SELECT sh, COUNT(DISTINCT doc_id) AS nd FROM h GROUP BY sh),
+            pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                          CAST(SUM(CASE WHEN nd >= {md} THEN 1 ELSE 0 END)
+                               AS BIGINT) AS n_dup_shingles
+                   FROM h JOIN c USING (sh) GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(n_shingles, 0) AS n_shingles,
+                   coalesce(n_dup_shingles, 0) AS n_dup_shingles,
+                   CASE WHEN coalesce(n_shingles, 0) > 0
+                        THEN n_dup_shingles / n_shingles ELSE 0.0
+                   END AS dup_fraction
+            FROM documents d LEFT JOIN pd USING (doc_id)
+            """
+        )
+
+        def build(spark, sf_dir):
+            from pigout_spark.pipeline.dedup import passage_dup_stats
+
+            return passage_dup_stats(mkdf(spark), n=n, min_docs=md)
+
+        return build, sql
+
+    if kind == "mixture":
+        doms = sorted({r[2] for r in rows})
+        recipe = {d: round(rng.uniform(0.1, 1.0), 2) for d in rng.sample(doms, rng.randint(1, len(doms)))}
+        tw = sum(recipe.values())
+        target = rng.randint(1, len(rows))
+        seed = str(rng.randint(0, 99))
+        vals = ", ".join(
+            f"('{d}', {w / tw * target!r})" for d, w in recipe.items()
+        )
+        sql = (
+            cte
+            + f"""
+            , counts AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nd
+                         FROM documents GROUP BY source),
+            recipe(source, wt) AS (VALUES {vals})
+            SELECT d.doc_id, d.source FROM documents d
+            JOIN counts USING (source) JOIN recipe USING (source)
+            WHERE ('0x' || substring(md5('{seed}' || '|' ||
+                     coalesce(d.doc_id::VARCHAR, chr(0))), 1, 8))::BIGINT
+                  / 4294967296.0 < least(1.0, wt / nd)
+            """
+        )
+
+        def build(spark, sf_dir):
+            from pigout_spark.pipeline.curation import mixture_sample
+
+            return mixture_sample(
+                mkdf(spark), "source", recipe, target, ["doc_id"], seed=seed
+            ).select("doc_id", "source")
+
+        return build, sql
+
+    if kind == "corpus":
+        sql = (
+            cte
+            + f"""
+            , d AS (SELECT doc_id, text, {_P_TOKS} AS toks FROM documents),
+            a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                         CAST(SUM(CASE WHEN length(trim(text)) = 0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_docs,
+                         CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+                         CAST(SUM(len(toks)) AS BIGINT) AS n_tokens FROM d),
+            v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT)
+                         AS n_distinct_tokens
+                  FROM (SELECT unnest(toks) AS tok FROM d)),
+            du AS (SELECT CAST(SUM(c - 1) AS BIGINT) AS n_exact_dup_docs
+                   FROM (SELECT COUNT(*) AS c FROM documents
+                         GROUP BY md5(text)))
+            SELECT * FROM a, v, du
+            """
+        )
+
+        def build(spark, sf_dir):
+            from pigout_spark.pipeline.text import corpus_stats
+
+            return corpus_stats(mkdf(spark))
+
+        return build, sql
+
+    # dsir: weights vs the s0 slice (guaranteed non-empty)
+    sql = (
+        cte
+        + f"""
+        , ct AS (SELECT doc_id, unnest({_P_TOKS}) AS tok FROM documents),
+        cf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cfn
+               FROM ct GROUP BY tok),
+        tt AS (SELECT unnest({_P_TOKS}) AS tok FROM documents
+               WHERE source = 's0'),
+        tfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS tfn
+                FROM tt GROUP BY tok),
+        vv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v
+               FROM (SELECT tok FROM cf UNION SELECT tok FROM tfq)),
+        sc AS (SELECT (SELECT CAST(SUM(cfn) AS DOUBLE) FROM cf) AS nc,
+                      (SELECT CAST(SUM(tfn) AS DOUBLE) FROM tfq) AS nt,
+                      (SELECT v FROM vv) AS v)
+        SELECT doc_id,
+               ROUND(SUM(ln((coalesce(tfn, 0) + 0.5) / (nt + 0.5 * v))
+                         - ln((cfn + 0.5) / (nc + 0.5 * v))), 6)
+                 AS log_weight6,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM ct JOIN cf USING (tok) LEFT JOIN tfq USING (tok)
+        CROSS JOIN sc GROUP BY doc_id
+        """
+    )
+
+    def build(spark, sf_dir):
+        from pigout_spark.pipeline.curation import importance_weights
+
+        df = mkdf(spark)
+        out = importance_weights(df, df.filter(F.col("source") == "s0"))
+        return out.select(
+            "doc_id",
+            F.round("log_weight", 6).alias("log_weight6"),
+            "n_tokens",
+        )
+
+    return build, sql
 
 
 if __name__ == "__main__":
