@@ -331,3 +331,51 @@ def importance_resample(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def split_corpus(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_cols: list[str],
+    seed: str = "0",
+    out: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test SPLIT: stamp every row with a split
+    label drawn from ``weights`` (label → fraction, normalized here) by
+    an md5-bucketed threshold over ``id_cols`` — the export-stage
+    assignment every training run needs to be reproducible and
+    engine-replayable (same discipline as ``hash_sample``/
+    ``mixture_sample``: NULL-safe sentinel key, uniform u ∈ [0,1) from
+    the first 8 md5 hex chars, cumulative-fraction intervals in the
+    given dict order).
+
+    Keyed on content-stable ids, the assignment survives reprocessing:
+    a doc lands in the same split across pipeline versions unless the
+    seed changes — the property that keeps eval sets uncontaminated
+    over time.  A pure narrow map: no shuffle, no counts pass (splits
+    are fraction-exact in expectation; use exact-count selection only
+    when a split must be row-exact).
+    """
+    total = sum(weights.values())
+    key = F.concat_ws(
+        "|",
+        F.lit(seed),
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+            for c in id_cols
+        ],
+    )
+    u = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double")
+        / F.lit(4294967296.0)
+    )
+    expr = None
+    acc = 0.0
+    labels = list(weights.items())
+    for name, w in labels[:-1]:
+        acc += w / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = labels[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(out, expr)

@@ -1537,3 +1537,43 @@ def x_bpe_encode(spark, sf_dir):
         F.md5(F.concat_ws("\x1f", "bpe_tokens")).alias("bpe_fp"),
         "n_bpe_tokens",
     )
+
+
+#: split recipe for the oracle — cumulative thresholds are the SAME
+#: Python-computed floats on both sides (repr-embedded in the SQL)
+_SPLIT_W = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SPLIT_CUM = []
+_acc = 0.0
+for _n, _w in list(_SPLIT_W.items())[:-1]:
+    _acc += _w / sum(_SPLIT_W.values())
+    _SPLIT_CUM.append((_n, _acc))
+_SPLIT_CASE = (
+    "CASE "
+    + " ".join(f"WHEN __u < {c!r} THEN '{n}'" for n, c in _SPLIT_CUM)
+    + f" ELSE '{list(_SPLIT_W)[-1]}' END"
+)
+
+
+@query(
+    "x_split_corpus",
+    f"""
+    WITH u AS (
+      SELECT doc_id,
+             ('0x' || substring(md5('13' || '|' ||
+                coalesce(doc_id::VARCHAR, chr(0))), 1, 8))::BIGINT
+             / 4294967296.0 AS __u
+      FROM documents
+    )
+    SELECT doc_id, {_SPLIT_CASE} AS split FROM u
+    """,
+    extra=True,  # window full at 50; selfcheck + pytest verified
+)
+def x_split_corpus(spark, sf_dir):
+    """Deterministic train/val/test split (80/10/10): md5-bucketed
+    threshold over the doc id — reproducible, engine-replayable,
+    content-stable across reprocessing; pure narrow map.  The hash
+    pins every row's split label."""
+    from pigout_spark.pipeline.curation import split_corpus
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    return split_corpus(d, _SPLIT_W, ["doc_id"], seed="13")

@@ -1260,3 +1260,66 @@ def test_corpus_stats_values(spark):
     assert r.n_tokens == 8 and r.n_distinct_tokens == 5
     assert r.n_exact_dup_docs == 1
     assert r.n_chars == 5 + 5 + 3 + 2
+
+
+def test_split_corpus_properties(spark):
+    """Split assignment: every row labeled, fractions near target,
+    stable across runs and across corpus growth (a doc keeps its split
+    when new docs arrive — the eval-hygiene property), and disjoint."""
+    from pigout_spark.pipeline.curation import split_corpus
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    out = split_corpus(df, {"train": 0.8, "val": 0.1, "test": 0.1}, ["doc_id"], seed="s")
+    by = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+    assert sum(by.values()) == 1000
+    assert 720 <= by["train"] <= 880 and 60 <= by["val"] <= 140
+    # stability under corpus growth: the first 500 docs keep their label
+    sub = split_corpus(
+        spark.range(500).withColumnRenamed("id", "doc_id"),
+        {"train": 0.8, "val": 0.1, "test": 0.1}, ["doc_id"], seed="s",
+    )
+    full = {r.doc_id: r.split for r in out.collect()}
+    assert all(full[r.doc_id] == r.split for r in sub.collect())
+
+
+def test_duplicate_passages_hub_shingle_completes(spark):
+    """Adversarial skew: one boilerplate 3-gram present in EVERY doc —
+    the join key is maximally hot; output must still be exact (every
+    position, ndocs = corpus size)."""
+    from pigout_spark.pipeline.dedup import duplicate_passage_spans
+
+    n_docs = 200
+    df = spark.createDataFrame(
+        [(i, f"u{i}a u{i}b hot hot hot u{i}c") for i in range(n_docs)],
+        ["doc_id", "text"],
+    )
+    out = duplicate_passage_spans(df, n=3, min_docs=2).collect()
+    hot = [r for r in out if r.ndocs == n_docs]
+    # "hot hot hot" appears once per doc (position 2)
+    assert len(hot) == n_docs and all(r.start == 2 for r in hot)
+
+
+def test_mixture_sample_degenerate_domains(spark):
+    """Single-row domains and an all-rows recipe: rates cap correctly,
+    nothing divides by zero, empty recipe drops everything."""
+    from pigout_spark.pipeline.curation import mixture_sample
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "b")], ["doc_id", "source"]
+    )
+    all_kept = mixture_sample(df, "source", {"a": 1.0, "b": 1.0}, 100, ["doc_id"])
+    assert all_kept.count() == 3  # every rate caps at 1
+    none = mixture_sample(df, "source", {"zzz": 1.0}, 100, ["doc_id"])
+    assert none.count() == 0
+
+
+def test_importance_weights_target_equals_corpus(spark):
+    """Degenerate DSIR: target == corpus ⇒ the two models coincide and
+    every log-weight is ~0 (smoothing included)."""
+    from pigout_spark.pipeline.curation import importance_weights
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b"), (3, "c c d")], ["doc_id", "text"]
+    )
+    out = importance_weights(df, df).collect()
+    assert all(abs(r.log_weight) < 1e-9 for r in out)
