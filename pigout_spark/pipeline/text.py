@@ -752,3 +752,108 @@ def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
     )
     return docs.crossJoin(F.broadcast(vocab)).crossJoin(F.broadcast(dups))
+
+
+#: Default Gopher-style rule thresholds for :func:`quality_filter`.
+#: Published-rule shapes (word count bounds, mean word length band,
+#: repetition caps, symbol/stopword screens) with fixture-scale-neutral
+#: values; tune per corpus.
+QUALITY_RULES: dict[str, float] = {
+    "min_tokens": 3,
+    "max_tokens": 100_000,
+    "min_avg_token_len": 2.0,
+    "max_avg_token_len": 12.0,
+    "max_top_2gram_frac": 0.30,
+    "max_dup_line_frac": 0.30,
+    "min_distinct_frac": 0.20,
+}
+
+
+def quality_filter(
+    df: DataFrame,
+    rules: dict[str, float] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Composite rule-based QUALITY FILTER (the C4/Gopher-rules shape):
+    evaluate every rule on every doc in one pass, emit a ``keep``
+    verdict AND the array of failed-rule names — the auditability
+    property real curation runs need (you tune thresholds by looking
+    at what each rule rejects, not just the survivor count).
+
+    Rules (see :data:`QUALITY_RULES`): token-count bounds, mean token
+    length band, top-2-gram fraction cap, duplicate-line fraction cap,
+    distinct-token fraction floor.  Composes :func:`quality_features`'s
+    arithmetic with :func:`repetition_features`'s signals in a single
+    plan: one narrow feature map plus repetition's token-proportional
+    2-gram count — sub-2-token docs fail ``min_tokens`` rather than
+    silently vanishing with repetition's drop.
+
+    100 TB: identical shuffle profile to ``repetition_features`` (its
+    2-gram histogram is the only exchange); everything else rides the
+    scan.  Output: (id, keep, failed array, the feature columns).
+    """
+    r = {**QUALITY_RULES, **(rules or {})}
+    toks = ws_tokens(text_col, distinct=False)
+    n = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    feats = df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.when(n > 0, sum_len / n).otherwise(F.lit(0.0)).alias("avg_token_len"),
+        F.when(n > 0, F.size(F.array_distinct(toks)) / n)
+        .otherwise(F.lit(0.0))
+        .alias("distinct_frac"),
+    )
+    rep = repetition_features(df, text_col, id_col).select(
+        id_col, "top_2gram_frac", "dup_line_frac"
+    )
+    j = feats.join(rep, id_col, "left").select(
+        "*",
+        F.coalesce("top_2gram_frac", F.lit(0.0)).alias("__t2"),
+        F.coalesce("dup_line_frac", F.lit(0.0)).alias("__dl"),
+    )
+    checks: list[tuple[str, Column]] = [
+        ("min_tokens", F.col("n_tokens") >= F.lit(float(r["min_tokens"]))),
+        ("max_tokens", F.col("n_tokens") <= F.lit(float(r["max_tokens"]))),
+        (
+            "min_avg_token_len",
+            F.col("avg_token_len") >= F.lit(float(r["min_avg_token_len"])),
+        ),
+        (
+            "max_avg_token_len",
+            F.col("avg_token_len") <= F.lit(float(r["max_avg_token_len"])),
+        ),
+        (
+            "max_top_2gram_frac",
+            F.col("__t2") <= F.lit(float(r["max_top_2gram_frac"])),
+        ),
+        (
+            "max_dup_line_frac",
+            F.col("__dl") <= F.lit(float(r["max_dup_line_frac"])),
+        ),
+        (
+            "min_distinct_frac",
+            F.col("distinct_frac") >= F.lit(float(r["min_distinct_frac"])),
+        ),
+    ]
+    failed = F.filter(
+        F.array(
+            *[
+                F.when(~ok, F.lit(name)).otherwise(F.lit(None))
+                for name, ok in checks
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return j.select(
+        F.col(id_col),
+        "n_tokens",
+        "avg_token_len",
+        "distinct_frac",
+        F.col("__t2").alias("top_2gram_frac"),
+        F.col("__dl").alias("dup_line_frac"),
+        failed.alias("failed"),
+    ).withColumn("keep", F.size("failed") == 0)

@@ -1577,3 +1577,71 @@ def x_split_corpus(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents").select("doc_id")
     return split_corpus(d, _SPLIT_W, ["doc_id"], seed="13")
+
+
+@query(
+    "x_quality_filter",
+    f"""
+    WITH f AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks,
+             list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             CASE WHEN len(toks) > 0 THEN
+               list_reduce(list_prepend(0, list_transform(toks, t -> length(t))),
+                           (a, x) -> a + x) / len(toks)
+             ELSE 0.0 END AS avg_token_len,
+             CASE WHEN len(toks) > 0 THEN
+               len(list_distinct(toks)) / len(toks)
+             ELSE 0.0 END AS distinct_frac
+      FROM f
+    ), s AS (
+      SELECT doc_id, toks, len(toks) AS n, len(lines) AS nl,
+             len(list_distinct(lines)) AS ndl
+      FROM f WHERE len(toks) >= 2
+    ), g AS (
+      SELECT doc_id, n, nl, ndl,
+             unnest(list_transform(range(1, n),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS gram
+      FROM s
+    ), c AS (
+      SELECT doc_id, n, nl, ndl, gram, COUNT(*) AS cnt FROM g GROUP BY ALL
+    ), rep AS (
+      SELECT doc_id, MAX(cnt) / (n - 1) AS t2,
+             CASE WHEN nl > 0 THEN 1.0 - ndl / nl ELSE 0.0 END AS dl
+      FROM c GROUP BY doc_id, n, nl, ndl
+    ), j AS (
+      SELECT feats.*, coalesce(t2, 0.0) AS t2, coalesce(dl, 0.0) AS dl
+      FROM feats LEFT JOIN rep USING (doc_id)
+    )
+    SELECT doc_id, n_tokens, avg_token_len, distinct_frac,
+           t2 AS top_2gram_frac, dl AS dup_line_frac,
+           coalesce(array_to_string(list_filter([
+             CASE WHEN NOT (n_tokens >= 3.0) THEN 'min_tokens' END,
+             CASE WHEN NOT (n_tokens <= 100000.0) THEN 'max_tokens' END,
+             CASE WHEN NOT (avg_token_len >= 2.0) THEN 'min_avg_token_len' END,
+             CASE WHEN NOT (avg_token_len <= 12.0) THEN 'max_avg_token_len' END,
+             CASE WHEN NOT (t2 <= 0.3) THEN 'max_top_2gram_frac' END,
+             CASE WHEN NOT (dl <= 0.3) THEN 'max_dup_line_frac' END,
+             CASE WHEN NOT (distinct_frac >= 0.2) THEN 'min_distinct_frac' END
+           ], x -> x IS NOT NULL), ','), '') AS failed_csv,
+           (n_tokens >= 3.0 AND n_tokens <= 100000.0
+            AND avg_token_len >= 2.0 AND avg_token_len <= 12.0
+            AND t2 <= 0.3 AND dl <= 0.3 AND distinct_frac >= 0.2) AS keep
+    FROM j
+    """,
+    extra=True,  # window full at 50; selfcheck + pytest verified
+)
+def x_quality_filter(spark, sf_dir):
+    """Composite C4/Gopher-style quality filter: every rule evaluated
+    in one pass, verdict + failed-rule audit trail hash-checked (the
+    failed array joined to CSV for the comparator)."""
+    from pigout_spark.pipeline.text import quality_filter
+
+    out = quality_filter(t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "n_tokens", "avg_token_len", "distinct_frac",
+        "top_2gram_frac", "dup_line_frac",
+        F.concat_ws(",", "failed").alias("failed_csv"), "keep",
+    )

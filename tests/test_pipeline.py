@@ -1323,3 +1323,40 @@ def test_importance_weights_target_equals_corpus(spark):
     )
     out = importance_weights(df, df).collect()
     assert all(abs(r.log_weight) < 1e-9 for r in out)
+
+
+def test_quality_filter_verdicts_and_audit_trail(spark):
+    """Composite filter: each rule fires on a doc built to violate
+    exactly it; clean docs pass with an empty failed array; sub-2-token
+    docs fail min_tokens instead of vanishing."""
+    from pigout_spark.pipeline.text import quality_filter
+
+    rows = [
+        (1, "alpha bravo charlie delta echo"),          # clean
+        (2, "hi"),                                      # min_tokens (1 tok)
+        (3, "a b c d e f"),                             # min_avg_token_len
+        (4, "spam spam spam spam spam spam spam spam"), # repetition+distinct
+        (5, "one\ntwo\none\ntwo\none\ntwo\nxx yy zz aa bb"),  # dup lines
+    ]
+    out = {r.doc_id: r for r in quality_filter(
+        spark.createDataFrame(rows, ["doc_id", "text"])
+    ).collect()}
+    assert out[1].keep and out[1].failed == []
+    assert not out[2].keep and "min_tokens" in out[2].failed
+    assert not out[3].keep and "min_avg_token_len" in out[3].failed
+    assert not out[4].keep
+    assert {"max_top_2gram_frac", "min_distinct_frac"} <= set(out[4].failed)
+    assert not out[5].keep and "max_dup_line_frac" in out[5].failed
+    # every doc got a row — nothing silently dropped
+    assert len(out) == 5
+
+
+def test_quality_filter_custom_rules(spark):
+    """Rule overrides merge over defaults: loosening one threshold
+    flips only that verdict."""
+    from pigout_spark.pipeline.text import quality_filter
+
+    df = spark.createDataFrame([(1, "hi")], ["doc_id", "text"])
+    strict = quality_filter(df).collect()[0]
+    loose = quality_filter(df, {"min_tokens": 1, "min_avg_token_len": 0.0}).collect()[0]
+    assert not strict.keep and loose.keep
