@@ -1,0 +1,144 @@
+"""Curation-pipeline CLI: run a configurable chain of training-data
+stages over a documents parquet and write the surviving corpus.
+
+Usage:
+    python tools/curate.py INPUT.parquet OUT_DIR \
+        [--stages pii,quality,dedup,passages,decontaminate,mixture,dsir,split] \
+        [--report] [--text-col text] [--id-col doc_id]
+
+Stage semantics (each consumes the previous stage's survivors):
+    pii           scrub emails/IPs/phones in place (text_scrubbed used
+                  downstream)
+    quality       composite C4/Gopher rule filter (drop keep=false)
+    dedup         MinHash-LSH pairs -> connected components -> one doc
+                  per cluster
+    passages      drop docs with >60% duplicated 13-gram positions
+    decontaminate requires --benchmark PARQUET; 13-gram overlap drop
+    mixture       requires --recipe "src0=0.5,src1=0.5" and --target N
+    dsir          requires --dsir-target PARQUET and --dsir-k N
+    split         stamp train/val/test 80/10/10 (adds a column, drops
+                  nothing)
+
+Every stage is the library operator (pipeline/*.py) — this file only
+sequences them; all the 100 TB arguments in SCALE.md apply unchanged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+DEFAULT_STAGES = "pii,quality,dedup,passages,split"
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("input")
+    ap.add_argument("out_dir")
+    ap.add_argument("--stages", default=DEFAULT_STAGES)
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--benchmark", default=None)
+    ap.add_argument("--recipe", default=None, help="dom=w,dom=w for mixture")
+    ap.add_argument("--target", type=int, default=None, help="mixture rows")
+    ap.add_argument("--dsir-target", default=None)
+    ap.add_argument("--dsir-k", type=int, default=None)
+    ap.add_argument("--seed", default="0")
+    ap.add_argument("--report", action="store_true",
+                    help="print per-stage survivor counts (extra actions)")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from pigout_spark.session import get_spark
+    from pigout_spark.pipeline.curation import (
+        decontaminate,
+        importance_resample,
+        mixture_sample,
+        split_corpus,
+    )
+    from pigout_spark.pipeline.dedup import (
+        dedup_clusters,
+        minhash_lsh_pairs,
+        passage_dup_stats,
+        retain_per_cluster,
+    )
+    from pigout_spark.pipeline.text import quality_filter, scrub_pii
+
+    spark = get_spark("pigout-curate")
+    df = spark.read.parquet(args.input)
+    id_col, text_col = args.id_col, args.text_col
+    stages = [s.strip() for s in args.stages.split(",") if s.strip()]
+    report: list[tuple[str, int]] = []
+    if args.report:
+        report.append(("input", df.count()))
+
+    for stage in stages:
+        if stage == "pii":
+            df = scrub_pii(df, text_col=text_col)
+            df = df.drop(text_col).withColumnRenamed("text_scrubbed", text_col)
+        elif stage == "quality":
+            verdict = quality_filter(df, text_col=text_col, id_col=id_col)
+            df = df.join(
+                verdict.filter(F.col("keep")).select(id_col), id_col
+            )
+        elif stage == "dedup":
+            pairs = minhash_lsh_pairs(
+                df, id_col, text_col, num_hashes=16, rows_per_band=8
+            )
+            clusters = dedup_clusters(pairs)
+            df = retain_per_cluster(df, clusters, id_col=id_col)
+            df = df.drop("cluster_id")
+        elif stage == "passages":
+            stats = passage_dup_stats(df, id_col, text_col, n=13, min_docs=2)
+            df = df.join(
+                stats.filter(F.col("dup_fraction") <= 0.6).select(id_col),
+                id_col,
+            )
+        elif stage == "decontaminate":
+            if not args.benchmark:
+                raise SystemExit("--benchmark required for decontaminate")
+            bench = spark.read.parquet(args.benchmark)
+            df = decontaminate(df, bench, id_col=id_col, text_col=text_col)
+        elif stage == "mixture":
+            if not (args.recipe and args.target):
+                raise SystemExit("--recipe and --target required for mixture")
+            recipe = {
+                k: float(v)
+                for k, v in (p.split("=") for p in args.recipe.split(","))
+            }
+            df = mixture_sample(
+                df, "source", recipe, args.target, [id_col], seed=args.seed
+            )
+        elif stage == "dsir":
+            if not (args.dsir_target and args.dsir_k):
+                raise SystemExit("--dsir-target and --dsir-k required")
+            target = spark.read.parquet(args.dsir_target)
+            picked = importance_resample(
+                df, target, args.dsir_k, id_col, text_col, seed=args.seed
+            )
+            df = df.join(picked.select(id_col), id_col)
+        elif stage == "split":
+            df = split_corpus(
+                df, {"train": 0.8, "val": 0.1, "test": 0.1}, [id_col],
+                seed=args.seed,
+            )
+        else:
+            raise SystemExit(f"unknown stage: {stage}")
+        if args.report and stage != "split":
+            report.append((stage, df.count()))
+
+    out = str(Path(args.out_dir))
+    df.write.mode("overwrite").parquet(out)
+    if args.report:
+        for name, n in report:
+            print(f"{name:15s} {n}")
+    print(f"wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
