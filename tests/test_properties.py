@@ -178,3 +178,91 @@ def test_pack_sequences_invariants_random(spark, docs_chunks, budget):
         assert sorted(totals) == list(range(len(totals)))
         for s, tot in totals.items():
             assert tot <= budget or counts[s] == 1
+
+
+@settings(max_examples=1, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(1, 40), min_size=1, max_size=12),
+        min_size=4,
+        max_size=8,
+    )
+)
+def test_pack_sequences_invariants(spark, docs):
+    """Next-fit packing invariants on random chunk-size profiles: every
+    chunk appears exactly once with its original size, multi-chunk
+    sequences never exceed the budget, sequence ids are contiguous from
+    0, and chunk order within a doc is preserved."""
+    from pigout_spark.pipeline.text import pack_sequences
+
+    budget = 48
+    rows = [
+        (d, i, n)
+        for d, sizes in enumerate(docs)
+        for i, n in enumerate(sizes)
+    ]
+    chunks = spark.createDataFrame(
+        rows, "doc_id long, chunk_idx long, n_chunk_tokens long"
+    )
+    out = pack_sequences(chunks, budget).collect()
+    assert sorted((r.doc_id, r.chunk_idx, r.n_chunk_tokens) for r in out) == sorted(rows)
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d, rs in by_doc.items():
+        rs.sort(key=lambda r: r.chunk_idx)
+        # seq ids start at 0, non-decreasing, step ≤ 1
+        seqs = [r.seq_idx for r in rs]
+        assert seqs[0] == 0
+        assert all(0 <= b - a <= 1 for a, b in zip(seqs, seqs[1:]))
+        # multi-chunk sequences within budget
+        totals: dict[int, list] = {}
+        for r in rs:
+            totals.setdefault(r.seq_idx, []).append(r.n_chunk_tokens)
+        for ns in totals.values():
+            if len(ns) > 1:
+                assert sum(ns) <= budget
+
+
+@settings(max_examples=1, deadline=None)
+@given(
+    st.lists(st.integers(0, 10**9), min_size=10, max_size=30, unique=True),
+    st.lists(st.floats(0.05, 1.0), min_size=2, max_size=4),
+)
+def test_split_corpus_partitions_exhaustively(spark, ids, ws):
+    """Random weights: every row gets exactly one label from the weight
+    dict, labels are stable across invocations, and each label's rows
+    are disjoint (trivially — one column) and exhaustive."""
+    from pigout_spark.pipeline.curation import split_corpus
+
+    weights = {f"s{i}": w for i, w in enumerate(ws)}
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = split_corpus(df, weights, ["doc_id"], seed="p")
+    rows = out.collect()
+    assert len(rows) == len(ids)
+    assert all(r.split in weights for r in rows)
+    again = {r.doc_id: r.split for r in split_corpus(df, weights, ["doc_id"], seed="p").collect()}
+    assert all(again[r.doc_id] == r.split for r in rows)
+
+
+@settings(max_examples=1, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=8),
+        min_size=3,
+        max_size=10,
+    )
+)
+def test_bpe_roundtrip_concatenation(spark, words):
+    """Tokenizer soundness: for any corpus and any trained merge count,
+    concatenating a word's BPE tokens reproduces the word exactly."""
+    from pigout_spark.pipeline.text import (
+        bpe_apply_merges,
+        bpe_train,
+    )
+
+    df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    merges = bpe_train(df, 4)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in words:
+        assert "".join(bpe_apply_merges(w, ranks)) == w
