@@ -857,3 +857,123 @@ def quality_filter(
         F.col("__dl").alias("dup_line_frac"),
         failed.alias("failed"),
     ).withColumn("keep", F.size("failed") == 0)
+
+
+def repetition_features_narrow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 512,
+) -> DataFrame:
+    """SHUFFLE-FREE variant of :func:`repetition_features` for
+    streaming ingest and narrow pipelines: the top-2-gram fraction is
+    computed doc-locally with a higher-order expression (for each
+    2-gram, count its occurrences in the doc's own 2-gram array —
+    O(n²) per doc), so the whole operator is a narrow map with NO
+    exchange and composes into `readStream` plans where the
+    explode+groupBy version would need a streaming aggregate.
+
+    The O(n²) term is bounded by truncating to the first
+    ``max_tokens`` tokens (512² = 262k comparisons/doc — cheap JVM
+    column work; repetition signals saturate long before that).  Use
+    the shuffle version for exact stats on unbounded docs; outputs
+    agree exactly on docs within the cap (test-pinned).  Sub-2-token
+    docs are emitted with zero fractions (the streaming filter must
+    see every row).
+    """
+    toks = F.slice(ws_tokens(text_col, distinct=False), 1, max_tokens)
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda x: x != F.lit(""))
+    # sequence(1, 0) would count DOWN — docs under 2 tokens get an
+    # explicitly empty gram array instead
+    idxs = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idxs,
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    n2 = F.size(grams)
+    top = F.array_max(
+        F.transform(
+            grams, lambda g: F.size(F.filter(grams, lambda x: x == g))
+        )
+    )
+    nl = F.size(lines)
+    ndl = F.size(F.array_distinct(lines))
+    return df.select(
+        "*",
+        F.when(n2 > 0, n2).otherwise(0).cast("long").alias("n_2grams"),
+        F.when(n2 > 0, top).otherwise(0).cast("long").alias("top_2gram_n"),
+        F.when(n2 > 0, top / n2).otherwise(0.0).alias("top_2gram_frac"),
+        F.when(nl > 0, 1.0 - ndl / nl).otherwise(0.0).alias("dup_line_frac"),
+    )
+
+
+def quality_filter_stream(
+    df: DataFrame,
+    rules: dict[str, float] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 512,
+) -> DataFrame:
+    """Streaming-safe :func:`quality_filter`: identical rules and audit
+    output, built ENTIRELY from narrow column expressions (repetition
+    via :func:`repetition_features_narrow`) — no joins, no aggregates,
+    so it drops straight into a `readStream` plan for quality gating
+    at ingest.  Batch and stream take this same code path.
+    """
+    r = {**QUALITY_RULES, **(rules or {})}
+    toks = ws_tokens(text_col, distinct=False)
+    n = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    rep = repetition_features_narrow(df, text_col, id_col, max_tokens)
+    feats = rep.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.when(n > 0, sum_len / n).otherwise(F.lit(0.0)).alias("avg_token_len"),
+        F.when(n > 0, F.size(F.array_distinct(toks)) / n)
+        .otherwise(F.lit(0.0))
+        .alias("distinct_frac"),
+        "top_2gram_frac",
+        "dup_line_frac",
+    )
+    checks: list[tuple[str, Column]] = [
+        ("min_tokens", F.col("n_tokens") >= F.lit(float(r["min_tokens"]))),
+        ("max_tokens", F.col("n_tokens") <= F.lit(float(r["max_tokens"]))),
+        (
+            "min_avg_token_len",
+            F.col("avg_token_len") >= F.lit(float(r["min_avg_token_len"])),
+        ),
+        (
+            "max_avg_token_len",
+            F.col("avg_token_len") <= F.lit(float(r["max_avg_token_len"])),
+        ),
+        (
+            "max_top_2gram_frac",
+            F.col("top_2gram_frac") <= F.lit(float(r["max_top_2gram_frac"])),
+        ),
+        (
+            "max_dup_line_frac",
+            F.col("dup_line_frac") <= F.lit(float(r["max_dup_line_frac"])),
+        ),
+        (
+            "min_distinct_frac",
+            F.col("distinct_frac") >= F.lit(float(r["min_distinct_frac"])),
+        ),
+    ]
+    failed = F.filter(
+        F.array(
+            *[
+                F.when(~ok, F.lit(name)).otherwise(F.lit(None))
+                for name, ok in checks
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return feats.withColumn("failed", failed).withColumn(
+        "keep", F.size("failed") == 0
+    )

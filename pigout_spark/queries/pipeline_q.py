@@ -1645,3 +1645,49 @@ def x_quality_filter(spark, sf_dir):
         "top_2gram_frac", "dup_line_frac",
         F.concat_ws(",", "failed").alias("failed_csv"), "keep",
     )
+
+
+@query(
+    "x_text_rep_narrow",
+    f"""
+    WITH f AS (
+      SELECT doc_id, list_slice({_SQL_TOKS}, 1, 8) AS t,
+             list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+      FROM documents
+    ), g AS (
+      SELECT doc_id, lines,
+             CASE WHEN len(t) >= 2
+                  THEN list_transform(range(1, len(t)),
+                                      i -> t[i] || ' ' || t[i + 1])
+                  ELSE [] END AS grams
+      FROM f
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_2grams,
+           CAST(coalesce(list_max(list_transform(grams,
+                  g -> len(list_filter(grams, x -> x = g)))), 0)
+                AS BIGINT) AS top_2gram_n,
+           CASE WHEN len(grams) > 0 THEN
+             list_max(list_transform(grams,
+               g -> len(list_filter(grams, x -> x = g)))) / len(grams)
+           ELSE 0.0 END AS top_2gram_frac,
+           CASE WHEN len(lines) > 0
+                THEN 1.0 - len(list_distinct(lines)) / len(lines)
+                ELSE 0.0 END AS dup_line_frac
+    FROM g
+    """,
+    extra=True,  # window full at 50; selfcheck + pytest verified
+)
+def x_text_rep_narrow(spark, sf_dir):
+    """Shuffle-free repetition signals (the streaming-ingest variant)
+    at a deliberately small token cap (8) so the truncation path is
+    active on the fixture — every doc-local O(n²) count hash-checked
+    against DuckDB's lambda twin."""
+    from pigout_spark.pipeline.text import repetition_features_narrow
+
+    out = repetition_features_narrow(
+        t(spark, sf_dir, "documents").select("doc_id", "text"), max_tokens=8
+    )
+    return out.select(
+        "doc_id", "n_2grams", "top_2gram_n", "top_2gram_frac", "dup_line_frac"
+    )

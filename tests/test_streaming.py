@@ -286,3 +286,45 @@ def test_interval_join_runs_as_real_stream(spark):
     finally:
         spark.sql("DROP VIEW IF EXISTS ij")
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_quality_filter_stream_runs_as_real_stream(spark):
+    """The streaming quality filter must (a) agree exactly with the
+    batch quality_filter on in-cap docs, (b) execute as a REAL
+    readStream plan (narrow expressions only — no join/aggregate to
+    reject), gating docs at ingest."""
+    import tempfile
+
+    from pigout_spark.pipeline.text import quality_filter, quality_filter_stream
+
+    rows = [
+        (1, "alpha bravo charlie delta echo"),
+        (2, "hi"),
+        (3, "spam spam spam spam spam spam spam spam"),
+        (4, "one\ntwo\none\ntwo\none\ntwo\nxx yy zz aa bb"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = {r.doc_id: r for r in quality_filter(df).collect()}
+    narrow = {r.doc_id: r for r in quality_filter_stream(df).collect()}
+    for d in batch:
+        assert batch[d].keep == narrow[d].keep, d
+        assert sorted(batch[d].failed) == sorted(narrow[d].failed), d
+        assert abs(batch[d].top_2gram_frac - narrow[d].top_2gram_frac) < 1e-12
+
+    src = tempfile.mkdtemp(prefix="pigout_qf_src")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = quality_filter_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("qf_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: r.keep
+        for r in spark.sql("select doc_id, keep from qf_stream").collect()
+    }
+    assert got == {1: True, 2: False, 3: False, 4: False}
