@@ -8,7 +8,7 @@ with the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pigout_spark.pipeline.dedup import ws_tokens
@@ -976,4 +976,112 @@ def quality_filter_stream(
     )
     return feats.withColumn("failed", failed).withColumn(
         "keep", F.size("failed") == 0
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — the classic keyword
+    extraction / doc-representation pass (search indexing, topic
+    drift monitoring, cheap doc vectors).
+
+    tf = in-doc term count; idf = ln(N / df) with df = distinct-doc
+    frequency; ties break on the term string so the top-k is a total
+    order (hash-checkable).  Shuffle profile: one (doc, term) count
+    (map-side combined), one term-keyed join against the
+    vocabulary-sized df table, one per-doc window top-k (partition =
+    doc — bounded by doc vocabulary, never corpus).  The doc count N
+    is a broadcast scalar.  All token-proportional; no collects.
+    """
+    toks = ws_tokens(text_col, distinct=False)
+    base = df.select(F.col(id_col), F.explode(toks).alias("__term"))
+    tf_ = base.groupBy(id_col, "__term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_ = base.groupBy("__term").agg(
+        F.count_distinct(F.col(id_col)).alias("df")
+    )
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    scored = (
+        tf_.join(df_, "__term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("__term").alias("term"),
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            (F.col("tf") * F.log(F.col("__n") / F.col("df"))).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def pmi_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Pointwise mutual information over adjacent token pairs — the
+    collocation / embedding-prep statistic (phrase detection à la
+    word2vec's phrase pass; PMI matrices are the classic count-based
+    embedding input).
+
+    PMI(x,y) = ln( c(x,y)·T / (c(x)·c(y)) ) over ADJACENT pairs, with
+    T = total adjacent-pair count; pairs below ``min_count`` are
+    dropped (PMI is noise at low counts — the standard floor).
+
+    Shuffle profile: one token count and one pair count (both
+    explode+groupBy with map-side combine), then the pair table joins
+    the vocabulary-sized unigram counts on each side — two key-equi
+    joins, broadcast when the vocabulary allows.  T rides a broadcast
+    scalar.  Never materializes a |V|² matrix — only observed pairs.
+    """
+    toks = ws_tokens(text_col, distinct=False)
+    base = df.select(toks.alias("__t")).filter(F.size("__t") >= 2)
+    pairs = base.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__t") - 1),
+                lambda i: F.struct(
+                    F.element_at("__t", i).alias("x"),
+                    F.element_at("__t", i + 1).alias("y"),
+                ),
+            )
+        ).alias("__p")
+    ).select(F.col("__p.x").alias("x"), F.col("__p.y").alias("y"))
+    pc = (
+        pairs.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= min_count)
+    )
+    uni = (
+        df.select(F.explode(toks).alias("__tok"))
+        .groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    total = pairs.agg(F.count(F.lit(1)).cast("double").alias("__T"))
+    return (
+        pc.join(uni.withColumnRenamed("__tok", "x").withColumnRenamed("__c", "__cx"), "x")
+        .join(uni.withColumnRenamed("__tok", "y").withColumnRenamed("__c", "__cy"), "y")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "x",
+            "y",
+            F.col("pair_n").cast("long").alias("pair_n"),
+            F.log(
+                F.col("pair_n") * F.col("__T")
+                / (F.col("__cx") * F.col("__cy"))
+            ).alias("pmi"),
+        )
     )

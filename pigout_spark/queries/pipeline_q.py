@@ -1691,3 +1691,85 @@ def x_text_rep_narrow(spark, sf_dir):
     return out.select(
         "doc_id", "n_2grams", "top_2gram_n", "top_2gram_frac", "dup_line_frac"
     )
+
+
+@query(
+    "x_tfidf_terms",
+    f"""
+    WITH b AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM b GROUP BY doc_id, term
+    ), dfq AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM b GROUP BY term
+    ), nd AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+    ), s AS (
+      SELECT doc_id, term, tf, df, tf * ln(n / df) AS tfidf,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY tf * ln(n / df) DESC, term
+             ) AS BIGINT) AS rk
+      FROM tf JOIN dfq USING (term) CROSS JOIN nd
+    )
+    SELECT doc_id, term, tf, df, ROUND(tfidf, 6) AS tfidf6, rk
+    FROM s WHERE rk <= 5
+    """,
+    extra=True,  # window full at 50; selfcheck + pytest verified
+)
+def x_tfidf_terms(spark, sf_dir):
+    """Top-5 TF-IDF terms per doc (keyword extraction): (doc, term)
+    count + vocabulary-sized df join + per-doc window top-k with a
+    term tiebreak — the full ranking hash-checked (ln rounded to 6,
+    x_text_unigram convention)."""
+    from pigout_spark.pipeline.text import tfidf_top_terms
+
+    out = tfidf_top_terms(t(spark, sf_dir, "documents"), k=5)
+    return out.select(
+        "doc_id", "term", "tf", "df",
+        F.round("tfidf", 6).alias("tfidf6"), "rk",
+    )
+
+
+@query(
+    "x_pmi_pairs",
+    f"""
+    WITH f AS (
+      SELECT {_SQL_TOKS} AS t FROM documents
+    ), s AS (
+      SELECT t FROM f WHERE len(t) >= 2
+    ), p AS (
+      SELECT unnest(list_transform(range(1, len(t)),
+                    i -> struct_pack(x := t[i], y := t[i + 1]))) AS pr
+      FROM s
+    ), pairs AS (
+      SELECT pr.x AS x, pr.y AS y FROM p
+    ), pc AS (
+      SELECT x, y, CAST(COUNT(*) AS BIGINT) AS pair_n
+      FROM pairs GROUP BY x, y HAVING COUNT(*) >= 5
+    ), uni AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest({_SQL_TOKS}) AS tok FROM documents) GROUP BY tok
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS T FROM pairs
+    )
+    SELECT x, y, pair_n,
+           ROUND(ln(pair_n * T / (ux.c * uy.c)), 6) AS pmi6
+    FROM pc
+    JOIN uni ux ON pc.x = ux.tok
+    JOIN uni uy ON pc.y = uy.tok
+    CROSS JOIN tot
+    """,
+    extra=True,  # window full at 50; selfcheck + pytest verified
+)
+def x_pmi_pairs(spark, sf_dir):
+    """Adjacent-pair PMI (collocation / embedding-prep statistic):
+    pair + unigram counts, two vocabulary-keyed joins, min-count 5
+    floor — only observed pairs, never a |V|² matrix."""
+    from pigout_spark.pipeline.text import pmi_pairs
+
+    out = pmi_pairs(t(spark, sf_dir, "documents"), min_count=5)
+    return out.select(
+        "x", "y", "pair_n", F.round("pmi", 6).alias("pmi6")
+    )

@@ -1360,3 +1360,45 @@ def test_quality_filter_custom_rules(spark):
     strict = quality_filter(df).collect()[0]
     loose = quality_filter(df, {"min_tokens": 1, "min_avg_token_len": 0.0}).collect()[0]
     assert not strict.keep and loose.keep
+
+
+def test_tfidf_top_terms_ranking(spark):
+    """TF-IDF: a term unique to one doc outranks corpus-wide terms;
+    ubiquitous terms get idf = ln(1) = 0; ranking is total-ordered."""
+    import math
+
+    from pigout_spark.pipeline.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "common rare1 common common"),
+            (2, "common other"),
+            (3, "common other"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_top_terms(df, k=2)
+    rows = {(r.doc_id, r.rk): r for r in out.collect()}
+    top1 = rows[(1, 1)]
+    assert top1.term == "rare1"
+    assert abs(top1.tfidf - 1 * math.log(3 / 1)) < 1e-12
+    # 'common' is in every doc → tfidf exactly 0, ranked below rare1
+    assert rows[(1, 2)].term == "common" and rows[(1, 2)].tfidf == 0.0
+
+
+def test_pmi_pairs_values_and_floor(spark):
+    """PMI: hand-computed value on a controlled corpus; pairs under the
+    min-count floor are dropped."""
+    import math
+
+    from pigout_spark.pipeline.text import pmi_pairs
+
+    # "a b" x 6 docs, plus "a c" once (under floor)
+    rows = [(i, "a b") for i in range(6)] + [(100, "a c")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r.x, r.y): r for r in pmi_pairs(df, min_count=5).collect()}
+    assert list(out) == [("a", "b")]
+    r = out[("a", "b")]
+    # T = 7 pairs total; c(a)=7, c(b)=6, c(a,b)=6
+    assert r.pair_n == 6
+    assert abs(r.pmi - math.log(6 * 7 / (7 * 6))) < 1e-12  # = ln(1) = 0
