@@ -1402,3 +1402,35 @@ def test_pmi_pairs_values_and_floor(spark):
     # T = 7 pairs total; c(a)=7, c(b)=6, c(a,b)=6
     assert r.pair_n == 6
     assert abs(r.pmi - math.log(6 * 7 / (7 * 6))) < 1e-12  # = ln(1) = 0
+
+
+def test_curate_cli_end_to_end(tmp_path):
+    """The curation CLI contract: stage chain runs, survivors parquet
+    lands with the split column, report prints per-stage counts."""
+    import subprocess
+    import sys as _sys
+
+    import duckdb as _duckdb
+
+    out_dir = tmp_path / "curated"
+    r = subprocess.run(
+        [
+            _sys.executable,
+            "tools/curate.py",
+            "/root/testdata/sf0.001/documents.parquet",
+            str(out_dir),
+            "--stages",
+            "pii,quality,split",
+            "--report",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "input" in r.stdout and "quality" in r.stdout
+    got = _duckdb.connect().execute(
+        f"SELECT COUNT(*), COUNT(DISTINCT split) FROM read_parquet('{out_dir}/*.parquet')"
+    ).fetchone()
+    assert got[0] > 0 and got[1] >= 2
