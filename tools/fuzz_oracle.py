@@ -516,7 +516,9 @@ def gen_pipeline(rng: random.Random):
             rows, "doc_id long, text string, source string"
         )
 
-    kind = rng.choice(["spans", "stats", "mixture", "corpus", "dsir"])
+    kind = rng.choice(
+        ["spans", "stats", "mixture", "corpus", "dsir", "tfidf", "pmi", "repn"]
+    )
     if kind in ("spans", "stats"):
         n = rng.randint(2, 4)
         md = rng.randint(2, 3)
@@ -632,6 +634,114 @@ def gen_pipeline(rng: random.Random):
             from pigout_spark.pipeline.text import corpus_stats
 
             return corpus_stats(mkdf(spark))
+
+        return build, sql
+
+    if kind == "tfidf":
+        k = rng.randint(1, 4)
+        sql = (
+            cte
+            + f"""
+            , b AS (SELECT doc_id, unnest({_P_TOKS}) AS term FROM documents),
+            tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM b GROUP BY doc_id, term),
+            dfq AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                    FROM b GROUP BY term),
+            nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+            s AS (SELECT doc_id, term, tf, df, tf * ln(n / df) AS tfidf,
+                         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY tf * ln(n / df) DESC, term) AS BIGINT) AS rk
+                  FROM tf JOIN dfq USING (term) CROSS JOIN nd)
+            SELECT doc_id, term, tf, df, ROUND(tfidf, 6) AS tfidf6, rk
+            FROM s WHERE rk <= {k}
+            """
+        )
+
+        def build(spark, sf_dir):
+            from pigout_spark.pipeline.text import tfidf_top_terms
+
+            out = tfidf_top_terms(mkdf(spark), k=k)
+            return out.select(
+                "doc_id", "term", "tf", "df",
+                F.round("tfidf", 6).alias("tfidf6"), "rk",
+            )
+
+        return build, sql
+
+    if kind == "pmi":
+        mc = rng.randint(1, 4)
+        sql = (
+            cte
+            + f"""
+            , f AS (SELECT {_P_TOKS} AS t FROM documents),
+            s AS (SELECT t FROM f WHERE len(t) >= 2),
+            p AS (SELECT unnest(list_transform(range(1, len(t)),
+                         i -> struct_pack(x := t[i], y := t[i + 1]))) AS pr
+                  FROM s),
+            pairs AS (SELECT pr.x AS x, pr.y AS y FROM p),
+            pc AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS pair_n
+                   FROM pairs GROUP BY x, y HAVING COUNT(*) >= {mc}),
+            uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM (SELECT unnest({_P_TOKS}) AS tok FROM documents)
+                    GROUP BY tok),
+            tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS T FROM pairs)
+            SELECT x, y, pair_n,
+                   ROUND(ln(pair_n * T / (ux.c * uy.c)), 6) AS pmi6
+            FROM pc JOIN uni ux ON pc.x = ux.tok
+            JOIN uni uy ON pc.y = uy.tok CROSS JOIN tot
+            """
+        )
+
+        def build(spark, sf_dir):
+            from pigout_spark.pipeline.text import pmi_pairs
+
+            out = pmi_pairs(mkdf(spark), min_count=mc)
+            return out.select(
+                "x", "y", "pair_n", F.round("pmi", 6).alias("pmi6")
+            )
+
+        return build, sql
+
+    if kind == "repn":
+        cap = rng.randint(2, 10)
+        sql = (
+            cte
+            + f"""
+            , f AS (SELECT doc_id, list_slice({_P_TOKS}, 1, {cap}) AS t,
+                           list_filter(string_split(text, chr(10)),
+                                       x -> x <> '') AS lines
+                    FROM documents),
+            g AS (SELECT doc_id, lines,
+                         CASE WHEN len(t) >= 2
+                              THEN list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i + 1])
+                              ELSE [] END AS grams
+                  FROM f)
+            SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_2grams,
+                   CAST(coalesce(list_max(list_transform(grams,
+                        g -> len(list_filter(grams, x -> x = g)))), 0)
+                        AS BIGINT) AS top_2gram_n,
+                   CASE WHEN len(grams) > 0 THEN
+                     list_max(list_transform(grams,
+                       g -> len(list_filter(grams, x -> x = g)))) / len(grams)
+                   ELSE 0.0 END AS top_2gram_frac,
+                   CASE WHEN len(lines) > 0
+                        THEN 1.0 - len(list_distinct(lines)) / len(lines)
+                        ELSE 0.0 END AS dup_line_frac
+            FROM g
+            """
+        )
+
+        def build(spark, sf_dir):
+            from pigout_spark.pipeline.text import repetition_features_narrow
+
+            out = repetition_features_narrow(
+                mkdf(spark).select("doc_id", "text"), max_tokens=cap
+            )
+            return out.select(
+                "doc_id", "n_2grams", "top_2gram_n",
+                "top_2gram_frac", "dup_line_frac",
+            )
 
         return build, sql
 
