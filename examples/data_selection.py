@@ -2,11 +2,11 @@
 turns a deduplicated corpus into a mixed, packed, shuffled training
 set — the stages downstream of examples/curation_pipeline.py.
 
-    duplicate-passage profile  →  drop boilerplate-heavy docs
-    →  DSIR importance resample toward a target domain
-    →  domain-mixture draw to a recipe
-    →  chunk  →  pack into fixed-token sequences
-    →  deterministic export shuffle
+    quality-rule filter (C4/Gopher audit)  →  duplicate-passage
+    profile  →  drop boilerplate-heavy docs  →  DSIR importance
+    resample toward a target domain  →  domain-mixture draw to a
+    recipe  →  chunk  →  pack into fixed-token sequences
+    →  deterministic export shuffle  →  BPE train + encode
 
 Run:  python examples/data_selection.py [sf_dir]
 """
@@ -26,8 +26,11 @@ from pigout_spark.pipeline.curation import (  # noqa: E402
 )
 from pigout_spark.pipeline.dedup import passage_dup_stats  # noqa: E402
 from pigout_spark.pipeline.text import (  # noqa: E402
+    bpe_encode,
+    bpe_train,
     chunk_documents,
     pack_sequences,
+    quality_filter,
 )
 
 
@@ -36,10 +39,17 @@ def main() -> None:
     spark = get_spark("data-selection-example")
     docs = load_table(spark, sf_dir, "documents")
 
+    # 0. rule-based quality gate (keep the audit trail around for
+    #    threshold tuning)
+    verdicts = quality_filter(docs)
+    docs_q = docs.join(
+        verdicts.filter(F.col("keep")).select("doc_id"), "doc_id"
+    )
+
     # 1. duplicate-passage profile: drop docs that are mostly corpus
     #    boilerplate (>60% of 13-gram positions duplicated elsewhere)
-    profile = passage_dup_stats(docs, n=13, min_docs=2)
-    clean = docs.join(
+    profile = passage_dup_stats(docs_q, n=13, min_docs=2)
+    clean = docs_q.join(
         profile.filter(F.col("dup_fraction") <= 0.6).select("doc_id"),
         "doc_id",
     )
@@ -73,11 +83,18 @@ def main() -> None:
         seed="17",
     )
 
+    # 6. tokenizer: train 16 BPE merges on the final mix, encode it
+    merges = bpe_train(mixed, 16)
+    encoded = bpe_encode(mixed, merges)
+
     print(f"docs in              : {docs.count()}")
+    print(f"after quality gate   : {docs_q.count()}")
     print(f"after passage filter : {clean.count()}")
     print(f"after DSIR resample  : {selected.count()}")
     print(f"after mixture draw   : {mixed.count()}")
     print(f"packed sequences     : {out.count()}")
+    print(f"BPE merges trained   : {len(merges)}")
+    print(f"BPE tokens total     : {encoded.agg(F.sum('n_bpe_tokens')).first()[0]}")
     out.orderBy("shuffle_rank").show(10, truncate=False)
 
 

@@ -2,9 +2,18 @@
 operations a 100 TB training-data pipeline needs, beyond the reference's
 Pig Latin surface:
 
-    dedup       exact, MinHash+LSH, SimHash, n-gram Jaccard
-    similarity  brute-force cosine top-k; hyperplane-LSH bucketing (ANN)
-    text        language-ID, quality scoring, token counting, fingerprints
+    dedup       exact, MinHash+LSH (+clusters/retention), SimHash,
+                n-gram Jaccard, embedding near-dup, duplicate passages
+    similarity  brute-force cosine top-k; LSH / k-means-IVF ANN; int8
+                quantization + rescore search
+    text        language-ID, quality scoring (+C4/Gopher composite
+                filter with streaming variant), token counting,
+                fingerprints, PII scrub, chunking + sequence packing,
+                unigram-LM scoring, BPE train/encode, TF-IDF, PMI,
+                corpus stats
+    curation    decontamination, stratified/mixture/DSIR sampling,
+                token budgets, deterministic shuffle + train/val/test
+                split
     multimodal  binary payload columns + Arrow-batched extract/decode stubs
 
 Scale design rules used throughout: no cross joins (inverted-index /
@@ -12,4 +21,10 @@ band-bucket joins instead), no driver-side collects, JVM-side column
 expressions wherever expressible, Arrow-batched mapInPandas where not.
 """
 
-from pigout_spark.pipeline import dedup, multimodal, similarity, text  # noqa: F401
+from pigout_spark.pipeline import (  # noqa: F401
+    curation,
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
