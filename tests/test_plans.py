@@ -218,3 +218,32 @@ def test_dsir_no_cartesian_scalars_broadcast(spark, sf_dir):
     for name in ("x_dsir_weights", "x_dsir_sample"):
         plan = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in plan
+
+
+def test_split_and_narrow_ops_are_exchange_free(spark, sf_dir):
+    """split_corpus and the streaming quality gate are pure narrow
+    maps — their physical plans must contain NO exchange at all (the
+    property that lets the gate run inside a readStream plan)."""
+    from pigout_spark.pipeline.curation import split_corpus
+    from pigout_spark.pipeline.text import (
+        quality_filter_stream,
+        repetition_features_narrow,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for df in (
+        split_corpus(docs, {"train": 0.8, "val": 0.2}, ["doc_id"]),
+        repetition_features_narrow(docs.select("doc_id", "text")),
+        quality_filter_stream(docs),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:500]
+
+
+def test_tfidf_pmi_key_equi_joins_only(spark, sf_dir):
+    """TF-IDF and PMI: token-keyed equi joins plus the deliberate
+    single-row broadcast scalar — never a cartesian product."""
+    plan = plan_of(spark, sf_dir, "x_tfidf_terms")
+    assert "CartesianProduct" not in plan
+    plan = plan_of(spark, sf_dir, "x_pmi_pairs")
+    assert "CartesianProduct" not in plan
