@@ -795,3 +795,68 @@ def passage_dup_stats(
             .alias("dup_fraction"),
         )
     )
+
+
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SEMANTIC near-duplicate pairs, cluster-restricted (the SemDeDup
+    recipe): k-means-assign every embedding to a cell, then exact
+    cosine ≥ ``threshold`` WITHIN each cell only — candidate volume is
+    Σ C(cell size, 2), never corpus², and the pair join keys on the
+    cell.  Complements the hyperplane-LSH variant
+    (:func:`embedding_cosine_dups`): k-means cells adapt to the data
+    distribution where fixed hyperplanes don't, at the cost of the
+    (driver-sized, seeded) codebook build.
+
+    100 TB: assignment is a zero-shuffle narrow projection (centroid
+    literals — `similarity.ivf_assign`); the self-join shuffles
+    (id, v, cell) by cell with explicit partition pinning (the
+    pair-join AQE rule, SCALE.md); a mega-cell is the skew knob —
+    raise ``n_centroids`` so cells stay bounded.
+    """
+    from pigout_spark.pipeline.similarity import dot, ivf_assign
+
+    cells = ivf_assign(emb, n_centroids, id_col, vec_col)
+    a = cells.select(
+        F.col(id_col).alias("a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "cell",
+    )
+    b = cells.select(
+        F.col(id_col).alias("b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "cell",
+    )
+    pairs = (
+        _pin_partitions(a, "cell")
+        .join(_pin_partitions(b, "cell"), "cell")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos") >= threshold)
+    )
+    return pairs.select("a", "b", "cos")
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full SemDeDup chain: cluster-restricted cosine pairs →
+    connected components (:func:`dedup_clusters`) → keep the lowest-id
+    representative per component.  Returns the SURVIVING rows of
+    ``emb`` (duplicates dropped), same contract as :func:`exact_dedup`.
+    """
+    pairs = semantic_dedup_pairs(
+        emb, n_centroids, threshold, id_col, vec_col
+    )
+    clusters = dedup_clusters(pairs, left="a", right="b")
+    dropped = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return emb.join(dropped, id_col, "left_anti")

@@ -1773,3 +1773,73 @@ def x_pmi_pairs(spark, sf_dir):
     return out.select(
         "x", "y", "pair_n", F.round("pmi", 6).alias("pmi6")
     )
+
+
+#: SemDeDup fixture threshold: the synthetic embeddings have no true
+#: near-dups (max in-cell cosine ≈ 0.51), so 0.4 sits between p99
+#: (≈0.35) and the max — a discriminative, non-empty pair set.
+_SEM_T = 0.4
+
+
+@query(
+    "x_semantic_pairs",
+    _IVF_CELLS_SQL
+    + f"""
+    , p AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             {_sql_dot('a.v', 'b.v')} / (a.nrm * b.nrm) AS cos
+      FROM cells a JOIN cells b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+    )
+    SELECT a, b, ROUND(cos, 6) AS cos6 FROM p WHERE cos >= {_SEM_T!r}
+    """,
+    extra=True,  # window full at 50; selfcheck + pytest verified
+)
+def x_semantic_pairs(spark, sf_dir):
+    """SemDeDup-style semantic near-dup pairs: k-means-cell-restricted
+    exact cosine — candidates Σ C(cell,2), never corpus²; the cell
+    assignment replays the seeded spherical k-means bit-identically in
+    SQL (sim_ivf machinery)."""
+    from pigout_spark.pipeline.dedup import semantic_dedup_pairs
+
+    out = semantic_dedup_pairs(
+        tf(spark, sf_dir, "embeddings"), n_centroids=8, threshold=_SEM_T
+    )
+    return out.select("a", "b", F.round("cos", 6).alias("cos6"))
+
+
+@query(
+    "x_semantic_retain",
+    _IVF_CELLS_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    + f"""
+    , p AS (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM cells a JOIN cells b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {_sql_dot('a.v', 'b.v')} / (a.nrm * b.nrm) >= {_SEM_T!r}
+    ), edges AS (
+      SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p
+    ), reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ), allr AS (
+      SELECT u, v FROM reach UNION SELECT u, u AS v FROM edges
+    ), cl AS (
+      SELECT u AS vec_id, MIN(v) AS root FROM allr GROUP BY u
+    )
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id NOT IN (SELECT vec_id FROM cl WHERE vec_id <> root)
+    """,
+    extra=True,  # window full at 50; selfcheck + pytest verified
+)
+def x_semantic_retain(spark, sf_dir):
+    """Full SemDeDup chain: cell-restricted pairs → connected
+    components → keep the lowest-id representative per component;
+    output is the SURVIVING embedding rows (dedup.semantic_dedup),
+    oracle = recursive-CTE closure over the identical pair SQL."""
+    from pigout_spark.pipeline.dedup import semantic_dedup
+
+    out = semantic_dedup(
+        t(spark, sf_dir, "embeddings"), n_centroids=8, threshold=_SEM_T
+    )
+    return out.select("vec_id", "label")

@@ -1434,3 +1434,34 @@ def test_curate_cli_end_to_end(tmp_path):
         f"SELECT COUNT(*), COUNT(DISTINCT split) FROM read_parquet('{out_dir}/*.parquet')"
     ).fetchone()
     assert got[0] > 0 and got[1] >= 2
+
+
+def test_semantic_dedup_pairs_and_retention(spark):
+    """SemDeDup composition: near-identical vectors pair (cosine ≥ t)
+    within their k-means cell, transitive groups collapse to the
+    lowest-id representative, and distant vectors survive."""
+    from pigout_spark.pipeline.dedup import semantic_dedup, semantic_dedup_pairs
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.01, 0.0], 0),   # ~dup of 1
+        (3, [0.998, 0.02, 0.0], 0),   # ~dup of 1 and 2 (chain)
+        (4, [0.0, 1.0, 0.0], 1),
+        (5, [0.0, 0.0, 1.0], 2),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    pairs = {
+        (r.a, r.b)
+        for r in semantic_dedup_pairs(
+            emb, n_centroids=3, threshold=0.99
+        ).collect()
+    }
+    assert (1, 2) in pairs and (2, 3) in pairs
+    assert not any(4 in p or 5 in p for p in pairs)
+    kept = sorted(
+        r.vec_id
+        for r in semantic_dedup(emb, n_centroids=3, threshold=0.99).collect()
+    )
+    assert kept == [1, 4, 5]  # the 1-2-3 component keeps its min id
