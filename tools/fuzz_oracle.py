@@ -506,6 +506,58 @@ def _rand_corpus(rng: random.Random):
     return rows
 
 
+def _gen_semantic(rng: random.Random):
+    """Differential-fuzz SemDeDup pairs: random embeddings, the seeded
+    k-means cell assignment replayed by the unrolled SQL chain, exact
+    in-cell cosine at a random threshold."""
+    from pigout_spark.queries.pipeline_q import _kmeans_cells_sql, _sql_dot
+
+    dim = rng.randint(2, 5)
+    n = rng.randint(6, 24)
+    nc = rng.randint(2, min(4, n))
+    t = round(rng.uniform(0.3, 0.9), 2)
+    vecs = []
+    for i in range(n):
+        v = [round(rng.uniform(-1, 1), 4) for _ in range(dim)]
+        if all(abs(x) < 1e-9 for x in v):
+            v[0] = 1.0  # no zero vectors (norm divide)
+        vecs.append((i, v))
+    vals = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in v)}])" for i, v in vecs
+    )
+    base = _kmeans_cells_sql(n_centroids=nc, n_iters=3, dim=dim)
+    assert base.startswith("WITH e AS (")
+    sql = (
+        base.replace(
+            "WITH e AS (",
+            "WITH embeddings AS (SELECT * FROM (VALUES "
+            + vals
+            + ") AS __t(vec_id, embedding)), e AS (",
+            1,
+        )
+        + f"""
+        , p AS (
+          SELECT a.vec_id AS a, b.vec_id AS b,
+                 {_sql_dot('a.v', 'b.v')} / (a.nrm * b.nrm) AS cos
+          FROM cells a JOIN cells b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+        )
+        SELECT a, b, ROUND(cos, 6) AS cos6 FROM p WHERE cos >= {t!r}
+        """
+    )
+
+    def build(spark, sf_dir):
+        from pigout_spark.pipeline.dedup import semantic_dedup_pairs
+
+        emb = spark.createDataFrame(
+            vecs, "vec_id long, embedding array<double>"
+        )
+        out = semantic_dedup_pairs(emb, n_centroids=nc, threshold=t)
+        return out.select("a", "b", F.round("cos", 6).alias("cos6"))
+
+    return build, sql
+
+
 def gen_pipeline(rng: random.Random):
     """Differential-fuzz the late-r5 pipeline ops on a random corpus."""
     rows = _rand_corpus(rng)
@@ -517,8 +569,11 @@ def gen_pipeline(rng: random.Random):
         )
 
     kind = rng.choice(
-        ["spans", "stats", "mixture", "corpus", "dsir", "tfidf", "pmi", "repn"]
+        ["spans", "stats", "mixture", "corpus", "dsir", "tfidf", "pmi",
+         "repn", "semantic"]
     )
+    if kind == "semantic":
+        return _gen_semantic(rng)
     if kind in ("spans", "stats"):
         n = rng.randint(2, 4)
         md = rng.randint(2, 3)
