@@ -379,3 +379,43 @@ def split_corpus(
     last = labels[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn(out, expr)
+
+
+def sample_exact_n(
+    df: DataFrame,
+    n: int,
+    id_cols: list[str],
+    seed: str = "0",
+    by: str | None = None,
+) -> DataFrame:
+    """EXACT-count deterministic random sample: exactly ``n`` rows
+    (per ``by``-group if given), chosen by ranking on md5(seed‖key) —
+    the "give me exactly 10k eval docs, reproducibly" primitive that
+    Bernoulli sampling (fraction-exact only in expectation) can't
+    provide.  Same hash discipline as ``hash_sample``: engine-
+    replayable, seed swaps give independent draws, content-stable ids
+    keep the draw stable across reprocessing.
+
+    100 TB: grouped → one window rank per group key (partition bounded
+    by group size); global → TakeOrdered top-n on the hash (per-
+    partition heaps + driver merge of n·P rows — no global sort, no
+    single-partition window).  Groups smaller than ``n`` are returned
+    whole.
+    """
+    key = F.concat_ws(
+        "|",
+        F.lit(seed),
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+            for c in id_cols
+        ],
+    )
+    h = F.md5(key)
+    if by is not None:
+        w = Window.partitionBy(by).orderBy(h)
+        return (
+            df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= n)
+            .drop("__rk")
+        )
+    return df.withColumn("__h", h).orderBy("__h").limit(n).drop("__h")

@@ -1843,3 +1843,28 @@ def x_semantic_retain(spark, sf_dir):
         t(spark, sf_dir, "embeddings"), n_centroids=8, threshold=_SEM_T
     )
     return out.select("vec_id", "label")
+
+
+@query(
+    "x_sample_exact",
+    """
+    WITH r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('3' || '|' || coalesce(doc_id::VARCHAR, chr(0)))
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source FROM r WHERE rk <= 7
+    """,
+    extra=True,  # window full at 50; selfcheck + pytest verified
+)
+def x_sample_exact(spark, sf_dir):
+    """Exact-count deterministic sample: exactly 7 docs per source by
+    md5-hash rank — the reproducible eval-subset primitive; the hash
+    pins the exact selected row set."""
+    from pigout_spark.pipeline.curation import sample_exact_n
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sample_exact_n(d, 7, ["doc_id"], seed="3", by="source")

@@ -1465,3 +1465,24 @@ def test_semantic_dedup_pairs_and_retention(spark):
         for r in semantic_dedup(emb, n_centroids=3, threshold=0.99).collect()
     )
     assert kept == [1, 4, 5]  # the 1-2-3 component keeps its min id
+
+
+def test_sample_exact_n_counts_and_determinism(spark):
+    """Exact-N sampling: exactly n per group (whole group when smaller),
+    deterministic for a seed, different draw for another seed; the
+    global path returns exactly n via TakeOrdered (no grouped window)."""
+    from pigout_spark.pipeline.curation import sample_exact_n
+
+    rows = [(i, "big") for i in range(50)] + [(100 + i, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = sample_exact_n(df, 5, ["doc_id"], seed="x", by="source")
+    by = {r.source: r["count"] for r in out.groupBy("source").count().collect()}
+    assert by == {"big": 5, "small": 3}
+    ids1 = {r.doc_id for r in out.collect()}
+    ids2 = {r.doc_id for r in sample_exact_n(df, 5, ["doc_id"], seed="x", by="source").collect()}
+    ids3 = {r.doc_id for r in sample_exact_n(df, 5, ["doc_id"], seed="y", by="source").collect()}
+    assert ids1 == ids2 and ids1 != ids3
+    g = sample_exact_n(df, 10, ["doc_id"], seed="x")
+    assert g.count() == 10
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # no global sort / window
