@@ -570,7 +570,7 @@ def gen_pipeline(rng: random.Random):
 
     kind = rng.choice(
         ["spans", "stats", "mixture", "corpus", "dsir", "tfidf", "pmi",
-         "repn", "semantic"]
+         "repn", "semantic", "bpe"]
     )
     if kind == "semantic":
         return _gen_semantic(rng)
@@ -689,6 +689,29 @@ def gen_pipeline(rng: random.Random):
             from pigout_spark.pipeline.text import corpus_stats
 
             return corpus_stats(mkdf(spark))
+
+        return build, sql
+
+    if kind == "bpe":
+        sql = (
+            cte
+            + f"""
+            , f AS (SELECT {_P_TOKS} AS toks FROM documents),
+            w AS (SELECT unnest(toks) AS word FROM f),
+            wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM w GROUP BY word),
+            i AS (SELECT word, n, unnest(range(1, length(word))) AS i
+                  FROM wc WHERE length(word) >= 2)
+            SELECT substring(word, i, 2) AS pair,
+                   CAST(SUM(n) AS BIGINT) AS cnt
+            FROM i GROUP BY pair
+            """
+        )
+
+        def build(spark, sf_dir):
+            from pigout_spark.pipeline.text import bpe_pair_counts
+
+            return bpe_pair_counts(mkdf(spark))
 
         return build, sql
 
