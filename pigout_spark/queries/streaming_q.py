@@ -157,3 +157,52 @@ def x_stream_dedup(spark, sf_dir):
     return stream_dedup(e, ["user_id", "event_type"]).select(
         "user_id", "event_type"
     )
+
+
+@query(
+    "x_events_resample",
+    """
+    WITH e AS (
+      SELECT user_id AS k,
+             CAST(floor(epoch(date_trunc('second', ts)) / 21600) AS BIGINT)
+               * 21600 AS bucket,
+             value AS v
+      FROM events
+    ), agg AS (
+      SELECT k, bucket, CAST(COUNT(*) AS BIGINT) AS n, SUM(v) AS s
+      FROM e GROUP BY k, bucket
+    ), spans AS (
+      SELECT k, MIN(bucket) AS lo, MAX(bucket) AS hi FROM e GROUP BY k
+    ), grid AS (
+      SELECT k, unnest(range(lo, hi + 21600, 21600)) AS bucket FROM spans
+    ), j AS (
+      SELECT g.k, g.bucket, a.n, a.s
+      FROM grid g LEFT JOIN agg a ON g.k = a.k AND g.bucket = a.bucket
+    )
+    SELECT k AS user_id, bucket,
+           coalesce(n, 0) AS n_events,
+           ROUND(s, 6) AS sum6,
+           ROUND(last_value(s IGNORE NULLS) OVER (
+             PARTITION BY k ORDER BY bucket
+             ROWS UNBOUNDED PRECEDING), 6) AS ffill6
+    FROM j
+    """,
+    extra=True,  # window full at 50; selfcheck + pytest verified
+)
+def x_events_resample(spark, sf_dir):
+    """Time-series densification: 6-hour resample per user with
+    materialized empty buckets and forward-filled sums — grid rows,
+    gap zeros, and the fill chain all hash-checked (sums rounded to
+    6: few-addend doubles, x_text_unigram convention)."""
+    from pigout_spark.streaming.windows import resample_events
+
+    out = resample_events(
+        t(spark, sf_dir, "events"), interval_seconds=21600
+    )
+    return out.select(
+        "user_id",
+        F.unix_timestamp("bucket_ts").alias("bucket"),
+        "n_events",
+        F.round("sum_value", 6).alias("sum6"),
+        F.round("ffill_value", 6).alias("ffill6"),
+    )

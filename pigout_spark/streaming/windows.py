@@ -10,7 +10,7 @@ streaming state; in batch mode they are a no-op.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -113,3 +113,60 @@ def interval_join(
     hi = F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}")
     rng = (F.col(f"r.{right_ts}") >= lo) & (F.col(f"r.{right_ts}") <= hi)
     return l.join(r, cond & rng)
+
+
+def resample_events(
+    df: DataFrame,
+    interval_seconds: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Time-series DENSIFICATION (resample + gap-fill): bucket events
+    to a fixed grid per key, aggregate observed values, materialize
+    the EMPTY buckets between each key's first and last event, and
+    forward-fill the last observed aggregate into gaps — the classic
+    downsample-then-ffill every metrics/feature pipeline needs before
+    a model sees fixed-step sequences.
+
+    Output per (key, bucket): n_events (0 for gaps), sum_value (NULL
+    for gaps), ffill_value (last non-null sum at or before the
+    bucket).
+
+    100 TB: one (key, bucket) aggregate (map-side combined), one
+    per-key min/max aggregate, a per-key grid explode (rows = span /
+    interval — sized by the GRID, not the event count), one key-bucket
+    equi-join, and a per-key ordered window for the fill (partition =
+    one key's grid, bounded by span/interval).  A key with a years-long
+    span × tiny interval inflates its grid — cap spans upstream or
+    coarsen the interval; no corpus-sized state anywhere.
+    """
+    step = F.lit(int(interval_seconds))
+    ev = df.select(
+        F.col(key_col).alias("k"),
+        (F.floor(F.unix_timestamp(ts_col) / step) * step).alias("bucket"),
+        F.col(val_col).alias("v"),
+    )
+    agg = ev.groupBy("k", "bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("v").alias("sum_value"),
+    )
+    spans = ev.groupBy("k").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = spans.select(
+        "k", F.explode(F.sequence("lo", "hi", step)).alias("bucket")
+    )
+    joined = grid.join(agg, ["k", "bucket"], "left")
+    w = (
+        Window.partitionBy("k")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col("k").alias(key_col),
+        F.timestamp_seconds("bucket").alias("bucket_ts"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        "sum_value",
+        F.last("sum_value", ignorenulls=True).over(w).alias("ffill_value"),
+    )

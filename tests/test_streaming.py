@@ -328,3 +328,32 @@ def test_quality_filter_stream_runs_as_real_stream(spark):
         for r in spark.sql("select doc_id, keep from qf_stream").collect()
     }
     assert got == {1: True, 2: False, 3: False, 4: False}
+
+
+def test_resample_events_gaps_and_ffill(spark):
+    """Densification semantics on a hand-built series: empty buckets
+    materialize with zero counts, forward fill carries the last
+    observed sum (not future values), leading gaps stay NULL, and the
+    grid spans exactly [first, last] bucket per key."""
+    import datetime as dt
+
+    from pigout_spark.streaming.windows import resample_events
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 30)
+    rows = [
+        (1, t0, 10.0),
+        (1, t0 + dt.timedelta(minutes=1), 5.0),     # same bucket
+        (1, t0 + dt.timedelta(minutes=30), 2.0),    # bucket +3 (gap of 2)
+        (2, t0, 1.0),                               # single-bucket key
+    ]
+    out = resample_events(
+        spark.createDataFrame(rows, "user_id long, ts timestamp, value double"),
+        interval_seconds=600,
+    ).collect()
+    k1 = sorted((r for r in out if r.user_id == 1), key=lambda r: r.bucket_ts)
+    assert len(k1) == 4  # buckets 0,1,2,3 — two gaps materialized
+    assert [r.n_events for r in k1] == [2, 0, 0, 1]
+    assert k1[0].sum_value == 15.0 and k1[3].sum_value == 2.0
+    assert [r.ffill_value for r in k1] == [15.0, 15.0, 15.0, 2.0]
+    k2 = [r for r in out if r.user_id == 2]
+    assert len(k2) == 1 and k2[0].n_events == 1
