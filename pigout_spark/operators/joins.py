@@ -24,7 +24,7 @@ results, one shuffle instead of two.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -146,3 +146,77 @@ def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
 def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
     """Pig idiom COGROUP+`IsEmpty(B)` → left_anti."""
     return left.join(right, _cond(left, right, on), "left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts_col: str = "ts",
+    right_cols: list[str] | None = None,
+    tolerance_seconds: int | None = None,
+    right_ts_out: str = "matched_ts",
+) -> DataFrame:
+    """AS-OF JOIN: attach to every left row the MOST RECENT right row
+    with ``right.ts <= left.ts`` per ``by`` key (pandas merge_asof /
+    kdb aj semantics; DuckDB ships it natively as ASOF JOIN — the
+    oracle twin).  The canonical "state at event time" operator: price
+    at trade time, last config before a request, most recent
+    feature-table snapshot per example.
+
+    Spark-first design — the UNION-MARKER pattern, not a range join:
+    union left and right on the key, sort each key's rows by
+    (ts, marker) with right rows first at equal timestamps, and
+    forward-fill the right payload onto left rows with one
+    last(ignorenulls) window.  ONE shuffle on the key, per-key bounded
+    windows, and — unlike the naive ``l.ts >= r.ts`` range join — no
+    O(|L|·|R|) pair blowup for Catalyst to salvage.
+
+    ``tolerance_seconds`` nulls out matches older than the bound
+    (merge_asof's ``tolerance``).  Output: every left row + the
+    forward-filled ``right_cols`` (NULL when no prior right row) +
+    ``right_ts_out`` carrying the matched right timestamp.
+    """
+    rcols = right_cols or [
+        c for c in right.columns if c not in (by, ts_col)
+    ]
+    payload = F.struct(
+        F.col(ts_col).alias("__rts"),
+        *[F.col(c).alias(c) for c in rcols],
+    )
+    r = right.select(
+        F.col(by).alias("__k"),
+        F.col(ts_col).alias("__ts"),
+        F.lit(0).alias("__side"),
+        payload.alias("__pay"),
+        *[F.lit(None).cast(t.dataType).alias(f"__l_{c}")
+          for c, t in zip(left.columns, left.schema.fields)],
+    )
+    l = left.select(
+        F.col(by).alias("__k"),
+        F.col(ts_col).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__pay"].dataType).alias("__pay"),
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        l.unionByName(r)
+        .withColumn("__m", F.last("__pay", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    match = F.col("__m")
+    if tolerance_seconds is not None:
+        fresh = (
+            F.unix_timestamp("__ts") - F.unix_timestamp(match["__rts"])
+        ) <= F.lit(int(tolerance_seconds))
+        match = F.when(fresh, match)
+    return filled.select(
+        *[F.col(f"__l_{c}").alias(c) for c in left.columns],
+        match["__rts"].alias(right_ts_out),
+        *[match[c].alias(c) for c in rcols],
+    )

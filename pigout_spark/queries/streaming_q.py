@@ -206,3 +206,51 @@ def x_events_resample(spark, sf_dir):
         F.round("sum_value", 6).alias("sum6"),
         F.round("ffill_value", 6).alias("ffill6"),
     )
+
+
+@query(
+    "x_asof_join",
+    """
+    WITH l AS (
+      SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts,
+             event_id FROM events WHERE event_type = 'purchase'
+    ), r AS (
+      SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts,
+             event_id AS view_id, value AS view_value
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT l.user_id, l.event_id,
+           CAST(epoch(l.ts) AS BIGINT) AS ts_s,
+           CAST(epoch(r.ts) AS BIGINT) AS matched_s,
+           r.view_id, ROUND(r.view_value, 6) AS vv6
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    extra=True,  # window full at 50; selfcheck + pytest verified
+)
+def x_asof_join(spark, sf_dir):
+    """AS-OF JOIN (the prompt's canonical missing-in-Spark operator):
+    every purchase matched to the user's most recent prior view —
+    union-marker + forward-fill implementation vs DuckDB's NATIVE
+    ASOF JOIN as the oracle.  One shuffle on the key, no range-join
+    pair blowup; second-truncated timestamps are tie-free on this
+    fixture (verified), so the match is a total function."""
+    from pigout_spark.operators.joins import asof_join
+
+    ev = _events_s(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts",
+        F.col("event_id").alias("view_id"),
+        F.col("value").alias("view_value"),
+    )
+    out = asof_join(purchases, views, by="user_id")
+    return out.select(
+        "user_id", "event_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.unix_timestamp("matched_ts").alias("matched_s"),
+        "view_id",
+        F.round("view_value", 6).alias("vv6"),
+    )

@@ -344,3 +344,57 @@ def test_bloom_build_filter_and_join(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="outer"):
         bloom_join(o, members, "o_custkey", "c_custkey", how="left")
+
+
+def test_asof_join_semantics_and_tolerance(spark):
+    """merge_asof semantics: most recent right row at-or-before each
+    left ts per key; equal timestamps match; keys with no prior right
+    row get NULLs; tolerance nulls out stale matches."""
+    import datetime as dt
+
+    from pigout_spark.operators.joins import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    trades = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(seconds=s), f"T{s}") for s in (5, 10, 30)]
+        + [(2, t0, "T0")],
+        "sym long, ts timestamp, trade string",
+    )
+    quotes = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(seconds=s), float(s)) for s in (0, 10, 20)],
+        "sym long, ts timestamp, px double",
+    )
+    out = {r.trade: r for r in asof_join(trades, quotes, by="sym").collect()}
+    assert out["T5"].px == 0.0
+    assert out["T10"].px == 10.0  # equal ts matches
+    assert out["T30"].px == 20.0
+    assert out["T0"].px is None and out["T0"].matched_ts is None
+    tol = {r.trade: r for r in asof_join(
+        trades, quotes, by="sym", tolerance_seconds=8
+    ).collect()}
+    assert tol["T30"].px is None  # 10s-stale match dropped
+    assert tol["T10"].px == 10.0
+
+
+def test_asof_join_plan_single_key_shuffle(spark):
+    """The union-marker asof join must plan ONE hash exchange on the
+    key — no cartesian, no range-join nested loop, no single-partition
+    window."""
+    import datetime as dt
+
+    from pigout_spark.operators.joins import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    l = spark.createDataFrame(
+        [(i % 7, t0 + dt.timedelta(seconds=i), float(i)) for i in range(100)],
+        "k long, ts timestamp, x double",
+    )
+    r = spark.createDataFrame(
+        [(i % 7, t0 + dt.timedelta(seconds=i * 2), float(i)) for i in range(50)],
+        "k long, ts timestamp, y double",
+    )
+    plan = asof_join(l, r, by="k")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Exchange hashpartitioning(__k") == 1
