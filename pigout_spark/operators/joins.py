@@ -220,3 +220,57 @@ def asof_join(
         match["__rts"].alias(right_ts_out),
         *[match[c].alias(c) for c in rcols],
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bin_seconds: int,
+    by: str | None = None,
+) -> DataFrame:
+    """RANGE (point-in-interval) JOIN: inner-join every left row to the
+    right intervals containing its timestamp (``start <= ts <= end``),
+    optionally per ``by`` key — sessions containing an event, error
+    windows around a click, validity-period lookups.
+
+    Spark plans a bare BETWEEN join as a nested loop (broadcast at
+    best, cartesian at worst).  This implementation BUCKETIZES time:
+    each interval explodes to the fixed ``bin_seconds`` bins it covers,
+    the left side maps to its single bin, and the join is a pure
+    equi-join on (key, bin) with the exact BETWEEN as a residual
+    filter.  A (left row, interval) pair shares exactly one bin — the
+    left row's — so no post-join dedup is needed.
+
+    100 TB: one equi-join shuffle; right-side amplification is
+    ⌈span/bin⌉+1 per interval — pick ``bin_seconds`` near the typical
+    interval span so amplification stays O(1).  Degenerate long
+    intervals inflate only their own bin lists; AQE skew-split covers
+    hot bins.
+    """
+    step = int(bin_seconds)
+    lbin = F.floor(F.unix_timestamp(ts_col) / step).alias("__bin")
+    rbins = F.explode(
+        F.sequence(
+            F.floor(F.unix_timestamp(start_col) / step),
+            F.floor(F.unix_timestamp(end_col) / step),
+        )
+    ).alias("__bin")
+    l = left.select("*", lbin)
+    r = right.select("*", rbins)
+    cond = l["__bin"] == r["__bin"]
+    if by:
+        # key may share its name across sides — bind via the frames
+        cond = cond & (l[by] == r[by])
+    joined = l.join(r, cond).filter(
+        (l[ts_col] >= r[start_col]) & (l[ts_col] <= r[end_col])
+    )
+    rcols = [
+        c for c in right.columns if c != by
+    ]
+    return joined.select(
+        *[l[c] for c in left.columns],
+        *[r[c] for c in rcols],
+    )

@@ -254,3 +254,48 @@ def x_asof_join(spark, sf_dir):
         "view_id",
         F.round("view_value", 6).alias("vv6"),
     )
+
+
+@query(
+    "x_range_join",
+    """
+    WITH c AS (
+      SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts,
+             event_id AS click_id FROM events WHERE event_type = 'click'
+    ), e AS (
+      SELECT user_id,
+             CAST(date_trunc('second', ts) AS TIMESTAMP)
+               - INTERVAL 300 SECOND AS iv_start,
+             CAST(date_trunc('second', ts) AS TIMESTAMP)
+               + INTERVAL 300 SECOND AS iv_end,
+             event_id AS error_id
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT c.user_id, c.click_id, e.error_id
+    FROM c JOIN e
+      ON c.user_id = e.user_id AND c.ts BETWEEN e.iv_start AND e.iv_end
+    """,
+    extra=True,  # window full at 50; selfcheck + pytest verified
+)
+def x_range_join(spark, sf_dir):
+    """RANGE JOIN (point-in-interval): clicks within ±5 min of an
+    error by the same user — bin-bucketed equi-join (bin = 600 s, so
+    each interval covers ≤2 bins) with the exact BETWEEN residual;
+    the oracle is the plain BETWEEN join."""
+    from pigout_spark.operators.joins import range_join
+
+    ev = _events_s(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 300 SECONDS")).alias("iv_start"),
+        (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("iv_end"),
+        F.col("event_id").alias("error_id"),
+    )
+    out = range_join(
+        clicks, errors, "ts", "iv_start", "iv_end",
+        bin_seconds=600, by="user_id",
+    )
+    return out.select("user_id", "click_id", "error_id")

@@ -398,3 +398,33 @@ def test_asof_join_plan_single_key_shuffle(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Exchange SinglePartition" not in plan
     assert plan.count("Exchange hashpartitioning(__k") == 1
+
+
+def test_range_join_semantics_and_plan(spark):
+    """Point-in-interval join: exact membership incl. boundary hits
+    across bin edges, per-key isolation, overlapping intervals yield
+    multiple matches — and the plan is a (key, bin) equi-join, never
+    a nested loop over intervals."""
+    import datetime as dt
+
+    from pigout_spark.operators.joins import range_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(seconds=s), f"p{s}") for s in (5, 100, 150, 2000)],
+        "k long, ts timestamp, pid string",
+    )
+    iv = spark.createDataFrame(
+        [
+            (1, t0, t0 + dt.timedelta(seconds=150), "iv1"),       # ends ON p150
+            (1, t0 + dt.timedelta(seconds=90), t0 + dt.timedelta(seconds=110), "iv2"),
+            (2, t0, t0 + dt.timedelta(seconds=9999), "iv3"),      # other key
+        ],
+        "k long, iv_start timestamp, iv_end timestamp, ivid string",
+    )
+    out = range_join(pts, iv, "ts", "iv_start", "iv_end", bin_seconds=60, by="k")
+    got = sorted((r.pid, r.ivid) for r in out.collect())
+    assert got == [("p100", "iv1"), ("p100", "iv2"), ("p150", "iv1"), ("p5", "iv1")]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
