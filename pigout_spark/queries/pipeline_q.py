@@ -1868,3 +1868,76 @@ def x_sample_exact(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents").select("doc_id", "source")
     return sample_exact_n(d, 7, ["doc_id"], seed="3", by="source")
+
+
+def _cms_bucket_sql(tok_sql: str, row: int, width: int) -> str:
+    return (
+        f"(('0x' || substring(md5('{row}' || '#' || {tok_sql}), 1, 8))::BIGINT"
+        f" % {width})"
+    )
+
+
+@query(
+    "x_cms_sketch",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_SQL_TOKS}) AS tok FROM documents
+    ), pairs AS (
+      {' UNION ALL '.join(
+          f"SELECT {d} AS row, {_cms_bucket_sql('tok', d, 1024)} AS bucket FROM toks"
+          for d in range(4)
+      )}
+    )
+    SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM pairs GROUP BY row, bucket
+    """,
+    extra=True,  # window full at 50; selfcheck + pytest verified
+)
+def x_cms_sketch(spark, sf_dir):
+    """Count-Min sketch over the corpus token stream (4×1024,
+    md5-salted rows): the full counter table hash-checked cell by
+    cell — one explode + one map-side-combined groupBy."""
+    from pigout_spark.pipeline.sketches import cms_build
+
+    return cms_build(t(spark, sf_dir, "documents"), depth=4, width=1024)
+
+
+@query(
+    "x_cms_estimate",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_SQL_TOKS}) AS tok FROM documents
+    ), pairs AS (
+      {' UNION ALL '.join(
+          f"SELECT {d} AS row, {_cms_bucket_sql('tok', d, 1024)} AS bucket FROM toks"
+          for d in range(4)
+      )}
+    ), sk AS (
+      SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM pairs GROUP BY row, bucket
+    ), q AS (
+      SELECT DISTINCT tok AS term FROM toks
+    ), probes AS (
+      {' UNION ALL '.join(
+          f"SELECT term, {d} AS row, {_cms_bucket_sql('term', d, 1024)} AS bucket FROM q"
+          for d in range(4)
+      )}
+    )
+    SELECT term, MIN(coalesce(cnt, 0)) AS est
+    FROM probes LEFT JOIN sk USING (row, bucket)
+    GROUP BY term
+    """,
+    extra=True,  # window full at 50; selfcheck + pytest verified
+)
+def x_cms_estimate(spark, sf_dir):
+    """CMS point queries for every distinct corpus token: min over the
+    4 salted rows — estimates (≥ truth by construction) hash-checked
+    against the identical SQL sketch."""
+    from pigout_spark.pipeline.sketches import cms_build, cms_estimate
+
+    d = t(spark, sf_dir, "documents")
+    sk = cms_build(d, depth=4, width=1024)
+    q = d.select(
+        F.explode_outer(F.array_distinct(F.split("text", " "))).alias("term")
+    ).filter(F.col("term") != "").distinct()
+    return cms_estimate(sk, q, depth=4, width=1024)

@@ -299,3 +299,44 @@ def x_range_join(spark, sf_dir):
         bin_seconds=600, by="user_id",
     )
     return out.select("user_id", "click_id", "error_id")
+
+
+@query(
+    "x_rollup_timeseries",
+    """
+    WITH e AS (
+      SELECT user_id AS k,
+             CAST(floor(epoch(date_trunc('second', ts)) / 3600) AS BIGINT)
+               * 3600 AS b, value AS v
+      FROM events
+    ),
+    h AS (SELECT 3600 AS resolution, k, b AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n_events, SUM(v) AS s
+          FROM e GROUP BY k, b),
+    d6 AS (SELECT 21600 AS resolution, k,
+                  CAST(floor(bucket / 21600) AS BIGINT) * 21600 AS bucket,
+                  CAST(SUM(n_events) AS BIGINT) AS n_events, SUM(s) AS s
+           FROM h GROUP BY 2, 3),
+    d1 AS (SELECT 86400 AS resolution, k,
+                  CAST(floor(bucket / 86400) AS BIGINT) * 86400 AS bucket,
+                  CAST(SUM(n_events) AS BIGINT) AS n_events, SUM(s) AS s
+           FROM d6 GROUP BY 2, 3)
+    SELECT resolution, k AS user_id, bucket, n_events, ROUND(s, 6) AS sum6
+    FROM (SELECT * FROM h UNION ALL SELECT * FROM d6 UNION ALL SELECT * FROM d1)
+    """,
+    extra=True,  # window full at 50; selfcheck + pytest verified
+)
+def x_rollup_timeseries(spark, sf_dir):
+    """Hypertable rollup: 1h base aggregate from raw, 6h and 1d
+    REAGGREGATED from the finer level (never re-reading raw) —
+    the continuous-aggregate cascade, all three resolutions
+    hash-checked in one stacked relation."""
+    from pigout_spark.streaming.windows import rollup_timeseries
+
+    out = rollup_timeseries(
+        t(spark, sf_dir, "events"), [3600, 21600, 86400]
+    )
+    return out.select(
+        "resolution", "user_id", "bucket", "n_events",
+        F.round("sum_value", 6).alias("sum6"),
+    )

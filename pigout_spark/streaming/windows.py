@@ -170,3 +170,73 @@ def resample_events(
         "sum_value",
         F.last("sum_value", ignorenulls=True).over(w).alias("ffill_value"),
     )
+
+
+def rollup_timeseries(
+    df: DataFrame,
+    intervals_seconds: list[int],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """HYPERTABLE ROLLUP (multi-resolution continuous aggregate): one
+    pass over raw events builds the FINEST resolution; every coarser
+    resolution REAGGREGATES the previous rollup, never the raw data —
+    the TimescaleDB continuous-aggregate / OLAP-cube-on-time pattern.
+    ``intervals_seconds`` must be ascending and each must divide the
+    next (buckets nest, so counts and sums re-add exactly).
+
+    Output: (resolution, key, bucket, n_events, sum_value) stacked
+    across resolutions.
+
+    100 TB: the raw scan is touched ONCE (the finest aggregate, map-
+    side combined); each coarser level aggregates the previous level's
+    output — rows ∝ keys × span/interval, shrinking by the interval
+    ratio per level, so the cascade costs a vanishing fraction of the
+    first aggregate.  This is the property that makes dashboard-grade
+    rollups affordable at petabyte ingest.
+    """
+    ivs = list(intervals_seconds)
+    if ivs != sorted(ivs):
+        raise ValueError("intervals must be ascending")
+    for a, b in zip(ivs, ivs[1:]):
+        if b % a:
+            raise ValueError(f"{b} not a multiple of {a} — buckets must nest")
+    step0 = F.lit(ivs[0])
+    finest = (
+        df.select(
+            F.col(key_col).alias("k"),
+            (F.floor(F.unix_timestamp(ts_col) / step0) * step0).alias("bucket"),
+            F.col(val_col).alias("v"),
+        )
+        .groupBy("k", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("v").alias("sum_value"))
+    )
+    levels = [finest.withColumn("resolution", F.lit(ivs[0]))]
+    prev = finest
+    for iv in ivs[1:]:
+        step = F.lit(iv)
+        prev = (
+            prev.select(
+                "k",
+                (F.floor(F.col("bucket") / step) * step).alias("bucket"),
+                "n_events",
+                "sum_value",
+            )
+            .groupBy("k", "bucket")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value").alias("sum_value"),
+            )
+        )
+        levels.append(prev.withColumn("resolution", F.lit(iv)))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select(
+        "resolution",
+        F.col("k").alias(key_col),
+        "bucket",
+        F.col("n_events").cast("long").alias("n_events"),
+        "sum_value",
+    )

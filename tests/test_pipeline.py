@@ -1486,3 +1486,31 @@ def test_sample_exact_n_counts_and_determinism(spark):
     assert g.count() == 10
     plan = g._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # no global sort / window
+
+
+def test_cms_sketch_estimates_upper_bound_true_counts(spark):
+    """CMS contract: estimates are ≥ true counts everywhere, exact for
+    most terms at this load factor, and sketches from corpus shards
+    MERGE by adding cells (the distributed-aggregation property)."""
+    from pigout_spark.pipeline.sketches import cms_build, cms_estimate
+    import pyspark.sql.functions as F_
+
+    rows = [(1, "a a a b c"), (2, "a b d"), (3, "e e")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    true = {"a": 4, "b": 2, "c": 1, "d": 1, "e": 2}
+    sk = cms_build(df, depth=4, width=256)
+    q = spark.createDataFrame([(t,) for t in true], ["term"])
+    est = {r.term: r.est for r in cms_estimate(sk, q, depth=4, width=256).collect()}
+    assert all(est[t] >= n for t, n in true.items())
+    assert sum(est[t] - true[t] for t in true) == 0  # no collisions at 5 terms/256
+    # shard merge: sketch(doc1) + sketch(doc2,3) cell-added == full sketch
+    sk1 = cms_build(df.filter("doc_id = 1"), depth=4, width=256)
+    sk23 = cms_build(df.filter("doc_id > 1"), depth=4, width=256)
+    merged = (
+        sk1.unionByName(sk23)
+        .groupBy("row", "bucket")
+        .agg(F_.sum("cnt").alias("cnt"))
+    )
+    full = {(r.row, r.bucket): r.cnt for r in sk.collect()}
+    got = {(r.row, r.bucket): r.cnt for r in merged.collect()}
+    assert got == full

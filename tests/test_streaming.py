@@ -357,3 +357,37 @@ def test_resample_events_gaps_and_ffill(spark):
     assert [r.ffill_value for r in k1] == [15.0, 15.0, 15.0, 2.0]
     k2 = [r for r in out if r.user_id == 2]
     assert len(k2) == 1 and k2[0].n_events == 1
+
+
+def test_rollup_timeseries_cascade_consistency(spark):
+    """Hypertable rollup: every coarser level must equal a direct
+    aggregation from raw (the nesting invariant), totals are conserved
+    across resolutions, and non-nesting intervals are rejected."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from pigout_spark.streaming.windows import rollup_timeseries
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + dt.timedelta(minutes=m), float(m)) for m in (0, 30, 90, 600)
+    ] + [(2, t0, 7.0)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = rollup_timeseries(df, [3600, 7200], key_col="user_id").collect()
+    by_res = {}
+    for r in out:
+        by_res.setdefault(r.resolution, []).append(r)
+    # totals conserved at every resolution
+    for res, rs in by_res.items():
+        assert sum(r.n_events for r in rs) == 5, res
+        assert abs(sum(r.sum_value for r in rs) - (0 + 30 + 90 + 600 + 7)) < 1e-9
+    # coarse bucket = sum of its fine children: user 1, hour 0 has
+    # minutes 0,30 (sum 30); hour 1 has minute 90; 2h bucket 0 = all 3
+    base = 1704067200  # epoch of 2024-01-01 UTC (session TZ is UTC)
+    h = {(r.user_id, r.bucket - base): r for r in by_res[3600]}
+    h2 = {(r.user_id, r.bucket - base): r for r in by_res[7200]}
+    assert h[(1, 0)].n_events == 2 and h[(1, 3600)].n_events == 1
+    assert h2[(1, 0)].n_events == 3 and h2[(1, 0)].sum_value == 120.0
+    with _pytest.raises(ValueError):
+        rollup_timeseries(df, [3600, 5000])
