@@ -376,10 +376,12 @@ def gen_query(rng: random.Random):
         return gen_string(rng)
     if r < 0.60:
         return gen_window(rng)
-    if r < 0.72:
+    if r < 0.70:
         return gen_latin(rng)
-    if r < 0.86:
+    if r < 0.82:
         return gen_pipeline(rng)
+    if r < 0.92:
+        return gen_temporal(rng)
     table = rng.choice(list(TABLES))
     strs, nums, doubles, ints = TABLES[table]
     preds, fexprs = [], []
@@ -858,6 +860,214 @@ def gen_pipeline(rng: random.Random):
             "doc_id",
             F.round("log_weight", 6).alias("log_weight6"),
             "n_tokens",
+        )
+
+    return build, sql
+
+
+
+
+# ---------------------------------------------------------------- temporal ---
+def _rand_event_rows(rng: random.Random, n: int, keys: int):
+    """(k, ts, v) rows with UNIQUE (k, ts) — tie-free so ASOF matches
+    are total functions in both engines."""
+    seen = set()
+    rows = []
+    while len(rows) < n:
+        k = rng.randint(0, keys - 1)
+        s = rng.randint(0, 7200)
+        if (k, s) in seen:
+            continue
+        seen.add((k, s))
+        rows.append((k, s, round(rng.uniform(-100, 100), 3)))
+    return rows
+
+
+def _ts_sql(s: int) -> str:
+    return f"TIMESTAMP '2024-01-01 00:00:00' + INTERVAL {s} SECOND"
+
+
+def _events_cte(name: str, rows) -> str:
+    vals = ", ".join(
+        f"({k}, {_ts_sql(s)}, {v!r})" for k, s, v in rows
+    )
+    return f"{name} AS (SELECT * FROM (VALUES {vals}) AS __{name}(k, ts, v))"
+
+
+def _events_df(spark, rows):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [(k, t0 + dt.timedelta(seconds=s), v) for k, s, v in rows],
+        "k long, ts timestamp, v double",
+    )
+
+
+def gen_temporal(rng: random.Random):
+    """Differential-fuzz the temporal operators: as-of join vs DuckDB's
+    NATIVE ASOF JOIN, bin-bucketed range join vs the plain BETWEEN
+    join, resample/rollup vs direct SQL aggregation."""
+    kind = rng.choice(["asof", "range", "resample", "rollup"])
+    keys = rng.randint(1, 4)
+
+    if kind == "asof":
+        l_rows = _rand_event_rows(rng, rng.randint(5, 25), keys)
+        r_rows = _rand_event_rows(rng, rng.randint(3, 25), keys)
+        sql = (
+            "WITH " + _events_cte("l", l_rows) + ", " + _events_cte("r", r_rows)
+            + """
+            SELECT l.k, CAST(epoch(l.ts) AS BIGINT) AS ts_s,
+                   CAST(epoch(r.ts) AS BIGINT) AS matched_s,
+                   ROUND(r.v, 6) AS rv6
+            FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts >= r.ts
+            """
+        )
+
+        def build(spark, sf_dir):
+            from pigout_spark.operators.joins import asof_join
+
+            out = asof_join(
+                _events_df(spark, l_rows),
+                _events_df(spark, r_rows).withColumnRenamed("v", "rv"),
+                by="k",
+            )
+            return out.select(
+                "k",
+                F.unix_timestamp("ts").alias("ts_s"),
+                F.unix_timestamp("matched_ts").alias("matched_s"),
+                F.round("rv", 6).alias("rv6"),
+            )
+
+        return build, sql
+
+    if kind == "range":
+        p_rows = _rand_event_rows(rng, rng.randint(5, 25), keys)
+        i_rows = [
+            (k, s, rng.randint(0, 900))
+            for k, s, _ in _rand_event_rows(rng, rng.randint(3, 15), keys)
+        ]
+        bin_s = rng.choice([60, 300, 600])
+        ivals = ", ".join(
+            f"({k}, {_ts_sql(s)}, {_ts_sql(s + span)}, {i})"
+            for i, (k, s, span) in enumerate(i_rows)
+        )
+        sql = (
+            "WITH " + _events_cte("p", p_rows)
+            + f", iv AS (SELECT * FROM (VALUES {ivals})"
+            "  AS __iv(k, iv_start, iv_end, ivid))"
+            + """
+            SELECT p.k, CAST(epoch(p.ts) AS BIGINT) AS ts_s, iv.ivid
+            FROM p JOIN iv
+              ON p.k = iv.k AND p.ts BETWEEN iv.iv_start AND iv.iv_end
+            """
+        )
+
+        def build(spark, sf_dir):
+            import datetime as dt
+
+            from pigout_spark.operators.joins import range_join
+
+            t0 = dt.datetime(2024, 1, 1)
+            iv = spark.createDataFrame(
+                [
+                    (k, t0 + dt.timedelta(seconds=s),
+                     t0 + dt.timedelta(seconds=s + span), i)
+                    for i, (k, s, span) in enumerate(i_rows)
+                ],
+                "k long, iv_start timestamp, iv_end timestamp, ivid long",
+            )
+            out = range_join(
+                _events_df(spark, p_rows), iv,
+                "ts", "iv_start", "iv_end", bin_seconds=bin_s, by="k",
+            )
+            return out.select(
+                "k", F.unix_timestamp("ts").alias("ts_s"), "ivid"
+            )
+
+        return build, sql
+
+    rows = _rand_event_rows(rng, rng.randint(5, 40), keys)
+    if kind == "resample":
+        iv = rng.choice([60, 300, 600])
+        sql = (
+            "WITH " + _events_cte("ev", rows)
+            + f"""
+            , e AS (
+              SELECT k,
+                     CAST(floor(epoch(ts) / {iv}) AS BIGINT) * {iv} AS bucket,
+                     v FROM ev
+            ), agg AS (
+              SELECT k, bucket, CAST(COUNT(*) AS BIGINT) AS n, SUM(v) AS s
+              FROM e GROUP BY k, bucket
+            ), spans AS (
+              SELECT k, MIN(bucket) AS lo, MAX(bucket) AS hi FROM e GROUP BY k
+            ), grid AS (
+              SELECT k, unnest(range(lo, hi + {iv}, {iv})) AS bucket FROM spans
+            ), j AS (
+              SELECT g.k, g.bucket, a.n, a.s
+              FROM grid g LEFT JOIN agg a ON g.k = a.k AND g.bucket = a.bucket
+            )
+            SELECT k, bucket, coalesce(n, 0) AS n_events, ROUND(s, 6) AS s6,
+                   ROUND(last_value(s IGNORE NULLS) OVER (
+                     PARTITION BY k ORDER BY bucket
+                     ROWS UNBOUNDED PRECEDING), 6) AS f6
+            FROM j
+            """
+        )
+
+        def build(spark, sf_dir):
+            from pigout_spark.streaming.windows import resample_events
+
+            out = resample_events(
+                _events_df(spark, rows), iv, key_col="k", val_col="v"
+            )
+            return out.select(
+                "k",
+                F.unix_timestamp("bucket_ts").alias("bucket"),
+                "n_events",
+                F.round("sum_value", 6).alias("s6"),
+                F.round("ffill_value", 6).alias("f6"),
+            )
+
+        return build, sql
+
+    base = rng.choice([60, 300])
+    m1, m2 = rng.choice([(2, 3), (6, 4), (5, 2)])
+    i0, i1, i2 = base, base * m1, base * m1 * m2
+    sql = (
+        "WITH " + _events_cte("ev", rows)
+        + f"""
+        , h AS (
+          SELECT {i0} AS resolution, k,
+                 CAST(floor(epoch(ts) / {i0}) AS BIGINT) * {i0} AS bucket,
+                 CAST(COUNT(*) AS BIGINT) AS n, SUM(v) AS s
+          FROM ev GROUP BY k, 3
+        ), m AS (
+          SELECT {i1} AS resolution, k,
+                 CAST(floor(bucket / {i1}) AS BIGINT) * {i1} AS bucket,
+                 CAST(SUM(n) AS BIGINT) AS n, SUM(s) AS s
+          FROM h GROUP BY k, 3
+        ), c AS (
+          SELECT {i2} AS resolution, k,
+                 CAST(floor(bucket / {i2}) AS BIGINT) * {i2} AS bucket,
+                 CAST(SUM(n) AS BIGINT) AS n, SUM(s) AS s
+          FROM m GROUP BY k, 3
+        )
+        SELECT resolution, k, bucket, n AS n_events, ROUND(s, 6) AS s6
+        FROM (SELECT * FROM h UNION ALL SELECT * FROM m UNION ALL SELECT * FROM c)
+        """
+    )
+
+    def build(spark, sf_dir):
+        from pigout_spark.streaming.windows import rollup_timeseries
+
+        out = rollup_timeseries(
+            _events_df(spark, rows), [i0, i1, i2], key_col="k", val_col="v"
+        )
+        return out.select(
+            "resolution", "k", "bucket", "n_events",
+            F.round("sum_value", 6).alias("s6"),
         )
 
     return build, sql
