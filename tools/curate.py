@@ -15,6 +15,8 @@ Stage semantics (each consumes the previous stage's survivors):
     passages      drop docs with >60% duplicated 13-gram positions
     decontaminate requires --benchmark PARQUET; 13-gram overlap drop
     mixture       requires --recipe "src0=0.5,src1=0.5" and --target N
+    sample        requires --sample-n N; exactly N docs per source
+                  (md5-rank, reproducible)
     dsir          requires --dsir-target PARQUET and --dsir-k N
     split         stamp train/val/test 80/10/10 (adds a column, drops
                   nothing)
@@ -46,6 +48,8 @@ def main() -> int:
     ap.add_argument("--target", type=int, default=None, help="mixture rows")
     ap.add_argument("--dsir-target", default=None)
     ap.add_argument("--dsir-k", type=int, default=None)
+    ap.add_argument("--sample-n", type=int, default=None,
+                    help="exact docs per source for the sample stage")
     ap.add_argument("--seed", default="0")
     ap.add_argument("--report", action="store_true",
                     help="print per-stage survivor counts (extra actions)")
@@ -121,6 +125,14 @@ def main() -> int:
                 df, target, args.dsir_k, id_col, text_col, seed=args.seed
             )
             df = df.join(picked.select(id_col), id_col)
+        elif stage == "sample":
+            if not args.sample_n:
+                raise SystemExit("--sample-n required for sample")
+            from pigout_spark.pipeline.curation import sample_exact_n
+
+            df = sample_exact_n(
+                df, args.sample_n, [id_col], seed=args.seed, by="source"
+            )
         elif stage == "split":
             df = split_corpus(
                 df, {"train": 0.8, "val": 0.1, "test": 0.1}, [id_col],
