@@ -176,6 +176,11 @@ def asof_join(
     (merge_asof's ``tolerance``).  Output: every left row + the
     forward-filled ``right_cols`` (NULL when no prior right row) +
     ``right_ts_out`` carrying the matched right timestamp.
+
+    Column contract: ``right_cols`` must not collide with left column
+    names (rename upstream, as merge_asof's suffixes would); left rows
+    with NULL timestamps never match (they sort before every right
+    row in the fill window).
     """
     rcols = right_cols or [
         c for c in right.columns if c not in (by, ts_col)
@@ -249,6 +254,10 @@ def range_join(
     interval span so amplification stays O(1).  Degenerate long
     intervals inflate only their own bin lists; AQE skew-split covers
     hot bins.
+
+    Column contract: apart from ``by`` (which may repeat and is
+    emitted once, from the left), left and right column names must be
+    disjoint — rename upstream.
     """
     step = int(bin_seconds)
     lbin = F.floor(F.unix_timestamp(ts_col) / step).alias("__bin")
