@@ -1,0 +1,211 @@
+"""Behavioral / event analytics over batch event logs: gap-based
+sessionization, ordered funnels, cohort retention, and value
+histograms.
+
+These are the batch twins of the streaming session machinery
+(streaming/windows.py:session_agg): product-analytics primitives every
+event warehouse query surface carries (upstream Apache Pig users build
+them by hand from GROUP + nested FOREACH; engines like Snowplow/
+Amplitude-style SQL express them with window functions).  All four are
+pure window/aggregate compositions — no UDFs, fully
+whole-stage-codegen, and each shuffles exactly once on the entity key
+(the window partition) plus one aggregation shuffle, so they scale
+linearly with the event log.
+
+Determinism contract (oracle-hash discipline): session and funnel
+assignment is invariant to the ordering of timestamp ties — tied rows
+have gap 0 (never a boundary) and funnel chaining compares against a
+per-partition scalar — so Spark and DuckDB agree row-for-row without
+a tiebreak column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Assign gap-based session ids: events of the same ``key`` whose
+    inter-arrival gap is ≤ ``gap_seconds`` share a session; a strictly
+    larger gap starts a new one (matching Spark's session_window merge
+    rule, where a gap of exactly the threshold still merges).
+
+    Adds ``session_seq`` — the 1-based session index within the key;
+    (key, session_seq) is the session identity.
+
+    100 TB: ONE hash exchange on ``key`` feeds both window passes
+    (lag + running sum share the partitioning and sort), then the
+    result streams — no second shuffle, no state beyond a partition
+    sort.  Skewed keys (one user with millions of events) sort within
+    one task; cap upstream if a key can exceed task memory.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    gap = F.unix_timestamp(ts_col) - F.unix_timestamp(prev)
+    new_flag = F.when(prev.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    cum = Window.partitionBy(key).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("session_seq", F.sum(new_flag).over(cum))
+
+
+def session_stats(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    gap_seconds: int = 1800,
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Per-session rollup over :func:`sessionize`: one row per
+    (key, session_seq) with start/end timestamps and event count, plus
+    any caller ``aggs``.  The groupBy keys extend the window partition
+    key, so the aggregation is a narrow second pass after partial
+    (map-side) aggregation."""
+    s = sessionize(df, ts_col, key, gap_seconds)
+    extra = list(aggs) if aggs else []
+    return s.groupBy(key, "session_seq").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        *extra,
+    )
+
+
+def funnel_steps(
+    df: DataFrame,
+    steps: list[str],
+    ts_col: str = "ts",
+    key: str = "user_id",
+    step_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel progression: for each ``key``, the earliest
+    timestamp at which it completed step i — where completing step i
+    requires an event of ``steps[i]`` STRICTLY AFTER the completion
+    time of step i−1 (the classic product funnel; a purchase logged
+    before the first view does not count as conversion).
+
+    Output: one row per key with ``step_1_ts … step_k_ts`` (null once
+    progression stops) and ``funnel_stage`` = number of steps reached.
+
+    100 TB: the chained conditional mins are entire-partition window
+    aggregates over the SAME key partitioning — Catalyst plans one
+    hash exchange and evaluates all k passes on the sorted partition;
+    the final per-key reduction is a groupBy on the same key.  No
+    joins, no per-step scans of the log.
+    """
+    w = Window.partitionBy(key)
+    out = df
+    prev_ts: Column | None = None
+    for i, step in enumerate(steps, start=1):
+        hit = F.col(step_col) == step
+        if prev_ts is not None:
+            hit = hit & (F.col(ts_col) > prev_ts)
+        col_name = f"step_{i}_ts"
+        out = out.withColumn(
+            col_name,
+            F.min(F.when(hit, F.col(ts_col))).over(w),
+        )
+        prev_ts = F.col(col_name)
+    per_key = out.groupBy(key).agg(
+        *[F.min(f"step_{i}_ts").alias(f"step_{i}_ts") for i in range(1, len(steps) + 1)]
+    )
+    # Build ascending so the HIGHEST completed step is the outermost
+    # branch (progression guarantees step i implies steps < i).
+    stage = F.lit(0)
+    for i in range(1, len(steps) + 1):
+        stage = F.when(F.col(f"step_{i}_ts").isNotNull(), i).otherwise(stage)
+    return per_key.withColumn("funnel_stage", stage)
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: list[str],
+    ts_col: str = "ts",
+    key: str = "user_id",
+    step_col: str = "event_type",
+) -> DataFrame:
+    """Funnel summary: for each step index, how many keys reached it
+    (``funnel_stage >= i``) — the k-row table a dashboard plots.
+    Computed as one aggregation over :func:`funnel_steps` (key-sized,
+    not event-sized input)."""
+    fs = funnel_steps(df, steps, ts_col, key, step_col)
+    rows = F.explode(
+        F.filter(
+            F.array(*[F.lit(i) for i in range(1, len(steps) + 1)]),
+            lambda i: i <= F.col("funnel_stage"),
+        )
+    ).alias("step")
+    return (
+        fs.select(rows)
+        .groupBy("step")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    period_seconds: int = 86400,
+) -> DataFrame:
+    """Cohort retention matrix: cohort = the period of the key's FIRST
+    event; a key is retained at offset d if it has any event in period
+    cohort+d.  Output: (cohort, period_offset, n_keys) — the classic
+    triangle chart.
+
+    100 TB: one window-min over the key partitioning (single
+    exchange), a distinct on (key, cohort, offset) — key-prefixed, so
+    partial aggregation collapses almost everything map-side — and a
+    tiny final rollup.  No self-join of the event log against itself.
+    """
+    p = F.floor(F.unix_timestamp(ts_col) / period_seconds).cast("bigint")
+    w = Window.partitionBy(key)
+    periods = df.select(
+        F.col(key), p.alias("__p"), F.min(p).over(w).alias("__cohort")
+    )
+    return (
+        periods.select(
+            key,
+            F.col("__cohort").alias("cohort"),
+            (F.col("__p") - F.col("__cohort")).alias("period_offset"),
+        )
+        .distinct()
+        .groupBy("cohort", "period_offset")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    nbins: int,
+    lo: float,
+    hi: float,
+) -> DataFrame:
+    """Fixed-range equi-width histogram: counts per bin over
+    ``[lo, hi)`` with nulls dropped and out-of-range values clamped
+    into the edge bins (so the counts always sum to the non-null row
+    count — the profiling contract).  ``bin_lo`` is the bin's left
+    edge, derived from the same literals in both engines.
+
+    100 TB: a narrow map to the bin index and one nbins-ary groupBy —
+    map-side combine reduces shuffle volume to nbins rows per task.
+    """
+    if nbins < 1:
+        raise ValueError("nbins must be >= 1")
+    width = (float(hi) - float(lo)) / nbins
+    raw = F.floor((F.col(col) - F.lit(float(lo))) / F.lit(width)).cast("bigint")
+    bin_ = F.least(F.lit(nbins - 1).cast("bigint"), F.greatest(F.lit(0).cast("bigint"), raw))
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("bin_lo", F.lit(float(lo)) + F.col("bin") * F.lit(width))
+    )

@@ -25,6 +25,7 @@ from pigout_spark.queries.registry import (  # noqa: F401
 )
 
 # Importing the modules populates REGISTRY via the @query decorator.
+from pigout_spark.queries import behavioral_q  # noqa: F401,E402
 from pigout_spark.queries import core  # noqa: F401,E402
 from pigout_spark.queries import functions_q  # noqa: F401,E402
 from pigout_spark.queries import pipeline_q  # noqa: F401,E402

@@ -1,0 +1,195 @@
+"""Behavioral-analytics corpus (pipeline/behavioral.py): gap
+sessionization, ordered funnels, cohort retention, histograms — the
+batch product-analytics family over `events`.
+
+Timestamps truncate to whole seconds in BOTH engines (the streaming_q
+convention, FIXTURES.md): second granularity removes the micro/nano
+precision mismatch.  Session/funnel assignment is tie-invariant (module
+docstring), so no tiebreak column is needed for the hash match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pigout_spark.pipeline.behavioral import (
+    cohort_retention,
+    funnel_counts,
+    funnel_steps,
+    histogram,
+    session_stats,
+)
+from pigout_spark.queries.registry import SQL_DSUM, dsum, query, t
+
+
+def _events_s(spark, sf_dir):
+    return t(spark, sf_dir, "events").withColumn(
+        "ts", F.date_trunc("second", "ts").cast("timestamp_ntz")
+    )
+
+
+_FUNNEL_CTE = """
+    WITH e AS (
+      SELECT user_id, event_type,
+             CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts
+      FROM events
+    ), a AS (
+      SELECT user_id, event_type, ts,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM e
+    ), b AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+               OVER (PARTITION BY user_id) AS t2
+      FROM a
+    ), c AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+               OVER (PARTITION BY user_id) AS t3
+      FROM b
+    ), pk AS (
+      SELECT user_id,
+             CAST(epoch(MIN(t1)) AS BIGINT) AS s1,
+             CAST(epoch(MIN(t2)) AS BIGINT) AS s2,
+             CAST(epoch(MIN(t3)) AS BIGINT) AS s3,
+             CASE WHEN MIN(t3) IS NOT NULL THEN 3
+                  WHEN MIN(t2) IS NOT NULL THEN 2
+                  WHEN MIN(t1) IS NOT NULL THEN 1 ELSE 0 END AS funnel_stage
+      FROM c GROUP BY user_id
+    )
+"""
+
+
+@query(
+    "x_sessionize",
+    f"""
+    WITH e AS (
+      SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts,
+             value
+      FROM events
+    ), flags AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS nf
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts, value,
+             SUM(nf) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flags
+    )
+    SELECT user_id, CAST(sid AS BIGINT) AS session_seq,
+           CAST(epoch(MIN(ts)) AS BIGINT) AS start_s,
+           CAST(epoch(MAX(ts)) AS BIGINT) AS end_s,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {SQL_DSUM("value", "sum_value")}
+    FROM s GROUP BY user_id, sid
+    """,
+    extra=True,  # window full at 50; selfcheck + pytest verified
+)
+def x_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-minute gap) rolled up per session:
+    the batch twin of stream_session, but with an explicit per-key
+    session SEQUENCE (the (key, seq) identity downstream joins need)
+    and a value rollup.  One key-partition window pass + one key-
+    prefixed aggregation — the oracle replays the identical lag/cumsum
+    arithmetic."""
+    ev = _events_s(spark, sf_dir)
+    out = session_stats(
+        ev, gap_seconds=1800, aggs=[dsum("value", "sum_value")]
+    )
+    return out.select(
+        "user_id",
+        "session_seq",
+        F.unix_timestamp("session_start").alias("start_s"),
+        F.unix_timestamp("session_end").alias("end_s"),
+        "n_events",
+        "sum_value",
+    )
+
+
+@query(
+    "x_funnel",
+    _FUNNEL_CTE + "SELECT user_id, s1, s2, s3, funnel_stage FROM pk",
+    extra=True,  # window full at 50; selfcheck + pytest verified
+)
+def x_funnel(spark, sf_dir):
+    """Ordered funnel view→click→purchase: per-user earliest STRICTLY
+    ORDERED completion times and the furthest stage reached.  The
+    chained conditional window-mins share one key partitioning (single
+    exchange, plan-asserted in test_plans.py)."""
+    ev = _events_s(spark, sf_dir)
+    out = funnel_steps(ev, ["view", "click", "purchase"])
+    return out.select(
+        "user_id",
+        F.unix_timestamp("step_1_ts").alias("s1"),
+        F.unix_timestamp("step_2_ts").alias("s2"),
+        F.unix_timestamp("step_3_ts").alias("s3"),
+        "funnel_stage",
+    )
+
+
+@query(
+    "x_funnel_counts",
+    _FUNNEL_CTE
+    + """
+    , steps AS (SELECT unnest(range(1, 4)) AS step)
+    SELECT CAST(s.step AS INT) AS step, CAST(COUNT(*) AS BIGINT) AS n_keys
+    FROM steps s JOIN pk ON pk.funnel_stage >= s.step
+    GROUP BY s.step
+    """,
+    extra=True,  # window full at 50; selfcheck + pytest verified
+)
+def x_funnel_counts(spark, sf_dir):
+    """The k-row funnel summary (keys reaching each step) — computed
+    from the key-sized funnel_steps output, not the event log."""
+    ev = _events_s(spark, sf_dir)
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+@query(
+    "x_cohort_retention",
+    """
+    WITH e AS (
+      SELECT user_id,
+             CAST(floor(epoch(CAST(date_trunc('second', ts) AS TIMESTAMP))
+                        / 86400) AS BIGINT) AS p
+      FROM events
+    ), m AS (
+      SELECT user_id, p, MIN(p) OVER (PARTITION BY user_id) AS cohort
+      FROM e
+    ), d AS (
+      SELECT DISTINCT user_id, cohort, p - cohort AS period_offset FROM m
+    )
+    SELECT cohort, period_offset, CAST(COUNT(*) AS BIGINT) AS n_keys
+    FROM d GROUP BY cohort, period_offset
+    """,
+    extra=True,  # window full at 50; selfcheck + pytest verified
+)
+def x_cohort_retention(spark, sf_dir):
+    """Daily cohort retention triangle: cohort = day of a user's first
+    event; a user counts at offset d if active on cohort+d.  Window-min
+    + key-prefixed distinct — no event-log self-join."""
+    ev = _events_s(spark, sf_dir)
+    return cohort_retention(ev, period_seconds=86400)
+
+
+@query(
+    "x_histogram",
+    """
+    WITH v AS (
+      SELECT LEAST(19, GREATEST(0,
+               CAST(floor((value - 0.0) / 5.0) AS BIGINT))) AS bin
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt, 0.0 + bin * 5.0 AS bin_lo
+    FROM v GROUP BY bin
+    """,
+    extra=True,  # window full at 50; selfcheck + pytest verified
+)
+def x_histogram(spark, sf_dir):
+    """Equi-width 20-bin histogram of event values over [0, 100) with
+    edge-bin clamping: counts always sum to the non-null row count.
+    Bin arithmetic is floor of one IEEE division by a shared literal —
+    bit-identical across engines."""
+    return histogram(t(spark, sf_dir, "events"), "value", 20, 0.0, 100.0)

@@ -1,0 +1,155 @@
+"""Semantic + plan tests for pipeline/behavioral.py (sessionize,
+funnel, cohort retention, histogram)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from pigout_spark.pipeline.behavioral import (
+    cohort_retention,
+    funnel_counts,
+    funnel_steps,
+    histogram,
+    session_stats,
+    sessionize,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ev(spark, rows):
+    """rows: (user_id, offset_seconds, event_type, value)."""
+    return spark.createDataFrame(
+        [
+            (u, T0 + dt.timedelta(seconds=s), typ, float(v))
+            for (u, s, typ, v) in rows
+        ],
+        "user_id bigint, ts timestamp, event_type string, value double",
+    )
+
+
+def test_sessionize_gap_boundary_merges(spark):
+    """A gap of EXACTLY the threshold merges (strict > starts a new
+    session) — matching Spark session_window's rule."""
+    df = _ev(spark, [(1, 0, "a", 0), (1, 1800, "a", 0), (1, 3601, "a", 0)])
+    out = sessionize(df, gap_seconds=1800).select("ts", "session_seq").collect()
+    seqs = {r.ts: r.session_seq for r in out}
+    assert seqs[T0] == 1
+    assert seqs[T0 + dt.timedelta(seconds=1800)] == 1  # boundary merges
+    assert seqs[T0 + dt.timedelta(seconds=3601)] == 2  # 1801s gap splits
+
+
+def test_sessionize_ties_share_session(spark):
+    df = _ev(spark, [(1, 0, "a", 0), (1, 0, "b", 0), (1, 0, "c", 0)])
+    out = sessionize(df, gap_seconds=10).select("session_seq").collect()
+    assert [r.session_seq for r in out] == [1, 1, 1]
+
+
+def test_sessionize_keys_independent(spark):
+    df = _ev(spark, [(1, 0, "a", 0), (2, 5000, "a", 0), (1, 5000, "a", 0)])
+    out = session_stats(df, gap_seconds=1800)
+    rows = {(r.user_id, r.session_seq): r.n_events for r in out.collect()}
+    assert rows == {(1, 1): 1, (1, 2): 1, (2, 1): 1}
+
+
+def test_funnel_requires_strict_order(spark):
+    """A purchase BEFORE the first view (or tied with the click) must
+    not complete the funnel."""
+    rows = [
+        # user 1: clean progression view < click < purchase
+        (1, 0, "view", 0), (1, 10, "click", 0), (1, 20, "purchase", 0),
+        # user 2: purchase precedes the view -> stage stops at click
+        (2, 50, "purchase", 0), (2, 100, "view", 0), (2, 200, "click", 0),
+        # user 3: click tied with view (strict > -> not counted)
+        (3, 0, "view", 0), (3, 0, "click", 0),
+    ]
+    out = funnel_steps(_ev(spark, rows), ["view", "click", "purchase"])
+    stages = {r.user_id: r.funnel_stage for r in out.collect()}
+    assert stages == {1: 3, 2: 2, 3: 1}
+
+
+def test_funnel_picks_earliest_valid_chain(spark):
+    """Later duplicate steps don't shift earlier completions."""
+    rows = [
+        (1, 0, "view", 0), (1, 5, "view", 0),
+        (1, 10, "click", 0), (1, 8, "click", 0),
+    ]
+    out = funnel_steps(_ev(spark, rows), ["view", "click"]).collect()[0]
+    assert out.step_1_ts == T0
+    assert out.step_2_ts == T0 + dt.timedelta(seconds=8)
+
+
+def test_funnel_counts_monotone(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    fc = funnel_counts(ev, ["view", "click", "purchase"])
+    rows = sorted((r.step, r.n_keys) for r in fc.collect())
+    counts = [n for _, n in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_cohort_offset_zero_covers_all_keys(spark, sf_dir):
+    """Every key is active in its own cohort period, so Σ n_keys at
+    offset 0 equals the number of distinct keys."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cr = cohort_retention(ev, period_seconds=86400)
+    at0 = (
+        cr.filter(F.col("period_offset") == 0)
+        .agg(F.sum("n_keys").alias("s"))
+        .collect()[0]
+        .s
+    )
+    n_users = ev.select("user_id").distinct().count()
+    assert at0 == n_users
+    assert cr.filter(F.col("period_offset") < 0).count() == 0
+
+
+def test_histogram_clamps_and_conserves(spark):
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (4.9,), (5.0,), (99.9,), (150.0,), (None,)],
+        "v double",
+    )
+    h = {r.bin: r.cnt for r in histogram(df, "v", 20, 0.0, 100.0).collect()}
+    assert h[0] == 3  # -5 clamped, 0.0, 4.9
+    assert h[1] == 1  # 5.0 lands in bin 1 (left-closed bins)
+    assert h[19] == 2  # 99.9 plus 150 clamped
+    assert sum(h.values()) == 6  # null dropped
+
+
+def test_histogram_edges_deterministic(spark):
+    h = histogram(
+        spark.createDataFrame([(12.5,)], "v double"), "v", 8, 10.0, 30.0
+    ).collect()[0]
+    assert h.bin == 1 and abs(h.bin_lo - 12.5) < 1e-12
+
+
+def test_funnel_single_exchange(spark, sf_dir):
+    """The three chained conditional window-mins and the final per-key
+    reduction all share ONE hash exchange on the key."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = funnel_steps(ev, ["view", "click", "purchase"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_sessionize_no_global_sort(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = session_stats(ev, gap_seconds=1800)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+    # window pass + session rollup: at most two key-hash exchanges
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_cohort_reuses_key_partitioning(spark, sf_dir):
+    """The (key, cohort, offset) distinct runs on the window's existing
+    key partitioning (subset-satisfies-clustering); only the final tiny
+    rollup re-shuffles."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = cohort_retention(ev, period_seconds=86400)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Exchange SinglePartition" not in plan
