@@ -110,3 +110,117 @@ def cms_estimate(
         .groupBy(query_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
     )
+
+
+# --- KMV (k-minimum-values) distinct-count sketch -------------------------
+#
+# Unlike HLL (whose register layout is implementation-defined, so two
+# engines never agree bit-for-bit), KMV is DETERMINISTIC given the hash:
+# the sketch IS the k smallest distinct hash values, and the estimator
+# (k-1)/U_k is plain arithmetic — so a DuckDB oracle can replay it
+# exactly.  Beyond oracle-checkability it is a real production sketch:
+# Bar-Yossef et al. 2002 ("Counting distinct elements in a data
+# stream"); mergeable by union-then-retake-k, which makes it a
+# distributed-aggregation native like the CMS above.
+
+#: Hash domain: first 15 md5 hex chars = 60 bits (fits BIGINT exactly;
+#: 16 chars would need unsigned 64 and differ between engines).
+KMV_DOMAIN = float(1 << 60)
+
+
+def kmv_hash(col: Column | str) -> Column:
+    """60-bit md5 hash of the value's string form.  DuckDB twin:
+    ('0x' || substring(md5(CAST(x AS VARCHAR)), 1, 15))::BIGINT."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+
+
+def kmv_build(df: DataFrame, col: str, k: int = 1024) -> DataFrame:
+    """Build the KMV sketch of ``col``: the ``k`` smallest DISTINCT
+    60-bit hashes, as a one-column relation ``h`` (≤ k rows — KBs,
+    ready to store or merge).  Nulls are excluded (COUNT DISTINCT
+    semantics).
+
+    100 TB: the distinct pre-aggregates map-side (shuffle volume is
+    each task's distinct-hash set, the same partial-dedup an exact
+    count-distinct pays), and the top-k is TakeOrderedAndProject —
+    per-partition k-smallest in the map stage, k·P rows to the driver,
+    never a global sort.  The payoff over exact counting is the
+    artifact: a k-row mergeable sketch you can persist per shard/day
+    and union later (:func:`kmv_merge`) instead of rescanning.
+    """
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(kmv_hash(col).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_merge(sketches: list[DataFrame], k: int = 1024) -> DataFrame:
+    """Union shard sketches and retake the k smallest distinct hashes —
+    the KMV merge (exactly the sketch of the union'd underlying sets,
+    a property exact per-shard counts do NOT have)."""
+    if not sketches:
+        raise ValueError("kmv_merge needs at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.distinct().orderBy("h").limit(k)
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 1024) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: if the sketch holds
+    fewer than k hashes the count is EXACT (every distinct value is in
+    it); otherwise (k−1)/U_k with U_k = max(h)/2^60, the classic
+    unbiased KMV estimator (relative error ≈ 1/√(k−2); k=1024 → ~3%).
+
+    Output: one row (n_hashes, est).  All arithmetic is exact-integer
+    max + one IEEE division chain — bit-identical across engines.
+    """
+    agg = sketch.agg(
+        F.count(F.lit(1)).alias("n_hashes"), F.max("h").alias("__mx")
+    )
+    return agg.select(
+        "n_hashes",
+        F.when(F.col("n_hashes") < k, F.col("n_hashes").cast("double"))
+        .otherwise(
+            F.lit(float(k - 1)) / (F.col("__mx").cast("double") / F.lit(KMV_DOMAIN))
+        )
+        .alias("est"),
+    )
+
+
+# --- HLL (production path, JVM-native Datasketches) -----------------------
+
+
+def hll_build(
+    df: DataFrame, col: str, keys: list[str] | None = None, lg_k: int = 12
+) -> DataFrame:
+    """HyperLogLog sketch per key group (or one global row) via Spark's
+    built-in Datasketches ``hll_sketch_agg`` — the production
+    approx-distinct path when the KMV's k-row relation is still too
+    chatty (an HLL sketch is a single binary cell; lg_k=12 → ~1.6%
+    error in 4 KB).  Not oracle-hashable (register layout is
+    engine-specific); accuracy and merge algebra are pinned by pytest
+    tolerance tests instead.
+
+    100 TB: partial aggregation — each task folds its rows into a
+    local sketch, the shuffle moves one sketch per (task, group).
+    """
+    gb = df.groupBy(*keys) if keys else df.groupBy()
+    return gb.agg(F.hll_sketch_agg(col, F.lit(lg_k)).alias("hll"))
+
+
+def hll_merge_estimate(
+    sketches: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
+    """Union stored HLL sketches per key (e.g. daily shards → monthly
+    distinct) and estimate: ``hll_union_agg`` + ``hll_sketch_estimate``
+    — sketch-sized input, never a rescan of the data."""
+    gb = sketches.groupBy(*keys) if keys else sketches.groupBy()
+    merged = gb.agg(F.hll_union_agg("hll").alias("hll"))
+    return merged.withColumn("est", F.hll_sketch_estimate("hll"))

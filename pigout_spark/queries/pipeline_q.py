@@ -1941,3 +1941,99 @@ def x_cms_estimate(spark, sf_dir):
         F.explode_outer(F.array_distinct(F.split("text", " "))).alias("term")
     ).filter(F.col("term") != "").distinct()
     return cms_estimate(sk, q, depth=4, width=1024)
+
+
+_KMV_HASH_SQL = (
+    "('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT"
+)
+_KMV_DOMAIN_SQL = "1152921504606846976.0"  # 2^60, exact double
+
+
+@query(
+    "x_kmv_sketch",
+    f"""
+    SELECT h FROM (
+      SELECT DISTINCT {_KMV_HASH_SQL} AS h
+      FROM events WHERE event_id IS NOT NULL
+    ) ORDER BY h LIMIT 256
+    """,
+    extra=True,  # window full at 50; selfcheck + pytest verified
+)
+def x_kmv_sketch(spark, sf_dir):
+    """KMV distinct sketch of event ids (k=256): the k smallest
+    distinct 60-bit md5 hashes, hash-checked value-for-value — the
+    deterministic sketch the HLL path can't oracle (sketches.py)."""
+    from pigout_spark.pipeline.sketches import kmv_build
+
+    return kmv_build(t(spark, sf_dir, "events"), "event_id", k=256)
+
+
+@query(
+    "x_kmv_estimate",
+    f"""
+    WITH hs AS (
+      SELECT h FROM (
+        SELECT DISTINCT {_KMV_HASH_SQL} AS h
+        FROM events WHERE event_id IS NOT NULL
+      ) ORDER BY h LIMIT 256
+    ), a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_hashes, MAX(h) AS mx FROM hs
+    )
+    SELECT n_hashes,
+           CASE WHEN n_hashes < 256 THEN CAST(n_hashes AS DOUBLE)
+                ELSE 255.0 / (CAST(mx AS DOUBLE) / {_KMV_DOMAIN_SQL})
+           END AS est
+    FROM a
+    """,
+    extra=True,  # window full at 50; selfcheck + pytest verified
+)
+def x_kmv_estimate(spark, sf_dir):
+    """KMV estimator (k−1)/U_k replayed bit-for-bit by the oracle —
+    exact-integer max + one IEEE division chain."""
+    from pigout_spark.pipeline.sketches import kmv_build, kmv_estimate
+
+    sk = kmv_build(t(spark, sf_dir, "events"), "event_id", k=256)
+    return kmv_estimate(sk, k=256)
+
+
+@query(
+    "x_kmv_merge",
+    f"""
+    WITH ev AS (
+      SELECT event_id, {_KMV_HASH_SQL} AS h
+      FROM events WHERE event_id IS NOT NULL
+    ), s1 AS (
+      SELECT h FROM (SELECT DISTINCT h FROM ev WHERE event_id % 2 = 0)
+      ORDER BY h LIMIT 256
+    ), s2 AS (
+      SELECT h FROM (SELECT DISTINCT h FROM ev WHERE event_id % 2 = 1)
+      ORDER BY h LIMIT 256
+    ), m AS (
+      SELECT h FROM (
+        SELECT DISTINCT h FROM (SELECT h FROM s1 UNION ALL SELECT h FROM s2)
+      ) ORDER BY h LIMIT 256
+    ), a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_hashes, MAX(h) AS mx FROM m
+    )
+    SELECT n_hashes,
+           CASE WHEN n_hashes < 256 THEN CAST(n_hashes AS DOUBLE)
+                ELSE 255.0 / (CAST(mx AS DOUBLE) / {_KMV_DOMAIN_SQL})
+           END AS est
+    FROM a
+    """,
+    extra=True,  # window full at 50; selfcheck + pytest verified
+)
+def x_kmv_merge(spark, sf_dir):
+    """KMV merge algebra: two shard sketches (even/odd event ids)
+    union-merged then estimated — the distributed-aggregation property
+    (sketch(shards) == sketch(union)) hash-checked end-to-end."""
+    from pigout_spark.pipeline.sketches import (
+        kmv_build,
+        kmv_estimate,
+        kmv_merge,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    s1 = kmv_build(ev.filter(F.col("event_id") % 2 == 0), "event_id", k=256)
+    s2 = kmv_build(ev.filter(F.col("event_id") % 2 == 1), "event_id", k=256)
+    return kmv_estimate(kmv_merge([s1, s2], k=256), k=256)

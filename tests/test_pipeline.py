@@ -1514,3 +1514,83 @@ def test_cms_sketch_estimates_upper_bound_true_counts(spark):
     full = {(r.row, r.bucket): r.cnt for r in sk.collect()}
     got = {(r.row, r.bucket): r.cnt for r in merged.collect()}
     assert got == full
+
+
+def test_kmv_estimate_within_error_bound(spark, sf_dir):
+    """KMV with k=256 estimates distinct event ids within ~4·(1/√k)
+    of truth (events ids are unique, so truth = row count)."""
+    from pigout_spark.pipeline.sketches import kmv_build, kmv_estimate
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    truth = ev.filter("event_id IS NOT NULL").select("event_id").distinct().count()
+    est = kmv_estimate(kmv_build(ev, "event_id", k=256), k=256).collect()[0]
+    if truth < 256:
+        assert est.est == float(truth)  # exact below k
+    else:
+        assert abs(est.est - truth) / truth < 4 / (256 - 2) ** 0.5
+
+
+def test_kmv_exact_below_k(spark):
+    from pigout_spark.pipeline.sketches import kmv_build, kmv_estimate
+
+    df = spark.createDataFrame([(i % 37,) for i in range(500)], "v bigint")
+    out = kmv_estimate(kmv_build(df, "v", k=256), k=256).collect()[0]
+    assert out.n_hashes == 37 and out.est == 37.0
+
+
+def test_kmv_merge_equals_whole_set_sketch(spark):
+    """Sketch-of-shards merged == sketch-of-union, row for row (the
+    mergeability contract, exactly — not approximately)."""
+    from pigout_spark.pipeline.sketches import kmv_build, kmv_merge
+
+    df = spark.createDataFrame([(i,) for i in range(5000)], "v bigint")
+    whole = kmv_build(df, "v", k=128)
+    parts = kmv_merge(
+        [
+            kmv_build(df.filter("v % 3 = 0"), "v", k=128),
+            kmv_build(df.filter("v % 3 = 1"), "v", k=128),
+            kmv_build(df.filter("v % 3 = 2"), "v", k=128),
+        ],
+        k=128,
+    )
+    a = sorted(r.h for r in whole.collect())
+    b = sorted(r.h for r in parts.collect())
+    assert a == b and len(a) == 128
+
+
+def test_kmv_null_excluded(spark):
+    from pigout_spark.pipeline.sketches import kmv_build
+
+    df = spark.createDataFrame([(1,), (None,), (2,)], "v bigint")
+    assert kmv_build(df, "v", k=16).count() == 2
+
+
+def test_hll_estimate_and_shard_merge(spark, sf_dir):
+    """Native HLL: estimate within lg_k=12 error (~2%), and unioning
+    per-source shard sketches equals re-estimating — without
+    rescanning the data."""
+    from pigout_spark.pipeline.sketches import hll_build, hll_merge_estimate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    truth = docs.select("doc_id").distinct().count()
+    one = hll_merge_estimate(hll_build(docs, "doc_id"))
+    assert abs(one.collect()[0].est - truth) / truth < 0.05
+    shards = hll_build(docs, "doc_id", keys=["source"])
+    merged = hll_merge_estimate(shards.select("hll"))
+    assert abs(merged.collect()[0].est - truth) / truth < 0.05
+
+
+def test_kmv_sketch_no_global_sort(spark, sf_dir):
+    """The top-k is TakeOrderedAndProject (map-side partial top-k),
+    never a rangepartitioned global sort."""
+    from pigout_spark.pipeline.sketches import kmv_build
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = (
+        kmv_build(ev, "event_id", k=256)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
