@@ -283,3 +283,70 @@ def range_join(
         *[l[c] for c in left.columns],
         *[r[c] for c in rcols],
     )
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bin_seconds: int,
+    by: str | None = None,
+) -> DataFrame:
+    """INTERVAL OVERLAP JOIN: inner-join every left interval to the
+    right intervals it overlaps (closed-interval test
+    ``l_start <= r_end AND r_start <= l_end``), optionally per ``by``
+    key — the interval×interval generalization of :func:`range_join`
+    (genomic region intersection, concurrent-session overlap,
+    maintenance-window × incident matching).
+
+    Same bucketization trick, with an exactly-once rule that now has to
+    handle BOTH sides spanning many bins: each side explodes to the
+    bins it covers, the join is an equi-join on (key, bin), and a pair
+    is emitted only in its CANONICAL bin — the bin of
+    ``greatest(l_start, r_start)``, which any overlapping pair covers
+    on both sides (max(start) <= min(end)) and exactly one bin equals.
+    No post-join dedup.
+
+    100 TB: one equi-join shuffle; per-row amplification is
+    ⌈span/bin⌉+1 on each side — pick ``bin_seconds`` near the typical
+    span.  Degenerate long intervals inflate only their own bin lists;
+    AQE skew-split covers hot bins.
+
+    Column contract: apart from ``by`` (emitted once, from the left),
+    left and right column names must be disjoint — rename upstream.
+    """
+    step = int(bin_seconds)
+    lbins = F.explode(
+        F.sequence(
+            F.floor(F.unix_timestamp(l_start) / step),
+            F.floor(F.unix_timestamp(l_end) / step),
+        )
+    ).alias("__bin")
+    rbins = F.explode(
+        F.sequence(
+            F.floor(F.unix_timestamp(r_start) / step),
+            F.floor(F.unix_timestamp(r_end) / step),
+        )
+    ).alias("__bin")
+    l = left.select("*", lbins)
+    r = right.select("*", rbins)
+    cond = l["__bin"] == r["__bin"]
+    if by:
+        cond = cond & (l[by] == r[by])
+    canonical = F.floor(
+        F.greatest(F.unix_timestamp(l[l_start]), F.unix_timestamp(r[r_start]))
+        / step
+    )
+    joined = l.join(r, cond).filter(
+        (l[l_start] <= r[r_end])
+        & (r[r_start] <= l[l_end])
+        & (l["__bin"] == canonical)
+    )
+    rcols = [c for c in right.columns if c != by]
+    return joined.select(
+        *[l[c] for c in left.columns],
+        *[r[c] for c in rcols],
+    )

@@ -340,3 +340,57 @@ def x_rollup_timeseries(spark, sf_dir):
         "resolution", "user_id", "bucket", "n_events",
         F.round("sum_value", 6).alias("sum6"),
     )
+
+
+@query(
+    "x_overlap_join",
+    """
+    WITH c AS (
+      SELECT user_id,
+             CAST(date_trunc('second', ts) AS TIMESTAMP)
+               - INTERVAL 120 SECOND AS c_start,
+             CAST(date_trunc('second', ts) AS TIMESTAMP)
+               + INTERVAL 120 SECOND AS c_end,
+             event_id AS click_id
+      FROM events WHERE event_type = 'click'
+    ), e AS (
+      SELECT user_id,
+             CAST(date_trunc('second', ts) AS TIMESTAMP)
+               - INTERVAL 300 SECOND AS e_start,
+             CAST(date_trunc('second', ts) AS TIMESTAMP)
+               + INTERVAL 300 SECOND AS e_end,
+             event_id AS error_id
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT c.user_id, c.click_id, e.error_id
+    FROM c JOIN e
+      ON c.user_id = e.user_id
+     AND c.c_start <= e.e_end AND e.e_start <= c.c_end
+    """,
+    extra=True,  # window full at 50; selfcheck + pytest verified
+)
+def x_overlap_join(spark, sf_dir):
+    """INTERVAL OVERLAP JOIN (interval×interval): ±2-minute click
+    windows overlapping ±5-minute error windows for the same user —
+    bin-bucketed equi-join with canonical-bin exactly-once emission;
+    the oracle is the plain overlap-predicate join."""
+    from pigout_spark.operators.joins import overlap_join
+
+    ev = _events_s(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 120 SECONDS")).alias("c_start"),
+        (F.col("ts") + F.expr("INTERVAL 120 SECONDS")).alias("c_end"),
+        F.col("event_id").alias("click_id"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 300 SECONDS")).alias("e_start"),
+        (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("e_end"),
+        F.col("event_id").alias("error_id"),
+    )
+    out = overlap_join(
+        clicks, errors, "c_start", "c_end", "e_start", "e_end",
+        bin_seconds=600, by="user_id",
+    )
+    return out.select("user_id", "click_id", "error_id")

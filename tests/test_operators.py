@@ -428,3 +428,122 @@ def test_range_join_semantics_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_overlap_join_matches_naive_predicate_join(spark):
+    """Bucketized overlap join == the naive overlap-predicate join on a
+    randomized interval set with touching endpoints, nesting, long
+    spans (many bins), and cross-key decoys."""
+    import random
+
+    import datetime as dt
+
+    rng = random.Random(7)
+    t0 = dt.datetime(2024, 1, 1)
+
+    def mk(n, max_span, tag):
+        rows = []
+        for i in range(n):
+            s = rng.randint(0, 50_000)
+            e = s + rng.randint(0, max_span)
+            rows.append(
+                (
+                    rng.randint(1, 4),
+                    t0 + dt.timedelta(seconds=s),
+                    t0 + dt.timedelta(seconds=e),
+                    i,
+                )
+            )
+        return spark.createDataFrame(
+            rows, f"k bigint, {tag}_start timestamp, {tag}_end timestamp, {tag}_id bigint"
+        )
+
+    left = mk(120, 3000, "l")
+    right = mk(120, 9000, "r")  # spans up to 15 bins at 600s
+
+    from pigout_spark.operators.joins import overlap_join
+
+    got = sorted(
+        (r.l_id, r.r_id)
+        for r in overlap_join(
+            left, right, "l_start", "l_end", "r_start", "r_end",
+            bin_seconds=600, by="k",
+        ).collect()
+    )
+    naive = sorted(
+        (r.l_id, r.r_id)
+        for r in left.alias("a")
+        .join(
+            right.alias("b"),
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.l_start") <= F.col("b.r_end"))
+            & (F.col("b.r_start") <= F.col("a.l_end")),
+        )
+        .collect()
+    )
+    assert got == naive
+    assert len(got) == len(set(got))  # exactly-once, no dup pairs
+
+
+def test_overlap_join_touching_endpoints_and_no_key(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def iv(s, e, i, tag):
+        return (
+            t0 + dt.timedelta(seconds=s),
+            t0 + dt.timedelta(seconds=e),
+            i,
+        )
+
+    left = spark.createDataFrame(
+        [iv(0, 100, 1, "l"), iv(1000, 2000, 2, "l")],
+        "l_start timestamp, l_end timestamp, l_id bigint",
+    )
+    right = spark.createDataFrame(
+        [
+            iv(100, 200, 10, "r"),   # touches l1 at a single point
+            iv(201, 999, 11, "r"),   # gap — matches nothing
+            iv(0, 5000, 12, "r"),    # covers both
+        ],
+        "r_start timestamp, r_end timestamp, r_id bigint",
+    )
+    from pigout_spark.operators.joins import overlap_join
+
+    got = sorted(
+        (r.l_id, r.r_id)
+        for r in overlap_join(
+            left, right, "l_start", "l_end", "r_start", "r_end",
+            bin_seconds=300,
+        ).collect()
+    )
+    assert got == [(1, 10), (1, 12), (2, 12)]
+
+
+def test_overlap_join_plans_equi_join(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, t0, t0 + dt.timedelta(seconds=60), 1)],
+        "k bigint, s timestamp, e timestamp, i bigint",
+    )
+    from pigout_spark.operators.joins import overlap_join
+
+    plan = (
+        overlap_join(
+            df,
+            df.select(
+                F.col("k"),
+                F.col("s").alias("s2"),
+                F.col("e").alias("e2"),
+                F.col("i").alias("i2"),
+            ),
+            "s", "e", "s2", "e2", bin_seconds=600, by="k",
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
