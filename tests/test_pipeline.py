@@ -1594,3 +1594,34 @@ def test_kmv_sketch_no_global_sort(spark, sf_dir):
     )
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_curate_cli_sharded_output(tmp_path):
+    """--shards N writes the verified shard layout + manifest instead
+    of a plain parquet dir."""
+    import glob
+    import json
+    import subprocess
+    import sys as _sys
+
+    out_dir = tmp_path / "sharded"
+    r = subprocess.run(
+        [
+            _sys.executable,
+            "tools/curate.py",
+            "/root/testdata/sf0.001/documents.parquet",
+            str(out_dir),
+            "--stages",
+            "quality",
+            "--shards",
+            "4",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    manifest = json.load(open(out_dir / "_manifest.json"))
+    assert manifest["n_shards"] == 4 and manifest["total_rows"] > 0
+    assert len(glob.glob(f"{out_dir}/shard=*")) <= 4

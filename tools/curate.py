@@ -21,6 +21,10 @@ Stage semantics (each consumes the previous stage's survivors):
     split         stamp train/val/test 80/10/10 (adds a column, drops
                   nothing)
 
+Output: a plain parquet dir by default; ``--shards N`` writes the
+verified training-export layout instead (sources/shards.py — N
+one-file shard dirs + _manifest.json, re-verified after the write).
+
 Every stage is the library operator (pipeline/*.py) — this file only
 sequences them; all the 100 TB arguments in SCALE.md apply unchanged.
 """
@@ -48,6 +52,9 @@ def main() -> int:
     ap.add_argument("--target", type=int, default=None, help="mixture rows")
     ap.add_argument("--dsir-target", default=None)
     ap.add_argument("--dsir-k", type=int, default=None)
+    ap.add_argument("--shards", type=int, default=None,
+                    help="write the output as N verified shards "
+                         "(sources/shards.py) instead of a plain parquet dir")
     ap.add_argument("--sample-n", type=int, default=None,
                     help="exact docs per source for the sample stage")
     ap.add_argument("--seed", default="0")
@@ -144,7 +151,15 @@ def main() -> int:
             report.append((stage, df.count()))
 
     out = str(Path(args.out_dir))
-    df.write.mode("overwrite").parquet(out)
+    if args.shards:
+        from pigout_spark.sources.shards import verify_shards, write_shards
+
+        write_shards(df, out, id_col=args.id_col, n_shards=args.shards)
+        check = verify_shards(spark, out)
+        if not check["ok"]:
+            raise SystemExit(f"shard verification failed: {check['errors']}")
+    else:
+        df.write.mode("overwrite").parquet(out)
     if args.report:
         for name, n in report:
             print(f"{name:15s} {n}")
