@@ -378,10 +378,12 @@ def gen_query(rng: random.Random):
         return gen_window(rng)
     if r < 0.70:
         return gen_latin(rng)
-    if r < 0.82:
+    if r < 0.80:
         return gen_pipeline(rng)
-    if r < 0.92:
+    if r < 0.88:
         return gen_temporal(rng)
+    if r < 0.96:
+        return gen_behavioral(rng)
     table = rng.choice(list(TABLES))
     strs, nums, doubles, ints = TABLES[table]
     preds, fexprs = [], []
@@ -1069,6 +1071,248 @@ def gen_temporal(rng: random.Random):
             "resolution", "k", "bucket", "n_events",
             F.round("sum_value", 6).alias("s6"),
         )
+
+    return build, sql
+
+
+# -------------------------------------------------------------- behavioral ---
+def _rand_typed_rows(rng: random.Random, n: int, keys: int, types: list):
+    """(k, s, typ, v) rows — ties on (k, s) ALLOWED (sessionize/funnel
+    assignment is tie-invariant; the fuzzer exercises that claim)."""
+    return [
+        (
+            rng.randint(0, keys - 1),
+            rng.randint(0, 7200),
+            rng.choice(types),
+            round(rng.uniform(-100, 100), 3),
+        )
+        for _ in range(n)
+    ]
+
+
+def _typed_cte(name: str, rows) -> str:
+    vals = ", ".join(
+        f"({k}, {_ts_sql(s)}, '{t}', {v!r})" for k, s, t, v in rows
+    )
+    return f"{name} AS (SELECT * FROM (VALUES {vals}) AS __{name}(k, ts, typ, v))"
+
+
+def _typed_df(spark, rows):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [(k, t0 + dt.timedelta(seconds=s), t, v) for k, s, t, v in rows],
+        "k long, ts timestamp, typ string, v double",
+    )
+
+
+def gen_behavioral(rng: random.Random):
+    """Differential-fuzz the behavioral ops: sessionize vs the lag/
+    cumsum SQL, ordered funnel vs the chained-window CTE, cohort
+    retention, histogram, and the interval-overlap join vs the plain
+    overlap-predicate join."""
+    kind = rng.choice(["session", "funnel", "cohort", "hist", "overlap"])
+    keys = rng.randint(1, 4)
+    types = ["a", "b", "c", "d"]
+    rows = _rand_typed_rows(rng, rng.randint(5, 40), keys, types)
+
+    if kind == "session":
+        gap = rng.choice([30, 120, 600])
+        sql = (
+            "WITH " + _typed_cte("ev", rows)
+            + f"""
+            , flags AS (
+              SELECT k, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER w) > {gap}
+                          THEN 1 ELSE 0 END AS nf
+              FROM ev WINDOW w AS (PARTITION BY k ORDER BY ts)
+            ), s AS (
+              SELECT k, ts,
+                     SUM(nf) OVER (PARTITION BY k ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+              FROM flags
+            )
+            SELECT k, CAST(sid AS BIGINT) AS session_seq,
+                   CAST(epoch(MIN(ts)) AS BIGINT) AS start_s,
+                   CAST(epoch(MAX(ts)) AS BIGINT) AS end_s,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM s GROUP BY k, sid
+            """
+        )
+
+        def build(spark, sf_dir):
+            from pigout_spark.pipeline.behavioral import session_stats
+
+            out = session_stats(
+                _typed_df(spark, rows), key="k", gap_seconds=gap
+            )
+            return out.select(
+                "k", "session_seq",
+                F.unix_timestamp("session_start").alias("start_s"),
+                F.unix_timestamp("session_end").alias("end_s"),
+                "n_events",
+            )
+
+        return build, sql
+
+    if kind == "funnel":
+        k_steps = rng.randint(2, 3)
+        steps = rng.sample(types, k_steps)
+        ctes, prev = [], None
+        for i, st in enumerate(steps, start=1):
+            cond = f"typ = '{st}'" + (f" AND ts > t{i-1}" if prev else "")
+            src = f"c{i-1}" if prev else "ev"
+            ctes.append(
+                f"c{i} AS (SELECT *, MIN(CASE WHEN {cond} THEN ts END)"
+                f" OVER (PARTITION BY k) AS t{i} FROM {src})"
+            )
+            prev = f"t{i}"
+        sel = ", ".join(
+            f"CAST(epoch(MIN(t{i})) AS BIGINT) AS s{i}"
+            for i in range(1, k_steps + 1)
+        )
+        stage = "CASE " + " ".join(
+            f"WHEN MIN(t{i}) IS NOT NULL THEN {i}"
+            for i in range(k_steps, 0, -1)
+        ) + " ELSE 0 END AS funnel_stage"
+        sql = (
+            "WITH " + _typed_cte("ev", rows) + ", " + ", ".join(ctes)
+            + f" SELECT k, {sel}, {stage} FROM c{k_steps} GROUP BY k"
+        )
+
+        def build(spark, sf_dir):
+            from pigout_spark.pipeline.behavioral import funnel_steps
+
+            out = funnel_steps(
+                _typed_df(spark, rows), steps, key="k", step_col="typ"
+            )
+            return out.select(
+                "k",
+                *[
+                    F.unix_timestamp(f"step_{i}_ts").alias(f"s{i}")
+                    for i in range(1, k_steps + 1)
+                ],
+                "funnel_stage",
+            )
+
+        return build, sql
+
+    if kind == "cohort":
+        period = rng.choice([600, 3600, 86400])
+        sql = (
+            "WITH " + _typed_cte("ev", rows)
+            + f"""
+            , e AS (
+              SELECT k, CAST(floor(epoch(ts) / {period}) AS BIGINT) AS p
+              FROM ev
+            ), m AS (
+              SELECT k, p, MIN(p) OVER (PARTITION BY k) AS cohort FROM e
+            ), d AS (
+              SELECT DISTINCT k, cohort, p - cohort AS period_offset FROM m
+            )
+            SELECT cohort, period_offset, CAST(COUNT(*) AS BIGINT) AS n_keys
+            FROM d GROUP BY cohort, period_offset
+            """
+        )
+
+        def build(spark, sf_dir):
+            from pigout_spark.pipeline.behavioral import cohort_retention
+
+            return cohort_retention(
+                _typed_df(spark, rows), key="k", period_seconds=period
+            )
+
+        return build, sql
+
+    if kind == "hist":
+        nbins = rng.choice([1, 5, 13])
+        lo = round(rng.uniform(-120, 0), 1)
+        hi = round(lo + rng.uniform(10, 250), 1)
+        width = (hi - lo) / nbins
+        sql = (
+            "WITH " + _typed_cte("ev", rows)
+            + f"""
+            , v AS (
+              SELECT LEAST({nbins - 1}, GREATEST(0,
+                       CAST(floor((CAST(v AS DOUBLE) - CAST('{lo!r}' AS DOUBLE))
+                                  / CAST('{width!r}' AS DOUBLE)) AS BIGINT))) AS bin
+              FROM ev WHERE v IS NOT NULL
+            )
+            SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST('{lo!r}' AS DOUBLE)
+                     + bin * CAST('{width!r}' AS DOUBLE) AS bin_lo
+            FROM v GROUP BY bin
+            """
+        )
+
+        def build(spark, sf_dir):
+            from pigout_spark.pipeline.behavioral import histogram
+
+            return histogram(_typed_df(spark, rows), "v", nbins, lo, hi)
+
+        return build, sql
+
+    # overlap join: two interval sets, spans 0..1500s (many bins at 60)
+    by = rng.random() < 0.7
+    bin_s = rng.choice([60, 300])
+    l_rows = [
+        (k, s, rng.randint(0, 1500), i)
+        for i, (k, s, _, _) in enumerate(
+            _rand_typed_rows(rng, rng.randint(3, 20), keys, types)
+        )
+    ]
+    r_rows = [
+        (k, s, rng.randint(0, 1500), i)
+        for i, (k, s, _, _) in enumerate(
+            _rand_typed_rows(rng, rng.randint(3, 20), keys, types)
+        )
+    ]
+
+    def iv_cte(name, rws, a, b, idc):
+        vals = ", ".join(
+            f"({k}, {_ts_sql(s)}, {_ts_sql(s + span)}, {i})"
+            for k, s, span, i in rws
+        )
+        return f"{name} AS (SELECT * FROM (VALUES {vals}) AS __{name}(k, {a}, {b}, {idc}))"
+
+    key_pred = "l.k = r.k AND " if by else ""
+    sql = (
+        "WITH " + iv_cte("l", l_rows, "l_start", "l_end", "lid")
+        + ", " + iv_cte("r", r_rows, "r_start", "r_end", "rid")
+        + f"""
+        SELECT l.lid, r.rid
+        FROM l JOIN r
+          ON {key_pred}l.l_start <= r.r_end AND r.r_start <= l.l_end
+        """
+    )
+
+    def iv_df(spark, rws, a, b, idc):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        return spark.createDataFrame(
+            [
+                (k, t0 + dt.timedelta(seconds=s),
+                 t0 + dt.timedelta(seconds=s + span), i)
+                for k, s, span, i in rws
+            ],
+            f"k long, {a} timestamp, {b} timestamp, {idc} long",
+        )
+
+    def build(spark, sf_dir):
+        from pigout_spark.operators.joins import overlap_join
+
+        l = iv_df(spark, l_rows, "l_start", "l_end", "lid")
+        r = iv_df(spark, r_rows, "r_start", "r_end", "rid")
+        if not by:
+            r = r.withColumnRenamed("k", "k2")
+        out = overlap_join(
+            l, r, "l_start", "l_end", "r_start", "r_end",
+            bin_seconds=bin_s, by="k" if by else None,
+        )
+        return out.select("lid", "rid")
 
     return build, sql
 
