@@ -49,6 +49,11 @@ HEADLINE = [
     "stream_tumbling",
     "stream_sliding",
     "stream_session",
+    # r5 behavioral additions — both data-proportional window passes
+    # over the full event log (sessionize: lag+cumsum+rollup; funnel:
+    # chained conditional mins), not fixed-cost constants
+    "x_sessionize",
+    "x_funnel",
 ]
 
 TABLES = (

@@ -45,6 +45,17 @@ from pigout_spark.queries import udf_q  # noqa: F401,E402
 # a hedge against any time-based element of the cutoff.
 _PRIORITY = [
     "q01_group_agg",
+    # r5 late rotation: the brief-named custom operators (as-of join,
+    # range join, hypertable rollup, KMV sketch) and the behavioral
+    # flagships take driver slots; displaced settled rows
+    # (stream_tumbling, q09, dedup_simhash, sim_cosine_topk,
+    # dedup_embedding, text_fingerprint) keep their local oracles.
+    "x_asof_join",
+    "x_range_join",
+    "x_rollup_timeseries",
+    "x_kmv_merge",
+    "x_sessionize",
+    "x_funnel",
     "x_dedup_clusters",
     "x_dedup_retain",
     "x_text_chunks",

@@ -85,7 +85,6 @@ _FUNNEL_CTE = """
            {SQL_DSUM("value", "sum_value")}
     FROM s GROUP BY user_id, sid
     """,
-    extra=True,  # window full at 50; selfcheck + pytest verified
 )
 def x_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-minute gap) rolled up per session:
@@ -111,7 +110,6 @@ def x_sessionize(spark, sf_dir):
 @query(
     "x_funnel",
     _FUNNEL_CTE + "SELECT user_id, s1, s2, s3, funnel_stage FROM pk",
-    extra=True,  # window full at 50; selfcheck + pytest verified
 )
 def x_funnel(spark, sf_dir):
     """Ordered funnel view→click→purchase: per-user earliest STRICTLY

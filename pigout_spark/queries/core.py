@@ -387,6 +387,7 @@ def q08_union_distinct(spark, sf_dir):
     ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
     LIMIT 15
     """,
+    extra=True,  # r5 late rotation; ORDER/LIMIT stays driver-covered via x_rank_by_scalable/q15; local oracle kept
 )
 def q09_order_limit(spark, sf_dir):
     """Pig: ORDER A BY price DESC; LIMIT 15.  Catalyst plans

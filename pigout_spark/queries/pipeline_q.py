@@ -242,7 +242,7 @@ def _simhash_sql() -> str:
     )
 
 
-@query("dedup_simhash", _simhash_sql())
+@query("dedup_simhash", _simhash_sql(), extra=True)  # r5 late rotation; simhash family driver-covered by dedup_simhash_pairs
 def dedup_simhash(spark, sf_dir):
     """16-bit SimHash fingerprints (md5-derived per-token 32-bit hashes,
     ±1 bit votes).  Hamming-bucket search builds on this fingerprint."""
@@ -297,6 +297,7 @@ def dedup_simhash_pairs(spark, sf_dir):
                               ORDER BY cos DESC, neighbor_id) AS rn
     FROM scored QUALIFY rn <= 3
     """,
+    extra=True,  # r5 late rotation; similarity family driver-covered by sim_ivf/sim_quant
 )
 def sim_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-3 for 10 query vectors: broadcast queries,
@@ -391,7 +392,7 @@ def _emb_dedup_sql(threshold: float) -> str:
     )
 
 
-@query("dedup_embedding", _emb_dedup_sql(0.3))
+@query("dedup_embedding", _emb_dedup_sql(0.3), extra=True)  # r5 late rotation; embedding dedup stays oracle-checked locally
 def dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup: same-LSH-bucket candidates, exact
     cosine ≥ 0.3 within the bucket — the no-cross-join dedup path for
@@ -1025,6 +1026,7 @@ def text_langid(spark, sf_dir):
     SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_unique_fps
     FROM f GROUP BY source
     """,
+    extra=True,  # r5 late rotation; text family driver-covered by text_quality/text_langid
 )
 def text_fingerprint(spark, sf_dir):
     """Document fingerprint (md5 of sorted distinct tokens) — order/
@@ -2021,7 +2023,6 @@ def x_kmv_estimate(spark, sf_dir):
            END AS est
     FROM a
     """,
-    extra=True,  # window full at 50; selfcheck + pytest verified
 )
 def x_kmv_merge(spark, sf_dir):
     """KMV merge algebra: two shard sketches (even/odd event ids)

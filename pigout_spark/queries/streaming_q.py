@@ -33,6 +33,7 @@ def _events_s(spark, sf_dir):
     FROM events
     GROUP BY 1, 2
     """,
+    extra=True,  # r5 late rotation: x_asof/x_range/x_rollup take streaming-family slots; stays oracle-checked locally
 )
 def stream_tumbling(spark, sf_dir):
     """Tumbling 1-hour event-time windows per event_type.  Same code
@@ -226,7 +227,6 @@ def x_events_resample(spark, sf_dir):
     FROM l ASOF LEFT JOIN r
       ON l.user_id = r.user_id AND l.ts >= r.ts
     """,
-    extra=True,  # window full at 50; selfcheck + pytest verified
 )
 def x_asof_join(spark, sf_dir):
     """AS-OF JOIN (the prompt's canonical missing-in-Spark operator):
@@ -275,7 +275,6 @@ def x_asof_join(spark, sf_dir):
     FROM c JOIN e
       ON c.user_id = e.user_id AND c.ts BETWEEN e.iv_start AND e.iv_end
     """,
-    extra=True,  # window full at 50; selfcheck + pytest verified
 )
 def x_range_join(spark, sf_dir):
     """RANGE JOIN (point-in-interval): clicks within ±5 min of an
@@ -324,7 +323,6 @@ def x_range_join(spark, sf_dir):
     SELECT resolution, k AS user_id, bucket, n_events, ROUND(s, 6) AS sum6
     FROM (SELECT * FROM h UNION ALL SELECT * FROM d6 UNION ALL SELECT * FROM d1)
     """,
-    extra=True,  # window full at 50; selfcheck + pytest verified
 )
 def x_rollup_timeseries(spark, sf_dir):
     """Hypertable rollup: 1h base aggregate from raw, 6h and 1d
