@@ -135,3 +135,25 @@ def rollup_agg(
     if all_marker:
         return _fill_all_marker(df, dims, aggs, "rollup")
     return df.rollup(*dims).agg(*aggs)
+
+
+def pivot_table(
+    df: DataFrame,
+    keys: list[str],
+    pivot_col: str,
+    values: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    """PIVOT: one output column per ``values`` entry (the long→wide
+    reshape Pig scripts emulate with nested FOREACH + bincond chains).
+    ``values`` must be EXPLICIT — Spark then skips the extra distinct
+    pass it would otherwise run to discover them, and the output schema
+    is deterministic (the oracle-hash requirement).  Each agg must be
+    aliased; with multiple aggs the output columns are ``value_alias``,
+    with one they are just ``value``.
+
+    100 TB: identical shuffle profile to the underlying groupBy —
+    pivoting adds columns, not exchanges; partial aggregation applies
+    per (key, value) cell map-side.
+    """
+    return df.groupBy(*keys).pivot(pivot_col, values).agg(*aggs)

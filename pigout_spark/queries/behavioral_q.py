@@ -191,3 +191,41 @@ def x_histogram(spark, sf_dir):
     Bin arithmetic is floor of one IEEE division by a shared literal —
     bit-identical across engines."""
     return histogram(t(spark, sf_dir, "events"), "value", 20, 0.0, 100.0)
+
+
+@query(
+    "x_pivot",
+    f"""
+    SELECT user_id,
+           CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT)
+             AS view_n,
+           {SQL_DSUM("CASE WHEN event_type = 'view' THEN value END", "view_s")},
+           CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+             AS click_n,
+           {SQL_DSUM("CASE WHEN event_type = 'click' THEN value END", "click_s")},
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+             AS purchase_n,
+           {SQL_DSUM("CASE WHEN event_type = 'purchase' THEN value END", "purchase_s")}
+    FROM events GROUP BY user_id
+    """,
+    extra=True,  # window full at 50; selfcheck + pytest verified
+)
+def x_pivot(spark, sf_dir):
+    """PIVOT on event_type (explicit value list — no discovery pass):
+    per-user wide table of count + exact-decimal sum per type; the
+    oracle is the equivalent conditional aggregation
+    (operators/grouping.py:pivot_table)."""
+    from pigout_spark.operators.grouping import pivot_table
+
+    ev = t(spark, sf_dir, "events")
+    out = pivot_table(
+        ev,
+        keys=["user_id"],
+        pivot_col="event_type",
+        values=["view", "click", "purchase"],
+        aggs=[
+            F.count("event_type").alias("n"),
+            dsum("value", "s"),
+        ],
+    )
+    return out

@@ -392,3 +392,42 @@ def x_overlap_join(spark, sf_dir):
         bin_seconds=600, by="user_id",
     )
     return out.select("user_id", "click_id", "error_id")
+
+
+@query(
+    "x_rolling",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, value,
+             CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts
+      FROM events
+    )
+    SELECT user_id, event_id, CAST(epoch(ts) AS BIGINT) AS ts_s,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(20,4))) OVER w AS DOUBLE) AS sum_1h
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    extra=True,  # window full at 50; selfcheck + pytest verified
+)
+def x_rolling(spark, sf_dir):
+    """Trailing 1-hour rolling window per event (count + exact-decimal
+    sum): RANGE frame ⇒ tie-safe, one key exchange + one sort, O(n)
+    two-pointer evaluation (streaming/windows.py:rolling_agg)."""
+    from pigout_spark.streaming.windows import rolling_agg
+
+    ev = _events_s(spark, sf_dir).select("user_id", "event_id", "value", "ts")
+    out = rolling_agg(
+        ev, "ts", "user_id", 3600,
+        {
+            "n_1h": F.count(F.lit(1)),
+            "__s": F.sum(F.col("value").cast("decimal(20,4)")),
+        },
+    )
+    return out.select(
+        "user_id", "event_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        "n_1h",
+        F.col("__s").cast("double").alias("sum_1h"),
+    )

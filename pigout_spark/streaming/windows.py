@@ -240,3 +240,37 @@ def rollup_timeseries(
         F.col("n_events").cast("long").alias("n_events"),
         "sum_value",
     )
+
+
+def rolling_agg(
+    df: DataFrame,
+    ts_col: str,
+    key: str,
+    window_seconds: int,
+    aggs: dict[str, Column],
+) -> DataFrame:
+    """Trailing event-time window per row: for each event, aggregates
+    over the key's events in ``[ts - window_seconds, ts]`` (moving
+    average/sum/count — the per-ROW companion to the per-BUCKET
+    resample).  ``aggs`` maps output column name → window-less
+    aggregate expression, applied over the trailing RANGE frame.
+
+    Tie-safe: a RANGE frame includes every row with the same timestamp,
+    so tied events agree on their window regardless of sort order (the
+    oracle-hash requirement; a ROWS frame would not be deterministic).
+
+    100 TB: one hash exchange on ``key`` + one partition sort, then a
+    streaming frame scan — Spark evaluates a RANGE frame with a sliding
+    two-pointer over the sorted partition, O(n) per partition for
+    count/sum/avg/min.  Same skew contract as any per-key window.
+    """
+    order = F.unix_timestamp(ts_col)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(order)
+        .rangeBetween(-int(window_seconds), 0)
+    )
+    out = df
+    for name, expr in aggs.items():
+        out = out.withColumn(name, expr.over(w))
+    return out

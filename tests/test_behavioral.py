@@ -153,3 +153,58 @@ def test_cohort_reuses_key_partitioning(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "Exchange SinglePartition" not in plan
+
+
+def test_rolling_agg_trailing_window_and_ties(spark):
+    """RANGE frame: window is [ts-w, ts] inclusive, and tied timestamps
+    see each other regardless of row order."""
+    from pigout_spark.streaming.windows import rolling_agg
+
+    df = _ev(
+        spark,
+        [
+            (1, 0, "a", 1.0),
+            (1, 3600, "a", 2.0),   # exactly w back -> includes t=0
+            (1, 3601, "a", 4.0),   # t=0 just left the window
+            (1, 3601, "b", 8.0),   # tie with previous row
+        ],
+    )
+    out = rolling_agg(
+        df, "ts", "user_id", 3600, {"n": F.count(F.lit(1)), "s": F.sum("value")}
+    )
+    rows = {(r.event_type, r.ts): (r.n, r.s) for r in out.collect()}
+    assert rows[("a", T0)] == (1, 1.0)
+    assert rows[("a", T0 + dt.timedelta(seconds=3600))] == (2, 3.0)
+    # both tied rows at 3601 see {2.0, 4.0, 8.0} (t=0 excluded)
+    assert rows[("a", T0 + dt.timedelta(seconds=3601))] == (3, 14.0)
+    assert rows[("b", T0 + dt.timedelta(seconds=3601))] == (3, 14.0)
+
+
+def test_rolling_agg_single_exchange(spark, sf_dir):
+    from pigout_spark.streaming.windows import rolling_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = rolling_agg(ev, "ts", "user_id", 3600, {"n": F.count(F.lit(1))})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_pivot_table_explicit_values_no_discovery_job(spark, sf_dir):
+    """Explicit values: unseen values yield null/0 columns, unlisted
+    values are dropped, and the schema is fixed."""
+    from pigout_spark.operators.grouping import pivot_table
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = pivot_table(
+        ev, ["user_id"], "event_type", ["view", "nosuch"],
+        [F.count("event_type").alias("n")],
+    )
+    # single agg -> columns named by the pivot value alone
+    assert set(out.columns) == {"user_id", "view", "nosuch"}
+    agg = out.agg(
+        F.sum("view").alias("v"), F.sum("nosuch").alias("x")
+    ).collect()[0]
+    truth = ev.filter("event_type = 'view'").count()
+    assert agg.v == truth
+    assert (agg.x or 0) == 0
