@@ -1,0 +1,74 @@
+"""Product-analytics pass over the events fixture: the behavioral
+operator family end-to-end.
+
+    sessionize   — 30-min gap sessions per user, rolled up with a
+                   value sum
+    funnel       — view → click → purchase strict-order progression,
+                   plus the per-step conversion table
+    retention    — daily cohort triangle
+    rolling      — trailing 1-hour per-event count/sum
+    histogram    — 20-bin event-value distribution
+    pivot        — per-user wide table of count+sum per event type
+
+Run:  python examples/behavioral_analytics.py [sf_dir]
+"""
+
+import sys
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pigout_spark.catalog import load_table  # noqa: E402
+from pigout_spark.operators.grouping import pivot_table  # noqa: E402
+from pigout_spark.pipeline.behavioral import (  # noqa: E402
+    cohort_retention,
+    funnel_counts,
+    histogram,
+    session_stats,
+)
+from pigout_spark.session import get_spark  # noqa: E402
+from pigout_spark.streaming.windows import rolling_agg  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("behavioral-example")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.date_trunc("second", "ts").cast("timestamp_ntz")
+    )
+
+    sessions = session_stats(
+        ev, gap_seconds=1800, aggs=[F.sum("value").alias("sum_value")]
+    )
+    print("— sessions (30-min gap), longest by event count —")
+    sessions.orderBy(F.desc("n_events")).show(5, truncate=False)
+
+    print("— funnel view→click→purchase —")
+    funnel_counts(ev, ["view", "click", "purchase"]).orderBy("step").show()
+
+    print("— daily cohort retention (first 10 cells) —")
+    cohort_retention(ev, period_seconds=86400).orderBy(
+        "cohort", "period_offset"
+    ).show(10)
+
+    print("— trailing 1-hour rolling count/sum (sample) —")
+    rolling_agg(
+        ev, "ts", "user_id", 3600,
+        {"n_1h": F.count(F.lit(1)), "sum_1h": F.sum("value")},
+    ).select("user_id", "ts", "n_1h", "sum_1h").show(5)
+
+    print("— value histogram [0, 100), 20 bins —")
+    histogram(ev, "value", 20, 0.0, 100.0).orderBy("bin").show(20)
+
+    print("— per-user pivot on event_type —")
+    pivot_table(
+        ev, ["user_id"], "event_type", ["view", "click", "purchase"],
+        [F.count("event_type").alias("n"), F.sum("value").alias("s")],
+    ).orderBy("user_id").show(5)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
