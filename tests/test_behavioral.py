@@ -208,3 +208,34 @@ def test_pivot_table_explicit_values_no_discovery_job(spark, sf_dir):
     truth = ev.filter("event_type = 'view'").count()
     assert agg.v == truth
     assert (agg.x or 0) == 0
+
+
+def test_sessionize_hot_key_skew(spark):
+    """One key owning the whole log (the bot-user case): sessionize
+    stays correct — one sorted partition, dense seqs, conserved rows —
+    and funnel/cohort complete on the same skewed input."""
+    from pigout_spark.pipeline.behavioral import (
+        cohort_retention,
+        funnel_steps,
+        sessionize,
+    )
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.lit(7).alias("user_id"),
+        (F.lit(1704067200) + F.col("id") * 10).cast("timestamp").alias("ts"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("event_type"),
+        F.lit(1.0).alias("value"),
+    )
+    s = sessionize(df, gap_seconds=5)  # every 10s gap splits
+    rows = s.agg(
+        F.count(F.lit(1)).alias("n"), F.max("session_seq").alias("mx")
+    ).collect()[0]
+    assert rows.n == n and rows.mx == n  # every event its own session
+    merged = sessionize(df, gap_seconds=10)  # boundary gap merges all
+    assert merged.agg(F.max("session_seq")).collect()[0][0] == 1
+    assert funnel_steps(df, ["view", "click", "purchase"]).count() == 1
+    assert cohort_retention(df, period_seconds=86400).count() > 0

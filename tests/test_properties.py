@@ -266,3 +266,90 @@ def test_bpe_roundtrip_concatenation(spark, words):
     ranks = {p: i for i, p in enumerate(merges)}
     for w in words:
         assert "".join(bpe_apply_merges(w, ranks)) == w
+
+
+# --- behavioral invariants (late r5) ---------------------------------------
+
+_event_batches = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # key
+        st.integers(min_value=0, max_value=5000),   # offset seconds
+        st.sampled_from(["a", "b", "c"]),           # type
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _edf(spark, rows):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [(k, t0 + dt.timedelta(seconds=s), t, 1.0) for k, s, t in rows],
+        "user_id bigint, ts timestamp, event_type string, value double",
+    )
+
+
+@settings(max_examples=1, deadline=None)
+@given(_event_batches, st.sampled_from([60, 600, 1800]))
+def test_sessionize_invariants(spark, rows, gap):
+    """(1) sessions partition the events (counts conserve); (2) within
+    a session consecutive gaps are <= gap; (3) across consecutive
+    sessions of a key the boundary gap is > gap; (4) session_seq is
+    dense from 1."""
+    from pigout_spark.pipeline.behavioral import sessionize
+
+    out = sessionize(_edf(spark, rows), gap_seconds=gap).collect()
+    assert len(out) == len(rows)
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.user_id, []).append((r.ts, r.session_seq))
+    for k, evs in by_key.items():
+        evs.sort()
+        seqs = sorted({s for _, s in evs})
+        assert seqs == list(range(1, len(seqs) + 1))
+        for (t1, s1), (t2, s2) in zip(evs, evs[1:]):
+            d = (t2 - t1).total_seconds()
+            if s1 == s2:
+                assert d <= gap
+            else:
+                assert s2 == s1 + 1 and d > gap
+
+
+@settings(max_examples=1, deadline=None)
+@given(_event_batches)
+def test_funnel_invariants(spark, rows):
+    """Step timestamps strictly increase while present, and the stage
+    equals the number of non-null steps (progression is prefix-closed)."""
+    from pigout_spark.pipeline.behavioral import funnel_steps
+
+    out = funnel_steps(_edf(spark, rows), ["a", "b", "c"]).collect()
+    for r in out:
+        steps = [r.step_1_ts, r.step_2_ts, r.step_3_ts]
+        present = [s for s in steps if s is not None]
+        # prefix-closed: no null before a non-null
+        assert steps[: len(present)] == present
+        assert r.funnel_stage == len(present)
+        for x, y in zip(present, present[1:]):
+            assert x < y
+
+
+@settings(max_examples=1, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    st.integers(min_value=1, max_value=12),
+)
+def test_histogram_conservation(spark, values, nbins):
+    from pigout_spark.pipeline.behavioral import histogram
+
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    out = histogram(df, "v", nbins, -100.0, 100.0).collect()
+    assert sum(r.cnt for r in out) == len(values)
+    assert all(0 <= r.bin < nbins for r in out)
