@@ -209,3 +209,49 @@ def histogram(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("bin_lo", F.lit(float(lo)) + F.col("bin") * F.lit(width))
     )
+
+
+def session_paths(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    step_col: str = "event_type",
+    tiebreak: str | None = None,
+    gap_seconds: int = 1800,
+    max_len: int = 20,
+) -> DataFrame:
+    """Top navigation paths: the ordered sequence of ``step_col``
+    values within each session, truncated to ``max_len`` steps,
+    counted across sessions — "what do users actually do" in one
+    relation (path string, n_sessions).
+
+    Ordering must be total for the path string to be deterministic:
+    pass ``tiebreak`` (an id column) to break timestamp ties; without
+    one, tied events order arbitrarily and the same session can yield
+    different strings run to run.
+
+    100 TB: sessionize's single key exchange also serves the
+    row_number cap (same partitioning, extended order), events past
+    ``max_len`` are DROPPED BEFORE the collect — so a bot session of
+    10⁶ events contributes max_len rows to the aggregation state, not
+    10⁶ — then one (key, session) aggregation builds the path array
+    map-side and a path-keyed count finishes.
+    """
+    s = sessionize(df, ts_col, key, gap_seconds)
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    rn = Window.partitionBy(key, "session_seq").orderBy(*order)
+    s = s.withColumn("__rn", F.row_number().over(rn)).filter(
+        F.col("__rn") <= max_len
+    )
+    step = F.struct(*order, F.col(step_col).alias("__step"))
+    per_session = s.groupBy(key, "session_seq").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(step)), lambda x: x["__step"]
+            ),
+            ">",
+        ).alias("path")
+    )
+    return per_session.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )

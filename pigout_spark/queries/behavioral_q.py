@@ -229,3 +229,46 @@ def x_pivot(spark, sf_dir):
         ],
     )
     return out
+
+
+@query(
+    "x_session_paths",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts
+      FROM events
+    ), flags AS (
+      SELECT user_id, event_id, event_type, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS nf
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, event_id, event_type, ts,
+             SUM(nf) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flags
+    ), paths AS (
+      SELECT user_id, sid,
+             array_to_string(
+               list_slice(list(event_type ORDER BY ts, event_id), 1, 20),
+               '>') AS path
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    """,
+    extra=True,  # window full at 50; selfcheck + pytest verified
+)
+def x_session_paths(spark, sf_dir):
+    """Top navigation paths per 30-min session (event_id tiebreak for
+    a total order — the sessionize cumsum itself is tie-invariant, but
+    a path STRING needs every position pinned).  max_len=20 bounds
+    per-session state."""
+    from pigout_spark.pipeline.behavioral import session_paths
+
+    ev = _events_s(spark, sf_dir)
+    return session_paths(
+        ev, tiebreak="event_id", gap_seconds=1800, max_len=20
+    )

@@ -239,3 +239,30 @@ def test_sessionize_hot_key_skew(spark):
     assert merged.agg(F.max("session_seq")).collect()[0][0] == 1
     assert funnel_steps(df, ["view", "click", "purchase"]).count() == 1
     assert cohort_retention(df, period_seconds=86400).count() > 0
+
+
+def test_session_paths_order_truncation_and_counts(spark):
+    from pigout_spark.pipeline.behavioral import session_paths
+
+    rows = [
+        # user 1, one session: a > b > c  (tie at t=10 broken by id)
+        (1, 0, "a", 0), (1, 10, "b", 0), (1, 10, "c", 0),
+        # user 2, same path in one session + a lone 'a' session
+        (2, 0, "a", 0), (2, 5, "b", 0), (2, 9, "c", 0),
+        (2, 50_000, "a", 0),
+    ]
+    df = spark.createDataFrame(
+        [
+            (u, T0 + dt.timedelta(seconds=s), typ, i)
+            for i, (u, s, typ, _) in enumerate(rows)
+        ],
+        "user_id bigint, ts timestamp, event_type string, event_id bigint",
+    )
+    out = {
+        r.path: r.n_sessions
+        for r in session_paths(
+            df, tiebreak="event_id", gap_seconds=1800, max_len=2
+        ).collect()
+    }
+    # max_len=2 truncates a>b>c to a>b
+    assert out == {"a>b": 2, "a": 1}
