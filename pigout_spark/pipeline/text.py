@@ -1085,3 +1085,38 @@ def pmi_pairs(
             ).alias("pmi"),
         )
     )
+
+
+def profile_columns(
+    df: DataFrame, cols: list[str] | None = None, approx: bool = False
+) -> DataFrame:
+    """Column profile in long format: (column, n_rows, n_nulls,
+    n_distinct) per column — the first-look data-QA pass (null leakage,
+    cardinality sanity) a curation pipeline runs before anything else.
+
+    ``approx=False`` uses exact COUNT DISTINCT: Spark plans multiple
+    distinct aggregates with an Expand (input × #profiled columns) —
+    fine for a deliberate profiling pass, and exactly replayable by the
+    oracle.  ``approx=True`` swaps in HLL ``approx_count_distinct``
+    (single pass, no Expand) — the 100 TB default, tolerance-tested
+    rather than hash-matched.
+    """
+    cols = cols or df.columns
+    cd = F.approx_count_distinct if approx else F.count_distinct
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            cd(c).alias(f"{c}__distinct"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `{c}__n`, `{c}__nulls`, `{c}__distinct`" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) "
+            "AS (column, n_rows, n_nulls, n_distinct)"
+        )
+    )

@@ -2038,3 +2038,38 @@ def x_kmv_merge(spark, sf_dir):
     s1 = kmv_build(ev.filter(F.col("event_id") % 2 == 0), "event_id", k=256)
     s2 = kmv_build(ev.filter(F.col("event_id") % 2 == 1), "event_id", k=256)
     return kmv_estimate(kmv_merge([s1, s2], k=256), k=256)
+
+
+@query(
+    "x_profile",
+    """
+    SELECT 'doc_id' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct
+    FROM documents
+    UNION ALL
+    SELECT 'lang', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(lang) AS BIGINT),
+           CAST(COUNT(DISTINCT lang) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'source', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(source) AS BIGINT),
+           CAST(COUNT(DISTINCT source) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(n_chars) AS BIGINT),
+           CAST(COUNT(DISTINCT n_chars) AS BIGINT)
+    FROM documents
+    """,
+    extra=True,  # window full at 50; selfcheck + pytest verified
+)
+def x_profile(spark, sf_dir):
+    """Column profile (exact variant) over documents: null + distinct
+    counts in long format (pipeline/text.py:profile_columns)."""
+    from pigout_spark.pipeline.text import profile_columns
+
+    return profile_columns(
+        t(spark, sf_dir, "documents"), ["doc_id", "lang", "source", "n_chars"]
+    )

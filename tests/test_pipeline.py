@@ -1625,3 +1625,36 @@ def test_curate_cli_sharded_output(tmp_path):
     manifest = json.load(open(out_dir / "_manifest.json"))
     assert manifest["n_shards"] == 4 and manifest["total_rows"] > 0
     assert len(glob.glob(f"{out_dir}/shard=*")) <= 4
+
+
+def test_profile_columns_exact_and_approx(spark):
+    from pigout_spark.pipeline.text import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (None, "b")], "k bigint, s string"
+    )
+    exact = {r.column: r for r in profile_columns(df).collect()}
+    assert exact["k"].n_rows == 4 and exact["k"].n_nulls == 1
+    assert exact["k"].n_distinct == 3
+    assert exact["s"].n_nulls == 1 and exact["s"].n_distinct == 2
+    approx = {r.column: r for r in profile_columns(df, approx=True).collect()}
+    # tiny cardinalities: HLL is exact here
+    assert approx["k"].n_distinct == 3 and approx["s"].n_distinct == 2
+
+
+def test_profile_columns_approx_avoids_expand(spark, sf_dir):
+    """approx=True must not plan the Expand operator (the exact
+    variant's input × #cols multiplier)."""
+    from pigout_spark.pipeline.text import profile_columns
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact_plan = (
+        profile_columns(docs, ["doc_id", "lang"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    approx_plan = (
+        profile_columns(docs, ["doc_id", "lang"], approx=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" in exact_plan
+    assert "Expand" not in approx_plan
