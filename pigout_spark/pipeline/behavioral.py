@@ -83,12 +83,22 @@ def funnel_steps(
     ts_col: str = "ts",
     key: str = "user_id",
     step_col: str = "event_type",
+    within_seconds: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel progression: for each ``key``, the earliest
     timestamp at which it completed step i — where completing step i
     requires an event of ``steps[i]`` STRICTLY AFTER the completion
     time of step i−1 (the classic product funnel; a purchase logged
     before the first view does not count as conversion).
+    ``within_seconds`` adds a conversion window: step i must also land
+    within that many seconds of step i−1 ("purchased within 7 days of
+    first view"), evaluated per transition.
+
+    Caveat (greedy semantics, industry-standard): each step binds its
+    EARLIEST valid time given the previous binding.  With a window,
+    a later step-i occurrence could in principle rescue a dead funnel
+    that the earliest one times out — this implementation, like the
+    warehouse SQL it mirrors, does not backtrack.
 
     Output: one row per key with ``step_1_ts … step_k_ts`` (null once
     progression stops) and ``funnel_stage`` = number of steps reached.
@@ -106,6 +116,11 @@ def funnel_steps(
         hit = F.col(step_col) == step
         if prev_ts is not None:
             hit = hit & (F.col(ts_col) > prev_ts)
+            if within_seconds is not None:
+                hit = hit & (
+                    F.unix_timestamp(ts_col)
+                    <= F.unix_timestamp(prev_ts) + within_seconds
+                )
         col_name = f"step_{i}_ts"
         out = out.withColumn(
             col_name,
@@ -129,12 +144,13 @@ def funnel_counts(
     ts_col: str = "ts",
     key: str = "user_id",
     step_col: str = "event_type",
+    within_seconds: int | None = None,
 ) -> DataFrame:
     """Funnel summary: for each step index, how many keys reached it
     (``funnel_stage >= i``) — the k-row table a dashboard plots.
     Computed as one aggregation over :func:`funnel_steps` (key-sized,
     not event-sized input)."""
-    fs = funnel_steps(df, steps, ts_col, key, step_col)
+    fs = funnel_steps(df, steps, ts_col, key, step_col, within_seconds)
     rows = F.explode(
         F.filter(
             F.array(*[F.lit(i) for i in range(1, len(steps) + 1)]),

@@ -266,3 +266,18 @@ def test_session_paths_order_truncation_and_counts(spark):
     }
     # max_len=2 truncates a>b>c to a>b
     assert out == {"a>b": 2, "a": 1}
+
+
+def test_funnel_conversion_window(spark):
+    """within_seconds: a step landing after the window does not count,
+    even though it is strictly later."""
+    rows = [
+        (1, 0, "view", 0), (1, 100, "click", 0),     # inside 600s
+        (2, 0, "view", 0), (2, 700, "click", 0),     # outside 600s
+        (3, 0, "view", 0), (3, 600, "click", 0),     # exactly at bound
+    ]
+    out = funnel_steps(
+        _ev(spark, rows), ["view", "click"], within_seconds=600
+    )
+    stages = {r.user_id: r.funnel_stage for r in out.collect()}
+    assert stages == {1: 2, 2: 1, 3: 2}  # bound is inclusive

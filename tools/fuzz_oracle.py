@@ -1160,9 +1160,12 @@ def gen_behavioral(rng: random.Random):
     if kind == "funnel":
         k_steps = rng.randint(2, 3)
         steps = rng.sample(types, k_steps)
+        within = rng.choice([None, 600, 3600])
         ctes, prev = [], None
         for i, st in enumerate(steps, start=1):
             cond = f"typ = '{st}'" + (f" AND ts > t{i-1}" if prev else "")
+            if prev and within is not None:
+                cond += f" AND epoch(ts) <= epoch(t{i-1}) + {within}"
             src = f"c{i-1}" if prev else "ev"
             ctes.append(
                 f"c{i} AS (SELECT *, MIN(CASE WHEN {cond} THEN ts END)"
@@ -1186,7 +1189,8 @@ def gen_behavioral(rng: random.Random):
             from pigout_spark.pipeline.behavioral import funnel_steps
 
             out = funnel_steps(
-                _typed_df(spark, rows), steps, key="k", step_col="typ"
+                _typed_df(spark, rows), steps, key="k", step_col="typ",
+                within_seconds=within,
             )
             return out.select(
                 "k",
