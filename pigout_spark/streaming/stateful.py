@@ -97,3 +97,98 @@ def sessionize_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def _funnel_fn(steps: list, within_seconds: int | None, step_col: str, ts_col: str):
+    k = len(steps)
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = sorted(
+            (int(t.value // 1000), s)
+            for pdf in pdfs
+            for t, s in zip(pd.to_datetime(pdf[ts_col]), pdf[step_col])
+        )
+        if not rows:
+            return
+        if state.exists:
+            st = state.get
+            stage, times = st[0], list(st[1:])
+        else:
+            stage, times = 0, [0] * k
+        out = []
+        for ts_us, typ in rows:
+            if stage >= k or typ != steps[stage]:
+                continue
+            if stage > 0:
+                if ts_us <= times[stage - 1]:
+                    continue
+                if (
+                    within_seconds is not None
+                    and ts_us > times[stage - 1] + within_seconds * 1_000_000
+                ):
+                    continue
+            times[stage] = ts_us
+            stage += 1
+            if stage == k:
+                out.append((user_id, *times))
+                stage, times = 0, [0] * k  # repeat conversions restart
+        state.update((stage, *times))
+        state.setTimeoutDuration(86_400_000)  # evict after a day idle
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in out],
+                    **{
+                        f"step_{i}_ts": [
+                            pd.Timestamp(r[i], unit="us") for r in out
+                        ]
+                        for i in range(1, k + 1)
+                    },
+                }
+            )
+
+    return fn
+
+
+def funnel_stateful(
+    events: DataFrame,
+    steps: list,
+    user_col: str = "user_id",
+    step_col: str = "event_type",
+    ts_col: str = "ts",
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """Streaming ordered funnel: emits one row per COMPLETED
+    view→…→purchase chain as it happens (append mode), with the same
+    greedy strict-order + conversion-window semantics as the batch
+    ``funnel_steps``.  After a completion the key restarts at stage 0,
+    so repeat conversions each emit.
+
+    State per key is (stage, k step timestamps) — fixed-size, evicted
+    after a day of inactivity via processing-time timeout.  Caveat
+    (streaming reality): events are ordered within a micro-batch but
+    the operator cannot backtrack across batches — a step arriving
+    late, after a later-stage event was already processed in a prior
+    batch, is not retro-fitted.  The batch operator is the
+    oracle-checkable truth; this is the low-latency emitter.
+    """
+    k = len(steps)
+    out_schema = "user_id long, " + ", ".join(
+        f"step_{i}_ts timestamp" for i in range(1, k + 1)
+    )
+    state_schema = "stage int, " + ", ".join(f"t{i} long" for i in range(1, k + 1))
+    return events.groupBy(user_col).applyInPandasWithState(
+        _funnel_fn(steps, within_seconds, step_col, ts_col),
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

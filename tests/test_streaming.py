@@ -391,3 +391,80 @@ def test_rollup_timeseries_cascade_consistency(spark):
     assert h2[(1, 0)].n_events == 3 and h2[(1, 0)].sum_value == 120.0
     with _pytest.raises(ValueError):
         rollup_timeseries(df, [3600, 5000])
+
+
+def test_funnel_stateful_streaming(spark):
+    """Real stream: a completed view→click→purchase chain emits one
+    row; incomplete chains emit nothing; strict order enforced across
+    the batch."""
+    from pigout_spark.streaming.stateful import funnel_stateful
+
+    rows = [
+        (1, T0, "view"),
+        (1, T0 + dt.timedelta(minutes=1), "click"),
+        (1, T0 + dt.timedelta(minutes=2), "purchase"),
+        # user 2 never clicks
+        (2, T0, "view"),
+        (2, T0 + dt.timedelta(minutes=5), "purchase"),
+        # user 3: purchase BEFORE the chain - no emit
+        (3, T0, "purchase"),
+        (3, T0 + dt.timedelta(minutes=1), "view"),
+        (3, T0 + dt.timedelta(minutes=2), "click"),
+    ]
+    src = tempfile.mkdtemp(prefix="pigout_funnel_src")
+    try:
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string"
+        ).coalesce(1).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, event_type string"
+        ).parquet(src)
+        out = funnel_stateful(stream, ["view", "click", "purchase"])
+        q = (
+            out.writeStream.format("memory")
+            .queryName("funnels")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("select * from funnels").collect()
+        assert len(got) == 1
+        r = got[0]
+        assert r.user_id == 1
+        assert r.step_1_ts == T0
+        assert r.step_3_ts == T0 + dt.timedelta(minutes=2)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+def test_funnel_stateful_repeat_conversions(spark):
+    """Two full chains from the same user emit two rows."""
+    from pigout_spark.streaming.stateful import funnel_stateful
+
+    rows = []
+    for base in (0, 60):
+        rows += [
+            (1, T0 + dt.timedelta(minutes=base), "view"),
+            (1, T0 + dt.timedelta(minutes=base + 1), "click"),
+        ]
+    src = tempfile.mkdtemp(prefix="pigout_funnel2_src")
+    try:
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string"
+        ).coalesce(1).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, event_type string"
+        ).parquet(src)
+        out = funnel_stateful(stream, ["view", "click"])
+        q = (
+            out.writeStream.format("memory")
+            .queryName("funnels2")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert spark.sql("select * from funnels2").count() == 2
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
