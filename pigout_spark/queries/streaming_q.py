@@ -431,3 +431,50 @@ def x_rolling(spark, sf_dir):
         "n_1h",
         F.col("__s").cast("double").alias("sum_1h"),
     )
+
+
+@query(
+    "x_twa",
+    """
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(epoch(CAST(date_trunc('second', ts) AS TIMESTAMP))
+                  AS BIGINT) AS s,
+             CAST(CAST(value AS DECIMAL(20,4)) * 10000 AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ), w AS (
+      SELECT user_id, s AS st, cents,
+             lead(s) OVER (PARTITION BY user_id ORDER BY s, event_id) AS en
+      FROM e
+    ), seg AS (
+      SELECT user_id, st, en, cents
+      FROM w WHERE en IS NOT NULL AND en > st
+    ), ex AS (
+      SELECT user_id, cents, st, en,
+             unnest(range(CAST(floor(st / 21600) AS BIGINT),
+                          CAST(floor((en - 1) / 21600) AS BIGINT) + 1)) AS b
+      FROM seg
+    ), c AS (
+      SELECT user_id, b * 21600 AS bucket,
+             LEAST(en, (b + 1) * 21600) - GREATEST(st, b * 21600) AS wsec,
+             cents
+      FROM ex
+    )
+    SELECT user_id, bucket, CAST(SUM(wsec) AS BIGINT) AS w_seconds,
+           CAST(SUM(CAST(cents * wsec AS DECIMAL(38,0))) AS DOUBLE)
+             / (10000.0 * CAST(SUM(wsec) AS BIGINT)) AS twa
+    FROM c GROUP BY user_id, bucket
+    """,
+    extra=True,  # window full at 50; selfcheck + pytest verified
+)
+def x_twa(spark, sf_dir):
+    """TIME-WEIGHTED AVERAGE, 6-hour buckets per user: LOCF segments
+    split across buckets, integer-second weights, exact cents·seconds
+    integral — the oracle replays the identical integer arithmetic
+    (streaming/windows.py:time_weighted_avg)."""
+    from pigout_spark.streaming.windows import time_weighted_avg
+
+    ev = _events_s(spark, sf_dir)
+    return time_weighted_avg(
+        ev, "ts", "user_id", "value", 21600, tiebreak="event_id"
+    )

@@ -274,3 +274,81 @@ def rolling_agg(
     for name, expr in aggs.items():
         out = out.withColumn(name, expr.over(w))
     return out
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    ts_col: str,
+    key: str,
+    val_col: str,
+    bucket_seconds: int,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """TIME-WEIGHTED AVERAGE per (key, bucket) for IRREGULARLY sampled
+    series (the TimescaleDB `time_weight` analog): each observation
+    holds its value until the next observation (LOCF), segments are
+    split across bucket boundaries, and the bucket's average weights
+    each value by the seconds it was in effect — the correct mean for
+    sensor/price series where a plain AVG over-weights chatty periods.
+
+    The final observation of a key carries no segment (no known end) —
+    it contributes to no bucket.  NULL values drop their observation.
+    Ties on the timestamp need ``tiebreak`` for a deterministic
+    carried value (zero-length segments weigh 0 either way).
+
+    Output: (key, bucket, w_seconds, twa).
+
+    Determinism (oracle discipline): weights are integer seconds,
+    contributions are int64 cents·seconds, the per-bucket sum is
+    DECIMAL(38,0) (exact) cast to double at scale 0 (a single
+    correctly-rounded conversion in either engine), and the final twa
+    is one IEEE division — bit-identical cross-engine.
+
+    100 TB: one key exchange feeds the lead() window; bucket-splitting
+    explodes each segment to ⌈span/bucket⌉ rows (pick the bucket near
+    the typical gap); the (key, bucket) aggregation combines map-side.
+    """
+    step = int(bucket_seconds)
+    order = [F.col("__start").asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak else []
+    )
+    w = Window.partitionBy(key).orderBy(*order)
+    e = (
+        df.filter(F.col(val_col).isNotNull())
+        .select(
+            F.col(key),
+            F.unix_timestamp(ts_col).alias("__start"),
+            F.round(F.col(val_col) * 10000).cast("long").alias("__cents"),
+            *([F.col(tiebreak)] if tiebreak else []),
+        )
+        .withColumn("__end", F.lead("__start").over(w))
+        .filter(F.col("__end").isNotNull() & (F.col("__end") > F.col("__start")))
+    )
+    b = F.explode(
+        F.sequence(
+            F.floor(F.col("__start") / step),
+            F.floor((F.col("__end") - 1) / step),
+        )
+    ).alias("__b")
+    seg = e.select("*", b).select(
+        F.col(key),
+        (F.col("__b") * step).alias("bucket"),
+        (
+            F.least(F.col("__end"), (F.col("__b") + 1) * step)
+            - F.greatest(F.col("__start"), F.col("__b") * step)
+        ).alias("__w"),
+        F.col("__cents"),
+    )
+    agg = seg.groupBy(key, "bucket").agg(
+        F.sum("__w").alias("w_seconds"),
+        F.sum((F.col("__cents") * F.col("__w")).cast("decimal(38,0)")).alias("__sum"),
+    )
+    return agg.select(
+        key,
+        "bucket",
+        "w_seconds",
+        (
+            F.col("__sum").cast("double")
+            / (F.lit(10000.0) * F.col("w_seconds").cast("double"))
+        ).alias("twa"),
+    )

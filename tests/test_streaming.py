@@ -468,3 +468,55 @@ def test_funnel_stateful_repeat_conversions(spark):
         assert spark.sql("select * from funnels2").count() == 2
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_time_weighted_avg_integral_and_bucket_split(spark):
+    """LOCF integral: value 10 held 100 s then 20 held 50 s inside one
+    bucket -> twa = (10*100 + 20*50)/150; a segment crossing a bucket
+    boundary splits its weight across both buckets."""
+    from pigout_spark.streaming.windows import time_weighted_avg
+
+    rows = [
+        # key 1: all inside bucket 0 (bucket=600)
+        (1, 0, 10.0), (1, 100, 20.0), (1, 150, 0.0),
+        # key 2: value 5 from t=500 to t=700 -> 100 s in each bucket
+        (2, 500, 5.0), (2, 700, 9.0),
+    ]
+    df = spark.createDataFrame(
+        [(k, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), v, i)
+         for i, (k, s, v) in enumerate(rows)],
+        "user_id bigint, ts timestamp, value double, event_id bigint",
+    )
+    out = {
+        (r.user_id, r.bucket): (r.w_seconds, r.twa)
+        for r in time_weighted_avg(
+            df, "ts", "user_id", "value", 600, tiebreak="event_id"
+        ).collect()
+    }
+    base = 1704067200  # 2024-01-01 epoch
+    w1, twa1 = out[(1, base)]
+    assert w1 == 150 and abs(twa1 - (10 * 100 + 20 * 50) / 150) < 1e-9
+    w2a, twa2a = out[(2, base)]
+    w2b, twa2b = out[(2, base + 600)]
+    assert (w2a, twa2a) == (100, 5.0)
+    assert (w2b, twa2b) == (100, 5.0)
+    # final observations carry nothing: no bucket beyond the last segment
+    assert all(b <= base + 600 for (_, b) in out)
+
+
+def test_time_weighted_avg_null_and_single_obs(spark):
+    from pigout_spark.streaming.windows import time_weighted_avg
+
+    df = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1), None, 0),
+            (2, dt.datetime(2024, 1, 1), 3.0, 1),  # single obs: no segment
+        ],
+        "user_id bigint, ts timestamp, value double, event_id bigint",
+    )
+    assert (
+        time_weighted_avg(
+            df, "ts", "user_id", "value", 600, tiebreak="event_id"
+        ).count()
+        == 0
+    )
