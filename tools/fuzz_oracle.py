@@ -910,7 +910,7 @@ def gen_temporal(rng: random.Random):
     """Differential-fuzz the temporal operators: as-of join vs DuckDB's
     NATIVE ASOF JOIN, bin-bucketed range join vs the plain BETWEEN
     join, resample/rollup vs direct SQL aggregation."""
-    kind = rng.choice(["asof", "range", "resample", "rollup"])
+    kind = rng.choice(["asof", "range", "resample", "rollup", "twa"])
     keys = rng.randint(1, 4)
 
     if kind == "asof":
@@ -986,6 +986,54 @@ def gen_temporal(rng: random.Random):
             return out.select(
                 "k", F.unix_timestamp("ts").alias("ts_s"), "ivid"
             )
+
+        return build, sql
+
+    if kind == "twa":
+        rows = _rand_event_rows(rng, rng.randint(4, 30), keys)
+        bkt = rng.choice([60, 300, 600])
+        # (k, ts) unique by construction, so ts alone is the total order
+        vals = ", ".join(
+            f"({k}, {s_}, {v!r})" for k, s_, v in rows
+        )
+        sql = (
+            f"WITH raw AS (SELECT * FROM (VALUES {vals}) AS __r(k, s, v)), "
+            + f"""
+            e AS (
+              -- 1704067200 = epoch(2024-01-01), the _events_df base
+              SELECT k, CAST(s + 1704067200 AS BIGINT) AS s,
+                     CAST(CAST(v AS DECIMAL(20,4)) * 10000 AS BIGINT) AS cents
+              FROM raw WHERE v IS NOT NULL
+            ), w AS (
+              SELECT k, s AS st, cents,
+                     lead(s) OVER (PARTITION BY k ORDER BY s) AS en
+              FROM e
+            ), seg AS (
+              SELECT k, st, en, cents FROM w WHERE en IS NOT NULL AND en > st
+            ), ex AS (
+              SELECT k, cents, st, en,
+                     unnest(range(CAST(floor(st / {bkt}) AS BIGINT),
+                                  CAST(floor((en - 1) / {bkt}) AS BIGINT) + 1)) AS b
+              FROM seg
+            ), c AS (
+              SELECT k, b * {bkt} AS bucket,
+                     LEAST(en, (b + 1) * {bkt}) - GREATEST(st, b * {bkt}) AS wsec,
+                     cents
+              FROM ex
+            )
+            SELECT k, bucket, CAST(SUM(wsec) AS BIGINT) AS w_seconds,
+                   CAST(SUM(CAST(cents * wsec AS DECIMAL(38,0))) AS DOUBLE)
+                     / (10000.0 * CAST(SUM(wsec) AS BIGINT)) AS twa
+            FROM c GROUP BY k, bucket
+            """
+        )
+
+        def build(spark, sf_dir):
+            from pigout_spark.streaming.windows import time_weighted_avg
+
+            df = _events_df(spark, rows)
+            out = time_weighted_avg(df, "ts", "k", "v", bkt)
+            return out
 
         return build, sql
 
