@@ -64,6 +64,21 @@ def main() -> None:
     cascade = rollup_timeseries(ev, [3600, 21600, 86400])
     cascade.groupBy("resolution").count().orderBy("resolution").show()
 
+    from pigout_spark.streaming.windows import rolling_agg, time_weighted_avg
+
+    twa = time_weighted_avg(
+        ev, "ts", "user_id", "value", 21600, tiebreak="event_id"
+    )
+    print("— 6h time-weighted averages (LOCF integral), sample —")
+    twa.orderBy("user_id", "bucket").show(5)
+
+    roll = rolling_agg(
+        ev, "ts", "user_id", 3600,
+        {"n_1h": F.count(F.lit(1)), "sum_1h": F.sum("value")},
+    )
+    print("— trailing 1h rolling stats, sample —")
+    roll.select("user_id", "ts", "n_1h", "sum_1h").show(5)
+
 
 if __name__ == "__main__":
     main()
