@@ -478,3 +478,41 @@ def x_twa(spark, sf_dir):
     return time_weighted_avg(
         ev, "ts", "user_id", "value", 21600, tiebreak="event_id"
     )
+
+
+@query(
+    "x_ohlc",
+    """
+    WITH e AS (
+      SELECT user_id, value,
+             CAST(epoch(CAST(date_trunc('second', ts) AS TIMESTAMP))
+                  AS BIGINT) AS s,
+             event_id
+      FROM events WHERE value IS NOT NULL
+    ), b AS (
+      -- composite order (s, event_id) packed into one BIGINT for
+      -- arg_min/arg_max (DuckDB needs a scalar key); event_id < 10^7
+      -- at every fixture SF, so the packing is collision-free
+      SELECT user_id, value,
+             CAST(floor(s / 21600) AS BIGINT) * 21600 AS bucket,
+             s * 10000000 + event_id AS ok
+      FROM e
+    )
+    SELECT user_id, bucket,
+           arg_min(value, ok) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, ok) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_obs
+    FROM b GROUP BY user_id, bucket
+    """,
+    extra=True,  # window full at 50; selfcheck + pytest verified
+)
+def x_ohlc(spark, sf_dir):
+    """OHLC candles, 6-hour buckets per user — single map-side-combined
+    groupBy (streaming/windows.py:ohlc_agg); the oracle packs the
+    (ts, event_id) order into one BIGINT for arg_min/arg_max."""
+    from pigout_spark.streaming.windows import ohlc_agg
+
+    ev = _events_s(spark, sf_dir)
+    return ohlc_agg(ev, "ts", "user_id", "value", 21600, tiebreak="event_id")

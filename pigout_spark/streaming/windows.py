@@ -352,3 +352,38 @@ def time_weighted_avg(
             / (F.lit(10000.0) * F.col("w_seconds").cast("double"))
         ).alias("twa"),
     )
+
+
+def ohlc_agg(
+    df: DataFrame,
+    ts_col: str,
+    key: str,
+    val_col: str,
+    bucket_seconds: int,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """OHLC (candlestick) downsample: per (key, bucket) the Opening
+    (earliest) and Closing (latest) observation plus Low/High/count —
+    the standard financial/metrics compaction of a raw tick stream.
+
+    Open/close use ``min_by``/``max_by`` over (ts, tiebreak): both are
+    partial-aggregable, so the whole candle builds map-side in ONE
+    (key, bucket) groupBy — no window, no sort, no second pass.  Ties
+    on the timestamp need ``tiebreak`` for deterministic open/close
+    (low/high/count are tie-proof).
+    """
+    step = int(bucket_seconds)
+    bucket = (F.floor(F.unix_timestamp(ts_col) / step) * step).alias("bucket")
+    order = [F.unix_timestamp(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    okey = F.struct(*order)
+    return (
+        df.filter(F.col(val_col).isNotNull())
+        .groupBy(F.col(key), bucket)
+        .agg(
+            F.min_by(val_col, okey).alias("open"),
+            F.max(val_col).alias("high"),
+            F.min(val_col).alias("low"),
+            F.max_by(val_col, okey).alias("close"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+    )

@@ -520,3 +520,40 @@ def test_time_weighted_avg_null_and_single_obs(spark):
         ).count()
         == 0
     )
+
+
+def test_ohlc_semantics_and_single_shuffle(spark):
+    from pigout_spark.streaming.windows import ohlc_agg
+
+    rows = [
+        (1, 10, 5.0), (1, 20, 9.0), (1, 30, 2.0), (1, 40, 7.0),
+        (1, 610, 4.0),          # next bucket
+        (1, 40, 8.0),           # tie with the LAST row -> id decides close
+    ]
+    df = spark.createDataFrame(
+        [(k, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), v, i)
+         for i, (k, s, v) in enumerate(rows)],
+        "user_id bigint, ts timestamp, value double, event_id bigint",
+    )
+    out = {
+        r.bucket: r
+        for r in ohlc_agg(
+            df, "ts", "user_id", "value", 600, tiebreak="event_id"
+        ).collect()
+    }
+    base = 1704067200
+    c0 = out[base]
+    assert (c0.open, c0.high, c0.low, c0.n_obs) == (5.0, 9.0, 2.0, 5)
+    assert c0.close == 8.0  # tie at t=30: higher event_id closes
+    c1 = out[base + 600]
+    assert (c1.open, c1.close, c1.n_obs) == (4.0, 4.0, 1)
+    plan = (
+        ohlc_agg(df, "ts", "user_id", "value", 600, tiebreak="event_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one (key, bucket) exchange, candle built map-side (partial
+    # min_by/max_by before the shuffle), no window operator
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_min_by" in plan and "partial_max_by" in plan
+    assert "windowspecdefinition" not in plan
+    assert "Exchange SinglePartition" not in plan
