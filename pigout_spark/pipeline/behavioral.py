@@ -271,3 +271,33 @@ def session_paths(
     return per_session.groupBy("path").agg(
         F.count(F.lit(1)).alias("n_sessions")
     )
+
+
+def detect_gaps(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    min_gap_seconds: int = 3600,
+) -> DataFrame:
+    """Outage / silence detection: one row per inter-event gap STRICTLY
+    longer than the threshold — (key, gap_start, gap_end, gap_seconds),
+    where gap_start is the last event before the silence.  The
+    monitoring twin of :func:`sessionize` (its boundaries are exactly
+    these gaps).
+
+    100 TB: one lag() pass on the key partitioning, then a filter —
+    nothing else.  Tie-safe (tied timestamps yield zero gaps, never
+    emitted).
+    """
+    w = Window.partitionBy(key).orderBy(ts_col)
+    prev = F.lag(F.col(ts_col)).over(w)
+    gap = F.unix_timestamp(ts_col) - F.unix_timestamp(prev)
+    return (
+        df.select(
+            F.col(key),
+            prev.alias("gap_start"),
+            F.col(ts_col).alias("gap_end"),
+            gap.alias("gap_seconds"),
+        )
+        .filter(F.col("gap_seconds") > min_gap_seconds)
+    )

@@ -272,3 +272,39 @@ def x_session_paths(spark, sf_dir):
     return session_paths(
         ev, tiebreak="event_id", gap_seconds=1800, max_len=20
     )
+
+
+@query(
+    "x_gaps",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts
+      FROM events
+    ), g AS (
+      SELECT user_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS gap_start,
+             ts AS gap_end
+      FROM e
+    )
+    SELECT user_id, CAST(epoch(gap_start) AS BIGINT) AS start_s,
+           CAST(epoch(gap_end) AS BIGINT) AS end_s,
+           CAST(epoch(gap_end) - epoch(gap_start) AS BIGINT) AS gap_seconds
+    FROM g
+    WHERE gap_start IS NOT NULL
+      AND epoch(gap_end) - epoch(gap_start) > 21600
+    """,
+    extra=True,  # window full at 50; selfcheck + pytest verified
+)
+def x_gaps(spark, sf_dir):
+    """Silence detection: per-user inter-event gaps > 6 h — one lag
+    pass + filter (pipeline/behavioral.py:detect_gaps)."""
+    from pigout_spark.pipeline.behavioral import detect_gaps
+
+    ev = _events_s(spark, sf_dir)
+    out = detect_gaps(ev, min_gap_seconds=21600)
+    return out.select(
+        "user_id",
+        F.unix_timestamp("gap_start").alias("start_s"),
+        F.unix_timestamp("gap_end").alias("end_s"),
+        "gap_seconds",
+    )

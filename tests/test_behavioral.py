@@ -281,3 +281,18 @@ def test_funnel_conversion_window(spark):
     )
     stages = {r.user_id: r.funnel_stage for r in out.collect()}
     assert stages == {1: 2, 2: 1, 3: 2}  # bound is inclusive
+
+
+def test_detect_gaps_strict_threshold(spark):
+    from pigout_spark.pipeline.behavioral import detect_gaps
+
+    rows = [
+        (1, 0, "a", 0), (1, 3600, "a", 0),   # exactly threshold: no gap
+        (1, 7201, "a", 0),                    # 3601s: gap
+        (2, 0, "a", 0), (2, 0, "b", 0),       # tie: zero gap
+    ]
+    out = detect_gaps(_ev(spark, rows), min_gap_seconds=3600).collect()
+    assert len(out) == 1
+    g = out[0]
+    assert g.user_id == 1 and g.gap_seconds == 3601
+    assert g.gap_start == T0 + dt.timedelta(seconds=3600)
