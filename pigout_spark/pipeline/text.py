@@ -8,6 +8,8 @@ with the scan.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1120,3 +1122,53 @@ def profile_columns(
             "AS (column, n_rows, n_nulls, n_distinct)"
         )
     )
+
+
+#: control chars (keeping \t \n \r for the whitespace collapse) plus
+#: zero-width/joiner/BOM codepoints — identical character class in the
+#: Python UDF and the DuckDB oracle (explicit codepoints, no \s: the
+#: engines disagree on \s's unicode coverage).
+_STRIP_CLASS = (
+    "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f"
+    "\\u200b\\u200c\\u200d\\ufeff]"
+)
+_WS_CLASS = "[ \\t\\n\\r\\f\\v]+"
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", form: str = "NFC"
+) -> DataFrame:
+    """Unicode text normalization (the CCNet-style cleanup that runs
+    before any hashing/dedup, so visually-identical strings share
+    bytes): Unicode ``form`` normalization (NFC default — composed
+    forms; NFKC for compatibility folding), zero-width/control-char
+    strip, whitespace-run collapse to single spaces, trim.  Adds
+    ``text_norm``.
+
+    Unicode normalization needs a real Unicode library (no Spark
+    built-in): an Arrow-batched pandas UDF over ``unicodedata`` — the
+    sanctioned Python path, a narrow map with zero shuffle.  The
+    DuckDB oracle replays it with ``nfc_normalize`` + the identical
+    explicit character classes.
+    """
+    import re
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    strip_re = re.compile(_STRIP_CLASS)
+    ws_re = re.compile(_WS_CLASS)
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        def one(x):
+            if x is None:
+                return None
+            x = unicodedata.normalize(form, x)
+            x = strip_re.sub("", x)
+            x = ws_re.sub(" ", x)
+            return x.strip(" ")
+
+        return s.map(one)
+
+    return df.withColumn("text_norm", _norm(F.col(text_col)))

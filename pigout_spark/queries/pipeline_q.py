@@ -2073,3 +2073,42 @@ def x_profile(spark, sf_dir):
     return profile_columns(
         t(spark, sf_dir, "documents"), ["doc_id", "lang", "source", "n_chars"]
     )
+
+
+_NORM_STRIP_RE2 = (
+    "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f"
+    "\\x{200b}\\x{200c}\\x{200d}\\x{feff}]"
+)
+_NORM_WS_RE2 = "[ \\t\\n\\r\\f\\v]+"
+
+
+@query(
+    "x_normalize",
+    f"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                 '{_NORM_STRIP_RE2}', '', 'g'),
+                 '{_NORM_WS_RE2}', ' ', 'g'), ' ')) AS norm_md5,
+           CAST(length(trim(regexp_replace(regexp_replace(
+                 nfc_normalize(text),
+                 '{_NORM_STRIP_RE2}', '', 'g'),
+                 '{_NORM_WS_RE2}', ' ', 'g'), ' ')) AS BIGINT) AS norm_len
+    FROM documents WHERE text IS NOT NULL
+    """,
+    extra=True,  # window full at 50; selfcheck + pytest verified
+)
+def x_normalize(spark, sf_dir):
+    """Unicode normalization (NFC + control/zero-width strip +
+    whitespace collapse): every doc's normalized text pinned by md5 +
+    length against DuckDB's nfc_normalize twin
+    (pipeline/text.py:normalize_text — the sanctioned pandas-UDF
+    path, since Spark has no Unicode-normalize builtin)."""
+    from pigout_spark.pipeline.text import normalize_text
+
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    out = normalize_text(d)
+    return out.select(
+        "doc_id",
+        F.md5("text_norm").alias("norm_md5"),
+        F.length("text_norm").cast("long").alias("norm_len"),
+    )

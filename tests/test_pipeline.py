@@ -1658,3 +1658,21 @@ def test_profile_columns_approx_avoids_expand(spark, sf_dir):
     )
     assert "Expand" in exact_plan
     assert "Expand" not in approx_plan
+
+
+def test_normalize_text_unicode_forms(spark):
+    from pigout_spark.pipeline.text import normalize_text
+
+    rows = [
+        (1, "éclair"),          # decomposed -> NFC composes
+        (2, "a​b﻿c"),       # zero-width chars stripped
+        (3, "  x\t\ty \n z  "),       # whitespace runs collapse + trim
+        (4, None),
+        (5, "éclair"),           # already composed
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r.text_norm for r in normalize_text(df).collect()}
+    assert out[1] == "éclair" and out[1] == out[5]
+    assert out[2] == "abc"
+    assert out[3] == "x y z"
+    assert out[4] is None

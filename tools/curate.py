@@ -7,6 +7,9 @@ Usage:
         [--report] [--text-col text] [--id-col doc_id]
 
 Stage semantics (each consumes the previous stage's survivors):
+    normalize     NFC + control/zero-width strip + whitespace collapse
+                  (text replaced in place - run it FIRST so hashing
+                  sees canonical bytes)
     pii           scrub emails/IPs/phones in place (text_scrubbed used
                   downstream)
     quality       composite C4/Gopher rule filter (drop keep=false)
@@ -139,6 +142,14 @@ def main() -> int:
 
             df = sample_exact_n(
                 df, args.sample_n, [id_col], seed=args.seed, by="source"
+            )
+        elif stage == "normalize":
+            from pigout_spark.pipeline.text import normalize_text
+
+            df = (
+                normalize_text(df, args.text_col)
+                .drop(args.text_col)
+                .withColumnRenamed("text_norm", args.text_col)
             )
         elif stage == "split":
             df = split_corpus(
