@@ -2112,3 +2112,51 @@ def x_normalize(spark, sf_dir):
         F.md5("text_norm").alias("norm_md5"),
         F.length("text_norm").cast("long").alias("norm_len"),
     )
+
+
+def _pagerank_sql(iters: int) -> str:
+    ctes = [
+        "e AS (SELECT DISTINCT 's' || l_suppkey AS s, 'p' || l_partkey AS d"
+        " FROM lineitem)",
+        "deg AS (SELECT s, COUNT(*) AS deg FROM e GROUP BY s)",
+        "nodes AS (SELECT DISTINCT node FROM"
+        " (SELECT s AS node FROM e UNION SELECT d FROM e))",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
+        "r0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank"
+        " FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e.d AS node,"
+            f" SUM(CAST(r.rank / deg.deg AS DECIMAL(38,18))) AS cs"
+            f" FROM e JOIN deg USING (s) JOIN r{i-1} r ON r.node = e.s"
+            f" GROUP BY e.d)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT nodes.node,"
+            f" (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)"
+            f" + CAST(0.85 AS DOUBLE)"
+            f"   * coalesce(CAST(c{i}.cs AS DOUBLE), CAST(0 AS DOUBLE)) AS rank"
+            f" FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node)"
+        )
+    return "WITH " + ",\n".join(ctes) + f" SELECT node, rank FROM r{iters}"
+
+
+@query(
+    "x_pagerank",
+    _pagerank_sql(3),
+    extra=True,  # window full at 50; selfcheck + pytest verified
+)
+def x_pagerank(spark, sf_dir):
+    """PageRank, 3 rounds, over the supplier→part edge relation —
+    every node's rank hash-matched against the UNROLLED-CTE replay
+    (pipeline/graph.py:pagerank; decimal-exact contribution sums make
+    the FP reduction order-independent)."""
+    from pigout_spark.pipeline.graph import pagerank
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    ).distinct()
+    return pagerank(edges, iterations=3)

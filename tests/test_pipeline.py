@@ -1676,3 +1676,54 @@ def test_normalize_text_unicode_forms(spark):
     assert out[2] == "abc"
     assert out[3] == "x y z"
     assert out[4] is None
+
+
+def test_pagerank_matches_reference_power_iteration(spark):
+    from pigout_spark.pipeline.graph import pagerank
+
+    # a -> b, a -> c, b -> c, c -> a
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    got = {r.node: r.rank for r in pagerank(edges, iterations=10).collect()}
+
+    ranks = {v: 1 / 3 for v in "abc"}
+    out = {"a": ["b", "c"], "b": ["c"], "c": ["a"]}
+    for _ in range(10):
+        contrib = {v: 0.0 for v in "abc"}
+        for u, vs in out.items():
+            for v in vs:
+                contrib[v] += ranks[u] / len(vs)
+        ranks = {v: 0.15 / 3 + 0.85 * contrib[v] for v in "abc"}
+    for v in "abc":
+        assert abs(got[v] - ranks[v]) < 1e-12, (v, got[v], ranks[v])
+    # c has two in-edges, a and b fewer: c ranks highest
+    assert got["c"] > got["a"] > got["b"]
+
+
+def test_pagerank_partitioning_invariant(spark):
+    """The decimal contribution sums make the result bit-identical
+    whatever the physical partitioning."""
+    from pigout_spark.pipeline.graph import pagerank
+
+    import random
+
+    rng = random.Random(5)
+    rows = [(f"n{rng.randint(0, 40)}", f"n{rng.randint(0, 40)}") for _ in range(300)]
+    e1 = spark.createDataFrame(rows, "src string, dst string")
+    e2 = e1.repartition(7, "dst")
+    a = sorted((r.node, r.rank) for r in pagerank(e1, iterations=4).collect())
+    b = sorted((r.node, r.rank) for r in pagerank(e2, iterations=4).collect())
+    assert a == b  # exact equality, not approx
+
+
+def test_pagerank_dangling_and_empty(spark):
+    from pigout_spark.pipeline.graph import pagerank
+
+    # b is dangling (no out-edges)
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    got = {r.node: r.rank for r in pagerank(edges, iterations=3).collect()}
+    assert set(got) == {"a", "b"}
+    assert abs(got["a"] - 0.15 / 2) < 1e-15  # no in-links
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(empty).count() == 0
