@@ -3,11 +3,15 @@
 Connected components (min-label propagation + pointer jumping) live in
 pipeline/dedup.py:dedup_clusters — this module holds the rank side.
 
-Determinism contract (oracle-hash discipline): per-node contribution
-sums are order-dependent in IEEE double, so each contribution is cast
-to DECIMAL(38,18) before the sum — decimal addition is exact and
-associative, both engines then agree bit-for-bit; the damping update
-is one IEEE multiply-add chain on the exact sum.
+Determinism contract (oracle-hash discipline): ranks are FIXED-POINT
+int64 "picorank" units (10^-12).  Every step is integer arithmetic —
+floor division by out-degree, damping as the rational 85/100, the
+teleport term 0.15·10^12 DIV N — so any engine reproduces the result
+bit-for-bit with no FP-reduction-order or decimal-conversion concerns
+(the first draft's DECIMAL(38,18)↔DOUBLE round-trips differed from
+DuckDB by 1 ULP — fuzz-caught).  Cost: each floor division drops up to
+one unit (10^-12) of rank mass; bounded and documented, invisible at
+any practical tolerance.
 """
 
 from __future__ import annotations
@@ -15,13 +19,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: fixed-point scale: 1 rank = 10^12 units (int64-safe: total mass
+#: ≤ 10^13 units; the damping multiply peaks at 85·10^12 « 2^63)
+PAGERANK_UNIT = 10**12
+
 
 def pagerank(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     iterations: int = 5,
-    damping: float = 0.85,
+    damping_pct: int = 85,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge relation (duplicate edges
     count as parallel edges).  Classic simplified update — each node
@@ -29,18 +37,18 @@ def pagerank(
 
         rank(v) = (1-d)/N + d · Σ_{u→v} rank(u)/out_degree(u)
 
-    (dangling mass is NOT redistributed — the standard simplification;
-    dangling nodes keep contributing nothing, documented rather than
-    hidden).  A fixed iteration count keeps it SQL-expressible: the
-    oracle replays the same rounds as unrolled CTEs.
+    with d = ``damping_pct``/100 (dangling mass NOT redistributed —
+    the standard simplification, documented rather than hidden).  A
+    fixed iteration count keeps it SQL-expressible: the oracle replays
+    the same rounds as unrolled CTEs in the same int64 fixed-point
+    arithmetic.  Output ranks are units/10^12 as double (exact — the
+    numerator is far below 2^53).
 
     100 TB: per round ONE equi-join of the degree-annotated edge list
     with the rank vector (both keyed on the node — AQE handles skewed
     hubs) and one map-side-combined aggregation; ranks are
     localCheckpoint'ed per round so lineage stays constant-depth (the
     dedup_clusters discipline).  The driver holds only N (a scalar).
-    Hub skew: a node with 10⁸ in-links aggregates through partial
-    combine, never a single-task reduce.
     """
     e_src, e_dst = F.col(src), F.col(dst)
     nodes = (
@@ -53,12 +61,13 @@ def pagerank(
         return nodes.withColumn("rank", F.lit(0.0))
     deg = edges.groupBy(e_src.alias("__s")).agg(F.count(F.lit(1)).alias("__deg"))
     e = edges.select(e_src.alias("__s"), e_dst.alias("__d")).join(deg, "__s")
-    base = float((1.0 - damping) / n)
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    d = int(damping_pct)
+    base_units = ((100 - d) * PAGERANK_UNIT // 100) // n
+    ranks = nodes.withColumn("__r", F.lit(PAGERANK_UNIT // n).cast("long"))
     for _ in range(int(iterations)):
         contrib = e.join(ranks, e["__s"] == ranks["node"]).select(
             F.col("__d").alias("node"),
-            (F.col("rank") / F.col("__deg")).cast("decimal(38,18)").alias("__c"),
+            F.expr("__r div __deg").alias("__c"),
         )
         sums = contrib.groupBy("node").agg(F.sum("__c").alias("__sum"))
         ranks = (
@@ -66,11 +75,13 @@ def pagerank(
             .select(
                 "node",
                 (
-                    F.lit(base)
-                    + F.lit(float(damping))
-                    * F.coalesce(F.col("__sum").cast("double"), F.lit(0.0))
-                ).alias("rank"),
+                    F.lit(base_units).cast("long")
+                    + F.expr(f"({d} * coalesce(__sum, 0L)) div 100")
+                ).alias("__r"),
             )
             .localCheckpoint(eager=False)
         )
-    return ranks
+    return ranks.select(
+        "node",
+        (F.col("__r").cast("double") / F.lit(float(PAGERANK_UNIT))).alias("rank"),
+    )

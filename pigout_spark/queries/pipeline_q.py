@@ -2115,6 +2115,9 @@ def x_normalize(spark, sf_dir):
 
 
 def _pagerank_sql(iters: int) -> str:
+    # fixed-point int64 "picorank" units (pipeline/graph.py): every
+    # step is integer floor arithmetic, so the replay is bit-exact by
+    # construction (no decimal<->double conversions anywhere)
     ctes = [
         "e AS (SELECT DISTINCT 's' || l_suppkey AS s, 'p' || l_partkey AS d"
         " FROM lineitem)",
@@ -2122,24 +2125,28 @@ def _pagerank_sql(iters: int) -> str:
         "nodes AS (SELECT DISTINCT node FROM"
         " (SELECT s AS node FROM e UNION SELECT d FROM e))",
         "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
-        "r0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank"
+        "r0 AS (SELECT node,"
+        " CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS u"
         " FROM nodes)",
     ]
     for i in range(1, iters + 1):
         ctes.append(
             f"c{i} AS (SELECT e.d AS node,"
-            f" SUM(CAST(r.rank / deg.deg AS DECIMAL(38,18))) AS cs"
+            f" CAST(SUM(r.u // deg.deg) AS BIGINT) AS cs"
             f" FROM e JOIN deg USING (s) JOIN r{i-1} r ON r.node = e.s"
             f" GROUP BY e.d)"
         )
         ctes.append(
             f"r{i} AS (SELECT nodes.node,"
-            f" (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)"
-            f" + CAST(0.85 AS DOUBLE)"
-            f"   * coalesce(CAST(c{i}.cs AS DOUBLE), CAST(0 AS DOUBLE)) AS rank"
+            f" CAST(150000000000 // (SELECT n FROM nn)"
+            f"      + (85 * coalesce(c{i}.cs, 0)) // 100 AS BIGINT) AS u"
             f" FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node)"
         )
-    return "WITH " + ",\n".join(ctes) + f" SELECT node, rank FROM r{iters}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f" SELECT node, CAST(u AS DOUBLE) / 1000000000000.0 AS rank"
+        f" FROM r{iters}"
+    )
 
 
 @query(

@@ -382,8 +382,10 @@ def gen_query(rng: random.Random):
         return gen_pipeline(rng)
     if r < 0.88:
         return gen_temporal(rng)
-    if r < 0.96:
+    if r < 0.94:
         return gen_behavioral(rng)
+    if r < 0.97:
+        return gen_graph(rng)
     table = rng.choice(list(TABLES))
     strs, nums, doubles, ints = TABLES[table]
     preds, fexprs = [], []
@@ -1365,6 +1367,57 @@ def gen_behavioral(rng: random.Random):
             bin_seconds=bin_s, by="k" if by else None,
         )
         return out.select("lid", "rid")
+
+    return build, sql
+
+
+# ------------------------------------------------------------------- graph ---
+def gen_graph(rng: random.Random):
+    """Differential-fuzz fixed-iteration PageRank: random digraphs
+    (self-loops, parallel-edge collapses via DISTINCT, dangling nodes,
+    disconnected parts) vs the dynamically unrolled CTE oracle."""
+    n_nodes = rng.randint(3, 25)
+    n_edges = rng.randint(2, 80)
+    iters = rng.randint(1, 4)
+    edges = sorted({
+        (f"n{rng.randint(0, n_nodes)}", f"n{rng.randint(0, n_nodes)}")
+        for _ in range(n_edges)
+    })
+    vals = ", ".join(f"('{a}', '{b}')" for a, b in edges)
+    ctes = [
+        f"e AS (SELECT * FROM (VALUES {vals}) AS __e(s, d))",
+        "deg AS (SELECT s, COUNT(*) AS deg FROM e GROUP BY s)",
+        "nodes AS (SELECT DISTINCT node FROM"
+        " (SELECT s AS node FROM e UNION SELECT d FROM e))",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
+        "r0 AS (SELECT node,"
+        " CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS u"
+        " FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e.d AS node,"
+            f" CAST(SUM(r.u // deg.deg) AS BIGINT) AS cs"
+            f" FROM e JOIN deg USING (s) JOIN r{i-1} r ON r.node = e.s"
+            f" GROUP BY e.d)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT nodes.node,"
+            f" CAST(150000000000 // (SELECT n FROM nn)"
+            f"      + (85 * coalesce(c{i}.cs, 0)) // 100 AS BIGINT) AS u"
+            f" FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node)"
+        )
+    sql = (
+        "WITH " + ",\n".join(ctes)
+        + f" SELECT node, CAST(u AS DOUBLE) / 1000000000000.0 AS rank"
+        f" FROM r{iters}"
+    )
+
+    def build(spark, sf_dir):
+        from pigout_spark.pipeline.graph import pagerank
+
+        df = spark.createDataFrame(edges, "src string, dst string")
+        return pagerank(df, iterations=iters)
 
     return build, sql
 
