@@ -516,3 +516,52 @@ def x_ohlc(spark, sf_dir):
 
     ev = _events_s(spark, sf_dir)
     return ohlc_agg(ev, "ts", "user_id", "value", 21600, tiebreak="event_id")
+
+
+@query(
+    "x_zscore",
+    """
+    WITH e AS (
+      SELECT user_id, value, event_id,
+             CAST(epoch(CAST(date_trunc('second', ts) AS TIMESTAMP))
+                  AS BIGINT) AS s,
+             CAST(CAST(value AS DECIMAL(20,4)) * 10000 AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ), st AS (
+      SELECT user_id, value, event_id, s, c,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             CAST(SUM(CAST(c AS DECIMAL(38,0))) OVER w AS DOUBLE) AS sd_,
+             CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) OVER w AS DOUBLE) AS s2d
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY s
+                   RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+    ), zz AS (
+      SELECT user_id, s, value, n,
+             (CAST(c AS DOUBLE) - sd_ / n)
+               / sqrt((s2d - sd_ * sd_ / n) / (n - 1)) AS z,
+             (s2d - sd_ * sd_ / n) / (n - 1) AS var
+      FROM st
+    )
+    SELECT user_id, s AS ts_s, ROUND(value, 6) AS v6, z,
+           CAST(n AS BIGINT) AS n_window
+    FROM zz WHERE n >= 5 AND var > 0 AND abs(z) > 2.0
+    """,
+    extra=True,  # window full at 50; selfcheck + pytest verified
+)
+def x_zscore(spark, sf_dir):
+    """Rolling z-score anomaly flags (24 h trailing window per user,
+    |z| > 2): exact integer window sums feed one fixed IEEE chain both
+    engines execute identically (streaming/windows.py:rolling_zscore)."""
+    from pigout_spark.streaming.windows import rolling_zscore
+
+    ev = _events_s(spark, sf_dir)
+    out = rolling_zscore(
+        ev, "ts", "user_id", "value", 86400, threshold=2.0, min_obs=5
+    )
+    return out.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.round("value", 6).alias("v6"),
+        "z",
+        "n_window",
+    )

@@ -387,3 +387,63 @@ def ohlc_agg(
             F.count(F.lit(1)).alias("n_obs"),
         )
     )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    ts_col: str,
+    key: str,
+    val_col: str,
+    window_seconds: int,
+    threshold: float = 3.0,
+    min_obs: int = 5,
+) -> DataFrame:
+    """Streaming-style anomaly detection on a batch log: flag events
+    whose value deviates more than ``threshold`` sample standard
+    deviations from the TRAILING ``window_seconds`` window of the same
+    key (the window includes the event itself, so a lone spike dilutes
+    its own baseline — the usual trade; shrink the window or raise
+    min_obs to sharpen).
+
+    Determinism: window count / Σ / Σ² are EXACT integers (cents,
+    decimal-38 accumulators); mean/variance/z then derive through one
+    fixed IEEE chain both engines execute identically.
+
+    Output: flagged rows only — (key, ts, value, z, n_window).
+
+    100 TB: same profile as :func:`rolling_agg` — one key exchange,
+    one sort, O(n) two-pointer frame evaluation for all three sums.
+    """
+    c = F.round(F.col(val_col) * 10000).cast("long")
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.unix_timestamp(ts_col))
+        .rangeBetween(-int(window_seconds), 0)
+    )
+    base = df.filter(F.col(val_col).isNotNull()).withColumn("__c", c)
+    stats = (
+        base.withColumn("__n", F.count(F.lit(1)).over(w))
+        .withColumn("__s", F.sum(F.col("__c").cast("decimal(38,0)")).over(w))
+        .withColumn(
+            "__s2",
+            F.sum((F.col("__c").cast("decimal(38,0)") * F.col("__c"))).over(w),
+        )
+    )
+    mean = F.col("__s").cast("double") / F.col("__n")
+    var = (
+        F.col("__s2").cast("double")
+        - F.col("__s").cast("double") * F.col("__s").cast("double") / F.col("__n")
+    ) / (F.col("__n") - 1)
+    z = (F.col("__c").cast("double") - mean) / F.sqrt(var)
+    out = stats.withColumn("__z", z).filter(
+        (F.col("__n") >= min_obs)
+        & (var > 0)
+        & (F.abs(F.col("__z")) > threshold)
+    )
+    return out.select(
+        F.col(key),
+        F.col(ts_col),
+        F.col(val_col),
+        F.col("__z").alias("z"),
+        F.col("__n").alias("n_window"),
+    )

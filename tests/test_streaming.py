@@ -557,3 +557,32 @@ def test_ohlc_semantics_and_single_shuffle(spark):
     assert "partial_min_by" in plan and "partial_max_by" in plan
     assert "windowspecdefinition" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_rolling_zscore_flags_spike_only(spark):
+    from pigout_spark.streaming.windows import rolling_zscore
+
+    # steady 10.0 +- 0.2, then a 100.0 spike
+    rows = [(1, i * 60, 10.0 + (0.2 if i % 2 else -0.2)) for i in range(10)]
+    rows.append((1, 700, 100.0))
+    df = spark.createDataFrame(
+        [(k, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), v)
+         for k, s, v in rows],
+        "user_id bigint, ts timestamp, value double",
+    )
+    out = rolling_zscore(
+        df, "ts", "user_id", "value", 3600, threshold=3.0, min_obs=5
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.value == 100.0 and r.z > 3.0 and r.n_window == 11
+
+
+def test_rolling_zscore_min_obs_guard(spark):
+    from pigout_spark.streaming.windows import rolling_zscore
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1.0), (1, dt.datetime(2024, 1, 1, 0, 1), 99.0)],
+        "user_id bigint, ts timestamp, value double",
+    )
+    assert rolling_zscore(df, "ts", "user_id", "value", 3600).count() == 0
