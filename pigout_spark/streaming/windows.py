@@ -447,3 +447,77 @@ def rolling_zscore(
         F.col("__z").alias("z"),
         F.col("__n").alias("n_window"),
     )
+
+
+def interpolate_events(
+    df: DataFrame,
+    interval_seconds: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Linear-interpolation resample: value at each grid point between
+    two observations is the time-weighted blend of the straddling
+    observations — the numeric companion to :func:`resample_events`'s
+    step-function ffill (sensor series, price marks).  Grid points at
+    or after a key's last observation take its value (flat tail);
+    points before the first observation are not emitted.
+
+    Determinism: the blend is one fixed IEEE chain
+    (v0 + (v1−v0)·(t−t0)/(t1−t0)) on second-granularity integers —
+    identical in any engine.  Timestamp ties need ``tiebreak`` to pin
+    which observation anchors the segment.
+
+    100 TB: same shape as :func:`time_weighted_avg` — one key exchange
+    for lead(), segments explode to their covered grid points
+    (amplification span/interval), no corpus-sized state.
+    """
+    step = int(interval_seconds)
+    order = [F.col("__t").asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    e = (
+        df.filter(F.col(val_col).isNotNull())
+        .select(
+            F.col(key_col),
+            F.unix_timestamp(ts_col).alias("__t"),
+            F.col(val_col).cast("double").alias("__v"),
+            *([F.col(tiebreak)] if tiebreak else []),
+        )
+        .withColumn("__t1", F.lead("__t").over(w))
+        .withColumn("__v1", F.lead("__v").over(w))
+    )
+    # grid points in [ceil(t/step), ...): a segment [t, t1) owns grid
+    # points ceil(t/step)*step <= g < t1 (strictly before the next
+    # observation, which owns its own point if on-grid); the last
+    # observation (t1 null) owns exactly its ceiling point (flat tail).
+    g_start = F.ceil(F.col("__t") / step)
+    g_end = F.when(
+        F.col("__t1").isNotNull(),
+        F.ceil(F.col("__t1") / step)
+        - F.when((F.col("__t1") % step) == 0, 1).otherwise(0),
+    ).otherwise(g_start)
+    seg = (
+        e.filter(g_end >= g_start)
+        .select(
+            key_col,
+            "__t",
+            "__v",
+            "__t1",
+            "__v1",
+            F.explode(F.sequence(g_start, g_end)).alias("__g"),
+        )
+        .filter(F.col("__t1").isNull() | (F.col("__g") * step < F.col("__t1")))
+    )
+    frac = (F.col("__g") * step - F.col("__t")).cast("double") / (
+        F.col("__t1") - F.col("__t")
+    ).cast("double")
+    val = F.when(
+        F.col("__t1").isNull() | (F.col("__t1") == F.col("__t")),
+        F.col("__v"),
+    ).otherwise(F.col("__v") + (F.col("__v1") - F.col("__v")) * frac)
+    return seg.select(
+        F.col(key_col),
+        (F.col("__g") * step).alias("bucket"),
+        val.alias("value_interp"),
+    )

@@ -586,3 +586,31 @@ def test_rolling_zscore_min_obs_guard(spark):
         "user_id bigint, ts timestamp, value double",
     )
     assert rolling_zscore(df, "ts", "user_id", "value", 3600).count() == 0
+
+
+def test_interpolate_events_blend_tail_and_grid_ownership(spark):
+    from pigout_spark.streaming.windows import interpolate_events
+
+    base = 1704067200
+    rows = [
+        (1, 0, 10.0),     # on-grid at bucket 0
+        (1, 200, 30.0),   # between grid points
+        (1, 650, 40.0),   # flat tail after this
+    ]
+    df = spark.createDataFrame(
+        [(k, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), v, i)
+         for i, (k, s, v) in enumerate(rows)],
+        "user_id bigint, ts timestamp, value double, event_id bigint",
+    )
+    out = {
+        r.bucket - base: r.value_interp
+        for r in interpolate_events(
+            df, 100, "user_id", "ts", "value", tiebreak="event_id"
+        ).collect()
+    }
+    assert out[0] == 10.0                       # observation on the grid
+    assert abs(out[100] - 20.0) < 1e-12        # halfway 0->200 blend
+    assert abs(out[200] - 30.0) < 1e-12        # second obs anchors t=200
+    assert abs(out[300] - 30.0 - 10.0 * 100 / 450) < 1e-12  # 200->650 blend
+    assert out[700] == 40.0                     # flat tail (ceil of 650)
+    assert 800 not in out                       # tail emits one point only
