@@ -419,3 +419,59 @@ def sample_exact_n(
             .drop("__rk")
         )
     return df.withColumn("__h", h).orderBy("__h").limit(n).drop("__h")
+
+
+def vocab_kl(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """KL divergence D(A‖B) between the Laplace-smoothed unigram
+    distributions of two corpora — the domain-shift diagnostic behind
+    DSIR-style selection (how far is my candidate pool from the
+    target?).  Smoothing over the JOINT vocabulary keeps every term's
+    q strictly positive, so the divergence is always finite.
+
+    Output: one row (kl_nats, n_terms, n_tokens_a, n_tokens_b).
+
+    Determinism (oracle discipline): p·ln(p/q) per term is rounded to
+    6 decimals (the repo's ln convention — libm vs JVM ln can differ
+    in the last ulp) and summed through DECIMAL(20,6), which is exact
+    and associative.
+
+    100 TB: two token-count aggregations (map-side combined, shuffle
+    bounded by each corpus's vocabulary) + one vocab-sized full outer
+    join + a scalar reduce.  Nothing is ever doc×doc.
+    """
+    from pigout_spark.pipeline.dedup import ws_tokens
+
+    def counts(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.explode(ws_tokens(text_col, distinct=False)).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    ca, cb = counts(corpus_a), counts(corpus_b)
+    joint = ca.withColumnRenamed("c", "ca").join(
+        cb.withColumnRenamed("c", "cb"), "tok", "full"
+    ).select(
+        "tok",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    tots = joint.agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    j = joint.crossJoin(F.broadcast(tots))
+    p = (F.col("ca") + 1).cast("double") / (F.col("na") + F.col("v")).cast("double")
+    q = (F.col("cb") + 1).cast("double") / (F.col("nb") + F.col("v")).cast("double")
+    term = F.round(p * F.log(p / q), 6).cast("decimal(20,6)")
+    return j.agg(
+        F.sum(term).cast("double").alias("kl_nats"),
+        F.count(F.lit(1)).alias("n_terms"),
+        F.max("na").alias("n_tokens_a"),
+        F.max("nb").alias("n_tokens_b"),
+    )

@@ -2167,3 +2167,51 @@ def x_pagerank(spark, sf_dir):
         F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
     ).distinct()
     return pagerank(edges, iterations=3)
+
+
+_KL_A_PRED = "source IN ('src0', 'src1', 'src2', 'src3', 'src4')"
+
+
+@query(
+    "x_vocab_kl",
+    f"""
+    WITH ta AS (
+      SELECT unnest({_SQL_TOKS}) AS tok FROM documents WHERE {_KL_A_PRED}
+    ), tb AS (
+      SELECT unnest({_SQL_TOKS}) AS tok FROM documents
+      WHERE NOT ({_KL_A_PRED})
+    ), ca AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS ca FROM ta GROUP BY tok
+    ), cb AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS cb FROM tb GROUP BY tok
+    ), j AS (
+      SELECT tok, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+      FROM ca FULL JOIN cb USING (tok)
+    ), t AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM j
+    ), terms AS (
+      SELECT CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE) AS p,
+             CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE) AS q,
+             na, nb
+      FROM j, t
+    )
+    SELECT CAST(SUM(CAST(ROUND(p * ln(p / q), 6) AS DECIMAL(20,6)))
+                AS DOUBLE) AS kl_nats,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           MAX(na) AS n_tokens_a, MAX(nb) AS n_tokens_b
+    FROM terms
+    """,
+    extra=True,  # window full at 50; selfcheck + pytest verified
+)
+def x_vocab_kl(spark, sf_dir):
+    """Unigram-distribution KL divergence between a 5-source slice and
+    the rest of the corpus — Laplace smoothing over the joint vocab,
+    round-6 ln terms summed exactly through DECIMAL(20,6)
+    (pipeline/curation.py:vocab_kl)."""
+    from pigout_spark.pipeline.curation import vocab_kl
+
+    d = t(spark, sf_dir, "documents")
+    pred = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    return vocab_kl(d.filter(pred), d.filter(~pred))

@@ -1728,3 +1728,24 @@ def test_pagerank_dangling_and_empty(spark):
     assert abs(got["a"] - 0.15 / 2) < 1e-15  # no in-links
     empty = spark.createDataFrame([], "src string, dst string")
     assert pagerank(empty).count() == 0
+
+
+def test_vocab_kl_properties(spark):
+    from pigout_spark.pipeline.curation import vocab_kl
+
+    a = spark.createDataFrame(
+        [(1, "x x x y"), (2, "x z")], "doc_id bigint, text string"
+    )
+    b_same = spark.createDataFrame(
+        [(3, "x x x y"), (4, "x z")], "doc_id bigint, text string"
+    )
+    b_far = spark.createDataFrame(
+        [(5, "q q q r r s")], "doc_id bigint, text string"
+    )
+    same = vocab_kl(a, b_same).collect()[0]
+    far = vocab_kl(a, b_far).collect()[0]
+    # identical distributions -> KL ~ 0 (up to round-6 of the terms)
+    assert abs(same.kl_nats) < 1e-5
+    assert far.kl_nats > same.kl_nats  # divergence grows with shift
+    assert same.n_tokens_a == 6 and same.n_tokens_b == 6
+    assert far.n_terms == 6  # joint vocab {x,y,z,q,r,s}
