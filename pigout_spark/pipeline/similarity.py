@@ -166,6 +166,7 @@ def kmeans_centroids(
     n_iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> list[tuple[int, list[float], float]]:
     """Seeded spherical-k-means codebook, trained on the cluster and
     collected to the driver (FAISS-style: the codebook is driver-sized
@@ -175,8 +176,9 @@ def kmeans_centroids(
     can replay the identical training and get bit-identical centroids:
 
     - init: the ``n_centroids`` lowest-id vectors (a fixed seed);
-    - assign: nearest centroid by cosine, ties → lowest c_id — the same
-      narrow-map argmax the serving path uses (`_argmax_cell`);
+    - assign: nearest centroid by cosine (default) or L2
+      (``metric="l2"`` — PQ subspace training), ties → lowest c_id —
+      the same narrow-map argmax/argmin the serving path uses;
     - update: per-cell per-dimension EXACT mean — values quantized to
       int64 cents (round(x·10⁴), the registry.py dsum device: exact,
       order-independent, combiner-friendly), summed as int64, then
@@ -197,6 +199,7 @@ def kmeans_centroids(
             n_iters,
             id_col,
             vec_col,
+            metric,
         )
     except Exception:
         key = None
@@ -209,7 +212,10 @@ def kmeans_centroids(
     ).withColumn("nrm", norm(F.col("v")))
     dim = len(cents[0][1]) if cents else 0
     for _ in range(n_iters):
-        assigned = base.withColumn("cell", _argmax_cell("v", "nrm", cents))
+        if metric == "l2":
+            assigned = base.withColumn("cell", _argmin_l2_cell("v", cents))
+        else:
+            assigned = base.withColumn("cell", _argmax_cell("v", "nrm", cents))
         stats = (
             assigned.select("cell", F.posexplode("v").alias("dim", "x"))
             .groupBy("cell", "dim")
@@ -648,6 +654,183 @@ def ivf_quantized_topk(
         "cos", dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "neighbor_id", "cos", "rn")
+    )
+
+
+# --- Product quantization (FAISS PQ analog) -------------------------------
+
+
+def _dot_py(a: list[float], b: list[float]) -> float:
+    """Driver-side dot with the SAME left-fold order as _dot_sql/dot —
+    bitwise-identical to what either engine computes on these values."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _cell_scores_l2(v: str, cents: list) -> list[tuple[int, str]]:
+    """L2 argmin as argmax of (x·c − |c|²/2): |c|²/2 is computed
+    driver-side with the shared fold order, so the literal equals what
+    the oracle computes from the identical centroid values."""
+    return [
+        (
+            c_id,
+            f"({_dot_sql(v, _arr_sql(cv))} - {_dlit_sql(_dot_py(cv, cv) / 2.0)})",
+        )
+        for c_id, cv, _cn in cents
+    ]
+
+
+def _argmin_l2_cell(v: str, cents: list) -> Column:
+    """Nearest centroid by L2 (ties → lowest c_id) — the probe-array
+    device of _argmax_cell over the L2 scores."""
+    structs = ", ".join(
+        f"named_struct('negs', -({s}), 'c_id', {c_id})"
+        for c_id, s in _cell_scores_l2(v, cents)
+    )
+    return F.expr(
+        f"element_at(transform(slice(sort_array(array({structs})), 1, 1), "
+        f"st -> st.c_id), 1)"
+    )
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    n_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> list[list]:
+    """Train PRODUCT-QUANTIZATION codebooks: split each vector into
+    ``m`` contiguous subvectors and run the exact-mean k-means
+    (kmeans_centroids discipline — lowest-id init, tie-broken argmin,
+    int64-cents means) with L2 assignment per subspace.  Returns m
+    driver-sized codebooks (m·k·(dim/m) floats — KBs).
+
+    100 TB: same story as the IVF codebook — train on a deterministic
+    sample; each subspace iteration is one narrow argmin map + one
+    (cell, dim) aggregation.
+    """
+    if dim % m:
+        raise ValueError("dim must be divisible by m")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        sliced = emb.select(
+            F.col(id_col),
+            F.slice(as_double(vec_col), j * sub + 1, sub).alias("embedding"),
+        )
+        books.append(
+            kmeans_centroids(
+                sliced, n_centroids=k, n_iters=n_iters,
+                id_col=id_col, vec_col="embedding", metric="l2",
+            )
+        )
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    books: list[list],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as ``m`` centroid ids (one byte-ish each —
+    the 64-float → m-int compression) plus its EXACT norm (stored for
+    asymmetric cosine scoring).  Pure narrow map."""
+    sub = len(books[0][0][1])
+    base = emb.select(
+        F.col(id_col), as_double(vec_col).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    codes = F.array(
+        *[
+            _argmin_l2_cell(f"slice(v, {j * sub + 1}, {sub})", books[j])
+            for j in range(len(books))
+        ]
+    )
+    return base.select(id_col, "nrm", codes.alias("codes"))
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_ids_max: int,
+    k: int,
+    books: list[list],
+    rescore: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-ADC top-k with exact rescore: coarse score is the asymmetric
+    distance Σ_j dot(q_j, codebook_j[code_j]) / (|q|·|x|) — the corpus
+    scan reads only (id, norm, m codes), the FAISS-PQ serving layout —
+    then the top ``rescore·k`` candidates per query rescore on full
+    float vectors via a key-equi join.
+
+    Per-code lookup is element_at over the k dot-expressions (each
+    evaluated once per row, selected by the stored code) — the LUT as
+    one JVM expression, no Python in the scan.
+    """
+    full = emb.select(
+        F.col(id_col), as_double(vec_col).alias("v")
+    ).withColumn("nrm", norm(F.col("v")))
+    sub = len(books[0][0][1])
+    cand = pq_encode(emb, books, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("nrm").alias("xn"),
+        F.col("codes"),
+    )
+    q = full.filter(F.col(id_col) < query_ids_max).select(
+        F.col(id_col).alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    # ADC: for subspace j the LUT is the k dots of the query slice with
+    # each centroid (ordered by c_id = 0..k-1), indexed by the code.
+    luts = []
+    for j, book in enumerate(books):
+        qslice = f"slice(qv, {j * sub + 1}, {sub})"
+        arr = ", ".join(
+            _dot_sql(qslice, _arr_sql(cv))
+            for _c_id, cv, _cn in sorted(book, key=lambda c: c[0])
+        )
+        luts.append(f"element_at(array({arr}), codes[{j}] + 1)")
+    adc = " + ".join(f"({x})" for x in luts)
+    from pyspark.sql import Window
+
+    coarse = (
+        cand.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .withColumn("qcos", F.expr(adc) / (F.col("qn") * F.col("xn")))
+        .withColumn(
+            "qrn",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.desc("qcos"), F.col("neighbor_id")
+                )
+            ),
+        )
+        .filter(F.col("qrn") <= rescore * k)
+    )
+    exact = (
+        coarse.select("q_id", "neighbor_id", "qv", "qn")
+        .join(
+            full.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col("v").alias("nv"),
+                F.col("nrm").alias("nn"),
+            ),
+            "neighbor_id",
+        )
+        .withColumn("cos", dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
     return (
         exact.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)

@@ -2215,3 +2215,130 @@ def x_vocab_kl(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     pred = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
     return vocab_kl(d.filter(pred), d.filter(~pred))
+
+
+def _sql_assign_l2(src: str, cents: str, out: str) -> str:
+    """Nearest-centroid-by-L2 assignment CTE: argmax of
+    (x·c − |c|²/2), ties → lowest c_id (SQL twin of
+    similarity._argmin_l2_cell — the |c|²/2 term is the same left-fold
+    dot on bit-identical centroid values)."""
+    return (
+        f"{out} AS (\n"
+        f"  SELECT vec_id, v, c_id AS cell FROM (\n"
+        f"    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id\n"
+        f"                                 ORDER BY s DESC, c_id) AS rn\n"
+        f"    FROM (\n"
+        f"      SELECT b.vec_id, b.v, c.c_id,\n"
+        f"             {_sql_dot('b.v', 'c.cv')}"
+        f" - {_sql_dot('c.cv', 'c.cv')} / 2 AS s\n"
+        f"      FROM {src} b, {cents} c)\n"
+        f"  ) WHERE rn = 1\n)"
+    )
+
+
+def _pq_sql(m: int = 4, k: int = 8, n_iters: int = 2, dim: int = 64) -> str:
+    """SQL replay of PQ train→encode→ADC→rescore: per subspace an
+    unrolled L2 k-means chain (same exact-mean update as
+    _kmeans_cells_sql), then the asymmetric-distance search."""
+    sub = dim // m
+    parts = [
+        "WITH e AS (\n"
+        "  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings\n"
+        "), bfull AS (\n"
+        f"  SELECT vec_id, v, sqrt({_sql_dot('v', 'v')}) AS nrm FROM e\n"
+        ")"
+    ]
+    finals = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        parts.append(
+            f", s{j} AS (SELECT vec_id, list_slice(v, {lo}, {hi}) AS v FROM e)"
+        )
+        parts.append(
+            f", c{j}_0 AS (SELECT vec_id AS c_id, v AS cv FROM s{j}"
+            f" WHERE vec_id < {k})"
+        )
+        prev = f"c{j}_0"
+        for it in range(1, n_iters + 1):
+            parts.append(", " + _sql_assign_l2(f"s{j}", prev, f"a{j}_{it}"))
+            parts.append(
+                f", m{j}_{it} AS (\n"
+                f"  SELECT cell, list(mv ORDER BY dim) AS cv FROM (\n"
+                f"    SELECT cell, i AS dim,\n"
+                f"           CAST(SUM(CAST(round(v[i] * 10000) AS BIGINT)) AS DOUBLE)\n"
+                f"             / 10000.0 / COUNT(*) AS mv\n"
+                f"    FROM a{j}_{it}, range(1, {sub + 1}) t(i) GROUP BY cell, i\n"
+                f"  ) GROUP BY cell\n)"
+            )
+            parts.append(
+                f", c{j}_{it} AS (\n"
+                f"  SELECT p.c_id, COALESCE(m.cv, p.cv) AS cv\n"
+                f"  FROM {prev} p LEFT JOIN m{j}_{it} m ON m.cell = p.c_id\n)"
+            )
+            prev = f"c{j}_{it}"
+        finals.append(prev)
+        parts.append(", " + _sql_assign_l2(f"s{j}", prev, f"code{j}"))
+    code_cols = ", ".join(f"code{j}.cell AS k{j}" for j in range(m))
+    code_joins = " ".join(
+        f"JOIN code{j} ON code{j}.vec_id = bfull.vec_id" for j in range(m)
+    )
+    parts.append(
+        f", codes AS (SELECT bfull.vec_id, bfull.nrm, {code_cols}"
+        f" FROM bfull {code_joins})"
+    )
+    parts.append(
+        ", q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM bfull"
+        " WHERE vec_id < 10)"
+    )
+    adc = " + ".join(
+        "(" + _sql_dot(f"list_slice(q.qv, {j * sub + 1}, {(j + 1) * sub})", f"cf{j}.cv") + ")"
+        for j in range(m)
+    )
+    cf_joins = " ".join(
+        f"JOIN {finals[j]} cf{j} ON cf{j}.c_id = codes.k{j}" for j in range(m)
+    )
+    parts.append(
+        f", coarse AS (\n"
+        f"  SELECT q.q_id, codes.vec_id AS neighbor_id, q.qv, q.qn,\n"
+        f"         ({adc}) / (q.qn * codes.nrm) AS qcos\n"
+        f"  FROM q, codes {cf_joins}\n"
+        f"  WHERE codes.vec_id <> q.q_id\n)"
+    )
+    parts.append(
+        ", surv AS (\n"
+        "  SELECT q_id, neighbor_id, qv, qn,\n"
+        "         ROW_NUMBER() OVER (PARTITION BY q_id\n"
+        "                            ORDER BY qcos DESC, neighbor_id) AS qrn\n"
+        "  FROM coarse QUALIFY qrn <= 12\n)"
+    )
+    parts.append(
+        f", ex AS (\n"
+        f"  SELECT s.q_id, s.neighbor_id,\n"
+        f"         {_sql_dot('s.qv', 'n2.v')} / (s.qn * n2.nrm) AS cos\n"
+        f"  FROM surv s JOIN bfull n2 ON n2.vec_id = s.neighbor_id\n)"
+    )
+    parts.append(
+        "SELECT q_id, neighbor_id, cos,\n"
+        "       ROW_NUMBER() OVER (PARTITION BY q_id\n"
+        "                          ORDER BY cos DESC, neighbor_id) AS rn\n"
+        "FROM ex QUALIFY rn <= 3"
+    )
+    return "\n".join(parts)
+
+
+@query(
+    "x_pq_topk",
+    _pq_sql(),
+    extra=True,  # window full at 50; selfcheck + pytest verified
+)
+def x_pq_topk(spark, sf_dir):
+    """PRODUCT-QUANTIZATION search (FAISS PQ analog): m=4 L2-k-means
+    subspace codebooks (exact-mean training replayed in SQL), ADC
+    coarse scoring on (norm, 4 codes) only, exact rescore of the top
+    12 — ranks hash-matched end-to-end including the training
+    (pipeline/similarity.py:pq_codebooks/pq_encode/pq_topk)."""
+    from pigout_spark.pipeline.similarity import pq_codebooks, pq_topk
+
+    emb = tf(spark, sf_dir, "embeddings")
+    books = pq_codebooks(emb, m=4, k=8, n_iters=2)
+    return pq_topk(emb, query_ids_max=10, k=3, books=books, rescore=4)

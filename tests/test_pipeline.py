@@ -1749,3 +1749,47 @@ def test_vocab_kl_properties(spark):
     assert far.kl_nats > same.kl_nats  # divergence grows with shift
     assert same.n_tokens_a == 6 and same.n_tokens_b == 6
     assert far.n_terms == 6  # joint vocab {x,y,z,q,r,s}
+
+
+def test_pq_recall_on_clustered_fixture(spark):
+    """On clustered data, PQ-ADC with exact rescore recovers the true
+    neighbors: recall@5 vs brute force >= 0.9.  rescore=8 because PQ
+    collapses same-cluster members to near-identical codes - the ADC
+    ordering inside a cluster is flat, so the rescore set must cover
+    the tied peers (40 here); the exact stage then separates them.
+    Codes stay in range and use all m subspaces."""
+    import random
+
+    from pyspark.sql import Row
+
+    from pigout_spark.pipeline.similarity import (
+        brute_force_topk,
+        pq_codebooks,
+        pq_encode,
+        pq_topk,
+    )
+
+    rng = random.Random(43)
+    centers = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(8)]
+    pts = []
+    for i in range(320):
+        c = centers[i % 8]
+        pts.append([x + rng.gauss(0, 0.15) for x in c])
+    order = list(range(320))
+    rng.shuffle(order)
+    rows = [Row(vec_id=i, embedding=pts[order[i]]) for i in range(320)]
+    emb = spark.createDataFrame(rows)
+
+    books = pq_codebooks(emb, m=4, k=8, n_iters=3, dim=16)
+    codes = pq_encode(emb, books)
+    first = codes.select("codes").first().codes
+    assert len(first) == 4 and all(0 <= c < 8 for c in first)
+
+    k = 5
+    got, ref = {}, {}
+    for r in pq_topk(emb, 10, k, books, rescore=8).collect():
+        got.setdefault(r.q_id, set()).add(r.neighbor_id)
+    for r in brute_force_topk(emb, emb.filter("vec_id < 10"), k).collect():
+        ref.setdefault(r.q_id, set()).add(r.neighbor_id)
+    recall = sum(len(got[q] & ref[q]) for q in ref) / sum(len(ref[q]) for q in ref)
+    assert recall >= 0.9, recall
