@@ -66,7 +66,7 @@ _PRIORITY = [
     "sim_quant_topk",
     "x_stream_join",
     "x_latin_topk",
-    "x_latin_udf",
+    "x_pq_topk",
     "x_latin_q01",
     "x_rank_by_scalable",
     "x_row_rank_two_pass",

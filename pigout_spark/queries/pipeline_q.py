@@ -2329,7 +2329,6 @@ def _pq_sql(m: int = 4, k: int = 8, n_iters: int = 2, dim: int = 64) -> str:
 @query(
     "x_pq_topk",
     _pq_sql(),
-    extra=True,  # window full at 50; selfcheck + pytest verified
 )
 def x_pq_topk(spark, sf_dir):
     """PRODUCT-QUANTIZATION search (FAISS PQ analog): m=4 L2-k-means

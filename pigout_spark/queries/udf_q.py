@@ -122,6 +122,7 @@ def q26_udtf(spark, sf_dir):
     FROM lineitem GROUP BY l_returnflag,
            CASE WHEN l_quantity < 10 THEN 'small' ELSE 'large' END
     """,
+    extra=True,  # r5 final rotation: x_pq_topk takes the slot; Latin stays driver-covered by x_latin_q01 + x_latin_topk
 )
 def x_latin_udf(spark, sf_dir):
     """REGISTER'd Python script UDFs driven through a Pig script and
