@@ -836,3 +836,97 @@ def pq_topk(
         .filter(F.col("rn") <= k)
         .select("q_id", "neighbor_id", "cos", "rn")
     )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    query_ids_max: int,
+    k: int,
+    books: list[list] | None = None,
+    n_centroids: int = 8,
+    m: int = 4,
+    pq_k: int = 8,
+    pq_iters: int = 2,
+    rescore: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iters: int = 3,
+) -> DataFrame:
+    """IVF × PQ — the canonical FAISS IVFPQ layout with DataFrame ops:
+    candidates restricted to the query's cosine cell (IVF), ADC-scored
+    on their m PQ codes, exact float rescore of the top ``rescore·k``.
+
+    100 TB: the serving table is ONE narrow relation
+    (id, cell, norm, m codes) — smaller still than the int8 variant —
+    and only the probed cell's rows join; the float table serves
+    |Q|·rescore·k point lookups.  Codebooks (IVF + m PQ) are
+    driver-sized literals.
+    """
+    from pyspark.sql import Window
+
+    cells = ivf_assign(emb, n_centroids, id_col, vec_col, n_iters)
+    if books is None:
+        books = pq_codebooks(
+            emb, m=m, k=pq_k, n_iters=pq_iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+    sub = len(books[0][0][1])
+    codes = F.array(
+        *[
+            _argmin_l2_cell(f"slice(v, {j * sub + 1}, {sub})", books[j])
+            for j in range(len(books))
+        ]
+    )
+    cand = cells.select(
+        F.col(id_col).alias("neighbor_id"),
+        "cell",
+        F.col("nrm").alias("xn"),
+        codes.alias("codes"),
+    )
+    q = cells.filter(F.col(id_col) < query_ids_max).select(
+        F.col(id_col).alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("cell"),
+    )
+    luts = []
+    for j, book in enumerate(books):
+        qslice = f"slice(qv, {j * sub + 1}, {sub})"
+        arr = ", ".join(
+            _dot_sql(qslice, _arr_sql(cv))
+            for _c_id, cv, _cn in sorted(book, key=lambda c: c[0])
+        )
+        luts.append(f"element_at(array({arr}), codes[{j}] + 1)")
+    adc = " + ".join(f"({x})" for x in luts)
+    coarse = (
+        cand.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+        .withColumn("qcos", F.expr(adc) / (F.col("qn") * F.col("xn")))
+        .withColumn(
+            "qrn",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.desc("qcos"), F.col("neighbor_id")
+                )
+            ),
+        )
+        .filter(F.col("qrn") <= rescore * k)
+    )
+    full = cells.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        F.col("nrm").alias("nn"),
+    )
+    exact = (
+        coarse.select("q_id", "neighbor_id", "qv", "qn")
+        .join(full, "neighbor_id")
+        .withColumn(
+            "cos", dot(F.col("qv"), F.col("nv")) / (F.col("qn") * F.col("nn"))
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("neighbor_id"))
+    return (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "neighbor_id", "cos", "rn")
+    )

@@ -2341,3 +2341,106 @@ def x_pq_topk(spark, sf_dir):
     emb = tf(spark, sf_dir, "embeddings")
     books = pq_codebooks(emb, m=4, k=8, n_iters=2)
     return pq_topk(emb, query_ids_max=10, k=3, books=books, rescore=4)
+
+
+def _ivfpq_sql(m: int = 4, k: int = 8, n_iters: int = 2, dim: int = 64) -> str:
+    """IVFPQ replay: the cosine-cell chain (_kmeans_cells_sql — defines
+    e/b/…/cells) plus per-subspace L2 chains, then cell-restricted ADC
+    + exact rescore."""
+    sub = dim // m
+    parts = [_kmeans_cells_sql()]
+    finals = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        parts.append(
+            f", s{j} AS (SELECT vec_id, list_slice(v, {lo}, {hi}) AS v FROM e)"
+        )
+        parts.append(
+            f", pc{j}_0 AS (SELECT vec_id AS c_id, v AS cv FROM s{j}"
+            f" WHERE vec_id < {k})"
+        )
+        prev = f"pc{j}_0"
+        for it in range(1, n_iters + 1):
+            parts.append(", " + _sql_assign_l2(f"s{j}", prev, f"pa{j}_{it}"))
+            parts.append(
+                f", pm{j}_{it} AS (\n"
+                f"  SELECT cell, list(mv ORDER BY dim) AS cv FROM (\n"
+                f"    SELECT cell, i AS dim,\n"
+                f"           CAST(SUM(CAST(round(v[i] * 10000) AS BIGINT)) AS DOUBLE)\n"
+                f"             / 10000.0 / COUNT(*) AS mv\n"
+                f"    FROM pa{j}_{it}, range(1, {sub + 1}) t(i) GROUP BY cell, i\n"
+                f"  ) GROUP BY cell\n)"
+            )
+            parts.append(
+                f", pc{j}_{it} AS (\n"
+                f"  SELECT p.c_id, COALESCE(m.cv, p.cv) AS cv\n"
+                f"  FROM {prev} p LEFT JOIN pm{j}_{it} m ON m.cell = p.c_id\n)"
+            )
+            prev = f"pc{j}_{it}"
+        finals.append(prev)
+        parts.append(", " + _sql_assign_l2(f"s{j}", prev, f"pcode{j}"))
+    code_cols = ", ".join(f"pcode{j}.cell AS k{j}" for j in range(m))
+    code_joins = " ".join(
+        f"JOIN pcode{j} ON pcode{j}.vec_id = cells.vec_id" for j in range(m)
+    )
+    parts.append(
+        f", pcodes AS (SELECT cells.vec_id, cells.nrm, cells.cell,"
+        f" {code_cols} FROM cells {code_joins})"
+    )
+    parts.append(
+        ", pq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell"
+        " FROM cells WHERE vec_id < 10)"
+    )
+    adc = " + ".join(
+        "(" + _sql_dot(
+            f"list_slice(q.qv, {j * sub + 1}, {(j + 1) * sub})", f"pf{j}.cv"
+        ) + ")"
+        for j in range(m)
+    )
+    cf_joins = " ".join(
+        f"JOIN {finals[j]} pf{j} ON pf{j}.c_id = pcodes.k{j}" for j in range(m)
+    )
+    parts.append(
+        f", pcoarse AS (\n"
+        f"  SELECT q.q_id, pcodes.vec_id AS neighbor_id, q.qv, q.qn,\n"
+        f"         ({adc}) / (q.qn * pcodes.nrm) AS qcos\n"
+        f"  FROM pq q JOIN pcodes ON pcodes.cell = q.cell {cf_joins}\n"
+        f"  WHERE pcodes.vec_id <> q.q_id\n)"
+    )
+    parts.append(
+        ", psurv AS (\n"
+        "  SELECT q_id, neighbor_id, qv, qn,\n"
+        "         ROW_NUMBER() OVER (PARTITION BY q_id\n"
+        "                            ORDER BY qcos DESC, neighbor_id) AS qrn\n"
+        "  FROM pcoarse QUALIFY qrn <= 12\n)"
+    )
+    parts.append(
+        f", pex AS (\n"
+        f"  SELECT s.q_id, s.neighbor_id,\n"
+        f"         {_sql_dot('s.qv', 'n2.v')} / (s.qn * n2.nrm) AS cos\n"
+        f"  FROM psurv s JOIN b n2 ON n2.vec_id = s.neighbor_id\n)"
+    )
+    parts.append(
+        "SELECT q_id, neighbor_id, cos,\n"
+        "       ROW_NUMBER() OVER (PARTITION BY q_id\n"
+        "                          ORDER BY cos DESC, neighbor_id) AS rn\n"
+        "FROM pex QUALIFY rn <= 3"
+    )
+    return "\n".join(parts)
+
+
+@query(
+    "x_ivfpq_topk",
+    _ivfpq_sql(),
+    extra=True,  # window full at 50; selfcheck + pytest verified
+)
+def x_ivfpq_topk(spark, sf_dir):
+    """IVFPQ (the canonical FAISS serving composition): cosine-cell
+    restriction × PQ-ADC coarse scoring × exact rescore — BOTH codebook
+    trainings and the whole search replayed in SQL, ranks hash-matched
+    (pipeline/similarity.py:ivf_pq_topk)."""
+    from pigout_spark.pipeline.similarity import ivf_pq_topk
+
+    return ivf_pq_topk(
+        tf(spark, sf_dir, "embeddings"), query_ids_max=10, k=3, rescore=4
+    )

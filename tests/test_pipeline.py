@@ -1793,3 +1793,34 @@ def test_pq_recall_on_clustered_fixture(spark):
         ref.setdefault(r.q_id, set()).add(r.neighbor_id)
     recall = sum(len(got[q] & ref[q]) for q in ref) / sum(len(ref[q]) for q in ref)
     assert recall >= 0.9, recall
+
+
+def test_ivfpq_tracks_ivf_float_path(spark):
+    """IVFPQ returns the same neighbors as plain IVF (same cells, exact
+    rescore recovers the float ordering) on clustered data."""
+    import random
+
+    from pyspark.sql import Row
+
+    from pigout_spark.pipeline.similarity import ivf_pq_topk, ivf_topk
+
+    rng = random.Random(44)
+    centers = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(8)]
+    pts = []
+    for i in range(240):
+        c = centers[i % 8]
+        pts.append([x + rng.gauss(0, 0.15) for x in c])
+    order = list(range(240))
+    rng.shuffle(order)
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=pts[order[i]]) for i in range(240)]
+    )
+    got, ref = {}, {}
+    # rescore covers the whole ~30-member cell: ADC is tie-flat inside
+    # a tight cluster (test_pq_recall docstring), the exact stage sorts
+    for r in ivf_pq_topk(emb, 8, 3, m=4, pq_k=8, rescore=10).collect():
+        got.setdefault(r.q_id, set()).add(r.neighbor_id)
+    for r in ivf_topk(emb, 8, 3).collect():
+        ref.setdefault(r.q_id, set()).add(r.neighbor_id)
+    overlap = sum(len(got[q] & ref[q]) for q in ref) / sum(len(ref[q]) for q in ref)
+    assert overlap >= 0.9, overlap
