@@ -67,6 +67,22 @@ def main() -> None:
         [F.count("event_type").alias("n"), F.sum("value").alias("s")],
     ).orderBy("user_id").show(5)
 
+    from pigout_spark.pipeline.behavioral import detect_gaps, session_paths
+    from pigout_spark.streaming.windows import rolling_zscore
+
+    print("— top session paths (event_id tiebreak) —")
+    session_paths(ev, tiebreak="event_id", max_len=5).orderBy(
+        F.desc("n_sessions")
+    ).show(5, truncate=False)
+
+    print("— longest silences (> 1 day) —")
+    detect_gaps(ev, min_gap_seconds=86400).orderBy(
+        F.desc("gap_seconds")
+    ).show(5)
+
+    print("— rolling z-score anomalies (24h window, |z| > 2) —")
+    rolling_zscore(ev, "ts", "user_id", "value", 86400, threshold=2.0).show(5)
+
     spark.stop()
 
 
