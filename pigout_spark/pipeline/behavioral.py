@@ -1,16 +1,17 @@
 """Behavioral / event analytics over batch event logs: gap-based
-sessionization, ordered funnels, cohort retention, and value
-histograms.
+sessionization, ordered funnels (with conversion windows), cohort
+retention, value histograms, session path analysis, and gap/outage
+detection.
 
 These are the batch twins of the streaming session machinery
 (streaming/windows.py:session_agg): product-analytics primitives every
 event warehouse query surface carries (upstream Apache Pig users build
 them by hand from GROUP + nested FOREACH; engines like Snowplow/
-Amplitude-style SQL express them with window functions).  All four are
+Amplitude-style SQL express them with window functions).  All are
 pure window/aggregate compositions — no UDFs, fully
 whole-stage-codegen, and each shuffles exactly once on the entity key
-(the window partition) plus one aggregation shuffle, so they scale
-linearly with the event log.
+(the window partition) plus at most one aggregation shuffle, so they
+scale linearly with the event log.
 
 Determinism contract (oracle-hash discipline): session and funnel
 assignment is invariant to the ordering of timestamp ties — tied rows
