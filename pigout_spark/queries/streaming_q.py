@@ -613,3 +613,17 @@ def x_interp(spark, sf_dir):
     return interpolate_events(
         ev, 21600, "user_id", "ts", "value", tiebreak="event_id"
     )
+
+
+@query("x_ewma", extra=True)  # rows-only: the per-key EWMA recursion
+# is genuinely non-SQL-expressible (x_bpe_encode precedent); exact
+# semantics are pinned by pytest against a pure-Python reference
+def x_ewma(spark, sf_dir):
+    """Time-aware EWMA (halflife 1 h) per user over the event stream
+    (streaming/windows.py:ewma_events — Arrow applyInPandas)."""
+    from pigout_spark.streaming.windows import ewma_events
+
+    ev = _events_s(spark, sf_dir).select("user_id", "ts", "value", "event_id")
+    return ewma_events(
+        ev, "ts", "user_id", "value", 3600.0, tiebreak="event_id"
+    )

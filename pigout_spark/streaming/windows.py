@@ -521,3 +521,68 @@ def interpolate_events(
         (F.col("__g") * step).alias("bucket"),
         val.alias("value_interp"),
     )
+
+
+def ewma_events(
+    df: DataFrame,
+    ts_col: str,
+    key: str,
+    val_col: str,
+    halflife_seconds: float,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Time-aware EWMA for IRREGULAR series: per key, in time order,
+
+        y_i = w·y_{i-1} + (1−w)·v_i,   w = 2^(−Δt / halflife)
+
+    so a value's influence halves every ``halflife_seconds`` of real
+    time regardless of sampling cadence (the irregular-series form;
+    fixed-α row EWMA over-weights dense bursts).  First observation
+    seeds y with its own value.
+
+    The recursion is per-row sequential — genuinely not expressible in
+    one SQL pass — so this is the sanctioned Arrow path: applyInPandas
+    per key, the same grouped-map machinery as the stateful streaming
+    ops.  Correctness is pinned against a pure-Python reference in
+    pytest (rows-only oracle, the x_bpe_encode precedent).
+
+    100 TB: one hash exchange on the key; each group computes a
+    single O(n) pass inside its Arrow batch.  Skew contract as any
+    per-key op.  NULL values are dropped (they have no place in the
+    recursion); ties need ``tiebreak`` for a defined visit order.
+    """
+    import math
+
+    import pandas as pd
+
+    out_schema = f"{key} long, {ts_col} timestamp, {val_col} double, ewma double"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.dropna(subset=[val_col])
+        order = [ts_col] + ([tiebreak] if tiebreak else [])
+        pdf = pdf.sort_values(order)
+        ts = pd.to_datetime(pdf[ts_col]).astype("int64") / 1e9
+        vals = pdf[val_col].to_list()
+        ts = ts.to_list()
+        out = []
+        y = None
+        prev_t = None
+        for t, v in zip(ts, vals):
+            if y is None:
+                y = v
+            else:
+                w = math.pow(2.0, -(t - prev_t) / halflife_seconds)
+                y = w * y + (1.0 - w) * v
+            prev_t = t
+            out.append(y)
+        return pd.DataFrame(
+            {
+                key: pdf[key].to_list(),
+                ts_col: pdf[ts_col].to_list(),
+                val_col: vals,
+                "ewma": out,
+            }
+        )
+
+    cols = [key, ts_col, val_col] + ([tiebreak] if tiebreak else [])
+    return df.select(*cols).groupBy(key).applyInPandas(fn, out_schema)

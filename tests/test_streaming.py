@@ -614,3 +614,64 @@ def test_interpolate_events_blend_tail_and_grid_ownership(spark):
     assert abs(out[300] - 30.0 - 10.0 * 100 / 450) < 1e-12  # 200->650 blend
     assert out[700] == 40.0                     # flat tail (ceil of 650)
     assert 800 not in out                       # tail emits one point only
+
+
+def test_ewma_time_aware_decay(spark):
+    """Exact halflife semantics: after exactly one halflife the old
+    state weighs 1/2; dense bursts do NOT over-weight (time-aware, not
+    row-based)."""
+    from pigout_spark.streaming.windows import ewma_events
+
+    rows = [(1, 0, 10.0), (1, 600, 20.0), (1, 1200, 20.0)]
+    df = spark.createDataFrame(
+        [(k, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), v)
+         for k, s, v in rows],
+        "user_id bigint, ts timestamp, value double",
+    )
+    out = {
+        r.ts: r.ewma
+        for r in ewma_events(df, "ts", "user_id", "value", 600.0).collect()
+    }
+    t0 = dt.datetime(2024, 1, 1)
+    assert out[t0] == 10.0
+    # one halflife: y = 0.5*10 + 0.5*20 = 15
+    assert abs(out[t0 + dt.timedelta(seconds=600)] - 15.0) < 1e-12
+    # another halflife toward 20: 0.5*15 + 0.5*20 = 17.5
+    assert abs(out[t0 + dt.timedelta(seconds=1200)] - 17.5) < 1e-12
+
+
+def test_ewma_matches_python_reference(spark):
+    import math
+    import random
+
+    from pigout_spark.streaming.windows import ewma_events
+
+    rng = random.Random(3)
+    rows = sorted(
+        {(rng.randint(1, 3), rng.randint(0, 5000)) for _ in range(60)}
+    )
+    data = [(k, s, round(rng.uniform(-50, 50), 3)) for k, s in rows]
+    df = spark.createDataFrame(
+        [(k, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), v)
+         for k, s, v in data],
+        "user_id bigint, ts timestamp, value double",
+    )
+    got = {
+        (r.user_id, r.ts): r.ewma
+        for r in ewma_events(df, "ts", "user_id", "value", 300.0).collect()
+    }
+    ref = {}
+    state = {}
+    for k, s, v in sorted(data):
+        t0 = dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+        if k not in state:
+            y = v
+        else:
+            pt, py = state[k]
+            w = math.pow(2.0, -(s - pt) / 300.0)
+            y = w * py + (1.0 - w) * v
+        state[k] = (s, y)
+        ref[(k, t0)] = y
+    assert set(got) == set(ref)
+    for kk in ref:
+        assert abs(got[kk] - ref[kk]) < 1e-12, kk
