@@ -34,22 +34,52 @@ from pigout_spark.queries import udf_q  # noqa: F401,E402
 
 # Round-1 lesson: entries past the driver's 50-query window get no
 # CORRECTNESS row at all.  Order the registry so the entries rotated
-# into the window this round (r5: the pairs→clusters→retain production
-# dedup chain, chunking/PII/repetition curation ops, int8 quantization,
-# the stream-stream interval join, and the Latin TOP-K/UDF script paths
-# — displacing settled single-family rows q08/q12/q14/q16/q17/q19/q20/
-# q21/q33/q34/q36; late-r5 adds the duplicate-passage/mixture/BPE/DSIR/
-# corpus-stats family, displacing q04/q07/q28/q29/q30/dedup_jaccard/
-# sim_ann_topk — every displaced row keeps its local oracle as an extra
-# and its operator family stays driver-covered elsewhere) come first —
-# a hedge against any time-based element of the cutoff.
-_PRIORITY = [
-    "q01_group_agg",
-    # r5 late rotation: the brief-named custom operators (as-of join,
-    # range join, hypertable rollup, KMV sketch) and the behavioral
-    # flagships take driver slots; displaced settled rows
-    # (stream_tumbling, q09, dedup_simhash, sim_cosine_topk,
-    # dedup_embedding, text_fingerprint) keep their local oracles.
+# into the window this round come first — a hedge against any
+# time-based element of the cutoff.
+#
+# r6 rotation (VERDICT r5 task 1): 41 extras had never held a driver
+# CORRECTNESS row after the r5 feature burst.  This round swaps the 29
+# of them that have hash-checkable SQL oracles into the window
+# (_ROTATE_IN), displacing 29 rows that went driver-green in r5 and
+# whose operator families stay driver-covered (_ROTATE_OUT → extras,
+# keeping their local oracles).  x_bpe_encode enters via its r6
+# hash-checked upgrade (merge-table replay oracle).  Still never
+# driver-checked after r6 (rotate in r7): x_funnel_counts, x_histogram,
+# x_gaps, x_sim_ivfq_topk, x_mm_decode, x_mm_frames, x_text_unigram,
+# x_text_rep_narrow, q31_datetime_arith, q32_in_filter, plus the
+# genuinely rows-only x_ewma / x_sample_bernoulli.
+_ROTATE_IN = [
+    "x_semantic_pairs",
+    "x_semantic_retain",
+    "x_pagerank",
+    "x_quality_filter",
+    "x_overlap_join",
+    "x_ivfpq_topk",
+    "x_latin_udf",
+    "x_cohort_retention",
+    "x_session_paths",
+    "x_twa",
+    "x_ohlc",
+    "x_interp",
+    "x_zscore",
+    "x_rolling",
+    "x_events_resample",
+    "x_kmv_sketch",
+    "x_kmv_estimate",
+    "x_cms_sketch",
+    "x_cms_estimate",
+    "x_profile",
+    "x_pivot",
+    "x_split_corpus",
+    "x_sample_exact",
+    "x_shuffle_order",
+    "x_normalize",
+    "x_tfidf_terms",
+    "x_pmi_pairs",
+    "x_vocab_kl",
+    "x_bpe_encode",
+]
+_ROTATE_OUT = [
     "x_asof_join",
     "x_range_join",
     "x_rollup_timeseries",
@@ -67,7 +97,6 @@ _PRIORITY = [
     "x_stream_join",
     "x_latin_topk",
     "x_pq_topk",
-    "x_latin_q01",
     "x_rank_by_scalable",
     "x_row_rank_two_pass",
     "x_stream_dedup",
@@ -78,12 +107,18 @@ _PRIORITY = [
     "x_dsir_weights",
     "x_dsir_sample",
     "x_corpus_stats",
-    "q27_stream_through",
-    "dedup_simhash_pairs",
-    "q38_bloom_join",
     "x_decontaminate",
     "x_token_budget",
 ]
+for _k in _ROTATE_OUT:
+    if _k in REGISTRY:
+        EXTRA_REGISTRY[_k] = REGISTRY.pop(_k)
+for _k in _ROTATE_IN:
+    if _k in EXTRA_REGISTRY:
+        REGISTRY[_k] = EXTRA_REGISTRY.pop(_k)
+
+# Keep the flagship first, new-this-round rows next, settled core last.
+_PRIORITY = ["q01_group_agg", *_ROTATE_IN]
 _ordered = {k: REGISTRY[k] for k in _PRIORITY if k in REGISTRY}
 for _k, _v in list(REGISTRY.items()):
     _ordered.setdefault(_k, _v)
