@@ -54,11 +54,20 @@ HEADLINE = [
     # chained conditional mins), not fixed-cost constants
     "x_sessionize",
     "x_funnel",
+    # r6: the multi-pass data-proportional heavyweights that had no perf
+    # reading — pagerank (iterated equi-join + checkpoint rounds) and
+    # cohort retention (two window passes + a self-aligned join)
+    "x_pagerank",
+    "x_cohort_retention",
 ]
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
+
+#: Queries whose plans materialize localCheckpoints mid-build — timed
+#: against a fresh plan every run (see the loop in main()).
+REBUILD_PER_RUN = {"x_pagerank"}
 
 #: best-of-N per query, BOTH engines: single-run wall times on this box
 #: swing ±50% run-to-run (shared machine); min-of-3 reports the
@@ -148,15 +157,34 @@ def main() -> None:
     # driver-facing 50 must not silently shrink the bench set
     qs = {**qmod.extra_queries(), **entrymod.queries()}
     names = [n for n in HEADLINE if n in qs]
-    spark = get_spark("pigout-bench")
+    # r5 post-mortem: the driver tail-captures stdout and the 28-query
+    # JSON line interleaved with Spark's \r stage-progress output was
+    # truncated past parseability (BENCH_r05.json "parsed": null).
+    # Progress bars off for the bench session; summary line kept compact.
+    spark = get_spark(
+        "pigout-bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    try:
+        spark.conf.set("spark.ui.showConsoleProgress", "false")
+    except Exception:
+        pass
     _warmup(spark, sf_dir)
 
     timings: dict[str, float] = {}
     for name in names:
+        # Checkpoint-based iterative queries (pagerank) materialize their
+        # per-round localCheckpoints on the first action; re-running the
+        # same plan handle would time a checkpoint *read*, not the
+        # iterations.  Bypass the prepared-plan cache so every timed run
+        # rebuilds and re-executes the full iteration chain — symmetric
+        # with DuckDB re-running its unrolled CTEs each time.
+        fn = qs[name]
+        if name in REBUILD_PER_RUN:
+            fn = getattr(fn, "__wrapped__", fn)
         best = None
         for _ in range(N_RUNS):
             t0 = time.perf_counter()
-            df = qs[name](spark, sf_dir)
+            df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
@@ -169,23 +197,28 @@ def main() -> None:
         n: round(timings[n] / duck[n], 2) for n in timings if duck.get(n)
     }
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "duckdb": duck,
-                "duckdb_total": round(sum(duck.values()), 3),
-                "ratio_per_query": ratios,
-                "ratio_total": round(
-                    sum(timings[n] for n in duck) / max(sum(duck.values()), 1e-9), 2
-                ),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    summary = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "duckdb_total": round(sum(duck.values()), 3),
+        "ratio_total": round(
+            sum(timings[n] for n in duck) / max(sum(duck.values()), 1e-9), 2
+        ),
+        "worst5_ratio": dict(
+            sorted(ratios.items(), key=lambda kv: -kv[1])[:5]
+        ),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Full per-query baseline + ratio detail goes to a sidecar file —
+    # keeping the contract line short enough for the driver's capture.
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    detail_path.write_text(
+        json.dumps({**summary, "duckdb": duck, "ratio_per_query": ratios}, indent=1)
     )
+    sys.stdout.flush()
+    print(json.dumps(summary), flush=True)
 
 
 if __name__ == "__main__":

@@ -26,11 +26,65 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def cap_events_per_key(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    max_events_per_key: int | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Skew guard: keep only the FIRST ``max_events_per_key`` events of
+    each key (by ``ts_col``, then ``tiebreak`` if given).  ``None``
+    disables the guard (identity).
+
+    A bot key with 10⁸ events would otherwise drag its entire history
+    through every window pass of the analytics below; the cap bounds
+    per-key work at the first, cheapest pass — row_number is a running
+    (streaming-frame) window, and rows past the cap never reach the
+    heavier chained windows or per-session collects.  Spark's window
+    buffer spills past ``spark.sql.windowExec.buffer.spill.threshold``,
+    so even the capping pass itself degrades to disk, not OOM.
+    Dropped rows are observable via :func:`key_overflow_counts`.
+    Without ``tiebreak``, WHICH tied rows are dropped at the boundary
+    is arbitrary (session boundaries are tie-invariant, but per-session
+    event counts can differ) — pass one when exactness at the cap
+    matters.
+    """
+    if max_events_per_key is None:
+        return df
+    if max_events_per_key < 1:
+        raise ValueError("max_events_per_key must be >= 1")
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    return (
+        df.withColumn("__cap_rn", F.row_number().over(w))
+        .filter(F.col("__cap_rn") <= max_events_per_key)
+        .drop("__cap_rn")
+    )
+
+
+def key_overflow_counts(
+    df: DataFrame,
+    key: str = "user_id",
+    max_events_per_key: int = 100_000,
+) -> DataFrame:
+    """Observability twin of :func:`cap_events_per_key`: one row per
+    key whose event count exceeds the cap — (key, n_events) — so capped
+    traffic is counted/logged, never silently vanished.  One map-side-
+    combined aggregation; output is hot-key-sized."""
+    return (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .filter(F.col("n_events") > max_events_per_key)
+    )
+
+
 def sessionize(
     df: DataFrame,
     ts_col: str = "ts",
     key: str = "user_id",
     gap_seconds: int = 1800,
+    max_events_per_key: int | None = None,
 ) -> DataFrame:
     """Assign gap-based session ids: events of the same ``key`` whose
     inter-arrival gap is ≤ ``gap_seconds`` share a session; a strictly
@@ -44,8 +98,11 @@ def sessionize(
     (lag + running sum share the partitioning and sort), then the
     result streams — no second shuffle, no state beyond a partition
     sort.  Skewed keys (one user with millions of events) sort within
-    one task; cap upstream if a key can exceed task memory.
+    one task; pass ``max_events_per_key`` to enforce the ceiling (first
+    N events kept, overflow via :func:`key_overflow_counts`) instead of
+    relying on upstream hygiene.
     """
+    df = cap_events_per_key(df, ts_col, key, max_events_per_key)
     w = Window.partitionBy(key).orderBy(ts_col)
     prev = F.lag(F.col(ts_col)).over(w)
     gap = F.unix_timestamp(ts_col) - F.unix_timestamp(prev)
@@ -62,13 +119,14 @@ def session_stats(
     key: str = "user_id",
     gap_seconds: int = 1800,
     aggs: list[Column] | None = None,
+    max_events_per_key: int | None = None,
 ) -> DataFrame:
     """Per-session rollup over :func:`sessionize`: one row per
     (key, session_seq) with start/end timestamps and event count, plus
     any caller ``aggs``.  The groupBy keys extend the window partition
     key, so the aggregation is a narrow second pass after partial
     (map-side) aggregation."""
-    s = sessionize(df, ts_col, key, gap_seconds)
+    s = sessionize(df, ts_col, key, gap_seconds, max_events_per_key)
     extra = list(aggs) if aggs else []
     return s.groupBy(key, "session_seq").agg(
         F.min(ts_col).alias("session_start"),
@@ -85,6 +143,7 @@ def funnel_steps(
     key: str = "user_id",
     step_col: str = "event_type",
     within_seconds: int | None = None,
+    max_events_per_key: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel progression: for each ``key``, the earliest
     timestamp at which it completed step i — where completing step i
@@ -108,8 +167,11 @@ def funnel_steps(
     aggregates over the SAME key partitioning — Catalyst plans one
     hash exchange and evaluates all k passes on the sorted partition;
     the final per-key reduction is a groupBy on the same key.  No
-    joins, no per-step scans of the log.
+    joins, no per-step scans of the log.  ``max_events_per_key`` is
+    the hot-key ceiling (cap_events_per_key) applied before the window
+    chain.
     """
+    df = cap_events_per_key(df, ts_col, key, max_events_per_key)
     w = Window.partitionBy(key)
     out = df
     prev_ts: Column | None = None
@@ -146,12 +208,15 @@ def funnel_counts(
     key: str = "user_id",
     step_col: str = "event_type",
     within_seconds: int | None = None,
+    max_events_per_key: int | None = None,
 ) -> DataFrame:
     """Funnel summary: for each step index, how many keys reached it
     (``funnel_stage >= i``) — the k-row table a dashboard plots.
     Computed as one aggregation over :func:`funnel_steps` (key-sized,
     not event-sized input)."""
-    fs = funnel_steps(df, steps, ts_col, key, step_col, within_seconds)
+    fs = funnel_steps(
+        df, steps, ts_col, key, step_col, within_seconds, max_events_per_key
+    )
     rows = F.explode(
         F.filter(
             F.array(*[F.lit(i) for i in range(1, len(steps) + 1)]),
@@ -243,9 +308,13 @@ def session_paths(
     relation (path string, n_sessions).
 
     Ordering must be total for the path string to be deterministic:
-    pass ``tiebreak`` (an id column) to break timestamp ties; without
-    one, tied events order arbitrarily and the same session can yield
-    different strings run to run.
+    pass ``tiebreak`` (an id column) to break timestamp ties.  Without
+    one, the step value itself is the tiebreak — tied events order by
+    (ts, step), which pins every emitted path string (events tied on
+    BOTH ts and step are interchangeable in the string), so no default
+    call path can produce run-to-run-different output.  Prefer an
+    explicit id tiebreak when tie order is semantically meaningful
+    ("did the user view before clicking at the same second").
 
     100 TB: sessionize's single key exchange also serves the
     row_number cap (same partitioning, extended order), events past
@@ -255,7 +324,9 @@ def session_paths(
     map-side and a path-keyed count finishes.
     """
     s = sessionize(df, ts_col, key, gap_seconds)
-    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    # Deterministic-by-default: fall back to the step value as the
+    # tie-order surrogate (see docstring).
+    order = [F.col(ts_col), F.col(tiebreak) if tiebreak else F.col(step_col)]
     rn = Window.partitionBy(key, "session_seq").orderBy(*order)
     s = s.withColumn("__rn", F.row_number().over(rn)).filter(
         F.col("__rn") <= max_len

