@@ -227,6 +227,28 @@ def asof_join(
     )
 
 
+def _assert_interval(df: DataFrame, start_col: str, end_col: str) -> DataFrame:
+    """Distributed precondition for the interval-join family: every
+    interval must satisfy ``end >= start`` (nulls pass through — they
+    can never match the BETWEEN residual anyway).  An inverted interval
+    would make ``F.sequence(start_bin, end_bin)`` silently emit a
+    DESCENDING bin list, breaking the canonical-bin exactly-once rule —
+    pairs would be missed with no error (ADVICE r5).  assert_true
+    returns NULL on success, so the filter keeps every valid row and
+    the job fails loudly on the first violation (the ASSERT operator's
+    trick, operators/relational.py)."""
+    ok = (
+        F.col(start_col).isNull()
+        | F.col(end_col).isNull()
+        | (F.col(end_col) >= F.col(start_col))
+    )
+    return df.filter(
+        F.assert_true(
+            ok, F.lit(f"inverted interval: {end_col} < {start_col}")
+        ).isNull()
+    )
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,
@@ -268,7 +290,7 @@ def range_join(
         )
     ).alias("__bin")
     l = left.select("*", lbin)
-    r = right.select("*", rbins)
+    r = _assert_interval(right, start_col, end_col).select("*", rbins)
     cond = l["__bin"] == r["__bin"]
     if by:
         # key may share its name across sides — bind via the frames
@@ -331,8 +353,8 @@ def overlap_join(
             F.floor(F.unix_timestamp(r_end) / step),
         )
     ).alias("__bin")
-    l = left.select("*", lbins)
-    r = right.select("*", rbins)
+    l = _assert_interval(left, l_start, l_end).select("*", lbins)
+    r = _assert_interval(right, r_start, r_end).select("*", rbins)
     cond = l["__bin"] == r["__bin"]
     if by:
         cond = cond & (l[by] == r[by])

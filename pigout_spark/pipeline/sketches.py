@@ -139,9 +139,14 @@ def kmv_hash(col: Column | str) -> Column:
 
 def kmv_build(df: DataFrame, col: str, k: int = 1024) -> DataFrame:
     """Build the KMV sketch of ``col``: the ``k`` smallest DISTINCT
-    60-bit hashes, as a one-column relation ``h`` (≤ k rows — KBs,
-    ready to store or merge).  Nulls are excluded (COUNT DISTINCT
-    semantics).
+    60-bit hashes, as a relation ``(h, k)`` (≤ k rows — KBs, ready to
+    store or merge).  ``k`` rides along as a constant column — the
+    sketch is self-describing, so a stored sketch can never be
+    estimated or merged under a different k without failing loudly
+    (ADVICE r5: an estimate call that guessed a larger k than the
+    build used would take the 'exact below k' branch and report the
+    sketch SIZE as the distinct count).  Nulls are excluded (COUNT
+    DISTINCT semantics).
 
     100 TB: the distinct pre-aggregates map-side (shuffle volume is
     each task's distinct-hash set, the same partial-dedup an exact
@@ -157,38 +162,71 @@ def kmv_build(df: DataFrame, col: str, k: int = 1024) -> DataFrame:
         .distinct()
         .orderBy("h")
         .limit(k)
+        .withColumn("k", F.lit(int(k)))
+    )
+
+
+def _assert_sketch_k(sketch: DataFrame, k: int) -> DataFrame:
+    """Distributed validation that every sketch row carries ``k`` —
+    assert_true returns NULL on success, so the filter keeps all valid
+    rows and a mismatched sketch fails the job loudly instead of
+    producing a silently wrong estimate."""
+    return sketch.filter(
+        F.assert_true(
+            F.col("k") == F.lit(int(k)),
+            F.concat(F.lit(f"KMV sketch k mismatch: expected {k}, got "), F.col("k")),
+        ).isNull()
     )
 
 
 def kmv_merge(sketches: list[DataFrame], k: int = 1024) -> DataFrame:
     """Union shard sketches and retake the k smallest distinct hashes —
     the KMV merge (exactly the sketch of the union'd underlying sets,
-    a property exact per-shard counts do NOT have)."""
+    a property exact per-shard counts do NOT have).  Every input must
+    carry ``k`` — merging sketches built with a different k is
+    rejected at execution (see :func:`_assert_sketch_k`)."""
     if not sketches:
         raise ValueError("kmv_merge needs at least one sketch")
-    out = sketches[0]
+    out = _assert_sketch_k(sketches[0], k)
     for s in sketches[1:]:
-        out = out.unionByName(s)
+        out = out.unionByName(_assert_sketch_k(s, k))
     return out.distinct().orderBy("h").limit(k)
 
 
-def kmv_estimate(sketch: DataFrame, k: int = 1024) -> DataFrame:
+def kmv_estimate(sketch: DataFrame, k: int | None = None) -> DataFrame:
     """Distinct-count estimate from a KMV sketch: if the sketch holds
     fewer than k hashes the count is EXACT (every distinct value is in
     it); otherwise (k−1)/U_k with U_k = max(h)/2^60, the classic
     unbiased KMV estimator (relative error ≈ 1/√(k−2); k=1024 → ~3%).
 
+    ``k`` comes from the sketch itself (the carried column); passing
+    it explicitly only adds a loud cross-check.  A heterogeneous
+    sketch (mixed k values — e.g. a bad hand-union) also fails loudly.
+
     Output: one row (n_hashes, est).  All arithmetic is exact-integer
     max + one IEEE division chain — bit-identical across engines.
     """
+    if k is not None:
+        sketch = _assert_sketch_k(sketch, k)
     agg = sketch.agg(
-        F.count(F.lit(1)).alias("n_hashes"), F.max("h").alias("__mx")
+        F.count(F.lit(1)).alias("n_hashes"),
+        F.max("h").alias("__mx"),
+        F.min("k").alias("__kmin"),
+        F.max("k").alias("__kmax"),
+    ).filter(
+        F.assert_true(
+            F.col("__kmin").eqNullSafe(F.col("__kmax")),
+            F.lit("KMV sketch carries mixed k values"),
+        ).isNull()
     )
+    kc = F.coalesce(F.col("__kmax"), F.lit(-1 if k is None else int(k)))
     return agg.select(
         "n_hashes",
-        F.when(F.col("n_hashes") < k, F.col("n_hashes").cast("double"))
+        F.when(F.col("n_hashes") == 0, F.lit(0.0))
+        .when(F.col("n_hashes") < kc, F.col("n_hashes").cast("double"))
         .otherwise(
-            F.lit(float(k - 1)) / (F.col("__mx").cast("double") / F.lit(KMV_DOMAIN))
+            (kc.cast("double") - F.lit(1.0))
+            / (F.col("__mx").cast("double") / F.lit(KMV_DOMAIN))
         )
         .alias("est"),
     )

@@ -1954,16 +1954,17 @@ _KMV_DOMAIN_SQL = "1152921504606846976.0"  # 2^60, exact double
 @query(
     "x_kmv_sketch",
     f"""
-    SELECT h FROM (
+    SELECT h, CAST(256 AS INTEGER) AS k FROM (
       SELECT DISTINCT {_KMV_HASH_SQL} AS h
       FROM events WHERE event_id IS NOT NULL
     ) ORDER BY h LIMIT 256
     """,
-    extra=True,  # window full at 50; selfcheck + pytest verified
+    extra=True,  # rotated into the driver window in r6 (__init__.py)
 )
 def x_kmv_sketch(spark, sf_dir):
     """KMV distinct sketch of event ids (k=256): the k smallest
-    distinct 60-bit md5 hashes, hash-checked value-for-value — the
+    distinct 60-bit md5 hashes plus the carried k (self-describing
+    sketch contract), hash-checked value-for-value — the
     deterministic sketch the HLL path can't oracle (sketches.py)."""
     from pigout_spark.pipeline.sketches import kmv_build
 

@@ -44,6 +44,15 @@ def shard_assign(df: DataFrame, id_col: str, n_shards: int) -> DataFrame:
     return df.withColumn("shard", (h % n_shards).cast("int"))
 
 
+def _shard_summary(df_with_shard: DataFrame, data_cols: list[str]) -> DataFrame:
+    """Per-shard (n_rows, fingerprint) aggregation — the single
+    definition both the manifest build and :func:`verify_shards` use."""
+    return df_with_shard.select(*data_cols, "shard").groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.bit_xor(_row_fingerprint(data_cols)).alias("fingerprint"),
+    )
+
+
 def write_shards(
     df: DataFrame,
     path: str,
@@ -62,17 +71,16 @@ def write_shards(
     100 TB: pick ``n_shards`` so shards land near the consumer's target
     (0.5–2 GB); the single exchange replaces Spark's task-count-shaped
     output with a stable contract.  Manifest aggregation is one
-    map-side-combined pass (count + XOR per shard).
+    map-side-combined pass (count + XOR per shard) over the WRITTEN
+    files, not over ``df``: aggregating the input in a separate action
+    would scan it twice, and any nondeterministic upstream expression
+    or source mutation between the two jobs would certify data that was
+    never written (ADVICE r5).  Reading back only the written parquet
+    makes the manifest describe the actual bytes on disk by
+    construction — write_shards returns with its own verification
+    already inherent.
     """
     sharded = shard_assign(df, id_col, n_shards)
-    manifest_rows = (
-        sharded.groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.bit_xor(_row_fingerprint(df.columns)).alias("fingerprint"),
-        )
-        .collect()
-    )
     (
         sharded.repartition(n_shards, "shard")
         .sortWithinPartitions(id_col)
@@ -81,6 +89,10 @@ def write_shards(
         .partitionBy("shard")
         .save(path)
     )
+    spark = df.sparkSession
+    spark.catalog.refreshByPath(path)
+    written = spark.read.format(fmt).load(path)
+    manifest_rows = _shard_summary(written, [c for c in df.columns]).collect()
     manifest = {
         "n_shards": n_shards,
         "id_col": id_col,
@@ -108,15 +120,9 @@ def verify_shards(spark: SparkSession, path: str) -> dict:
     spark.catalog.refreshByPath(path)
     df = spark.read.format(manifest["format"]).load(path)
     data_cols = manifest["columns"]
-    body = df.select(*data_cols, "shard")
     got = {
         str(r.shard): (int(r.n_rows), int(r.fingerprint))
-        for r in body.groupBy("shard")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.bit_xor(_row_fingerprint(data_cols)).alias("fingerprint"),
-        )
-        .collect()
+        for r in _shard_summary(df, data_cols).collect()
     }
     errors = []
     for shard, meta in manifest["shards"].items():

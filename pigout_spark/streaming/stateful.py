@@ -17,15 +17,26 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructField, StructType, TimestampType
 
-#: output schema of sessionize_stateful
+#: output schema of sessionize_stateful with the default user_id key
+#: (kept for callers that want the shape; the operators derive the key
+#: field from the input schema at call time — ADVICE r5: a renamed or
+#: non-bigint key must not be silently mislabeled/miscast)
 SESSION_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, n_events long"
 )
 _STATE_SCHEMA = "start long, last long, n long"
 
 
-def _session_fn(gap_seconds: int):
+def _key_field(events: DataFrame, user_col: str) -> StructField:
+    """The output key field, named and typed from the INPUT schema —
+    not assumed to be ``user_id long``."""
+    f = events.schema[user_col]
+    return StructField(f.name, f.dataType)
+
+
+def _session_fn(gap_seconds: int, user_col: str):
     def fn(
         key: Tuple[Any, ...],
         pdfs: Iterable[pd.DataFrame],
@@ -37,7 +48,7 @@ def _session_fn(gap_seconds: int):
             state.remove()
             yield pd.DataFrame(
                 {
-                    "user_id": [user_id],
+                    user_col: [user_id],
                     "session_start": [pd.Timestamp(start, unit="us")],
                     "session_end": [pd.Timestamp(last, unit="us")],
                     "n_events": [n],
@@ -70,7 +81,7 @@ def _session_fn(gap_seconds: int):
         if out:
             yield pd.DataFrame(
                 {
-                    "user_id": [r[0] for r in out],
+                    user_col: [r[0] for r in out],
                     "session_start": [pd.Timestamp(r[1], unit="us") for r in out],
                     "session_end": [pd.Timestamp(r[2], unit="us") for r in out],
                     "n_events": [r[3] for r in out],
@@ -89,17 +100,32 @@ def sessionize_stateful(
     Streaming input → applyInPandasWithState with processing-time
     timeout.  The in-flight session lives in GroupState; output rows are
     closed sessions only (the batch session_agg covers the
-    oracle-checkable variant)."""
+    oracle-checkable variant).  The output key column is named and
+    typed from ``events.schema[user_col]``."""
+    out_schema = StructType(
+        [_key_field(events, user_col)]
+        + list(
+            StructType.fromDDL(
+                "session_start timestamp, session_end timestamp, n_events long"
+            )
+        )
+    )
     return events.groupBy(user_col).applyInPandasWithState(
-        _session_fn(gap_seconds),
-        outputStructType=SESSION_SCHEMA,
+        _session_fn(gap_seconds, user_col),
+        outputStructType=out_schema,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
 
 
-def _funnel_fn(steps: list, within_seconds: int | None, step_col: str, ts_col: str):
+def _funnel_fn(
+    steps: list,
+    within_seconds: int | None,
+    step_col: str,
+    ts_col: str,
+    user_col: str,
+):
     k = len(steps)
 
     def fn(
@@ -145,7 +171,7 @@ def _funnel_fn(steps: list, within_seconds: int | None, step_col: str, ts_col: s
         if out:
             yield pd.DataFrame(
                 {
-                    "user_id": [r[0] for r in out],
+                    user_col: [r[0] for r in out],
                     **{
                         f"step_{i}_ts": [
                             pd.Timestamp(r[i], unit="us") for r in out
@@ -181,12 +207,13 @@ def funnel_stateful(
     oracle-checkable truth; this is the low-latency emitter.
     """
     k = len(steps)
-    out_schema = "user_id long, " + ", ".join(
-        f"step_{i}_ts timestamp" for i in range(1, k + 1)
+    out_schema = StructType(
+        [_key_field(events, user_col)]
+        + [StructField(f"step_{i}_ts", TimestampType()) for i in range(1, k + 1)]
     )
     state_schema = "stage int, " + ", ".join(f"t{i} long" for i in range(1, k + 1))
     return events.groupBy(user_col).applyInPandasWithState(
-        _funnel_fn(steps, within_seconds, step_col, ts_col),
+        _funnel_fn(steps, within_seconds, step_col, ts_col, user_col),
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",

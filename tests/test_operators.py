@@ -547,3 +547,48 @@ def test_overlap_join_plans_equi_join(spark):
         .toString()
     )
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_interval_joins_reject_inverted_intervals(spark):
+    """ADVICE r5: end < start would make F.sequence emit a DESCENDING
+    bin list and silently drop pairs — the interval-join family now
+    fails loudly instead.  Null endpoints still pass through (they can
+    never match the BETWEEN residual)."""
+    import datetime as dt
+
+    import pytest
+
+    from pigout_spark.operators.joins import overlap_join, range_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    pts = spark.createDataFrame([(1, ts(30))], "k bigint, ts timestamp")
+    bad_iv = spark.createDataFrame(
+        [(1, ts(100), ts(0))], "k bigint, iv_start timestamp, iv_end timestamp"
+    )
+    with pytest.raises(Exception, match="inverted interval"):
+        range_join(
+            pts, bad_iv, "ts", "iv_start", "iv_end", bin_seconds=60, by="k"
+        ).collect()
+    good_l = spark.createDataFrame(
+        [(1, ts(0), ts(50))], "k bigint, l_start timestamp, l_end timestamp"
+    )
+    with pytest.raises(Exception, match="inverted interval"):
+        overlap_join(
+            good_l, bad_iv.withColumnRenamed("iv_start", "r_start")
+            .withColumnRenamed("iv_end", "r_end"),
+            "l_start", "l_end", "r_start", "r_end", bin_seconds=60, by="k",
+        ).collect()
+    # null endpoints: no assertion error, and no match emitted
+    null_iv = spark.createDataFrame(
+        [(1, None, ts(100))], "k bigint, iv_start timestamp, iv_end timestamp"
+    )
+    assert (
+        range_join(
+            pts, null_iv, "ts", "iv_start", "iv_end", bin_seconds=60, by="k"
+        ).count()
+        == 0
+    )

@@ -1558,6 +1558,36 @@ def test_kmv_merge_equals_whole_set_sketch(spark):
     assert a == b and len(a) == 128
 
 
+def test_kmv_sketch_is_self_describing(spark):
+    """ADVICE r5: k rides with the sketch — estimating under the wrong
+    k (the old silent-wrong-answer path) now fails loudly, and with no
+    k argument at all the carried value drives the estimator."""
+    import pytest
+    from pigout_spark.pipeline.sketches import (
+        kmv_build,
+        kmv_estimate,
+        kmv_merge,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(5000)], "v bigint")
+    sk = kmv_build(df, "v", k=256)
+    assert set(sk.columns) == {"h", "k"}
+    # carried k drives the estimate: a full k=256 sketch of 5000
+    # distincts must NOT take the exact branch (the old bug reported
+    # 256 when the caller defaulted to k=1024)
+    est = kmv_estimate(sk).collect()[0]
+    assert est.n_hashes == 256 and abs(est.est - 5000) / 5000 < 0.2
+    # explicit mismatched k fails loudly at execution
+    with pytest.raises(Exception, match="k mismatch"):
+        kmv_estimate(sk, k=1024).collect()
+    with pytest.raises(Exception, match="k mismatch"):
+        kmv_merge([sk, kmv_build(df, "v", k=128)], k=256).collect()
+    # empty sketch: exact zero, no null leak
+    empty = kmv_build(df.filter("v < 0"), "v", k=64)
+    row = kmv_estimate(empty).collect()[0]
+    assert row.n_hashes == 0 and row.est == 0.0
+
+
 def test_kmv_null_excluded(spark):
     from pigout_spark.pipeline.sketches import kmv_build
 

@@ -675,3 +675,30 @@ def test_ewma_matches_python_reference(spark):
     assert set(got) == set(ref)
     for kk in ref:
         assert abs(got[kk] - ref[kk]) < 1e-12, kk
+
+
+def test_stateful_key_schema_derived_from_input(spark, tmp_path):
+    """ADVICE r5: the stateful operators' output key column is named
+    and typed from the input schema — a string-keyed, renamed key must
+    not come back as `user_id long`."""
+    from pigout_spark.streaming.stateful import (
+        funnel_stateful,
+        sessionize_stateful,
+    )
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("a", "view")], "device string, event_type string"
+    ).withColumn("ts", F.current_timestamp()).write.parquet(src)
+    stream = spark.readStream.schema(
+        "device string, event_type string, ts timestamp"
+    ).parquet(src)
+    fs = funnel_stateful(stream, ["view", "click"], user_col="device")
+    assert fs.schema[0].name == "device"
+    assert fs.schema[0].dataType.simpleString() == "string"
+    ss = sessionize_stateful(stream, user_col="device")
+    assert ss.schema[0].name == "device"
+    assert ss.schema[0].dataType.simpleString() == "string"
+    assert [f.name for f in ss.schema[1:]] == [
+        "session_start", "session_end", "n_events",
+    ]
