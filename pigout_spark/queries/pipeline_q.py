@@ -1523,13 +1523,96 @@ def x_corpus_stats(spark, sf_dir):
     return corpus_stats(t(spark, sf_dir, "documents"))
 
 
-@query("x_bpe_encode", extra=True)  # rows-only: the per-word merge loop
-# (train 8 merges, encode the corpus) is genuinely non-SQL-expressible —
-# iterative argmax-dependent rewriting; pytest pins exact token output.
+#: Fixed merge table for the hash-checked encode (r6, VERDICT task 7):
+#: the TRAINING loop is argmax-dependent and stays rows-only below, but
+#: ENCODE under a fixed merge table is SQL-replayable — the oracle
+#: materializes the table as VALUES and replays the greedy lowest-rank
+#: merge loop as a recursive CTE (validated symbol-for-symbol against
+#: bpe_apply_merges over the whole vocabulary).
+_BPE_FIXED_MERGES = [
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+    ("a", "g"), ("s", "c"), ("r", "o"), ("v", "a"), ("va", "l"),
+    ("e", "r"), ("o", "w"), ("i", "n"),
+]
+_BPE_VALUES = ", ".join(
+    f"({i}, '{l}', '{r}')" for i, (l, r) in enumerate(_BPE_FIXED_MERGES)
+)
+#: symbol-string representation: ␟sym␟␟sym␟␟…␟sym␟ — DOUBLE separator
+#: between symbols so one non-overlapping replace() pass merges every
+#: occurrence left-to-right exactly like the Python sweep (single
+#: separators would make adjacent occurrences share a character and
+#: leave every second one unmerged per pass)
+_BPE_PAT = "chr(31)||m.l||chr(31)||chr(31)||m.r||chr(31)"
+
+
+@query(
+    "x_bpe_encode",
+    f"""
+    WITH RECURSIVE m(rank, l, r) AS (VALUES {_BPE_VALUES}),
+    f AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ), dw AS (
+      SELECT doc_id, i AS pos, toks[i] AS word
+      FROM f, unnest(range(1, len(toks)+1)) AS u(i)
+    ), words AS (
+      SELECT DISTINCT word FROM dw
+    ), seed AS (
+      SELECT word,
+             chr(31) || array_to_string(
+               list_transform(range(1, length(word)+1), i -> word[i]),
+               chr(31)||chr(31)) || chr(31) AS s
+      FROM words
+    ), enc AS (
+      SELECT word, s FROM seed
+      UNION ALL
+      SELECT e.word,
+             replace(e.s, chr(31)||b.l||chr(31)||chr(31)||b.r||chr(31),
+                     chr(31)||b.l||b.r||chr(31)) AS s
+      FROM enc e
+      JOIN LATERAL (
+        SELECT l, r FROM m
+        WHERE position({_BPE_PAT} IN e.s) > 0
+        ORDER BY rank LIMIT 1
+      ) b ON TRUE
+    ), final AS (
+      SELECT word,
+             replace(trim(s, chr(31)), chr(31)||chr(31), chr(31)) AS js
+      FROM enc e
+      WHERE NOT EXISTS (
+        SELECT 1 FROM m WHERE position({_BPE_PAT} IN e.s) > 0)
+    )
+    SELECT doc_id,
+           md5(string_agg(js, chr(31) ORDER BY pos)) AS bpe_fp,
+           CAST(SUM(len(string_split(js, chr(31)))) AS BIGINT) AS n_bpe_tokens
+    FROM dw JOIN final USING (word)
+    GROUP BY doc_id
+    """,
+    extra=True,  # rotated into the driver window in r6 (__init__.py)
+)
 def x_bpe_encode(spark, sf_dir):
-    """BPE encode with corpus-trained merges: Python confined to the
-    DISTINCT-WORD vocabulary (mapInPandas), corpus re-assembled by a
-    positional join — never row-at-a-time over corpus volume."""
+    """BPE encode under a fixed merge table, hash-checked end-to-end:
+    Python confined to the DISTINCT-WORD vocabulary (mapInPandas),
+    corpus re-assembled by a positional join — never row-at-a-time over
+    corpus volume.  The oracle replays the greedy lowest-rank merge
+    loop as a recursive CTE over the same VALUES merge table."""
+    from pigout_spark.pipeline.text import bpe_encode
+
+    d = t(spark, sf_dir, "documents")
+    return bpe_encode(d, _BPE_FIXED_MERGES).select(
+        "doc_id",
+        F.md5(F.concat_ws("\x1f", "bpe_tokens")).alias("bpe_fp"),
+        "n_bpe_tokens",
+    )
+
+
+@query("x_bpe_encode_trained", extra=True)  # rows-only: the TRAIN loop
+# (8 corpus-trained merges feeding encode) is genuinely
+# non-SQL-expressible — iterative argmax-dependent rewriting; pytest
+# pins exact token output, and x_bpe_encode hash-checks the encode half.
+def x_bpe_encode_trained(spark, sf_dir):
+    """BPE train→encode integration: corpus-trained merges applied to
+    the same corpus (the x_bpe_pairs + x_bpe_encode machinery chained;
+    pipeline/text.py bpe_train/bpe_encode)."""
     from pigout_spark.pipeline.text import bpe_encode, bpe_train
 
     d = t(spark, sf_dir, "documents")
