@@ -79,7 +79,7 @@ def dedup_exact(spark, sf_dir):
 _MH_HASHES, _MH_ROWS = 16, 8
 
 
-def _minhash_sql(num_hashes: int, rows_per_band: int) -> str:
+def _minhash_sql(num_hashes: int, rows_per_band: int, src: str = "documents") -> str:
     from pigout_spark.pipeline.dedup import MINHASH_P, minhash_perms
 
     perms = minhash_perms(num_hashes)
@@ -93,7 +93,7 @@ def _minhash_sql(num_hashes: int, rows_per_band: int) -> str:
     )
     return (
         "WITH toks AS (\n"
-        f"  SELECT doc_id, unnest({_SQL_DTOKS}) AS tok FROM documents\n"
+        f"  SELECT doc_id, unnest({_SQL_DTOKS}) AS tok FROM {src}\n"
         "), hashed AS (\n"
         "  SELECT doc_id, ('0x' || substr(md5(tok), 1, 7))::BIGINT AS x FROM toks\n"
         "), sig AS (\n"
@@ -110,11 +110,11 @@ def _minhash_sql(num_hashes: int, rows_per_band: int) -> str:
     )
 
 
-def _clusters_sql() -> str:
+def _clusters_sql(src: str = "documents") -> str:
     """Transitive closure of the MinHash pair graph via a recursive CTE
     — the SQL twin of pointer-jumping connected components."""
     return (
-        "WITH RECURSIVE pairs AS (\n" + _minhash_sql(_MH_HASHES, _MH_ROWS)
+        "WITH RECURSIVE pairs AS (\n" + _minhash_sql(_MH_HASHES, _MH_ROWS, src)
         + "\n), edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs"
         "  UNION SELECT doc_b, doc_a FROM pairs),\n"
         "reach(u, v) AS (SELECT u, v FROM edges UNION"
@@ -1664,9 +1664,7 @@ def x_split_corpus(spark, sf_dir):
     return split_corpus(d, _SPLIT_W, ["doc_id"], seed="13")
 
 
-@query(
-    "x_quality_filter",
-    f"""
+_QUALITY_SQL =     f"""
     WITH f AS (
       SELECT doc_id, {_SQL_TOKS} AS toks,
              list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
@@ -1715,8 +1713,13 @@ def x_split_corpus(spark, sf_dir):
             AND avg_token_len >= 2.0 AND avg_token_len <= 12.0
             AND t2 <= 0.3 AND dl <= 0.3 AND distinct_frac >= 0.2) AS keep
     FROM j
-    """,
-    extra=True,  # window full at 50; selfcheck + pytest verified
+    """
+
+
+@query(
+    "x_quality_filter",
+    _QUALITY_SQL,
+    extra=True,  # rotated into the driver window in r6 (__init__.py)
 )
 def x_quality_filter(spark, sf_dir):
     """Composite C4/Gopher-style quality filter: every rule evaluated
@@ -2527,4 +2530,120 @@ def x_ivfpq_topk(spark, sf_dir):
 
     return ivf_pq_topk(
         tf(spark, sf_dir, "embeddings"), query_ids_max=10, k=3, rescore=4
+    )
+
+
+# ------------------------------------------------------- curate end-to-end ---
+#: Composite pipeline invariant (r6, VERDICT task 6): the curate CLI's
+#: row-dropping spine (quality filter → MinHash dedup retain) plus the
+#: packing tail (chunk → pack), reduced to ONE hash-checked row — doc
+#: count, sequence count, total packed tokens, and an order-insensitive
+#: doc-set fingerprint.  Every stage reuses the per-stage oracle SQL
+#: (quality: _QUALITY_SQL; clusters: _clusters_sql scoped to the
+#: survivors CTE; pack: the x_text_pack recursive walk) so a drift in
+#: ANY stage moves the end state.
+_CURATE_E2E_SQL = f"""
+    WITH RECURSIVE q AS (
+      SELECT doc_id FROM ({_QUALITY_SQL}) WHERE keep
+    ), surv AS (
+      SELECT d.doc_id, d.text FROM documents d JOIN q USING (doc_id)
+    ), cl AS (
+      SELECT * FROM ({_clusters_sql("surv")})
+    ), docs_s AS (
+      SELECT doc_id, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens FROM surv
+    ), j AS (
+      SELECT d.doc_id, d.n_tokens,
+             COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM docs_s d LEFT JOIN cl c ON d.doc_id = c.doc_id
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY cluster_id ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM j
+    ), corpus AS (
+      SELECT s.doc_id, s.text
+      FROM surv s JOIN (SELECT doc_id FROM r WHERE rn = 1) k USING (doc_id)
+    ), f2 AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM corpus
+    ), s2 AS (
+      SELECT doc_id, len(toks) AS n FROM f2 WHERE len(toks) > 0
+    ), c2 AS (
+      SELECT doc_id, n, unnest(range(0, n, 48)) AS start FROM s2
+    ), ch AS (
+      SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_idx,
+             CAST(least(start + 64, n) - start AS BIGINT) AS nt
+      FROM c2
+    ), walk(doc_id, chunk_idx, nt, fill, seq) AS (
+      SELECT doc_id, chunk_idx, nt, nt, CAST(0 AS BIGINT)
+      FROM ch WHERE chunk_idx = 0
+      UNION ALL
+      SELECT ch.doc_id, ch.chunk_idx, ch.nt,
+             CASE WHEN w.fill + ch.nt <= {_PACK_BUDGET}
+                  THEN w.fill + ch.nt ELSE ch.nt END,
+             CASE WHEN w.fill + ch.nt <= {_PACK_BUDGET}
+                  THEN w.seq ELSE w.seq + 1 END
+      FROM walk w
+      JOIN ch ON ch.doc_id = w.doc_id AND ch.chunk_idx = w.chunk_idx + 1
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM corpus) AS n_docs,
+           CAST(COUNT(DISTINCT (doc_id, seq)) AS BIGINT) AS n_sequences,
+           CAST(SUM(nt) AS BIGINT) AS n_packed_tokens,
+           (SELECT bit_xor(
+              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+            FROM corpus) AS doc_fp
+    FROM walk
+    """
+
+
+@query("x_curate_e2e", _CURATE_E2E_SQL, extra=True)
+def x_curate_e2e(spark, sf_dir):
+    """END-TO-END curation invariant: quality filter → MinHash-LSH
+    dedup (pairs → connected components → keep-longest retention) →
+    64/16 chunking → 96-token next-fit packing, summarized to one row
+    (n_docs, n_sequences, n_packed_tokens, doc-set XOR fingerprint).
+    The one-command twin is ``tools/curate.py``; this query pins the
+    same chain's end state under the hash gate at every sf."""
+    from pigout_spark.pipeline.dedup import (
+        dedup_clusters,
+        minhash_lsh_pairs,
+        retain_per_cluster,
+        ws_tokens,
+    )
+    from pigout_spark.pipeline.text import (
+        chunk_documents,
+        pack_sequences,
+        quality_filter,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    keep = quality_filter(d).filter(F.col("keep")).select("doc_id")
+    surv = d.join(keep, "doc_id").select("doc_id", "text")
+    pairs = minhash_lsh_pairs(
+        fan_out(surv), "doc_id", "text",
+        num_hashes=_MH_HASHES, rows_per_band=_MH_ROWS,
+    )
+    docs_s = surv.select(
+        "doc_id",
+        F.size(ws_tokens("text", distinct=False)).cast("long").alias("n_tokens"),
+    )
+    kept = retain_per_cluster(
+        docs_s, dedup_clusters(pairs), score_col="n_tokens"
+    )
+    corpus = surv.join(kept.select("doc_id"), "doc_id")
+    packed = pack_sequences(
+        chunk_documents(corpus, max_tokens=64, overlap=16), _PACK_BUDGET
+    )
+    doc_agg = corpus.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.bit_xor(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+            ).cast("bigint")
+        ).alias("doc_fp"),
+    )
+    seq_agg = packed.agg(
+        F.countDistinct("doc_id", "seq_idx").alias("n_sequences"),
+        F.sum("n_chunk_tokens").cast("long").alias("n_packed_tokens"),
+    )
+    return doc_agg.crossJoin(seq_agg).select(
+        "n_docs", "n_sequences", "n_packed_tokens", "doc_fp"
     )
