@@ -30,6 +30,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 5,
     damping_pct: int = 85,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge relation (duplicate edges
     count as parallel edges).  Classic simplified update — each node
@@ -44,43 +45,62 @@ def pagerank(
     arithmetic.  Output ranks are units/10^12 as double (exact — the
     numerator is far below 2^53).
 
-    100 TB: per round ONE equi-join of the degree-annotated edge list
-    with the rank vector (both keyed on the node — AQE handles skewed
-    hubs) and one map-side-combined aggregation; ranks are
-    localCheckpoint'ed per round so lineage stays constant-depth (the
-    dedup_clusters discipline).  The driver holds only N (a scalar).
+    100 TB: the degree-annotated edge list is shuffled ONCE onto the
+    source key and checkpointed; the node relation once onto the node
+    key.  Every subsequent rank vector inherits HashPartitioning(node)
+    from the per-round aggregation/join, so each round plans exactly
+    ONE new exchange — the transpose (contributions regrouped by
+    destination, map-side combined), which is inherent to PageRank.
+    The edge↔rank join and the nodes↔sums join are co-partitioned
+    zero-shuffle joins (r6: the previous shape re-exchanged both join
+    inputs every round — 3 exchanges/round → 1).  Ranks are
+    localCheckpoint'ed every ``checkpoint_every`` rounds — often enough
+    to keep lineage constant-depth on long runs (the dedup_clusters
+    discipline), rare enough that short runs compile to ONE Catalyst
+    plan instead of a stage barrier per round (a per-round checkpoint
+    cost ~3× wall on a 3-iteration run).  The driver holds only N (a
+    scalar).
     """
     e_src, e_dst = F.col(src), F.col(dst)
     nodes = (
         edges.select(e_src.alias("node"))
         .unionByName(edges.select(e_dst.alias("node")))
         .distinct()
+        .repartition("node")
+        .localCheckpoint(eager=False)
     )
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     deg = edges.groupBy(e_src.alias("__s")).agg(F.count(F.lit(1)).alias("__deg"))
-    e = edges.select(e_src.alias("__s"), e_dst.alias("__d")).join(deg, "__s")
+    # deg comes out of its aggregation already HashPartitioned(__s), so
+    # the annotate-join is exchange-free on both sides after the
+    # repartition; checkpoint the result to pay the edge shuffle once
+    # across all rounds.
+    e = (
+        edges.select(e_src.alias("__s"), e_dst.alias("__d"))
+        .repartition("__s")
+        .join(deg, "__s")
+        .localCheckpoint(eager=False)
+    )
     d = int(damping_pct)
     base_units = ((100 - d) * PAGERANK_UNIT // 100) // n
     ranks = nodes.withColumn("__r", F.lit(PAGERANK_UNIT // n).cast("long"))
-    for _ in range(int(iterations)):
+    for it in range(1, int(iterations) + 1):
         contrib = e.join(ranks, e["__s"] == ranks["node"]).select(
             F.col("__d").alias("node"),
             F.expr("__r div __deg").alias("__c"),
         )
         sums = contrib.groupBy("node").agg(F.sum("__c").alias("__sum"))
-        ranks = (
-            nodes.join(sums, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base_units).cast("long")
-                    + F.expr(f"({d} * coalesce(__sum, 0L)) div 100")
-                ).alias("__r"),
-            )
-            .localCheckpoint(eager=False)
+        ranks = nodes.join(sums, "node", "left").select(
+            "node",
+            (
+                F.lit(base_units).cast("long")
+                + F.expr(f"({d} * coalesce(__sum, 0L)) div 100")
+            ).alias("__r"),
         )
+        if checkpoint_every and it % int(checkpoint_every) == 0:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(
         "node",
         (F.col("__r").cast("double") / F.lit(float(PAGERANK_UNIT))).alias("rank"),
