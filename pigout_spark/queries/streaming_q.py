@@ -615,12 +615,39 @@ def x_interp(spark, sf_dir):
     )
 
 
-@query("x_ewma", extra=True)  # rows-only: the per-key EWMA recursion
-# is genuinely non-SQL-expressible (x_bpe_encode precedent); exact
-# semantics are pinned by pytest against a pure-Python reference
+@query(
+    "x_ewma",
+    """
+    WITH RECURSIVE e AS (
+      SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts,
+             value, event_id
+      FROM events WHERE value IS NOT NULL
+    ), o AS (
+      SELECT user_id, ts, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             epoch(ts) AS tsec
+      FROM e
+    ), rec(user_id, rn, ts, value, tsec, ewma) AS (
+      SELECT user_id, rn, ts, value, tsec, value FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.rn, o.ts, o.value, o.tsec,
+             pow(2.0, -(o.tsec - r.tsec)/3600.0) * r.ewma
+             + (1.0 - pow(2.0, -(o.tsec - r.tsec)/3600.0)) * o.value
+      FROM rec r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT user_id, ts, value, ewma FROM rec
+    """,
+    extra=True,  # r6: upgraded from rows-only to hash-checked — the
+    # per-key linear recurrence replays as a recursive CTE; the one FP
+    # risk (libm pow) is bit-identical across both engines on this box
+    # (validated over all 10k rows), and every other step is exact
+    # (second-truncated epochs are integer-valued doubles)
+)
 def x_ewma(spark, sf_dir):
     """Time-aware EWMA (halflife 1 h) per user over the event stream
-    (streaming/windows.py:ewma_events — Arrow applyInPandas)."""
+    (streaming/windows.py:ewma_events — Arrow applyInPandas), replayed
+    bit-for-bit by a per-key recursive-CTE oracle."""
     from pigout_spark.streaming.windows import ewma_events
 
     ev = _events_s(spark, sf_dir).select("user_id", "ts", "value", "event_id")
