@@ -61,47 +61,77 @@ def pagerank(
     cost ~3× wall on a 3-iteration run).  The driver holds only N (a
     scalar).
     """
-    e_src, e_dst = F.col(src), F.col(dst)
+    from pyspark.sql import Window
+
+    # Materialize the (typically derived — a distinct, a projection of
+    # a fact table) edge relation ONCE: nodes, degrees, and the
+    # iteration all read the checkpointed list instead of re-running
+    # the upstream plan 4× (the pre-r6 shape recomputed a 600k-row
+    # distinct for every consumer).
+    e0 = edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__d")
+    ).localCheckpoint(eager=False)
     nodes = (
-        edges.select(e_src.alias("node"))
-        .unionByName(edges.select(e_dst.alias("node")))
+        e0.select(F.col("__s").alias("node"))
+        .unionByName(e0.select(F.col("__d").alias("node")))
         .distinct()
-        .repartition("node")
-        .localCheckpoint(eager=False)
     )
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    deg = edges.groupBy(e_src.alias("__s")).agg(F.count(F.lit(1)).alias("__deg"))
-    # deg comes out of its aggregation already HashPartitioned(__s), so
-    # the annotate-join is exchange-free on both sides after the
-    # repartition; checkpoint the result to pay the edge shuffle once
-    # across all rounds.
-    e = (
-        edges.select(e_src.alias("__s"), e_dst.alias("__d"))
-        .repartition("__s")
-        .join(deg, "__s")
-        .localCheckpoint(eager=False)
-    )
     d = int(damping_pct)
     base_units = ((100 - d) * PAGERANK_UNIT // 100) // n
-    ranks = nodes.withColumn("__r", F.lit(PAGERANK_UNIT // n).cast("long"))
-    for it in range(1, int(iterations) + 1):
-        contrib = e.join(ranks, e["__s"] == ranks["node"]).select(
-            F.col("__d").alias("node"),
-            F.expr("__r div __deg").alias("__c"),
-        )
-        sums = contrib.groupBy("node").agg(F.sum("__c").alias("__sum"))
-        ranks = nodes.join(sums, "node", "left").select(
+    r0 = PAGERANK_UNIT // n
+    if int(iterations) <= 0:
+        return nodes.select(
             "node",
-            (
-                F.lit(base_units).cast("long")
-                + F.expr(f"({d} * coalesce(__sum, 0L)) div 100")
-            ).alias("__r"),
+            (F.lit(r0).cast("double") / F.lit(float(PAGERANK_UNIT))).alias(
+                "rank"
+            ),
+        )
+    # Degree via a window count on the source partitioning — one
+    # exchange, no join, and the result is HashPartitioned(__s) for
+    # every round's contribution join.
+    e = (
+        e0.repartition("__s")
+        .withColumn(
+            "__deg", F.count(F.lit(1)).over(Window.partitionBy("__s"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    # rank_i(u) = base + (d·sums_i(u)) div 100 is folded INTO the next
+    # round's contribution expression, so a round is ONE left join of
+    # the edge list with the (dst-keyed) sums relation — co-partitioned,
+    # zero new exchange — plus the transpose aggregation (the single
+    # per-round shuffle).  The full node relation is only joined once,
+    # at the end; nodes that never receive contributions sit at
+    # base_units implicitly throughout.
+    rank_expr = (
+        f"(cast({base_units} as bigint)"
+        f" + ({d} * coalesce(__sum, cast(0 as bigint))) div 100)"
+    )
+    sums = None
+    for it in range(1, int(iterations) + 1):
+        if sums is None:
+            contrib = e.select(
+                F.col("__d").alias("node"),
+                F.expr(f"cast({r0} as bigint) div __deg").alias("__c"),
+            )
+        else:
+            contrib = e.join(sums, e["__s"] == sums["__n"], "left").select(
+                F.col("__d").alias("node"),
+                F.expr(f"{rank_expr} div __deg").alias("__c"),
+            )
+        sums = (
+            contrib.groupBy("node")
+            .agg(F.sum("__c").alias("__sum"))
+            .select(F.col("node").alias("__n"), "__sum")
         )
         if checkpoint_every and it % int(checkpoint_every) == 0:
-            ranks = ranks.localCheckpoint(eager=False)
-    return ranks.select(
+            sums = sums.localCheckpoint(eager=False)
+    return nodes.join(sums, nodes["node"] == sums["__n"], "left").select(
         "node",
-        (F.col("__r").cast("double") / F.lit(float(PAGERANK_UNIT))).alias("rank"),
+        (
+            F.expr(rank_expr).cast("double") / F.lit(float(PAGERANK_UNIT))
+        ).alias("rank"),
     )

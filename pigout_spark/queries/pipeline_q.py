@@ -2206,8 +2206,11 @@ def _pagerank_sql(iters: int) -> str:
     # step is integer floor arithmetic, so the replay is bit-exact by
     # construction (no decimal<->double conversions anywhere)
     ctes = [
-        "e AS (SELECT DISTINCT 's' || l_suppkey AS s, 'p' || l_partkey AS d"
-        " FROM lineitem)",
+        # integer node ids: suppliers keep their key, parts are offset
+        # into a disjoint range — int64 keys shuffle/hash far cheaper
+        # than prefixed strings in BOTH engines (r6)
+        "e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,"
+        " CAST(l_partkey + 10000000 AS BIGINT) AS d FROM lineitem)",
         "deg AS (SELECT s, COUNT(*) AS deg FROM e GROUP BY s)",
         "nodes AS (SELECT DISTINCT node FROM"
         " (SELECT s AS node FROM e UNION SELECT d FROM e))",
@@ -2250,8 +2253,8 @@ def x_pagerank(spark, sf_dir):
 
     li = t(spark, sf_dir, "lineitem")
     edges = li.select(
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
-        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("l_partkey") + 10_000_000).cast("long").alias("dst"),
     ).distinct()
     return pagerank(edges, iterations=3)
 
