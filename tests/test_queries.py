@@ -34,3 +34,22 @@ def test_query_runs(spark, sf_dir, name):
     # count() forces full execution; schema must be stable
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+def test_r6_rotation_landed():
+    """The r6 window swap (queries/__init__.py): every rotated-in query
+    is driver-facing WITH a SQL oracle (the whole point was a hash row),
+    every displaced query kept its local oracle as an extra, and the
+    window is exactly at the driver cap."""
+    from pigout_spark.queries import _ROTATE_IN, _ROTATE_OUT
+
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    for name in _ROTATE_IN:
+        assert name in q, f"{name} fell out of the driver window"
+        assert name in o, f"{name} rotated in without a SQL oracle"
+    extras = qmod.extra_oracle_sql()
+    for name in _ROTATE_OUT:
+        assert name not in q, f"{name} still occupies a window slot"
+        assert name in extras, f"{name} lost its local oracle"
+    assert len(q) == qmod.DRIVER_QUERY_CAP
