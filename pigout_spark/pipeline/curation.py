@@ -421,6 +421,59 @@ def sample_exact_n(
     return df.withColumn("__h", h).orderBy("__h").limit(n).drop("__h")
 
 
+def sample_weighted(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_cols: list[str],
+    seed: str = "0",
+    by: str | None = None,
+) -> DataFrame:
+    """WEIGHTED exact-count deterministic sample (Efraimidis–Spirakis
+    A-ES): each row draws u = md5-uniform(seed‖id) ∈ (0,1) and ranks by
+    key = u^(1/w); the top ``n`` keys are a weighted sample WITHOUT
+    replacement where a row's inclusion probability is proportional to
+    its weight — "take 10k docs biased toward high quality score,
+    reproducibly".  Rows with NULL or non-positive weight are excluded
+    (they have no place in the race).
+
+    Determinism: u is the 60-bit md5 integer (+0.5)/2^60 — exact
+    arithmetic; the only FP steps are one division and one pow, both
+    replayed identically by the SQL twin (the x_ewma precedent
+    established bit-stable pow across engines here).  Seed swaps give
+    independent draws; content-stable ids keep the draw stable across
+    reprocessing.
+
+    100 TB: global → TakeOrdered top-n on the key (per-partition heaps,
+    n·P driver merge — no global sort); grouped → one window rank per
+    ``by`` group.
+    """
+    idk = F.concat_ws(
+        "|",
+        F.lit(seed),
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+            for c in id_cols
+        ],
+    )
+    h60 = F.conv(F.substring(F.md5(idk), 1, 15), 16, 10).cast("bigint")
+    u = (h60.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    k = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    eligible = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("__k", k)
+    if by is not None:
+        w = Window.partitionBy(by).orderBy(F.desc("__k"), *id_cols)
+        return (
+            eligible.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= n)
+            .drop("__rk", "__k")
+        )
+    return (
+        eligible.orderBy(F.desc("__k"), *id_cols).limit(n).drop("__k")
+    )
+
+
 def vocab_kl(
     corpus_a: DataFrame,
     corpus_b: DataFrame,

@@ -170,6 +170,81 @@ def minhash_lsh_pairs(
 DEFAULT_MAX_DF = 10_000
 
 
+def lsh_band_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    rows_per_band: int = 8,
+) -> DataFrame:
+    """The persistable LSH index of a corpus: one row per (id, band,
+    band-hash).  This is what an INCREMENTAL dedup pipeline stores —
+    n_bands rows of a few bytes per document — so each day's new batch
+    probes the index instead of re-minhashing the historical corpus
+    (:func:`dedup_incremental`).  Parameters must match between index
+    build and probe; they are not embedded per-row to keep the index
+    lean — version them with the stored path."""
+    if num_hashes % rows_per_band:
+        raise ValueError("num_hashes must be divisible by rows_per_band")
+    sig = minhash_signature(df, id_col, text_col, num_hashes)
+    n_bands = num_hashes // rows_per_band
+    bv = [
+        F.expr(
+            "md5(concat_ws('_', "
+            + ", ".join(
+                f"m{j * rows_per_band + r}" for r in range(rows_per_band)
+            )
+            + "))"
+        ).alias(f"bv{j}")
+        for j in range(n_bands)
+    ]
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"), F.col(f"bv{j}").alias("bv")
+            )
+            for j in range(n_bands)
+        ]
+    )
+    return (
+        sig.select(F.col(id_col), *bv)
+        .select(F.col(id_col), F.explode(arr).alias("b"))
+        .select(id_col, "b.band", "b.bv")
+    )
+
+
+def dedup_incremental(
+    new_df: DataFrame,
+    corpus_bands: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    rows_per_band: int = 8,
+) -> DataFrame:
+    """Incremental near-dup dedup: the rows of ``new_df`` that do NOT
+    LSH-collide with an existing corpus — the daily-ingest primitive
+    (batch vs corpus, not batch vs itself; compose with
+    :func:`minhash_lsh_pairs` on the survivors for intra-batch dups).
+    ``corpus_bands`` is a stored :func:`lsh_band_index` relation (or
+    one built inline from a corpus DataFrame upstream).
+
+    100 TB: one equi-join of the new batch's bands (n_bands rows/doc)
+    against the index on (band, bv) — LEFT SEMI to find collisions,
+    then LEFT ANTI on the id.  The historical corpus text is never
+    read, never shuffled; the index is the only state, and AQE
+    broadcast-converts the batch side when a day's batch is small.
+    """
+    nb = lsh_band_index(new_df, id_col, text_col, num_hashes, rows_per_band)
+    hits = (
+        nb.join(
+            corpus_bands.select("band", "bv"), ["band", "bv"], "left_semi"
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return new_df.join(hits, id_col, "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

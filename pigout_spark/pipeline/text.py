@@ -723,6 +723,57 @@ def bpe_encode(
     )
 
 
+def surprisal_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Unigram-LM surprisal quality score: mean −ln p(tok) per document
+    under the corpus's own unigram model with Laplace ``alpha``
+    smoothing — the cheap perplexity proxy curation stacks use to rank
+    docs before an expensive model-based filter (a doc of corpus-
+    typical tokens scores low; rare-token noise scores high).  The
+    corpus IS the model here; pass a pre-aggregated model for a fixed
+    reference by adapting the token join upstream.
+
+    Output: (id, n_tokens, mean_surprisal); zero-token docs dropped.
+
+    Determinism: ln over exact-integer-derived doubles, one IEEE chain
+    per token type — the DSIR importance_weights discipline, hash-green
+    since r5.
+
+    100 TB: one token-keyed aggregation (vocab-sized output, map-side
+    combined), one vocab-sized join back to the token stream, one
+    per-doc aggregation — never doc×vocab.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(ws_tokens(text_col, distinct=False)).alias("__tok")
+    )
+    tf_ = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__tf"))
+    vocab_n = tf_.agg(
+        F.count(F.lit(1)).cast("double").alias("__v"),
+        F.sum("__tf").cast("double").alias("__n"),
+    )
+    scored = (
+        toks.join(tf_, "__tok")
+        .crossJoin(F.broadcast(vocab_n))
+        .select(
+            F.col(id_col),
+            (
+                -F.log(
+                    (F.col("__tf").cast("double") + F.lit(float(alpha)))
+                    / (F.col("__n") + F.lit(float(alpha)) * F.col("__v"))
+                )
+            ).alias("__s"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        (F.sum("__s") / F.count(F.lit(1))).alias("mean_surprisal"),
+    )
+
+
 def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-row corpus summary — the dashboard numbers every curation
     run reports: docs, empty docs, total/distinct whitespace tokens,

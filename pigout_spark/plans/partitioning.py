@@ -76,3 +76,76 @@ def fan_out(df: DataFrame, factor: int = 1) -> DataFrame:
     if est_tasks >= n:
         return df
     return df.repartition(n)
+
+
+def zorder_key(cols, bits: int = 16):
+    """Morton (Z-order) interleave of pre-scaled integer columns —
+    every input must already be in ``[0, 2**bits)`` (see
+    :func:`zorder_layout` for the min-max scaling front end).  Bit i of
+    column j lands at position ``i*ncols + j``; ``bits*ncols`` must fit
+    a signed int64 (≤ 62).
+
+    Pure integer shift/mask arithmetic: whole-stage codegen on the
+    Spark side, bit-identical `& >> <<` replay in SQL — no UDF, no FP.
+    """
+    ncols = len(cols)
+    if not ncols:
+        raise ValueError("zorder_key needs at least one column")
+    if bits * ncols > 62:
+        raise ValueError(f"bits*ncols = {bits * ncols} exceeds int64")
+    key = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for j, c in enumerate(cols):
+            cc = (F.col(c) if isinstance(c, str) else c).cast("bigint")
+            bit = F.shiftright(cc, b).bitwiseAND(F.lit(1).cast("bigint"))
+            key = key + F.shiftleft(bit, b * ncols + j)
+    return key
+
+
+def zorder_layout(df: DataFrame, cols: list, bits: int = 16):
+    """Z-ORDER data layout (the Delta/Iceberg OPTIMIZE ZORDER analog):
+    min-max scale each column to ``[0, 2**bits)``, Morton-interleave,
+    and range-partition + sort by the key so rows close in EVERY listed
+    dimension land in the same files — parquet min/max stats on those
+    columns then prune multi-predicate scans that a single-column sort
+    can only serve for its lead column.
+
+    Returns (laid_out_df, key_col_name); write the result with the
+    normal sinks.  NULLs scale to bucket 0 (they co-locate — the
+    stats-pruning contract treats them as smallest).  Scaling is
+    min-max (two-pass: one tiny agg, broadcast back) — deterministic
+    and oracle-replayable, unlike sampled range boundaries; heavily
+    skewed columns trade balance for determinism, which the RANGE
+    partitioner then absorbs.
+
+    100 TB: one 1-row aggregate + broadcast, one narrow map, one range
+    exchange (the sort you were going to pay for any clustered layout).
+    """
+    names = [c if isinstance(c, str) else str(c) for c in cols]
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__mn{i}") for i, c in enumerate(names)],
+        *[F.max(F.col(c).cast("double")).alias(f"__mx{i}") for i, c in enumerate(names)],
+    )
+    top = float((1 << bits) - 1)
+    out = df.crossJoin(F.broadcast(stats))
+    scaled = []
+    for i, c in enumerate(names):
+        mn, mx = F.col(f"__mn{i}"), F.col(f"__mx{i}")
+        span = F.when(mx > mn, mx - mn).otherwise(F.lit(1.0))
+        s = F.floor(
+            (F.col(c).cast("double") - mn) * F.lit(top) / span
+        ).cast("bigint")
+        scaled.append(
+            F.coalesce(
+                F.least(F.lit((1 << bits) - 1), F.greatest(F.lit(0), s)),
+                F.lit(0),
+            )
+        )
+    out = out.withColumn("__zkey", zorder_key(scaled, bits)).drop(
+        *[f"__mn{i}" for i in range(len(names))],
+        *[f"__mx{i}" for i in range(len(names))],
+    )
+    return (
+        out.repartitionByRange("__zkey").sortWithinPartitions("__zkey"),
+        "__zkey",
+    )

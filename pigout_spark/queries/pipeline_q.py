@@ -2650,3 +2650,188 @@ def x_curate_e2e(spark, sf_dir):
     return doc_agg.crossJoin(seq_agg).select(
         "n_docs", "n_sequences", "n_packed_tokens", "doc_fp"
     )
+
+
+# --------------------------------------------------- r6 pipeline additions ---
+@query(
+    "x_sample_weighted",
+    f"""
+    WITH e AS (
+      SELECT doc_id, n_chars,
+             pow((('0x' || substring(md5('0|' || CAST(doc_id AS VARCHAR)),
+                                     1, 15))::BIGINT + 0.5)
+                 / {_KMV_DOMAIN_SQL},
+                 1.0 / n_chars) AS k
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM e ORDER BY k DESC, doc_id LIMIT 100
+    """,
+    extra=True,  # r6 addition; window full — selfcheck + pytest verified
+)
+def x_sample_weighted(spark, sf_dir):
+    """Weighted exact-count sample (Efraimidis–Spirakis A-ES, 100 docs
+    weighted by n_chars): u = md5-uniform, key = u^(1/w), top-k — the
+    deterministic weighted-without-replacement draw
+    (pipeline/curation.py:sample_weighted)."""
+    from pigout_spark.pipeline.curation import sample_weighted
+
+    d = t(spark, sf_dir, "documents")
+    out = sample_weighted(d, 100, "n_chars", ["doc_id"], seed="0")
+    return out.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+def _bands_sql(src: str, num_hashes: int, rows_per_band: int) -> str:
+    """Per-doc LSH band values (doc_id, band, bv) over ``src`` — the
+    SQL twin of pipeline/dedup.py:lsh_band_index (same perms, same md5
+    band hash)."""
+    from pigout_spark.pipeline.dedup import MINHASH_P, minhash_perms
+
+    perms = minhash_perms(num_hashes)
+    n_bands = num_hashes // rows_per_band
+    mins = ",\n".join(
+        f"    min((x * {a} + {b}) % {MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(perms)
+    )
+    bands = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {j} AS band, md5(concat_ws('_', {ms})) AS bv FROM sig".format(
+            j=j,
+            ms=", ".join(f"m{j * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for j in range(n_bands)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_DTOKS}) AS tok FROM {src}
+    ), hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 7))::BIGINT AS x FROM toks
+    ), sig AS (
+      SELECT doc_id,
+{mins}
+      FROM hashed GROUP BY doc_id
+    )
+{bands}
+    """
+
+
+@query(
+    "x_dedup_incremental",
+    f"""
+    WITH nb AS (
+      SELECT * FROM ({_bands_sql("(SELECT * FROM documents WHERE doc_id % 5 = 0)", _MH_HASHES, _MH_ROWS)})
+    ), cb AS (
+      SELECT * FROM ({_bands_sql("(SELECT * FROM documents WHERE doc_id % 5 <> 0)", _MH_HASHES, _MH_ROWS)})
+    ), hits AS (
+      SELECT DISTINCT nb.doc_id
+      FROM nb JOIN cb ON nb.band = cb.band AND nb.bv = cb.bv
+    )
+    SELECT d.doc_id, d.source FROM documents d
+    WHERE d.doc_id % 5 = 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+    """,
+    extra=True,  # r6 addition; window full — selfcheck + pytest verified
+)
+def x_dedup_incremental(spark, sf_dir):
+    """Incremental (daily-ingest) dedup: new batch (doc_id % 5 = 0)
+    probed against the stored LSH band index of the historical corpus
+    (the other 80%) — survivors only; corpus text never re-read
+    (pipeline/dedup.py:dedup_incremental + lsh_band_index)."""
+    from pigout_spark.pipeline.dedup import dedup_incremental, lsh_band_index
+
+    d = t(spark, sf_dir, "documents")
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    idx = lsh_band_index(
+        fan_out(corpus), "doc_id", "text",
+        num_hashes=_MH_HASHES, rows_per_band=_MH_ROWS,
+    )
+    out = dedup_incremental(
+        fan_out(new), idx, num_hashes=_MH_HASHES, rows_per_band=_MH_ROWS
+    )
+    return out.select("doc_id", "source")
+
+
+@query(
+    "x_surprisal",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+    ), tf AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS tfn FROM toks GROUP BY tok
+    ), sc AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS v,
+             CAST(SUM(tfn) AS DOUBLE) AS n
+      FROM tf
+    ), s AS (
+      SELECT t.doc_id,
+             -ln((tf.tfn + 0.5) / (sc.n + 0.5 * sc.v)) AS srp
+      FROM toks t JOIN tf ON t.tok = tf.tok, sc
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(SUM(srp) / COUNT(*), 6) AS mean_surprisal6
+    FROM s GROUP BY doc_id
+    """,
+    extra=True,  # r6 addition; window full — selfcheck + pytest verified
+)
+def x_surprisal(spark, sf_dir):
+    """Unigram-LM surprisal quality score (corpus-as-model, Laplace
+    0.5): mean −ln p(tok) per doc, rounded to 6 decimals (ln
+    transcendental + cross-partition sum — the x_dsir_weights
+    convention) — pipeline/text.py:surprisal_score."""
+    from pigout_spark.pipeline.text import surprisal_score
+
+    out = surprisal_score(tf(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "n_tokens",
+        F.round("mean_surprisal", 6).alias("mean_surprisal6"),
+    )
+
+
+def _zorder_sql(bits: int) -> str:
+    """SQL twin of plans/partitioning.py zorder_layout over
+    orders(o_custkey, o_totalprice): min-max scale to [0, 2^bits),
+    Morton-interleave with unrolled shift/mask terms."""
+    top = (1 << bits) - 1
+    def scaled(col, i):
+        return (
+            f"coalesce(least({top}, greatest(0, "
+            f"CAST(floor((CAST({col} AS DOUBLE) - mn{i}) * {top}.0 / "
+            f"(CASE WHEN mx{i} > mn{i} THEN mx{i} - mn{i} ELSE 1.0 END)) AS BIGINT))), 0)"
+        )
+    terms = " + ".join(
+        f"(((s{j} >> {b}) & 1) << {b * 2 + j})"
+        for b in range(bits)
+        for j in (0, 1)
+    )
+    return f"""
+    WITH st AS (
+      SELECT MIN(CAST(o_custkey AS DOUBLE)) AS mn0,
+             MAX(CAST(o_custkey AS DOUBLE)) AS mx0,
+             MIN(CAST(o_totalprice AS DOUBLE)) AS mn1,
+             MAX(CAST(o_totalprice AS DOUBLE)) AS mx1
+      FROM orders
+    ), sc AS (
+      SELECT o_orderkey,
+             {scaled("o_custkey", 0)} AS s0,
+             {scaled("o_totalprice", 1)} AS s1
+      FROM orders, st
+    )
+    SELECT o_orderkey, CAST({terms} AS BIGINT) AS zkey FROM sc
+    """
+
+
+@query(
+    "x_zorder_key",
+    _zorder_sql(8),
+    extra=True,  # r6 addition; window full — selfcheck + pytest verified
+)
+def x_zorder_key(spark, sf_dir):
+    """Z-order layout key over orders(o_custkey, o_totalprice), 8 bits
+    per dimension: min-max scale + Morton interleave, bit-exact in both
+    engines (plans/partitioning.py:zorder_layout — the clustered-write
+    front end for multi-predicate parquet stats pruning)."""
+    from pigout_spark.plans.partitioning import zorder_layout
+
+    d = t(spark, sf_dir, "orders")
+    laid, key = zorder_layout(d, ["o_custkey", "o_totalprice"], bits=8)
+    return laid.select("o_orderkey", F.col(key).alias("zkey"))

@@ -1854,3 +1854,88 @@ def test_ivfpq_tracks_ivf_float_path(spark):
         ref.setdefault(r.q_id, set()).add(r.neighbor_id)
     overlap = sum(len(got[q] & ref[q]) for q in ref) / sum(len(ref[q]) for q in ref)
     assert overlap >= 0.9, overlap
+
+
+def test_sample_weighted_bias_and_contract(spark):
+    """A-ES weighted sampling: exact n, non-positive weights excluded,
+    layout-invariant, and heavy weights actually dominate inclusion."""
+    from pigout_spark.pipeline.curation import sample_weighted
+
+    rows = [(i, 100.0 if i < 50 else 1.0) for i in range(1000)]
+    rows += [(2000, 0.0), (2001, None), (2002, -3.0)]
+    df = spark.createDataFrame(rows, "id bigint, w double")
+    out = sample_weighted(df, 100, "w", ["id"], seed="7")
+    got = [r.id for r in out.collect()]
+    assert len(got) == 100 and len(set(got)) == 100
+    assert not {2000, 2001, 2002} & set(got)
+    # the 50 weight-100 rows are ~100x likelier per unit than the 950
+    # weight-1 rows; expect most of them in the top-100
+    heavy = sum(1 for i in got if i < 50)
+    assert heavy >= 40
+    # deterministic across physical layouts
+    got2 = [r.id for r in sample_weighted(
+        df.repartition(13, "w"), 100, "w", ["id"], seed="7").collect()]
+    assert sorted(got) == sorted(got2)
+    # a different seed gives a different draw
+    got3 = [r.id for r in sample_weighted(df, 100, "w", ["id"], seed="8").collect()]
+    assert sorted(got) != sorted(got3)
+
+
+def test_dedup_incremental_drops_corpus_collisions(spark):
+    """New docs identical (or band-identical) to corpus docs are
+    dropped; novel docs survive; the corpus relation only contributes
+    its band index."""
+    from pigout_spark.pipeline.dedup import dedup_incremental, lsh_band_index
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "one two three four five six seven eight")],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1
+         (11, "totally novel content with unseen words here now")],
+        "doc_id bigint, text string",
+    )
+    idx = lsh_band_index(corpus, "doc_id", "text", 16, 8)
+    out = dedup_incremental(new, idx, num_hashes=16, rows_per_band=8)
+    assert [r.doc_id for r in out.collect()] == [11]
+
+
+def test_surprisal_rare_tokens_score_higher(spark):
+    from pigout_spark.pipeline.text import surprisal_score
+
+    df = spark.createDataFrame(
+        [(1, "the the the the"),            # corpus-typical
+         (2, "zyzzyva qwerty plugh xyzzy")],  # all-rare
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.mean_surprisal for r in surprisal_score(df).collect()}
+    assert out[2] > out[1]
+    # mean over a doc of one repeated token: -ln((4+.5)/(8+.5*5))
+    import math
+    assert abs(out[1] - (-math.log(4.5 / 10.5))) < 1e-12
+
+
+def test_zorder_key_bit_interleave_and_layout(spark):
+    from pigout_spark.plans.partitioning import zorder_key, zorder_layout
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 1), (1, 0), (0, 1), (3, 3)], "a bigint, b bigint"
+    )
+    got = {(r.a, r.b): r.z for r in df.select(
+        "a", "b", zorder_key(["a", "b"], bits=2).alias("z")).collect()}
+    # bit i of col j -> position i*2+j: a=bit0, b=bit1 per level
+    assert got[(0, 0)] == 0 and got[(1, 0)] == 1
+    assert got[(0, 1)] == 2 and got[(1, 1)] == 3
+    assert got[(3, 3)] == 15
+    # layout: range partitioning on the key appears in the plan and
+    # extreme values clamp instead of overflowing
+    big = spark.range(1000).select(
+        F.col("id").alias("x"), (F.lit(1000) - F.col("id")).alias("y")
+    )
+    laid, key = zorder_layout(big, ["x", "y"], bits=8)
+    plan = laid._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower() or "RangePartitioning" in plan
+    mx = laid.agg(F.max(key)).collect()[0][0]
+    assert 0 <= mx < (1 << 16)
