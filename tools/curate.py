@@ -3,7 +3,8 @@ stages over a documents parquet and write the surviving corpus.
 
 Usage:
     python tools/curate.py INPUT.parquet OUT_DIR \
-        [--stages pii,quality,dedup,passages,decontaminate,mixture,dsir,split] \
+        [--stages pii,quality,surprisal,dedup,incremental,passages,\
+                   decontaminate,mixture,dsir,wsample,split] \
         [--report] [--text-col text] [--id-col doc_id]
 
 Stage semantics (each consumes the previous stage's survivors):
@@ -23,6 +24,14 @@ Stage semantics (each consumes the previous stage's survivors):
     dsir          requires --dsir-target PARQUET and --dsir-k N
     split         stamp train/val/test 80/10/10 (adds a column, drops
                   nothing)
+    wsample       requires --wsample-n; weighted (A-ES) exact-count
+                  sample on --weight-col (default n_chars)
+    surprisal     requires --max-surprisal; drop docs whose mean
+                  unigram surprisal exceeds it
+    incremental   requires --corpus-bands PARQUET (a stored
+                  lsh_band_index); drop docs colliding with it —
+                  pair with --band-index-out to persist this run's
+                  index for the next ingest
 
 Output: a plain parquet dir by default; ``--shards N`` writes the
 verified training-export layout instead (sources/shards.py — N
@@ -60,6 +69,22 @@ def main() -> int:
                          "(sources/shards.py) instead of a plain parquet dir")
     ap.add_argument("--sample-n", type=int, default=None,
                     help="exact docs per source for the sample stage")
+    ap.add_argument("--wsample-n", type=int, default=None,
+                    help="docs to keep for the wsample stage")
+    ap.add_argument("--weight-col", default="n_chars",
+                    help="weight column for the wsample stage")
+    ap.add_argument("--max-surprisal", type=float, default=None,
+                    help="drop docs above this mean unigram surprisal "
+                         "(surprisal stage)")
+    ap.add_argument("--corpus-bands", default=None,
+                    help="stored LSH band index parquet for the "
+                         "incremental stage")
+    ap.add_argument("--band-index-out", default=None,
+                    help="also write the OUTPUT corpus's LSH band index "
+                         "here (the state the next incremental run probes)")
+    ap.add_argument("--zorder", default=None,
+                    help="comma-separated numeric columns: z-order the "
+                         "plain-parquet output layout (not with --shards)")
     ap.add_argument("--seed", default="0")
     ap.add_argument("--report", action="store_true",
                     help="print per-stage survivor counts (extra actions)")
@@ -143,6 +168,36 @@ def main() -> int:
             df = sample_exact_n(
                 df, args.sample_n, [id_col], seed=args.seed, by="source"
             )
+        elif stage == "wsample":
+            if not args.wsample_n:
+                raise SystemExit("--wsample-n required for wsample")
+            from pigout_spark.pipeline.curation import sample_weighted
+
+            df = sample_weighted(
+                df, args.wsample_n, args.weight_col, [id_col], seed=args.seed
+            )
+        elif stage == "surprisal":
+            if args.max_surprisal is None:
+                raise SystemExit("--max-surprisal required for surprisal")
+            from pigout_spark.pipeline.text import surprisal_score
+
+            scores = surprisal_score(df, id_col=id_col, text_col=text_col)
+            df = df.join(
+                scores.filter(
+                    F.col("mean_surprisal") <= args.max_surprisal
+                ).select(id_col),
+                id_col,
+            )
+        elif stage == "incremental":
+            if not args.corpus_bands:
+                raise SystemExit("--corpus-bands required for incremental")
+            from pigout_spark.pipeline.dedup import dedup_incremental
+
+            bands = spark.read.parquet(args.corpus_bands)
+            df = dedup_incremental(
+                df, bands, id_col=id_col, text_col=text_col,
+                num_hashes=16, rows_per_band=8,
+            )
         elif stage == "normalize":
             from pigout_spark.pipeline.text import normalize_text
 
@@ -162,6 +217,14 @@ def main() -> int:
             report.append((stage, df.count()))
 
     out = str(Path(args.out_dir))
+    if args.zorder and args.shards:
+        raise SystemExit("--zorder applies to the plain-parquet layout; "
+                         "shards are content-addressed (drop one)")
+    if args.zorder:
+        from pigout_spark.plans.partitioning import zorder_layout
+
+        df, zkey = zorder_layout(df, args.zorder.split(","))
+        df = df.drop(zkey)  # the layout (file/row order) is the product
     if args.shards:
         from pigout_spark.sources.shards import verify_shards, write_shards
 
@@ -171,6 +234,12 @@ def main() -> int:
             raise SystemExit(f"shard verification failed: {check['errors']}")
     else:
         df.write.mode("overwrite").parquet(out)
+    if args.band_index_out:
+        from pigout_spark.pipeline.dedup import lsh_band_index
+
+        lsh_band_index(
+            df, id_col, text_col, num_hashes=16, rows_per_band=8
+        ).write.mode("overwrite").parquet(args.band_index_out)
     if args.report:
         for name, n in report:
             print(f"{name:15s} {n}")
