@@ -564,6 +564,161 @@ def _gen_semantic(rng: random.Random):
     return build, sql
 
 
+def _gen_r6(rng: random.Random, kind: str, rows, cte: str, mkdf):
+    """r6 pipeline additions: weighted sampling (pow), surprisal (ln),
+    z-order keys (integer bit ops), incremental dedup (band probe) —
+    the transcendental paths especially need randomized cross-engine
+    coverage."""
+    from pyspark.sql import functions as F
+
+    if kind == "wsample":
+        n = rng.randint(1, 12)
+        seed = str(rng.randint(0, 99))
+        sql = (
+            cte
+            + f"""
+            , w AS (SELECT doc_id,
+                           CAST(len({_P_TOKS}) AS BIGINT) AS wt
+                    FROM documents),
+            e AS (SELECT doc_id, wt,
+                         pow((('0x' || substring(md5('{seed}|' ||
+                                CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                               + 0.5) / 1152921504606846976.0,
+                             1.0 / wt) AS k
+                  FROM w WHERE wt > 0)
+            SELECT doc_id, wt FROM e ORDER BY k DESC, doc_id LIMIT {n}
+            """
+        )
+
+        def build(spark, sf_dir):
+            from pigout_spark.pipeline.curation import sample_weighted
+            from pigout_spark.pipeline.dedup import ws_tokens
+
+            d = mkdf(spark).select(
+                "doc_id",
+                F.size(ws_tokens("text", distinct=False))
+                .cast("long")
+                .alias("wt"),
+            )
+            return sample_weighted(d, n, "wt", ["doc_id"], seed=seed)
+
+        return build, sql
+    if kind == "surprisal":
+        alpha = rng.choice([0.1, 0.5, 1.0, 2.0])
+        sql = (
+            cte
+            + f"""
+            , toks AS (SELECT doc_id, unnest({_P_TOKS}) AS tok
+                       FROM documents),
+            tf_ AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS tfn
+                    FROM toks GROUP BY tok),
+            sc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v,
+                          CAST(SUM(tfn) AS DOUBLE) AS n FROM tf_),
+            s AS (SELECT t.doc_id,
+                         -ln((tf_.tfn + {alpha}) / (sc.n + {alpha} * sc.v))
+                           AS srp
+                  FROM toks t JOIN tf_ ON t.tok = tf_.tok, sc)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   ROUND(SUM(srp) / COUNT(*), 6) AS ms6
+            FROM s GROUP BY doc_id
+            """
+        )
+
+        def build(spark, sf_dir):
+            from pigout_spark.pipeline.text import surprisal_score
+
+            out = surprisal_score(mkdf(spark), alpha=alpha)
+            return out.select(
+                "doc_id", "n_tokens",
+                F.round("mean_surprisal", 6).alias("ms6"),
+            )
+
+        return build, sql
+    if kind == "zorder":
+        bits = rng.randint(2, 8)
+        top = (1 << bits) - 1
+
+        def sc_sql(col, i):
+            return (
+                f"coalesce(least({top}, greatest(0, CAST(floor("
+                f"(CAST({col} AS DOUBLE) - mn{i}) * {top}.0 / "
+                f"(CASE WHEN mx{i} > mn{i} THEN mx{i} - mn{i} ELSE 1.0 END)"
+                f") AS BIGINT))), 0)"
+            )
+
+        terms = " + ".join(
+            f"(((s{j} >> {b}) & 1) << {b * 2 + j})"
+            for b in range(bits)
+            for j in (0, 1)
+        )
+        sql = (
+            cte
+            + f"""
+            , d AS (SELECT doc_id,
+                           CAST(length(coalesce(text, '')) AS BIGINT) AS ln_
+                    FROM documents),
+            st AS (SELECT MIN(CAST(doc_id AS DOUBLE)) AS mn0,
+                          MAX(CAST(doc_id AS DOUBLE)) AS mx0,
+                          MIN(CAST(ln_ AS DOUBLE)) AS mn1,
+                          MAX(CAST(ln_ AS DOUBLE)) AS mx1 FROM d),
+            scd AS (SELECT doc_id, {sc_sql("doc_id", 0)} AS s0,
+                           {sc_sql("ln_", 1)} AS s1 FROM d, st)
+            SELECT doc_id, CAST({terms} AS BIGINT) AS zkey FROM scd
+            """
+        )
+
+        def build(spark, sf_dir):
+            from pigout_spark.plans.partitioning import zorder_layout
+
+            d = mkdf(spark).select(
+                "doc_id",
+                F.length(F.coalesce(F.col("text"), F.lit("")))
+                .cast("long")
+                .alias("ln_"),
+            )
+            laid, key = zorder_layout(d, ["doc_id", "ln_"], bits=bits)
+            return laid.select("doc_id", F.col(key).alias("zkey"))
+
+        return build, sql
+    # kind == "incr": split the random corpus, probe the index
+    mod = rng.randint(2, 4)
+    from pigout_spark.queries.pipeline_q import _bands_sql
+
+    nh, rb = rng.choice([(16, 8), (8, 4)])
+    sql = (
+        cte
+        + f"""
+        , nb AS (SELECT * FROM ({_bands_sql(
+            f"(SELECT * FROM documents WHERE doc_id % {mod} = 0)", nh, rb)})),
+        cb AS (SELECT * FROM ({_bands_sql(
+            f"(SELECT * FROM documents WHERE doc_id % {mod} <> 0)", nh, rb)})),
+        hits AS (SELECT DISTINCT nb.doc_id FROM nb
+                 JOIN cb ON nb.band = cb.band AND nb.bv = cb.bv)
+        SELECT d.doc_id, d.source FROM documents d
+        WHERE d.doc_id % {mod} = 0
+          AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+        """
+    )
+
+    def build(spark, sf_dir):
+        from pigout_spark.pipeline.dedup import (
+            dedup_incremental,
+            lsh_band_index,
+        )
+
+        d = mkdf(spark)
+        idx = lsh_band_index(
+            d.filter(F.col("doc_id") % mod != 0), "doc_id", "text", nh, rb
+        )
+        out = dedup_incremental(
+            d.filter(F.col("doc_id") % mod == 0), idx,
+            num_hashes=nh, rows_per_band=rb,
+        )
+        return out.select("doc_id", "source")
+
+    return build, sql
+
+
 def gen_pipeline(rng: random.Random):
     """Differential-fuzz the late-r5 pipeline ops on a random corpus."""
     rows = _rand_corpus(rng)
@@ -576,10 +731,13 @@ def gen_pipeline(rng: random.Random):
 
     kind = rng.choice(
         ["spans", "stats", "mixture", "corpus", "dsir", "tfidf", "pmi",
-         "repn", "semantic", "bpe"]
+         "repn", "semantic", "bpe",
+         "wsample", "surprisal", "zorder", "incr"]
     )
     if kind == "semantic":
         return _gen_semantic(rng)
+    if kind in ("wsample", "surprisal", "zorder", "incr"):
+        return _gen_r6(rng, kind, rows, cte, mkdf)
     if kind in ("spans", "stats"):
         n = rng.randint(2, 4)
         md = rng.randint(2, 3)
