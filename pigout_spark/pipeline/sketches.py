@@ -262,3 +262,169 @@ def hll_merge_estimate(
     gb = sketches.groupBy(*keys) if keys else sketches.groupBy()
     merged = gb.agg(F.hll_union_agg("hll").alias("hll"))
     return merged.withColumn("est", F.hll_sketch_estimate("hll"))
+
+
+# --- q-digest (deterministic mergeable quantile sketch) -------------------
+#
+# KMV covers distinct counts, CMS covers frequencies, HLL is the
+# binary-payload production distinct path — q-digest (Shrivastava et
+# al. 2004, "Medians and beyond") completes the family with QUANTILES.
+# Unlike t-digest (insertion-order-dependent) and KLL (randomized),
+# q-digest is a pure function of the value multiset: values live in a
+# fixed dyadic tree over [0, 2^levels); compression merges (children,
+# parent) triples whose combined count is below n/k, bottom-up.  Every
+# step is integer arithmetic on a deterministic node set, so two
+# engines — or any partitioning — produce the IDENTICAL digest, and a
+# DuckDB oracle can replay build, merge, and query bit-for-bit.
+# Size ≤ 3k nodes; rank error ≤ levels·⌊n/k⌋ (the classic ε = L/k).
+#
+# Scale: the leaf aggregation is the only corpus-sized pass (map-side
+# combined, ≤ 2^levels distinct nodes through the shuffle); the
+# compression then runs on a node relation BOUNDED at 2^levels rows by
+# construction, so it executes as ONE Arrow batch (applyInPandas) — a
+# deliberate bounded-sequential step, the same shape as the k-means
+# codebook collects in similarity.py, not a data-sized single task.
+# (A per-level DataFrame loop is the wrong plan here: each level
+# references the node relation ~5×, so the logical plan grows 5^levels
+# before analysis.)  Merging shard digests is node-wise count addition
+# + one recompress — the distributed-aggregation-native property, same
+# as CMS/KMV.
+
+
+def _qdigest_compress_multiset(counts: dict[int, int], k: int, levels: int) -> list[tuple[int, int]]:
+    """Pure-integer bottom-up q-digest compression of {nid: cnt}.
+    Shared by the Spark path (inside applyInPandas) and tests; the
+    DuckDB oracle replays the identical rule as an unrolled CTE chain."""
+    n = sum(counts.values())
+    t = max(1, n // k)
+    for lev in range(levels, 0, -1):
+        lo, hi = 1 << lev, 1 << (lev + 1)
+        child_sums: dict[int, int] = {}
+        for node, c in counts.items():
+            if lo <= node < hi:
+                child_sums[node >> 1] = child_sums.get(node >> 1, 0) + c
+        for pid, csum in child_sums.items():
+            total = csum + counts.get(pid, 0)
+            if total < t:
+                counts.pop(2 * pid, None)
+                counts.pop(2 * pid + 1, None)
+                counts[pid] = total
+    return sorted(counts.items())
+
+
+def _qdigest_compress(nodes: DataFrame, k: int, levels: int) -> DataFrame:
+    """Compress a (nid, cnt) node relation into its q-digest.  The
+    input is ≤ 2^levels rows (leaf-aggregated), so the whole multiset
+    fits one Arrow batch; the compression is a pure function of it."""
+    import pandas as pd
+
+    def compress(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        counts = dict(zip(pdf["nid"].astype("int64"), pdf["cnt"].astype("int64")))
+        out = _qdigest_compress_multiset(counts, k, levels)
+        return pd.DataFrame(out, columns=["nid", "cnt"]).astype("int64")
+
+    return nodes.groupBy(F.lit(0).alias("__g")).applyInPandas(
+        compress, "nid bigint, cnt bigint"
+    )
+
+
+def qdigest_build(
+    df: DataFrame, col: str, k: int = 64, levels: int = 12
+) -> DataFrame:
+    """Build the q-digest of an integer column with values in
+    ``[0, 2**levels)`` (pre-scale floats upstream — deterministically,
+    e.g. fixed-point cents).  Values outside the universe fail loudly
+    (distributed assert); NULLs are excluded.
+
+    Output: (nid, cnt, k, levels) — ≤ 3k rows, self-describing (the
+    KMV r6 discipline: parameters ride with the sketch and are
+    validated at query/merge time, never trusted to the caller).
+    """
+    cap = 1 << levels
+    v = F.col(col).cast("bigint")
+    src = df.filter(v.isNotNull()).filter(
+        F.assert_true(
+            (v >= 0) & (v < cap),
+            F.concat(F.lit(f"qdigest value outside [0, {cap}): "), v),
+        ).isNull()
+    )
+    nodes = (
+        src.select((F.lit(cap) + v).alias("nid"))
+        .groupBy("nid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    out = _qdigest_compress(nodes, int(k), int(levels))
+    return out.withColumn("k", F.lit(int(k))).withColumn(
+        "levels", F.lit(int(levels))
+    )
+
+
+def _assert_qdigest_params(digest: DataFrame, k: int, levels: int) -> DataFrame:
+    return digest.filter(
+        F.assert_true(
+            (F.col("k") == F.lit(int(k)))
+            & (F.col("levels") == F.lit(int(levels))),
+            F.lit(f"qdigest parameter mismatch: expected k={k}, levels={levels}"),
+        ).isNull()
+    ).select("nid", "cnt")
+
+
+def qdigest_merge(
+    digests: list[DataFrame], k: int = 64, levels: int = 12
+) -> DataFrame:
+    """Merge shard q-digests: node-wise count addition, then one
+    recompress under the COMBINED n — the digest of the union'd
+    multiset under the same rule.  Inputs must carry matching (k,
+    levels) (loud failure otherwise)."""
+    if not digests:
+        raise ValueError("qdigest_merge needs at least one digest")
+    out = _assert_qdigest_params(digests[0], k, levels)
+    for d in digests[1:]:
+        out = out.unionByName(_assert_qdigest_params(d, k, levels))
+    nodes = out.groupBy("nid").agg(F.sum("cnt").alias("cnt"))
+    out = _qdigest_compress(nodes, int(k), int(levels))
+    return out.withColumn("k", F.lit(int(k))).withColumn(
+        "levels", F.lit(int(levels))
+    )
+
+
+def qdigest_quantiles(
+    digest: DataFrame, qs: list[float], k: int = 64, levels: int = 12
+) -> DataFrame:
+    """Quantile estimates from a q-digest: nodes ordered by (range
+    right-endpoint, nid), counts accumulated until rank ⌈q·n⌉; the
+    answering node's right endpoint is the estimate (true quantile is
+    ≤ levels·⌊n/k⌋ ranks away).  Output: (q, est) per requested q.
+
+    The window cumsum runs over the DIGEST (≤ 3k rows — a deliberate,
+    bounded single-partition sort, not a data-sized one).
+    """
+    cap = 1 << int(levels)
+    d = _assert_qdigest_params(digest, k, levels)
+    # right endpoint in value space, branchless per level: node at
+    # level ℓ covers 2^(levels-ℓ) leaves ending at (nid+1)·2^(levels-ℓ)−1−cap
+    expr = None
+    for lev in range(int(levels), -1, -1):
+        width = cap >> lev
+        cond = F.col("nid") >= (1 << lev)
+        val = (F.col("nid") + 1) * F.lit(width) - F.lit(1) - F.lit(cap)
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    d = d.withColumn("__rend", expr)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("__rend", "nid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = d.withColumn("__cum", F.sum("cnt").over(w))
+    tot = cum.agg(F.max("__cum").alias("__n"))
+    rows = None
+    for q in qs:
+        target = F.ceil(F.lit(float(q)) * F.col("__n")).cast("bigint")
+        est = (
+            cum.crossJoin(F.broadcast(tot))
+            .filter(F.col("__cum") >= target)
+            .agg(F.min("__rend").alias("est"))
+            .select(F.lit(float(q)).alias("q"), "est")
+        )
+        rows = est if rows is None else rows.unionByName(est)
+    return rows

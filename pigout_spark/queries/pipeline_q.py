@@ -2835,3 +2835,124 @@ def x_zorder_key(spark, sf_dir):
     d = t(spark, sf_dir, "orders")
     laid, key = zorder_layout(d, ["o_custkey", "o_totalprice"], bits=8)
     return laid.select("o_orderkey", F.col(key).alias("zkey"))
+
+
+def _qdigest_chain_sql(k: int, levels: int) -> str:
+    """CTE chain replaying the q-digest build bit-for-bit: leaf
+    aggregation, then one (merge, survivors) CTE pair per level,
+    bottom-up — the same pure-integer rule sketches.py runs inside its
+    one Arrow batch, unrolled because the level recurrence is a fixed
+    ``levels``-step program, not data-dependent iteration."""
+    cap = 1 << levels
+    # AS MATERIALIZED throughout: DuckDB inlines CTEs by default, and
+    # each level references its predecessor 3× — inlined, the chain
+    # re-expands to 3^levels scans of the base table.
+    parts = [
+        f"""vals AS MATERIALIZED (
+      SELECT CAST(floor(value * 8) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ), s{levels} AS MATERIALIZED (
+      SELECT {cap} + v AS nid, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM vals GROUP BY 1
+    ), tot AS (
+      SELECT GREATEST(1, CAST(SUM(cnt) AS BIGINT) // {k}) AS t FROM s{levels}
+    )"""
+    ]
+    for lev in range(levels, 0, -1):
+        lo, hi, plo = 1 << lev, 1 << (lev + 1), 1 << (lev - 1)
+        parts.append(
+            f"""m{lev} AS MATERIALIZED (
+      SELECT cs.pid, cs.csum + COALESCE(p.cnt, 0) AS cnt
+      FROM (
+        SELECT nid // 2 AS pid, CAST(SUM(cnt) AS BIGINT) AS csum
+        FROM s{lev} WHERE nid >= {lo} AND nid < {hi} GROUP BY 1
+      ) cs
+      LEFT JOIN (SELECT nid, cnt FROM s{lev} WHERE nid >= {plo} AND nid < {lo}) p
+        ON p.nid = cs.pid
+      CROSS JOIN tot
+      WHERE cs.csum + COALESCE(p.cnt, 0) < tot.t
+    ), s{lev - 1} AS MATERIALIZED (
+      SELECT nid, cnt FROM s{lev}
+      WHERE (nid < {plo} OR nid >= {hi})
+         OR (nid >= {lo} AND nid < {hi}
+             AND nid // 2 NOT IN (SELECT pid FROM m{lev}))
+         OR (nid >= {plo} AND nid < {lo}
+             AND nid NOT IN (SELECT pid FROM m{lev}))
+      UNION ALL
+      SELECT pid AS nid, cnt FROM m{lev}
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+def _qdigest_rend_sql(levels: int) -> str:
+    cap = 1 << levels
+    arms = "\n        ".join(
+        f"WHEN nid >= {1 << lev} THEN (nid + 1) * {cap >> lev} - 1 - {cap}"
+        for lev in range(levels, -1, -1)
+    )
+    return f"CASE\n        {arms}\n      END"
+
+
+_QD_K, _QD_LEVELS = 64, 13  # eighths-scaled events.value: sf0.1 max 560.21*8 = 4481 < 2^13
+
+
+@query(
+    "x_qdigest_sketch",
+    f"""
+    WITH {_qdigest_chain_sql(_QD_K, _QD_LEVELS)}
+    SELECT nid, cnt, CAST({_QD_K} AS INTEGER) AS k,
+           CAST({_QD_LEVELS} AS INTEGER) AS levels
+    FROM s0
+    """,
+    extra=True,  # r6 addition; window full — selfcheck + pytest verified
+)
+def x_qdigest_sketch(spark, sf_dir):
+    """q-digest of eighths-scaled events.value (k=64, 13 levels): the
+    deterministic mergeable quantile sketch, hash-checked NODE FOR NODE
+    against an oracle that unrolls the same bottom-up compression as a
+    13-stage CTE chain — two independent implementations of the pure
+    integer spec (pipeline/sketches.py:qdigest_build)."""
+    from pigout_spark.pipeline.sketches import qdigest_build
+
+    ev = t(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * 8).cast("bigint").alias("v8")
+    )
+    return qdigest_build(ev, "v8", k=_QD_K, levels=_QD_LEVELS)
+
+
+_QD_QS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+@query(
+    "x_qdigest_quantiles",
+    f"""
+    WITH {_qdigest_chain_sql(_QD_K, _QD_LEVELS)},
+    rend AS (
+      SELECT nid, cnt, CAST({_qdigest_rend_sql(_QD_LEVELS)} AS BIGINT) AS r
+      FROM s0
+    ), cum AS (
+      SELECT r, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY r, nid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+      FROM rend
+    ), nn AS (SELECT MAX(c) AS n FROM cum)
+    SELECT CAST(q AS DOUBLE) AS q,
+           (SELECT CAST(MIN(r) AS BIGINT) FROM cum, nn
+             WHERE c >= CEIL(CAST(q AS DOUBLE) * n)) AS est
+    FROM (VALUES {', '.join(f'({q})' for q in _QD_QS)}) AS qs(q)
+    """,
+    extra=True,  # r6 addition; window full — selfcheck + pytest verified
+)
+def x_qdigest_quantiles(spark, sf_dir):
+    """Quantile readout from the events.value q-digest: rank
+    accumulation over the ≤3k-node digest, answering node's right
+    endpoint — estimate error ≤ levels·⌊n/k⌋ ranks, both engines
+    replaying the identical rule so the estimates hash-match exactly."""
+    from pigout_spark.pipeline.sketches import qdigest_build, qdigest_quantiles
+
+    ev = t(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * 8).cast("bigint").alias("v8")
+    )
+    d = qdigest_build(ev, "v8", k=_QD_K, levels=_QD_LEVELS)
+    return qdigest_quantiles(d, _QD_QS, k=_QD_K, levels=_QD_LEVELS)

@@ -1939,3 +1939,86 @@ def test_zorder_key_bit_interleave_and_layout(spark):
     assert "rangepartitioning" in plan.lower() or "RangePartitioning" in plan
     mx = laid.agg(F.max(key)).collect()[0][0]
     assert 0 <= mx < (1 << 16)
+
+
+# --- q-digest ------------------------------------------------------------
+
+
+def test_qdigest_partition_invariant_and_bounds(spark):
+    """The digest is a pure function of the value multiset: any input
+    partitioning yields the identical node set, size stays ≤ 3k, and
+    every quantile estimate is within the classic levels·⌊n/k⌋ rank
+    error of the true quantile."""
+    import math
+    import random
+
+    from pigout_spark.pipeline.sketches import qdigest_build, qdigest_quantiles
+
+    rng = random.Random(7)
+    vals = [int(rng.betavariate(2, 5) * 4095) for _ in range(20000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v bigint")
+    d1 = sorted((r.nid, r.cnt) for r in qdigest_build(df, "v").collect())
+    d2 = sorted(
+        (r.nid, r.cnt) for r in qdigest_build(df.repartition(17), "v").collect()
+    )
+    assert d1 == d2
+    assert sum(c for _, c in d1) == len(vals)
+    assert len(d1) <= 3 * 64
+    digest = qdigest_build(df, "v")
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    est = {r.q: r.est for r in qdigest_quantiles(digest, qs).collect()}
+    sv = sorted(vals)
+    slack = 12 * (len(vals) // 64)  # levels·⌊n/k⌋ ranks
+    for q in qs:
+        r = max(0, math.ceil(q * len(sv)) - 1)
+        lo, hi = sv[max(0, r - slack)], sv[min(len(sv) - 1, r + slack)]
+        assert lo <= est[q] <= hi, (q, est[q], lo, hi)
+
+
+def test_qdigest_merge_equals_build_of_union(spark):
+    """Merging shard digests re-compresses under the combined n — the
+    node totals match the union's multiset exactly, and the median of
+    the merged digest matches the whole-set digest's median (merge is
+    lossy only in the q-digest-bounded sense)."""
+    from pigout_spark.pipeline.sketches import (
+        qdigest_build,
+        qdigest_merge,
+        qdigest_quantiles,
+    )
+
+    df = spark.range(0, 12000).selectExpr("id % 4096 as v")
+    whole = qdigest_build(df, "v")
+    merged = qdigest_merge(
+        [
+            qdigest_build(df.filter("id % 3 = 0"), "v"),
+            qdigest_build(df.filter("id % 3 = 1"), "v"),
+            qdigest_build(df.filter("id % 3 = 2"), "v"),
+        ]
+    )
+    assert merged.agg({"cnt": "sum"}).collect()[0][0] == 12000
+    mw = qdigest_quantiles(whole, [0.5]).collect()[0].est
+    mm = qdigest_quantiles(merged, [0.5]).collect()[0].est
+    assert abs(mw - mm) <= 12 * (12000 // 64)
+
+
+def test_qdigest_is_self_describing(spark):
+    """(k, levels) ride with the digest (the KMV r6 discipline):
+    querying or merging under mismatched parameters fails loudly, and
+    out-of-universe values fail the build instead of silently wrapping."""
+    import pytest
+    from pigout_spark.pipeline.sketches import (
+        qdigest_build,
+        qdigest_merge,
+        qdigest_quantiles,
+    )
+
+    df = spark.range(0, 1000).selectExpr("id % 4096 as v")
+    sk = qdigest_build(df, "v", k=64, levels=12)
+    assert set(sk.columns) == {"nid", "cnt", "k", "levels"}
+    with pytest.raises(Exception, match="parameter mismatch"):
+        qdigest_quantiles(sk, [0.5], k=128, levels=12).collect()
+    with pytest.raises(Exception, match="parameter mismatch"):
+        qdigest_merge([sk, sk], k=64, levels=10).collect()
+    bad = spark.createDataFrame([(5000,)], "v bigint")
+    with pytest.raises(Exception, match="outside"):
+        qdigest_build(bad, "v", levels=12).collect()
