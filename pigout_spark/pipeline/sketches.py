@@ -312,34 +312,59 @@ def _qdigest_compress_multiset(counts: dict[int, int], k: int, levels: int) -> l
     return sorted(counts.items())
 
 
-def _qdigest_compress(nodes: DataFrame, k: int, levels: int) -> DataFrame:
-    """Compress a (nid, cnt) node relation into its q-digest.  The
-    input is ≤ 2^levels rows (leaf-aggregated), so the whole multiset
-    fits one Arrow batch; the compression is a pure function of it."""
+def _qdigest_compress(
+    nodes: DataFrame, k: int, levels: int, keys: list[str] | None = None
+) -> DataFrame:
+    """Compress a (keys…, nid, cnt) node relation into its q-digest.
+    Each group's input is ≤ 2^levels rows (leaf-aggregated), so a
+    group's whole multiset fits one Arrow batch; the compression is a
+    pure function of it.  With ``keys``, groups compress in parallel —
+    the per-key percentile-rollup path."""
     import pandas as pd
+
+    keys = list(keys or [])
 
     def compress(pdf: "pd.DataFrame") -> "pd.DataFrame":
         counts = dict(zip(pdf["nid"].astype("int64"), pdf["cnt"].astype("int64")))
-        out = _qdigest_compress_multiset(counts, k, levels)
-        return pd.DataFrame(out, columns=["nid", "cnt"]).astype("int64")
+        out = pd.DataFrame(
+            _qdigest_compress_multiset(counts, k, levels), columns=["nid", "cnt"]
+        ).astype("int64")
+        for c in keys:
+            out[c] = pdf[c].iloc[0]
+        return out[keys + ["nid", "cnt"]]
 
+    if keys:
+        key_schema = ", ".join(
+            f"{n} {nodes.schema[n].dataType.simpleString()}" for n in keys
+        )
+        return nodes.groupBy(*keys).applyInPandas(
+            compress, f"{key_schema}, nid bigint, cnt bigint"
+        )
     return nodes.groupBy(F.lit(0).alias("__g")).applyInPandas(
         compress, "nid bigint, cnt bigint"
     )
 
 
 def qdigest_build(
-    df: DataFrame, col: str, k: int = 64, levels: int = 12
+    df: DataFrame,
+    col: str,
+    k: int = 64,
+    levels: int = 12,
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """Build the q-digest of an integer column with values in
     ``[0, 2**levels)`` (pre-scale floats upstream — deterministically,
     e.g. fixed-point cents).  Values outside the universe fail loudly
-    (distributed assert); NULLs are excluded.
+    (distributed assert); NULLs are excluded.  With ``keys``, one
+    digest per key group (per-key percentiles — the rollup-maintenance
+    shape: digests merge, so incremental refresh never rescans).
 
-    Output: (nid, cnt, k, levels) — ≤ 3k rows, self-describing (the
-    KMV r6 discipline: parameters ride with the sketch and are
-    validated at query/merge time, never trusted to the caller).
+    Output: (keys…, nid, cnt, k, levels) — ≤ 3k rows per group,
+    self-describing (the KMV r6 discipline: parameters ride with the
+    sketch and are validated at query/merge time, never trusted to the
+    caller).
     """
+    keys = list(keys or [])
     cap = 1 << levels
     v = F.col(col).cast("bigint")
     src = df.filter(v.isNotNull()).filter(
@@ -349,28 +374,33 @@ def qdigest_build(
         ).isNull()
     )
     nodes = (
-        src.select((F.lit(cap) + v).alias("nid"))
-        .groupBy("nid")
+        src.select(*keys, (F.lit(cap) + v).alias("nid"))
+        .groupBy(*keys, "nid")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    out = _qdigest_compress(nodes, int(k), int(levels))
+    out = _qdigest_compress(nodes, int(k), int(levels), keys)
     return out.withColumn("k", F.lit(int(k))).withColumn(
         "levels", F.lit(int(levels))
     )
 
 
-def _assert_qdigest_params(digest: DataFrame, k: int, levels: int) -> DataFrame:
+def _assert_qdigest_params(
+    digest: DataFrame, k: int, levels: int, keys: list[str] | None = None
+) -> DataFrame:
     return digest.filter(
         F.assert_true(
             (F.col("k") == F.lit(int(k)))
             & (F.col("levels") == F.lit(int(levels))),
             F.lit(f"qdigest parameter mismatch: expected k={k}, levels={levels}"),
         ).isNull()
-    ).select("nid", "cnt")
+    ).select(*(keys or []), "nid", "cnt")
 
 
 def qdigest_merge(
-    digests: list[DataFrame], k: int = 64, levels: int = 12
+    digests: list[DataFrame],
+    k: int = 64,
+    levels: int = 12,
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """Merge shard q-digests: node-wise count addition, then one
     recompress under the COMBINED n — the digest of the union'd
@@ -378,29 +408,37 @@ def qdigest_merge(
     levels) (loud failure otherwise)."""
     if not digests:
         raise ValueError("qdigest_merge needs at least one digest")
-    out = _assert_qdigest_params(digests[0], k, levels)
+    keys = list(keys or [])
+    out = _assert_qdigest_params(digests[0], k, levels, keys)
     for d in digests[1:]:
-        out = out.unionByName(_assert_qdigest_params(d, k, levels))
-    nodes = out.groupBy("nid").agg(F.sum("cnt").alias("cnt"))
-    out = _qdigest_compress(nodes, int(k), int(levels))
+        out = out.unionByName(_assert_qdigest_params(d, k, levels, keys))
+    nodes = out.groupBy(*keys, "nid").agg(F.sum("cnt").alias("cnt"))
+    out = _qdigest_compress(nodes, int(k), int(levels), keys)
     return out.withColumn("k", F.lit(int(k))).withColumn(
         "levels", F.lit(int(levels))
     )
 
 
 def qdigest_quantiles(
-    digest: DataFrame, qs: list[float], k: int = 64, levels: int = 12
+    digest: DataFrame,
+    qs: list[float],
+    k: int = 64,
+    levels: int = 12,
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """Quantile estimates from a q-digest: nodes ordered by (range
     right-endpoint, nid), counts accumulated until rank ⌈q·n⌉; the
     answering node's right endpoint is the estimate (true quantile is
-    ≤ levels·⌊n/k⌋ ranks away).  Output: (q, est) per requested q.
+    ≤ levels·⌊n/k⌋ ranks away).  Output: (keys…, q, est) per requested
+    q per key group.
 
-    The window cumsum runs over the DIGEST (≤ 3k rows — a deliberate,
-    bounded single-partition sort, not a data-sized one).
+    The window cumsum runs over the DIGEST (≤ 3k rows per group — a
+    deliberate, bounded sort, partitioned by ``keys`` when given, not
+    a data-sized one).
     """
+    keys = list(keys or [])
     cap = 1 << int(levels)
-    d = _assert_qdigest_params(digest, k, levels)
+    d = _assert_qdigest_params(digest, k, levels, keys)
     # right endpoint in value space, branchless per level: node at
     # level ℓ covers 2^(levels-ℓ) leaves ending at (nid+1)·2^(levels-ℓ)−1−cap
     expr = None
@@ -412,19 +450,26 @@ def qdigest_quantiles(
     d = d.withColumn("__rend", expr)
     from pyspark.sql import Window
 
-    w = Window.orderBy("__rend", "nid").rowsBetween(
+    w = (Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0)))
+    w = w.orderBy("__rend", "nid").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     cum = d.withColumn("__cum", F.sum("cnt").over(w))
-    tot = cum.agg(F.max("__cum").alias("__n"))
+    tot = cum.groupBy(*keys).agg(F.max("__cum").alias("__n")) if keys else (
+        cum.agg(F.max("__cum").alias("__n"))
+    )
     rows = None
     for q in qs:
         target = F.ceil(F.lit(float(q)) * F.col("__n")).cast("bigint")
+        joined = (
+            cum.join(F.broadcast(tot), on=keys) if keys
+            else cum.crossJoin(F.broadcast(tot))
+        )
         est = (
-            cum.crossJoin(F.broadcast(tot))
-            .filter(F.col("__cum") >= target)
+            joined.filter(F.col("__cum") >= target)
+            .groupBy(*keys)
             .agg(F.min("__rend").alias("est"))
-            .select(F.lit(float(q)).alias("q"), "est")
+            .select(*keys, F.lit(float(q)).alias("q"), "est")
         )
         rows = est if rows is None else rows.unionByName(est)
     return rows

@@ -2022,3 +2022,48 @@ def test_qdigest_is_self_describing(spark):
     bad = spark.createDataFrame([(5000,)], "v bigint")
     with pytest.raises(Exception, match="outside"):
         qdigest_build(bad, "v", levels=12).collect()
+
+
+def test_qdigest_keyed_per_group_quantiles(spark):
+    """keys= builds one digest per group (the percentile-rollup
+    shape): group digests are independent — each matches the digest of
+    that group's rows built alone — and per-key medians respect the
+    rank-error bound against exact per-key quantiles."""
+    import math
+
+    from pigout_spark.pipeline.sketches import (
+        qdigest_build,
+        qdigest_merge,
+        qdigest_quantiles,
+    )
+
+    df = spark.range(0, 9000).selectExpr(
+        "CAST(id % 3 AS STRING) as g",
+        "(id * 2654435761) % 4096 as v",  # Knuth-hash spread, deterministic
+    )
+    keyed = qdigest_build(df, "v", keys=["g"])
+    for gid in ["0", "1", "2"]:
+        alone = sorted(
+            (r.nid, r.cnt)
+            for r in qdigest_build(df.filter(f"g = '{gid}'"), "v").collect()
+        )
+        part = sorted(
+            (r.nid, r.cnt) for r in keyed.filter(f"g = '{gid}'").collect()
+        )
+        assert alone == part, gid
+    est = {
+        (r.g, r.q): r.est
+        for r in qdigest_quantiles(keyed, [0.5], keys=["g"]).collect()
+    }
+    slack = 12 * (3000 // 64)
+    for gid in ["0", "1", "2"]:
+        sv = sorted(r.v for r in df.filter(f"g = '{gid}'").collect())
+        r_ = max(0, math.ceil(0.5 * len(sv)) - 1)
+        lo, hi = sv[max(0, r_ - slack)], sv[min(len(sv) - 1, r_ + slack)]
+        assert lo <= est[(gid, 0.5)] <= hi
+    # keyed merge: two halves re-merge to the whole, per key
+    h1 = qdigest_build(df.filter("id < 4500"), "v", keys=["g"])
+    h2 = qdigest_build(df.filter("id >= 4500"), "v", keys=["g"])
+    m = qdigest_merge([h1, h2], keys=["g"])
+    tot = {r.g: r.tot for r in m.groupBy("g").agg(F.sum("cnt").alias("tot")).collect()}
+    assert tot == {"0": 3000, "1": 3000, "2": 3000}
