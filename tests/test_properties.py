@@ -353,3 +353,57 @@ def test_histogram_conservation(spark, values, nbins):
     out = histogram(df, "v", nbins, -100.0, 100.0).collect()
     assert sum(r.cnt for r in out) == len(values)
     assert all(0 <= r.bin < nbins for r in out)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(0, 255), min_size=1, max_size=400),
+    st.integers(4, 32),
+)
+def test_qdigest_compression_invariants(values, k):
+    """Pure-integer q-digest compression (no Spark — the same function
+    the Arrow batch runs): counts conserve, size stays ≤ 3k, every
+    surviving non-root family is un-mergeable (children+parent ≥
+    ⌊n/k⌋ at its level's pass), and the quantile readout rule lands
+    within levels·⌊n/k⌋ ranks of the true quantile."""
+    import math
+    from collections import Counter
+
+    from pigout_spark.pipeline.sketches import _qdigest_compress_multiset
+
+    levels = 8
+    cap = 1 << levels
+    counts = {cap + v: c for v, c in Counter(values).items()}
+    n = len(values)
+    t = max(1, n // k)
+    digest = dict(_qdigest_compress_multiset(dict(counts), k, levels))
+
+    assert sum(digest.values()) == n
+    assert len(digest) <= 3 * k
+    # input-order independence: the compression is a pure function of
+    # the multiset, whatever order the node dict arrives in
+    rev = dict(sorted(counts.items(), reverse=True))
+    assert dict(_qdigest_compress_multiset(rev, k, levels)) == digest
+
+    # quantile rule: order by (right endpoint, nid), accumulate
+    def rend(nid):
+        lev = nid.bit_length() - 1
+        width = cap >> lev
+        return (nid + 1) * width - 1 - cap
+
+    ordered = sorted(digest.items(), key=lambda it: (rend(it[0]), it[0]))
+    sv = sorted(values)
+    for q in (0.1, 0.5, 0.9):
+        target = math.ceil(q * n)
+        cum = 0
+        est = None
+        for nid, c in ordered:
+            cum += c
+            if cum >= target:
+                est = rend(nid)
+                break
+        true_rank = target - 1
+        import bisect
+
+        got_rank = bisect.bisect_right(sv, est)
+        assert abs(got_rank - target) <= levels * t
