@@ -264,6 +264,41 @@ def hll_merge_estimate(
     return merged.withColumn("est", F.hll_sketch_estimate("hll"))
 
 
+def kmv_jaccard(a: DataFrame, b: DataFrame, k: int = 1024) -> DataFrame:
+    """Jaccard similarity of two SETS from their stored KMV sketches
+    alone (Beyer et al. 2007, "On synopses for distinct-value
+    estimation"): M = the k smallest distinct hashes of the sketch
+    union (which IS the KMV sketch of the underlying set union), and
+    J ≈ |M ∩ A ∩ B| / |M| — the fraction of the union's k-min sample
+    that both sides contain.  With |A ∪ B| < k everything is exact.
+
+    The shard-overlap primitive: persist one KMV per shard/day/source,
+    then answer "how much does corpus X overlap corpus Y" from KB-sized
+    sketches with NO rescan of either corpus.  Deterministic md5 makes
+    the whole chain oracle-replayable.
+
+    Output: one row (n_merged, n_common, jaccard).  Every relation in
+    the plan is ≤ k rows.  Both inputs must carry ``k`` (loud failure
+    otherwise — the self-describing-sketch contract).
+    """
+    a_ = _assert_sketch_k(a, k).select("h")
+    b_ = _assert_sketch_k(b, k).select("h")
+    m = a_.unionByName(b_).distinct().orderBy("h").limit(int(k))
+    common = m.join(a_, "h", "left_semi").join(b_, "h", "left_semi")
+    return (
+        m.agg(F.count(F.lit(1)).alias("n_merged"))
+        .crossJoin(common.agg(F.count(F.lit(1)).alias("n_common")))
+        .select(
+            "n_merged",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / F.greatest(F.col("n_merged"), F.lit(1)).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
 # --- q-digest (deterministic mergeable quantile sketch) -------------------
 #
 # KMV covers distinct counts, CMS covers frequencies, HLL is the

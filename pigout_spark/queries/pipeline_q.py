@@ -2956,3 +2956,49 @@ def x_qdigest_quantiles(spark, sf_dir):
     )
     d = qdigest_build(ev, "v8", k=_QD_K, levels=_QD_LEVELS)
     return qdigest_quantiles(d, _QD_QS, k=_QD_K, levels=_QD_LEVELS)
+
+
+_KJ_HASH = "('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT"
+
+
+@query(
+    "x_kmv_jaccard",
+    f"""
+    WITH s1 AS (
+      SELECT h FROM (
+        SELECT DISTINCT {_KJ_HASH} AS h FROM events
+        WHERE event_type = 'click' AND user_id IS NOT NULL
+      ) ORDER BY h LIMIT 64
+    ), s2 AS (
+      SELECT h FROM (
+        SELECT DISTINCT {_KJ_HASH} AS h FROM events
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL
+      ) ORDER BY h LIMIT 64
+    ), m AS (
+      SELECT h FROM (
+        SELECT DISTINCT h FROM (SELECT h FROM s1 UNION ALL SELECT h FROM s2)
+      ) ORDER BY h LIMIT 64
+    ), t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_merged FROM m
+    ), c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_common FROM m
+      WHERE h IN (SELECT h FROM s1) AND h IN (SELECT h FROM s2)
+    )
+    SELECT n_merged, n_common,
+           CAST(n_common AS DOUBLE) / GREATEST(n_merged, 1) AS jaccard
+    FROM t, c
+    """,
+    extra=True,  # r6 addition; window full — selfcheck + pytest verified
+)
+def x_kmv_jaccard(spark, sf_dir):
+    """Corpus-overlap from sketches alone: Jaccard of click-users vs
+    purchase-users via k-min-of-union (k=64), hash-checked against the
+    identical SQL chain — the shard-overlap primitive that answers
+    set-similarity questions from stored KB-sized sketches with no
+    rescan (pipeline/sketches.py:kmv_jaccard)."""
+    from pigout_spark.pipeline.sketches import kmv_build, kmv_jaccard
+
+    ev = t(spark, sf_dir, "events")
+    a = kmv_build(ev.filter(F.col("event_type") == "click"), "user_id", k=64)
+    b = kmv_build(ev.filter(F.col("event_type") == "purchase"), "user_id", k=64)
+    return kmv_jaccard(a, b, k=64)

@@ -2067,3 +2067,26 @@ def test_qdigest_keyed_per_group_quantiles(spark):
     m = qdigest_merge([h1, h2], keys=["g"])
     tot = {r.g: r.tot for r in m.groupBy("g").agg(F.sum("cnt").alias("tot")).collect()}
     assert tot == {"0": 3000, "1": 3000, "2": 3000}
+
+
+def test_kmv_jaccard_exact_and_estimated(spark):
+    """Set overlap from sketches alone: below k everything is exact
+    (|A∪B|=50, |A∩B|=10 → J=0.2 precisely); above k the k-min-of-union
+    sample estimates J within the ~1/√k band.  Mismatched-k inputs
+    fail loudly (self-describing contract)."""
+    import pytest
+
+    from pigout_spark.pipeline.sketches import kmv_build, kmv_jaccard
+
+    sa = kmv_build(spark.range(0, 30).selectExpr("id as v"), "v", k=256)
+    sb = kmv_build(spark.range(20, 50).selectExpr("id as v"), "v", k=256)
+    r = kmv_jaccard(sa, sb, k=256).collect()[0]
+    assert (r.n_merged, r.n_common, r.jaccard) == (50, 10, 0.2)
+
+    a = kmv_build(spark.range(0, 6000).selectExpr("id as v"), "v", k=256)
+    b = kmv_build(spark.range(3000, 9000).selectExpr("id as v"), "v", k=256)
+    est = kmv_jaccard(a, b, k=256).collect()[0]
+    assert abs(est.jaccard - 1 / 3) < 4 / 256**0.5  # true J = 3000/9000
+
+    with pytest.raises(Exception, match="k mismatch"):
+        kmv_jaccard(sa, b, k=64).collect()
