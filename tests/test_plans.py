@@ -247,3 +247,15 @@ def test_tfidf_pmi_key_equi_joins_only(spark, sf_dir):
     assert "CartesianProduct" not in plan
     plan = plan_of(spark, sf_dir, "x_pmi_pairs")
     assert "CartesianProduct" not in plan
+
+
+def test_qdigest_build_two_exchange_map_side_combine(spark, sf_dir):
+    """q-digest build: the corpus pays ONE leaf-aggregation exchange
+    (map-side partial combine caps it at 2^levels rows per task) plus
+    the single-group collect into the bounded compression batch —
+    nothing else, and never a cartesian."""
+    plan = plan_of(spark, sf_dir, "x_qdigest_sketch")
+    assert plan.count("Exchange") <= 3  # leaf agg + single-group + AQE reads
+    assert "partial_count" in plan  # leaf combine is map-side
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # no joins at all in the build
