@@ -137,7 +137,9 @@ def kmv_hash(col: Column | str) -> Column:
     )
 
 
-def kmv_build(df: DataFrame, col: str, k: int = 1024) -> DataFrame:
+def kmv_build(
+    df: DataFrame, col: str, k: int = 1024, keys: list[str] | None = None
+) -> DataFrame:
     """Build the KMV sketch of ``col``: the ``k`` smallest DISTINCT
     60-bit hashes, as a relation ``(h, k)`` (≤ k rows — KBs, ready to
     store or merge).  ``k`` rides along as a constant column — the
@@ -155,15 +157,26 @@ def kmv_build(df: DataFrame, col: str, k: int = 1024) -> DataFrame:
     never a global sort.  The payoff over exact counting is the
     artifact: a k-row mergeable sketch you can persist per shard/day
     and union later (:func:`kmv_merge`) instead of rescanning.
+
+    With ``keys``, one sketch per key group (k-min via a per-key
+    rank window on the distinct relation — partitioned by key, never
+    a global sort); output gains the key columns.
     """
-    return (
-        df.filter(F.col(col).isNotNull())
-        .select(kmv_hash(col).alias("h"))
-        .distinct()
-        .orderBy("h")
-        .limit(k)
-        .withColumn("k", F.lit(int(k)))
-    )
+    keys = list(keys or [])
+    base = df.filter(F.col(col).isNotNull()).select(
+        *keys, kmv_hash(col).alias("h")
+    ).distinct()
+    if keys:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys).orderBy("h")
+        return (
+            base.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= int(k))
+            .drop("__r")
+            .withColumn("k", F.lit(int(k)))
+        )
+    return base.orderBy("h").limit(k).withColumn("k", F.lit(int(k)))
 
 
 def _assert_sketch_k(sketch: DataFrame, k: int) -> DataFrame:
@@ -179,21 +192,37 @@ def _assert_sketch_k(sketch: DataFrame, k: int) -> DataFrame:
     )
 
 
-def kmv_merge(sketches: list[DataFrame], k: int = 1024) -> DataFrame:
+def kmv_merge(
+    sketches: list[DataFrame], k: int = 1024, keys: list[str] | None = None
+) -> DataFrame:
     """Union shard sketches and retake the k smallest distinct hashes —
     the KMV merge (exactly the sketch of the union'd underlying sets,
     a property exact per-shard counts do NOT have).  Every input must
     carry ``k`` — merging sketches built with a different k is
-    rejected at execution (see :func:`_assert_sketch_k`)."""
+    rejected at execution (see :func:`_assert_sketch_k`).  With
+    ``keys``, the retake is per key group."""
     if not sketches:
         raise ValueError("kmv_merge needs at least one sketch")
+    keys = list(keys or [])
     out = _assert_sketch_k(sketches[0], k)
     for s in sketches[1:]:
         out = out.unionByName(_assert_sketch_k(s, k))
+    if keys:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys).orderBy("h")
+        return (
+            out.distinct()
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= int(k))
+            .drop("__r")
+        )
     return out.distinct().orderBy("h").limit(k)
 
 
-def kmv_estimate(sketch: DataFrame, k: int | None = None) -> DataFrame:
+def kmv_estimate(
+    sketch: DataFrame, k: int | None = None, keys: list[str] | None = None
+) -> DataFrame:
     """Distinct-count estimate from a KMV sketch: if the sketch holds
     fewer than k hashes the count is EXACT (every distinct value is in
     it); otherwise (k−1)/U_k with U_k = max(h)/2^60, the classic
@@ -203,16 +232,21 @@ def kmv_estimate(sketch: DataFrame, k: int | None = None) -> DataFrame:
     it explicitly only adds a loud cross-check.  A heterogeneous
     sketch (mixed k values — e.g. a bad hand-union) also fails loudly.
 
-    Output: one row (n_hashes, est).  All arithmetic is exact-integer
-    max + one IEEE division chain — bit-identical across engines.
+    Output: one row (n_hashes, est) — or one per key group with
+    ``keys``.  All arithmetic is exact-integer max + one IEEE division
+    chain — bit-identical across engines.
     """
+    keys = list(keys or [])
     if k is not None:
         sketch = _assert_sketch_k(sketch, k)
-    agg = sketch.agg(
+    aggs = [
         F.count(F.lit(1)).alias("n_hashes"),
         F.max("h").alias("__mx"),
         F.min("k").alias("__kmin"),
         F.max("k").alias("__kmax"),
+    ]
+    agg = (
+        sketch.groupBy(*keys).agg(*aggs) if keys else sketch.agg(*aggs)
     ).filter(
         F.assert_true(
             F.col("__kmin").eqNullSafe(F.col("__kmax")),
@@ -221,6 +255,7 @@ def kmv_estimate(sketch: DataFrame, k: int | None = None) -> DataFrame:
     )
     kc = F.coalesce(F.col("__kmax"), F.lit(-1 if k is None else int(k)))
     return agg.select(
+        *keys,
         "n_hashes",
         F.when(F.col("n_hashes") == 0, F.lit(0.0))
         .when(F.col("n_hashes") < kc, F.col("n_hashes").cast("double"))
@@ -347,6 +382,16 @@ def _qdigest_compress_multiset(counts: dict[int, int], k: int, levels: int) -> l
     return sorted(counts.items())
 
 
+def _check_qdigest_params(k: int, levels: int) -> None:
+    if not 2 <= int(k):
+        raise ValueError(f"qdigest k must be >= 2, got {k}")
+    if not 1 <= int(levels) <= 24:
+        # 2^24 leaf nodes is the practical ceiling for one compression
+        # batch (the node relation must fit a single Arrow batch per
+        # key group); wider universes should pre-scale the values.
+        raise ValueError(f"qdigest levels must be in [1, 24], got {levels}")
+
+
 def _qdigest_compress(
     nodes: DataFrame, k: int, levels: int, keys: list[str] | None = None
 ) -> DataFrame:
@@ -399,6 +444,7 @@ def qdigest_build(
     sketch and are validated at query/merge time, never trusted to the
     caller).
     """
+    _check_qdigest_params(k, levels)
     keys = list(keys or [])
     cap = 1 << levels
     v = F.col(col).cast("bigint")
@@ -443,6 +489,7 @@ def qdigest_merge(
     levels) (loud failure otherwise)."""
     if not digests:
         raise ValueError("qdigest_merge needs at least one digest")
+    _check_qdigest_params(k, levels)
     keys = list(keys or [])
     out = _assert_qdigest_params(digests[0], k, levels, keys)
     for d in digests[1:]:

@@ -2090,3 +2090,45 @@ def test_kmv_jaccard_exact_and_estimated(spark):
 
     with pytest.raises(Exception, match="k mismatch"):
         kmv_jaccard(sa, b, k=64).collect()
+
+
+def test_kmv_keyed_per_group_sketches(spark):
+    """keys= builds one KMV per group via a per-key rank window: each
+    group's sketch equals the sketch of that group's rows built alone,
+    keyed merge re-takes k-min per key, and keyed estimates are exact
+    below k."""
+    from pigout_spark.pipeline.sketches import kmv_build, kmv_estimate, kmv_merge
+
+    df = spark.range(0, 3000).selectExpr("CAST(id % 3 AS STRING) as g", "id as v")
+    keyed = kmv_build(df, "v", k=64, keys=["g"])
+    for gid in ["0", "1", "2"]:
+        alone = sorted(r.h for r in kmv_build(df.filter(f"g = '{gid}'"), "v", k=64).collect())
+        part = sorted(r.h for r in keyed.filter(f"g = '{gid}'").collect())
+        assert alone == part, gid
+    h1 = kmv_build(df.filter("v < 1500"), "v", k=64, keys=["g"])
+    h2 = kmv_build(df.filter("v >= 1500"), "v", k=64, keys=["g"])
+    m = kmv_merge([h1, h2], k=64, keys=["g"])
+    for gid in ["0", "1", "2"]:
+        a = sorted(r.h for r in m.filter(f"g = '{gid}'").collect())
+        b = sorted(r.h for r in keyed.filter(f"g = '{gid}'").collect())
+        assert a == b, gid
+    small = spark.range(0, 90).selectExpr("CAST(id % 3 AS STRING) as g", "id as v")
+    est = {
+        r.g: (r.n_hashes, r.est)
+        for r in kmv_estimate(
+            kmv_build(small, "v", k=64, keys=["g"]), keys=["g"]
+        ).collect()
+    }
+    assert est == {"0": (30, 30.0), "1": (30, 30.0), "2": (30, 30.0)}
+
+
+def test_qdigest_rejects_bad_params(spark):
+    import pytest
+
+    from pigout_spark.pipeline.sketches import qdigest_build
+
+    df = spark.range(0, 10).selectExpr("id as v")
+    with pytest.raises(ValueError, match="levels"):
+        qdigest_build(df, "v", levels=30)
+    with pytest.raises(ValueError, match="k must"):
+        qdigest_build(df, "v", k=1)
