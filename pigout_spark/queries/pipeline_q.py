@@ -3002,3 +3002,27 @@ def x_kmv_jaccard(spark, sf_dir):
     a = kmv_build(ev.filter(F.col("event_type") == "click"), "user_id", k=64)
     b = kmv_build(ev.filter(F.col("event_type") == "purchase"), "user_id", k=64)
     return kmv_jaccard(a, b, k=64)
+
+
+@query(
+    "x_kmv_keyed",
+    f"""
+    WITH hs AS (
+      SELECT DISTINCT event_type, {_KJ_HASH} AS h
+      FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT event_type, h, CAST(32 AS INTEGER) AS k FROM hs
+    QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY h) <= 32
+    """,
+    extra=True,  # r6 addition; window full — selfcheck + pytest verified
+)
+def x_kmv_keyed(spark, sf_dir):
+    """Per-key KMV sketches (k=32 smallest distinct user hashes PER
+    event type): the per-shard/day distinct-tracking shape, k-min via
+    a per-key rank window — hash-checked row-for-row against DuckDB's
+    QUALIFY row_number twin (pipeline/sketches.py:kmv_build keys=)."""
+    from pigout_spark.pipeline.sketches import kmv_build
+
+    return kmv_build(
+        t(spark, sf_dir, "events"), "user_id", k=32, keys=["event_type"]
+    )
