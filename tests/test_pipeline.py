@@ -2132,3 +2132,28 @@ def test_qdigest_rejects_bad_params(spark):
         qdigest_build(df, "v", levels=30)
     with pytest.raises(ValueError, match="k must"):
         qdigest_build(df, "v", k=1)
+
+
+def test_sketchctl_cli_build_and_query(tmp_path):
+    """sketchctl round-trip: build a KMV sketch dir, estimate from the
+    stored artifact — the no-rescan monitoring loop as a CLI."""
+    import subprocess
+    import sys as _sys
+
+    sk_dir = tmp_path / "kmv"
+    r = subprocess.run(
+        [
+            _sys.executable, "tools/sketchctl.py", "kmv-build",
+            "/root/testdata/sf0.001/events.parquet", str(sk_dir),
+            "--col", "user_id", "--k", "64",
+        ],
+        capture_output=True, text=True, timeout=420, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    r2 = subprocess.run(
+        [_sys.executable, "tools/sketchctl.py", "kmv-est", str(sk_dir)],
+        capture_output=True, text=True, timeout=420, cwd="/root/repo",
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    n_hashes, est = r2.stdout.strip().splitlines()[-1].split("\t")
+    assert int(n_hashes) == 15 and float(est) == 15.0  # 15 users, exact below k
