@@ -2837,20 +2837,27 @@ def x_zorder_key(spark, sf_dir):
     return laid.select("o_orderkey", F.col(key).alias("zkey"))
 
 
-def _qdigest_chain_sql(k: int, levels: int) -> str:
+_QD_DEFAULT_VALS = (
+    "SELECT CAST(floor(value * 8) AS BIGINT) AS v"
+    " FROM events WHERE value IS NOT NULL"
+)
+
+
+def _qdigest_chain_sql(k: int, levels: int, vals_sql: str | None = None) -> str:
     """CTE chain replaying the q-digest build bit-for-bit: leaf
     aggregation, then one (merge, survivors) CTE pair per level,
     bottom-up — the same pure-integer rule sketches.py runs inside its
     one Arrow batch, unrolled because the level recurrence is a fixed
-    ``levels``-step program, not data-dependent iteration."""
+    ``levels``-step program, not data-dependent iteration.
+    ``vals_sql`` (a SELECT yielding one BIGINT column ``v``) lets the
+    fuzzer drive the same chain over randomized sources."""
     cap = 1 << levels
     # AS MATERIALIZED throughout: DuckDB inlines CTEs by default, and
     # each level references its predecessor 3× — inlined, the chain
     # re-expands to 3^levels scans of the base table.
     parts = [
         f"""vals AS MATERIALIZED (
-      SELECT CAST(floor(value * 8) AS BIGINT) AS v
-      FROM events WHERE value IS NOT NULL
+      {vals_sql or _QD_DEFAULT_VALS}
     ), s{levels} AS MATERIALIZED (
       SELECT {cap} + v AS nid, CAST(COUNT(*) AS BIGINT) AS cnt
       FROM vals GROUP BY 1
@@ -2894,17 +2901,44 @@ def _qdigest_rend_sql(levels: int) -> str:
     return f"CASE\n        {arms}\n      END"
 
 
+def qdigest_sketch_sql(k: int, levels: int, vals_sql: str | None = None) -> str:
+    """Full oracle query for the digest relation (nid, cnt, k, levels)."""
+    return f"""
+    WITH {_qdigest_chain_sql(k, levels, vals_sql)}
+    SELECT nid, cnt, CAST({k} AS INTEGER) AS k,
+           CAST({levels} AS INTEGER) AS levels
+    FROM s0
+    """
+
+
+def qdigest_quantiles_sql(
+    k: int, levels: int, qs: list[float], vals_sql: str | None = None
+) -> str:
+    """Full oracle query for the quantile readout (q, est)."""
+    return f"""
+    WITH {_qdigest_chain_sql(k, levels, vals_sql)},
+    rend AS (
+      SELECT nid, cnt, CAST({_qdigest_rend_sql(levels)} AS BIGINT) AS r
+      FROM s0
+    ), cum AS (
+      SELECT r, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY r, nid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+      FROM rend
+    ), nn AS (SELECT MAX(c) AS n FROM cum)
+    SELECT CAST(q AS DOUBLE) AS q,
+           (SELECT CAST(MIN(r) AS BIGINT) FROM cum, nn
+             WHERE c >= CEIL(CAST(q AS DOUBLE) * n)) AS est
+    FROM (VALUES {', '.join(f'({q})' for q in qs)}) AS qs(q)
+    """
+
+
 _QD_K, _QD_LEVELS = 64, 13  # eighths-scaled events.value: sf0.1 max 560.21*8 = 4481 < 2^13
 
 
 @query(
     "x_qdigest_sketch",
-    f"""
-    WITH {_qdigest_chain_sql(_QD_K, _QD_LEVELS)}
-    SELECT nid, cnt, CAST({_QD_K} AS INTEGER) AS k,
-           CAST({_QD_LEVELS} AS INTEGER) AS levels
-    FROM s0
-    """,
+    qdigest_sketch_sql(_QD_K, _QD_LEVELS),
     extra=True,  # r6 addition; window full — selfcheck + pytest verified
 )
 def x_qdigest_sketch(spark, sf_dir):
@@ -2926,22 +2960,7 @@ _QD_QS = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
 
 @query(
     "x_qdigest_quantiles",
-    f"""
-    WITH {_qdigest_chain_sql(_QD_K, _QD_LEVELS)},
-    rend AS (
-      SELECT nid, cnt, CAST({_qdigest_rend_sql(_QD_LEVELS)} AS BIGINT) AS r
-      FROM s0
-    ), cum AS (
-      SELECT r, cnt,
-             CAST(SUM(cnt) OVER (ORDER BY r, nid
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
-      FROM rend
-    ), nn AS (SELECT MAX(c) AS n FROM cum)
-    SELECT CAST(q AS DOUBLE) AS q,
-           (SELECT CAST(MIN(r) AS BIGINT) FROM cum, nn
-             WHERE c >= CEIL(CAST(q AS DOUBLE) * n)) AS est
-    FROM (VALUES {', '.join(f'({q})' for q in _QD_QS)}) AS qs(q)
-    """,
+    qdigest_quantiles_sql(_QD_K, _QD_LEVELS, _QD_QS),
     extra=True,  # r6 addition; window full — selfcheck + pytest verified
 )
 def x_qdigest_quantiles(spark, sf_dir):

@@ -386,6 +386,8 @@ def gen_query(rng: random.Random):
         return gen_behavioral(rng)
     if r < 0.97:
         return gen_graph(rng)
+    if r < 0.99:
+        return gen_sketch(rng)
     table = rng.choice(list(TABLES))
     strs, nums, doubles, ints = TABLES[table]
     preds, fexprs = [], []
@@ -1582,3 +1584,126 @@ def gen_graph(rng: random.Random):
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+# ---------------------------------------------------------------- sketches ---
+
+
+def gen_sketch(rng: random.Random):
+    """Differential-fuzz the deterministic sketch family with random
+    parameters: q-digest (random k/levels/scale/filters — the unrolled
+    CTE oracle chain is regenerated per draw, so the level recurrence
+    itself is fuzzed, not one fixed instantiation), keyed KMV (QUALIFY
+    twin), and KMV Jaccard (random type pair and k)."""
+    from pigout_spark.queries.pipeline_q import (
+        _KJ_HASH,
+        qdigest_quantiles_sql,
+        qdigest_sketch_sql,
+    )
+
+    kind = rng.choice(["qd_sketch", "qd_quantiles", "kmv_keyed", "kmv_jacc"])
+    types = ["click", "view", "purchase", "signup", "error"]
+
+    if kind in ("qd_sketch", "qd_quantiles"):
+        from pigout_spark.pipeline.sketches import qdigest_build, qdigest_quantiles
+
+        scale = rng.choice([1, 2, 4, 8])
+        levels = 10 + scale.bit_length() - 1 + rng.randint(0, 2)
+        k = rng.choice([8, 16, 32, 64, 128])
+        preds = ["value IS NOT NULL"]
+        fpreds = []
+        if rng.random() < 0.5:
+            chosen = rng.sample(types, rng.randint(1, 3))
+            inlist = ", ".join(f"'{c}'" for c in chosen)
+            preds.append(f"event_type IN ({inlist})")
+            fpreds.append(f"event_type IN ({inlist})")
+        if rng.random() < 0.4:
+            cut = round(rng.uniform(5, 200), 2)
+            preds.append(f"value < {cut}")
+            fpreds.append(f"value < {cut}")
+        vals_sql = (
+            f"SELECT CAST(floor(value * {scale}) AS BIGINT) AS v "
+            f"FROM events WHERE {' AND '.join(preds)}"
+        )
+        qs = sorted(
+            round(rng.uniform(0.01, 0.99), 2) for _ in range(rng.randint(1, 4))
+        )
+
+        def build(spark, sf_dir, scale=scale, k=k, levels=levels,
+                  fpreds=tuple(fpreds), kind=kind, qs=tuple(qs)):
+            ev = load_table(spark, sf_dir, "events")
+            for p in fpreds:
+                ev = ev.filter(p)
+            src = ev.select(
+                F.floor(F.col("value") * scale).cast("bigint").alias("v")
+            )
+            d = qdigest_build(src, "v", k=k, levels=levels)
+            if kind == "qd_quantiles":
+                return qdigest_quantiles(d, list(qs), k=k, levels=levels)
+            return d
+
+        sql = (
+            qdigest_quantiles_sql(k, levels, list(qs), vals_sql)
+            if kind == "qd_quantiles"
+            else qdigest_sketch_sql(k, levels, vals_sql)
+        )
+        return build, sql
+
+    if kind == "kmv_keyed":
+        from pigout_spark.pipeline.sketches import kmv_build
+
+        k = rng.choice([4, 8, 16, 32])
+
+        def build(spark, sf_dir, k=k):
+            return kmv_build(
+                load_table(spark, sf_dir, "events"), "user_id", k=k,
+                keys=["event_type"],
+            )
+
+        sql = f"""
+        WITH hs AS (
+          SELECT DISTINCT event_type, {_KJ_HASH} AS h
+          FROM events WHERE user_id IS NOT NULL
+        )
+        SELECT event_type, h, CAST({k} AS INTEGER) AS k FROM hs
+        QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY h) <= {k}
+        """
+        return build, sql
+
+    from pigout_spark.pipeline.sketches import kmv_build, kmv_jaccard
+
+    ta, tb = rng.sample(types, 2)
+    k = rng.choice([8, 16, 32, 64, 128])
+
+    def build(spark, sf_dir, ta=ta, tb=tb, k=k):
+        ev = load_table(spark, sf_dir, "events")
+        a = kmv_build(ev.filter(F.col("event_type") == ta), "user_id", k=k)
+        b = kmv_build(ev.filter(F.col("event_type") == tb), "user_id", k=k)
+        return kmv_jaccard(a, b, k=k)
+
+    sql = f"""
+    WITH s1 AS (
+      SELECT h FROM (
+        SELECT DISTINCT {_KJ_HASH} AS h FROM events
+        WHERE event_type = '{ta}' AND user_id IS NOT NULL
+      ) ORDER BY h LIMIT {k}
+    ), s2 AS (
+      SELECT h FROM (
+        SELECT DISTINCT {_KJ_HASH} AS h FROM events
+        WHERE event_type = '{tb}' AND user_id IS NOT NULL
+      ) ORDER BY h LIMIT {k}
+    ), m AS (
+      SELECT h FROM (
+        SELECT DISTINCT h FROM (SELECT h FROM s1 UNION ALL SELECT h FROM s2)
+      ) ORDER BY h LIMIT {k}
+    ), t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_merged FROM m
+    ), c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_common FROM m
+      WHERE h IN (SELECT h FROM s1) AND h IN (SELECT h FROM s2)
+    )
+    SELECT n_merged, n_common,
+           CAST(n_common AS DOUBLE) / GREATEST(n_merged, 1) AS jaccard
+    FROM t, c
+    """
+    return build, sql
