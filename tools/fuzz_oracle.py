@@ -1582,9 +1582,6 @@ def gen_graph(rng: random.Random):
     return build, sql
 
 
-if __name__ == "__main__":
-    raise SystemExit(main())
-
 
 # ---------------------------------------------------------------- sketches ---
 
@@ -1707,3 +1704,6 @@ def gen_sketch(rng: random.Random):
     FROM t, c
     """
     return build, sql
+
+if __name__ == "__main__":
+    raise SystemExit(main())
