@@ -431,6 +431,7 @@ def qdigest_build(
     k: int = 64,
     levels: int = 12,
     keys: list[str] | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Build the q-digest of an integer column with values in
     ``[0, 2**levels)`` (pre-scale floats upstream — deterministically,
@@ -438,6 +439,9 @@ def qdigest_build(
     (distributed assert); NULLs are excluded.  With ``keys``, one
     digest per key group (per-key percentiles — the rollup-maintenance
     shape: digests merge, so incremental refresh never rescans).
+    With ``weight_col`` (positive integers — asserted), each row
+    counts with its weight: identical to replicating the row, so e.g.
+    token-weighted length percentiles cost no extra rows.
 
     Output: (keys…, nid, cnt, k, levels) — ≤ 3k rows per group,
     self-describing (the KMV r6 discipline: parameters ride with the
@@ -454,10 +458,23 @@ def qdigest_build(
             F.concat(F.lit(f"qdigest value outside [0, {cap}): "), v),
         ).isNull()
     )
+    if weight_col is not None:
+        w = F.col(weight_col).cast("bigint")
+        src = src.filter(
+            F.assert_true(
+                w.isNotNull() & (w > 0),
+                F.concat(F.lit("qdigest weight must be a positive integer: "), w),
+            ).isNull()
+        )
+        agg = F.sum(F.col(weight_col).cast("bigint")).alias("cnt")
+    else:
+        agg = F.count(F.lit(1)).alias("cnt")
     nodes = (
-        src.select(*keys, (F.lit(cap) + v).alias("nid"))
+        src.select(*keys, (F.lit(cap) + v).alias("nid"), *(
+            [weight_col] if weight_col is not None else []
+        ))
         .groupBy(*keys, "nid")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(agg)
     )
     out = _qdigest_compress(nodes, int(k), int(levels), keys)
     return out.withColumn("k", F.lit(int(k))).withColumn(

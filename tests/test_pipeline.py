@@ -2157,3 +2157,25 @@ def test_sketchctl_cli_build_and_query(tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     n_hashes, est = r2.stdout.strip().splitlines()[-1].split("\t")
     assert int(n_hashes) == 15 and float(est) == 15.0  # 15 users, exact below k
+
+
+def test_qdigest_weighted_equals_replicated(spark):
+    """weight_col is exactly row replication: the weighted digest of
+    (v, w) matches the unweighted digest of v repeated w times, node
+    for node; non-positive weights fail loudly."""
+    import pytest
+
+    from pigout_spark.pipeline.sketches import qdigest_build
+
+    rows = [(int(v), int(w)) for v, w in
+            [(5, 3), (100, 1), (100, 4), (2047, 2), (900, 5), (5, 1)]]
+    wdf = spark.createDataFrame(rows, "v bigint, w bigint")
+    rep = spark.createDataFrame(
+        [(v,) for v, w in rows for _ in range(w)], "v bigint"
+    )
+    a = sorted((r.nid, r.cnt) for r in qdigest_build(wdf, "v", weight_col="w").collect())
+    b = sorted((r.nid, r.cnt) for r in qdigest_build(rep, "v").collect())
+    assert a == b and sum(c for _, c in a) == 16
+    bad = spark.createDataFrame([(5, 0)], "v bigint, w bigint")
+    with pytest.raises(Exception, match="positive"):
+        qdigest_build(bad, "v", weight_col="w").collect()
