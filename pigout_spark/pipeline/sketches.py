@@ -533,7 +533,8 @@ def qdigest_quantiles(
 
     The window cumsum runs over the DIGEST (≤ 3k rows per group — a
     deliberate, bounded sort, partitioned by ``keys`` when given, not
-    a data-sized one).
+    a data-sized one).  An empty digest yields (q, NULL) per requested
+    q in global mode and no rows in keyed mode.
     """
     keys = list(keys or [])
     cap = 1 << int(levels)

@@ -2179,3 +2179,25 @@ def test_qdigest_weighted_equals_replicated(spark):
     bad = spark.createDataFrame([(5, 0)], "v bigint, w bigint")
     with pytest.raises(Exception, match="positive"):
         qdigest_build(bad, "v", weight_col="w").collect()
+
+
+def test_sketches_empty_input_contracts(spark):
+    """Empty corpora: global quantiles answer (q, NULL), keyed modes
+    answer no rows, KMV estimates 0.0 — never a crash, never a fake
+    number."""
+    from pigout_spark.pipeline.sketches import (
+        kmv_build,
+        kmv_estimate,
+        qdigest_build,
+        qdigest_quantiles,
+    )
+
+    empty = spark.createDataFrame([], "v bigint")
+    ek = spark.createDataFrame([], "g string, v bigint")
+    q = qdigest_quantiles(qdigest_build(empty, "v"), [0.5]).collect()
+    assert [(r.q, r.est) for r in q] == [(0.5, None)]
+    assert qdigest_quantiles(
+        qdigest_build(ek, "v", keys=["g"]), [0.5], keys=["g"]
+    ).count() == 0
+    r = kmv_estimate(kmv_build(empty, "v", k=16), k=16).collect()[0]
+    assert (r.n_hashes, r.est) == (0, 0.0)
