@@ -528,3 +528,40 @@ def vocab_kl(
         F.max("na").alias("n_tokens_a"),
         F.max("nb").alias("n_tokens_b"),
     )
+
+
+def shingle_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 13,
+    k: int = 4096,
+) -> DataFrame:
+    """ESTIMATED n-gram shingle overlap between two corpora from KMV
+    sketches — the cheap pre-check before :func:`decontaminate`.
+
+    decontaminate's inverted anti-join is exact but touches every
+    training shingle; this answers "is there ANY material overlap, and
+    roughly how much" from two k-row sketches: one narrow
+    distinct-shingle pass per side, then sketch-sized arithmetic
+    (pipeline/sketches.py:kmv_jaccard).  The benchmark-side sketch can
+    be PERSISTED once and re-checked against every candidate corpus
+    with no rescan of either — run the exact pass only when the
+    estimate is non-zero.
+
+    Output: one row (n_merged, n_common, jaccard) over the DISTINCT
+    shingle sets.  Exact below k (a benchmark's shingle set usually
+    is); ~1/√k relative error above.
+    """
+    from pigout_spark.pipeline.sketches import kmv_build, kmv_jaccard
+
+    def side(df: DataFrame, col: str) -> DataFrame:
+        sh = _shingle_hashes(df.select(F.col(col)), col, col, n).select("sh")
+        return kmv_build(sh, "sh", k=k)
+
+    return kmv_jaccard(
+        side(corpus, text_col),
+        side(benchmark, bench_text_col or text_col),
+        k=k,
+    )

@@ -3045,3 +3045,59 @@ def x_kmv_keyed(spark, sf_dir):
     return kmv_build(
         t(spark, sf_dir, "events"), "user_id", k=32, keys=["event_type"]
     )
+
+
+_SO_HASH = "('0x' || substring(md5(sh), 1, 15))::BIGINT"
+
+
+@query(
+    "x_shingle_overlap",
+    f"""
+    WITH t AS (
+      SELECT lang, {_SQL_TOKS} AS tk FROM documents
+    ), sh0 AS (
+      SELECT lang,
+             unnest(CASE WHEN len(tk) >= 4 THEN
+               list_transform(range(0, len(tk) - 3),
+                              i -> md5(array_to_string(tk[i+1:i+4], ' ')))
+             ELSE CAST([] AS VARCHAR[]) END) AS sh
+      FROM t
+    ), s1 AS (
+      SELECT h FROM (
+        SELECT DISTINCT {_SO_HASH} AS h FROM sh0 WHERE lang <> 'en'
+      ) ORDER BY h LIMIT 512
+    ), s2 AS (
+      SELECT h FROM (
+        SELECT DISTINCT {_SO_HASH} AS h FROM sh0 WHERE lang = 'en'
+      ) ORDER BY h LIMIT 512
+    ), m AS (
+      SELECT h FROM (
+        SELECT DISTINCT h FROM (SELECT h FROM s1 UNION ALL SELECT h FROM s2)
+      ) ORDER BY h LIMIT 512
+    ), t2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_merged FROM m
+    ), c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_common FROM m
+      WHERE h IN (SELECT h FROM s1) AND h IN (SELECT h FROM s2)
+    )
+    SELECT n_merged, n_common,
+           CAST(n_common AS DOUBLE) / GREATEST(n_merged, 1) AS jaccard
+    FROM t2, c
+    """,
+    extra=True,  # r6 addition; window full — selfcheck + pytest verified
+)
+def x_shingle_overlap(spark, sf_dir):
+    """Corpus↔benchmark contamination pre-check: KMV-estimated 4-gram
+    shingle Jaccard between non-English docs (the 'training corpus')
+    and English docs (the 'benchmark') — the sketch-sized screen run
+    before x_decontaminate's exact inverted anti-join
+    (pipeline/curation.py:shingle_overlap)."""
+    from pigout_spark.pipeline.curation import shingle_overlap
+
+    d = t(spark, sf_dir, "documents")
+    return shingle_overlap(
+        d.filter(F.col("lang") != "en"),
+        d.filter(F.col("lang") == "en"),
+        n=4,
+        k=512,
+    )

@@ -2201,3 +2201,20 @@ def test_sketches_empty_input_contracts(spark):
     ).count() == 0
     r = kmv_estimate(kmv_build(empty, "v", k=16), k=16).collect()[0]
     assert (r.n_hashes, r.est) == (0, 0.0)
+
+
+def test_shingle_overlap_exact_below_k(spark):
+    """Known shingle sets: two 6-token docs per side sharing exactly
+    the first doc — union 12 trigram shingles, 4 common, J = 1/3,
+    exact because both sides are below k."""
+    from pigout_spark.pipeline.curation import shingle_overlap
+
+    a = spark.createDataFrame([("a b c d e f",), ("x y z w q r",)], "text string")
+    b = spark.createDataFrame([("a b c d e f",), ("m n o p q r",)], "text string")
+    r = shingle_overlap(a, b, n=3, k=256).collect()[0]
+    assert (r.n_merged, r.n_common) == (12, 4)
+    assert abs(r.jaccard - 1 / 3) < 1e-12
+    # disjoint corpora -> zero overlap (the "skip the exact pass" signal)
+    c = spark.createDataFrame([("t1 t2 t3 t4 t5 t6",)], "text string")
+    r2 = shingle_overlap(c, b, n=3, k=256).collect()[0]
+    assert r2.n_common == 0 and r2.jaccard == 0.0
