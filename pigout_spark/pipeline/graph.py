@@ -135,3 +135,73 @@ def pagerank(
             F.expr(rank_expr).cast("double") / F.lit(float(PAGERANK_UNIT))
         ).alias("rank"),
     )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact triangle count of the UNDIRECTED SIMPLE graph underlying
+    an edge relation (direction, duplicates, and self-loops are
+    normalized away first).
+
+    Degree-ordered orientation (the classic MapReduce formulation,
+    Suri & Vassilvitskii 2011 "Counting triangles and the curse of the
+    last reducer"): orient every edge toward the higher-(degree, id)
+    endpoint, enumerate wedges only at each edge's lower endpoint, and
+    close them against the oriented edge list.  Every triangle has
+    exactly one vertex where both its oriented edges originate, so the
+    count is exact with no /3 correction — and the wedge relation is
+    bounded by O(m^1.5) TOTAL and O(√m) per vertex regardless of skew:
+    a degree-d hub generates 0 wedges instead of C(d, 2), which is the
+    whole fix for the power-law "last reducer".
+
+    Node ids must be non-negative and < 2^31 (asserted distributed) so
+    the (degree, id) order packs into one BIGINT comparison key.
+
+    Output: one row ``(triangles)``.
+
+    100 TB: normalization is one distinct; degrees one groupBy; the
+    wedge enumeration and the closing check are plain key-equi joins
+    (no cartesian anywhere) whose sizes the orientation bounds.
+    """
+    lim = 1 << 31
+    s, d = F.col(src).cast("bigint"), F.col(dst).cast("bigint")
+    ok = (
+        s.isNotNull() & d.isNotNull()
+        & (s >= 0) & (s < lim) & (d >= 0) & (d < lim)
+    )
+    und = (
+        edges.filter(
+            F.assert_true(
+                ok, F.lit(f"triangle_count node ids must be in [0, {lim})")
+            ).isNull()
+        )
+        .filter(s != d)
+        .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionByName(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # comparison key: degree-major, id-minor — a total order
+    key = (F.col("deg") * F.lit(lim) + F.col("n")).alias("ok")
+    ranked = deg.select("n", key)
+    withk = (
+        und.join(ranked.select(F.col("n").alias("a"), F.col("ok").alias("ka")), "a")
+        .join(ranked.select(F.col("n").alias("b"), F.col("ok").alias("kb")), "b")
+    )
+    oriented = withk.select(
+        F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("s"),
+        F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("d"),
+        F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("kd"),
+    )
+    e1 = oriented.select(F.col("s"), F.col("d").alias("v"), F.col("kd").alias("kv"))
+    e2 = oriented.select(F.col("s"), F.col("d").alias("w"), F.col("kd").alias("kw"))
+    wedges = e1.join(e2, "s").filter(F.col("kv") < F.col("kw")).select("v", "w")
+    closing = oriented.select(F.col("s").alias("v"), F.col("d").alias("w"))
+    return wedges.join(closing, ["v", "w"]).agg(
+        F.count(F.lit(1)).alias("triangles")
+    )

@@ -3101,3 +3101,43 @@ def x_shingle_overlap(spark, sf_dir):
         n=4,
         k=512,
     )
+
+
+_TRI_EDGES_SQL = """
+      SELECT DISTINCT LEAST(a.l_suppkey, b.l_suppkey) AS x,
+                      GREATEST(a.l_suppkey, b.l_suppkey) AS y
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+"""
+
+
+@query(
+    "x_triangles",
+    f"""
+    WITH e AS MATERIALIZED ({_TRI_EDGES_SQL})
+    SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+    FROM e e1
+    JOIN e e2 ON e1.y = e2.x
+    JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+    """,
+    extra=True,  # r6 addition; window full — selfcheck + pytest verified
+)
+def x_triangles(spark, sf_dir):
+    """Triangle count of the supplier co-purchase graph (suppliers
+    sharing an order).  The Spark side runs the degree-ordered-wedge
+    algorithm (pipeline/graph.py:triangle_count, O(m^1.5) bounded);
+    the oracle counts id-ordered triples with three plain joins — two
+    INDEPENDENT algorithms, one exact answer."""
+    from pigout_spark.pipeline.graph import triangle_count
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+    ).select(
+        F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+    )
+    return triangle_count(edges)

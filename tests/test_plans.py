@@ -259,3 +259,11 @@ def test_qdigest_build_two_exchange_map_side_combine(spark, sf_dir):
     assert "partial_count" in plan  # leaf combine is map-side
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan  # no joins at all in the build
+
+
+def test_triangle_count_key_equi_joins_only(spark, sf_dir):
+    """Triangle counting: wedge enumeration and closing are plain
+    key-equi joins — never a cartesian or nested-loop fallback."""
+    plan = plan_of(spark, sf_dir, "x_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
