@@ -138,7 +138,7 @@ def pagerank(
 
 
 def triangle_count(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame, src: str = "src", dst: str = "dst", per_node: bool = False
 ) -> DataFrame:
     """Exact triangle count of the UNDIRECTED SIMPLE graph underlying
     an edge relation (direction, duplicates, and self-loops are
@@ -158,7 +158,9 @@ def triangle_count(
     Node ids must be non-negative and < 2^31 (asserted distributed) so
     the (degree, id) order packs into one BIGINT comparison key.
 
-    Output: one row ``(triangles)``.
+    Output: one row ``(triangles)`` — or, with ``per_node``, one row
+    ``(n, triangles)`` per node (every node listed, zero-filled), each
+    triangle crediting all three corners.
 
     100 TB: normalization is one distinct; degrees one groupBy; the
     wedge enumeration and the closing check are plain key-equi joins
@@ -200,8 +202,51 @@ def triangle_count(
     )
     e1 = oriented.select(F.col("s"), F.col("d").alias("v"), F.col("kd").alias("kv"))
     e2 = oriented.select(F.col("s"), F.col("d").alias("w"), F.col("kd").alias("kw"))
-    wedges = e1.join(e2, "s").filter(F.col("kv") < F.col("kw")).select("v", "w")
+    wedges = e1.join(e2, "s").filter(F.col("kv") < F.col("kw")).select("s", "v", "w")
     closing = oriented.select(F.col("s").alias("v"), F.col("d").alias("w"))
-    return wedges.join(closing, ["v", "w"]).agg(
-        F.count(F.lit(1)).alias("triangles")
+    tri = wedges.join(closing, ["v", "w"])
+    if per_node:
+        member = tri.select(
+            F.explode(F.array("s", "v", "w")).alias("n")
+        ).groupBy("n").agg(F.count(F.lit(1)).alias("triangles"))
+        return deg.select("n").join(member, "n", "left").select(
+            "n", F.coalesce("triangles", F.lit(0).cast("bigint")).alias("triangles")
+        )
+    return tri.agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Local clustering coefficient per node: c(v) = 2·tri(v) /
+    (deg(v)·(deg(v)−1)), zero for degree < 2 — how close each node's
+    neighborhood is to a clique (community-quality / link-spam
+    signal).  Same plan skeleton as :func:`triangle_count` plus one
+    degree join; all key-equi.
+
+    Output: (n, deg, triangles, coef)."""
+    lim = 1 << 31
+    s, d = F.col(src).cast("bigint"), F.col(dst).cast("bigint")
+    und = (
+        edges.filter(s.isNotNull() & d.isNotNull()).filter(s != d)
+        .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionByName(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = triangle_count(edges, src, dst, per_node=True)
+    return deg.join(tri, "n").select(
+        "n",
+        "deg",
+        "triangles",
+        F.when(
+            F.col("deg") >= 2,
+            2.0 * F.col("triangles") / (F.col("deg") * (F.col("deg") - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("coef"),
     )

@@ -3141,3 +3141,58 @@ def x_triangles(spark, sf_dir):
         F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
     )
     return triangle_count(edges)
+
+
+_CC_EDGES_SQL = """
+      SELECT DISTINCT LEAST(a.l_suppkey, b.l_suppkey) AS x,
+                      GREATEST(a.l_suppkey, b.l_suppkey) AS y
+      FROM (SELECT * FROM lineitem WHERE l_quantity > 45) a
+      JOIN (SELECT * FROM lineitem WHERE l_quantity > 45) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+"""
+
+
+@query(
+    "x_clustering_coef",
+    f"""
+    WITH e AS MATERIALIZED ({_CC_EDGES_SQL}),
+    tri AS (
+      SELECT unnest([e1.x, e1.y, e2.y]) AS n
+      FROM e e1
+      JOIN e e2 ON e1.y = e2.x
+      JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+    ), pn AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS triangles FROM tri GROUP BY n
+    ), deg AS (
+      SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT x AS n FROM e UNION ALL SELECT y FROM e
+      ) GROUP BY n
+    )
+    SELECT d.n, d.deg, COALESCE(pn.triangles, 0) AS triangles,
+           CASE WHEN d.deg >= 2
+                THEN (2.0 * COALESCE(pn.triangles, 0)) / (d.deg * (d.deg - 1))
+                ELSE 0.0 END AS coef
+    FROM deg d LEFT JOIN pn ON d.n = pn.n
+    """,
+    extra=True,  # r6 addition; window full — selfcheck + pytest verified
+)
+def x_clustering_coef(spark, sf_dir):
+    """Local clustering coefficient over the high-quantity supplier
+    co-purchase graph (sparsified so coefficients spread over (0,1)) —
+    Spark's degree-ordered wedge algorithm vs the oracle's independent
+    id-ordered-triple formulation, per-node hash-exact
+    (pipeline/graph.py:clustering_coefficient)."""
+    from pigout_spark.pipeline.graph import clustering_coefficient
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45).select(
+        "l_orderkey", "l_suppkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+    ).select(
+        F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+    )
+    return clustering_coefficient(edges)

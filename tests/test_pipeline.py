@@ -2237,3 +2237,18 @@ def test_triangle_count_known_graphs(spark):
     assert tc([(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]) == 4  # K4
     assert tc([(0, i) for i in range(1, 20)]) == 0  # star
     assert tc([(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10), (5, 6)]) == 2
+
+
+def test_clustering_coefficient_kite(spark):
+    """Kite graph (K4 + pendant): hub coef 0.5, clique corners 1.0,
+    pendant 0 — per-node triangle credit is exact and zero-filled."""
+    from pigout_spark.pipeline.graph import clustering_coefficient, triangle_count
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    pn = {r.n: r.triangles for r in triangle_count(df, per_node=True).collect()}
+    assert pn == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0}
+    cc = {r.n: (r.deg, r.triangles, r.coef) for r in clustering_coefficient(df).collect()}
+    assert cc[1] == (4, 3, 0.5)
+    assert cc[2] == cc[3] == cc[4] == (3, 3, 1.0)
+    assert cc[5] == (1, 0, 0.0)
