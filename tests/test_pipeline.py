@@ -2252,3 +2252,24 @@ def test_clustering_coefficient_kite(spark):
     assert cc[1] == (4, 3, 0.5)
     assert cc[2] == cc[3] == cc[4] == (3, 3, 1.0)
     assert cc[5] == (1, 0, 0.0)
+
+
+def test_k_core_peeling_cascades(spark):
+    """Peeling must cascade: K4 with a 4-5-6 tail keeps only the K4 at
+    k=2 (the tail unravels link by link), a star empties entirely, and
+    the convergence cap raises instead of half-peeling."""
+    import pytest
+
+    from pigout_spark.pipeline.graph import k_core
+
+    def kc(edges, k, **kw):
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        return sorted(r.n for r in k_core(df, k=k, **kw).collect())
+
+    K4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    assert kc(K4 + [(4, 5), (5, 6)], 2) == [1, 2, 3, 4]
+    assert kc([(0, i) for i in range(1, 6)], 2) == []
+    # a 6-chain needs 3 peel rounds at k=2; max_rounds=1 must raise
+    chain = [(i, i + 1) for i in range(6)]
+    with pytest.raises(RuntimeError, match="converge"):
+        kc(chain, 2, max_rounds=1)
