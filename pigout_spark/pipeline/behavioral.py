@@ -373,3 +373,84 @@ def detect_gaps(
         )
         .filter(F.col("gap_seconds") > min_gap_seconds)
     )
+
+
+def attribution(
+    df: DataFrame,
+    conversion: str = "purchase",
+    touch_types: tuple[str, ...] = ("view", "click"),
+    model: str = "last",
+    lookback_seconds: int | None = None,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    max_events_per_key: int | None = None,
+) -> DataFrame:
+    """Marketing attribution: credit each conversion event's preceding
+    touch events.  ``model``: 'last' / 'first' (all credit to the
+    latest/earliest qualifying touch), 'linear' (equal split over all
+    qualifying touches).  A touch qualifies for a conversion iff
+    (touch_ts, touch_id) < (conv_ts, conv_id) lexicographically — the
+    unique ``id_col`` makes simultaneous events deterministic — and,
+    with ``lookback_seconds``, lands within that many seconds of the
+    conversion.  Conversions with no qualifying touch produce no row
+    (count them via an anti-join on conv_id when reporting).
+
+    Output: (key, conv_id, touch_id, touch_type, credit) — one row per
+    conversion for first/last (credit 1.0), one per qualifying touch
+    for linear (credits per conversion sum to exactly 1 up to float
+    division).
+
+    100 TB: one key-equi join (user key) with residual time
+    predicates; amplification is per-key touches×conversions, so the
+    behavioral skew guard applies — pass ``max_events_per_key`` to cap
+    bot keys (:func:`cap_events_per_key`), and a lookback bounds the
+    window further.  The per-conversion rank/count is a conv_id-keyed
+    window — conversion-sized, not corpus-sized.
+    """
+    if model not in ("last", "first", "linear"):
+        raise ValueError(f"unknown attribution model: {model!r}")
+    base = cap_events_per_key(
+        df, ts_col=ts_col, key=key, max_events_per_key=max_events_per_key,
+        tiebreak=id_col,
+    )
+    conv = base.filter(F.col(type_col) == conversion).select(
+        F.col(key),
+        F.col(id_col).alias("conv_id"),
+        F.col(ts_col).alias("__cts"),
+    )
+    touch = base.filter(F.col(type_col).isin(*touch_types)).select(
+        F.col(key),
+        F.col(id_col).alias("touch_id"),
+        F.col(type_col).alias("touch_type"),
+        F.col(ts_col).alias("__tts"),
+    )
+    strictly_before = (F.col("__tts") < F.col("__cts")) | (
+        (F.col("__tts") == F.col("__cts"))
+        & (F.col("touch_id") < F.col("conv_id"))
+    )
+    j = conv.join(touch, key).filter(strictly_before)
+    if lookback_seconds is not None:
+        j = j.filter(
+            F.unix_timestamp("__cts") - F.unix_timestamp("__tts")
+            <= int(lookback_seconds)
+        )
+    if model == "linear":
+        w = Window.partitionBy("conv_id")
+        out = j.withColumn(
+            "credit", F.lit(1.0) / F.count(F.lit(1)).over(w)
+        )
+    else:
+        order = (
+            [F.col("__tts").desc(), F.col("touch_id").desc()]
+            if model == "last"
+            else [F.col("__tts").asc(), F.col("touch_id").asc()]
+        )
+        w = Window.partitionBy("conv_id").orderBy(*order)
+        out = (
+            j.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .withColumn("credit", F.lit(1.0))
+        )
+    return out.select(key, "conv_id", "touch_id", "touch_type", "credit")

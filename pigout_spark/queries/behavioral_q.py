@@ -308,3 +308,70 @@ def x_gaps(spark, sf_dir):
         F.unix_timestamp("gap_end").alias("end_s"),
         "gap_seconds",
     )
+
+
+_ATTR_E = """
+      SELECT user_id, event_id, event_type,
+             CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts
+      FROM events
+"""
+_ATTR_J = """
+    c AS (
+      SELECT user_id, event_id AS conv_id, ts AS cts FROM e
+      WHERE event_type = 'purchase'
+    ), t0 AS (
+      SELECT user_id, event_id AS touch_id, event_type AS touch_type,
+             ts AS tts
+      FROM e WHERE event_type IN ('view', 'click')
+    ), j AS (
+      SELECT c.user_id, conv_id, touch_id, touch_type, tts
+      FROM c JOIN t0 USING (user_id)
+      WHERE (tts < cts OR (tts = cts AND touch_id < conv_id))
+        AND epoch(cts) - epoch(tts) <= 86400
+    )
+"""
+
+
+@query(
+    "x_attribution_last",
+    f"""
+    WITH e AS ({_ATTR_E}), {_ATTR_J}
+    SELECT user_id, conv_id, touch_id, touch_type, 1.0 AS credit
+    FROM j
+    QUALIFY row_number() OVER (
+      PARTITION BY conv_id ORDER BY tts DESC, touch_id DESC
+    ) = 1
+    """,
+    extra=True,  # r6 addition; window full — selfcheck + pytest verified
+)
+def x_attribution_last(spark, sf_dir):
+    """Last-touch attribution with a 24h lookback: each purchase
+    credited to the latest preceding view/click — deterministic
+    (ts, event_id) tie order, hash-exact vs the oracle's QUALIFY
+    formulation (pipeline/behavioral.py:attribution)."""
+    from pigout_spark.pipeline.behavioral import attribution
+
+    return attribution(
+        _events_s(spark, sf_dir), model="last", lookback_seconds=86400
+    )
+
+
+@query(
+    "x_attribution_linear",
+    f"""
+    WITH e AS ({_ATTR_E}), {_ATTR_J}
+    SELECT user_id, conv_id, touch_id, touch_type,
+           1.0 / (COUNT(*) OVER (PARTITION BY conv_id)) AS credit
+    FROM j
+    """,
+    extra=True,  # r6 addition; window full — selfcheck + pytest verified
+)
+def x_attribution_linear(spark, sf_dir):
+    """Linear (equal-split) attribution with a 24h lookback: per-
+    conversion credits sum to 1; the 1/count division is the same IEEE
+    op in both engines, so the credit column hash-matches exactly."""
+    from pigout_spark.pipeline.behavioral import attribution
+
+    return attribution(
+        _events_s(spark, sf_dir), model="linear", lookback_seconds=86400
+    )

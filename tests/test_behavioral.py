@@ -378,3 +378,46 @@ def test_session_paths_deterministic_without_tiebreak(spark):
         out = session_paths(df.repartition(parts, "event_type"), gap_seconds=60)
         outs.append(sorted((r.path, r.n_sessions) for r in out.collect()))
     assert outs[0] == outs[1] == [("a>b>c", 2)]
+
+
+def test_attribution_models(spark):
+    """Hand-built journey: touches v1(t=10) c1(t=20), purchase p1(t=30),
+    touch c2(t=40), purchase p2(t=50).  Last-touch: p1→c1, p2→c2;
+    first-touch: both→v1; linear: p1 splits over {v1,c1}, p2 over
+    {v1,c1,c2}; a lookback of 15s restricts p1 to {c1} and p2 to {c2};
+    conversions with no qualifying touch emit nothing."""
+    from pigout_spark.pipeline.behavioral import attribution
+
+    rows = [
+        (1, 10, "view", 1000),
+        (1, 11, "click", 1020),
+        (1, 12, "purchase", 1030),
+        (1, 13, "click", 1040),
+        (1, 14, "purchase", 1050),
+        (2, 20, "purchase", 1000),  # no touches at all
+    ]
+    df = spark.createDataFrame(
+        [(u, e, t, float(s)) for u, e, t, s in rows],
+        "user_id bigint, event_id bigint, event_type string, s double",
+    ).selectExpr(
+        "user_id", "event_id", "event_type",
+        "CAST(to_timestamp(s) AS timestamp_ntz) AS ts",
+    )
+
+    def rowsof(model, lb=None):
+        return sorted(
+            (r.conv_id, r.touch_id, round(r.credit, 6))
+            for r in attribution(df, model=model, lookback_seconds=lb).collect()
+        )
+
+    assert rowsof("last") == [(12, 11, 1.0), (14, 13, 1.0)]
+    assert rowsof("first") == [(12, 10, 1.0), (14, 10, 1.0)]
+    assert rowsof("linear") == [
+        (12, 10, 0.5), (12, 11, 0.5),
+        (14, 10, round(1 / 3, 6)), (14, 11, round(1 / 3, 6)), (14, 13, round(1 / 3, 6)),
+    ]
+    assert rowsof("linear", lb=15) == [(12, 11, 1.0), (14, 13, 1.0)]
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown attribution model"):
+        attribution(df, model="shapley")
