@@ -454,3 +454,68 @@ def attribution(
             .withColumn("credit", F.lit(1.0))
         )
     return out.select(key, "conv_id", "touch_id", "touch_type", "credit")
+
+
+def rfm(
+    df: DataFrame,
+    r_bounds: list[float],
+    f_bounds: list[float],
+    m_bounds: list[float],
+    now_ts: int | None = None,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """RFM segmentation with EXPLICIT bin boundaries: per key compute
+    recency (seconds since last event, relative to ``now_ts`` — pass
+    it explicitly for reproducible runs; defaults to the corpus max
+    timestamp), frequency (event count), monetary (exact-decimal value
+    sum), then score each 1..len(bounds)+1 by its ascending boundary
+    list (score = 1 + #bounds strictly below the metric; for recency
+    LOWER is better, so its scores are reversed).
+
+    Boundaries are explicit — not ntile — BY DESIGN: a rank-based
+    split needs a total order over all keys (the keyless-window scale
+    killer), while fixed cuts are one narrow map after the per-key
+    aggregate.  Derive data-driven cuts from a q-digest of each metric
+    (sketches.py) at sketch cost — the corpus_monitoring composition.
+
+    Output: (key, recency_s, frequency, monetary, r, f, m, segment)
+    with segment = 100·r + 10·f + m (the conventional "rfm cell").
+    """
+    aggs = df.groupBy(key).agg(
+        F.max(F.unix_timestamp(ts_col)).alias("__last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col(value_col).cast("decimal(20,4)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    if now_ts is None:
+        mx = df.agg(F.max(F.unix_timestamp(ts_col)).alias("__now"))
+        aggs = aggs.crossJoin(F.broadcast(mx))
+    else:
+        aggs = aggs.withColumn("__now", F.lit(int(now_ts)))
+    aggs = aggs.withColumn(
+        "recency_s", (F.col("__now") - F.col("__last")).cast("bigint")
+    )
+
+    def score(col: str, bounds: list[float], reverse: bool = False):
+        s = F.lit(1)
+        for b in bounds:
+            s = s + F.when(F.col(col) > F.lit(b), 1).otherwise(0)
+        if reverse:
+            return F.lit(len(bounds) + 2) - s
+        return s
+
+    out = aggs.select(
+        key,
+        "recency_s",
+        "frequency",
+        "monetary",
+        score("recency_s", list(r_bounds), reverse=True).alias("r"),
+        score("frequency", list(f_bounds)).alias("f"),
+        score("monetary", list(m_bounds)).alias("m"),
+    )
+    return out.withColumn(
+        "segment", (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("int")
+    )

@@ -375,3 +375,60 @@ def x_attribution_linear(spark, sf_dir):
     return attribution(
         _events_s(spark, sf_dir), model="linear", lookback_seconds=86400
     )
+
+
+def _rfm_score_sql(col: str, bounds: list[float], reverse: bool = False) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {col} > {b} THEN 1 ELSE 0 END)" for b in bounds
+    )
+    s = f"(1 + {terms})"
+    return f"({len(bounds) + 2} - {s})" if reverse else s
+
+
+_RFM_R, _RFM_F, _RFM_M = [43200.0, 259200.0], [8.0, 20.0], [500.0, 2000.0]
+
+
+@query(
+    "x_rfm",
+    f"""
+    WITH e AS ({_ATTR_E}), a AS (
+      SELECT user_id,
+             MAX(epoch(ts)) AS last_s,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             {SQL_DSUM("value", "monetary")}
+      FROM (SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts,
+                   value FROM events) ev
+      GROUP BY user_id
+    ), nw AS (
+      SELECT MAX(last_s) AS now_s FROM a
+    ), rec AS (
+      SELECT user_id, CAST(now_s - last_s AS BIGINT) AS recency_s,
+             frequency, monetary
+      FROM a, nw
+    )
+    SELECT user_id, recency_s, frequency, monetary,
+           CAST({_rfm_score_sql("recency_s", _RFM_R, reverse=True)} AS INTEGER) AS r,
+           CAST({_rfm_score_sql("frequency", _RFM_F)} AS INTEGER) AS f,
+           CAST({_rfm_score_sql("monetary", _RFM_M)} AS INTEGER) AS m,
+           CAST({_rfm_score_sql("recency_s", _RFM_R, reverse=True)} * 100
+                + {_rfm_score_sql("frequency", _RFM_F)} * 10
+                + {_rfm_score_sql("monetary", _RFM_M)} AS INTEGER) AS segment
+    FROM rec
+    """,
+    extra=True,  # r6 addition; window full — selfcheck + pytest verified
+)
+def x_rfm(spark, sf_dir):
+    """RFM segmentation with explicit cut points (12h/3d recency,
+    8/20 frequency, 500/2000 monetary): per-user aggregate + narrow
+    scoring map — deliberately NOT ntile (rank splits need the
+    keyless-window scale killer; data-driven cuts come from q-digests
+    at sketch cost).  Hash-exact including the decimal-summed monetary
+    column (pipeline/behavioral.py:rfm)."""
+    from pigout_spark.pipeline.behavioral import rfm
+
+    return rfm(
+        _events_s(spark, sf_dir),
+        r_bounds=_RFM_R,
+        f_bounds=_RFM_F,
+        m_bounds=_RFM_M,
+    )

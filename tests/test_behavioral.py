@@ -421,3 +421,33 @@ def test_attribution_models(spark):
 
     with pytest.raises(ValueError, match="unknown attribution model"):
         attribution(df, model="shapley")
+
+
+def test_rfm_explicit_bounds(spark):
+    """Deterministic RFM: two users with known recency/frequency/
+    monetary land in the expected score cells; recency scoring is
+    REVERSED (fresher = higher); explicit now_ts pins reproducibility."""
+    from pigout_spark.pipeline.behavioral import rfm
+
+    rows = [
+        # user 1: 3 events ending at t=1000, total value 30
+        (1, "a", 900.0, 10.0), (1, "a", 950.0, 10.0), (1, "a", 1000.0, 10.0),
+        # user 2: 1 event at t=100, value 500
+        (2, "a", 100.0, 500.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, s double, value double"
+    ).selectExpr(
+        "user_id", "event_type",
+        "CAST(to_timestamp(s) AS timestamp_ntz) AS ts", "value"
+    )
+    out = {
+        r.user_id: (r.recency_s, r.frequency, r.monetary, r.r, r.f, r.m, r.segment)
+        for r in rfm(
+            df, r_bounds=[200.0], f_bounds=[2.0], m_bounds=[100.0], now_ts=1000
+        ).collect()
+    }
+    # user1: rec 0 (<200 -> r=2 of 2), freq 3 (>2 -> f=2), mon 30 (<100 -> m=1)
+    assert out[1] == (0, 3, 30.0, 2, 2, 1, 221)
+    # user2: rec 900 (>200 -> r=1), freq 1 -> f=1, mon 500 -> m=2
+    assert out[2] == (900, 1, 500.0, 1, 1, 2, 112)
