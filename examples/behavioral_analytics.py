@@ -83,6 +83,24 @@ def main() -> None:
     print("— rolling z-score anomalies (24h window, |z| > 2) —")
     rolling_zscore(ev, "ts", "user_id", "value", 86400, threshold=2.0).show(5)
 
+    from pigout_spark.pipeline.behavioral import attribution, rfm
+
+    print("— last-touch attribution (24h lookback): credit per channel —")
+    attribution(ev, model="last", lookback_seconds=86400).groupBy(
+        "touch_type"
+    ).agg(F.sum("credit").alias("conversions_credited")).show()
+
+    print("— linear attribution: same conversions, split credit —")
+    attribution(ev, model="linear", lookback_seconds=86400).groupBy(
+        "touch_type"
+    ).agg(F.round(F.sum("credit"), 2).alias("credit")).show()
+
+    print("— RFM cells (12h/3d, 8/20 events, 500/2000 value) —")
+    rfm(
+        ev, r_bounds=[43200.0, 259200.0], f_bounds=[8.0, 20.0],
+        m_bounds=[500.0, 2000.0],
+    ).groupBy("segment").count().orderBy(F.desc("count")).show(8)
+
     spark.stop()
 
 
