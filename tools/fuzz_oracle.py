@@ -384,10 +384,12 @@ def gen_query(rng: random.Random):
         return gen_temporal(rng)
     if r < 0.94:
         return gen_behavioral(rng)
-    if r < 0.97:
+    if r < 0.96:
         return gen_graph(rng)
-    if r < 0.99:
+    if r < 0.98:
         return gen_sketch(rng)
+    if r < 0.99:
+        return gen_attribution(rng)
     table = rng.choice(list(TABLES))
     strs, nums, doubles, ints = TABLES[table]
     preds, fexprs = [], []
@@ -1703,6 +1705,119 @@ def gen_sketch(rng: random.Random):
            CAST(n_common AS DOUBLE) / GREATEST(n_merged, 1) AS jaccard
     FROM t, c
     """
+    return build, sql
+
+
+# ------------------------------------------------- attribution / rfm fuzz ---
+
+
+def _id_cte(name: str, rows) -> str:
+    vals = ", ".join(
+        f"({i}, {k}, {_ts_sql(s)}, '{t}', {v!r})"
+        for i, (k, s, t, v) in enumerate(rows)
+    )
+    return (
+        f"{name} AS (SELECT * FROM (VALUES {vals})"
+        f" AS __{name}(id, k, ts, typ, v))"
+    )
+
+
+def _id_df(spark, rows):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [
+            (i, k, t0 + dt.timedelta(seconds=s), t, v)
+            for i, (k, s, t, v) in enumerate(rows)
+        ],
+        "id long, k long, ts timestamp, typ string, v double",
+    )
+
+
+def gen_attribution(rng: random.Random):
+    """Differential-fuzz attribution (random model/lookback over random
+    journeys with timestamp ties — the (ts, id) tie rule is the thing
+    under test) and RFM (random cut points, negative values allowed)."""
+    kind = rng.choice(["attrib", "rfm"])
+    rows = _rand_typed_rows(rng, rng.randint(8, 50), rng.randint(1, 4),
+                            ["a", "b", "p"])
+
+    if kind == "attrib":
+        model = rng.choice(["last", "first", "linear"])
+        lb = rng.choice([None, 60, 600, 3600])
+        lb_sql = f"AND epoch(cts) - epoch(tts) <= {lb}" if lb else ""
+        if model == "linear":
+            head = ("SELECT k, conv_id, touch_id, touch_type,"
+                    " 1.0 / (COUNT(*) OVER (PARTITION BY conv_id)) AS credit"
+                    " FROM j")
+        else:
+            ordr = "DESC" if model == "last" else "ASC"
+            head = (f"SELECT k, conv_id, touch_id, touch_type, 1.0 AS credit"
+                    f" FROM j QUALIFY row_number() OVER (PARTITION BY conv_id"
+                    f" ORDER BY tts {ordr}, touch_id {ordr}) = 1")
+        sql = f"""
+        WITH {_id_cte("ev", rows)},
+        c AS (SELECT k, id AS conv_id, ts AS cts FROM ev WHERE typ = 'p'),
+        t0 AS (SELECT k, id AS touch_id, typ AS touch_type, ts AS tts
+               FROM ev WHERE typ IN ('a', 'b')),
+        j AS (SELECT c.k, conv_id, touch_id, touch_type, tts
+              FROM c JOIN t0 USING (k)
+              WHERE (tts < cts OR (tts = cts AND touch_id < conv_id)) {lb_sql})
+        {head}
+        """
+
+        def build(spark, sf_dir, model=model, lb=lb):
+            from pigout_spark.pipeline.behavioral import attribution
+
+            return attribution(
+                _id_df(spark, rows), conversion="p", touch_types=("a", "b"),
+                model=model, lookback_seconds=lb,
+                ts_col="ts", key="k", type_col="typ", id_col="id",
+            )
+
+        return build, sql
+
+    rb = sorted(round(rng.uniform(0, 7200), 1) for _ in range(rng.randint(1, 3)))
+    fb = sorted(round(rng.uniform(1, 20), 1) for _ in range(rng.randint(1, 3)))
+    mb = sorted(round(rng.uniform(-200, 800), 1) for _ in range(rng.randint(1, 3)))
+
+    def score_sql(col, bounds, reverse=False):
+        terms = " + ".join(
+            f"(CASE WHEN {col} > {b} THEN 1 ELSE 0 END)" for b in bounds
+        )
+        s = f"(1 + {terms})"
+        return f"({len(bounds) + 2} - {s})" if reverse else s
+
+    sql = f"""
+    WITH {_id_cte("ev", rows)},
+    a AS (
+      SELECT k, MAX(epoch(ts)) AS last_s, CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(v AS DECIMAL(20,4))) AS DOUBLE) AS monetary
+      FROM ev GROUP BY k
+    ), nw AS (SELECT MAX(last_s) AS now_s FROM a),
+    rec AS (
+      SELECT k, CAST(now_s - last_s AS BIGINT) AS recency_s, frequency, monetary
+      FROM a, nw
+    )
+    SELECT k, recency_s, frequency, monetary,
+           CAST({score_sql("recency_s", rb, True)} AS INTEGER) AS r,
+           CAST({score_sql("frequency", fb)} AS INTEGER) AS f,
+           CAST({score_sql("monetary", mb)} AS INTEGER) AS m,
+           CAST({score_sql("recency_s", rb, True)} * 100
+                + {score_sql("frequency", fb)} * 10
+                + {score_sql("monetary", mb)} AS INTEGER) AS segment
+    FROM rec
+    """
+
+    def build(spark, sf_dir, rb=rb, fb=fb, mb=mb):
+        from pigout_spark.pipeline.behavioral import rfm
+
+        return rfm(
+            _id_df(spark, rows), r_bounds=rb, f_bounds=fb, m_bounds=mb,
+            ts_col="ts", key="k", value_col="v",
+        )
+
     return build, sql
 
 if __name__ == "__main__":
