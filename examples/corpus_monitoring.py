@@ -84,6 +84,16 @@ def main() -> None:
     for r in sorted(pcts.collect(), key=lambda r: (r.event_type, r.q)):
         print(f"  {r.event_type:10s} p{int(r.q * 100):02d} ≈ {r.est / 8:.2f}")
 
+    from pigout_spark.pipeline.curation import shingle_overlap
+
+    non_en = docs.filter(F.col("lang") != "en")
+    en = docs.filter(F.col("lang") == "en")
+    so = shingle_overlap(non_en, en, n=4, k=512).collect()[0]
+    print(f"contamination screen (non-en corpus vs en 'benchmark', "
+          f"4-gram shingles): J={so.jaccard:.4f} "
+          f"({so.n_common}/{so.n_merged}) — run exact decontaminate "
+          f"only when this is non-zero")
+
     probes = spark.createDataFrame(
         [("the",), ("and",), ("model",), ("data",)], "term string"
     )
