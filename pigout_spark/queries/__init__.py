@@ -47,7 +47,7 @@ from pigout_spark.queries import udf_q  # noqa: F401,E402
 # driver-checked after r6 (rotate in r7; also the late-r6 additions
 # x_qdigest_sketch, x_qdigest_quantiles, x_kmv_jaccard, x_zorder_key,
 # x_sample_weighted, x_dedup_incremental, x_surprisal, x_curate_e2e,
-# x_shingle_overlap, x_kmv_keyed, x_triangles, x_clustering_coef, x_kcore, x_attribution_last/linear, x_rfm):
+# x_shingle_overlap, x_kmv_keyed, x_triangles, x_clustering_coef, x_kcore, x_attribution_last/linear, x_rfm, x_funnel_latency):
 # x_funnel_counts, x_histogram,
 # x_gaps, x_sim_ivfq_topk, x_mm_decode, x_mm_frames, x_text_unigram,
 # x_text_rep_narrow, q31_datetime_arith, q32_in_filter, plus the

@@ -432,3 +432,46 @@ def x_rfm(spark, sf_dir):
         f_bounds=_RFM_F,
         m_bounds=_RFM_M,
     )
+
+
+_FL_K, _FL_LEVELS = 64, 22  # funnel latencies ≤ ~2.0M s at sf0.1 < 2^22
+_FL_QS = [0.5, 0.9, 0.99]
+
+
+def _funnel_latency_sql() -> str:
+    from pigout_spark.queries.pipeline_q import qdigest_quantiles_sql
+
+    inner = qdigest_quantiles_sql(
+        _FL_K,
+        _FL_LEVELS,
+        _FL_QS,
+        "SELECT s3 - s1 AS v FROM pk WHERE funnel_stage = 3",
+    )
+    # splice the funnel CTEs in front of the digest chain's WITH list
+    assert inner.strip().startswith("WITH vals")
+    return _FUNNEL_CTE + ", " + inner.strip()[len("WITH "):]
+
+
+@query(
+    "x_funnel_latency",
+    _funnel_latency_sql(),
+    extra=True,  # r6 addition; window full — selfcheck + pytest verified
+)
+def x_funnel_latency(spark, sf_dir):
+    """Conversion-latency percentiles for completed view→click→purchase
+    funnels — funnel_steps composed with the q-digest (22 levels covers
+    ~48-day latencies at 1 s resolution): p50/p90/p99 time-to-convert
+    with NO global sort anywhere, the digest's bounded batch replacing
+    the percentile_approx/ntile path.  Oracle = funnel CTE spliced into
+    the regenerated digest chain — the whole composition hash-exact."""
+    from pigout_spark.pipeline.behavioral import funnel_steps
+    from pigout_spark.pipeline.sketches import qdigest_build, qdigest_quantiles
+
+    out = funnel_steps(_events_s(spark, sf_dir), ["view", "click", "purchase"])
+    lat = out.filter(F.col("funnel_stage") == 3).select(
+        (
+            F.unix_timestamp("step_3_ts") - F.unix_timestamp("step_1_ts")
+        ).alias("v")
+    )
+    d = qdigest_build(lat, "v", k=_FL_K, levels=_FL_LEVELS)
+    return qdigest_quantiles(d, _FL_QS, k=_FL_K, levels=_FL_LEVELS)
