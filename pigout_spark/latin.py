@@ -981,8 +981,19 @@ class PigSession:
         if not m:
             raise PigSyntaxError(f"bad LOAD: {rhs}")
         uri, fn, arg, schema = m.groups()
-        if self.catalog is not None and "/" not in uri and "." not in uri:
-            return self.catalog.load(self.spark, uri)
+        if "/" not in uri and "." not in uri:
+            # bare name = a catalog table, never a file path
+            if self.catalog is not None:
+                return self.catalog.load(self.spark, uri)
+            import os
+
+            if not os.path.exists(uri):
+                raise PigSyntaxError(
+                    f"LOAD '{uri}': bare relation name but no catalog is "
+                    f"registered and no such local path exists — run with a "
+                    f"catalog (pigout_run.py --catalog SF_DIR) or LOAD an "
+                    f"explicit file path"
+                )
         fn = (fn or "").lower()
         if fn == "pigstorage" or (not fn and not uri.endswith(".parquet")):
             reader = self.spark.read.option("sep", arg or "\t")
