@@ -1238,7 +1238,7 @@ def x_shuffle_order(spark, sf_dir):
       SELECT CAST(SUM(tf) AS DOUBLE) AS n FROM fr
     )
     SELECT doc_id,
-           ROUND(AVG(ln(tf / n)), 6) AS mean_logprob6,
+           ROUND(AVG(ln(tf / n)), 6) + 0.0 AS mean_logprob6,
            CAST(COUNT(*) AS BIGINT) AS n_tokens
     FROM b JOIN fr USING (tok) CROSS JOIN tot
     GROUP BY doc_id
@@ -1255,7 +1255,7 @@ def x_text_unigram(spark, sf_dir):
     out = unigram_logprob(tf(spark, sf_dir, "documents"))
     return out.select(
         "doc_id",
-        F.round("mean_logprob", 6).alias("mean_logprob6"),
+        (F.round("mean_logprob", 6) + F.lit(0.0)).alias("mean_logprob6"),
         "n_tokens",
     )
 
@@ -1443,7 +1443,7 @@ _DSIR_CTES = f"""
     "x_dsir_weights",
     _DSIR_CTES
     + """
-    SELECT doc_id, ROUND(log_weight, 6) AS log_weight6, n_tokens
+    SELECT doc_id, ROUND(log_weight, 6) + 0.0 AS log_weight6, n_tokens
     FROM w
     """,
 )
@@ -1458,7 +1458,7 @@ def x_dsir_weights(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     out = importance_weights(d, d.filter(F.col("source") == "src0"))
     return out.select(
-        "doc_id", F.round("log_weight", 6).alias("log_weight6"), "n_tokens"
+        "doc_id", (F.round("log_weight", 6) + F.lit(0.0)).alias("log_weight6"), "n_tokens"
     )
 
 
@@ -1474,7 +1474,7 @@ def x_dsir_weights(spark, sf_dir):
                        + 0.5) / 4294967296.0)) AS score
       FROM w
     )
-    SELECT doc_id, ROUND(score, 6) AS score6
+    SELECT doc_id, ROUND(score, 6) + 0.0 AS score6
     FROM g ORDER BY score DESC, doc_id LIMIT 100
     """,
 )
@@ -1489,7 +1489,7 @@ def x_dsir_sample(spark, sf_dir):
     out = importance_resample(
         d, d.filter(F.col("source") == "src0"), k=100, seed="5"
     )
-    return out.select("doc_id", F.round("score", 6).alias("score6"))
+    return out.select("doc_id", (F.round("score", 6) + F.lit(0.0)).alias("score6"))
 
 
 @query(
@@ -1843,7 +1843,7 @@ def x_tfidf_terms(spark, sf_dir):
       SELECT CAST(COUNT(*) AS DOUBLE) AS T FROM pairs
     )
     SELECT x, y, pair_n,
-           ROUND(ln(pair_n * T / (ux.c * uy.c)), 6) AS pmi6
+           ROUND(ln(pair_n * T / (ux.c * uy.c)), 6) + 0.0 AS pmi6
     FROM pc
     JOIN uni ux ON pc.x = ux.tok
     JOIN uni uy ON pc.y = uy.tok
@@ -1859,7 +1859,7 @@ def x_pmi_pairs(spark, sf_dir):
 
     out = pmi_pairs(t(spark, sf_dir, "documents"), min_count=5)
     return out.select(
-        "x", "y", "pair_n", F.round("pmi", 6).alias("pmi6")
+        "x", "y", "pair_n", (F.round("pmi", 6) + F.lit(0.0)).alias("pmi6")
     )
 
 
