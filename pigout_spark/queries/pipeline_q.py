@@ -110,18 +110,38 @@ def _minhash_sql(num_hashes: int, rows_per_band: int, src: str = "documents") ->
     )
 
 
-def _clusters_sql(src: str = "documents") -> str:
-    """Transitive closure of the MinHash pair graph via a recursive CTE
-    — the SQL twin of pointer-jumping connected components."""
+def _clusters_sql(src: str = "documents", rounds: int = 6) -> str:
+    """Connected components of the MinHash pair graph as UNROLLED
+    min-label propagation + pointer jumping — the true SQL twin of the
+    Spark algorithm.  (The r1–r5 oracle used a recursive-CTE transitive
+    closure, whose O(Σ|component|²) reach relation exceeded 5 minutes
+    on the sf0.1 duplicate graph; per-round intermediates here are
+    node-sized, and the label-of-label jump halves path lengths so
+    ``rounds``=6 covers diameters far beyond any LSH near-dup graph.)
+    Label propagation past the fixpoint is a no-op, so over-unrolling
+    is exact — the same argument as the k-core oracle."""
+    parts = [
+        "pairs AS MATERIALIZED (\n" + _minhash_sql(_MH_HASHES, _MH_ROWS, src) + "\n)",
+        "edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs"
+        " UNION SELECT doc_b, doc_a FROM pairs)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lab FROM edges)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"p{i} AS MATERIALIZED (\n"
+            f"  SELECT e.v AS node, MIN(l.lab) AS m\n"
+            f"  FROM edges e JOIN l{i-1} l ON l.node = e.u GROUP BY e.v\n"
+            f"), q{i} AS MATERIALIZED (\n"
+            f"  SELECT l.node, LEAST(l.lab, COALESCE(p.m, l.lab)) AS lab\n"
+            f"  FROM l{i-1} l LEFT JOIN p{i} p ON p.node = l.node\n"
+            f"), l{i} AS MATERIALIZED (\n"
+            f"  SELECT q.node, q2.lab AS lab\n"
+            f"  FROM q{i} q JOIN q{i} q2 ON q2.node = q.lab\n"
+            f")"
+        )
     return (
-        "WITH RECURSIVE pairs AS (\n" + _minhash_sql(_MH_HASHES, _MH_ROWS, src)
-        + "\n), edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs"
-        "  UNION SELECT doc_b, doc_a FROM pairs),\n"
-        "reach(u, v) AS (SELECT u, v FROM edges UNION"
-        "  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),\n"
-        "allr AS (SELECT u, v FROM reach UNION SELECT u, u AS v FROM edges)\n"
-        "SELECT u AS doc_id, CAST(MIN(v) AS BIGINT) AS cluster_id"
-        " FROM allr GROUP BY u"
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node AS doc_id, CAST(lab AS BIGINT) AS cluster_id FROM l{rounds}"
     )
 
 
