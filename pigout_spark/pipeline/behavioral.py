@@ -406,8 +406,9 @@ def attribution(
     predicates; amplification is per-key touches×conversions, so the
     behavioral skew guard applies — pass ``max_events_per_key`` to cap
     bot keys (:func:`cap_events_per_key`), and a lookback bounds the
-    window further.  The per-conversion rank/count is a conv_id-keyed
-    window — conversion-sized, not corpus-sized.
+    window further.  The per-conversion rank/count is a
+    (key, conv_id)-keyed window — conversion-sized, not corpus-sized —
+    so ``id_col`` only needs to be unique *per key*, not globally.
     """
     if model not in ("last", "first", "linear"):
         raise ValueError(f"unknown attribution model: {model!r}")
@@ -436,8 +437,11 @@ def attribution(
             F.unix_timestamp("__cts") - F.unix_timestamp("__tts")
             <= int(lookback_seconds)
         )
+    # Partition by (key, conv_id), not conv_id alone: if event ids are
+    # only unique per key, two users sharing a conv_id must not pool
+    # credit.  Identical result when ids are globally unique.
     if model == "linear":
-        w = Window.partitionBy("conv_id")
+        w = Window.partitionBy(key, "conv_id")
         out = j.withColumn(
             "credit", F.lit(1.0) / F.count(F.lit(1)).over(w)
         )
@@ -447,7 +451,7 @@ def attribution(
             if model == "last"
             else [F.col("__tts").asc(), F.col("touch_id").asc()]
         )
-        w = Window.partitionBy("conv_id").orderBy(*order)
+        w = Window.partitionBy(key, "conv_id").orderBy(*order)
         out = (
             j.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)

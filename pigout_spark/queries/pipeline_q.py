@@ -2228,9 +2228,12 @@ def _pagerank_sql(iters: int) -> str:
     ctes = [
         # integer node ids: suppliers keep their key, parts are offset
         # into a disjoint range — int64 keys shuffle/hash far cheaper
-        # than prefixed strings in BOTH engines (r6)
+        # than prefixed strings in BOTH engines (r6).  The offset is
+        # 2^32 (r7): TPC-H keys are 32-bit-bounded at any published SF,
+        # so the ranges can never collide (a +10M offset would merge
+        # supplier and part nodes once l_suppkey reached 10M, ~sf1000).
         "e AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS s,"
-        " CAST(l_partkey + 10000000 AS BIGINT) AS d FROM lineitem)",
+        " CAST(l_partkey + 4294967296 AS BIGINT) AS d FROM lineitem)",
         "deg AS (SELECT s, COUNT(*) AS deg FROM e GROUP BY s)",
         "nodes AS (SELECT DISTINCT node FROM"
         " (SELECT s AS node FROM e UNION SELECT d FROM e))",
@@ -2274,7 +2277,9 @@ def x_pagerank(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     edges = li.select(
         F.col("l_suppkey").cast("long").alias("src"),
-        (F.col("l_partkey") + 10_000_000).cast("long").alias("dst"),
+        # 2^32 offset: disjoint from any 32-bit-bounded supplier key
+        # domain (mirrored in _pagerank_sql) — never collides at scale
+        (F.col("l_partkey") + 4_294_967_296).cast("long").alias("dst"),
     ).distinct()
     return pagerank(edges, iterations=3)
 
@@ -3247,11 +3252,21 @@ def _kcore_sql(k: int, rounds: int) -> str:
     )""")
         i += 1
     chain = ",\n    ".join(parts)
+    # Convergence guard: the unroll is only equal to run-to-fixpoint if
+    # the LAST round peeled nothing (w{rounds} empty).  A denser SF
+    # needing more rounds must fail LOUDLY (error()) rather than as a
+    # silent hash mismatch.  The guard column must be referenced in
+    # WHERE or DuckDB's column pruning eliminates the whole branch.
     return f"""
     WITH {chain}
     SELECT DISTINCT n FROM (
       SELECT a AS n FROM e{rounds} UNION ALL SELECT b FROM e{rounds}
-    )
+    ) CROSS JOIN (
+      SELECT CASE WHEN (SELECT COUNT(*) FROM w{rounds}) = 0 THEN 1
+             ELSE CAST(error('kcore oracle: {rounds}-round unroll did not converge — raise rounds') AS INT)
+             END AS g
+    ) guard
+    WHERE guard.g = 1
     """
 
 

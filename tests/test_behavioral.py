@@ -423,6 +423,42 @@ def test_attribution_models(spark):
         attribution(df, model="shapley")
 
 
+def test_attribution_per_key_event_ids(spark):
+    """Event ids unique only *per user*: two users each have conv_id=5
+    with different touch sets.  Credit must not pool across users —
+    user 1's linear split is over its own 2 touches (0.5 each), user
+    2's over its single touch (1.0)."""
+    from pigout_spark.pipeline.behavioral import attribution
+
+    rows = [
+        (1, 1, "view", 1000),
+        (1, 2, "click", 1010),
+        (1, 5, "purchase", 1020),
+        (2, 3, "click", 1000),
+        (2, 5, "purchase", 1020),
+    ]
+    df = spark.createDataFrame(
+        [(u, e, t, float(s)) for u, e, t, s in rows],
+        "user_id bigint, event_id bigint, event_type string, s double",
+    ).selectExpr(
+        "user_id", "event_id", "event_type",
+        "CAST(to_timestamp(s) AS timestamp_ntz) AS ts",
+    )
+    got = sorted(
+        (r.user_id, r.conv_id, r.touch_id, round(r.credit, 6))
+        for r in attribution(df, model="linear").collect()
+    )
+    assert got == [
+        (1, 5, 1, 0.5), (1, 5, 2, 0.5),
+        (2, 5, 3, 1.0),
+    ]
+    last = sorted(
+        (r.user_id, r.conv_id, r.touch_id)
+        for r in attribution(df, model="last").collect()
+    )
+    assert last == [(1, 5, 2), (2, 5, 3)]
+
+
 def test_rfm_explicit_bounds(spark):
     """Deterministic RFM: two users with known recency/frequency/
     monetary land in the expected score cells; recency scoring is

@@ -1436,6 +1436,42 @@ def test_curate_cli_end_to_end(tmp_path):
     assert got[0] > 0 and got[1] >= 2
 
 
+def test_curate_cli_surprisal_keeps_zero_token_docs(tmp_path, spark):
+    """The surprisal stage gates on model surprisal ONLY: docs with no
+    tokens (empty/whitespace text) get no score and must pass through
+    rather than being silently inner-joined away."""
+    import subprocess
+    import sys as _sys
+
+    import duckdb as _duckdb
+
+    src = tmp_path / "docs.parquet"
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the the the the the the"),
+            (3, ""),  # zero tokens: no surprisal score
+            (4, "   "),  # whitespace-only: no surprisal score
+        ],
+        "doc_id bigint, text string",
+    ).coalesce(1).write.parquet(str(src))
+    out_dir = tmp_path / "curated"
+    r = subprocess.run(
+        [
+            _sys.executable, "tools/curate.py", str(src), str(out_dir),
+            "--stages", "surprisal", "--max-surprisal", "1e9",
+        ],
+        capture_output=True, text=True, timeout=420, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    ids = sorted(
+        x[0] for x in _duckdb.connect().execute(
+            f"SELECT doc_id FROM read_parquet('{out_dir}/*.parquet')"
+        ).fetchall()
+    )
+    assert ids == [1, 2, 3, 4]
+
+
 def test_semantic_dedup_pairs_and_retention(spark):
     """SemDeDup composition: near-identical vectors pair (cosine ≥ t)
     within their k-means cell, transitive groups collapse to the
@@ -2273,3 +2309,32 @@ def test_k_core_peeling_cascades(spark):
     chain = [(i, i + 1) for i in range(6)]
     with pytest.raises(RuntimeError, match="converge"):
         kc(chain, 2, max_rounds=1)
+
+
+def test_kcore_oracle_convergence_guard():
+    """The unrolled SQL oracle must fail LOUDLY (not hash-mismatch)
+    when its fixed round count is too small for the data: a chain that
+    needs 2 peel rounds at k=2 errors under a 1-round unroll and
+    returns the exact core under a sufficient one."""
+    import duckdb
+    import pytest
+
+    from pigout_spark.queries.pipeline_q import _kcore_sql
+
+    con = duckdb.connect()
+    # Triangle with a 2-link tail: l_orderkey groups of co-purchases.
+    # Orders 1-3 pairwise connect suppliers {1,2,3}; orders 4,5 chain
+    # 3-4-5.  At k=2 the tail needs two peel rounds (5 then 4).
+    con.execute("""
+        CREATE TABLE lineitem AS SELECT * FROM (VALUES
+          (1, 1, 99.0), (1, 2, 99.0),
+          (2, 2, 99.0), (2, 3, 99.0),
+          (3, 1, 99.0), (3, 3, 99.0),
+          (4, 3, 99.0), (4, 4, 99.0),
+          (5, 4, 99.0), (5, 5, 99.0)
+        ) t(l_orderkey, l_suppkey, l_quantity)
+    """)
+    ok = sorted(r[0] for r in con.execute(_kcore_sql(2, 4)).fetchall())
+    assert ok == [1, 2, 3]
+    with pytest.raises(duckdb.Error, match="did not converge"):
+        con.execute(_kcore_sql(2, 1)).fetchall()

@@ -182,11 +182,18 @@ def main() -> int:
             from pigout_spark.pipeline.text import surprisal_score
 
             scores = surprisal_score(df, id_col=id_col, text_col=text_col)
-            df = df.join(
-                scores.filter(
-                    F.col("mean_surprisal") <= args.max_surprisal
-                ).select(id_col),
-                id_col,
+            # Left join, not inner: zero-token docs get no surprisal
+            # score and must pass through (this stage gates on model
+            # surprisal only; emptiness is the quality stage's call).
+            df = (
+                df.join(
+                    scores.select(id_col, "mean_surprisal"), id_col, "left"
+                )
+                .filter(
+                    F.col("mean_surprisal").isNull()
+                    | (F.col("mean_surprisal") <= args.max_surprisal)
+                )
+                .drop("mean_surprisal")
             )
         elif stage == "incremental":
             if not args.corpus_bands:
