@@ -37,95 +37,87 @@ from pigout_spark.queries import udf_q  # noqa: F401,E402
 # into the window this round come first — a hedge against any
 # time-based element of the cutoff.
 #
-# r6 rotation (VERDICT r5 task 1): 41 extras had never held a driver
-# CORRECTNESS row after the r5 feature burst.  This round swaps the 29
-# of them that have hash-checkable SQL oracles into the window
-# (_ROTATE_IN), displacing 29 rows that went driver-green in r5 and
-# whose operator families stay driver-covered (_ROTATE_OUT → extras,
-# keeping their local oracles).  x_bpe_encode enters via its r6
-# hash-checked upgrade (merge-table replay oracle).  Still never
-# driver-checked after r6 (rotate in r7; also the late-r6 additions
-# x_qdigest_sketch, x_qdigest_quantiles, x_kmv_jaccard, x_zorder_key,
-# x_sample_weighted, x_dedup_incremental, x_surprisal, x_curate_e2e,
-# x_shingle_overlap, x_kmv_keyed, x_triangles, x_clustering_coef, x_kcore, x_attribution_last/linear, x_rfm, x_funnel_latency):
-# x_funnel_counts, x_histogram,
-# x_gaps, x_sim_ivfq_topk, x_mm_decode, x_mm_frames, x_text_unigram,
-# x_text_rep_narrow, q31_datetime_arith, q32_in_filter, plus the
-# genuinely rows-only x_ewma / x_sample_bernoulli.
-_ROTATE_IN = [
-    "x_semantic_pairs",
-    "x_semantic_retain",
-    "x_pagerank",
-    "x_quality_filter",
-    "x_overlap_join",
-    "x_ivfpq_topk",
-    "x_latin_udf",
-    "x_cohort_retention",
-    "x_session_paths",
-    "x_twa",
-    "x_ohlc",
-    "x_interp",
-    "x_zscore",
-    "x_rolling",
-    "x_events_resample",
-    "x_kmv_sketch",
-    "x_kmv_estimate",
-    "x_cms_sketch",
-    "x_cms_estimate",
-    "x_profile",
-    "x_pivot",
-    "x_split_corpus",
-    "x_sample_exact",
-    "x_shuffle_order",
-    "x_normalize",
-    "x_tfidf_terms",
-    "x_pmi_pairs",
-    "x_vocab_kl",
-    "x_bpe_encode",
+# r7 rotation (VERDICT r5 task 1 continued): after the r6 rotation,
+# exactly 30 queries had still never held a driver CORRECTNESS row
+# (computed from CORRECTNESS_r01..r06): the late-r6 additions plus the
+# tail the 50-slot window could not fit.  The window below is now an
+# EXPLICIT list — cumulative incremental rotations had become hard to
+# audit — containing the flagship, all 30 never-checked entries (28
+# hash-checkable; x_sample_bernoulli / x_bpe_encode_trained are
+# genuinely rows-only and get the driver's weaker gate), and 19
+# settled anchors that keep every operator family driver-covered.
+# Everything else moves to EXTRA_REGISTRY, keeping its local oracle
+# (tools/selfcheck.py + tests/test_queries.py).  After r7 every
+# registered query will have held at least one driver row.
+_WINDOW_R7 = [
+    "q01_group_agg",  # flagship
+    # never driver-checked before r7 — hash-checkable oracles
+    "q31_datetime_arith",
+    "q32_in_filter",
+    "x_attribution_last",
+    "x_attribution_linear",
+    "x_clustering_coef",
+    "x_curate_e2e",
+    "x_dedup_incremental",
+    "x_ewma",
+    "x_funnel_counts",
+    "x_funnel_latency",
+    "x_gaps",
+    "x_histogram",
+    "x_kcore",
+    "x_kmv_jaccard",
+    "x_kmv_keyed",
+    "x_mm_decode",
+    "x_mm_frames",
+    "x_qdigest_quantiles",
+    "x_qdigest_sketch",
+    "x_rfm",
+    "x_sample_weighted",
+    "x_shingle_overlap",
+    "x_sim_ivfq_topk",
+    "x_surprisal",
+    "x_text_rep_narrow",
+    "x_text_unigram",
+    "x_triangles",
+    "x_zorder_key",
+    # never driver-checked — genuinely rows-only (no SQL twin)
+    "x_sample_bernoulli",
+    "x_bpe_encode_trained",
+    # settled anchors: one driver-green row per operator family
+    "q02_filter_project",
+    "q03_join_agg",
+    "q05_broadcast_join",
+    "q06_semi_anti",
+    "q11_cube",
+    "q13_flatten_tokenize",
+    "q15_nested_topk",
+    "q38_bloom_join",
+    "q24_pandas_udf",
+    "q25_udaf",
+    "q26_udtf",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash_pairs",
+    "sim_ivf_topk",
+    "text_quality",
+    "text_langid",
+    "mm_binary_meta",
+    "x_latin_q01",
 ]
-_ROTATE_OUT = [
-    "x_asof_join",
-    "x_range_join",
-    "x_rollup_timeseries",
-    "x_kmv_merge",
-    "x_sessionize",
-    "x_funnel",
-    "x_dedup_clusters",
-    "x_dedup_retain",
-    "x_text_chunks",
-    "x_text_pii",
-    "x_text_repetition",
-    "x_emb_quantize",
-    "x_text_pack",
-    "sim_quant_topk",
-    "x_stream_join",
-    "x_latin_topk",
-    "x_pq_topk",
-    "x_rank_by_scalable",
-    "x_row_rank_two_pass",
-    "x_stream_dedup",
-    "x_dedup_passages",
-    "x_passage_stats",
-    "x_mixture_sample",
-    "x_bpe_pairs",
-    "x_dsir_weights",
-    "x_dsir_sample",
-    "x_corpus_stats",
-    "x_decontaminate",
-    "x_token_budget",
-]
-for _k in _ROTATE_OUT:
-    if _k in REGISTRY:
+assert len(_WINDOW_R7) == len(set(_WINDOW_R7)) == 50
+_window = set(_WINDOW_R7)
+for _k in list(REGISTRY):
+    if _k not in _window:
         EXTRA_REGISTRY[_k] = REGISTRY.pop(_k)
-for _k in _ROTATE_IN:
-    if _k in EXTRA_REGISTRY:
+for _k in list(EXTRA_REGISTRY):
+    if _k in _window:
         REGISTRY[_k] = EXTRA_REGISTRY.pop(_k)
+_missing = _window - set(REGISTRY)
+assert not _missing, f"window names not registered anywhere: {_missing}"
 
-# Keep the flagship first, new-this-round rows next, settled core last.
-_PRIORITY = ["q01_group_agg", *_ROTATE_IN]
-_ordered = {k: REGISTRY[k] for k in _PRIORITY if k in REGISTRY}
-for _k, _v in list(REGISTRY.items()):
-    _ordered.setdefault(_k, _v)
+# Window order == list order (new-this-round rows right after the
+# flagship, settled anchors last).
+_ordered = {k: REGISTRY[k] for k in _WINDOW_R7}
 REGISTRY.clear()
 REGISTRY.update(_ordered)
 
