@@ -64,16 +64,28 @@ def pagerank(
     from pyspark.sql import Window
 
     # Materialize the (typically derived — a distinct, a projection of
-    # a fact table) edge relation ONCE: nodes, degrees, and the
-    # iteration all read the checkpointed list instead of re-running
-    # the upstream plan 4× (the pre-r6 shape recomputed a 600k-row
-    # distinct for every consumer).
-    e0 = edges.select(
-        F.col(src).alias("__s"), F.col(dst).alias("__d")
-    ).localCheckpoint(eager=False)
+    # a fact table) DEGREE-ANNOTATED edge relation once: a single
+    # checkpoint serves the iteration, the node derivation, and the
+    # degree lookup (r7: the previous shape checkpointed the raw edges
+    # AND the annotated edges — two materializations of the same 600k
+    # rows; one suffices since every consumer tolerates the __deg
+    # column).  Degree via a window count on the source partitioning —
+    # one exchange, no join, and the result is HashPartitioned(__s)
+    # for every round's contribution join.
+    e = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .repartition("__s")
+        .withColumn(
+            "__deg", F.count(F.lit(1)).over(Window.partitionBy("__s"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    # Nodes read the checkpointed edges (recomputed once more by the
+    # final join — one shuffle from the checkpoint, cheaper than a
+    # second materialization barrier; measured r7).
     nodes = (
-        e0.select(F.col("__s").alias("node"))
-        .unionByName(e0.select(F.col("__d").alias("node")))
+        e.select(F.col("__s").alias("node"))
+        .unionByName(e.select(F.col("__d").alias("node")))
         .distinct()
     )
     n = nodes.count()
@@ -89,16 +101,6 @@ def pagerank(
                 "rank"
             ),
         )
-    # Degree via a window count on the source partitioning — one
-    # exchange, no join, and the result is HashPartitioned(__s) for
-    # every round's contribution join.
-    e = (
-        e0.repartition("__s")
-        .withColumn(
-            "__deg", F.count(F.lit(1)).over(Window.partitionBy("__s"))
-        )
-        .localCheckpoint(eager=False)
-    )
     # rank_i(u) = base + (d·sums_i(u)) div 100 is folded INTO the next
     # round's contribution expression, so a round is ONE left join of
     # the edge list with the (dst-keyed) sums relation — co-partitioned,

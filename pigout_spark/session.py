@@ -26,6 +26,16 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Respect the advisory partition size when coalescing instead of
+    # stopping at default parallelism — the Spark docs' recommended
+    # production setting.  Post-shuffle stages over small intermediates
+    # run a handful of right-sized tasks rather than one tiny task per
+    # core (measured r7: ~15% off the per-query constant on
+    # floor-dominated queries at sf0.1, neutral on data-proportional
+    # ones).  Iterative ops that must keep their per-round parallelism
+    # under tiny test inputs pin it explicitly (plans/partitioning.py:
+    # pin_partitions).
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
 }
 
 
