@@ -372,3 +372,124 @@ def overlap_join(
         *[l[c] for c in left.columns],
         *[r[c] for c in rcols],
     )
+
+
+def edit_distance_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    left_id: str = "id",
+    left_str: str = "s",
+    right_id: str = "id",
+    right_str: str = "s",
+    q: int = 2,
+) -> DataFrame:
+    """Fuzzy string join: all (left, right) pairs whose strings are
+    within Levenshtein distance ``k`` — EDJoin-style q-gram prefix
+    filtering (Xiao, Wang & Lin, VLDB 2008), never string×string.
+
+    Filter chain, each step provably lossless:
+
+    1. One edit operation destroys at most ``q`` distinct q-grams, so
+       ed(s,t) ≤ k ⟹ |G(s)∩G(t)| ≥ |G(s)| − k·q.  By the prefix-filter
+       theorem under a GLOBAL q-gram order (rarest first — document
+       frequency over both sides, gram as tiebreak), matching pairs
+       must share a gram within each side's first min(|G|, k·q+1)
+       grams.  Candidates come from an equi-join on those prefix grams
+       only — rare-first ordering makes hot-gram buckets structurally
+       impossible for selective grams and bounds each string's join
+       fan-out by k·q+1 rows.
+    2. LOW-GRAM strings (fewer than k·q+1 q-grams, i.e. len < q·(k+1))
+       fall outside the theorem — k edits can destroy their every gram,
+       so a matching pair may share none.  But if EITHER side has
+       ≥ k·q+1 grams the overlap bound still forces a shared prefix
+       gram, so only LOW×LOW pairs can escape the equi-join: those are
+       swept by a broadcast cross of the two low-gram sides (strings
+       bounded by |alphabet|^(q·(k+1)−1) — a constant-sized value
+       domain) under the length filter.
+    3. Survivors verify with the exact JVM ``levenshtein`` under the
+       |len(s)−len(t)| ≤ k length filter.
+
+    Output: (left_id, right_id, dist), distinct pairs.
+
+    100 TB: two narrow gram-explode passes (k·q+1 rows kept per
+    string), one vocabulary-sized df aggregation, one gram-keyed
+    equi-join, one pair distinct, one verify join per side — all
+    key-equi, no cartesian (the short-string path broadcasts a
+    constant-sized side).
+    """
+    if k < 0 or q < 1:
+        raise ValueError(f"need k >= 0 and q >= 1, got k={k}, q={q}")
+    pref_n = k * q + 1
+
+    def prep(df: DataFrame, id_col: str, s_col: str, tag: str):
+        base = df.select(
+            F.col(id_col).alias(f"__{tag}id"),
+            F.col(s_col).cast("string").alias(f"__{tag}s"),
+        ).filter(F.col(f"__{tag}s").isNotNull())
+        grams = base.select(
+            f"__{tag}id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, greatest(length(__{tag}s) - {q} + 1, 0)),"
+                        f" i -> substring(__{tag}s, i, {q}))"
+                    )
+                )
+            ).alias("__g"),
+        )
+        return base, grams
+
+    lbase, lgrams = prep(left, left_id, left_str, "l")
+    rbase, rgrams = prep(right, right_id, right_str, "r")
+
+    # Global rare-first gram order: document frequency over BOTH sides.
+    df_counts = (
+        lgrams.select("__g")
+        .unionByName(rgrams.select("__g"))
+        .groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+
+    def prefix(grams: DataFrame, tag: str):
+        w = Window.partitionBy(f"__{tag}id").orderBy("__df", "__g")
+        return (
+            grams.join(df_counts, "__g")
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= pref_n)
+            .select(f"__{tag}id", "__g")
+        )
+
+    cands = (
+        prefix(lgrams, "l")
+        .join(prefix(rgrams, "r"), "__g")
+        .select("__lid", "__rid")
+        .distinct()
+    )
+
+    # Low-gram strings (len < q·(k+1)): only LOW×LOW pairs can evade
+    # the gram join (docstring step 2) — sweep exactly those.
+    low_len = q * (k + 1)
+    lshort = lbase.filter(F.length("__ls") < low_len).select("__lid", "__ls")
+    rshort = rbase.filter(F.length("__rs") < low_len).select("__rid", "__rs")
+    swept = (
+        F.broadcast(lshort)
+        .crossJoin(rshort)
+        .filter(F.abs(F.length("__ls") - F.length("__rs")) <= k)
+        .select("__lid", "__rid")
+    )
+    cands = cands.unionByName(swept).distinct()
+
+    verified = (
+        cands.join(lbase, "__lid")
+        .join(rbase, "__rid")
+        .filter(
+            (F.abs(F.length("__ls") - F.length("__rs")) <= k)
+            & (F.levenshtein("__ls", "__rs") <= k)
+        )
+    )
+    return verified.select(
+        F.col("__lid").alias(left_id if left_id != right_id else f"l_{left_id}"),
+        F.col("__rid").alias(right_id if left_id != right_id else f"r_{right_id}"),
+        F.levenshtein("__ls", "__rs").cast("long").alias("dist"),
+    )

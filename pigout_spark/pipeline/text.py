@@ -774,6 +774,72 @@ def surprisal_score(
     )
 
 
+def bigram_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Bigram-LM surprisal: mean −ln p(w2|w1) per document under the
+    corpus's own bigram model with Laplace ``alpha`` smoothing,
+
+        p(w2|w1) = (c(w1,w2) + α) / (c(w1,·) + α·V)
+
+    where c(w1,·) is the bigram-start marginal and V the corpus token
+    vocabulary — the next step up from :func:`surprisal_score` on the
+    curation-scoring ladder (fluency-sensitive: shuffled or
+    boilerplate-repetitive text scores differently from natural order
+    even when the unigram mix is identical).  The corpus is the model;
+    docs with fewer than 2 tokens produce no bigrams and are dropped.
+
+    Output: (id, n_bigrams, mean_bigram_surprisal).
+
+    100 TB: bigrams are built ARRAY-SIDE per document (one transform,
+    no positional self-join), then one bigram-keyed aggregation
+    (vocab²-bounded but corpus-sparse, map-side combined), one
+    model-sized join back to the bigram stream, one per-doc
+    aggregation.  Never doc×vocab, no window, no UDF.
+    """
+    toks = df.select(
+        F.col(id_col),
+        ws_tokens(text_col, distinct=False).alias("__toks"),
+    )
+    bg = toks.filter(F.size("__toks") >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__toks) - 1),"
+                " i -> struct(__toks[i-1] AS w1, __toks[i] AS w2))"
+            )
+        ).alias("__bg"),
+    ).select(id_col, F.col("__bg.w1").alias("__w1"), F.col("__bg.w2").alias("__w2"))
+    c2 = bg.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__c2"))
+    c1 = bg.groupBy("__w1").agg(F.count(F.lit(1)).alias("__c1"))
+    vocab = (
+        toks.select(F.explode("__toks").alias("__tok"))
+        .agg(F.count_distinct("__tok").cast("double").alias("__v"))
+    )
+    a = F.lit(float(alpha))
+    scored = (
+        bg.join(c2, ["__w1", "__w2"])
+        .join(c1, "__w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            (
+                -F.log(
+                    (F.col("__c2").cast("double") + a)
+                    / (F.col("__c1").cast("double") + a * F.col("__v"))
+                )
+            ).alias("__s"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        (F.sum("__s") / F.count(F.lit(1))).alias("mean_bigram_surprisal"),
+    )
+
+
 def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-row corpus summary — the dashboard numbers every curation
     run reports: docs, empty docs, total/distinct whitespace tokens,

@@ -2812,6 +2812,50 @@ def x_surprisal(spark, sf_dir):
     )
 
 
+@query(
+    "x_bigram_lm",
+    f"""
+    WITH f AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ), bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM f, unnest(range(1, len(toks))) AS t(i)
+      WHERE len(toks) >= 2
+    ), c2 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY w1
+    ), voc AS (
+      SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v
+      FROM (SELECT unnest(toks) AS tok FROM f)
+    ), s AS (
+      SELECT bg.doc_id,
+             -ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * voc.v)) AS srp
+      FROM bg
+      JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+      JOIN c1 ON bg.w1 = c1.w1, voc
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(srp) / COUNT(*), 6) AS mean_bigram_surprisal6
+    FROM s GROUP BY doc_id
+    """,
+    extra=True,  # r7 addition; window settled for r7 — rotate in r8
+)
+def x_bigram_lm(spark, sf_dir):
+    """Bigram-LM surprisal (corpus-as-model, Laplace 0.5): mean
+    −ln p(w2|w1) per doc — the fluency-sensitive step up from
+    x_surprisal's unigram score; same round-6 determinism convention
+    (pipeline/text.py:bigram_lm_score).  DuckDB's range-unnest builds
+    the same positional bigrams the Spark side derives array-side."""
+    from pigout_spark.pipeline.text import bigram_lm_score
+
+    out = bigram_lm_score(tf(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "n_bigrams",
+        F.round("mean_bigram_surprisal", 6).alias("mean_bigram_surprisal6"),
+    )
+
+
 def _zorder_sql(bits: int) -> str:
     """SQL twin of plans/partitioning.py zorder_layout over
     orders(o_custkey, o_totalprice): min-max scale to [0, 2^bits),
@@ -3294,3 +3338,39 @@ def x_kcore(spark, sf_dir):
         F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
     )
     return k_core(edges, k=15)
+
+
+@query(
+    "x_fuzzy_join",
+    """
+    WITH l AS (
+      SELECT p_partkey AS lid, p_name AS ls FROM part WHERE p_partkey <= 500
+    ), r AS (
+      SELECT p_partkey + 1000000 AS rid, substr(p_name, 2) AS rs
+      FROM part WHERE p_partkey <= 500
+    )
+    SELECT l.lid AS l_id, r.rid AS r_id,
+           CAST(levenshtein(ls, rs) AS BIGINT) AS dist
+    FROM l, r
+    WHERE abs(len(ls) - len(rs)) <= 1 AND levenshtein(ls, rs) <= 1
+    """,
+    extra=True,  # r7 addition; window settled for r7 — rotate in r8
+)
+def x_fuzzy_join(spark, sf_dir):
+    """Fuzzy (edit-distance ≤ 1) join of part names against their
+    first-char-dropped mangles — EDJoin q-gram prefix filtering on the
+    Spark side (operators/joins.py:edit_distance_join) hash-matched
+    against the oracle's NAIVE exact all-pairs answer: equality proves
+    the gram/prefix/low-gram filter chain lost no pair on this data."""
+    from pigout_spark.operators.joins import edit_distance_join
+
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    left = p.select(F.col("p_partkey").alias("id"), F.col("p_name").alias("s"))
+    right = p.select(
+        (F.col("p_partkey") + 1_000_000).alias("id"),
+        F.expr("substring(p_name, 2)").alias("s"),
+    )
+    out = edit_distance_join(left, right, k=1)
+    return out.select(
+        F.col("l_id"), F.col("r_id"), F.col("dist")
+    )

@@ -592,3 +592,59 @@ def test_interval_joins_reject_inverted_intervals(spark):
         ).count()
         == 0
     )
+
+
+def test_edit_distance_join_matches_naive(spark):
+    """EDJoin prefix filtering must equal the naive all-pairs DP answer
+    on a corpus engineered to stress every path: exact dupes, 1- and
+    2-edit variants, short (< q) and empty strings, and unrelated
+    noise.  Checked at k=1 and k=2."""
+    from pigout_spark.operators.joins import edit_distance_join
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    strings = [
+        "goldenrod lavender", "goldenrod lavender", "goldenrod lavnder",
+        "midnight chocolate", "midnight chocolates", "mdnight chocolate",
+        "a", "b", "ab", "", "zz", "zzz",
+        "completely different thing",
+    ]
+    rows = [(i, s) for i, s in enumerate(strings)]
+    L = spark.createDataFrame(rows, "id bigint, s string")
+    R = spark.createDataFrame([(i + 100, s) for i, s in rows], "id bigint, s string")
+    for k in (1, 2):
+        got = {
+            (r[0], r[1], r.dist)
+            for r in edit_distance_join(L, R, k=k).collect()
+        }
+        want = {
+            (i, j + 100, lev(a, b))
+            for i, a in rows
+            for j, b in rows
+            if lev(a, b) <= k
+        }
+        assert got == want, f"k={k}: {sorted(got ^ want)[:8]}"
+
+
+def test_edit_distance_join_no_cartesian_in_plan(spark):
+    """With every string ≥ q chars, the short-string sweep is empty and
+    the physical plan must contain no CartesianProduct — candidates
+    come from the gram equi-join alone."""
+    from pigout_spark.operators.joins import edit_distance_join
+
+    L = spark.range(100).selectExpr("id", "concat('prefixstring', id) AS s")
+    explained = (
+        edit_distance_join(L, L, k=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in explained

@@ -1953,6 +1953,47 @@ def test_surprisal_rare_tokens_score_higher(spark):
     assert abs(out[1] - (-math.log(4.5 / 10.5))) < 1e-12
 
 
+def test_bigram_lm_hand_computed_and_fluency(spark):
+    """Bigram surprisal on a 3-doc corpus: hand-check one probability
+    chain, require <2-token docs dropped, and require a token-shuffled
+    doc to score HIGHER than its natural-order twin even though the
+    unigram mix is identical (the property unigram surprisal cannot
+    see)."""
+    import math
+
+    from pigout_spark.pipeline.text import bigram_lm_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),
+            (2, "a b"),
+            (3, "b a"),          # reversed bigram — rarer
+            (4, "a"),            # single token: no bigrams
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in bigram_lm_score(df).collect()}
+    assert 4 not in out
+    assert out[1].n_bigrams == 5 and out[2].n_bigrams == 1
+    # corpus bigrams: doc1 ab,ba,ab,ba,ab; doc2 ab; doc3 ba
+    # c2(a,b)=4, c2(b,a)=3, c1(a)=4, c1(b)=3, V=2, alpha=0.5
+    p_ab = (4 + 0.5) / (4 + 0.5 * 2)
+    p_ba = (3 + 0.5) / (3 + 0.5 * 2)
+    assert abs(out[2].mean_bigram_surprisal - (-math.log(p_ab))) < 1e-12
+    assert abs(out[3].mean_bigram_surprisal - (-math.log(p_ba))) < 1e-12
+    exp1 = -(3 * math.log(p_ab) + 2 * math.log(p_ba)) / 5
+    assert abs(out[1].mean_bigram_surprisal - exp1) < 1e-12
+
+    nat = "the cat sat on the mat and the dog sat on the rug " * 4
+    shuf = "on mat the sat cat rug the and dog the on sat the " * 4
+    df2 = spark.createDataFrame(
+        [(i, nat) for i in range(1, 9)] + [(9, shuf)],
+        "doc_id bigint, text string",
+    )
+    s = {r.doc_id: r.mean_bigram_surprisal for r in bigram_lm_score(df2).collect()}
+    assert s[9] > s[1]
+
+
 def test_zorder_key_bit_interleave_and_layout(spark):
     from pigout_spark.plans.partitioning import zorder_key, zorder_layout
 

@@ -407,3 +407,47 @@ def test_qdigest_compression_invariants(values, k):
 
         got_rank = bisect.bisect_right(sv, est)
         assert abs(got_rank - target) <= levels * t
+
+
+@settings(max_examples=2, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=7),
+        min_size=12,
+        max_size=20,
+    ),
+    st.integers(1, 2),
+)
+def test_edit_distance_join_matches_naive_randomized(spark, strings, k):
+    """EDJoin prefix filtering over a tiny alphabet (maximally shared
+    q-grams + many low-gram strings — the hardest regime for the
+    filter-correctness argument) must equal the naive DP answer."""
+    from pigout_spark.operators.joins import edit_distance_join
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rows = list(enumerate(strings))
+    df = spark.createDataFrame(rows, "id bigint, s string")
+    got = {
+        (r[0], r[1], r.dist)
+        for r in edit_distance_join(
+            df, df, k=k, right_id="id"
+        ).collect()
+    }
+    want = {
+        (i, j, lev(a, b))
+        for i, a in rows
+        for j, b in rows
+        if lev(a, b) <= k
+    }
+    assert got == want, sorted(got ^ want)[:10]
