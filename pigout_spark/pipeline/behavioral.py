@@ -375,6 +375,111 @@ def detect_gaps(
     )
 
 
+def event_transitions(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    step_col: str = "event_type",
+    tiebreak: str | None = None,
+    gap_seconds: int | None = None,
+    max_events_per_key: int | None = None,
+) -> DataFrame:
+    """First-order Markov transition counts: order each key's events,
+    count adjacent (from_step → to_step) pairs across the corpus —
+    the empirical transition matrix behind "what happens after X"
+    product questions and next-event baselines.  With ``gap_seconds``,
+    streams reset at session boundaries (no transition across a gap);
+    without it, each key is one unbroken stream.
+
+    Determinism: events order by (ts, ``tiebreak`` or step value).
+    With the step-value fallback, tied events order by their step, so
+    the transition MULTISET is pinned (events tied on both ts and step
+    are interchangeable) — same discipline as :func:`session_paths`.
+
+    Output: (from_step, to_step, n).
+
+    100 TB: one key exchange serves the cap, the sessionization, and
+    the lag pass (same partitioning); the final count is
+    step-vocabulary-sized, map-side combined.  Pass
+    ``max_events_per_key`` to bound bot keys
+    (:func:`cap_events_per_key`).
+    """
+    base = cap_events_per_key(
+        df, ts_col=ts_col, key=key, max_events_per_key=max_events_per_key,
+        tiebreak=tiebreak or step_col,
+    )
+    part = [key]
+    if gap_seconds is not None:
+        base = sessionize(base, ts_col, key, gap_seconds)
+        part = [key, "session_seq"]
+    order = [F.col(ts_col), F.col(tiebreak) if tiebreak else F.col(step_col)]
+    w = Window.partitionBy(*part).orderBy(*order)
+    return (
+        base.withColumn("__from", F.lag(step_col).over(w))
+        .filter(F.col("__from").isNotNull())
+        .groupBy(
+            F.col("__from").alias("from_step"),
+            F.col(step_col).alias("to_step"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str = "value",
+    key: str = "user_id",
+    threshold: float = 3.0,
+    id_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """Robust per-key anomaly detection: rows whose value deviates
+    from the key's median by more than ``threshold`` × MAD (median
+    absolute deviation) — the outlier test that, unlike z-scores, a
+    single extreme value cannot mask.
+
+    Medians are LOWER medians (the order statistic at rank
+    ⌈n/2⌉ under the total (value, ``id_cols``) order): an actual data
+    element, selected by integer rank arithmetic with no
+    interpolation — so both engines pick bit-identical medians and
+    every downstream float op (one subtraction, one multiply, one
+    compare) is an identical IEEE chain.  Keys whose MAD is 0 (more
+    than half the values identical) emit only rows strictly above the
+    median-only test (dev > 0 is never > 0 = threshold·0 ⟹ no rows).
+
+    Output: (key, *id_cols, value, median, mad, deviation) for
+    outlier rows only.
+
+    100 TB: two window passes and one aggregation-join per statistic,
+    ALL on the key partitioning — one exchange total, reused by every
+    pass (sort-only reshapes within partitions).  No all-pairs, no
+    collect; per-key row counts bound the window state (cap upstream
+    via :func:`cap_events_per_key` if a key can exceed task memory).
+    """
+    ids = [F.col(c) for c in id_cols]
+    v = F.col(value_col)
+
+    def lower_median(frame: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy(key).orderBy(F.col(col), *ids)
+        wk = Window.partitionBy(key)
+        ranked = frame.withColumn("__rn", F.row_number().over(w)).withColumn(
+            "__n", F.count(F.lit(1)).over(wk)
+        )
+        return ranked.filter(
+            F.col("__rn") == F.expr("(__n + 1) div 2")
+        ).groupBy(key).agg(F.min(col).alias(out))
+
+    meds = lower_median(df, value_col, "median")
+    dev = df.join(meds, key).withColumn(
+        "deviation", F.abs(v - F.col("median"))
+    )
+    mads = lower_median(dev, "deviation", "mad")
+    return (
+        dev.join(mads, key)
+        .filter(F.col("deviation") > F.lit(float(threshold)) * F.col("mad"))
+        .select(key, *id_cols, value_col, "median", "mad", "deviation")
+    )
+
+
 def attribution(
     df: DataFrame,
     conversion: str = "purchase",

@@ -475,3 +475,81 @@ def x_funnel_latency(spark, sf_dir):
     )
     d = qdigest_build(lat, "v", k=_FL_K, levels=_FL_LEVELS)
     return qdigest_quantiles(d, _FL_QS, k=_FL_K, levels=_FL_LEVELS)
+
+
+@query(
+    "x_transitions",
+    """
+    WITH e AS (
+      SELECT user_id, event_type,
+             CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts
+      FROM events
+    ), g AS (
+      SELECT user_id, event_type, ts,
+             lag(ts) OVER w AS pts,
+             lag(event_type) OVER w AS pstep
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+    )
+    SELECT pstep AS from_step, event_type AS to_step,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM g
+    WHERE pstep IS NOT NULL AND epoch(ts) - epoch(pts) <= 1800
+    GROUP BY pstep, event_type
+    """,
+    extra=True,  # r7 addition; window settled for r7 — rotate in r8
+)
+def x_transitions(spark, sf_dir):
+    """Markov transition matrix of the event stream, session-scoped at
+    a 30-min gap: adjacent (from → to) event-type counts per user
+    stream, no transition across a session boundary
+    (pipeline/behavioral.py:event_transitions).  The oracle reproduces
+    the session reset with a lag-gap filter — identical semantics
+    because a session boundary IS a >gap lag."""
+    from pigout_spark.pipeline.behavioral import event_transitions
+
+    return event_transitions(_events_s(spark, sf_dir), gap_seconds=1800)
+
+
+@query(
+    "x_mad_outliers",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, value FROM events WHERE value IS NOT NULL
+    ), r1 AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM e
+    ), med AS (
+      SELECT user_id, MIN(value) AS median
+      FROM r1 WHERE rn = (n + 1) // 2 GROUP BY user_id
+    ), dev AS (
+      SELECT e.user_id, e.event_id, e.value, med.median,
+             abs(e.value - med.median) AS deviation
+      FROM e JOIN med USING (user_id)
+    ), r2 AS (
+      SELECT user_id, deviation,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY deviation, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM dev
+    ), mad AS (
+      SELECT user_id, MIN(deviation) AS mad
+      FROM r2 WHERE rn = (n + 1) // 2 GROUP BY user_id
+    )
+    SELECT dev.user_id, dev.event_id, dev.value, dev.median, mad.mad,
+           dev.deviation
+    FROM dev JOIN mad USING (user_id)
+    WHERE dev.deviation > 3.0 * mad.mad
+    """,
+    extra=True,  # r7 addition; window settled for r7 — rotate in r8
+)
+def x_mad_outliers(spark, sf_dir):
+    """Per-user MAD outliers over event values (|v − median| > 3·MAD),
+    lower-median order statistics so both engines pick bit-identical
+    medians (pipeline/behavioral.py:mad_outliers)."""
+    from pigout_spark.pipeline.behavioral import mad_outliers
+
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return mad_outliers(ev, threshold=3.0)

@@ -487,3 +487,65 @@ def test_rfm_explicit_bounds(spark):
     assert out[1] == (0, 3, 30.0, 2, 2, 1, 221)
     # user2: rec 900 (>200 -> r=1), freq 1 -> f=1, mon 500 -> m=2
     assert out[2] == (900, 1, 500.0, 1, 1, 2, 112)
+
+
+def test_event_transitions_session_reset_and_ties(spark):
+    """Transitions count adjacent pairs in (ts, step) order, never
+    across a session gap; tied timestamps order by step value so the
+    multiset is deterministic."""
+    from pigout_spark.pipeline.behavioral import event_transitions
+
+    rows = [
+        (1, 1000, "view"),
+        (1, 1010, "click"),
+        (1, 1010, "addcart"),   # tied with click: addcart < click orders first
+        (1, 9999, "purchase"),  # > 30 min gap: new session, no transition in
+        (2, 1000, "view"),
+        (2, 1500, "view"),
+    ]
+    df = spark.createDataFrame(
+        [(u, float(s), t) for u, s, t in rows],
+        "user_id bigint, s double, event_type string",
+    ).selectExpr(
+        "user_id", "event_type",
+        "CAST(to_timestamp(s) AS timestamp_ntz) AS ts",
+    )
+    got = {
+        (r.from_step, r.to_step): r.n
+        for r in event_transitions(df, gap_seconds=1800).collect()
+    }
+    # user1 session1: view -> addcart -> click (tie orders addcart first)
+    assert got == {
+        ("view", "addcart"): 1,
+        ("addcart", "click"): 1,
+        ("view", "view"): 1,
+    }
+    # without sessionization the gap pair appears
+    got_all = {
+        (r.from_step, r.to_step): r.n
+        for r in event_transitions(df).collect()
+    }
+    assert got_all[("click", "purchase")] == 1
+
+
+def test_mad_outliers_lower_median_and_masking(spark):
+    """MAD flags the lone extreme value (median 10, MAD 1 -> |v-10|>3),
+    uses the LOWER median on even counts, and a constant-value key
+    emits nothing (MAD 0 masks nothing above it)."""
+    from pigout_spark.pipeline.behavioral import mad_outliers
+
+    rows = [
+        (1, 1, 9.0), (1, 2, 10.0), (1, 3, 11.0), (1, 4, 10.0), (1, 5, 100.0),
+        (2, 6, 5.0), (2, 7, 5.0), (2, 8, 5.0),
+        (3, 9, 1.0), (3, 10, 2.0),  # even count: lower median = 1.0
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, event_id bigint, value double")
+    out = {r.event_id: r for r in mad_outliers(df, threshold=3.0).collect()}
+    # key1: sorted values 9,10,10,11,100 -> median 10; deviations
+    # 0,0,1,1,90 -> mad 1; only |100-10|=90 > 3·1.  key2 constant:
+    # mad 0, all deviations 0 -> nothing.  key3 even count: LOWER
+    # median 1.0, deviations {0,1} -> lower mad 0; deviation 1 > 3·0
+    # -> event 10 flagged (any nonzero deviation beats a zero MAD).
+    assert set(out) == {5, 10}
+    assert out[5].median == 10.0 and out[5].mad == 1.0 and out[5].deviation == 90.0
+    assert out[10].median == 1.0 and out[10].mad == 0.0 and out[10].deviation == 1.0
