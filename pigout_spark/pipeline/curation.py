@@ -381,6 +381,41 @@ def split_corpus(
     return df.withColumn(out, expr)
 
 
+def split_by_cluster(
+    df: DataFrame,
+    clusters: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    seed: str = "0",
+    out: str = "split",
+) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: key the :func:`split_corpus`
+    assignment on the duplicate-CLUSTER id instead of the doc id, so
+    every member of a near-dup cluster lands in the same split — the
+    guard against eval contamination by near-copies of training docs
+    (a doc-keyed split puts ~r·|cluster| of each dup family in test).
+
+    ``clusters`` is a (id, cluster id) relation (``dedup_clusters``
+    output); docs absent from it are singletons and key on their own
+    id, which for cluster-representative ids equals the cluster keying
+    — so the assignment is stable under re-clustering that only adds
+    or removes singleton rows.
+
+    100 TB: one id-keyed LEFT join against the cluster relation (pair-
+    graph-sized — duplicate docs only, a small fraction of the corpus,
+    broadcast-convertible by AQE), then split_corpus's pure narrow
+    map.  No extra shuffle of the corpus.
+    """
+    c = clusters.select(
+        F.col(id_col), F.col(cluster_col).alias("__ck")
+    )
+    j = df.join(c, id_col, "left").withColumn(
+        "__ck", F.coalesce(F.col("__ck"), F.col(id_col))
+    )
+    return split_corpus(j, weights, ["__ck"], seed=seed, out=out).drop("__ck")
+
+
 def sample_exact_n(
     df: DataFrame,
     n: int,

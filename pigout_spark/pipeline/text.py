@@ -840,6 +840,86 @@ def bigram_lm_score(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked retrieval: top-``k`` documents for a bag of query
+    terms under the Lucene-variant scoring
+
+        idf(t)  = ln((N − df(t) + 0.5) / (df(t) + 0.5) + 1)
+        s(d)    = Σ_t idf(t) · tf(t,d)·(k1+1)
+                        / (tf(t,d) + k1·(1 − b + b·len(d)/avgdl))
+
+    Output: (id, n_terms, score), ties broken by id ascending.
+
+    Determinism: doc lengths stay integral (long sums — exact), so N
+    and avgdl are bit-identical across engines; each term contribution
+    is one IEEE chain written in the same operation order as the SQL
+    twin, rounded to 6 decimals and summed EXACTLY as DECIMAL(20,6)
+    (the vocab_kl discipline) — no cross-partition float reduction.
+
+    100 TB: the token stream is filtered to the query vocabulary
+    BEFORE any shuffle (a |q|-term isin prunes the explode output to
+    matching tokens only), so the per-(doc, term) aggregation, the df
+    counts, and the scoring join are all query-sized, not
+    corpus-vocabulary-sized.  Corpus-wide work is one doc-length
+    aggregate (one broadcast row).  Top-k is TakeOrderedAndProject —
+    per-partition heaps, no global sort.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = df.select(
+        F.col(id_col), ws_tokens(text_col, distinct=False).alias("__toks")
+    )
+    dl = toks.select(
+        F.col(id_col), F.size("__toks").cast("long").alias("__dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        (F.sum("__dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "__avgdl"
+        ),
+    )
+    tf_ = (
+        toks.select(F.col(id_col), F.explode("__toks").alias("__t"))
+        .filter(F.col("__t").isin(*[str(t) for t in query_terms]))
+        .groupBy(id_col, "__t")
+        .agg(F.count(F.lit(1)).cast("double").alias("__tf"))
+    )
+    dfc = tf_.groupBy("__t").agg(F.count(F.lit(1)).cast("double").alias("__df"))
+    k1c, bc = F.lit(float(k1)), F.lit(float(b))
+    idf = F.log((F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1)
+    denom = F.col("__tf") + k1c * (
+        F.lit(1.0) - bc + bc * F.col("__dl").cast("double") / F.col("__avgdl")
+    )
+    contrib = (
+        tf_.join(F.broadcast(dfc), "__t")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.round(idf * F.col("__tf") * (k1c + 1) / denom, 6)
+            .cast("decimal(20,6)")
+            .alias("__c"),
+        )
+    )
+    scored = contrib.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("__c").cast("decimal(27,6)").alias("__score"),
+    )
+    return (
+        scored.orderBy(F.col("__score").desc(), F.col(id_col))
+        .limit(int(k))
+        .select(id_col, "n_terms", F.col("__score").cast("double").alias("score"))
+    )
+
+
 def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-row corpus summary — the dashboard numbers every curation
     run reports: docs, empty docs, total/distinct whitespace tokens,

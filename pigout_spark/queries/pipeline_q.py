@@ -3374,3 +3374,89 @@ def x_fuzzy_join(spark, sf_dir):
     return out.select(
         F.col("l_id"), F.col("r_id"), F.col("dist")
     )
+
+
+_BM25_TERMS = ("join", "hash", "vector", "stream")
+
+
+@query(
+    "x_bm25_topk",
+    f"""
+    WITH f AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM f
+    ), st AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ), tfq AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tfn
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM f)
+      WHERE tok IN {tuple(_BM25_TERMS)!r}
+      GROUP BY doc_id, tok
+    ), dfc AS (
+      SELECT tok, CAST(COUNT(*) AS DOUBLE) AS dfn FROM tfq GROUP BY tok
+    ), c AS (
+      SELECT tfq.doc_id,
+             CAST(ROUND(
+               ln((st.n - dfc.dfn + 0.5) / (dfc.dfn + 0.5) + 1)
+               * tfq.tfn * (1.2 + 1)
+               / (tfq.tfn + 1.2 * (1.0 - 0.75
+                    + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl)), 6)
+             AS DECIMAL(20,6)) AS c
+      FROM tfq JOIN dfc USING (tok) JOIN dl USING (doc_id), st
+    ), s AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(SUM(c) AS DECIMAL(27,6)) AS sc
+      FROM c GROUP BY doc_id
+    )
+    SELECT doc_id, n_terms, CAST(sc AS DOUBLE) AS score
+    FROM s ORDER BY sc DESC, doc_id LIMIT 10
+    """,
+    extra=True,  # r7 addition; window settled for r7 — rotate in r8
+)
+def x_bm25_topk(spark, sf_dir):
+    """BM25 top-10 for a 4-term query over the documents corpus —
+    Lucene-variant idf, round-6 DECIMAL-exact per-term contributions,
+    (score, id) tie order (pipeline/text.py:bm25_topk).  The token
+    stream is pruned to the query vocabulary before any shuffle."""
+    from pigout_spark.pipeline.text import bm25_topk
+
+    return bm25_topk(tf(spark, sf_dir, "documents"), list(_BM25_TERMS), k=10)
+
+
+@query(
+    "x_split_safe",
+    f"""
+    WITH cl AS (
+      SELECT * FROM ({_clusters_sql()})
+    ), j AS (
+      SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS ck
+      FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+    ), u AS (
+      SELECT doc_id,
+             ('0x' || substring(md5('13' || '|' ||
+                coalesce(ck::VARCHAR, chr(0))), 1, 8))::BIGINT
+             / 4294967296.0 AS __u
+      FROM j
+    )
+    SELECT doc_id, {_SPLIT_CASE} AS split FROM u
+    """,
+    extra=True,  # r7 addition; window settled for r7 — rotate in r8
+)
+def x_split_safe(spark, sf_dir):
+    """LEAKAGE-SAFE 80/10/10 split: assignment keyed on the MinHash
+    duplicate-cluster id, so near-dup families never straddle
+    train/test (pipeline/curation.py:split_by_cluster over
+    dedup_clusters).  The hash pins every doc's split label, and the
+    cluster keying is what a doc-keyed split cannot give."""
+    from pigout_spark.pipeline.curation import split_by_cluster
+
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", num_hashes=_MH_HASHES, rows_per_band=_MH_ROWS
+    )
+    return split_by_cluster(
+        d.select("doc_id"), dedup_clusters(pairs), _SPLIT_W, seed="13"
+    )

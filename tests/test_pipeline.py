@@ -2379,3 +2379,73 @@ def test_kcore_oracle_convergence_guard():
     assert ok == [1, 2, 3]
     with pytest.raises(duckdb.Error, match="did not converge"):
         con.execute(_kcore_sql(2, 1)).fetchall()
+
+
+def test_bm25_ranking_hand_computed(spark):
+    """BM25 on a 3-doc corpus: doc with both query terms outranks
+    single-term docs; rare-term match outranks common-term match;
+    non-matching docs are absent."""
+    import math
+
+    from pigout_spark.pipeline.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),
+            (2, "apple apple apple"),
+            (3, "banana date fig"),
+            (4, "date fig grape"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = bm25_topk(df, ["apple", "banana"], k=10)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert 4 not in rows
+    assert rows[1].n_terms == 2 and rows[2].n_terms == 1 and rows[3].n_terms == 1
+    # doc1 matches both terms -> top score
+    top = out.collect()[0]
+    assert top.doc_id == 1
+    # hand-check doc3's single-banana score: N=4, df(banana)=2, tf=1,
+    # dl=3, avgdl=3 -> idf = ln((4-2+.5)/(2+.5)+1) = ln(2);
+    # denom = 1 + 1.2*(1-.75+.75*1) = 2.2 -> contrib = ln(2)*2.2/2.2
+    exp = round(math.log((4 - 2 + 0.5) / (2 + 0.5) + 1) * 1 * 2.2 / 2.2, 6)
+    assert abs(rows[3].score - exp) < 1e-9
+
+
+def test_bm25_plan_prunes_to_query_vocabulary(spark, sf_dir):
+    """The isin filter on query terms must sit under the first
+    aggregation — the corpus vocabulary never shuffles."""
+    from pigout_spark.pipeline.text import bm25_topk
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = bm25_topk(d, ["join", "hash"], k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "__t IN (join,hash)" in plan or "__t INSET" in plan.replace(" ", "") or "IN (join" in plan
+
+
+def test_split_by_cluster_no_leakage(spark):
+    """Every member of a cluster gets the SAME split label, singletons
+    key on their own id (= identical to split_corpus for them)."""
+    from pigout_spark.pipeline.curation import split_by_cluster, split_corpus
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 401)], "doc_id bigint"
+    )
+    # clusters: 1..40 in cluster 1; 41..80 in cluster 41
+    clusters = spark.createDataFrame(
+        [(i, 1) for i in range(1, 41)] + [(i, 41) for i in range(41, 81)],
+        "doc_id bigint, cluster_id bigint",
+    )
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = {r.doc_id: r.split for r in split_by_cluster(docs, clusters, w, seed="7").collect()}
+    assert len({out[i] for i in range(1, 41)}) == 1
+    assert len({out[i] for i in range(41, 81)}) == 1
+    # singletons (81..400) match the plain doc-keyed split exactly
+    plain = {
+        r.doc_id: r.split
+        for r in split_corpus(
+            docs.filter("doc_id > 80"), w, ["doc_id"], seed="7"
+        ).collect()
+    }
+    for i in range(81, 401):
+        assert out[i] == plain[i]
