@@ -36,20 +36,24 @@ def test_query_runs(spark, sf_dir, name):
     assert len(df.columns) > 0
 
 
-def test_r6_rotation_landed():
-    """The r6 window swap (queries/__init__.py): every rotated-in query
-    is driver-facing WITH a SQL oracle (the whole point was a hash row),
-    every displaced query kept its local oracle as an extra, and the
-    window is exactly at the driver cap."""
-    from pigout_spark.queries import _ROTATE_IN, _ROTATE_OUT
+def test_r7_window_landed():
+    """The r7 explicit window (queries/__init__.py): the driver-facing
+    set is exactly _WINDOW_R7 in order, every entry except the two
+    declared rows-only ops has a SQL oracle, and everything displaced
+    kept its local oracle as an extra."""
+    from pigout_spark.queries import _WINDOW_R7
 
     q = entrymod.queries()
     o = entrymod.oracle_sql()
-    for name in _ROTATE_IN:
-        assert name in q, f"{name} fell out of the driver window"
-        assert name in o, f"{name} rotated in without a SQL oracle"
-    extras = qmod.extra_oracle_sql()
-    for name in _ROTATE_OUT:
-        assert name not in q, f"{name} still occupies a window slot"
-        assert name in extras, f"{name} lost its local oracle"
+    assert list(q) == _WINDOW_R7
     assert len(q) == qmod.DRIVER_QUERY_CAP
+    rows_only = {"x_sample_bernoulli", "x_bpe_encode_trained"}
+    for name in q:
+        if name in rows_only:
+            assert name not in o
+        else:
+            assert name in o, f"{name} in window without a SQL oracle"
+    extras = qmod.extra_oracle_sql()
+    # spot-check displaced r6 rows kept their oracle
+    for name in ("x_semantic_pairs", "x_pagerank", "x_twa", "x_bpe_encode"):
+        assert name not in q and name in extras
