@@ -156,13 +156,18 @@ def asof_join(
     right_cols: list[str] | None = None,
     tolerance_seconds: int | None = None,
     right_ts_out: str = "matched_ts",
+    direction: str = "backward",
 ) -> DataFrame:
-    """AS-OF JOIN: attach to every left row the MOST RECENT right row
-    with ``right.ts <= left.ts`` per ``by`` key (pandas merge_asof /
-    kdb aj semantics; DuckDB ships it natively as ASOF JOIN — the
-    oracle twin).  The canonical "state at event time" operator: price
-    at trade time, last config before a request, most recent
-    feature-table snapshot per example.
+    """AS-OF JOIN: attach to every left row the nearest right row per
+    ``by`` key in the given ``direction`` (full pandas merge_asof
+    surface): ``backward`` (default) the most recent right row with
+    ``right.ts <= left.ts``; ``forward`` the earliest right row with
+    ``right.ts >= left.ts``; ``nearest`` whichever of the two is
+    closer in absolute time (ties → the backward match).  DuckDB
+    ships backward/forward natively as ASOF JOIN — the oracle twin.
+    The canonical "state at event time" operator: price at trade
+    time, last config before a request, most recent feature-table
+    snapshot per example.
 
     Spark-first design — the UNION-MARKER pattern, not a range join:
     union left and right on the key, sort each key's rows by
@@ -172,16 +177,25 @@ def asof_join(
     windows, and — unlike the naive ``l.ts >= r.ts`` range join — no
     O(|L|·|R|) pair blowup for Catalyst to salvage.
 
-    ``tolerance_seconds`` nulls out matches older than the bound
-    (merge_asof's ``tolerance``).  Output: every left row + the
-    forward-filled ``right_cols`` (NULL when no prior right row) +
+    ``tolerance_seconds`` nulls out matches farther than the bound in
+    the search direction (merge_asof's ``tolerance``; for ``nearest``
+    each candidate is bounded before the choice).  Output: every left
+    row + the filled ``right_cols`` (NULL when no match) +
     ``right_ts_out`` carrying the matched right timestamp.
 
     Column contract: ``right_cols`` must not collide with left column
     names (rename upstream, as merge_asof's suffixes would); left rows
     with NULL timestamps never match (they sort before every right
     row in the fill window).
+
+    ``nearest`` tie subtlety: the union layout orders right rows
+    BEFORE left rows at equal timestamps, so the forward fill cannot
+    see an equal-timestamp right row — harmless, because the backward
+    fill sees it at delta 0, which always wins the nearest choice
+    (and is the documented tie rule).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction: {direction!r}")
     rcols = right_cols or [
         c for c in right.columns if c not in (by, ts_col)
     ]
@@ -189,10 +203,14 @@ def asof_join(
         F.col(ts_col).alias("__rts"),
         *[F.col(c).alias(c) for c in rcols],
     )
-    r = right.select(
+    # Tie layout: right rows sort before left at equal ts for
+    # backward/nearest (equal ts is a valid backward match), after
+    # left for forward (equal ts is a valid forward match).
+    r_side, l_side = (1, 0) if direction == "forward" else (0, 1)
+    r = right.filter(F.col(ts_col).isNotNull()).select(
         F.col(by).alias("__k"),
         F.col(ts_col).alias("__ts"),
-        F.lit(0).alias("__side"),
+        F.lit(r_side).alias("__side"),
         payload.alias("__pay"),
         *[F.lit(None).cast(t.dataType).alias(f"__l_{c}")
           for c, t in zip(left.columns, left.schema.fields)],
@@ -200,26 +218,51 @@ def asof_join(
     l = left.select(
         F.col(by).alias("__k"),
         F.col(ts_col).alias("__ts"),
-        F.lit(1).alias("__side"),
+        F.lit(l_side).alias("__side"),
         F.lit(None).cast(r.schema["__pay"].dataType).alias("__pay"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
     )
-    w = (
-        Window.partitionBy("__k")
-        .orderBy("__ts", "__side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = (
-        l.unionByName(r)
-        .withColumn("__m", F.last("__pay", ignorenulls=True).over(w))
-        .filter(F.col("__side") == 1)
-    )
-    match = F.col("__m")
-    if tolerance_seconds is not None:
-        fresh = (
-            F.unix_timestamp("__ts") - F.unix_timestamp(match["__rts"])
-        ) <= F.lit(int(tolerance_seconds))
-        match = F.when(fresh, match)
+    base = Window.partitionBy("__k").orderBy("__ts", "__side")
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    u = l.unionByName(r)
+    if direction == "backward":
+        u = u.withColumn("__mb", F.last("__pay", ignorenulls=True).over(wb))
+    elif direction == "forward":
+        u = u.withColumn("__mf", F.first("__pay", ignorenulls=True).over(wf))
+    else:
+        u = u.withColumn(
+            "__mb", F.last("__pay", ignorenulls=True).over(wb)
+        ).withColumn("__mf", F.first("__pay", ignorenulls=True).over(wf))
+    filled = u.filter(F.col("__side") == l_side)
+
+    def bounded(match: Column, delta: Column) -> Column:
+        if tolerance_seconds is None:
+            return match
+        return F.when(delta <= F.lit(int(tolerance_seconds)), match)
+
+    lts = F.unix_timestamp("__ts")
+    if direction == "backward":
+        match = bounded(
+            F.col("__mb"), lts - F.unix_timestamp(F.col("__mb")["__rts"])
+        )
+    elif direction == "forward":
+        match = bounded(
+            F.col("__mf"), F.unix_timestamp(F.col("__mf")["__rts"]) - lts
+        )
+    else:
+        db = lts - F.unix_timestamp(F.col("__mb")["__rts"])
+        dforw = F.unix_timestamp(F.col("__mf")["__rts"]) - lts
+        mb, mf = bounded(F.col("__mb"), db), bounded(F.col("__mf"), dforw)
+        match = (
+            F.when(mb.isNull(), mf)
+            .when(mf.isNull(), mb)
+            .when(dforw < db, mf)  # tie (==) falls through to backward
+            .otherwise(mb)
+        )
+    # NULL-ts left rows never match in ANY direction (they sort first,
+    # which the forward window would otherwise reward).
+    match = F.when(F.col("__ts").isNotNull(), match)
     return filled.select(
         *[F.col(f"__l_{c}").alias(c) for c in left.columns],
         match["__rts"].alias(right_ts_out),

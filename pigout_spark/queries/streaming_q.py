@@ -654,3 +654,67 @@ def x_ewma(spark, sf_dir):
     return ewma_events(
         ev, "ts", "user_id", "value", 3600.0, tiebreak="event_id"
     )
+
+
+@query(
+    "x_asof_nearest",
+    """
+    WITH l AS (
+      SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts,
+             event_id FROM events WHERE event_type = 'purchase'
+    ), r AS (
+      SELECT user_id, CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts,
+             event_id AS view_id, value AS view_value
+      FROM events WHERE event_type = 'view'
+    ), j AS (
+      SELECT l.user_id, l.event_id, l.ts AS lts, r.ts AS rts,
+             r.view_id, r.view_value,
+             abs(epoch(l.ts) - epoch(r.ts)) AS ad
+      FROM l JOIN r USING (user_id)
+      WHERE abs(epoch(l.ts) - epoch(r.ts)) <= 600
+    ), best AS (
+      SELECT * FROM j
+      QUALIFY row_number() OVER (
+        PARTITION BY user_id, event_id
+        ORDER BY ad, CASE WHEN rts <= lts THEN 0 ELSE 1 END
+      ) = 1
+    )
+    SELECT l.user_id, l.event_id,
+           CAST(epoch(l.ts) AS BIGINT) AS ts_s,
+           CAST(epoch(b.rts) AS BIGINT) AS matched_s,
+           b.view_id, ROUND(b.view_value, 6) AS vv6
+    FROM l LEFT JOIN best b USING (user_id, event_id)
+    """,
+    extra=True,  # r7 addition; window settled for r7 — rotate in r8
+)
+def x_asof_nearest(spark, sf_dir):
+    """NEAREST-direction as-of join (full pandas merge_asof surface):
+    every purchase matched to the user's closest view within a 10-min
+    tolerance, ties to the backward side — two-fill union-marker plan
+    vs the oracle's INDEPENDENT naive argmin formulation (all-pairs +
+    QUALIFY row_number), so the single-shuffle plan is checked against
+    ground truth (operators/joins.py:asof_join direction='nearest').
+    Tie-free match on this fixture: second-truncated timestamps are
+    unique per user within event type pairs (verified by the hash)."""
+    from pigout_spark.operators.joins import asof_join
+
+    ev = _events_s(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts",
+        F.col("event_id").alias("view_id"),
+        F.col("value").alias("view_value"),
+    )
+    out = asof_join(
+        purchases, views, by="user_id", direction="nearest",
+        tolerance_seconds=600,
+    )
+    return out.select(
+        "user_id", "event_id",
+        F.unix_timestamp("ts").alias("ts_s"),
+        F.unix_timestamp("matched_ts").alias("matched_s"),
+        "view_id",
+        F.round("view_value", 6).alias("vv6"),
+    )

@@ -648,3 +648,54 @@ def test_edit_distance_join_no_cartesian_in_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in explained
+
+
+def test_asof_join_directions(spark):
+    """merge_asof surface: backward takes the latest <=, forward the
+    earliest >=, nearest the closer side with ties going backward;
+    equal timestamps match in every direction; tolerance bounds each
+    direction; NULL left ts never matches."""
+    import datetime as dt
+
+    from pigout_spark.operators.joins import asof_join
+
+    T = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    left = spark.createDataFrame(
+        [(1, T(100), "a"), (1, T(205), "b"), (1, T(300), "c"),
+         (1, None, "n"), (2, T(50), "d")],
+        "k bigint, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, T(90), 90.0), (1, T(200), 200.0), (1, T(210), 210.0),
+         (1, T(300), 300.0)],
+        "k bigint, ts timestamp, price double",
+    )
+
+    def run(**kw):
+        out = asof_join(left, right, by="k", right_cols=["price"], **kw)
+        return {r.tag: r.price for r in out.collect()}
+
+    assert run() == {"a": 90.0, "b": 200.0, "c": 300.0, "n": None, "d": None}
+    assert run(direction="forward") == {
+        "a": 200.0, "b": 210.0, "c": 300.0, "n": None, "d": None
+    }
+    # nearest: a -> 90 (d10) vs 200 (d100) -> 90; b -> 200 (d5) vs
+    # 210 (d5) tie -> backward 200; c -> equal ts -> 300
+    assert run(direction="nearest") == {
+        "a": 90.0, "b": 200.0, "c": 300.0, "n": None, "d": None
+    }
+    # tolerance 5: a's backward 90 is 10s stale -> null; forward 200 is
+    # 100s ahead -> null; nearest picks nothing for a, 200 or 210 for b
+    assert run(tolerance_seconds=5) == {
+        "a": None, "b": 200.0, "c": 300.0, "n": None, "d": None
+    }
+    assert run(direction="forward", tolerance_seconds=5) == {
+        "a": None, "b": 210.0, "c": 300.0, "n": None, "d": None
+    }
+    assert run(direction="nearest", tolerance_seconds=5) == {
+        "a": None, "b": 200.0, "c": 300.0, "n": None, "d": None
+    }
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown asof direction"):
+        run(direction="sideways")
