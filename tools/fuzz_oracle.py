@@ -388,8 +388,10 @@ def gen_query(rng: random.Random):
         return gen_graph(rng)
     if r < 0.98:
         return gen_sketch(rng)
-    if r < 0.99:
+    if r < 0.985:
         return gen_attribution(rng)
+    if r < 0.995:
+        return gen_r7(rng)
     table = rng.choice(list(TABLES))
     strs, nums, doubles, ints = TABLES[table]
     preds, fexprs = [], []
@@ -1819,6 +1821,172 @@ def gen_attribution(rng: random.Random):
         )
 
     return build, sql
+
+
+
+def gen_r7(rng: random.Random):
+    """Differential-fuzz the round-7 operators: Markov transitions
+    (random gap/ties), MAD outliers (random threshold, duplicate
+    values), BM25 (random corpus + query vocabulary), and the
+    edit-distance join (tiny alphabet vs the naive DP answer)."""
+    kind = rng.choice(["transitions", "mad", "bm25", "edjoin"])
+
+    if kind == "transitions":
+        rows = _rand_typed_rows(rng, rng.randint(8, 50), rng.randint(1, 4),
+                                ["a", "b", "c"])
+        gap = rng.choice([None, 60, 600])
+        gap_sql = (
+            f"AND epoch(ts) - epoch(pts) <= {gap}" if gap is not None else ""
+        )
+        sql = f"""
+        WITH {_id_cte("ev", rows)},
+        g AS (
+          SELECT typ, ts,
+                 lag(ts) OVER w AS pts, lag(typ) OVER w AS pstep
+          FROM ev WINDOW w AS (PARTITION BY k ORDER BY ts, id)
+        )
+        SELECT pstep AS from_step, typ AS to_step,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM g WHERE pstep IS NOT NULL {gap_sql}
+        GROUP BY pstep, typ
+        """
+
+        def build(spark, sf_dir, gap=gap):
+            from pigout_spark.pipeline.behavioral import event_transitions
+
+            return event_transitions(
+                _id_df(spark, rows), ts_col="ts", key="k", step_col="typ",
+                tiebreak="id", gap_seconds=gap,
+            )
+
+        return build, sql
+
+    if kind == "mad":
+        rows = _rand_typed_rows(rng, rng.randint(6, 40), rng.randint(1, 3),
+                                ["a"])
+        if rng.random() < 0.4:
+            rows = [(k, s, t, round(v, 0)) for k, s, t, v in rows]
+        thr = rng.choice([0.5, 1.0, 3.0])
+        # DuckDB types the VALUES literals DECIMAL (exact arithmetic);
+        # Spark's doubles round — cast to DOUBLE so both engines run
+        # the same IEEE chain (fixture artifact, not engine behavior).
+        sql = f"""
+        WITH {_id_cte("ev0", rows)},
+        ev AS (SELECT id, k, ts, typ, CAST(v AS DOUBLE) AS v FROM ev0),
+        r1 AS (
+          SELECT k, id, v,
+                 row_number() OVER (PARTITION BY k ORDER BY v, id) AS rn,
+                 COUNT(*) OVER (PARTITION BY k) AS n
+          FROM ev
+        ), med AS (
+          SELECT k, MIN(v) AS median FROM r1 WHERE rn = (n + 1) // 2 GROUP BY k
+        ), dev AS (
+          SELECT ev.k, ev.id, ev.v, med.median,
+                 abs(ev.v - med.median) AS deviation
+          FROM ev JOIN med USING (k)
+        ), r2 AS (
+          SELECT k, deviation,
+                 row_number() OVER (PARTITION BY k
+                                    ORDER BY deviation, id) AS rn,
+                 COUNT(*) OVER (PARTITION BY k) AS n
+          FROM dev
+        ), mad AS (
+          SELECT k, MIN(deviation) AS mad
+          FROM r2 WHERE rn = (n + 1) // 2 GROUP BY k
+        )
+        SELECT dev.k, dev.id, dev.v, dev.median, mad.mad, dev.deviation
+        FROM dev JOIN mad USING (k)
+        WHERE dev.deviation > {thr} * mad.mad
+        """
+
+        def build(spark, sf_dir, thr=thr):
+            from pigout_spark.pipeline.behavioral import mad_outliers
+
+            return mad_outliers(
+                _id_df(spark, rows), value_col="v", key="k",
+                threshold=thr, id_cols=("id",),
+            )
+
+        return build, sql
+
+    if kind == "bm25":
+        rows = _rand_corpus(rng)
+        vocab = sorted(
+            {t for _, txt, _ in rows if txt for t in txt.split() if t}
+        )
+        if not vocab:
+            vocab = ["w0"]
+        terms = rng.sample(vocab, min(len(vocab), rng.randint(1, 3)))
+        if rng.random() < 0.2:
+            terms.append("zz-absent")
+        k = rng.randint(1, 8)
+        tlist = "(" + ", ".join("'" + t + "'" for t in terms) + ")"
+        sql = f"""
+        {_values_cte(rows)},
+        f AS (SELECT doc_id, {_P_TOKS} AS toks FROM documents),
+        dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM f),
+        st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                      CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+               FROM dl),
+        tfq AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tfn
+                FROM (SELECT doc_id, unnest(toks) AS tok FROM f)
+                WHERE tok IN {tlist} GROUP BY doc_id, tok),
+        dfc AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS dfn FROM tfq GROUP BY tok),
+        c AS (SELECT tfq.doc_id,
+                     CAST(ROUND(
+                       ln((st.n - dfc.dfn + 0.5) / (dfc.dfn + 0.5) + 1)
+                       * tfq.tfn * (1.2 + 1)
+                       / (tfq.tfn + 1.2 * (1.0 - 0.75
+                            + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl)), 6)
+                     AS DECIMAL(20,6)) AS c
+              FROM tfq JOIN dfc USING (tok) JOIN dl USING (doc_id), st),
+        s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+                     CAST(SUM(c) AS DECIMAL(27,6)) AS sc
+              FROM c GROUP BY doc_id)
+        SELECT doc_id, n_terms, CAST(sc AS DOUBLE) AS score
+        FROM s ORDER BY sc DESC, doc_id LIMIT {k}
+        """
+
+        def build(spark, sf_dir, terms=tuple(terms), k=k):
+            from pigout_spark.pipeline.text import bm25_topk
+
+            corpus = spark.createDataFrame(
+                rows, "doc_id long, text string, source string"
+            )
+            return bm25_topk(corpus, list(terms), k=k)
+
+        return build, sql
+
+    n = rng.randint(8, 24)
+    maxlen = rng.randint(0, 6)
+    strs = [
+        "".join(rng.choice("ab") for _ in range(rng.randint(0, maxlen)))
+        for _ in range(n)
+    ]
+    k = rng.randint(1, 2)
+    vals = ", ".join(f"({i}, '{s}')" for i, s in enumerate(strs))
+    sql = f"""
+    WITH t(id, s) AS (SELECT * FROM (VALUES {vals})),
+    j AS (
+      SELECT a.id AS l_id, b.id AS r_id,
+             CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+      FROM t a, t b
+      WHERE abs(len(a.s) - len(b.s)) <= {k}
+        AND levenshtein(a.s, b.s) <= {k}
+    )
+    SELECT * FROM j
+    """
+
+    def build(spark, sf_dir, strs=tuple(strs), k=k):
+        from pigout_spark.operators.joins import edit_distance_join
+
+        df = spark.createDataFrame(
+            list(enumerate(strs)), "id bigint, s string"
+        )
+        return edit_distance_join(df, df, k=k, right_id="id")
+
+    return build, sql
+
 
 if __name__ == "__main__":
     raise SystemExit(main())
