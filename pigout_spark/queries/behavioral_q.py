@@ -553,3 +553,48 @@ def x_mad_outliers(spark, sf_dir):
 
     ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     return mad_outliers(ev, threshold=3.0)
+
+
+@query(
+    "x_scd2",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts
+      FROM events
+    ), g AS (
+      SELECT user_id, event_id, event_type, ts,
+             lag(event_type) OVER w AS ptype
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), st AS (
+      SELECT user_id, event_id, event_type, ts
+      FROM g WHERE ptype IS NULL OR event_type IS DISTINCT FROM ptype
+    )
+    SELECT user_id, event_type,
+           CAST(epoch(ts) AS BIGINT) AS from_s,
+           CAST(epoch(lead(ts) OVER w2) AS BIGINT) AS to_s,
+           lead(ts) OVER w2 IS NULL AS is_current
+    FROM st WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    extra=True,  # r7 addition; window settled for r7 — rotate in r8
+)
+def x_scd2(spark, sf_dir):
+    """SCD2 history of each user's event-type state: consecutive
+    identical types collapse into [from, to) validity intervals, open
+    current row flagged (pipeline/scd.py:scd2_build).  One key
+    exchange for both window passes."""
+    from pigout_spark.pipeline.scd import scd2_build
+
+    ev = _events_s(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    out = scd2_build(
+        ev, key="user_id", ts_col="ts", attrs=["event_type"],
+        tiebreak="event_id",
+    )
+    return out.select(
+        "user_id", "event_type",
+        F.unix_timestamp("valid_from").alias("from_s"),
+        F.unix_timestamp("valid_to").alias("to_s"),
+        "is_current",
+    )

@@ -2449,3 +2449,72 @@ def test_split_by_cluster_no_leakage(spark):
     }
     for i in range(81, 401):
         assert out[i] == plain[i]
+
+
+def test_scd2_build_and_snapshot(spark):
+    """SCD2: consecutive identical attribute tuples collapse, NULL
+    transitions are changes (NULL-safe compare), same-instant changes
+    keep tiebreak order, and snapshots reconstruct point-in-time
+    state."""
+    import datetime as dt
+
+    from pigout_spark.pipeline.scd import scd2_build, scd2_snapshot
+
+    T = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    rows = [
+        (1, 1, T(0), "bronze"),
+        (1, 2, T(10), "bronze"),   # no change -> collapsed
+        (1, 3, T(20), "silver"),
+        (1, 4, T(30), None),       # value -> NULL is a change
+        (1, 5, T(40), None),       # NULL == NULL: not a change
+        (1, 6, T(50), "gold"),
+        (2, 7, T(5), "x"),
+        (2, 8, T(5), "y"),         # same instant: tiebreak order, 0-length
+    ]
+    df = spark.createDataFrame(
+        rows, "k bigint, eid bigint, ts timestamp, tier string"
+    )
+    hist = scd2_build(df, key="k", ts_col="ts", attrs=["tier"], tiebreak="eid")
+    got = sorted(
+        (
+            (r.k, r.valid_from, r.tier or "")
+            for r in hist.collect()
+        )
+    )
+    rows_full = {
+        (r.k, r.valid_from): (r.tier, r.valid_to, r.is_current)
+        for r in hist.collect()
+    }
+    assert got == [
+        (1, T(0), "bronze"),
+        (1, T(20), "silver"),
+        (1, T(30), ""),
+        (1, T(50), "gold"),
+        (2, T(5), "x"),
+        (2, T(5), "y"),
+    ] or got == [
+        (1, T(0), "bronze"),
+        (1, T(20), "silver"),
+        (1, T(30), ""),
+        (1, T(50), "gold"),
+        (2, T(5), "y"),
+        (2, T(5), "x"),
+    ]
+    assert rows_full[(1, T(0))] == ("bronze", T(20), False)
+    assert rows_full[(1, T(30))] == (None, T(50), False)
+    assert rows_full[(1, T(50))] == ("gold", None, True)
+    # same-instant pair: x (eid 7) closes at T(5), y (eid 8) stays open
+    pair = sorted(
+        (r.tier, r.valid_to, r.is_current)
+        for r in hist.filter("k = 2").collect()
+    )
+    assert pair == [("x", T(5), False), ("y", None, True)]
+    snap = {
+        r.k: r.tier for r in scd2_snapshot(hist, T(25)).collect()
+    }
+    assert snap == {1: "silver", 2: "y"}
+    # single key exchange: both window passes share one hash exchange
+    # (AQE toString appends the Initial Plan — count the final only)
+    plan = hist._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1
