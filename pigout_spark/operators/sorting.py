@@ -167,3 +167,39 @@ def rank_by(
     rr = row_rank(df, *order, out="__rn")
     wkey = Window.partitionBy(*kcols)
     return rr.withColumn(out, F.min("__rn").over(wkey)).drop("__rn")
+
+
+def percentile_rank(
+    df: DataFrame,
+    score_col: str,
+    id_cols: list[str] | None = None,
+    out: str = "pct_rank",
+) -> DataFrame:
+    """Global percentile rank of a score column: SQL ``percent_rank()``
+    semantics — (rank − 1) / (n − 1) with competition ranking on ties
+    (tied scores share the min rank) — WITHOUT the keyless global
+    window that formulation implies.  The score-calibration primitive:
+    "keep the top 30% by quality" as a threshold on a stable [0, 1]
+    scale instead of a score distribution that shifts per corpus.
+
+    Composition: :func:`row_rank`'s two-pass unique ranking over
+    (score, ``id_cols``) gives total-order positions with NO
+    single-partition stage; a score-keyed min-aggregation + join
+    collapses tied scores to their shared competition rank; one
+    broadcast count row finishes the division.  Single-row output of
+    n = 1 gets pct_rank 0.0 (percent_rank's convention).
+
+    100 TB: the range-partitioned sort IS the cost (inherent to any
+    global ranking); everything after is a score-keyed equi-join and
+    a broadcast scalar — no global window, no collect.
+    """
+    ids = id_cols or []
+    r = row_rank(df, score_col, *ids, out="__rr")
+    minr = r.groupBy(score_col).agg(F.min("__rr").alias("__minr"))
+    n = df.count()
+    denom = float(max(n - 1, 1))
+    return (
+        r.join(minr, score_col)
+        .withColumn(out, (F.col("__minr") - 1).cast("double") / F.lit(denom))
+        .drop("__rr", "__minr")
+    )

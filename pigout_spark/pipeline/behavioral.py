@@ -628,3 +628,81 @@ def rfm(
     return out.withColumn(
         "segment", (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("int")
     )
+
+
+def ab_assign(
+    df: DataFrame,
+    id_cols: list[str],
+    treat_frac: float = 0.5,
+    seed: str = "0",
+    out: str = "variant",
+) -> DataFrame:
+    """Deterministic A/B assignment: md5-bucket each unit into
+    'treatment' ([0, treat_frac)) or 'control' — the
+    :func:`pigout_spark.pipeline.curation.split_corpus` threshold
+    discipline, so assignment is reproducible across runs, engines,
+    and reprocessing (a unit never switches arms mid-experiment).
+    Pure narrow map."""
+    from pigout_spark.pipeline.curation import split_corpus
+
+    f = float(treat_frac)
+    if not (0.0 < f < 1.0):
+        raise ValueError(f"treat_frac must be in (0, 1), got {f}")
+    return split_corpus(
+        df, {"treatment": f, "control": 1.0 - f}, id_cols, seed=seed, out=out
+    )
+
+
+def ab_lift(
+    df: DataFrame,
+    metric_col: str,
+    id_cols: list[str],
+    treat_frac: float = 0.5,
+    seed: str = "0",
+) -> DataFrame:
+    """A/B experiment readout in one row: per-variant n / mean /
+    sample variance, absolute lift (treatment − control) and the
+    two-sample z statistic (Welch SE) — the experiment-analysis
+    primitive over any metric column.
+
+    Determinism: component sums follow the q33 COR/COV discipline
+    (value and value² cast to DECIMAL before summing — exact,
+    order-free), then one fixed IEEE formula chain; both engines
+    produce bit-identical means/variances/z.
+
+    100 TB: one narrow assignment map + ONE conditional aggregation to
+    a single broadcast-sized row.  No shuffle beyond the final
+    1-row agg.
+    """
+    a = ab_assign(df, id_cols, treat_frac=treat_frac, seed=seed)
+    is_t = F.col("variant") == "treatment"
+    v = F.col(metric_col)
+    s = a.agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).cast("long").alias("n_t"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).cast("long").alias("n_c"),
+        F.sum(F.when(is_t, v).otherwise(F.lit(0.0)).cast("decimal(20,4)"))
+        .cast("double").alias("sx_t"),
+        F.sum(F.when(~is_t, v).otherwise(F.lit(0.0)).cast("decimal(20,4)"))
+        .cast("double").alias("sx_c"),
+        F.sum(F.when(is_t, v * v).otherwise(F.lit(0.0)).cast("decimal(28,4)"))
+        .cast("double").alias("sxx_t"),
+        F.sum(F.when(~is_t, v * v).otherwise(F.lit(0.0)).cast("decimal(28,4)"))
+        .cast("double").alias("sxx_c"),
+    )
+    n_t, n_c = F.col("n_t"), F.col("n_c")
+    mean_t = F.col("sx_t") / n_t
+    mean_c = F.col("sx_c") / n_c
+    var_t = (n_t * F.col("sxx_t") - F.col("sx_t") * F.col("sx_t")) / (
+        n_t * (n_t - 1)
+    )
+    var_c = (n_c * F.col("sxx_c") - F.col("sx_c") * F.col("sx_c")) / (
+        n_c * (n_c - 1)
+    )
+    lift = mean_t - mean_c
+    z = lift / F.sqrt(var_t / n_t + var_c / n_c)
+    return s.select(
+        n_c, n_t,
+        mean_c.alias("mean_c"), mean_t.alias("mean_t"),
+        var_c.alias("var_c"), var_t.alias("var_t"),
+        lift.alias("lift"), z.alias("z"),
+    )

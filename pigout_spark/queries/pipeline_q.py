@@ -3460,3 +3460,99 @@ def x_split_safe(spark, sf_dir):
     return split_by_cluster(
         d.select("doc_id"), dedup_clusters(pairs), _SPLIT_W, seed="13"
     )
+
+
+@query(
+    "x_quality_pctile",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+    ), tfc AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS tfn FROM toks GROUP BY tok
+    ), sc AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS v,
+             CAST(SUM(tfn) AS DOUBLE) AS n
+      FROM tfc
+    ), s AS (
+      SELECT t.doc_id,
+             -ln((tfc.tfn + 0.5) / (sc.n + 0.5 * sc.v)) AS srp
+      FROM toks t JOIN tfc ON t.tok = tfc.tok, sc
+    ), scored AS (
+      SELECT doc_id, ROUND(SUM(srp) / COUNT(*), 6) AS score6
+      FROM s GROUP BY doc_id
+    )
+    SELECT doc_id, score6,
+           ROUND(percent_rank() OVER (ORDER BY score6), 6) AS pct6
+    FROM scored
+    """,
+    extra=True,  # r7 addition; window settled for r7 — rotate in r8
+)
+def x_quality_pctile(spark, sf_dir):
+    """Percentile-rank calibration of the unigram surprisal quality
+    score: percent_rank semantics WITHOUT a keyless global window —
+    two-pass row_rank + tied-score min-rank collapse
+    (operators/sorting.py:percentile_rank).  The oracle's
+    percent_rank() window is the semantic ground truth; the engine
+    side must never plan a single-partition sort over data rows."""
+    from pigout_spark.operators.sorting import percentile_rank
+    from pigout_spark.pipeline.text import surprisal_score
+
+    scored = surprisal_score(tf(spark, sf_dir, "documents")).select(
+        "doc_id", F.round("mean_surprisal", 6).alias("score6")
+    )
+    out = percentile_rank(scored, "score6", id_cols=["doc_id"], out="__p")
+    return out.select("doc_id", "score6", F.round("__p", 6).alias("pct6"))
+
+
+@query(
+    "x_ab_lift",
+    """
+    WITH e AS (
+      SELECT user_id, value FROM events WHERE value IS NOT NULL
+    ), a AS (
+      SELECT value,
+             ('0x' || substring(md5('7' || '|' ||
+                coalesce(user_id::VARCHAR, chr(0))), 1, 8))::BIGINT
+             / 4294967296.0 < 0.5 AS is_t
+      FROM e
+    ), s AS (
+      SELECT CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+             CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS n_c,
+             CAST(SUM(CAST(CASE WHEN is_t THEN value ELSE 0.0 END
+                           AS DECIMAL(20,4))) AS DOUBLE) AS sx_t,
+             CAST(SUM(CAST(CASE WHEN is_t THEN 0.0 ELSE value END
+                           AS DECIMAL(20,4))) AS DOUBLE) AS sx_c,
+             CAST(SUM(CAST(CASE WHEN is_t THEN value * value ELSE 0.0 END
+                           AS DECIMAL(28,4))) AS DOUBLE) AS sxx_t,
+             CAST(SUM(CAST(CASE WHEN is_t THEN 0.0 ELSE value * value END
+                           AS DECIMAL(28,4))) AS DOUBLE) AS sxx_c
+      FROM a
+    )
+    SELECT n_c, n_t,
+           ROUND(sx_c / n_c, 6) AS mean_c6,
+           ROUND(sx_t / n_t, 6) AS mean_t6,
+           ROUND(sx_t / n_t - sx_c / n_c, 6) AS lift6,
+           ROUND((sx_t / n_t - sx_c / n_c)
+                 / sqrt(((n_t * sxx_t - sx_t * sx_t) / (n_t * (n_t - 1))) / n_t
+                      + ((n_c * sxx_c - sx_c * sx_c) / (n_c * (n_c - 1))) / n_c),
+                 6) AS z6
+    FROM s
+    """,
+    extra=True,  # r7 addition; window settled for r7 — rotate in r8
+)
+def x_ab_lift(spark, sf_dir):
+    """A/B experiment readout over event values with user-keyed
+    deterministic assignment (seed 7, 50/50): per-arm n/mean, lift,
+    Welch z — decimal-exact component sums, one fixed IEEE chain
+    (pipeline/behavioral.py:ab_lift)."""
+    from pigout_spark.pipeline.behavioral import ab_lift
+
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    out = ab_lift(ev, "value", ["user_id"], treat_frac=0.5, seed="7")
+    return out.select(
+        "n_c", "n_t",
+        F.round("mean_c", 6).alias("mean_c6"),
+        F.round("mean_t", 6).alias("mean_t6"),
+        F.round("lift", 6).alias("lift6"),
+        F.round("z", 6).alias("z6"),
+    )

@@ -699,3 +699,53 @@ def test_asof_join_directions(spark):
 
     with pytest.raises(ValueError, match="unknown asof direction"):
         run(direction="sideways")
+
+
+def test_percentile_rank_ties_and_plan(spark):
+    """percent_rank semantics: ties share the min-rank percentile,
+    bounds are [0, 1], a single row gets 0.0 — and the plan must not
+    range-sort data rows into one partition beyond row_rank's
+    documented two-pass shape (no window over data rows)."""
+    from pigout_spark.operators.sorting import percentile_rank
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 20.0), (4, 30.0), (5, 40.0)],
+        "id bigint, s double",
+    )
+    out = {r.id: r.pct_rank for r in percentile_rank(df, "s", ["id"]).collect()}
+    # ranks: 10->1, 20->2 (both), 30->4, 40->5; pct = (r-1)/4
+    assert out == {1: 0.0, 2: 0.25, 3: 0.25, 4: 0.75, 5: 1.0}
+    one = percentile_rank(
+        spark.createDataFrame([(1, 5.0)], "id bigint, s double"), "s", ["id"]
+    ).collect()
+    assert one[0].pct_rank == 0.0
+
+
+def test_ab_lift_hand_computed(spark):
+    """Hand-built experiment: fixed assignment via seed, verify the
+    Welch z formula end-to-end against a numpy computation."""
+    import math
+
+    from pigout_spark.pipeline.behavioral import ab_assign, ab_lift
+
+    rows = [(i, float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 10])]
+    df = spark.createDataFrame(rows, "uid bigint, m double")
+    assigned = {
+        r.uid: r.variant for r in ab_assign(df, ["uid"], seed="3").collect()
+    }
+    t = [v for (i, v) in rows if assigned[i] == "treatment"]
+    c = [v for (i, v) in rows if assigned[i] == "control"]
+    assert len(t) >= 2 and len(c) >= 2  # seed 3 splits this set usably
+    out = ab_lift(df, "m", ["uid"], seed="3").collect()[0]
+    assert out.n_t == len(t) and out.n_c == len(c)
+    mt, mc = sum(t) / len(t), sum(c) / len(c)
+    vt = sum((x - mt) ** 2 for x in t) / (len(t) - 1)
+    vc = sum((x - mc) ** 2 for x in c) / (len(c) - 1)
+    assert abs(out.mean_t - mt) < 1e-9 and abs(out.mean_c - mc) < 1e-9
+    assert abs(out.var_t - vt) < 1e-9 and abs(out.var_c - vc) < 1e-9
+    z = (mt - mc) / math.sqrt(vt / len(t) + vc / len(c))
+    assert abs(out.z - z) < 1e-9
+    import pytest
+
+    with pytest.raises(ValueError, match="treat_frac"):
+        ab_assign(df, ["uid"], treat_frac=1.5)
