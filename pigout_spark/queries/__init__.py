@@ -48,7 +48,12 @@ from pigout_spark.queries import udf_q  # noqa: F401,E402
 # settled anchors that keep every operator family driver-covered.
 # Everything else moves to EXTRA_REGISTRY, keeping its local oracle
 # (tools/selfcheck.py + tests/test_queries.py).  After r7 every
-# registered query will have held at least one driver row.
+# query registered AT r7 rotation time will have held a driver row.
+#
+# r8 rotation candidates (added later in r7, selfcheck-green but not
+# yet driver-checked): x_bigram_lm, x_fuzzy_join, x_transitions,
+# x_mad_outliers, x_bm25_topk, x_split_safe, x_asof_nearest, x_scd2,
+# x_quality_pctile, x_ab_lift.
 _WINDOW_R7 = [
     "q01_group_agg",  # flagship
     # never driver-checked before r7 — hash-checkable oracles
