@@ -312,3 +312,78 @@ def k_core(
     raise RuntimeError(
         f"k_core did not converge within {max_rounds} rounds (k={k})"
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 5,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """SYNCHRONOUS label propagation (community detection): every node
+    starts with its own id as label; each round all nodes
+    simultaneously adopt the most frequent label among their
+    neighbors, ties broken by the SMALLEST label; isolated nodes (and
+    any node whose neighbors vanish) keep their label.  Direction is
+    ignored (edges symmetrized, self-loops and duplicates dropped).
+
+    Determinism contract: with the (count DESC, label ASC) tie rule
+    the entire trajectory is a pure function of the graph — including
+    the oscillations synchronous LPA is known for on bipartite
+    structures — so a SQL twin replaying EXACTLY ``rounds`` rounds
+    matches bit-for-bit.  Unlike k_core/dedup_clusters this is NOT a
+    fixpoint op: over-unrolling changes the answer, so oracle and
+    engine must agree on the round count (both take it as a
+    parameter; no convergence claim is made or needed).
+
+    Output: (node, label) — nodes sharing a label after ``rounds``
+    rounds are one community.
+
+    100 TB: per round ONE message join (labels onto the symmetrized
+    src-partitioned edge list — co-partitioned after the first
+    round), one (node, label) count aggregation (map-side combined,
+    bounded by the edge count), one per-node argmax via a single
+    max(struct) aggregation (no window), and one carry-over left
+    join against the node relation.  Labels are localCheckpoint'ed
+    every ``checkpoint_every`` rounds — the dedup_clusters lineage
+    discipline.
+    """
+    s, d = F.col(src).cast("bigint"), F.col(dst).cast("bigint")
+    base = edges.filter(s.isNotNull() & d.isNotNull() & (s != d))
+    e = (
+        base.select(s.alias("__u"), d.alias("__v"))
+        .unionByName(base.select(d.alias("__u"), s.alias("__v")))
+        .distinct()
+        .repartition("__u")
+        .localCheckpoint(eager=False)
+    )
+    nodes = e.select(F.col("__u").alias("node")).distinct().localCheckpoint(
+        eager=False
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for it in range(1, int(rounds) + 1):
+        msgs = e.join(
+            labels, e["__u"] == labels["node"]
+        ).select(F.col("__v").alias("node"), "label")
+        counts = msgs.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        # argmax by (count DESC, label ASC) as ONE max(struct): struct
+        # ordering is lexicographic, so max of (count, -label) picks
+        # the highest count, then the smallest label.
+        best = counts.groupBy("node").agg(
+            (-F.max(F.struct(F.col("__c"), (-F.col("label")).alias("__nl")))[
+                "__nl"
+            ]).alias("__new")
+        )
+        labels = (
+            nodes.join(labels, "node")
+            .join(best, "node", "left")
+            .select(
+                "node", F.coalesce(F.col("__new"), F.col("label")).alias("label")
+            )
+        )
+        if checkpoint_every and it % int(checkpoint_every) == 0:
+            labels = labels.localCheckpoint(eager=False)
+    return labels

@@ -3556,3 +3556,72 @@ def x_ab_lift(spark, sf_dir):
         F.round("lift", 6).alias("lift6"),
         F.round("z", 6).alias("z6"),
     )
+
+
+def _lpa_sql(rounds: int) -> str:
+    """Unrolled synchronous-LPA twin: EXACTLY ``rounds`` rounds of the
+    (count DESC, label ASC) update — LPA is not a fixpoint op
+    (synchronous updates can oscillate), so unlike the kcore/clusters
+    oracles the round count must match the engine side exactly, and
+    no convergence guard applies.  MATERIALIZED per round (each label
+    relation is referenced 3×)."""
+    edge_cte = """
+      SELECT DISTINCT LEAST(x.l_suppkey, y.l_suppkey) AS a,
+                      GREATEST(x.l_suppkey, y.l_suppkey) AS b
+      FROM (SELECT * FROM lineitem WHERE l_quantity > 45) x
+      JOIN (SELECT * FROM lineitem WHERE l_quantity > 45) y
+        ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+    """
+    parts = [
+        f"e0 AS MATERIALIZED ({edge_cte})",
+        "edges AS MATERIALIZED (SELECT a AS u, b AS v FROM e0"
+        " UNION SELECT b, a FROM e0)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM edges)",
+        "l0 AS MATERIALIZED (SELECT node, node AS label FROM nodes)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f"""m{i} AS MATERIALIZED (
+      SELECT e.v AS node, l.label, COUNT(*) AS c
+      FROM edges e JOIN l{i-1} l ON l.node = e.u
+      GROUP BY e.v, l.label
+    ), b{i} AS MATERIALIZED (
+      SELECT node, label FROM m{i}
+      QUALIFY row_number() OVER (PARTITION BY node
+                                 ORDER BY c DESC, label ASC) = 1
+    ), l{i} AS MATERIALIZED (
+      SELECT n.node, COALESCE(b.label, l.label) AS label
+      FROM nodes n JOIN l{i-1} l USING (node)
+      LEFT JOIN b{i} b USING (node)
+    )""")
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, CAST(label AS BIGINT) AS label FROM l{rounds}"
+    )
+
+
+@query(
+    "x_label_prop",
+    _lpa_sql(4),
+    extra=True,  # r7 addition; window settled for r7 — rotate in r8
+)
+def x_label_prop(spark, sf_dir):
+    """Synchronous label-propagation communities, EXACTLY 4 rounds,
+    over the high-quantity supplier co-purchase graph — every node's
+    label hash-matched against the 4-round unrolled replay
+    (pipeline/graph.py:label_propagation; deterministic
+    (count DESC, label ASC) tie rule makes the whole trajectory,
+    oscillations included, a pure function of the graph)."""
+    from pigout_spark.pipeline.graph import label_propagation
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45).select(
+        "l_orderkey", "l_suppkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+    ).select(
+        F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+    )
+    return label_propagation(edges, rounds=4)

@@ -2518,3 +2518,48 @@ def test_scd2_build_and_snapshot(spark):
     plan = hist._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange hashpartitioning") == 1
+
+
+def test_label_propagation_matches_python_reference(spark):
+    """Sync LPA with the (count DESC, label ASC) tie rule must equal a
+    direct Python simulation of the same rule — on a barbell (two
+    triangles + bridge), a star, and a 4-cycle (the oscillation case),
+    at several round counts."""
+    from pigout_spark.pipeline.graph import label_propagation
+
+    def simulate(edges, rounds):
+        adj = {}
+        for a, b in edges:
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        lab = {n: n for n in adj}
+        for _ in range(rounds):
+            new = {}
+            for n, nbrs in adj.items():
+                cnt = {}
+                for m in nbrs:
+                    cnt[lab[m]] = cnt.get(lab[m], 0) + 1
+                best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+                new[n] = best
+            lab = new
+        return lab
+
+    graphs = {
+        "barbell": [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "star": [(0, i) for i in range(1, 6)],
+        "cycle4": [(1, 2), (2, 3), (3, 4), (4, 1)],
+    }
+    for name, edges in graphs.items():
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        for rounds in (1, 2, 5):
+            got = {
+                r.node: r.label
+                for r in label_propagation(df, rounds=rounds).collect()
+            }
+            want = simulate(edges, rounds)
+            assert got == want, (name, rounds, got, want)
+    # barbell at 5 rounds: the two triangles hold distinct communities
+    lab5 = simulate(graphs["barbell"], 5)
+    assert len({lab5[n] for n in (1, 2, 3)} | {lab5[n] for n in (4, 5, 6)}) >= 2
