@@ -343,13 +343,16 @@ def label_propagation(
     100 TB: per round ONE message join (labels onto the symmetrized
     src-partitioned edge list — co-partitioned after the first
     round), one (node, label) count aggregation (map-side combined,
-    bounded by the edge count), one per-node argmax via a single
-    max(struct) aggregation (no window), and one carry-over left
+    bounded by the edge count), one per-node argmax as a row_number
+    window on the node partitioning (label-cardinality-sized input,
+    type-generic — node ids may be strings), and one carry-over left
     join against the node relation.  Labels are localCheckpoint'ed
     every ``checkpoint_every`` rounds — the dedup_clusters lineage
     discipline.
     """
-    s, d = F.col(src).cast("bigint"), F.col(dst).cast("bigint")
+    from pyspark.sql import Window
+
+    s, d = F.col(src), F.col(dst)
     base = edges.filter(s.isNotNull() & d.isNotNull() & (s != d))
     e = (
         base.select(s.alias("__u"), d.alias("__v"))
@@ -369,13 +372,17 @@ def label_propagation(
         counts = msgs.groupBy("node", "label").agg(
             F.count(F.lit(1)).alias("__c")
         )
-        # argmax by (count DESC, label ASC) as ONE max(struct): struct
-        # ordering is lexicographic, so max of (count, -label) picks
-        # the highest count, then the smallest label.
-        best = counts.groupBy("node").agg(
-            (-F.max(F.struct(F.col("__c"), (-F.col("label")).alias("__nl")))[
-                "__nl"
-            ]).alias("__new")
+        # argmax by (count DESC, label ASC): a row_number window on
+        # the node partitioning (input is per-(node, distinct label) —
+        # already aggregated, far smaller than the message stream) —
+        # type-generic, so node ids may be strings.
+        wbest = Window.partitionBy("node").orderBy(
+            F.col("__c").desc(), F.col("label").asc()
+        )
+        best = (
+            counts.withColumn("__rn", F.row_number().over(wbest))
+            .filter(F.col("__rn") == 1)
+            .select("node", F.col("label").alias("__new"))
         )
         labels = (
             nodes.join(labels, "node")

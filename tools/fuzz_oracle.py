@@ -1829,7 +1829,90 @@ def gen_r7(rng: random.Random):
     (random gap/ties), MAD outliers (random threshold, duplicate
     values), BM25 (random corpus + query vocabulary), and the
     edit-distance join (tiny alphabet vs the naive DP answer)."""
-    kind = rng.choice(["transitions", "mad", "bm25", "edjoin"])
+    kind = rng.choice(["transitions", "mad", "bm25", "edjoin", "lpa", "scd2"])
+
+    if kind == "lpa":
+        n_nodes = rng.randint(3, 20)
+        n_edges = rng.randint(2, 60)
+        rounds = rng.randint(1, 4)
+        edges = sorted({
+            (rng.randint(0, n_nodes), rng.randint(0, n_nodes))
+            for _ in range(n_edges)
+        })
+        if not [1 for a, b in edges if a != b]:
+            edges.append((0, 1))
+        vals = ", ".join(f"({a}, {b})" for a, b in edges)
+        parts = [
+            f"e0 AS (SELECT * FROM (VALUES {vals}) AS __e(a, b))",
+            "edges AS (SELECT a AS u, b AS v FROM e0 WHERE a <> b"
+            " UNION SELECT b, a FROM e0 WHERE a <> b)",
+            "nodes AS (SELECT DISTINCT u AS node FROM edges)",
+            "l0 AS (SELECT node, node AS label FROM nodes)",
+        ]
+        for i in range(1, rounds + 1):
+            parts.append(
+                f"m{i} AS (SELECT e.v AS node, l.label, COUNT(*) AS c"
+                f" FROM edges e JOIN l{i-1} l ON l.node = e.u"
+                f" GROUP BY e.v, l.label),"
+                f" b{i} AS (SELECT node, label FROM m{i}"
+                f" QUALIFY row_number() OVER (PARTITION BY node"
+                f" ORDER BY c DESC, label ASC) = 1),"
+                f" l{i} AS (SELECT n.node,"
+                f" COALESCE(b.label, l.label) AS label"
+                f" FROM nodes n JOIN l{i-1} l USING (node)"
+                f" LEFT JOIN b{i} b USING (node))"
+            )
+        sql = (
+            "WITH " + ",\n".join(parts)
+            + f" SELECT CAST(node AS BIGINT) AS node,"
+            f" CAST(label AS BIGINT) AS label FROM l{rounds}"
+        )
+
+        def build(spark, sf_dir, rounds=rounds):
+            from pigout_spark.pipeline.graph import label_propagation
+
+            df = spark.createDataFrame(edges, "src bigint, dst bigint")
+            return label_propagation(df, rounds=rounds)
+
+        return build, sql
+
+    if kind == "scd2":
+        # NULL attribute transitions are pytest-covered; _id_cte writes
+        # string literals, so the fuzz sticks to non-null types.
+        rows = _rand_typed_rows(rng, rng.randint(6, 40), rng.randint(1, 3),
+                                ["a", "b"])
+        sql = f"""
+        WITH {_id_cte("ev0", rows)},
+        g AS (
+          SELECT k, id, typ, ts, lag(typ) OVER w AS ptyp,
+                 lag(id) OVER w IS NULL AS first
+          FROM ev0 WINDOW w AS (PARTITION BY k ORDER BY ts, id)
+        ), st AS (
+          SELECT k, id, typ, ts FROM g
+          WHERE first OR typ IS DISTINCT FROM ptyp
+        )
+        SELECT k, typ,
+               CAST(epoch(ts) AS BIGINT) AS from_s,
+               CAST(epoch(lead(ts) OVER w2) AS BIGINT) AS to_s,
+               lead(ts) OVER w2 IS NULL AS is_current
+        FROM st WINDOW w2 AS (PARTITION BY k ORDER BY ts, id)
+        """
+
+        def build(spark, sf_dir):
+            from pigout_spark.pipeline.scd import scd2_build
+
+            df = _id_df(spark, rows).select("k", "id", "ts", "typ")
+            out = scd2_build(df, key="k", ts_col="ts", attrs=["typ"],
+                             tiebreak="id")
+            return out.select(
+                "k", "typ",
+                F.unix_timestamp("valid_from").alias("from_s"),
+                F.unix_timestamp("valid_to").alias("to_s"),
+                "is_current",
+            )
+
+        return build, sql
+
 
     if kind == "transitions":
         rows = _rand_typed_rows(rng, rng.randint(8, 50), rng.randint(1, 4),
