@@ -31,6 +31,8 @@ def pagerank(
     iterations: int = 5,
     damping_pct: int = 85,
     checkpoint_every: int = 4,
+    weight_col: str | None = None,
+    seeds: list | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an edge relation (duplicate edges
     count as parallel edges).  Classic simplified update — each node
@@ -44,6 +46,17 @@ def pagerank(
     the same rounds as unrolled CTEs in the same int64 fixed-point
     arithmetic.  Output ranks are units/10^12 as double (exact — the
     numerator is far below 2^53).
+
+    ``weight_col`` (r7): edge weights as POSITIVE INTEGERS (co-order
+    counts, click counts — the natural multigraph compression);
+    contributions become rank·w div Σw per source, still pure integer
+    floor arithmetic.  ``seeds`` (r7): personalized PageRank — the
+    teleport term concentrates on the seed list ((1−d)/|S| and the
+    initial 1/|S| go to seeds only, 0 elsewhere), the standard
+    random-walk-with-restart relevance measure.  The seed list is
+    driver-sized by contract (a query's seed set, compiled into the
+    plan as a literal IN — not a join side).
+
 
     100 TB: the degree-annotated edge list is shuffled ONCE onto the
     source key and checkpointed; the node relation once onto the node
@@ -72,11 +85,18 @@ def pagerank(
     # column).  Degree via a window count on the source partitioning —
     # one exchange, no join, and the result is HashPartitioned(__s)
     # for every round's contribution join.
+    w = (
+        F.col(weight_col).cast("bigint")
+        if weight_col is not None
+        else F.lit(1).cast("bigint")
+    )
     e = (
-        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        edges.select(
+            F.col(src).alias("__s"), F.col(dst).alias("__d"), w.alias("__w")
+        )
         .repartition("__s")
         .withColumn(
-            "__deg", F.count(F.lit(1)).over(Window.partitionBy("__s"))
+            "__deg", F.sum("__w").over(Window.partitionBy("__s"))
         )
         .localCheckpoint(eager=False)
     )
@@ -92,37 +112,59 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     d = int(damping_pct)
-    base_units = ((100 - d) * PAGERANK_UNIT // 100) // n
-    r0 = PAGERANK_UNIT // n
+    # Teleport denominator: the whole graph, or the seed set (PPR).
+    if seeds is not None and len(seeds) == 0:
+        raise ValueError("personalized pagerank needs a non-empty seed list")
+    n_tel = len(seeds) if seeds is not None else n
+    base_units = ((100 - d) * PAGERANK_UNIT // 100) // n_tel
+    r0 = PAGERANK_UNIT // n_tel
+
+    def node_base(col: str, units: int):
+        """Per-node teleport units as a Column: the constant for the
+        uniform case, seed-gated for PPR (literal IN — seed lists are
+        query-sized by contract)."""
+        if seeds is None:
+            return F.lit(units).cast("bigint")
+        return (
+            F.when(F.col(col).isin(*seeds), F.lit(units))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+        )
+
     if int(iterations) <= 0:
         return nodes.select(
             "node",
-            (F.lit(r0).cast("double") / F.lit(float(PAGERANK_UNIT))).alias(
-                "rank"
-            ),
+            (
+                node_base("node", r0).cast("double")
+                / F.lit(float(PAGERANK_UNIT))
+            ).alias("rank"),
         )
-    # rank_i(u) = base + (d·sums_i(u)) div 100 is folded INTO the next
-    # round's contribution expression, so a round is ONE left join of
-    # the edge list with the (dst-keyed) sums relation — co-partitioned,
-    # zero new exchange — plus the transpose aggregation (the single
-    # per-round shuffle).  The full node relation is only joined once,
-    # at the end; nodes that never receive contributions sit at
-    # base_units implicitly throughout.
+    # rank_i(u) = base(u) + (d·sums_i(u)) div 100 is folded INTO the
+    # next round's contribution expression, so a round is ONE left join
+    # of the edge list with the (dst-keyed) sums relation —
+    # co-partitioned, zero new exchange — plus the transpose
+    # aggregation (the single per-round shuffle).  The full node
+    # relation is only joined once, at the end; nodes that never
+    # receive contributions sit at their base implicitly throughout.
+    # Weighted: contribution = rank·w div Σw.  Overflow headroom:
+    # rank ≤ ~10^13 units and w ≤ 10^5 keeps rank·w below 2^63.
+    e = e.withColumn("__sb", node_base("__s", base_units)).withColumn(
+        "__r0s", node_base("__s", r0)
+    )
     rank_expr = (
-        f"(cast({base_units} as bigint)"
-        f" + ({d} * coalesce(__sum, cast(0 as bigint))) div 100)"
+        f"(__sb + ({d} * coalesce(__sum, cast(0 as bigint))) div 100)"
     )
     sums = None
     for it in range(1, int(iterations) + 1):
         if sums is None:
             contrib = e.select(
                 F.col("__d").alias("node"),
-                F.expr(f"cast({r0} as bigint) div __deg").alias("__c"),
+                F.expr("(__r0s * __w) div __deg").alias("__c"),
             )
         else:
             contrib = e.join(sums, e["__s"] == sums["__n"], "left").select(
                 F.col("__d").alias("node"),
-                F.expr(f"{rank_expr} div __deg").alias("__c"),
+                F.expr(f"({rank_expr} * __w) div __deg").alias("__c"),
             )
         sums = (
             contrib.groupBy("node")
@@ -131,11 +173,14 @@ def pagerank(
         )
         if checkpoint_every and it % int(checkpoint_every) == 0:
             sums = sums.localCheckpoint(eager=False)
+    final_rank = node_base("node", base_units) + F.expr(
+        f"({d} * coalesce(__sum, cast(0 as bigint))) div 100"
+    )
     return nodes.join(sums, nodes["node"] == sums["__n"], "left").select(
         "node",
-        (
-            F.expr(rank_expr).cast("double") / F.lit(float(PAGERANK_UNIT))
-        ).alias("rank"),
+        (final_rank.cast("double") / F.lit(float(PAGERANK_UNIT))).alias(
+            "rank"
+        ),
     )
 
 

@@ -3625,3 +3625,69 @@ def x_label_prop(spark, sf_dir):
         F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
     )
     return label_propagation(edges, rounds=4)
+
+
+def _ppr_sql(iters: int, seeds: tuple, n_seeds_div: str = "nseeds") -> str:
+    """Weighted + personalized pagerank twin: same int64 picorank
+    arithmetic as _pagerank_sql with (a) per-edge integer weights
+    (contribution = rank·w div Σw) and (b) teleport mass confined to
+    the seed list ((1−d)/|S| and 1/|S| on seeds, 0 elsewhere)."""
+    seed_list = ", ".join(str(s) for s in seeds)
+    ns = len(seeds)
+    base = f"CASE WHEN node IN ({seed_list}) THEN CAST(150000000000 // {ns} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    r0 = f"CASE WHEN node IN ({seed_list}) THEN CAST(1000000000000 // {ns} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    ctes = [
+        "e AS (SELECT CAST(l_suppkey AS BIGINT) AS s,"
+        " CAST(l_partkey + 4294967296 AS BIGINT) AS d,"
+        " CAST(COUNT(*) AS BIGINT) AS w"
+        " FROM lineitem GROUP BY 1, 2)",
+        "deg AS (SELECT s, CAST(SUM(w) AS BIGINT) AS wsum FROM e GROUP BY s)",
+        "nodes AS (SELECT DISTINCT node FROM"
+        " (SELECT s AS node FROM e UNION SELECT d FROM e))",
+        f"r0 AS (SELECT node, {r0} AS u FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e.d AS node,"
+            f" CAST(SUM((r.u * e.w) // deg.wsum) AS BIGINT) AS cs"
+            f" FROM e JOIN deg USING (s) JOIN r{i-1} r ON r.node = e.s"
+            f" GROUP BY e.d)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT nodes.node,"
+            f" CAST({base.replace('node', 'nodes.node')}"
+            f"      + (85 * coalesce(c{i}.cs, 0)) // 100 AS BIGINT) AS u"
+            f" FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f" SELECT node, CAST(u AS DOUBLE) / 1000000000000.0 AS rank"
+        f" FROM r{iters}"
+    )
+
+
+_PPR_SEEDS = (1, 2, 3, 4, 5)
+
+
+@query(
+    "x_ppr",
+    _ppr_sql(3, _PPR_SEEDS),
+    extra=True,  # r7 addition; window settled for r7 — rotate in r8
+)
+def x_ppr(spark, sf_dir):
+    """Personalized WEIGHTED PageRank: random-walk-with-restart from
+    suppliers 1–5 over the supplier→part graph with co-order counts as
+    integer edge weights — rank·w div Σw contributions, teleport mass
+    confined to the seeds, every node's rank hash-matched against the
+    unrolled integer replay (pipeline/graph.py:pagerank weight_col= /
+    seeds=)."""
+    from pigout_spark.pipeline.graph import pagerank
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = li.groupBy(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("l_partkey") + 4_294_967_296).cast("long").alias("dst"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("w"))
+    return pagerank(
+        edges, iterations=3, weight_col="w", seeds=list(_PPR_SEEDS)
+    )

@@ -2563,3 +2563,55 @@ def test_label_propagation_matches_python_reference(spark):
     # barbell at 5 rounds: the two triangles hold distinct communities
     lab5 = simulate(graphs["barbell"], 5)
     assert len({lab5[n] for n in (1, 2, 3)} | {lab5[n] for n in (4, 5, 6)}) >= 2
+
+
+def test_pagerank_weighted_and_personalized(spark):
+    """Weighted + personalized PageRank vs a direct integer-arithmetic
+    simulation of the same fixed-point rules: weights skew the split
+    of a node's rank, seeds concentrate the teleport, and an integer
+    weight of w on (u,v) equals w parallel (u,v) edges in the
+    unweighted op."""
+    from pigout_spark.pipeline.graph import PAGERANK_UNIT, pagerank
+
+    edges = [(1, 2, 3), (1, 3, 1), (2, 3, 2), (3, 1, 1)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint, w bigint")
+
+    def simulate(edges, iters, seeds=None, d=85):
+        nodes = sorted({x for e in edges for x in e[:2]})
+        tel = seeds if seeds else nodes
+        base = {v: ((100 - d) * PAGERANK_UNIT // 100) // len(tel)
+                if (not seeds or v in seeds) else 0 for v in nodes}
+        r = {v: PAGERANK_UNIT // len(tel)
+             if (not seeds or v in seeds) else 0 for v in nodes}
+        W = {}
+        for u, v, w in edges:
+            W[u] = W.get(u, 0) + w
+        for _ in range(iters):
+            s = {v: 0 for v in nodes}
+            for u, v, w in edges:
+                s[v] += (r[u] * w) // W[u]
+            r = {v: base[v] + (d * s[v]) // 100 for v in nodes}
+        return {v: r[v] / PAGERANK_UNIT for v in nodes}
+
+    got = {r.node: r.rank for r in pagerank(df, iterations=3, weight_col="w").collect()}
+    want = simulate(edges, 3)
+    assert got == want
+    # personalized: teleport only to node 1
+    gotp = {
+        r.node: r.rank
+        for r in pagerank(df, iterations=3, weight_col="w", seeds=[1]).collect()
+    }
+    wantp = simulate(edges, 3, seeds=[1])
+    assert gotp == wantp
+    assert gotp[1] > got[1]  # seed concentrates mass near the seed
+    # weight w ~ w parallel edges: equal up to floor-division granularity
+    # ((r*w) div W vs w·(r div W) differ by < w units of 10^-12)
+    flat = [(u, v) for u, v, w in edges for _ in range(w)]
+    dfe = spark.createDataFrame(flat, "src bigint, dst bigint")
+    gote = {r.node: r.rank for r in pagerank(dfe, iterations=3).collect()}
+    for v in got:
+        assert abs(gote[v] - got[v]) < 1e-10
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty seed"):
+        pagerank(df, iterations=1, seeds=[])
