@@ -1539,35 +1539,58 @@ def gen_behavioral(rng: random.Random):
 def gen_graph(rng: random.Random):
     """Differential-fuzz fixed-iteration PageRank: random digraphs
     (self-loops, parallel-edge collapses via DISTINCT, dangling nodes,
-    disconnected parts) vs the dynamically unrolled CTE oracle."""
+    disconnected parts), randomly WEIGHTED (integer edge weights,
+    rank·w div Σw) and/or PERSONALIZED (teleport confined to a random
+    seed subset) — vs the dynamically regenerated unrolled CTE
+    oracle."""
     n_nodes = rng.randint(3, 25)
     n_edges = rng.randint(2, 80)
     iters = rng.randint(1, 4)
+    weighted = rng.random() < 0.5
     edges = sorted({
         (f"n{rng.randint(0, n_nodes)}", f"n{rng.randint(0, n_nodes)}")
         for _ in range(n_edges)
     })
-    vals = ", ".join(f"('{a}', '{b}')" for a, b in edges)
+    wts = {e: (rng.randint(1, 9) if weighted else 1) for e in edges}
+    node_ids = sorted({x for e in edges for x in e})
+    seeds = (
+        sorted(rng.sample(node_ids, rng.randint(1, min(4, len(node_ids)))))
+        if rng.random() < 0.5
+        else None
+    )
+    ns = len(seeds) if seeds else None
+    if seeds:
+        sl = ", ".join(f"'{s}'" for s in seeds)
+        base = (f"CASE WHEN {{col}} IN ({sl})"
+                f" THEN CAST(150000000000 // {ns} AS BIGINT)"
+                f" ELSE CAST(0 AS BIGINT) END")
+        r0v = (f"CASE WHEN {{col}} IN ({sl})"
+               f" THEN CAST(1000000000000 // {ns} AS BIGINT)"
+               f" ELSE CAST(0 AS BIGINT) END")
+    else:
+        base = "CAST(150000000000 // (SELECT n FROM nn) AS BIGINT)"
+        r0v = "CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT)"
+    vals = ", ".join(
+        f"('{a}', '{b}', {wts[(a, b)]})" for a, b in edges
+    )
     ctes = [
-        f"e AS (SELECT * FROM (VALUES {vals}) AS __e(s, d))",
-        "deg AS (SELECT s, COUNT(*) AS deg FROM e GROUP BY s)",
+        f"e AS (SELECT * FROM (VALUES {vals}) AS __e(s, d, w))",
+        "deg AS (SELECT s, CAST(SUM(w) AS BIGINT) AS deg FROM e GROUP BY s)",
         "nodes AS (SELECT DISTINCT node FROM"
         " (SELECT s AS node FROM e UNION SELECT d FROM e))",
         "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
-        "r0 AS (SELECT node,"
-        " CAST(1000000000000 // (SELECT n FROM nn) AS BIGINT) AS u"
-        " FROM nodes)",
+        f"r0 AS (SELECT node, {r0v.format(col='node')} AS u FROM nodes)",
     ]
     for i in range(1, iters + 1):
         ctes.append(
             f"c{i} AS (SELECT e.d AS node,"
-            f" CAST(SUM(r.u // deg.deg) AS BIGINT) AS cs"
+            f" CAST(SUM((r.u * e.w) // deg.deg) AS BIGINT) AS cs"
             f" FROM e JOIN deg USING (s) JOIN r{i-1} r ON r.node = e.s"
             f" GROUP BY e.d)"
         )
         ctes.append(
             f"r{i} AS (SELECT nodes.node,"
-            f" CAST(150000000000 // (SELECT n FROM nn)"
+            f" CAST({base.format(col='nodes.node')}"
             f"      + (85 * coalesce(c{i}.cs, 0)) // 100 AS BIGINT) AS u"
             f" FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node)"
         )
@@ -1577,11 +1600,16 @@ def gen_graph(rng: random.Random):
         f" FROM r{iters}"
     )
 
-    def build(spark, sf_dir):
+    def build(spark, sf_dir, seeds=seeds):
         from pigout_spark.pipeline.graph import pagerank
 
-        df = spark.createDataFrame(edges, "src string, dst string")
-        return pagerank(df, iterations=iters)
+        df = spark.createDataFrame(
+            [(a, b, wts[(a, b)]) for a, b in edges],
+            "src string, dst string, w long",
+        )
+        return pagerank(
+            df, iterations=iters, weight_col="w", seeds=seeds
+        )
 
     return build, sql
 
