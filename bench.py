@@ -59,6 +59,13 @@ HEADLINE = [
     # cohort retention (two window passes + a self-aligned join)
     "x_pagerank",
     "x_cohort_retention",
+    # r7: the new data-proportional ops — bigram-LM scoring (corpus-
+    # sized model aggregations + scoring join) and the leakage-safe
+    # split (MinHash -> clusters -> keyed assignment; the first
+    # headline query where the SQL oracle, not Spark, carries the
+    # asymptotic handicap — its twin must replay the whole chain)
+    "x_bigram_lm",
+    "x_split_safe",
 ]
 
 TABLES = (

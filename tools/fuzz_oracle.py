@@ -1857,7 +1857,95 @@ def gen_r7(rng: random.Random):
     (random gap/ties), MAD outliers (random threshold, duplicate
     values), BM25 (random corpus + query vocabulary), and the
     edit-distance join (tiny alphabet vs the naive DP answer)."""
-    kind = rng.choice(["transitions", "mad", "bm25", "edjoin", "lpa", "scd2"])
+    kind = rng.choice(["transitions", "mad", "bm25", "edjoin", "lpa", "scd2",
+                       "pctile", "ablift"])
+
+    if kind == "pctile":
+        n = rng.randint(3, 40)
+        # force ties: scores drawn from a small integer pool
+        pool = [float(rng.randint(0, 6)) for _ in range(rng.randint(2, 8))]
+        rows = [(i, rng.choice(pool)) for i in range(n)]
+        vals = ", ".join(f"({i}, {s})" for i, s in rows)
+        sql = f"""
+        WITH t(id, s) AS (SELECT * FROM (VALUES {vals}))
+        SELECT id, CAST(s AS DOUBLE) AS s,
+               CAST(percent_rank() OVER (ORDER BY s) AS DOUBLE) AS pct_rank
+        FROM t
+        """
+
+        def build(spark, sf_dir):
+            from pigout_spark.operators.sorting import percentile_rank
+
+            df = spark.createDataFrame(rows, "id bigint, s double")
+            return percentile_rank(df, "s", ["id"])
+
+        return build, sql
+
+    if kind == "ablift":
+        import hashlib
+
+        frac = rng.choice([0.3, 0.5, 0.7])
+        fseed = str(rng.randint(0, 99))
+        for _ in range(50):
+            n = rng.randint(8, 40)
+            rows = [(i, round(rng.uniform(-50, 50), 3)) for i in range(n)]
+
+            def arm(uid):
+                h = hashlib.md5(f"{fseed}|{uid}".encode()).hexdigest()
+                return int(h[:8], 16) / 4294967296.0 < frac
+
+            n_t = sum(1 for i, _ in rows if arm(i))
+            if 2 <= n_t <= n - 2:
+                break
+        vals = ", ".join(f"({i}, {v})" for i, v in rows)
+        sql = f"""
+        WITH t0(uid, v0) AS (SELECT * FROM (VALUES {vals})),
+        t AS (SELECT uid, CAST(v0 AS DOUBLE) AS v FROM t0),
+        a AS (
+          SELECT v,
+                 ('0x' || substring(md5('{fseed}' || '|' ||
+                    coalesce(uid::VARCHAR, chr(0))), 1, 8))::BIGINT
+                 / 4294967296.0 < {frac} AS is_t
+          FROM t
+        ), s AS (
+          SELECT CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+                 CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS n_c,
+                 CAST(SUM(CAST(CASE WHEN is_t THEN v ELSE 0.0 END
+                               AS DECIMAL(20,4))) AS DOUBLE) AS sx_t,
+                 CAST(SUM(CAST(CASE WHEN is_t THEN 0.0 ELSE v END
+                               AS DECIMAL(20,4))) AS DOUBLE) AS sx_c,
+                 CAST(SUM(CAST(CASE WHEN is_t THEN v * v ELSE 0.0 END
+                               AS DECIMAL(28,4))) AS DOUBLE) AS sxx_t,
+                 CAST(SUM(CAST(CASE WHEN is_t THEN 0.0 ELSE v * v END
+                               AS DECIMAL(28,4))) AS DOUBLE) AS sxx_c
+          FROM a
+        )
+        SELECT n_c, n_t,
+               ROUND(sx_c / n_c, 6) AS mean_c6,
+               ROUND(sx_t / n_t, 6) AS mean_t6,
+               ROUND(sx_t / n_t - sx_c / n_c, 6) AS lift6,
+               ROUND((sx_t / n_t - sx_c / n_c)
+                 / sqrt(((n_t * sxx_t - sx_t * sx_t) / (n_t * (n_t - 1))) / n_t
+                      + ((n_c * sxx_c - sx_c * sx_c) / (n_c * (n_c - 1))) / n_c),
+                 6) AS z6
+        FROM s
+        """
+
+        def build(spark, sf_dir, frac=frac, fseed=fseed):
+            from pigout_spark.pipeline.behavioral import ab_lift
+
+            df = spark.createDataFrame(rows, "uid bigint, v double")
+            out = ab_lift(df, "v", ["uid"], treat_frac=frac, seed=fseed)
+            return out.select(
+                "n_c", "n_t",
+                F.round("mean_c", 6).alias("mean_c6"),
+                F.round("mean_t", 6).alias("mean_t6"),
+                F.round("lift", 6).alias("lift6"),
+                F.round("z", 6).alias("z6"),
+            )
+
+        return build, sql
+
 
     if kind == "lpa":
         n_nodes = rng.randint(3, 20)
