@@ -267,3 +267,45 @@ def test_triangle_count_key_equi_joins_only(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "x_triangles")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "x_bigram_lm",
+        "x_transitions",
+        "x_mad_outliers",
+        "x_scd2",
+        "x_bm25_topk",
+        "x_label_prop",
+        "x_ppr",
+        "x_asof_nearest",
+    ],
+)
+def test_r7_ops_no_cartesian(spark, sf_dir, name):
+    """The round-7 family plans key-equi joins only — no cartesian, no
+    nested-loop fallback (broadcast scalar frames excepted, as in the
+    DSIR audit)."""
+    plan = plan_of(spark, sf_dir, name)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+
+
+def test_fuzzy_join_only_lowgram_cartesian(spark, sf_dir):
+    """x_fuzzy_join: part names are all >= q(k+1) chars, so even the
+    low-gram sweep is empty — the whole plan must be cartesian-free."""
+    plan = plan_of(spark, sf_dir, "x_fuzzy_join")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+
+
+def test_bm25_takeordered_and_scd2_single_exchange(spark, sf_dir):
+    """BM25 top-k must be TakeOrderedAndProject (no global sort of the
+    scored relation); SCD2's two window passes must share one key
+    exchange."""
+    plan = plan_of(spark, sf_dir, "x_bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    plan2 = plan_of(spark, sf_dir, "x_scd2")
+    final2 = plan2.split("== Initial Plan ==")[0]
+    assert final2.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in final2
