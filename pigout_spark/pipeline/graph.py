@@ -439,3 +439,72 @@ def label_propagation(
         if checkpoint_every and it % int(checkpoint_every) == 0:
             labels = labels.localCheckpoint(eager=False)
     return labels
+
+
+def common_neighbors(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 1,
+    max_wedge_degree: int | None = None,
+) -> DataFrame:
+    """Common-neighbor LINK PREDICTION: for every unordered node pair
+    (u < v) sharing at least ``min_common`` neighbors, the shared
+    count and the neighbor-set Jaccard |N(u)∩N(v)| / |N(u)∪N(v)| —
+    the classic "people you may know" / co-citation score.  Direction,
+    duplicates, and self-loops are normalized away.
+
+    Output: (u, v, common, jaccard), u < v, existing edges INCLUDED
+    (filter them out downstream with an anti-join against the edge
+    list when predicting genuinely new links — kept here so the score
+    also serves similarity queries on existing neighbors).
+
+    100 TB: wedge enumeration through a hub with degree d costs
+    C(d, 2) pairs — the quadratic hub trap.  ``max_wedge_degree``
+    EXCLUDES nodes above the bound from the wedge-center role (their
+    wedges are not enumerated; counts through them are lost — a
+    documented approximation, the cap_events_per_key discipline for
+    graphs: a 10⁶-degree celebrity would otherwise emit 5·10¹¹
+    pairs).  Everything else is key-equi: one distinct, one degree
+    aggregation, one adjacency self-join on the wedge center, one
+    pair-keyed count, two degree lookups.
+    """
+    s, d = F.col(src), F.col(dst)
+    base = edges.filter(s.isNotNull() & d.isNotNull() & (s != d))
+    adj = (
+        base.select(s.alias("__w"), d.alias("__x"))
+        .unionByName(base.select(d.alias("__w"), s.alias("__x")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = adj.groupBy("__x").agg(F.count(F.lit(1)).alias("__deg")).select(
+        F.col("__x").alias("node"), "__deg"
+    )
+    centers = adj
+    if max_wedge_degree is not None:
+        wdeg = adj.groupBy("__w").agg(F.count(F.lit(1)).alias("__wd"))
+        centers = adj.join(
+            wdeg.filter(F.col("__wd") <= int(max_wedge_degree)).select("__w"),
+            "__w",
+        )
+    a, b = centers.alias("a"), centers.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.__w") == F.col("b.__w")) & (F.col("a.__x") < F.col("b.__x")),
+    ).select(F.col("a.__x").alias("u"), F.col("b.__x").alias("v"))
+    counts = pairs.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("common")
+    ).filter(F.col("common") >= int(min_common))
+    du = deg.select(F.col("node").alias("u"), F.col("__deg").alias("__du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("__deg").alias("__dv"))
+    return (
+        counts.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u", "v", "common",
+            (
+                F.col("common").cast("double")
+                / (F.col("__du") + F.col("__dv") - F.col("common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

@@ -3691,3 +3691,54 @@ def x_ppr(spark, sf_dir):
     return pagerank(
         edges, iterations=3, weight_col="w", seeds=list(_PPR_SEEDS)
     )
+
+
+@query(
+    "x_common_neighbors",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT LEAST(x.l_suppkey, y.l_suppkey) AS a,
+                      GREATEST(x.l_suppkey, y.l_suppkey) AS b
+      FROM (SELECT * FROM lineitem WHERE l_quantity > 47) x
+      JOIN (SELECT * FROM lineitem WHERE l_quantity > 47) y
+        ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+    ), adj AS (
+      SELECT a AS w, b AS x FROM e0 UNION SELECT b, a FROM e0
+    ), deg AS (
+      SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY x
+    ), pairs AS (
+      SELECT p.x AS u, q.x AS v
+      FROM adj p JOIN adj q ON p.w = q.w AND p.x < q.x
+    ), cnt AS (
+      SELECT u, v, CAST(COUNT(*) AS BIGINT) AS common
+      FROM pairs GROUP BY u, v
+      HAVING COUNT(*) >= 2
+    )
+    SELECT u, v, common,
+           CAST(common AS DOUBLE)
+             / CAST(du.deg + dv.deg - common AS DOUBLE) AS jaccard
+    FROM cnt
+    JOIN deg du ON du.node = cnt.u
+    JOIN deg dv ON dv.node = cnt.v
+    """,
+    extra=True,  # r7 addition; window settled for r7 — rotate in r8
+)
+def x_common_neighbors(spark, sf_dir):
+    """Common-neighbor link prediction over the high-quantity supplier
+    co-purchase graph: shared-neighbor counts (≥ 2) and neighbor-set
+    Jaccard per pair — the wedge self-join replayed identically in SQL
+    (pipeline/graph.py:common_neighbors)."""
+    from pigout_spark.pipeline.graph import common_neighbors
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 47).select(
+        "l_orderkey", "l_suppkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+    ).select(
+        F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+    )
+    return common_neighbors(edges, min_common=2)

@@ -2615,3 +2615,31 @@ def test_pagerank_weighted_and_personalized(spark):
 
     with pytest.raises(ValueError, match="non-empty seed"):
         pagerank(df, iterations=1, seeds=[])
+
+
+def test_common_neighbors_known_graph_and_hub_cap(spark):
+    """Kite graph: hand-checked common counts and Jaccards; the hub
+    cap drops wedges centered on high-degree nodes only (documented
+    approximation)."""
+    from pigout_spark.pipeline.graph import common_neighbors
+
+    # K4 on {1,2,3,4} plus pendant 5 attached to 4
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        (r.u, r.v): (r.common, round(r.jaccard, 6))
+        for r in common_neighbors(df).collect()
+    }
+    # N(1)={2,3,4} N(2)={1,3,4} N(3)={1,2,4} N(4)={1,2,3,5} N(5)={4}
+    assert got[(1, 2)] == (2, round(2 / 4, 6))     # {3,4} / {1,2,3,4}
+    assert got[(1, 5)] == (1, round(1 / 3, 6))     # {4} / {2,3,4}
+    assert got[(3, 5)] == (1, round(1 / 3, 6))
+    assert got[(1, 4)] == (2, round(2 / 5, 6))     # {2,3} / {1,2,3,4,5}
+    # cap at 3: node 4 (deg 4) stops centering wedges -> (1,5) pair
+    # (only witnessed by 4) disappears; (1,2) survives via 3
+    capped = {
+        (r.u, r.v): r.common
+        for r in common_neighbors(df, max_wedge_degree=3).collect()
+    }
+    assert (1, 5) not in capped
+    assert capped[(1, 2)] == 1  # only wedge center 3 remains
