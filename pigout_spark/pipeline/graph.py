@@ -508,3 +508,110 @@ def common_neighbors(
             ).alias("jaccard"),
         )
     )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg hubs & authorities) over a
+    DIRECTED edge relation: per round
+
+        auth(v) = Σ_{u→v} hub(u)      then rescale toward L1 = 10^12
+        hub(u)  = Σ_{u→v} auth(v)     then rescale toward L1 = 10^12
+
+    in pure int64 fixed-point arithmetic.  Rescaling divides every
+    score by the INTEGER divisor max(Σx div 10^12, 1) (the L1 total
+    in units of 10^12), so the post-round total lands in
+    [10^12, ~2·10^12) instead of exactly 10^12 — a deliberate choice:
+    division by a shared positive constant preserves the ranking
+    EXACTLY, stays pure int64 (an exact x·10^12 div Σx needs 128-bit
+    intermediates, and Spark's DECIMAL(38) integral divide ROUNDS
+    when precision overflows — measured off-by-one vs true floor), and
+    keeps every round engine-replayable bit-for-bit.  Textbook HITS
+    uses L2 norms, whose sqrt would break integer exactness — scale
+    choice never changes HITS rankings.  Duplicate edges count as
+    parallel edges.
+
+    Output: (node, hub, authority) as doubles (units/10^12); nodes
+    with no out-edges have hub 0, no in-edges authority 0 — every
+    node of the graph is listed.
+
+    100 TB: per round two key-equi join+aggregate passes over the
+    twice-shuffled-and-checkpointed edge list (one exchange each — the
+    src→dst transpose and back, inherent to HITS) and two 1-row
+    broadcast scalars; scores are node-sized relations checkpointed on
+    the usual cadence.  No windows, no collect beyond the scalar
+    frames Spark broadcasts itself.
+    """
+    s, d = F.col(src), F.col(dst)
+    base = edges.filter(s.isNotNull() & d.isNotNull())
+    e = (
+        base.select(s.alias("__s"), d.alias("__d"))
+        .repartition("__s")
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .unionByName(e.select(F.col("__d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hub = nodes.select("node", F.lit(PAGERANK_UNIT).cast("bigint").alias("__h"))
+
+    def normalize(scores: DataFrame, col: str) -> DataFrame:
+        total = scores.agg(
+            F.sum(col).cast("bigint").alias("__tot")
+        )
+        # Integer-divisor rescale (docstring): pure int64, no decimal
+        # widening — Spark's DECIMAL(38) integral divide rounds when
+        # the result precision overflows, which an exact x·UNIT div Σx
+        # would hit (measured r7).
+        return scores.crossJoin(F.broadcast(total)).select(
+            "node",
+            F.expr(
+                f"{col} div greatest(__tot div {PAGERANK_UNIT},"
+                f" cast(1 as bigint))"
+            ).alias(col),
+        )
+
+    auth = None
+    for it in range(1, int(iterations) + 1):
+        raw_a = (
+            e.join(hub, e["__s"] == hub["node"])
+            .groupBy(F.col("__d").alias("node"))
+            .agg(F.sum("__h").cast("bigint").alias("__a"))
+        )
+        auth = normalize(
+            nodes.join(raw_a, "node", "left").select(
+                "node", F.coalesce("__a", F.lit(0)).cast("bigint").alias("__a")
+            ),
+            "__a",
+        )
+        raw_h = (
+            e.join(auth, e["__d"] == auth["node"])
+            .groupBy(F.col("__s").alias("node"))
+            .agg(F.sum("__a").cast("bigint").alias("__h"))
+        )
+        hub = normalize(
+            nodes.join(raw_h, "node", "left").select(
+                "node", F.coalesce("__h", F.lit(0)).cast("bigint").alias("__h")
+            ),
+            "__h",
+        )
+        if checkpoint_every and it % int(checkpoint_every) == 0:
+            hub = hub.localCheckpoint(eager=False)
+            auth = auth.localCheckpoint(eager=False)
+    unit = F.lit(float(PAGERANK_UNIT))
+    return (
+        nodes.join(hub, "node")
+        .join(auth, "node")
+        .select(
+            "node",
+            (F.col("__h").cast("double") / unit).alias("hub"),
+            (F.col("__a").cast("double") / unit).alias("authority"),
+        )
+    )

@@ -3742,3 +3742,82 @@ def x_common_neighbors(spark, sf_dir):
         F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
     )
     return common_neighbors(edges, min_common=2)
+
+
+def _hits_sql(iters: int) -> str:
+    """Unrolled integer-L1 HITS twin: per round an auth join-agg +
+    rescale and a hub join-agg + rescale, with the L1 totals as scalar
+    subqueries and the engine's integer-divisor rule (x div
+    max(Σx div 10^12, 1)) — pure int64 floor division, identical in
+    both engines (an exact x·10^12 div Σx needs 128-bit intermediates
+    that Spark's DECIMAL(38) integral divide silently rounds)."""
+    norm = (
+        "CAST({x} // greatest(({tot}) // 1000000000000,"
+        " CAST(1 AS BIGINT)) AS BIGINT)"
+    )
+    ctes = [
+        "e AS (SELECT CAST(l_suppkey AS BIGINT) AS s,"
+        " CAST(l_partkey + 4294967296 AS BIGINT) AS d FROM lineitem)",
+        "nodes AS (SELECT DISTINCT node FROM"
+        " (SELECT s AS node FROM e UNION SELECT d FROM e))",
+        "h0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS u FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"ar{i} AS (SELECT e.d AS node, CAST(SUM(h.u) AS BIGINT) AS a"
+            f" FROM e JOIN h{i-1} h ON h.node = e.s GROUP BY e.d)"
+        )
+        ctes.append(
+            f"af{i} AS (SELECT nodes.node,"
+            f" CAST(coalesce(ar{i}.a, 0) AS BIGINT) AS a"
+            f" FROM nodes LEFT JOIN ar{i} ON nodes.node = ar{i}.node)"
+        )
+        ctes.append(
+            f"a{i} AS (SELECT node, "
+            + norm.format(x="a", tot=f"(SELECT SUM(a) FROM af{i})")
+            + " AS u FROM af" + str(i) + ")"
+        )
+        ctes.append(
+            f"hr{i} AS (SELECT e.s AS node, CAST(SUM(a.u) AS BIGINT) AS h"
+            f" FROM e JOIN a{i} a ON a.node = e.d GROUP BY e.s)"
+        )
+        ctes.append(
+            f"hf{i} AS (SELECT nodes.node,"
+            f" CAST(coalesce(hr{i}.h, 0) AS BIGINT) AS h"
+            f" FROM nodes LEFT JOIN hr{i} ON nodes.node = hr{i}.node)"
+        )
+        ctes.append(
+            f"h{i} AS (SELECT node, "
+            + norm.format(x="h", tot=f"(SELECT SUM(h) FROM hf{i})")
+            + " AS u FROM hf" + str(i) + ")"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""" SELECT n.node,
+           CAST(h.u AS DOUBLE) / 1000000000000.0 AS hub,
+           CAST(a.u AS DOUBLE) / 1000000000000.0 AS authority
+        FROM nodes n
+        JOIN h{iters} h ON h.node = n.node
+        JOIN a{iters} a ON a.node = n.node"""
+    )
+
+
+@query(
+    "x_hits",
+    _hits_sql(2),
+    extra=True,  # r7 addition; window settled for r7 — rotate in r8
+)
+def x_hits(spark, sf_dir):
+    """HITS hubs & authorities, 2 rounds, over the supplier→part edge
+    relation (parallel edges counted) — integer-divisor L1 rescaling,
+    every node's (hub, authority) pair
+    hash-matched against the unrolled replay
+    (pipeline/graph.py:hits)."""
+    from pigout_spark.pipeline.graph import hits
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").cast("long").alias("src"),
+        (F.col("l_partkey") + 4_294_967_296).cast("long").alias("dst"),
+    )
+    return hits(edges, iterations=2)
