@@ -219,3 +219,89 @@ def funnel_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def _transitions_fn(step_col: str, ts_col: str, user_col: str,
+                    gap_seconds: int | None):
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = sorted(
+            (int(t.value // 1000), s)
+            for pdf in pdfs
+            for t, s in zip(pd.to_datetime(pdf[ts_col]), pdf[step_col])
+        )
+        if not rows:
+            return
+        if state.exists:
+            last_us, last_step = state.get
+        else:
+            last_us, last_step = None, None
+        out: dict = {}
+        for ts_us, typ in rows:
+            if last_step is not None and (
+                gap_seconds is None
+                or ts_us - last_us <= gap_seconds * 1_000_000
+            ):
+                k2 = (last_step, typ)
+                out[k2] = out.get(k2, 0) + 1
+            last_us, last_step = ts_us, typ
+        state.update((last_us, last_step))
+        state.setTimeoutDuration(86_400_000)
+        if out:
+            yield pd.DataFrame(
+                {
+                    user_col: [user_id] * len(out),
+                    "from_step": [a for a, _ in out],
+                    "to_step": [b for _, b in out],
+                    "n": list(out.values()),
+                }
+            )
+
+    return fn
+
+
+def transitions_stateful(
+    events: DataFrame,
+    user_col: str = "user_id",
+    step_col: str = "event_type",
+    ts_col: str = "ts",
+    gap_seconds: int | None = None,
+) -> DataFrame:
+    """Streaming Markov-transition counter: per key, emits PARTIAL
+    (from_step, to_step, n) increments per micro-batch — sum them
+    downstream (or feed a sink that does) for the running transition
+    matrix; the batch ``event_transitions`` is the oracle-checkable
+    truth on any prefix.  State per key is ONE (last_ts, last_step)
+    pair — constant-size, evicted after a day idle; with
+    ``gap_seconds`` the chain resets across session gaps (no
+    transition across a boundary, matching the batch op).
+
+    Streaming caveat (same contract as funnel_stateful): events are
+    ordered within a micro-batch but not retro-fitted across batches —
+    a late event older than the stored last-step is counted in arrival
+    order, not event order.
+    """
+    from pyspark.sql.types import LongType, StringType
+
+    out_schema = StructType(
+        [
+            _key_field(events, user_col),
+            StructField("from_step", StringType()),
+            StructField("to_step", StringType()),
+            StructField("n", LongType()),
+        ]
+    )
+    return events.groupBy(user_col).applyInPandasWithState(
+        _transitions_fn(step_col, ts_col, user_col, gap_seconds),
+        outputStructType=out_schema,
+        stateStructType="last_us long, last_step string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -702,3 +702,58 @@ def test_stateful_key_schema_derived_from_input(spark, tmp_path):
     assert [f.name for f in ss.schema[1:]] == [
         "session_start", "session_end", "n_events",
     ]
+
+
+def test_transitions_stateful_streaming(spark):
+    """Real stream in two files/batches: per-key transition increments
+    cross the batch boundary via the (last_ts, last_step) state, the
+    session gap suppresses cross-gap transitions, and summed
+    increments equal the batch event_transitions on the same data."""
+    from pigout_spark.pipeline.behavioral import event_transitions
+    from pigout_spark.streaming.stateful import transitions_stateful
+
+    rows1 = [
+        (1, T0, "view"),
+        (1, T0 + dt.timedelta(seconds=10), "click"),
+        (2, T0, "view"),
+    ]
+    rows2 = [
+        (1, T0 + dt.timedelta(seconds=20), "purchase"),  # crosses batches
+        (2, T0 + dt.timedelta(hours=2), "click"),        # > gap: no transition
+    ]
+    src = tempfile.mkdtemp(prefix="pigout_trans_src")
+    try:
+        schema = "user_id long, ts timestamp, event_type string"
+        spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+        spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        out = transitions_stateful(stream, gap_seconds=1800)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("transitions")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {}
+        for r in spark.sql("select * from transitions").collect():
+            k = (r.from_step, r.to_step)
+            got[k] = got.get(k, 0) + r.n
+        batch = {
+            (r.from_step, r.to_step): r.n
+            for r in event_transitions(
+                spark.createDataFrame(rows1 + rows2, schema),
+                gap_seconds=1800,
+            ).collect()
+        }
+        assert got == batch
+        assert got == {("view", "click"): 1, ("click", "purchase"): 1}
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
