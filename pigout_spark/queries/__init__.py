@@ -53,7 +53,8 @@ from pigout_spark.queries import udf_q  # noqa: F401,E402
 # r8 rotation candidates (added later in r7, selfcheck-green but not
 # yet driver-checked): x_bigram_lm, x_fuzzy_join, x_transitions,
 # x_mad_outliers, x_bm25_topk, x_split_safe, x_asof_nearest, x_scd2,
-# x_quality_pctile, x_ab_lift.
+# x_quality_pctile, x_ab_lift, x_label_prop, x_ppr,
+# x_common_neighbors, x_hits.
 _WINDOW_R7 = [
     "q01_group_agg",  # flagship
     # never driver-checked before r7 — hash-checkable oracles
