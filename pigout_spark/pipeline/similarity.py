@@ -930,3 +930,124 @@ def ivf_pq_topk(
         .filter(F.col("rn") <= k)
         .select("q_id", "neighbor_id", "cos", "rn")
     )
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    queries: DataFrame,
+    n_candidates: int = 12,
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: retrieve ``n_candidates``
+    exact-cosine candidates per query, then greedily select ``k`` of
+    them maximizing  λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)  —
+    the classic diversity re-ranker that stops a result list from
+    being k near-copies of the same document (Carbonell & Goldstein
+    1998).  The first pick is pure relevance; ties break on the
+    smaller id.
+
+    Determinism: rel and candidate-pair sims are the engine-exact
+    left-fold cosine values ROUNDED to 6 decimals before the
+    iteration, so every engine computes the identical greedy
+    trajectory (each round's score is one multiply+subtract over
+    identical doubles).
+
+    Output: (q_id, rank, neighbor_id, score) — rank 1..k in selection
+    order, score the RAW MMR objective at selection time (round it in
+    the presentation layer; Python's banker's rounding differs from
+    engine ROUND on half-way values, so the op does not round).
+
+    100 TB: retrieval is :func:`brute_force_topk`'s broadcast-query
+    corpus scan (swap in the IVF/PQ paths upstream for the
+    approximate tiers); everything after operates on per-query
+    candidate sets — the pair-sim relation is |Q|·n² rows and the
+    greedy loop runs per query inside ONE Arrow cogroup batch
+    (bounded by n_candidates, never corpus-sized).
+    """
+    import pandas as pd
+
+    cand = brute_force_topk(emb, queries, n_candidates, id_col, vec_col)
+    rel = cand.select(
+        "q_id", "neighbor_id", F.round("cos", 6).alias("rel6")
+    )
+    vecs = emb.select(
+        F.col(id_col).alias("__vid"), as_double(vec_col).alias("__v")
+    ).withColumn("__n", norm(F.col("__v")))
+    ca = rel.select(
+        F.col("q_id").alias("qa"), F.col("neighbor_id").alias("a")
+    ).join(
+        vecs.select(
+            F.col("__vid").alias("a"),
+            F.col("__v").alias("__va"),
+            F.col("__n").alias("__na"),
+        ),
+        "a",
+    )
+    cb = rel.select(
+        F.col("q_id").alias("qb"), F.col("neighbor_id").alias("b")
+    ).join(
+        vecs.select(
+            F.col("__vid").alias("b"),
+            F.col("__v").alias("__vb"),
+            F.col("__n").alias("__nb"),
+        ),
+        "b",
+    )
+    sims = (
+        ca.join(cb, ca["qa"] == cb["qb"])
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.col("qa").alias("q_id"), "a", "b",
+            F.round(
+                dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("sim6"),
+        )
+    )
+    lam_f = float(lam)
+    kk = int(k)
+
+    def pick(key, cand_pdf: pd.DataFrame, sims_pdf: pd.DataFrame):
+        if cand_pdf.empty:
+            return pd.DataFrame(
+                columns=["q_id", "rank", "neighbor_id", "score"]
+            )
+        qid = cand_pdf["q_id"].iloc[0]
+        rel_m = dict(zip(cand_pdf["neighbor_id"], cand_pdf["rel6"]))
+        sim_m = {
+            (a, b): s
+            for a, b, s in zip(sims_pdf["a"], sims_pdf["b"], sims_pdf["sim6"])
+        }
+        remaining = set(rel_m)
+        selected, out = [], []
+        while remaining and len(selected) < kk:
+            best = None
+            for c in remaining:
+                if selected:
+                    ms = max(sim_m.get((c, s), 0.0) for s in selected)
+                    score = lam_f * rel_m[c] - (1.0 - lam_f) * ms
+                else:
+                    score = rel_m[c]
+                if best is None or score > best[0] or (
+                    score == best[0] and c < best[1]
+                ):
+                    best = (score, c)
+            selected.append(best[1])
+            remaining.discard(best[1])
+            out.append((qid, len(selected), best[1], best[0]))
+        return pd.DataFrame(
+            out, columns=["q_id", "rank", "neighbor_id", "score"]
+        )
+
+    return (
+        rel.groupBy("q_id")
+        .cogroup(sims.groupBy("q_id"))
+        .applyInPandas(
+            pick,
+            "q_id long, rank long, neighbor_id long, score double",
+        )
+    )

@@ -3821,3 +3821,81 @@ def x_hits(spark, sf_dir):
         (F.col("l_partkey") + 4_294_967_296).cast("long").alias("dst"),
     )
     return hits(edges, iterations=2)
+
+
+@query(
+    "x_mmr",
+    f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 6
+    ), scored AS (
+      SELECT q.q_id, e.vec_id AS c, e.v AS cv,
+             {_sql_dot('q.qv', 'e.v')}
+               / (sqrt({_sql_dot('q.qv', 'q.qv')})
+                  * sqrt({_sql_dot('e.v', 'e.v')})) AS cos
+      FROM e, q WHERE e.vec_id <> q.q_id
+    ), rel AS (
+      SELECT q_id, c, cv, ROUND(cos, 6) AS rel6 FROM scored
+      QUALIFY row_number() OVER (PARTITION BY q_id
+                                 ORDER BY cos DESC, c) <= 8
+    ), sims AS (
+      SELECT x.q_id, x.c AS a, y.c AS b,
+             ROUND({_sql_dot('x.cv', 'y.cv')}
+               / (sqrt({_sql_dot('x.cv', 'x.cv')})
+                  * sqrt({_sql_dot('y.cv', 'y.cv')})), 6) AS sim6
+      FROM rel x JOIN rel y ON x.q_id = y.q_id AND x.c <> y.c
+    ), s1 AS (
+      SELECT q_id, c AS id1, rel6 AS sc1 FROM rel
+      QUALIFY row_number() OVER (PARTITION BY q_id
+                                 ORDER BY rel6 DESC, c) = 1
+    ), u2 AS (
+      SELECT r.q_id, r.c, 0.5 * r.rel6 - 0.5 * s.sim6 AS sc
+      FROM rel r
+      JOIN s1 ON s1.q_id = r.q_id
+      JOIN sims s ON s.q_id = r.q_id AND s.a = r.c AND s.b = s1.id1
+      WHERE r.c <> s1.id1
+    ), s2 AS (
+      SELECT q_id, c AS id2, sc AS sc2 FROM u2
+      QUALIFY row_number() OVER (PARTITION BY q_id
+                                 ORDER BY sc DESC, c) = 1
+    ), u3 AS (
+      SELECT r.q_id, r.c,
+             0.5 * r.rel6 - 0.5 * GREATEST(sa.sim6, sb.sim6) AS sc
+      FROM rel r
+      JOIN s1 ON s1.q_id = r.q_id
+      JOIN s2 ON s2.q_id = r.q_id
+      JOIN sims sa ON sa.q_id = r.q_id AND sa.a = r.c AND sa.b = s1.id1
+      JOIN sims sb ON sb.q_id = r.q_id AND sb.a = r.c AND sb.b = s2.id2
+      WHERE r.c <> s1.id1 AND r.c <> s2.id2
+    ), s3 AS (
+      SELECT q_id, c AS id3, sc AS sc3 FROM u3
+      QUALIFY row_number() OVER (PARTITION BY q_id
+                                 ORDER BY sc DESC, c) = 1
+    )
+    SELECT q_id, CAST(1 AS BIGINT) AS rank, id1 AS neighbor_id,
+           ROUND(sc1, 6) AS score FROM s1
+    UNION ALL
+    SELECT q_id, 2, id2, ROUND(sc2, 6) FROM s2
+    UNION ALL
+    SELECT q_id, 3, id3, ROUND(sc3, 6) FROM s3
+    """,
+    extra=True,  # r7 addition; window settled for r7 — rotate in r8
+)
+def x_mmr(spark, sf_dir):
+    """MMR diversified re-ranking (λ=0.5): 8 exact-cosine candidates
+    per query, 3 greedy diversity selections — the full trajectory
+    (ids AND objective scores) hash-matched against a 3-round
+    unrolled argmax replay (pipeline/similarity.py:mmr_rerank;
+    round-6 rel/sim inputs make every engine walk the identical
+    greedy path)."""
+    from pigout_spark.pipeline.similarity import mmr_rerank
+
+    emb = tf(spark, sf_dir, "embeddings")
+    out = mmr_rerank(
+        emb, emb.filter(F.col("vec_id") < 6), n_candidates=8, k=3, lam=0.5
+    )
+    return out.select(
+        "q_id", "rank", "neighbor_id", F.round("score", 6).alias("score")
+    )

@@ -2696,3 +2696,29 @@ def test_hits_matches_python_reference(spark):
         ).collect()
     }
     assert out[3].authority > out[3].hub and out[1].hub > out[1].authority
+
+
+def test_mmr_rerank_diversifies(spark):
+    """MMR: pure-relevance pick first, then near-duplicates of already-
+    selected items are penalized below a diverse lower-relevance item;
+    lambda=1 reduces to plain top-k order."""
+    from pigout_spark.pipeline.similarity import mmr_rerank
+
+    # query q looks like [1,0,0]; candidates: two near-identical highly
+    # relevant vectors (1, 2), one diverse mid-relevance (3), one weak (4)
+    rows = [
+        (100, [1.0, 0.0, 0.0]),       # the query itself
+        (1, [0.99, 0.14, 0.0]),
+        (2, [0.99, 0.141, 0.0]),      # near-copy of 1 (sim ~1.0)
+        (3, [0.6, -0.75, 0.2]),       # diverse (sim to 1 ~0.5)
+        (4, [0.1, 0.99, 0.0]),        # weak
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter("vec_id = 100")
+    out = mmr_rerank(emb, q, n_candidates=4, k=3, lam=0.5).collect()
+    order = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    # rank1: most relevant (1); rank2: MMR prefers diverse 3 over the
+    # near-copy 2 (score ~0.056 vs ~-0.005); rank3: 2 beats weak 4
+    assert order == [1, 3, 2]
+    plain = mmr_rerank(emb, q, n_candidates=4, k=3, lam=1.0).collect()
+    assert [r.neighbor_id for r in sorted(plain, key=lambda r: r.rank)] == [1, 2, 3]
