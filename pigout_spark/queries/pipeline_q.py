@@ -3823,13 +3823,20 @@ def x_hits(spark, sf_dir):
     return hits(edges, iterations=2)
 
 
-@query(
-    "x_mmr",
-    f"""
+def _mmr_sql(
+    emb_src: str, qmax: int, ncand: int, lam: float, k: int = 3
+) -> str:
+    """Unrolled MMR twin (k greedy rounds; k=3 supported): candidates +
+    pair sims at round-6, then per-round argmax with the (score DESC,
+    id ASC) tie rule.  ``emb_src`` is a relation exposing
+    (vec_id, embedding) — the fixture view or a fuzz VALUES CTE."""
+    assert k == 3, "oracle unroll written for k=3"
+    lm, om = repr(float(lam)), repr(1.0 - float(lam))
+    return f"""
     WITH e AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {emb_src}
     ), q AS (
-      SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 6
+      SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {qmax}
     ), scored AS (
       SELECT q.q_id, e.vec_id AS c, e.v AS cv,
              {_sql_dot('q.qv', 'e.v')}
@@ -3839,7 +3846,7 @@ def x_hits(spark, sf_dir):
     ), rel AS (
       SELECT q_id, c, cv, ROUND(cos, 6) AS rel6 FROM scored
       QUALIFY row_number() OVER (PARTITION BY q_id
-                                 ORDER BY cos DESC, c) <= 8
+                                 ORDER BY cos DESC, c) <= {ncand}
     ), sims AS (
       SELECT x.q_id, x.c AS a, y.c AS b,
              ROUND({_sql_dot('x.cv', 'y.cv')}
@@ -3851,7 +3858,7 @@ def x_hits(spark, sf_dir):
       QUALIFY row_number() OVER (PARTITION BY q_id
                                  ORDER BY rel6 DESC, c) = 1
     ), u2 AS (
-      SELECT r.q_id, r.c, 0.5 * r.rel6 - 0.5 * s.sim6 AS sc
+      SELECT r.q_id, r.c, {lm} * r.rel6 - {om} * s.sim6 AS sc
       FROM rel r
       JOIN s1 ON s1.q_id = r.q_id
       JOIN sims s ON s.q_id = r.q_id AND s.a = r.c AND s.b = s1.id1
@@ -3862,7 +3869,7 @@ def x_hits(spark, sf_dir):
                                  ORDER BY sc DESC, c) = 1
     ), u3 AS (
       SELECT r.q_id, r.c,
-             0.5 * r.rel6 - 0.5 * GREATEST(sa.sim6, sb.sim6) AS sc
+             {lm} * r.rel6 - {om} * GREATEST(sa.sim6, sb.sim6) AS sc
       FROM rel r
       JOIN s1 ON s1.q_id = r.q_id
       JOIN s2 ON s2.q_id = r.q_id
@@ -3880,7 +3887,12 @@ def x_hits(spark, sf_dir):
     SELECT q_id, 2, id2, ROUND(sc2, 6) FROM s2
     UNION ALL
     SELECT q_id, 3, id3, ROUND(sc3, 6) FROM s3
-    """,
+    """
+
+
+@query(
+    "x_mmr",
+    _mmr_sql("embeddings", qmax=6, ncand=8, lam=0.5),
     extra=True,  # r7 addition; window settled for r7 — rotate in r8
 )
 def x_mmr(spark, sf_dir):

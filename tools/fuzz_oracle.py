@@ -1858,7 +1858,51 @@ def gen_r7(rng: random.Random):
     values), BM25 (random corpus + query vocabulary), and the
     edit-distance join (tiny alphabet vs the naive DP answer)."""
     kind = rng.choice(["transitions", "mad", "bm25", "edjoin", "lpa", "scd2",
-                       "pctile", "ablift"])
+                       "pctile", "ablift", "mmr"])
+
+    if kind == "mmr":
+        from pigout_spark.queries.pipeline_q import _mmr_sql
+
+        dim = rng.randint(2, 6)
+        n = rng.randint(6, 16)
+        qmax = rng.randint(1, 3)
+        ncand = rng.randint(4, min(8, n - 1))
+        lam = rng.choice([0.3, 0.5, 0.7])
+        vecs = [
+            (i, [round(rng.uniform(-1, 1), 3) or 0.001 for _ in range(dim)])
+            for i in range(n)
+        ]
+        # avoid zero vectors (cosine undefined)
+        vecs = [
+            (i, v if any(abs(x) > 1e-9 for x in v) else [1.0] * dim)
+            for i, v in vecs
+        ]
+        vals = ", ".join(
+            "(" + str(i) + ", [" + ", ".join(repr(x) for x in v) + "])"
+            for i, v in vecs
+        )
+        emb_cte = (
+            f"(SELECT * FROM (VALUES {vals}) AS __emb(vec_id, embedding))"
+        )
+        sql = _mmr_sql(emb_cte, qmax=qmax, ncand=ncand, lam=lam)
+
+        def build(spark, sf_dir, qmax=qmax, ncand=ncand, lam=lam):
+            from pigout_spark.pipeline.similarity import mmr_rerank
+
+            df = spark.createDataFrame(
+                vecs, "vec_id long, embedding array<double>"
+            )
+            out = mmr_rerank(
+                df, df.filter(F.col("vec_id") < qmax),
+                n_candidates=ncand, k=3, lam=lam,
+            )
+            return out.select(
+                "q_id", "rank", "neighbor_id",
+                F.round("score", 6).alias("score"),
+            )
+
+        return build, sql
+
 
     if kind == "pctile":
         n = rng.randint(3, 40)
