@@ -706,3 +706,50 @@ def ab_lift(
         var_c.alias("var_c"), var_t.alias("var_t"),
         lift.alias("lift"), z.alias("z"),
     )
+
+
+def session_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    ts_col: str = "ts",
+    key: str = "user_id",
+    step_col: str = "event_type",
+    tiebreak: str | None = None,
+    gap_seconds: int = 1800,
+    max_events_per_key: int | None = None,
+) -> DataFrame:
+    """Frequent flow mining: count every n-step event sequence that
+    occurs CONTIGUOUSLY inside a session, corpus-wide — the n-gram
+    generalization of :func:`event_transitions` (n=2) and the
+    aggregate view :func:`session_paths` cannot give once paths are
+    truncated ("which 3-step flows dominate" regardless of where in
+    the session they occur).
+
+    Determinism: same (ts, ``tiebreak`` or step) order discipline as
+    the rest of the family — the n-gram multiset is pinned.
+
+    Output: (gram, n_occurrences), gram as 'a>b>c'.
+
+    100 TB: the cap, the sessionization, and the n−1 lag passes all
+    share ONE key exchange (same partitioning and sort — Catalyst
+    fuses the lag chain into one window operator); the count is
+    gram-vocabulary-sized, map-side combined.
+    """
+    if n < 2:
+        raise ValueError("session_ngrams needs n >= 2")
+    base = cap_events_per_key(
+        df, ts_col=ts_col, key=key, max_events_per_key=max_events_per_key,
+        tiebreak=tiebreak or step_col,
+    )
+    s = sessionize(base, ts_col, key, gap_seconds)
+    order = [F.col(ts_col), F.col(tiebreak) if tiebreak else F.col(step_col)]
+    w = Window.partitionBy(key, "session_seq").orderBy(*order)
+    lags = [F.lag(step_col, n - 1 - i).over(w) for i in range(n - 1)]
+    gram = F.concat_ws(">", *lags, F.col(step_col))
+    return (
+        s.withColumn("__g", gram)
+        .withColumn("__first", lags[0])
+        .filter(F.col("__first").isNotNull())
+        .groupBy(F.col("__g").alias("gram"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    )

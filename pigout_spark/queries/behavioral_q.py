@@ -598,3 +598,45 @@ def x_scd2(spark, sf_dir):
         F.unix_timestamp("valid_to").alias("to_s"),
         "is_current",
     )
+
+
+@query(
+    "x_session_ngrams",
+    """
+    WITH e AS (
+      SELECT user_id, event_type,
+             CAST(date_trunc('second', ts) AS TIMESTAMP) AS ts
+      FROM events
+    ), flags AS (
+      SELECT user_id, event_type, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS nf
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+    ), s AS (
+      SELECT user_id, event_type, ts,
+             SUM(nf) OVER (PARTITION BY user_id ORDER BY ts, event_type
+                           ROWS UNBOUNDED PRECEDING) AS seq
+      FROM flags
+    ), g AS (
+      SELECT lag(event_type, 2) OVER w2 AS s1,
+             lag(event_type, 1) OVER w2 AS s2,
+             event_type AS s3
+      FROM s WINDOW w2 AS (PARTITION BY user_id, seq
+                           ORDER BY ts, event_type)
+    )
+    SELECT s1 || '>' || s2 || '>' || s3 AS gram,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM g WHERE s1 IS NOT NULL
+    GROUP BY 1
+    """,
+    extra=True,  # r7 addition; window settled for r7 — rotate in r8
+)
+def x_session_ngrams(spark, sf_dir):
+    """Frequent 3-step flows inside 30-min sessions: contiguous
+    event-type trigram counts corpus-wide — the sessionize lag-chain
+    replayed with DuckDB's window SQL
+    (pipeline/behavioral.py:session_ngrams)."""
+    from pigout_spark.pipeline.behavioral import session_ngrams
+
+    return session_ngrams(_events_s(spark, sf_dir), n=3)

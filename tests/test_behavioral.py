@@ -549,3 +549,43 @@ def test_mad_outliers_lower_median_and_masking(spark):
     assert set(out) == {5, 10}
     assert out[5].median == 10.0 and out[5].mad == 1.0 and out[5].deviation == 90.0
     assert out[10].median == 1.0 and out[10].mad == 0.0 and out[10].deviation == 1.0
+
+
+def test_session_ngrams_contiguity_and_session_reset(spark):
+    """Trigram mining: counts contiguous triples only, never across a
+    session gap; n=2 equals event_transitions' counts."""
+    from pigout_spark.pipeline.behavioral import (
+        event_transitions,
+        session_ngrams,
+    )
+
+    rows = [
+        (1, 0, "a"), (1, 10, "b"), (1, 20, "c"), (1, 30, "a"),
+        (1, 9000, "b"), (1, 9010, "c"),  # new session: no cross trigram
+        (2, 0, "a"), (2, 5, "b"),        # too short for a trigram
+    ]
+    df = spark.createDataFrame(
+        [(u, float(s), t) for u, s, t in rows],
+        "user_id bigint, s double, event_type string",
+    ).selectExpr(
+        "user_id", "event_type",
+        "CAST(to_timestamp(s) AS timestamp_ntz) AS ts",
+    )
+    got = {
+        r.gram: r.n_occurrences
+        for r in session_ngrams(df, n=3, gap_seconds=1800).collect()
+    }
+    assert got == {"a>b>c": 1, "b>c>a": 1}
+    bi = {
+        r.gram: r.n_occurrences
+        for r in session_ngrams(df, n=2, gap_seconds=1800).collect()
+    }
+    tr = {
+        f"{r.from_step}>{r.to_step}": r.n
+        for r in event_transitions(df, gap_seconds=1800).collect()
+    }
+    assert bi == tr
+    import pytest
+
+    with pytest.raises(ValueError, match="n >= 2"):
+        session_ngrams(df, n=1)
