@@ -1858,7 +1858,48 @@ def gen_r7(rng: random.Random):
     values), BM25 (random corpus + query vocabulary), and the
     edit-distance join (tiny alphabet vs the naive DP answer)."""
     kind = rng.choice(["transitions", "mad", "bm25", "edjoin", "lpa", "scd2",
-                       "pctile", "ablift", "mmr"])
+                       "pctile", "ablift", "mmr", "ngrams"])
+
+    if kind == "ngrams":
+        rows = _rand_typed_rows(rng, rng.randint(8, 50), rng.randint(1, 4),
+                                ["a", "b", "c"])
+        gap = rng.choice([60, 600, 3600])
+        ng = rng.randint(2, 4)
+        lag_cols = ", ".join(
+            f"lag(typ, {ng - 1 - i}) OVER w2 AS s{i}" for i in range(ng - 1)
+        )
+        concat = " || '>' || ".join([f"s{i}" for i in range(ng - 1)] + ["typ"])
+        sql = f"""
+        WITH {_id_cte("ev", rows)},
+        flags AS (
+          SELECT k, id, typ, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch(ts) - epoch(lag(ts) OVER w) > {gap}
+                      THEN 1 ELSE 0 END AS nf
+          FROM ev WINDOW w AS (PARTITION BY k ORDER BY ts, id)
+        ), s AS (
+          SELECT k, id, typ, ts,
+                 SUM(nf) OVER (PARTITION BY k ORDER BY ts, id
+                               ROWS UNBOUNDED PRECEDING) AS seq
+          FROM flags
+        ), g AS (
+          SELECT {lag_cols}, typ
+          FROM s WINDOW w2 AS (PARTITION BY k, seq ORDER BY ts, id)
+        )
+        SELECT {concat} AS gram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM g WHERE s0 IS NOT NULL GROUP BY 1
+        """
+
+        def build(spark, sf_dir, gap=gap, ng=ng):
+            from pigout_spark.pipeline.behavioral import session_ngrams
+
+            return session_ngrams(
+                _id_df(spark, rows), n=ng, ts_col="ts", key="k",
+                step_col="typ", tiebreak="id", gap_seconds=gap,
+            )
+
+        return build, sql
+
 
     if kind == "mmr":
         from pigout_spark.queries.pipeline_q import _mmr_sql
