@@ -753,3 +753,74 @@ def session_ngrams(
         .groupBy(F.col("__g").alias("gram"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
     )
+
+
+def basket_rules(
+    df: DataFrame,
+    basket_col: str = "order_id",
+    item_col: str = "item_id",
+    min_pair_support: int = 2,
+) -> DataFrame:
+    """Market-basket association mining: for every unordered item pair
+    appearing together in at least ``min_pair_support`` baskets, the
+    classic rule statistics —
+
+        support     baskets containing both a and b
+        conf_a_b    support / baskets(a)   (a ⇒ b confidence)
+        conf_b_a    support / baskets(b)
+        lift        support·N / (baskets(a)·baskets(b))
+
+    Items are deduplicated within a basket (quantity does not inflate
+    co-occurrence).  Output: (item_a, item_b, support, n_a, n_b,
+    conf_a_b, conf_b_a, lift), item_a < item_b.
+
+    Determinism: every statistic is a ratio of exact integer counts —
+    one double division per column, identical across engines.
+
+    100 TB: the pair join is a basket-keyed self-join whose
+    amplification is C(|basket|, 2) — bounded by the LARGEST BASKET,
+    not the catalog (retail baskets are tens of items; cap upstream if
+    a pathological basket can exceed task memory).  Item counts and
+    the basket total are one aggregation each; the per-item joins are
+    item-keyed equi-joins against an item-catalog-sized relation.
+    """
+    b = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    n_baskets = b.select("__b").distinct().count()
+    item_n = b.groupBy("__i").agg(F.count(F.lit(1)).alias("__n"))
+    x, y = b.alias("x"), b.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.__b") == F.col("y.__b"))
+            & (F.col("x.__i") < F.col("y.__i")),
+        )
+        .groupBy(
+            F.col("x.__i").alias("item_a"), F.col("y.__i").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= int(min_pair_support))
+    )
+    na = item_n.select(
+        F.col("__i").alias("item_a"), F.col("__n").alias("n_a")
+    )
+    nb = item_n.select(
+        F.col("__i").alias("item_b"), F.col("__n").alias("n_b")
+    )
+    s = F.col("support").cast("double")
+    return (
+        pairs.join(na, "item_a")
+        .join(nb, "item_b")
+        .select(
+            "item_a", "item_b", "support",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (s / F.col("n_a").cast("double")).alias("conf_a_b"),
+            (s / F.col("n_b").cast("double")).alias("conf_b_a"),
+            (
+                s * F.lit(float(n_baskets))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+    )

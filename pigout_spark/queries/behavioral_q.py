@@ -640,3 +640,42 @@ def x_session_ngrams(spark, sf_dir):
     from pigout_spark.pipeline.behavioral import session_ngrams
 
     return session_ngrams(_events_s(spark, sf_dir), n=3)
+
+
+@query(
+    "x_basket_rules",
+    """
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+    ), nb AS (
+      SELECT CAST(COUNT(DISTINCT bk) AS DOUBLE) AS n FROM b
+    ), cnt AS (
+      SELECT it, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY it
+    ), pairs AS (
+      SELECT x.it AS item_a, y.it AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS support
+      FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it
+      GROUP BY x.it, y.it
+      HAVING COUNT(*) >= 2
+    )
+    SELECT item_a, item_b, support,
+           ca.c AS n_a, cb.c AS n_b,
+           CAST(support AS DOUBLE) / CAST(ca.c AS DOUBLE) AS conf_a_b,
+           CAST(support AS DOUBLE) / CAST(cb.c AS DOUBLE) AS conf_b_a,
+           CAST(support AS DOUBLE) * nb.n
+             / (CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)) AS lift
+    FROM pairs
+    JOIN cnt ca ON ca.it = pairs.item_a
+    JOIN cnt cb ON cb.it = pairs.item_b, nb
+    """,
+    extra=True,  # r7 addition; window settled for r7 — rotate in r8
+)
+def x_basket_rules(spark, sf_dir):
+    """Market-basket association rules over order baskets: item pairs
+    co-purchased in ≥ 2 orders with support / confidence both ways /
+    lift — exact-integer-count ratios, hash-identical
+    (pipeline/behavioral.py:basket_rules)."""
+    from pigout_spark.pipeline.behavioral import basket_rules
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return basket_rules(li, basket_col="l_orderkey", item_col="l_partkey")

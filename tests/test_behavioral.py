@@ -589,3 +589,29 @@ def test_session_ngrams_contiguity_and_session_reset(spark):
 
     with pytest.raises(ValueError, match="n >= 2"):
         session_ngrams(df, n=1)
+
+
+def test_basket_rules_hand_computed(spark):
+    """3-basket corpus: supports, both confidences, and lift computed
+    by hand; quantity duplicates inside a basket don't inflate."""
+    rows = [
+        (1, 10), (1, 20), (1, 20),  # dup item in basket 1
+        (2, 10), (2, 20), (2, 30),
+        (3, 10), (3, 30),
+    ]
+    from pigout_spark.pipeline.behavioral import basket_rules
+
+    df = spark.createDataFrame(rows, "order_id bigint, item_id bigint")
+    out = {
+        (r.item_a, r.item_b): r
+        for r in basket_rules(df, "order_id", "item_id", 2).collect()
+    }
+    # pairs in >=2 baskets: (10,20) in 1,2; (10,30) in 2,3
+    assert set(out) == {(10, 20), (10, 30)}
+    r = out[(10, 20)]
+    assert (r.support, r.n_a, r.n_b) == (2, 3, 2)
+    assert abs(r.conf_a_b - 2 / 3) < 1e-12
+    assert abs(r.conf_b_a - 1.0) < 1e-12
+    assert abs(r.lift - (2 * 3) / (3 * 2)) < 1e-12  # = 1.0
+    r2 = out[(10, 30)]
+    assert (r2.support, r2.n_a, r2.n_b) == (2, 3, 2)
