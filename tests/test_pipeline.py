@@ -2722,3 +2722,27 @@ def test_mmr_rerank_diversifies(spark):
     assert order == [1, 3, 2]
     plain = mmr_rerank(emb, q, n_candidates=4, k=3, lam=1.0).collect()
     assert [r.neighbor_id for r in sorted(plain, key=lambda r: r.rank)] == [1, 2, 3]
+
+
+def test_curate_cli_splitsafe_stage(tmp_path):
+    """The splitsafe stage runs end-to-end and keeps every near-dup
+    cluster inside one split."""
+    import subprocess
+    import sys as _sys
+
+    import duckdb as _duckdb
+
+    out_dir = tmp_path / "curated"
+    r = subprocess.run(
+        [
+            _sys.executable, "tools/curate.py",
+            "/root/testdata/sf0.001/documents.parquet",
+            str(out_dir), "--stages", "splitsafe",
+        ],
+        capture_output=True, text=True, timeout=420, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = _duckdb.connect().execute(
+        f"SELECT COUNT(*), COUNT(DISTINCT split) FROM read_parquet('{out_dir}/*.parquet')"
+    ).fetchone()
+    assert got[0] > 0 and got[1] >= 2

@@ -24,6 +24,9 @@ Stage semantics (each consumes the previous stage's survivors):
     dsir          requires --dsir-target PARQUET and --dsir-k N
     split         stamp train/val/test 80/10/10 (adds a column, drops
                   nothing)
+    splitsafe     LEAKAGE-SAFE split: same 80/10/10 but keyed on the
+                  MinHash duplicate-cluster id, so near-dup families
+                  never straddle train/test (split_by_cluster)
     wsample       requires --wsample-n; weighted (A-ES) exact-count
                   sample on --weight-col (default n_chars)
     surprisal     requires --max-surprisal; drop docs whose mean
@@ -218,9 +221,24 @@ def main() -> int:
                 df, {"train": 0.8, "val": 0.1, "test": 0.1}, [id_col],
                 seed=args.seed,
             )
+        elif stage == "splitsafe":
+            from pigout_spark.pipeline.curation import split_by_cluster
+            from pigout_spark.pipeline.dedup import (
+                dedup_clusters,
+                minhash_lsh_pairs,
+            )
+
+            pairs = minhash_lsh_pairs(
+                df, id_col, text_col, num_hashes=16, rows_per_band=8
+            )
+            df = split_by_cluster(
+                df, dedup_clusters(pairs),
+                {"train": 0.8, "val": 0.1, "test": 0.1},
+                id_col=id_col, seed=args.seed,
+            )
         else:
             raise SystemExit(f"unknown stage: {stage}")
-        if args.report and stage != "split":
+        if args.report and stage not in ("split", "splitsafe"):
             report.append((stage, df.count()))
 
     out = str(Path(args.out_dir))
