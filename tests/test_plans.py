@@ -280,6 +280,9 @@ def test_triangle_count_key_equi_joins_only(spark, sf_dir):
         "x_label_prop",
         "x_ppr",
         "x_asof_nearest",
+        "x_session_ngrams",
+        "x_basket_rules",
+        "x_hits",
     ],
 )
 def test_r7_ops_no_cartesian(spark, sf_dir, name):
