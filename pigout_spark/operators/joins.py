@@ -536,3 +536,52 @@ def edit_distance_join(
         F.col("__rid").alias(right_id if left_id != right_id else f"r_{right_id}"),
         F.levenshtein("__ls", "__rs").cast("long").alias("dist"),
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    start_col: str = "iv_start",
+    end_col: str = "iv_end",
+    by: str | None = None,
+    min_gap_seconds: int = 0,
+) -> DataFrame:
+    """Interval UNION (gaps-and-islands): collapse overlapping — and,
+    with ``min_gap_seconds``, nearly-adjacent — intervals per key into
+    their covering envelopes.  The maintenance-window / outage-report
+    primitive: 40 overlapping alerts become 3 incident windows.
+
+    An interval starts a new island iff its start exceeds the running
+    maximum end of everything before it (by more than the gap);
+    islands are then one groupBy away.  Touching endpoints merge
+    (``[a, b] ∪ [b, c]`` is one island); inverted intervals raise
+    (the :func:`range_join` assertion discipline).
+
+    Output: (key?, iv_start, iv_end, n_merged).
+
+    100 TB: ONE key exchange drives the sort, the running-max window,
+    the island cumsum, and the final (key, island) aggregation — the
+    sessionize plan shape applied to intervals.  With no ``by``, the
+    sort is a single-partition stage by necessity (a global interval
+    union is inherently sequential) — pass a key at scale.
+    """
+    df = _assert_interval(df, start_col, end_col)
+    part = [by] if by else []
+    w = Window.partitionBy(*part).orderBy(start_col, end_col)
+    prev_max_end = F.max(F.col(end_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_max_end.isNull()
+        | (
+            F.unix_timestamp(F.col(start_col))
+            > F.unix_timestamp(prev_max_end) + int(min_gap_seconds)
+        ),
+        1,
+    ).otherwise(0)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    islands = df.withColumn("__isl", F.sum(new_island).over(cum))
+    return islands.groupBy(*part, "__isl").agg(
+        F.min(start_col).alias(start_col),
+        F.max(end_col).alias(end_col),
+        F.count(F.lit(1)).cast("long").alias("n_merged"),
+    ).drop("__isl")

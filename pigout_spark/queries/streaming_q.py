@@ -718,3 +718,62 @@ def x_asof_nearest(spark, sf_dir):
         "view_id",
         F.round("view_value", 6).alias("vv6"),
     )
+
+
+@query(
+    "x_merge_intervals",
+    """
+    WITH iv AS (
+      SELECT user_id,
+             CAST(date_trunc('second', ts) AS TIMESTAMP)
+               - INTERVAL 300 SECOND AS iv_start,
+             CAST(date_trunc('second', ts) AS TIMESTAMP)
+               + INTERVAL 300 SECOND AS iv_end
+      FROM events WHERE event_type = 'error'
+    ), g AS (
+      SELECT user_id, iv_start, iv_end,
+             CASE WHEN max(epoch(iv_end)) OVER (
+                    PARTITION BY user_id ORDER BY iv_start, iv_end
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR epoch(iv_start) > max(epoch(iv_end)) OVER (
+                    PARTITION BY user_id ORDER BY iv_start, iv_end
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS nf
+      FROM iv
+    ), isl AS (
+      SELECT user_id, iv_start, iv_end,
+             SUM(nf) OVER (PARTITION BY user_id
+                           ORDER BY iv_start, iv_end
+                           ROWS UNBOUNDED PRECEDING) AS island
+      FROM g
+    )
+    SELECT user_id,
+           CAST(epoch(MIN(iv_start)) AS BIGINT) AS start_s,
+           CAST(epoch(MAX(iv_end)) AS BIGINT) AS end_s,
+           CAST(COUNT(*) AS BIGINT) AS n_merged
+    FROM isl GROUP BY user_id, island
+    """,
+    extra=True,  # r7 addition; window settled for r7 — rotate in r8
+)
+def x_merge_intervals(spark, sf_dir):
+    """Incident-window construction: every error event's ±5-minute
+    blast radius merged into covering envelopes per user
+    (operators/joins.py:merge_intervals) — the gaps-and-islands
+    running-max replayed in SQL, envelopes and merge counts
+    hash-exact."""
+    from pigout_spark.operators.joins import merge_intervals
+
+    ev = _events_s(spark, sf_dir).filter(F.col("event_type") == "error")
+    iv = ev.select(
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 300 SECONDS")).alias("iv_start"),
+        (F.col("ts") + F.expr("INTERVAL 300 SECONDS")).alias("iv_end"),
+    )
+    out = merge_intervals(iv, by="user_id")
+    return out.select(
+        "user_id",
+        F.unix_timestamp("iv_start").alias("start_s"),
+        F.unix_timestamp("iv_end").alias("end_s"),
+        "n_merged",
+    )

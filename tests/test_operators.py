@@ -749,3 +749,37 @@ def test_ab_lift_hand_computed(spark):
 
     with pytest.raises(ValueError, match="treat_frac"):
         ab_assign(df, ["uid"], treat_frac=1.5)
+
+
+def test_merge_intervals_islands_and_gap(spark):
+    """Gaps-and-islands: overlapping and touching intervals collapse,
+    a contained interval doesn't split its island (running-max, not
+    lag), min_gap bridges near-adjacent islands, keys independent."""
+    import datetime as dt
+
+    from pigout_spark.operators.joins import merge_intervals
+
+    T = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    rows = [
+        (1, T(0), T(100)),
+        (1, T(50), T(60)),     # contained
+        (1, T(100), T(150)),   # touching endpoint merges
+        (1, T(200), T(250)),   # 50s gap: separate island
+        (2, T(0), T(10)),
+    ]
+    df = spark.createDataFrame(rows, "k bigint, iv_start timestamp, iv_end timestamp")
+    out = sorted(
+        (r.k, r.iv_start, r.iv_end, r.n_merged)
+        for r in merge_intervals(df, by="k").collect()
+    )
+    assert out == [
+        (1, T(0), T(150), 3),
+        (1, T(200), T(250), 1),
+        (2, T(0), T(10), 1),
+    ]
+    bridged = merge_intervals(df, by="k", min_gap_seconds=60).collect()
+    assert sorted((r.k, r.n_merged) for r in bridged) == [(1, 4), (2, 1)]
+    # single key exchange (AQE final plan)
+    plan = merge_intervals(df, by="k")._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1
