@@ -679,3 +679,96 @@ def x_basket_rules(spark, sf_dir):
 
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     return basket_rules(li, basket_col="l_orderkey", item_col="l_partkey")
+
+
+@query(
+    "x_cuped_lift",
+    """
+    WITH e AS (
+      SELECT user_id, value AS y,
+             0.5 * value + CAST(event_id % 7 AS DOUBLE) AS x
+      FROM events WHERE value IS NOT NULL
+    ), a AS (
+      SELECT y, x,
+             ('0x' || substring(md5('7' || '|' ||
+                coalesce(user_id::VARCHAR, chr(0))), 1, 8))::BIGINT
+             / 4294967296.0 < 0.5 AS is_t
+      FROM e
+    ), s AS (
+      SELECT
+        CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+        CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS n_c,
+        CAST(SUM(CAST(CASE WHEN is_t THEN y ELSE 0.0 END AS DECIMAL(24,8))) AS DOUBLE) AS sy_t,
+        CAST(SUM(CAST(CASE WHEN is_t THEN 0.0 ELSE y END AS DECIMAL(24,8))) AS DOUBLE) AS sy_c,
+        CAST(SUM(CAST(CASE WHEN is_t THEN x ELSE 0.0 END AS DECIMAL(24,8))) AS DOUBLE) AS sx_t,
+        CAST(SUM(CAST(CASE WHEN is_t THEN 0.0 ELSE x END AS DECIMAL(24,8))) AS DOUBLE) AS sx_c,
+        CAST(SUM(CAST(CASE WHEN is_t THEN y * y ELSE 0.0 END AS DECIMAL(30,8))) AS DOUBLE) AS syy_t,
+        CAST(SUM(CAST(CASE WHEN is_t THEN 0.0 ELSE y * y END AS DECIMAL(30,8))) AS DOUBLE) AS syy_c,
+        CAST(SUM(CAST(CASE WHEN is_t THEN x * x ELSE 0.0 END AS DECIMAL(30,8))) AS DOUBLE) AS sxx_t,
+        CAST(SUM(CAST(CASE WHEN is_t THEN 0.0 ELSE x * x END AS DECIMAL(30,8))) AS DOUBLE) AS sxx_c,
+        CAST(SUM(CAST(CASE WHEN is_t THEN x * y ELSE 0.0 END AS DECIMAL(30,8))) AS DOUBLE) AS sxy_t,
+        CAST(SUM(CAST(CASE WHEN is_t THEN 0.0 ELSE x * y END AS DECIMAL(30,8))) AS DOUBLE) AS sxy_c
+      FROM a
+    ), f AS (
+      SELECT *,
+             n_t + n_c AS n,
+             sy_t + sy_c AS sy, sx_t + sx_c AS sx,
+             sxx_t + sxx_c AS sxx, sxy_t + sxy_c AS sxy
+      FROM s
+    ), g AS (
+      SELECT *,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+             sx / n AS xbar
+      FROM f
+    ), h AS (
+      SELECT *,
+             sy_t / n_t AS my_t, sy_c / n_c AS my_c,
+             sx_t / n_t AS mx_t, sx_c / n_c AS mx_c,
+             (n_t * syy_t - sy_t * sy_t) / (n_t * (n_t - 1)) AS vy_t,
+             (n_c * syy_c - sy_c * sy_c) / (n_c * (n_c - 1)) AS vy_c,
+             (n_t * sxx_t - sx_t * sx_t) / (n_t * (n_t - 1)) AS vx_t,
+             (n_c * sxx_c - sx_c * sx_c) / (n_c * (n_c - 1)) AS vx_c,
+             (n_t * sxy_t - sx_t * sy_t) / (n_t * (n_t - 1)) AS cxy_t,
+             (n_c * sxy_c - sx_c * sy_c) / (n_c * (n_c - 1)) AS cxy_c
+      FROM g
+    ), i AS (
+      SELECT *,
+             my_t - theta * (mx_t - xbar) AS ma_t,
+             my_c - theta * (mx_c - xbar) AS ma_c,
+             vy_t - 2 * theta * cxy_t + theta * theta * vx_t AS va_t,
+             vy_c - 2 * theta * cxy_c + theta * theta * vx_c AS va_c
+      FROM h
+    )
+    SELECT n_c, n_t,
+           ROUND(theta, 6) AS theta6,
+           ROUND(my_t - my_c, 6) AS lift_raw6,
+           ROUND((my_t - my_c) / sqrt(vy_t / n_t + vy_c / n_c), 6) AS z_raw6,
+           ROUND(ma_t - ma_c, 6) AS lift_cuped6,
+           ROUND((ma_t - ma_c) / sqrt(va_t / n_t + va_c / n_c), 6) AS z_cuped6
+    FROM i
+    """,
+    extra=True,  # r7 addition; window settled for r7 — rotate in r8
+)
+def x_cuped_lift(spark, sf_dir):
+    """CUPED variance-reduced A/B readout over event values with a
+    constructed correlated covariate (0.5·value + event_id mod 7) —
+    theta, raw and adjusted lift/z, all from decimal-exact component
+    sums and one scalar IEEE chain
+    (pipeline/behavioral.py:cuped_lift)."""
+    from pigout_spark.pipeline.behavioral import cuped_lift
+
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = ev.withColumn(
+        "x",
+        F.lit(0.5) * F.col("value")
+        + (F.col("event_id") % 7).cast("double"),
+    )
+    out = cuped_lift(ev, "value", "x", ["user_id"], seed="7")
+    return out.select(
+        "n_c", "n_t",
+        F.round("theta", 6).alias("theta6"),
+        F.round("lift_raw", 6).alias("lift_raw6"),
+        F.round("z_raw", 6).alias("z_raw6"),
+        F.round("lift_cuped", 6).alias("lift_cuped6"),
+        F.round("z_cuped", 6).alias("z_cuped6"),
+    )
