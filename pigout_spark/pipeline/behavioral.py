@@ -924,3 +924,46 @@ def cuped_lift(
         lift_raw.alias("lift_raw"), z_raw.alias("z_raw"),
         lift_cuped.alias("lift_cuped"), z_cuped.alias("z_cuped"),
     )
+
+
+def srm_check(
+    df: DataFrame,
+    id_cols: list[str],
+    treat_frac: float = 0.5,
+    seed: str = "0",
+    chi2_critical: float = 3.841,
+) -> DataFrame:
+    """Sample-ratio-mismatch check — the first thing to run on any
+    experiment readout: a chi-square goodness-of-fit of the observed
+    arm counts against the configured split.  A failing SRM means the
+    assignment or logging pipeline is broken and every downstream
+    metric is suspect.
+
+    chi² = Σ (obs − exp)²/exp over the two arms (1 dof); the default
+    critical value 3.841 is p = 0.05.  Emitting the statistic and the
+    boolean keeps both engines special-function-free (no χ² CDF
+    needed) and the whole check one integer-count row.
+
+    Output: (n_c, n_t, expected_t, chi2, srm_suspected).
+    """
+    a = ab_assign(df, id_cols, treat_frac=treat_frac, seed=seed)
+    is_t = F.col("variant") == "treatment"
+    s = a.agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).cast("long").alias("n_t"),
+        F.sum(F.when(~is_t, 1).otherwise(0)).cast("long").alias("n_c"),
+    )
+    f = float(treat_frac)
+    n = (F.col("n_t") + F.col("n_c")).cast("double")
+    exp_t = n * F.lit(f)
+    exp_c = n * F.lit(1.0 - f)
+    chi2 = (F.col("n_t").cast("double") - exp_t) * (
+        F.col("n_t").cast("double") - exp_t
+    ) / exp_t + (F.col("n_c").cast("double") - exp_c) * (
+        F.col("n_c").cast("double") - exp_c
+    ) / exp_c
+    return s.select(
+        "n_c", "n_t",
+        exp_t.alias("expected_t"),
+        chi2.alias("chi2"),
+        (chi2 > F.lit(float(chi2_critical))).alias("srm_suspected"),
+    )

@@ -55,7 +55,7 @@ from pigout_spark.queries import udf_q  # noqa: F401,E402
 # x_mad_outliers, x_bm25_topk, x_split_safe, x_asof_nearest, x_scd2,
 # x_quality_pctile, x_ab_lift, x_label_prop, x_ppr,
 # x_common_neighbors, x_hits, x_mmr, x_session_ngrams,
-# x_basket_rules, x_merge_intervals, x_cuped_lift.
+# x_basket_rules, x_merge_intervals, x_cuped_lift, x_srm_check.
 _WINDOW_R7 = [
     "q01_group_agg",  # flagship
     # never driver-checked before r7 — hash-checkable oracles

@@ -772,3 +772,47 @@ def x_cuped_lift(spark, sf_dir):
         F.round("lift_cuped", 6).alias("lift_cuped6"),
         F.round("z_cuped", 6).alias("z_cuped6"),
     )
+
+
+@query(
+    "x_srm_check",
+    """
+    WITH e AS (
+      SELECT DISTINCT user_id FROM events
+    ), a AS (
+      SELECT ('0x' || substring(md5('7' || '|' ||
+                coalesce(user_id::VARCHAR, chr(0))), 1, 8))::BIGINT
+             / 4294967296.0 < 0.5 AS is_t
+      FROM e
+    ), s AS (
+      SELECT CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+             CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS n_c
+      FROM a
+    )
+    SELECT n_c, n_t,
+           CAST(n_t + n_c AS DOUBLE) * 0.5 AS expected_t,
+           (CAST(n_t AS DOUBLE) - CAST(n_t + n_c AS DOUBLE) * 0.5)
+             * (CAST(n_t AS DOUBLE) - CAST(n_t + n_c AS DOUBLE) * 0.5)
+             / (CAST(n_t + n_c AS DOUBLE) * 0.5)
+           + (CAST(n_c AS DOUBLE) - CAST(n_t + n_c AS DOUBLE) * 0.5)
+             * (CAST(n_c AS DOUBLE) - CAST(n_t + n_c AS DOUBLE) * 0.5)
+             / (CAST(n_t + n_c AS DOUBLE) * 0.5) AS chi2,
+           ((CAST(n_t AS DOUBLE) - CAST(n_t + n_c AS DOUBLE) * 0.5)
+             * (CAST(n_t AS DOUBLE) - CAST(n_t + n_c AS DOUBLE) * 0.5)
+             / (CAST(n_t + n_c AS DOUBLE) * 0.5)
+           + (CAST(n_c AS DOUBLE) - CAST(n_t + n_c AS DOUBLE) * 0.5)
+             * (CAST(n_c AS DOUBLE) - CAST(n_t + n_c AS DOUBLE) * 0.5)
+             / (CAST(n_t + n_c AS DOUBLE) * 0.5)) > 3.841 AS srm_suspected
+    FROM s
+    """,
+    extra=True,  # r7 addition; window settled for r7 — rotate in r8
+)
+def x_srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch gate on the user-level assignment (seed 7,
+    50/50): observed-vs-expected chi-square and the p<0.05 flag — the
+    first sanity check of any experiment
+    (pipeline/behavioral.py:srm_check)."""
+    from pigout_spark.pipeline.behavioral import srm_check
+
+    users = t(spark, sf_dir, "events").select("user_id").distinct()
+    return srm_check(users, ["user_id"], treat_frac=0.5, seed="7")

@@ -666,3 +666,25 @@ def test_cuped_lift_matches_reference_and_reduces_variance(spark):
     z_c = (mat - mac) / math.sqrt(vat / nt + vac / nc)
     # decimal(…,4) sum quantization vs the float reference: ~1e-5 slack
     assert abs(out.z_cuped - z_c) < 1e-4
+
+
+def test_srm_check_flags_broken_assignment(spark):
+    """A heavily imbalanced observed split flags SRM; the md5 split on
+    a healthy population does not."""
+    from pigout_spark.pipeline.behavioral import srm_check
+
+    healthy = spark.createDataFrame(
+        [(i,) for i in range(2000)], "uid bigint"
+    )
+    ok = srm_check(healthy, ["uid"], seed="1").collect()[0]
+    assert not ok.srm_suspected and ok.n_c + ok.n_t == 2000
+    # simulate a broken logger: drop most of one arm by filtering on
+    # the assignment itself
+    from pigout_spark.pipeline.behavioral import ab_assign
+
+    a = ab_assign(healthy, ["uid"], seed="1")
+    broken = a.filter(
+        (a.variant == "control") | (a.uid % 10 == 0)
+    ).drop("variant")
+    bad = srm_check(broken, ["uid"], seed="1").collect()[0]
+    assert bad.srm_suspected and bad.chi2 > 100
