@@ -511,14 +511,24 @@ def edit_distance_join(
     )
 
     # Low-gram strings (len < q·(k+1)): only LOW×LOW pairs can evade
-    # the gram join (docstring step 2) — sweep exactly those.
+    # the gram join (docstring step 2) — sweep exactly those, crossing
+    # DISTINCT VALUES (bounded by the |alphabet|^(q(k+1)−1) domain),
+    # never rows: a corpus can hold millions of short-string ROWS, and
+    # broadcasting/crossing those would be the cartesian the docstring
+    # forbids.  Ids rejoin by string value afterwards.
     low_len = q * (k + 1)
     lshort = lbase.filter(F.length("__ls") < low_len).select("__lid", "__ls")
     rshort = rbase.filter(F.length("__rs") < low_len).select("__rid", "__rs")
-    swept = (
-        F.broadcast(lshort)
-        .crossJoin(rshort)
+    lsv = lshort.select("__ls").distinct()
+    rsv = rshort.select("__rs").distinct()
+    vpairs = (
+        F.broadcast(lsv)
+        .crossJoin(rsv)
         .filter(F.abs(F.length("__ls") - F.length("__rs")) <= k)
+    )
+    swept = (
+        lshort.join(vpairs, "__ls")
+        .join(rshort, "__rs")
         .select("__lid", "__rid")
     )
     cands = cands.unionByName(swept).distinct()
@@ -565,6 +575,12 @@ def merge_intervals(
     union is inherently sequential) — pass a key at scale.
     """
     df = _assert_interval(df, start_col, end_col)
+    # NULL endpoints carry no interval semantics and would corrupt the
+    # running max (a NULL start sorts first and silently merges):
+    # dropped outright, mirroring the SQL twin's behavior.
+    df = df.filter(
+        F.col(start_col).isNotNull() & F.col(end_col).isNotNull()
+    )
     part = [by] if by else []
     w = Window.partitionBy(*part).orderBy(start_col, end_col)
     prev_max_end = F.max(F.col(end_col)).over(

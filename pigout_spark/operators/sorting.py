@@ -194,12 +194,24 @@ def percentile_rank(
     a broadcast scalar — no global window, no collect.
     """
     ids = id_cols or []
-    r = row_rank(df, score_col, *ids, out="__rr")
+    # NULL scores are EXCLUDED entirely (from ranking AND the n−1
+    # denominator): engines disagree on where a window ORDER BY places
+    # NULLs, and a score that doesn't exist has no percentile.  The
+    # previous shape ranked NULLs but lost them in the score-keyed
+    # join while still counting them — deflating every percentile.
+    base = df.filter(F.col(score_col).isNotNull())
+    r = row_rank(base, score_col, *ids, out="__rr")
     minr = r.groupBy(score_col).agg(F.min("__rr").alias("__minr"))
-    n = df.count()
-    denom = float(max(n - 1, 1))
+    # denominator as a broadcast 1-row frame (lazy — no eager count
+    # job at plan-construction time; the bm25_topk idiom)
+    denom = base.agg(
+        F.greatest(F.count(F.lit(1)) - 1, F.lit(1))
+        .cast("double")
+        .alias("__den")
+    )
     return (
         r.join(minr, score_col)
-        .withColumn(out, (F.col("__minr") - 1).cast("double") / F.lit(denom))
-        .drop("__rr", "__minr")
+        .crossJoin(F.broadcast(denom))
+        .withColumn(out, (F.col("__minr") - 1).cast("double") / F.col("__den"))
+        .drop("__rr", "__minr", "__den")
     )

@@ -666,9 +666,10 @@ def ab_lift(
     primitive over any metric column.
 
     Determinism: component sums follow the q33 COR/COV discipline
-    (value and value² cast to DECIMAL before summing — exact,
-    order-free), then one fixed IEEE formula chain; both engines
-    produce bit-identical means/variances/z.
+    (value and value² cast to DECIMAL scale 8 before summing — exact
+    for metrics carrying up to 8 decimals, order-free), then one
+    fixed IEEE formula chain; both engines produce bit-identical
+    means/variances/z.
 
     100 TB: one narrow assignment map + ONE conditional aggregation to
     a single broadcast-sized row.  No shuffle beyond the final
@@ -677,16 +678,20 @@ def ab_lift(
     a = ab_assign(df, id_cols, treat_frac=treat_frac, seed=seed)
     is_t = F.col("variant") == "treatment"
     v = F.col(metric_col)
+    # scale-8 casts (the cuped_lift discipline): a scale-4 cast of a
+    # metric carrying >4 decimals ROUNDS, and the engines' half
+    # conventions differ — scale 8 keeps few-decimal metrics and
+    # their squares exact
     s = a.agg(
         F.sum(F.when(is_t, 1).otherwise(0)).cast("long").alias("n_t"),
         F.sum(F.when(~is_t, 1).otherwise(0)).cast("long").alias("n_c"),
-        F.sum(F.when(is_t, v).otherwise(F.lit(0.0)).cast("decimal(20,4)"))
+        F.sum(F.when(is_t, v).otherwise(F.lit(0.0)).cast("decimal(24,8)"))
         .cast("double").alias("sx_t"),
-        F.sum(F.when(~is_t, v).otherwise(F.lit(0.0)).cast("decimal(20,4)"))
+        F.sum(F.when(~is_t, v).otherwise(F.lit(0.0)).cast("decimal(24,8)"))
         .cast("double").alias("sx_c"),
-        F.sum(F.when(is_t, v * v).otherwise(F.lit(0.0)).cast("decimal(28,4)"))
+        F.sum(F.when(is_t, v * v).otherwise(F.lit(0.0)).cast("decimal(30,8)"))
         .cast("double").alias("sxx_t"),
-        F.sum(F.when(~is_t, v * v).otherwise(F.lit(0.0)).cast("decimal(28,4)"))
+        F.sum(F.when(~is_t, v * v).otherwise(F.lit(0.0)).cast("decimal(30,8)"))
         .cast("double").alias("sxx_c"),
     )
     n_t, n_c = F.col("n_t"), F.col("n_c")
@@ -745,11 +750,17 @@ def session_ngrams(
     order = [F.col(ts_col), F.col(tiebreak) if tiebreak else F.col(step_col)]
     w = Window.partitionBy(key, "session_seq").orderBy(*order)
     lags = [F.lag(step_col, n - 1 - i).over(w) for i in range(n - 1)]
-    gram = F.concat_ws(">", *lags, F.col(step_col))
+    # NULL-propagating concat (NOT concat_ws, which silently SKIPS
+    # null steps and would collapse 'a>NULL>c' into the legitimate
+    # 2-gram 'a>c'): any gram touching a NULL step becomes NULL and is
+    # dropped, matching the SQL '||' operator.
+    parts: list = []
+    for lg in lags:
+        parts += [lg, F.lit(">")]
+    gram = F.concat(*parts, F.col(step_col))
     return (
         s.withColumn("__g", gram)
-        .withColumn("__first", lags[0])
-        .filter(F.col("__first").isNotNull())
+        .filter(F.col("__g").isNotNull())
         .groupBy(F.col("__g").alias("gram"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
     )
@@ -787,7 +798,12 @@ def basket_rules(
     b = df.select(
         F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
     ).distinct()
-    n_baskets = b.select("__b").distinct().count()
+    # basket total as a broadcast 1-row frame (the bm25_topk idiom),
+    # not an eager .count() — keeps plan construction lazy and the
+    # input scanned exactly once per action
+    nb_frame = b.agg(
+        F.count_distinct("__b").cast("double").alias("__nb")
+    )
     item_n = b.groupBy("__i").agg(F.count(F.lit(1)).alias("__n"))
     x, y = b.alias("x"), b.alias("y")
     pairs = (
@@ -812,6 +828,7 @@ def basket_rules(
     return (
         pairs.join(na, "item_a")
         .join(nb, "item_b")
+        .crossJoin(F.broadcast(nb_frame))
         .select(
             "item_a", "item_b", "support",
             F.col("n_a").cast("long").alias("n_a"),
@@ -819,7 +836,7 @@ def basket_rules(
             (s / F.col("n_a").cast("double")).alias("conf_a_b"),
             (s / F.col("n_b").cast("double")).alias("conf_b_a"),
             (
-                s * F.lit(float(n_baskets))
+                s * F.col("__nb")
                 / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
             ).alias("lift"),
         )

@@ -429,12 +429,10 @@ def label_propagation(
             .filter(F.col("__rn") == 1)
             .select("node", F.col("label").alias("__new"))
         )
-        labels = (
-            nodes.join(labels, "node")
-            .join(best, "node", "left")
-            .select(
-                "node", F.coalesce(F.col("__new"), F.col("label")).alias("label")
-            )
+        # labels IS the node relation every round (static graph), so
+        # the carry-over needs no extra nodes join
+        labels = labels.join(best, "node", "left").select(
+            "node", F.coalesce(F.col("__new"), F.col("label")).alias("label")
         )
         if checkpoint_every and it % int(checkpoint_every) == 0:
             labels = labels.localCheckpoint(eager=False)
@@ -523,7 +521,9 @@ def hits(
         auth(v) = Σ_{u→v} hub(u)      then rescale toward L1 = 10^12
         hub(u)  = Σ_{u→v} auth(v)     then rescale toward L1 = 10^12
 
-    in pure int64 fixed-point arithmetic.  Rescaling divides every
+    in exact fixed-point integer arithmetic (sums widened through
+    DECIMAL(38,0)/HUGEINT — an int64 sum wraps past ~9.2M edges or a
+    10^7-degree hub).  Rescaling divides every
     score by the INTEGER divisor max(Σx div 10^12, 1) (the L1 total
     in units of 10^12), so the post-round total lands in
     [10^12, ~2·10^12) instead of exactly 10^12 — a deliberate choice:
@@ -563,18 +563,24 @@ def hits(
     hub = nodes.select("node", F.lit(PAGERANK_UNIT).cast("bigint").alias("__h"))
 
     def normalize(scores: DataFrame, col: str) -> DataFrame:
+        # Raw sums and totals widen through DECIMAL(38,0): at |E| over
+        # ~9.2M edges (or a 10^7-degree hub) an int64 sum of 10^12-unit
+        # scores would silently wrap in Spark's non-ANSI mode while the
+        # DuckDB twin's HUGEINT stays exact.  The rescale divides a
+        # decimal by an int64 divisor — a PLAIN integral divide, which
+        # both engines floor exactly (unlike the x·UNIT div Σx form,
+        # whose wide multiply trips Spark's precision-overflow rounding
+        # — measured r7; and unlike DuckDB's DECIMAL //, which routes
+        # through doubles — HUGEINT // is the exact oracle-side twin).
         total = scores.agg(
-            F.sum(col).cast("bigint").alias("__tot")
+            F.sum(F.col(col).cast("decimal(38,0)")).alias("__tot")
         )
-        # Integer-divisor rescale (docstring): pure int64, no decimal
-        # widening — Spark's DECIMAL(38) integral divide rounds when
-        # the result precision overflows, which an exact x·UNIT div Σx
-        # would hit (measured r7).
         return scores.crossJoin(F.broadcast(total)).select(
             "node",
             F.expr(
-                f"{col} div greatest(__tot div {PAGERANK_UNIT},"
-                f" cast(1 as bigint))"
+                f"CAST(CAST({col} AS DECIMAL(38,0)) div"
+                f" greatest(CAST(__tot div {PAGERANK_UNIT} AS BIGINT),"
+                f" cast(1 as bigint)) AS BIGINT)"
             ).alias(col),
         )
 
@@ -583,22 +589,24 @@ def hits(
         raw_a = (
             e.join(hub, e["__s"] == hub["node"])
             .groupBy(F.col("__d").alias("node"))
-            .agg(F.sum("__h").cast("bigint").alias("__a"))
+            .agg(F.sum(F.col("__h").cast("decimal(38,0)")).alias("__a"))
         )
         auth = normalize(
             nodes.join(raw_a, "node", "left").select(
-                "node", F.coalesce("__a", F.lit(0)).cast("bigint").alias("__a")
+                "node",
+                F.coalesce("__a", F.lit(0)).cast("decimal(38,0)").alias("__a"),
             ),
             "__a",
         )
         raw_h = (
             e.join(auth, e["__d"] == auth["node"])
             .groupBy(F.col("__s").alias("node"))
-            .agg(F.sum("__a").cast("bigint").alias("__h"))
+            .agg(F.sum(F.col("__a").cast("decimal(38,0)")).alias("__h"))
         )
         hub = normalize(
             nodes.join(raw_h, "node", "left").select(
-                "node", F.coalesce("__h", F.lit(0)).cast("bigint").alias("__h")
+                "node",
+                F.coalesce("__h", F.lit(0)).cast("decimal(38,0)").alias("__h"),
             ),
             "__h",
         )

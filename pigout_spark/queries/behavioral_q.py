@@ -564,11 +564,14 @@ def x_mad_outliers(spark, sf_dir):
       FROM events
     ), g AS (
       SELECT user_id, event_id, event_type, ts,
-             lag(event_type) OVER w AS ptype
+             lag(event_type) OVER w AS ptype,
+             lag(event_id) OVER w IS NULL AS first
       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), st AS (
+      -- first-row detection via the id lag, NOT ptype IS NULL: a
+      -- NULL attribute after a NULL attribute is no change
       SELECT user_id, event_id, event_type, ts
-      FROM g WHERE ptype IS NULL OR event_type IS DISTINCT FROM ptype
+      FROM g WHERE first OR event_type IS DISTINCT FROM ptype
     )
     SELECT user_id, event_type,
            CAST(epoch(ts) AS BIGINT) AS from_s,
@@ -627,7 +630,7 @@ def x_scd2(spark, sf_dir):
     )
     SELECT s1 || '>' || s2 || '>' || s3 AS gram,
            CAST(COUNT(*) AS BIGINT) AS n_occurrences
-    FROM g WHERE s1 IS NOT NULL
+    FROM g WHERE s1 || '>' || s2 || '>' || s3 IS NOT NULL
     GROUP BY 1
     """,
     extra=True,  # r7 addition; window settled for r7 — rotate in r8

@@ -3519,13 +3519,13 @@ def x_quality_pctile(spark, sf_dir):
       SELECT CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
              CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS n_c,
              CAST(SUM(CAST(CASE WHEN is_t THEN value ELSE 0.0 END
-                           AS DECIMAL(20,4))) AS DOUBLE) AS sx_t,
+                           AS DECIMAL(24,8))) AS DOUBLE) AS sx_t,
              CAST(SUM(CAST(CASE WHEN is_t THEN 0.0 ELSE value END
-                           AS DECIMAL(20,4))) AS DOUBLE) AS sx_c,
+                           AS DECIMAL(24,8))) AS DOUBLE) AS sx_c,
              CAST(SUM(CAST(CASE WHEN is_t THEN value * value ELSE 0.0 END
-                           AS DECIMAL(28,4))) AS DOUBLE) AS sxx_t,
+                           AS DECIMAL(30,8))) AS DOUBLE) AS sxx_t,
              CAST(SUM(CAST(CASE WHEN is_t THEN 0.0 ELSE value * value END
-                           AS DECIMAL(28,4))) AS DOUBLE) AS sxx_c
+                           AS DECIMAL(30,8))) AS DOUBLE) AS sxx_c
       FROM a
     )
     SELECT n_c, n_t,
@@ -3751,8 +3751,11 @@ def _hits_sql(iters: int) -> str:
     max(Σx div 10^12, 1)) — pure int64 floor division, identical in
     both engines (an exact x·10^12 div Σx needs 128-bit intermediates
     that Spark's DECIMAL(38) integral divide silently rounds)."""
+    # {x}/{tot} ride as HUGEINT (DuckDB SUM(BIGINT) widens exactly;
+    # HUGEINT // is an exact integral divide — DECIMAL // routes
+    # through doubles and must not be used here)
     norm = (
-        "CAST({x} // greatest(({tot}) // 1000000000000,"
+        "CAST({x} // greatest(CAST(({tot}) // 1000000000000 AS BIGINT),"
         " CAST(1 AS BIGINT)) AS BIGINT)"
     )
     ctes = [
@@ -3764,12 +3767,12 @@ def _hits_sql(iters: int) -> str:
     ]
     for i in range(1, iters + 1):
         ctes.append(
-            f"ar{i} AS (SELECT e.d AS node, CAST(SUM(h.u) AS BIGINT) AS a"
+            f"ar{i} AS (SELECT e.d AS node, SUM(CAST(h.u AS HUGEINT)) AS a"
             f" FROM e JOIN h{i-1} h ON h.node = e.s GROUP BY e.d)"
         )
         ctes.append(
             f"af{i} AS (SELECT nodes.node,"
-            f" CAST(coalesce(ar{i}.a, 0) AS BIGINT) AS a"
+            f" CAST(coalesce(ar{i}.a, 0) AS HUGEINT) AS a"
             f" FROM nodes LEFT JOIN ar{i} ON nodes.node = ar{i}.node)"
         )
         ctes.append(
@@ -3778,12 +3781,12 @@ def _hits_sql(iters: int) -> str:
             + " AS u FROM af" + str(i) + ")"
         )
         ctes.append(
-            f"hr{i} AS (SELECT e.s AS node, CAST(SUM(a.u) AS BIGINT) AS h"
+            f"hr{i} AS (SELECT e.s AS node, SUM(CAST(a.u AS HUGEINT)) AS h"
             f" FROM e JOIN a{i} a ON a.node = e.d GROUP BY e.s)"
         )
         ctes.append(
             f"hf{i} AS (SELECT nodes.node,"
-            f" CAST(coalesce(hr{i}.h, 0) AS BIGINT) AS h"
+            f" CAST(coalesce(hr{i}.h, 0) AS HUGEINT) AS h"
             f" FROM nodes LEFT JOIN hr{i} ON nodes.node = hr{i}.node)"
         )
         ctes.append(

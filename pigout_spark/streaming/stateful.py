@@ -232,10 +232,15 @@ def _transitions_fn(step_col: str, ts_col: str, user_col: str,
         if state.hasTimedOut:
             state.remove()
             return
+        # NULL-ts / NULL-step rows are excluded (the batch op orders
+        # NULL ts first and never emits NULL-step transitions; here a
+        # NaT would decode to int64-min and a None step would make the
+        # sort key heterogeneous — both dropped instead).
         rows = sorted(
             (int(t.value // 1000), s)
             for pdf in pdfs
             for t, s in zip(pd.to_datetime(pdf[ts_col]), pdf[step_col])
+            if not pd.isna(t) and s is not None
         )
         if not rows:
             return

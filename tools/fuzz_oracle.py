@@ -1996,13 +1996,13 @@ def gen_r7(rng: random.Random):
           SELECT CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
                  CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS n_c,
                  CAST(SUM(CAST(CASE WHEN is_t THEN v ELSE 0.0 END
-                               AS DECIMAL(20,4))) AS DOUBLE) AS sx_t,
+                               AS DECIMAL(24,8))) AS DOUBLE) AS sx_t,
                  CAST(SUM(CAST(CASE WHEN is_t THEN 0.0 ELSE v END
-                               AS DECIMAL(20,4))) AS DOUBLE) AS sx_c,
+                               AS DECIMAL(24,8))) AS DOUBLE) AS sx_c,
                  CAST(SUM(CAST(CASE WHEN is_t THEN v * v ELSE 0.0 END
-                               AS DECIMAL(28,4))) AS DOUBLE) AS sxx_t,
+                               AS DECIMAL(30,8))) AS DOUBLE) AS sxx_t,
                  CAST(SUM(CAST(CASE WHEN is_t THEN 0.0 ELSE v * v END
-                               AS DECIMAL(28,4))) AS DOUBLE) AS sxx_c
+                               AS DECIMAL(30,8))) AS DOUBLE) AS sxx_c
           FROM a
         )
         SELECT n_c, n_t,
