@@ -157,6 +157,7 @@ def asof_join(
     tolerance_seconds: int | None = None,
     right_ts_out: str = "matched_ts",
     direction: str = "backward",
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """AS-OF JOIN: attach to every left row the nearest right row per
     ``by`` key in the given ``direction`` (full pandas merge_asof
@@ -188,6 +189,15 @@ def asof_join(
     with NULL timestamps never match (they sort before every right
     row in the fill window).
 
+    Duplicate right timestamps: if several right rows share a
+    (key, ts), which payload wins is NOT defined by (ts, side) alone.
+    Pass ``right_tiebreak`` (a right column — a version number, a
+    unique id) to pin it: the row with the LARGEST tiebreak value at
+    that timestamp wins, in every direction ("highest version is the
+    effective row" semantics).  Without it the choice is
+    partition-order-dependent and may differ run to run (ADVICE r7) —
+    fine only when (key, ts) is unique on the right.
+
     ``nearest`` tie subtlety: the union layout orders right rows
     BEFORE left rows at equal timestamps, so the forward fill cannot
     see an equal-timestamp right row — harmless, because the backward
@@ -207,10 +217,14 @@ def asof_join(
     # backward/nearest (equal ts is a valid backward match), after
     # left for forward (equal ts is a valid forward match).
     r_side, l_side = (1, 0) if direction == "forward" else (0, 1)
+    tb_r = (
+        F.col(right_tiebreak) if right_tiebreak is not None else F.lit(0)
+    )
     r = right.filter(F.col(ts_col).isNotNull()).select(
         F.col(by).alias("__k"),
         F.col(ts_col).alias("__ts"),
         F.lit(r_side).alias("__side"),
+        tb_r.alias("__tb"),
         payload.alias("__pay"),
         *[F.lit(None).cast(t.dataType).alias(f"__l_{c}")
           for c, t in zip(left.columns, left.schema.fields)],
@@ -219,12 +233,24 @@ def asof_join(
         F.col(by).alias("__k"),
         F.col(ts_col).alias("__ts"),
         F.lit(l_side).alias("__side"),
+        F.lit(None).cast(r.schema["__tb"].dataType).alias("__tb"),
         F.lit(None).cast(r.schema["__pay"].dataType).alias("__pay"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
     )
-    base = Window.partitionBy("__k").orderBy("__ts", "__side")
-    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    # Tiebreak direction per window: backward's last() must LAND on
+    # the max-tiebreak row (asc), forward's first() must MEET it
+    # (desc) — so the same "largest tiebreak wins" contract holds in
+    # every direction.  Left rows carry NULL __tb; their relative
+    # order within an equal-(ts, side) group is irrelevant (no right
+    # row can sit between them).
+    base_b = Window.partitionBy("__k").orderBy(
+        "__ts", "__side", F.col("__tb").asc_nulls_first()
+    )
+    base_f = Window.partitionBy("__k").orderBy(
+        "__ts", "__side", F.col("__tb").desc_nulls_last()
+    )
+    wb = base_b.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = base_f.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     u = l.unionByName(r)
     if direction == "backward":
         u = u.withColumn("__mb", F.last("__pay", ignorenulls=True).over(wb))

@@ -449,12 +449,20 @@ def mad_outliers(
     Output: (key, *id_cols, value, median, mad, deviation) for
     outlier rows only.
 
+    NULL values are EXCLUDED before any rank arithmetic (the
+    percentile_rank discipline): Spark's window sorts NULLs first, so
+    a NULL row would shift the ⌈n/2⌉ lower-median rank — or become
+    the "median" itself, nulling the deviation test and silently
+    emitting zero outliers for the key (ADVICE r7).  A NULL value is
+    never an outlier and never part of n.
+
     100 TB: two window passes and one aggregation-join per statistic,
     ALL on the key partitioning — one exchange total, reused by every
     pass (sort-only reshapes within partitions).  No all-pairs, no
     collect; per-key row counts bound the window state (cap upstream
     via :func:`cap_events_per_key` if a key can exceed task memory).
     """
+    df = df.filter(F.col(value_col).isNotNull())
     ids = [F.col(c) for c in id_cols]
     v = F.col(value_col)
 
@@ -671,11 +679,20 @@ def ab_lift(
     fixed IEEE formula chain; both engines produce bit-identical
     means/variances/z.
 
+    NULL metrics are EXCLUDED before anything is counted (the
+    percentile_rank discipline): a NULL-metric unit contributes to
+    neither n, sum, nor sum-of-squares of its arm, so means and
+    variances describe exactly the measured units.  (Before r8 the
+    counts included NULL rows while the CASE-guarded sums skipped
+    them, silently deflating both arms' means — ADVICE r7.)
+
     100 TB: one narrow assignment map + ONE conditional aggregation to
     a single broadcast-sized row.  No shuffle beyond the final
     1-row agg.
     """
-    a = ab_assign(df, id_cols, treat_frac=treat_frac, seed=seed)
+    a = ab_assign(df, id_cols, treat_frac=treat_frac, seed=seed).filter(
+        F.col(metric_col).isNotNull()
+    )
     is_t = F.col("variant") == "treatment"
     v = F.col(metric_col)
     # scale-8 casts (the cuped_lift discipline): a scale-4 cast of a
@@ -872,10 +889,18 @@ def cuped_lift(
     z_cuped (adjusted lift equals raw lift minus θ·covariate
     imbalance; its z uses the reduced variances).
 
+    Units with a NULL metric OR NULL covariate are EXCLUDED up front
+    (the :func:`ab_lift` / percentile_rank NULL discipline): CUPED
+    needs the (y, x) pair, so a unit missing either contributes to no
+    count and no component sum — θ, means, and variances describe
+    exactly the fully-measured units (ADVICE r7).
+
     100 TB: one narrow assignment map + ONE 1-row conditional
     aggregation.  Nothing else shuffles.
     """
-    a = ab_assign(df, id_cols, treat_frac=treat_frac, seed=seed)
+    a = ab_assign(df, id_cols, treat_frac=treat_frac, seed=seed).filter(
+        F.col(metric_col).isNotNull() & F.col(covariate_col).isNotNull()
+    )
     is_t = F.col("variant") == "treatment"
     y, x = F.col(metric_col), F.col(covariate_col)
 

@@ -90,6 +90,23 @@ def pagerank(
         if weight_col is not None
         else F.lit(1).cast("bigint")
     )
+    if weight_col is not None:
+        # Enforce the documented weight contract (positive integers
+        # with overflow headroom) instead of silently corrupting
+        # ranks: a zero-weight-only source used to make __deg 0 and
+        # swallow the null division; negatives flipped signs with no
+        # error (ADVICE r7).  assert_true returns NULL on success, so
+        # the filter keeps every valid row and the check rides the
+        # existing scan — distributed, no extra pass.
+        edges = edges.filter(
+            F.assert_true(
+                F.col(weight_col).cast("bigint").between(1, 100_000),
+                F.lit(
+                    f"pagerank: {weight_col} must be an integer in "
+                    "[1, 1e5] (positive, with int64 overflow headroom)"
+                ),
+            ).isNull()
+        )
     e = (
         edges.select(
             F.col(src).alias("__s"), F.col(dst).alias("__d"), w.alias("__w")

@@ -21,6 +21,7 @@ import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def as_double(vec: Column | str) -> Column:
@@ -1043,11 +1044,21 @@ def mmr_rerank(
             out, columns=["q_id", "rank", "neighbor_id", "score"]
         )
 
+    # Output id types follow the candidate relation (q_id from the
+    # queries side, neighbor_id from emb's id_col) — hardcoding long
+    # broke string/non-long vector ids at runtime (ADVICE r7).
+    out_schema = T.StructType(
+        [
+            T.StructField("q_id", cand.schema["q_id"].dataType),
+            T.StructField("rank", T.LongType()),
+            T.StructField(
+                "neighbor_id", cand.schema["neighbor_id"].dataType
+            ),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
     return (
         rel.groupBy("q_id")
         .cogroup(sims.groupBy("q_id"))
-        .applyInPandas(
-            pick,
-            "q_id long, rank long, neighbor_id long, score double",
-        )
+        .applyInPandas(pick, out_schema)
     )

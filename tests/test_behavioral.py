@@ -688,3 +688,48 @@ def test_srm_check_flags_broken_assignment(spark):
     ).drop("variant")
     bad = srm_check(broken, ["uid"], seed="1").collect()[0]
     assert bad.srm_suspected and bad.chi2 > 100
+
+
+def test_experiment_family_null_discipline(spark):
+    """NULL metrics/covariates are excluded from counts AND sums
+    (ADVICE r7): ab_lift on a frame with NULL metric rows equals
+    ab_lift on the pre-filtered frame; cuped_lift drops a unit missing
+    either column; mad_outliers ignores NULL values entirely (they
+    neither shift the median rank nor appear as outliers)."""
+    from pigout_spark.pipeline.behavioral import (
+        ab_lift,
+        cuped_lift,
+        mad_outliers,
+    )
+
+    rows = [(i, float(i % 7) if i % 5 else None) for i in range(40)]
+    df = spark.createDataFrame(rows, "uid bigint, m double")
+    clean = df.filter("m is not null")
+    a = ab_lift(df, "m", ["uid"], seed="9").collect()[0]
+    b = ab_lift(clean, "m", ["uid"], seed="9").collect()[0]
+    assert a == b
+    assert a.n_t + a.n_c == clean.count()
+
+    c_rows = [
+        (i, float(i % 7) if i % 5 else None, float(i % 3) if i % 4 else None)
+        for i in range(60)
+    ]
+    cdf = spark.createDataFrame(c_rows, "uid bigint, y double, x double")
+    cclean = cdf.filter("y is not null and x is not null")
+    ca = cuped_lift(cdf, "y", "x", ["uid"], seed="9").collect()[0]
+    cb = cuped_lift(cclean, "y", "x", ["uid"], seed="9").collect()[0]
+    assert ca == cb
+    assert ca.n_t + ca.n_c == cclean.count()
+
+    # key 1: values 9,10,11,10,100 (+ two NULLs that would otherwise
+    # sort first and steal the (n+1)//2 rank) -> median 10, mad 1,
+    # only the 100 flagged; NULL rows never appear in the output.
+    m_rows = [
+        (1, 1, 9.0), (1, 2, 10.0), (1, 3, 11.0), (1, 4, 10.0),
+        (1, 5, 100.0), (1, 6, None), (1, 7, None),
+    ]
+    mdf = spark.createDataFrame(
+        m_rows, "user_id bigint, event_id bigint, value double"
+    )
+    out = mad_outliers(mdf, threshold=3.0).collect()
+    assert [(r.event_id, r.median, r.mad) for r in out] == [(5, 10.0, 1.0)]

@@ -783,3 +783,34 @@ def test_merge_intervals_islands_and_gap(spark):
     plan = merge_intervals(df, by="k")._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_join_right_tiebreak_pins_duplicate_ts(spark):
+    """Duplicate right timestamps within a key: with right_tiebreak
+    the LARGEST tiebreak value wins in every direction (highest
+    version is the effective row) — run-to-run deterministic where
+    the (ts, side)-only order was not (ADVICE r7)."""
+    import datetime as dt
+
+    from pigout_spark.operators.joins import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(seconds=10), "L")],
+        "sym long, ts timestamp, tag string",
+    )
+    # three right rows at the SAME ts=5 (backward side) and three at
+    # ts=20 (forward side), distinguished only by version
+    right = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(seconds=5), v, float(v)) for v in (1, 3, 2)]
+        + [(1, t0 + dt.timedelta(seconds=20), v, float(v)) for v in (7, 9, 8)],
+        "sym long, ts timestamp, ver long, px double",
+    )
+    for direction, want_px in (("backward", 3.0), ("forward", 9.0),
+                               ("nearest", 3.0)):
+        out = asof_join(
+            left, right.drop("ver") if False else right,
+            by="sym", right_cols=["px"],
+            direction=direction, right_tiebreak="ver",
+        ).collect()
+        assert len(out) == 1 and out[0].px == want_px, direction
