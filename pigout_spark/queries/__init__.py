@@ -50,46 +50,50 @@ from pigout_spark.queries import udf_q  # noqa: F401,E402
 # (tools/selfcheck.py + tests/test_queries.py).  After r7 every
 # query registered AT r7 rotation time will have held a driver row.
 #
-# r8 rotation candidates (added later in r7, selfcheck-green but not
-# yet driver-checked): x_bigram_lm, x_fuzzy_join, x_transitions,
-# x_mad_outliers, x_bm25_topk, x_split_safe, x_asof_nearest, x_scd2,
-# x_quality_pctile, x_ab_lift, x_label_prop, x_ppr,
-# x_common_neighbors, x_hits, x_mmr, x_session_ngrams,
-# x_basket_rules, x_merge_intervals, x_cuped_lift, x_srm_check.
-_WINDOW_R7 = [
+# r8 rotation: the 20 late-r7 additions that were selfcheck-green but
+# never driver-checked take the open slots (computed from
+# CORRECTNESS_r01..r07 — exactly these 20 plus the two genuinely
+# rows-only entries had never held a hash row; the rows-only pair got
+# its weaker driver rows at r7 and rotates back to extras).  After r8
+# every query registered at r8 rotation time will have held a driver
+# CORRECTNESS row.  Anchors: the 19 r7 anchors stay, plus 10 r7-green
+# rows that keep otherwise-uncovered families driver-visible
+# (streaming dedup, as-of/range joins, hypertable rollup, KMV/q-digest
+# sketches, pagerank, sessionize, scale-safe rank, curate composite).
+_WINDOW_R8 = [
     "q01_group_agg",  # flagship
-    # never driver-checked before r7 — hash-checkable oracles
-    "q31_datetime_arith",
-    "q32_in_filter",
-    "x_attribution_last",
-    "x_attribution_linear",
-    "x_clustering_coef",
+    # never driver-checked before r8 — hash-checkable oracles
+    "x_bigram_lm",
+    "x_fuzzy_join",
+    "x_bm25_topk",
+    "x_split_safe",
+    "x_quality_pctile",
+    "x_ab_lift",
+    "x_cuped_lift",
+    "x_srm_check",
+    "x_label_prop",
+    "x_ppr",
+    "x_common_neighbors",
+    "x_hits",
+    "x_mmr",
+    "x_transitions",
+    "x_mad_outliers",
+    "x_scd2",
+    "x_session_ngrams",
+    "x_basket_rules",
+    "x_asof_nearest",
+    "x_merge_intervals",
+    # settled family anchors promoted this round (all r6/r7 green)
     "x_curate_e2e",
-    "x_dedup_incremental",
-    "x_ewma",
-    "x_funnel_counts",
-    "x_funnel_latency",
-    "x_gaps",
-    "x_histogram",
-    "x_kcore",
+    "x_stream_dedup",
+    "x_asof_join",
+    "x_range_join",
+    "x_rollup_timeseries",
     "x_kmv_jaccard",
-    "x_kmv_keyed",
-    "x_mm_decode",
-    "x_mm_frames",
     "x_qdigest_quantiles",
-    "x_qdigest_sketch",
-    "x_rfm",
-    "x_sample_weighted",
-    "x_shingle_overlap",
-    "x_sim_ivfq_topk",
-    "x_surprisal",
-    "x_text_rep_narrow",
-    "x_text_unigram",
-    "x_triangles",
-    "x_zorder_key",
-    # never driver-checked — genuinely rows-only (no SQL twin)
-    "x_sample_bernoulli",
-    "x_bpe_encode_trained",
+    "x_pagerank",
+    "x_sessionize",
+    "x_row_rank_two_pass",
     # settled anchors: one driver-green row per operator family
     "q02_filter_project",
     "q03_join_agg",
@@ -111,8 +115,8 @@ _WINDOW_R7 = [
     "mm_binary_meta",
     "x_latin_q01",
 ]
-assert len(_WINDOW_R7) == len(set(_WINDOW_R7)) == 50
-_window = set(_WINDOW_R7)
+assert len(_WINDOW_R8) == len(set(_WINDOW_R8)) == 50
+_window = set(_WINDOW_R8)
 for _k in list(REGISTRY):
     if _k not in _window:
         EXTRA_REGISTRY[_k] = REGISTRY.pop(_k)
@@ -124,7 +128,7 @@ assert not _missing, f"window names not registered anywhere: {_missing}"
 
 # Window order == list order (new-this-round rows right after the
 # flagship, settled anchors last).
-_ordered = {k: REGISTRY[k] for k in _WINDOW_R7}
+_ordered = {k: REGISTRY[k] for k in _WINDOW_R8}
 REGISTRY.clear()
 REGISTRY.update(_ordered)
 
