@@ -640,3 +640,169 @@ def hits(
             (F.col("__a").cast("double") / unit).alias("authority"),
         )
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: list,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 5,
+    directed: bool = True,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Multi-source BFS: the minimum HOP COUNT from the nearest source
+    to every node reachable within ``max_hops`` edges.  The reach/
+    influence primitive the graph family was missing (pagerank ranks,
+    k-core peels, LPA clusters — nothing measured distance).
+
+    ``sources`` is a driver-sized seed list by contract (a query's
+    seed set, compiled into the plan as literals — the pagerank
+    ``seeds`` discipline), NOT a relation.
+
+    Frontier form: only nodes FIRST reached in round i−1 propagate in
+    round i.  Exact for unweighted BFS (the first hop count that
+    reaches a node is its minimum), and the whole computation is
+    integer, so any engine replays it bit-for-bit.  A fixed
+    ``max_hops`` keeps it SQL-expressible: the oracle unrolls the same
+    rounds as CTEs; "distance within k hops" is well-defined whether
+    or not the frontier has emptied, so no convergence guard is
+    needed (the Bellman-Ford k-round contract, unlike k_core's
+    fixpoint guard).
+
+    Output: (node, hops) — sources at 0; unreachable-within-budget
+    nodes absent.
+
+    100 TB: the edge list shuffles ONCE onto the source key
+    (checkpointed); each round is one co-partitioned frontier⋈edges
+    join + one anti-join against the settled set, both on node-key
+    partitioning.  The frontier is the working set — on real graphs it
+    peaks and shrinks, so late rounds are cheap; the settled relation
+    grows monotonically and is localCheckpoint'ed every
+    ``checkpoint_every`` rounds (constant-depth lineage, the k_core
+    discipline).  The driver holds only the seed literals.
+    """
+    if not sources:
+        raise ValueError("bfs_distances: sources must be a non-empty list")
+    s, d = F.col(src).cast("bigint"), F.col(dst).cast("bigint")
+    e = edges.filter(s.isNotNull() & d.isNotNull()).select(
+        s.alias("__s"), d.alias("__d")
+    )
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("__d").alias("__s"), F.col("__s").alias("__d"))
+        )
+    e = e.distinct().localCheckpoint(eager=False)
+    spark = edges.sparkSession
+    seeds = spark.createDataFrame(
+        [(int(x),) for x in sources], "node bigint"
+    ).distinct()
+    # Seeds that never appear in the edge relation still belong in the
+    # output at hop 0 (they are trivially reachable from themselves).
+    settled = seeds.withColumn("hops", F.lit(0).cast("bigint"))
+    frontier = settled.select("node")
+    for i in range(1, int(max_hops) + 1):
+        reached = (
+            frontier.join(e, frontier.node == e.__s)
+            .select(F.col("__d").alias("node"))
+            .distinct()
+        )
+        newly = reached.join(settled, "node", "left_anti").withColumn(
+            "hops", F.lit(i).cast("bigint")
+        )
+        settled = settled.unionByName(newly)
+        frontier = newly.select("node")
+        if checkpoint_every and i % int(checkpoint_every) == 0:
+            settled = settled.localCheckpoint(eager=False)
+            frontier = frontier.localCheckpoint(eager=False)
+    return settled
+
+
+def shortest_paths(
+    edges: DataFrame,
+    sources: list,
+    src: str = "src",
+    dst: str = "dst",
+    weight_col: str | None = None,
+    iterations: int = 5,
+    directed: bool = True,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Fixed-iteration Bellman-Ford: the minimum WEIGHTED distance
+    from the nearest source to every node, over paths of at most
+    ``iterations`` edges.  The k-edge bound is the semantics, not an
+    approximation artifact — "cheapest route using ≤ k legs" is
+    well-defined and exactly SQL-replayable with k unrolled rounds
+    (run iterations ≥ diameter and it equals true SSSP).
+
+    Weights are POSITIVE INTEGERS (the pagerank weight contract —
+    latency ms, toll cents, count weights), enforced by a distributed
+    assert_true with int64 overflow headroom: path sums stay below
+    max_hops·10^5·|longest chain| « 2^63, and pure integer min/plus
+    arithmetic makes any engine bit-identical.  ``weight_col=None``
+    means unit weights (then this is BFS with distances == hops).
+
+    Output: (node, dist) — sources at 0; nodes unreachable within the
+    edge budget absent.
+
+    100 TB: classic relaxation — each round joins the CURRENT distance
+    relation to the once-shuffled, once-checkpointed edge list on the
+    source key (co-partitioned), takes the map-side-combinable min per
+    destination, and merges with a node-key groupBy.  Per round: one
+    exchange (the transpose onto dst), the pagerank shape.  The
+    distance relation is node-sized, checkpointed every
+    ``checkpoint_every`` rounds.  No driver-side state beyond seeds.
+    """
+    if not sources:
+        raise ValueError("shortest_paths: sources must be a non-empty list")
+    s, d = F.col(src).cast("bigint"), F.col(dst).cast("bigint")
+    w = (
+        F.col(weight_col).cast("bigint")
+        if weight_col is not None
+        else F.lit(1).cast("bigint")
+    )
+    e = edges.filter(s.isNotNull() & d.isNotNull()).select(
+        s.alias("__s"), d.alias("__d"), w.alias("__w")
+    )
+    if weight_col is not None:
+        # Same contract and mechanism as pagerank's weight guard: a
+        # non-positive or huge weight must fail loudly, and the check
+        # rides the existing distributed scan.
+        e = e.filter(
+            F.assert_true(
+                F.col("__w").between(1, 100_000),
+                F.lit(
+                    f"shortest_paths: {weight_col} must be an integer "
+                    "in [1, 1e5] (positive, with int64 path-sum headroom)"
+                ),
+            ).isNull()
+        )
+    if not directed:
+        e = e.unionByName(
+            e.select(
+                F.col("__d").alias("__s"),
+                F.col("__s").alias("__d"),
+                F.col("__w"),
+            )
+        )
+    e = e.localCheckpoint(eager=False)
+    spark = edges.sparkSession
+    dist = (
+        spark.createDataFrame([(int(x),) for x in sources], "node bigint")
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("bigint"))
+    )
+    for i in range(1, int(iterations) + 1):
+        relaxed = (
+            dist.join(e, dist.node == e.__s)
+            .groupBy(F.col("__d").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("__w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if checkpoint_every and i % int(checkpoint_every) == 0:
+            dist = dist.localCheckpoint(eager=False)
+    return dist

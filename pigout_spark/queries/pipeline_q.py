@@ -3914,3 +3914,132 @@ def x_mmr(spark, sf_dir):
     return out.select(
         "q_id", "rank", "neighbor_id", F.round("score", 6).alias("score")
     )
+
+
+def _bfs_sql(seeds: list, hops: int) -> str:
+    # min-propagation replay of the frontier BFS (equal values for
+    # unweighted graphs: a node's hop count == the min path length
+    # that reaches it within the budget) — pure integer, bit-exact
+    seed_vals = ", ".join(
+        f"(CAST({x} AS BIGINT), CAST(0 AS BIGINT))" for x in seeds
+    )
+    ctes = [
+        "p AS (SELECT l_orderkey, l_suppkey FROM lineitem"
+        " WHERE l_quantity > 45)",
+        "e AS (SELECT DISTINCT x.l_suppkey AS s, y.l_suppkey AS d"
+        " FROM p x JOIN p y ON x.l_orderkey = y.l_orderkey"
+        " AND x.l_suppkey <> y.l_suppkey)",
+        f"r0 AS (SELECT * FROM (VALUES {seed_vals}) t(node, hops))",
+    ]
+    for i in range(1, hops + 1):
+        ctes.append(
+            f"r{i} AS (SELECT node, MIN(h) AS hops FROM ("
+            f" SELECT node, hops AS h FROM r{i-1}"
+            f" UNION ALL SELECT e.d, r.hops + 1 FROM e"
+            f" JOIN r{i-1} r ON r.node = e.s) GROUP BY node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f" SELECT node, CAST(hops AS BIGINT) AS hops FROM r{hops}"
+    )
+
+
+@query("x_bfs_hops", _bfs_sql([1, 2], 3))
+def x_bfs_hops(spark, sf_dir):
+    """Multi-source BFS (seeds: suppliers 1, 2; budget 3 hops) over
+    the high-quantity supplier co-purchase graph — every reached
+    node's hop count hash-matched against a 3-round unrolled
+    min-propagation replay (pipeline/graph.py:bfs_distances; frontier
+    form on the Spark side, min-plus form in SQL — equal for
+    unweighted graphs, both pure integer)."""
+    from pigout_spark.pipeline.graph import bfs_distances
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45).select(
+        "l_orderkey", "l_suppkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+    ).select(
+        F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+    )
+    # edges already hold both directions (the <> self-join), so the
+    # operator runs directed=True on the symmetric relation
+    return bfs_distances(edges, sources=[1, 2], max_hops=3, directed=True)
+
+
+def _sssp_sql(seeds: list, iters: int) -> str:
+    # k-round Bellman-Ford replay: dist_i(v) = min(dist_{i-1}(v),
+    # min over edges (dist_{i-1}(u) + w)) — shortest path using at
+    # most k edges, exactly the operator's contract; integer weights
+    # make every engine bit-identical
+    seed_vals = ", ".join(
+        f"(CAST({x} AS BIGINT), CAST(0 AS BIGINT))" for x in seeds
+    )
+    ctes = [
+        "p AS (SELECT l_orderkey, l_suppkey,"
+        " CAST(l_quantity AS BIGINT) AS q FROM lineitem"
+        " WHERE l_quantity > 45)",
+        # undirected weighted graph: per unordered pair, the MIN of
+        # (|Δquantity| + 1) over co-purchase occurrences, emitted in
+        # both directions
+        "ew AS (SELECT x.l_suppkey AS a, y.l_suppkey AS b,"
+        " MIN(abs(x.q - y.q) + 1) AS w"
+        " FROM p x JOIN p y ON x.l_orderkey = y.l_orderkey"
+        " AND x.l_suppkey < y.l_suppkey GROUP BY x.l_suppkey, y.l_suppkey)",
+        "e AS (SELECT a AS s, b AS d, w FROM ew"
+        " UNION ALL SELECT b, a, w FROM ew)",
+        f"r0 AS (SELECT * FROM (VALUES {seed_vals}) t(node, dist))",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"r{i} AS (SELECT node, MIN(dd) AS dist FROM ("
+            f" SELECT node, dist AS dd FROM r{i-1}"
+            f" UNION ALL SELECT e.d, r.dist + e.w FROM e"
+            f" JOIN r{i-1} r ON r.node = e.s) GROUP BY node)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f" SELECT node, CAST(dist AS BIGINT) AS dist FROM r{iters}"
+    )
+
+
+@query("x_sssp", _sssp_sql([1], 4))
+def x_sssp(spark, sf_dir):
+    """Weighted single-source shortest paths (seed: supplier 1, ≤4
+    edges) over the supplier co-purchase graph with |Δquantity|+1
+    edge weights — every settled node's distance hash-matched against
+    a 4-round unrolled Bellman-Ford replay
+    (pipeline/graph.py:shortest_paths; the k-edge budget IS the
+    contract, so no convergence guard is needed)."""
+    from pigout_spark.pipeline.graph import shortest_paths
+
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.col("l_quantity").cast("bigint").alias("q"),
+        )
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+        .agg(
+            F.min(F.abs(F.col("a.q") - F.col("b.q")) + F.lit(1)).alias("w")
+        )
+    )
+    return shortest_paths(
+        edges, sources=[1], weight_col="w", iterations=4, directed=False
+    )

@@ -2746,3 +2746,87 @@ def test_curate_cli_splitsafe_stage(tmp_path):
         f"SELECT COUNT(*), COUNT(DISTINCT split) FROM read_parquet('{out_dir}/*.parquet')"
     ).fetchone()
     assert got[0] > 0 and got[1] >= 2
+
+
+def test_bfs_distances_hand_graph(spark):
+    """Path 1→2→3→4 plus a shortcut 1→3 and an unreachable island 9→10:
+    hop counts follow the SHORTEST route, the island never appears,
+    and the hop budget truncates the frontier."""
+    from pigout_spark.pipeline.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3), (9, 10)], "src long, dst long"
+    )
+    got = {r.node: r.hops for r in bfs_distances(edges, [1], max_hops=5).collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2}
+    capped = {
+        r.node: r.hops for r in bfs_distances(edges, [1], max_hops=1).collect()
+    }
+    assert capped == {1: 0, 2: 1, 3: 1}
+
+
+def test_bfs_distances_multi_source_and_undirected(spark):
+    from pigout_spark.pipeline.graph import bfs_distances
+
+    edges = spark.createDataFrame([(1, 2), (3, 2)], "src long, dst long")
+    # directed: node 2 is 1 hop from either seed; seeds stay 0 even
+    # when one (7) never appears in the edge relation
+    got = {
+        r.node: r.hops
+        for r in bfs_distances(edges, [1, 3, 7], max_hops=2).collect()
+    }
+    assert got == {1: 0, 3: 0, 7: 0, 2: 1}
+    # undirected from 1: 2 at 1 hop, 3 at 2 hops (through 2)
+    und = {
+        r.node: r.hops
+        for r in bfs_distances(edges, [1], max_hops=3, directed=False).collect()
+    }
+    assert und == {1: 0, 2: 1, 3: 2}
+
+
+def test_shortest_paths_prefers_cheap_long_route(spark):
+    """1→3 direct costs 10; 1→2→3 costs 2+3=5 — Bellman-Ford must pick
+    the two-edge route once the iteration budget allows it, and report
+    the one-edge cost when it does not."""
+    from pigout_spark.pipeline.graph import shortest_paths
+
+    edges = spark.createDataFrame(
+        [(1, 3, 10), (1, 2, 2), (2, 3, 3)], "src long, dst long, w long"
+    )
+    one = {
+        r.node: r.dist
+        for r in shortest_paths(edges, [1], weight_col="w", iterations=1).collect()
+    }
+    assert one == {1: 0, 2: 2, 3: 10}
+    two = {
+        r.node: r.dist
+        for r in shortest_paths(edges, [1], weight_col="w", iterations=2).collect()
+    }
+    assert two == {1: 0, 2: 2, 3: 5}
+
+
+def test_shortest_paths_unit_weights_equal_bfs(spark):
+    from pigout_spark.pipeline.graph import bfs_distances, shortest_paths
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)] + [(0, 3)], "src long, dst long"
+    )
+    hops = {
+        r.node: r.hops for r in bfs_distances(edges, [0], max_hops=6).collect()
+    }
+    dist = {
+        r.node: r.dist
+        for r in shortest_paths(edges, [0], iterations=6).collect()
+    }
+    assert hops == dist
+
+
+def test_shortest_paths_rejects_bad_weights(spark):
+    import pytest as _pytest
+    from pigout_spark.pipeline.graph import shortest_paths
+
+    edges = spark.createDataFrame([(1, 2, 0)], "src long, dst long, w long")
+    with _pytest.raises(Exception, match="must be an integer"):
+        shortest_paths(edges, [1], weight_col="w", iterations=1).collect()
+    with _pytest.raises(ValueError):
+        shortest_paths(edges, [], iterations=1)
