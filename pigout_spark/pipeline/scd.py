@@ -70,3 +70,98 @@ def scd2_snapshot(history: DataFrame, at_ts, ts_fmt: bool = True) -> DataFrame:
         (F.col("valid_from") <= at)
         & (F.col("valid_to").isNull() | (at < F.col("valid_to")))
     ).drop("is_current")
+
+
+def compact_changelog(
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    op_col: str = "op",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Collapse a CDC change log to its LATEST entry per key — the
+    universal pre-merge step (Debezium-style I/U/D streams, warehouse
+    staging tables).  One row per key survives: max (ts, seq).
+
+    Determinism: events order by (``ts_col``, ``seq_col``) descending.
+    When ``seq_col`` is None, duplicate (key, ts) pairs would make the
+    winner partition-order-dependent, so the op FAILS LOUDLY on them
+    (a distributed assert_true riding the same window partitioning —
+    no extra pass) instead of silently picking one.  Pass the log
+    sequence number / offset column when same-instant changes are
+    legal.
+
+    Output: the change schema unchanged, one row per key.
+
+    100 TB: ONE exchange onto the key columns; row_number + the
+    duplicate guard share it.  No join, no collect.
+    """
+    if not key_cols:
+        raise ValueError("compact_changelog needs at least one key column")
+    order = [F.col(ts_col).desc()] + (
+        [F.col(seq_col).desc()] if seq_col else []
+    )
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    out = changes.withColumn("__rn", F.row_number().over(w))
+    if seq_col is None:
+        dup = F.count(F.lit(1)).over(
+            Window.partitionBy(*key_cols, ts_col)
+        )
+        out = out.withColumn(
+            "__dupck",
+            F.assert_true(
+                dup == 1,
+                F.lit(
+                    "compact_changelog: duplicate (key, ts) change rows — "
+                    "pass seq_col to define the winner deterministically"
+                ),
+            ),
+        ).filter(F.col("__dupck").isNull())
+    return out.filter(F.col("__rn") == 1).drop("__rn", "__dupck")
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    op_col: str = "op",
+    seq_col: str | None = None,
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a CDC change log to a base snapshot (the batch MERGE:
+    upsert + delete), producing the next snapshot.
+
+    Contract: ``changes`` carries the base schema plus ``op_col``,
+    ``ts_col`` (and optionally ``seq_col``).  The log is first
+    compacted to its latest entry per key (:func:`compact_changelog`
+    — same determinism contract); then keys whose final op is
+    ``delete_op`` vanish, every other touched key takes its newest
+    payload, and untouched base rows pass through.  Op values other
+    than ``delete_op`` are all upserts (insert-or-replace) — I vs U
+    need not be distinguished for snapshot semantics.
+
+    Output: exactly the base schema.
+
+    100 TB: the change log shuffles once onto the key; the base is
+    touched by ONE left-anti join on the same key (AQE broadcasts the
+    compacted key set when the log is small — the common case, a
+    day's changes against years of snapshot; for co-partitioned
+    bucketed tables the anti-join is zero-shuffle).  No base rewrite
+    beyond the touched keys' rows; no driver-side state.
+    """
+    extra = {op_col, ts_col} | ({seq_col} if seq_col else set())
+    missing = [c for c in list(base.columns) + sorted(extra)
+               if c not in changes.columns]
+    if missing:
+        raise ValueError(f"apply_cdc: changes missing columns {missing}")
+    latest = compact_changelog(
+        changes, key_cols, ts_col=ts_col, op_col=op_col, seq_col=seq_col
+    )
+    survivors = latest.filter(F.col(op_col) != F.lit(delete_op)).select(
+        *base.columns
+    )
+    untouched = base.join(
+        latest.select(*key_cols), key_cols, "left_anti"
+    )
+    return untouched.unionByName(survivors)

@@ -819,3 +819,59 @@ def x_srm_check(spark, sf_dir):
 
     users = t(spark, sf_dir, "events").select("user_id").distinct()
     return srm_check(users, ["user_id"], treat_frac=0.5, seed="7")
+
+
+@query(
+    "x_apply_cdc",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS p FROM orders
+    ), ch AS (
+      SELECT k, c, p + 1000 AS p, 'U' AS op, CAST(1 AS BIGINT) AS ts
+      FROM base WHERE k % 7 = 0
+      UNION ALL
+      SELECT k, c, p, 'D', CAST(2 AS BIGINT) FROM base WHERE k % 11 = 0
+      UNION ALL
+      SELECT k + 1000000000, c, p, 'I', CAST(1 AS BIGINT)
+      FROM base WHERE k % 13 = 0
+    ), latest AS (
+      SELECT * FROM ch
+      QUALIFY row_number() OVER (PARTITION BY k ORDER BY ts DESC) = 1
+    )
+    SELECT k AS o_orderkey, c AS o_custkey, p AS o_totalprice
+    FROM base WHERE k NOT IN (SELECT k FROM latest)
+    UNION ALL
+    SELECT k, c, p FROM latest WHERE op <> 'D'
+    """,
+)
+def x_apply_cdc(spark, sf_dir):
+    """Batch CDC MERGE over the orders snapshot: a derived change log
+    (every 7th key updated at ts 1, every 11th deleted at ts 2, every
+    13th re-inserted under an offset key) compacted to its latest
+    entry per key and applied — upserts replace, deletes vanish,
+    untouched rows pass through (pipeline/scd.py:apply_cdc /
+    compact_changelog).  Keys divisible by both 7 and 11 exercise the
+    compaction: the ts-2 delete must beat the ts-1 update."""
+    from pigout_spark.pipeline.scd import apply_cdc
+
+    base = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), F.col("o_custkey"), F.col("o_totalprice")
+    )
+    k = F.col("o_orderkey")
+    u = (
+        base.filter(k % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000)
+        .withColumn("op", F.lit("U"))
+        .withColumn("ts", F.lit(1).cast("bigint"))
+    )
+    d = base.filter(k % 11 == 0).withColumn("op", F.lit("D")).withColumn(
+        "ts", F.lit(2).cast("bigint")
+    )
+    ins = (
+        base.filter(k % 13 == 0)
+        .withColumn("o_orderkey", k + 1_000_000_000)
+        .withColumn("op", F.lit("I"))
+        .withColumn("ts", F.lit(1).cast("bigint"))
+    )
+    changes = u.unionByName(d).unionByName(ins)
+    return apply_cdc(base, changes, ["o_orderkey"], ts_col="ts", op_col="op")

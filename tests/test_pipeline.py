@@ -2830,3 +2830,48 @@ def test_shortest_paths_rejects_bad_weights(spark):
         shortest_paths(edges, [1], weight_col="w", iterations=1).collect()
     with _pytest.raises(ValueError):
         shortest_paths(edges, [], iterations=1)
+
+
+def test_apply_cdc_merge_semantics(spark):
+    """Upsert replaces, delete removes, insert adds, untouched rows
+    pass through — and compaction makes the LAST op per key win."""
+    from pigout_spark.pipeline.scd import apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", "U", 10),     # update 2
+            (3, "x", "U", 10),      # update 3 ...
+            (3, "dead", "D", 20),   # ... then delete it (compaction)
+            (4, "d", "I", 10),      # insert 4
+            (5, "e", "I", 10),      # insert 5 ...
+            (5, "e2", "U", 20),     # ... then update it
+        ],
+        "k long, v string, op string, ts long",
+    )
+    got = {r.k: r.v for r in apply_cdc(base, changes, ["k"]).collect()}
+    assert got == {1: "a", 2: "b2", 4: "d", 5: "e2"}
+
+
+def test_compact_changelog_duplicate_ts_guard(spark):
+    """Duplicate (key, ts) without a seq column fails loudly; with a
+    seq column the higher sequence wins deterministically."""
+    import pytest as _pytest
+    from pigout_spark.pipeline.scd import apply_cdc, compact_changelog
+
+    dup = spark.createDataFrame(
+        [(1, "a", "U", 10, 1), (1, "b", "U", 10, 2)],
+        "k long, v string, op string, ts long, seq long",
+    )
+    with _pytest.raises(Exception, match="duplicate"):
+        compact_changelog(dup.drop("seq"), ["k"]).collect()
+    win = compact_changelog(dup, ["k"], seq_col="seq").collect()
+    assert [(r.k, r.v) for r in win] == [(1, "b")]
+
+    base = spark.createDataFrame([(9, "z")], "k long, v string")
+    out = apply_cdc(base, dup, ["k"], seq_col="seq").collect()
+    assert {r.k: r.v for r in out} == {9: "z", 1: "b"}
+    with _pytest.raises(ValueError, match="missing columns"):
+        apply_cdc(base, dup.drop("op"), ["k"])
