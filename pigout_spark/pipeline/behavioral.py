@@ -1009,3 +1009,87 @@ def srm_check(
         chi2.alias("chi2"),
         (chi2 > F.lit(float(chi2_critical))).alias("srm_suspected"),
     )
+
+
+def trend_fit(
+    df: DataFrame,
+    key_cols: list[str],
+    x_col: str,
+    y_col: str,
+    term_scale: int = 8,
+) -> DataFrame:
+    """Per-key ordinary-least-squares trend: slope, intercept and r²
+    of y over x for every key — the "is this metric drifting" primitive
+    (spend per customer over time, latency per endpoint over builds).
+
+    Pure moment algebra on decimal-exact component sums (the
+    :func:`cuped_lift` discipline): each row term is cast to DECIMAL
+    at scale 8 (exact for few-decimal inputs), summed exactly, and the
+    closed forms
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        intercept = (Σy − slope·Σx) / n
+        r² = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)·(n·Σy² − (Σy)²))
+
+    run as ONE fixed IEEE double chain — bit-identical in any engine
+    PROVIDED the decimal sums convert to double identically.  Two
+    traps, both found by the oracle hash: (1) fractional doubles big
+    enough that 1 ulp exceeds the term scale hit the engines'
+    double→decimal conversion divergence (Spark rounds the shortest
+    decimal repr, DuckDB the true binary expansion); (2) a POSITIVE
+    ``term_scale`` makes DuckDB's decimal→double cast double-round —
+    it converts the int128 ·10^scale payload to double FIRST, then
+    divides — while Spark converts the decimal value directly, so
+    sums past 2^53/10^scale drift at the last ulp.  The hash-exact
+    recipe: INTEGERIZED metrics (cents, days, counts — the
+    time_weighted_avg discipline) with ``term_scale=0`` (scale-0 sums
+    make the cast a single rounding in both engines); keep x·y, x²,
+    y² under 2^53.  Fractional metrics stay correct at the default
+    scale 8, just not cross-engine bit-identical at every magnitude.
+    Rows with a NULL x or y are EXCLUDED from every sum and from n
+    (the r8 NULL discipline).  Degenerate keys come back NULL, not
+    crashed: zero x-variance (n=1, or all x equal) nulls slope/
+    intercept/r² via the zero-denominator guard; zero y-variance
+    nulls r² only (slope 0 is still meaningful).
+
+    Output: (*key_cols, n, slope, intercept, r2).
+
+    100 TB: ONE map-side-combinable groupBy on the key columns — six
+    partial sums, no window, no join, no second pass.
+    """
+    if not key_cols:
+        raise ValueError("trend_fit needs at least one key column")
+    x, y = F.col(x_col), F.col(y_col)
+    d = df.filter(x.isNotNull() & y.isNotNull())
+    ts = int(term_scale)
+
+    def dsum(expr, prec):
+        return F.sum(expr.cast(prec)).cast("double")
+
+    lin, quad = f"decimal({24 + ts},{ts})", f"decimal({30 + min(ts, 8)},{ts})"
+    s = d.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(x, lin).alias("__sx"),
+        dsum(y, lin).alias("__sy"),
+        dsum(x * x, quad).alias("__sxx"),
+        dsum(x * y, quad).alias("__sxy"),
+        dsum(y * y, quad).alias("__syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("__sx"), F.col("__sy")
+    sxx, sxy, syy = F.col("__sxx"), F.col("__sxy"), F.col("__syy")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = F.when(var_x != 0, cov_n / var_x)
+    intercept = (sy - slope * sx) / n
+    r2 = F.when(
+        (var_x != 0) & (var_y != 0), (cov_n * cov_n) / (var_x * var_y)
+    )
+    return s.select(
+        *key_cols,
+        n,
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )

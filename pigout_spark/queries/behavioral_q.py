@@ -875,3 +875,63 @@ def x_apply_cdc(spark, sf_dir):
     )
     changes = u.unionByName(d).unionByName(ins)
     return apply_cdc(base, changes, ["o_orderkey"], ts_col="ts", op_col="op")
+
+
+@query(
+    "x_trend_fit",
+    """
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', TIMESTAMP '1992-01-01 00:00:00',
+                            o_orderdate) AS DOUBLE) AS x,
+             CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE) AS y
+      FROM orders
+      WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+    ), s AS (
+      SELECT o_custkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(24,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(24,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(30,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x * y AS DECIMAL(30,0))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(y * y AS DECIMAL(30,0))) AS DOUBLE) AS syy
+      FROM o GROUP BY o_custkey
+    )
+    SELECT o_custkey, n,
+           CASE WHEN n * sxx - sx * sx <> 0
+                THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+           (sy - (CASE WHEN n * sxx - sx * sx <> 0
+                       THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END)
+                 * sx) / n AS intercept,
+           CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
+                THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                     / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END AS r2
+    FROM s
+    """,
+)
+def x_trend_fit(spark, sf_dir):
+    """Per-customer OLS spend trend: slope/intercept/r² of order total
+    (in CENTS — integerized, term_scale=0: every moment term is an
+    exact integer double and scale-0 sums make the decimal→double
+    cast a single rounding in both engines; see trend_fit's trap
+    notes) over
+    order day (pipeline/behavioral.py:trend_fit) — raw doubles
+    hash-matched because both engines run the identical closed-form
+    IEEE chain over decimal-exact moment sums (the cuped_lift
+    discipline).  Single-order customers exercise the
+    zero-variance NULL guards."""
+    from pigout_spark.pipeline.behavioral import trend_fit
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(
+            "o_orderdate", F.lit("1992-01-01 00:00:00").cast("timestamp_ntz")
+        )
+        .cast("double")
+        .alias("x"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .cast("double")
+        .alias("y"),
+    )
+    return trend_fit(o, ["o_custkey"], "x", "y", term_scale=0)

@@ -733,3 +733,34 @@ def test_experiment_family_null_discipline(spark):
     )
     out = mad_outliers(mdf, threshold=3.0).collect()
     assert [(r.event_id, r.median, r.mad) for r in out] == [(5, 10.0, 1.0)]
+
+
+def test_trend_fit_matches_numpy_and_guards(spark):
+    import numpy as np
+    from pigout_spark.pipeline.behavioral import trend_fit
+
+    xs = [0.0, 1.0, 2.0, 3.0, 4.0]
+    ys = [3.0, 5.0, 7.0, 9.0, 11.0]          # exact line: slope 2, icpt 3
+    noisy = [1.0, 2.0, 2.0, 5.0, 4.0]
+    rows = (
+        [("line", x, y) for x, y in zip(xs, ys)]
+        + [("noisy", x, y) for x, y in zip(xs, noisy)]
+        + [("single", 1.0, 7.0)]              # zero x-variance
+        + [("flat", 1.0, 4.0), ("flat", 2.0, 4.0)]  # zero y-variance
+        + [("line", None, 99.0), ("line", 9.0, None)]  # NULLs excluded
+    )
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    got = {r.k: r for r in trend_fit(df, ["k"], "x", "y").collect()}
+
+    assert got["line"].n == 5
+    assert got["line"].slope == 2.0 and got["line"].intercept == 3.0
+    assert got["line"].r2 == 1.0
+
+    co = np.polyfit(xs, noisy, 1)
+    assert abs(got["noisy"].slope - co[0]) < 1e-12
+    assert abs(got["noisy"].intercept - co[1]) < 1e-12
+    r = np.corrcoef(xs, noisy)[0, 1]
+    assert abs(got["noisy"].r2 - r * r) < 1e-12
+
+    assert got["single"].slope is None and got["single"].r2 is None
+    assert got["flat"].slope == 0.0 and got["flat"].r2 is None
