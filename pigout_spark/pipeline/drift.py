@@ -1,0 +1,166 @@
+"""Distribution-drift monitoring: PSI and the two-sample KS statistic
+over a shared equi-width binning — the production-ML "did my feature /
+score distribution move" gate (training-vs-serving skew, week-over-week
+corpus shift, A/A sanity).
+
+Spark-first: each side contributes ONE map-side-combinable groupBy onto
+the bin id (the histogram() bin chain — floor of one IEEE division by a
+shared literal, bit-identical across engines).  Everything after the
+two groupBys operates on the K-row bin relation, which is bounded by
+the ``bins`` parameter (driver-sized by contract) — the one place a
+single-partition ordered window is legitimate, because it sorts K rows,
+not data.
+
+Determinism (oracle-hash discipline): bin counts are exact integers;
+proportions are single IEEE divisions; PSI contributions pass through
+``ln`` and therefore ROUND to 6 decimals with signed-zero
+normalization before any sum (the vocab_kl/PMI libm discipline,
+FIXTURES.md) — engines' ln implementations agree far beyond 6 decimals
+but are not guaranteed bit-identical.  The KS statistic needs no
+rounding: it is a max of |differences of count ratios|, ln-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _bin_counts(
+    df: DataFrame, value_col: str, bins: int, lo: float, hi: float
+) -> DataFrame:
+    """Clamped equi-width bin counts: (bin, n).  NULL values are
+    excluded (a NULL is not a drifted value; callers comparing NULL
+    RATES should profile those separately).  Identical bin arithmetic
+    to behavioral.histogram so oracles can share the chain."""
+    width = (float(hi) - float(lo)) / int(bins)
+    v = F.col(value_col)
+    b = F.least(
+        F.lit(int(bins) - 1),
+        F.greatest(
+            F.lit(0), F.floor((v - F.lit(float(lo))) / F.lit(width))
+        ),
+    ).cast("bigint")
+    return (
+        df.filter(v.isNotNull())
+        .select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _joined_bins(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    bins: int,
+    lo: float,
+    hi: float,
+) -> DataFrame:
+    """Full outer bin join with zero-fill plus the two side totals as
+    broadcast-sized scalars (cross join against a 1-row relation)."""
+    r = _bin_counts(ref, value_col, bins, lo, hi).withColumnRenamed(
+        "n", "n_ref"
+    )
+    c = _bin_counts(cur, value_col, bins, lo, hi).withColumnRenamed(
+        "n", "n_cur"
+    )
+    j = (
+        r.join(c, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = j.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    return j.crossJoin(F.broadcast(tot))
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    bins: int = 20,
+    lo: float = 0.0,
+    hi: float = 100.0,
+    min_prop: float = 1e-4,
+) -> DataFrame:
+    """Population Stability Index contributions per bin:
+
+        contrib(b) = (p_cur(b) − p_ref(b)) · ln(p_cur(b) / p_ref(b))
+
+    with both proportions clamped below at ``min_prop`` (the standard
+    empty-bin smoothing — PSI is +∞ on a truly vanished bin
+    otherwise; the clamp makes "bin emptied out" a large finite
+    signal).  Rule of thumb: total PSI < 0.1 stable, 0.1–0.25 drifting,
+    > 0.25 shifted — sum the contributions (they are exact 6-decimal
+    values; a DECIMAL(20,6) sum stays exact).
+
+    Output: (bin, n_ref, n_cur, psi6) — contribution rounded to 6
+    decimals, signed zero normalized (the ln discipline above).
+
+    100 TB: two map-side-combined groupBys (one per side), then
+    K-row-relation arithmetic.  Nothing else touches the data.
+    """
+    j = _joined_bins(ref, cur, value_col, bins, lo, hi)
+    p_ref = F.greatest(
+        F.col("n_ref") / F.col("t_ref"), F.lit(float(min_prop))
+    )
+    p_cur = F.greatest(
+        F.col("n_cur") / F.col("t_cur"), F.lit(float(min_prop))
+    )
+    contrib = F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6) + F.lit(
+        0.0
+    )
+    return j.select(
+        "bin", "n_ref", "n_cur", contrib.alias("psi6")
+    )
+
+
+def ks_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    bins: int = 100,
+    lo: float = 0.0,
+    hi: float = 100.0,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic over the binned
+    empirical CDFs: D = max over bin boundaries of
+    |ECDF_ref − ECDF_cur|.  Exact for the DISCRETIZED distributions
+    (raise ``bins`` to tighten; for genuinely discrete scores one bin
+    per value makes it the exact KS).  No ln, no rounding needed: D
+    is a max of |differences of single-division count ratios| — one
+    fixed IEEE chain per bin.
+
+    Output: ONE row (d_stat, at_bin) — at_bin is the smallest bin
+    boundary achieving the max (deterministic argmax).
+
+    100 TB: the two groupBys see the data; the cumulative sums run on
+    the K-row bin relation (single-partition window over ``bins``
+    rows — bounded by contract, not by data).
+    """
+    j = _joined_bins(ref, cur, value_col, bins, lo, hi)
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ecdf = j.select(
+        "bin",
+        (F.sum("n_ref").over(w) / F.col("t_ref")).alias("__er"),
+        (F.sum("n_cur").over(w) / F.col("t_cur")).alias("__ec"),
+    ).select(
+        "bin", F.abs(F.col("__er") - F.col("__ec")).alias("__d")
+    )
+    # single agg: max over (d, -bin) structs == max d, smallest bin on
+    # ties — deterministic argmax without a second pass
+    return ecdf.agg(
+        F.max(
+            F.struct(F.col("__d").alias("d"), (-F.col("bin")).alias("nb"))
+        ).alias("m")
+    ).select(
+        F.col("m.d").alias("d_stat"),
+        (-F.col("m.nb")).cast("bigint").alias("at_bin"),
+    )

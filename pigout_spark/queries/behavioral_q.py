@@ -935,3 +935,92 @@ def x_trend_fit(spark, sf_dir):
         .alias("y"),
     )
     return trend_fit(o, ["o_custkey"], "x", "y", term_scale=0)
+
+
+_DRIFT_BINS = """
+    r AS (
+      SELECT LEAST(19, GREATEST(0, CAST(floor((value - 0.0) / 5.0) AS BIGINT)))
+             AS bin
+      FROM events WHERE value IS NOT NULL AND event_type = 'view'
+    ), c AS (
+      SELECT LEAST(19, GREATEST(0, CAST(floor((value - 0.0) / 5.0) AS BIGINT)))
+             AS bin
+      FROM events WHERE value IS NOT NULL AND event_type = 'purchase'
+    ), rb AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_ref FROM r GROUP BY bin
+    ), cb AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_cur FROM c GROUP BY bin
+    ), j AS (
+      SELECT coalesce(rb.bin, cb.bin) AS bin,
+             coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+      FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin
+    ), t AS (
+      SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
+             CAST(SUM(n_cur) AS BIGINT) AS tc FROM j
+    )
+"""
+
+
+@query(
+    "x_psi_drift",
+    "WITH "
+    + _DRIFT_BINS
+    + """
+    SELECT bin, n_ref, n_cur,
+           ROUND((GREATEST(n_cur / tc, 1e-4) - GREATEST(n_ref / tr, 1e-4))
+                 * ln(GREATEST(n_cur / tc, 1e-4)
+                      / GREATEST(n_ref / tr, 1e-4)), 6) + 0.0 AS psi6
+    FROM j, t
+    """,
+)
+def x_psi_drift(spark, sf_dir):
+    """Population Stability Index, view-values vs purchase-values over
+    the x_histogram binning (pipeline/drift.py:psi_drift) — per-bin
+    contributions ROUND-6 + signed-zero normalized (the vocab_kl ln
+    discipline), counts exact integers, proportions single IEEE
+    divisions."""
+    from pigout_spark.pipeline.drift import psi_drift
+
+    ev = t(spark, sf_dir, "events")
+    return psi_drift(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "value",
+        bins=20,
+        lo=0.0,
+        hi=100.0,
+        min_prop=1e-4,
+    )
+
+
+@query(
+    "x_ks_drift",
+    "WITH "
+    + _DRIFT_BINS
+    + """
+    , e AS (
+      SELECT bin,
+             abs(SUM(n_ref) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) / tr
+               - SUM(n_cur) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) / tc)
+             AS d
+      FROM j, t
+    )
+    SELECT d AS d_stat, bin AS at_bin FROM e ORDER BY d DESC, bin LIMIT 1
+    """,
+)
+def x_ks_drift(spark, sf_dir):
+    """Two-sample KS statistic over the binned ECDFs of view vs
+    purchase event values (pipeline/drift.py:ks_drift) — ln-free, so
+    the raw double D hash-matches; at_bin pins the deterministic
+    smallest-bin argmax."""
+    from pigout_spark.pipeline.drift import ks_drift
+
+    ev = t(spark, sf_dir, "events")
+    return ks_drift(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "value",
+        bins=20,
+        lo=0.0,
+        hi=100.0,
+    )

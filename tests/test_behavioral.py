@@ -764,3 +764,37 @@ def test_trend_fit_matches_numpy_and_guards(spark):
 
     assert got["single"].slope is None and got["single"].r2 is None
     assert got["flat"].slope == 0.0 and got["flat"].r2 is None
+
+
+def test_psi_drift_identical_and_shifted(spark):
+    """Identical populations → every contribution 0 (and exactly +0.0,
+    the signed-zero discipline); a hard shift → large positive total;
+    an emptied bin hits the min_prop clamp, not infinity."""
+    from pigout_spark.pipeline.drift import psi_drift
+
+    a = spark.createDataFrame([(float(i % 10),) for i in range(1000)], "v double")
+    same = psi_drift(a, a, "v", bins=10, lo=0.0, hi=10.0).collect()
+    assert all(r.psi6 == 0.0 and str(r.psi6) != "-0.0" for r in same)
+    assert {r.bin for r in same} == set(range(10))
+
+    b = spark.createDataFrame(
+        [(float(5 + i % 5),) for i in range(1000)], "v double"
+    )
+    shifted = psi_drift(a, b, "v", bins=10, lo=0.0, hi=10.0).collect()
+    total = sum(r.psi6 for r in shifted)
+    assert total > 0.25  # "shifted" by any PSI rule of thumb
+    emptied = [r for r in shifted if r.n_cur == 0]
+    assert emptied and all(r.psi6 > 0 for r in emptied)  # clamped, finite
+
+
+def test_ks_drift_exact_on_disjoint_and_zero_on_equal(spark):
+    from pigout_spark.pipeline.drift import ks_drift
+
+    a = spark.createDataFrame([(float(i % 5),) for i in range(500)], "v double")
+    b = spark.createDataFrame(
+        [(float(5 + i % 5),) for i in range(500)], "v double"
+    )
+    r = ks_drift(a, b, "v", bins=10, lo=0.0, hi=10.0).collect()[0]
+    assert r.d_stat == 1.0 and r.at_bin == 4  # disjoint supports
+    same = ks_drift(a, a, "v", bins=10, lo=0.0, hi=10.0).collect()[0]
+    assert same.d_stat == 0.0 and same.at_bin == 0
