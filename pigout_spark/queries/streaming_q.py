@@ -777,3 +777,73 @@ def x_merge_intervals(spark, sf_dir):
         F.unix_timestamp("iv_end").alias("end_s"),
         "n_merged",
     )
+
+
+@query(
+    "x_seasonal",
+    """
+    WITH daily AS (
+      SELECT CAST(date_diff('day', TIMESTAMP '1992-01-01 00:00:00',
+                            o_orderdate) AS BIGINT) AS idx,
+             CAST(COUNT(*) AS DOUBLE) AS v
+      FROM orders GROUP BY 1
+    ), b AS (
+      SELECT 'all' AS k, idx, v,
+             SUM(CAST(v AS DECIMAL(24,8))) OVER w7 AS wsum,
+             COUNT(CAST(v AS DECIMAL(24,8))) OVER w7 AS cnt,
+             idx % 7 AS phase
+      FROM daily
+      WINDOW w7 AS (ORDER BY idx ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), c AS (
+      SELECT *, CASE WHEN cnt = 7 THEN wsum * 2 END AS t2 FROM b
+    ), ph AS (
+      SELECT k, phase,
+             SUM(CAST(v AS DECIMAL(24,8)) * 14 - t2) AS s2,
+             COUNT(*) AS n
+      FROM c WHERE t2 IS NOT NULL GROUP BY k, phase
+    ), ph6 AS (
+      SELECT k, phase,
+             ROUND(CAST(s2 AS DOUBLE) / (n * 14.0), 6) + 0.0 AS seas6
+      FROM ph
+    ), ctr AS (
+      SELECT k, CAST(SUM(CAST(seas6 AS DECIMAL(20,6))) AS DOUBLE)
+                / COUNT(*) AS m
+      FROM ph6 GROUP BY k
+    ), phc AS (
+      SELECT ph6.k, phase, ROUND(seas6 - m, 6) + 0.0 AS sc6
+      FROM ph6 JOIN ctr ON ph6.k = ctr.k
+    )
+    SELECT c.k, c.idx, c.v AS value,
+           CAST(c.t2 AS DOUBLE) / 14.0 AS trend,
+           phc.sc6 AS seasonal,
+           c.v - CAST(c.t2 AS DOUBLE) / 14.0 - phc.sc6 AS resid
+    FROM c LEFT JOIN phc ON c.k = phc.k AND c.phase = phc.phase
+    """,
+)
+def x_seasonal(spark, sf_dir):
+    """Weekly seasonal decomposition of the daily order-count series
+    (streaming/windows.py:seasonal_decompose, odd period 7): trend /
+    seasonal / residual per day, hash-matched against the full SQL
+    replay — exact-decimal trend numerators (T2 = 2·Σwindow), exact
+    detrended phase sums (D2 = 14·v − T2), ROUND-6 phase means, one
+    IEEE division per emitted double."""
+    from pigout_spark.queries.registry import t as _t
+    from pigout_spark.streaming.windows import seasonal_decompose
+
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(
+                "o_orderdate",
+                F.lit("1992-01-01 00:00:00").cast("timestamp_ntz"),
+            )
+            .cast("bigint")
+            .alias("idx")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("v"))
+        .select(F.lit("all").alias("k"), "idx", "v")
+    )
+    out = seasonal_decompose(daily, ["k"], "idx", "v", 7)
+    return out.select(
+        "k", "idx", "value", "trend", "seasonal", "resid"
+    )

@@ -586,3 +586,109 @@ def ewma_events(
 
     cols = [key, ts_col, val_col] + ([tiebreak] if tiebreak else [])
     return df.select(*cols).groupBy(key).applyInPandas(fn, out_schema)
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key_cols: list[str],
+    idx_col: str,
+    value_col: str,
+    period: int,
+) -> DataFrame:
+    """Classical additive seasonal decomposition per key:
+    value = trend + seasonal + resid over a REGULARLY-SPACED series
+    (``idx_col`` an integer tick index, consecutive per key — run
+    resample_events / interpolate_events first if the raw data has
+    gaps; the math assumes adjacent rows are adjacent ticks).
+
+    trend: centered moving average over one period — a plain
+    ``period``-point mean when the period is odd, the standard
+    half-weighted (period+1)-point "2×P-MA" when even.  Defined only
+    where the full window of non-NULL values exists (series edges and
+    NULL neighborhoods get NULL trend, the statsmodels convention).
+    seasonal: per-phase (idx mod period) mean of the detrended values,
+    centered so the seasonal components sum to ~0 over one period.
+    resid: value − trend − seasonal where trend is defined.
+
+    Determinism (oracle-hash discipline): the trend numerator stays in
+    EXACT decimal — T2 = 2·Σwindow − edge_lo − edge_hi (even; ×2
+    instead of ×0.5 keeps every operand integral-scaled) — and the
+    detrended phase sums accumulate D2 = 2·period·v − T2 exactly, so
+    the only irreversible steps are single IEEE divisions.  Phase
+    means pass through ROUND-6 + signed-zero normalization before the
+    centering sum (the vocab_kl discipline — they are then exact
+    DECIMAL(20,6) values).  Requires few-decimal, modest-magnitude
+    values (the dsum contract): counts, cents, small measurements.
+
+    Output: (*key_cols, idx, value, trend, seasonal, resid).
+
+    100 TB: TWO data exchanges — the key window (trend + edge
+    lags share one partitioning/sort) and the (key, phase) join of
+    the phase relation back onto the data; the phase relation itself
+    is keys×period sized.  Per-key state is the window sort.
+    """
+    p = int(period)
+    if p < 2:
+        raise ValueError("seasonal_decompose: period must be >= 2")
+    even = p % 2 == 0
+    h = p // 2
+    frame = 2 * h + 1 if even else p  # even: P+1 half-weighted points
+    div = 2 * p  # T2/D2 carry a factor 2·period
+    idx, v = F.col(idx_col), F.col(value_col)
+    d = df.filter(idx.isNotNull())
+    v8 = v.cast("decimal(24,8)")
+    wk = Window.partitionBy(*key_cols).orderBy(idx_col)
+    wf = wk.rowsBetween(-(frame // 2), frame // 2)
+    wsum = F.sum(v8).over(wf)
+    cnt = F.count(v8).over(wf)
+    if even:
+        edge_lo = F.lag(v8, h).over(wk)
+        edge_hi = F.lead(v8, h).over(wk)
+        t2 = wsum * 2 - edge_lo - edge_hi
+    else:
+        t2 = wsum * 2
+    d = d.withColumn(
+        "__t2", F.when(cnt == frame, t2)
+    ).withColumn("__phase", F.pmod(idx, F.lit(p)).cast("bigint"))
+    # D2 = 2·period·(v − trend), exactly, in decimal
+    d2 = v8 * F.lit(div) - F.col("__t2")
+    ph = (
+        d.filter(F.col("__t2").isNotNull())
+        .groupBy(*key_cols, "__phase")
+        .agg(
+            F.sum(d2).alias("__s2"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .withColumn(
+            "__seas6",
+            F.round(
+                F.col("__s2").cast("double")
+                / (F.col("__n") * F.lit(float(div))),
+                6,
+            )
+            + F.lit(0.0),
+        )
+    )
+    ctr = ph.groupBy(*key_cols).agg(
+        (
+            F.sum(F.col("__seas6").cast("decimal(20,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__m")
+    )
+    ph = ph.join(ctr, list(key_cols)).withColumn(
+        "__sc6", F.round(F.col("__seas6") - F.col("__m"), 6) + F.lit(0.0)
+    )
+    out = d.join(
+        ph.select(*key_cols, "__phase", "__sc6"),
+        list(key_cols) + ["__phase"],
+        "left",
+    )
+    trend = F.col("__t2").cast("double") / F.lit(float(div))
+    return out.select(
+        *key_cols,
+        idx.alias("idx"),
+        v.alias("value"),
+        trend.alias("trend"),
+        F.col("__sc6").alias("seasonal"),
+        (v - trend - F.col("__sc6")).alias("resid"),
+    )

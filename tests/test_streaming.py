@@ -757,3 +757,44 @@ def test_transitions_stateful_streaming(spark):
         assert got == {("view", "click"): 1, ("click", "purchase"): 1}
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_seasonal_decompose_recovers_linear_trend_and_seasonal(spark):
+    """Linear trend + zero-sum seasonal: the centered MA recovers the
+    line exactly (even period via the half-weighted 2xP window, odd via
+    the plain P window), the phase means recover the seasonal pattern,
+    and residuals vanish."""
+    from pigout_spark.streaming.windows import seasonal_decompose
+
+    s4 = [2.0, -1.0, -2.0, 1.0]
+    rows4 = [("a", i, 10.0 + i + s4[i % 4]) for i in range(24)]
+    s5 = [3.0, -1.0, -2.0, 1.0, -1.0]
+    rows5 = [("b", i, 5.0 + 2 * i + s5[i % 5]) for i in range(25)]
+    df = spark.createDataFrame(rows4, "k string, idx long, v double")
+    out = {
+        r.idx: r
+        for r in seasonal_decompose(df, ["k"], "idx", "v", 4).collect()
+    }
+    assert len(out) == 24
+    # even period 4: trend needs 2 points each side -> defined on 2..21
+    for i in range(24):
+        if 2 <= i <= 21:
+            assert out[i].trend == 10.0 + i, (i, out[i])
+            assert out[i].seasonal == s4[i % 4]
+            assert abs(out[i].resid) < 1e-9
+        else:
+            assert out[i].trend is None and out[i].resid is None
+
+    df5 = spark.createDataFrame(rows5, "k string, idx long, v double")
+    out5 = {
+        r.idx: r
+        for r in seasonal_decompose(df5, ["k"], "idx", "v", 5).collect()
+    }
+    for i in range(2, 23):
+        assert abs(out5[i].trend - (5.0 + 2 * i)) < 1e-9
+        assert out5[i].seasonal == s5[i % 5]
+        assert abs(out5[i].resid) < 1e-9
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="period"):
+        seasonal_decompose(df, ["k"], "idx", "v", 1)
