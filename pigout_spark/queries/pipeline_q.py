@@ -4043,3 +4043,52 @@ def x_sssp(spark, sf_dir):
     return shortest_paths(
         edges, sources=[1], weight_col="w", iterations=4, directed=False
     )
+
+
+@query(
+    "x_item_cf",
+    """
+    WITH ui0 AS (
+      SELECT DISTINCT o_custkey AS u, l_partkey AS i
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), ui AS (
+      SELECT u, i FROM ui0
+      QUALIFY row_number() OVER (PARTITION BY u ORDER BY i) <= 25
+    ), ni AS (
+      SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM ui GROUP BY i
+    ), pairs AS (
+      SELECT x.i AS a, y.i AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM ui x JOIN ui y ON x.u = y.u AND x.i < y.i
+      GROUP BY x.i, y.i HAVING COUNT(*) >= 2
+    ), sym AS (
+      SELECT a AS item, b AS rec_item, n_ab FROM pairs
+      UNION ALL SELECT b, a, n_ab FROM pairs
+    ), sc AS (
+      SELECT item, rec_item, n_ab,
+             n_ab / sqrt(CAST(na.n * nb.n AS DOUBLE)) AS score
+      FROM sym
+      JOIN ni na ON sym.item = na.i
+      JOIN ni nb ON sym.rec_item = nb.i
+    )
+    SELECT item, rec_item, n_ab, score,
+           CAST(row_number() OVER (PARTITION BY item
+                ORDER BY score DESC, rec_item) AS BIGINT) AS rank
+    FROM sc QUALIFY rank <= 5
+    """,
+)
+def x_item_cf(spark, sf_dir):
+    """Item-item collaborative filtering over the customer×part
+    incidence (pipeline/recsys.py:item_cf_topk): top-5 cosine
+    neighbors per part, co-occurrence ≥ 2, per-customer item sets
+    capped at 25 (the deterministic hub guard — mirrored by the
+    oracle's QUALIFY cap so capped runs still hash-match)."""
+    from pigout_spark.pipeline.recsys import item_cf_topk
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ev = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("u"), F.col("l_partkey").alias("i")
+    )
+    return item_cf_topk(
+        ev, "u", "i", k=5, min_cooc=2, max_items_per_user=25
+    )

@@ -2875,3 +2875,45 @@ def test_compact_changelog_duplicate_ts_guard(spark):
     assert {r.k: r.v for r in out} == {9: "z", 1: "b"}
     with _pytest.raises(ValueError, match="missing columns"):
         apply_cdc(base, dup.drop("op"), ["k"])
+
+
+def test_item_cf_topk_cosine_and_cap(spark):
+    """Hand incidence: items A,B share 2 of their users; C co-occurs
+    once with each — cosine scores and ranks follow; min_cooc prunes
+    the weak pair; the per-user cap drops a hub user's tail items
+    deterministically (item order)."""
+    import math
+    from pigout_spark.pipeline.recsys import item_cf_topk, item_cooccurrence
+
+    rows = [
+        (1, "A"), (1, "B"),
+        (2, "A"), (2, "B"),
+        (3, "A"), (3, "C"),
+        (4, "B"),
+    ]
+    df = spark.createDataFrame(rows, "u long, i string")
+    got = {
+        (r.item, r.rec_item): r
+        for r in item_cf_topk(df, "u", "i", k=5).collect()
+    }
+    # n_A=3, n_B=3, n_AB=2; n_C=1, n_AC=1
+    assert got[("A", "B")].n_ab == 2
+    assert got[("A", "B")].score == 2 / math.sqrt(9)
+    assert got[("A", "C")].score == 1 / math.sqrt(3)
+    assert got[("B", "A")].rank == 1 and ("B", "C") not in got
+    pruned = item_cf_topk(df, "u", "i", k=5, min_cooc=2).collect()
+    assert {(r.item, r.rec_item) for r in pruned} == {("A", "B"), ("B", "A")}
+
+    # hub user 9 holds 4 items; cap=2 keeps its first two in item order
+    hub = df.union(
+        spark.createDataFrame(
+            [(9, x) for x in ["D", "E", "F", "G"]], "u long, i string"
+        )
+    )
+    cooc = {
+        (r.item_a, r.item_b): r.n_ab
+        for r in item_cooccurrence(
+            hub, "u", "i", max_items_per_user=2
+        ).collect()
+    }
+    assert ("D", "E") in cooc and ("F", "G") not in cooc and ("D", "F") not in cooc
