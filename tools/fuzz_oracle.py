@@ -390,8 +390,10 @@ def gen_query(rng: random.Random):
         return gen_sketch(rng)
     if r < 0.985:
         return gen_attribution(rng)
-    if r < 0.995:
+    if r < 0.99:
         return gen_r7(rng)
+    if r < 0.998:
+        return gen_r8(rng)
     table = rng.choice(list(TABLES))
     strs, nums, doubles, ints = TABLES[table]
     preds, fexprs = [], []
@@ -2274,3 +2276,374 @@ def gen_r7(rng: random.Random):
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+def gen_r8(rng: random.Random):
+    """Differential-fuzz the round-8 operators: BFS / Bellman-Ford
+    (random digraphs, seeds, budgets, directedness), CDC apply (random
+    op logs incl. same-key multi-op compaction), OLS trend fit
+    (integerized metrics, NULLs, degenerate keys), PSI/KS drift
+    (random populations and binnings), item CF (random incidence with
+    caps), and seasonal decomposition (random period parity/length)."""
+    kind = rng.choice(
+        ["bfs", "sssp", "cdc", "trend", "psi", "ks", "itemcf", "seasonal"]
+    )
+
+    if kind in ("bfs", "sssp"):
+        n_nodes = rng.randint(3, 12)
+        n_edges = rng.randint(2, 30)
+        weighted = kind == "sssp"
+        edges = [
+            (
+                rng.randrange(n_nodes),
+                rng.randrange(n_nodes),
+                rng.randint(1, 9),
+            )
+            for _ in range(n_edges)
+        ]
+        edges = [e for e in edges if e[0] != e[1]] or [(0, 1, 1)]
+        directed = rng.random() < 0.5
+        seeds = sorted(
+            rng.sample(range(n_nodes), rng.randint(1, min(3, n_nodes)))
+        )
+        rounds = rng.randint(1, 4)
+        uniq = sorted({(a, b, w) for a, b, w in edges})
+        vals = ", ".join(f"({a}, {b}, {w})" for a, b, w in uniq) if not weighted else ", ".join(f"({a}, {b}, {w})" for a, b, w in edges)
+        seed_vals = ", ".join(
+            f"(CAST({x} AS BIGINT), CAST(0 AS BIGINT))" for x in seeds
+        )
+        sym = (
+            "SELECT a AS s, b AS d, w FROM e0 UNION ALL SELECT b, a, w FROM e0"
+            if not directed
+            else "SELECT a AS s, b AS d, w FROM e0"
+        )
+        dedup = "" if weighted else "DISTINCT"
+        ctes = [
+            f"e0(a, b, w) AS (SELECT {dedup} * FROM (VALUES {vals}))",
+            f"e AS ({sym})",
+            f"r0 AS (SELECT * FROM (VALUES {seed_vals}) t(node, dist))",
+        ]
+        step = "r.dist + e.w" if weighted else "r.dist + 1"
+        for i in range(1, rounds + 1):
+            ctes.append(
+                f"r{i} AS (SELECT node, MIN(dd) AS dist FROM ("
+                f" SELECT node, dist AS dd FROM r{i-1}"
+                f" UNION ALL SELECT e.d, {step} FROM e"
+                f" JOIN r{i-1} r ON r.node = e.s) GROUP BY node)"
+            )
+        col = "dist" if weighted else "hops"
+        sql = (
+            "WITH " + ",\n".join(ctes)
+            + f" SELECT node, CAST(dist AS BIGINT) AS {col} FROM r{rounds}"
+        )
+
+        def build(spark, sf_dir, edges=edges, seeds=seeds, rounds=rounds,
+                  directed=directed, weighted=weighted, uniq=uniq):
+            from pigout_spark.pipeline.graph import bfs_distances, shortest_paths
+
+            if weighted:
+                df = spark.createDataFrame(
+                    edges, "src long, dst long, w long"
+                )
+                return shortest_paths(
+                    df, seeds, weight_col="w", iterations=rounds,
+                    directed=directed,
+                )
+            df = spark.createDataFrame(
+                [(a, b) for a, b, _ in uniq], "src long, dst long"
+            )
+            return bfs_distances(
+                df, seeds, max_hops=rounds, directed=directed
+            )
+
+        return build, sql
+
+    if kind == "cdc":
+        n_keys = rng.randint(2, 8)
+        base = [(k, f"v{k}") for k in range(n_keys)]
+        n_ch = rng.randint(1, 15)
+        seen_ts = set()
+        changes = []
+        for j in range(n_ch):
+            k = rng.randint(0, n_keys + 3)  # some inserts of new keys
+            ts = rng.randint(1, 50)
+            while (k, ts) in seen_ts:
+                ts = rng.randint(1, 50)
+            seen_ts.add((k, ts))
+            op = rng.choice(["I", "U", "D"])
+            changes.append((k, f"c{j}", op, ts))
+        bvals = ", ".join(f"({k}, '{v}')" for k, v in base)
+        cvals = ", ".join(
+            f"({k}, '{v}', '{op}', {ts})" for k, v, op, ts in changes
+        )
+        sql = f"""
+        WITH base(k, v) AS (SELECT * FROM (VALUES {bvals})),
+        ch(k, v, op, ts) AS (SELECT * FROM (VALUES {cvals})),
+        latest AS (
+          SELECT * FROM ch
+          QUALIFY row_number() OVER (PARTITION BY k ORDER BY ts DESC) = 1
+        )
+        SELECT CAST(k AS BIGINT) AS k, v
+        FROM base WHERE k NOT IN (SELECT k FROM latest)
+        UNION ALL
+        SELECT CAST(k AS BIGINT), v FROM latest WHERE op <> 'D'
+        """
+
+        def build(spark, sf_dir, base=base, changes=changes):
+            from pigout_spark.pipeline.scd import apply_cdc
+
+            b = spark.createDataFrame(base, "k long, v string")
+            c = spark.createDataFrame(
+                changes, "k long, v string, op string, ts long"
+            )
+            return apply_cdc(b, c, ["k"])
+
+        return build, sql
+
+    if kind == "trend":
+        n = rng.randint(2, 40)
+        keys = rng.randint(1, 4)
+        rows = []
+        for i in range(n):
+            k = rng.randint(0, keys - 1)
+            x = None if rng.random() < 0.08 else rng.randint(0, 20)
+            y = None if rng.random() < 0.08 else rng.randint(-1000, 1000)
+            rows.append((k, x, y))
+        # one guaranteed single-point key and one zero-variance-x key
+        rows += [(90, 5, 7), (91, 3, 10), (91, 3, 20)]
+        vals = ", ".join(
+            f"({k}, {'NULL' if x is None else x},"
+            f" {'NULL' if y is None else y})"
+            for k, x, y in rows
+        )
+        sql = f"""
+        WITH o(k, xi, yi) AS (SELECT * FROM (VALUES {vals})),
+        f AS (
+          SELECT k, CAST(xi AS DOUBLE) AS x, CAST(yi AS DOUBLE) AS y
+          FROM o WHERE xi IS NOT NULL AND yi IS NOT NULL
+        ), s AS (
+          SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(x AS DECIMAL(24,0))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(y AS DECIMAL(24,0))) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(x * x AS DECIMAL(30,0))) AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(x * y AS DECIMAL(30,0))) AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(y * y AS DECIMAL(30,0))) AS DOUBLE) AS syy
+          FROM f GROUP BY k
+        )
+        SELECT k, n,
+               CASE WHEN n * sxx - sx * sx <> 0
+                    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+               END AS slope,
+               (sy - (CASE WHEN n * sxx - sx * sx <> 0
+                           THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                      END) * sx) / n AS intercept,
+               CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
+                    THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                         / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+               END AS r2
+        FROM s
+        """
+
+        def build(spark, sf_dir, rows=rows):
+            from pigout_spark.pipeline.behavioral import trend_fit
+
+            df = spark.createDataFrame(
+                [
+                    (
+                        k,
+                        None if x is None else float(x),
+                        None if y is None else float(y),
+                    )
+                    for k, x, y in rows
+                ],
+                "k long, x double, y double",
+            )
+            return trend_fit(df, ["k"], "x", "y", term_scale=0)
+
+        return build, sql
+
+    if kind in ("psi", "ks"):
+        bins = rng.randint(2, 10)
+        lo, hi = 0.0, 10.0
+        def pop(sz, shift):
+            return [
+                round(min(9.999, max(0.0, rng.uniform(0, 10) + shift)), 3)
+                for _ in range(sz)
+            ]
+        ref = pop(rng.randint(5, 60), 0)
+        cur = pop(rng.randint(5, 60), rng.choice([0, 2, -3]))
+        rv = ", ".join(f"({v!r})" for v in ref)
+        cv = ", ".join(f"({v!r})" for v in cur)
+        width = (hi - lo) / bins
+        binx = (
+            f"LEAST({bins - 1}, GREATEST(0,"
+            f" CAST(floor((v - {lo!r}) / {width!r}) AS BIGINT)))"
+        )
+        shared = f"""
+        refv(v) AS (SELECT * FROM (VALUES {rv})),
+        curv(v) AS (SELECT * FROM (VALUES {cv})),
+        rb AS (SELECT {binx} AS bin, CAST(COUNT(*) AS BIGINT) AS n_ref
+               FROM refv GROUP BY 1),
+        cb AS (SELECT {binx} AS bin, CAST(COUNT(*) AS BIGINT) AS n_cur
+               FROM curv GROUP BY 1),
+        j AS (SELECT coalesce(rb.bin, cb.bin) AS bin,
+                     coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+              FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin),
+        t AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
+                     CAST(SUM(n_cur) AS BIGINT) AS tc FROM j)
+        """
+        if kind == "psi":
+            sql = f"""
+            WITH {shared}
+            SELECT bin, n_ref, n_cur,
+                   ROUND((GREATEST(n_cur / tc, 1e-4)
+                          - GREATEST(n_ref / tr, 1e-4))
+                         * ln(GREATEST(n_cur / tc, 1e-4)
+                              / GREATEST(n_ref / tr, 1e-4)), 6) + 0.0 AS psi6
+            FROM j, t
+            """
+        else:
+            sql = f"""
+            WITH {shared}
+            , e AS (
+              SELECT bin,
+                     abs(SUM(n_ref) OVER (ORDER BY bin
+                                          ROWS UNBOUNDED PRECEDING) / tr
+                       - SUM(n_cur) OVER (ORDER BY bin
+                                          ROWS UNBOUNDED PRECEDING) / tc)
+                     AS d
+              FROM j, t
+            )
+            SELECT d AS d_stat, bin AS at_bin
+            FROM e ORDER BY d DESC, bin LIMIT 1
+            """
+
+        def build(spark, sf_dir, ref=ref, cur=cur, bins=bins, kind=kind):
+            from pigout_spark.pipeline.drift import ks_drift, psi_drift
+
+            r = spark.createDataFrame([(v,) for v in ref], "v double")
+            c = spark.createDataFrame([(v,) for v in cur], "v double")
+            fn = psi_drift if kind == "psi" else ks_drift
+            return fn(r, c, "v", bins=bins, lo=0.0, hi=10.0)
+
+        return build, sql
+
+    if kind == "itemcf":
+        users = rng.randint(2, 8)
+        items = rng.randint(2, 8)
+        n = rng.randint(3, 40)
+        rows = [
+            (rng.randrange(users), rng.randrange(items)) for _ in range(n)
+        ]
+        cap = rng.choice([None, 2, 3, 5])
+        min_c = rng.randint(1, 2)
+        k = rng.randint(1, 4)
+        vals = ", ".join(f"({u}, {i})" for u, i in rows)
+        cap_sql = (
+            f"QUALIFY row_number() OVER (PARTITION BY u ORDER BY i) <= {cap}"
+            if cap
+            else ""
+        )
+        sql = f"""
+        WITH raw(u, i) AS (SELECT * FROM (VALUES {vals})),
+        ui AS (SELECT DISTINCT u, i FROM raw),
+        uic AS (SELECT u, i FROM ui {cap_sql}),
+        ni AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n FROM uic GROUP BY i),
+        pairs AS (
+          SELECT x.i AS a, y.i AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
+          FROM uic x JOIN uic y ON x.u = y.u AND x.i < y.i
+          GROUP BY x.i, y.i HAVING COUNT(*) >= {min_c}
+        ), sym AS (
+          SELECT a AS item, b AS rec_item, n_ab FROM pairs
+          UNION ALL SELECT b, a, n_ab FROM pairs
+        ), sc AS (
+          SELECT item, rec_item, n_ab,
+                 n_ab / sqrt(CAST(na.n * nb.n AS DOUBLE)) AS score
+          FROM sym JOIN ni na ON sym.item = na.i
+                   JOIN ni nb ON sym.rec_item = nb.i
+        )
+        SELECT CAST(item AS BIGINT) AS item,
+               CAST(rec_item AS BIGINT) AS rec_item, n_ab, score,
+               CAST(row_number() OVER (PARTITION BY item
+                    ORDER BY score DESC, rec_item) AS BIGINT) AS rank
+        FROM sc QUALIFY rank <= {k}
+        """
+
+        def build(spark, sf_dir, rows=rows, cap=cap, min_c=min_c, k=k):
+            from pigout_spark.pipeline.recsys import item_cf_topk
+
+            df = spark.createDataFrame(rows, "u long, i long")
+            return item_cf_topk(
+                df, "u", "i", k=k, min_cooc=min_c, max_items_per_user=cap
+            )
+
+        return build, sql
+
+    # seasonal
+    p = rng.randint(2, 6)
+    keys = rng.randint(1, 3)
+    rows = []
+    for kk in range(keys):
+        ln = rng.randint(p, 4 * p + rng.randint(0, 6))
+        for i in range(ln):
+            rows.append((kk, i, rng.randint(-50, 50)))
+    even = p % 2 == 0
+    h = p // 2
+    frame = 2 * h + 1 if even else p
+    div = 2 * p
+    half = frame // 2
+    t2 = (
+        f"wsum * 2 - lag(v8, {h}) OVER wk - lead(v8, {h}) OVER wk"
+        if even
+        else "wsum * 2"
+    )
+    vals = ", ".join(f"({k}, {i}, {v})" for k, i, v in rows)
+    sql = f"""
+    WITH raw(k, idx, vi) AS (SELECT * FROM (VALUES {vals})),
+    d0 AS (SELECT k, idx, CAST(vi AS DOUBLE) AS v,
+                  CAST(CAST(vi AS DOUBLE) AS DECIMAL(24,8)) AS v8 FROM raw),
+    b AS (
+      SELECT k, idx, v, v8,
+             SUM(v8) OVER wf AS wsum, COUNT(v8) OVER wf AS cnt,
+             {t2} AS t2x, idx % {p} AS phase
+      FROM d0
+      WINDOW wk AS (PARTITION BY k ORDER BY idx),
+             wf AS (PARTITION BY k ORDER BY idx
+                    ROWS BETWEEN {half} PRECEDING AND {half} FOLLOWING)
+    ), c AS (
+      SELECT *, CASE WHEN cnt = {frame} THEN t2x END AS t2 FROM b
+    ), ph AS (
+      SELECT k, phase, SUM(v8 * {div} - t2) AS s2, COUNT(*) AS n
+      FROM c WHERE t2 IS NOT NULL GROUP BY k, phase
+    ), ph6 AS (
+      SELECT k, phase,
+             ROUND(CAST(s2 AS DOUBLE) / (n * {float(div)!r}), 6) + 0.0 AS seas6
+      FROM ph
+    ), ctr AS (
+      SELECT k, CAST(SUM(CAST(seas6 AS DECIMAL(20,6))) AS DOUBLE)
+                / COUNT(*) AS m
+      FROM ph6 GROUP BY k
+    ), phc AS (
+      SELECT ph6.k, phase, ROUND(seas6 - m, 6) + 0.0 AS sc6
+      FROM ph6 JOIN ctr ON ph6.k = ctr.k
+    )
+    SELECT c.k, CAST(c.idx AS BIGINT) AS idx, c.v AS value,
+           CAST(c.t2 AS DOUBLE) / {float(div)!r} AS trend,
+           phc.sc6 AS seasonal,
+           c.v - CAST(c.t2 AS DOUBLE) / {float(div)!r} - phc.sc6 AS resid
+    FROM c LEFT JOIN phc ON c.k = phc.k AND c.phase = phc.phase
+    """
+
+    def build(spark, sf_dir, rows=rows, p=p):
+        from pigout_spark.streaming.windows import seasonal_decompose
+
+        df = spark.createDataFrame(
+            [(k, i, float(v)) for k, i, v in rows],
+            "k long, idx long, v double",
+        )
+        out = seasonal_decompose(df, ["k"], "idx", "v", p)
+        return out.select(
+            "k", "idx", "value", "trend", "seasonal", "resid"
+        )
+
+    return build, sql
