@@ -66,6 +66,13 @@ HEADLINE = [
     # asymptotic handicap — its twin must replay the whole chain)
     "x_bigram_lm",
     "x_split_safe",
+    # r8: the new data-proportional ops — item CF (distinct incidence +
+    # capped pair self-join + ranked neighbors, the heaviest r8 plan),
+    # the CDC merge (changelog compaction + anti-join over the full
+    # orders snapshot), and per-key OLS (six-moment groupBy spine)
+    "x_item_cf",
+    "x_apply_cdc",
+    "x_trend_fit",
 ]
 
 TABLES = (

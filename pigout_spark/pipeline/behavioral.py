@@ -667,6 +667,7 @@ def ab_lift(
     id_cols: list[str],
     treat_frac: float = 0.5,
     seed: str = "0",
+    by: list[str] | None = None,
 ) -> DataFrame:
     """A/B experiment readout in one row: per-variant n / mean /
     sample variance, absolute lift (treatment − control) and the
@@ -686,9 +687,16 @@ def ab_lift(
     counts included NULL rows while the CASE-guarded sums skipped
     them, silently deflating both arms' means — ADVICE r7.)
 
+    ``by`` (r8): segment columns for a per-segment readout — the
+    heterogeneous-treatment-effect reporting shape ("which cohorts
+    moved").  Same formula chain per group; segments with an empty or
+    singleton arm get NULL variance/z via the n−1 denominators (a
+    readout, not a crash).  Note the multiple-comparisons caveat:
+    per-segment z statistics are NOT familywise-corrected.
+
     100 TB: one narrow assignment map + ONE conditional aggregation to
-    a single broadcast-sized row.  No shuffle beyond the final
-    1-row agg.
+    a single broadcast-sized row (grouped: one map-side-combinable
+    groupBy onto the segment key).  No other shuffle.
     """
     a = ab_assign(df, id_cols, treat_frac=treat_frac, seed=seed).filter(
         F.col(metric_col).isNotNull()
@@ -699,7 +707,8 @@ def ab_lift(
     # metric carrying >4 decimals ROUNDS, and the engines' half
     # conventions differ — scale 8 keeps few-decimal metrics and
     # their squares exact
-    s = a.agg(
+    grouped = a.groupBy(*by) if by else a
+    s = grouped.agg(
         F.sum(F.when(is_t, 1).otherwise(0)).cast("long").alias("n_t"),
         F.sum(F.when(~is_t, 1).otherwise(0)).cast("long").alias("n_c"),
         F.sum(F.when(is_t, v).otherwise(F.lit(0.0)).cast("decimal(24,8)"))
@@ -712,17 +721,24 @@ def ab_lift(
         .cast("double").alias("sxx_c"),
     )
     n_t, n_c = F.col("n_t"), F.col("n_c")
-    mean_t = F.col("sx_t") / n_t
-    mean_c = F.col("sx_c") / n_c
-    var_t = (n_t * F.col("sxx_t") - F.col("sx_t") * F.col("sx_t")) / (
-        n_t * (n_t - 1)
+    # empty / singleton arms (possible per segment in the ``by`` form)
+    # are a NULL readout, not an ANSI divide-by-zero crash
+    mean_t = F.when(n_t > 0, F.col("sx_t") / n_t)
+    mean_c = F.when(n_c > 0, F.col("sx_c") / n_c)
+    var_t = F.when(
+        n_t > 1,
+        (n_t * F.col("sxx_t") - F.col("sx_t") * F.col("sx_t"))
+        / (n_t * (n_t - 1)),
     )
-    var_c = (n_c * F.col("sxx_c") - F.col("sx_c") * F.col("sx_c")) / (
-        n_c * (n_c - 1)
+    var_c = F.when(
+        n_c > 1,
+        (n_c * F.col("sxx_c") - F.col("sx_c") * F.col("sx_c"))
+        / (n_c * (n_c - 1)),
     )
     lift = mean_t - mean_c
     z = lift / F.sqrt(var_t / n_t + var_c / n_c)
     return s.select(
+        *(by or []),
         n_c, n_t,
         mean_c.alias("mean_c"), mean_t.alias("mean_t"),
         var_c.alias("var_c"), var_t.alias("var_t"),

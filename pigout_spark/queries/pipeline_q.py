@@ -4092,3 +4092,61 @@ def x_item_cf(spark, sf_dir):
     return item_cf_topk(
         ev, "u", "i", k=5, min_cooc=2, max_items_per_user=25
     )
+
+
+@query(
+    "x_ab_segments",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, value FROM events WHERE value IS NOT NULL
+    ), a AS (
+      SELECT event_type, value,
+             ('0x' || substring(md5('7' || '|' ||
+                coalesce(user_id::VARCHAR, chr(0))), 1, 8))::BIGINT
+             / 4294967296.0 < 0.5 AS is_t
+      FROM e
+    ), s AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+             CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS n_c,
+             CAST(SUM(CAST(CASE WHEN is_t THEN value ELSE 0.0 END
+                           AS DECIMAL(24,8))) AS DOUBLE) AS sx_t,
+             CAST(SUM(CAST(CASE WHEN is_t THEN 0.0 ELSE value END
+                           AS DECIMAL(24,8))) AS DOUBLE) AS sx_c,
+             CAST(SUM(CAST(CASE WHEN is_t THEN value * value ELSE 0.0 END
+                           AS DECIMAL(30,8))) AS DOUBLE) AS sxx_t,
+             CAST(SUM(CAST(CASE WHEN is_t THEN 0.0 ELSE value * value END
+                           AS DECIMAL(30,8))) AS DOUBLE) AS sxx_c
+      FROM a GROUP BY event_type
+    )
+    SELECT event_type, n_c, n_t,
+           ROUND(sx_c / n_c, 6) AS mean_c6,
+           ROUND(sx_t / n_t, 6) AS mean_t6,
+           ROUND(sx_t / n_t - sx_c / n_c, 6) AS lift6,
+           ROUND((sx_t / n_t - sx_c / n_c)
+                 / sqrt(((n_t * sxx_t - sx_t * sx_t) / (n_t * (n_t - 1))) / n_t
+                      + ((n_c * sxx_c - sx_c * sx_c) / (n_c * (n_c - 1))) / n_c),
+                 6) AS z6
+    FROM s
+    """,
+)
+def x_ab_segments(spark, sf_dir):
+    """Per-segment A/B readout (ab_lift(by=['event_type']), r8): the
+    heterogeneous-treatment-effect view — same user-keyed assignment
+    and decimal-exact formula chain as x_ab_lift, one map-side-
+    combinable groupBy onto the segment key instead of the 1-row
+    agg."""
+    from pigout_spark.pipeline.behavioral import ab_lift
+
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    out = ab_lift(
+        ev, "value", ["user_id"], treat_frac=0.5, seed="7",
+        by=["event_type"],
+    )
+    return out.select(
+        "event_type", "n_c", "n_t",
+        F.round("mean_c", 6).alias("mean_c6"),
+        F.round("mean_t", 6).alias("mean_t6"),
+        F.round("lift", 6).alias("lift6"),
+        F.round("z", 6).alias("z6"),
+    )

@@ -798,3 +798,31 @@ def test_ks_drift_exact_on_disjoint_and_zero_on_equal(spark):
     assert r.d_stat == 1.0 and r.at_bin == 4  # disjoint supports
     same = ks_drift(a, a, "v", bins=10, lo=0.0, hi=10.0).collect()[0]
     assert same.d_stat == 0.0 and same.at_bin == 0
+
+
+def test_ab_lift_by_segments_matches_per_segment_runs(spark):
+    """ab_lift(by=[seg]) equals running ab_lift separately on each
+    segment slice (same assignment — it keys on the id, not the
+    segment), and a singleton-arm segment yields NULL variance/z
+    instead of crashing."""
+    from pigout_spark.pipeline.behavioral import ab_lift
+
+    rows = [(i, "s" + str(i % 2), float(i % 9)) for i in range(80)]
+    df = spark.createDataFrame(rows, "uid bigint, seg string, m double")
+    seg = {
+        r.seg: r for r in ab_lift(df, "m", ["uid"], seed="3", by=["seg"]).collect()
+    }
+    for sname in ("s0", "s1"):
+        solo = ab_lift(
+            df.filter(F.col("seg") == sname), "m", ["uid"], seed="3"
+        ).collect()[0]
+        got = seg[sname]
+        assert (got.n_t, got.n_c, got.lift, got.z) == (
+            solo.n_t, solo.n_c, solo.lift, solo.z,
+        )
+
+    tiny = spark.createDataFrame(
+        [(1, "x", 5.0), (2, "x", 6.0)], "uid bigint, seg string, m double"
+    )
+    r = ab_lift(tiny, "m", ["uid"], seed="3", by=["seg"]).collect()[0]
+    assert r.z is None  # singleton arms -> NULL variance -> NULL z
