@@ -215,3 +215,72 @@ def percentile_rank(
         .withColumn(out, (F.col("__minr") - 1).cast("double") / F.col("__den"))
         .drop("__rr", "__minr", "__den")
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str] | None = None,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    out: str = "value_w",
+) -> DataFrame:
+    """Per-key winsorization: clamp ``value_col`` to its key's exact
+    [``p_lo``, ``p_hi``] quantile values — the outlier-taming step
+    before means/regressions that MAD-flagging (mad_outliers) only
+    reports on.  Quantile convention: the k-th ORDER STATISTIC with
+    k = max(1, ceil(p·n)) over the key's non-NULL values — a real
+    observed value (no interpolation), deterministic regardless of tie
+    order because position k of the sorted multiset is tie-invariant.
+    NULL values pass through NULL and count toward no quantile (the
+    percentile_rank discipline).
+
+    Output: the input columns + ``out`` (the clamped value).
+
+    100 TB: ONE key exchange — the rank window annotates (row_number,
+    count) on the key partitioning; the per-key bound aggregation and
+    the join back both reuse that partitioning (no keyless window —
+    keys are required; for a global winsorize pass a constant key and
+    accept the single partition consciously).
+    """
+    keys = list(key_cols or [])
+    if not keys:
+        raise ValueError(
+            "winsorize requires key_cols (for a global pass, add a "
+            "constant key column — an explicit, conscious single "
+            "partition)"
+        )
+    v = F.col(value_col)
+    base = df.withColumn("__nn", v.isNotNull())
+    w = Window.partitionBy(*keys).orderBy(value_col)
+    ranked = base.filter(F.col("__nn")).withColumn(
+        "__rn", F.row_number().over(w)
+    ).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(*keys))
+    )
+    k_lo = F.greatest(F.lit(1), F.ceil(F.lit(float(p_lo)) * F.col("__n")))
+    k_hi = F.greatest(F.lit(1), F.ceil(F.lit(float(p_hi)) * F.col("__n")))
+    bounds = (
+        ranked.withColumn("__klo", k_lo)
+        .withColumn("__khi", k_hi)
+        .groupBy(*keys)
+        .agg(
+            F.min(F.when(F.col("__rn") == F.col("__klo"), v)).alias("__lo"),
+            F.min(F.when(F.col("__rn") == F.col("__khi"), v)).alias("__hi"),
+        )
+    )
+    return (
+        df.join(bounds, keys, "left")
+        # guard NULL values explicitly: Spark's greatest/least SKIP
+        # NULL operands (returning the other side) rather than
+        # propagating, so an unguarded chain would resurrect a NULL
+        # value as the lower bound
+        .withColumn(
+            out,
+            F.when(
+                v.isNotNull(),
+                F.least(F.greatest(v, F.col("__lo")), F.col("__hi")),
+            ),
+        )
+        .drop("__lo", "__hi", "__nn")
+    )

@@ -1024,3 +1024,42 @@ def x_ks_drift(spark, sf_dir):
         lo=0.0,
         hi=100.0,
     )
+
+
+@query(
+    "x_winsorize",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_orderpriority AS pri, o_totalprice AS v
+      FROM orders
+    ), r AS (
+      SELECT pri, v,
+             row_number() OVER (PARTITION BY pri ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY pri) AS n
+      FROM o WHERE v IS NOT NULL
+    ), b AS (
+      SELECT pri,
+             MIN(CASE WHEN rn = GREATEST(1, ceil(0.05 * n)) THEN v END) AS lo,
+             MIN(CASE WHEN rn = GREATEST(1, ceil(0.95 * n)) THEN v END) AS hi
+      FROM r GROUP BY pri
+    )
+    SELECT o_orderkey, pri, v AS value,
+           CASE WHEN v IS NOT NULL
+                THEN LEAST(GREATEST(v, lo), hi) END AS value_w
+    FROM o LEFT JOIN b USING (pri)
+    """,
+)
+def x_winsorize(spark, sf_dir):
+    """Winsorize order totals to the exact per-priority [5%, 95%]
+    order statistics (operators/sorting.py:winsorize) — k =
+    max(1, ceil(p·n)) positions of the sorted multiset, tie-invariant,
+    one key exchange; every row's clamped value hash-matched."""
+    from pigout_spark.operators.sorting import winsorize
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("value"),
+    )
+    out = winsorize(o, "value", ["pri"], p_lo=0.05, p_hi=0.95)
+    return out.select("o_orderkey", "pri", "value", "value_w")

@@ -814,3 +814,26 @@ def test_asof_join_right_tiebreak_pins_duplicate_ts(spark):
             direction=direction, right_tiebreak="ver",
         ).collect()
         assert len(out) == 1 and out[0].px == want_px, direction
+
+
+def test_winsorize_clamps_to_exact_order_statistics(spark):
+    from pigout_spark.operators.sorting import winsorize
+
+    # key "a": values 1..20; p=(0.10, 0.90) -> k_lo=2, k_hi=18
+    rows = [("a", float(i)) for i in range(1, 21)] + [
+        ("a", None),          # NULL passes through, counts nowhere
+        ("b", 5.0),           # singleton key: lo == hi == the value
+    ]
+    df = spark.createDataFrame(rows, "k string, value double")
+    out = winsorize(df, "value", ["k"], p_lo=0.10, p_hi=0.90).collect()
+    a = {r.value: r.value_w for r in out if r.k == "a"}
+    assert a[1.0] == 2.0 and a[2.0] == 2.0      # clamped up
+    assert a[19.0] == 18.0 and a[20.0] == 18.0  # clamped down
+    assert a[10.0] == 10.0                      # interior untouched
+    assert a[None] is None
+    b = [r for r in out if r.k == "b"][0]
+    assert b.value_w == 5.0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="key_cols"):
+        winsorize(df, "value", [])

@@ -36,24 +36,24 @@ def test_query_runs(spark, sf_dir, name):
     assert len(df.columns) > 0
 
 
-def test_r7_window_landed():
-    """The r7 explicit window (queries/__init__.py): the driver-facing
-    set is exactly _WINDOW_R7 in order, every entry except the two
-    declared rows-only ops has a SQL oracle, and everything displaced
-    kept its local oracle as an extra."""
-    from pigout_spark.queries import _WINDOW_R7
+def test_r8_window_landed():
+    """The r8 explicit window (queries/__init__.py): the driver-facing
+    set is exactly _WINDOW_R8 in order, every entry has a SQL oracle
+    (the rows-only pair rotated back to extras after its r7 rows), and
+    everything displaced kept its local oracle as an extra."""
+    from pigout_spark.queries import _WINDOW_R8
 
     q = entrymod.queries()
     o = entrymod.oracle_sql()
-    assert list(q) == _WINDOW_R7
+    assert list(q) == _WINDOW_R8
     assert len(q) == qmod.DRIVER_QUERY_CAP
-    rows_only = {"x_sample_bernoulli", "x_bpe_encode_trained"}
     for name in q:
-        if name in rows_only:
-            assert name not in o
-        else:
-            assert name in o, f"{name} in window without a SQL oracle"
+        assert name in o, f"{name} in window without a SQL oracle"
     extras = qmod.extra_oracle_sql()
-    # spot-check displaced r6 rows kept their oracle
-    for name in ("x_semantic_pairs", "x_pagerank", "x_twa", "x_bpe_encode"):
+    # spot-check displaced rows kept their oracle (rows-only pair has
+    # no SQL by design — it lives in extra_queries, not the oracle map)
+    for name in ("x_semantic_pairs", "x_twa", "x_bpe_encode",
+                 "x_attribution_last", "x_kcore"):
         assert name not in q and name in extras
+    assert "x_sample_bernoulli" in qmod.extra_queries()
+    assert "x_sample_bernoulli" not in extras
