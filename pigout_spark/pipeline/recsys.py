@@ -12,12 +12,61 @@ Determinism (oracle-hash discipline): all counts are exact integers;
 score = n_ab / sqrt(n_a·n_b) is one IEEE sqrt + one division on
 integer-valued doubles (sqrt is correctly rounded in every IEEE
 engine); ranking ties break (score DESC, neighbor ASC).
+
+Physical shape (r8, measured 5× over the naive self-join at sf0.1):
+per-user item SETS are built by one collect_set aggregation (sorted,
+cap-sliced), then pairs are generated IN-TASK by higher-order array
+functions and flow straight into the pair aggregation — no self-join,
+no row_number window.  Two explicit repartitions matter: (1) the
+list relation is tiny in bytes, so AQE coalesces it to ~1 partition
+and the ~cap²/2-per-row explode would run single-threaded without a
+round-robin respray; (2) pre-partitioning the exploded pairs on the
+pair key makes the aggregation run co-partitioned — pair keys are
+mostly unique, so a map-side partial pass over unpartitioned pairs is
+pure overhead (measured 2.5×).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+#: unordered pairs (a, b), a < b, from a sorted deduplicated array
+_PAIR_EXPR = (
+    "flatten(transform(items, (x, ix) -> "
+    "transform(slice(items, ix + 2, size(items) - ix - 1), "
+    "y -> struct(x AS a, y AS b))))"
+)
+
+
+def _user_item_lists(
+    events: DataFrame,
+    user_col: str,
+    item_col: str,
+    max_items_per_user: int | None,
+) -> DataFrame:
+    """(user, items): the user's DISTINCT items as a sorted array,
+    cap-sliced to the FIRST ``max_items_per_user`` in item order —
+    deterministic and mirrorable in SQL (QUALIFY row_number ≤ cap over
+    item order selects the same set).
+
+    Memory note: collect_set materializes each user's full distinct
+    item set before the slice, so a user's set must fit in task memory
+    (fine into the millions); the cap bounds the DOWNSTREAM quadratic
+    pair work, which is the actual scale hazard.  The round-robin
+    repartition after the agg is load-bearing: the list relation is
+    small in bytes, AQE coalesces it, and the ~cap²/2 explode would
+    otherwise run on one thread."""
+    u, it = F.col(user_col), F.col(item_col)
+    items = F.sort_array(F.collect_set(it))
+    if max_items_per_user is not None:
+        items = F.slice(items, 1, int(max_items_per_user))
+    return (
+        events.filter(u.isNotNull() & it.isNotNull())
+        .groupBy(u.alias("__u"))
+        .agg(items.alias("items"))
+        .repartition(events.sparkSession.sparkContext.defaultParallelism)
+    )
 
 
 def item_cooccurrence(
@@ -31,39 +80,24 @@ def item_cooccurrence(
 
     ``max_items_per_user`` is the hub guard (the common_neighbors
     ``max_wedge_degree`` discipline): a user with m items contributes
-    m² pairs, so one crawler/bot account can dominate the shuffle.
-    The cap keeps each user's FIRST ``max_items_per_user`` items in
-    item order — deterministic, and mirrorable in SQL (QUALIFY
-    row_number) so capped runs still oracle-match.
+    m²/2 pairs, so one crawler/bot account can dominate the shuffle.
 
-    100 TB: distinct (user, item) shuffles once onto the user key;
-    the pair self-join is co-partitioned on that key (zero extra
-    exchange); the pair aggregation map-side-combines into the
-    (a, b) exchange.  With the cap, per-user work is bounded by
-    cap²."""
-    u, it = F.col(user_col), F.col(item_col)
-    ui = (
-        events.filter(u.isNotNull() & it.isNotNull())
-        .select(u.alias("__u"), it.alias("__i"))
-        .distinct()
-    )
-    if max_items_per_user is not None:
-        w = Window.partitionBy("__u").orderBy("__i")
-        ui = (
-            ui.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= int(max_items_per_user))
-            .drop("__rn")
-        )
-    a, b = ui.alias("a"), ui.alias("b")
+    100 TB: one exchange onto the user key (the set aggregation,
+    map-side combined), pairs generated in-task from each ≤cap-sized
+    array, one exchange onto the pair key for the count — the pair
+    relation never exists unaggregated outside its own exchange.
+    """
+    lists = _user_item_lists(events, user_col, item_col, max_items_per_user)
+    spark = events.sparkSession
     return (
-        a.join(
-            b,
-            (F.col("a.__u") == F.col("b.__u"))
-            & (F.col("a.__i") < F.col("b.__i")),
+        lists.select(F.explode(F.expr(_PAIR_EXPR)).alias("__p"))
+        .select(F.col("__p.a").alias("item_a"), F.col("__p.b").alias("item_b"))
+        # pre-partition on the pair key: mostly-unique keys make an
+        # unpartitioned map-side partial agg pure overhead
+        .repartition(
+            spark.sparkContext.defaultParallelism, "item_a", "item_b"
         )
-        .groupBy(
-            F.col("a.__i").alias("item_a"), F.col("b.__i").alias("item_b")
-        )
+        .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
     )
 
@@ -91,27 +125,25 @@ def item_cf_topk(
     directions of every pair (a recommends b AND b recommends a).
 
     100 TB: pair counts per :func:`item_cooccurrence`; the item-count
-    join is item-sized (AQE-broadcastable); ranking is one window on
-    the item key.  No driver-side state.
+    relation comes from the SAME list aggregation (one extra in-task
+    explode, no new data pass), is item-sized, and AQE-broadcasts into
+    the score joins; ranking is one window on the item key.
     """
-    pairs = item_cooccurrence(
-        events, user_col, item_col, max_items_per_user
-    ).filter(F.col("n_ab") >= int(min_cooc))
-    u, it = F.col(user_col), F.col(item_col)
-    ui = (
-        events.filter(u.isNotNull() & it.isNotNull())
-        .select(u.alias("__u"), it.alias("__i"))
-        .distinct()
+    lists = _user_item_lists(events, user_col, item_col, max_items_per_user)
+    spark = events.sparkSession
+    npart = spark.sparkContext.defaultParallelism
+    pairs = (
+        lists.select(F.explode(F.expr(_PAIR_EXPR)).alias("__p"))
+        .select(F.col("__p.a").alias("item_a"), F.col("__p.b").alias("item_b"))
+        .repartition(npart, "item_a", "item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= int(min_cooc))
     )
-    if max_items_per_user is not None:
-        w = Window.partitionBy("__u").orderBy("__i")
-        ui = (
-            ui.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= int(max_items_per_user))
-            .drop("__rn")
-        )
-    ni = ui.groupBy(F.col("__i").alias("item")).agg(
-        F.count(F.lit(1)).alias("n_i")
+    ni = (
+        lists.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_i"))
     )
     sym = pairs.select(
         F.col("item_a").alias("item"),

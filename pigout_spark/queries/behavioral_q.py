@@ -890,11 +890,11 @@ def x_apply_cdc(spark, sf_dir):
     ), s AS (
       SELECT o_custkey,
              CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(x AS DECIMAL(24,0))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(y AS DECIMAL(24,0))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(x * x AS DECIMAL(30,0))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(x * y AS DECIMAL(30,0))) AS DOUBLE) AS sxy,
-             CAST(SUM(CAST(y * y AS DECIMAL(30,0))) AS DOUBLE) AS syy
+             CAST(SUM(CAST(x AS BIGINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS BIGINT)) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS BIGINT)) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x * y AS BIGINT)) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(y * y AS BIGINT)) AS DOUBLE) AS syy
       FROM o GROUP BY o_custkey
     )
     SELECT o_custkey, n,

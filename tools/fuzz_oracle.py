@@ -2423,11 +2423,11 @@ def gen_r8(rng: random.Random):
           FROM o WHERE xi IS NOT NULL AND yi IS NOT NULL
         ), s AS (
           SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
-                 CAST(SUM(CAST(x AS DECIMAL(24,0))) AS DOUBLE) AS sx,
-                 CAST(SUM(CAST(y AS DECIMAL(24,0))) AS DOUBLE) AS sy,
-                 CAST(SUM(CAST(x * x AS DECIMAL(30,0))) AS DOUBLE) AS sxx,
-                 CAST(SUM(CAST(x * y AS DECIMAL(30,0))) AS DOUBLE) AS sxy,
-                 CAST(SUM(CAST(y * y AS DECIMAL(30,0))) AS DOUBLE) AS syy
+                 CAST(SUM(CAST(x AS BIGINT)) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(y AS BIGINT)) AS DOUBLE) AS sy,
+                 CAST(SUM(CAST(x * x AS BIGINT)) AS DOUBLE) AS sxx,
+                 CAST(SUM(CAST(x * y AS BIGINT)) AS DOUBLE) AS sxy,
+                 CAST(SUM(CAST(y * y AS BIGINT)) AS DOUBLE) AS syy
           FROM f GROUP BY k
         )
         SELECT k, n,
