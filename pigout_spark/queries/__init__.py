@@ -54,12 +54,13 @@ from pigout_spark.queries import udf_q  # noqa: F401,E402
 # never driver-checked take the open slots (computed from
 # CORRECTNESS_r01..r07 — exactly these 20 plus the two genuinely
 # rows-only entries had never held a hash row; the rows-only pair got
-# its weaker driver rows at r7 and rotates back to extras).  After r8
-# every query registered at r8 rotation time will have held a driver
-# CORRECTNESS row.  Anchors: the 19 r7 anchors stay, plus 10 r7-green
-# rows that keep otherwise-uncovered families driver-visible
-# (streaming dedup, as-of/range joins, hypertable rollup, KMV/q-digest
-# sketches, pagerank, sessionize, scale-safe rank, curate composite).
+# its weaker driver rows at r7 and rotates back to extras), and the 10
+# operator families BUILT this round (BFS/SSSP, CDC merge, OLS trend,
+# PSI/KS drift, seasonal decompose, item CF, segmented A/B, winsorize)
+# take the remaining slots so they hold driver rows in their build
+# round.  After r8 every query registered before this round will have
+# held a driver CORRECTNESS row.  Anchors: the 19 r7 anchors stay —
+# one settled green row per core operator family.
 _WINDOW_R8 = [
     "q01_group_agg",  # flagship
     # never driver-checked before r8 — hash-checkable oracles
@@ -83,17 +84,19 @@ _WINDOW_R8 = [
     "x_basket_rules",
     "x_asof_nearest",
     "x_merge_intervals",
-    # settled family anchors promoted this round (all r6/r7 green)
-    "x_curate_e2e",
-    "x_stream_dedup",
-    "x_asof_join",
-    "x_range_join",
-    "x_rollup_timeseries",
-    "x_kmv_jaccard",
-    "x_qdigest_quantiles",
-    "x_pagerank",
-    "x_sessionize",
-    "x_row_rank_two_pass",
+    # new r8 operator families (added this round, selfcheck-green at
+    # sf0.01 AND sf0.1 — they take the anchor-insurance slots so they
+    # hold driver rows in the round they were built)
+    "x_bfs_hops",
+    "x_sssp",
+    "x_apply_cdc",
+    "x_trend_fit",
+    "x_psi_drift",
+    "x_ks_drift",
+    "x_seasonal",
+    "x_item_cf",
+    "x_ab_segments",
+    "x_winsorize",
     # settled anchors: one driver-green row per operator family
     "q02_filter_project",
     "q03_join_agg",
