@@ -2286,8 +2286,113 @@ def gen_r8(rng: random.Random):
     (random populations and binnings), item CF (random incidence with
     caps), and seasonal decomposition (random period parity/length)."""
     kind = rng.choice(
-        ["bfs", "sssp", "cdc", "trend", "psi", "ks", "itemcf", "seasonal"]
+        ["bfs", "sssp", "cdc", "trend", "psi", "ks", "itemcf", "seasonal",
+         "winsor", "abseg"]
     )
+
+    if kind == "winsor":
+        n = rng.randint(2, 50)
+        keys = rng.randint(1, 3)
+        # small integer pool forces ties; occasional NULLs
+        rows = [
+            (
+                rng.randint(0, keys - 1),
+                i,
+                None if rng.random() < 0.1 else float(rng.randint(-5, 5)),
+            )
+            for i in range(n)
+        ]
+        p_lo = rng.choice([0.0, 0.05, 0.1, 0.25])
+        p_hi = rng.choice([0.75, 0.9, 0.95, 1.0])
+        vals = ", ".join(
+            f"({k}, {i}, {'NULL' if v is None else repr(v)})"
+            for k, i, v in rows
+        )
+        sql = f"""
+        WITH o(k, id, v) AS (SELECT * FROM (VALUES {vals})),
+        r AS (
+          SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY v) AS rn,
+                 COUNT(*) OVER (PARTITION BY k) AS n
+          FROM o WHERE v IS NOT NULL
+        ), b AS (
+          SELECT k,
+                 MIN(CASE WHEN rn = GREATEST(1, ceil({p_lo!r} * n))
+                     THEN v END) AS lo,
+                 MIN(CASE WHEN rn = GREATEST(1, ceil({p_hi!r} * n))
+                     THEN v END) AS hi
+          FROM r GROUP BY k
+        )
+        SELECT o.k, CAST(o.id AS BIGINT) AS id, o.v AS value,
+               CASE WHEN o.v IS NOT NULL
+                    THEN LEAST(GREATEST(o.v, lo), hi) END AS value_w
+        FROM o LEFT JOIN b USING (k)
+        """
+
+        def build(spark, sf_dir, rows=rows, p_lo=p_lo, p_hi=p_hi):
+            from pigout_spark.operators.sorting import winsorize
+
+            df = spark.createDataFrame(
+                rows, "k long, id long, value double"
+            )
+            out = winsorize(df, "value", ["k"], p_lo=p_lo, p_hi=p_hi)
+            return out.select("k", "id", "value", "value_w")
+
+        return build, sql
+
+    if kind == "abseg":
+        n = rng.randint(4, 60)
+        segs = rng.randint(1, 3)
+        seed = str(rng.randint(0, 9))
+        rows = [
+            (
+                i,
+                f"g{rng.randint(0, segs - 1)}",
+                None if rng.random() < 0.1 else float(rng.randint(0, 50)) / 4,
+            )
+            for i in range(n)
+        ]
+        vals = ", ".join(
+            f"({u}, '{g}', {'NULL' if m is None else repr(m)})"
+            for u, g, m in rows
+        )
+        sql = f"""
+        WITH e(uid, seg, m) AS (SELECT * FROM (VALUES {vals})),
+        a AS (
+          SELECT seg, m,
+                 ('0x' || substring(md5('{seed}' || '|' ||
+                    coalesce(uid::VARCHAR, chr(0))), 1, 8))::BIGINT
+                 / 4294967296.0 < 0.5 AS is_t
+          FROM e WHERE m IS NOT NULL
+        ), s AS (
+          SELECT seg,
+                 CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+                 CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS n_c,
+                 CAST(SUM(CAST(CASE WHEN is_t THEN m ELSE 0.0 END
+                               AS DECIMAL(24,8))) AS DOUBLE) AS sx_t,
+                 CAST(SUM(CAST(CASE WHEN is_t THEN 0.0 ELSE m END
+                               AS DECIMAL(24,8))) AS DOUBLE) AS sx_c
+          FROM a GROUP BY seg
+        )
+        SELECT seg, n_c, n_t,
+               CASE WHEN n_c > 0 THEN ROUND(sx_c / n_c, 6) END AS mean_c6,
+               CASE WHEN n_t > 0 THEN ROUND(sx_t / n_t, 6) END AS mean_t6
+        FROM s
+        """
+
+        def build(spark, sf_dir, rows=rows, seed=seed):
+            from pigout_spark.pipeline.behavioral import ab_lift
+
+            df = spark.createDataFrame(
+                rows, "uid bigint, seg string, m double"
+            )
+            out = ab_lift(df, "m", ["uid"], seed=seed, by=["seg"])
+            return out.select(
+                "seg", "n_c", "n_t",
+                F.round("mean_c", 6).alias("mean_c6"),
+                F.round("mean_t", 6).alias("mean_t6"),
+            )
+
+        return build, sql
 
     if kind in ("bfs", "sssp"):
         n_nodes = rng.randint(3, 12)
