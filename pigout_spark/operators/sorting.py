@@ -251,15 +251,26 @@ def winsorize(
             "partition)"
         )
     v = F.col(value_col)
-    base = df.withColumn("__nn", v.isNotNull())
     w = Window.partitionBy(*keys).orderBy(value_col)
-    ranked = base.filter(F.col("__nn")).withColumn(
+    ranked = df.filter(v.isNotNull()).withColumn(
         "__rn", F.row_number().over(w)
     ).withColumn(
         "__n", F.count(F.lit(1)).over(Window.partitionBy(*keys))
     )
-    k_lo = F.greatest(F.lit(1), F.ceil(F.lit(float(p_lo)) * F.col("__n")))
-    k_hi = F.greatest(F.lit(1), F.ceil(F.lit(float(p_hi)) * F.col("__n")))
+    # k as EXACT decimal arithmetic (r8 self-review): an IEEE p·n can
+    # land one ulp above the true product (0.07·100 = 7.000000000000001
+    # -> ceil 8, not the documented 7), and DuckDB parses the same
+    # fraction as an exact DECIMAL literal — a live cross-engine
+    # divergence.  Decimal(str(p)) reproduces the decimal the caller
+    # wrote, so both engines ceil the exact product.
+    from decimal import Decimal
+
+    k_lo = F.greatest(
+        F.lit(1), F.ceil(F.lit(Decimal(str(p_lo))) * F.col("__n"))
+    )
+    k_hi = F.greatest(
+        F.lit(1), F.ceil(F.lit(Decimal(str(p_hi))) * F.col("__n"))
+    )
     bounds = (
         ranked.withColumn("__klo", k_lo)
         .withColumn("__khi", k_hi)
@@ -282,5 +293,5 @@ def winsorize(
                 F.least(F.greatest(v, F.col("__lo")), F.col("__hi")),
             ),
         )
-        .drop("__lo", "__hi", "__nn")
+        .drop("__lo", "__hi")
     )

@@ -1078,6 +1078,22 @@ def trend_fit(
     x, y = F.col(x_col), F.col(y_col)
     d = df.filter(x.isNotNull() & y.isNotNull())
     ts = int(term_scale)
+    if ts == 0:
+        # enforce the integerized-input contract instead of silently
+        # truncating: cast-to-bigint TRUNCATES in Spark but ROUNDS in
+        # DuckDB, so a fractional metric would produce a confidently
+        # wrong slope AND diverge from the twin (r8 self-review).  The
+        # check rides the existing scan (assert_true, distributed).
+        d = d.filter(
+            F.assert_true(
+                (x == F.floor(x)) & (y == F.floor(y)),
+                F.lit(
+                    "trend_fit(term_scale=0): x/y must be integral "
+                    "(cents, days, counts) — use a positive term_scale "
+                    "for fractional metrics"
+                ),
+            ).isNull()
+        )
 
     def dsum(expr, prec):
         return F.sum(expr.cast(prec)).cast("double")

@@ -33,6 +33,13 @@ def _bin_counts(
     excluded (a NULL is not a drifted value; callers comparing NULL
     RATES should profile those separately).  Identical bin arithmetic
     to behavioral.histogram so oracles can share the chain."""
+    if int(bins) < 1:
+        raise ValueError("drift binning: bins must be >= 1")
+    if not float(hi) > float(lo):
+        raise ValueError(
+            f"drift binning: hi ({hi}) must be > lo ({lo}) — swapped "
+            "bounds silently funnel everything into the edge bins"
+        )
     width = (float(hi) - float(lo)) / int(bins)
     v = F.col(value_col)
     b = F.least(
@@ -106,11 +113,22 @@ def psi_drift(
     K-row-relation arithmetic.  Nothing else touches the data.
     """
     j = _joined_bins(ref, cur, value_col, bins, lo, hi)
-    p_ref = F.greatest(
-        F.col("n_ref") / F.col("t_ref"), F.lit(float(min_prop))
+    # an EMPTY side (no data arrived yet — a routine monitoring state)
+    # is a NULL readout, not an ANSI divide-by-zero crash (r8
+    # self-review; the ab_lift empty-arm discipline)
+    # (greatest/least SKIP NULL operands — the winsorize lesson — so
+    # the empty-side NULL must be routed around the clamp explicitly)
+    p_ref = F.when(
+        F.col("t_ref") > 0,
+        F.greatest(
+            F.col("n_ref") / F.col("t_ref"), F.lit(float(min_prop))
+        ),
     )
-    p_cur = F.greatest(
-        F.col("n_cur") / F.col("t_cur"), F.lit(float(min_prop))
+    p_cur = F.when(
+        F.col("t_cur") > 0,
+        F.greatest(
+            F.col("n_cur") / F.col("t_cur"), F.lit(float(min_prop))
+        ),
     )
     contrib = F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6) + F.lit(
         0.0
@@ -149,11 +167,15 @@ def ks_drift(
     )
     ecdf = j.select(
         "bin",
-        (F.sum("n_ref").over(w) / F.col("t_ref")).alias("__er"),
-        (F.sum("n_cur").over(w) / F.col("t_cur")).alias("__ec"),
+        F.when(
+            F.col("t_ref") > 0, F.sum("n_ref").over(w) / F.col("t_ref")
+        ).alias("__er"),
+        F.when(
+            F.col("t_cur") > 0, F.sum("n_cur").over(w) / F.col("t_cur")
+        ).alias("__ec"),
     ).select(
         "bin", F.abs(F.col("__er") - F.col("__ec")).alias("__d")
-    )
+    ).filter(F.col("__d").isNotNull())
     # single agg: max over (d, -bin) structs == max d, smallest bin on
     # ties — deterministic argmax without a second pass
     return ecdf.agg(

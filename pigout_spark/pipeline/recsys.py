@@ -69,6 +69,21 @@ def _user_item_lists(
     )
 
 
+def _pair_counts(lists: DataFrame) -> DataFrame:
+    """(item_a, item_b, n_ab) from the per-user list relation: in-task
+    pair explosion, pair-key pre-partition (module docstring), count."""
+    npart = lists.sparkSession.sparkContext.defaultParallelism
+    return (
+        lists.select(F.explode(F.expr(_PAIR_EXPR)).alias("__p"))
+        .select(
+            F.col("__p.a").alias("item_a"), F.col("__p.b").alias("item_b")
+        )
+        .repartition(npart, "item_a", "item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+
+
 def item_cooccurrence(
     events: DataFrame,
     user_col: str,
@@ -88,18 +103,7 @@ def item_cooccurrence(
     relation never exists unaggregated outside its own exchange.
     """
     lists = _user_item_lists(events, user_col, item_col, max_items_per_user)
-    spark = events.sparkSession
-    return (
-        lists.select(F.explode(F.expr(_PAIR_EXPR)).alias("__p"))
-        .select(F.col("__p.a").alias("item_a"), F.col("__p.b").alias("item_b"))
-        # pre-partition on the pair key: mostly-unique keys make an
-        # unpartitioned map-side partial agg pure overhead
-        .repartition(
-            spark.sparkContext.defaultParallelism, "item_a", "item_b"
-        )
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-    )
+    return _pair_counts(lists)
 
 
 def item_cf_topk(
@@ -130,16 +134,7 @@ def item_cf_topk(
     the score joins; ranking is one window on the item key.
     """
     lists = _user_item_lists(events, user_col, item_col, max_items_per_user)
-    spark = events.sparkSession
-    npart = spark.sparkContext.defaultParallelism
-    pairs = (
-        lists.select(F.explode(F.expr(_PAIR_EXPR)).alias("__p"))
-        .select(F.col("__p.a").alias("item_a"), F.col("__p.b").alias("item_b"))
-        .repartition(npart, "item_a", "item_b")
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .filter(F.col("n_ab") >= int(min_cooc))
-    )
+    pairs = _pair_counts(lists).filter(F.col("n_ab") >= int(min_cooc))
     ni = (
         lists.select(F.explode("items").alias("item"))
         .groupBy("item")

@@ -104,20 +104,27 @@ def compact_changelog(
     w = Window.partitionBy(*key_cols).orderBy(*order)
     out = changes.withColumn("__rn", F.row_number().over(w))
     if seq_col is None:
+        # ambiguity matters only where it decides the WINNER: evaluate
+        # the duplicate-(key, ts) guard on the rn=1 row alone, so
+        # historical same-instant entries that a later change already
+        # superseded compact fine (r8 self-review — the first guard
+        # aborted on ANY duplicate ts)
         dup = F.count(F.lit(1)).over(
             Window.partitionBy(*key_cols, ts_col)
         )
-        out = out.withColumn(
-            "__dupck",
+        out = out.withColumn("__dup", dup)
+        out = out.filter(F.col("__rn") == 1).filter(
             F.assert_true(
-                dup == 1,
+                F.col("__dup") == 1,
                 F.lit(
-                    "compact_changelog: duplicate (key, ts) change rows — "
-                    "pass seq_col to define the winner deterministically"
+                    "compact_changelog: duplicate (key, ts) rows at the "
+                    "winning timestamp — pass seq_col to define the "
+                    "winner deterministically"
                 ),
-            ),
-        ).filter(F.col("__dupck").isNull())
-    return out.filter(F.col("__rn") == 1).drop("__rn", "__dupck")
+            ).isNull()
+        )
+        return out.drop("__rn", "__dup")
+    return out.filter(F.col("__rn") == 1).drop("__rn")
 
 
 def apply_cdc(
@@ -155,6 +162,19 @@ def apply_cdc(
                if c not in changes.columns]
     if missing:
         raise ValueError(f"apply_cdc: changes missing columns {missing}")
+    # a NULL op is a malformed record, not a delete: `op <> delete_op`
+    # is NULL for NULL op, which silently dropped the row from
+    # survivors while its key was still anti-joined out of base —
+    # destroying data (r8 self-review).  Fail loudly on the scan.
+    changes = changes.filter(
+        F.assert_true(
+            F.col(op_col).isNotNull(),
+            F.lit(
+                f"apply_cdc: NULL {op_col} in change log — malformed "
+                "CDC record (neither upsert nor delete)"
+            ),
+        ).isNull()
+    )
     latest = compact_changelog(
         changes, key_cols, ts_col=ts_col, op_col=op_col, seq_col=seq_col
     )

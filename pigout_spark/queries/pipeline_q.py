@@ -4120,13 +4120,15 @@ def x_item_cf(spark, sf_dir):
       FROM a GROUP BY event_type
     )
     SELECT event_type, n_c, n_t,
-           ROUND(sx_c / n_c, 6) AS mean_c6,
-           ROUND(sx_t / n_t, 6) AS mean_t6,
-           ROUND(sx_t / n_t - sx_c / n_c, 6) AS lift6,
-           ROUND((sx_t / n_t - sx_c / n_c)
+           CASE WHEN n_c > 0 THEN ROUND(sx_c / n_c, 6) END AS mean_c6,
+           CASE WHEN n_t > 0 THEN ROUND(sx_t / n_t, 6) END AS mean_t6,
+           CASE WHEN n_c > 0 AND n_t > 0
+                THEN ROUND(sx_t / n_t - sx_c / n_c, 6) END AS lift6,
+           CASE WHEN n_c > 1 AND n_t > 1 THEN
+             ROUND((sx_t / n_t - sx_c / n_c)
                  / sqrt(((n_t * sxx_t - sx_t * sx_t) / (n_t * (n_t - 1))) / n_t
                       + ((n_c * sxx_c - sx_c * sx_c) / (n_c * (n_c - 1))) / n_c),
-                 6) AS z6
+                 6) END AS z6
     FROM s
     """,
 )

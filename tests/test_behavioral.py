@@ -826,3 +826,65 @@ def test_ab_lift_by_segments_matches_per_segment_runs(spark):
     )
     r = ab_lift(tiny, "m", ["uid"], seed="3", by=["seg"]).collect()[0]
     assert r.z is None  # singleton arms -> NULL variance -> NULL z
+
+
+def test_r8_review_regressions(spark):
+    """Pins for the round-8 closing-review fixes: the winsorize ceil
+    divergence (IEEE 0.07*100 -> 8 vs the exact decimal 7), the CDC
+    NULL-op data-destruction path, the over-eager duplicate-ts guard,
+    trend_fit's silent fractional truncation, and drift's empty-side /
+    swapped-bounds behavior."""
+    import pytest as _pytest
+    from pigout_spark.operators.sorting import winsorize
+    from pigout_spark.pipeline.behavioral import trend_fit
+    from pigout_spark.pipeline.drift import ks_drift, psi_drift
+    from pigout_spark.pipeline.scd import apply_cdc, compact_changelog
+
+    # winsorize: p=0.07 over 100 values -> k MUST be 7 (exact decimal),
+    # not 8 (IEEE product one ulp high); value at rank 7 is 7.0
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 101)], "k string, value double"
+    )
+    out = {r.value: r.value_w for r in
+           winsorize(df, "value", ["k"], p_lo=0.07, p_hi=0.93).collect()}
+    assert out[1.0] == 7.0 and out[100.0] == 93.0
+
+    # apply_cdc: NULL op fails loudly instead of silently deleting
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    bad = spark.createDataFrame(
+        [(1, "a2", None, 10)], "k long, v string, op string, ts long"
+    )
+    with _pytest.raises(Exception, match="NULL op"):
+        apply_cdc(base, bad, ["k"]).collect()
+
+    # compact_changelog: duplicates at a NON-winning ts are fine;
+    # duplicates at the winning ts still abort
+    ch = spark.createDataFrame(
+        [(1, "a", "U", 5), (1, "b", "U", 5), (1, "c", "U", 9)],
+        "k long, v string, op string, ts long",
+    )
+    assert compact_changelog(ch, ["k"]).collect()[0].v == "c"
+    tie = spark.createDataFrame(
+        [(1, "a", "U", 9), (1, "b", "U", 9)],
+        "k long, v string, op string, ts long",
+    )
+    with _pytest.raises(Exception, match="winning timestamp"):
+        compact_changelog(tie, ["k"]).collect()
+
+    # trend_fit(term_scale=0): fractional metric fails loudly
+    frac = spark.createDataFrame(
+        [(1, 1.0, 1.7), (1, 2.0, 2.0)], "k long, x double, y double"
+    )
+    with _pytest.raises(Exception, match="integral"):
+        trend_fit(frac, ["k"], "x", "y", term_scale=0).collect()
+
+    # drift: empty side -> NULL readout, not a crash; swapped bounds
+    # -> build-time ValueError
+    vals = spark.createDataFrame([(float(i % 5),) for i in range(50)], "v double")
+    empty = vals.filter("v < -1")
+    psi = psi_drift(empty, vals, "v", bins=5, lo=0.0, hi=5.0).collect()
+    assert psi and all(r.psi6 is None for r in psi)
+    ks = ks_drift(empty, vals, "v", bins=5, lo=0.0, hi=5.0).collect()[0]
+    assert ks.d_stat is None
+    with _pytest.raises(ValueError, match="hi"):
+        psi_drift(vals, vals, "v", bins=5, lo=5.0, hi=0.0)

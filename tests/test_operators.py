@@ -809,7 +809,7 @@ def test_asof_join_right_tiebreak_pins_duplicate_ts(spark):
     for direction, want_px in (("backward", 3.0), ("forward", 9.0),
                                ("nearest", 3.0)):
         out = asof_join(
-            left, right.drop("ver") if False else right,
+            left, right,
             by="sym", right_cols=["px"],
             direction=direction, right_tiebreak="ver",
         ).collect()
