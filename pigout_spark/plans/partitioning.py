@@ -149,3 +149,81 @@ def zorder_layout(df: DataFrame, cols: list, bits: int = 16):
         out.repartitionByRange("__zkey").sortWithinPartitions("__zkey"),
         "__zkey",
     )
+
+
+def heavy_hitters(df: DataFrame, key_cols: list[str], top_n: int = 20):
+    """The ``top_n`` heaviest keys with their row share — the first
+    question to ask before any groupBy/join at scale ("which keys will
+    make my shuffle partitions lopsided").  NULL key components count
+    as a key (NULL is a classic skew source — flag it, don't hide it).
+
+    Output: (*key_cols, cnt, share6) ordered by (cnt DESC, keys ASC) —
+    the deterministic tie rule; share rounded to 6 decimals.
+
+    100 TB: one map-side-combined groupBy + a top-n (TakeOrdered); the
+    share denominator is one broadcast count row.
+    """
+    if not key_cols:
+        raise ValueError("heavy_hitters needs at least one key column")
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("cnt"))
+    total = df.agg(F.count(F.lit(1)).cast("double").alias("__t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share6", F.round(F.col("cnt") / F.col("__t"), 6))
+        .drop("__t")
+        .orderBy(F.col("cnt").desc(), *[F.col(c).asc() for c in key_cols])
+        .limit(int(top_n))
+    )
+
+
+def skew_stats(df: DataFrame, key_cols: list[str]):
+    """One-row key-distribution summary: n_rows, n_keys, max_share6
+    (the heaviest key's fraction — the direct "one task gets X% of the
+    shuffle" number), and entropy_ratio6 (Shannon entropy of the key
+    distribution over its ln(n_keys) maximum — 1.0 = perfectly even,
+    →0 = one key dominates).
+
+    Determinism: counts exact; each entropy contribution p·ln(p)
+    ROUNDs to 6 decimals and sums as DECIMAL(20,6) (the vocab_kl ln
+    discipline); single-key inputs get entropy_ratio NULL (the ratio
+    is 0/0 — there is no distribution to be even).
+
+    100 TB: one map-side-combined groupBy to the key-count relation,
+    then one aggregation over it.  Nothing else touches the data.
+    """
+    if not key_cols:
+        raise ValueError("skew_stats needs at least one key column")
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__c"))
+    s = counts.agg(
+        F.sum("__c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("__c").alias("__maxc"),
+    )
+    p = F.col("__c") / F.col("n_rows")
+    plogp = (F.round(p * F.log(p), 6) + F.lit(0.0)).cast("decimal(20,6)")
+    ent = (
+        counts.crossJoin(F.broadcast(s))
+        .agg(
+            F.first("n_rows").alias("n_rows"),
+            F.first("n_keys").alias("n_keys"),
+            F.first("__maxc").alias("__maxc"),
+            (-F.sum(plogp)).cast("double").alias("__h"),
+        )
+    )
+    return ent.select(
+        "n_rows",
+        "n_keys",
+        F.round(F.col("__maxc") / F.col("n_rows"), 6).alias("max_share6"),
+        # ROUND-6 contributions can overshoot the exact ln(n_keys)
+        # ceiling by a millionth on perfectly even splits — clamp so
+        # "1.0 = even" reads cleanly
+        F.when(
+            F.col("n_keys") > 1,
+            F.least(
+                F.lit(1.0),
+                F.round(
+                    F.col("__h") / F.log(F.col("n_keys").cast("double")), 6
+                ),
+            ),
+        ).alias("entropy_ratio6"),
+    )

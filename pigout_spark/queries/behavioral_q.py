@@ -1063,3 +1063,81 @@ def x_winsorize(spark, sf_dir):
     )
     out = winsorize(o, "value", ["pri"], p_lo=0.05, p_hi=0.95)
     return out.select("o_orderkey", "pri", "value", "value_w")
+
+
+@query(
+    "x_quantile_bucket",
+    """
+    SELECT o_orderkey, o_totalprice AS value,
+           CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                AS BIGINT) AS bucket
+    FROM orders WHERE o_totalprice IS NOT NULL
+    """,
+)
+def x_quantile_bucket(spark, sf_dir):
+    """Global spend deciles with SQL ntile semantics
+    (operators/sorting.py:quantile_bucket) — the two-pass row_rank
+    path (NO keyless single-partition window) hash-matched against
+    DuckDB's NATIVE ntile(10) over the same (value, id) total order."""
+    from pigout_spark.operators.sorting import quantile_bucket
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("value")
+    )
+    out = quantile_bucket(o, "value", 10, id_cols=["o_orderkey"])
+    return out.select("o_orderkey", "value", "bucket")
+
+
+@query(
+    "x_heavy_hitters",
+    """
+    WITH c AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id
+    ), t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS tt FROM events)
+    SELECT user_id, cnt, ROUND(cnt / tt, 6) AS share6
+    FROM c, t
+    ORDER BY cnt DESC, user_id ASC LIMIT 15
+    """,
+)
+def x_heavy_hitters(spark, sf_dir):
+    """The 15 heaviest event keys with row shares
+    (plans/partitioning.py:heavy_hitters) — the pre-shuffle skew
+    checklist; (cnt DESC, key ASC) pins the tie order so the top-n set
+    hash-matches."""
+    from pigout_spark.plans.partitioning import heavy_hitters
+
+    return heavy_hitters(t(spark, sf_dir, "events"), ["user_id"], top_n=15)
+
+
+@query(
+    "x_skew_stats",
+    """
+    WITH c AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c FROM events
+      GROUP BY event_type
+    ), s AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             MAX(c) AS maxc
+      FROM c
+    ), h AS (
+      SELECT CAST(-SUM(CAST(ROUND((c / n_rows) * ln(c / n_rows), 6) + 0.0
+                           AS DECIMAL(20,6))) AS DOUBLE) AS hh
+      FROM c, s
+    )
+    SELECT n_rows, n_keys, ROUND(maxc / n_rows, 6) AS max_share6,
+           CASE WHEN n_keys > 1
+                THEN LEAST(1.0, ROUND(hh / ln(CAST(n_keys AS DOUBLE)), 6))
+           END AS entropy_ratio6
+    FROM s, h
+    """,
+)
+def x_skew_stats(spark, sf_dir):
+    """Key-distribution summary over event types
+    (plans/partitioning.py:skew_stats): max key share + normalized
+    Shannon entropy (ROUND-6 p·ln p contributions, decimal-summed —
+    the vocab_kl discipline)."""
+    from pigout_spark.plans.partitioning import skew_stats
+
+    return skew_stats(t(spark, sf_dir, "events"), ["event_type"])

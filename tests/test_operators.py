@@ -837,3 +837,41 @@ def test_winsorize_clamps_to_exact_order_statistics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="key_cols"):
         winsorize(df, "value", [])
+
+
+def test_quantile_bucket_matches_ntile_semantics(spark):
+    """Global two-pass path == keyed F.ntile path == SQL ntile: first
+    n%k buckets get the extra row; k>n degenerates to bucket=rank;
+    NULLs bucket NULL."""
+    from pigout_spark.operators.sorting import quantile_bucket
+
+    rows = [(i, float((i * 7) % 23)) for i in range(23)] + [(99, None)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    g = {
+        r.id: r.bucket
+        for r in quantile_bucket(df, "v", 4, id_cols=["id"]).collect()
+    }
+    keyed = {
+        r.id: r.bucket
+        for r in quantile_bucket(
+            df.withColumn("k", F.lit("a")), "v", 4,
+            id_cols=["id"], key_cols=["k"],
+        ).collect()
+    }
+    assert g == keyed
+    from collections import Counter
+    sizes = Counter(v for kk, v in g.items() if v is not None)
+    # n=23, k=4 -> sizes 6,6,6,5
+    assert sorted(sizes.values(), reverse=True) == [6, 6, 6, 5]
+    assert g[99] is None
+
+    tiny = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double")
+    degen = {
+        r.id: r.bucket
+        for r in quantile_bucket(tiny, "v", 5, id_cols=["id"]).collect()
+    }
+    assert degen == {1: 1, 2: 2}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k must"):
+        quantile_bucket(tiny, "v", 0)

@@ -312,3 +312,27 @@ def test_bm25_takeordered_and_scd2_single_exchange(spark, sf_dir):
     final2 = plan2.split("== Initial Plan ==")[0]
     assert final2.count("Exchange hashpartitioning") == 1
     assert "Exchange SinglePartition" not in final2
+
+
+def test_heavy_hitters_and_skew_stats(spark):
+    """A 60/30/10 key split: shares, deterministic tie order, max
+    share, and the entropy ratio against a hand-computed value; a
+    uniform split scores ratio 1.0; a single key gets NULL ratio."""
+    import math
+    from pigout_spark.plans.partitioning import heavy_hitters, skew_stats
+
+    rows = [("a",)] * 60 + [("b",)] * 30 + [("c",)] * 10
+    df = spark.createDataFrame(rows, "k string")
+    hh = heavy_hitters(df, ["k"], top_n=2).collect()
+    assert [(r.k, r.cnt, r.share6) for r in hh] == [("a", 60, 0.6), ("b", 30, 0.3)]
+
+    s = skew_stats(df, ["k"]).collect()[0]
+    assert (s.n_rows, s.n_keys, s.max_share6) == (100, 3, 0.6)
+    h = -(round(0.6 * math.log(0.6), 6) + round(0.3 * math.log(0.3), 6)
+          + round(0.1 * math.log(0.1), 6))
+    assert s.entropy_ratio6 == round(h / math.log(3), 6)
+
+    even = spark.createDataFrame([("x",), ("y",)] * 10, "k string")
+    assert skew_stats(even, ["k"]).collect()[0].entropy_ratio6 == 1.0
+    one = spark.createDataFrame([("z",)] * 5, "k string")
+    assert skew_stats(one, ["k"]).collect()[0].entropy_ratio6 is None
