@@ -186,3 +186,123 @@ def ks_drift(
         F.col("m.d").alias("d_stat"),
         (-F.col("m.nb")).cast("bigint").alias("at_bin"),
     )
+
+
+def bin_expr(value_col: str, bins: int, lo: float, hi: float):
+    """The clamped equi-width bin id as a NARROW column expression —
+    shareable by batch groupBys and streaming window aggregations
+    (same arithmetic as :func:`_bin_counts`)."""
+    if int(bins) < 1:
+        raise ValueError("drift binning: bins must be >= 1")
+    if not float(hi) > float(lo):
+        raise ValueError("drift binning: hi must be > lo")
+    width = (float(hi) - float(lo)) / int(bins)
+    v = F.col(value_col)
+    return F.least(
+        F.lit(int(bins) - 1),
+        F.greatest(F.lit(0), F.floor((v - F.lit(float(lo))) / F.lit(width))),
+    ).cast("bigint")
+
+
+def drift_bins_stream(
+    stream: DataFrame,
+    value_col: str,
+    ts_col: str,
+    duration: str,
+    bins: int = 20,
+    lo: float = 0.0,
+    hi: float = 100.0,
+) -> DataFrame:
+    """Streaming-safe windowed bin counts: ONE tumbling event-time
+    aggregation over the narrow bin expression — the stream half of a
+    continuous drift monitor.  Output: (window_start, bin, n_cur).
+
+    Streaming only allows a single aggregation layer, so the PSI
+    arithmetic itself (which needs per-window totals and the reference
+    join) runs downstream via :func:`psi_from_counts` — in a
+    foreachBatch, or on the sink table (the rollup_timeseries
+    continuous-aggregate pattern: heavy counting in the stream,
+    cheap readout from the counts).
+    """
+    b = bin_expr(value_col, bins, lo, hi)
+    out = (
+        stream.filter(F.col(value_col).isNotNull())
+        .withColumn("__bin", b)
+        .groupBy(F.window(ts_col, duration).alias("__w"), F.col("__bin"))
+        .agg(F.count(F.lit(1)).alias("n_cur"))
+    )
+    return out.select(
+        F.col("__w.start").alias("window_start"),
+        F.col("__bin").alias("bin"),
+        "n_cur",
+    )
+
+
+def psi_from_counts(
+    ref_counts: DataFrame,
+    cur_counts: DataFrame,
+    by: list[str] | None = None,
+    min_prop: float = 1e-4,
+) -> DataFrame:
+    """PSI contributions from PRE-AGGREGATED bin counts: ``ref_counts``
+    is a static (bin, n_ref) reference; ``cur_counts`` carries
+    (``by``..., bin, n_cur) — one comparison group per ``by`` tuple
+    (a stream's window_start, a date partition, a model version).
+    Same formula, clamping, and ROUND-6 ln discipline as
+    :func:`psi_drift`; per-group empty sides read NULL.
+
+    Output: (*by, bin, n_ref, n_cur, psi6) — every reference bin
+    appears in every group (zero-filled), so per-group totals are
+    comparable.
+
+    100 TB: the count relations are bins-sized (× groups); everything
+    here is small-relation arithmetic — the data was paid for
+    upstream, once.
+    """
+    bys = list(by or [])
+    ref_n = [c for c in ref_counts.columns if c != "bin"]
+    if len(ref_n) != 1:
+        raise ValueError(
+            "psi_from_counts: ref_counts must be exactly (bin, <count>)"
+        )
+    r = ref_counts.select("bin", F.col(ref_n[0]).alias("n_ref"))
+    c = cur_counts.select(*bys, "bin", "n_cur")
+    groups = (
+        c.select(*bys).distinct() if bys
+        else c.sparkSession.range(1).select(F.lit(1).alias("__g"))
+    )
+    scaffold = (
+        groups.crossJoin(F.broadcast(r)) if bys
+        else groups.crossJoin(F.broadcast(r)).drop("__g")
+    )
+    # scaffold derives FROM c, so a plain self-join sees conflicting
+    # attribute references — rename the probe side's join columns into
+    # fresh attributes instead of relying on alias resolution
+    c2 = c.select(
+        *[F.col(b).alias(f"__cb{i}") for i, b in enumerate(bys)],
+        F.col("bin").alias("__cbin"),
+        "n_cur",
+    )
+    cond = [
+        F.col(f"__cb{i}") == F.col(b) for i, b in enumerate(bys)
+    ] + [F.col("__cbin") == F.col("bin")]
+    j = scaffold.join(c2, cond, "left").select(
+        *bys,
+        "bin",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    wt = Window.partitionBy(*bys) if bys else Window.partitionBy()
+    j = j.withColumn("t_ref", F.sum("n_ref").over(wt)).withColumn(
+        "t_cur", F.sum("n_cur").over(wt)
+    )
+    p_ref = F.when(
+        F.col("t_ref") > 0,
+        F.greatest(F.col("n_ref") / F.col("t_ref"), F.lit(float(min_prop))),
+    )
+    p_cur = F.when(
+        F.col("t_cur") > 0,
+        F.greatest(F.col("n_cur") / F.col("t_cur"), F.lit(float(min_prop))),
+    )
+    contrib = F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6) + F.lit(0.0)
+    return j.select(*bys, "bin", "n_ref", "n_cur", contrib.alias("psi6"))

@@ -1141,3 +1141,52 @@ def x_skew_stats(spark, sf_dir):
     from pigout_spark.plans.partitioning import skew_stats
 
     return skew_stats(t(spark, sf_dir, "events"), ["event_type"])
+
+
+@query(
+    "x_psi_by_source",
+    """
+    WITH binned AS (
+      SELECT source,
+             LEAST(9, GREATEST(0,
+               CAST(floor((n_chars - 0.0) / 60.0) AS BIGINT))) AS bin
+      FROM documents WHERE n_chars IS NOT NULL
+    ), rb AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_ref FROM binned GROUP BY bin
+    ), cb AS (
+      SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS n_cur
+      FROM binned GROUP BY source, bin
+    ), scaffold AS (
+      SELECT s.source, rb.bin, rb.n_ref
+      FROM (SELECT DISTINCT source FROM cb) s CROSS JOIN rb
+    ), j AS (
+      SELECT sc.source, sc.bin, sc.n_ref,
+             coalesce(cb.n_cur, 0) AS n_cur
+      FROM scaffold sc LEFT JOIN cb
+        ON sc.source = cb.source AND sc.bin = cb.bin
+    ), t AS (
+      SELECT source,
+             CAST(SUM(n_ref) AS BIGINT) AS tr,
+             CAST(SUM(n_cur) AS BIGINT) AS tc
+      FROM j GROUP BY source
+    )
+    SELECT j.source, j.bin, j.n_ref, j.n_cur,
+           ROUND((GREATEST(n_cur / tc, 1e-4) - GREATEST(n_ref / tr, 1e-4))
+                 * ln(GREATEST(n_cur / tc, 1e-4)
+                      / GREATEST(n_ref / tr, 1e-4)), 6) + 0.0 AS psi6
+    FROM j JOIN t ON j.source = t.source
+    """,
+)
+def x_psi_by_source(spark, sf_dir):
+    """Per-source PSI against the corpus-wide n_chars reference —
+    the GROUPED pre-aggregated-counts path
+    (pipeline/drift.py:psi_from_counts(by=['source']), the continuous
+    drift-monitor readout shape; every reference bin zero-filled into
+    every group so per-group totals compare)."""
+    from pigout_spark.pipeline.drift import bin_expr, psi_from_counts
+
+    d = t(spark, sf_dir, "documents").filter(F.col("n_chars").isNotNull())
+    b = d.withColumn("bin", bin_expr("n_chars", 10, 0.0, 600.0))
+    rc = b.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+    cc = b.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("n_cur"))
+    return psi_from_counts(rc, cc, by=["source"])

@@ -798,3 +798,70 @@ def test_seasonal_decompose_recovers_linear_trend_and_seasonal(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="period"):
         seasonal_decompose(df, ["k"], "idx", "v", 1)
+
+
+def test_psi_from_counts_matches_psi_drift_and_runs_as_real_stream(spark):
+    """(1) psi_from_counts on pre-aggregated counts reproduces
+    psi_drift bit-for-bit per group; (2) drift_bins_stream runs the
+    counting half under a real readStream plan, and psi_from_counts
+    over the streamed counts equals the batch answer — the continuous
+    drift-monitor decomposition."""
+    import shutil
+    import tempfile
+
+    from pigout_spark.pipeline.drift import (
+        drift_bins_stream,
+        psi_drift,
+        psi_from_counts,
+        _bin_counts,
+    )
+
+    ref = spark.createDataFrame(
+        [(float(i % 10),) for i in range(500)], "v double"
+    )
+    cur = spark.createDataFrame(
+        [(float((i % 7) + 3),) for i in range(300)], "v double"
+    )
+    want = {
+        r.bin: r.psi6
+        for r in psi_drift(ref, cur, "v", bins=10, lo=0.0, hi=10.0).collect()
+    }
+    rc = _bin_counts(ref, "v", 10, 0.0, 10.0)
+    cc = _bin_counts(cur, "v", 10, 0.0, 10.0).withColumnRenamed("n", "n_cur")
+    got = {
+        r.bin: r.psi6
+        for r in psi_from_counts(rc, cc).collect()
+    }
+    assert got == want
+
+    # real stream: one hour of events -> windowed bin counts
+    rows = [(T0 + dt.timedelta(seconds=i), float((i % 7) + 3))
+            for i in range(300)]
+    src = tempfile.mkdtemp(prefix="pigout_stream_drift")
+    try:
+        spark.createDataFrame(rows, "ts timestamp, v double").coalesce(
+            1
+        ).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema("ts timestamp, v double").parquet(src)
+        counts = drift_bins_stream(
+            stream, "v", "ts", "1 hour", bins=10, lo=0.0, hi=10.0
+        )
+        q = (
+            counts.writeStream.format("memory")
+            .queryName("driftbins")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        streamed = spark.table("driftbins")
+        assert streamed.count() > 0
+        per_window = {
+            r.bin: r.psi6
+            for r in psi_from_counts(
+                rc, streamed, by=["window_start"]
+            ).collect()
+        }
+        assert per_window == want  # one window; identical cur distribution
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
