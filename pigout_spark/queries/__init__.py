@@ -59,8 +59,12 @@ from pigout_spark.queries import udf_q  # noqa: F401,E402
 # PSI/KS drift, seasonal decompose, item CF, segmented A/B, winsorize)
 # take the remaining slots so they hold driver rows in their build
 # round.  After r8 every query registered before this round will have
-# held a driver CORRECTNESS row.  Anchors: the 19 r7 anchors stay —
-# one settled green row per core operator family.
+# held a driver CORRECTNESS row.  Anchors: 15 of the 19 r7 anchors
+# stay — q06/q26/dedup_exact/text_langid ceded their slots to the four
+# late-r8 additions (quantile bucketing, heavy hitters, skew stats,
+# grouped PSI); their families keep other driver rows (q03/q05/q38 +
+# the temporal joins, q24/q25, dedup_minhash/simhash_pairs,
+# text_quality/q13) and they keep local oracles as extras.
 _WINDOW_R8 = [
     "q01_group_agg",  # flagship
     # never driver-checked before r8 — hash-checkable oracles
@@ -97,24 +101,24 @@ _WINDOW_R8 = [
     "x_item_cf",
     "x_ab_segments",
     "x_winsorize",
+    "x_quantile_bucket",
+    "x_heavy_hitters",
+    "x_skew_stats",
+    "x_psi_by_source",
     # settled anchors: one driver-green row per operator family
     "q02_filter_project",
     "q03_join_agg",
     "q05_broadcast_join",
-    "q06_semi_anti",
     "q11_cube",
     "q13_flatten_tokenize",
     "q15_nested_topk",
     "q38_bloom_join",
     "q24_pandas_udf",
     "q25_udaf",
-    "q26_udtf",
-    "dedup_exact",
     "dedup_minhash",
     "dedup_simhash_pairs",
     "sim_ivf_topk",
     "text_quality",
-    "text_langid",
     "mm_binary_meta",
     "x_latin_q01",
 ]
