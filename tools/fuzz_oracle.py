@@ -2287,8 +2287,71 @@ def gen_r8(rng: random.Random):
     caps), and seasonal decomposition (random period parity/length)."""
     kind = rng.choice(
         ["bfs", "sssp", "cdc", "trend", "psi", "ks", "itemcf", "seasonal",
-         "winsor", "abseg"]
+         "winsor", "abseg", "ntile", "skew"]
     )
+
+    if kind == "ntile":
+        # the closed-form two-pass bucketing vs DuckDB's NATIVE ntile —
+        # random n/k exercise every remainder shape incl. k >= n
+        n = rng.randint(1, 60)
+        k = rng.randint(1, 12)
+        pool = [float(rng.randint(0, 9)) for _ in range(rng.randint(2, 6))]
+        rows = [(i, rng.choice(pool)) for i in range(n)]
+        if rng.random() < 0.3:
+            rows.append((990, None))
+        vals = ", ".join(
+            f"({i}, {'NULL' if v is None else repr(v)})" for i, v in rows
+        )
+        sql = f"""
+        WITH t(id, v) AS (SELECT * FROM (VALUES {vals}))
+        SELECT CAST(id AS BIGINT) AS id, v,
+               CAST(ntile({k}) OVER (ORDER BY v, id) AS BIGINT) AS bucket
+        FROM t WHERE v IS NOT NULL
+        UNION ALL
+        SELECT CAST(id AS BIGINT), v, NULL FROM t WHERE v IS NULL
+        """
+
+        def build(spark, sf_dir, rows=rows, k=k):
+            from pigout_spark.operators.sorting import quantile_bucket
+
+            df = spark.createDataFrame(rows, "id long, v double")
+            return quantile_bucket(df, "v", k, id_cols=["id"]).select(
+                "id", "v", "bucket"
+            )
+
+        return build, sql
+
+    if kind == "skew":
+        n = rng.randint(1, 80)
+        keys = rng.randint(1, 6)
+        # zipf-ish: key 0 overweighted
+        rows = [
+            (0 if rng.random() < 0.4 else rng.randrange(keys),)
+            for _ in range(n)
+        ]
+        vals = ", ".join(f"({k})" for (k,) in rows)
+        sql = f"""
+        WITH raw(k) AS (SELECT * FROM (VALUES {vals})),
+        c AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS c FROM raw GROUP BY k),
+        s AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+                     CAST(COUNT(*) AS BIGINT) AS n_keys, MAX(c) AS maxc
+              FROM c),
+        h AS (SELECT CAST(-SUM(CAST(ROUND((c / n_rows) * ln(c / n_rows), 6)
+                     + 0.0 AS DECIMAL(20,6))) AS DOUBLE) AS hh FROM c, s)
+        SELECT n_rows, n_keys, ROUND(maxc / n_rows, 6) AS max_share6,
+               CASE WHEN n_keys > 1
+                    THEN LEAST(1.0, ROUND(hh / ln(CAST(n_keys AS DOUBLE)), 6))
+               END AS entropy_ratio6
+        FROM s, h
+        """
+
+        def build(spark, sf_dir, rows=rows):
+            from pigout_spark.plans.partitioning import skew_stats
+
+            df = spark.createDataFrame(rows, "k long")
+            return skew_stats(df, ["k"])
+
+        return build, sql
 
     if kind == "winsor":
         n = rng.randint(2, 50)
