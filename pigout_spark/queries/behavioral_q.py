@@ -1190,3 +1190,67 @@ def x_psi_by_source(spark, sf_dir):
     rc = b.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
     cc = b.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("n_cur"))
     return psi_from_counts(rc, cc, by=["source"])
+
+
+@query(
+    "x_check_rules",
+    """
+    WITH s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CASE WHEN coalesce(o_totalprice > 0, FALSE)
+                 THEN 0 ELSE 1 END) AS BIGINT) AS v0,
+        CAST(SUM(CASE WHEN coalesce(o_totalprice <= 400000, FALSE)
+                 THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+        CAST(SUM(CASE WHEN coalesce(o_custkey IS NOT NULL, FALSE)
+                 THEN 0 ELSE 1 END) AS BIGINT) AS v2
+      FROM orders
+    )
+    SELECT 'price_positive' AS rule, n_rows, v0 AS n_violations,
+           v0 = 0 AS pass FROM s
+    UNION ALL
+    SELECT 'price_under_cap', n_rows, v1, v1 = 0 FROM s
+    UNION ALL
+    SELECT 'custkey_present', n_rows, v2, v2 = 0 FROM s
+    """,
+)
+def x_check_rules(spark, sf_dir):
+    """Declarative load-gate report over orders
+    (pipeline/validate.py:check_rules): three named rules folded into
+    ONE conditional aggregation — price_under_cap genuinely fails on
+    the whale orders, pinning the violation-count path."""
+    from pigout_spark.pipeline.validate import check_rules
+
+    return check_rules(
+        t(spark, sf_dir, "orders"),
+        {
+            "price_positive": F.col("o_totalprice") > 0,
+            "price_under_cap": F.col("o_totalprice") <= 400_000,
+            "custkey_present": F.col("o_custkey").isNotNull(),
+        },
+    )
+
+
+@query(
+    "x_ref_orphans",
+    """
+    WITH p AS (
+      SELECT DISTINCT p_partkey FROM part WHERE p_partkey % 3 <> 0
+    )
+    SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    WHERE l_partkey IS NOT NULL
+      AND l_partkey NOT IN (SELECT p_partkey FROM p)
+    GROUP BY l_partkey
+    """,
+)
+def x_ref_orphans(spark, sf_dir):
+    """Referential-integrity orphan report
+    (pipeline/validate.py:check_ref_integrity): lineitem foreign keys
+    against a deliberately-thinned part dimension (every 3rd key
+    removed) — one broadcastable anti-join + groupBy; every orphaned
+    key and its row count hash-matched."""
+    from pigout_spark.pipeline.validate import check_ref_integrity
+
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") % 3 != 0)
+    return check_ref_integrity(li, p, {"l_partkey": "p_partkey"})

@@ -2917,3 +2917,48 @@ def test_item_cf_topk_cosine_and_cap(spark):
         ).collect()
     }
     assert ("D", "E") in cooc and ("F", "G") not in cooc and ("D", "F") not in cooc
+
+
+def test_validate_family(spark):
+    """Rule report counts NULL-evaluating rules as violations; strict
+    mode raises on the first bad row; uniqueness surfaces duplicate
+    (incl. all-NULL) keys; ref integrity excludes NULL FKs and groups
+    orphans."""
+    import pytest as _pytest
+    from pigout_spark.pipeline.validate import (
+        check_ref_integrity,
+        check_rules,
+        check_unique,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -3.0), (3, None)], "id long, amt double"
+    )
+    rep = {
+        r.rule: r
+        for r in check_rules(
+            df,
+            {"amt_positive": F.col("amt") > 0,
+             "id_small": F.col("id") < 100},
+        ).collect()
+    }
+    # -3.0 fails, NULL amt counts as a violation too
+    assert rep["amt_positive"].n_violations == 2
+    assert not rep["amt_positive"]["pass"]
+    assert rep["id_small"].n_violations == 0 and rep["id_small"]["pass"]
+    with _pytest.raises(Exception, match="amt_positive"):
+        check_rules(df, {"amt_positive": F.col("amt") > 0}, strict=True).collect()
+
+    dup = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (None, "x"), (None, "y")],
+        "k long, v string",
+    )
+    got = {(r.k, r.cnt) for r in check_unique(dup, ["k"]).collect()}
+    assert got == {(1, 2), (None, 2)}
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    orph = check_ref_integrity(child, parent, {"fk": "pk"}).collect()
+    assert [(r.fk, r.n_rows) for r in orph] == [(99, 1)]
