@@ -16,8 +16,16 @@ from typing import Any, Iterable, Iterator, Tuple
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import StructField, StructType, TimestampType
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 #: output schema of sessionize_stateful with the default user_id key
 #: (kept for callers that want the shape; the operators derive the key
@@ -307,6 +315,106 @@ def transitions_stateful(
         _transitions_fn(step_col, ts_col, user_col, gap_seconds),
         outputStructType=out_schema,
         stateStructType="last_us long, last_step string",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def _upsert_fn(ts_col: str, op_col: str, seq_col: str | None,
+               key_col: str, delete_op: str):
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        best = state.get if state.exists else None  # (ts_us, seq, op, payload)
+        changed = False
+        for pdf in pdfs:
+            ts = pd.to_datetime(pdf[ts_col])
+            for t, op, seq, pay in zip(
+                ts,
+                pdf[op_col],
+                pdf[seq_col] if seq_col else [0] * len(pdf),
+                pdf["__payload"],
+            ):
+                if pd.isna(t) or op is None:
+                    raise ValueError(
+                        "upsert_state_stream: NULL ts/op in change "
+                        "record (malformed CDC row)"
+                    )
+                cand = (int(t.value // 1000), int(seq))
+                if best is None or cand > (best[0], best[1]):
+                    best = (cand[0], cand[1], op, pay)
+                    changed = True
+        if changed:
+            state.update(best)
+            state.setTimeoutDuration(86_400_000)
+            yield pd.DataFrame(
+                {
+                    key_col: [k],
+                    "ts_us": [best[0]],
+                    "op": [best[2]],
+                    "payload": [best[3]],
+                    "is_live": [best[2] != delete_op],
+                }
+            )
+
+    return fn
+
+
+def upsert_state_stream(
+    changes: DataFrame,
+    key_col: str,
+    payload_cols: list[str],
+    ts_col: str = "ts",
+    op_col: str = "op",
+    seq_col: str | None = None,
+    delete_op: str = "D",
+) -> DataFrame:
+    """Streaming CDC compaction — the stream twin of
+    ``scd.compact_changelog``/``apply_cdc``: per key, maintain the
+    latest (ts, seq) change across micro-batches and emit the key's
+    NEW CURRENT ROW whenever it advances (an upsert-view change
+    stream: feed a key-value sink / foreachBatch MERGE).  Deletes emit
+    with ``is_live = false`` (the tombstone the sink needs).
+
+    The payload travels as ONE JSON column (state schemas are fixed
+    structs; JSON keeps the operator payload-generic) — parse with
+    ``from_json`` downstream where the schema is known.  NULL ts/op
+    change rows fail loudly (the apply_cdc malformed-record
+    discipline).  State per key is one (ts, seq, op, payload) tuple,
+    day-idle evicted.
+
+    Streaming caveat (the funnel/transitions contract): ordering
+    within a micro-batch is by (ts, seq), but a LATE change older
+    than the stored winner is correctly ignored — max-compaction is
+    order-insensitive, so unlike the funnel ops the result equals the
+    batch compaction on any prefix regardless of arrival order.
+
+    Output per emission: (key, ts_us, op, payload, is_live).
+    """
+    pay = F.to_json(F.struct(*payload_cols)).alias("__payload")
+    cols = [key_col, ts_col, op_col] + ([seq_col] if seq_col else [])
+    src = changes.select(*cols, pay)
+    out_schema = StructType(
+        [
+            _key_field(changes, key_col),
+            StructField("ts_us", LongType()),
+            StructField("op", StringType()),
+            StructField("payload", StringType()),
+            StructField("is_live", BooleanType()),
+        ]
+    )
+    return src.groupBy(key_col).applyInPandasWithState(
+        _upsert_fn(ts_col, op_col, seq_col, key_col, delete_op),
+        outputStructType=out_schema,
+        stateStructType=(
+            "ts_us long, seq long, op string, payload string"
+        ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )

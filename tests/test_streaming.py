@@ -865,3 +865,65 @@ def test_psi_from_counts_matches_psi_drift_and_runs_as_real_stream(spark):
         assert per_window == want  # one window; identical cur distribution
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_upsert_state_stream_two_batches(spark):
+    """Streaming CDC compaction across a batch boundary: batch 2's
+    newer change supersedes batch 1's state, a delete emits a
+    tombstone, a LATE (older) change is ignored, and the final
+    emission per key equals the batch compact_changelog winner."""
+    from pigout_spark.pipeline.scd import compact_changelog
+    from pigout_spark.streaming.stateful import upsert_state_stream
+
+    schema = "k long, v string, op string, ts timestamp"
+    rows1 = [
+        (1, "a1", "I", T0),
+        (2, "b1", "I", T0),
+        (3, "c1", "I", T0),
+    ]
+    rows2 = [
+        (1, "a2", "U", T0 + dt.timedelta(seconds=10)),   # supersedes
+        (2, "dead", "D", T0 + dt.timedelta(seconds=10)),  # tombstone
+        (3, "late", "U", T0 - dt.timedelta(seconds=10)),  # late: ignored
+    ]
+    src = tempfile.mkdtemp(prefix="pigout_upsert_src")
+    try:
+        spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+        spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        out = upsert_state_stream(stream, "k", ["v"])
+        q = (
+            out.writeStream.format("memory")
+            .queryName("upserts")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        ems = spark.sql("select * from upserts").collect()
+        # final emission per key (max ts_us wins)
+        final = {}
+        for r in sorted(ems, key=lambda r: r.ts_us):
+            final[r.k] = r
+        assert final[1].is_live and '"v":"a2"' in final[1].payload
+        assert not final[2].is_live and final[2].op == "D"
+        assert final[3].is_live and '"v":"c1"' in final[3].payload  # late ignored
+
+        batch = {
+            r.k: r
+            for r in compact_changelog(
+                spark.createDataFrame(rows1 + rows2, schema), ["k"]
+            ).collect()
+        }
+        for k, r in final.items():
+            assert (r.op != "D") == (batch[k].op != "D")
+            if r.is_live:
+                assert f'"v":"{batch[k].v}"' in r.payload
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
