@@ -336,3 +336,36 @@ def test_heavy_hitters_and_skew_stats(spark):
     assert skew_stats(even, ["k"]).collect()[0].entropy_ratio6 == 1.0
     one = spark.createDataFrame([("z",)] * 5, "k string")
     assert skew_stats(one, ["k"]).collect()[0].entropy_ratio6 is None
+
+
+def test_r8_op_plans_hold_at_scale(spark, sf_dir):
+    """Round-8 plan pins: trend_fit is one exchange and window-free;
+    winsorize and quantile_bucket never plan a single-partition stage
+    over data; item CF and CDC merge are equi-joins only (no
+    cartesian); validation rules fold into ONE aggregation pass."""
+    plan = plan_of(spark, sf_dir, "x_trend_fit")
+    assert "Window" not in plan and "CartesianProduct" not in plan
+
+    plan = plan_of(spark, sf_dir, "x_winsorize")
+    assert "Exchange SinglePartition" not in plan
+
+    # global quantile_bucket: row_rank's only SinglePartition stage is
+    # the ~#partitions-sized counts prefix sum (the documented
+    # exception), never over data rows
+    plan = plan_of(spark, sf_dir, "x_quantile_bucket")
+    for line in plan.splitlines():
+        if "Exchange SinglePartition" in line:
+            assert "count" in plan.lower()
+
+    plan = plan_of(spark, sf_dir, "x_item_cf")
+    assert "CartesianProduct" not in plan
+
+    plan = plan_of(spark, sf_dir, "x_apply_cdc")
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+
+    plan = plan_of(spark, sf_dir, "x_check_rules")
+    # three rules, ONE aggregation pass: exactly one partial+final
+    # HashAggregate pair over the scan, stacked by Generate(explode)
+    assert plan.count("Scan parquet") == 1
+    assert "Generate" in plan
