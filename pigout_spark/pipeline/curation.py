@@ -600,3 +600,42 @@ def shingle_overlap(
         side(benchmark, bench_text_col or text_col),
         k=k,
     )
+
+
+def kfold_assign(
+    df: DataFrame,
+    id_cols: list[str],
+    k: int = 5,
+    seed: str = "0",
+    out: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold assignment: fold i ∈ [0, k) from the same
+    md5-bucketed uniform the split/assignment family uses
+    (:func:`split_corpus` discipline — NULL-safe sentinel key, u from
+    the first 8 md5 hex chars), so folds are reproducible across runs,
+    engines, and reprocessing, and every unit's fold is stable as the
+    corpus grows.  fold = floor(u·k) with the u=1 edge impossible by
+    construction (u < 1 exactly).
+
+    Cross-validation usage: train = fold != i, eval = fold == i —
+    both are narrow filters over the same stamped relation.  For
+    leakage-safe folds over near-duplicate families, assign on the
+    CLUSTER key (the split_by_cluster discipline), not the row id.
+
+    A pure narrow map: no shuffle, no counts pass.
+    """
+    if int(k) < 2:
+        raise ValueError(f"kfold_assign: k must be >= 2, got {k}")
+    key = F.concat_ws(
+        "|",
+        F.lit(seed),
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+            for c in id_cols
+        ],
+    )
+    u = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double")
+        / F.lit(4294967296.0)
+    )
+    return df.withColumn(out, F.floor(u * F.lit(int(k))).cast("bigint"))

@@ -1254,3 +1254,36 @@ def x_ref_orphans(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").filter(F.col("p_partkey") % 3 != 0)
     return check_ref_integrity(li, p, {"l_partkey": "p_partkey"})
+
+
+@query(
+    "x_kfold",
+    """
+    WITH a AS (
+      SELECT o_orderkey,
+             CAST(floor((('0x' || substring(md5('13' || '|' ||
+                    coalesce(o_orderkey::VARCHAR, chr(0))), 1, 8))::BIGINT
+                  / 4294967296.0) * 5) AS BIGINT) AS fold
+      FROM orders
+    )
+    SELECT fold, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+    FROM a GROUP BY fold
+    """,
+)
+def x_kfold(spark, sf_dir):
+    """Deterministic 5-fold cross-validation assignment over orders
+    (pipeline/curation.py:kfold_assign, the split_corpus md5
+    discipline) — per-fold membership pinned by count, min key, and
+    key sum."""
+    from pigout_spark.pipeline.curation import kfold_assign
+
+    o = kfold_assign(
+        t(spark, sf_dir, "orders"), ["o_orderkey"], k=5, seed="13"
+    )
+    return o.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+        F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+    )

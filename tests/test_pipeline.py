@@ -2962,3 +2962,27 @@ def test_validate_family(spark):
     parent = spark.createDataFrame([(10,), (20,)], "pk long")
     orph = check_ref_integrity(child, parent, {"fk": "pk"}).collect()
     assert [(r.fk, r.n_rows) for r in orph] == [(99, 1)]
+
+
+def test_kfold_assign_stable_and_partitioning(spark):
+    """Folds cover [0, k), partition the rows exhaustively, stay
+    stable as the corpus grows (content-keyed), and reject k < 2."""
+    import pytest as _pytest
+    from pigout_spark.pipeline.curation import kfold_assign
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "id long")
+    out = kfold_assign(df, ["id"], k=5, seed="9").collect()
+    folds = {r.id: r.fold for r in out}
+    assert set(folds.values()) == {0, 1, 2, 3, 4}
+    assert len(folds) == 500
+
+    grown = kfold_assign(
+        spark.createDataFrame([(i,) for i in range(1000)], "id long"),
+        ["id"], k=5, seed="9",
+    ).collect()
+    for r in grown:
+        if r.id < 500:
+            assert folds[r.id] == r.fold  # stability under growth
+
+    with _pytest.raises(ValueError, match="k must"):
+        kfold_assign(df, ["id"], k=1)
