@@ -185,3 +185,75 @@ def apply_cdc(
         latest.select(*key_cols), key_cols, "left_anti"
     )
     return untouched.unionByName(survivors)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Keyed diff of two snapshots — the pipeline-regression primitive
+    ("what did the new code change"): every key classified as
+    ``added`` / ``removed`` / ``changed`` (unchanged rows are NOT
+    emitted — at 100 TB the interesting output is the delta), with the
+    exact list of differing columns.
+
+    Comparison is NULL-safe per column (NULL==NULL is not a change, a
+    NULL↔value transition is — the scd2_build discipline).
+    ``compare_cols`` defaults to every shared non-key column; columns
+    existing in only one snapshot are ignored (schema drift is a
+    different check — compare schemas directly).
+
+    Output: (*key_cols, diff — 'added'|'removed'|'changed',
+    changed_cols — array<string>, NULL except for 'changed').
+
+    100 TB: ONE full-outer key-equi join; the per-column comparisons
+    are narrow expressions on the joined row.  Duplicate keys on
+    either side make the diff ill-defined — gate with
+    validate.check_unique first.
+    """
+    if not key_cols:
+        raise ValueError("snapshot_diff needs at least one key column")
+    if compare_cols is None:
+        compare_cols = [
+            c
+            for c in old.columns
+            if c not in key_cols and c in new.columns
+        ]
+    o = old.select(
+        *key_cols,
+        F.lit(True).alias("__in_old"),
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *key_cols,
+        F.lit(True).alias("__in_new"),
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+    )
+    j = o.join(n, key_cols, "full_outer")
+    changed_arr = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")),
+                    F.lit(c),
+                )
+                for c in compare_cols
+            ]
+        )
+    ) if compare_cols else F.array().cast("array<string>")
+    diff = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(F.size(changed_arr) > 0, F.lit("changed"))
+    )
+    return (
+        j.withColumn("diff", diff)
+        .filter(F.col("diff").isNotNull())
+        .withColumn(
+            "changed_cols",
+            F.when(F.col("diff") == "changed", changed_arr),
+        )
+        .select(*key_cols, "diff", "changed_cols")
+    )

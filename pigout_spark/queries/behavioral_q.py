@@ -1287,3 +1287,84 @@ def x_kfold(spark, sf_dir):
         F.min("o_orderkey").cast("bigint").alias("min_key"),
         F.sum("o_orderkey").cast("bigint").alias("key_sum"),
     )
+
+
+@query(
+    "x_snapshot_diff",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS p FROM orders
+    ), ch AS (
+      SELECT k, c, p + 1000 AS p, 'U' AS op, CAST(1 AS BIGINT) AS ts
+      FROM base WHERE k % 7 = 0
+      UNION ALL
+      SELECT k, c, p, 'D', CAST(2 AS BIGINT) FROM base WHERE k % 11 = 0
+      UNION ALL
+      SELECT k + 1000000000, c, p, 'I', CAST(1 AS BIGINT)
+      FROM base WHERE k % 13 = 0
+    ), latest AS (
+      SELECT * FROM ch
+      QUALIFY row_number() OVER (PARTITION BY k ORDER BY ts DESC) = 1
+    ), snap AS (
+      SELECT k, c, p FROM base WHERE k NOT IN (SELECT k FROM latest)
+      UNION ALL
+      SELECT k, c, p FROM latest WHERE op <> 'D'
+    ), j AS (
+      SELECT coalesce(b.k, s.k) AS k,
+             b.k IS NOT NULL AS in_old, s.k IS NOT NULL AS in_new,
+             b.c AS oc, b.p AS op_, s.c AS nc, s.p AS np
+      FROM base b FULL OUTER JOIN snap s ON b.k = s.k
+    ), d AS (
+      SELECT k,
+        CASE WHEN NOT in_old THEN 'added'
+             WHEN NOT in_new THEN 'removed'
+             WHEN (oc IS DISTINCT FROM nc) OR (op_ IS DISTINCT FROM np)
+               THEN 'changed' END AS diff,
+        CASE WHEN in_old AND in_new
+                  AND ((oc IS DISTINCT FROM nc) OR (op_ IS DISTINCT FROM np))
+             THEN concat_ws(',',
+                    CASE WHEN oc IS DISTINCT FROM nc THEN 'o_custkey' END,
+                    CASE WHEN op_ IS DISTINCT FROM np THEN 'o_totalprice' END)
+        END AS changed
+      FROM j
+    )
+    SELECT k AS o_orderkey, diff, changed FROM d WHERE diff IS NOT NULL
+    """,
+)
+def x_snapshot_diff(spark, sf_dir):
+    """Snapshot regression diff (pipeline/scd.py:snapshot_diff): the
+    orders base vs its CDC-merged successor — every 7th key 'changed'
+    (o_totalprice only), every 11th 'removed', every 13th's offset
+    re-insert 'added', keys divisible by 77 resolve to 'removed'
+    (delete beat update in compaction); NULL-safe column comparison,
+    one full-outer key join."""
+    from pigout_spark.pipeline.scd import apply_cdc, snapshot_diff
+
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    u = (
+        base.filter(k % 7 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000)
+        .withColumn("op", F.lit("U"))
+        .withColumn("ts", F.lit(1).cast("bigint"))
+    )
+    d = base.filter(k % 11 == 0).withColumn("op", F.lit("D")).withColumn(
+        "ts", F.lit(2).cast("bigint")
+    )
+    ins = (
+        base.filter(k % 13 == 0)
+        .withColumn("o_orderkey", k + 1_000_000_000)
+        .withColumn("op", F.lit("I"))
+        .withColumn("ts", F.lit(1).cast("bigint"))
+    )
+    snap = apply_cdc(
+        base, u.unionByName(d).unionByName(ins), ["o_orderkey"]
+    )
+    out = snapshot_diff(base, snap, ["o_orderkey"])
+    return out.select(
+        "o_orderkey",
+        "diff",
+        F.array_join(F.array_sort("changed_cols"), ",").alias("changed"),
+    )

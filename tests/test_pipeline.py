@@ -2986,3 +2986,35 @@ def test_kfold_assign_stable_and_partitioning(spark):
 
     with _pytest.raises(ValueError, match="k must"):
         kfold_assign(df, ["id"], k=1)
+
+
+def test_snapshot_diff_classification(spark):
+    """added/removed/changed classification with NULL-safe column
+    comparison and exact changed-column lists; unchanged rows absent."""
+    import pytest as _pytest
+    from pigout_spark.pipeline.scd import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, "d", 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),        # unchanged -> absent
+         (2, "b", None),        # NULL == NULL -> unchanged
+         (3, "cc", None),       # s changed AND v NULL<-value
+         (5, "e", 50.0)],       # added; 4 removed
+        "k long, s string, v double",
+    )
+    got = {r.k: r for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert set(got) == {3, 4, 5}
+    assert got[5].diff == "added" and got[5].changed_cols is None
+    assert got[4].diff == "removed"
+    assert got[3].diff == "changed"
+    assert sorted(got[3].changed_cols) == ["s", "v"]
+
+    only_s = snapshot_diff(old, new, ["k"], compare_cols=["s"]).collect()
+    ks = {r.k: r for r in only_s}
+    assert set(ks) == {3, 4, 5} and ks[3].changed_cols == ["s"]
+
+    with _pytest.raises(ValueError, match="key"):
+        snapshot_diff(old, new, [])
