@@ -2287,8 +2287,116 @@ def gen_r8(rng: random.Random):
     caps), and seasonal decomposition (random period parity/length)."""
     kind = rng.choice(
         ["bfs", "sssp", "cdc", "trend", "psi", "ks", "itemcf", "seasonal",
-         "winsor", "abseg", "ntile", "skew"]
+         "winsor", "abseg", "ntile", "skew", "diff", "rules"]
     )
+
+    if kind == "diff":
+        nk = rng.randint(1, 20)
+        def snap():
+            rows = []
+            for k in range(nk):
+                if rng.random() < 0.75:  # key present
+                    rows.append(
+                        (
+                            k,
+                            rng.choice(["a", "b", None]),
+                            None if rng.random() < 0.2
+                            else float(rng.randint(0, 3)),
+                        )
+                    )
+            return rows
+        old_rows, new_rows = snap(), snap()
+        def vals(rows):
+            return ", ".join(
+                f"({k}, {'NULL' if sv is None else repr(sv)},"
+                f" {'NULL' if v is None else repr(v)})"
+                for k, sv, v in rows
+            ) or "(NULL, NULL, NULL)"
+        sql = f"""
+        WITH o AS (SELECT * FROM (VALUES {vals(old_rows)}) t(k, s, v)
+                   WHERE k IS NOT NULL),
+        n AS (SELECT * FROM (VALUES {vals(new_rows)}) t(k, s, v)
+              WHERE k IS NOT NULL),
+        j AS (
+          SELECT coalesce(o.k, n.k) AS k,
+                 o.k IS NOT NULL AS in_old, n.k IS NOT NULL AS in_new,
+                 o.s AS os, o.v AS ov, n.s AS ns, n.v AS nv
+          FROM o FULL OUTER JOIN n ON o.k = n.k
+        ), d AS (
+          SELECT CAST(k AS BIGINT) AS k,
+            CASE WHEN NOT in_old THEN 'added'
+                 WHEN NOT in_new THEN 'removed'
+                 WHEN (os IS DISTINCT FROM ns) OR (ov IS DISTINCT FROM nv)
+                   THEN 'changed' END AS diff,
+            CASE WHEN in_old AND in_new
+                      AND ((os IS DISTINCT FROM ns)
+                           OR (ov IS DISTINCT FROM nv))
+                 THEN concat_ws(',',
+                        CASE WHEN os IS DISTINCT FROM ns THEN 's' END,
+                        CASE WHEN ov IS DISTINCT FROM nv THEN 'v' END)
+            END AS changed
+          FROM j
+        )
+        SELECT k, diff, changed FROM d WHERE diff IS NOT NULL
+        """
+
+        def build(spark, sf_dir, old_rows=old_rows, new_rows=new_rows):
+            from pigout_spark.pipeline.scd import snapshot_diff
+
+            schema = "k long, s string, v double"
+            o = spark.createDataFrame(old_rows or [(None, None, None)],
+                                      schema).filter("k is not null")
+            n = spark.createDataFrame(new_rows or [(None, None, None)],
+                                      schema).filter("k is not null")
+            out = snapshot_diff(o, n, ["k"])
+            return out.select(
+                "k", "diff",
+                F.array_join(F.array_sort("changed_cols"), ",")
+                .alias("changed"),
+            )
+
+        return build, sql
+
+    if kind == "rules":
+        n = rng.randint(1, 40)
+        rows = [
+            (
+                i,
+                None if rng.random() < 0.15 else float(rng.randint(-5, 5)),
+            )
+            for i in range(n)
+        ]
+        lo = rng.randint(-5, 5)
+        vals = ", ".join(
+            f"({i}, {'NULL' if v is None else repr(v)})" for i, v in rows
+        )
+        sql = f"""
+        WITH t(id, v) AS (SELECT * FROM (VALUES {vals})),
+        s AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+            CAST(SUM(CASE WHEN coalesce(v > {lo}, FALSE)
+                     THEN 0 ELSE 1 END) AS BIGINT) AS v0,
+            CAST(SUM(CASE WHEN coalesce(id >= 0, FALSE)
+                     THEN 0 ELSE 1 END) AS BIGINT) AS v1
+          FROM t
+        )
+        SELECT 'v_above' AS rule, n_rows, v0 AS n_violations,
+               v0 = 0 AS pass FROM s
+        UNION ALL
+        SELECT 'id_nonneg', n_rows, v1, v1 = 0 FROM s
+        """
+
+        def build(spark, sf_dir, rows=rows, lo=lo):
+            from pigout_spark.pipeline.validate import check_rules
+
+            df = spark.createDataFrame(rows, "id long, v double")
+            return check_rules(
+                df,
+                {"v_above": F.col("v") > lo,
+                 "id_nonneg": F.col("id") >= 0},
+            )
+
+        return build, sql
 
     if kind == "ntile":
         # the closed-form two-pass bucketing vs DuckDB's NATIVE ntile —
