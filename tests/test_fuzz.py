@@ -42,3 +42,39 @@ def test_fuzz_differential(spark, sf_dir, duck, case):
     assert len(spdf) == len(opdf), sql
     assert list(_normalize(spdf).columns) == list(_normalize(opdf).columns), sql
     assert value_hash(spdf) == value_hash(opdf), sql
+
+
+def _r8_cases():
+    # one pinned case per r8 kind (seeded scan until all kinds seen)
+    from tools.fuzz_oracle import gen_r8
+
+    rng = random.Random(SEED + 8)
+    seen: dict[str, tuple] = {}
+    markers = {
+        "bfs": "hops", "sssp": " dist FROM r", "cdc": "latest",
+        "trend": "sxy", "psi": "psi6", "ks": "d_stat",
+        "itemcf": "rec_item", "seasonal": "resid", "winsor": "value_w",
+        "abseg": "mean_c6", "ntile": "ntile", "skew": "entropy_ratio6",
+        "diff": "'added'", "rules": "n_violations",
+    }
+    for _ in range(400):
+        build, sql = gen_r8(rng)
+        for kind, mark in markers.items():
+            if kind not in seen and mark in sql:
+                seen[kind] = (build, sql)
+                break
+        if len(seen) == len(markers):
+            break
+    return list(seen.values())
+
+
+@pytest.mark.parametrize("case", range(14))
+def test_fuzz_r8_differential(spark, sf_dir, duck, case):
+    cases = _r8_cases()
+    assert len(cases) == 14, "seeded scan did not reach every r8 kind"
+    build, sql = cases[case]
+    spdf = build(spark, sf_dir).toPandas()
+    opdf = duck.execute(sql).df()
+    assert len(spdf) == len(opdf), sql
+    assert list(_normalize(spdf).columns) == list(_normalize(opdf).columns), sql
+    assert value_hash(spdf) == value_hash(opdf), sql
