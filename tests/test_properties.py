@@ -12,6 +12,7 @@ from __future__ import annotations
 import re
 
 from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
 
 from pigout_spark.functions.strings import INDEXOF, LAST_INDEX_OF, SUBSTRING, TOKENIZE
 
@@ -451,3 +452,109 @@ def test_edit_distance_join_matches_naive_randomized(spark, strings, k):
         if lev(a, b) <= k
     }
     assert got == want, sorted(got ^ want)[:10]
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),                       # key
+            st.one_of(st.none(), st.integers(-9, 9)),  # value
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.sampled_from([(0.1, 0.9), (0.25, 0.75), (0.0, 1.0)]),
+)
+def test_winsorize_idempotent_and_bounded(spark, rows, ps):
+    """Winsorizing a winsorized column is a no-op (clamping to the
+    same order statistics cannot move already-clamped values for
+    p_lo ≤ 0.5 ≤ p_hi), and outputs stay within each key's non-NULL
+    min/max."""
+    from pigout_spark.operators.sorting import winsorize
+
+    p_lo, p_hi = ps
+    df = spark.createDataFrame(
+        [(k, float(v) if v is not None else None) for k, v in rows],
+        "k long, value double",
+    )
+    once = winsorize(df, "value", ["k"], p_lo=p_lo, p_hi=p_hi)
+    again = winsorize(
+        once.select("k", F.col("value_w").alias("value")),
+        "value", ["k"], p_lo=p_lo, p_hi=p_hi,
+    )
+    w1 = sorted((r.k, r.value_w) for r in once.collect()
+                if r.value_w is not None)
+    w2 = sorted((r.k, r.value_w) for r in again.collect()
+                if r.value_w is not None)
+    assert w1 == w2
+    lohi = {}
+    for k, v in rows:
+        if v is not None:
+            lo, hi = lohi.get(k, (v, v))
+            lohi[k] = (min(lo, v), max(hi, v))
+    for k, w in w1:
+        assert lohi[k][0] <= w <= lohi[k][1]
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(st.integers(0, 50), min_size=1, max_size=40, unique=True),
+    st.integers(2, 7),
+)
+def test_quantile_bucket_partition_property(spark, ids, k):
+    """Buckets are contiguous in value order, sizes differ by at most
+    one, and larger buckets come first (ntile's contract)."""
+    from pigout_spark.operators.sorting import quantile_bucket
+
+    df = spark.createDataFrame(
+        [(i, float(i * 13 % 31)) for i in ids], "id long, v double"
+    )
+    rows = sorted(
+        quantile_bucket(df, "v", k, id_cols=["id"]).collect(),
+        key=lambda r: (r.v, r.id),
+    )
+    seq = [r.bucket for r in rows]
+    assert seq == sorted(seq)  # contiguous in order
+    from collections import Counter
+    sizes = Counter(seq)
+    vals = [sizes[b] for b in sorted(sizes)]
+    assert max(vals) - min(vals) <= 1
+    assert vals == sorted(vals, reverse=True)
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 6),            # key
+            st.sampled_from(["I", "U", "D"]),
+            st.integers(1, 30),           # ts
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_apply_cdc_idempotent_on_compacted_log(spark, ch):
+    """Applying a compacted changelog twice equals applying it once
+    (MERGE is idempotent on its own output for a fixed log)."""
+    from pigout_spark.pipeline.scd import apply_cdc, compact_changelog
+
+    # dedupe (k, ts) pairs to satisfy the winner-ambiguity guard
+    seen, rows = set(), []
+    for i, (k, op, ts) in enumerate(ch):
+        if (k, ts) in seen:
+            continue
+        seen.add((k, ts))
+        rows.append((k, f"v{i}", op, ts))
+    base = spark.createDataFrame(
+        [(k, "base") for k in range(7)], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        rows, "k long, v string, op string, ts long"
+    )
+    once = apply_cdc(base, changes, ["k"])
+    twice = apply_cdc(once, changes, ["k"])
+    assert sorted((r.k, r.v) for r in once.collect()) == sorted(
+        (r.k, r.v) for r in twice.collect()
+    )
