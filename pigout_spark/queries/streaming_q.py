@@ -847,3 +847,56 @@ def x_seasonal(spark, sf_dir):
     return out.select(
         "k", "idx", "value", "trend", "seasonal", "resid"
     )
+
+
+@query(
+    "x_cusum",
+    """
+    WITH o AS (
+      SELECT o_orderpriority AS pri, o_orderdate AS od, o_orderkey AS oid,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS vc
+      FROM orders
+      WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+    ), c AS (
+      SELECT pri, od, oid, vc,
+             SUM(vc - 15000000 - 1000000) OVER w AS c_hi,
+             SUM(15000000 - vc - 1000000) OVER w AS c_lo
+      FROM o
+      WINDOW w AS (PARTITION BY pri ORDER BY od, oid
+                   ROWS UNBOUNDED PRECEDING)
+    ), s AS (
+      SELECT pri, od, vc,
+             CAST(c_hi - LEAST(0, MIN(c_hi) OVER w2) AS BIGINT) AS s_hi,
+             CAST(c_lo - LEAST(0, MIN(c_lo) OVER w2) AS BIGINT) AS s_lo
+      FROM c
+      WINDOW w2 AS (PARTITION BY pri ORDER BY od, oid
+                    ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT pri, od, vc AS value, s_hi, s_lo,
+           (s_hi > 2000000000 OR s_lo > 2000000000) AS alarm
+    FROM s
+    """,
+)
+def x_cusum(spark, sf_dir):
+    """Tabular CUSUM level-shift monitor over per-priority order-value
+    sequences in cents (streaming/windows.py:cusum_flags) — the
+    max(0, s+z) recursion computed via its running-extremum closed
+    form (cumsum − running min), exact int64, one key exchange; every
+    row's s⁺/s⁻/alarm hash-matched."""
+    from pigout_spark.queries.registry import t as _t
+    from pigout_spark.streaming.windows import cusum_flags
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderdate").alias("od"),
+        F.col("o_orderkey").alias("oid"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("vc"),
+    )
+    out = cusum_flags(
+        o, ["pri"], "od", "vc",
+        target=15_000_000, k=1_000_000, h=2_000_000_000,
+        tiebreak="oid",
+    )
+    return out.select(
+        "pri", F.col("order").alias("od"), "value", "s_hi", "s_lo", "alarm"
+    )

@@ -692,3 +692,89 @@ def seasonal_decompose(
         F.col("__sc6").alias("seasonal"),
         (v - trend - F.col("__sc6")).alias("resid"),
     )
+
+
+def cusum_flags(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    target: int,
+    k: int,
+    h: int,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Tabular CUSUM change-point monitor per key: the classic
+    sequential statistics
+
+        s⁺(t) = max(0, s⁺(t−1) + (v − target − k))
+        s⁻(t) = max(0, s⁻(t−1) + (target − v − k))
+
+    with an alarm when either exceeds ``h`` — the standard "did the
+    process mean shift" detector (k = half the shift worth detecting,
+    h = tolerance), complementing the distribution-level drift ops
+    (PSI/KS see shape, CUSUM sees WHEN the level moved).
+
+    The recursion looks sequential but has the running-extremum closed
+    form (the merge_intervals reflection trick):
+    s(t) = c(t) − min(0, min_{j≤t} c(j)) for c = the running sum of
+    increments — so the whole statistic is ONE cumulative sum plus ONE
+    running min per side, window-expressible and exactly
+    SQL-replayable.  INTEGERIZED inputs by contract (cents, counts —
+    ``target``/``k``/``h`` integers, the trend_fit term_scale=0
+    discipline, enforced by the same integrality assert): the
+    statistic stays exact int64.  NULL values are excluded (no place
+    in the recursion); pass ``tiebreak`` when order values can tie.
+
+    Output: (*key_cols, order, value, s_hi, s_lo, alarm).
+
+    100 TB: ONE key exchange — both cumsums and both running mins
+    share the same window partitioning and sort.
+    """
+    v = F.col(value_col)
+    d = df.filter(F.col(order_col).isNotNull() & v.isNotNull())
+    d = d.filter(
+        F.assert_true(
+            v == F.floor(v),
+            F.lit(
+                "cusum_flags: value must be integral (cents, counts) — "
+                "integerize upstream for an exact int64 statistic"
+            ),
+        ).isNull()
+    )
+    order = [F.col(order_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    vi = v.cast("bigint")
+    z_hi = vi - F.lit(int(target)) - F.lit(int(k))
+    z_lo = F.lit(int(target)) - vi - F.lit(int(k))
+    # two projections (window-over-window can't nest in one), SAME
+    # partitioning and sort — one physical exchange serves all four
+    staged = d.select(
+        *key_cols,
+        F.col(order_col).alias("order"),
+        *([F.col(tiebreak).alias("__tb")] if tiebreak else []),
+        vi.alias("value"),
+        F.sum(z_hi).over(w).alias("__c_hi"),
+        F.sum(z_lo).over(w).alias("__c_lo"),
+    )
+    order2 = [F.col("order")] + ([F.col("__tb")] if tiebreak else [])
+    w2 = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order2)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    zero = F.lit(0).cast("bigint")
+    s_hi = F.col("__c_hi") - F.least(zero, F.min("__c_hi").over(w2))
+    s_lo = F.col("__c_lo") - F.least(zero, F.min("__c_lo").over(w2))
+    return staged.select(
+        *key_cols,
+        "order",
+        "value",
+        s_hi.alias("s_hi"),
+        s_lo.alias("s_lo"),
+        ((s_hi > int(h)) | (s_lo > int(h))).alias("alarm"),
+    )

@@ -927,3 +927,33 @@ def test_upsert_state_stream_two_batches(spark):
                 assert f'"v":"{batch[k].v}"' in r.payload
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_cusum_flags_detects_level_shift(spark):
+    """A series at the target with a +shift tail: s_hi follows the
+    max(0, s+z) recursion exactly (checked against a Python reference),
+    the alarm fires only after the shift accumulates past h, and the
+    low side stays quiet; integrality is enforced."""
+    import pytest as _pytest
+    from pigout_spark.streaming.windows import cusum_flags
+
+    vals = [10, 9, 11, 10, 10, 10, 15, 16, 15, 17, 16]
+    rows = [("m", i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+    out = {
+        r.order: r
+        for r in cusum_flags(df, ["k"], "i", "v", target=10, k=1, h=8).collect()
+    }
+    s = 0
+    alarms = []
+    for i, v in enumerate(vals):
+        s = max(0, s + (v - 10 - 1))
+        assert out[i].s_hi == s, (i, out[i].s_hi, s)
+        alarms.append(s > 8)
+    assert [out[i].alarm for i in range(len(vals))] == alarms
+    assert any(alarms) and not alarms[0]
+    assert all(out[i].s_lo in (0, 1, 2) for i in range(6))
+
+    frac = spark.createDataFrame([("m", 0, 1.5)], "k string, i long, v double")
+    with _pytest.raises(Exception, match="integral"):
+        cusum_flags(frac, ["k"], "i", "v", target=1, k=0, h=1).collect()
