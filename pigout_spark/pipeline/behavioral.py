@@ -1137,3 +1137,86 @@ def trend_fit(
         intercept.alias("intercept"),
         r2.alias("r2"),
     )
+
+
+def categorical_association(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Association between two categorical columns in one row: the
+    chi-square independence statistic with its degrees of freedom,
+    Cramér's V (chi² normalized to [0, 1] — comparable across tables),
+    and mutual information in nats — the feature-screening primitive
+    ("does source predict language", "is variant independent of
+    device").  Rows with a NULL in either column are EXCLUDED (the r8
+    NULL discipline — a missing category is a data-quality question
+    for validate.check_rules, not a category).
+
+    Determinism (oracle-hash discipline): cell/margin counts are exact
+    integers; each cell's chi² and MI contribution is one fixed IEEE
+    chain ROUNDed to 6 decimals and summed as DECIMAL(20,6) (the
+    vocab_kl ln discipline — cell iteration order can never reorder
+    the float sum).  Expected counts use n_a·n_b/n with products under
+    2^53 by construct (margins ≤ n ≤ rows).  Degenerate inputs (a
+    single category on either side) return chi2 0 with dof 0 and
+    NULL V (0/0 normalization).
+
+    Output: ONE row (n, dof, chi2_6, cramers_v6, mi6).
+
+    100 TB: one map-side-combined groupBy to the (a, b) cell relation;
+    margins and statistics are cells-relation arithmetic (bounded by
+    |a|·|b| — keep the columns categorical, not free-text).
+    """
+    a, b = F.col(col_a), F.col(col_b)
+    cells = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("__a"), b.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    wa = Window.partitionBy("__a")
+    wb = Window.partitionBy("__b")
+    wt = Window.partitionBy()
+    m = (
+        cells.withColumn("__na", F.sum("__c").over(wa))
+        .withColumn("__nb", F.sum("__c").over(wb))
+        .withColumn("__n", F.sum("__c").over(wt))
+    )
+    e = F.col("__na") * F.col("__nb") / F.col("__n")
+    chi_cell = (
+        F.round((F.col("__c") - e) * (F.col("__c") - e) / e, 6) + F.lit(0.0)
+    ).cast("decimal(20,6)")
+    mi_cell = (
+        F.round(
+            (F.col("__c") / F.col("__n"))
+            * F.log(
+                F.col("__c").cast("double")
+                * F.col("__n")
+                / (F.col("__na") * F.col("__nb"))
+            ),
+            6,
+        )
+        + F.lit(0.0)
+    ).cast("decimal(20,6)")
+    s = m.agg(
+        F.first("__n").alias("n"),
+        F.countDistinct("__a").alias("__ka"),
+        F.countDistinct("__b").alias("__kb"),
+        F.sum(chi_cell).cast("double").alias("chi2_6"),
+        F.sum(mi_cell).cast("double").alias("mi6"),
+    )
+    dof = (F.col("__ka") - 1) * (F.col("__kb") - 1)
+    vmin = F.least(F.col("__ka") - 1, F.col("__kb") - 1)
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        dof.cast("bigint").alias("dof"),
+        "chi2_6",
+        F.when(
+            vmin > 0,
+            F.round(
+                F.sqrt(F.col("chi2_6") / (F.col("n") * vmin.cast("double"))),
+                6,
+            ),
+        ).alias("cramers_v6"),
+        "mi6",
+    )

@@ -1368,3 +1368,50 @@ def x_snapshot_diff(spark, sf_dir):
         "diff",
         F.array_join(F.array_sort("changed_cols"), ",").alias("changed"),
     )
+
+
+@query(
+    "x_cat_assoc",
+    """
+    WITH cells AS (
+      SELECT lang AS a, source AS b, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+      GROUP BY 1, 2
+    ), m AS (
+      SELECT a, b, c,
+             SUM(c) OVER (PARTITION BY a) AS na,
+             SUM(c) OVER (PARTITION BY b) AS nb,
+             SUM(c) OVER () AS n
+      FROM cells
+    ), s AS (
+      SELECT MAX(n) AS n,
+             CAST(COUNT(DISTINCT a) AS BIGINT) AS ka,
+             CAST(COUNT(DISTINCT b) AS BIGINT) AS kb,
+             CAST(SUM(CAST(ROUND((c - na * nb / n) * (c - na * nb / n)
+                                 / (na * nb / n), 6) + 0.0
+                           AS DECIMAL(20,6))) AS DOUBLE) AS chi2_6,
+             CAST(SUM(CAST(ROUND((c / n) * ln(c * n / (na * nb)), 6) + 0.0
+                           AS DECIMAL(20,6))) AS DOUBLE) AS mi6
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof, chi2_6,
+           CASE WHEN LEAST(ka - 1, kb - 1) > 0
+                THEN ROUND(sqrt(chi2_6
+                     / (n * CAST(LEAST(ka - 1, kb - 1) AS DOUBLE))), 6)
+           END AS cramers_v6,
+           mi6
+    FROM s
+    """,
+)
+def x_cat_assoc(spark, sf_dir):
+    """Language × source association over the documents corpus
+    (pipeline/behavioral.py:categorical_association): chi² + dof,
+    Cramér's V, and mutual information — per-cell contributions
+    ROUND-6 + decimal-summed (the vocab_kl discipline) so the float
+    sum is cell-order-free."""
+    from pigout_spark.pipeline.behavioral import categorical_association
+
+    return categorical_association(
+        t(spark, sf_dir, "documents"), "lang", "source"
+    )

@@ -888,3 +888,38 @@ def test_r8_review_regressions(spark):
     assert ks.d_stat is None
     with _pytest.raises(ValueError, match="hi"):
         psi_drift(vals, vals, "v", bins=5, lo=5.0, hi=0.0)
+
+
+def test_categorical_association_known_tables(spark):
+    """2x2 hand table vs the textbook chi2/V/MI; a perfectly
+    independent product table scores ~0 on everything; a single-level
+    column gets dof 0 and NULL V."""
+    import math
+    from pigout_spark.pipeline.behavioral import categorical_association
+
+    # table: a=x -> (b=u:30, b=v:10); a=y -> (b=u:10, b=v:30)
+    rows = (
+        [("x", "u")] * 30 + [("x", "v")] * 10
+        + [("y", "u")] * 10 + [("y", "v")] * 30
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = categorical_association(df, "a", "b").collect()[0]
+    assert (r.n, r.dof) == (80, 1)
+    # chi2 = sum (o-e)^2/e with every e = 40*40/80 = 20 -> 4*(10^2/20)=20
+    assert r.chi2_6 == 20.0
+    assert r.cramers_v6 == 0.5  # sqrt(20/(80*1))
+    mi = sum(
+        (c / 80) * math.log(c * 80 / (40 * 40)) for c in (30, 10, 10, 30)
+    )
+    assert abs(r.mi6 - mi) < 2e-6
+
+    indep = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "uv" for _ in range(25)],
+        "a string, b string",
+    )
+    ri = categorical_association(indep, "a", "b").collect()[0]
+    assert ri.chi2_6 == 0.0 and ri.mi6 == 0.0
+
+    one = spark.createDataFrame([("x", "u"), ("x", "v")], "a string, b string")
+    ro = categorical_association(one, "a", "b").collect()[0]
+    assert ro.dof == 0 and ro.cramers_v6 is None
