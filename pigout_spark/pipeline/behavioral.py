@@ -1220,3 +1220,114 @@ def categorical_association(
         ).alias("cramers_v6"),
         "mi6",
     )
+
+
+def gini(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-key Gini coefficient of value concentration — the "does 1%
+    of customers carry 90% of revenue" number (0 = perfectly even,
+    →1 = one unit holds everything), the value-weighted companion to
+    plans.partitioning.skew_stats' row-count view.
+
+        G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx),  x₍ᵢ₎ ascending
+
+    Values must be NON-NEGATIVE (asserted on the scan — a negative
+    value makes G meaningless) and integerized for the hash-exact path
+    (cents/counts, the trend_fit discipline): both sums accumulate in
+    DECIMAL(38,0) (exact; scale-0 casts single-round in every engine).
+    Ties need no tiebreak: equal values contribute the same product
+    under any rank assignment.  NULL values are excluded.  Single-unit
+    keys return G = 0 (no inequality among one unit).
+
+    Output: (*key_cols, n, gini6).
+
+    100 TB: ONE key exchange — the ascending rank window and the
+    aggregation share the partitioning.
+    """
+    v = F.col(value_col)
+    d = df.filter(v.isNotNull()).filter(
+        F.assert_true(
+            (v >= 0) & (v == F.floor(v)),
+            F.lit(
+                "gini: values must be non-negative integers "
+                "(cents, counts) — integerize upstream"
+            ),
+        ).isNull()
+    )
+    w = Window.partitionBy(*key_cols).orderBy(value_col)
+    # 19-digit operands keep the product inside DECIMAL(38,0) in BOTH
+    # engines (38x38 would overflow Spark's precision cap and push
+    # DuckDB to double) — int64 ranks and values always fit
+    ranked = d.select(
+        *key_cols,
+        v.cast("decimal(19,0)").alias("__x"),
+        F.row_number().over(w).cast("decimal(19,0)").alias("__i"),
+    )
+    s = ranked.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").cast("double").alias("__sx"),
+        F.sum(F.col("__i") * F.col("__x")).cast("double").alias("__srx"),
+    )
+    n = F.col("n").cast("double")
+    g = (2.0 * F.col("__srx") - (n + 1.0) * F.col("__sx")) / (
+        n * F.col("__sx")
+    )
+    return s.select(
+        *key_cols,
+        F.col("n").cast("bigint").alias("n"),
+        F.when(F.col("__sx") > 0, F.round(g, 6) + F.lit(0.0))
+        .otherwise(F.lit(0.0))
+        .alias("gini6"),
+    )
+
+
+def proportion_ci(
+    df: DataFrame,
+    key_cols: list[str],
+    flag_col: str,
+    z: float = 1.959964,
+) -> DataFrame:
+    """Per-key success proportion with its WILSON score interval — the
+    conversion-rate readout that stays sane at small n and extreme
+    rates (a Wald interval collapses to width 0 at p̂ ∈ {0, 1}; Wilson
+    never does):
+
+        center = (p̂ + z²/2n) / (1 + z²/n)
+        half   = z·√(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n)
+
+    ``flag_col`` is boolean (NULL rows excluded — an unknown outcome is
+    neither success nor failure).  All inputs to the chain are exact
+    integers plus the z literal, so the doubles are engine-identical;
+    bounds ROUND to 6.
+
+    Output: (*key_cols, n, successes, p6, lo6, hi6).
+
+    100 TB: one map-side-combinable groupBy.
+    """
+    f = F.col(flag_col)
+    d = df.filter(f.isNotNull())
+    s = d.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(f, 1).otherwise(0)).cast("bigint").alias("successes"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("successes") / n
+    zz = float(z) * float(z)
+    denom = 1.0 + F.lit(zz) / n
+    center = (p + F.lit(zz) / (2.0 * n)) / denom
+    half = (
+        F.lit(float(z))
+        * F.sqrt(p * (1.0 - p) / n + F.lit(zz) / (4.0 * n * n))
+        / denom
+    )
+    return s.select(
+        *key_cols,
+        F.col("n").cast("bigint").alias("n"),
+        "successes",
+        F.round(p, 6).alias("p6"),
+        F.round(center - half, 6).alias("lo6"),
+        F.round(center + half, 6).alias("hi6"),
+    )

@@ -1415,3 +1415,80 @@ def x_cat_assoc(spark, sf_dir):
     return categorical_association(
         t(spark, sf_dir, "documents"), "lang", "source"
     )
+
+
+@query(
+    "x_gini",
+    """
+    WITH o AS (
+      SELECT o_orderpriority AS pri,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS vc
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ), r AS (
+      SELECT pri, vc,
+             row_number() OVER (PARTITION BY pri ORDER BY vc) AS i
+      FROM o
+    ), s AS (
+      SELECT pri, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(vc AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(i AS DECIMAL(19,0)) * CAST(vc AS DECIMAL(19,0)))
+                  AS DOUBLE) AS srx
+      FROM r GROUP BY pri
+    )
+    SELECT pri, n,
+           CASE WHEN sx > 0
+                THEN ROUND((2 * srx - (n + 1) * sx) / (n * sx), 6) + 0.0
+                ELSE 0.0 END AS gini6
+    FROM s
+    """,
+)
+def x_gini(spark, sf_dir):
+    """Per-priority Gini concentration of order value in cents
+    (pipeline/behavioral.py:gini) — ascending-rank weighted sums in
+    exact DECIMAL, one IEEE chain per key, rank-tie-invariant by
+    construction."""
+    from pigout_spark.pipeline.behavioral import gini
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("vc"),
+    )
+    return gini(o, ["pri"], "vc")
+
+
+@query(
+    "x_proportion_ci",
+    """
+    WITH e AS (
+      SELECT event_type, value > 50 AS f FROM events WHERE value IS NOT NULL
+    ), s AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS successes
+      FROM e GROUP BY event_type
+    )
+    SELECT event_type, n, successes,
+           ROUND(successes / n, 6) AS p6,
+           ROUND((successes / n + 3.841458881296 / (2 * n))
+                 / (1 + 3.841458881296 / n)
+                 - 1.959964 * sqrt((successes / n) * (1 - successes / n) / n
+                                + 3.841458881296 / (4 * n * n))
+                   / (1 + 3.841458881296 / n), 6) AS lo6,
+           ROUND((successes / n + 3.841458881296 / (2 * n))
+                 / (1 + 3.841458881296 / n)
+                 + 1.959964 * sqrt((successes / n) * (1 - successes / n) / n
+                                + 3.841458881296 / (4 * n * n))
+                   / (1 + 3.841458881296 / n), 6) AS hi6
+    FROM s
+    """,
+)
+def x_proportion_ci(spark, sf_dir):
+    """Per-event-type Wilson interval for P(value > 50)
+    (pipeline/behavioral.py:proportion_ci) — integer counts + one IEEE
+    chain with the z literal, bounds ROUND-6."""
+    from pigout_spark.pipeline.behavioral import proportion_ci
+
+    e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return proportion_ci(
+        e.withColumn("f", F.col("value") > 50), ["event_type"], "f",
+        z=1.959964,
+    )

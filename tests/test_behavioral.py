@@ -923,3 +923,45 @@ def test_categorical_association_known_tables(spark):
     one = spark.createDataFrame([("x", "u"), ("x", "v")], "a string, b string")
     ro = categorical_association(one, "a", "b").collect()[0]
     assert ro.dof == 0 and ro.cramers_v6 is None
+
+
+def test_gini_and_proportion_ci(spark):
+    import math
+    from pigout_spark.pipeline.behavioral import gini, proportion_ci
+
+    rows = (
+        [("even", 10)] * 4                      # G = 0
+        + [("skew", 0), ("skew", 0), ("skew", 0), ("skew", 100)]
+        + [("one", 7)]                          # single unit -> 0
+        + [("zero", 0), ("zero", 0)]            # sum 0 -> 0
+        + [("even", None)]                      # NULL excluded
+    )
+    df = spark.createDataFrame(
+        [(k, float(v) if v is not None else None) for k, v in rows],
+        "k string, v double",
+    )
+    g = {r.k: r for r in gini(df, ["k"], "v").collect()}
+    assert g["even"].n == 4 and g["even"].gini6 == 0.0
+    # skew: x=(0,0,0,100), n=4: G = (2*400 - 5*100)/(4*100) = 0.75
+    assert g["skew"].gini6 == 0.75
+    assert g["one"].gini6 == 0.0 and g["zero"].gini6 == 0.0
+
+    import pytest as _pytest
+    bad = spark.createDataFrame([("a", -1.0)], "k string, v double")
+    with _pytest.raises(Exception, match="non-negative"):
+        gini(bad, ["k"], "v").collect()
+
+    cdf = spark.createDataFrame(
+        [("x", i < 30) for i in range(100)] + [("x", None)],
+        "k string, f boolean",
+    )
+    ci = proportion_ci(cdf, ["k"], "f").collect()[0]
+    assert (ci.n, ci.successes, ci.p6) == (100, 30, 0.3)
+    # textbook Wilson bounds at p=0.3, n=100, z=1.959964
+    z = 1.959964
+    denom = 1 + z * z / 100
+    center = (0.3 + z * z / 200) / denom
+    half = z * math.sqrt(0.3 * 0.7 / 100 + z * z / 40000) / denom
+    assert ci.lo6 == round(center - half, 6)
+    assert ci.hi6 == round(center + half, 6)
+    assert ci.lo6 < 0.3 < ci.hi6
