@@ -357,3 +357,72 @@ def quantile_bucket(
         .drop("__rr", "__n")
         .unionByName(nulls)
     )
+
+
+def weighted_quantile(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    ps: list[float],
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact WEIGHTED quantiles per key: for each p, the smallest
+    value whose cumulative weight reaches p·(total weight) — the
+    token-weighted corpus percentile, the revenue-weighted price
+    point.  Count-based quantiles (q-digest, percentile_rank) treat
+    every row equally; here a row counts ``weight_col`` times.
+
+    Weights are POSITIVE INTEGERS (token counts, cents — the pagerank
+    weight contract, asserted on the scan): cumulative sums stay exact
+    int64 and the threshold ceil(p·W) is computed in EXACT decimal
+    (the winsorize lesson — an IEEE p·W can land one ulp off an
+    integer boundary and pick the neighboring value).  NULL values are
+    excluded.  Ties: duplicate values merge before the scan, so the
+    answer is value-deterministic regardless of row order.
+
+    Output: (*key_cols, p, q) — one row per requested quantile.
+
+    100 TB: one (key, value) groupBy merges duplicates, then the
+    cumulative window and per-p selection share the key partitioning —
+    one exchange after the combine.  Keys are REQUIRED (the winsorize
+    global-pass discipline: add a constant key consciously).
+    """
+    keys = list(key_cols or [])
+    if not keys:
+        raise ValueError(
+            "weighted_quantile requires key_cols (constant key for a "
+            "conscious global pass)"
+        )
+    if not ps or not all(0.0 < p <= 1.0 for p in ps):
+        raise ValueError("weighted_quantile: each p must be in (0, 1]")
+    from decimal import Decimal
+
+    v, wt = F.col(value_col), F.col(weight_col)
+    d = df.filter(v.isNotNull()).filter(
+        F.assert_true(
+            wt.cast("bigint").between(1, 100_000),
+            F.lit(
+                f"weighted_quantile: {weight_col} must be an integer in "
+                "[1, 1e5] (positive, with int64 cumsum headroom)"
+            ),
+        ).isNull()
+    )
+    merged = d.groupBy(*keys, v.alias("__v")).agg(
+        F.sum(wt.cast("bigint")).alias("__w")
+    )
+    wk = Window.partitionBy(*keys).orderBy("__v")
+    wtot = Window.partitionBy(*keys)
+    c = merged.withColumn("__cw", F.sum("__w").over(
+        wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )).withColumn("__tw", F.sum("__w").over(wtot))
+    out = None
+    for p in ps:
+        thr = F.ceil(F.lit(Decimal(str(p))) * F.col("__tw"))
+        hit = (
+            c.filter(F.col("__cw") >= thr)
+            .groupBy(*keys)
+            .agg(F.min("__v").alias("q"))
+            .withColumn("p", F.lit(float(p)))
+        )
+        out = hit if out is None else out.unionByName(hit)
+    return out.select(*keys, "p", "q")

@@ -1492,3 +1492,46 @@ def x_proportion_ci(spark, sf_dir):
         e.withColumn("f", F.col("value") > 50), ["event_type"], "f",
         z=1.959964,
     )
+
+
+@query(
+    "x_weighted_quantile",
+    """
+    WITH d AS (
+      SELECT l_returnflag AS rf,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS vc,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), m AS (
+      SELECT rf, vc, SUM(w) AS w FROM d GROUP BY rf, vc
+    ), c AS (
+      SELECT rf, vc,
+             SUM(w) OVER (PARTITION BY rf ORDER BY vc
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(w) OVER (PARTITION BY rf) AS tw
+      FROM m
+    )
+    SELECT rf, 0.5 AS p, CAST(MIN(vc) AS DOUBLE) AS q
+    FROM c WHERE cw >= ceil(0.5 * tw) GROUP BY rf
+    UNION ALL
+    SELECT rf, 0.9, CAST(MIN(vc) AS DOUBLE)
+    FROM c WHERE cw >= ceil(0.9 * tw) GROUP BY rf
+    """,
+)
+def x_weighted_quantile(spark, sf_dir):
+    """Quantity-weighted price quantiles (median + p90) per return
+    flag (operators/sorting.py:weighted_quantile) — cumulative integer
+    weights with the ceil(p·W) threshold in exact decimal (the
+    winsorize fraction-literal lesson); one post-combine key
+    exchange."""
+    from pigout_spark.operators.sorting import weighted_quantile
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rf"),
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .cast("double")
+        .alias("vc"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    return weighted_quantile(li, "vc", "w", [0.5, 0.9], ["rf"])

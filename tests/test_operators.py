@@ -875,3 +875,35 @@ def test_quantile_bucket_matches_ntile_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="k must"):
         quantile_bucket(tiny, "v", 0)
+
+
+def test_weighted_quantile_exact(spark):
+    """Weighted median/quantiles hit the smallest value whose cumweight
+    reaches ceil(p*W); count-weights reduce to plain order statistics;
+    the positive-integer weight contract is enforced."""
+    import pytest as _pytest
+    from pigout_spark.operators.sorting import weighted_quantile
+
+    # values 1..4 with weights 1,1,1,7 (W=10): p=.5 -> cum 3 < 5 -> 4
+    rows = [("a", 1.0, 1), ("a", 2.0, 1), ("a", 3.0, 1), ("a", 4.0, 7)]
+    df = spark.createDataFrame(rows, "k string, v double, w long")
+    got = {
+        (r.k, r.p): r.q
+        for r in weighted_quantile(df, "v", "w", [0.3, 0.5, 1.0], ["k"]).collect()
+    }
+    assert got[("a", 0.3)] == 3.0   # ceil(3)=3 -> cum 3 at value 3
+    assert got[("a", 0.5)] == 4.0
+    assert got[("a", 1.0)] == 4.0
+
+    # unit weights == unweighted order statistic
+    u = spark.createDataFrame(
+        [("b", float(i), 1) for i in range(1, 11)], "k string, v double, w long"
+    )
+    gu = {r.p: r.q for r in weighted_quantile(u, "v", "w", [0.5], ["k"]).collect()}
+    assert gu[0.5] == 5.0  # ceil(0.5*10)=5 -> 5th smallest
+
+    bad = spark.createDataFrame([("c", 1.0, 0)], "k string, v double, w long")
+    with _pytest.raises(Exception, match="positive"):
+        weighted_quantile(bad, "v", "w", [0.5], ["k"]).collect()
+    with _pytest.raises(ValueError, match="key_cols"):
+        weighted_quantile(df, "v", "w", [0.5])
