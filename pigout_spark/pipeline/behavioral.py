@@ -1331,3 +1331,94 @@ def proportion_ci(
         F.round(center - half, 6).alias("lo6"),
         F.round(center + half, 6).alias("hi6"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    key_cols: list[str],
+) -> DataFrame:
+    """Kaplan–Meier survival curve per key — the churn/retention
+    estimator that handles CENSORING correctly (a subject still alive
+    at its observed duration is information, not an event):
+
+        S(t) = Π_{uᵢ ≤ t} (1 − dᵢ/nᵢ)
+
+    over distinct EVENT times uᵢ, with nᵢ = subjects at risk (duration
+    ≥ uᵢ) and dᵢ = events at uᵢ.  ``duration_col`` is an INTEGER time
+    unit (days, weeks — asserted on the scan, the r8 integerized
+    discipline); ``event_col`` boolean — True = event observed, False
+    = censored at that duration; NULL durations/events are excluded.
+
+    Determinism: risk sets and event counts are exact integers; the
+    running product runs in LOG domain with each ln(1 − d/n)
+    contribution ROUND-6 + decimal-summed (the vocab_kl discipline —
+    a float product's order never varies, but engines' ln do at the
+    last ulp), then one exp + ROUND-6.  A time where d = n drives
+    survival to exactly 0.0 from then on (flagged, not ln(0)).
+
+    Output: (*key_cols, t, n_risk, d, surv6) — one row per event time.
+
+    100 TB: one (key, duration) groupBy compresses subjects to the
+    per-key TIME-SIZED curve relation; the risk-set and product
+    windows share that key partitioning — one exchange after the
+    combine.  Per-key state is the distinct-duration count.
+    """
+    if not key_cols:
+        raise ValueError("kaplan_meier needs key_cols (constant key for "
+                         "a single conscious curve)")
+    dur, ev = F.col(duration_col), F.col(event_col)
+    d = df.filter(dur.isNotNull() & ev.isNotNull()).filter(
+        F.assert_true(
+            dur == F.floor(dur),
+            F.lit(
+                "kaplan_meier: duration must be an integer time unit "
+                "(days, weeks) — integerize upstream"
+            ),
+        ).isNull()
+    )
+    per_t = d.groupBy(*key_cols, dur.cast("bigint").alias("t")).agg(
+        F.sum(F.when(ev, 1).otherwise(0)).cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("leave"),
+    )
+    wk = Window.partitionBy(*key_cols).orderBy("t")
+    wtot = Window.partitionBy(*key_cols)
+    cum_prev = F.coalesce(
+        F.sum("leave").over(wk.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("bigint"),
+    )
+    c = per_t.withColumn(
+        "n_risk", F.sum("leave").over(wtot) - cum_prev
+    )
+    contrib = F.when(
+        F.col("d") < F.col("n_risk"),
+        (
+            F.round(
+                F.log(
+                    1.0 - F.col("d") / F.col("n_risk").cast("double")
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).cast("decimal(20,6)"),
+    ).otherwise(F.lit(None).cast("decimal(20,6)"))
+    dead = F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+    wrun = wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    curve = (
+        c.withColumn("__contrib", contrib)
+        .withColumn("__dead", F.max(dead).over(wrun))
+        .withColumn(
+            "__logs",
+            F.coalesce(
+                F.sum("__contrib").over(wrun).cast("double"), F.lit(0.0)
+            ),
+        )
+    )
+    surv = F.when(F.col("__dead") == 1, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.col("__logs")), 6)
+    )
+    return (
+        curve.filter(F.col("d") > 0)
+        .select(*key_cols, "t", "n_risk", "d", surv.alias("surv6"))
+    )

@@ -68,7 +68,8 @@ from pigout_spark.queries import udf_q  # noqa: F401,E402
 # r9 rotation candidates (added after the r8 window filled,
 # selfcheck-green at sf0.01+sf0.1 but not yet driver-checked):
 # x_check_rules, x_ref_orphans, x_kfold, x_snapshot_diff, x_cusum,
-# x_cat_assoc, x_gini, x_proportion_ci, x_weighted_quantile.
+# x_cat_assoc, x_gini, x_proportion_ci, x_weighted_quantile,
+# x_kaplan_meier.
 _WINDOW_R8 = [
     "q01_group_agg",  # flagship
     # never driver-checked before r8 — hash-checkable oracles

@@ -1535,3 +1535,68 @@ def x_weighted_quantile(spark, sf_dir):
         F.col("l_quantity").cast("bigint").alias("w"),
     )
     return weighted_quantile(li, "vc", "w", [0.5, 0.9], ["rf"])
+
+
+_KM_CONTRIB = (
+    "CAST(ROUND(ln(1 - d / CAST(n_risk AS DOUBLE)), 6) + 0.0"
+    " AS DECIMAL(20,6))"
+)
+
+
+@query(
+    "x_kaplan_meier",
+    f"""
+    WITH u AS (
+      SELECT user_id,
+             date_diff('day',
+                       MIN(CAST(date_trunc('second', ts) AS TIMESTAMP)),
+                       MAX(CAST(date_trunc('second', ts) AS TIMESTAMP)))
+               AS dur,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+               AS e
+      FROM events GROUP BY user_id
+    ), per_t AS (
+      SELECT dur AS t,
+             CAST(SUM(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS leave
+      FROM u GROUP BY dur
+    ), c AS (
+      SELECT t, d,
+             SUM(leave) OVER ()
+               - coalesce(SUM(leave) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM per_t
+    ), k AS (
+      SELECT t, n_risk, d,
+             MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS dead,
+             coalesce(CAST(SUM(CASE WHEN d < n_risk THEN {_KM_CONTRIB} END)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS DOUBLE), 0.0)
+               AS logs
+      FROM c
+    )
+    SELECT 'all' AS k, t, CAST(n_risk AS BIGINT) AS n_risk, d,
+           CASE WHEN dead = 1 THEN 0.0 ELSE ROUND(exp(logs), 6) END AS surv6
+    FROM k WHERE d > 0
+    """,
+)
+def x_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier time-to-churn curve over user activity spans
+    (pipeline/behavioral.py:kaplan_meier): duration = days between a
+    user's first and last event, event = the user purchased (else
+    censored) — risk sets exact integers, the product limit in ROUND-6
+    log domain (the vocab_kl ln discipline), single 'all' curve as a
+    conscious one-key pass."""
+    from pigout_spark.pipeline.behavioral import kaplan_meier
+
+    ev = _events_s(spark, sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.datediff(F.max("ts"), F.min("ts")).cast("double").alias("dur"),
+        (
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            == 1
+        ).alias("e"),
+    )
+    out = kaplan_meier(u.withColumn("k", F.lit("all")), "dur", "e", ["k"])
+    return out.select("k", "t", "n_risk", "d", "surv6")

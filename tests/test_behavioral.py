@@ -965,3 +965,38 @@ def test_gini_and_proportion_ci(spark):
     assert ci.lo6 == round(center - half, 6)
     assert ci.hi6 == round(center + half, 6)
     assert ci.lo6 < 0.3 < ci.hi6
+
+
+def test_kaplan_meier_textbook_curve(spark):
+    """The classic worked example: durations (6,6,6,7,10) events with
+    censoring at (6,9,10,11,16) — S follows the product-limit formula;
+    censored subjects reduce risk sets but never the survival; d=n
+    drives S to exactly 0."""
+    import math
+    from pigout_spark.pipeline.behavioral import kaplan_meier
+
+    rows = (
+        [("g", 6, True)] * 3 + [("g", 6, False)]
+        + [("g", 7, True)] + [("g", 9, False)]
+        + [("g", 10, True)] + [("g", 10, False)]
+        + [("g", 11, False)] + [("g", 16, False)]
+    )
+    df = spark.createDataFrame(
+        [(k, float(t), e) for k, t, e in rows], "k string, t double, e boolean"
+    )
+    out = {r.t: r for r in kaplan_meier(df, "t", "e", ["k"]).collect()}
+    assert set(out) == {6, 7, 10}
+    assert (out[6].n_risk, out[6].d) == (10, 3)
+    assert (out[7].n_risk, out[7].d) == (6, 1)
+    assert (out[10].n_risk, out[10].d) == (4, 1)
+    s6 = round(math.exp(round(math.log(1 - 3 / 10), 6)), 6)
+    assert out[6].surv6 == s6
+    logs = round(math.log(0.7), 6) + round(math.log(1 - 1 / 6), 6)
+    assert out[7].surv6 == round(math.exp(logs), 6)
+
+    # everyone dies at the end: S hits exactly 0
+    alldie = spark.createDataFrame(
+        [("h", 1.0, True), ("h", 2.0, True)], "k string, t double, e boolean"
+    )
+    o2 = {r.t: r.surv6 for r in kaplan_meier(alldie, "t", "e", ["k"]).collect()}
+    assert o2[2] == 0.0 and o2[1] == 0.5
