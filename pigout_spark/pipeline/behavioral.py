@@ -1328,8 +1328,10 @@ def proportion_ci(
         F.col("n").cast("bigint").alias("n"),
         "successes",
         F.round(p, 6).alias("p6"),
-        F.round(center - half, 6).alias("lo6"),
-        F.round(center + half, 6).alias("hi6"),
+        # + 0.0: at p̂ ∈ {0, 1} one bound equals the center minus
+        # itself — a −0.0 residual (the FIXTURES.md signed-zero trap)
+        (F.round(center - half, 6) + F.lit(0.0)).alias("lo6"),
+        (F.round(center + half, 6) + F.lit(0.0)).alias("hi6"),
     )
 
 

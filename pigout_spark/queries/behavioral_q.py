@@ -1472,12 +1472,12 @@ def x_gini(spark, sf_dir):
                  / (1 + 3.841458881296 / n)
                  - 1.959964 * sqrt((successes / n) * (1 - successes / n) / n
                                 + 3.841458881296 / (4 * n * n))
-                   / (1 + 3.841458881296 / n), 6) AS lo6,
+                   / (1 + 3.841458881296 / n), 6) + 0.0 AS lo6,
            ROUND((successes / n + 3.841458881296 / (2 * n))
                  / (1 + 3.841458881296 / n)
                  + 1.959964 * sqrt((successes / n) * (1 - successes / n) / n
                                 + 3.841458881296 / (4 * n * n))
-                   / (1 + 3.841458881296 / n), 6) AS hi6
+                   / (1 + 3.841458881296 / n), 6) + 0.0 AS hi6
     FROM s
     """,
 )

@@ -2287,8 +2287,17 @@ def gen_r8(rng: random.Random):
     caps), and seasonal decomposition (random period parity/length)."""
     kind = rng.choice(
         ["bfs", "sssp", "cdc", "trend", "psi", "ks", "itemcf", "seasonal",
-         "winsor", "abseg", "ntile", "skew", "diff", "rules"]
+         "winsor", "abseg", "ntile", "skew", "diff", "rules",
+         "km", "wq", "gini", "wilson"]
     )
+
+    if kind in ("km", "wq", "gini", "wilson"):
+        return {
+            "km": _gen_km,
+            "wq": _gen_wq,
+            "gini": _gen_gini,
+            "wilson": _gen_wilson,
+        }[kind](rng)
 
     if kind == "diff":
         nk = rng.randint(1, 20)
@@ -2921,5 +2930,169 @@ def gen_r8(rng: random.Random):
         return out.select(
             "k", "idx", "value", "trend", "seasonal", "resid"
         )
+
+    return build, sql
+
+
+
+# ------------------------------------------------- r8 stats generators ---
+def _gen_km(rng: random.Random):
+    """Kaplan-Meier over random (duration, event) mixes incl. censored
+    tails and d == n_risk extinction times."""
+    n = rng.randint(2, 40)
+    rows = [(rng.randint(1, 10), rng.random() < 0.6) for _ in range(n)]
+    vals = ", ".join(f"({t}, {str(e).upper()})" for t, e in rows)
+    contrib = ("CAST(ROUND(ln(1 - d / CAST(n_risk AS DOUBLE)), 6)"
+               " + 0.0 AS DECIMAL(20,6))")
+    sql = f"""
+    WITH u AS (SELECT * FROM (VALUES {vals}) t(dur, e)),
+    per_t AS (
+      SELECT dur AS t,
+             CAST(SUM(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS leave
+      FROM u GROUP BY dur
+    ), c AS (
+      SELECT t, d,
+             SUM(leave) OVER ()
+               - coalesce(SUM(leave) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM per_t
+    ), k AS (
+      SELECT t, n_risk, d,
+             MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS dead,
+             coalesce(CAST(SUM(CASE WHEN d < n_risk THEN {contrib} END)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS DOUBLE),
+               0.0) AS logs
+      FROM c
+    )
+    SELECT 'all' AS k, CAST(t AS BIGINT) AS t,
+           CAST(n_risk AS BIGINT) AS n_risk, d,
+           CASE WHEN dead = 1 THEN 0.0
+                ELSE ROUND(exp(logs), 6) END AS surv6
+    FROM k WHERE d > 0
+    """
+
+    def build(spark, sf_dir, rows=rows):
+        from pigout_spark.pipeline.behavioral import kaplan_meier
+
+        df = spark.createDataFrame(
+            [("all", float(t), e) for t, e in rows],
+            "k string, dur double, e boolean",
+        )
+        return kaplan_meier(df, "dur", "e", ["k"])
+
+    return build, sql
+
+
+def _gen_wq(rng: random.Random):
+    """Weighted quantiles over random weights/ties, multiple ps."""
+    n = rng.randint(1, 30)
+    keys = rng.randint(1, 3)
+    rows = [
+        (rng.randint(0, keys - 1), float(rng.randint(0, 9)),
+         rng.randint(1, 9))
+        for _ in range(n)
+    ]
+    ps = sorted(rng.sample([0.1, 0.25, 0.5, 0.75, 0.9, 1.0],
+                           rng.randint(1, 3)))
+    vals = ", ".join(f"({k}, {v!r}, {w})" for k, v, w in rows)
+    selects = [
+        f"SELECT k, {pp!r} AS p, MIN(v) AS q FROM c"
+        f" WHERE cw >= ceil({pp!r} * tw) GROUP BY k"
+        for pp in ps
+    ]
+    sql = f"""
+    WITH d AS (SELECT * FROM (VALUES {vals}) t(k, v, w)),
+    m AS (SELECT k, v, SUM(w) AS w FROM d GROUP BY k, v),
+    c AS (
+      SELECT k, v,
+             SUM(w) OVER (PARTITION BY k ORDER BY v
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(w) OVER (PARTITION BY k) AS tw
+      FROM m
+    )
+    {" UNION ALL ".join(selects)}
+    """
+
+    def build(spark, sf_dir, rows=rows, ps=ps):
+        from pigout_spark.operators.sorting import weighted_quantile
+
+        df = spark.createDataFrame(rows, "k long, v double, w long")
+        return weighted_quantile(df, "v", "w", ps, ["k"])
+
+    return build, sql
+
+
+def _gen_gini(rng: random.Random):
+    """Gini over random non-negative integer values incl. all-zero and
+    singleton keys."""
+    n = rng.randint(1, 40)
+    keys = rng.randint(1, 3)
+    rows = [(rng.randint(0, keys - 1), rng.randint(0, 50))
+            for _ in range(n)]
+    vals = ", ".join(f"({k}, {v})" for k, v in rows)
+    sql = f"""
+    WITH o AS (SELECT * FROM (VALUES {vals}) t(k, vc)),
+    r AS (SELECT k, vc,
+            row_number() OVER (PARTITION BY k ORDER BY vc) AS i
+          FROM o),
+    s AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CAST(vc AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+            CAST(SUM(CAST(i AS DECIMAL(19,0))
+                     * CAST(vc AS DECIMAL(19,0))) AS DOUBLE) AS srx
+          FROM r GROUP BY k)
+    SELECT k, n,
+           CASE WHEN sx > 0
+                THEN ROUND((2 * srx - (n + 1) * sx) / (n * sx), 6) + 0.0
+                ELSE 0.0 END AS gini6
+    FROM s
+    """
+
+    def build(spark, sf_dir, rows=rows):
+        from pigout_spark.pipeline.behavioral import gini
+
+        df = spark.createDataFrame(
+            [(k, float(v)) for k, v in rows], "k long, vc double"
+        )
+        return gini(df, ["k"], "vc")
+
+    return build, sql
+
+
+def _gen_wilson(rng: random.Random):
+    """Wilson intervals over random success mixes incl. 0% and 100%
+    keys (where Wald would collapse)."""
+    n = rng.randint(1, 50)
+    keys = rng.randint(1, 3)
+    z = 1.959964
+    zz = z * z
+    rows = [(rng.randint(0, keys - 1), rng.random() < 0.3)
+            for _ in range(n)]
+    vals = ", ".join(f"({k}, {str(f).upper()})" for k, f in rows)
+    sql = f"""
+    WITH e AS (SELECT * FROM (VALUES {vals}) t(k, f)),
+    s AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS successes
+          FROM e GROUP BY k)
+    SELECT k, n, successes,
+           ROUND(successes / n, 6) AS p6,
+           ROUND((successes / n + {zz!r} / (2 * n)) / (1 + {zz!r} / n)
+                 - {z!r} * sqrt((successes / n) * (1 - successes / n) / n
+                                + {zz!r} / (4 * n * n)) / (1 + {zz!r} / n),
+                 6) + 0.0 AS lo6,
+           ROUND((successes / n + {zz!r} / (2 * n)) / (1 + {zz!r} / n)
+                 + {z!r} * sqrt((successes / n) * (1 - successes / n) / n
+                                + {zz!r} / (4 * n * n)) / (1 + {zz!r} / n),
+                 6) + 0.0 AS hi6
+    FROM s
+    """
+
+    def build(spark, sf_dir, rows=rows, z=z):
+        from pigout_spark.pipeline.behavioral import proportion_ci
+
+        df = spark.createDataFrame(rows, "k long, f boolean")
+        return proportion_ci(df, ["k"], "f", z=z)
 
     return build, sql
