@@ -56,6 +56,8 @@ def _r8_cases():
         "itemcf": "rec_item", "seasonal": "resid", "winsor": "value_w",
         "abseg": "mean_c6", "ntile": "ntile", "skew": "entropy_ratio6",
         "diff": "'added'", "rules": "n_violations",
+        "km": "surv6", "wq": " AS q FROM c", "gini": "gini6",
+        "wilson": "hi6",
     }
     for _ in range(400):
         build, sql = gen_r8(rng)
@@ -68,10 +70,10 @@ def _r8_cases():
     return list(seen.values())
 
 
-@pytest.mark.parametrize("case", range(14))
+@pytest.mark.parametrize("case", range(18))
 def test_fuzz_r8_differential(spark, sf_dir, duck, case):
     cases = _r8_cases()
-    assert len(cases) == 14, "seeded scan did not reach every r8 kind"
+    assert len(cases) == 18, "seeded scan did not reach every r8 kind"
     build, sql = cases[case]
     spdf = build(spark, sf_dir).toPandas()
     opdf = duck.execute(sql).df()
