@@ -415,14 +415,29 @@ def weighted_quantile(
     c = merged.withColumn("__cw", F.sum("__w").over(
         wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )).withColumn("__tw", F.sum("__w").over(wtot))
-    out = None
-    for p in ps:
-        thr = F.ceil(F.lit(Decimal(str(p))) * F.col("__tw"))
-        hit = (
-            c.filter(F.col("__cw") >= thr)
-            .groupBy(*keys)
-            .agg(F.min("__v").alias("q"))
-            .withColumn("p", F.lit(float(p)))
-        )
-        out = hit if out is None else out.unionByName(hit)
-    return out.select(*keys, "p", "q")
+    # ONE aggregation for every requested p (a union of per-p
+    # filter+groupBys would plan len(ps) copies of the scan/window
+    # chain — the check_rules stacking discipline): per-p conditional
+    # mins, then explode the (p, q) pairs
+    aggs = [
+        F.min(
+            F.when(
+                F.col("__cw")
+                >= F.ceil(F.lit(Decimal(str(p))) * F.col("__tw")),
+                F.col("__v"),
+            )
+        ).alias(f"__q_{i}")
+        for i, p in enumerate(ps)
+    ]
+    s = c.groupBy(*keys).agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(float(p)).alias("p"), F.col(f"__q_{i}").alias("q")
+            )
+            for i, p in enumerate(ps)
+        ]
+    )
+    return s.select(
+        *keys, F.explode(pairs).alias("__pq")
+    ).select(*keys, F.col("__pq.p").alias("p"), F.col("__pq.q").alias("q"))

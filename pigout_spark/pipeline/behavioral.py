@@ -1182,7 +1182,13 @@ def categorical_association(
         .withColumn("__nb", F.sum("__c").over(wb))
         .withColumn("__n", F.sum("__c").over(wt))
     )
-    e = F.col("__na") * F.col("__nb") / F.col("__n")
+    # margins multiply as DOUBLES: na·nb is bounded by n², not n, so
+    # a bigint product wraps past ~3e9-row margins (r8 second
+    # self-review); double margins stay exact to 2^53 each and the
+    # product's ulp is negligible against e's use in a ROUND-6 chain.
+    # The SQL twin casts the same way (DuckDB's BIGINT·BIGINT errors
+    # on overflow rather than widening).
+    e = F.col("__na").cast("double") * F.col("__nb") / F.col("__n")
     chi_cell = (
         F.round((F.col("__c") - e) * (F.col("__c") - e) / e, 6) + F.lit(0.0)
     ).cast("decimal(20,6)")
@@ -1192,7 +1198,7 @@ def categorical_association(
             * F.log(
                 F.col("__c").cast("double")
                 * F.col("__n")
-                / (F.col("__na") * F.col("__nb"))
+                / (F.col("__na").cast("double") * F.col("__nb"))
             ),
             6,
         )
@@ -1205,10 +1211,13 @@ def categorical_association(
         F.sum(chi_cell).cast("double").alias("chi2_6"),
         F.sum(mi_cell).cast("double").alias("mi6"),
     )
-    dof = (F.col("__ka") - 1) * (F.col("__kb") - 1)
+    dof = F.when(
+        (F.col("__ka") > 0) & (F.col("__kb") > 0),
+        (F.col("__ka") - 1) * (F.col("__kb") - 1),
+    ).otherwise(F.lit(0))  # empty/all-NULL input: no table, dof 0
     vmin = F.least(F.col("__ka") - 1, F.col("__kb") - 1)
     return s.select(
-        F.col("n").cast("bigint").alias("n"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
         dof.cast("bigint").alias("dof"),
         "chi2_6",
         F.when(

@@ -32,25 +32,12 @@ def _bin_counts(
     """Clamped equi-width bin counts: (bin, n).  NULL values are
     excluded (a NULL is not a drifted value; callers comparing NULL
     RATES should profile those separately).  Identical bin arithmetic
-    to behavioral.histogram so oracles can share the chain."""
-    if int(bins) < 1:
-        raise ValueError("drift binning: bins must be >= 1")
-    if not float(hi) > float(lo):
-        raise ValueError(
-            f"drift binning: hi ({hi}) must be > lo ({lo}) — swapped "
-            "bounds silently funnel everything into the edge bins"
-        )
-    width = (float(hi) - float(lo)) / int(bins)
-    v = F.col(value_col)
-    b = F.least(
-        F.lit(int(bins) - 1),
-        F.greatest(
-            F.lit(0), F.floor((v - F.lit(float(lo))) / F.lit(width))
-        ),
-    ).cast("bigint")
+    to behavioral.histogram so oracles can share the chain (the bin
+    arithmetic itself lives in :func:`bin_expr` — ONE copy, shared
+    with the streaming path, so the binnings can never drift)."""
     return (
-        df.filter(v.isNotNull())
-        .select(b.alias("bin"))
+        df.filter(F.col(value_col).isNotNull())
+        .select(bin_expr(value_col, bins, lo, hi).alias("bin"))
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -195,7 +182,10 @@ def bin_expr(value_col: str, bins: int, lo: float, hi: float):
     if int(bins) < 1:
         raise ValueError("drift binning: bins must be >= 1")
     if not float(hi) > float(lo):
-        raise ValueError("drift binning: hi must be > lo")
+        raise ValueError(
+            f"drift binning: hi ({hi}) must be > lo ({lo}) — swapped "
+            "bounds silently funnel everything into the edge bins"
+        )
     width = (float(hi) - float(lo)) / int(bins)
     v = F.col(value_col)
     return F.least(
@@ -267,13 +257,25 @@ def psi_from_counts(
         )
     r = ref_counts.select("bin", F.col(ref_n[0]).alias("n_ref"))
     c = cur_counts.select(*bys, "bin", "n_cur")
+    # bin universe = ref ∪ cur bins: a bin the CURRENT side invented
+    # (zero reference mass — the strongest drift signal there is) must
+    # still scaffold into every group with n_ref 0, or its rows would
+    # vanish in the join AND deflate t_cur (r8 second self-review —
+    # the first shape used ref bins only, unlike psi_drift's
+    # full-outer join)
+    bins_univ = (
+        r.select("bin").unionByName(c.select("bin")).distinct()
+    )
+    rb = bins_univ.join(r, "bin", "left").select(
+        "bin", F.coalesce("n_ref", F.lit(0)).alias("n_ref")
+    )
     groups = (
         c.select(*bys).distinct() if bys
         else c.sparkSession.range(1).select(F.lit(1).alias("__g"))
     )
     scaffold = (
-        groups.crossJoin(F.broadcast(r)) if bys
-        else groups.crossJoin(F.broadcast(r)).drop("__g")
+        groups.crossJoin(F.broadcast(rb)) if bys
+        else groups.crossJoin(F.broadcast(rb)).drop("__g")
     )
     # scaffold derives FROM c, so a plain self-join sees conflicting
     # attribute references — rename the probe side's join columns into

@@ -166,7 +166,9 @@ def heavy_hitters(df: DataFrame, key_cols: list[str], top_n: int = 20):
     if not key_cols:
         raise ValueError("heavy_hitters needs at least one key column")
     counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("cnt"))
-    total = df.agg(F.count(F.lit(1)).cast("double").alias("__t"))
+    # total from the key-count relation, NOT a second data scan (r8
+    # second self-review — the skew_stats shape)
+    total = counts.agg(F.sum("cnt").cast("double").alias("__t"))
     return (
         counts.crossJoin(F.broadcast(total))
         .withColumn("share6", F.round(F.col("cnt") / F.col("__t"), 6))

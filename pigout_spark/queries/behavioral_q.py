@@ -1387,10 +1387,13 @@ def x_snapshot_diff(spark, sf_dir):
       SELECT MAX(n) AS n,
              CAST(COUNT(DISTINCT a) AS BIGINT) AS ka,
              CAST(COUNT(DISTINCT b) AS BIGINT) AS kb,
-             CAST(SUM(CAST(ROUND((c - na * nb / n) * (c - na * nb / n)
-                                 / (na * nb / n), 6) + 0.0
+             CAST(SUM(CAST(ROUND(
+                   (c - CAST(na AS DOUBLE) * nb / n)
+                   * (c - CAST(na AS DOUBLE) * nb / n)
+                   / (CAST(na AS DOUBLE) * nb / n), 6) + 0.0
                            AS DECIMAL(20,6))) AS DOUBLE) AS chi2_6,
-             CAST(SUM(CAST(ROUND((c / n) * ln(c * n / (na * nb)), 6) + 0.0
+             CAST(SUM(CAST(ROUND((c / n)
+                   * ln(c * n / (CAST(na AS DOUBLE) * nb)), 6) + 0.0
                            AS DECIMAL(20,6))) AS DOUBLE) AS mi6
       FROM m
     )

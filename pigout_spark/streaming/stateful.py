@@ -341,9 +341,9 @@ def _upsert_fn(ts_col: str, op_col: str, seq_col: str | None,
                 pdf[seq_col] if seq_col else [0] * len(pdf),
                 pdf["__payload"],
             ):
-                if pd.isna(t) or op is None:
+                if pd.isna(t) or op is None or pd.isna(seq):
                     raise ValueError(
-                        "upsert_state_stream: NULL ts/op in change "
+                        "upsert_state_stream: NULL ts/op/seq in change "
                         "record (malformed CDC row)"
                     )
                 cand = (int(t.value // 1000), int(seq))

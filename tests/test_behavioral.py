@@ -1000,3 +1000,28 @@ def test_kaplan_meier_textbook_curve(spark):
     )
     o2 = {r.t: r.surv6 for r in kaplan_meier(alldie, "t", "e", ["k"]).collect()}
     assert o2[2] == 0.0 and o2[1] == 0.5
+
+
+def test_r8_second_review_regressions(spark):
+    """Pins for the second r8 review: psi_from_counts must surface a
+    CURRENT-only bin (zero reference mass) instead of dropping it;
+    categorical_association on empty/all-NULL input reads (n=0, dof=0,
+    NULL stats)."""
+    from pigout_spark.pipeline.behavioral import categorical_association
+    from pigout_spark.pipeline.drift import psi_from_counts
+
+    rc = spark.createDataFrame([(0, 50), (1, 50)], "bin long, n long")
+    cc = spark.createDataFrame(
+        [(0, 5), (5, 95)], "bin long, n_cur long"
+    )  # bin 5 exists ONLY on the current side
+    got = {r.bin: r for r in psi_from_counts(rc, cc).collect()}
+    assert set(got) == {0, 1, 5}
+    assert got[5].n_ref == 0 and got[5].n_cur == 95
+    assert got[5].psi6 > 5  # (0.95 - 1e-4)·ln(0.95/1e-4) ≈ 8.7
+    # totals: t_cur counts ALL cur rows (100), so p_cur(0) = 0.05
+    assert got[0].n_cur == 5
+
+    empty = spark.createDataFrame([], "a string, b string")
+    r = categorical_association(empty, "a", "b").collect()[0]
+    assert (r.n, r.dof) == (0, 0)
+    assert r.chi2_6 is None and r.cramers_v6 is None and r.mi6 is None

@@ -352,10 +352,17 @@ def test_r8_op_plans_hold_at_scale(spark, sf_dir):
     # global quantile_bucket: row_rank's only SinglePartition stage is
     # the ~#partitions-sized counts prefix sum (the documented
     # exception), never over data rows
+    # global quantile_bucket: every single-partition exchange must
+    # move AGGREGATE outputs (its immediate child is a HashAggregate —
+    # row_rank's per-partition counts and the broadcast n), never raw
+    # data rows (r8 second self-review fixed the vacuous form of this)
     plan = plan_of(spark, sf_dir, "x_quantile_bucket")
-    for line in plan.splitlines():
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
         if "Exchange SinglePartition" in line:
-            assert "count" in plan.lower()
+            assert "HashAggregate" in lines[i + 1], "\n".join(
+                lines[i:i + 2]
+            )
 
     plan = plan_of(spark, sf_dir, "x_item_cf")
     assert "CartesianProduct" not in plan
