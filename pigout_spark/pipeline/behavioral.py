@@ -1433,3 +1433,127 @@ def kaplan_meier(
         curve.filter(F.col("d") > 0)
         .select(*key_cols, "t", "n_risk", "d", surv.alias("surv6"))
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Log-rank test between TWO survival groups — "is the churn curve
+    of cohort A different from cohort B", the hypothesis-test companion
+    to :func:`kaplan_meier`:
+
+        z = Σᵢ (d₁ᵢ − n₁ᵢ·dᵢ/nᵢ) / √Σᵢ vᵢ,
+        vᵢ = dᵢ·(n₁ᵢ/nᵢ)·(1 − n₁ᵢ/nᵢ)·(nᵢ − dᵢ)/(nᵢ − 1)
+
+    over distinct event times, with group 1 = the LEXICOGRAPHICALLY
+    SMALLEST group value (a deterministic orientation; the statistic
+    is symmetric up to sign).  Same input contract as kaplan_meier:
+    integer durations (asserted), boolean events, NULLs excluded;
+    exactly two non-NULL groups (asserted — k-group log-rank needs a
+    chi-square over a vector, a different op).
+
+    Determinism: risk sets and event counts exact integers; each
+    time's O−E and v terms ROUND-6 + decimal-summed (the vocab_kl
+    discipline), then one final IEEE divide/sqrt.  Times where
+    nᵢ = 1 contribute zero variance (the nᵢ−1 denominator is
+    guarded, not divided by zero).
+
+    Output: ONE row (n, n_events, o_minus_e6, var6, z6).
+
+    100 TB: one (group, duration) groupBy compresses subjects to the
+    time-sized table; risk sets come from cumulative windows on the
+    single constant-key curve partitioning — the relation is
+    event-time-sized by then, a conscious bounded pass.
+    """
+    dur, ev, grp = F.col(duration_col), F.col(event_col), F.col(group_col)
+    d = df.filter(
+        dur.isNotNull() & ev.isNotNull() & grp.isNotNull()
+    ).filter(
+        F.assert_true(
+            dur == F.floor(dur),
+            F.lit(
+                "logrank_test: duration must be an integer time unit"
+            ),
+        ).isNull()
+    )
+    per = d.groupBy(dur.cast("bigint").alias("t"), grp.alias("__g")).agg(
+        F.sum(F.when(ev, 1).otherwise(0)).cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("leave"),
+    )
+    # exactly-two-groups contract, asserted on the tiny per relation
+    per = per.withColumn(
+        "__ng", F.size(F.collect_set("__g").over(Window.partitionBy()))
+    ).filter(
+        F.assert_true(
+            F.col("__ng") == 2,
+            F.lit("logrank_test: exactly two groups required"),
+        ).isNull()
+    )
+    g1 = F.min("__g").over(Window.partitionBy())
+    per = per.withColumn("__is1", (F.col("__g") == g1).cast("int"))
+    byt = per.groupBy("t").agg(
+        F.sum("d").alias("d_all"),
+        F.sum("leave").alias("l_all"),
+        F.sum(F.col("d") * F.col("__is1")).alias("d1"),
+        F.sum(F.col("leave") * F.col("__is1")).alias("l1"),
+    )
+    wk = Window.orderBy("t")
+    wtot = Window.partitionBy()
+    prev_all = F.coalesce(
+        F.sum("l_all").over(
+            wk.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0).cast("bigint"),
+    )
+    prev_1 = F.coalesce(
+        F.sum("l1").over(wk.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("bigint"),
+    )
+    c = byt.withColumn(
+        "n_all", F.sum("l_all").over(wtot) - prev_all
+    ).withColumn("n1", F.sum("l1").over(wtot) - prev_1)
+    n_all = F.col("n_all").cast("double")
+    n1 = F.col("n1").cast("double")
+    d_all = F.col("d_all").cast("double")
+    oe = (
+        F.round(F.col("d1") - n1 * d_all / n_all, 6) + F.lit(0.0)
+    ).cast("decimal(20,6)")
+    v = F.when(
+        F.col("n_all") > 1,
+        (
+            F.round(
+                d_all
+                * (n1 / n_all)
+                * (1.0 - n1 / n_all)
+                * (n_all - d_all)
+                / (n_all - 1.0),
+                6,
+            )
+            + F.lit(0.0)
+        ).cast("decimal(20,6)"),
+    ).otherwise(F.lit(0).cast("decimal(20,6)"))
+    # no event-time filter needed: at a censoring-only time d_all = 0
+    # makes both the O−E term (d1 = 0, expectation 0) and the variance
+    # term identically zero — summing every time keeps n = Σ leave
+    # exact and the plan fully lazy (no driver-side count action)
+    s = c.agg(
+        F.sum("l_all").cast("bigint").alias("n"),
+        F.sum("d_all").cast("bigint").alias("n_events"),
+        F.sum(oe).cast("double").alias("o_minus_e6"),
+        F.sum(v).cast("double").alias("var6"),
+    )
+    return s.select(
+        "n",
+        "n_events",
+        "o_minus_e6",
+        "var6",
+        F.when(
+            F.col("var6") > 0,
+            F.round(
+                F.col("o_minus_e6") / F.sqrt(F.col("var6")), 6
+            ),
+        ).alias("z6"),
+    )

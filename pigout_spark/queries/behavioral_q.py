@@ -1603,3 +1603,77 @@ def x_kaplan_meier(spark, sf_dir):
     )
     out = kaplan_meier(u.withColumn("k", F.lit("all")), "dur", "e", ["k"])
     return out.select("k", "t", "n_risk", "d", "surv6")
+
+
+@query(
+    "x_logrank",
+    """
+    WITH u AS (
+      SELECT user_id % 2 AS g,
+             date_diff('day',
+                       MIN(CAST(date_trunc('second', ts) AS TIMESTAMP)),
+                       MAX(CAST(date_trunc('second', ts) AS TIMESTAMP)))
+               AS dur,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+               AS e
+      FROM events GROUP BY user_id
+    ), per AS (
+      SELECT dur AS t, g,
+             CAST(SUM(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS leave
+      FROM u GROUP BY dur, g
+    ), byt AS (
+      SELECT t, SUM(d) AS d_all, SUM(leave) AS l_all,
+             SUM(CASE WHEN g = 0 THEN d ELSE 0 END) AS d1,
+             SUM(CASE WHEN g = 0 THEN leave ELSE 0 END) AS l1
+      FROM per GROUP BY t
+    ), c AS (
+      SELECT t, d_all, d1,
+             SUM(l_all) OVER ()
+               - coalesce(SUM(l_all) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_all,
+             SUM(l1) OVER ()
+               - coalesce(SUM(l1) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n1,
+             l_all
+      FROM byt
+    ), s AS (
+      SELECT CAST(SUM(l_all) AS BIGINT) AS n,
+             CAST(SUM(d_all) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(ROUND(d1 - CAST(n1 AS DOUBLE) * d_all / n_all, 6)
+                           + 0.0 AS DECIMAL(20,6))) AS DOUBLE)
+               AS o_minus_e6,
+             CAST(SUM(CASE WHEN n_all > 1 THEN
+                   CAST(ROUND(CAST(d_all AS DOUBLE)
+                        * (CAST(n1 AS DOUBLE) / n_all)
+                        * (1 - CAST(n1 AS DOUBLE) / n_all)
+                        * (n_all - CAST(d_all AS DOUBLE)) / (n_all - 1), 6)
+                        + 0.0 AS DECIMAL(20,6))
+                   ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE) AS var6
+      FROM c
+    )
+    SELECT n, n_events, o_minus_e6, var6,
+           CASE WHEN var6 > 0
+                THEN ROUND(o_minus_e6 / sqrt(var6), 6) END AS z6
+    FROM s
+    """,
+)
+def x_logrank(spark, sf_dir):
+    """Log-rank test between even/odd user cohorts' time-to-churn
+    curves (pipeline/behavioral.py:logrank_test) — per-event-time O−E
+    and variance terms ROUND-6 decimal-summed over the merged risk
+    table, one final IEEE divide/sqrt; censoring-only times contribute
+    identical zeros so no filter is needed."""
+    from pigout_spark.pipeline.behavioral import logrank_test
+
+    ev = _events_s(spark, sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.datediff(F.max("ts"), F.min("ts")).cast("double").alias("dur"),
+        (
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            == 1
+        ).alias("e"),
+    ).withColumn("g", F.col("user_id") % 2)
+    return logrank_test(u, "dur", "e", "g")

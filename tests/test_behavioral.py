@@ -1025,3 +1025,48 @@ def test_r8_second_review_regressions(spark):
     r = categorical_association(empty, "a", "b").collect()[0]
     assert (r.n, r.dof) == (0, 0)
     assert r.chi2_6 is None and r.cramers_v6 is None and r.mi6 is None
+
+
+def test_logrank_test_against_reference(spark):
+    """Two-group log-rank pinned against a hand-computed reference
+    (risk tables worked per event time); identical groups score z~0;
+    a third group trips the two-group assert."""
+    import math
+    import pytest as _pytest
+    from pigout_spark.pipeline.behavioral import logrank_test
+
+    # group a: events at 1,2 censored 3; group b: events at 3,4 cens 5
+    rows = [
+        ("a", 1, True), ("a", 2, True), ("a", 3, False),
+        ("b", 3, True), ("b", 4, True), ("b", 5, False),
+    ]
+    df = spark.createDataFrame(
+        [(g, float(t), e) for g, t, e in rows],
+        "g string, t double, e boolean",
+    )
+    r = logrank_test(df, "t", "e", "g").collect()[0]
+    assert (r.n, r.n_events) == (6, 4)
+    # hand reference (group1 = 'a'):
+    # t=1: n=6 n1=3 d=1 d1=1 -> oe=1-3/6=0.5, v=1*(.5)(.5)(5/5)=.25
+    # t=2: n=5 n1=2 d=1 d1=1 -> oe=1-2/5=0.6, v=(.4)(.6)(4/4)=.24
+    # t=3: n=4 n1=1 d=1 d1=0 -> oe=-.25, v=(.25)(.75)(3/3)=.1875
+    # t=4: n=2 n1=0 d=1 d1=0 -> oe=0, v=0
+    oe = round(0.5, 6) + round(0.6, 6) + round(-0.25, 6) + 0.0
+    var = round(0.25, 6) + round(0.24, 6) + round(0.1875, 6)
+    assert abs(r.o_minus_e6 - oe) < 1e-9
+    assert abs(r.var6 - var) < 1e-9
+    assert r.z6 == round(oe / math.sqrt(var), 6)
+
+    same = spark.createDataFrame(
+        [("a", float(t), True) for t in (1, 2, 3)]
+        + [("b", float(t), True) for t in (1, 2, 3)],
+        "g string, t double, e boolean",
+    )
+    z0 = logrank_test(same, "t", "e", "g").collect()[0]
+    assert z0.o_minus_e6 == 0.0
+
+    three = df.union(
+        spark.createDataFrame([("c", 1.0, True)], "g string, t double, e boolean")
+    )
+    with _pytest.raises(Exception, match="two groups"):
+        logrank_test(three, "t", "e", "g").collect()
