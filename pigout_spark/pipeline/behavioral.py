@@ -1557,3 +1557,66 @@ def logrank_test(
             ),
         ).alias("z6"),
     )
+
+
+def odds_ratio(
+    df: DataFrame,
+    exposure_col: str,
+    outcome_col: str,
+    z: float = 1.959964,
+) -> DataFrame:
+    """Odds ratio and relative risk for a 2×2 exposure/outcome table
+    with Wald CIs in the log domain — the effect-SIZE companion to
+    :func:`categorical_association`'s "is there an effect" chi²:
+
+        OR = (a·d)/(b·c),  ln-CI half-width = z·√(1/a+1/b+1/c+1/d)
+        RR = [a/(a+b)] / [c/(c+d)],  half = z·√(b/(a(a+b)) + d/(c(c+d)))
+
+    with a = exposed∧outcome, b = exposed∧¬outcome, c = unexposed∧
+    outcome, d = unexposed∧¬outcome.  Both columns boolean; NULL rows
+    excluded.  Any EMPTY CELL returns NULL estimates (the classical
+    statistics are undefined; add the Haldane 0.5 correction upstream
+    if you want shrunk estimates — an explicit modeling choice, not a
+    silent default).
+
+    Determinism: four exact integer cells, one fixed IEEE/ln chain,
+    estimates and bounds ROUND-6 (+0.0 — log-domain bounds cross
+    zero).
+
+    Output: ONE row (a, b, c, d, or6, or_lo6, or_hi6, rr6, rr_lo6,
+    rr_hi6).
+
+    100 TB: ONE conditional aggregation over one scan.
+    """
+    ex, oc = F.col(exposure_col), F.col(outcome_col)
+    d0 = df.filter(ex.isNotNull() & oc.isNotNull())
+
+    def cell(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+
+    s = d0.agg(
+        cell(ex & oc, "a"),
+        cell(ex & ~oc, "b"),
+        cell(~ex & oc, "c"),
+        cell(~ex & ~oc, "d"),
+    )
+    a, b, c, dd = (F.col(x).cast("double") for x in ("a", "b", "c", "d"))
+    ok = (a > 0) & (b > 0) & (c > 0) & (dd > 0)
+    lor = F.log(a * dd / (b * c))
+    se_or = F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / dd)
+    lrr = F.log((a / (a + b)) / (c / (c + dd)))
+    se_rr = F.sqrt(b / (a * (a + b)) + dd / (c * (c + dd)))
+    zz = F.lit(float(z))
+
+    def r6(e):
+        return F.round(e, 6) + F.lit(0.0)
+
+    return s.select(
+        "a", "b", "c", "d",
+        F.when(ok, r6(F.exp(lor))).alias("or6"),
+        F.when(ok, r6(F.exp(lor - zz * se_or))).alias("or_lo6"),
+        F.when(ok, r6(F.exp(lor + zz * se_or))).alias("or_hi6"),
+        F.when(ok, r6(F.exp(lrr))).alias("rr6"),
+        F.when(ok, r6(F.exp(lrr - zz * se_rr))).alias("rr_lo6"),
+        F.when(ok, r6(F.exp(lrr + zz * se_rr))).alias("rr_hi6"),
+    )

@@ -69,7 +69,7 @@ from pigout_spark.queries import udf_q  # noqa: F401,E402
 # selfcheck-green at sf0.01+sf0.1 but not yet driver-checked):
 # x_check_rules, x_ref_orphans, x_kfold, x_snapshot_diff, x_cusum,
 # x_cat_assoc, x_gini, x_proportion_ci, x_weighted_quantile,
-# x_kaplan_meier, x_logrank.
+# x_kaplan_meier, x_logrank, x_odds_ratio.
 _WINDOW_R8 = [
     "q01_group_agg",  # flagship
     # never driver-checked before r8 — hash-checkable oracles

@@ -1677,3 +1677,71 @@ def x_logrank(spark, sf_dir):
         ).alias("e"),
     ).withColumn("g", F.col("user_id") % 2)
     return logrank_test(u, "dur", "e", "g")
+
+
+@query(
+    "x_odds_ratio",
+    """
+    WITH e AS (
+      SELECT value > 50 AS exp_, event_type = 'purchase' AS out_
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), s AS (
+      SELECT
+        CAST(SUM(CASE WHEN exp_ AND out_ THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        CAST(SUM(CASE WHEN exp_ AND NOT out_ THEN 1 ELSE 0 END) AS BIGINT)
+          AS b,
+        CAST(SUM(CASE WHEN NOT exp_ AND out_ THEN 1 ELSE 0 END) AS BIGINT)
+          AS c,
+        CAST(SUM(CASE WHEN NOT exp_ AND NOT out_ THEN 1 ELSE 0 END)
+             AS BIGINT) AS d
+      FROM e
+    )
+    SELECT a, b, c, d,
+      CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+        ROUND(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))), 6)
+        + 0.0 END AS or6,
+      CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+        ROUND(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+              - 1.959964 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)), 6)
+        + 0.0 END AS or_lo6,
+      CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+        ROUND(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+              + 1.959964 * sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)), 6)
+        + 0.0 END AS or_hi6,
+      CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+        ROUND(exp(ln((CAST(a AS DOUBLE) / (a + b))
+                     / (CAST(c AS DOUBLE) / (c + d)))), 6) + 0.0
+        END AS rr6,
+      CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+        ROUND(exp(ln((CAST(a AS DOUBLE) / (a + b))
+                     / (CAST(c AS DOUBLE) / (c + d)))
+              - 1.959964 * sqrt(CAST(b AS DOUBLE) / (a * (a + b))
+                             + CAST(d AS DOUBLE) / (c * (c + d)))), 6)
+        + 0.0 END AS rr_lo6,
+      CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+        ROUND(exp(ln((CAST(a AS DOUBLE) / (a + b))
+                     / (CAST(c AS DOUBLE) / (c + d)))
+              + 1.959964 * sqrt(CAST(b AS DOUBLE) / (a * (a + b))
+                             + CAST(d AS DOUBLE) / (c * (c + d)))), 6)
+        + 0.0 END AS rr_hi6
+    FROM s
+    """,
+)
+def x_odds_ratio(spark, sf_dir):
+    """Odds ratio / relative risk with log-domain Wald CIs for
+    "high-value event" exposure vs purchase outcome
+    (pipeline/behavioral.py:odds_ratio) — four exact integer cells,
+    one IEEE/ln chain, ROUND-6 + signed-zero normalized."""
+    from pigout_spark.pipeline.behavioral import odds_ratio
+
+    e = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    return odds_ratio(
+        e.withColumn("exp_", F.col("value") > 50).withColumn(
+            "out_", F.col("event_type") == "purchase"
+        ),
+        "exp_",
+        "out_",
+        z=1.959964,
+    )

@@ -1070,3 +1070,30 @@ def test_logrank_test_against_reference(spark):
     )
     with _pytest.raises(Exception, match="two groups"):
         logrank_test(three, "t", "e", "g").collect()
+
+
+def test_odds_ratio_textbook(spark):
+    """Classic 2x2: a=20 b=80 c=10 d=90 -> OR 2.25, RR 2.0; CI bounds
+    match the log-domain Wald formulas; an empty cell reads NULL."""
+    import math
+    from pigout_spark.pipeline.behavioral import odds_ratio
+
+    rows = (
+        [(True, True)] * 20 + [(True, False)] * 80
+        + [(False, True)] * 10 + [(False, False)] * 90
+    )
+    df = spark.createDataFrame(rows, "exp boolean, out boolean")
+    r = odds_ratio(df, "exp", "out").collect()[0]
+    assert (r.a, r.b, r.c, r.d) == (20, 80, 10, 90)
+    assert r.or6 == 2.25 and r.rr6 == 2.0
+    z = 1.959964
+    se = math.sqrt(1 / 20 + 1 / 80 + 1 / 10 + 1 / 90)
+    assert r.or_lo6 == round(math.exp(math.log(2.25) - z * se), 6)
+    assert r.or_hi6 == round(math.exp(math.log(2.25) + z * se), 6)
+    assert r.or_lo6 < 2.25 < r.or_hi6
+
+    hole = spark.createDataFrame(
+        [(True, True), (False, False)], "exp boolean, out boolean"
+    )
+    h = odds_ratio(hole, "exp", "out").collect()[0]
+    assert h.or6 is None and h.rr6 is None
