@@ -17,15 +17,18 @@ from pigout_spark.functions.strings import (
     LOWER,
     LTRIM,
     REGEX_EXTRACT,
+    REGEX_EXTRACT_ALL,
     REPLACE,
     RTRIM,
     SPRINTF,
     STARTSWITH,
     STRSPLIT,
+    STRSPLITTOBAG,
     SUBSTRING,
     TOKENIZE,
     TRIM,
     UCFIRST,
+    UNIQUE_ID,
     UPPER,
 )
 from pigout_spark.functions.datetime_fns import (

@@ -115,9 +115,94 @@ def EQUALS_IGNORE_CASE(a: Column | str, b: Column | str) -> Column:
     return F.lower(_col(a)) == F.lower(_col(b))
 
 
-def STRSPLIT(c: Column | str, pattern: str, limit: int = -1) -> Column:
-    """Pig STRSPLIT returns a tuple; the array is the Spark-native shape."""
-    return F.split(_col(c), pattern, limit)
+def _java_split(c: Column, pattern: str, limit: int) -> Column:
+    """Java ``String.split`` semantics (what Pig wraps).  Spark's split
+    treats limit<=0 uniformly as keep-everything, but Java's limit 0
+    DROPS trailing empty tokens (D4).  Replicated by trimming trailing
+    separator runs before the split, with Java's two corner cases:
+    ``""`` → [""] (the no-match whole-string return) and an
+    all-separators input → [] (every token was a trailing empty)."""
+    if limit > 0:
+        return F.split(c, pattern, limit)
+    trimmed = F.regexp_replace(c, f"(?:{pattern})+$", "")
+    return (
+        F.when(c == "", F.array(F.lit("")))
+        .when(trimmed == "", F.array().cast("array<string>"))
+        .otherwise(F.split(trimmed, pattern, -1))
+    )
+
+
+def STRSPLIT(c: Column | str, pattern: str, limit: int = 0) -> Column:
+    """Pig STRSPLIT returns a tuple; the array is the Spark-native shape.
+
+    D4: Pig wraps Java ``String.split(regex)`` whose default limit 0
+    DROPS trailing empty tokens; Spark keeps them for every limit<=0, so
+    the Java behavior is replicated explicitly.  (DuckDB's string_split
+    also keeps trailing empties — oracles over data with trailing
+    separators must account for it.)"""
+    return _java_split(_col(c), pattern, limit)
+
+
+def STRSPLITTOBAG(c: Column | str, pattern: str, limit: int = 0) -> Column:
+    """Pig STRSPLITTOBAG: string → bag of single-field tuples, one per
+    split token.  Same Java-split trailing-empty-drop as STRSPLIT (D4);
+    the Spark-native shape is an array — FLATTEN/explode it to get the
+    bag's one-row-per-token form (which is how Pig scripts consume
+    it)."""
+    return _java_split(_col(c), pattern, limit)
+
+
+def REGEX_EXTRACT_ALL(c: Column | str, pattern: str) -> Column:
+    """Pig REGEX_EXTRACT_ALL: match the WHOLE string against ``pattern``
+    (Java ``Matcher.matches()``, i.e. anchored) and return a tuple of
+    every capture group, or NULL if the string doesn't match.
+
+    D4 trap: Spark's ``regexp_extract`` uses unanchored ``find()``, so a
+    bare translation silently accepts partial matches Pig rejects.  We
+    anchor with a non-capturing wrapper ``^(?:pattern)$`` (the wrapper
+    keeps user group numbering intact) and gate the struct on a full
+    ``rlike`` match so non-matching rows yield NULL — not a struct of
+    empty strings.
+    """
+    import re as _re
+
+    n_groups = _re.compile(pattern).groups
+    if n_groups < 1:
+        raise ValueError(
+            "REGEX_EXTRACT_ALL: pattern has no capture groups — Pig "
+            "returns the groups tuple, so a group-free pattern is a bug"
+        )
+    anchored = f"^(?:{pattern})$"
+    col = _col(c)
+    return F.when(
+        col.rlike(anchored),
+        F.struct(
+            *[
+                F.regexp_extract(col, anchored, i + 1).alias(f"group_{i + 1}")
+                for i in range(n_groups)
+            ]
+        ),
+    )
+
+
+def UNIQUE_ID() -> Column:
+    """Pig UniqueID: a per-record unique string ``"taskindex-counter"``.
+
+    The Spark-native analog is ``monotonically_increasing_id`` — an
+    int64 encoding (partitionId << 33) | counter, the same
+    (task, per-task counter) construction with the same guarantee
+    (unique per record, NOT consecutive, NOT stable across reruns).
+    We render it in Pig's "task-counter" string shape.  Divergence
+    (SURVEY.md D-register): values differ from Pig's — only uniqueness
+    is contractual, which is the only property scripts may rely on
+    across reruns in either engine.
+    """
+    mid = F.monotonically_increasing_id()
+    return F.concat_ws(
+        "-",
+        F.shiftrightunsigned(mid, 33).cast("string"),
+        (mid.bitwiseAND(F.lit((1 << 33) - 1))).cast("string"),
+    )
 
 
 #: Pig TOKENIZE's delimiter class: space, double-quote, comma, parens, star

@@ -80,7 +80,8 @@ _FN_RENAME = {
     "RTRIM": "rtrim",
     "CONCAT": "concat",
     "SPRINTF": "format_string",
-    "STRSPLIT": "split",
+    "STRSPLIT": "",  # template (Java limit-0 default, D4)
+    "STRSPLITTOBAG": "",  # template — bag == array; FLATTEN explodes it
     "REPLACE": "regexp_replace",
     "REGEX_EXTRACT": "regexp_extract",
     "STARTSWITH": "startswith",
@@ -131,6 +132,57 @@ _FN_RENAME = {
     "TOKENIZE": "",  # template
 }
 
+def _regex_extract_all_sql(a: list[str]) -> str:
+    """Pig REGEX_EXTRACT_ALL(s, pattern): anchored full-string match
+    (Matcher.matches) returning the tuple of ALL capture groups, NULL on
+    no-match.  Needs the group count, so the pattern must be a string
+    LITERAL in the script (it always is in real Pig — the pattern is
+    compiled once in the UDF constructor)."""
+    pat_sql = a[1].strip()
+    if not (pat_sql.startswith("'") and pat_sql.endswith("'")):
+        raise ValueError(
+            "REGEX_EXTRACT_ALL requires a literal pattern argument"
+        )
+    pat = pat_sql[1:-1].replace("''", "'")
+    n = re.compile(pat).groups
+    if n < 1:
+        raise ValueError(
+            "REGEX_EXTRACT_ALL: pattern has no capture groups"
+        )
+    anchored = f"^(?:{pat})$"
+    lit = "'" + anchored.replace("'", "''") + "'"
+    groups = ", ".join(
+        f"regexp_extract({a[0]}, {lit}, {i + 1}) AS group_{i + 1}"
+        for i in range(n)
+    )
+    return (
+        f"CASE WHEN {a[0]} RLIKE {lit} "
+        f"THEN struct({groups}) END"
+    )
+
+
+def _java_split_sql(a: list[str]) -> str:
+    """SQL twin of strings._java_split: Pig STRSPLIT/STRSPLITTOBAG wrap
+    Java String.split, whose limit-0 default drops TRAILING empty tokens
+    (Spark's split keeps them for every limit<=0).  An explicit positive
+    limit passes straight through (Java keeps trailing empties then
+    too); otherwise trim trailing separator runs first, with Java's two
+    corners ('' → array('') and all-separators → array())."""
+    if len(a) == 3 and a[2].strip().isdigit() and int(a[2]) > 0:
+        return f"split({a[0]}, {a[1]}, {a[2]})"
+    pat_sql = a[1].strip()
+    if not (pat_sql.startswith("'") and pat_sql.endswith("'")):
+        raise ValueError("STRSPLIT requires a literal pattern argument")
+    pat = pat_sql[1:-1]
+    trim_lit = "'(?:" + pat + ")+$'"
+    trimmed = f"regexp_replace({a[0]}, {trim_lit}, '')"
+    return (
+        f"CASE WHEN {a[0]} = '' THEN array('') "
+        f"WHEN {trimmed} = '' THEN CAST(array() AS ARRAY<STRING>) "
+        f"ELSE split({trimmed}, {pat_sql}, -1) END"
+    )
+
+
 #: templates for builtins whose semantics need argument rewrites (D4).
 #: INDEXOF is handled inline (optional third argument).
 _FN_TEMPLATE = {
@@ -140,6 +192,23 @@ _FN_TEMPLATE = {
     ),
     "ISEMPTY": lambda a: f"(size({a[0]}) = 0)",
     "EQUALSIGNORECASE": lambda a: f"(lower({a[0]}) = lower({a[1]}))",
+    # Pig wraps Java String.split: default limit 0 drops trailing empty
+    # tokens, whereas Spark keeps them for every limit<=0 — replicate
+    # Java via strings._java_split's trim construction (D4)
+    "STRSPLIT": lambda a: _java_split_sql(a),
+    "STRSPLITTOBAG": lambda a: _java_split_sql(a),
+    "REGEX_EXTRACT_ALL": _regex_extract_all_sql,
+    # Pig UniqueID: per-record "taskindex-counter" string.  Spark's
+    # monotonically_increasing_id is the same construction packed into
+    # int64 ((partition << 33) | counter); render the two halves.  Two
+    # instances of the expression in one projection advance in lockstep
+    # (each counts the same rows per partition), so both refs see the
+    # same id.  Only uniqueness is contractual (D-register).
+    "UNIQUEID": lambda a: (
+        "concat(cast(shiftrightunsigned(monotonically_increasing_id(), 33)"
+        " as string), '-', "
+        "cast((monotonically_increasing_id() & 8589934591) as string))"
+    ),
 }
 
 #: Pig C-style cast types → Spark SQL cast targets

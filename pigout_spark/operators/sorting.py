@@ -250,6 +250,15 @@ def winsorize(
             "constant key column — an explicit, conscious single "
             "partition)"
         )
+    # loud-failure discipline (r8 advice): p_hi > 1 would push k_hi
+    # past n, making __hi NULL — and NULL-skipping least() then
+    # silently DROPS the upper clamp; p_lo > p_hi clamps everything
+    # to __hi with no error.  Reject both before planning.
+    if not (0.0 <= p_lo <= p_hi <= 1.0):
+        raise ValueError(
+            f"winsorize: need 0 <= p_lo <= p_hi <= 1, got "
+            f"p_lo={p_lo}, p_hi={p_hi}"
+        )
     v = F.col(value_col)
     w = Window.partitionBy(*keys).orderBy(value_col)
     ranked = df.filter(v.isNotNull()).withColumn(
@@ -400,7 +409,12 @@ def weighted_quantile(
     v, wt = F.col(value_col), F.col(weight_col)
     d = df.filter(v.isNotNull()).filter(
         F.assert_true(
-            wt.cast("bigint").between(1, 100_000),
+            # integrality is asserted, not assumed (r8 advice): a
+            # fractional weight like 2.7 would pass a bare cast check
+            # and then diverge cross-engine (Spark's cast truncates to
+            # 2, DuckDB rounds to 3) — the same v == floor(v) guard
+            # trend_fit/gini/cusum use
+            (wt == F.floor(wt)) & wt.cast("bigint").between(1, 100_000),
             F.lit(
                 f"weighted_quantile: {weight_col} must be an integer in "
                 "[1, 1e5] (positive, with int64 cumsum headroom)"

@@ -188,9 +188,19 @@ def bin_expr(value_col: str, bins: int, lo: float, hi: float):
         )
     width = (float(hi) - float(lo)) / int(bins)
     v = F.col(value_col)
-    return F.least(
-        F.lit(int(bins) - 1),
-        F.greatest(F.lit(0), F.floor((v - F.lit(float(lo))) / F.lit(width))),
+    # NULL values must yield a NULL bin, not bin 0 (r8 advice):
+    # floor(NULL/width) is NULL, but NULL-skipping greatest(0, NULL)
+    # returns 0 — so an unguarded caller (this expression is exported
+    # for streaming aggregations that may not pre-filter) would count
+    # NULLs as bin-0 mass.  The when() keeps NULL in, NULL out.
+    return F.when(
+        v.isNotNull(),
+        F.least(
+            F.lit(int(bins) - 1),
+            F.greatest(
+                F.lit(0), F.floor((v - F.lit(float(lo))) / F.lit(width))
+            ),
+        ),
     ).cast("bigint")
 
 

@@ -70,7 +70,7 @@ from pigout_spark.queries import udf_q  # noqa: F401,E402
 # x_check_rules, x_ref_orphans, x_kfold, x_snapshot_diff, x_cusum,
 # x_cat_assoc, x_gini, x_proportion_ci, x_weighted_quantile,
 # x_kaplan_meier, x_logrank, x_odds_ratio.
-_WINDOW_R8 = [
+_WINDOW_R8 = [  # superseded by _WINDOW_R9 below; kept for the audit trail
     "q01_group_agg",  # flagship
     # never driver-checked before r8 — hash-checkable oracles
     "x_bigram_lm",
@@ -128,7 +128,76 @@ _WINDOW_R8 = [
     "x_latin_q01",
 ]
 assert len(_WINDOW_R8) == len(set(_WINDOW_R8)) == 50
-_window = set(_WINDOW_R8)
+
+# r9 rotation: every query registered before this round has held a
+# driver row (the r8 invariant), so the window now holds (a) the
+# flagship, (b) the 12 r9-queue stats/CDC queries (selfcheck-green,
+# never driver-checked — VERDICT r8 task 1), (c) everything BUILT OR
+# MODIFIED this round so changes are attested in their own round
+# (q39_string_funcs3 is new — the last three §2.7 builtins; x_item_cf /
+# x_pagerank / x_bigram_lm carry r9 perf work; x_winsorize /
+# x_weighted_quantile / x_psi_drift / x_psi_by_source carry the r8
+# ADVICE guard fixes, incl. the shared bin_expr NULL gate), and (d)
+# settled anchors chosen so every operator family keeps a driver row
+# (sets re-enter via q08 — the one family the r8 window left to
+# history).
+_WINDOW_R9 = [
+    "q01_group_agg",  # flagship
+    # (b) the r9 queue — never driver-checked
+    "x_check_rules",
+    "x_ref_orphans",
+    "x_kfold",
+    "x_snapshot_diff",
+    "x_cusum",
+    "x_cat_assoc",
+    "x_gini",
+    "x_proportion_ci",
+    "x_weighted_quantile",
+    "x_kaplan_meier",
+    "x_logrank",
+    "x_odds_ratio",
+    # (c) new or touched this round
+    "q39_string_funcs3",
+    "x_item_cf",
+    "x_pagerank",
+    "x_bigram_lm",
+    "x_winsorize",
+    "x_psi_drift",
+    "x_psi_by_source",
+    # (d) settled anchors — one per operator family
+    "q02_filter_project",
+    "q03_join_agg",
+    "q04_outer_join",
+    "q05_broadcast_join",
+    "q06_semi_anti",
+    "q07_cross_theta",
+    "q08_union_distinct",
+    "q09_order_limit",
+    "q11_cube",
+    "q12_rollup",
+    "q13_flatten_tokenize",
+    "q14_cogroup",
+    "q15_nested_topk",
+    "q16_split",
+    "q19_date_funcs",
+    "q22_distinct_agg",
+    "q24_pandas_udf",
+    "q25_udaf",
+    "q38_bloom_join",
+    "x_latin_q01",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash_pairs",
+    "sim_ann_topk",
+    "sim_ivf_topk",
+    "text_quality",
+    "mm_binary_meta",
+    "stream_tumbling",
+    "x_asof_join",
+    "x_sessionize",
+]
+assert len(_WINDOW_R9) == len(set(_WINDOW_R9)) == 50
+_window = set(_WINDOW_R9)
 for _k in list(REGISTRY):
     if _k not in _window:
         EXTRA_REGISTRY[_k] = REGISTRY.pop(_k)
@@ -140,7 +209,7 @@ assert not _missing, f"window names not registered anywhere: {_missing}"
 
 # Window order == list order (new-this-round rows right after the
 # flagship, settled anchors last).
-_ordered = {k: REGISTRY[k] for k in _WINDOW_R8}
+_ordered = {k: REGISTRY[k] for k in _WINDOW_R9}
 REGISTRY.clear()
 REGISTRY.update(_ordered)
 

@@ -395,6 +395,73 @@ def q35_string_funcs2(spark, sf_dir):
     )
 
 
+# --- §2.7 string builtins round 3: the last three reference builtins
+# --- (VERDICT r8 gap #2) — STRSPLITTOBAG, REGEX_EXTRACT_ALL, UniqueID ---
+@query(
+    "q39_string_funcs3",
+    sql="""
+    SELECT regexp_extract(c_name, '^(?:([A-Za-z]+)#([0-9]+))$', 1)
+             AS name_word,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           -- UNIQUE_ID is unique per record by contract, so its distinct
+           -- count must equal the distinct-key count (values themselves
+           -- are run-dependent in BOTH engines' analogs)
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_uids,
+           CAST(sum(len(string_split(c_name, '#'))) AS BIGINT)
+             AS total_toks,
+           CAST(sum(CAST(regexp_extract(
+                 c_name, '^(?:([A-Za-z]+)#([0-9]+))$', 2) AS BIGINT))
+             AS BIGINT) AS sum_num,
+           min(string_split(c_name, '#')[-1]) AS min_last_tok,
+           CAST(sum(CASE WHEN regexp_matches(c_name, '^(?:.*[13579])$')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_odd
+    FROM customer
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q39_string_funcs3(spark, sf_dir):
+    """The final three §2.7 builtins.  STRSPLITTOBAG (bag == array here;
+    size + last-element projection — both engines wrap Java-split
+    trailing-empty semantics), REGEX_EXTRACT_ALL (ANCHORED full-string
+    match returning ALL capture groups as a struct, NULL on no-match —
+    the D4 find-vs-matches trap, verified by the partial-only
+    ``.*[13579]`` pattern where an unanchored port would over-match),
+    and UniqueID (per-record unique id; only uniqueness is contractual,
+    checked as count_distinct(uid) == count_distinct(key)).  One
+    partial-agg groupBy — no extra exchange beyond the agg itself."""
+    from pigout_spark.functions.strings import (
+        REGEX_EXTRACT_ALL,
+        STRSPLITTOBAG,
+        UNIQUE_ID,
+    )
+
+    c = t(spark, sf_dir, "customer")
+    per = c.select(
+        "c_custkey",
+        UNIQUE_ID().alias("uid"),
+        REGEX_EXTRACT_ALL("c_name", r"([A-Za-z]+)#([0-9]+)").alias("m"),
+        STRSPLITTOBAG("c_name", "#").alias("toks"),
+        REGEX_EXTRACT_ALL("c_name", r"(.*[13579])").isNotNull().alias(
+            "is_odd"
+        ),
+    )
+    return (
+        per.groupBy(F.col("m.group_1").alias("name_word"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.count_distinct("uid").alias("n_uids"),
+            F.sum(F.size("toks")).cast("long").alias("total_toks"),
+            F.sum(F.col("m.group_2").cast("long")).alias("sum_num"),
+            F.min(F.element_at("toks", -1)).alias("min_last_tok"),
+            F.sum(F.when(F.col("is_odd"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_odd"),
+        )
+        .orderBy("name_word")
+    )
+
+
 # --- beyond-reference: exact percentiles (the DataFu Quantile analog —
 # --- Pig itself has no percentile builtin; DataFu's was the standard add-on) ---
 @query(

@@ -350,9 +350,32 @@ def _upsert_fn(ts_col: str, op_col: str, seq_col: str | None,
                 if best is None or cand > (best[0], best[1]):
                     best = (cand[0], cand[1], op, pay)
                     changed = True
-        if changed:
-            state.update(best)
+                elif cand == (best[0], best[1]) and (op, pay) != (
+                    best[2],
+                    best[3],
+                ):
+                    # exact (ts, seq) tie with a DIFFERENT op/payload:
+                    # first-seen-wins would be micro-batch-arrival-order
+                    # dependent, silently diverging from the batch twin
+                    # compact_changelog (which fails loudly on duplicate
+                    # winners).  Identical redelivery (at-least-once
+                    # sources) is idempotent and passes through above.
+                    raise ValueError(
+                        "upsert_state_stream: conflicting change rows "
+                        f"share (ts, seq)=({cand[0]}, {cand[1]}) for "
+                        f"key {k!r} — supply a finer seq_col (the "
+                        "compact_changelog duplicate-winner contract)"
+                    )
+        if state.exists or changed:
+            # re-arm eviction on EVERY invocation that leaves state
+            # present: Spark clears a key's timeout each time the
+            # function runs, so a batch of only-stale changes would
+            # otherwise drop the day-idle eviction and leak the key's
+            # state forever.
+            if changed:
+                state.update(best)
             state.setTimeoutDuration(86_400_000)
+        if changed:
             yield pd.DataFrame(
                 {
                     key_col: [k],
@@ -394,6 +417,9 @@ def upsert_state_stream(
     than the stored winner is correctly ignored — max-compaction is
     order-insensitive, so unlike the funnel ops the result equals the
     batch compaction on any prefix regardless of arrival order.
+    Conflicting rows that TIE on (ts, seq) with different op/payload
+    fail loudly (compact_changelog's duplicate-winner contract);
+    identical redelivery (at-least-once sources) is idempotent.
 
     Output per emission: (key, ts_us, op, payload, is_live).
     """

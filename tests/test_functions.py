@@ -119,3 +119,91 @@ def test_pluck_prefix_select(spark):
     df = spark.createDataFrame([(1, 2, 3)], ["a_x", "a_y", "b_z"])
     assert PLUCK(df, "a_").columns == ["a_x", "a_y"]
     assert PLUCK(df, "a_", keep=["b_z"]).columns == ["b_z", "a_x", "a_y"]
+
+
+def test_strsplittobag_java_split_semantics(spark):
+    from pigout_spark.functions.strings import STRSPLITTOBAG
+
+    df = spark.createDataFrame(
+        [("a#b#c",), ("a##",), ("a##b",), ("solo",), ("##",), ("",)], ["s"]
+    )
+    got = {
+        r.s: list(r.toks)
+        for r in df.select("s", STRSPLITTOBAG("s", "#").alias("toks")).collect()
+    }
+    # Java String.split drops TRAILING empty tokens only
+    assert got["a#b#c"] == ["a", "b", "c"]
+    assert got["a##"] == ["a"]
+    assert got["a##b"] == ["a", "", "b"]  # interior empties survive
+    assert got["solo"] == ["solo"]
+    assert got["##"] == []  # all-separators → every token trailing-empty
+    assert got[""] == [""]  # Java's no-match whole-string return
+    # an explicit positive limit keeps trailing empties (Java does too)
+    lim = {
+        r.s: list(r.toks)
+        for r in df.select(
+            "s", STRSPLITTOBAG("s", "#", 3).alias("toks")
+        ).collect()
+    }
+    assert lim["a##"] == ["a", "", ""]
+    # the bag's one-row-per-token form is FLATTEN/explode
+    n = df.select(F.explode(STRSPLITTOBAG("s", "#")).alias("t")).count()
+    assert n == 3 + 1 + 3 + 1 + 0 + 1
+
+
+def test_regex_extract_all_anchored_groups(spark):
+    from pigout_spark.functions.strings import REGEX_EXTRACT_ALL
+
+    df = spark.createDataFrame(
+        [("Customer#000042",), ("xCustomer#1x",), ("no-match",)], ["s"]
+    )
+    rows = {
+        r.s: r.m
+        for r in df.select(
+            "s", REGEX_EXTRACT_ALL("s", r"([A-Za-z]+)#(\d+)").alias("m")
+        ).collect()
+    }
+    # full match → every capture group, positionally (D4: group struct)
+    assert rows["Customer#000042"].group_1 == "Customer"
+    assert rows["Customer#000042"].group_2 == "000042"
+    # Pig uses Matcher.matches(): a PARTIAL match must be rejected —
+    # the find()-semantics trap an unanchored port would fall into
+    assert rows["xCustomer#1x"] is None
+    assert rows["no-match"] is None
+    # group-free patterns are a loud error (Pig returns the groups tuple)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        REGEX_EXTRACT_ALL("s", r"\d+")
+
+
+def test_unique_id_shape_and_uniqueness(spark):
+    from pigout_spark.functions.strings import UNIQUE_ID
+
+    df = spark.range(1000).repartition(7)
+    got = df.select(UNIQUE_ID().alias("uid"))
+    vals = [r.uid for r in got.collect()]
+    # contract: unique per record, Pig's "taskindex-counter" shape
+    assert len(set(vals)) == 1000
+    import re as _re
+
+    assert all(_re.fullmatch(r"\d+-\d+", v) for v in vals)
+
+
+def test_latin_round3_builtins(spark):
+    from pigout_spark.latin import translate_expr
+
+    got = translate_expr("STRSPLITTOBAG(s, '#')")
+    assert "regexp_replace" in got and "split(" in got
+    rea = translate_expr("REGEX_EXTRACT_ALL(s, '([a-z]+)-([0-9]+)')")
+    assert "RLIKE" in rea and "group_2" in rea and "^(?:" in rea
+    uid = translate_expr("UniqueID()")
+    assert "monotonically_increasing_id" in uid
+    # the rewritten SQL actually runs and matches the Column twins
+    df = spark.createDataFrame([("ab-12",), ("nope",)], ["s"])
+    r = df.selectExpr(f"{rea} AS m", f"{uid} AS uid").collect()
+    ms = {row.uid is not None: row.m for row in r}
+    assert all(row.uid for row in r)
+    got_m = [row.m for row in r]
+    assert any(m is not None and m.group_1 == "ab" and m.group_2 == "12" for m in got_m)
+    assert any(m is None for m in got_m)

@@ -29,6 +29,10 @@ def test_translate_expr_rewrites():
     )
     assert translate_expr("UPPER(s)") == "upper(s)"
     assert "filter(split(" in translate_expr("TOKENIZE(text)")
+    # Java String.split limit-0 default (trailing-empty drop, D4)
+    got_split = translate_expr("STRSPLIT(s, '#')")
+    assert "regexp_replace" in got_split and "(?:#)+$" in got_split
+    assert translate_expr("STRSPLIT(s, '#', 2)") == "split(s, '#', 2)"
 
 
 def test_load_filter_foreach_store_roundtrip(pig, spark, sf_dir):
