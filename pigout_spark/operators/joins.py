@@ -452,6 +452,7 @@ def edit_distance_join(
     right_id: str = "id",
     right_str: str = "s",
     q: int = 2,
+    max_low_distinct: int = 2_000_000,
 ) -> DataFrame:
     """Fuzzy string join: all (left, right) pairs whose strings are
     within Levenshtein distance ``k`` — EDJoin-style q-gram prefix
@@ -545,8 +546,39 @@ def edit_distance_join(
     low_len = q * (k + 1)
     lshort = lbase.filter(F.length("__ls") < low_len).select("__lid", "__ls")
     rshort = rbase.filter(F.length("__rs") < low_len).select("__rid", "__rs")
-    lsv = lshort.select("__ls").distinct()
-    rsv = rshort.select("__rs").distinct()
+
+    def bounded_values(vals: DataFrame, col: str) -> DataFrame:
+        """Loud guard on the LOW×LOW sweep's contract: the distinct
+        short-string domain is |alphabet|^(q(k+1)−1)-bounded in theory,
+        but an adversarial all-short corpus (huge alphabet, tiny q·k)
+        degrades the sweep toward broadcast×self.  Enforce the bound
+        lazily on the relation itself — a keyless count-window (these
+        relations are exactly the ones about to be broadcast/crossed,
+        so single-partitioning them adds nothing) + assert_true, so an
+        oversized stratum fails the JOB with this message instead of an
+        opaque broadcast OOM."""
+        wall = Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        return (
+            vals.withColumn("__nv", F.count(F.lit(1)).over(wall))
+            .filter(
+                F.assert_true(
+                    F.col("__nv") <= int(max_low_distinct),
+                    F.lit(
+                        "edit_distance_join: distinct low-gram strings "
+                        f"(len < {low_len}) exceed max_low_distinct="
+                        f"{max_low_distinct}; the LOW×LOW sweep would "
+                        "degrade to a near-cartesian — raise q, lower "
+                        "k, or raise max_low_distinct consciously"
+                    ),
+                ).isNull()
+            )
+            .select(col)
+        )
+
+    lsv = bounded_values(lshort.select("__ls").distinct(), "__ls")
+    rsv = bounded_values(rshort.select("__rs").distinct(), "__rs")
     vpairs = (
         F.broadcast(lsv)
         .crossJoin(rsv)

@@ -120,39 +120,61 @@ def pagerank(
     # Nodes read the checkpointed edges (recomputed once more by the
     # final join — one shuffle from the checkpoint, cheaper than a
     # second materialization barrier; measured r7).
+    # node relation: consumed by the N aggregation and the final
+    # base+sums join; it recomputes from the CHECKPOINTED e both times,
+    # which measures cheaper than a second materialization barrier
+    # (same finding as the r7 e-checkpoint experiment).
     nodes = (
         e.select(F.col("__s").alias("node"))
         .unionByName(e.select(F.col("__d").alias("node")))
         .distinct()
     )
-    n = nodes.count()
-    if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
     d = int(damping_pct)
     # Teleport denominator: the whole graph, or the seed set (PPR).
     if seeds is not None and len(seeds) == 0:
         raise ValueError("personalized pagerank needs a non-empty seed list")
-    n_tel = len(seeds) if seeds is not None else n
-    base_units = ((100 - d) * PAGERANK_UNIT // 100) // n_tel
-    r0 = PAGERANK_UNIT // n_tel
+    # Per-node teleport units.  PPR divides by the seed-list length — a
+    # Python literal.  Uniform PageRank divides by N, which used to be
+    # an EAGER nodes.count() — a whole extra job (~half the wall time
+    # of a 3-round run at sf0.1) spent materializing the checkpoint
+    # before the real work.  Instead N rides along as a broadcast 1-row
+    # relation and the unit constants become int64 div expressions over
+    # it — same floor arithmetic, same oracle replay, one action total.
+    if seeds is not None:
+        n_tel = len(seeds)
+        base_units_sql = str((( (100 - d) * PAGERANK_UNIT) // 100) // n_tel)
+        r0_sql = str(PAGERANK_UNIT // n_tel)
 
-    def node_base(col: str, units: int):
-        """Per-node teleport units as a Column: the constant for the
-        uniform case, seed-gated for PPR (literal IN — seed lists are
-        query-sized by contract)."""
+        def attach(df: DataFrame) -> DataFrame:
+            return df
+    else:
+        tot = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("__ntel"))
+        base_units_sql = (
+            f"(cast({((100 - d) * PAGERANK_UNIT) // 100} as bigint)"
+            " div __ntel)"
+        )
+        r0_sql = f"(cast({PAGERANK_UNIT} as bigint) div __ntel)"
+
+        def attach(df: DataFrame) -> DataFrame:
+            return df.crossJoin(F.broadcast(tot))
+
+    def node_base(col: str, units_sql: str):
+        """Per-node teleport units as a Column: the div-by-N expression
+        for the uniform case, seed-gated literal for PPR (literal IN —
+        seed lists are query-sized by contract)."""
         if seeds is None:
-            return F.lit(units).cast("bigint")
+            return F.expr(units_sql)
         return (
-            F.when(F.col(col).isin(*seeds), F.lit(units))
+            F.when(F.col(col).isin(*seeds), F.expr(units_sql))
             .otherwise(F.lit(0))
             .cast("bigint")
         )
 
     if int(iterations) <= 0:
-        return nodes.select(
+        return attach(nodes).select(
             "node",
             (
-                node_base("node", r0).cast("double")
+                node_base("node", r0_sql).cast("double")
                 / F.lit(float(PAGERANK_UNIT))
             ).alias("rank"),
         )
@@ -165,8 +187,9 @@ def pagerank(
     # receive contributions sit at their base implicitly throughout.
     # Weighted: contribution = rank·w div Σw.  Overflow headroom:
     # rank ≤ ~10^13 units and w ≤ 10^5 keeps rank·w below 2^63.
-    e = e.withColumn("__sb", node_base("__s", base_units)).withColumn(
-        "__r0s", node_base("__s", r0)
+    e = attach(e)
+    e = e.withColumn("__sb", node_base("__s", base_units_sql)).withColumn(
+        "__r0s", node_base("__s", r0_sql)
     )
     rank_expr = (
         f"(__sb + ({d} * coalesce(__sum, cast(0 as bigint))) div 100)"
@@ -190,14 +213,18 @@ def pagerank(
         )
         if checkpoint_every and it % int(checkpoint_every) == 0:
             sums = sums.localCheckpoint(eager=False)
-    final_rank = node_base("node", base_units) + F.expr(
+    final_rank = node_base("node", base_units_sql) + F.expr(
         f"({d} * coalesce(__sum, cast(0 as bigint))) div 100"
     )
-    return nodes.join(sums, nodes["node"] == sums["__n"], "left").select(
-        "node",
-        (final_rank.cast("double") / F.lit(float(PAGERANK_UNIT))).alias(
-            "rank"
-        ),
+    return (
+        attach(nodes)
+        .join(sums, F.col("node") == sums["__n"], "left")
+        .select(
+            "node",
+            (final_rank.cast("double") / F.lit(float(PAGERANK_UNIT))).alias(
+                "rank"
+            ),
+        )
     )
 
 

@@ -46,27 +46,42 @@ def _user_item_lists(
     max_items_per_user: int | None,
 ) -> DataFrame:
     """(user, items): the user's DISTINCT items as a sorted array,
-    cap-sliced to the FIRST ``max_items_per_user`` in item order —
+    capped to the FIRST ``max_items_per_user`` in item order —
     deterministic and mirrorable in SQL (QUALIFY row_number ≤ cap over
     item order selects the same set).
 
-    Memory note: collect_set materializes each user's full distinct
-    item set before the slice, so a user's set must fit in task memory
-    (fine into the millions); the cap bounds the DOWNSTREAM quadratic
-    pair work, which is the actual scale hazard.  The round-robin
-    repartition after the agg is load-bearing: the list relation is
-    small in bytes, AQE coalesces it, and the ~cap²/2 explode would
-    otherwise run on one thread."""
+    The cap is applied BEFORE any per-user materialization (r8 advice):
+    dense_rank over item order ≤ cap, THEN collect_set — so a
+    pathological 10⁸-distinct-item account never materializes its full
+    set in task memory (the old collect_set-then-slice shape did): the
+    post-filter set holds at most cap distinct values.  Still ONE
+    exchange: the explicit repartition on the USER key up front
+    satisfies the rank window and the final aggregation alike, and
+    Catalyst plans the rank filter as WindowGroupLimit, so the window
+    sort itself retains only the cap-lowest items per user per
+    partition.  Uncapped callers keep the sort-free one-pass
+    collect_set shape and its documented full-set memory note.  The
+    round-robin repartition after the agg is load-bearing either way:
+    the list relation is small in bytes, AQE coalesces it, and the
+    ~cap²/2 explode would otherwise run on one thread."""
     u, it = F.col(user_col), F.col(item_col)
-    items = F.sort_array(F.collect_set(it))
-    if max_items_per_user is not None:
-        items = F.slice(items, 1, int(max_items_per_user))
-    return (
-        events.filter(u.isNotNull() & it.isNotNull())
-        .groupBy(u.alias("__u"))
-        .agg(items.alias("items"))
-        .repartition(events.sparkSession.sparkContext.defaultParallelism)
-    )
+    npart = events.sparkSession.sparkContext.defaultParallelism
+    filtered = events.filter(u.isNotNull() & it.isNotNull())
+    if max_items_per_user is None:
+        lists = filtered.groupBy(u.alias("__u")).agg(
+            F.sort_array(F.collect_set(it)).alias("items")
+        )
+    else:
+        wn = Window.partitionBy("__u").orderBy("__i")
+        lists = (
+            filtered.select(u.alias("__u"), it.alias("__i"))
+            .repartition("__u")
+            .withColumn("__dr", F.dense_rank().over(wn))
+            .filter(F.col("__dr") <= int(max_items_per_user))
+            .groupBy("__u")
+            .agg(F.sort_array(F.collect_set("__i")).alias("items"))
+        )
+    return lists.repartition(npart)
 
 
 def _pair_counts(lists: DataFrame) -> DataFrame:
@@ -134,6 +149,12 @@ def item_cf_topk(
     the score joins; ranking is one window on the item key.
     """
     lists = _user_item_lists(events, user_col, item_col, max_items_per_user)
+    # the list relation feeds BOTH the pair explosion and the item
+    # counts; DataFrame plans don't share subplans, so without a
+    # checkpoint the scan→join→distinct→agg chain runs twice (measured
+    # ~0.7 s of the query's 2.6 s at sf0.1).  It is user-count-sized
+    # (≤ cap items per row) — cheap to materialize, 100 TB-safe.
+    lists = lists.localCheckpoint(eager=False)
     pairs = _pair_counts(lists).filter(F.col("n_ab") >= int(min_cooc))
     ni = (
         lists.select(F.explode("items").alias("item"))

@@ -567,7 +567,24 @@ def bpe_train(
     parallelism is WITHIN each round, as in every production BPE
     trainer; rounds are vocabulary-sized Spark jobs, not corpus-sized.
     Returns the merge list [(left, right), ...] in training order.
+
+    Scale bound (research-grade trainer): every merge round is ONE
+    driver roundtrip (the argmax collect) plus a localCheckpoint, so a
+    production 50k-merge vocabulary means 50k scheduled jobs — days of
+    driver-bound wall time regardless of cluster size.  The guard
+    below caps n_merges at 4096; for production vocabularies train the
+    merge table offline (or with a dedicated trainer) and use the
+    scale-safe APPLY path (:func:`bpe_apply_merges` /
+    :func:`bpe_encode`, a mapInPandas over the distinct-word
+    vocabulary), which is also the hash-checked default.
     """
+    if not 0 <= int(n_merges) <= 4096:
+        raise ValueError(
+            f"bpe_train: n_merges={n_merges} exceeds the 4096 cap — each "
+            "merge is a driver roundtrip (docstring scale bound); train "
+            "large vocabularies offline and use bpe_apply_merges/"
+            "bpe_encode to apply them at scale"
+        )
     spark = df.sparkSession
     vocab = (
         word_frequencies(df, text_col)
@@ -813,8 +830,18 @@ def bigram_lm_score(
             )
         ).alias("__bg"),
     ).select(id_col, F.col("__bg.w1").alias("__w1"), F.col("__bg.w2").alias("__w2"))
-    c2 = bg.groupBy("__w1", "__w2").agg(F.count(F.lit(1)).alias("__c2"))
-    c1 = bg.groupBy("__w1").agg(F.count(F.lit(1)).alias("__c1"))
+    # ONE corpus aggregation builds the model: c2 is checkpointed
+    # (model-sized — bigram TYPES, not the token stream) because it
+    # feeds both the marginal derivation and the score join, and the
+    # marginal c1 = Σ_w2 c2 comes from c2 itself rather than a second
+    # pass over the exploded bigram stream (r8 verdict: the extra
+    # corpus pass was a third of the query's wall time).
+    c2 = (
+        bg.groupBy("__w1", "__w2")
+        .agg(F.count(F.lit(1)).alias("__c2"))
+        .localCheckpoint(eager=False)
+    )
+    c1 = c2.groupBy("__w1").agg(F.sum("__c2").alias("__c1"))
     vocab = (
         toks.select(F.explode("__toks").alias("__tok"))
         .agg(F.count_distinct("__tok").cast("double").alias("__v"))

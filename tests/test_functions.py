@@ -207,3 +207,32 @@ def test_latin_round3_builtins(spark):
     got_m = [row.m for row in r]
     assert any(m is not None and m.group_1 == "ab" and m.group_2 == "12" for m in got_m)
     assert any(m is None for m in got_m)
+
+
+def test_todate_offset_is_instant_not_zone(spark):
+    """D6 (SURVEY divergence register): an explicit offset in a ToDate
+    input string is honored when parsing the INSTANT, but Spark's
+    TimestampType does not remember the per-value zone Pig's Joda
+    datetime carries — components read back in the session timezone.
+    This test pins the instant-correctness half of the contract."""
+    from pigout_spark.functions.datetime_fns import TO_DATE
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        df = spark.createDataFrame(
+            [("2024-03-01T10:30:00+05:30",), ("2024-03-01T05:00:00+00:00",)],
+            ["s"],
+        )
+        got = df.select(
+            TO_DATE("s", "yyyy-MM-dd'T'HH:mm:ssXXX").alias("ts")
+        ).collect()
+        # +05:30 10:30 == 05:00 UTC: both rows are the SAME instant
+        assert got[0].ts == got[1].ts
+        # and components render in the session zone (UTC), not +05:30
+        hours = df.select(
+            F.hour(TO_DATE("s", "yyyy-MM-dd'T'HH:mm:ssXXX")).alias("h")
+        ).collect()
+        assert [r.h for r in hours] == [5, 5]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)

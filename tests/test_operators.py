@@ -907,3 +907,25 @@ def test_weighted_quantile_exact(spark):
         weighted_quantile(bad, "v", "w", [0.5], ["k"]).collect()
     with _pytest.raises(ValueError, match="key_cols"):
         weighted_quantile(df, "v", "w", [0.5])
+
+
+def test_edit_distance_join_low_stratum_guard(spark):
+    """An adversarial ALL-SHORT corpus whose distinct low-gram string
+    count exceeds ``max_low_distinct`` must fail LOUDLY (assert_true in
+    the sweep) instead of silently degrading to broadcast×self; a
+    corpus inside the bound still answers exactly."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    from pigout_spark.operators.joins import edit_distance_join
+
+    # k=1, q=2 → low_len = 4: 3-char strings are all low-gram
+    short = spark.range(200).selectExpr(
+        "id", "substring(concat('s', cast(id as string)), 1, 3) AS s"
+    )
+    with _pytest.raises(SparkRuntimeException, match="max_low_distinct"):
+        edit_distance_join(short, short, k=1, max_low_distinct=50).collect()
+
+    ok = edit_distance_join(short, short, k=0, max_low_distinct=10_000)
+    n = short.select("s").distinct().count()
+    # k=0: exact matches only — every id pairs with ids sharing its value
+    assert ok.filter("dist = 0").count() >= n

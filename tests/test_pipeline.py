@@ -2919,6 +2919,52 @@ def test_item_cf_topk_cosine_and_cap(spark):
     assert ("D", "E") in cooc and ("F", "G") not in cooc and ("D", "F") not in cooc
 
 
+def test_item_cf_hot_user_capped_before_agg(spark):
+    """A pathological hot user (50k distinct items) must be capped
+    BEFORE any per-user materialization: the capped plan ranks items
+    (dense_rank ≤ cap, planned as WindowGroupLimit so even the sort
+    retains only cap rows per user per partition) before the set
+    aggregation, so the post-filter set holds ≤ cap values — and the
+    hot user contributes exactly its FIRST cap items in item order
+    (the oracle's QUALIFY selection)."""
+    from pigout_spark.pipeline.recsys import (
+        _user_item_lists,
+        item_cooccurrence,
+    )
+
+    hot = spark.range(50_000).select(
+        F.lit(7).alias("u"), F.col("id").alias("i")
+    )
+    normal = spark.createDataFrame([(1, 3), (1, 5)], "u long, i long")
+    ev = hot.union(normal)
+
+    lists = _user_item_lists(ev, "u", "i", max_items_per_user=10)
+    plan = lists._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    # the rank filter must sit BELOW the aggregation (bounded buffer)
+    assert plan.index("WindowGroupLimit") > plan.index("collect_set")
+
+    got = {r["__u"]: list(r["items"]) for r in lists.collect()}
+    assert got[7] == list(range(10))  # first 10 in item order
+    assert got[1] == [3, 5]
+
+    # hot user's first-10 items yield C(10,2)=45 pairs; user 1's (3,5)
+    # coincides with one of them, so 45 distinct pairs with n_ab=2 there
+    pc = {
+        (r.item_a, r.item_b): r.n_ab
+        for r in item_cooccurrence(
+            ev, "u", "i", max_items_per_user=10
+        ).collect()
+    }
+    assert len(pc) == 10 * 9 // 2
+    assert pc[(3, 5)] == 2
+
+    # the uncapped path keeps the one-exchange collect_set shape
+    unc = _user_item_lists(normal, "u", "i", None)
+    uplan = unc._jdf.queryExecution().executedPlan().toString()
+    assert "collect_set" in uplan
+
+
 def test_validate_family(spark):
     """Rule report counts NULL-evaluating rules as violations; strict
     mode raises on the first bad row; uniqueness surfaces duplicate
