@@ -1620,3 +1620,223 @@ def odds_ratio(
         F.when(ok, r6(F.exp(lrr - zz * se_rr))).alias("rr_lo6"),
         F.when(ok, r6(F.exp(lrr + zz * se_rr))).alias("rr_hi6"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    key_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-key Spearman rank correlation — the monotone-association
+    companion to :func:`trend_fit`'s linear fit (outlier-robust,
+    captures any monotone relation, the screening statistic for "does
+    X order Y" on heavy-tailed metrics).
+
+    Classic construction: average ranks within the key for x and for y
+    (ties get the mean of their positions — the textbook tie handling),
+    then the Pearson closed form over the rank pairs.  Determinism
+    (oracle-hash discipline): average ranks are exact half-integer
+    quanta, so the op carries DOUBLED ranks (always integers), sums
+    the five moments as DECIMAL(38,0) (exact, order-free; scale-0
+    single-rounds to double identically in both engines — the
+    trend_fit recipe), and evaluates
+
+        rho = (n·Σxy − Σx·Σy) / √((n·Σx² − (Σx)²) · (n·Σy² − (Σy)²))
+
+    as ONE IEEE chain, ROUND-6.  Pearson is scale-invariant, so the
+    doubling cancels.  Rows with NULL x or y are EXCLUDED (the r8 NULL
+    discipline); keys where either side is constant (zero rank
+    variance, incl. n=1) read NULL rho.
+
+    Output: (*key_cols, n, rho6).
+
+    100 TB: ONE exchange on the key — both rank windows and the tie
+    counts run on the key partitioning (partitioning on a key subset
+    satisfies every (key, value) window), then one map-side-combined
+    groupBy reuses it.  Two in-partition sorts (one per ranked
+    column), no join, no second pass.
+    """
+    if not key_cols:
+        raise ValueError("spearman_corr needs at least one key column")
+    x, y = F.col(x_col), F.col(y_col)
+    d = df.filter(x.isNotNull() & y.isNotNull()).select(
+        *key_cols, x.alias("__x"), y.alias("__y")
+    ).repartition(*key_cols)
+
+    def dbl_rank(col: str, out: str):
+        """2·(average rank) = 2·min_rank + (ties − 1): an exact int."""
+        wr = Window.partitionBy(*key_cols).orderBy(col)
+        wt = Window.partitionBy(*key_cols, col)
+        return (
+            2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1
+        ).cast("bigint").alias(out)
+
+    r = d.select(*key_cols, dbl_rank("__x", "__rx"), dbl_rank("__y", "__ry"))
+    dec = "decimal(38,0)"
+    rx, ry = F.col("__rx"), F.col("__ry")
+    s = r.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(rx.cast(dec)).cast("double").alias("__sx"),
+        F.sum(ry.cast(dec)).cast("double").alias("__sy"),
+        F.sum((rx * rx).cast(dec)).cast("double").alias("__sxx"),
+        F.sum((ry * ry).cast(dec)).cast("double").alias("__syy"),
+        F.sum((rx * ry).cast(dec)).cast("double").alias("__sxy"),
+    )
+    n = F.col("n").cast("double")
+    vx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    cov = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    rho = F.when(
+        (vx > 0) & (vy > 0), F.round(cov / F.sqrt(vx * vy), 6) + F.lit(0.0)
+    )
+    return s.select(*key_cols, "n", rho.alias("rho6"))
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) for a boolean two-group
+    split — the nonparametric alternative to :func:`ab_lift`'s t-test
+    when the metric is heavy-tailed or ordinal: compares DISTRIBUTIONS
+    via combined ranks, no normality assumption on the values.
+
+        U₁ = R₁ − n₁(n₁+1)/2
+        z  = (U₁ − n₁n₂/2) / √( n₁n₂/12 · ((N+1) − Σ(t³−t)/(N(N−1))) )
+
+    with R₁ the group-1 sum of average ranks over the COMBINED sample
+    and Σ(t³−t) the standard tie correction.  No continuity
+    correction (documented; add ±0.5 upstream if you want the
+    small-sample variant).  ``group_col`` must be boolean; NULL group
+    or value rows are EXCLUDED.
+
+    Determinism: doubled average ranks and tie counts are exact
+    integers summed as DECIMAL(38,0) (the spearman_corr recipe); U and
+    z are one IEEE chain each; z ROUND-6 (+0.0).  Either group empty,
+    or every value tied (zero variance), reads NULL z; U₁/U₂ still
+    report when both groups are present.
+
+    Output: ONE row (n1, n2, u1, u2, z6).
+
+    100 TB: the rank window is a GLOBAL order — the combined sample is
+    single-key by definition (one test, two groups).  This op is for
+    per-experiment readouts, not per-key fan-out; for millions of
+    independent tests run it per key upstream and feed :func:`bh_fdr`.
+    """
+    g, v = F.col(group_col), F.col(value_col)
+    d = df.filter(g.isNotNull() & v.isNotNull()).select(
+        g.cast("boolean").alias("__g"), v.alias("__v")
+    )
+    wr = Window.orderBy("__v")
+    wt = Window.partitionBy("__v")
+    r = d.select(
+        "__g",
+        "__v",
+        (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1)
+        .cast("bigint")
+        .alias("__r2"),
+    )
+    dec = "decimal(38,0)"
+    s = (
+        r.groupBy("__v")
+        .agg(
+            F.count(F.lit(1)).alias("__t"),
+            F.sum(F.when(F.col("__g"), F.col("__r2")).otherwise(0).cast(dec))
+            .alias("__r2t"),
+            F.sum(F.when(F.col("__g"), 1).otherwise(0)).alias("__n1v"),
+        )
+        .agg(
+            F.sum(F.col("__n1v")).cast("bigint").alias("n1"),
+            (F.sum("__t") - F.sum("__n1v")).cast("bigint").alias("n2"),
+            F.sum("__r2t").cast("double").alias("__sr2"),
+            F.sum((F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t")).cast(dec))
+            .cast("double")
+            .alias("__ties"),
+        )
+    )
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    nn = n1 + n2
+    r1 = F.col("__sr2") / 2.0
+    u1 = r1 - n1 * (n1 + 1.0) / 2.0
+    u2 = n1 * n2 - u1
+    var = (n1 * n2 / 12.0) * (
+        (nn + 1.0) - F.col("__ties") / (nn * (nn - 1.0))
+    )
+    z = F.when(
+        (F.col("n1") > 0) & (F.col("n2") > 0) & (var > 0),
+        F.round((u1 - n1 * n2 / 2.0) / F.sqrt(var), 6) + F.lit(0.0),
+    )
+    both = (F.col("n1") > 0) & (F.col("n2") > 0)
+    return s.select(
+        "n1",
+        "n2",
+        F.when(both, u1).alias("u1"),
+        F.when(both, u2).alias("u2"),
+        z.alias("z6"),
+    )
+
+
+def bh_fdr(
+    df: DataFrame,
+    p_col: str,
+    family_cols: list[str] | None = None,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini–Hochberg FDR adjustment over a relation of per-test
+    p-values — the multiple-testing readout that belongs after any
+    per-key test fan-out (per-segment lifts, per-source drift tests):
+
+        q_(i) = min_{j ≥ i} ( p_(j) · m / j ) ∧ 1
+
+    computed per ``family_cols`` group (or one global family).  Tie
+    handling falls out of the suffix-min: equal p at different ranks
+    collapse to the same q.  NULL p rows are EXCLUDED from m and get
+    no verdict; p outside [0, 1] fails loudly (assert on the scan).
+
+    Determinism: p·m/j is one IEEE chain per row; the running min is
+    order-free over equal keys because (p, then arbitrary tiebreak)
+    ordering feeds a MIN; q ROUND-6 (+0.0); reject = q6 ≤ alpha.
+
+    Output: input columns + (m, q6, reject).
+
+    100 TB: the test relation is #tests-sized BY CONSTRUCTION (each
+    p-value already paid for its data upstream) — the per-family sort
+    is over tests, not data.  With no family_cols the window is a
+    conscious single partition of that tests-relation (the
+    weighted_quantile constant-key discipline).
+    """
+    fam = list(family_cols or [])
+    p = F.col(p_col)
+    d = df.filter(
+        F.assert_true(
+            p.isNull() | p.between(0.0, 1.0),
+            F.lit(f"bh_fdr: {p_col} must lie in [0, 1]"),
+        ).isNull()
+    )
+    keep = d.filter(p.isNotNull())
+    wm = Window.partitionBy(*fam) if fam else Window.partitionBy()
+    wrk = (
+        Window.partitionBy(*fam).orderBy(F.col(p_col).desc())
+        if fam
+        else Window.orderBy(F.col(p_col).desc())
+    )
+    ranked = keep.withColumn("m", F.count(F.lit(1)).over(wm)).withColumn(
+        "__rk_desc", F.row_number().over(wrk)
+    )
+    # rank ascending = m − rk_desc + 1; suffix-min over p-ascending ==
+    # running min over p-DESCENDING order (rowsBetween start..current)
+    raw = p * F.col("m").cast("double") / (
+        F.col("m") - F.col("__rk_desc") + 1
+    ).cast("double")
+    q = F.least(
+        F.lit(1.0),
+        F.min(raw).over(
+            wrk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    out = ranked.withColumn("q6", F.round(q, 6) + F.lit(0.0)).withColumn(
+        "reject", F.col("q6") <= F.lit(float(alpha))
+    )
+    return out.drop("__rk_desc")

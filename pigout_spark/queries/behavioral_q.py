@@ -1745,3 +1745,237 @@ def x_odds_ratio(spark, sf_dir):
         "out_",
         z=1.959964,
     )
+
+
+# --- r9 additions: nonparametric statistics family (r10 rotation queue) ---
+@query(
+    "x_spearman",
+    extra=True,  # r9 addition — r10 rotation candidate
+    sql="""
+    WITH d AS (
+      SELECT l_returnflag AS k, l_quantity AS x, l_extendedprice AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ), r AS (
+      SELECT k,
+        CAST(2 * rank() OVER (PARTITION BY k ORDER BY x)
+             + count(*) OVER (PARTITION BY k, x) - 1 AS BIGINT) AS rx,
+        CAST(2 * rank() OVER (PARTITION BY k ORDER BY y)
+             + count(*) OVER (PARTITION BY k, y) - 1 AS BIGINT) AS ry
+      FROM d
+    ), s AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(rx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(ry AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(rx * rx AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(ry * ry AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+        CAST(SUM(CAST(rx * ry AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+      FROM r GROUP BY k
+    )
+    SELECT k AS l_returnflag, n,
+      CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+        ROUND((n * sxy - sx * sy)
+              / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0.0
+      END AS rho6
+    FROM s
+    """,
+)
+def x_spearman(spark, sf_dir):
+    """Per-returnflag Spearman rank correlation of quantity vs extended
+    price (pipeline/behavioral.py:spearman_corr) — doubled average
+    ranks are exact integers, five DECIMAL(38,0) moment sums, one IEEE
+    closed-form chain ROUND-6; the oracle replays the identical rank
+    construction in DuckDB's own window functions."""
+    from pigout_spark.pipeline.behavioral import spearman_corr
+
+    li = t(spark, sf_dir, "lineitem")
+    return spearman_corr(
+        li, ["l_returnflag"], "l_quantity", "l_extendedprice"
+    )
+
+
+@query(
+    "x_mann_whitney",
+    extra=True,  # r9 addition — r10 rotation candidate
+    sql="""
+    WITH d AS (
+      SELECT event_type = 'purchase' AS g, value AS v
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('view', 'purchase')
+    ), r AS (
+      SELECT g,
+        CAST(2 * rank() OVER (ORDER BY v)
+             + count(*) OVER (PARTITION BY v) - 1 AS BIGINT) AS r2,
+        v
+      FROM d
+    ), pv AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS t,
+        SUM(CASE WHEN g THEN CAST(r2 AS DECIMAL(38,0)) ELSE 0 END) AS r2t,
+        CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n1v
+      FROM r GROUP BY v
+    ), s AS (
+      SELECT CAST(SUM(n1v) AS BIGINT) AS n1,
+             CAST(SUM(t) - SUM(n1v) AS BIGINT) AS n2,
+             CAST(SUM(r2t) AS DOUBLE) AS sr2,
+             CAST(SUM(CAST(t * t * t - t AS DECIMAL(38,0))) AS DOUBLE)
+               AS ties
+      FROM pv
+    )
+    SELECT n1, n2,
+      CASE WHEN n1 > 0 AND n2 > 0 THEN
+        sr2 / 2.0 - n1 * (n1 + 1.0) / 2.0 END AS u1,
+      CASE WHEN n1 > 0 AND n2 > 0 THEN
+        CAST(n1 AS DOUBLE) * n2 - (sr2 / 2.0 - n1 * (n1 + 1.0) / 2.0)
+      END AS u2,
+      CASE WHEN n1 > 0 AND n2 > 0
+                AND (n1 * CAST(n2 AS DOUBLE) / 12.0)
+                    * ((n1 + n2 + 1.0)
+                       - ties / ((n1 + CAST(n2 AS DOUBLE))
+                                 * (n1 + n2 - 1.0))) > 0 THEN
+        ROUND(((sr2 / 2.0 - n1 * (n1 + 1.0) / 2.0)
+               - n1 * CAST(n2 AS DOUBLE) / 2.0)
+              / sqrt((n1 * CAST(n2 AS DOUBLE) / 12.0)
+                     * ((n1 + n2 + 1.0)
+                        - ties / ((n1 + CAST(n2 AS DOUBLE))
+                                  * (n1 + n2 - 1.0)))), 6) + 0.0
+      END AS z6
+    FROM s
+    """,
+)
+def x_mann_whitney(spark, sf_dir):
+    """Mann–Whitney U for purchase vs view event values
+    (pipeline/behavioral.py:mann_whitney_u) — combined doubled average
+    ranks, tie-corrected normal z, everything from exact integer rank
+    and tie sums through one IEEE chain ROUND-6."""
+    from pigout_spark.pipeline.behavioral import mann_whitney_u
+
+    e = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("view", "purchase")
+    )
+    return mann_whitney_u(
+        e.withColumn("g", F.col("event_type") == "purchase"), "g", "value"
+    )
+
+
+@query(
+    "x_bh_fdr",
+    extra=True,  # r9 addition — r10 rotation candidate
+    sql="""
+    WITH binned AS (
+      SELECT source,
+             LEAST(9, GREATEST(0,
+               CAST(floor(n_chars / 60.0) AS BIGINT))) AS bin
+      FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL
+    ), sb AS (
+      SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS ns
+      FROM binned GROUP BY 1, 2
+    ), cb AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS nc FROM binned GROUP BY 1
+    ), scaffold AS (
+      SELECT s.source, c.bin, c.nc
+      FROM (SELECT DISTINCT source FROM sb) s CROSS JOIN cb c
+    ), j AS (
+      SELECT sc.source, sc.bin, coalesce(sb.ns, 0) AS ns, sc.nc
+      FROM scaffold sc
+      LEFT JOIN sb ON sb.source = sc.source AND sb.bin = sc.bin
+    ), tot AS (
+      SELECT source, CAST(SUM(ns) AS BIGINT) AS tn,
+             CAST(SUM(nc) AS BIGINT) AS tc
+      FROM j GROUP BY 1
+    ), e AS (
+      SELECT j.source,
+        abs(SUM(ns) OVER (PARTITION BY j.source ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) / CAST(tn AS DOUBLE)
+          - SUM(nc) OVER (PARTITION BY j.source ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) / CAST(tc AS DOUBLE))
+          AS dd, tn, tc
+      FROM j JOIN tot USING (source)
+    ), dmax AS (
+      SELECT source, MAX(dd) AS d, MAX(tn) AS tn, MAX(tc) AS tc
+      FROM e GROUP BY 1
+    ), p AS (
+      SELECT source,
+        ROUND(LEAST(1.0, 2.0 * exp(-2.0 * d * d
+              * (CAST(tn AS DOUBLE) * tc / (tn + tc)))), 6) + 0.0 AS p6
+      FROM dmax
+    ), ranked AS (
+      SELECT source, p6, CAST(COUNT(*) OVER () AS BIGINT) AS m,
+             row_number() OVER (ORDER BY p6 DESC, source DESC) AS rkd
+      FROM p
+    )
+    SELECT source, p6, m,
+      ROUND(LEAST(1.0, MIN(p6 * m / (m - rkd + 1))
+            OVER (ORDER BY p6 DESC, source DESC
+                  ROWS UNBOUNDED PRECEDING)), 6) + 0.0 AS q6,
+      ROUND(LEAST(1.0, MIN(p6 * m / (m - rkd + 1))
+            OVER (ORDER BY p6 DESC, source DESC
+                  ROWS UNBOUNDED PRECEDING)), 6) + 0.0 <= 0.05 AS reject
+    FROM ranked
+    """,
+)
+def x_bh_fdr(spark, sf_dir):
+    """The full multiple-testing workflow: a per-source KS test of the
+    n_chars distribution against the corpus (binned ECDF d, asymptotic
+    p = min(1, 2·e^(−2d²·n_eff)) — exp-only, so it hashes), then
+    Benjamini–Hochberg FDR adjustment across the ~20 sources
+    (pipeline/behavioral.py:bh_fdr).  q-values are tie-invariant
+    (suffix-min collapses equal p), ROUND-6 on both p and q."""
+    from pigout_spark.pipeline.behavioral import bh_fdr
+    from pigout_spark.pipeline.drift import bin_expr
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("source").isNotNull()
+    )
+    b = d.select("source", bin_expr("n_chars", 10, 0.0, 600.0).alias("bin"))
+    sb = b.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("ns"))
+    cb = b.groupBy("bin").agg(F.count(F.lit(1)).alias("nc"))
+    scaffold = sb.select("source").distinct().crossJoin(F.broadcast(cb))
+    sb2 = sb.select(
+        F.col("source").alias("__s"), F.col("bin").alias("__b"), "ns"
+    )
+    j = scaffold.join(
+        sb2,
+        (F.col("source") == F.col("__s")) & (F.col("bin") == F.col("__b")),
+        "left",
+    ).select(
+        "source", "bin", F.coalesce("ns", F.lit(0)).alias("ns"), "nc"
+    )
+    wt = Window.partitionBy("source")
+    wc = Window.partitionBy("source").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    e = (
+        j.withColumn("tn", F.sum("ns").over(wt))
+        .withColumn("tc", F.sum("nc").over(wt))
+        .withColumn(
+            "dd",
+            F.abs(
+                F.sum("ns").over(wc) / F.col("tn").cast("double")
+                - F.sum("nc").over(wc) / F.col("tc").cast("double")
+            ),
+        )
+    )
+    dmax = e.groupBy("source").agg(
+        F.max("dd").alias("d"),
+        F.max("tn").alias("tn"),
+        F.max("tc").alias("tc"),
+    )
+    n_eff = F.col("tn").cast("double") * F.col("tc") / (
+        F.col("tn") + F.col("tc")
+    )
+    p = dmax.select(
+        "source",
+        (
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    2.0 * F.exp(-2.0 * F.col("d") * F.col("d") * n_eff),
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("p6"),
+    )
+    return bh_fdr(p, "p6", alpha=0.05)

@@ -1097,3 +1097,81 @@ def test_odds_ratio_textbook(spark):
     )
     h = odds_ratio(hole, "exp", "out").collect()[0]
     assert h.or6 is None and h.rr6 is None
+
+
+def test_spearman_textbook(spark):
+    """Hand-checked Spearman: perfect monotone (nonlinear) relation →
+    rho 1; perfect inverse → −1; ties average; constant side → NULL."""
+    from pigout_spark.pipeline.behavioral import spearman_corr
+
+    rows = (
+        [("mono", float(i), float(i**3)) for i in range(1, 6)]
+        + [("inv", float(i), float(-i)) for i in range(1, 6)]
+        # x = 1,1,2 (tied pair), y = 2,1,3: rank_x = 1.5,1.5,3;
+        # rank_y = 2,1,3 → rho = cov/sd = 0.866025...
+        + [("tied", 1.0, 2.0), ("tied", 1.0, 1.0), ("tied", 2.0, 3.0)]
+        + [("const", 1.0, float(i)) for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    got = {r.k: r for r in spearman_corr(df, ["k"], "x", "y").collect()}
+    assert got["mono"].rho6 == 1.0
+    assert got["inv"].rho6 == -1.0
+    assert got["tied"].rho6 == 0.866025
+    assert got["const"].rho6 is None
+    assert got["mono"].n == 5
+
+
+def test_mann_whitney_textbook(spark):
+    """Hand-worked U: g1 = {1,2,3}, g0 = {4,5,6,7} — g1 holds the 3
+    lowest ranks, so U1 = 0, U2 = n1·n2 = 12; z = (0−6)/√(6·8/12·…)
+    with no ties = −2.12132."""
+    from pigout_spark.pipeline.behavioral import mann_whitney_u
+
+    rows = [(True, 1.0), (True, 2.0), (True, 3.0),
+            (False, 4.0), (False, 5.0), (False, 6.0), (False, 7.0)]
+    df = spark.createDataFrame(rows, "g boolean, v double")
+    r = mann_whitney_u(df, "g", "v").collect()[0]
+    assert (r.n1, r.n2) == (3, 4)
+    assert r.u1 == 0.0 and r.u2 == 12.0
+    # var = n1 n2 (N+1)/12 = 3·4·8/12 = 8 → z = −6/√8
+    assert r.z6 == round(-6 / 8**0.5, 6)
+
+    # one empty group → NULL everything but the counts
+    solo = mann_whitney_u(
+        spark.createDataFrame([(True, 1.0)], "g boolean, v double"), "g", "v"
+    ).collect()[0]
+    assert solo.n2 == 0 and solo.u1 is None and solo.z6 is None
+
+
+def test_bh_fdr_textbook(spark):
+    """Classic worked example: p = [.005, .01, .03, .04], m = 4 →
+    q = [.02, .02, .04, .04]; alpha .03 rejects the first two; ties
+    collapse to one q; out-of-range p fails loudly."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    from pigout_spark.pipeline.behavioral import bh_fdr
+
+    df = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.04), ("c", 0.03), ("d", 0.005)],
+        "test_id string, p double",
+    )
+    got = {r.test_id: r for r in bh_fdr(df, "p", alpha=0.03).collect()}
+    assert got["d"].q6 == 0.02 and got["a"].q6 == 0.02
+    assert got["c"].q6 == 0.04 and got["b"].q6 == 0.04
+    assert got["d"].reject and got["a"].reject
+    assert not got["c"].reject and not got["b"].reject
+    assert all(r.m == 4 for r in got.values())
+
+    tied = bh_fdr(
+        spark.createDataFrame(
+            [("x", 0.02), ("y", 0.02)], "test_id string, p double"
+        ),
+        "p",
+    ).collect()
+    assert len({r.q6 for r in tied}) == 1
+
+    with _pytest.raises(SparkRuntimeException, match="must lie"):
+        bh_fdr(
+            spark.createDataFrame([("z", 1.5)], "test_id string, p double"),
+            "p",
+        ).collect()
