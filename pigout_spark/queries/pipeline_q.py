@@ -4152,3 +4152,117 @@ def x_ab_segments(spark, sf_dir):
         F.round("lift", 6).alias("lift6"),
         F.round("z", 6).alias("z6"),
     )
+
+
+# --- r9 additions: ML feature-prep family (pipeline/features.py;
+# --- r10 rotation queue) ---
+@query(
+    "x_target_enc",
+    extra=True,  # r9 addition — r10 rotation candidate
+    sql="""
+    WITH c AS (
+      SELECT o_orderpriority AS k,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+             CAST(COUNT(o_totalprice) AS DOUBLE) AS ny
+      FROM orders GROUP BY 1
+    ), t AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE)
+             / CAST(COUNT(o_totalprice) AS DOUBLE) AS prior
+      FROM orders
+    )
+    SELECT o_orderkey, o_orderpriority,
+      CASE WHEN (ny - CASE WHEN o_totalprice IS NOT NULL
+                           THEN 1.0 ELSE 0.0 END + 20.0) > 0 THEN
+        ROUND((sy - CASE WHEN o_totalprice IS NOT NULL
+                         THEN o_totalprice ELSE 0.0 END + 20.0 * prior)
+              / (ny - CASE WHEN o_totalprice IS NOT NULL
+                           THEN 1.0 ELSE 0.0 END + 20.0), 6) + 0.0
+      END AS target_enc
+    FROM orders JOIN c ON o_orderpriority IS NOT DISTINCT FROM c.k
+    CROSS JOIN t
+    """,
+)
+def x_target_enc(spark, sf_dir):
+    """Leave-one-out smoothed target encoding of order priority against
+    total price (pipeline/features.py:target_encode) — each row's own
+    label excluded from its feature (the leakage guard), shrinkage
+    m=20 toward the global mean; decimal-exact sums, ROUND-6."""
+    from pigout_spark.pipeline.features import target_encode
+
+    o = t(spark, sf_dir, "orders")
+    return target_encode(
+        o,
+        ["o_orderpriority"],
+        "o_totalprice",
+        smoothing=20.0,
+        leave_one_out=True,
+    ).select("o_orderkey", "o_orderpriority", "target_enc")
+
+
+@query(
+    "x_feature_hash",
+    extra=True,  # r9 addition — r10 rotation candidate
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+    )
+    SELECT doc_id,
+           ('0x' || substring(md5('fh0' || '|' || tok), 1, 8))::BIGINT
+             % 64 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM toks WHERE tok IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def x_feature_hash(spark, sf_dir):
+    """The hashing trick over document tokens: 64-bucket sparse COO
+    counts (pipeline/features.py:feature_hash) — md5-hex bucket
+    assignment (the split_corpus idiom) replayed bit-identically by
+    the oracle; output is nnz-sized, never docs x buckets."""
+    from pigout_spark.pipeline.dedup import ws_tokens
+    from pigout_spark.pipeline.features import feature_hash
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(ws_tokens("text", distinct=False)).alias("tok")
+    )
+    return feature_hash(d, ["doc_id"], "tok", n_buckets=64, seed="fh0")
+
+
+@query(
+    "x_robust_scale",
+    extra=True,  # r9 addition — r10 rotation candidate
+    sql="""
+    WITH o AS (
+      SELECT o_orderkey, o_orderpriority AS pri, o_totalprice AS v
+      FROM orders
+    ), r AS (
+      SELECT pri, v,
+             row_number() OVER (PARTITION BY pri ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY pri) AS n
+      FROM o WHERE v IS NOT NULL
+    ), b AS (
+      SELECT pri,
+        MIN(CASE WHEN rn = GREATEST(1, ceil(0.25 * n)) THEN v END) AS q25,
+        MIN(CASE WHEN rn = GREATEST(1, ceil(0.5 * n)) THEN v END) AS q50,
+        MIN(CASE WHEN rn = GREATEST(1, ceil(0.75 * n)) THEN v END) AS q75
+      FROM r GROUP BY pri
+    )
+    SELECT o_orderkey, pri, v AS value,
+      CASE WHEN v IS NOT NULL AND (q75 - q25) > 0 THEN
+        ROUND((v - q50) / (q75 - q25), 6) + 0.0 END AS value_rs
+    FROM o LEFT JOIN b USING (pri)
+    """,
+)
+def x_robust_scale(spark, sf_dir):
+    """Per-priority robust scaling of order totals — (v − median)/IQR
+    on the winsorize order-statistic convention
+    (pipeline/features.py:robust_scale): outlier-immune normalization,
+    one key exchange, ROUND-6."""
+    from pigout_spark.pipeline.features import robust_scale
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("value"),
+    )
+    return robust_scale(o, "value", ["pri"])

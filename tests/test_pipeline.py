@@ -3064,3 +3064,79 @@ def test_snapshot_diff_classification(spark):
 
     with _pytest.raises(ValueError, match="key"):
         snapshot_diff(old, new, [])
+
+
+def test_target_encode_loo_and_null_group(spark):
+    """Hand-checked LOO encoding (m=0: classical), NULL-category rows
+    form their own encoded group (null-safe join), NULL-target rows
+    receive the category mean without subtracting anything, and LOO
+    singletons with m=0 read NULL."""
+    from pigout_spark.pipeline.features import target_encode
+
+    rows = [
+        ("a", 1.0), ("a", 3.0), ("a", 5.0),
+        ("b", 10.0),
+        (None, 2.0), (None, 4.0),
+        ("a", None),
+    ]
+    df = spark.createDataFrame(rows, "k string, y double")
+    got = {
+        (r.k, r.y): r.target_enc
+        for r in target_encode(
+            df, ["k"], "y", smoothing=0.0, leave_one_out=True
+        ).collect()
+    }
+    assert got[("a", 1.0)] == 4.0   # (3+5)/2
+    assert got[("a", 3.0)] == 3.0   # (1+5)/2
+    assert got[("b", 10.0)] is None  # LOO singleton, m=0
+    assert got[(None, 2.0)] == 4.0  # NULL group encodes like any other
+    assert got[("a", None)] == 3.0  # category mean, nothing removed
+
+    sm = {
+        (r.k, r.y): r.target_enc
+        for r in target_encode(
+            df, ["k"], "y", smoothing=2.0, leave_one_out=False
+        ).collect()
+    }
+    prior = 25.0 / 6  # global mean
+    assert sm[("b", 10.0)] == round((10 + 2 * prior) / 3, 6)
+
+
+def test_feature_hash_sparse_and_deterministic(spark):
+    from pigout_spark.pipeline.features import feature_hash
+
+    df = spark.createDataFrame(
+        [(1, "alpha"), (1, "alpha"), (1, "beta"), (2, "alpha"), (2, None)],
+        "doc long, tok string",
+    )
+    out = feature_hash(df, ["doc"], "tok", n_buckets=8, seed="s")
+    rows = {(r.doc, r.bucket): r.n for r in out.collect()}
+    # same token -> same bucket in every doc; counts aggregate; NULL dropped
+    ab = [b for (d, b) in rows if d == 1]
+    a2 = [b for (d, b) in rows if d == 2]
+    assert len(a2) == 1 and a2[0] in ab
+    assert sum(rows.values()) == 4
+    assert all(0 <= b < 8 for (_, b) in rows)
+    # reruns identical (md5, not a session-seeded rng)
+    again = {
+        (r.doc, r.bucket): r.n
+        for r in feature_hash(df, ["doc"], "tok", n_buckets=8, seed="s").collect()
+    }
+    assert again == rows
+
+
+def test_robust_scale_median_iqr(spark):
+    """v = 1..5: q25=2, med=3, q75=4 (ceil(p n) order stats), IQR=2 →
+    scaled = (v-3)/2; constant key reads NULL; NULL passes through."""
+    from pigout_spark.pipeline.features import robust_scale
+
+    rows = [("k", float(i)) for i in range(1, 6)] + [
+        ("c", 7.0), ("c", 7.0), ("k", None)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = robust_scale(df, "v", ["g"]).collect()
+    by = {(r.g, r.v): r.value_rs for r in got}
+    assert by[("k", 1.0)] == -1.0 and by[("k", 3.0)] == 0.0
+    assert by[("k", 5.0)] == 1.0 and by[("k", 4.0)] == 0.5
+    assert by[("c", 7.0)] is None  # zero IQR
+    assert by[("k", None)] is None
