@@ -80,3 +80,36 @@ def test_fuzz_r8_differential(spark, sf_dir, duck, case):
     assert len(spdf) == len(opdf), sql
     assert list(_normalize(spdf).columns) == list(_normalize(opdf).columns), sql
     assert value_hash(spdf) == value_hash(opdf), sql
+
+
+def _r9_cases():
+    # one pinned case per r9 kind (seeded scan until all kinds seen)
+    from tools.fuzz_oracle import gen_r9
+
+    rng = random.Random(SEED + 9)
+    seen: dict[str, tuple] = {}
+    markers = {
+        "spearman": "rho6", "mw": "z6", "bhfdr": "reject",
+        "tenc": "target_enc", "rscale": "value_rs",
+    }
+    for _ in range(200):
+        build, sql = gen_r9(rng)
+        for kind, mark in markers.items():
+            if kind not in seen and mark in sql:
+                seen[kind] = (build, sql)
+                break
+        if len(seen) == len(markers):
+            break
+    return list(seen.values())
+
+
+@pytest.mark.parametrize("case", range(5))
+def test_fuzz_r9_differential(spark, sf_dir, duck, case):
+    cases = _r9_cases()
+    assert len(cases) == 5, "seeded scan did not reach every r9 kind"
+    build, sql = cases[case]
+    spdf = build(spark, sf_dir).toPandas()
+    opdf = duck.execute(sql).df()
+    assert len(spdf) == len(opdf), sql
+    assert list(_normalize(spdf).columns) == list(_normalize(opdf).columns), sql
+    assert value_hash(spdf) == value_hash(opdf), sql

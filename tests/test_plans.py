@@ -376,3 +376,40 @@ def test_r8_op_plans_hold_at_scale(spark, sf_dir):
     # HashAggregate pair over the scan, stacked by Generate(explode)
     assert plan.count("Scan parquet") == 1
     assert "Generate" in plan
+
+
+def test_r9_stats_and_features_plans(spark, sf_dir):
+    """r9 families hold their scale shapes: spearman runs both rank
+    windows and the moment aggregation on ONE key exchange; target
+    encoding joins the category relation by broadcast (never shuffles
+    the fact table); feature hashing is a map-side-combined narrow agg;
+    robust scaling shares one key exchange across window + bounds +
+    join; BH-FDR plans no cartesian; item CF's capped list build plans
+    WindowGroupLimit below the set aggregation."""
+    plan = plan_of(spark, sf_dir, "x_spearman")
+    final = plan.split("== Initial Plan ==")[0]
+    # one exchange for the key (rank windows + agg) — the scan itself
+    # adds none (narrow), and no SinglePartition appears
+    assert final.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in final
+
+    plan = plan_of(spark, sf_dir, "x_target_enc")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the category relation aggregates map-side before its exchange
+    assert plan.count("HashAggregate") >= 2
+
+    plan = plan_of(spark, sf_dir, "x_feature_hash")
+    assert "CartesianProduct" not in plan and "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+    plan = plan_of(spark, sf_dir, "x_robust_scale")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+
+    plan = plan_of(spark, sf_dir, "x_bh_fdr")
+    assert "CartesianProduct" not in plan
+
+    plan = plan_of(spark, sf_dir, "x_item_cf")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan

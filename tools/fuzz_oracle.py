@@ -392,8 +392,10 @@ def gen_query(rng: random.Random):
         return gen_attribution(rng)
     if r < 0.99:
         return gen_r7(rng)
-    if r < 0.998:
+    if r < 0.994:
         return gen_r8(rng)
+    if r < 0.998:
+        return gen_r9(rng)
     table = rng.choice(list(TABLES))
     strs, nums, doubles, ints = TABLES[table]
     preds, fexprs = [], []
@@ -3096,3 +3098,263 @@ def _gen_wilson(rng: random.Random):
         return proportion_ci(df, ["k"], "f", z=z)
 
     return build, sql
+
+
+def _gen_spearman(rng: random.Random):
+    """Spearman over random (key, x, y) with heavy ties, NULLs, and
+    constant-side keys (NULL rho)."""
+    n = rng.randint(2, 60)
+    keys = rng.randint(1, 3)
+    rows = []
+    for _ in range(n):
+        k = rng.randint(0, keys - 1)
+        x = None if rng.random() < 0.1 else float(rng.randint(0, 5))
+        y = None if rng.random() < 0.1 else float(rng.randint(0, 5))
+        rows.append((k, x, y))
+    vals = ", ".join(
+        f"({k}, {'NULL' if x is None else repr(x)},"
+        f" {'NULL' if y is None else repr(y)})"
+        for k, x, y in rows
+    )
+    sql = f"""
+    WITH d AS (SELECT * FROM (VALUES {vals}) t(k, x, y)
+               WHERE x IS NOT NULL AND y IS NOT NULL),
+    r AS (SELECT k,
+        CAST(2 * rank() OVER (PARTITION BY k ORDER BY x)
+             + count(*) OVER (PARTITION BY k, x) - 1 AS BIGINT) AS rx,
+        CAST(2 * rank() OVER (PARTITION BY k ORDER BY y)
+             + count(*) OVER (PARTITION BY k, y) - 1 AS BIGINT) AS ry
+      FROM d),
+    s AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(rx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(ry AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(rx * rx AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(ry * ry AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+        CAST(SUM(CAST(rx * ry AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+      FROM r GROUP BY k)
+    SELECT CAST(k AS BIGINT) AS k, n,
+      CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+        ROUND((n * sxy - sx * sy)
+              / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0.0
+      END AS rho6
+    FROM s
+    """
+
+    def build(spark, sf_dir, rows=rows):
+        from pigout_spark.pipeline.behavioral import spearman_corr
+
+        df = spark.createDataFrame(rows, "k long, x double, y double")
+        return spearman_corr(df, ["k"], "x", "y")
+
+    return build, sql
+
+
+def _gen_mw(rng: random.Random):
+    """Mann-Whitney over random two-group samples: tie-heavy value
+    domains, NULLs, occasionally one group empty."""
+    n = rng.randint(2, 60)
+    p_true = rng.choice([0.0, 0.3, 0.5, 0.8])
+    rows = [
+        (
+            rng.random() < p_true,
+            None if rng.random() < 0.1 else float(rng.randint(0, 6)),
+        )
+        for _ in range(n)
+    ]
+    vals = ", ".join(
+        f"({str(g).upper()}, {'NULL' if v is None else repr(v)})" for g, v in rows
+    )
+    sql = f"""
+    WITH d AS (SELECT * FROM (VALUES {vals}) t(g, v) WHERE v IS NOT NULL),
+    r AS (SELECT g,
+        CAST(2 * rank() OVER (ORDER BY v)
+             + count(*) OVER (PARTITION BY v) - 1 AS BIGINT) AS r2, v
+      FROM d),
+    pv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS t,
+        SUM(CASE WHEN g THEN CAST(r2 AS DECIMAL(38,0)) ELSE 0 END) AS r2t,
+        CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n1v
+      FROM r GROUP BY v),
+    s AS (SELECT CAST(SUM(n1v) AS BIGINT) AS n1,
+            CAST(SUM(t) - SUM(n1v) AS BIGINT) AS n2,
+            CAST(SUM(r2t) AS DOUBLE) AS sr2,
+            CAST(SUM(CAST(t * t * t - t AS DECIMAL(38,0))) AS DOUBLE) AS ties
+          FROM pv)
+    SELECT n1, n2,
+      CASE WHEN n1 > 0 AND n2 > 0 THEN
+        sr2 / 2.0 - n1 * (n1 + 1.0) / 2.0 END AS u1,
+      CASE WHEN n1 > 0 AND n2 > 0 THEN
+        CAST(n1 AS DOUBLE) * n2 - (sr2 / 2.0 - n1 * (n1 + 1.0) / 2.0)
+      END AS u2,
+      CASE WHEN n1 > 0 AND n2 > 0
+                AND (n1 * CAST(n2 AS DOUBLE) / 12.0)
+                    * ((n1 + n2 + 1.0)
+                       - ties / ((n1 + CAST(n2 AS DOUBLE))
+                                 * (n1 + n2 - 1.0))) > 0 THEN
+        ROUND(((sr2 / 2.0 - n1 * (n1 + 1.0) / 2.0)
+               - n1 * CAST(n2 AS DOUBLE) / 2.0)
+              / sqrt((n1 * CAST(n2 AS DOUBLE) / 12.0)
+                     * ((n1 + n2 + 1.0)
+                        - ties / ((n1 + CAST(n2 AS DOUBLE))
+                                  * (n1 + n2 - 1.0)))), 6) + 0.0
+      END AS z6
+    FROM s
+    """
+
+    def build(spark, sf_dir, rows=rows):
+        from pigout_spark.pipeline.behavioral import mann_whitney_u
+
+        df = spark.createDataFrame(rows, "g boolean, v double")
+        return mann_whitney_u(df, "g", "v")
+
+    return build, sql
+
+
+def _gen_bhfdr(rng: random.Random):
+    """BH q-values over random tie-heavy p grids, random alpha, with
+    NULL p rows excluded from m."""
+    n = rng.randint(1, 30)
+    alpha = rng.choice([0.01, 0.05, 0.1])
+    rows = [
+        (
+            i,
+            None if rng.random() < 0.1
+            else round(rng.randint(0, 20) / 20.0, 2),
+        )
+        for i in range(n)
+    ]
+    vals = ", ".join(
+        f"({i}, {'NULL' if p is None else repr(p)})" for i, p in rows
+    )
+    sql = f"""
+    WITH d AS (SELECT * FROM (VALUES {vals}) t(id, p) WHERE p IS NOT NULL),
+    ranked AS (
+      SELECT id, p, CAST(COUNT(*) OVER () AS BIGINT) AS m,
+             row_number() OVER (ORDER BY p DESC, id DESC) AS rkd
+      FROM d)
+    SELECT CAST(id AS BIGINT) AS id, p,  m,
+      ROUND(LEAST(1.0, MIN(p * m / (m - rkd + 1))
+            OVER (ORDER BY p DESC, id DESC
+                  ROWS UNBOUNDED PRECEDING)), 6) + 0.0 AS q6,
+      ROUND(LEAST(1.0, MIN(p * m / (m - rkd + 1))
+            OVER (ORDER BY p DESC, id DESC
+                  ROWS UNBOUNDED PRECEDING)), 6) + 0.0 <= {alpha!r} AS reject
+    FROM ranked
+    """
+
+    def build(spark, sf_dir, rows=rows, alpha=alpha):
+        from pigout_spark.pipeline.behavioral import bh_fdr
+
+        df = spark.createDataFrame(rows, "id long, p double")
+        return bh_fdr(df, "p", alpha=alpha)
+
+    return build, sql
+
+
+def _gen_tenc(rng: random.Random):
+    """Target encoding over random categories (incl. NULL keys and NULL
+    targets), random smoothing, both LOO and plain."""
+    n = rng.randint(1, 40)
+    keys = rng.randint(1, 4)
+    m = rng.choice([0.0, 1.0, 5.0, 20.0])
+    loo = rng.random() < 0.5
+    rows = [
+        (
+            i,
+            None if rng.random() < 0.15 else f"k{rng.randint(0, keys - 1)}",
+            None if rng.random() < 0.15 else float(rng.randint(0, 9)),
+        )
+        for i in range(n)
+    ]
+    vals = ", ".join(
+        f"({i}, {'NULL' if k is None else repr(k)},"
+        f" {'NULL' if y is None else repr(y)})"
+        for i, k, y in rows
+    )
+    own_y = "CASE WHEN y IS NOT NULL THEN y ELSE 0.0 END"
+    own_n = "CASE WHEN y IS NOT NULL THEN 1.0 ELSE 0.0 END"
+    if loo:
+        num = f"(sy - {own_y} + {m!r} * prior)"
+        den = f"(ny - {own_n} + {m!r})"
+    else:
+        num = f"(sy + {m!r} * prior)"
+        den = f"(ny + {m!r})"
+    sql = f"""
+    WITH d AS (SELECT * FROM (VALUES {vals}) t(id, k, y)),
+    c AS (SELECT k,
+            CAST(SUM(CAST(y AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+            CAST(COUNT(y) AS DOUBLE) AS ny
+          FROM d GROUP BY k),
+    g AS (SELECT CAST(SUM(CAST(y AS DECIMAL(30,6))) AS DOUBLE)
+                 / CAST(COUNT(y) AS DOUBLE) AS prior FROM d)
+    SELECT CAST(id AS BIGINT) AS id, d.k AS k, y,
+      CASE WHEN {den} > 0 THEN ROUND({num} / {den}, 6) + 0.0
+      END AS target_enc
+    FROM d JOIN c ON d.k IS NOT DISTINCT FROM c.k CROSS JOIN g
+    """
+
+    def build(spark, sf_dir, rows=rows, m=m, loo=loo):
+        from pigout_spark.pipeline.features import target_encode
+
+        df = spark.createDataFrame(rows, "id long, k string, y double")
+        return target_encode(
+            df, ["k"], "y", smoothing=m, leave_one_out=loo
+        )
+
+    return build, sql
+
+
+def _gen_rscale(rng: random.Random):
+    """Robust scaling over random keys incl. constant (zero-IQR) keys
+    and NULL values."""
+    n = rng.randint(1, 50)
+    keys = rng.randint(1, 3)
+    rows = [
+        (
+            i,
+            rng.randint(0, keys - 1),
+            None if rng.random() < 0.1 else float(rng.randint(0, 8)),
+        )
+        for i in range(n)
+    ]
+    vals = ", ".join(
+        f"({i}, {k}, {'NULL' if v is None else repr(v)})" for i, k, v in rows
+    )
+    sql = f"""
+    WITH o AS (SELECT * FROM (VALUES {vals}) t(id, g, v)),
+    r AS (SELECT g, v,
+            row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+            COUNT(*) OVER (PARTITION BY g) AS n
+          FROM o WHERE v IS NOT NULL),
+    b AS (SELECT g,
+        MIN(CASE WHEN rn = GREATEST(1, ceil(0.25 * n)) THEN v END) AS q25,
+        MIN(CASE WHEN rn = GREATEST(1, ceil(0.5 * n)) THEN v END) AS q50,
+        MIN(CASE WHEN rn = GREATEST(1, ceil(0.75 * n)) THEN v END) AS q75
+      FROM r GROUP BY g)
+    SELECT CAST(id AS BIGINT) AS id, CAST(o.g AS BIGINT) AS g, v,
+      CASE WHEN v IS NOT NULL AND (q75 - q25) > 0 THEN
+        ROUND((v - q50) / (q75 - q25), 6) + 0.0 END AS value_rs
+    FROM o LEFT JOIN b ON o.g = b.g
+    """
+
+    def build(spark, sf_dir, rows=rows):
+        from pigout_spark.pipeline.features import robust_scale
+
+        df = spark.createDataFrame(rows, "id long, g long, v double")
+        return robust_scale(df, "v", ["g"], out="value_rs")
+
+    return build, sql
+
+
+def gen_r9(rng: random.Random):
+    """Differential-fuzz the round-9 operators: Spearman (tie-heavy
+    rank correlation), Mann-Whitney U (tie-corrected z, empty groups),
+    BH-FDR (tie-collapsing q-values), target encoding (LOO/plain,
+    NULL keys and targets), robust scaling (zero-IQR keys)."""
+    kind = rng.choice(["spearman", "mw", "bhfdr", "tenc", "rscale"])
+    return {
+        "spearman": _gen_spearman,
+        "mw": _gen_mw,
+        "bhfdr": _gen_bhfdr,
+        "tenc": _gen_tenc,
+        "rscale": _gen_rscale,
+    }[kind](rng)
