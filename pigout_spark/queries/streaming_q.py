@@ -900,3 +900,71 @@ def x_cusum(spark, sf_dir):
     return out.select(
         "pri", F.col("order").alias("od"), "value", "s_hi", "s_lo", "alarm"
     )
+
+
+# --- r9 addition: autocorrelation screen (r10 rotation queue) ---
+@query(
+    "x_autocorr",
+    extra=True,  # r9 addition — r10 rotation candidate
+    sql="""
+    WITH g AS (
+      SELECT event_type,
+             date_trunc('hour', CAST(date_trunc('second', ts)
+                                     AS TIMESTAMP)) AS h,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ), l AS (
+      SELECT event_type, v,
+             lag(v, 1) OVER (PARTITION BY event_type ORDER BY h) AS l1,
+             lag(v, 2) OVER (PARTITION BY event_type ORDER BY h) AS l2,
+             lag(v, 3) OVER (PARTITION BY event_type ORDER BY h) AS l3
+      FROM g
+    ), long AS (
+      SELECT event_type, 1 AS lag, v, l1 AS vl FROM l WHERE l1 IS NOT NULL
+      UNION ALL
+      SELECT event_type, 2, v, l2 FROM l WHERE l2 IS NOT NULL
+      UNION ALL
+      SELECT event_type, 3, v, l3 FROM l WHERE l3 IS NOT NULL
+    ), s AS (
+      SELECT event_type, CAST(lag AS BIGINT) AS lag,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CAST(v AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(vl AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(v AS DECIMAL(38,0)) * vl) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(v AS DECIMAL(38,0)) * v) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(vl AS DECIMAL(38,0)) * vl) AS DOUBLE) AS syy
+      FROM long GROUP BY 1, 2
+    )
+    SELECT event_type, lag, n_pairs,
+      CASE WHEN (n_pairs * sxx - sx * sx) > 0
+                AND (n_pairs * syy - sy * sy) > 0 THEN
+        ROUND((n_pairs * sxy - sx * sy)
+              / sqrt((n_pairs * sxx - sx * sx)
+                     * (n_pairs * syy - sy * sy)), 6) + 0.0
+      END AS acf6
+    FROM s
+    """,
+)
+def x_autocorr(spark, sf_dir):
+    """ACF at lags 1..3 of each event type's hourly spend series
+    (streaming/windows.py:autocorr) — hourly grid aggregation gives the
+    unique-ts contract, cents integerization gives exact moment sums;
+    Pearson-over-lagged-pairs, ROUND-6."""
+    from pigout_spark.streaming.windows import autocorr
+
+    e = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    g = (
+        e.withColumn(
+            "h",
+            F.date_trunc(
+                "hour",
+                F.date_trunc("second", "ts").cast("timestamp_ntz"),
+            ),
+        )
+        .groupBy("event_type", "h")
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("v")
+        )
+    )
+    return autocorr(g, ["event_type"], "h", "v", max_lag=3)

@@ -778,3 +778,104 @@ def cusum_flags(
         s_lo.alias("s_lo"),
         ((s_hi > int(h)) | (s_lo > int(h))).alias("alarm"),
     )
+
+
+def autocorr(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    max_lag: int = 5,
+) -> DataFrame:
+    """Per-key autocorrelation function at lags 1..``max_lag`` — the
+    seasonality/persistence screen that tells you WHICH lag structure
+    :func:`seasonal_decompose` (period choice) and :func:`ewma_events`
+    (memory choice) should use:
+
+        acf(ℓ) = corr(v_t, v_{t−ℓ})   over the key's series
+
+    as the PEARSON-over-lagged-pairs variant (each lag's n−ℓ pairs
+    correlate directly; the classical constant-denominator estimator
+    differs slightly at small n — documented choice, standard in SQL
+    replays).  The series is the key's rows ordered by ``ts_col``;
+    duplicate (key, ts) rows make lag order undefined and FAIL LOUDLY
+    (the compact_changelog discipline — pre-aggregate to a grid first,
+    e.g. via resample_events).  NULL values are excluded before
+    lagging (the lag walks the non-NULL series).  Values must be
+    INTEGRAL (cents, counts — the trend_fit term_scale=0 contract,
+    asserted on the scan) so the five moment sums are exact
+    DECIMAL(38,0).
+
+    Output: (*key_cols, lag, n_pairs, acf6) — keys whose series is too
+    short for a lag, or constant on either side, read NULL acf6.
+
+    100 TB: ONE exchange on the key — the duplicate-ts guard, the
+    ``max_lag`` lag columns (one window sort), and the (key, lag)
+    moment aggregation all run on the key partitioning; the unpivot is
+    a narrow per-row stack.
+    """
+    if int(max_lag) < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    keys = list(key_cols or [])
+    if not keys:
+        raise ValueError("autocorr needs at least one key column")
+    v = F.col(value_col)
+    d = df.filter(v.isNotNull()).filter(
+        F.assert_true(
+            v == F.floor(v),
+            F.lit(
+                "autocorr: values must be integral (cents, counts) — "
+                "the trend_fit term_scale=0 contract"
+            ),
+        ).isNull()
+    ).select(*keys, F.col(ts_col).alias("__ts"), v.cast("bigint").alias("__v"))
+    d = d.repartition(*keys)
+    dup = Window.partitionBy(*keys, "__ts")
+    d = d.withColumn("__dup", F.count(F.lit(1)).over(dup)).filter(
+        F.assert_true(
+            F.col("__dup") == 1,
+            F.lit(
+                "autocorr: duplicate (key, ts) rows — lag order would be "
+                "nondeterministic; pre-aggregate to a grid "
+                "(resample_events) first"
+            ),
+        ).isNull()
+    )
+    w = Window.partitionBy(*keys).orderBy("__ts")
+    lag_cols = [
+        F.lag("__v", lag).over(w).alias(f"__l{lag}")
+        for lag in range(1, int(max_lag) + 1)
+    ]
+    lagged = d.select(*keys, "__v", *lag_cols)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(lag).cast("bigint").alias("lag"),
+                F.col(f"__l{lag}").alias("vl"),
+            )
+            for lag in range(1, int(max_lag) + 1)
+        ]
+    )
+    long = (
+        lagged.select(*keys, "__v", F.explode(pairs).alias("__p"))
+        .select(*keys, "__v", F.col("__p.lag").alias("lag"), F.col("__p.vl").alias("__vl"))
+        .filter(F.col("__vl").isNotNull())
+    )
+    dec = "decimal(38,0)"
+    x, y = F.col("__v"), F.col("__vl")
+    s = long.groupBy(*keys, "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(x.cast(dec)).cast("double").alias("__sx"),
+        F.sum(y.cast(dec)).cast("double").alias("__sy"),
+        F.sum((x.cast(dec) * y)).cast("double").alias("__sxy"),
+        F.sum((x.cast(dec) * x)).cast("double").alias("__sxx"),
+        F.sum((y.cast(dec) * y)).cast("double").alias("__syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    vx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    cov = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    acf = F.when(
+        (vx > 0) & (vy > 0), F.round(cov / F.sqrt(vx * vy), 6) + F.lit(0.0)
+    )
+    return s.select(*keys, "lag", "n_pairs", acf.alias("acf6"))

@@ -957,3 +957,36 @@ def test_cusum_flags_detects_level_shift(spark):
     frac = spark.createDataFrame([("m", 0, 1.5)], "k string, i long, v double")
     with _pytest.raises(Exception, match="integral"):
         cusum_flags(frac, ["k"], "i", "v", target=1, k=0, h=1).collect()
+
+
+def test_autocorr_hand_checked(spark):
+    """A strictly increasing series has lag-1 ACF (Pearson over pairs)
+    1; an alternating series has lag-1 ACF −1 and lag-2 ACF 1; a
+    constant series reads NULL; duplicate (key, ts) fails loudly; a
+    fractional value fails the integrality contract."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    from pigout_spark.streaming.windows import autocorr
+
+    rows = (
+        [("up", i, float(i)) for i in range(6)]
+        + [("alt", i, float(1 if i % 2 else -1)) for i in range(8)]
+        + [("const", i, 5.0) for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    got = {
+        (r.k, r.lag): r.acf6 for r in autocorr(df, ["k"], "t", "v", 2).collect()
+    }
+    assert got[("up", 1)] == 1.0 and got[("up", 2)] == 1.0
+    assert got[("alt", 1)] == -1.0 and got[("alt", 2)] == 1.0
+    assert got[("const", 1)] is None
+
+    dup = spark.createDataFrame(
+        [("k", 1, 1.0), ("k", 1, 2.0)], "k string, t long, v double"
+    )
+    with _pytest.raises(SparkRuntimeException, match="duplicate"):
+        autocorr(dup, ["k"], "t", "v", 1).collect()
+
+    frac = spark.createDataFrame([("k", 1, 1.5)], "k string, t long, v double")
+    with _pytest.raises(SparkRuntimeException, match="integral"):
+        autocorr(frac, ["k"], "t", "v", 1).collect()
