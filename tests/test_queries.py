@@ -36,16 +36,16 @@ def test_query_runs(spark, sf_dir, name):
     assert len(df.columns) > 0
 
 
-def test_r8_window_landed():
-    """The r8 explicit window (queries/__init__.py): the driver-facing
-    set is exactly _WINDOW_R8 in order, every entry has a SQL oracle
+def test_r9_window_landed():
+    """The r9 explicit window (queries/__init__.py): the driver-facing
+    set is exactly _WINDOW_R9 in order, every entry has a SQL oracle
     (the rows-only pair rotated back to extras after its r7 rows), and
     everything displaced kept its local oracle as an extra."""
-    from pigout_spark.queries import _WINDOW_R8
+    from pigout_spark.queries import _WINDOW_R9
 
     q = entrymod.queries()
     o = entrymod.oracle_sql()
-    assert list(q) == _WINDOW_R8
+    assert list(q) == _WINDOW_R9
     assert len(q) == qmod.DRIVER_QUERY_CAP
     for name in q:
         assert name in o, f"{name} in window without a SQL oracle"
