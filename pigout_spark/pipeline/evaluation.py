@@ -1,0 +1,257 @@
+"""Model evaluation at corpus scale: exact ROC-AUC, calibration bins,
+decile uplift (Qini) — the readouts between feature prep
+(pipeline/features.py) and experiment analysis (behavioral ab_lift /
+cuped_lift / bh_fdr).
+
+Beyond-reference family (Apache Pig has no evaluation builtins); every
+op is rank/bin arithmetic over one exchange — no sklearn-style
+collect-and-compute, the corpus never leaves the cluster.
+
+Determinism (oracle-hash discipline): ranks and counts are exact
+integers (doubled average ranks — the spearman_corr recipe), moments
+sum as DECIMAL(38,0), final statistics are one IEEE chain ROUND-6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def roc_auc(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Exact ROC-AUC from the rank-sum identity,
+
+        AUC = (R₊ − n₊(n₊+1)/2) / (n₊ · n₋)
+
+    with R₊ the positives' sum of AVERAGE ranks over the combined score
+    order — ties contribute the ½ credit the trapezoidal ROC gives
+    them, exactly (this is the Mann–Whitney U normalized; no curve
+    materialization, no threshold sweep, no approximation).
+    ``label_col`` must be boolean; NULL label or score rows are
+    EXCLUDED.  Either class empty reads NULL auc.
+
+    Output: ONE row (n_pos, n_neg, auc6).
+
+    100 TB: one global rank window over the score — a MODEL EVAL is
+    single-key by definition (one model, one dataset); for per-segment
+    AUCs run per key upstream and feed :func:`~pigout_spark.pipeline.
+    behavioral.bh_fdr` style fan-out, never a keyless window over
+    unbounded fact data.
+    """
+    y, s = F.col(label_col), F.col(score_col)
+    d = df.filter(y.isNotNull() & s.isNotNull()).select(
+        y.cast("boolean").alias("__y"), s.alias("__s")
+    )
+    wr = Window.orderBy("__s")
+    wt = Window.partitionBy("__s")
+    r = d.select(
+        "__y",
+        (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1)
+        .cast("bigint")
+        .alias("__r2"),
+    )
+    dec = "decimal(38,0)"
+    agg = r.agg(
+        F.sum(F.when(F.col("__y"), 1).otherwise(0)).cast("bigint").alias(
+            "n_pos"
+        ),
+        F.sum(F.when(F.col("__y"), 0).otherwise(1)).cast("bigint").alias(
+            "n_neg"
+        ),
+        F.sum(F.when(F.col("__y"), F.col("__r2")).otherwise(0).cast(dec))
+        .cast("double")
+        .alias("__sr2"),
+    )
+    np, nn = F.col("n_pos").cast("double"), F.col("n_neg").cast("double")
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.round(
+            (F.col("__sr2") / 2.0 - np * (np + 1.0) / 2.0) / (np * nn), 6
+        )
+        + F.lit(0.0),
+    )
+    return agg.select("n_pos", "n_neg", auc.alias("auc6"))
+
+
+def calibration_bins(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram data: clamp scores (∈ [0, 1]) into ``bins``
+    equal-width bins and report, per bin, the mean predicted
+    probability vs the observed positive rate — the calibration readout
+    ("when the model says 0.8, does it happen 80% of the time"), plus
+    the signed gap.  Out-of-range scores fail LOUDLY (assert on the
+    scan — a probability outside [0, 1] is an upstream bug, not a
+    bin); NULL score or label rows are EXCLUDED.
+
+    Determinism: bin ids are exact integer arithmetic (score 1.0 lands
+    in the top bin via the clamp); counts exact; mean_pred sums scores
+    as DECIMAL(26,16) (exact for dyadic/decimal-quantized scores — the
+    md5-uniform and rounded-probability cases; arbitrary full-precision
+    doubles stay correct, just not bit-guaranteed at extreme n) and
+    divides once; everything ROUND-6 (+0.0).
+
+    Output: (bin, n, n_pos, mean_pred6, obs_rate6, gap6).
+
+    100 TB: one narrow bin map + one map-side-combined groupBy to a
+    bins-sized relation.  No window, no join.
+    """
+    if int(bins) < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    s, y = F.col(score_col), F.col(label_col)
+    d = df.filter(s.isNotNull() & y.isNotNull()).filter(
+        F.assert_true(
+            s.between(0.0, 1.0),
+            F.lit(
+                f"calibration_bins: {score_col} must lie in [0, 1] — "
+                "scores are probabilities here"
+            ),
+        ).isNull()
+    )
+    b = F.least(
+        F.lit(int(bins) - 1),
+        F.floor(s * int(bins)).cast("int"),
+    ).cast("bigint")
+    g = (
+        d.select(b.alias("bin"), s.alias("__s"), y.cast("boolean").alias("__y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("__y"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pos"),
+            F.sum(F.col("__s").cast("decimal(26,16)"))
+            .cast("double")
+            .alias("__ss"),
+        )
+    )
+    mean_pred = F.round(F.col("__ss") / F.col("n").cast("double"), 6) + F.lit(
+        0.0
+    )
+    obs = F.round(
+        F.col("n_pos").cast("double") / F.col("n").cast("double"), 6
+    ) + F.lit(0.0)
+    return g.select(
+        "bin",
+        "n",
+        "n_pos",
+        mean_pred.alias("mean_pred6"),
+        obs.alias("obs_rate6"),
+        (F.round(obs - mean_pred, 6) + F.lit(0.0)).alias("gap6"),
+    )
+
+
+def uplift_deciles(
+    df: DataFrame,
+    treated_col: str,
+    outcome_col: str,
+    score_col: str,
+    tiebreak_cols: list[str] | None = None,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Qini/uplift readout by score decile: order the population by
+    uplift score (best first), cut into ``n_buckets`` equal-count
+    buckets, and report per CUMULATIVE prefix the treated/control
+    response rates and the Qini value
+
+        qini(k) = Y₊ᵗ(k) − Y₊ᶜ(k) · Nᵗ(k)/Nᶜ(k)
+
+    (incremental conversions among the top-k, the curve whose area is
+    AUUC) — the standard targeting readout for an uplift model.
+
+    Determinism: bucket = ceil(B·row_number/n) over (score DESC,
+    ``tiebreak_cols``) — tie-broken EXPLICITLY; score ties without a
+    tiebreak would make bucket boundaries row-order dependent, so
+    tiebreak_cols is REQUIRED unless scores are guaranteed distinct
+    (pass [] consciously for that contract).  ``treated_col`` and
+    ``outcome_col`` boolean; NULL treated/outcome/score rows EXCLUDED.
+    Empty control prefix reads NULL qini for that prefix.
+
+    Output: (bucket, n, n_t, n_c, y_t, y_c, rate_t6, rate_c6, qini6) —
+    all columns CUMULATIVE through the bucket.
+
+    100 TB: one global sort (single-model readout, the roc_auc
+    contract) into a row_number, one bucket groupBy, one running-sum
+    window over the B-sized bucket relation.
+    """
+    if tiebreak_cols is None:
+        raise ValueError(
+            "uplift_deciles: pass tiebreak_cols (unique id columns) — "
+            "or [] to assert scores are distinct"
+        )
+    if int(n_buckets) < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    t, y, s = F.col(treated_col), F.col(outcome_col), F.col(score_col)
+    d = df.filter(t.isNotNull() & y.isNotNull() & s.isNotNull()).select(
+        t.cast("boolean").alias("__t"),
+        y.cast("boolean").alias("__y"),
+        s.alias("__s"),
+        *tiebreak_cols,
+    )
+    order = [F.col("__s").desc()] + [F.col(c).asc() for c in tiebreak_cols]
+    w = Window.orderBy(*order)
+    ranked = d.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    bucket = F.ceil(
+        F.lit(int(n_buckets)) * F.col("__rn") / F.col("__n")
+    ).cast("bigint")
+    per = (
+        ranked.select(bucket.alias("bucket"), "__t", "__y")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("__bn"),
+            F.sum(F.when(F.col("__t"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("__bnt"),
+            F.sum(F.when(F.col("__t") & F.col("__y"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("__byt"),
+            F.sum(F.when(~F.col("__t") & F.col("__y"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("__byc"),
+        )
+    )
+    wc = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per.select(
+        "bucket",
+        F.sum("__bn").over(wc).cast("bigint").alias("n"),
+        F.sum("__bnt").over(wc).cast("bigint").alias("n_t"),
+        (F.sum("__bn").over(wc) - F.sum("__bnt").over(wc))
+        .cast("bigint")
+        .alias("n_c"),
+        F.sum("__byt").over(wc).cast("bigint").alias("y_t"),
+        F.sum("__byc").over(wc).cast("bigint").alias("y_c"),
+    )
+    rt = F.when(
+        F.col("n_t") > 0,
+        F.round(F.col("y_t").cast("double") / F.col("n_t"), 6) + F.lit(0.0),
+    )
+    rc = F.when(
+        F.col("n_c") > 0,
+        F.round(F.col("y_c").cast("double") / F.col("n_c"), 6) + F.lit(0.0),
+    )
+    qini = F.when(
+        F.col("n_c") > 0,
+        F.round(
+            F.col("y_t").cast("double")
+            - F.col("y_c").cast("double")
+            * F.col("n_t").cast("double")
+            / F.col("n_c").cast("double"),
+            6,
+        )
+        + F.lit(0.0),
+    )
+    return cum.select(
+        "bucket", "n", "n_t", "n_c", "y_t", "y_c",
+        rt.alias("rate_t6"), rc.alias("rate_c6"), qini.alias("qini6"),
+    )

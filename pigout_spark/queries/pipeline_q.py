@@ -4266,3 +4266,188 @@ def x_robust_scale(spark, sf_dir):
         F.col("o_totalprice").alias("value"),
     )
     return robust_scale(o, "value", ["pri"])
+
+
+# --- r9 additions: model-evaluation family (pipeline/evaluation.py;
+# --- r10 rotation queue).  Scores are md5-derived 6-decimal rationals
+# --- (k % 1e6 / 1e6): both engines parse/compute the identical double,
+# --- so bins, comparisons, and decimal sums hash bit-identically. ---
+_U6 = (
+    "(('0x' || substring(md5({seed} || '|' ||"
+    " coalesce(CAST({col} AS VARCHAR), chr(0))), 1, 8))::BIGINT"
+    " % 1000000) / 1000000.0"
+)
+
+
+def _u6_col(seed: str, col):
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit(seed),
+                        F.coalesce(col.cast("string"), F.lit("\x00")),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    ) / 1000000.0
+
+
+@query(
+    "x_roc_auc",
+    extra=True,  # r9 addition — r10 rotation candidate
+    sql="""
+    WITH d AS (
+      SELECT o_orderpriority LIKE '1%' AS y, o_totalprice AS s
+      FROM orders
+      WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+    ), r AS (
+      SELECT y,
+        CAST(2 * rank() OVER (ORDER BY s)
+             + count(*) OVER (PARTITION BY s) - 1 AS BIGINT) AS r2
+      FROM d
+    ), a AS (
+      SELECT CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+             CAST(SUM(CASE WHEN y THEN CAST(r2 AS DECIMAL(38,0))
+                           ELSE 0 END) AS DOUBLE) AS sr2
+      FROM r
+    )
+    SELECT n_pos, n_neg,
+      CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        ROUND((sr2 / 2.0 - n_pos * (n_pos + 1.0) / 2.0)
+              / (CAST(n_pos AS DOUBLE) * n_neg), 6) + 0.0
+      END AS auc6
+    FROM a
+    """,
+)
+def x_roc_auc(spark, sf_dir):
+    """Exact ROC-AUC of total price as a predictor of urgent priority
+    (pipeline/evaluation.py:roc_auc) — the Mann–Whitney rank-sum
+    identity with tie ½-credit; no curve materialization, no
+    threshold sweep."""
+    from pigout_spark.pipeline.evaluation import roc_auc
+
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+    )
+    return roc_auc(
+        o.withColumn("y", F.col("o_orderpriority").startswith("1")),
+        "y",
+        "o_totalprice",
+    )
+
+
+@query(
+    "x_calibration",
+    extra=True,  # r9 addition — r10 rotation candidate
+    sql=f"""
+    WITH d AS (
+      SELECT {_U6.format(seed="'cal'", col="doc_id")} AS s,
+             {_U6.format(seed="'lab'", col="doc_id")}
+               < {_U6.format(seed="'cal'", col="doc_id")} AS y
+      FROM documents
+    ), g AS (
+      SELECT LEAST(9, CAST(floor(s * 10) AS INT)) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             CAST(SUM(CAST(s AS DECIMAL(26,16))) AS DOUBLE) AS ss
+      FROM d GROUP BY 1
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
+           ROUND(ss / n, 6) + 0.0 AS mean_pred6,
+           ROUND(CAST(n_pos AS DOUBLE) / n, 6) + 0.0 AS obs_rate6,
+           ROUND((ROUND(CAST(n_pos AS DOUBLE) / n, 6) + 0.0)
+                 - (ROUND(ss / n, 6) + 0.0), 6) + 0.0 AS gap6
+    FROM g
+    """,
+)
+def x_calibration(spark, sf_dir):
+    """Reliability-diagram bins for a perfectly-calibrated synthetic
+    scorer (label ~ Bernoulli(score) via two independent md5 uniforms —
+    observed rate tracks mean prediction by construction)
+    (pipeline/evaluation.py:calibration_bins)."""
+    from pigout_spark.pipeline.evaluation import calibration_bins
+
+    d = t(spark, sf_dir, "documents").select(
+        _u6_col("cal", F.col("doc_id")).alias("s"),
+        (
+            _u6_col("lab", F.col("doc_id"))
+            < _u6_col("cal", F.col("doc_id"))
+        ).alias("y"),
+    )
+    return calibration_bins(d, "s", "y", bins=10)
+
+
+@query(
+    "x_uplift",
+    extra=True,  # r9 addition — r10 rotation candidate
+    sql=f"""
+    WITH d AS (
+      SELECT {_U6.format(seed="'upl'", col="user_id")} < 0.5 AS tr,
+             event_type = 'purchase' AS y,
+             {_U6.format(seed="'sc'", col="event_id")} AS s,
+             event_id
+      FROM events
+      WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+    ), r AS (
+      SELECT tr, y,
+             row_number() OVER (ORDER BY s DESC, event_id) AS rn,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n
+      FROM d
+    ), per AS (
+      SELECT CAST(ceil(10.0 * rn / n) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS bn,
+             CAST(SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS bnt,
+             CAST(SUM(CASE WHEN tr AND y THEN 1 ELSE 0 END) AS BIGINT)
+               AS byt,
+             CAST(SUM(CASE WHEN (NOT tr) AND y THEN 1 ELSE 0 END)
+                  AS BIGINT) AS byc
+      FROM r GROUP BY 1
+    ), cum AS (
+      SELECT bucket,
+        CAST(SUM(bn) OVER w AS BIGINT) AS n,
+        CAST(SUM(bnt) OVER w AS BIGINT) AS n_t,
+        CAST(SUM(bn) OVER w - SUM(bnt) OVER w AS BIGINT) AS n_c,
+        CAST(SUM(byt) OVER w AS BIGINT) AS y_t,
+        CAST(SUM(byc) OVER w AS BIGINT) AS y_c
+      FROM per
+      WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT bucket, n, n_t, n_c, y_t, y_c,
+      CASE WHEN n_t > 0 THEN
+        ROUND(CAST(y_t AS DOUBLE) / n_t, 6) + 0.0 END AS rate_t6,
+      CASE WHEN n_c > 0 THEN
+        ROUND(CAST(y_c AS DOUBLE) / n_c, 6) + 0.0 END AS rate_c6,
+      CASE WHEN n_c > 0 THEN
+        ROUND(CAST(y_t AS DOUBLE)
+              - CAST(y_c AS DOUBLE) * n_t / n_c, 6) + 0.0 END AS qini6
+    FROM cum
+    """,
+)
+def x_uplift(spark, sf_dir):
+    """Cumulative Qini/uplift by score decile — md5-assigned treatment,
+    purchase outcome, md5-uniform targeting score, event_id tiebreak
+    (pipeline/evaluation.py:uplift_deciles)."""
+    from pigout_spark.pipeline.evaluation import uplift_deciles
+
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    d = e.select(
+        (_u6_col("upl", F.col("user_id")) < 0.5).alias("tr"),
+        (F.col("event_type") == "purchase").alias("y"),
+        _u6_col("sc", F.col("event_id")).alias("s"),
+        "event_id",
+    )
+    return uplift_deciles(
+        d, "tr", "y", "s", tiebreak_cols=["event_id"], n_buckets=10
+    )

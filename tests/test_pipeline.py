@@ -3140,3 +3140,79 @@ def test_robust_scale_median_iqr(spark):
     assert by[("k", 5.0)] == 1.0 and by[("k", 4.0)] == 0.5
     assert by[("c", 7.0)] is None  # zero IQR
     assert by[("k", None)] is None
+
+
+def test_roc_auc_hand_checked(spark):
+    """Perfect separation → 1; inverted → 0; random-ish interleave and
+    the tie ½-credit verified against the trapezoid answer; one empty
+    class → NULL."""
+    from pigout_spark.pipeline.evaluation import roc_auc
+
+    perfect = spark.createDataFrame(
+        [(True, 0.9), (True, 0.8), (False, 0.2), (False, 0.1)],
+        "y boolean, s double",
+    )
+    assert roc_auc(perfect, "y", "s").first().auc6 == 1.0
+    inverted = spark.createDataFrame(
+        [(True, 0.1), (False, 0.9)], "y boolean, s double"
+    )
+    assert roc_auc(inverted, "y", "s").first().auc6 == 0.0
+    # pos at .9/.4, neg at .6/.4: pairs (.9>.6)=1, (.9>.4)=1,
+    # (.4<.6)=0, (.4=.4)=.5 → AUC = 2.5/4
+    tied = spark.createDataFrame(
+        [(True, 0.9), (True, 0.4), (False, 0.6), (False, 0.4)],
+        "y boolean, s double",
+    )
+    assert roc_auc(tied, "y", "s").first().auc6 == 0.625
+    solo = spark.createDataFrame([(True, 0.5)], "y boolean, s double")
+    r = roc_auc(solo, "y", "s").first()
+    assert r.n_neg == 0 and r.auc6 is None
+
+
+def test_calibration_bins_hand_checked(spark):
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    from pigout_spark.pipeline.evaluation import calibration_bins
+
+    rows = [(0.05, False), (0.05, False), (0.95, True), (1.0, True),
+            (0.95, False), (None, True), (0.5, None)]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    got = {r.bin: r for r in calibration_bins(df, "s", "y", bins=10).collect()}
+    assert got[0].n == 2 and got[0].obs_rate6 == 0.0
+    assert got[0].mean_pred6 == 0.05
+    # score 1.0 clamps into the top bin
+    assert got[9].n == 3 and got[9].n_pos == 2
+    assert got[9].gap6 == round(2 / 3 - (0.95 + 1.0 + 0.95) / 3, 6)
+
+    bad = spark.createDataFrame([(1.5, True)], "s double, y boolean")
+    with _pytest.raises(SparkRuntimeException, match="must lie"):
+        calibration_bins(bad, "s", "y").collect()
+
+
+def test_uplift_deciles_hand_checked(spark):
+    """2 buckets over 4 rows: top half converts only when treated →
+    qini(1) = 1 − 0·1/1 = 1; full population treated 2/2 converts,
+    control 1/2 → qini(2) = 2 − 1·2/2 = 1; tiebreak required."""
+    import pytest as _pytest
+    from pigout_spark.pipeline.evaluation import uplift_deciles
+
+    rows = [
+        (1, True, True, 0.9),
+        (2, False, False, 0.8),
+        (3, True, True, 0.3),
+        (4, False, True, 0.2),
+    ]
+    df = spark.createDataFrame(rows, "id long, tr boolean, y boolean, s double")
+    got = {
+        r.bucket: r
+        for r in uplift_deciles(
+            df, "tr", "y", "s", tiebreak_cols=["id"], n_buckets=2
+        ).collect()
+    }
+    b1, b2 = got[1], got[2]
+    assert (b1.n, b1.n_t, b1.n_c, b1.y_t, b1.y_c) == (2, 1, 1, 1, 0)
+    assert b1.qini6 == 1.0
+    assert (b2.n, b2.y_t, b2.y_c) == (4, 2, 1)
+    assert b2.qini6 == 1.0
+    with _pytest.raises(ValueError, match="tiebreak"):
+        uplift_deciles(df, "tr", "y", "s")
