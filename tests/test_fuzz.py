@@ -91,6 +91,7 @@ def _r9_cases():
     markers = {
         "spearman": "rho6", "mw": "z6", "bhfdr": "reject",
         "tenc": "target_enc", "rscale": "value_rs",
+        "auc": "auc6", "calib": "mean_pred6", "uplift": "qini6",
     }
     for _ in range(200):
         build, sql = gen_r9(rng)
@@ -103,10 +104,10 @@ def _r9_cases():
     return list(seen.values())
 
 
-@pytest.mark.parametrize("case", range(5))
+@pytest.mark.parametrize("case", range(8))
 def test_fuzz_r9_differential(spark, sf_dir, duck, case):
     cases = _r9_cases()
-    assert len(cases) == 5, "seeded scan did not reach every r9 kind"
+    assert len(cases) == 8, "seeded scan did not reach every r9 kind"
     build, sql = cases[case]
     spdf = build(spark, sf_dir).toPandas()
     opdf = duck.execute(sql).df()

@@ -413,3 +413,16 @@ def test_r9_stats_and_features_plans(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "x_item_cf")
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_evaluation_family_plans(spark, sf_dir):
+    """Evaluation ops: calibration is a bins-sized groupBy with a
+    map-side partial (no window, no join); ROC-AUC and uplift use the
+    documented single-model global windows but never a cartesian."""
+    plan = plan_of(spark, sf_dir, "x_calibration")
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+    for name in ("x_roc_auc", "x_uplift"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan

@@ -3349,12 +3349,153 @@ def gen_r9(rng: random.Random):
     """Differential-fuzz the round-9 operators: Spearman (tie-heavy
     rank correlation), Mann-Whitney U (tie-corrected z, empty groups),
     BH-FDR (tie-collapsing q-values), target encoding (LOO/plain,
-    NULL keys and targets), robust scaling (zero-IQR keys)."""
-    kind = rng.choice(["spearman", "mw", "bhfdr", "tenc", "rscale"])
+    NULL keys and targets), robust scaling (zero-IQR keys), ROC-AUC
+    (tie half-credit), calibration bins, cumulative Qini deciles."""
+    kind = rng.choice(
+        ["spearman", "mw", "bhfdr", "tenc", "rscale",
+         "auc", "calib", "uplift"]
+    )
     return {
         "spearman": _gen_spearman,
         "mw": _gen_mw,
         "bhfdr": _gen_bhfdr,
         "tenc": _gen_tenc,
         "rscale": _gen_rscale,
+        "auc": _gen_auc,
+        "calib": _gen_calib,
+        "uplift": _gen_uplift,
     }[kind](rng)
+
+
+def _gen_auc(rng: random.Random):
+    """ROC-AUC over random tie-heavy score grids, incl. one-class
+    inputs (NULL auc)."""
+    n = rng.randint(1, 50)
+    p_pos = rng.choice([0.0, 0.3, 0.5, 1.0])
+    rows = [
+        (rng.random() < p_pos, float(rng.randint(0, 8)))
+        for _ in range(n)
+    ]
+    vals = ", ".join(f"({str(y).upper()}, {repr(s)})" for y, s in rows)
+    sql = f"""
+    WITH d AS (SELECT * FROM (VALUES {vals}) t(y, s)),
+    r AS (SELECT y,
+        CAST(2 * rank() OVER (ORDER BY s)
+             + count(*) OVER (PARTITION BY s) - 1 AS BIGINT) AS r2
+      FROM d),
+    a AS (SELECT CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+            CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
+            CAST(SUM(CASE WHEN y THEN CAST(r2 AS DECIMAL(38,0))
+                          ELSE 0 END) AS DOUBLE) AS sr2
+          FROM r)
+    SELECT n_pos, n_neg,
+      CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        ROUND((sr2 / 2.0 - n_pos * (n_pos + 1.0) / 2.0)
+              / (CAST(n_pos AS DOUBLE) * n_neg), 6) + 0.0
+      END AS auc6
+    FROM a
+    """
+
+    def build(spark, sf_dir, rows=rows):
+        from pigout_spark.pipeline.evaluation import roc_auc
+
+        df = spark.createDataFrame(rows, "y boolean, s double")
+        return roc_auc(df, "y", "s")
+
+    return build, sql
+
+
+def _gen_calib(rng: random.Random):
+    """Calibration bins over random quantized scores (k/20 grid —
+    exactly representable comparisons) and random labels."""
+    n = rng.randint(1, 60)
+    bins = rng.choice([4, 10])
+    rows = [
+        (rng.randint(0, 20) / 20.0, rng.random() < 0.4) for _ in range(n)
+    ]
+    vals = ", ".join(f"({repr(s)}, {str(y).upper()})" for s, y in rows)
+    sql = f"""
+    WITH d AS (SELECT * FROM (VALUES {vals}) t(s, y)),
+    g AS (SELECT LEAST({bins} - 1, CAST(floor(s * {bins}) AS INT)) AS bin,
+            CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+            CAST(SUM(CAST(s AS DECIMAL(26,16))) AS DOUBLE) AS ss
+          FROM d GROUP BY 1)
+    SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
+           ROUND(ss / n, 6) + 0.0 AS mean_pred6,
+           ROUND(CAST(n_pos AS DOUBLE) / n, 6) + 0.0 AS obs_rate6,
+           ROUND((ROUND(CAST(n_pos AS DOUBLE) / n, 6) + 0.0)
+                 - (ROUND(ss / n, 6) + 0.0), 6) + 0.0 AS gap6
+    FROM g
+    """
+
+    def build(spark, sf_dir, rows=rows, bins=bins):
+        from pigout_spark.pipeline.evaluation import calibration_bins
+
+        df = spark.createDataFrame(rows, "s double, y boolean")
+        return calibration_bins(df, "s", "y", bins=bins)
+
+    return build, sql
+
+
+def _gen_uplift(rng: random.Random):
+    """Cumulative Qini deciles over random treatment/outcome/score
+    rows with explicit id tiebreaks; random bucket counts."""
+    n = rng.randint(1, 60)
+    nb = rng.choice([2, 4, 10])
+    rows = [
+        (
+            i,
+            rng.random() < 0.5,
+            rng.random() < 0.3,
+            rng.randint(0, 10) / 10.0,
+        )
+        for i in range(n)
+    ]
+    vals = ", ".join(
+        f"({i}, {str(t).upper()}, {str(y).upper()}, {repr(s)})"
+        for i, t, y, s in rows
+    )
+    sql = f"""
+    WITH d AS (SELECT * FROM (VALUES {vals}) t(id, tr, y, s)),
+    r AS (SELECT tr, y,
+            row_number() OVER (ORDER BY s DESC, id) AS rn,
+            CAST(COUNT(*) OVER () AS BIGINT) AS n
+          FROM d),
+    per AS (SELECT CAST(ceil({nb}.0 * rn / n) AS BIGINT) AS bucket,
+            CAST(COUNT(*) AS BIGINT) AS bn,
+            CAST(SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS bnt,
+            CAST(SUM(CASE WHEN tr AND y THEN 1 ELSE 0 END) AS BIGINT)
+              AS byt,
+            CAST(SUM(CASE WHEN (NOT tr) AND y THEN 1 ELSE 0 END)
+                 AS BIGINT) AS byc
+          FROM r GROUP BY 1),
+    cum AS (SELECT bucket,
+        CAST(SUM(bn) OVER w AS BIGINT) AS n,
+        CAST(SUM(bnt) OVER w AS BIGINT) AS n_t,
+        CAST(SUM(bn) OVER w - SUM(bnt) OVER w AS BIGINT) AS n_c,
+        CAST(SUM(byt) OVER w AS BIGINT) AS y_t,
+        CAST(SUM(byc) OVER w AS BIGINT) AS y_c
+      FROM per WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING))
+    SELECT bucket, n, n_t, n_c, y_t, y_c,
+      CASE WHEN n_t > 0 THEN
+        ROUND(CAST(y_t AS DOUBLE) / n_t, 6) + 0.0 END AS rate_t6,
+      CASE WHEN n_c > 0 THEN
+        ROUND(CAST(y_c AS DOUBLE) / n_c, 6) + 0.0 END AS rate_c6,
+      CASE WHEN n_c > 0 THEN
+        ROUND(CAST(y_t AS DOUBLE)
+              - CAST(y_c AS DOUBLE) * n_t / n_c, 6) + 0.0 END AS qini6
+    FROM cum
+    """
+
+    def build(spark, sf_dir, rows=rows, nb=nb):
+        from pigout_spark.pipeline.evaluation import uplift_deciles
+
+        df = spark.createDataFrame(
+            rows, "id long, tr boolean, y boolean, s double"
+        )
+        return uplift_deciles(
+            df, "tr", "y", "s", tiebreak_cols=["id"], n_buckets=nb
+        )
+
+    return build, sql
