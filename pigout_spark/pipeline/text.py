@@ -1396,3 +1396,77 @@ def normalize_text(
         return s.map(one)
 
     return df.withColumn("text_norm", _norm(F.col(text_col)))
+
+
+#: tracking parameters stripped by url_normalize — the industry-common
+#: set (Google/Facebook/Microsoft click ids + utm_* campaign tags).
+URL_TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$)"
+
+
+def url_normalize(
+    df: DataFrame,
+    url_col: str,
+    out: str = "url_norm",
+) -> DataFrame:
+    """Canonicalize URLs for web-corpus dedup — the step before
+    exact-dedup by URL that collapses the crawl's cosmetic variants:
+
+    - fragment dropped (``#…`` never reaches the server);
+    - scheme and host lowercased (case-insensitive per RFC 3986);
+    - default ports stripped (``:80`` for http, ``:443`` for https);
+    - tracking params removed (:data:`URL_TRACKING_PARAM_RE` — utm_*,
+      fbclid, gclid, msclkid, ref), remaining query params SORTED
+      (param order is almost never semantic; sorting canonicalizes
+      ``?a=1&b=2`` vs ``?b=2&a=1``), empty query dropped;
+    - trailing slash stripped from non-root paths (``/docs/`` ≡
+      ``/docs`` for every mainstream server; the root ``/`` stays).
+
+    Path case and percent-encoding are NOT touched (both can be
+    semantic).  NULL or scheme-less inputs read NULL — a relative URL
+    has no canonical absolute form without a base.
+
+    Output: input columns + ``out``.  100 TB: one narrow map — pure
+    regexp/array arithmetic, no UDF, no shuffle.
+    """
+    u = F.col(url_col)
+    pre = {
+        "__sch": F.lower(
+            F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
+        ),
+        "__hp": F.lower(F.regexp_extract(u, r"^[^:/?#]+://([^/?#]*)", 1)),
+        "__pth": F.regexp_extract(u, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1),
+        "__q": F.regexp_extract(u, r"\?([^#]*)", 1),
+    }
+    d = df.withColumns(pre)
+    hp, pth = F.col("__hp"), F.col("__pth")
+    host = (
+        F.when(
+            (F.col("__sch") == "http") & hp.endswith(":80"),
+            F.substring(hp, 1, F.length(hp) - 3),
+        )
+        .when(
+            (F.col("__sch") == "https") & hp.endswith(":443"),
+            F.substring(hp, 1, F.length(hp) - 4),
+        )
+        .otherwise(hp)
+    )
+    path = F.when(pth == "", F.lit("/")).otherwise(pth)
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        F.substring(path, 1, F.length(path) - 1),
+    ).otherwise(path)
+    params = F.filter(
+        F.split(F.col("__q"), "&"),
+        lambda p: (p != "") & ~p.rlike(URL_TRACKING_PARAM_RE),
+    )
+    qnorm = F.array_join(F.array_sort(params), "&")
+    norm = F.concat(
+        F.col("__sch"),
+        F.lit("://"),
+        host,
+        path,
+        F.when(qnorm != "", F.concat(F.lit("?"), qnorm)).otherwise(F.lit("")),
+    )
+    return d.withColumn(
+        out, F.when(u.isNotNull() & (F.col("__sch") != ""), norm)
+    ).drop("__sch", "__hp", "__pth", "__q")

@@ -4451,3 +4451,83 @@ def x_uplift(spark, sf_dir):
     return uplift_deciles(
         d, "tr", "y", "s", tiebreak_cols=["event_id"], n_buckets=10
     )
+
+
+@query(
+    "x_url_normalize",
+    extra=True,  # r9 addition — r10 rotation candidate
+    sql="""
+    WITH u AS (
+      SELECT CASE doc_id % 4
+        WHEN 0 THEN 'https://example.com/p/' || (doc_id % 500)
+        WHEN 1 THEN 'HTTPS://EXAMPLE.COM:443/p/' || (doc_id % 500) || '/'
+        WHEN 2 THEN 'https://example.com/p/' || (doc_id % 500)
+                    || '?utm_source=x&z=1#f'
+        ELSE 'https://example.com/p/' || (doc_id % 500)
+             || '?z=1&utm_campaign=c'
+      END AS url
+      FROM documents
+    ), n AS (
+      SELECT url,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+          AS sch,
+        lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)) AS hp,
+        regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS pth,
+        regexp_extract(url, '\\?([^#]*)', 1) AS q
+      FROM u
+    ), n2 AS (
+      SELECT sch,
+        CASE WHEN sch = 'http' AND hp LIKE '%:80'
+               THEN substring(hp, 1, length(hp) - 3)
+             WHEN sch = 'https' AND hp LIKE '%:443'
+               THEN substring(hp, 1, length(hp) - 4)
+             ELSE hp END AS host,
+        CASE WHEN pth = '' THEN '/' ELSE pth END AS p1, q
+      FROM n
+    ), n3 AS (
+      SELECT sch, host,
+        CASE WHEN length(p1) > 1 AND p1 LIKE '%/'
+             THEN substring(p1, 1, length(p1) - 1) ELSE p1 END AS path,
+        array_to_string(list_sort(list_filter(string_split(q, '&'),
+          x -> x <> '' AND NOT regexp_matches(x,
+            '^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$)'))), '&') AS qn
+      FROM n2
+    )
+    SELECT sch || '://' || host || path
+           || CASE WHEN qn <> '' THEN '?' || qn ELSE '' END AS url_norm,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM n3 GROUP BY 1
+    """,
+)
+def x_url_normalize(spark, sf_dir):
+    """URL canonicalization → exact dedup by canonical URL — the
+    web-corpus pre-dedup step (pipeline/text.py:url_normalize).  Four
+    cosmetic variants per synthetic page (case, default port, trailing
+    slash, tracking params, fragments, param order) must collapse so
+    counts group correctly; the oracle replays every normalization rule
+    in DuckDB's own regexp/list functions."""
+    from pigout_spark.pipeline.text import url_normalize
+
+    d = t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 500).cast("string")
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://example.com/p/"), k))
+        .when(
+            v == 1,
+            F.concat(F.lit("HTTPS://EXAMPLE.COM:443/p/"), k, F.lit("/")),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("https://example.com/p/"), k, F.lit("?utm_source=x&z=1#f")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://example.com/p/"), k, F.lit("?z=1&utm_campaign=c")
+            )
+        )
+    )
+    u = url_normalize(d.select(url.alias("url")), "url")
+    return u.groupBy("url_norm").agg(F.count(F.lit(1)).alias("n"))

@@ -3216,3 +3216,30 @@ def test_uplift_deciles_hand_checked(spark):
     assert b2.qini6 == 1.0
     with _pytest.raises(ValueError, match="tiebreak"):
         uplift_deciles(df, "tr", "y", "s")
+
+
+def test_url_normalize_rules(spark):
+    """Every canonicalization rule hand-checked: fragment, case,
+    default ports (kept when non-default), tracking params, param
+    sorting, empty-query drop, trailing slash (root kept), scheme-less
+    → NULL."""
+    from pigout_spark.pipeline.text import url_normalize
+
+    cases = {
+        "https://Example.COM:443/docs/?utm_source=x&b=2&a=1#frag":
+            "https://example.com/docs?a=1&b=2",
+        "http://example.com:80/": "http://example.com/",
+        "http://example.com:8080/x": "http://example.com:8080/x",
+        "http://example.com": "http://example.com/",
+        "https://example.com/a/?fbclid=1": "https://example.com/a",
+        "https://example.com/path?ref=abc&z=9":
+            "https://example.com/path?z=9",
+        "https://example.com/p?refresh=1":
+            "https://example.com/p?refresh=1",  # 'ref' must not prefix-match
+        "not-a-url": None,
+        "/relative/path": None,
+    }
+    df = spark.createDataFrame([(u,) for u in cases], ["url"])
+    got = {r.url: r.url_norm for r in url_normalize(df, "url").collect()}
+    for u, want in cases.items():
+        assert got[u] == want, (u, got[u], want)
