@@ -1284,3 +1284,27 @@ def test_etl_compat_example_script(pig, spark, sf_dir):
     }
     assert got == want and set(got) == {"big", "mid", "small"}
     assert pig.df("big_only").count() == 1
+
+
+def test_script_round3_builtins_end_to_end(pig):
+    """A Pig script using the r9 builtins end-to-end: STRSPLITTOBAG +
+    FLATTEN (bag form), REGEX_EXTRACT_ALL group projection with the
+    anchored-match NULL filter, and UniqueID() per record."""
+    pig.execute(
+        """
+        c = LOAD 'customer';
+        m = FOREACH c GENERATE c_custkey,
+              REGEX_EXTRACT_ALL(c_name, '([A-Za-z]+)#([0-9]+)') AS g,
+              UniqueID() AS uid;
+        hit = FILTER m BY g IS NOT NULL;
+        toks = FOREACH c GENERATE c_custkey,
+              FLATTEN(STRSPLITTOBAG(c_name, '#')) AS tok;
+        """
+    )
+    n = pig.df("c").count()
+    hit = pig.df("hit")
+    assert hit.count() == n  # every fixture name matches the pattern
+    row = hit.first()
+    assert row.g.group_1 == "Customer" and row.g.group_2.isdigit()
+    assert hit.select("uid").distinct().count() == n
+    assert pig.df("toks").count() == 2 * n  # 'Customer' + digits per name
