@@ -1840,3 +1840,83 @@ def bh_fdr(
         "reject", F.col("q6") <= F.lit(float(alpha))
     )
     return out.drop("__rk_desc")
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Kruskal–Wallis H — the k-group extension of
+    :func:`mann_whitney_u` (one-way ANOVA on ranks, no normality
+    assumption): are the k groups' value distributions plausibly the
+    same?
+
+        H = [ 12/(N(N+1)) · Σ_j R_j²/n_j − 3(N+1) ] / C
+        C = 1 − Σ(t³−t)/(N³−N)          (tie correction)
+
+    with R_j the group's sum of average ranks over the combined sample.
+    Compare H to χ²(k−1) downstream (no p-value here — the engine has
+    no χ² CDF builtin and the statistic is the hash-stable part).
+
+    NULL group or value rows are EXCLUDED.  Degenerate inputs read
+    NULL h6: fewer than 2 groups, or every value tied (C = 0).
+
+    Determinism: doubled average ranks and tie counts are exact
+    integers (the spearman_corr recipe); per-group rank sums aggregate
+    as DECIMAL(38,0); H is one IEEE chain ROUND-6.
+
+    Output: ONE row (k, n, h6).
+
+    100 TB: the single-test contract of mann_whitney_u — one global
+    rank window (one experiment readout), a (value) tie groupBy, a
+    (group) rank-sum groupBy, and a 1-row readout.  For many tests,
+    fan out per key upstream and feed :func:`bh_fdr`.
+    """
+    g, v = F.col(group_col), F.col(value_col)
+    d = df.filter(g.isNotNull() & v.isNotNull()).select(
+        g.alias("__g"), v.alias("__v")
+    )
+    wr = Window.orderBy("__v")
+    wt = Window.partitionBy("__v")
+    r = d.select(
+        "__g",
+        "__v",
+        (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1)
+        .cast("bigint")
+        .alias("__r2"),
+    )
+    dec = "decimal(38,0)"
+    per_g = r.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__ng"),
+        F.sum(F.col("__r2").cast(dec)).cast("double").alias("__sr2"),
+    )
+    ties = (
+        r.groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("__t"))
+        .agg(
+            F.sum(
+                (F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t"))
+                .cast(dec)
+            )
+            .cast("double")
+            .alias("__tt")
+        )
+    )
+    s = per_g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("__ng").cast("bigint").alias("n"),
+        # Σ R_j²/n_j with R_j = sr2/2 (exact halves): one IEEE chain
+        F.sum(
+            (F.col("__sr2") / 2.0) * (F.col("__sr2") / 2.0)
+            / F.col("__ng").cast("double")
+        ).alias("__srn"),
+    ).crossJoin(F.broadcast(ties))
+    nn = F.col("n").cast("double")
+    raw = 12.0 / (nn * (nn + 1.0)) * F.col("__srn") - 3.0 * (nn + 1.0)
+    corr = 1.0 - F.col("__tt") / (nn * nn * nn - nn)
+    h = F.when(
+        (F.col("k") >= 2) & (corr > 0),
+        F.round(raw / corr, 6) + F.lit(0.0),
+    )
+    return s.select("k", "n", h.alias("h6"))

@@ -1979,3 +1979,52 @@ def x_bh_fdr(spark, sf_dir):
         ).alias("p6"),
     )
     return bh_fdr(p, "p6", alpha=0.05)
+
+
+@query(
+    "x_kruskal",
+    extra=True,  # r9 addition — r10 rotation candidate
+    sql="""
+    WITH d AS (
+      SELECT event_type AS g, value AS v
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), r AS (
+      SELECT g,
+        CAST(2 * rank() OVER (ORDER BY v)
+             + count(*) OVER (PARTITION BY v) - 1 AS BIGINT) AS r2, v
+      FROM d
+    ), pg AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(SUM(CAST(r2 AS DECIMAL(38,0))) AS DOUBLE) AS sr2
+      FROM r GROUP BY g
+    ), tt AS (
+      SELECT CAST(SUM(CAST(t * t * t - t AS DECIMAL(38,0))) AS DOUBLE)
+               AS tt
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM r GROUP BY v)
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(ng) AS BIGINT) AS n,
+             SUM((sr2 / 2.0) * (sr2 / 2.0) / CAST(ng AS DOUBLE)) AS srn
+      FROM pg
+    )
+    SELECT k, n,
+      CASE WHEN k >= 2
+                AND (1.0 - tt / (CAST(n AS DOUBLE) * n * n - n)) > 0 THEN
+        ROUND((12.0 / (CAST(n AS DOUBLE) * (n + 1.0)) * srn
+               - 3.0 * (n + 1.0))
+              / (1.0 - tt / (CAST(n AS DOUBLE) * n * n - n)), 6) + 0.0
+      END AS h6
+    FROM s, tt
+    """,
+)
+def x_kruskal(spark, sf_dir):
+    """Kruskal–Wallis H across ALL event types' value distributions
+    (pipeline/behavioral.py:kruskal_wallis) — the k-group rank test
+    completing the nonparametric family; tie-corrected, exact integer
+    rank/tie sums, one IEEE chain ROUND-6."""
+    from pigout_spark.pipeline.behavioral import kruskal_wallis
+
+    e = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    return kruskal_wallis(e, "event_type", "value")

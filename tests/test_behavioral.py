@@ -1175,3 +1175,37 @@ def test_bh_fdr_textbook(spark):
             spark.createDataFrame([("z", 1.5)], "test_id string, p double"),
             "p",
         ).collect()
+
+
+def test_kruskal_wallis_textbook(spark):
+    """Worked example (no ties): groups {1,2,3}, {4,5,6}, {7,8,9} →
+    rank sums 6/15/24, H = 12/(9·10)·(36/3+225/3+576/3) − 30 = 7.2;
+    two-group KW equals the squared Mann–Whitney z (chi² = z²);
+    single group and all-tied inputs read NULL."""
+    from pigout_spark.pipeline.behavioral import kruskal_wallis, mann_whitney_u
+
+    rows = [("a", float(v)) for v in (1, 2, 3)] + [
+        ("b", float(v)) for v in (4, 5, 6)
+    ] + [("c", float(v)) for v in (7, 8, 9)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = kruskal_wallis(df, "g", "v").first()
+    assert (r.k, r.n) == (3, 9)
+    assert r.h6 == 7.2
+
+    two = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0),
+         ("b", 4.0), ("b", 5.0), ("b", 6.0), ("b", 7.0)],
+        "g string, v double",
+    )
+    h = kruskal_wallis(two, "g", "v").first().h6
+    z = mann_whitney_u(
+        two.withColumn("t", F.col("g") == "a"), "t", "v"
+    ).first().z6
+    assert abs(h - z * z) < 1e-5
+
+    solo = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, v double")
+    assert kruskal_wallis(solo, "g", "v").first().h6 is None
+    tied = spark.createDataFrame(
+        [("a", 5.0), ("b", 5.0), ("c", 5.0)], "g string, v double"
+    )
+    assert kruskal_wallis(tied, "g", "v").first().h6 is None
