@@ -2276,8 +2276,6 @@ def gen_r7(rng: random.Random):
     return build, sql
 
 
-if __name__ == "__main__":
-    raise SystemExit(main())
 
 
 def gen_r8(rng: random.Random):
@@ -3499,3 +3497,7 @@ def _gen_uplift(rng: random.Random):
         )
 
     return build, sql
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
