@@ -141,6 +141,11 @@ assert len(_WINDOW_R8) == len(set(_WINDOW_R8)) == 50
 # settled anchors chosen so every operator family keeps a driver row
 # (sets re-enter via q08 — the one family the r8 window left to
 # history).
+# r10 rotation candidates (added after the r9 window was fixed,
+# selfcheck-green at sf0.01+sf0.1 as added but not yet driver-checked):
+# x_spearman, x_mann_whitney, x_bh_fdr, x_kruskal, x_target_enc,
+# x_feature_hash, x_robust_scale, x_autocorr, x_roc_auc, x_calibration,
+# x_uplift, x_url_normalize.
 _WINDOW_R9 = [
     "q01_group_agg",  # flagship
     # (b) the r9 queue — never driver-checked
