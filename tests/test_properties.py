@@ -558,3 +558,130 @@ def test_apply_cdc_idempotent_on_compacted_log(spark, ch):
     assert sorted((r.k, r.v) for r in once.collect()) == sorted(
         (r.k, r.v) for r in twice.collect()
     )
+
+
+@settings(max_examples=1, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 6), st.integers(0, 6)),
+        min_size=6,
+        max_size=40,
+    )
+)
+def test_spearman_properties(spark, rows):
+    """Invariance laws: rho is unchanged by any strictly monotone
+    transform of either side (rank-based), and rho(x, x) == 1 whenever
+    x varies within the key."""
+    from pigout_spark.pipeline.behavioral import spearman_corr
+
+    data = [(k, float(x), float(y)) for k, x, y in rows]
+    df = spark.createDataFrame(data, "k long, x double, y double")
+    base = {
+        r.k: r.rho6 for r in spearman_corr(df, ["k"], "x", "y").collect()
+    }
+    # strictly monotone transforms: x -> 3x+1, y -> y^3 (ints >= 0)
+    tdf = spark.createDataFrame(
+        [(k, 3.0 * x + 1.0, y ** 3) for k, x, y in data],
+        "k long, x double, y double",
+    )
+    trans = {
+        r.k: r.rho6 for r in spearman_corr(tdf, ["k"], "x", "y").collect()
+    }
+    assert base == trans
+    self_rho = {
+        r.k: r.rho6
+        for r in spearman_corr(
+            df.withColumn("y", F.col("x")), ["k"], "x", "y"
+        ).collect()
+    }
+    for k, rho in self_rho.items():
+        xs = {x for kk, x, _ in data if kk == k}
+        assert (rho == 1.0) if len(xs) > 1 else (rho is None)
+
+
+@settings(max_examples=1, deadline=None)
+@given(
+    st.lists(st.integers(0, 100), min_size=1, max_size=30),
+)
+def test_bh_fdr_properties(spark, ps_raw):
+    """BH laws: q >= p everywhere, q is monotone in p (sorted by p the
+    q sequence is non-decreasing), q <= 1, and the largest p has
+    q == min(1, p) when it is the max rank."""
+    from pigout_spark.pipeline.behavioral import bh_fdr
+
+    rows = [(i, p / 100.0) for i, p in enumerate(ps_raw)]
+    df = spark.createDataFrame(rows, "id long, p double")
+    got = bh_fdr(df, "p").collect()
+    by_p = sorted(got, key=lambda r: (r.p, r.id))
+    assert all(r.q6 <= 1.0 for r in got)
+    assert all(r.q6 >= round(r.p, 6) or abs(r.q6 - r.p) < 1e-9 for r in got)
+    qs = [r.q6 for r in by_p]
+    assert all(a <= b + 1e-9 for a, b in zip(qs, qs[1:]))
+    assert qs[-1] == round(min(1.0, by_p[-1].p), 6)
+
+
+@settings(max_examples=1, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 50)),
+        min_size=5,
+        max_size=40,
+    )
+)
+def test_robust_scale_equivariance(spark, rows):
+    """Shift/scale equivariance: scaling x -> a·x + b (a > 0) leaves
+    the robustly-scaled value unchanged (median and IQR transform
+    together)."""
+    from pigout_spark.pipeline.features import robust_scale
+
+    data = [(k, float(v)) for k, v in rows]
+    df = spark.createDataFrame(data, "g long, v double")
+    base = {
+        (r.g, r.v): r.value_rs
+        for r in robust_scale(df, "v", ["g"]).collect()
+    }
+    a, b = 2.5, -7.0
+    tdf = spark.createDataFrame(
+        [(k, a * v + b) for k, v in data], "g long, v double"
+    )
+    trans = {
+        (r.g, round((r.v - b) / a, 9)): r.value_rs
+        for r in robust_scale(tdf, "v", ["g"]).collect()
+    }
+    for (g, v), rs in base.items():
+        tv = trans[(g, round(v, 9))]
+        if rs is None:
+            assert tv is None
+        else:
+            assert abs(tv - rs) <= 2e-6  # two ROUND-6 boundaries
+
+
+@settings(max_examples=1, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.booleans(), st.integers(0, 8)),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_roc_auc_properties(spark, rows):
+    """AUC laws: complement symmetry auc(y, s) == 1 − auc(¬y, s)
+    (equivalently label flip), bounded in [0, 1], and invariant under
+    strictly monotone score transforms."""
+    from pigout_spark.pipeline.evaluation import roc_auc
+
+    data = [(y, float(s)) for y, s in rows]
+    df = spark.createDataFrame(data, "y boolean, s double")
+    a = roc_auc(df, "y", "s").first()
+    flipped = roc_auc(
+        df.withColumn("y", ~F.col("y")), "y", "s"
+    ).first()
+    if a.auc6 is None:
+        assert a.n_pos == 0 or a.n_neg == 0
+    else:
+        assert 0.0 <= a.auc6 <= 1.0
+        assert abs(a.auc6 + flipped.auc6 - 1.0) <= 2e-6
+        mono = roc_auc(
+            df.withColumn("s", F.col("s") * 10 + 3), "y", "s"
+        ).first()
+        assert mono.auc6 == a.auc6
