@@ -116,13 +116,15 @@ def EQUALS_IGNORE_CASE(a: Column | str, b: Column | str) -> Column:
 
 
 def _java_split(c: Column, pattern: str, limit: int) -> Column:
-    """Java ``String.split`` semantics (what Pig wraps).  Spark's split
-    treats limit<=0 uniformly as keep-everything, but Java's limit 0
-    DROPS trailing empty tokens (D4).  Replicated by trimming trailing
-    separator runs before the split, with Java's two corner cases:
-    ``""`` → [""] (the no-match whole-string return) and an
+    """Java ``String.split`` semantics (what Pig wraps).  Only
+    limit == 0 differs between the engines: Java drops TRAILING empty
+    tokens there, Spark keeps them (D4).  Positive limits match
+    exactly, and NEGATIVE limits keep trailing empties in BOTH (so the
+    trim must not apply — r9 self-review).  Limit-0 emulation: trim
+    trailing separator runs before the split, with Java's two corner
+    cases: ``""`` → [""] (the no-match whole-string return) and an
     all-separators input → [] (every token was a trailing empty)."""
-    if limit > 0:
+    if limit != 0:
         return F.split(c, pattern, limit)
     trimmed = F.regexp_replace(c, f"(?:{pattern})+$", "")
     return (

@@ -163,12 +163,13 @@ def _regex_extract_all_sql(a: list[str]) -> str:
 
 def _java_split_sql(a: list[str]) -> str:
     """SQL twin of strings._java_split: Pig STRSPLIT/STRSPLITTOBAG wrap
-    Java String.split, whose limit-0 default drops TRAILING empty tokens
-    (Spark's split keeps them for every limit<=0).  An explicit positive
-    limit passes straight through (Java keeps trailing empties then
-    too); otherwise trim trailing separator runs first, with Java's two
-    corners ('' → array('') and all-separators → array())."""
-    if len(a) == 3 and a[2].strip().isdigit() and int(a[2]) > 0:
+    Java String.split, which differs from Spark's split ONLY at
+    limit 0 (Java drops trailing empty tokens; positive AND negative
+    limits behave identically in both — r9 self-review).  Any explicit
+    non-zero limit passes straight through; the limit-0 default gets
+    the trailing-run trim, with Java's two corners ('' → array('') and
+    all-separators → array())."""
+    if len(a) == 3 and a[2].strip() != "0":
         return f"split({a[0]}, {a[1]}, {a[2]})"
     pat_sql = a[1].strip()
     if not (pat_sql.startswith("'") and pat_sql.endswith("'")):

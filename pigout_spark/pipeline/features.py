@@ -90,13 +90,17 @@ def target_encode(
         .drop(*[f"__k{i}" for i in range(len(cat_cols))])
         .crossJoin(F.broadcast(tot))
     )
+    # a category whose targets are ALL NULL sums to NULL, not 0 — it
+    # must still shrink to the prior (r9 self-review: the bare __sy
+    # NULLed the whole encoding, contradicting the contract above)
+    sy = F.coalesce(F.col("__sy"), F.lit(0.0))
     if leave_one_out:
         own = F.when(y.isNotNull(), y.cast("double")).otherwise(F.lit(0.0))
         own_n = F.when(y.isNotNull(), F.lit(1.0)).otherwise(F.lit(0.0))
-        num = F.col("__sy") - own + F.lit(m) * F.col("__prior")
+        num = sy - own + F.lit(m) * F.col("__prior")
         den = F.col("__ny") - own_n + F.lit(m)
     else:
-        num = F.col("__sy") + F.lit(m) * F.col("__prior")
+        num = sy + F.lit(m) * F.col("__prior")
         den = F.col("__ny") + F.lit(m)
     enc = F.when(den > 0, F.round(num / den, 6) + F.lit(0.0))
     return joined.withColumn(out, enc).drop("__sy", "__ny", "__prior")

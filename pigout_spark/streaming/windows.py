@@ -828,6 +828,17 @@ def autocorr(
                 "the trend_fit term_scale=0 contract"
             ),
         ).isNull()
+    ).filter(
+        # a NULL ts has no position on the grid — it would silently
+        # rank FIRST in the lag order (r9 self-review); malformed grid
+        # rows fail loudly like duplicates do
+        F.assert_true(
+            F.col(ts_col).isNotNull(),
+            F.lit(
+                "autocorr: NULL ts on a grid row — the series order is "
+                "undefined; fix the grid aggregation upstream"
+            ),
+        ).isNull()
     ).select(*keys, F.col(ts_col).alias("__ts"), v.cast("bigint").alias("__v"))
     d = d.repartition(*keys)
     dup = Window.partitionBy(*keys, "__ts")

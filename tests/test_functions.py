@@ -146,6 +146,15 @@ def test_strsplittobag_java_split_semantics(spark):
         ).collect()
     }
     assert lim["a##"] == ["a", "", ""]
+    # explicit NEGATIVE limit also keeps trailing empties (Java does;
+    # the limit-0 trim must not apply — r9 self-review)
+    neg = {
+        r.s: list(r.toks)
+        for r in df.select(
+            "s", STRSPLITTOBAG("s", "#", -1).alias("toks")
+        ).collect()
+    }
+    assert neg["a##"] == ["a", "", ""]
     # the bag's one-row-per-token form is FLATTEN/explode
     n = df.select(F.explode(STRSPLITTOBAG("s", "#")).alias("t")).count()
     assert n == 3 + 1 + 3 + 1 + 0 + 1

@@ -3243,3 +3243,25 @@ def test_url_normalize_rules(spark):
     got = {r.url: r.url_norm for r in url_normalize(df, "url").collect()}
     for u, want in cases.items():
         assert got[u] == want, (u, got[u], want)
+
+
+def test_target_encode_all_null_category_gets_prior(spark):
+    """r9 self-review regression: a category whose targets are ALL NULL
+    must shrink fully to the prior (m·ȳ/(0+m) = ȳ), not read NULL."""
+    from pigout_spark.pipeline.features import target_encode
+
+    df = spark.createDataFrame(
+        [("a", 2.0), ("a", 4.0), ("z", None), ("z", None)],
+        "k string, y double",
+    )
+    got = {
+        (r.k, r.y): r.target_enc
+        for r in target_encode(df, ["k"], "y", smoothing=5.0).collect()
+    }
+    assert got[("z", None)] == 3.0  # the global mean
+    # and with m=0 an all-NULL category has an empty denominator → NULL
+    got0 = {
+        r.k: r.target_enc
+        for r in target_encode(df, ["k"], "y", smoothing=0.0).collect()
+    }
+    assert got0["z"] is None

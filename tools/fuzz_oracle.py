@@ -3270,11 +3270,13 @@ def _gen_tenc(rng: random.Random):
     )
     own_y = "CASE WHEN y IS NOT NULL THEN y ELSE 0.0 END"
     own_n = "CASE WHEN y IS NOT NULL THEN 1.0 ELSE 0.0 END"
+    # all-NULL-target categories shrink to the prior (coalesced sum —
+    # mirrors the operator's r9 self-review fix)
     if loo:
-        num = f"(sy - {own_y} + {m!r} * prior)"
+        num = f"(coalesce(sy, 0.0) - {own_y} + {m!r} * prior)"
         den = f"(ny - {own_n} + {m!r})"
     else:
-        num = f"(sy + {m!r} * prior)"
+        num = f"(coalesce(sy, 0.0) + {m!r} * prior)"
         den = f"(ny + {m!r})"
     sql = f"""
     WITH d AS (SELECT * FROM (VALUES {vals}) t(id, k, y)),
