@@ -1422,8 +1422,11 @@ def url_normalize(
       ``/docs`` for every mainstream server; the root ``/`` stays).
 
     Path case and percent-encoding are NOT touched (both can be
-    semantic).  NULL or scheme-less inputs read NULL — a relative URL
-    has no canonical absolute form without a base.
+    semantic).  The WHOLE authority is lowercased, so a (rare,
+    deprecated) user:pass@ userinfo section is lowercased with the
+    host — acceptable for crawl dedup, documented here.  NULL or
+    scheme-less inputs read NULL — a relative URL has no canonical
+    absolute form without a base.
 
     Output: input columns + ``out``.  100 TB: one narrow map — pure
     regexp/array arithmetic, no UDF, no shuffle.
