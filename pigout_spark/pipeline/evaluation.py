@@ -255,3 +255,110 @@ def uplift_deciles(
         "bucket", "n", "n_t", "n_c", "y_t", "y_c",
         rt.alias("rate_t6"), rc.alias("rate_c6"), qini.alias("qini6"),
     )
+
+
+def rank_metrics(
+    df: DataFrame,
+    query_col: str,
+    rank_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Per-query ranked-retrieval metrics over a (query, rank,
+    relevance) relation — the readout for the BM25 / ANN top-k
+    families:
+
+        NDCG@k = Σ_{i≤k} (2^rel_i − 1)/log₂(i+1)  /  IDCG@k
+        MRR@k  = 1/rank of the first rel > 0 hit (0 if none in top-k)
+        P@k    = |rel > 0 in top-k| / k
+
+    ``rank_col`` must already be the 1-based rank (the shape
+    sim_*_topk / bm25_topk emit); duplicate ranks within a query fail
+    LOUDLY (the autocorr malformed-grid discipline — a ranking with
+    ties at the same position is not a ranking).  Relevance grades are
+    small non-negative INTEGERS (asserted ≤ 16: 2^rel must stay exact
+    and IEEE-safe).  IDCG sorts the query's own grades descending —
+    queries with no positive grade read NDCG/MRR 0 (not NULL: "found
+    nothing relevant" is a score).  Ranks beyond k are ignored.
+
+    Determinism: gains are exact integers; each discount is one IEEE
+    log₂ chain; per-query sums are ≤k terms ROUND-6-summed via
+    DECIMAL(20,6) (the vocab_kl ln discipline); final ratios ROUND-6.
+
+    Output: (query, n_ranked, ndcg6, mrr6, p_at_k6).
+
+    100 TB: ONE exchange on the query key — the duplicate-rank guard,
+    the ≤k filter, and the per-query aggregation share it; per-query
+    state is ≤k rows by construction.
+    """
+    if int(k) < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q, r, rel = F.col(query_col), F.col(rank_col), F.col(rel_col)
+    d = df.select(q.alias("__q"), r.alias("__r"), rel.alias("__rel")).filter(
+        F.assert_true(
+            F.col("__r").isNotNull() & (F.col("__r") >= 1),
+            F.lit("rank_metrics: ranks must be 1-based and non-NULL"),
+        ).isNull()
+    ).filter(
+        F.assert_true(
+            F.col("__rel").isNotNull()
+            & (F.col("__rel") == F.floor("__rel"))
+            & F.col("__rel").between(0, 16),
+            F.lit(
+                "rank_metrics: relevance grades must be integers in "
+                "[0, 16] (2^rel exactness bound)"
+            ),
+        ).isNull()
+    )
+    d = d.repartition("__q")
+    dup = Window.partitionBy("__q", "__r")
+    d = d.withColumn("__dup", F.count(F.lit(1)).over(dup)).filter(
+        F.assert_true(
+            F.col("__dup") == 1,
+            F.lit(
+                "rank_metrics: duplicate rank within a query — ties at "
+                "one position are not a ranking"
+            ),
+        ).isNull()
+    )
+    topk = d.filter(F.col("__r") <= int(k))
+    gain = F.pow(F.lit(2.0), F.col("__rel").cast("double")) - 1.0
+    disc = F.log2(F.col("__r").cast("double") + 1.0)
+    dcg_term = F.round(gain / disc, 6).cast("decimal(20,6)")
+    # ideal ordering: grades descending get positions 1..n (row_number
+    # over the SAME query partitioning — no new exchange)
+    wi = Window.partitionBy("__q").orderBy(F.col("__rel").desc())
+    ideal_pos = F.row_number().over(wi)
+    idcg_term = F.round(
+        gain / F.log2(ideal_pos.cast("double") + 1.0), 6
+    ).cast("decimal(20,6)")
+    s = (
+        topk.withColumn("__dcg_t", dcg_term)
+        .withColumn("__idcg_t", idcg_term)
+        .groupBy("__q")
+        .agg(
+            F.count(F.lit(1)).alias("n_ranked"),
+            F.sum("__dcg_t").cast("double").alias("__dcg"),
+            F.sum("__idcg_t").cast("double").alias("__idcg"),
+            F.min(F.when(F.col("__rel") > 0, F.col("__r"))).alias("__fr"),
+            F.sum(F.when(F.col("__rel") > 0, 1).otherwise(0)).alias("__nrel"),
+        )
+    )
+    ndcg = F.when(
+        F.col("__idcg") > 0,
+        F.round(F.col("__dcg") / F.col("__idcg"), 6) + F.lit(0.0),
+    ).otherwise(F.lit(0.0))
+    mrr = F.when(
+        F.col("__fr").isNotNull(),
+        F.round(F.lit(1.0) / F.col("__fr").cast("double"), 6) + F.lit(0.0),
+    ).otherwise(F.lit(0.0))
+    patk = F.round(F.col("__nrel").cast("double") / F.lit(float(k)), 6) + F.lit(
+        0.0
+    )
+    return s.select(
+        F.col("__q").alias(query_col),
+        "n_ranked",
+        ndcg.alias("ndcg6"),
+        mrr.alias("mrr6"),
+        patk.alias("p_at_k6"),
+    )

@@ -4531,3 +4531,81 @@ def x_url_normalize(spark, sf_dir):
     )
     u = url_normalize(d.select(url.alias("url")), "url")
     return u.groupBy("url_norm").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "x_rank_metrics",
+    extra=True,  # r9 addition — r10 rotation candidate
+    sql="""
+    WITH ranked AS (
+      SELECT o_orderpriority AS q, o_orderkey,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey)
+               AS rank
+      FROM orders
+    ), d AS (
+      SELECT q, rank,
+             ('0x' || substring(md5('rel' || '|' ||
+                CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 4 AS rel
+      FROM ranked WHERE rank <= 10
+    ), terms AS (
+      SELECT q, rank, rel,
+        CAST(ROUND((pow(2, rel) - 1) / log2(rank + 1.0), 6)
+             AS DECIMAL(20,6)) AS dcg_t,
+        CAST(ROUND((pow(2, rel) - 1)
+             / log2(CAST(row_number() OVER (PARTITION BY q
+                          ORDER BY rel DESC) AS DOUBLE) + 1.0), 6)
+             AS DECIMAL(20,6)) AS idcg_t
+      FROM d
+    ), s AS (
+      SELECT q, CAST(COUNT(*) AS BIGINT) AS n_ranked,
+             CAST(SUM(dcg_t) AS DOUBLE) AS dcg,
+             CAST(SUM(idcg_t) AS DOUBLE) AS idcg,
+             MIN(CASE WHEN rel > 0 THEN rank END) AS fr,
+             CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nrel
+      FROM terms GROUP BY q
+    )
+    SELECT q AS o_orderpriority, n_ranked,
+      CASE WHEN idcg > 0 THEN ROUND(dcg / idcg, 6) + 0.0
+           ELSE 0.0 END AS ndcg6,
+      CASE WHEN fr IS NOT NULL THEN ROUND(1.0 / fr, 6) + 0.0
+           ELSE 0.0 END AS mrr6,
+      ROUND(CAST(nrel AS DOUBLE) / 10.0, 6) + 0.0 AS p_at_k6
+    FROM s
+    """,
+)
+def x_rank_metrics(spark, sf_dir):
+    """NDCG@10 / MRR@10 / P@10 per priority "query" over the top-priced
+    orders with md5-derived relevance grades
+    (pipeline/evaluation.py:rank_metrics) — ROUND-6 log₂ discount
+    terms decimal-summed (the vocab_kl ln discipline), tie-safe IDCG."""
+    from pyspark.sql import Window
+    from pigout_spark.pipeline.evaluation import rank_metrics
+
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    ranked = (
+        o.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+        .withColumn(
+            "rel",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.lit("rel"), F.col("o_orderkey").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 4,
+        )
+    )
+    return rank_metrics(ranked, "o_orderpriority", "rank", "rel", k=10)

@@ -3265,3 +3265,36 @@ def test_target_encode_all_null_category_gets_prior(spark):
         for r in target_encode(df, ["k"], "y", smoothing=0.0).collect()
     }
     assert got0["z"] is None
+
+
+def test_rank_metrics_hand_checked(spark):
+    """Worked NDCG/MRR/P@k: q1 has rel (3,0,1) at ranks 1..3 →
+    DCG = 7/1 + 0 + 1/2 = 7.5, IDCG = 7 + 1/1.585 + 0 = 7.630930
+    (ROUND-6 terms), NDCG = 0.982843; MRR = 1; P@3 = 2/3.  q2 has no
+    relevant docs → all-zero scores.  Duplicate ranks and fractional
+    grades fail loudly."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    from pigout_spark.pipeline.evaluation import rank_metrics
+
+    rows = [
+        ("q1", 1, 3), ("q1", 2, 0), ("q1", 3, 1),
+        ("q2", 1, 0), ("q2", 2, 0),
+    ]
+    df = spark.createDataFrame(rows, "q string, rank long, rel long")
+    got = {r.q: r for r in rank_metrics(df, "q", "rank", "rel", k=3).collect()}
+    dcg = 7.0 + 0.0 + round(1 / (2.0), 6)
+    idcg = 7.0 + round(1 / 1.584962500721156, 6) + 0.0
+    assert got["q1"].ndcg6 == round(dcg / idcg, 6)
+    assert got["q1"].mrr6 == 1.0
+    assert got["q1"].p_at_k6 == round(2 / 3.0, 6)
+    assert (got["q2"].ndcg6, got["q2"].mrr6, got["q2"].p_at_k6) == (0.0, 0.0, 0.0)
+
+    dup = spark.createDataFrame(
+        [("q", 1, 1), ("q", 1, 2)], "q string, rank long, rel long"
+    )
+    with _pytest.raises(SparkRuntimeException, match="duplicate rank"):
+        rank_metrics(dup, "q", "rank", "rel").collect()
+    frac = spark.createDataFrame([("q", 1, 0.5)], "q string, rank long, rel double")
+    with _pytest.raises(SparkRuntimeException, match="relevance grades"):
+        rank_metrics(frac, "q", "rank", "rel").collect()
