@@ -1920,3 +1920,91 @@ def kruskal_wallis(
         F.round(raw / corr, 6) + F.lit(0.0),
     )
     return s.select("k", "n", h.alias("h6"))
+
+
+def brown_forsythe(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Brown–Forsythe equality-of-variances test — "did the SPREAD
+    change", the companion question to the location tests
+    (:func:`mann_whitney_u` / :func:`kruskal_wallis` ask about the
+    center): one-way ANOVA on the absolute deviations from each
+    group's MEDIAN,
+
+        z_ij = |v_ij − median_j|
+        W = [(N−k)/(k−1)] · Σ n_j (z̄_j − z̄)² / Σ Σ (z_ij − z̄_j)²
+
+    (Levene's test with the median center — robust to heavy tails,
+    the variant recommended by the NIST handbook).  Compare W to
+    F(k−1, N−k) downstream.  Median = the ceil(n/2)-th order statistic
+    (the winsorize convention — an observed value, tie-invariant).
+
+    NULL group or value rows are EXCLUDED.  Degenerate inputs read
+    NULL w6: fewer than 2 groups, N ≤ k (no within-group df), or zero
+    within-group deviation spread.
+
+    Determinism: medians are observed values; the z deviations are one
+    subtraction + abs each; sums of z and z² go through DECIMAL(38,6)
+    (exact for few-decimal metrics — the ab_lift scale discipline);
+    W is one IEEE chain ROUND-6.
+
+    Output: ONE row (k, n, w6).
+
+    100 TB: ONE exchange on the group key — the median rank window,
+    the deviation pass, and the per-group moment aggregation share it;
+    the k-row readout is a broadcastable final fold.
+    """
+    g, v = F.col(group_col), F.col(value_col)
+    d = df.filter(g.isNotNull() & v.isNotNull()).select(
+        g.alias("__g"), v.alias("__v")
+    ).repartition("__g")
+    w = Window.partitionBy("__g").orderBy("__v")
+    ranked = d.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("__g"))
+    )
+    med = (
+        ranked.withColumn(
+            "__kmed",
+            F.ceil(F.col("__n").cast("double") / 2.0).cast("int"),
+        )
+        .groupBy("__g")
+        .agg(F.min(F.when(F.col("__rn") == F.col("__kmed"), F.col("__v"))).alias("__med"))
+    )
+    dec = "decimal(38,6)"
+    z = F.abs(F.col("__v") - F.col("__med"))
+    per_g = (
+        d.join(med, "__g")
+        .select("__g", z.alias("__z"))
+        .groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__ng"),
+            F.sum(F.col("__z").cast(dec)).cast("double").alias("__sz"),
+            F.sum((F.col("__z") * F.col("__z")).cast(dec))
+            .cast("double")
+            .alias("__szz"),
+        )
+    )
+    s = per_g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("__ng").cast("bigint").alias("n"),
+        F.sum("__sz").alias("__tz"),
+        # between-group numerator pieces: Σ sz_j²/n_j and within-group
+        # SS per group: szz_j − sz_j²/n_j — both from the same moments
+        F.sum(
+            F.col("__sz") * F.col("__sz") / F.col("__ng").cast("double")
+        ).alias("__szn"),
+        F.sum(
+            F.col("__szz")
+            - F.col("__sz") * F.col("__sz") / F.col("__ng").cast("double")
+        ).alias("__ssw"),
+    )
+    nn, kk = F.col("n").cast("double"), F.col("k").cast("double")
+    ssb = F.col("__szn") - F.col("__tz") * F.col("__tz") / nn
+    wstat = F.when(
+        (F.col("k") >= 2) & (F.col("n") > F.col("k")) & (F.col("__ssw") > 0),
+        F.round(((nn - kk) / (kk - 1.0)) * ssb / F.col("__ssw"), 6)
+        + F.lit(0.0),
+    )
+    return s.select("k", "n", wstat.alias("w6"))

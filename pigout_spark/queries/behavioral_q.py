@@ -2028,3 +2028,56 @@ def x_kruskal(spark, sf_dir):
         F.col("value").isNotNull() & F.col("event_type").isNotNull()
     )
     return kruskal_wallis(e, "event_type", "value")
+
+
+@query(
+    "x_brown_forsythe",
+    extra=True,  # r9 addition — r10 rotation candidate
+    sql="""
+    WITH d AS (
+      SELECT event_type AS g, value AS v
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), r AS (
+      SELECT g, v,
+             row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY g) AS n
+      FROM d
+    ), med AS (
+      SELECT g,
+             MIN(CASE WHEN rn = CAST(ceil(n / 2.0) AS INT) THEN v END)
+               AS m
+      FROM r GROUP BY g
+    ), z AS (
+      SELECT d.g, abs(d.v - med.m) AS z FROM d JOIN med ON d.g = med.g
+    ), pg AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(SUM(CAST(z AS DECIMAL(38,6))) AS DOUBLE) AS sz,
+             CAST(SUM(CAST(z * z AS DECIMAL(38,6))) AS DOUBLE) AS szz
+      FROM z GROUP BY g
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(ng) AS BIGINT) AS n,
+             SUM(sz) AS tz,
+             SUM(sz * sz / CAST(ng AS DOUBLE)) AS szn,
+             SUM(szz - sz * sz / CAST(ng AS DOUBLE)) AS ssw
+      FROM pg
+    )
+    SELECT k, n,
+      CASE WHEN k >= 2 AND n > k AND ssw > 0 THEN
+        ROUND(((CAST(n AS DOUBLE) - k) / (CAST(k AS DOUBLE) - 1.0))
+              * (szn - tz * tz / CAST(n AS DOUBLE)) / ssw, 6) + 0.0
+      END AS w6
+    FROM s
+    """,
+)
+def x_brown_forsythe(spark, sf_dir):
+    """Brown–Forsythe W across event types' value spreads
+    (pipeline/behavioral.py:brown_forsythe) — ANOVA on absolute
+    deviations from each group's MEDIAN order statistic; the variance
+    companion to the Kruskal–Wallis location test."""
+    from pigout_spark.pipeline.behavioral import brown_forsythe
+
+    e = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    return brown_forsythe(e, "event_type", "value")

@@ -1209,3 +1209,28 @@ def test_kruskal_wallis_textbook(spark):
         [("a", 5.0), ("b", 5.0), ("c", 5.0)], "g string, v double"
     )
     assert kruskal_wallis(tied, "g", "v").first().h6 is None
+
+
+def test_brown_forsythe_hand_checked(spark):
+    """Hand-worked W on groups {1,2,3,4} vs {10,20,30,40}: medians 2 and
+    20 (ceil(n/2) order statistic), z-deviations {1,0,1,2} vs
+    {10,0,10,20}; ANOVA on those gives W = 6·(SSB)/(1·SSW).  Equal
+    spreads read a small W; identical groups read NULL (zero within-
+    spread only when all deviations equal — here constant groups)."""
+    from pigout_spark.pipeline.behavioral import brown_forsythe
+
+    rows = [("a", float(v)) for v in (1, 2, 3, 4)] + [
+        ("b", float(v)) for v in (10, 20, 30, 40)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = brown_forsythe(df, "g", "v").first()
+    assert (r.k, r.n) == (2, 8)
+    # z_a = [1,0,1,2], z_b = [10,0,10,20]; means 1 and 10; grand 5.5
+    # SSB = 4(1-5.5)^2 + 4(10-5.5)^2 = 162; SSW = (2) + (200) = 202
+    assert r.w6 == round((8 - 2) / (2 - 1) * 162 / 202, 6)
+
+    const = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.0), ("b", 7.0), ("b", 7.0)],
+        "g string, v double",
+    )
+    assert brown_forsythe(const, "g", "v").first().w6 is None
