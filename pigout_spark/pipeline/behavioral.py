@@ -2008,3 +2008,172 @@ def brown_forsythe(
         + F.lit(0.0),
     )
     return s.select("k", "n", wstat.alias("w6"))
+
+
+def fisher_exact(
+    df: DataFrame,
+    exposure_col: str,
+    outcome_col: str,
+    max_n: int = 2_000_000,
+) -> DataFrame:
+    """Fisher's EXACT test for a 2×2 exposure/outcome table — the
+    small-margin companion to :func:`categorical_association`'s chi²
+    (which is asymptotic and unreliable when any expected cell is
+    small) and :func:`odds_ratio` (whose Wald CI needs all cells > 0):
+
+        pmf(k) = C(r1, k)·C(r2, c1−k) / C(n, c1)
+        p_two  = Σ_{k: pmf(k) ≤ pmf(a)·(1+1e−7)} pmf(k)
+
+    with a/b/c/d the observed cells, r1/r2 row margins, c1 the first
+    column margin (the hypergeometric law of cell a under fixed
+    margins); the 1e−7 relative tolerance is the standard guard for
+    IEEE ties at pmf equality.  One-sided tails also emitted
+    (p_less = P(K ≤ a), p_greater = P(K ≥ a)).
+
+    Built DISTRIBUTIVELY, no scipy/driver math: ln-factorials come
+    from a cumulative ln window over a row_number relation derived
+    from the input itself (lnfact(i) = Σ_{j≤i} ln j — a sequential
+    fold, so the doubles are engine-identical), the k-terms are a
+    relation joined 6× against that broadcast table, and the tail
+    sums are exact DECIMAL(22,12) folds of ROUND-12 terms (the
+    vocab_kl discipline — summation order can never reorder floats).
+
+    Contracts: boolean columns, NULL rows EXCLUDED; n is asserted
+    ≤ ``max_n`` LOUDLY (the lnfact table is n-sized and broadcast; an
+    exact test on larger n is statistically pointless — use chi²) —
+    the global row_number window is the conscious single-test
+    partition (mann_whitney_u contract).  Empty input or an empty
+    margin reads p = 1 (the degenerate table carries no evidence).
+
+    Output: ONE row (a, b, c, d, p_two6, p_less6, p_greater6).
+    """
+    ex, oc = F.col(exposure_col), F.col(outcome_col)
+    d0 = df.filter(ex.isNotNull() & oc.isNotNull()).select(
+        ex.cast("boolean").alias("__e"), oc.cast("boolean").alias("__o")
+    )
+
+    def cell(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+
+    e, o = F.col("__e"), F.col("__o")
+    cells = d0.agg(
+        cell(e & o, "a"),
+        cell(e & ~o, "b"),
+        cell(~e & o, "c"),
+        cell(~e & ~o, "d"),
+    )
+    # ln-factorial table 0..n from the data itself (no eager count):
+    # row_number gives 1..n; the union row is lnfact(0) = 0.
+    wseq = Window.orderBy(F.lit(1))
+    ints = d0.select(F.row_number().over(wseq).cast("bigint").alias("i"))
+    ints = ints.filter(
+        F.assert_true(
+            F.col("i") <= int(max_n),
+            F.lit(
+                f"fisher_exact: n exceeds max_n={max_n} — the exact "
+                "test is margin-bounded by design; use "
+                "categorical_association (chi-square) at this size"
+            ),
+        ).isNull()
+    )
+    lf = ints.withColumn(
+        "lf",
+        F.sum(F.log(F.col("i").cast("double"))).over(
+            Window.orderBy("i").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    ).unionByName(
+        d0.sparkSession.range(1).select(
+            F.lit(0).cast("bigint").alias("i"), F.lit(0.0).alias("lf")
+        )
+    )
+    # the table feeds SEVEN broadcast lookups — checkpoint it or the
+    # scan + global window recompute per broadcast (measured 28 s → 3 s
+    # at n = 10k)
+    lf = lf.localCheckpoint(eager=False)
+    lfb = F.broadcast(lf)
+
+    m = cells.select(
+        "a", "b", "c", "d",
+        (F.col("a") + F.col("b")).alias("r1"),
+        (F.col("c") + F.col("d")).alias("r2"),
+        (F.col("a") + F.col("c")).alias("c1"),
+        (F.col("a") + F.col("b") + F.col("c") + F.col("d")).alias("n"),
+    )
+    ks = (
+        lfb.select(F.col("i").alias("k"))  # 0..n (lf carries the 0 row)
+        .crossJoin(F.broadcast(m))
+        .filter(
+            (F.col("k") >= F.greatest(F.lit(0), F.col("c1") - F.col("r2")))
+            & (F.col("k") <= F.least(F.col("r1"), F.col("c1")))
+        )
+    )
+
+    # lnfact lookups via broadcast joins on computed indices
+    def lookup(rel, idx_col, out):
+        side = lf.select(
+            F.col("i").alias(f"__i{out}"), F.col("lf").alias(out)
+        )
+        return rel.join(
+            F.broadcast(side), rel[idx_col] == F.col(f"__i{out}"), "inner"
+        ).drop(f"__i{out}")
+
+    ks = ks.withColumn("__x1", F.col("r1")).withColumn(
+        "__x2", F.col("k")
+    ).withColumn("__x3", F.col("r1") - F.col("k")).withColumn(
+        "__x4", F.col("r2")
+    ).withColumn("__x5", F.col("c1") - F.col("k")).withColumn(
+        "__x6", F.col("r2") - F.col("c1") + F.col("k")
+    )
+    for i, nm in ((1, "lf_r1"), (2, "lf_k"), (3, "lf_r1k"),
+                  (4, "lf_r2"), (5, "lf_c1k"), (6, "lf_r2c1k")):
+        ks = lookup(ks, f"__x{i}", nm)
+    denom = lookup(
+        lookup(
+            lookup(m.withColumn("__x7", F.col("n"))
+                    .withColumn("__x8", F.col("c1"))
+                    .withColumn("__x9", F.col("n") - F.col("c1")),
+                   "__x7", "lf_n"),
+            "__x8", "lf_c1"),
+        "__x9", "lf_nc1",
+    ).select(
+        (F.col("lf_n") - F.col("lf_c1") - F.col("lf_nc1")).alias("__lden")
+    )
+    pmf = F.exp(
+        F.col("lf_r1") - F.col("lf_k") - F.col("lf_r1k")
+        + F.col("lf_r2") - F.col("lf_c1k") - F.col("lf_r2c1k")
+        - F.col("__lden")
+    )
+    terms = ks.crossJoin(F.broadcast(denom)).select(
+        "k", "a",
+        F.round(pmf, 12).cast("decimal(22,12)").alias("__pmf"),
+    )
+    obs = terms.filter(F.col("k") == F.col("a")).select(
+        F.col("__pmf").alias("__pobs")
+    )
+    agg = terms.crossJoin(F.broadcast(obs)).agg(
+        F.sum(
+            F.when(
+                F.col("__pmf").cast("double")
+                <= F.col("__pobs").cast("double") * (1.0 + 1e-7),
+                F.col("__pmf"),
+            )
+        ).cast("double").alias("__p2"),
+        F.sum(F.when(F.col("k") <= F.col("a"), F.col("__pmf")))
+        .cast("double")
+        .alias("__pl"),
+        F.sum(F.when(F.col("k") >= F.col("a"), F.col("__pmf")))
+        .cast("double")
+        .alias("__pg"),
+    )
+
+    def clamp6(c):
+        return F.round(F.least(F.lit(1.0), c), 6) + F.lit(0.0)
+
+    return cells.crossJoin(F.broadcast(agg)).select(
+        "a", "b", "c", "d",
+        F.coalesce(clamp6(F.col("__p2")), F.lit(1.0)).alias("p_two6"),
+        F.coalesce(clamp6(F.col("__pl")), F.lit(1.0)).alias("p_less6"),
+        F.coalesce(clamp6(F.col("__pg")), F.lit(1.0)).alias("p_greater6"),
+    )

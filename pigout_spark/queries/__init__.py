@@ -145,7 +145,8 @@ assert len(_WINDOW_R8) == len(set(_WINDOW_R8)) == 50
 # selfcheck-green at sf0.01+sf0.1 as added but not yet driver-checked):
 # x_spearman, x_mann_whitney, x_bh_fdr, x_kruskal, x_target_enc,
 # x_feature_hash, x_robust_scale, x_autocorr, x_roc_auc, x_calibration,
-# x_uplift, x_url_normalize, x_rank_metrics, x_brown_forsythe.
+# x_uplift, x_url_normalize, x_rank_metrics, x_brown_forsythe,
+# x_fisher_exact.
 _WINDOW_R9 = [
     "q01_group_agg",  # flagship
     # (b) the r9 queue — never driver-checked

@@ -2081,3 +2081,86 @@ def x_brown_forsythe(spark, sf_dir):
         F.col("value").isNotNull() & F.col("event_type").isNotNull()
     )
     return brown_forsythe(e, "event_type", "value")
+
+
+@query(
+    "x_fisher_exact",
+    extra=True,  # r9 addition — r10 rotation candidate
+    sql="""
+    WITH d AS (
+      SELECT value > 50 AS e_, event_type = 'purchase' AS o_
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), cells AS (
+      SELECT
+        CAST(SUM(CASE WHEN e_ AND o_ THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        CAST(SUM(CASE WHEN e_ AND NOT o_ THEN 1 ELSE 0 END) AS BIGINT)
+          AS b,
+        CAST(SUM(CASE WHEN NOT e_ AND o_ THEN 1 ELSE 0 END) AS BIGINT)
+          AS c,
+        CAST(SUM(CASE WHEN NOT e_ AND NOT o_ THEN 1 ELSE 0 END)
+             AS BIGINT) AS d
+      FROM d
+    ), m AS (
+      SELECT a, b, c, d, a + b AS r1, c + d AS r2, a + c AS c1,
+             a + b + c + d AS n
+      FROM cells
+    ), ints AS (
+      SELECT row_number() OVER () AS i FROM d
+    ), lf AS MATERIALIZED (
+      SELECT i, SUM(ln(CAST(i AS DOUBLE)))
+                OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS lf
+      FROM ints
+      UNION ALL SELECT 0, 0.0
+    ), den AS (
+      SELECT ln_.lf - lc1.lf - lnc1.lf AS lden
+      FROM m
+      JOIN lf ln_  ON ln_.i  = m.n
+      JOIN lf lc1  ON lc1.i  = m.c1
+      JOIN lf lnc1 ON lnc1.i = m.n - m.c1
+    ), terms AS MATERIALIZED (
+      SELECT lf0.i AS k, m.a,
+        CAST(ROUND(exp(l1.lf - l2.lf - l3.lf + l4.lf - l5.lf - l6.lf
+                       - den.lden), 12) AS DECIMAL(22,12)) AS pmf
+      FROM lf lf0, m, den,
+           lf l1, lf l2, lf l3, lf l4, lf l5, lf l6
+      WHERE lf0.i BETWEEN GREATEST(0, m.c1 - m.r2) AND LEAST(m.r1, m.c1)
+        AND l1.i = m.r1 AND l2.i = lf0.i AND l3.i = m.r1 - lf0.i
+        AND l4.i = m.r2 AND l5.i = m.c1 - lf0.i
+        AND l6.i = m.r2 - m.c1 + lf0.i
+    ), obs AS (
+      SELECT pmf AS pobs FROM terms WHERE k = a
+    ), agg AS (
+      SELECT
+        CAST(SUM(CASE WHEN CAST(pmf AS DOUBLE)
+                           <= CAST(pobs AS DOUBLE) * (1.0 + 1e-7)
+                      THEN pmf END) AS DOUBLE) AS p2,
+        CAST(SUM(CASE WHEN k <= a THEN pmf END) AS DOUBLE) AS pl,
+        CAST(SUM(CASE WHEN k >= a THEN pmf END) AS DOUBLE) AS pg
+      FROM terms, obs
+    )
+    SELECT a, b, c, d,
+      coalesce(ROUND(LEAST(1.0, p2), 6) + 0.0, 1.0) AS p_two6,
+      coalesce(ROUND(LEAST(1.0, pl), 6) + 0.0, 1.0) AS p_less6,
+      coalesce(ROUND(LEAST(1.0, pg), 6) + 0.0, 1.0) AS p_greater6
+    FROM cells, agg
+    """,
+)
+def x_fisher_exact(spark, sf_dir):
+    """Fisher's exact test on the high-value-exposure × purchase 2×2
+    (pipeline/behavioral.py:fisher_exact) — the hypergeometric tail
+    computed DISTRIBUTIVELY: the ln-factorial table is a cumulative
+    window over a row_number relation (identical IEEE fold in both
+    engines), k-terms join it 6×, tails fold as DECIMAL(22,12) sums of
+    ROUND-12 terms."""
+    from pigout_spark.pipeline.behavioral import fisher_exact
+
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    return fisher_exact(
+        ev.withColumn("e_", F.col("value") > 50).withColumn(
+            "o_", F.col("event_type") == "purchase"
+        ),
+        "e_",
+        "o_",
+    )

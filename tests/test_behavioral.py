@@ -1234,3 +1234,31 @@ def test_brown_forsythe_hand_checked(spark):
         "g string, v double",
     )
     assert brown_forsythe(const, "g", "v").first().w6 is None
+
+
+def test_fisher_exact_tea_tasting(spark):
+    """The classic tea-tasting table a=3,b=1,c=1,d=3 (margins 4/4/4,
+    C(8,4)=70): pmf = [1,16,36,16,1]/70 → p_two = 34/70, p_greater =
+    17/70, p_less = 69/70; empty input reads the degenerate p = 1."""
+    from pigout_spark.pipeline.behavioral import fisher_exact
+
+    rows = ([(True, True)] * 3 + [(True, False)] * 1
+            + [(False, True)] * 1 + [(False, False)] * 3)
+    df = spark.createDataFrame(rows, "e boolean, o boolean")
+    r = fisher_exact(df, "e", "o").first()
+    assert (r.a, r.b, r.c, r.d) == (3, 1, 1, 3)
+    assert r.p_two6 == round(34 / 70, 6)
+    assert r.p_greater6 == round(17 / 70, 6)
+    assert r.p_less6 == round(69 / 70, 6)
+
+    empty = spark.createDataFrame([], "e boolean, o boolean")
+    re = fisher_exact(empty, "e", "o").first()
+    assert (re.p_two6, re.p_less6, re.p_greater6) == (1.0, 1.0, 1.0)
+
+    # an all-one-margin table (no exposed rows): hypergeometric is a
+    # point mass -> every p reads 1
+    onem = spark.createDataFrame(
+        [(False, True), (False, False)], "e boolean, o boolean"
+    )
+    ro = fisher_exact(onem, "e", "o").first()
+    assert (ro.p_two6, ro.p_less6, ro.p_greater6) == (1.0, 1.0, 1.0)
