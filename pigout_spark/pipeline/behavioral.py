@@ -1769,12 +1769,20 @@ def mann_whitney_u(
         F.round((u1 - n1 * n2 / 2.0) / F.sqrt(var), 6) + F.lit(0.0),
     )
     both = (F.col("n1") > 0) & (F.col("n2") > 0)
+    # Cliff's delta — the U-derived EFFECT SIZE the z lacks (how often
+    # does group 1 exceed group 2, scaled to [−1, 1]; ties half-count):
+    # δ = 2·U₁/(n₁n₂) − 1.  Reported alongside so a significant-but-
+    # tiny effect is visible at readout time.
+    delta = F.when(
+        both, F.round(2.0 * u1 / (n1 * n2) - 1.0, 6) + F.lit(0.0)
+    )
     return s.select(
         "n1",
         "n2",
         F.when(both, u1).alias("u1"),
         F.when(both, u2).alias("u2"),
         z.alias("z6"),
+        delta.alias("cliffs_delta6"),
     )
 
 

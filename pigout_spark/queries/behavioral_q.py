@@ -1838,7 +1838,11 @@ def x_spearman(spark, sf_dir):
                      * ((n1 + n2 + 1.0)
                         - ties / ((n1 + CAST(n2 AS DOUBLE))
                                   * (n1 + n2 - 1.0)))), 6) + 0.0
-      END AS z6
+      END AS z6,
+      CASE WHEN n1 > 0 AND n2 > 0 THEN
+        ROUND(2.0 * (sr2 / 2.0 - n1 * (n1 + 1.0) / 2.0)
+              / (CAST(n1 AS DOUBLE) * n2) - 1.0, 6) + 0.0
+      END AS cliffs_delta6
     FROM s
     """,
 )

@@ -1135,6 +1135,8 @@ def test_mann_whitney_textbook(spark):
     assert r.u1 == 0.0 and r.u2 == 12.0
     # var = n1 n2 (N+1)/12 = 3·4·8/12 = 8 → z = −6/√8
     assert r.z6 == round(-6 / 8**0.5, 6)
+    # Cliff's delta: U1 = 0 → 2·0/12 − 1 = −1 (total stochastic order)
+    assert r.cliffs_delta6 == -1.0
 
     # one empty group → NULL everything but the counts
     solo = mann_whitney_u(
