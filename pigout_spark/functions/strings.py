@@ -120,32 +120,46 @@ def _java_split(c: Column, pattern: str, limit: int) -> Column:
     limit == 0 differs between the engines: Java drops TRAILING empty
     tokens there, Spark keeps them (D4).  Positive limits match
     exactly, and NEGATIVE limits keep trailing empties in BOTH (so the
-    trim must not apply — r9 self-review).  Limit-0 emulation: trim
-    trailing separator runs before the split, with Java's two corner
-    cases: ``""`` → [""] (the no-match whole-string return) and an
-    all-separators input → [] (every token was a trailing empty)."""
+    drop must not apply — r9 self-review).  Limit-0 emulation: split
+    with limit -1 and slice the array up to its LAST non-empty element
+    — exactly Java's post-tokenize trailing-empty removal.  (The r9
+    construction trimmed trailing separator RUNS off the input string
+    first, which diverges for multi-char/overlapping patterns: Java
+    tokenizes left-to-right, so ``'x---'.split('--')`` is
+    ``['x','-']`` but the right-anchored trim ate the odd dash —
+    r9 advice.)  Java corner case kept: ``""`` → [""] (the no-match
+    whole-string return); all-separators → [] falls out of the slice
+    (every token is a trailing empty → slice length 0)."""
     if limit != 0:
         return F.split(c, pattern, limit)
-    trimmed = F.regexp_replace(c, f"(?:{pattern})+$", "")
-    return (
-        F.when(c == "", F.array(F.lit("")))
-        .when(trimmed == "", F.array().cast("array<string>"))
-        .otherwise(F.split(trimmed, pattern, -1))
+    arr = F.split(c, pattern, -1)
+    last_nonempty = F.array_max(
+        F.zip_with(
+            arr,
+            F.sequence(F.lit(1), F.size(arr)),
+            lambda e, i: F.when(e != "", i),
+        )
+    )
+    return F.when(c == "", F.array(F.lit(""))).otherwise(
+        F.slice(arr, F.lit(1), F.coalesce(last_nonempty, F.lit(0)))
     )
 
 
-def STRSPLIT(c: Column | str, pattern: str, limit: int = 0) -> Column:
+def STRSPLIT(c: Column | str, pattern: str = r"\s+", limit: int = 0) -> Column:
     """Pig STRSPLIT returns a tuple; the array is the Spark-native shape.
 
     D4: Pig wraps Java ``String.split(regex)`` whose default limit 0
     DROPS trailing empty tokens; Spark keeps them for every limit<=0, so
     the Java behavior is replicated explicitly.  (DuckDB's string_split
     also keeps trailing empties — oracles over data with trailing
-    separators must account for it.)"""
+    separators must account for it.)  Pig's 1-arg form splits on
+    whitespace — ``pattern`` defaults to ``\\s+`` accordingly."""
     return _java_split(_col(c), pattern, limit)
 
 
-def STRSPLITTOBAG(c: Column | str, pattern: str, limit: int = 0) -> Column:
+def STRSPLITTOBAG(
+    c: Column | str, pattern: str = r"\s+", limit: int = 0
+) -> Column:
     """Pig STRSPLITTOBAG: string → bag of single-field tuples, one per
     split token.  Same Java-split trailing-empty-drop as STRSPLIT (D4);
     the Spark-native shape is an array — FLATTEN/explode it to get the
@@ -165,6 +179,17 @@ def REGEX_EXTRACT_ALL(c: Column | str, pattern: str) -> Column:
     keeps user group numbering intact) and gate the struct on a full
     ``rlike`` match so non-matching rows yield NULL — not a struct of
     empty strings.
+
+    D-register divergence (r9 advice, documented): a capture group that
+    did NOT participate in the match reads ``''`` here (Spark
+    ``regexp_extract`` semantics) where Pig's ``Matcher.group(i)``
+    returns null — e.g. pattern ``(a)|(b)`` on ``'b'`` yields
+    ``('', 'b')`` vs Pig's ``(null, 'b')``.  Participation is not
+    observable from ``regexp_extract`` alone (an empty match and a
+    non-match both read ``''``), so NULL-gating it JVM-side would need
+    a per-group pattern rewrite; alternation-with-optional-groups is
+    rare in Pig scripts and the divergence only maps null→'' (never
+    changes a matched value), so it is registered rather than patched.
     """
     import re as _re
 

@@ -166,21 +166,29 @@ def _java_split_sql(a: list[str]) -> str:
     Java String.split, which differs from Spark's split ONLY at
     limit 0 (Java drops trailing empty tokens; positive AND negative
     limits behave identically in both — r9 self-review).  Any explicit
-    non-zero limit passes straight through; the limit-0 default gets
-    the trailing-run trim, with Java's two corners ('' → array('') and
-    all-separators → array())."""
+    non-zero limit passes straight through; the limit-0 default splits
+    with limit -1 and slices the array up to its last non-empty element
+    — exactly Java's post-tokenize trailing-empty removal (the r9
+    trim-the-input construction diverged for multi-char/overlapping
+    patterns like 'x---'.split('--') — r9 advice).  Java corners: ''
+    → array('') kept explicitly; all-separators → array() falls out
+    (slice length 0).  Pig's 1-arg form defaults the pattern to
+    whitespace ('\\\\s+')."""
+    if len(a) == 1:
+        a = [a[0], r"'\\s+'"]
     if len(a) == 3 and a[2].strip() != "0":
         return f"split({a[0]}, {a[1]}, {a[2]})"
     pat_sql = a[1].strip()
     if not (pat_sql.startswith("'") and pat_sql.endswith("'")):
         raise ValueError("STRSPLIT requires a literal pattern argument")
-    pat = pat_sql[1:-1]
-    trim_lit = "'(?:" + pat + ")+$'"
-    trimmed = f"regexp_replace({a[0]}, {trim_lit}, '')"
+    arr = f"split({a[0]}, {pat_sql}, -1)"
+    last = (
+        f"array_max(zip_with({arr}, sequence(1, size({arr})), "
+        f"(__e, __i) -> CASE WHEN __e != '' THEN __i END))"
+    )
     return (
         f"CASE WHEN {a[0]} = '' THEN array('') "
-        f"WHEN {trimmed} = '' THEN CAST(array() AS ARRAY<STRING>) "
-        f"ELSE split({trimmed}, {pat_sql}, -1) END"
+        f"ELSE slice({arr}, 1, coalesce({last}, 0)) END"
     )
 
 

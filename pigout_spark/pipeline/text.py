@@ -1438,7 +1438,13 @@ def url_normalize(
         ),
         "__hp": F.lower(F.regexp_extract(u, r"^[^:/?#]+://([^/?#]*)", 1)),
         "__pth": F.regexp_extract(u, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1),
-        "__q": F.regexp_extract(u, r"\?([^#]*)", 1),
+        # The query lives strictly BEFORE the fragment: extract it from
+        # the pre-'#' prefix, not the whole URL — an unanchored \?(…)
+        # would steal a '?' inside the fragment of hash-route SPA URLs
+        # like https://app.com/page#/route?id=5 (r9 advice).
+        "__q": F.regexp_extract(
+            F.regexp_extract(u, r"^[^#]*", 0), r"\?(.*)", 1
+        ),
     }
     d = df.withColumns(pre)
     hp, pth = F.col("__hp"), F.col("__pth")

@@ -4458,13 +4458,15 @@ def x_uplift(spark, sf_dir):
     extra=True,  # r9 addition — r10 rotation candidate
     sql="""
     WITH u AS (
-      SELECT CASE doc_id % 4
+      SELECT CASE doc_id % 5
         WHEN 0 THEN 'https://example.com/p/' || (doc_id % 500)
         WHEN 1 THEN 'HTTPS://EXAMPLE.COM:443/p/' || (doc_id % 500) || '/'
         WHEN 2 THEN 'https://example.com/p/' || (doc_id % 500)
                     || '?utm_source=x&z=1#f'
-        ELSE 'https://example.com/p/' || (doc_id % 500)
+        WHEN 3 THEN 'https://example.com/p/' || (doc_id % 500)
              || '?z=1&utm_campaign=c'
+        ELSE 'https://example.com/p/' || (doc_id % 500)
+             || '#/route?id=5'
       END AS url
       FROM documents
     ), n AS (
@@ -4473,7 +4475,8 @@ def x_uplift(spark, sf_dir):
           AS sch,
         lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)) AS hp,
         regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS pth,
-        regexp_extract(url, '\\?([^#]*)', 1) AS q
+        regexp_extract(regexp_extract(url, '^[^#]*', 0), '\\?(.*)', 1)
+          AS q
       FROM u
     ), n2 AS (
       SELECT sch,
@@ -4501,16 +4504,18 @@ def x_uplift(spark, sf_dir):
 )
 def x_url_normalize(spark, sf_dir):
     """URL canonicalization → exact dedup by canonical URL — the
-    web-corpus pre-dedup step (pipeline/text.py:url_normalize).  Four
+    web-corpus pre-dedup step (pipeline/text.py:url_normalize).  Five
     cosmetic variants per synthetic page (case, default port, trailing
-    slash, tracking params, fragments, param order) must collapse so
-    counts group correctly; the oracle replays every normalization rule
-    in DuckDB's own regexp/list functions."""
+    slash, tracking params, fragments, param order, and the hash-route
+    SPA form ``#/route?id=5`` whose '?' lives INSIDE the fragment — the
+    r9-advice regression) must collapse so counts group correctly; the
+    oracle replays every normalization rule in DuckDB's own
+    regexp/list functions."""
     from pigout_spark.pipeline.text import url_normalize
 
     d = t(spark, sf_dir, "documents")
     k = (F.col("doc_id") % 500).cast("string")
-    v = F.col("doc_id") % 4
+    v = F.col("doc_id") % 5
     url = (
         F.when(v == 0, F.concat(F.lit("https://example.com/p/"), k))
         .when(
@@ -4523,10 +4528,14 @@ def x_url_normalize(spark, sf_dir):
                 F.lit("https://example.com/p/"), k, F.lit("?utm_source=x&z=1#f")
             ),
         )
-        .otherwise(
+        .when(
+            v == 3,
             F.concat(
                 F.lit("https://example.com/p/"), k, F.lit("?z=1&utm_campaign=c")
-            )
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("https://example.com/p/"), k, F.lit("#/route?id=5"))
         )
     )
     u = url_normalize(d.select(url.alias("url")), "url")

@@ -160,6 +160,50 @@ def test_strsplittobag_java_split_semantics(spark):
     assert n == 3 + 1 + 3 + 1 + 0 + 1
 
 
+def test_java_split_multichar_and_overlapping_patterns(spark):
+    """r9 advice regression: Java tokenizes left-to-right, so the
+    trailing-empty drop must operate on the TOKEN ARRAY, not trim
+    separator runs off the input string — multi-char and overlapping
+    patterns diverge under the trim.  Hand-checked against Java:
+    'aba'.split('ab|ba') == ['', 'a']; 'x---'.split('--') == ['x','-'];
+    '--x--'.split('--') == ['', 'x']."""
+    from pigout_spark.functions.strings import STRSPLIT
+
+    df = spark.createDataFrame(
+        [("aba", "ab|ba"), ("x---", "--"), ("--x--", "--"), ("----", "--")],
+        ["s", "p"],
+    )
+    rows = df.collect()
+    got = {}
+    for r in rows:
+        one = spark.createDataFrame([(r.s,)], ["s"])
+        got[(r.s, r.p)] = list(
+            one.select(STRSPLIT("s", r.p).alias("t")).first().t
+        )
+    assert got[("aba", "ab|ba")] == ["", "a"]
+    assert got[("x---", "--")] == ["x", "-"]
+    assert got[("--x--", "--")] == ["", "x"]
+    assert got[("----", "--")] == []  # all trailing empties
+
+
+def test_strsplit_one_arg_whitespace_default(spark):
+    """Pig's legal 1-arg STRSPLIT(s) splits on whitespace (r9 advice:
+    the latin template used to IndexError on it)."""
+    from pigout_spark.functions.strings import STRSPLIT
+    from pigout_spark.latin import translate_expr
+
+    df = spark.createDataFrame([("a  b\tc ",)], ["s"])
+    assert list(df.select(STRSPLIT("s").alias("t")).first().t) == [
+        "a",
+        "b",
+        "c",
+    ]
+    got = df.selectExpr(
+        translate_expr("STRSPLIT(s)") + " AS t"
+    ).first()
+    assert list(got.t) == ["a", "b", "c"]
+
+
 def test_regex_extract_all_anchored_groups(spark):
     from pigout_spark.functions.strings import REGEX_EXTRACT_ALL
 

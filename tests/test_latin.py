@@ -29,10 +29,14 @@ def test_translate_expr_rewrites():
     )
     assert translate_expr("UPPER(s)") == "upper(s)"
     assert "filter(split(" in translate_expr("TOKENIZE(text)")
-    # Java String.split limit-0 default (trailing-empty drop, D4)
+    # Java String.split limit-0 default (trailing-empty drop, D4):
+    # r10 construction — split -1, slice to last non-empty element
     got_split = translate_expr("STRSPLIT(s, '#')")
-    assert "regexp_replace" in got_split and "(?:#)+$" in got_split
+    assert "slice(" in got_split and "split(s, '#', -1)" in got_split
     assert translate_expr("STRSPLIT(s, '#', 2)") == "split(s, '#', 2)"
+    # Pig's 1-arg whitespace form (r9 advice: used to IndexError)
+    got_1arg = translate_expr("STRSPLIT(s)")
+    assert r"'\\s+'" in got_1arg and "slice(" in got_1arg
 
 
 def test_load_filter_foreach_store_roundtrip(pig, spark, sf_dir):

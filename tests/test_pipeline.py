@@ -3236,6 +3236,10 @@ def test_url_normalize_rules(spark):
             "https://example.com/path?z=9",
         "https://example.com/p?refresh=1":
             "https://example.com/p?refresh=1",  # 'ref' must not prefix-match
+        # r9 advice: '?' INSIDE the fragment must not be read as a
+        # query — hash-route SPA URLs
+        "https://app.example.com/page#/route?id=5":
+            "https://app.example.com/page",
         "not-a-url": None,
         "/relative/path": None,
     }
