@@ -1693,10 +1693,23 @@ def spearman_corr(
     return s.select(*key_cols, "n", rho.alias("rho6"))
 
 
+def _check_keys(keys: list[str], reserved: tuple[str, ...], op: str) -> None:
+    """Grouped-stat key columns ride through to the readout, so a key
+    named like an output statistic would emit two same-named columns —
+    fail loudly instead (r10)."""
+    clash = [k for k in keys if k in reserved]
+    if clash:
+        raise ValueError(
+            f"{op}: key column(s) {clash} collide with the op's output "
+            f"columns {reserved} — rename the key(s) upstream"
+        )
+
+
 def mann_whitney_u(
     df: DataFrame,
     group_col: str,
     value_col: str,
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """Mann–Whitney U (Wilcoxon rank-sum) for a boolean two-group
     split — the nonparametric alternative to :func:`ab_lift`'s t-test
@@ -1718,20 +1731,32 @@ def mann_whitney_u(
     or every value tied (zero variance), reads NULL z; U₁/U₂ still
     report when both groups are present.
 
-    Output: ONE row (n1, n2, u1, u2, z6).
+    Output: one row per key — (*keys, n1, n2, u1, u2, z6,
+    cliffs_delta6); ONE row total when ``keys`` is empty.
 
-    100 TB: the rank window is a GLOBAL order — the combined sample is
-    single-key by definition (one test, two groups).  This op is for
-    per-experiment readouts, not per-key fan-out; for millions of
-    independent tests run it per key upstream and feed :func:`bh_fdr`.
+    100 TB: with ``keys`` (the r9-verdict grouped form — one rank-sum
+    test per segment, the relation that feeds :func:`bh_fdr` directly)
+    everything runs on ONE key exchange: the rank window, the tie
+    window, and both groupBys share the ``keys`` partitioning.  With
+    no keys the rank window is a GLOBAL order — the combined sample is
+    single-key by definition (one experiment readout, two groups);
+    that keyless form stays a conscious single-test contract.
     """
+    keys = list(keys or [])
+    _check_keys(
+        keys, ("n1", "n2", "u1", "u2", "z6", "cliffs_delta6"),
+        "mann_whitney_u",
+    )
     g, v = F.col(group_col), F.col(value_col)
     d = df.filter(g.isNotNull() & v.isNotNull()).select(
-        g.cast("boolean").alias("__g"), v.alias("__v")
+        *keys, g.cast("boolean").alias("__g"), v.alias("__v")
     )
-    wr = Window.orderBy("__v")
-    wt = Window.partitionBy("__v")
+    if keys:
+        d = d.repartition(*keys)
+    wr = Window.partitionBy(*keys).orderBy("__v")
+    wt = Window.partitionBy(*keys, "__v")
     r = d.select(
+        *keys,
         "__g",
         "__v",
         (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1)
@@ -1740,13 +1765,14 @@ def mann_whitney_u(
     )
     dec = "decimal(38,0)"
     s = (
-        r.groupBy("__v")
+        r.groupBy(*keys, "__v")
         .agg(
             F.count(F.lit(1)).alias("__t"),
             F.sum(F.when(F.col("__g"), F.col("__r2")).otherwise(0).cast(dec))
             .alias("__r2t"),
             F.sum(F.when(F.col("__g"), 1).otherwise(0)).alias("__n1v"),
         )
+        .groupBy(*keys)
         .agg(
             F.sum(F.col("__n1v")).cast("bigint").alias("n1"),
             (F.sum("__t") - F.sum("__n1v")).cast("bigint").alias("n2"),
@@ -1777,12 +1803,55 @@ def mann_whitney_u(
         both, F.round(2.0 * u1 / (n1 * n2) - 1.0, 6) + F.lit(0.0)
     )
     return s.select(
+        *keys,
         "n1",
         "n2",
         F.when(both, u1).alias("u1"),
         F.when(both, u2).alias("u2"),
         z.alias("z6"),
         delta.alias("cliffs_delta6"),
+    )
+
+
+#: 1/√(2π) as the exact double literal — shared by the Spark chain and
+#: any oracle SQL so both engines start from the identical constant.
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def normal_two_sided_p(z) -> Column:
+    """Two-sided normal p-value from a z statistic — the bridge from
+    :func:`mann_whitney_u`'s z6 readout to :func:`bh_fdr`'s p-value
+    input, built WITHOUT scipy: the Abramowitz–Stegun 26.2.17
+    polynomial for the upper tail,
+
+        t    = 1/(1 + 0.2316419·|z|)
+        Q(z) = φ(z)·t·(b₁ + t·(b₂ + t·(b₃ + t·(b₄ + t·b₅))))
+        p    = min(1, 2·Q(|z|))
+
+    with |abs err| < 7.5e-8 — two orders below the ROUND-6 readout
+    quantum, so the approximation never moves a rounded digit except
+    at an exact .5e-6 boundary (measure-zero on continuous z).
+
+    Determinism: the chain is +, *, /, exp only, written in one fixed
+    association that an oracle SQL can replay token-for-token (the
+    x_bh_fdr exp-only discipline); output ROUND-6 (+0.0).  NULL z
+    reads NULL.
+    """
+    x = F.abs(z if isinstance(z, Column) else F.col(z))
+    t = 1.0 / (1.0 + 0.2316419 * x)
+    poly = t * (
+        0.319381530
+        + t
+        * (
+            -0.356563782
+            + t * (1.781477937 + t * (-1.821255978 + t * 1.330274429))
+        )
+    )
+    q = F.exp(-x * x / 2.0) * F.lit(_INV_SQRT_2PI) * poly
+    # explicit NULL gate: least() SKIPS nulls (least(1.0, NULL) = 1.0),
+    # which would silently turn a NULL z into p = 1
+    return F.when(
+        x.isNotNull(), F.round(F.least(F.lit(1.0), 2.0 * q), 6) + F.lit(0.0)
     )
 
 
@@ -1854,6 +1923,7 @@ def kruskal_wallis(
     df: DataFrame,
     group_col: str,
     value_col: str,
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """Kruskal–Wallis H — the k-group extension of
     :func:`mann_whitney_u` (one-way ANOVA on ranks, no normality
@@ -1874,20 +1944,28 @@ def kruskal_wallis(
     integers (the spearman_corr recipe); per-group rank sums aggregate
     as DECIMAL(38,0); H is one IEEE chain ROUND-6.
 
-    Output: ONE row (k, n, h6).
+    Output: one row per key — (*keys, k, n, h6); ONE row total when
+    ``keys`` is empty.
 
-    100 TB: the single-test contract of mann_whitney_u — one global
-    rank window (one experiment readout), a (value) tie groupBy, a
-    (group) rank-sum groupBy, and a 1-row readout.  For many tests,
-    fan out per key upstream and feed :func:`bh_fdr`.
+    100 TB: with ``keys`` (the r9-verdict grouped form) the rank
+    window, tie groupBy and rank-sum groupBy all share ONE ``keys``
+    exchange, and the per-key tie totals join back on the same key —
+    the readout relation feeds :func:`bh_fdr` directly.  With no keys
+    the single-test contract of mann_whitney_u applies — one global
+    rank window (one experiment readout) and a 1-row readout.
     """
+    keys = list(keys or [])
+    _check_keys(keys, ("k", "n", "h6"), "kruskal_wallis")
     g, v = F.col(group_col), F.col(value_col)
     d = df.filter(g.isNotNull() & v.isNotNull()).select(
-        g.alias("__g"), v.alias("__v")
+        *keys, g.alias("__g"), v.alias("__v")
     )
-    wr = Window.orderBy("__v")
-    wt = Window.partitionBy("__v")
+    if keys:
+        d = d.repartition(*keys)
+    wr = Window.partitionBy(*keys).orderBy("__v")
+    wt = Window.partitionBy(*keys, "__v")
     r = d.select(
+        *keys,
         "__g",
         "__v",
         (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1)
@@ -1895,13 +1973,14 @@ def kruskal_wallis(
         .alias("__r2"),
     )
     dec = "decimal(38,0)"
-    per_g = r.groupBy("__g").agg(
+    per_g = r.groupBy(*keys, "__g").agg(
         F.count(F.lit(1)).cast("bigint").alias("__ng"),
         F.sum(F.col("__r2").cast(dec)).cast("double").alias("__sr2"),
     )
     ties = (
-        r.groupBy("__v")
+        r.groupBy(*keys, "__v")
         .agg(F.count(F.lit(1)).alias("__t"))
+        .groupBy(*keys)
         .agg(
             F.sum(
                 (F.col("__t") * F.col("__t") * F.col("__t") - F.col("__t"))
@@ -1911,7 +1990,7 @@ def kruskal_wallis(
             .alias("__tt")
         )
     )
-    s = per_g.agg(
+    s = per_g.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
         F.sum("__ng").cast("bigint").alias("n"),
         # Σ R_j²/n_j with R_j = sr2/2 (exact halves): one IEEE chain
@@ -1919,7 +1998,11 @@ def kruskal_wallis(
             (F.col("__sr2") / 2.0) * (F.col("__sr2") / 2.0)
             / F.col("__ng").cast("double")
         ).alias("__srn"),
-    ).crossJoin(F.broadcast(ties))
+    )
+    # both sides are #keys-sized readout relations; keyless → 1×1 cross
+    s = s.join(F.broadcast(ties), keys) if keys else s.crossJoin(
+        F.broadcast(ties)
+    )
     nn = F.col("n").cast("double")
     raw = 12.0 / (nn * (nn + 1.0)) * F.col("__srn") - 3.0 * (nn + 1.0)
     corr = 1.0 - F.col("__tt") / (nn * nn * nn - nn)
@@ -1927,13 +2010,14 @@ def kruskal_wallis(
         (F.col("k") >= 2) & (corr > 0),
         F.round(raw / corr, 6) + F.lit(0.0),
     )
-    return s.select("k", "n", h.alias("h6"))
+    return s.select(*keys, "k", "n", h.alias("h6"))
 
 
 def brown_forsythe(
     df: DataFrame,
     group_col: str,
     value_col: str,
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """Brown–Forsythe equality-of-variances test — "did the SPREAD
     change", the companion question to the location tests
@@ -1958,34 +2042,39 @@ def brown_forsythe(
     (exact for few-decimal metrics — the ab_lift scale discipline);
     W is one IEEE chain ROUND-6.
 
-    Output: ONE row (k, n, w6).
+    Output: one row per key — (*keys, k, n, w6); ONE row total when
+    ``keys`` is empty (the single-test readout contract).
 
-    100 TB: ONE exchange on the group key — the median rank window,
-    the deviation pass, and the per-group moment aggregation share it;
-    the k-row readout is a broadcastable final fold.
+    100 TB: ONE exchange on (*keys, group) — the median rank window,
+    the deviation pass, and the per-group moment aggregation share it
+    (a (*keys, group) partitioning satisfies the per-key fold too);
+    the per-key readout is a broadcastable final fold that feeds
+    :func:`bh_fdr` directly in the grouped form (r9 verdict).
     """
+    keys = list(keys or [])
+    _check_keys(keys, ("k", "n", "w6"), "brown_forsythe")
     g, v = F.col(group_col), F.col(value_col)
     d = df.filter(g.isNotNull() & v.isNotNull()).select(
-        g.alias("__g"), v.alias("__v")
-    ).repartition("__g")
-    w = Window.partitionBy("__g").orderBy("__v")
+        *keys, g.alias("__g"), v.alias("__v")
+    ).repartition(*keys, "__g")
+    w = Window.partitionBy(*keys, "__g").orderBy("__v")
     ranked = d.withColumn("__rn", F.row_number().over(w)).withColumn(
-        "__n", F.count(F.lit(1)).over(Window.partitionBy("__g"))
+        "__n", F.count(F.lit(1)).over(Window.partitionBy(*keys, "__g"))
     )
     med = (
         ranked.withColumn(
             "__kmed",
             F.ceil(F.col("__n").cast("double") / 2.0).cast("int"),
         )
-        .groupBy("__g")
+        .groupBy(*keys, "__g")
         .agg(F.min(F.when(F.col("__rn") == F.col("__kmed"), F.col("__v"))).alias("__med"))
     )
     dec = "decimal(38,6)"
     z = F.abs(F.col("__v") - F.col("__med"))
     per_g = (
-        d.join(med, "__g")
-        .select("__g", z.alias("__z"))
-        .groupBy("__g")
+        d.join(med, [*keys, "__g"])
+        .select(*keys, "__g", z.alias("__z"))
+        .groupBy(*keys, "__g")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("__ng"),
             F.sum(F.col("__z").cast(dec)).cast("double").alias("__sz"),
@@ -1994,7 +2083,7 @@ def brown_forsythe(
             .alias("__szz"),
         )
     )
-    s = per_g.agg(
+    s = per_g.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
         F.sum("__ng").cast("bigint").alias("n"),
         F.sum("__sz").alias("__tz"),
@@ -2015,7 +2104,7 @@ def brown_forsythe(
         F.round(((nn - kk) / (kk - 1.0)) * ssb / F.col("__ssw"), 6)
         + F.lit(0.0),
     )
-    return s.select("k", "n", wstat.alias("w6"))
+    return s.select(*keys, "k", "n", wstat.alias("w6"))
 
 
 def fisher_exact(
@@ -2023,6 +2112,7 @@ def fisher_exact(
     exposure_col: str,
     outcome_col: str,
     max_n: int = 2_000_000,
+    keys: list[str] | None = None,
 ) -> DataFrame:
     """Fisher's EXACT test for a 2×2 exposure/outcome table — the
     small-margin companion to :func:`categorical_association`'s chi²
@@ -2046,25 +2136,37 @@ def fisher_exact(
     sums are exact DECIMAL(22,12) folds of ROUND-12 terms (the
     vocab_kl discipline — summation order can never reorder floats).
 
-    Contracts: boolean columns, NULL rows EXCLUDED; n is asserted
-    ≤ ``max_n`` LOUDLY (the lnfact table is n-sized and broadcast; an
-    exact test on larger n is statistically pointless — use chi²) —
-    the global row_number window is the conscious single-test
-    partition (mann_whitney_u contract).  Empty input or an empty
-    margin reads p = 1 (the degenerate table carries no evidence).
+    Contracts: boolean columns, NULL rows EXCLUDED; TOTAL n (across
+    every key) is asserted ≤ ``max_n`` LOUDLY (the lnfact table is
+    n-sized and broadcast; an exact test on larger n is statistically
+    pointless — use chi²) — the global row_number window that builds
+    it is the conscious bounded partition (mann_whitney_u contract).
+    Empty input or an empty margin reads p = 1 (the degenerate table
+    carries no evidence).
 
-    Output: ONE row (a, b, c, d, p_two6, p_less6, p_greater6).
+    Output: ONE row (a, b, c, d, p_two6, p_less6, p_greater6), or one
+    row per key — (*keys, a, …, p_greater6) — in the grouped form
+    (r9 verdict: the per-key readout feeds :func:`bh_fdr` directly).
+    The grouped form shares the single global lnfact table (per-key n
+    ≤ total n, so every index resolves) and keys the k-expansion,
+    lookups, and tail folds.
     """
+    keys = list(keys or [])
+    _check_keys(
+        keys,
+        ("a", "b", "c", "d", "p_two6", "p_less6", "p_greater6"),
+        "fisher_exact",
+    )
     ex, oc = F.col(exposure_col), F.col(outcome_col)
     d0 = df.filter(ex.isNotNull() & oc.isNotNull()).select(
-        ex.cast("boolean").alias("__e"), oc.cast("boolean").alias("__o")
+        *keys, ex.cast("boolean").alias("__e"), oc.cast("boolean").alias("__o")
     )
 
     def cell(cond, name):
         return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
 
     e, o = F.col("__e"), F.col("__o")
-    cells = d0.agg(
+    cells = d0.groupBy(*keys).agg(
         cell(e & o, "a"),
         cell(e & ~o, "b"),
         cell(~e & o, "c"),
@@ -2103,6 +2205,7 @@ def fisher_exact(
     lfb = F.broadcast(lf)
 
     m = cells.select(
+        *keys,
         "a", "b", "c", "d",
         (F.col("a") + F.col("b")).alias("r1"),
         (F.col("c") + F.col("d")).alias("r2"),
@@ -2110,11 +2213,11 @@ def fisher_exact(
         (F.col("a") + F.col("b") + F.col("c") + F.col("d")).alias("n"),
     )
     ks = (
-        lfb.select(F.col("i").alias("k"))  # 0..n (lf carries the 0 row)
+        lfb.select(F.col("i").alias("__k"))  # 0..n (lf carries the 0 row)
         .crossJoin(F.broadcast(m))
         .filter(
-            (F.col("k") >= F.greatest(F.lit(0), F.col("c1") - F.col("r2")))
-            & (F.col("k") <= F.least(F.col("r1"), F.col("c1")))
+            (F.col("__k") >= F.greatest(F.lit(0), F.col("c1") - F.col("r2")))
+            & (F.col("__k") <= F.least(F.col("r1"), F.col("c1")))
         )
     )
 
@@ -2128,11 +2231,11 @@ def fisher_exact(
         ).drop(f"__i{out}")
 
     ks = ks.withColumn("__x1", F.col("r1")).withColumn(
-        "__x2", F.col("k")
-    ).withColumn("__x3", F.col("r1") - F.col("k")).withColumn(
+        "__x2", F.col("__k")
+    ).withColumn("__x3", F.col("r1") - F.col("__k")).withColumn(
         "__x4", F.col("r2")
-    ).withColumn("__x5", F.col("c1") - F.col("k")).withColumn(
-        "__x6", F.col("r2") - F.col("c1") + F.col("k")
+    ).withColumn("__x5", F.col("c1") - F.col("__k")).withColumn(
+        "__x6", F.col("r2") - F.col("c1") + F.col("__k")
     )
     for i, nm in ((1, "lf_r1"), (2, "lf_k"), (3, "lf_r1k"),
                   (4, "lf_r2"), (5, "lf_c1k"), (6, "lf_r2c1k")):
@@ -2146,21 +2249,33 @@ def fisher_exact(
             "__x8", "lf_c1"),
         "__x9", "lf_nc1",
     ).select(
-        (F.col("lf_n") - F.col("lf_c1") - F.col("lf_nc1")).alias("__lden")
+        *keys,
+        (F.col("lf_n") - F.col("lf_c1") - F.col("lf_nc1")).alias("__lden"),
     )
     pmf = F.exp(
         F.col("lf_r1") - F.col("lf_k") - F.col("lf_r1k")
         + F.col("lf_r2") - F.col("lf_c1k") - F.col("lf_r2c1k")
         - F.col("__lden")
     )
-    terms = ks.crossJoin(F.broadcast(denom)).select(
-        "k", "a",
+    ksd = (
+        ks.join(F.broadcast(denom), keys)
+        if keys
+        else ks.crossJoin(F.broadcast(denom))
+    )
+    terms = ksd.select(
+        *keys,
+        "__k", "a",
         F.round(pmf, 12).cast("decimal(22,12)").alias("__pmf"),
     )
-    obs = terms.filter(F.col("k") == F.col("a")).select(
-        F.col("__pmf").alias("__pobs")
+    obs = terms.filter(F.col("__k") == F.col("a")).select(
+        *keys, F.col("__pmf").alias("__pobs")
     )
-    agg = terms.crossJoin(F.broadcast(obs)).agg(
+    tj = (
+        terms.join(F.broadcast(obs), keys)
+        if keys
+        else terms.crossJoin(F.broadcast(obs))
+    )
+    agg = tj.groupBy(*keys).agg(
         F.sum(
             F.when(
                 F.col("__pmf").cast("double")
@@ -2168,10 +2283,10 @@ def fisher_exact(
                 F.col("__pmf"),
             )
         ).cast("double").alias("__p2"),
-        F.sum(F.when(F.col("k") <= F.col("a"), F.col("__pmf")))
+        F.sum(F.when(F.col("__k") <= F.col("a"), F.col("__pmf")))
         .cast("double")
         .alias("__pl"),
-        F.sum(F.when(F.col("k") >= F.col("a"), F.col("__pmf")))
+        F.sum(F.when(F.col("__k") >= F.col("a"), F.col("__pmf")))
         .cast("double")
         .alias("__pg"),
     )
@@ -2179,7 +2294,13 @@ def fisher_exact(
     def clamp6(c):
         return F.round(F.least(F.lit(1.0), c), 6) + F.lit(0.0)
 
-    return cells.crossJoin(F.broadcast(agg)).select(
+    joined = (
+        cells.join(F.broadcast(agg), keys, "left")
+        if keys
+        else cells.crossJoin(F.broadcast(agg))
+    )
+    return joined.select(
+        *keys,
         "a", "b", "c", "d",
         F.coalesce(clamp6(F.col("__p2")), F.lit(1.0)).alias("p_two6"),
         F.coalesce(clamp6(F.col("__pl")), F.lit(1.0)).alias("p_less6"),

@@ -2168,3 +2168,113 @@ def x_fisher_exact(spark, sf_dir):
         "e_",
         "o_",
     )
+
+
+@query(
+    "x_grouped_mw_fdr",
+    extra=True,  # r10 addition — takes a driver slot in _WINDOW_R10
+    sql="""
+    WITH d AS (
+      SELECT source, lang = 'en' AS g, CAST(n_chars AS DOUBLE) AS v
+      FROM documents
+      WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        AND source IS NOT NULL
+    ), r AS (
+      SELECT source, g,
+        CAST(2 * rank() OVER (PARTITION BY source ORDER BY v)
+             + count(*) OVER (PARTITION BY source, v) - 1 AS BIGINT)
+          AS r2,
+        v
+      FROM d
+    ), pv AS (
+      SELECT source, v, CAST(COUNT(*) AS BIGINT) AS t,
+        SUM(CASE WHEN g THEN CAST(r2 AS DECIMAL(38,0)) ELSE 0 END) AS r2t,
+        CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n1v
+      FROM r GROUP BY source, v
+    ), s AS (
+      SELECT source,
+             CAST(SUM(n1v) AS BIGINT) AS n1,
+             CAST(SUM(t) - SUM(n1v) AS BIGINT) AS n2,
+             CAST(SUM(r2t) AS DOUBLE) AS sr2,
+             CAST(SUM(CAST(t * t * t - t AS DECIMAL(38,0))) AS DOUBLE)
+               AS ties
+      FROM pv GROUP BY source
+    ), zz AS (
+      SELECT source, n1, n2,
+        CASE WHEN n1 > 0 AND n2 > 0
+                  AND (n1 * CAST(n2 AS DOUBLE) / 12.0)
+                      * ((n1 + n2 + 1.0)
+                         - ties / ((n1 + CAST(n2 AS DOUBLE))
+                                   * (n1 + n2 - 1.0))) > 0 THEN
+          ROUND(((sr2 / 2.0 - n1 * (n1 + 1.0) / 2.0)
+                 - n1 * CAST(n2 AS DOUBLE) / 2.0)
+                / sqrt((n1 * CAST(n2 AS DOUBLE) / 12.0)
+                       * ((n1 + n2 + 1.0)
+                          - ties / ((n1 + CAST(n2 AS DOUBLE))
+                                    * (n1 + n2 - 1.0)))), 6) + 0.0
+        END AS z6
+      FROM s
+    ), p AS (
+      SELECT source, n1, n2, z6,
+        ROUND(LEAST(1.0, 2.0 * (exp(-abs(z6) * abs(z6) / 2.0)
+          * 0.3989422804014327
+          * ((1.0 / (1.0 + 0.2316419 * abs(z6)))
+             * (0.319381530 + (1.0 / (1.0 + 0.2316419 * abs(z6)))
+               * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * abs(z6)))
+                 * (1.781477937 + (1.0 / (1.0 + 0.2316419 * abs(z6)))
+                   * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * abs(z6)))
+                     * 1.330274429))))))), 6) + 0.0 AS p6
+      FROM zz WHERE z6 IS NOT NULL
+    ), ranked AS (
+      SELECT source, n1, n2, z6, p6,
+             CAST(COUNT(*) OVER () AS BIGINT) AS m,
+             row_number() OVER (ORDER BY p6 DESC, source DESC) AS rkd
+      FROM p
+    )
+    SELECT source, n1, n2, z6, p6, m,
+      ROUND(LEAST(1.0, MIN(p6 * m / (m - rkd + 1))
+            OVER (ORDER BY p6 DESC, source DESC
+                  ROWS UNBOUNDED PRECEDING)), 6) + 0.0 AS q6,
+      ROUND(LEAST(1.0, MIN(p6 * m / (m - rkd + 1))
+            OVER (ORDER BY p6 DESC, source DESC
+                  ROWS UNBOUNDED PRECEDING)), 6) + 0.0 <= 0.05 AS reject
+    FROM ranked
+    """,
+)
+def x_grouped_mw_fdr(spark, sf_dir):
+    """The r9-verdict grouped-statistics workflow END-TO-END, no Python
+    loop: per-source Mann-Whitney U of the n_chars distribution
+    between English and non-English documents
+    (pipeline/behavioral.py:mann_whitney_u with ``keys=`` — one key
+    exchange shared by the rank window, tie window, and both folds),
+    z6 → two-sided normal p via the Abramowitz–Stegun 26.2.17
+    polynomial (behavioral.py:normal_two_sided_p — exp-only, oracle
+    replays the identical IEEE chain), then Benjamini–Hochberg FDR
+    across the ~20 sources (behavioral.py:bh_fdr).  q-values are
+    tie-invariant, so the oracle's explicit tiebreak and Spark's
+    arbitrary tie order hash identically."""
+    from pigout_spark.pipeline.behavioral import (
+        bh_fdr,
+        mann_whitney_u,
+        normal_two_sided_p,
+    )
+
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("source").isNotNull()
+    )
+    mw = mann_whitney_u(
+        d.select(
+            "source",
+            (F.col("lang") == "en").alias("g"),
+            F.col("n_chars").cast("double").alias("v"),
+        ),
+        "g",
+        "v",
+        keys=["source"],
+    )
+    p = mw.filter(F.col("z6").isNotNull()).select(
+        "source", "n1", "n2", "z6", normal_two_sided_p("z6").alias("p6")
+    )
+    return bh_fdr(p, "p6", alpha=0.05)

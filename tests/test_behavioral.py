@@ -1264,3 +1264,86 @@ def test_fisher_exact_tea_tasting(spark):
     )
     ro = fisher_exact(onem, "e", "o").first()
     assert (ro.p_two6, ro.p_less6, ro.p_greater6) == (1.0, 1.0, 1.0)
+
+
+def test_grouped_stats_equal_perkey_loop(spark):
+    """r10 (r9 verdict #4): the ``keys=`` grouped forms of the four
+    single-test statistics must equal running the keyless op on each
+    key's slice — same doubled-rank machinery, one key exchange instead
+    of a Python loop."""
+    from pigout_spark.pipeline.behavioral import (
+        brown_forsythe,
+        fisher_exact,
+        kruskal_wallis,
+        mann_whitney_u,
+    )
+
+    rows = []
+    import random
+
+    rng = random.Random(7)
+    for k in ("ka", "kb", "kc"):
+        for i in range(40):
+            rows.append(
+                (
+                    k,
+                    rng.random() < 0.4,
+                    float(rng.randrange(12)),  # plenty of ties
+                    f"g{rng.randrange(3)}",
+                )
+            )
+    df = spark.createDataFrame(rows, "seg string, g boolean, v double, c string")
+
+    def perkey(fn, *args):
+        out = {}
+        for k in ("ka", "kb", "kc"):
+            out[k] = fn(df.filter(F.col("seg") == k), *args).collect()[0]
+        return out
+
+    mw_g = {r.seg: r for r in mann_whitney_u(df, "g", "v", keys=["seg"]).collect()}
+    for k, want in perkey(mann_whitney_u, "g", "v").items():
+        got = mw_g[k]
+        assert (got.n1, got.n2, got.u1, got.u2, got.z6, got.cliffs_delta6) == (
+            want.n1, want.n2, want.u1, want.u2, want.z6, want.cliffs_delta6
+        )
+
+    kw_g = {r.seg: r for r in kruskal_wallis(df, "c", "v", keys=["seg"]).collect()}
+    for k, want in perkey(kruskal_wallis, "c", "v").items():
+        assert (kw_g[k].k, kw_g[k].n, kw_g[k].h6) == (want.k, want.n, want.h6)
+
+    bf_g = {r.seg: r for r in brown_forsythe(df, "c", "v", keys=["seg"]).collect()}
+    for k, want in perkey(brown_forsythe, "c", "v").items():
+        assert (bf_g[k].k, bf_g[k].n, bf_g[k].w6) == (want.k, want.n, want.w6)
+
+    fdf = df.withColumn("o", F.col("v") > 6)
+    fe_g = {r.seg: r for r in fisher_exact(fdf, "g", "o", keys=["seg"]).collect()}
+    for k in ("ka", "kb", "kc"):
+        want = fisher_exact(fdf.filter(F.col("seg") == k), "g", "o").collect()[0]
+        got = fe_g[k]
+        assert (got.a, got.b, got.c, got.d) == (want.a, want.b, want.c, want.d)
+        assert (got.p_two6, got.p_less6, got.p_greater6) == (
+            want.p_two6, want.p_less6, want.p_greater6
+        )
+
+    # a key named like an output statistic fails LOUDLY, not ambiguously
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collide"):
+        kruskal_wallis(df.withColumnRenamed("seg", "k"), "c", "v", keys=["k"])
+
+
+def test_normal_two_sided_p_reference_values(spark):
+    """A&S 26.2.17 against textbook normal-tail values: z=1.96 → p ≈
+    .05, z=0 → 1, z=2.575829 → .01, NULL z → NULL; |err| < 7.5e-8 so
+    ROUND-6 readouts agree with tables to the shown digit."""
+    from pigout_spark.pipeline.behavioral import normal_two_sided_p
+
+    df = spark.createDataFrame(
+        [(1.959964,), (0.0,), (2.575829,), (-1.959964,), (None,)],
+        "z double",
+    )
+    got = [r.p for r in df.select(normal_two_sided_p("z").alias("p")).collect()]
+    assert got[0] == 0.05 and got[3] == 0.05  # symmetric
+    assert got[1] == 1.0
+    assert got[2] == 0.01
+    assert got[4] is None

@@ -415,6 +415,19 @@ def test_r9_stats_and_features_plans(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_grouped_mw_fdr_single_key_exchange(spark, sf_dir):
+    """r10 (r9 verdict #4): the grouped Mann-Whitney → BH workflow
+    plans ONE key exchange for the whole test stage — the per-source
+    rank window, tie window, and both folds all run on the
+    repartition(source) partitioning.  The only SinglePartition is
+    bh_fdr's documented tests-relation window (20 rows), fed by the
+    readout, never by document data."""
+    plan = plan_of(spark, sf_dir, "x_grouped_mw_fdr")
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, final[:2000]
+    assert "CartesianProduct" not in final
+
+
 def test_evaluation_family_plans(spark, sf_dir):
     """Evaluation ops: calibration is a bins-sized groupBy with a
     map-side partial (no window, no join); ROC-AUC and uplift use the
