@@ -48,15 +48,106 @@ def binarize(df: DataFrame, col: str, out: str = "payload") -> DataFrame:
     return df.withColumn(out, F.encode(F.col(col), "UTF-8"))
 
 
+def encode_ppm(
+    width: int,
+    height: int,
+    pixels: bytes,
+    maxval: int = 255,
+    gray: bool = False,
+) -> bytes:
+    """Binary-PPM (P6) / PGM (P5) encoder — the netpbm format is simple
+    enough to implement from its public spec in a few lines, which is
+    exactly why it is this engine's dependency-free REAL image format
+    (r9 verdict #7: make image decode hash-checkable without pillow).
+    ``pixels`` is the raster: width·height·(1|3) samples, row-major,
+    RGB interleaved for P6 (maxval ≤ 255 → 1 byte/sample, else 2-byte
+    big-endian per the spec)."""
+    ch = 1 if gray else 3
+    bps = 1 if maxval <= 255 else 2
+    want = width * height * ch * bps
+    if len(pixels) != want:
+        raise ValueError(
+            f"encode_ppm: raster is {len(pixels)} bytes, expected {want} "
+            f"({width}x{height}, {ch} channel(s), {bps} byte(s)/sample)"
+        )
+    magic = b"P5" if gray else b"P6"
+    return magic + f"\n{width} {height}\n{maxval}\n".encode("ascii") + pixels
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Pure-Python binary-PPM/PGM decode → header fields plus exact
+    per-channel integer sums (the hash-stable raster statistic):
+
+        {width, height, maxval, mode ('RGB'|'L'), n_px,
+         ch_sums [r, g, b] or [gray]}
+
+    Header per the netpbm spec: magic P5/P6, then whitespace-separated
+    width/height/maxval with ``#`` comments allowed anywhere in the
+    header, then EXACTLY ONE whitespace byte before the raster.
+    Samples are 1 byte (maxval ≤ 255) or 2-byte big-endian.  Truncated
+    or malformed payloads raise ValueError naming the defect — a
+    corrupt crawl byte-range must fail loudly, not read garbage
+    stats."""
+    if len(payload) < 2 or payload[:1] != b"P" or payload[1:2] not in b"56":
+        raise ValueError("decode_ppm: not a binary PPM/PGM (magic != P5/P6)")
+    gray = payload[1:2] == b"5"
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(payload) and payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("decode_ppm: malformed header (expected digits)")
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single post-maxval whitespace byte
+    width, height, maxval = fields
+    if not (0 < maxval < 65536):
+        raise ValueError(f"decode_ppm: maxval {maxval} out of (0, 65536)")
+    ch = 1 if gray else 3
+    bps = 1 if maxval <= 255 else 2
+    want = width * height * ch * bps
+    raster = payload[pos : pos + want]
+    if len(raster) != want:
+        raise ValueError(
+            f"decode_ppm: truncated raster ({len(raster)} of {want} bytes)"
+        )
+    sums = [0] * ch
+    if bps == 1:
+        for i, b in enumerate(raster):
+            sums[i % ch] += b
+    else:
+        for i in range(0, want, 2):
+            sums[(i // 2) % ch] += (raster[i] << 8) | raster[i + 1]
+    return {
+        "width": width,
+        "height": height,
+        "maxval": maxval,
+        "mode": "L" if gray else "RGB",
+        "n_px": width * height,
+        "ch_sums": sums,
+    }
+
+
 def decode_image(payload: bytes) -> dict:
-    """Image decode → {width, height, mode}.  REAL when pillow is
-    present (PIL.Image.open over an in-memory buffer); otherwise raises
+    """Image decode → {width, height, mode}.  Binary PPM/PGM payloads
+    decode for REAL in pure Python (decode_ppm — no dependency); other
+    formats decode via PIL when pillow is present, and otherwise raise
     NotImplementedError — use fake_decode_image (or decode_images,
     which falls back automatically) for deterministic testing."""
+    if payload[:2] in (b"P5", b"P6"):
+        m = decode_ppm(payload)
+        return {"width": m["width"], "height": m["height"], "mode": m["mode"]}
     if not imaging_available():
         raise NotImplementedError(
-            "image decode requires PIL/pillow (not in this container); "
-            "use fake_decode_image for deterministic testing"
+            "non-PPM image decode requires PIL/pillow (not in this "
+            "container); use PPM payloads or fake_decode_image for "
+            "deterministic testing"
         )
     import io
 
@@ -111,6 +202,69 @@ def decode_images(
                     "width": pd.Series([m["width"] for m in metas], dtype="int32"),
                     "height": pd.Series([m["height"] for m in metas], dtype="int32"),
                     "mode": pd.Series([m["mode"] for m in metas], dtype=object),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
+def decode_ppm_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL image decode without pillow: an Arrow-batched narrow map
+    (mapInPandas — no shuffle, scales with the scan) running
+    :func:`decode_ppm` per payload.  Output carries the header plus
+    EXACT integer channel sums — means/ratios belong downstream in
+    JVM expressions (``F.round(sum/n_px, 6)``) so the rounding
+    discipline matches the oracle engine's, not Python's
+    banker's-rounding.
+
+    Schema: (id, width, height, maxval, mode, n_px,
+    sum_r, sum_g, sum_b) — for P5 grayscale the single channel reads
+    as sum_r and sum_g/sum_b are NULL."""
+    schema = (
+        f"{id_col} long, width int, height int, maxval int, mode string, "
+        "n_px long, sum_r long, sum_g long, sum_b long"
+    )
+
+    def run(batches: Iterable) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            metas = [decode_ppm(bytes(b)) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "width": pd.Series(
+                        [m["width"] for m in metas], dtype="int32"
+                    ),
+                    "height": pd.Series(
+                        [m["height"] for m in metas], dtype="int32"
+                    ),
+                    "maxval": pd.Series(
+                        [m["maxval"] for m in metas], dtype="int32"
+                    ),
+                    "mode": pd.Series([m["mode"] for m in metas], dtype=object),
+                    "n_px": pd.Series([m["n_px"] for m in metas], dtype="int64"),
+                    "sum_r": pd.Series(
+                        [m["ch_sums"][0] for m in metas], dtype="int64"
+                    ),
+                    "sum_g": pd.Series(
+                        [
+                            m["ch_sums"][1] if len(m["ch_sums"]) > 1 else None
+                            for m in metas
+                        ],
+                        dtype="Int64",
+                    ),
+                    "sum_b": pd.Series(
+                        [
+                            m["ch_sums"][2] if len(m["ch_sums"]) > 2 else None
+                            for m in metas
+                        ],
+                        dtype="Int64",
+                    ),
                 }
             )
 

@@ -815,7 +815,12 @@ def bigram_lm_score(
     no positional self-join), then one bigram-keyed aggregation
     (vocab²-bounded but corpus-sparse, map-side combined), one
     model-sized join back to the bigram stream, one per-doc
-    aggregation.  Never doc×vocab, no window, no UDF.
+    aggregation.  Never doc×vocab, no window, no UDF.  r10 (r9 verdict
+    #3): the surprisal is a function of the bigram TYPE, so it is
+    evaluated once per type inside the model relation (c2 ⋈ c1 ⋈
+    vocab — all model-sized) and the document-scale bigram stream
+    joins ONCE on (w1, w2) instead of twice ((w1, w2) then a full
+    re-shuffle onto w1); the log computes per type, not per instance.
     """
     toks = df.select(
         F.col(id_col),
@@ -847,12 +852,12 @@ def bigram_lm_score(
         .agg(F.count_distinct("__tok").cast("double").alias("__v"))
     )
     a = F.lit(float(alpha))
-    scored = (
-        bg.join(c2, ["__w1", "__w2"])
-        .join(c1, "__w1")
+    model = (
+        c2.join(c1, "__w1")
         .crossJoin(F.broadcast(vocab))
         .select(
-            F.col(id_col),
+            "__w1",
+            "__w2",
             (
                 -F.log(
                     (F.col("__c2").cast("double") + a)
@@ -861,6 +866,7 @@ def bigram_lm_score(
             ).alias("__s"),
         )
     )
+    scored = bg.join(model, ["__w1", "__w2"]).select(F.col(id_col), "__s")
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         (F.sum("__s") / F.count(F.lit(1))).alias("mean_bigram_surprisal"),

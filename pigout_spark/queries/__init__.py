@@ -147,7 +147,7 @@ assert len(_WINDOW_R8) == len(set(_WINDOW_R8)) == 50
 # x_feature_hash, x_robust_scale, x_autocorr, x_roc_auc, x_calibration,
 # x_uplift, x_url_normalize, x_rank_metrics, x_brown_forsythe,
 # x_fisher_exact.
-_WINDOW_R9 = [
+_WINDOW_R9 = [  # superseded by _WINDOW_R10 below; kept for the audit trail
     "q01_group_agg",  # flagship
     # (b) the r9 queue — never driver-checked
     "x_check_rules",
@@ -203,7 +203,77 @@ _WINDOW_R9 = [
     "x_sessionize",
 ]
 assert len(_WINDOW_R9) == len(set(_WINDOW_R9)) == 50
-_window = set(_WINDOW_R9)
+
+# r10 rotation (VERDICT r9 task 1): every query registered before this
+# round has held a driver row (the running invariant), so the window
+# holds (a) the flagship, (b) the 15 r10-queue stats/features/
+# evaluation queries (selfcheck-green since r9, never driver-checked —
+# they also carry this round's grouped-stats refactor of
+# mann_whitney/kruskal/brown_forsythe/fisher_exact and the
+# url_normalize fragment fix, so the r10 code changes are attested in
+# their own round), (c) the three queries BUILT this round
+# (x_grouped_mw_fdr — grouped MW → BH end-to-end; x_mm_decode — real
+# pure-Python PPM decode; x_upsert_replay — the streaming CDC upsert's
+# batch-replay equality, r8 #8 / r9 #6), plus q39_string_funcs3 which
+# carries the r10 Java-split reconstruction, and (d) the same 30
+# settled per-family anchors as r9.
+_WINDOW_R10 = [
+    "q01_group_agg",  # flagship
+    # (b) the r10 queue — never driver-checked, carries r10 refactors
+    "x_spearman",
+    "x_mann_whitney",
+    "x_bh_fdr",
+    "x_kruskal",
+    "x_target_enc",
+    "x_feature_hash",
+    "x_robust_scale",
+    "x_autocorr",
+    "x_roc_auc",
+    "x_calibration",
+    "x_uplift",
+    "x_url_normalize",
+    "x_rank_metrics",
+    "x_brown_forsythe",
+    "x_fisher_exact",
+    # (c) built or reconstruction-touched this round
+    "x_grouped_mw_fdr",
+    "x_mm_decode",
+    "x_upsert_replay",
+    "q39_string_funcs3",
+    # (d) settled anchors — one per operator family (same set as r9)
+    "q02_filter_project",
+    "q03_join_agg",
+    "q04_outer_join",
+    "q05_broadcast_join",
+    "q06_semi_anti",
+    "q07_cross_theta",
+    "q08_union_distinct",
+    "q09_order_limit",
+    "q11_cube",
+    "q12_rollup",
+    "q13_flatten_tokenize",
+    "q14_cogroup",
+    "q15_nested_topk",
+    "q16_split",
+    "q19_date_funcs",
+    "q22_distinct_agg",
+    "q24_pandas_udf",
+    "q25_udaf",
+    "q38_bloom_join",
+    "x_latin_q01",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash_pairs",
+    "sim_ann_topk",
+    "sim_ivf_topk",
+    "text_quality",
+    "mm_binary_meta",
+    "stream_tumbling",
+    "x_asof_join",
+    "x_sessionize",
+]
+assert len(_WINDOW_R10) == len(set(_WINDOW_R10)) == 50
+_window = set(_WINDOW_R10)
 for _k in list(REGISTRY):
     if _k not in _window:
         EXTRA_REGISTRY[_k] = REGISTRY.pop(_k)
@@ -215,7 +285,7 @@ assert not _missing, f"window names not registered anywhere: {_missing}"
 
 # Window order == list order (new-this-round rows right after the
 # flagship, settled anchors last).
-_ordered = {k: REGISTRY[k] for k in _WINDOW_R9}
+_ordered = {k: REGISTRY[k] for k in _WINDOW_R10}
 REGISTRY.clear()
 REGISTRY.update(_ordered)
 

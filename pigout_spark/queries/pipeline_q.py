@@ -4618,3 +4618,87 @@ def x_rank_metrics(spark, sf_dir):
         )
     )
     return rank_metrics(ranked, "o_orderpriority", "rank", "rel", k=10)
+
+
+@query(
+    "x_mm_decode",
+    extra=True,  # r10 addition — takes a driver slot in _WINDOW_R10
+    sql="""
+    WITH g AS (
+      SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+      FROM documents
+    ), px AS (
+      SELECT doc_id, w, h, xs.x AS x, ys.y AS y
+      FROM g, range(0, 8) xs(x), range(0, 6) ys(y)
+      WHERE xs.x < w AND ys.y < h
+    ), s AS (
+      SELECT doc_id, w, h,
+        CAST(SUM((doc_id + 7 * x + 13 * y) % 256) AS BIGINT) AS sr,
+        CAST(SUM((doc_id + 7 * x + 13 * y + 101) % 256) AS BIGINT) AS sg,
+        CAST(SUM((doc_id + 7 * x + 13 * y + 202) % 256) AS BIGINT) AS sb,
+        CAST(COUNT(*) AS BIGINT) AS npx
+      FROM px GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      CAST(255 AS INT) AS maxval,
+      ROUND(CAST(sr AS DOUBLE) / npx, 6) + 0.0 AS mean_r6,
+      ROUND(CAST(sg AS DOUBLE) / npx, 6) + 0.0 AS mean_g6,
+      ROUND(CAST(sb AS DOUBLE) / npx, 6) + 0.0 AS mean_b6
+    FROM s
+    """,
+)
+def x_mm_decode(spark, sf_dir):
+    """REAL image decode end-to-end without pillow (r9 verdict #7):
+    synthesize one binary-PPM payload per document (width/height and
+    every pixel a closed form of doc_id — pipeline/multimodal.py:
+    encode_ppm in an Arrow-batched map), then BYTE-LEVEL decode it back
+    (multimodal.py:decode_ppm_images — header parse + exact integer
+    channel sums over the raster) and read per-channel means.  The
+    oracle computes the same statistics from the closed form directly,
+    so any byte the codec misplaces — header, sample order,
+    interleaving — breaks the hash."""
+    from pigout_spark.pipeline.multimodal import (
+        decode_ppm_images,
+        encode_ppm,
+    )
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 5, 3 + did % 4
+                raster = bytes(
+                    (did + 7 * x + 13 * y + 101 * c) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(3)
+                )
+                payloads.append(encode_ppm(w, h, raster))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": payloads,
+                }
+            )
+
+    imgs = d.mapInPandas(gen, "doc_id long, payload binary")
+    dec = decode_ppm_images(imgs)
+    npx = F.col("n_px").cast("double")
+
+    def mean6(c):
+        return F.round(F.col(c).cast("double") / npx, 6) + F.lit(0.0)
+
+    return dec.select(
+        "doc_id",
+        "width",
+        "height",
+        "maxval",
+        mean6("sum_r").alias("mean_r6"),
+        mean6("sum_g").alias("mean_g6"),
+        mean6("sum_b").alias("mean_b6"),
+    )

@@ -968,3 +968,111 @@ def x_autocorr(spark, sf_dir):
         )
     )
     return autocorr(g, ["event_type"], "h", "v", max_lag=3)
+
+
+_REPLAY_SEQ = [0]  # memory-sink names must be unique within a session
+
+
+@query(
+    "x_upsert_replay",
+    extra=True,  # r10 addition — takes a driver slot in _WINDOW_R10
+    sql="""
+    WITH ch AS (
+      SELECT user_id % 200 AS k,
+             1704067200000000 + event_id * 1000000 AS ts_us,
+             CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END
+               AS op,
+             event_type AS v
+      FROM events
+      WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+        AND event_type IS NOT NULL
+    ), w AS (
+      SELECT k, ts_us, op, v,
+             row_number() OVER (PARTITION BY k ORDER BY ts_us DESC)
+               AS rn
+      FROM ch
+    )
+    SELECT k, ts_us, op,
+           '{"v":"' || v || '"}' AS payload,
+           op <> 'D' AS is_live
+    FROM w WHERE rn = 1
+    """,
+)
+def x_upsert_replay(spark, sf_dir):
+    """Batch-replay equality for the STREAMING CDC upsert (r9 verdict
+    #6, carried from r8): a deterministic two-batch prefix of changes
+    (events split by event_id parity, ts made unique per key from
+    event_id so no seq is needed) runs through the REAL
+    applyInPandasWithState operator (streaming/stateful.py:
+    upsert_state_stream) over a file source with maxFilesPerTrigger=1
+    — two genuine micro-batches with cross-batch state — and the FINAL
+    emission per key must equal the batch compaction
+    (pipeline/scd.py:compact_changelog semantics), which IS
+    SQL-expressible: the oracle compacts the union directly.
+    Max-compaction is arrival-order-insensitive (the operator's
+    documented contract), so batch order cannot move the hash."""
+    import shutil
+    import tempfile
+
+    from pigout_spark.streaming.stateful import (
+        await_stream_drain,
+        upsert_state_stream,
+    )
+
+    ch = (
+        t(spark, sf_dir, "events")
+        .filter(
+            F.col("event_id").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select(
+            (F.col("user_id") % 200).alias("k"),
+            F.timestamp_seconds(
+                F.lit(1704067200) + F.col("event_id")
+            ).alias("ts"),
+            F.when(F.col("event_type") == "purchase", "D")
+            .otherwise("U")
+            .alias("op"),
+            F.col("event_type").alias("v"),
+            (F.col("event_id") % 2).alias("__half"),
+        )
+    )
+    src = tempfile.mkdtemp(prefix="pigout_upsert_replay")
+    _REPLAY_SEQ[0] += 1
+    sink = f"x_upsert_replay_mem_{_REPLAY_SEQ[0]}"
+    try:
+        ch.filter(F.col("__half") == 0).drop("__half").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+        ch.filter(F.col("__half") == 1).drop("__half").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema("k long, ts timestamp, op string, v string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = upsert_state_stream(stream, "k", ["v"])
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        # the stateful operator's pending day-idle timeouts keep the
+        # query alive past availableNow — drain-and-stop, don't wait
+        # for a termination that never comes
+        assert await_stream_drain(q), "x_upsert_replay: stream never drained"
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    ems = spark.table(sink)
+    # final emission per key: ts_us is unique per key by construction,
+    # so max_by is deterministic
+    return ems.groupBy("k").agg(
+        F.max("ts_us").alias("ts_us"),
+        F.max_by("op", "ts_us").alias("op"),
+        F.max_by("payload", "ts_us").alias("payload"),
+        F.max_by("is_live", "ts_us").alias("is_live"),
+    )

@@ -37,6 +37,50 @@ SESSION_SCHEMA = (
 _STATE_SCHEMA = "start long, last long, n long"
 
 
+def await_stream_drain(q, timeout_seconds: float = 240.0, poll: float = 0.25) -> bool:
+    """Wait until a started streaming query has CONSUMED all available
+    input, then stop it.  ``trigger(availableNow=True)`` cannot
+    self-terminate a stateful query that holds pending processing-time
+    timeouts — the day-idle eviction these operators register keeps
+    the query alive waiting on wall-clock (measured r10: an upsert
+    stream stayed active 60 s+ after 8 s of real work, so every
+    ``awaitTermination(N)`` on one of these burns its full N).
+    Observed behavior (measured r10): such a query loops ZERO-INPUT
+    batches indefinitely (batchId keeps climbing with numInputRows=0,
+    isTriggerActive pinned True) servicing the armed timeouts, so
+    neither query death nor trigger idleness ever happens.  Drained =
+    no data available AND the LAST progress event was a zero-input
+    batch (i.e. an empty batch already ran AFTER every data batch),
+    seen on two consecutive polls.  Returns True if drained, False if
+    ``timeout_seconds`` elapsed first (the query is stopped either
+    way)."""
+    import time
+
+    deadline = time.time() + timeout_seconds
+    drained, idle = False, 0
+    while time.time() < deadline:
+        if not q.isActive:
+            drained = True
+            break
+        st = q.status
+        lp = q.lastProgress
+        if (
+            not st["isDataAvailable"]
+            and lp is not None
+            and lp["numInputRows"] == 0
+        ):
+            idle += 1
+            if idle >= 2:
+                drained = True
+                break
+        else:
+            idle = 0
+        time.sleep(poll)
+    q.stop()
+    q.awaitTermination(60)
+    return drained
+
+
 def _key_field(events: DataFrame, user_col: str) -> StructField:
     """The output key field, named and typed from the INPUT schema —
     not assumed to be ``user_id long``."""

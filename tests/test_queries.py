@@ -36,16 +36,29 @@ def test_query_runs(spark, sf_dir, name):
     assert len(df.columns) > 0
 
 
-def test_r9_window_landed():
-    """The r9 explicit window (queries/__init__.py): the driver-facing
-    set is exactly _WINDOW_R9 in order, every entry has a SQL oracle
-    (the rows-only pair rotated back to extras after its r7 rows), and
-    everything displaced kept its local oracle as an extra."""
-    from pigout_spark.queries import _WINDOW_R9
+#: the full registry size, pinned (r9 verdict #5: SURVEY prose said 208
+#: when the import said 207 — docs must not drift from code again).
+#: Update this constant WITH the SURVEY §7.4 number when adding queries.
+REGISTRY_TOTAL_PINNED = 209  # r10: 207 at r9 close + mw_fdr, mm_decode, upsert_replay
+
+
+def test_registry_size_pinned():
+    total = len(qmod.REGISTRY) + len(qmod.EXTRA_REGISTRY)
+    assert total == REGISTRY_TOTAL_PINNED, (
+        f"registry has {total} queries but REGISTRY_TOTAL_PINNED says "
+        f"{REGISTRY_TOTAL_PINNED} — update the constant AND SURVEY §7.4"
+    )
+
+
+def test_r10_window_landed():
+    """The r10 explicit window (queries/__init__.py): the driver-facing
+    set is exactly _WINDOW_R10 in order, every entry has a SQL oracle,
+    and everything displaced kept its local oracle as an extra."""
+    from pigout_spark.queries import _WINDOW_R10
 
     q = entrymod.queries()
     o = entrymod.oracle_sql()
-    assert list(q) == _WINDOW_R9
+    assert list(q) == _WINDOW_R10
     assert len(q) == qmod.DRIVER_QUERY_CAP
     for name in q:
         assert name in o, f"{name} in window without a SQL oracle"

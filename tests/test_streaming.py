@@ -9,6 +9,8 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from pigout_spark.streaming.stateful import await_stream_drain
+
 from pigout_spark.streaming.stateful import sessionize_stateful
 from pigout_spark.streaming.windows import session_agg, sliding_agg, tumbling_agg
 
@@ -80,7 +82,7 @@ def test_tumbling_agg_runs_as_real_stream(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert await_stream_drain(q)
         # append mode emits only watermark-closed windows; with a static
         # file the watermark advances to max(ts)-2h → nothing final yet,
         # so assert the stream ran and the state was populated instead.
@@ -111,7 +113,7 @@ def test_sessionize_stateful_streaming(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert await_stream_drain(q)
         got = spark.sql("select * from sessions").collect()
         # only user 1's first session closed (by the 00:45 event);
         # in-flight sessions await timeout and are not emitted
@@ -141,7 +143,7 @@ def test_catalog_load_stream_events(spark, sf_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert await_stream_drain(q)
     total = spark.sql("select sum(n) s from ev_stream").first().s
     assert total == 1000  # all sf0.001 events arrived through the stream
 
@@ -177,7 +179,7 @@ def test_append_mode_parquet_sink_with_watermark(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert await_stream_drain(q)
     got = {(r.window_start, r.n) for r in spark.read.parquet(sink).collect()}
     assert got == {(T0, 2), (T0 + dt.timedelta(minutes=10), 1)}
 
@@ -209,7 +211,7 @@ def test_stream_dedup_within_watermark(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert await_stream_drain(q)
         got = sorted(r.fp for r in spark.sql("select fp from dedup_stream").collect())
         assert got == ["fp_a", "fp_b", "fp_c"]
 
@@ -276,7 +278,7 @@ def test_interval_join_runs_as_real_stream(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert await_stream_drain(q)
         got = {
             (r.ts_a, r.ts_b) for r in spark.sql("SELECT * FROM ij").collect()
         }
@@ -322,7 +324,7 @@ def test_quality_filter_stream_runs_as_real_stream(spark):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert await_stream_drain(q)
     got = {
         r.doc_id: r.keep
         for r in spark.sql("select doc_id, keep from qf_stream").collect()
@@ -427,7 +429,7 @@ def test_funnel_stateful_streaming(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert await_stream_drain(q)
         got = spark.sql("select * from funnels").collect()
         assert len(got) == 1
         r = got[0]
@@ -464,7 +466,7 @@ def test_funnel_stateful_repeat_conversions(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert await_stream_drain(q)
         assert spark.sql("select * from funnels2").count() == 2
     finally:
         shutil.rmtree(src, ignore_errors=True)
@@ -741,7 +743,7 @@ def test_transitions_stateful_streaming(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert await_stream_drain(q)
         got = {}
         for r in spark.sql("select * from transitions").collect():
             k = (r.from_step, r.to_step)
@@ -853,7 +855,7 @@ def test_psi_from_counts_matches_psi_drift_and_runs_as_real_stream(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert await_stream_drain(q)
         streamed = spark.table("driftbins")
         assert streamed.count() > 0
         per_window = {
@@ -905,7 +907,7 @@ def test_upsert_state_stream_two_batches(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert await_stream_drain(q)
         ems = spark.sql("select * from upserts").collect()
         # final emission per key (max ts_us wins)
         final = {}
