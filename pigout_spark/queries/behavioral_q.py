@@ -2278,3 +2278,227 @@ def x_grouped_mw_fdr(spark, sf_dir):
         "source", "n1", "n2", "z6", normal_two_sided_p("z6").alias("p6")
     )
     return bh_fdr(p, "p6", alpha=0.05)
+
+
+@query(
+    "x_grouped_kruskal",
+    extra=True,  # r10 addition — r11 rotation candidate
+    sql="""
+    WITH d AS (
+      SELECT source, lang AS g, CAST(n_chars AS DOUBLE) AS v
+      FROM documents
+      WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        AND source IS NOT NULL
+    ), r AS (
+      SELECT source, g,
+        CAST(2 * rank() OVER (PARTITION BY source ORDER BY v)
+             + count(*) OVER (PARTITION BY source, v) - 1 AS BIGINT)
+          AS r2,
+        v
+      FROM d
+    ), pg AS (
+      SELECT source, g, CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(SUM(CAST(r2 AS DECIMAL(38,0))) AS DOUBLE) AS sr2
+      FROM r GROUP BY source, g
+    ), tt AS (
+      SELECT source,
+             CAST(SUM(CAST(t * t * t - t AS DECIMAL(38,0))) AS DOUBLE)
+               AS tt
+      FROM (SELECT source, CAST(COUNT(*) AS BIGINT) AS t
+            FROM r GROUP BY source, v)
+      GROUP BY source
+    ), s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(ng) AS BIGINT) AS n,
+             SUM((sr2 / 2.0) * (sr2 / 2.0) / CAST(ng AS DOUBLE)) AS srn
+      FROM pg GROUP BY source
+    )
+    SELECT s.source, k, n,
+      CASE WHEN k >= 2
+                AND (1.0 - tt / (CAST(n AS DOUBLE) * n * n - n)) > 0 THEN
+        ROUND((12.0 / (CAST(n AS DOUBLE) * (n + 1.0)) * srn
+               - 3.0 * (n + 1.0))
+              / (1.0 - tt / (CAST(n AS DOUBLE) * n * n - n)), 6) + 0.0
+      END AS h6
+    FROM s JOIN tt ON s.source = tt.source
+    """,
+)
+def x_grouped_kruskal(spark, sf_dir):
+    """Per-source Kruskal–Wallis H across the langs' n_chars
+    distributions (behavioral.py:kruskal_wallis with ``keys=`` — the
+    r10 grouped form: one key exchange, per-key tie totals joined back
+    on the key)."""
+    from pigout_spark.pipeline.behavioral import kruskal_wallis
+
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("source").isNotNull()
+    )
+    return kruskal_wallis(
+        d.select(
+            "source",
+            F.col("lang").alias("g"),
+            F.col("n_chars").cast("double").alias("v"),
+        ),
+        "g",
+        "v",
+        keys=["source"],
+    )
+
+
+@query(
+    "x_grouped_bf",
+    extra=True,  # r10 addition — r11 rotation candidate
+    sql="""
+    WITH d AS (
+      SELECT source, lang = 'en' AS g, CAST(n_chars AS DOUBLE) AS v
+      FROM documents
+      WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        AND source IS NOT NULL
+    ), ranked AS (
+      SELECT source, g, v,
+        row_number() OVER (PARTITION BY source, g ORDER BY v) AS rn,
+        count(*) OVER (PARTITION BY source, g) AS n
+      FROM d
+    ), med AS (
+      SELECT source, g,
+        MIN(CASE WHEN rn = CAST(ceil(CAST(n AS DOUBLE) / 2.0) AS INT)
+                 THEN v END) AS mv
+      FROM ranked GROUP BY source, g
+    ), z AS (
+      SELECT d.source, d.g, abs(d.v - med.mv) AS z
+      FROM d JOIN med ON d.source = med.source AND d.g = med.g
+    ), pg AS (
+      SELECT source, g, CAST(COUNT(*) AS BIGINT) AS ng,
+        CAST(SUM(CAST(z AS DECIMAL(38,6))) AS DOUBLE) AS sz,
+        CAST(SUM(CAST(z * z AS DECIMAL(38,6))) AS DOUBLE) AS szz
+      FROM z GROUP BY source, g
+    ), s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(ng) AS BIGINT) AS n,
+             SUM(sz) AS tz,
+             SUM(sz * sz / CAST(ng AS DOUBLE)) AS szn,
+             SUM(szz - sz * sz / CAST(ng AS DOUBLE)) AS ssw
+      FROM pg GROUP BY source
+    )
+    SELECT source, k, n,
+      CASE WHEN k >= 2 AND n > k AND ssw > 0 THEN
+        ROUND(((CAST(n AS DOUBLE) - k) / (CAST(k AS DOUBLE) - 1.0))
+              * (szn - tz * tz / CAST(n AS DOUBLE)) / ssw, 6) + 0.0
+      END AS w6
+    FROM s
+    """,
+)
+def x_grouped_bf(spark, sf_dir):
+    """Per-source Brown–Forsythe spread test of n_chars between
+    English and non-English docs (behavioral.py:brown_forsythe with
+    ``keys=`` — one (key, group) exchange shared by the median window,
+    deviation pass, and folds)."""
+    from pigout_spark.pipeline.behavioral import brown_forsythe
+
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("source").isNotNull()
+    )
+    return brown_forsythe(
+        d.select(
+            "source",
+            (F.col("lang") == "en").alias("g"),
+            F.col("n_chars").cast("double").alias("v"),
+        ),
+        "g",
+        "v",
+        keys=["source"],
+    )
+
+
+@query(
+    "x_grouped_fisher",
+    extra=True,  # r10 addition — r11 rotation candidate
+    sql="""
+    WITH d AS (
+      SELECT source, lang = 'en' AS e_, n_chars > 300 AS o_
+      FROM documents
+      WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        AND source IS NOT NULL
+    ), cells AS (
+      SELECT source,
+        CAST(SUM(CASE WHEN e_ AND o_ THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        CAST(SUM(CASE WHEN e_ AND NOT o_ THEN 1 ELSE 0 END) AS BIGINT)
+          AS b,
+        CAST(SUM(CASE WHEN NOT e_ AND o_ THEN 1 ELSE 0 END) AS BIGINT)
+          AS c,
+        CAST(SUM(CASE WHEN NOT e_ AND NOT o_ THEN 1 ELSE 0 END)
+             AS BIGINT) AS d
+      FROM d GROUP BY source
+    ), m AS (
+      SELECT source, a, b, c, d, a + b AS r1, c + d AS r2, a + c AS c1,
+             a + b + c + d AS n
+      FROM cells
+    ), ints AS (
+      SELECT row_number() OVER () AS i FROM d
+    ), lf AS MATERIALIZED (
+      SELECT i, SUM(ln(CAST(i AS DOUBLE)))
+                OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS lf
+      FROM ints
+      UNION ALL SELECT 0, 0.0
+    ), den AS (
+      SELECT m.source, ln_.lf - lc1.lf - lnc1.lf AS lden
+      FROM m
+      JOIN lf ln_  ON ln_.i  = m.n
+      JOIN lf lc1  ON lc1.i  = m.c1
+      JOIN lf lnc1 ON lnc1.i = m.n - m.c1
+    ), terms AS MATERIALIZED (
+      SELECT m.source, lf0.i AS k, m.a,
+        CAST(ROUND(exp(l1.lf - l2.lf - l3.lf + l4.lf - l5.lf - l6.lf
+                       - den.lden), 12) AS DECIMAL(22,12)) AS pmf
+      FROM lf lf0, m, den,
+           lf l1, lf l2, lf l3, lf l4, lf l5, lf l6
+      WHERE den.source = m.source
+        AND lf0.i BETWEEN GREATEST(0, m.c1 - m.r2) AND LEAST(m.r1, m.c1)
+        AND l1.i = m.r1 AND l2.i = lf0.i AND l3.i = m.r1 - lf0.i
+        AND l4.i = m.r2 AND l5.i = m.c1 - lf0.i
+        AND l6.i = m.r2 - m.c1 + lf0.i
+    ), obs AS (
+      SELECT source, pmf AS pobs FROM terms WHERE k = a
+    ), agg AS (
+      SELECT terms.source,
+        CAST(SUM(CASE WHEN CAST(pmf AS DOUBLE)
+                           <= CAST(pobs AS DOUBLE) * (1.0 + 1e-7)
+                      THEN pmf END) AS DOUBLE) AS p2,
+        CAST(SUM(CASE WHEN k <= a THEN pmf END) AS DOUBLE) AS pl,
+        CAST(SUM(CASE WHEN k >= a THEN pmf END) AS DOUBLE) AS pg
+      FROM terms JOIN obs ON terms.source = obs.source
+      GROUP BY terms.source
+    )
+    SELECT cells.source, a, b, c, d,
+      coalesce(ROUND(LEAST(1.0, p2), 6) + 0.0, 1.0) AS p_two6,
+      coalesce(ROUND(LEAST(1.0, pl), 6) + 0.0, 1.0) AS p_less6,
+      coalesce(ROUND(LEAST(1.0, pg), 6) + 0.0, 1.0) AS p_greater6
+    FROM cells LEFT JOIN agg ON cells.source = agg.source
+    """,
+)
+def x_grouped_fisher(spark, sf_dir):
+    """Per-source Fisher exact test of the English × long-document 2×2
+    (behavioral.py:fisher_exact with ``keys=`` — the grouped
+    hypergeometric: one GLOBAL lnfact table shared by every key's
+    k-expansion, per-key tail folds)."""
+    from pigout_spark.pipeline.behavioral import fisher_exact
+
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("source").isNotNull()
+    )
+    return fisher_exact(
+        d.select(
+            "source",
+            (F.col("lang") == "en").alias("e_"),
+            (F.col("n_chars") > 300).alias("o_"),
+        ),
+        "e_",
+        "o_",
+        keys=["source"],
+    )

@@ -39,7 +39,8 @@ def test_query_runs(spark, sf_dir, name):
 #: the full registry size, pinned (r9 verdict #5: SURVEY prose said 208
 #: when the import said 207 — docs must not drift from code again).
 #: Update this constant WITH the SURVEY §7.4 number when adding queries.
-REGISTRY_TOTAL_PINNED = 209  # r10: 207 at r9 close + mw_fdr, mm_decode, upsert_replay
+REGISTRY_TOTAL_PINNED = 212  # r10: 207 at r9 close + mw_fdr, mm_decode,
+# upsert_replay + the grouped kruskal/bf/fisher extras
 
 
 def test_registry_size_pinned():
