@@ -247,7 +247,8 @@ def test_latin_round3_builtins(spark):
     from pigout_spark.latin import translate_expr
 
     got = translate_expr("STRSPLITTOBAG(s, '#')")
-    assert "regexp_replace" in got and "split(" in got
+    # r10 construction: split -1 + slice to last non-empty element
+    assert "slice(" in got and "split(s, '#', -1)" in got
     rea = translate_expr("REGEX_EXTRACT_ALL(s, '([a-z]+)-([0-9]+)')")
     assert "RLIKE" in rea and "group_2" in rea and "^(?:" in rea
     uid = translate_expr("UniqueID()")
