@@ -8,11 +8,16 @@ supplier) and per-key cardinalities are preserved exactly: the scaled
 fixture has 10x the keys, not 10x-hotter keys.  Non-key payloads are
 replicated verbatim; region/nation (fixed dimensions) copy unchanged.
 
-Composition caveats (documented, acceptable for a throughput
-rehearsal): document texts replicate verbatim, so exact/near-dup GROUP
-SIZES grow with the factor (10x data -> 10x-larger duplicate groups,
-not 10x more distinct groups), and events timestamps are reused across
-replicas (distinct users, so per-user session structure is preserved).
+Composition note: document TEXTS get a per-replica word suffix
+("_r3"), making every replica's vocabulary DISJOINT — so near-dup
+structure is 10 independent copies of the source's (10x more distinct
+dup groups of the same size), not 10-clone groups whose candidate
+pairs grow quadratically with the factor (measured r10: verbatim
+replication made the minhash/simhash pair relations ~40x at 10x data
+— a fixture pathology, not an engine property).  Events timestamps
+are reused across replicas (distinct users, so per-user session
+structure is preserved); embeddings replicate verbatim (the ANN
+families are top-k/cell-bounded, measured linear).
 
 Usage:
     python tools/make_scale.py /root/testdata/sf0.1 .localdata/sf1 10
@@ -92,6 +97,13 @@ def main() -> int:
                 sel.append(f"{c} + __i * {strides[spec['fk'][c]]} AS {c}")
             elif c in spec.get("extra_pk", []):
                 sel.append(f"{c} + __i * {strides['__user']} AS {c}")
+            elif t == "documents" and c == "text":
+                # disjoint per-replica vocabulary (see module docstring)
+                sel.append(
+                    "CASE WHEN __i = 0 THEN text ELSE "
+                    "regexp_replace(text, '(\\S+)', "
+                    "'\\1_r' || __i, 'g') END AS text"
+                )
             else:
                 sel.append(c)
         con.execute(
