@@ -74,17 +74,20 @@ def pagerank(
     cost ~3× wall on a 3-iteration run).  The driver holds only N (a
     scalar).
     """
-    from pyspark.sql import Window
-
     # Materialize the (typically derived — a distinct, a projection of
     # a fact table) DEGREE-ANNOTATED edge relation once: a single
     # checkpoint serves the iteration, the node derivation, and the
     # degree lookup (r7: the previous shape checkpointed the raw edges
     # AND the annotated edges — two materializations of the same 600k
     # rows; one suffices since every consumer tolerates the __deg
-    # column).  Degree via a window count on the source partitioning —
-    # one exchange, no join, and the result is HashPartitioned(__s)
-    # for every round's contribution join.
+    # column).  Degree via a map-side-combined groupBy folded back with
+    # a CO-PARTITIONED shuffle-hash join (r10): the r9 window shape
+    # sorted the full edge stream by __s inside WindowExec (a window
+    # with only partitionBy still sorts) — the SHJ build side is the
+    # per-partition degree slice (|distinct src|/P rows — bounded at
+    # any scale, NOT a broadcast of a node-sized relation), measured
+    # −15% on the e-build at sf1, bit-identical output.  The result
+    # stays HashPartitioned(__s) for every round's contribution join.
     w = (
         F.col(weight_col).cast("bigint")
         if weight_col is not None
@@ -107,16 +110,11 @@ def pagerank(
                 ),
             ).isNull()
         )
-    e = (
-        edges.select(
-            F.col(src).alias("__s"), F.col(dst).alias("__d"), w.alias("__w")
-        )
-        .repartition("__s")
-        .withColumn(
-            "__deg", F.sum("__w").over(Window.partitionBy("__s"))
-        )
-        .localCheckpoint(eager=False)
-    )
+    ep = edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__d"), w.alias("__w")
+    ).repartition("__s")
+    degs = ep.groupBy("__s").agg(F.sum("__w").alias("__deg"))
+    e = ep.join(degs.hint("shuffle_hash"), "__s").localCheckpoint(eager=False)
     # Nodes read the checkpointed edges (recomputed once more by the
     # final join — one shuffle from the checkpoint, cheaper than a
     # second materialization barrier; measured r7).
