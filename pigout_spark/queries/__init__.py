@@ -204,6 +204,10 @@ _WINDOW_R9 = [  # superseded by _WINDOW_R10 below; kept for the audit trail
 ]
 assert len(_WINDOW_R9) == len(set(_WINDOW_R9)) == 50
 
+# r11 rotation candidates (added after the r10 window was fixed,
+# selfcheck-green at sf0.01+sf0.1 as added but not yet driver-checked):
+# x_grouped_kruskal, x_grouped_bf, x_grouped_fisher.
+#
 # r10 rotation (VERDICT r9 task 1): every query registered before this
 # round has held a driver row (the running invariant), so the window
 # holds (a) the flagship, (b) the 15 r10-queue stats/features/
