@@ -110,9 +110,29 @@ def pagerank(
                 ),
             ).isNull()
         )
-    ep = edges.select(
-        F.col(src).alias("__s"), F.col(dst).alias("__d"), w.alias("__w")
-    ).repartition("__s")
+    # NULL endpoints fail loudly (ADVICE r10): the degree fold is an
+    # inner join on __s, so a NULL source would silently drop the edge
+    # (and its destination from the node set) — the pre-r10 window
+    # construction kept a NULL partition instead.  The check is BAKED
+    # INTO the key projection (coalesce short-circuits for valid rows,
+    # raise_error fires for NULLs) rather than a separate assert_true
+    # filter: Catalyst infers isnotnull(__s) from the inner join and
+    # would evaluate that inferred filter first, silently removing the
+    # very rows the assert was meant to catch.
+    def _nn(col_name: str, alias: str):
+        return F.coalesce(
+            F.col(col_name),
+            F.raise_error(
+                F.lit(
+                    f"pagerank: {col_name} must be non-null (NULL-key "
+                    "edges would vanish in the degree join)"
+                )
+            ).cast(edges.schema[col_name].dataType),
+        ).alias(alias)
+
+    ep = edges.select(_nn(src, "__s"), _nn(dst, "__d"), w.alias("__w")).repartition(
+        "__s"
+    )
     degs = ep.groupBy("__s").agg(F.sum("__w").alias("__deg"))
     e = ep.join(degs.hint("shuffle_hash"), "__s").localCheckpoint(eager=False)
     # Nodes read the checkpointed edges (recomputed once more by the

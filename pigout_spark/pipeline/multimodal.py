@@ -105,6 +105,15 @@ def decode_ppm(payload: bytes) -> dict:
         if pos == start:
             raise ValueError("decode_ppm: malformed header (expected digits)")
         fields.append(int(payload[start:pos]))
+    # The spec mandates EXACTLY ONE whitespace byte between maxval and
+    # the raster; a header missing it would shift the raster read by a
+    # byte and return wrong channel sums silently (ADVICE r10) —
+    # fail loudly per the documented contract instead.
+    if not payload[pos : pos + 1].isspace():
+        raise ValueError(
+            "decode_ppm: malformed header (missing whitespace separator "
+            "after maxval)"
+        )
     pos += 1  # the single post-maxval whitespace byte
     width, height, maxval = fields
     if not (0 < maxval < 65536):

@@ -50,29 +50,54 @@ def await_stream_drain(q, timeout_seconds: float = 240.0, poll: float = 0.25) ->
     isTriggerActive pinned True) servicing the armed timeouts, so
     neither query death nor trigger idleness ever happens.  Drained =
     no data available AND the LAST progress event was a zero-input
-    batch (i.e. an empty batch already ran AFTER every data batch),
-    seen on two consecutive polls.  Returns True if drained, False if
-    ``timeout_seconds`` elapsed first (the query is stopped either
-    way)."""
+    batch whose batchId is STRICTLY AFTER the last batch that consumed
+    rows (i.e. an empty batch provably ran after every data batch),
+    seen on two consecutive polls, then re-confirmed once more after a
+    settle delay (ADVICE r10: a timeout-servicing zero-input batch
+    coinciding with a transiently-false isDataAvailable — e.g. between
+    a file landing and the source listing it — must not declare drain
+    early; the batchId ordering plus the settle re-check close that
+    race).  Returns True if drained, False if ``timeout_seconds``
+    elapsed first (the query is stopped either way)."""
     import time
 
     deadline = time.time() + timeout_seconds
     drained, idle = False, 0
+    last_data_batch = -1
     while time.time() < deadline:
         if not q.isActive:
             drained = True
             break
         st = q.status
         lp = q.lastProgress
+        if lp is not None and lp["numInputRows"] > 0:
+            last_data_batch = max(last_data_batch, lp["batchId"])
         if (
             not st["isDataAvailable"]
             and lp is not None
             and lp["numInputRows"] == 0
+            and lp["batchId"] > last_data_batch
         ):
             idle += 1
             if idle >= 2:
-                drained = True
-                break
+                # Settle, then re-verify: if data surfaced while we
+                # were counting idle polls, resume waiting.
+                time.sleep(max(poll, 0.5))
+                lp2 = q.lastProgress
+                if lp2 is not None and lp2["numInputRows"] > 0:
+                    last_data_batch = max(last_data_batch, lp2["batchId"])
+                if (
+                    not q.isActive
+                    or (
+                        not q.status["isDataAvailable"]
+                        and lp2 is not None
+                        and lp2["numInputRows"] == 0
+                        and lp2["batchId"] > last_data_batch
+                    )
+                ):
+                    drained = True
+                    break
+                idle = 0
         else:
             idle = 0
         time.sleep(poll)

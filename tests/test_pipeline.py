@@ -1796,6 +1796,28 @@ def test_pagerank_dangling_and_empty(spark):
     assert pagerank(empty).count() == 0
 
 
+def test_pagerank_null_endpoint_fails_loudly(spark):
+    """ADVICE r10: the degree fold is an inner join on the source key,
+    so a NULL src/dst must raise — not silently drop the edge (and its
+    destination from the node set)."""
+    import pytest as _pytest
+
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from pigout_spark.pipeline.graph import pagerank
+
+    bad_src = spark.createDataFrame(
+        [("a", "b"), (None, "c")], "src string, dst string"
+    )
+    with _pytest.raises(SparkRuntimeException, match="non-null"):
+        pagerank(bad_src, iterations=2).collect()
+    bad_dst = spark.createDataFrame(
+        [("a", "b"), ("b", None)], "src string, dst string"
+    )
+    with _pytest.raises(SparkRuntimeException, match="non-null"):
+        pagerank(bad_dst, iterations=2).collect()
+
+
 def test_vocab_kl_properties(spark):
     from pigout_spark.pipeline.curation import vocab_kl
 
@@ -3346,6 +3368,12 @@ def test_ppm_codec_real_decode_without_pillow(spark):
         decode_ppm(p6[:-1])
     with _pytest.raises(ValueError, match="raster is"):
         encode_ppm(2, 2, raster[:-1])
+    # ADVICE r10: a header MISSING the single post-maxval whitespace
+    # byte must raise, not shift the raster read by one byte and
+    # return wrong channel sums (b"...255AB" used to skip 'A' and sum
+    # 'B' silently when enough payload bytes remained)
+    with _pytest.raises(ValueError, match="whitespace separator"):
+        decode_ppm(b"P5 1 1 255" + bytes([65, 66]))
 
     # the distributed stage: exact integer sums, NULL g/b for gray
     df = spark.createDataFrame(

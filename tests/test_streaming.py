@@ -992,3 +992,96 @@ def test_autocorr_hand_checked(spark):
     frac = spark.createDataFrame([("k", 1, 1.5)], "k string, t long, v double")
     with _pytest.raises(SparkRuntimeException, match="integral"):
         autocorr(frac, ["k"], "t", "v", 1).collect()
+
+
+class _FakeStream:
+    """Scripted StreamingQuery stand-in for await_stream_drain: a
+    timeline of (duration_s, isDataAvailable, lastProgress) phases,
+    the last phase open-ended.  Exercises the drain logic's race
+    handling deterministically — a real query can't be made to
+    reproduce the timing on demand."""
+
+    def __init__(self, phases):
+        import time
+
+        self._t0 = time.monotonic()
+        self._phases = phases
+        self.stopped = False
+
+    def _cur(self):
+        import time
+
+        t = time.monotonic() - self._t0
+        acc = 0.0
+        for dur, avail, prog in self._phases:
+            acc += dur
+            if t < acc:
+                return avail, prog
+        return self._phases[-1][1], self._phases[-1][2]
+
+    @property
+    def isActive(self):
+        return not self.stopped
+
+    @property
+    def status(self):
+        avail, _ = self._cur()
+        return {"isDataAvailable": avail, "isTriggerActive": False}
+
+    @property
+    def lastProgress(self):
+        _, prog = self._cur()
+        return prog
+
+    def stop(self):
+        self.stopped = True
+
+    def awaitTermination(self, timeout=None):
+        return True
+
+
+def test_await_drain_settle_recheck_catches_mid_settle_data():
+    """ADVICE r10: a timeout-servicing zero-input batch coinciding
+    with transiently-false isDataAvailable must NOT declare drain
+    early.  Here data (batchId 3) lands DURING the settle window after
+    two idle polls; the re-check must resume waiting and only drain
+    once a zero-input batch (id 4) provably follows it."""
+    import time
+
+    q = _FakeStream(
+        [
+            (0.4, False, {"batchId": 2, "numInputRows": 0}),
+            (0.8, False, {"batchId": 3, "numInputRows": 7}),
+            (999.0, False, {"batchId": 4, "numInputRows": 0}),
+        ]
+    )
+    t0 = time.monotonic()
+    assert await_stream_drain(q, timeout_seconds=15.0, poll=0.25)
+    # drain declared only after the data batch's phase ended (1.2s in)
+    assert time.monotonic() - t0 >= 1.2
+    assert q.stopped
+
+
+def test_await_drain_ignores_stale_zero_input_batchid():
+    """A zero-input progress event whose batchId does NOT exceed the
+    last data batch (stale/out-of-order progress) must not count
+    toward drain."""
+    import time
+
+    q = _FakeStream(
+        [
+            (0.3, True, {"batchId": 5, "numInputRows": 10}),
+            (1.0, False, {"batchId": 3, "numInputRows": 0}),
+            (999.0, False, {"batchId": 6, "numInputRows": 0}),
+        ]
+    )
+    t0 = time.monotonic()
+    assert await_stream_drain(q, timeout_seconds=15.0, poll=0.25)
+    assert time.monotonic() - t0 >= 1.3  # survived the stale phase
+    assert q.stopped
+
+
+def test_await_drain_timeout_returns_false():
+    q = _FakeStream([(999.0, True, {"batchId": 1, "numInputRows": 5})])
+    assert not await_stream_drain(q, timeout_seconds=1.0, poll=0.2)
+    assert q.stopped
