@@ -1076,3 +1076,203 @@ def x_upsert_replay(spark, sf_dir):
         F.max_by("payload", "ts_us").alias("payload"),
         F.max_by("is_live", "ts_us").alias("is_live"),
     )
+
+
+def _write_ordered_halves(df, order_col="__ord"):
+    """Write ``df`` (minus ``order_col``) as TWO parquet files split at
+    the midpoint of ``order_col`` — the deterministic two-micro-batch
+    replay fixture for the ORDER-SENSITIVE stateful operators.  Unlike
+    x_upsert_replay's parity split (legal because max-compaction is
+    arrival-order-insensitive), funnel/transition state advances in
+    arrival order, so every half-1 row must precede every half-2 row in
+    event time: a global threshold on the order column guarantees that
+    per key.  The min/max collect is one scalar row (bounded,
+    driver-sized — the audited-collect class).  Returns the source dir;
+    caller removes it."""
+    import tempfile
+
+    lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
+    assert lo is not None, "replay fixture: empty change set"
+    mid = (lo + hi) // 2
+    src = tempfile.mkdtemp(prefix="pigout_replay")
+    half1 = df.filter(F.col(order_col) <= mid).drop(order_col)
+    half2 = df.filter(F.col(order_col) > mid).drop(order_col)
+    half1.coalesce(1).write.mode("overwrite").parquet(src)
+    half2.coalesce(1).write.mode("append").parquet(src)
+    return src
+
+
+@query(
+    "x_transitions_replay",
+    sql="""
+    WITH ch AS (
+      SELECT user_id % 500 AS k, event_id AS eid, event_type AS s
+      FROM events
+      WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+        AND event_type IS NOT NULL
+    ), w AS (
+      SELECT k, s, lag(s) OVER (PARTITION BY k ORDER BY eid) AS prev
+      FROM ch
+    )
+    SELECT k, prev AS from_step, s AS to_step,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM w WHERE prev IS NOT NULL GROUP BY 1, 2, 3
+    """,
+    extra=True,  # r11 addition — takes a driver slot in _WINDOW_R11
+)
+def x_transitions_replay(spark, sf_dir):
+    """Batch-replay equality for the STREAMING Markov-transition
+    counter (r10 verdict #7): the event log keyed to 500 buckets with
+    unique per-key timestamps (ts from event_id, as x_upsert_replay)
+    runs through the REAL applyInPandasWithState operator
+    (streaming/stateful.py:transitions_stateful) over a file source
+    with maxFilesPerTrigger=1 — two genuine micro-batches whose
+    (last_ts, last_step) state crosses the batch boundary — and the
+    SUMMED partial emissions must equal the batch lag-over-key
+    definition, which IS SQL-expressible.  The halves split at the
+    event-time midpoint so arrival order equals event order (the
+    operator's documented no-backtracking contract)."""
+    import shutil
+
+    from pigout_spark.streaming.stateful import (
+        await_stream_drain,
+        transitions_stateful,
+    )
+
+    ch = (
+        t(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("event_id").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select(
+            (F.col("user_id") % 500).alias("k"),
+            F.timestamp_seconds(F.lit(1704067200) + F.col("event_id")).alias(
+                "ts"
+            ),
+            F.col("event_type").alias("s"),
+            F.col("event_id").alias("__ord"),
+        )
+    )
+    src = _write_ordered_halves(ch)
+    _REPLAY_SEQ[0] += 1
+    sink = f"x_transitions_replay_mem_{_REPLAY_SEQ[0]}"
+    try:
+        stream = (
+            spark.readStream.schema("k long, ts timestamp, s string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = transitions_stateful(stream, user_col="k", step_col="s", ts_col="ts")
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert await_stream_drain(q), "x_transitions_replay: stream never drained"
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    # per-micro-batch PARTIAL counts -> the running transition matrix
+    return (
+        spark.table(sink)
+        .groupBy("k", "from_step", "to_step")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+@query(
+    "x_funnel_replay",
+    sql="""
+    WITH ch AS (
+      SELECT user_id % 200 AS k, event_type AS s, MIN(event_id) AS eid
+      FROM events
+      WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+        AND event_type IN ('view', 'click', 'purchase')
+      GROUP BY 1, 2
+    ), p AS (
+      SELECT k,
+             MAX(CASE WHEN s = 'view' THEN eid END) AS e1,
+             MAX(CASE WHEN s = 'click' THEN eid END) AS e2,
+             MAX(CASE WHEN s = 'purchase' THEN eid END) AS e3
+      FROM ch GROUP BY k
+    )
+    SELECT k, 1704067200 + e1 AS s1, 1704067200 + e2 AS s2,
+           1704067200 + e3 AS s3
+    FROM p
+    WHERE e1 IS NOT NULL AND e2 IS NOT NULL AND e3 IS NOT NULL
+      AND e1 < e2 AND e2 < e3
+    """,
+    extra=True,  # r11 addition — takes a driver slot in _WINDOW_R11
+)
+def x_funnel_replay(spark, sf_dir):
+    """Batch-replay equality for the STREAMING ordered funnel (r10
+    verdict #7): the change set is each key's FIRST view/click/purchase
+    (≤3 rows per key, so the greedy restart semantics reduce to ONE
+    possible chain — emitted iff t_view < t_click < t_purchase, which
+    IS SQL-expressible), streamed through the REAL
+    applyInPandasWithState operator (streaming/stateful.py:
+    funnel_stateful) as two event-time-ordered micro-batches with the
+    (stage, timestamps) state crossing the boundary.  Timestamps are
+    unique per key by construction (ts from the globally-unique
+    event_id), so the strict < comparisons are tie-free."""
+    import shutil
+
+    from pigout_spark.streaming.stateful import (
+        await_stream_drain,
+        funnel_stateful,
+    )
+
+    ch = (
+        t(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("event_id").isNotNull()
+            & F.col("event_type").isin("view", "click", "purchase")
+        )
+        .groupBy(
+            (F.col("user_id") % 200).alias("k"),
+            F.col("event_type").alias("s"),
+        )
+        .agg(F.min("event_id").alias("eid"))
+        .select(
+            "k",
+            F.timestamp_seconds(F.lit(1704067200) + F.col("eid")).alias("ts"),
+            "s",
+            F.col("eid").alias("__ord"),
+        )
+    )
+    src = _write_ordered_halves(ch)
+    _REPLAY_SEQ[0] += 1
+    sink = f"x_funnel_replay_mem_{_REPLAY_SEQ[0]}"
+    try:
+        stream = (
+            spark.readStream.schema("k long, ts timestamp, s string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = funnel_stateful(
+            stream,
+            ["view", "click", "purchase"],
+            user_col="k",
+            step_col="s",
+            ts_col="ts",
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert await_stream_drain(q), "x_funnel_replay: stream never drained"
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.table(sink).select(
+        "k",
+        F.unix_timestamp("step_1_ts").alias("s1"),
+        F.unix_timestamp("step_2_ts").alias("s2"),
+        F.unix_timestamp("step_3_ts").alias("s3"),
+    )
