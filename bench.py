@@ -90,29 +90,20 @@ REBUILD_PER_RUN = {"x_pagerank", "x_item_cf", "x_bigram_lm"}
 N_RUNS = 3
 
 
-def _duckdb_times(sf_dir: str, names: list[str], oracles: dict[str, str]) -> dict:
-    """Per-query DuckDB wall time on the identical oracle SQL — the
-    baseline side of the ≤2× gate (BASELINE.md), measured in the same
-    process right after the Spark runs."""
+def _duckdb_con(sf_dir: str):
+    """DuckDB connection with the fixture views — the baseline side of
+    the ≤2× gate (BASELINE.md), timed in the same process INTERLEAVED
+    with the Spark runs (r10 verdict #2: back-to-back engine blocks let
+    box drift land entirely on whichever engine ran second; adjacent
+    alternating samples make drift cancel in the ratio)."""
     import duckdb
 
     con = duckdb.connect()
-    times: dict[str, float] = {}
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    for name in names:
-        if name not in oracles:
-            continue
-        best = None
-        for _ in range(N_RUNS):
-            t0 = time.perf_counter()
-            con.execute(oracles[name]).fetchall()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
-    return times
+    return con
 
 
 def _warmup(spark, sf_dir: str) -> None:
@@ -184,8 +175,12 @@ def main() -> None:
     except Exception:
         pass
     _warmup(spark, sf_dir)
+    con = _duckdb_con(sf_dir)
+    oracles = {**qmod.extra_oracle_sql(), **entrymod.oracle_sql()}
+    load_start = os.getloadavg()
 
     timings: dict[str, float] = {}
+    duck: dict[str, float] = {}
     for name in names:
         # Checkpoint-based iterative queries (pagerank) materialize their
         # per-round localCheckpoints on the first action; re-running the
@@ -197,17 +192,25 @@ def main() -> None:
         if name in REBUILD_PER_RUN:
             fn = getattr(fn, "__wrapped__", fn)
         best = None
+        best_d = None
+        # Interleave the two engines' samples (S,D,S,D,...) so a
+        # transient box slowdown hits both engines' sample sets alike
+        # and cancels in the per-query ratio (r10 verdict #2).  The
+        # reported statistic is unchanged: best-of-N_RUNS per engine.
         for _ in range(N_RUNS):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            if name in oracles:
+                t0 = time.perf_counter()
+                con.execute(oracles[name]).fetchall()
+                dd = time.perf_counter() - t0
+                best_d = dd if best_d is None else min(best_d, dd)
         timings[name] = round(best, 3)
-
-    duck = _duckdb_times(
-        sf_dir, names, {**qmod.extra_oracle_sql(), **entrymod.oracle_sql()}
-    )
+        if best_d is not None:
+            duck[name] = round(best_d, 3)
     ratios = {
         n: round(timings[n] / duck[n], 2) for n in timings if duck.get(n)
     }
@@ -244,7 +247,19 @@ def main() -> None:
     # keeping the contract line short enough for the driver's capture.
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
     detail_path.write_text(
-        json.dumps({**summary, "duckdb": duck, "ratio_per_query": ratios}, indent=1)
+        json.dumps(
+            {
+                **summary,
+                "duckdb": duck,
+                "ratio_per_query": ratios,
+                # box-idle evidence for the durability series (r10
+                # verdict #2): 1/5/15-min load averages at measurement
+                # start and end
+                "load_avg_start": [round(x, 2) for x in load_start],
+                "load_avg_end": [round(x, 2) for x in os.getloadavg()],
+            },
+            indent=1,
+        )
     )
     sys.stdout.flush()
     print(json.dumps(summary), flush=True)
