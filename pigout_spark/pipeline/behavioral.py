@@ -2107,6 +2107,170 @@ def brown_forsythe(
     return s.select(*keys, "k", "n", wstat.alias("w6"))
 
 
+def anova_f(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """One-way ANOVA F — the PARAMETRIC omnibus location test
+    completing the k-group family (:func:`kruskal_wallis` is its
+    rank-based twin; :func:`brown_forsythe` is literally this ANOVA
+    applied to |v − median| — the shared skeleton is deliberate):
+
+        F = [(N−k)/(k−1)] · SSB / SSW
+        SSB = Σ_j s_j²/n_j − S²/N,   SSW = Σ_j (q_j − s_j²/n_j)
+
+    with s_j = Σ v, q_j = Σ v² per group.  Compare F to F(k−1, N−k)
+    downstream (no p-value — no F CDF builtin; the statistic is the
+    hash-stable part, the kruskal_wallis contract).
+
+    NULL group or value rows are EXCLUDED.  Degenerate inputs read
+    NULL f6: fewer than 2 groups, N ≤ k, or zero within-group spread.
+
+    Determinism: Σv and Σv² go through DECIMAL(38,6) (exact for
+    few-decimal metrics — the ab_lift scale discipline); F is one IEEE
+    chain ROUND-6.
+
+    Output: one row per key — (*keys, k, n, f6); ONE row total when
+    ``keys`` is empty (the single-test readout contract).
+
+    100 TB: ONE exchange on (*keys, group) — the per-group moment
+    aggregation is map-side combined; the per-key readout is a
+    broadcastable fold that feeds :func:`bh_fdr` directly in the
+    grouped form.
+    """
+    keys = list(keys or [])
+    _check_keys(keys, ("k", "n", "f6"), "anova_f")
+    g, v = F.col(group_col), F.col(value_col)
+    d = df.filter(g.isNotNull() & v.isNotNull()).select(
+        *keys, g.alias("__g"), v.alias("__v")
+    )
+    dec = "decimal(38,6)"
+    per_g = d.groupBy(*keys, "__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__ng"),
+        F.sum(F.col("__v").cast(dec)).cast("double").alias("__sv"),
+        F.sum((F.col("__v") * F.col("__v")).cast(dec))
+        .cast("double")
+        .alias("__svv"),
+    )
+    s = per_g.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("__ng").cast("bigint").alias("n"),
+        F.sum("__sv").alias("__tv"),
+        F.sum(
+            F.col("__sv") * F.col("__sv") / F.col("__ng").cast("double")
+        ).alias("__svn"),
+        F.sum(
+            F.col("__svv")
+            - F.col("__sv") * F.col("__sv") / F.col("__ng").cast("double")
+        ).alias("__ssw"),
+    )
+    nn, kk = F.col("n").cast("double"), F.col("k").cast("double")
+    ssb = F.col("__svn") - F.col("__tv") * F.col("__tv") / nn
+    fstat = F.when(
+        (F.col("k") >= 2) & (F.col("n") > F.col("k")) & (F.col("__ssw") > 0),
+        F.round(((nn - kk) / (kk - 1.0)) * ssb / F.col("__ssw"), 6)
+        + F.lit(0.0),
+    )
+    return s.select(*keys, "k", "n", fstat.alias("f6"))
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Welch's two-sample t-test over EXPLICIT group labels — "are
+    these two labeled cohorts' means plausibly equal", the parametric
+    companion to :func:`mann_whitney_u` (:func:`ab_lift` answers the
+    same question but ASSIGNS its variants by hashing; this one takes
+    the cohorts as found):
+
+        t = (m_a − m_b) / √(v_a/n_a + v_b/n_b)
+        dof = (v_a/n_a + v_b/n_b)² /
+              [ (v_a/n_a)²/(n_a−1) + (v_b/n_b)²/(n_b−1) ]
+
+    with v the SAMPLE variance (Welch–Satterthwaite dof; compare t to
+    t(dof) downstream — no t CDF builtin, same contract as the other
+    statistics; for the large-n normal approximation feed t6 to
+    normal_two_sided_p).
+
+    Group identity is deterministic: ``group_a`` is the SMALLER label
+    in natural order, ``group_b`` the larger — label arrival order
+    cannot flip the sign of t.
+
+    NULL group or value rows are EXCLUDED.  Degenerate inputs read
+    NULL t6/dof6: group count ≠ 2, either n < 2, or zero pooled SE.
+
+    Output: one row per key —
+    (*keys, group_a, group_b, n_a, n_b, t6, dof6).
+
+    100 TB: ONE exchange on (*keys, group) for the moment fold; the
+    two-row-per-key readout pivots with a key-partition window over a
+    #keys-sized relation.
+    """
+    keys = list(keys or [])
+    _check_keys(
+        keys, ("group_a", "group_b", "n_a", "n_b", "t6", "dof6"),
+        "welch_ttest",
+    )
+    g, v = F.col(group_col), F.col(value_col)
+    d = df.filter(g.isNotNull() & v.isNotNull()).select(
+        *keys, g.alias("__g"), v.alias("__v")
+    )
+    dec = "decimal(38,6)"
+    per_g = d.groupBy(*keys, "__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__ng"),
+        F.sum(F.col("__v").cast(dec)).cast("double").alias("__sv"),
+        F.sum((F.col("__v") * F.col("__v")).cast(dec))
+        .cast("double")
+        .alias("__svv"),
+    )
+    wg = Window.partitionBy(*keys).orderBy("__g")
+    ranked = per_g.withColumn("__rn", F.row_number().over(wg))
+
+    def pick(rn: int, col: str):
+        return F.max(F.when(F.col("__rn") == rn, F.col(col)))
+
+    s = ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__k"),
+        pick(1, "__g").alias("group_a"),
+        pick(2, "__g").alias("group_b"),
+        pick(1, "__ng").alias("n_a"),
+        pick(2, "__ng").alias("n_b"),
+        pick(1, "__sv").alias("__sva"),
+        pick(2, "__sv").alias("__svb"),
+        pick(1, "__svv").alias("__qa"),
+        pick(2, "__svv").alias("__qb"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ma, mb = F.col("__sva") / na, F.col("__svb") / nb
+    va = (F.col("__qa") - F.col("__sva") * F.col("__sva") / na) / (na - 1.0)
+    vb = (F.col("__qb") - F.col("__svb") * F.col("__svb") / nb) / (nb - 1.0)
+    sa, sb = va / na, vb / nb
+    se2 = sa + sb
+    ok = (
+        (F.col("__k") == 2)
+        & (F.col("n_a") >= 2)
+        & (F.col("n_b") >= 2)
+        & (se2 > 0)
+    )
+    t = F.when(ok, F.round((ma - mb) / F.sqrt(se2), 6) + F.lit(0.0))
+    dof = F.when(
+        ok,
+        F.round(
+            se2 * se2 / (sa * sa / (na - 1.0) + sb * sb / (nb - 1.0)), 6
+        )
+        + F.lit(0.0),
+    )
+    return s.select(
+        *keys, "group_a", "group_b", "n_a", "n_b",
+        t.alias("t6"), dof.alias("dof6"),
+    )
+
+
 def fisher_exact(
     df: DataFrame,
     exposure_col: str,

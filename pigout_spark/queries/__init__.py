@@ -278,6 +278,10 @@ _WINDOW_R10 = [
 ]
 assert len(_WINDOW_R10) == len(set(_WINDOW_R10)) == 50
 
+# r12 rotation candidates (added after the r11 window was fixed,
+# selfcheck-green at sf0.01+sf0.1 as added but not yet driver-checked):
+# x_anova_f, x_welch_ttest.
+#
 # r11 rotation (VERDICT r10 task 1): the pinned queue is small (the
 # three grouped-stats queries), so the freed slots re-anchor families
 # whose NEWEST driver row is r7 or older — computed from

@@ -2502,3 +2502,131 @@ def x_grouped_fisher(spark, sf_dir):
         "o_",
         keys=["source"],
     )
+
+
+@query(
+    "x_anova_f",
+    extra=True,  # r11 addition — r12 rotation candidate
+    sql="""
+    WITH d AS (
+      SELECT source, lang AS g, CAST(n_chars AS DOUBLE) AS v
+      FROM documents
+      WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        AND source IS NOT NULL
+    ), pg AS (
+      SELECT source, g, CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS sv,
+             CAST(SUM(CAST(v * v AS DECIMAL(38,6))) AS DOUBLE) AS svv
+      FROM d GROUP BY source, g
+    ), s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(ng) AS BIGINT) AS n,
+             SUM(sv) AS tv,
+             SUM(sv * sv / CAST(ng AS DOUBLE)) AS svn,
+             SUM(svv - sv * sv / CAST(ng AS DOUBLE)) AS ssw
+      FROM pg GROUP BY source
+    )
+    SELECT source, k, n,
+      CASE WHEN k >= 2 AND n > k AND ssw > 0 THEN
+        ROUND((CAST(n AS DOUBLE) - k) / (k - 1.0)
+              * (svn - tv * tv / CAST(n AS DOUBLE)) / ssw, 6) + 0.0
+      END AS f6
+    FROM s
+    """,
+)
+def x_anova_f(spark, sf_dir):
+    """Per-source one-way ANOVA F across the langs' n_chars
+    distributions (behavioral.py:anova_f with ``keys=`` — the
+    parametric omnibus twin of x_grouped_kruskal, same one-exchange
+    moment fold)."""
+    from pigout_spark.pipeline.behavioral import anova_f
+
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("source").isNotNull()
+    )
+    return anova_f(
+        d.select(
+            "source",
+            F.col("lang").alias("g"),
+            F.col("n_chars").cast("double").alias("v"),
+        ),
+        "g",
+        "v",
+        keys=["source"],
+    )
+
+
+@query(
+    "x_welch_ttest",
+    extra=True,  # r11 addition — r12 rotation candidate
+    sql="""
+    WITH d AS (
+      SELECT source, lang = 'en' AS g, CAST(n_chars AS DOUBLE) AS v
+      FROM documents
+      WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        AND source IS NOT NULL
+    ), pg AS (
+      SELECT source, g, CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS sv,
+             CAST(SUM(CAST(v * v AS DECIMAL(38,6))) AS DOUBLE) AS svv
+      FROM d GROUP BY source, g
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY source ORDER BY g) AS rn
+      FROM pg
+    ), s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS k,
+             MAX(CASE WHEN rn = 1 THEN g END) AS group_a,
+             MAX(CASE WHEN rn = 2 THEN g END) AS group_b,
+             MAX(CASE WHEN rn = 1 THEN ng END) AS n_a,
+             MAX(CASE WHEN rn = 2 THEN ng END) AS n_b,
+             MAX(CASE WHEN rn = 1 THEN sv END) AS sva,
+             MAX(CASE WHEN rn = 2 THEN sv END) AS svb,
+             MAX(CASE WHEN rn = 1 THEN svv END) AS qa,
+             MAX(CASE WHEN rn = 2 THEN svv END) AS qb
+      FROM r GROUP BY source
+    ), c AS (
+      SELECT source, k, group_a, group_b, n_a, n_b,
+             sva / CAST(n_a AS DOUBLE) AS ma,
+             svb / CAST(n_b AS DOUBLE) AS mb,
+             ((qa - sva * sva / CAST(n_a AS DOUBLE))
+              / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE) AS sa,
+             ((qb - svb * svb / CAST(n_b AS DOUBLE))
+              / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE) AS sb
+      FROM s
+    )
+    SELECT source, group_a, group_b, n_a, n_b,
+      CASE WHEN k = 2 AND n_a >= 2 AND n_b >= 2 AND sa + sb > 0 THEN
+        ROUND((ma - mb) / sqrt(sa + sb), 6) + 0.0
+      END AS t6,
+      CASE WHEN k = 2 AND n_a >= 2 AND n_b >= 2 AND sa + sb > 0 THEN
+        ROUND((sa + sb) * (sa + sb)
+              / (sa * sa / (CAST(n_a AS DOUBLE) - 1.0)
+                 + sb * sb / (CAST(n_b AS DOUBLE) - 1.0)), 6) + 0.0
+      END AS dof6
+    FROM c
+    """,
+)
+def x_welch_ttest(spark, sf_dir):
+    """Per-source Welch t between the en and non-en n_chars cohorts
+    (behavioral.py:welch_ttest with ``keys=`` — labeled-cohort mean
+    comparison; group_a=false (non-en) by the deterministic
+    smaller-label-first contract)."""
+    from pigout_spark.pipeline.behavioral import welch_ttest
+
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("source").isNotNull()
+    )
+    return welch_ttest(
+        d.select(
+            "source",
+            (F.col("lang") == "en").alias("g"),
+            F.col("n_chars").cast("double").alias("v"),
+        ),
+        "g",
+        "v",
+        keys=["source"],
+    )

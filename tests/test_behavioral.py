@@ -1347,3 +1347,96 @@ def test_normal_two_sided_p_reference_values(spark):
     assert got[1] == 1.0
     assert got[2] == 0.01
     assert got[4] is None
+
+
+def test_anova_f_hand_checked(spark):
+    """Hand-worked F on {1,2,3,4} vs {3,4,5,6} vs {7,8,9,10}: group
+    means 2.5/4.5/8.5, grand 31/6; SSB = 4·Σ(m_j−m)² = 74 + 2/3,
+    SSW = 3·Σ s_j²·(n_j−1)/(n_j−1)... computed directly below; equal
+    groups read NULL (zero within-spread when all values per group
+    equal and between too)."""
+    from pigout_spark.pipeline.behavioral import anova_f
+
+    groups = {"a": [1, 2, 3, 4], "b": [3, 4, 5, 6], "c": [7, 8, 9, 10]}
+    rows = [(g, float(v)) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = anova_f(df, "g", "v").first()
+    assert (r.k, r.n) == (3, 12)
+    # direct formula on the same moments
+    allv = [v for vs in groups.values() for v in vs]
+    n, k = len(allv), len(groups)
+    gm = sum(allv) / n
+    ssb = sum(len(vs) * (sum(vs) / len(vs) - gm) ** 2 for vs in groups.values())
+    ssw = sum(
+        sum((v - sum(vs) / len(vs)) ** 2 for v in vs) for vs in groups.values()
+    )
+    assert r.f6 == round((n - k) / (k - 1) * ssb / ssw, 6)
+
+    # degenerate: constant within every group -> SSW = 0 -> NULL
+    const = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.0), ("b", 7.0), ("b", 7.0)],
+        "g string, v double",
+    )
+    assert anova_f(const, "g", "v").first().f6 is None
+    # single group -> NULL
+    one = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, v double")
+    assert one.transform(lambda d: anova_f(d, "g", "v")).first().f6 is None
+
+    # grouped form == per-key loop
+    rows2 = [("k1", g, float(v)) for g, vs in groups.items() for v in vs] + [
+        ("k2", g, float(v * 2)) for g, vs in groups.items() for v in vs
+    ]
+    df2 = spark.createDataFrame(rows2, "s string, g string, v double")
+    got = {r.s: r.f6 for r in anova_f(df2, "g", "v", keys=["s"]).collect()}
+    for s in ("k1", "k2"):
+        want = anova_f(
+            df2.filter(F.col("s") == s), "g", "v"
+        ).first().f6
+        assert got[s] == want
+    # scaling every value by a constant leaves F invariant
+    assert got["k1"] == got["k2"]
+
+
+def test_welch_ttest_hand_checked(spark):
+    """Welch t on {1,2,3,4,5} vs {2,4,6,8,10,12}: means 3 and 7,
+    sample variances 2.5 and 14; t and the Welch–Satterthwaite dof
+    computed directly; group_a is the SMALLER label whatever the row
+    order, so swapping labels flips t's sign deterministically."""
+    from pigout_spark.pipeline.behavioral import welch_ttest
+
+    a = [1.0, 2.0, 3.0, 4.0, 5.0]
+    b = [2.0, 4.0, 6.0, 8.0, 10.0, 12.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = welch_ttest(df, "g", "v").first()
+    assert (r.group_a, r.group_b, r.n_a, r.n_b) == ("a", "b", 5, 6)
+    ma, mb = sum(a) / len(a), sum(b) / len(b)
+    va = sum((v - ma) ** 2 for v in a) / (len(a) - 1)
+    vb = sum((v - mb) ** 2 for v in b) / (len(b) - 1)
+    sa, sb = va / len(a), vb / len(b)
+    t = (ma - mb) / (sa + sb) ** 0.5
+    dof = (sa + sb) ** 2 / (sa**2 / (len(a) - 1) + sb**2 / (len(b) - 1))
+    assert r.t6 == round(t, 6)
+    assert r.dof6 == round(dof, 6)
+
+    # three groups -> degenerate NULL (the two-cohort contract)
+    three = spark.createDataFrame(
+        rows + [("c", 1.0), ("c", 2.0)], "g string, v double"
+    )
+    r3 = welch_ttest(three, "g", "v").first()
+    assert r3.t6 is None and r3.dof6 is None
+    # n_a < 2 -> NULL
+    tiny = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("b", 3.0)], "g string, v double"
+    )
+    assert welch_ttest(tiny, "g", "v").first().t6 is None
+    # grouped form == per-key loop
+    rows2 = [("k1", g, v) for g, v in rows] + [
+        ("k2", g, v + 1.0) for g, v in rows
+    ]
+    df2 = spark.createDataFrame(rows2, "s string, g string, v double")
+    got = {r.s: (r.t6, r.dof6)
+           for r in welch_ttest(df2, "g", "v", keys=["s"]).collect()}
+    assert got["k1"] == (round(t, 6), round(dof, 6))
+    # shifting both cohorts by a constant leaves t and dof unchanged
+    assert got["k2"] == got["k1"]

@@ -39,8 +39,9 @@ def test_query_runs(spark, sf_dir, name):
 #: the full registry size, pinned (r9 verdict #5: SURVEY prose said 208
 #: when the import said 207 — docs must not drift from code again).
 #: Update this constant WITH the SURVEY §7.4 number when adding queries.
-REGISTRY_TOTAL_PINNED = 214  # r11: 212 at r10 close + the two streaming
-# batch-replay attestations (x_funnel_replay, x_transitions_replay)
+REGISTRY_TOTAL_PINNED = 216  # r11: 212 at r10 close + the two streaming
+# batch-replay attestations (x_funnel_replay, x_transitions_replay) +
+# the parametric mean tests (x_anova_f, x_welch_ttest)
 
 
 def test_registry_size_pinned():
