@@ -75,6 +75,33 @@ HEADLINE = [
     "x_trend_fit",
 ]
 
+#: Second, clearly-labeled bench set (r10 verdict #8): families the
+#: frozen 35-query headline never times — graph beyond pagerank,
+#: sketches, survival statistics, grouped statistical tests.  Reported
+#: as separate `extended_*` fields so the headline series stays
+#: like-for-like with r4–r10; per-query extended numbers live in
+#: BENCH_DETAIL.json.
+EXTENDED = [
+    # graph beyond pagerank (x_triangles deliberately EXCLUDED: its
+    # wedge-enumeration oracle runs ~60 s at sf0.1 and DNFs at sf1 —
+    # a per-round bench must stay bounded; it keeps its r11 driver
+    # correctness row and pytest coverage)
+    "x_bfs_hops",
+    "x_sssp",
+    "x_kcore",
+    "x_label_prop",
+    # sketches
+    "x_kmv_merge",
+    "x_cms_estimate",
+    "x_qdigest_quantiles",
+    # survival statistics
+    "x_kaplan_meier",
+    "x_logrank",
+    # grouped statistical tests
+    "x_grouped_mw_fdr",
+    "x_anova_f",
+]
+
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -163,6 +190,7 @@ def main() -> None:
     # driver-facing 50 must not silently shrink the bench set
     qs = {**qmod.extra_queries(), **entrymod.queries()}
     names = [n for n in HEADLINE if n in qs]
+    ext_names = [n for n in EXTENDED if n in qs]
     # r5 post-mortem: the driver tail-captures stdout and the 28-query
     # JSON line interleaved with Spark's \r stage-progress output was
     # truncated past parseability (BENCH_r05.json "parsed": null).
@@ -179,38 +207,44 @@ def main() -> None:
     oracles = {**qmod.extra_oracle_sql(), **entrymod.oracle_sql()}
     load_start = os.getloadavg()
 
-    timings: dict[str, float] = {}
-    duck: dict[str, float] = {}
-    for name in names:
-        # Checkpoint-based iterative queries (pagerank) materialize their
-        # per-round localCheckpoints on the first action; re-running the
-        # same plan handle would time a checkpoint *read*, not the
-        # iterations.  Bypass the prepared-plan cache so every timed run
-        # rebuilds and re-executes the full iteration chain — symmetric
-        # with DuckDB re-running its unrolled CTEs each time.
-        fn = qs[name]
-        if name in REBUILD_PER_RUN:
-            fn = getattr(fn, "__wrapped__", fn)
-        best = None
-        best_d = None
-        # Interleave the two engines' samples (S,D,S,D,...) so a
-        # transient box slowdown hits both engines' sample sets alike
-        # and cancels in the per-query ratio (r10 verdict #2).  The
-        # reported statistic is unchanged: best-of-N_RUNS per engine.
-        for _ in range(N_RUNS):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-            if name in oracles:
+    def time_set(set_names: list[str]) -> tuple[dict, dict]:
+        timings: dict[str, float] = {}
+        duck: dict[str, float] = {}
+        for name in set_names:
+            # Checkpoint-based iterative queries (pagerank) materialize
+            # their per-round localCheckpoints on the first action;
+            # re-running the same plan handle would time a checkpoint
+            # *read*, not the iterations.  Bypass the prepared-plan cache
+            # so every timed run rebuilds and re-executes the full
+            # iteration chain — symmetric with DuckDB re-running its
+            # unrolled CTEs each time.
+            fn = qs[name]
+            if name in REBUILD_PER_RUN:
+                fn = getattr(fn, "__wrapped__", fn)
+            best = None
+            best_d = None
+            # Interleave the two engines' samples (S,D,S,D,...) so a
+            # transient box slowdown hits both engines' sample sets alike
+            # and cancels in the per-query ratio (r10 verdict #2).  The
+            # reported statistic is unchanged: best-of-N_RUNS per engine.
+            for _ in range(N_RUNS):
                 t0 = time.perf_counter()
-                con.execute(oracles[name]).fetchall()
-                dd = time.perf_counter() - t0
-                best_d = dd if best_d is None else min(best_d, dd)
-        timings[name] = round(best, 3)
-        if best_d is not None:
-            duck[name] = round(best_d, 3)
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+                if name in oracles:
+                    t0 = time.perf_counter()
+                    con.execute(oracles[name]).fetchall()
+                    dd = time.perf_counter() - t0
+                    best_d = dd if best_d is None else min(best_d, dd)
+            timings[name] = round(best, 3)
+            if best_d is not None:
+                duck[name] = round(best_d, 3)
+        return timings, duck
+
+    timings, duck = time_set(names)
+    ext_timings, ext_duck = time_set(ext_names)
     ratios = {
         n: round(timings[n] / duck[n], 2) for n in timings if duck.get(n)
     }
@@ -242,6 +276,16 @@ def main() -> None:
             sorted(ratios.items(), key=lambda kv: -kv[1])[:5]
         ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # second, clearly-labeled set (r10 verdict #8) — compact
+        # scalars only; per-query extended numbers in BENCH_DETAIL.json
+        "extended_total": round(sum(ext_timings.values()), 3),
+        "extended_duckdb_total": round(sum(ext_duck.values()), 3),
+        "extended_ratio_total": round(
+            sum(ext_timings[n] for n in ext_duck)
+            / max(sum(ext_duck.values()), 1e-9),
+            2,
+        ),
+        "n_extended": len(ext_timings),
     }
     # Full per-query baseline + ratio detail goes to a sidecar file —
     # keeping the contract line short enough for the driver's capture.
@@ -252,6 +296,13 @@ def main() -> None:
                 **summary,
                 "duckdb": duck,
                 "ratio_per_query": ratios,
+                "extended_queries": ext_timings,
+                "extended_duckdb": ext_duck,
+                "extended_ratio_per_query": {
+                    n: round(ext_timings[n] / ext_duck[n], 2)
+                    for n in ext_timings
+                    if ext_duck.get(n)
+                },
                 # box-idle evidence for the durability series (r10
                 # verdict #2): 1/5/15-min load averages at measurement
                 # start and end

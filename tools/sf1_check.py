@@ -91,9 +91,25 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # Oracle FIRST (it carries the cap): when it DNFs there is no
+        # digest to compare against, so collecting the Spark result to
+        # the driver would be pure waste — at 10x data the near-dup
+        # pair relations run to 10^7+ rows, and a pointless toPandas
+        # of one of those is exactly how the first sweep fell over.
+        dig = "skip"
+        oracle_s = None
+        if name in oracles:
+            t1 = time.time()
+            dig = oracle_digest(sf_dir, oracles[name], cap)
+            oracle_s = round(time.time() - t1, 1)
         t0 = time.time()
         try:
-            spdf = fn(spark, sf_dir).toPandas()
+            sdf = fn(spark, sf_dir)
+            if dig is None or dig == "skip":
+                n_spark = sdf.count()  # distributed rows evidence only
+            else:
+                spdf = sdf.toPandas()
+                n_spark = len(spdf)
         except Exception as e:  # a Spark failure at sf1 is a finding
             results[name] = {"status": "spark-error",
                              "err": f"{type(e).__name__}: {e}"[:300]}
@@ -101,20 +117,17 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {type(e).__name__}", flush=True)
             continue
         spark_s = round(time.time() - t0, 1)
-        if name not in oracles:
-            results[name] = {"status": "rows-only", "rows": len(spdf),
+        if dig == "skip":
+            results[name] = {"status": "rows-only", "rows": n_spark,
                              "spark_s": spark_s}
-            print(f"ROWS  {name}: {len(spdf)} rows ({spark_s}s)", flush=True)
+            print(f"ROWS  {name}: {n_spark} rows ({spark_s}s)", flush=True)
             continue
-        t1 = time.time()
-        dig = oracle_digest(sf_dir, oracles[name], cap)
-        oracle_s = round(time.time() - t1, 1)
         if dig is None:
-            results[name] = {"status": "oracle-dnf", "rows": len(spdf),
+            results[name] = {"status": "oracle-dnf", "rows": n_spark,
                              "spark_s": spark_s, "cap_s": cap}
             dnf += 1
             print(f"DNF   {name}: oracle exceeded {cap:.0f}s "
-                  f"(spark {spark_s}s, {len(spdf)} rows)", flush=True)
+                  f"(spark {spark_s}s, {n_spark} rows)", flush=True)
             continue
         if "error" in dig:
             results[name] = {"status": "oracle-error", "spark_s": spark_s,
