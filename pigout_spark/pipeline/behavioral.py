@@ -2470,3 +2470,198 @@ def fisher_exact(
         F.coalesce(clamp6(F.col("__pl")), F.lit(1.0)).alias("p_less6"),
         F.coalesce(clamp6(F.col("__pg")), F.lit(1.0)).alias("p_greater6"),
     )
+
+
+def two_prop_ztest(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Two-proportion pooled z-test over EXPLICIT group labels — "do
+    these two labeled cohorts convert at plausibly the same rate", the
+    large-n normal companion to :func:`fisher_exact` (which is exact
+    but needs a bounded cell; this one is pure closed-form count
+    arithmetic and runs at any n) and the proportion sibling of
+    :func:`welch_ttest`:
+
+        p̂ = (s_a + s_b)/(n_a + n_b)
+        z = (s_a/n_a − s_b/n_b) / √(p̂(1−p̂)(1/n_a + 1/n_b))
+
+    with the two-sided p via :func:`normal_two_sided_p` fed from the
+    ROUNDED z6 (the mann_whitney→bh_fdr replay discipline, so an
+    oracle can reproduce p6 from z6 token-for-token).
+
+    Group identity is deterministic: ``group_a`` is the SMALLER label
+    in natural order (the :func:`welch_ttest` contract — arrival order
+    cannot flip the sign of z).
+
+    NULL group or success rows are EXCLUDED.  Degenerate keys read
+    NULL z6/p6: group count ≠ 2, either n = 0, or pooled p̂ ∈ {0, 1}
+    (zero variance).
+
+    Output: one row per key —
+    (*keys, group_a, group_b, n_a, n_b, s_a, s_b, z6, p6); ONE row
+    total when ``keys`` is empty (the single-test readout contract).
+
+    100 TB: ONE exchange on (*keys, group) for the count fold (map-side
+    combined — counts only, no value state); the two-row-per-key pivot
+    is a key-partition window over a #keys-sized relation, and the
+    readout feeds :func:`bh_fdr` directly in the grouped form.
+    """
+    keys = list(keys or [])
+    _check_keys(
+        keys,
+        ("group_a", "group_b", "n_a", "n_b", "s_a", "s_b", "z6", "p6"),
+        "two_prop_ztest",
+    )
+    g, s = F.col(group_col), F.col(success_col)
+    d = df.filter(g.isNotNull() & s.isNotNull()).select(
+        *keys, g.alias("__g"), s.cast("boolean").cast("int").alias("__s")
+    )
+    per_g = d.groupBy(*keys, "__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__ng"),
+        F.sum("__s").cast("bigint").alias("__sg"),
+    )
+    wg = Window.partitionBy(*keys).orderBy("__g")
+    ranked = per_g.withColumn("__rn", F.row_number().over(wg))
+
+    def pick(rn: int, col: str):
+        return F.max(F.when(F.col("__rn") == rn, F.col(col)))
+
+    agg = ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__k"),
+        pick(1, "__g").alias("group_a"),
+        pick(2, "__g").alias("group_b"),
+        pick(1, "__ng").alias("n_a"),
+        pick(2, "__ng").alias("n_b"),
+        pick(1, "__sg").alias("s_a"),
+        pick(2, "__sg").alias("s_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    sa, sb = F.col("s_a").cast("double"), F.col("s_b").cast("double")
+    pool = (sa + sb) / (na + nb)
+    ok = (
+        (F.col("__k") == 2)
+        & (F.col("n_a") >= 1)
+        & (F.col("n_b") >= 1)
+        & (pool > 0.0)
+        & (pool < 1.0)
+    )
+    z = F.when(
+        ok,
+        F.round(
+            (sa / na - sb / nb)
+            / F.sqrt(pool * (1.0 - pool) * (1.0 / na + 1.0 / nb)),
+            6,
+        )
+        + F.lit(0.0),
+    )
+    out = agg.select(
+        *keys, "group_a", "group_b", "n_a", "n_b", "s_a", "s_b",
+        z.alias("z6"),
+    )
+    return out.withColumn("p6", normal_two_sided_p(F.col("z6")))
+
+
+#: in-task Theil–Sen pair slopes from a sorted (x, y) struct array —
+#: the recsys _PAIR_EXPR idiom: ordered pairs (i < j) generated inside
+#: the task by higher-order array functions (no self-join, no second
+#: exchange), equal-x pairs excluded per the Theil–Sen convention
+_SLOPE_EXPR = (
+    "flatten(transform(__pts, (p, ix) -> "
+    "transform(filter(slice(__pts, ix + 2, size(__pts) - ix - 1), "
+    "q -> q.x <> p.x), q -> (q.y - p.y) / (q.x - p.x))))"
+)
+
+
+def theil_sen(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    keys: list[str] | None = None,
+    max_points_per_key: int = 200,
+) -> DataFrame:
+    """Theil–Sen robust slope per key — the median of all pairwise
+    slopes (y_j − y_i)/(x_j − x_i), the estimator that tolerates ~29%
+    contamination where :func:`trend_fit`'s OLS slope is dragged by a
+    single extreme row (its robust companion, as :func:`mad_outliers`
+    is to z-scores).
+
+    Points per key are capped to the FIRST ``max_points_per_key``
+    under the total (x, y) order (the recsys cap discipline:
+    deterministic, SQL-mirrorable as QUALIFY row_number ≤ cap, and it
+    bounds the pair stage at cap²/2 per key — Catalyst plans the rank
+    filter as WindowGroupLimit so the sort retains only the cap-lowest
+    rows per partition).  Pairs never leave the task: the sorted point
+    array is built per key and slopes are generated in-task by
+    higher-order array functions (the recsys _PAIR_EXPR idiom — no
+    self-join).  Equal-x pairs are EXCLUDED (slope undefined), the
+    standard Theil–Sen convention.
+
+    The median is the LOWER median (order statistic at rank
+    ⌈n/2⌉ under the slope order — the :func:`mad_outliers` discipline:
+    an actual data element selected by integer rank arithmetic, no
+    interpolation, so both engines pick bit-identical medians; the
+    value at a rank is unique under value-order even with duplicate
+    slopes).  Raw slopes order the selection; only the READOUT rounds
+    (ROUND-6 + 0.0, one IEEE chain — the same division both engines
+    compute from the same doubles).
+
+    NULL x or y rows are EXCLUDED before the cap rank (the
+    mad_outliers NULL discipline — NULLs sort first and would both
+    shift the cap window and poison slopes).  Keys with no valid pair
+    (fewer than 2 points, or all x equal) read NULL slope6.
+
+    Output: one row per key — (*keys, n_points, n_pairs, slope6).
+
+    100 TB: ONE exchange on the keys (the cap window, reused by the
+    array build); the slope relation is ≤ cap²/2 per key and its
+    median is a key-partition window — no all-pairs self-join, no
+    keyless window, cap bounds task memory exactly as in recsys.
+    """
+    keys = list(keys or [])
+    _check_keys(keys, ("n_points", "n_pairs", "slope6"), "theil_sen")
+    if not keys:
+        # single-readout form: constant key, dropped at the end — the
+        # cap window then partitions on a literal, the documented
+        # one-readout contract of the keyless grouped stats
+        tagged = df.withColumn("__one", F.lit(1))
+        out = theil_sen(tagged, x_col, y_col, ["__one"], max_points_per_key)
+        return out.drop("__one")
+    x, y = F.col(x_col), F.col(y_col)
+    d = df.filter(x.isNotNull() & y.isNotNull()).select(
+        *keys,
+        x.cast("double").alias("x"),
+        y.cast("double").alias("y"),
+    )
+    wc = Window.partitionBy(*keys).orderBy("x", "y")
+    capped = (
+        d.withColumn("__rn", F.row_number().over(wc))
+        .filter(F.col("__rn") <= int(max_points_per_key))
+    )
+    base = (
+        capped.groupBy(*keys)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("x", "y"))).alias("__pts")
+        )
+        .select(
+            *keys,
+            F.size("__pts").cast("bigint").alias("n_points"),
+            F.expr(_SLOPE_EXPR).alias("__slopes"),
+        )
+        .withColumn("n_pairs", F.size("__slopes").cast("bigint"))
+    )
+    slopes = base.select(*keys, F.explode("__slopes").alias("__s"))
+    wm = Window.partitionBy(*keys).orderBy("__s")
+    wk = Window.partitionBy(*keys)
+    med = (
+        slopes.withColumn("__rs", F.row_number().over(wm))
+        .withColumn("__ns", F.count(F.lit(1)).over(wk))
+        .filter(F.col("__rs") == F.expr("(__ns + 1) div 2"))
+        .groupBy(*keys)
+        .agg((F.round(F.min("__s"), 6) + F.lit(0.0)).alias("slope6"))
+    )
+    return base.select(*keys, "n_points", "n_pairs").join(
+        F.broadcast(med), keys, "left"
+    )

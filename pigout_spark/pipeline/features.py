@@ -211,3 +211,206 @@ def robust_scale(
         .withColumn(out, scaled)
         .drop("__q25", "__q50", "__q75")
     )
+
+
+#: exact micro-unit quantization of a float32 embedding component:
+#: x·10⁶ is EXACT in double (24-bit float32 mantissa × 5⁶ (14 bits)
+#: = 38 significant bits < 53), so the half-away-from-zero tie rule
+#: resolves identically in every engine (Spark ROUND is HALF_UP =
+#: away from zero; DuckDB ROUND likewise) — the covariance fold below
+#: then runs on exact integers and is order-free by construction
+_MICRO_EXPR = (
+    "transform({vec}, x -> "
+    "cast(round(cast(x as double) * 1000000.0) as bigint))"
+)
+
+#: in-task upper-triangle second-moment products from the micro array
+#: (the recsys/theil_sen pair idiom lifted to (index, index) cells):
+#: i ≤ j including the diagonal, plus one (i, -1) sentinel struct per
+#: dimension carrying the FIRST moment — one explode feeds one
+#: map-side-combined aggregation, so the shuffle is #partitions ×
+#: d(d+3)/2 rows no matter how many vectors stream through
+_MOMENT_EXPR = (
+    "concat("
+    "flatten(transform(__mq, (xi, i) -> "
+    "transform(slice(__mq, i + 1, size(__mq) - i), "
+    "(xj, jo) -> struct(i as i, i + jo as j, xi * xj as p)))), "
+    "transform(__mq, (xi, i) -> struct(i as i, -1 as j, xi as p)))"
+)
+
+
+def embedding_moments(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Exact integer moment sums over an embedding column — the one
+    distributed pass under :func:`embedding_covariance` /
+    :func:`pca_components`: per upper-triangle cell (i ≤ j) the sum of
+    micro-unit products Σ m_i·m_j (units 10⁻¹²), per dimension the
+    sentinel row (i, −1) with Σ m_i (units 10⁻⁶), and n on every row.
+
+    Products are cast to DECIMAL(38,0) BEFORE summing (an int64 sum
+    overflows at ~10⁵ vectors × |x| ≈ 8; the decimal sum is exact and
+    order-free, the engine-agnostic twin of DuckDB's HUGEINT sum).
+
+    NULL vectors are EXCLUDED; a non-NULL vector whose length differs
+    from its batch's first row fails LOUDLY via the dimension gate
+    (mixed-dim corpora would silently misalign the (i, j) cells —
+    the graph weight-contract pattern).  Pass ``dim`` to pin the
+    expected width explicitly.
+
+    100 TB: the d(d+1)/2-per-row product fan-out never leaves the
+    task (hash-aggregate partial combine collapses it to one cell
+    relation per partition before the ONE exchange); CPU is the
+    n·d²/2 multiply-adds inherent to a covariance, run as codegen'd
+    integer arithmetic, not Python.
+    """
+    vec = F.col(vec_col)
+    d = df.filter(vec.isNotNull())
+    first_dim = dim
+    if first_dim is None:
+        probe = d.select(F.size(vec).alias("s")).first()
+        if probe is None:
+            raise ValueError("embedding_moments: no non-NULL vectors")
+        first_dim = int(probe.s)
+    # assert_true returns NULL on success, so the filter keeps every
+    # valid row and the dimension check rides the existing scan —
+    # distributed, unprunable (the pagerank weight-contract pattern)
+    mq = d.filter(
+        F.assert_true(
+            F.size(vec) == F.lit(int(first_dim)),
+            F.concat(
+                F.lit(f"embedding_moments: expected dim {first_dim}, got "),
+                F.size(vec).cast("string"),
+            ),
+        ).isNull()
+    ).select(F.expr(_MICRO_EXPR.format(vec=vec_col)).alias("__mq"))
+    return (
+        mq.select(F.explode(F.expr(_MOMENT_EXPR)).alias("__m"))
+        .groupBy(
+            F.col("__m.i").cast("int").alias("i"),
+            F.col("__m.j").cast("int").alias("j"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("__m.p").cast("decimal(38,0)")).alias("s"),
+        )
+    )
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Population covariance matrix of an embedding column, upper
+    triangle as rows — the PCA/whitening input a training pipeline
+    computes over the full corpus before dimensionality reduction
+    (:func:`pca_components` eigendecomposes it;
+    :func:`similarity.quantize_embeddings` is the storage-side
+    counterpart):
+
+        cov_ij = Σxy/n − (Σx/n)(Σy/n)
+
+    computed on the EXACT integer micro-unit sums of
+    :func:`embedding_moments`, finished in one fixed IEEE chain per
+    cell (each exact decimal casts to the same nearest double in any
+    engine) and ROUND-6 (+0.0).
+
+    Output: (i, j, n, cov6) for 0 ≤ i ≤ j < d — d(d+1)/2 rows.
+
+    100 TB: the data pass is embedding_moments' single exchange; this
+    readout joins the d-row first-moment slice to the cell relation
+    twice, both broadcasts of a d-row relation.
+    """
+    mom = embedding_moments(df, vec_col, dim)
+    firsts = mom.filter(F.col("j") == -1).select(
+        F.col("i").alias("__fi"), F.col("s").alias("__sx")
+    )
+    cells = mom.filter(F.col("j") >= 0)
+    nn = F.col("n").cast("double")
+    cov = (
+        F.col("s").cast("double") / nn
+        - (F.col("__sx").cast("double") / nn)
+        * (F.col("__sy").cast("double") / nn)
+    ) / 1000000000000.0
+    return (
+        cells.join(F.broadcast(firsts), cells.i == firsts.__fi)
+        .drop("__fi")
+        .join(
+            F.broadcast(
+                firsts.select(
+                    F.col("__fi").alias("__fj"), F.col("__sx").alias("__sy")
+                )
+            ),
+            cells.j == F.col("__fj"),
+        )
+        .select(
+            "i", "j", "n", (F.round(cov, 6) + F.lit(0.0)).alias("cov6")
+        )
+        .orderBy("i", "j")
+    )
+
+
+def pca_components(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    dim: int | None = None,
+) -> tuple[list[list[float]], list[float]]:
+    """Top-k principal axes of the embedding corpus: eigendecompose
+    the :func:`embedding_covariance` matrix driver-side (numpy eigh on
+    a d×d symmetric matrix — the collect is d(d+1)/2 rows, BOUNDED by
+    the embedding width like the audited PQ-codebook collects, never
+    by corpus size) and return (components [k][d], explained variance
+    [k]), eigenvalues descending.
+
+    Sign convention for determinism: each component is flipped so its
+    largest-|coefficient| entry is positive (eigh's sign is otherwise
+    arbitrary and run-dependent).
+    """
+    import numpy as np
+
+    rows = embedding_covariance(df, vec_col, dim).collect()
+    d = 1 + max(r.i for r in rows)
+    m = np.zeros((d, d))
+    for r in rows:
+        if r.j >= 0:
+            m[r.i][r.j] = m[r.j][r.i] = r.cov6
+    vals, vecs = np.linalg.eigh(m)
+    order = np.argsort(vals)[::-1][: int(k)]
+    comps, ev = [], []
+    for ix in order:
+        v = vecs[:, ix]
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+        ev.append(float(vals[ix]))
+    return comps, ev
+
+
+def pca_project(
+    df: DataFrame,
+    components: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project each embedding onto fixed principal axes — a JVM-side
+    array fold per component (the similarity.dot idiom: zip_with +
+    aggregate, no UDF), appending ``out_col`` as array<double> of
+    length len(components).  Components ride into the plan as
+    literals (k·d doubles — trivially broadcast-sized).
+
+    100 TB: a narrow map, no exchange; chain ahead of
+    :func:`similarity.ann_topk` to search in the reduced space.
+    """
+    from pigout_spark.pipeline.similarity import as_double, dot
+
+    vec = as_double(F.col(vec_col))
+    projs = [
+        dot(vec, F.array(*[F.lit(float(c)) for c in comp]))
+        for comp in components
+    ]
+    return df.withColumn(out_col, F.array(*projs))

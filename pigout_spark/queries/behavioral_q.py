@@ -2630,3 +2630,143 @@ def x_welch_ttest(spark, sf_dir):
         "v",
         keys=["source"],
     )
+
+
+@query(
+    "x_two_prop_z",
+    extra=True,  # r11 addition — r12 rotation candidate
+    sql="""
+    WITH d AS (
+      SELECT source, n_chars > 300 AS g,
+             CAST(lang = 'en' AS INT) AS s
+      FROM documents
+      WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        AND source IS NOT NULL
+    ), pg AS (
+      SELECT source, g, CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(SUM(s) AS BIGINT) AS sg
+      FROM d GROUP BY source, g
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY source ORDER BY g) AS rn
+      FROM pg
+    ), piv AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS k,
+             MAX(CASE WHEN rn = 1 THEN g END) AS group_a,
+             MAX(CASE WHEN rn = 2 THEN g END) AS group_b,
+             MAX(CASE WHEN rn = 1 THEN ng END) AS n_a,
+             MAX(CASE WHEN rn = 2 THEN ng END) AS n_b,
+             MAX(CASE WHEN rn = 1 THEN sg END) AS s_a,
+             MAX(CASE WHEN rn = 2 THEN sg END) AS s_b
+      FROM r GROUP BY source
+    ), zz AS (
+      SELECT source, group_a, group_b, n_a, n_b, s_a, s_b,
+        CASE WHEN k = 2 AND n_a >= 1 AND n_b >= 1
+                  AND (s_a + CAST(s_b AS DOUBLE)) / (n_a + n_b) > 0.0
+                  AND (s_a + CAST(s_b AS DOUBLE)) / (n_a + n_b) < 1.0
+        THEN
+          ROUND((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+                / sqrt(((s_a + CAST(s_b AS DOUBLE)) / (n_a + n_b))
+                       * (1.0 - (s_a + CAST(s_b AS DOUBLE)) / (n_a + n_b))
+                       * (1.0 / n_a + 1.0 / n_b)), 6) + 0.0
+        END AS z6
+      FROM piv
+    )
+    SELECT source, group_a, group_b, n_a, n_b, s_a, s_b, z6,
+      CASE WHEN z6 IS NULL THEN NULL ELSE
+        ROUND(LEAST(1.0, 2.0 * (exp(-abs(z6) * abs(z6) / 2.0)
+          * 0.3989422804014327
+          * ((1.0 / (1.0 + 0.2316419 * abs(z6)))
+             * (0.319381530 + (1.0 / (1.0 + 0.2316419 * abs(z6)))
+               * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * abs(z6)))
+                 * (1.781477937 + (1.0 / (1.0 + 0.2316419 * abs(z6)))
+                   * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * abs(z6)))
+                     * 1.330274429))))))), 6) + 0.0
+      END AS p6
+    FROM zz
+    """,
+)
+def x_two_prop_z(spark, sf_dir):
+    """Per-source two-proportion pooled z between the long-doc and
+    short-doc cohorts' en-rates (behavioral.py:two_prop_ztest with
+    ``keys=`` — the large-n companion to x_grouped_fisher over the
+    SAME 2×2 margins; group_a=false (short docs) by the deterministic
+    smaller-label-first contract)."""
+    from pigout_spark.pipeline.behavioral import two_prop_ztest
+
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("source").isNotNull()
+    )
+    return two_prop_ztest(
+        d.select(
+            "source",
+            (F.col("n_chars") > 300).alias("g"),
+            (F.col("lang") == "en").alias("s"),
+        ),
+        "g",
+        "s",
+        keys=["source"],
+    )
+
+
+@query(
+    "x_theil_sen",
+    extra=True,  # r11 addition — r12 rotation candidate
+    sql="""
+    WITH d AS (
+      SELECT l_returnflag AS rf, CAST(l_quantity AS DOUBLE) AS x,
+             CAST(l_extendedprice AS DOUBLE) AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ), r AS (
+      SELECT rf, x, y, row_number() OVER (PARTITION BY rf ORDER BY x, y)
+             AS rn
+      FROM d
+    ), c AS (
+      SELECT * FROM r WHERE rn <= 200
+    ), base AS (
+      SELECT rf, CAST(COUNT(*) AS BIGINT) AS n_points FROM c GROUP BY rf
+    ), pr AS (
+      SELECT a.rf, (b.y - a.y) / (b.x - a.x) AS s
+      FROM c a JOIN c b ON a.rf = b.rf AND a.rn < b.rn AND a.x <> b.x
+    ), np AS (
+      SELECT rf, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pr GROUP BY rf
+    ), m AS (
+      SELECT rf, s, row_number() OVER (PARTITION BY rf ORDER BY s) AS rs,
+             COUNT(*) OVER (PARTITION BY rf) AS ns
+      FROM pr
+    ), med AS (
+      SELECT rf, ROUND(MIN(s), 6) + 0.0 AS slope6
+      FROM m WHERE rs = (ns + 1) // 2 GROUP BY rf
+    )
+    SELECT base.rf AS l_returnflag, base.n_points,
+           COALESCE(np.n_pairs, 0) AS n_pairs, med.slope6
+    FROM base
+    LEFT JOIN np ON base.rf = np.rf
+    LEFT JOIN med ON base.rf = med.rf
+    """,
+)
+def x_theil_sen(spark, sf_dir):
+    """Per-returnflag Theil–Sen slope of extendedprice against
+    quantity on the first 200 (quantity, price) points
+    (behavioral.py:theil_sen — robust pairwise-median slope, cap
+    engaged so the in-task pair stage and the SQL self-join see the
+    same 19 900-pair relation per flag)."""
+    from pigout_spark.pipeline.behavioral import theil_sen
+
+    d = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+    )
+    return theil_sen(
+        d.select(
+            "l_returnflag",
+            F.col("l_quantity").cast("double").alias("x"),
+            F.col("l_extendedprice").cast("double").alias("y"),
+        ),
+        "x",
+        "y",
+        keys=["l_returnflag"],
+        max_points_per_key=200,
+    )

@@ -4702,3 +4702,47 @@ def x_mm_decode(spark, sf_dir):
         mean6("sum_g").alias("mean_g6"),
         mean6("sum_b").alias("mean_b6"),
     )
+
+
+@query(
+    "x_emb_covariance",
+    extra=True,  # r11 addition — r12 rotation candidate
+    sql="""
+    WITH q AS (
+      SELECT [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+              FOR x IN embedding] AS mq
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), idx AS (
+      SELECT CAST(i AS INT) AS i FROM range(64) t(i)
+    ), m1 AS (
+      SELECT idx.i, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(mq[idx.i + 1] AS HUGEINT)) AS sx
+      FROM q CROSS JOIN idx GROUP BY idx.i
+    ), cells AS (
+      SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON a.i <= b.i
+    ), m2 AS (
+      SELECT c.i, c.j,
+             SUM(CAST(mq[c.i + 1] * mq[c.j + 1] AS HUGEINT)) AS sxy
+      FROM q CROSS JOIN cells c GROUP BY c.i, c.j
+    )
+    SELECT m2.i, m2.j, a.n,
+      ROUND((CAST(sxy AS DOUBLE) / a.n
+             - (CAST(a.sx AS DOUBLE) / a.n)
+               * (CAST(b.sx AS DOUBLE) / a.n))
+            / 1000000000000.0, 6) + 0.0 AS cov6
+    FROM m2 JOIN m1 a ON m2.i = a.i JOIN m1 b ON m2.j = b.i
+    ORDER BY m2.i, m2.j
+    """,
+)
+def x_emb_covariance(spark, sf_dir):
+    """Population covariance matrix of the 64-dim embedding corpus,
+    upper triangle as (i, j, n, cov6) rows (features.py:
+    embedding_covariance — exact int64 micro-unit moment sums folded
+    in-task by higher-order array functions, ONE map-side-combined
+    exchange; the PCA/whitening input of a training pipeline).  The
+    oracle replays the same integer sums as HUGEINT and the identical
+    IEEE readout chain."""
+    from pigout_spark.pipeline.features import embedding_covariance
+
+    e = t(spark, sf_dir, "embeddings")
+    return embedding_covariance(e, "embedding", dim=64)

@@ -1440,3 +1440,111 @@ def test_welch_ttest_hand_checked(spark):
     assert got["k1"] == (round(t, 6), round(dof, 6))
     # shifting both cohorts by a constant leaves t and dof unchanged
     assert got["k2"] == got["k1"]
+
+
+def test_two_prop_ztest_hand_checked(spark):
+    """Pooled z on 30/100 vs 45/100: p̂ = 0.375, z computed directly;
+    group_a is the smaller label whatever the row order; p6 replays
+    normal_two_sided_p from the ROUNDED z6 (the oracle-replay
+    contract)."""
+    from pigout_spark.pipeline.behavioral import two_prop_ztest
+
+    rows = [("a", 1)] * 30 + [("a", 0)] * 70 + [("b", 1)] * 45 + [
+        ("b", 0)
+    ] * 55
+    df = spark.createDataFrame(rows, "g string, s int")
+    r = two_prop_ztest(df, "g", "s").first()
+    assert (r.group_a, r.group_b, r.n_a, r.n_b, r.s_a, r.s_b) == (
+        "a", "b", 100, 100, 30, 45
+    )
+    pool = 75 / 200
+    z = (0.30 - 0.45) / (pool * (1 - pool) * (1 / 100 + 1 / 100)) ** 0.5
+    assert r.z6 == round(z, 6)
+    # p6 from the rounded z6 through the same A&S chain
+    df_z = spark.createDataFrame([(r.z6,)], "z double")
+    from pigout_spark.pipeline.behavioral import normal_two_sided_p
+
+    want_p = df_z.select(normal_two_sided_p("z").alias("p")).first().p
+    assert r.p6 == want_p
+
+    # degenerate: all successes -> pooled p = 1 -> NULL
+    ones = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 1)], "g string, s int"
+    )
+    r1 = ones.transform(
+        lambda d: two_prop_ztest(d, "g", "s")
+    ).first()
+    assert r1.z6 is None and r1.p6 is None
+    # three groups -> NULL
+    three = spark.createDataFrame(
+        rows + [("c", 1), ("c", 0)], "g string, s int"
+    )
+    assert two_prop_ztest(three, "g", "s").first().z6 is None
+    # NULL success rows excluded, boolean success accepted
+    bools = spark.createDataFrame(
+        [("a", True), ("a", False), ("b", True), ("b", None)],
+        "g string, s boolean",
+    )
+    rb = two_prop_ztest(bools, "g", "s").first()
+    assert (rb.n_a, rb.n_b, rb.s_a, rb.s_b) == (2, 1, 1, 1)
+    # grouped form == per-key loop
+    rows2 = [("k1", g, s) for g, s in rows] + [
+        ("k2", g, 1 - s) for g, s in rows
+    ]
+    df2 = spark.createDataFrame(rows2, "src string, g string, s int")
+    got = {r.src: r.z6
+           for r in two_prop_ztest(df2, "g", "s", keys=["src"]).collect()}
+    assert got["k1"] == round(z, 6)
+    # complementing successes flips the sign of z exactly
+    assert got["k2"] == round(-z, 6)
+
+
+def test_theil_sen_hand_checked(spark):
+    """Slope on a clean line y = 2x + 1 reads exactly 2 whatever the
+    contamination of ONE wild outlier (the estimator's whole point —
+    OLS would be dragged); equal-x pairs are excluded; the lower
+    median and the cap follow the documented contracts."""
+    from pigout_spark.pipeline.behavioral import theil_sen
+
+    pts = [(float(x), 2.0 * x + 1.0) for x in range(9)] + [(4.5, 1000.0)]
+    df = spark.createDataFrame(pts, "x double, y double")
+    r = theil_sen(df, "x", "y").first()
+    assert r.n_points == 10
+    assert r.n_pairs == 45  # no equal-x pairs in this set
+    assert r.slope6 == 2.0  # median slope ignores the outlier
+
+    # equal-x pairs excluded: vertical pair contributes no slope
+    vert = spark.createDataFrame(
+        [(1.0, 1.0), (1.0, 5.0), (2.0, 2.0)], "x double, y double"
+    )
+    rv = theil_sen(vert, "x", "y").first()
+    assert rv.n_pairs == 2  # (1,1)-(2,2) and (1,5)-(2,2); not (1,1)-(1,5)
+    # all x equal -> zero pairs -> NULL slope
+    allv = spark.createDataFrame(
+        [(1.0, 1.0), (1.0, 2.0), (1.0, 3.0)], "x double, y double"
+    )
+    ra = theil_sen(allv, "x", "y").first()
+    assert ra.n_pairs == 0 and ra.slope6 is None
+    # single point -> NULL
+    one = spark.createDataFrame([(1.0, 1.0)], "x double, y double")
+    assert theil_sen(one, "x", "y").first().slope6 is None
+    # NULL rows excluded before the cap rank
+    nulls = spark.createDataFrame(
+        [(None, 9.0)] + pts, "x double, y double"
+    )
+    assert theil_sen(nulls, "x", "y").first().n_points == 10
+
+    # cap engages deterministically: first N points under (x, y) order
+    capped = theil_sen(df, "x", "y", max_points_per_key=5).first()
+    assert capped.n_points == 5
+    # first 5 by (x,y): x = 0..3 on the line plus (4.0, 9.0) — pure line
+    assert capped.slope6 == 2.0
+
+    # grouped form == per-key loop; slopes scale with y
+    rows2 = [("k1", x, y) for x, y in pts] + [
+        ("k2", x, 3.0 * y) for x, y in pts
+    ]
+    df2 = spark.createDataFrame(rows2, "s string, x double, y double")
+    got = {r.s: r.slope6
+           for r in theil_sen(df2, "x", "y", keys=["s"]).collect()}
+    assert got["k1"] == 2.0 and got["k2"] == 6.0

@@ -3383,3 +3383,82 @@ def test_ppm_codec_real_decode_without_pillow(spark):
     assert (got[1].sum_r, got[1].sum_g, got[1].sum_b) == (220, 260, 300)
     assert (got[2].sum_r, got[2].sum_g, got[2].sum_b) == (6, None, None)
     assert (got[2].width, got[2].height, got[2].mode) == (3, 1, "L")
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    """Exact match to numpy's population covariance of the SAME
+    micro-quantized doubles (the operator's contract: quantize →
+    exact integer sums → one IEEE readout chain); the dimension gate
+    fails loudly on a mixed-width corpus; NULL vectors are excluded."""
+    import numpy as np
+
+    from pigout_spark.pipeline.features import (
+        embedding_covariance,
+        embedding_moments,
+    )
+
+    rng = np.random.default_rng(42)
+    vecs = rng.normal(scale=0.3, size=(40, 5)).astype("float32")
+    rows = [(i, [float(x) for x in r]) for i, r in enumerate(vecs)]
+    df = spark.createDataFrame(
+        rows + [(999, None)], "id bigint, embedding array<float>"
+    )
+    got = {(r.i, r.j): (r.n, r.cov6)
+           for r in embedding_covariance(df).collect()}
+    assert len(got) == 15  # 5·6/2 upper-triangle cells
+    mq = np.round(vecs.astype("float64") * 1e6)
+    ref = np.cov(mq.T, bias=True) / 1e12
+    for (i, j), (n, cov6) in got.items():
+        assert n == 40
+        assert cov6 == round(ref[i][j], 6), (i, j)
+
+    # first-moment sentinel rows carry exact integer sums
+    moms = {(r.i, r.j): int(r.s)
+            for r in embedding_moments(df).collect() if r.j == -1}
+    for i in range(5):
+        assert moms[(i, -1)] == int(mq[:, i].sum())
+
+    # mixed dims fail loudly, not silently misaligned
+    bad = df.unionByName(
+        spark.createDataFrame(
+            [(1000, [1.0, 2.0])], "id bigint, embedding array<float>"
+        )
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="expected dim 5"):
+        embedding_covariance(bad, dim=5).collect()
+
+
+def test_pca_components_and_project(spark):
+    """Principal axes recover an anisotropic corpus's stretch order;
+    components are orthonormal, sign-deterministic, and the JVM
+    projection equals the numpy dot product."""
+    import numpy as np
+
+    from pigout_spark.pipeline.features import pca_components, pca_project
+
+    rng = np.random.default_rng(3)
+    # variance 9 along axis 0, 1 along axis 1, 0.01 along the rest
+    base = rng.normal(size=(120, 4)) * np.array([3.0, 1.0, 0.1, 0.1])
+    vecs = base.astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in r]) for i, r in enumerate(vecs)],
+        "id bigint, embedding array<float>",
+    )
+    comps, ev = pca_components(df, k=2)
+    assert len(comps) == 2 and len(ev) == 2
+    assert ev[0] > ev[1] > 0
+    # leading axis ≈ e0 (dominant variance direction)
+    assert abs(comps[0][0]) > 0.95
+    # orthonormal within eigh tolerance
+    c = np.array(comps)
+    assert np.allclose(c @ c.T, np.eye(2), atol=1e-6)
+    # sign convention: the largest-|coeff| entry is positive
+    for comp in comps:
+        assert comp[int(np.argmax(np.abs(comp)))] > 0
+
+    proj = pca_project(df, comps).orderBy("id").select("pca").collect()
+    want = vecs.astype("float64") @ c.T
+    got = np.array([r.pca for r in proj])
+    assert np.allclose(got, want, atol=1e-9)
