@@ -4746,3 +4746,62 @@ def x_emb_covariance(spark, sf_dir):
 
     e = t(spark, sf_dir, "embeddings")
     return embedding_covariance(e, "embedding", dim=64)
+
+
+@query(
+    "x_ann_recall",
+    extra=True,  # r11 addition — r12 rotation candidate
+    sql=_IVF_CELLS_SQL
+    + f"""
+    , q3 AS (
+      SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell
+      FROM cells WHERE vec_id < 10
+    ), approx3 AS (
+      SELECT q.q_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id
+               ORDER BY {_sql_dot('q.qv', 'c.v')} / (q.qn * c.nrm) DESC,
+                        c.vec_id) AS rn
+      FROM q3 q JOIN cells c ON q.cell = c.cell AND c.vec_id <> q.q_id
+      QUALIFY rn <= 10
+    ), exact3 AS (
+      SELECT q.q_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id
+               ORDER BY {_sql_dot('q.qv', 'c.v')} / (q.qn * c.nrm) DESC,
+                        c.vec_id) AS rn
+      FROM q3 q JOIN cells c ON c.vec_id <> q.q_id
+      QUALIFY rn <= 10
+    )
+    SELECT e.q_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+           ROUND(COUNT(a.neighbor_id) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS recall6
+    FROM exact3 e LEFT JOIN approx3 a
+      ON e.q_id = a.q_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.q_id
+    """,
+)
+def x_ann_recall(spark, sf_dir):
+    """Recall@10 of the IVF index against the exact brute-force
+    neighbors, per query vector — the self-evaluation a pipeline runs
+    before trusting an approximate index (similarity.ivf_topk vs
+    similarity.brute_force_topk; both sides' cosine chains are the
+    bit-identical folds the sim_* queries already pin, so the oracle
+    replays exact-vs-approx set intersection token-for-token)."""
+    from pigout_spark.pipeline.similarity import brute_force_topk, ivf_topk
+
+    emb = tf(spark, sf_dir, "embeddings")
+    exact = brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=10)
+    approx = ivf_topk(emb, query_ids_max=10, k=10, n_centroids=8)
+    hits = approx.select("q_id", "neighbor_id").withColumn(
+        "__hit", F.lit(1)
+    )
+    j = exact.select("q_id", "neighbor_id").join(
+        F.broadcast(hits), ["q_id", "neighbor_id"], "left"
+    )
+    return j.groupBy("q_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+        F.count("__hit").cast("bigint").alias("n_hit"),
+        F.round(
+            F.count("__hit") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("recall6"),
+    )
