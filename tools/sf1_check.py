@@ -38,16 +38,21 @@ from tools.selfcheck import _normalize, value_hash
 sf_dir, tables = sys.argv[1], sys.argv[2]
 sql = sys.stdin.read()
 con = duckdb.connect()
+# long-running queries print a PROGRESS BAR into captured stdout, and
+# the final JSON then lands on the SAME line as bar fragments — the
+# parent's line parser finds no parseable line and misreads a
+# succeeded oracle as an error (found at sf1: the 20 M-row minhash
+# pair oracle "errored" with rc=0 and no output)
+con.execute("SET enable_progress_bar = false")
 for t in tables.split():
     con.execute(
         f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
     )
 pdf = con.execute(sql).df()
-n = _normalize(pdf)
-print(json.dumps({
+print("\n" + json.dumps({
     "rows": len(pdf),
-    "columns": list(n.columns),
-    "dtypes": [str(d) for d in n.dtypes],
+    "columns": list(_normalize(pdf).columns),
+    "dtypes": [str(d) for d in _normalize(pdf).dtypes],
     "hash": value_hash(pdf),
 }))
 """
@@ -67,9 +72,15 @@ def oracle_digest(sf_dir: str, sql: str, cap_s: float) -> dict | None:
         )
     except subprocess.TimeoutExpired:
         return None
-    for line in reversed(out.stdout.strip().splitlines()):
+    # progress-bar hardening: split on \r as well as \n, and parse from
+    # the first '{' so bar fragments sharing the line can't mask a
+    # succeeded oracle
+    for line in reversed(out.stdout.strip().replace("\r", "\n").splitlines()):
+        brace = line.find("{")
+        if brace < 0:
+            continue
         try:
-            return json.loads(line)
+            return json.loads(line[brace:])
         except json.JSONDecodeError:
             continue
     print(f"  oracle runner error (rc={out.returncode}): {out.stderr[-300:]}",
