@@ -2665,3 +2665,72 @@ def theil_sen(
     return base.select(*keys, "n_points", "n_pairs").join(
         F.broadcast(med), keys, "left"
     )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    key_cols: list[str],
+) -> DataFrame:
+    """Nelson–Aalen cumulative hazard per key — the additive companion
+    to :func:`kaplan_meier` (same censoring semantics, same risk-set
+    relation; preferred when hazards are the modeling target or when
+    d = n event times would drive the KM product to exactly 0):
+
+        H(t) = Σ_{uᵢ ≤ t} dᵢ/nᵢ
+
+    over distinct EVENT times, nᵢ = at-risk count, dᵢ = events at uᵢ.
+    ``duration_col`` is an INTEGER time unit (asserted on the scan,
+    the kaplan_meier contract); ``event_col`` boolean; NULLs excluded.
+
+    Determinism: risk sets and event counts are exact integers; each
+    dᵢ/nᵢ term is one ROUND-6 IEEE division decimal-summed in time
+    order (the vocab_kl discipline), readout ROUND-6 (+0.0).  Unlike
+    the KM product, d = n is a REGULAR term (adds 1), no flag needed.
+
+    Output: (*key_cols, t, n_risk, d, haz6) — one row per event time.
+
+    100 TB: identical shape to kaplan_meier — one (key, duration)
+    groupBy compresses subjects to the per-key time-sized curve
+    relation; the risk-set and running-sum windows share the key
+    partitioning.
+    """
+    if not key_cols:
+        raise ValueError("nelson_aalen needs key_cols (constant key for "
+                         "a single conscious curve)")
+    dur, ev = F.col(duration_col), F.col(event_col)
+    d = df.filter(dur.isNotNull() & ev.isNotNull()).filter(
+        F.assert_true(
+            dur == F.floor(dur),
+            F.lit(
+                "nelson_aalen: duration must be an integer time unit "
+                "(days, weeks) — integerize upstream"
+            ),
+        ).isNull()
+    )
+    per_t = d.groupBy(*key_cols, dur.cast("bigint").alias("t")).agg(
+        F.sum(F.when(ev, 1).otherwise(0)).cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("leave"),
+    )
+    wk = Window.partitionBy(*key_cols).orderBy("t")
+    wtot = Window.partitionBy(*key_cols)
+    cum_prev = F.coalesce(
+        F.sum("leave").over(wk.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("bigint"),
+    )
+    c = per_t.withColumn(
+        "n_risk", F.sum("leave").over(wtot) - cum_prev
+    )
+    term = (
+        F.round(F.col("d") / F.col("n_risk").cast("double"), 6)
+        + F.lit(0.0)
+    ).cast("decimal(20,6)")
+    wrun = wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    curve = c.withColumn(
+        "__h", F.sum(term).over(wrun).cast("double")
+    )
+    return curve.filter(F.col("d") > 0).select(
+        *key_cols, "t", "n_risk", "d",
+        (F.round(F.col("__h"), 6) + F.lit(0.0)).alias("haz6"),
+    )

@@ -2770,3 +2770,60 @@ def x_theil_sen(spark, sf_dir):
         keys=["l_returnflag"],
         max_points_per_key=200,
     )
+
+
+@query(
+    "x_nelson_aalen",
+    extra=True,  # r11 addition — r12 rotation candidate
+    sql="""
+    WITH u AS (
+      SELECT user_id,
+             date_diff('day',
+                       MIN(CAST(date_trunc('second', ts) AS TIMESTAMP)),
+                       MAX(CAST(date_trunc('second', ts) AS TIMESTAMP)))
+               AS dur,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+               AS e
+      FROM events GROUP BY user_id
+    ), per_t AS (
+      SELECT dur AS t,
+             CAST(SUM(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS leave
+      FROM u GROUP BY dur
+    ), c AS (
+      SELECT t, d,
+             SUM(leave) OVER ()
+               - coalesce(SUM(leave) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM per_t
+    ), na AS (
+      SELECT t, n_risk, d,
+             CAST(SUM(CAST(ROUND(d / CAST(n_risk AS DOUBLE), 6) + 0.0
+                           AS DECIMAL(20,6)))
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS h
+      FROM c
+    )
+    SELECT 'all' AS k, t, CAST(n_risk AS BIGINT) AS n_risk, d,
+           ROUND(h, 6) + 0.0 AS haz6
+    FROM na WHERE d > 0
+    """,
+)
+def x_nelson_aalen(spark, sf_dir):
+    """Nelson–Aalen cumulative churn hazard over user activity spans
+    (pipeline/behavioral.py:nelson_aalen) — the additive twin of
+    x_kaplan_meier on the SAME duration/censoring framing: risk sets
+    exact integers, each d/n term ROUND-6 decimal-summed in time
+    order, single 'all' curve as a conscious one-key pass."""
+    from pigout_spark.pipeline.behavioral import nelson_aalen
+
+    ev = _events_s(spark, sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.datediff(F.max("ts"), F.min("ts")).cast("double").alias("dur"),
+        (
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            == 1
+        ).alias("e"),
+    )
+    out = nelson_aalen(u.withColumn("k", F.lit("all")), "dur", "e", ["k"])
+    return out.select("k", "t", "n_risk", "d", "haz6")

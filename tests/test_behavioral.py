@@ -1548,3 +1548,45 @@ def test_theil_sen_hand_checked(spark):
     got = {r.s: r.slope6
            for r in theil_sen(df2, "x", "y", keys=["s"]).collect()}
     assert got["k1"] == 2.0 and got["k2"] == 6.0
+
+
+def test_nelson_aalen_hand_checked(spark):
+    """Textbook NA on durations {1:event, 2:censor, 3:event, 3:event}:
+    H(1) = 1/4, H(3) = 1/4 + 2/2; censoring shrinks risk sets without
+    emitting a row; d = n is a regular term (no KM zero-flag)."""
+    from pigout_spark.pipeline.behavioral import nelson_aalen
+
+    rows = [
+        ("a", 1.0, True),
+        ("a", 2.0, False),
+        ("a", 3.0, True),
+        ("a", 3.0, True),
+    ]
+    df = spark.createDataFrame(rows, "k string, dur double, e boolean")
+    got = {r.t: (r.n_risk, r.d, r.haz6)
+           for r in nelson_aalen(df, "dur", "e", ["k"]).collect()}
+    assert got[1] == (4, 1, 0.25)
+    # t=2 is censoring-only: no emitted row
+    assert 2 not in got
+    # at t=3 risk set is 2, both event: H = 0.25 + 1.0
+    assert got[3] == (2, 2, 1.25)
+
+    # NULLs excluded; non-integer duration fails loudly
+    withnull = spark.createDataFrame(
+        rows + [("a", None, True)], "k string, dur double, e boolean"
+    )
+    assert len(nelson_aalen(withnull, "dur", "e", ["k"]).collect()) == 2
+    import pytest as _pytest
+
+    frac = spark.createDataFrame(
+        [("a", 1.5, True)], "k string, dur double, e boolean"
+    )
+    with _pytest.raises(Exception, match="integer time unit"):
+        nelson_aalen(frac, "dur", "e", ["k"]).collect()
+
+    # agrees with kaplan_meier's risk-set relation on the same input
+    from pigout_spark.pipeline.behavioral import kaplan_meier
+
+    km = {r.t: (r.n_risk, r.d)
+          for r in kaplan_meier(df, "dur", "e", ["k"]).collect()}
+    assert {t: v[:2] for t, v in got.items()} == km
