@@ -2734,3 +2734,81 @@ def nelson_aalen(
         *key_cols, "t", "n_risk", "d",
         (F.round(F.col("__h"), 6) + F.lit(0.0)).alias("haz6"),
     )
+
+
+def mantel_haenszel(
+    df: DataFrame,
+    exposure_col: str,
+    outcome_col: str,
+    strata_col: str,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Mantel–Haenszel pooled odds ratio across strata — "does exposure
+    associate with outcome once a confounder is held fixed", the
+    stratified completion of the 2×2 family (:func:`odds_ratio` is the
+    single-table form, :func:`fisher_exact` the exact test,
+    :func:`two_prop_ztest` the unstratified rate comparison):
+
+        OR_MH = Σᵢ aᵢdᵢ/nᵢ  /  Σᵢ bᵢcᵢ/nᵢ
+
+    over per-stratum cells a (exposed ∧ outcome), b (exposed ∧ ¬),
+    c (¬ ∧ outcome), d (¬ ∧ ¬), nᵢ the stratum total — the classic
+    zero-cell-tolerant pooling (a stratum with an empty cell
+    contributes 0 to one sum instead of an undefined ratio).
+
+    NULL exposure, outcome, or stratum rows are EXCLUDED (the r8 NULL
+    discipline).  Keys whose denominator sum is 0 read NULL or_mh6
+    (no discordant pairs anywhere — association undefined).
+
+    Determinism: cells are exact integers; each stratum's ad/n and
+    bc/n terms are ONE IEEE division ROUND-6, summed as DECIMAL(20,6)
+    (the vocab_kl discipline — stratum order can never reorder the
+    float sum); the final ratio is one division ROUND-6 (+0.0 is
+    unnecessary: both sums are ≥ 0 so −0.0 cannot arise, but applied
+    anyway for uniformity).
+
+    Output: one row per key — (*keys, n_strata, n, or_mh6); ONE row
+    total when ``keys`` is empty.
+
+    100 TB: ONE exchange on (*keys, stratum) for the conditional-count
+    fold (map-side combined, counts only); the readout is a
+    #keys-sized aggregation over the strata relation.
+    """
+    keys = list(keys or [])
+    _check_keys(keys, ("n_strata", "n", "or_mh6"), "mantel_haenszel")
+    e, o, s = F.col(exposure_col), F.col(outcome_col), F.col(strata_col)
+    d = df.filter(e.isNotNull() & o.isNotNull() & s.isNotNull()).select(
+        *keys,
+        s.alias("__s"),
+        e.cast("boolean").alias("__e"),
+        o.cast("boolean").alias("__o"),
+    )
+
+    def cell(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+
+    per_s = d.groupBy(*keys, "__s").agg(
+        cell(F.col("__e") & F.col("__o"), "a"),
+        cell(F.col("__e") & ~F.col("__o"), "b"),
+        cell(~F.col("__e") & F.col("__o"), "c"),
+        cell(~F.col("__e") & ~F.col("__o"), "d"),
+    )
+    nn = (
+        F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    ).cast("double")
+    term = lambda x, y: (  # noqa: E731 — one fixed ROUND-6 IEEE chain
+        F.round((F.col(x) * F.col(y)).cast("double") / nn, 6) + F.lit(0.0)
+    ).cast("decimal(20,6)")
+    agg = per_s.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum(F.col("a") + F.col("b") + F.col("c") + F.col("d"))
+        .cast("bigint")
+        .alias("n"),
+        F.sum(term("a", "d")).cast("double").alias("__num"),
+        F.sum(term("b", "c")).cast("double").alias("__den"),
+    )
+    ormh = F.when(
+        F.col("__den") > 0.0,
+        F.round(F.col("__num") / F.col("__den"), 6) + F.lit(0.0),
+    )
+    return agg.select(*keys, "n_strata", "n", ormh.alias("or_mh6"))

@@ -2827,3 +2827,62 @@ def x_nelson_aalen(spark, sf_dir):
     )
     out = nelson_aalen(u.withColumn("k", F.lit("all")), "dur", "e", ["k"])
     return out.select("k", "t", "n_risk", "d", "haz6")
+
+
+@query(
+    "x_mantel_haenszel",
+    extra=True,  # r11 addition — r12 rotation candidate
+    sql="""
+    WITH d AS (
+      SELECT source AS s, n_chars > 300 AS e, lang = 'en' AS o
+      FROM documents
+      WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        AND source IS NOT NULL
+    ), per_s AS (
+      SELECT s,
+        CAST(SUM(CASE WHEN e AND o THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        CAST(SUM(CASE WHEN e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        CAST(SUM(CASE WHEN NOT e AND o THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        CAST(SUM(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END) AS BIGINT)
+          AS dd
+      FROM d GROUP BY s
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+        CAST(SUM(a + b + c + dd) AS BIGINT) AS n,
+        CAST(SUM(CAST(ROUND(CAST(a * dd AS DOUBLE)
+                            / CAST(a + b + c + dd AS DOUBLE), 6) + 0.0
+                     AS DECIMAL(20,6))) AS DOUBLE) AS num,
+        CAST(SUM(CAST(ROUND(CAST(b * c AS DOUBLE)
+                            / CAST(a + b + c + dd AS DOUBLE), 6) + 0.0
+                     AS DECIMAL(20,6))) AS DOUBLE) AS den
+      FROM per_s
+    )
+    SELECT n_strata, n,
+      CASE WHEN den > 0.0 THEN ROUND(num / den, 6) + 0.0 END AS or_mh6
+    FROM agg
+    """,
+)
+def x_mantel_haenszel(spark, sf_dir):
+    """Mantel–Haenszel pooled odds ratio of long-doc → en across the
+    20 source strata (behavioral.py:mantel_haenszel) — the stratified
+    completion of the x_grouped_fisher / x_two_prop_z 2×2 framing:
+    does doc length associate with language once source is held
+    fixed.  Single readout (keys empty), strata cells exact integers,
+    ad/n and bc/n terms ROUND-6 decimal-summed."""
+    from pigout_spark.pipeline.behavioral import mantel_haenszel
+
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("source").isNotNull()
+    )
+    return mantel_haenszel(
+        d.select(
+            "source",
+            (F.col("n_chars") > 300).alias("e"),
+            (F.col("lang") == "en").alias("o"),
+        ),
+        "e",
+        "o",
+        "source",
+    )

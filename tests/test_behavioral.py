@@ -1590,3 +1590,121 @@ def test_nelson_aalen_hand_checked(spark):
     km = {r.t: (r.n_risk, r.d)
           for r in kaplan_meier(df, "dur", "e", ["k"]).collect()}
     assert {t: v[:2] for t, v in got.items()} == km
+
+
+def test_mantel_haenszel_hand_checked(spark):
+    """Two hand-worked strata: (a,b,c,d) = (10,5,3,12) n=30 and
+    (4,6,8,2) n=20 → OR_MH = (10·12/30 + 4·2/20)/(5·3/30 + 6·8/20);
+    a zero-cell stratum contributes 0 to one sum instead of exploding;
+    all-concordant data reads NULL."""
+    from pigout_spark.pipeline.behavioral import mantel_haenszel
+
+    def stratum(s, a, b, c, d):
+        return (
+            [(s, True, True)] * a + [(s, True, False)] * b
+            + [(s, False, True)] * c + [(s, False, False)] * d
+        )
+
+    rows = stratum("s1", 10, 5, 3, 12) + stratum("s2", 4, 6, 8, 2)
+    df = spark.createDataFrame(rows, "s string, e boolean, o boolean")
+    r = mantel_haenszel(df, "e", "o", "s").first()
+    num = round(10 * 12 / 30, 6) + round(4 * 2 / 20, 6)
+    den = round(5 * 3 / 30, 6) + round(6 * 8 / 20, 6)
+    assert (r.n_strata, r.n) == (2, 50)
+    assert r.or_mh6 == round(num / den, 6)
+
+    # zero cell: stratum with b=0 still pools (contributes 0 to den)
+    z = spark.createDataFrame(
+        stratum("s1", 2, 0, 1, 3) + stratum("s2", 1, 2, 3, 4),
+        "s string, e boolean, o boolean",
+    )
+    rz = mantel_haenszel(z, "e", "o", "s").first()
+    znum = round(2 * 3 / 6, 6) + round(1 * 4 / 10, 6)
+    zden = round(0 * 1 / 6, 6) + round(2 * 3 / 10, 6)
+    assert rz.or_mh6 == round(znum / zden, 6)
+
+    # no discordant pairs anywhere -> den 0 -> NULL
+    conc = spark.createDataFrame(
+        stratum("s1", 3, 0, 0, 3), "s string, e boolean, o boolean"
+    )
+    assert mantel_haenszel(conc, "e", "o", "s").first().or_mh6 is None
+
+    # keys= form == per-key loop
+    rows2 = [("k1", *t) for t in rows] + [("k2", s, o, e)
+                                          for s, e, o in rows]
+    df2 = spark.createDataFrame(
+        rows2, "g string, s string, e boolean, o boolean"
+    )
+    got = {r.g: r.or_mh6
+           for r in mantel_haenszel(df2, "e", "o", "s",
+                                    keys=["g"]).collect()}
+    assert got["k1"] == round(num / den, 6)
+    # swapping exposure/outcome leaves every stratum's ad and bc
+    # unchanged (2x2 transpose) -> identical OR_MH
+    assert got["k2"] == got["k1"]
+
+
+def test_new_stats_invariances(spark):
+    """Distribution-free invariances of the r11 stats — the properties
+    a wrong implementation breaks first: Theil–Sen affine
+    equivariance, two-proportion label/complement antisymmetry, ANOVA
+    F location invariance, Welch location shift."""
+    import random
+
+    from pigout_spark.pipeline.behavioral import (
+        anova_f,
+        theil_sen,
+        two_prop_ztest,
+        welch_ttest,
+    )
+
+    rng = random.Random(11)
+    pts = [(rng.uniform(0, 50), rng.uniform(-10, 10)) for _ in range(40)]
+    df = spark.createDataFrame(pts, "x double, y double")
+    base = theil_sen(df, "x", "y").first().slope6
+    # affine equivariance: y -> 3y + 7 scales the slope by exactly 3
+    aff = spark.createDataFrame(
+        [(x, 3.0 * y + 7.0) for x, y in pts], "x double, y double"
+    )
+    got = theil_sen(aff, "x", "y").first().slope6
+    assert abs(got - 3.0 * base) < 5e-6  # ROUND-6 readouts compose
+    # translation in x leaves the slope unchanged exactly (same pair
+    # differences, same doubles)
+    tx = spark.createDataFrame(
+        [(x + 100.0, y) for x, y in pts], "x double, y double"
+    )
+    assert theil_sen(tx, "x", "y").first().slope6 == base
+
+    # two-prop: complementing the success flips z's sign exactly
+    rows = [("a", rng.random() < 0.3) for _ in range(60)] + [
+        ("b", rng.random() < 0.5) for _ in range(50)
+    ]
+    pz = spark.createDataFrame(rows, "g string, s boolean")
+    z1 = two_prop_ztest(pz, "g", "s").first().z6
+    pz2 = spark.createDataFrame(
+        [(g, not s) for g, s in rows], "g string, s boolean"
+    )
+    assert two_prop_ztest(pz2, "g", "s").first().z6 == -z1
+
+    # ANOVA F: adding a constant to every value changes nothing
+    vals = [(rng.choice("abc"), rng.gauss(0, 1)) for _ in range(90)]
+    av = spark.createDataFrame(vals, "g string, v double")
+    f1 = anova_f(av, "g", "v").first().f6
+    av2 = spark.createDataFrame(
+        [(g, v + 1000.0) for g, v in vals], "g string, v double"
+    )
+    f2 = anova_f(av2, "g", "v").first().f6
+    assert f1 is not None and abs(f2 - f1) < 2e-4  # decimal-exact sums,
+    # one IEEE readout; the shift only moves the last rounded digit
+
+    # Welch: shifting ONE cohort by c moves t in the direction of c
+    wv = spark.createDataFrame(vals, "g string, v double")
+    two = wv.filter(F.col("g") != "c")
+    t1 = welch_ttest(two, "g", "v").first().t6
+    shifted = spark.createDataFrame(
+        [(g, v + (5.0 if g == "a" else 0.0)) for g, v in vals
+         if g != "c"],
+        "g string, v double",
+    )
+    t2 = welch_ttest(shifted, "g", "v").first().t6
+    assert t2 > t1
