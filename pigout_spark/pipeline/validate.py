@@ -119,3 +119,83 @@ def check_ref_integrity(
         .groupBy(*ck)
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+#: Benford expected first-digit probabilities log10(1 + 1/d), d = 1..9,
+#: as PYTHON-computed literals embedded identically in both engines'
+#: plans (the LSH-hyperplane literal precedent) — never engine log10,
+#: whose last-ulp differences near exact powers of ten would make the
+#: digit law itself engine-dependent
+BENFORD_P = [0.3010299956639812, 0.17609125905568124, 0.12493873660829993,
+             0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+             0.05799194697768673, 0.05115252244738129, 0.04575749056067514]
+
+
+def benford_test(df, value_col: str, keys: list[str] | None = None):
+    """Benford first-digit conformance per key — the forensic
+    data-quality screen (fabricated or unit-mixed amount columns break
+    the log-digit law long before summary stats notice): the chi-square
+    statistic of the observed first-significant-digit distribution
+    against log10(1 + 1/d).
+
+    The input must be INTEGER-VALUED and ≥ 1 (amounts in cents, counts
+    — the trend_fit integerized contract, asserted on the scan):
+    digits come from the DECIMAL STRING of the bigint — no float log10
+    anywhere, so an exact power of ten can never flip its digit on an
+    engine's last-ulp log.  NULL and non-positive rows are EXCLUDED
+    (Benford's domain is positive magnitudes); fractional values fail
+    LOUDLY.
+
+    Determinism: digit counts are exact integers; each digit's
+    (n_d − n·p_d)²/(n·p_d) term is one IEEE chain over a Python-literal
+    p_d, ROUND-6, decimal-summed across the 9 digits (the vocab_kl
+    discipline); readout ROUND-6.  Compare to χ²(8) downstream (no CDF
+    builtin — the kruskal_wallis contract).
+
+    Output: one row per key — (*keys, n, chi2_6); ONE row total when
+    ``keys`` is empty.
+
+    100 TB: ONE map-side-combined exchange on the keys (9 conditional
+    counts); the chi-square is a 9-literal readout fold.
+    """
+    from pyspark.sql import functions as F
+
+    keys = list(keys or [])
+    v = F.col(value_col)
+    d = df.filter(v.isNotNull() & (v >= 1)).filter(
+        F.assert_true(
+            v == F.floor(v),
+            F.lit(
+                "benford_test: values must be integral (cents, counts) "
+                "— integerize upstream"
+            ),
+        ).isNull()
+    )
+    digit = F.substring(v.cast("bigint").cast("string"), 1, 1).cast("int")
+    cells = d.select(*keys, digit.alias("__d"))
+    agg = cells.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            F.sum(F.when(F.col("__d") == dd, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"__n{dd}")
+            for dd in range(1, 10)
+        ],
+    )
+    nn = F.col("n").cast("double")
+    terms = []
+    for dd in range(1, 10):
+        p = BENFORD_P[dd - 1]
+        obs = F.col(f"__n{dd}").cast("double")
+        terms.append(
+            (
+                F.round(
+                    (obs - nn * p) * (obs - nn * p) / (nn * p), 6
+                )
+                + F.lit(0.0)
+            ).cast("decimal(20,6)")
+        )
+    chi2 = F.round(
+        sum(terms[1:], terms[0]).cast("double"), 6
+    ) + F.lit(0.0)
+    return agg.select(*keys, "n", chi2.alias("chi2_6"))

@@ -281,7 +281,8 @@ assert len(_WINDOW_R10) == len(set(_WINDOW_R10)) == 50
 # r12 rotation candidates (added after the r11 window was fixed,
 # selfcheck-green at sf0.01+sf0.1 as added but not yet driver-checked):
 # x_anova_f, x_welch_ttest, x_two_prop_z, x_theil_sen,
-# x_emb_covariance, x_ann_recall, x_nelson_aalen, x_mantel_haenszel.
+# x_emb_covariance, x_ann_recall, x_nelson_aalen, x_mantel_haenszel,
+# x_benford.
 #
 # r11 rotation (VERDICT r10 task 1): the pinned queue is small (the
 # three grouped-stats queries), so the freed slots re-anchor families

@@ -4805,3 +4805,61 @@ def x_ann_recall(spark, sf_dir):
             F.count("__hit") / F.count(F.lit(1)).cast("double"), 6
         ).alias("recall6"),
     )
+
+
+def _benford_sql() -> str:
+    """Oracle twin of validate.benford_test over lineitem cents — the
+    expected-digit probabilities embed as the SAME Python literals the
+    Spark plan uses (validate.BENFORD_P), never engine log10."""
+    from pigout_spark.pipeline.validate import BENFORD_P
+
+    counts = ",\n        ".join(
+        f"CAST(SUM(CASE WHEN d = {dd} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n{dd}"
+        for dd in range(1, 10)
+    )
+    terms = []
+    for dd in range(1, 10):
+        p = repr(BENFORD_P[dd - 1])
+        terms.append(
+            f"CAST(ROUND((CAST(n{dd} AS DOUBLE) - CAST(n AS DOUBLE) * {p})"
+            f" * (CAST(n{dd} AS DOUBLE) - CAST(n AS DOUBLE) * {p})"
+            f" / (CAST(n AS DOUBLE) * {p}), 6) + 0.0 AS DECIMAL(20,6))"
+        )
+    return f"""
+    WITH v AS (
+      SELECT l_returnflag,
+             CAST(substring(CAST(CAST(ROUND(l_extendedprice * 100)
+                                      AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INT) AS d
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+        AND ROUND(l_extendedprice * 100) >= 1
+    ), agg AS (
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        {counts}
+      FROM v GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+      ROUND(CAST({" + ".join(terms)} AS DOUBLE), 6) + 0.0 AS chi2_6
+    FROM agg
+    """
+
+
+@query("x_benford", _benford_sql(), extra=True)  # r12 rotation candidate
+def x_benford(spark, sf_dir):
+    """Benford first-digit conformance of extendedprice cents per
+    returnflag (pipeline/validate.py:benford_test) — the forensic
+    data-quality screen: digits from the bigint's decimal string (no
+    engine log10 anywhere), chi-square against Python-literal expected
+    probabilities, ROUND-6 decimal-summed."""
+    from pigout_spark.pipeline.validate import benford_test
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .cast("double")
+        .alias("cents"),
+    )
+    return benford_test(li, "cents", keys=["l_returnflag"])

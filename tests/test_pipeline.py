@@ -3462,3 +3462,47 @@ def test_pca_components_and_project(spark):
     want = vecs.astype("float64") @ c.T
     got = np.array([r.pca for r in proj])
     assert np.allclose(got, want, atol=1e-9)
+
+
+def test_benford_hand_checked(spark):
+    """Digit extraction is string-based (an exact power of ten can
+    never flip digit on an engine's log ulp); chi-square matches a
+    direct Python computation; non-positive rows excluded; fractional
+    values fail loudly."""
+    from pigout_spark.pipeline.validate import BENFORD_P, benford_test
+
+    vals = [1.0, 19.0, 23.0, 100.0, 999.0, 1000.0, 5.0, 0.0, -7.0, None]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    r = benford_test(df, "v").first()
+    kept = [1, 19, 23, 100, 999, 1000, 5]  # 0, -7, NULL excluded
+    assert r.n == len(kept)
+    counts = {d: 0 for d in range(1, 10)}
+    for v in kept:
+        counts[int(str(v)[0])] += 1
+    import decimal
+
+    chi = sum(
+        decimal.Decimal(
+            str(round(
+                (counts[d] - len(kept) * BENFORD_P[d - 1]) ** 2
+                / (len(kept) * BENFORD_P[d - 1]), 6))
+        )
+        for d in range(1, 10)
+    )
+    assert r.chi2_6 == round(float(chi), 6)
+
+    import pytest as _pytest
+
+    frac = spark.createDataFrame([(1.5,)], "v double")
+    with _pytest.raises(Exception, match="integral"):
+        benford_test(frac, "v").collect()
+
+    # keys= form: one row per key
+    df2 = spark.createDataFrame(
+        [("a", float(x)) for x in range(1, 50)]
+        + [("b", float(x * 7 + 1)) for x in range(1, 30)],
+        "k string, v double",
+    )
+    rows = benford_test(df2, "v", keys=["k"]).collect()
+    assert {r.k for r in rows} == {"a", "b"}
+    assert all(r.chi2_6 is not None for r in rows)

@@ -39,13 +39,14 @@ def test_query_runs(spark, sf_dir, name):
 #: the full registry size, pinned (r9 verdict #5: SURVEY prose said 208
 #: when the import said 207 — docs must not drift from code again).
 #: Update this constant WITH the SURVEY §7.4 number when adding queries.
-REGISTRY_TOTAL_PINNED = 222  # r11: 212 at r10 close + the two streaming
+REGISTRY_TOTAL_PINNED = 223  # r11: 212 at r10 close + the two streaming
 # batch-replay attestations (x_funnel_replay, x_transitions_replay) +
 # the parametric mean tests (x_anova_f, x_welch_ttest) + the proportion
 # z and robust-slope tests (x_two_prop_z, x_theil_sen) + the embedding
 # covariance/PCA family (x_emb_covariance) + the ANN recall evaluation
 # (x_ann_recall), the Nelson-Aalen cumulative hazard (x_nelson_aalen),
-# and the Mantel-Haenszel pooled odds ratio (x_mantel_haenszel)
+# the Mantel-Haenszel pooled odds ratio (x_mantel_haenszel), and the
+# Benford first-digit screen (x_benford)
 
 
 def test_registry_size_pinned():
