@@ -2571,7 +2571,7 @@ def two_prop_ztest(
 _SLOPE_EXPR = (
     "flatten(transform(__pts, (p, ix) -> "
     "transform(filter(slice(__pts, ix + 2, size(__pts) - ix - 1), "
-    "q -> q.x <> p.x), q -> (q.y - p.y) / (q.x - p.x))))"
+    "q -> q.__x <> p.__x), q -> (q.__y - p.__y) / (q.__x - p.__x))))"
 )
 
 
@@ -2630,12 +2630,15 @@ def theil_sen(
         out = theil_sen(tagged, x_col, y_col, ["__one"], max_points_per_key)
         return out.drop("__one")
     x, y = F.col(x_col), F.col(y_col)
+    # internals carry the __-prefix discipline (two_prop_ztest's __g/__s)
+    # so a key column named "x" or "y" cannot produce an ambiguous
+    # duplicate — _check_keys only guards the OUTPUT names (r11 ADVICE)
     d = df.filter(x.isNotNull() & y.isNotNull()).select(
         *keys,
-        x.cast("double").alias("x"),
-        y.cast("double").alias("y"),
+        x.cast("double").alias("__x"),
+        y.cast("double").alias("__y"),
     )
-    wc = Window.partitionBy(*keys).orderBy("x", "y")
+    wc = Window.partitionBy(*keys).orderBy("__x", "__y")
     capped = (
         d.withColumn("__rn", F.row_number().over(wc))
         .filter(F.col("__rn") <= int(max_points_per_key))
@@ -2643,7 +2646,7 @@ def theil_sen(
     base = (
         capped.groupBy(*keys)
         .agg(
-            F.sort_array(F.collect_list(F.struct("x", "y"))).alias("__pts")
+            F.sort_array(F.collect_list(F.struct("__x", "__y"))).alias("__pts")
         )
         .select(
             *keys,

@@ -258,7 +258,11 @@ def embedding_moments(
     from its batch's first row fails LOUDLY via the dimension gate
     (mixed-dim corpora would silently misalign the (i, j) cells —
     the graph weight-contract pattern).  Pass ``dim`` to pin the
-    expected width explicitly.
+    expected width explicitly — PREFER THIS: with ``dim=None`` the
+    width is probed via an eager extra ``.first()`` job whose chosen
+    row is arbitrary, so on a mixed-width corpus WHICH side fails the
+    gate depends on scan order (r11 ADVICE).  ``dim=None`` is a
+    convenience for known-uniform corpora only.
 
     100 TB: the d(d+1)/2-per-row product fan-out never leaves the
     task (hash-aggregate partial combine collapses it to one cell
@@ -373,6 +377,12 @@ def pca_components(
     import numpy as np
 
     rows = embedding_covariance(df, vec_col, dim).collect()
+    if not rows:
+        raise ValueError(
+            "pca_components: embedding_covariance returned zero rows — "
+            "the corpus has no non-NULL vectors (an empty-but-dim-pinned "
+            "input reaches here; filter or check upstream)"
+        )
     d = 1 + max(r.i for r in rows)
     m = np.zeros((d, d))
     for r in rows:

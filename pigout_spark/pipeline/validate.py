@@ -160,7 +160,10 @@ def benford_test(df, value_col: str, keys: list[str] | None = None):
     """
     from pyspark.sql import functions as F
 
+    from pigout_spark.pipeline.behavioral import _check_keys
+
     keys = list(keys or [])
+    _check_keys(keys, ("n", "chi2_6"), "benford_test")
     v = F.col(value_col)
     d = df.filter(v.isNotNull() & (v >= 1)).filter(
         F.assert_true(

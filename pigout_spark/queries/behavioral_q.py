@@ -2715,10 +2715,12 @@ def x_two_prop_z(spark, sf_dir):
     extra=True,  # r11 addition — r12 rotation candidate
     sql="""
     WITH d AS (
-      SELECT l_returnflag AS rf, CAST(l_quantity AS DOUBLE) AS x,
-             CAST(l_extendedprice AS DOUBLE) AS y
-      FROM lineitem
-      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+      SELECT o_orderpriority AS rf,
+             CAST(date_diff('day', TIMESTAMP '1992-01-01 00:00:00',
+                            o_orderdate) AS DOUBLE) AS x,
+             CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE) AS y
+      FROM orders
+      WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
     ), r AS (
       SELECT rf, x, y, row_number() OVER (PARTITION BY rf ORDER BY x, y)
              AS rn
@@ -2740,7 +2742,7 @@ def x_two_prop_z(spark, sf_dir):
       SELECT rf, ROUND(MIN(s), 6) + 0.0 AS slope6
       FROM m WHERE rs = (ns + 1) // 2 GROUP BY rf
     )
-    SELECT base.rf AS l_returnflag, base.n_points,
+    SELECT base.rf AS o_orderpriority, base.n_points,
            COALESCE(np.n_pairs, 0) AS n_pairs, med.slope6
     FROM base
     LEFT JOIN np ON base.rf = np.rf
@@ -2748,26 +2750,38 @@ def x_two_prop_z(spark, sf_dir):
     """,
 )
 def x_theil_sen(spark, sf_dir):
-    """Per-returnflag Theil–Sen slope of extendedprice against
-    quantity on the first 200 (quantity, price) points
-    (behavioral.py:theil_sen — robust pairwise-median slope, cap
-    engaged so the in-task pair stage and the SQL self-join see the
-    same 19 900-pair relation per flag)."""
+    """Per-orderpriority Theil–Sen slope of order total (cents)
+    against order day on the first 200 (day, cents) points
+    (behavioral.py:theil_sen — robust pairwise-median slope).  The x
+    axis is the datediff day used by x_trend_fit: orders land ~1/day
+    per priority, so the 200-point cap window spans ~150+ DISTINCT x
+    values and the pair stage is real — close to the full 19 900
+    pairs per key survive the equal-x exclusion (the r11 lineitem
+    fixture was degenerate: all 200 capped points shared x = 1.0 and
+    every slope read NULL; r11 ADVICE)."""
     from pigout_spark.pipeline.behavioral import theil_sen
 
-    d = t(spark, sf_dir, "lineitem").filter(
-        F.col("l_quantity").isNotNull()
-        & F.col("l_extendedprice").isNotNull()
+    d = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+        & F.col("o_totalprice").isNotNull()
     )
     return theil_sen(
         d.select(
-            "l_returnflag",
-            F.col("l_quantity").cast("double").alias("x"),
-            F.col("l_extendedprice").cast("double").alias("y"),
+            "o_orderpriority",
+            F.datediff(
+                "o_orderdate",
+                F.lit("1992-01-01 00:00:00").cast("timestamp_ntz"),
+            )
+            .cast("double")
+            .alias("x"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .cast("double")
+            .alias("y"),
         ),
         "x",
         "y",
-        keys=["l_returnflag"],
+        keys=["o_orderpriority"],
         max_points_per_key=200,
     )
 
