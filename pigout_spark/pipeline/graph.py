@@ -324,6 +324,75 @@ def triangle_count(
     return tri.agg(F.count(F.lit(1)).alias("triangles"))
 
 
+def triangle_count_sampled(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    fraction: float = 0.25,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """DOULION edge-sampled triangle ESTIMATE (Tsourakakis et al.,
+    KDD 2009): keep each undirected edge with probability p, count
+    triangles EXACTLY on the sampled graph, scale by 1/p³ — the scale
+    answer for dense graphs where :func:`triangle_count`'s exact
+    O(m^1.5) wedge relation is unpayable (the sf1 supplier
+    co-purchase graph takes ~450 s exact; sampling at p cuts the
+    wedge stage by ~p^1.5 and the closing join input by p, so p=0.25
+    is ~8× cheaper and p=0.1 ~30×, with relative error ~1/√(p³·T) —
+    small precisely on the triangle-rich graphs that need it).
+
+    The sample is DETERMINISTIC, not Bernoulli: an edge survives iff
+    its canonical pair's md5 bucket falls under ⌊fraction·buckets⌉
+    (the :func:`operators.relational.hash_sample` discipline), so any
+    engine selects the SAME edge subset and the estimate is
+    oracle-replayable bit-for-bit — the effective p is the exact
+    literal kept_buckets/buckets, and the 1/p³ scale rides into both
+    plans as the SAME Python-computed double literal (the Benford /
+    LSH-hyperplane precedent; never engine POWER()).
+
+    Output: ONE row (sampled_edges, sampled_triangles, est6) — est6
+    is the ROUND-6 estimate sampled_triangles/p³ (+0.0).
+
+    100 TB: normalization + the md5 filter are narrow maps BEFORE the
+    heavy stages, so degrees, orientation, wedges, and the closing
+    join all run on the p-sized graph; the two scalar aggregates join
+    as single-row broadcasts.
+    """
+    kept = int(round(fraction * buckets))
+    if not (0 < kept <= buckets):
+        raise ValueError(
+            f"triangle_count_sampled: fraction {fraction} with "
+            f"{buckets} buckets keeps {kept} — need 0 < kept ≤ buckets"
+        )
+    p_eff = kept / buckets
+    inv_p3 = 1.0 / (p_eff ** 3)
+    s, d = F.col(src).cast("bigint"), F.col(dst).cast("bigint")
+    und = (
+        edges.filter(s.isNotNull() & d.isNotNull() & (s != d))
+        .select(F.least(s, d).alias("a"), F.greatest(s, d).alias("b"))
+        .distinct()
+    )
+    key = F.concat_ws(
+        "|", F.col("a").cast("string"), F.col("b").cast("string")
+    )
+    bucket = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+    samp = und.filter(bucket % buckets < kept)
+    m = samp.agg(F.count(F.lit(1)).cast("bigint").alias("sampled_edges"))
+    tri = triangle_count(samp, "a", "b").select(
+        F.col("triangles").cast("bigint").alias("sampled_triangles")
+    )
+    return m.crossJoin(F.broadcast(tri)).select(
+        "sampled_edges",
+        "sampled_triangles",
+        (
+            F.round(
+                F.col("sampled_triangles").cast("double") * F.lit(inv_p3), 6
+            )
+            + F.lit(0.0)
+        ).alias("est6"),
+    )
+
+
 def clustering_coefficient(
     edges: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

@@ -3212,6 +3212,55 @@ def x_triangles(spark, sf_dir):
     return triangle_count(edges)
 
 
+@query(
+    "x_triangles_sampled",
+    f"""
+    WITH und AS MATERIALIZED ({_TRI_EDGES_SQL}),
+    e AS MATERIALIZED (
+      SELECT x, y FROM und
+      WHERE ('0x' || substring(md5(CAST(x AS VARCHAR) || '|'
+                                   || CAST(y AS VARCHAR)), 1, 8))::BIGINT
+            % 10000 < 2500
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS sampled_edges FROM e
+    ), tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS sampled_triangles
+      FROM e e1
+      JOIN e e2 ON e1.y = e2.x
+      JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y
+    )
+    SELECT m.sampled_edges, tri.sampled_triangles,
+           ROUND(tri.sampled_triangles * 64.0, 6) + 0.0 AS est6
+    FROM m, tri
+    """,
+    extra=True,  # r12 addition — built this round, takes a window slot
+)
+def x_triangles_sampled(spark, sf_dir):
+    """DOULION edge-sampled triangle estimate on the same supplier
+    co-purchase graph as x_triangles, p = 0.25
+    (pipeline/graph.py:triangle_count_sampled) — the dense-graph
+    scale answer the exact count lacks (448 s at sf1; the p^1.5 wedge
+    discount makes this seconds).  The md5-deterministic edge sample
+    means BOTH engines count the identical sampled subgraph, so the
+    estimate hash-matches exactly: Spark runs degree-ordered wedges
+    on the sample, the oracle three plain id-ordered joins — two
+    independent algorithms, one exact sampled count, one shared
+    1/p³ = 64 literal."""
+    from pigout_spark.pipeline.graph import triangle_count_sampled
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+    ).select(
+        F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+    )
+    return triangle_count_sampled(edges, fraction=0.25)
+
+
 _CC_EDGES_SQL = """
       SELECT DISTINCT LEAST(a.l_suppkey, b.l_suppkey) AS x,
                       GREATEST(a.l_suppkey, b.l_suppkey) AS y
@@ -4746,6 +4795,99 @@ def x_emb_covariance(spark, sf_dir):
 
     e = t(spark, sf_dir, "embeddings")
     return embedding_covariance(e, "embedding", dim=64)
+
+
+#: Principal axes pinned as plan literals (r11 VERDICT #5): computed
+#: ONCE by features.py:pca_components(k=2, dim=64) on the sf0.01
+#: embeddings corpus (eigh of the hash-checked x_emb_covariance
+#: matrix, largest-|coef|-positive sign convention) and frozen here so
+#: BOTH engines project onto the IDENTICAL doubles — the
+#: LSH-hyperplane literal precedent.  The projection path under test
+#: (pca_project's zip_with/aggregate fold) is corpus-independent;
+#: eigh itself is pytest-covered driver-side numpy.
+_PCA_AXES = [
+    [-0.20962322543976497, -0.12052915283008597, 0.03652589010342644,
+     0.01187038437291471, 0.07545481900669014, 0.01317733022093176,
+     0.09054669645764564, 0.2867305354469484, 0.04944094820297659,
+     0.41399308946308494, 0.0651947818929452, 0.18202948250108103,
+     0.06508674070804536, -0.03668762982551625, 0.17110426994606232,
+     -0.18539607665972432, 0.08879638862652557, -0.15750959537667675,
+     -0.030052456992680835, 0.03233408472370082, 0.06117676007008306,
+     -0.11077066411748311, -0.08358147765647062, -0.055000559014268154,
+     0.019898714370643875, 0.19944334781803832, -0.037493822537167334,
+     0.14952301489965333, -0.17277057866767653, -0.005855559857521231,
+     -0.058692401325416296, 0.062325977530493626, 0.2965183214362517,
+     0.10605748824830472, -0.032113914956706825, 0.1039908001230455,
+     0.04447092839714761, 0.06140470857453442, 0.01269385691656668,
+     0.02178679541385351, -0.11668451939581011, 0.005515795300728779,
+     -0.24078354335609606, 0.09597792293424583, -0.028530557583703292,
+     -0.22488098931913444, 0.008789558537030534, -0.07925782954161321,
+     -0.08381502073007839, -0.11825151258470176, 0.12067569697385437,
+     0.07261027663565385, -0.017172533170844745, 0.08158925421079329,
+     -0.015329863924220522, -0.06680591525514921, -0.05522418114431475,
+     -0.05137204356553893, 0.06001205948197022, -0.09094555912864827,
+     0.12210607832561705, 0.05053657203498392, -0.2182215796973299,
+     -0.10193519057548908],
+    [-0.00423617448978682, -0.054642868717533245, -0.01258389028856784,
+     -0.08805932867349756, 0.17489023236552345, 0.02526740382962641,
+     0.075134433829086, -0.06970383786166592, 0.07744640454364764,
+     0.03133312193030968, 0.10582170862221504, -0.017562137877756713,
+     0.012923426052944971, 0.1336609678325819, 0.014791610021626565,
+     0.04106174879812821, 0.14868440955578996, 0.36008355817869553,
+     -0.05409099812012924, -0.05073937481202376, 0.03259064777482601,
+     0.03524602655601909, 0.06516436000922207, -0.3091235230616898,
+     -0.2576923442040327, -0.23881039703641538, -0.02068723599083175,
+     -0.00011138275614380397, -0.08645926467166756, -0.17459561935868229,
+     -0.02415667239115224, -0.21739143509949915, 0.029835807066430933,
+     0.06157216833695379, 0.033651913928649066, 0.07928561550195477,
+     0.059571206533658994, 0.036475358607635136, 0.18205769922733991,
+     0.0466734685088788, -6.431024595263471e-05, 0.04715097720127763,
+     -0.0631478036561815, -0.17915530007790367, 0.17268816797859637,
+     -0.1891830640460577, -0.04690592860809891, 0.14566526486445497,
+     0.11279644759676571, -0.11351053535640598, -0.1572581229086741,
+     -0.08192088060255162, 0.013056677806842207, -0.016027565791467115,
+     0.2379134944650246, 0.02325959612981341, -0.30293536291285134,
+     0.01642102183104027, 0.13556925050361707, -0.12168254002370914,
+     -0.08355568031738611, 0.08503048900857588, -0.000777972285799719,
+     -0.07869351343839381],
+]
+
+
+def _sql_arr(xs):
+    return "[" + ", ".join(repr(float(x)) for x in xs) + "]"
+
+
+@query(
+    "x_pca_project",
+    extra=True,  # r12 addition — built this round, takes a window slot
+    sql=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    )
+    SELECT vec_id,
+           ROUND({_sql_dot('v', _sql_arr(_PCA_AXES[0]))}, 6) + 0.0 AS p0_6,
+           ROUND({_sql_dot('v', _sql_arr(_PCA_AXES[1]))}, 6) + 0.0 AS p1_6
+    FROM v
+    """,
+)
+def x_pca_project(spark, sf_dir):
+    """Project every embedding onto the two pinned principal axes
+    (features.py:pca_project — a JVM zip_with/aggregate fold per
+    component, no UDF, no exchange; axes are the _PCA_AXES literals
+    from pca_components on the sf0.01 corpus).  The oracle replays
+    the k×d matrix multiply with the same left-fold over the same
+    literal doubles, closing the last pytest-only gap in the
+    embedding family (r11 VERDICT #5)."""
+    from pigout_spark.pipeline.features import pca_project
+
+    e = t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    proj = pca_project(e, _PCA_AXES, "embedding", "pca")
+    return proj.select(
+        "vec_id",
+        (F.round(F.col("pca")[0], 6) + F.lit(0.0)).alias("p0_6"),
+        (F.round(F.col("pca")[1], 6) + F.lit(0.0)).alias("p1_6"),
+    )
 
 
 @query(

@@ -2338,6 +2338,44 @@ def test_triangle_count_known_graphs(spark):
     assert tc([(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10), (5, 6)]) == 2
 
 
+def test_triangle_count_sampled(spark):
+    """DOULION estimate: p=1 (kept == buckets) must equal the exact
+    count with est6 == triangles exactly; fractional p selects a
+    DETERMINISTIC md5 subset (same result on re-run) and scales by
+    the exact 1/p³ literal; a fraction keeping zero buckets raises."""
+    import pytest
+
+    from pigout_spark.pipeline.graph import (
+        triangle_count,
+        triangle_count_sampled,
+    )
+
+    K4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    df = spark.createDataFrame(K4, "src bigint, dst bigint")
+    full = triangle_count_sampled(df, fraction=1.0).collect()[0]
+    assert full.sampled_edges == 6
+    assert full.sampled_triangles == triangle_count(df).collect()[0].triangles == 4
+    assert full.est6 == 4.0
+
+    # dense-ish graph: clique on 12 nodes = 220 triangles; p=0.5 keeps
+    # a deterministic subset — two runs agree bit-for-bit and the
+    # estimate is sampled_triangles * 8
+    clique = [(i, j) for i in range(12) for j in range(i + 1, 12)]
+    big = spark.createDataFrame(clique, "src bigint, dst bigint")
+    r1 = triangle_count_sampled(big, fraction=0.5).collect()[0]
+    r2 = triangle_count_sampled(big, fraction=0.5).collect()[0]
+    assert (r1.sampled_edges, r1.sampled_triangles, r1.est6) == (
+        r2.sampled_edges,
+        r2.sampled_triangles,
+        r2.est6,
+    )
+    assert 0 < r1.sampled_edges < 66
+    assert r1.est6 == round(r1.sampled_triangles * 8.0, 6)
+
+    with pytest.raises(ValueError, match="keeps 0"):
+        triangle_count_sampled(df, fraction=0.00001)
+
+
 def test_clustering_coefficient_kite(spark):
     """Kite graph (K4 + pendant): hub coef 0.5, clique corners 1.0,
     pendant 0 — per-node triangle credit is exact and zero-filled."""
