@@ -357,7 +357,82 @@ _WINDOW_R11 = [
     "x_sessionize",
 ]
 assert len(_WINDOW_R11) == len(set(_WINDOW_R11)) == 50
-_window = set(_WINDOW_R11)
+
+# r12 rotation (VERDICT r11 task 1): the pinned 9-query queue
+# (selfcheck-green since r11; the judge re-verified all nine) takes
+# slots 2-10; the two queries BUILT this round (x_triangles_sampled —
+# the dense-graph scale answer, VERDICT #4; x_pca_project — the
+# eigh-then-project oracle closure, VERDICT #5) take slots per the
+# running built-this-round pattern; 8 slots re-anchor the stalest
+# remaining driver rows computed from CORRECTNESS_r01..r11 —
+# q28_group_bag / q29_union_onschema / q30_sample / q33_corr_cov /
+# q34_math_funcs all last held driver rows at r4 (the oldest
+# individual rows of any still-registered query), and the verdict
+# names q39_string_funcs3 / x_upsert_replay / x_roc_auc (r10-row
+# holders for strings / streaming-CDC / evaluation).  The 30 settled
+# per-family anchors carry over from r11 unchanged.  Everything
+# rotated out keeps its local oracle (tools/selfcheck.py +
+# tests/test_queries.py) per the standing policy; every rotated-out
+# query has held a green driver row r1-r11.
+_WINDOW_R12 = [
+    "q01_group_agg",  # flagship
+    # (a) the pinned r12 queue — never driver-checked
+    "x_anova_f",
+    "x_welch_ttest",
+    "x_two_prop_z",
+    "x_theil_sen",
+    "x_emb_covariance",
+    "x_ann_recall",
+    "x_nelson_aalen",
+    "x_mantel_haenszel",
+    "x_benford",
+    # (b) built this round
+    "x_triangles_sampled",
+    "x_pca_project",
+    # (c) stale re-anchors (oldest driver rows: r4-era operators, plus
+    # the verdict-named r10 family holders)
+    "q28_group_bag",
+    "q29_union_onschema",
+    "q30_sample",
+    "q33_corr_cov",
+    "q34_math_funcs",
+    "q39_string_funcs3",
+    "x_upsert_replay",
+    "x_roc_auc",
+    # (d) settled anchors — one per operator family (same set as r11)
+    "q02_filter_project",
+    "q03_join_agg",
+    "q04_outer_join",
+    "q05_broadcast_join",
+    "q06_semi_anti",
+    "q07_cross_theta",
+    "q08_union_distinct",
+    "q09_order_limit",
+    "q11_cube",
+    "q12_rollup",
+    "q13_flatten_tokenize",
+    "q14_cogroup",
+    "q15_nested_topk",
+    "q16_split",
+    "q19_date_funcs",
+    "q22_distinct_agg",
+    "q24_pandas_udf",
+    "q25_udaf",
+    "q38_bloom_join",
+    "x_latin_q01",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash_pairs",
+    "sim_ann_topk",
+    "sim_ivf_topk",
+    "text_quality",
+    "mm_binary_meta",
+    "stream_tumbling",
+    "x_asof_join",
+    "x_sessionize",
+]
+assert len(_WINDOW_R12) == len(set(_WINDOW_R12)) == 50
+_window = set(_WINDOW_R12)
 for _k in list(REGISTRY):
     if _k not in _window:
         EXTRA_REGISTRY[_k] = REGISTRY.pop(_k)
@@ -369,7 +444,7 @@ assert not _missing, f"window names not registered anywhere: {_missing}"
 
 # Window order == list order (new-this-round rows right after the
 # flagship, settled anchors last).
-_ordered = {k: REGISTRY[k] for k in _WINDOW_R11}
+_ordered = {k: REGISTRY[k] for k in _WINDOW_R12}
 REGISTRY.clear()
 REGISTRY.update(_ordered)
 
