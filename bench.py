@@ -205,7 +205,29 @@ def main() -> None:
     _warmup(spark, sf_dir)
     con = _duckdb_con(sf_dir)
     oracles = {**qmod.extra_oracle_sql(), **entrymod.oracle_sql()}
+    # Load gate (r11 verdict #7): the one contended r11 durability pass
+    # (worst 1.92, start load 10.5 vs ~4-6 clean) needed a prose
+    # explanation; the gate makes box state machine-checkable instead.
+    # Every run RECORDS load_ok; a durability run (BENCH_REQUIRE_QUIET=1)
+    # additionally WAITS for the box to quiet down and refuses (exit 3)
+    # if it never does — so no recorded durability pass can start
+    # contended.  Threshold 8.0 on the 1-min average: clean r11 passes
+    # started at 4-6 on this 32-cpu box, the flagged one at 10.5.
+    load_threshold = float(os.environ.get("BENCH_LOAD_THRESHOLD", "8.0"))
+    if os.environ.get("BENCH_REQUIRE_QUIET"):
+        deadline = time.time() + 600
+        while os.getloadavg()[0] > load_threshold:
+            if time.time() > deadline:
+                print(
+                    f"bench: start load {os.getloadavg()[0]:.2f} stayed "
+                    f"above threshold {load_threshold} for 600 s — "
+                    "refusing the durability pass (BENCH_REQUIRE_QUIET)",
+                    file=sys.stderr,
+                )
+                raise SystemExit(3)
+            time.sleep(15)
     load_start = os.getloadavg()
+    load_ok = load_start[0] <= load_threshold
 
     def time_set(set_names: list[str]) -> tuple[dict, dict]:
         timings: dict[str, float] = {}
@@ -286,6 +308,7 @@ def main() -> None:
             2,
         ),
         "n_extended": len(ext_timings),
+        "load_ok": load_ok,
     }
     # Full per-query baseline + ratio detail goes to a sidecar file —
     # keeping the contract line short enough for the driver's capture.
@@ -308,6 +331,7 @@ def main() -> None:
                 # start and end
                 "load_avg_start": [round(x, 2) for x in load_start],
                 "load_avg_end": [round(x, 2) for x in os.getloadavg()],
+                "load_threshold": load_threshold,
             },
             indent=1,
         )

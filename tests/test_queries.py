@@ -93,3 +93,40 @@ def test_coverage_doc_names_registry():
         f"{len(missing)} registered queries absent from COVERAGE.md: "
         f"{missing} — add a row (or mention) for each"
     )
+
+
+def test_coverage_doc_refs_resolve():
+    """Every `file.py:symbol` reference in COVERAGE.md must point at an
+    existing module that still defines that symbol — r11 verdict #8:
+    the name-presence pin above stops registry drift, this stops the
+    FILE references from rotting when code moves or renames."""
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    cov = (root / "COVERAGE.md").read_text()
+    pkg = root / "pigout_spark"
+    # index every .py under the package and tests by basename and by
+    # package-relative suffix, so both `behavioral.py:fn` and
+    # `pipeline/graph.py:fn` resolve
+    candidates: dict[str, list[Path]] = {}
+    for p in list(pkg.rglob("*.py")) + list((root / "tests").rglob("*.py")):
+        rel = p.relative_to(root).as_posix()
+        for key in {p.name, rel, rel.split("/", 1)[-1]}:
+            candidates.setdefault(key, []).append(p)
+    bad = []
+    for m in re.finditer(r"([A-Za-z_][\w/]*\.py):([A-Za-z_]\w*)", cov):
+        path_ref, sym = m.group(1), m.group(2)
+        paths = candidates.get(path_ref) or candidates.get(
+            path_ref.split("/")[-1]
+        )
+        if not paths:
+            bad.append(f"{path_ref}:{sym} — no such module")
+            continue
+        pat = re.compile(rf"\b{re.escape(sym)}\b")
+        if not any(pat.search(p.read_text()) for p in paths):
+            bad.append(f"{path_ref}:{sym} — symbol not found in module")
+    assert not bad, (
+        f"{len(bad)} stale file:symbol references in COVERAGE.md:\n  "
+        + "\n  ".join(bad)
+    )
