@@ -2815,3 +2815,153 @@ def mantel_haenszel(
         F.round(F.col("__num") / F.col("__den"), 6) + F.lit(0.0),
     )
     return agg.select(*keys, "n_strata", "n", ormh.alias("or_mh6"))
+
+
+#: Poisson(1) CDF at k = 0..8, as PYTHON-computed literals embedded
+#: identically in both engines' plans (the Benford/LSH-literal
+#: discipline — never engine exp/factorial): a bootstrap weight is the
+#: count of thresholds at or below the row's uniform, capping the tail
+#: at w = 9 (P ≈ 1.1e-6 — the truncation bias is far below ROUND-6).
+POISSON1_CDF = [
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253, 0.999998874797402,
+]
+
+#: Mersenne-prime universal-hash family (the MinHash device) for the
+#: per-replicate uniforms — ONE md5 base per row, then `replicates`
+#: exact-int64 hashes, not `replicates` md5s (the q38 r12 lesson: the
+#: md5 chain is the expensive part of a per-row hash pipeline).
+_BOOT_P = 2_147_483_647
+
+
+def _boot_params(replicates: int, seed: int) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed * 7919 + 13)
+    return [
+        (rng.randrange(1, _BOOT_P), rng.randrange(0, _BOOT_P))
+        for _ in range(replicates)
+    ]
+
+
+def poisson_bootstrap(
+    df: DataFrame,
+    value_col: str,
+    id_cols: list[str],
+    keys: list[str] | None = None,
+    replicates: int = 40,
+    seed: int = 7,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for a per-key mean — the
+    ONE-PASS bootstrap that works at 100 TB (Chamandy et al., "Estimating
+    uncertainty for massive data streams", Google 2012): instead of B
+    resampling passes, each row carries B independent Poisson(1)
+    pseudo-counts (≈ its multiplicity in B multinomial resamples when n
+    is large), so B replicate means fall out of ONE map-side-combined
+    groupBy — no data pass ever repeats.
+
+    Replicate weights are DETERMINISTIC: one md5 base hash of
+    ``id_cols`` (NULL-safe sentinel key, the hash_sample discipline),
+    then ``replicates`` Mersenne universal hashes → uniforms, each
+    inverted through the POISSON1_CDF literal thresholds.  Any engine
+    replays the identical weights, so the interval is oracle-checkable
+    bit-for-bit — randomness without RNG state.
+
+    ``value_col`` must be INTEGER-VALUED (cents/counts — the trend_fit
+    contract, asserted on the scan): every per-row w·x is then an exact
+    int64 and the per-replicate sums are DECIMAL-exact in any engine;
+    each replicate mean is ONE IEEE division ROUND-6.  The interval is
+    the percentile bootstrap: order statistics of the B rounded means
+    at ranks ⌈0.025·B⌉ and ⌈0.975·B⌉ (actual elements via integer rank
+    arithmetic — the mad_outliers selection discipline; B = 40 makes
+    the ranks exactly the 2.5th/97.5th percentiles).  A key where ANY
+    replicate drew total weight 0 reads NULL bounds (P ≈ e⁻ⁿ — only
+    near-empty keys; a NULL-flag rule both engines share, avoiding
+    engine-specific NULL sort order inside the replicate array).
+
+    Output: one row per key — (*keys, n, mean6, boot_lo6, boot_hi6).
+
+    100 TB: ONE exchange on the keys; the 2B+2 aggregates all combine
+    map-side; weights are ~B integer mul/mod per row after a single
+    md5 — a narrow map, no blow-up join, no per-replicate pass.
+    """
+    keys = list(keys or [])
+    _check_keys(keys, ("n", "mean6", "boot_lo6", "boot_hi6"),
+                "poisson_bootstrap")
+    if not id_cols:
+        raise ValueError(
+            "poisson_bootstrap needs id_cols — the deterministic "
+            "replicate weights hash row identity"
+        )
+    if not keys:
+        tagged = df.withColumn("__one", F.lit(1))
+        out = poisson_bootstrap(
+            tagged, value_col, id_cols, ["__one"], replicates, seed
+        )
+        return out.drop("__one")
+    v = F.col(value_col)
+    d = df.filter(v.isNotNull()).filter(
+        F.assert_true(
+            v == F.floor(v),
+            F.lit(
+                "poisson_bootstrap: values must be integral (cents, "
+                "counts) — integerize upstream"
+            ),
+        ).isNull()
+    )
+    key = F.concat_ws(
+        "|",
+        F.lit(str(seed)),
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+            for c in id_cols
+        ],
+    )
+    x = F.conv(F.substring(F.md5(key), 1, 7), 16, 10).cast("long")
+    d = d.select(*keys, v.cast("bigint").alias("__v"), x.alias("__x"))
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("__v").cast("decimal(38,0)")).alias("__s"),
+    ]
+    for b, (a, c) in enumerate(_boot_params(replicates, seed)):
+        u = (((F.col("__x") * a + c) % _BOOT_P).cast("double")
+             / F.lit(float(_BOOT_P)))
+        w = None
+        for t in POISSON1_CDF:
+            term = F.when(u >= F.lit(t), 1).otherwise(0)
+            w = term if w is None else w + term
+        aggs.append(
+            F.sum((w.cast("long") * F.col("__v")).cast("decimal(38,0)"))
+            .alias(f"__sw{b}")
+        )
+        aggs.append(F.sum(w).cast("bigint").alias(f"__nw{b}"))
+    g = d.groupBy(*keys).agg(*aggs)
+    means = F.array(
+        *[
+            (
+                F.round(
+                    F.col(f"__sw{b}").cast("double")
+                    / F.col(f"__nw{b}").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            )
+            for b in range(replicates)
+        ]
+    )
+    minw = F.least(*[F.col(f"__nw{b}") for b in range(replicates)])
+    lo_ix = max(1, -(-replicates * 25 // 1000))      # ⌈0.025·B⌉
+    hi_ix = -(-replicates * 975 // 1000)             # ⌈0.975·B⌉
+    sorted_means = F.array_sort(means)
+    ok = minw > 0
+    return g.select(
+        *keys,
+        "n",
+        (
+            F.round(F.col("__s").cast("double") / F.col("n").cast("double"), 6)
+            + F.lit(0.0)
+        ).alias("mean6"),
+        F.when(ok, F.element_at(sorted_means, lo_ix)).alias("boot_lo6"),
+        F.when(ok, F.element_at(sorted_means, hi_ix)).alias("boot_hi6"),
+    )

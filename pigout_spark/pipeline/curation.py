@@ -639,3 +639,55 @@ def kfold_assign(
         / F.lit(4294967296.0)
     )
     return df.withColumn(out, F.floor(u * F.lit(int(k))).cast("bigint"))
+
+
+def temperature_weights(
+    df: DataFrame,
+    domain_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled domain mixing weights: w_d ∝ n_d^α — the
+    standard multilingual/multi-source rebalancing rule (α = 1 is
+    proportional, α → 0 uniform; pretraining recipes typically run
+    α ∈ [0.2, 0.7] to keep head domains from drowning the tail).
+    Feed the result straight into :func:`mixture_sample` as
+    ``target_weights``.
+
+    Determinism: each n_d^α term is ROUND-6 then summed as
+    DECIMAL(20,6) (exact, order-free — the vocab_kl discipline), and
+    each weight is ONE IEEE division ROUND-6.  At α = 0.5 the power is
+    sqrt — correctly rounded in every IEEE engine, so the oracle
+    replays it bit-for-bit; other α go through pow(), whose last ulp
+    is engine-dependent (the term ROUND-6 absorbs it except at
+    rounding boundaries — prefer α = 0.5 when hash-replaying).
+
+    Output: (domain, n, w6) — one row per domain, Σ w6 ≈ 1.
+
+    100 TB: one domain-cardinality-sized aggregate + a broadcast of
+    the scalar total; never touches row data twice.
+    """
+    counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    if alpha == 0.5:
+        p = F.sqrt(F.col("n").cast("double"))
+    else:
+        p = F.pow(F.col("n").cast("double"), F.lit(float(alpha)))
+    terms = counts.withColumn(
+        "__t", (F.round(p, 6) + F.lit(0.0)).cast("decimal(20,6)")
+    )
+    tot = terms.agg(F.sum("__t").alias("__tot"))
+    return (
+        terms.crossJoin(F.broadcast(tot))
+        .select(
+            "domain",
+            "n",
+            (
+                F.round(
+                    F.col("__t").cast("double") / F.col("__tot").cast("double"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("w6"),
+        )
+    )

@@ -424,3 +424,36 @@ def pca_project(
         for comp in components
     ]
     return df.withColumn(out_col, F.array(*projs))
+
+
+def apply_logistic(
+    df: DataFrame,
+    weights: dict[str, float],
+    intercept: float = 0.0,
+    out_col: str = "score",
+) -> DataFrame:
+    """Score rows with a fixed logistic model — the
+    quality-classifier application step of a curation pipeline (the
+    CCNet/fastText-style linear scorer whose TRAINING happens
+    offline; inference is embarrassingly parallel and belongs in the
+    engine): score = σ(Σ wᵢ·xᵢ + b), appended ROUND-6 as ``out_col``.
+
+    The weighted sum folds in SORTED feature-name order (one fixed
+    IEEE chain both engines replay identically — the pca_project
+    literal discipline; weights ride into the plan as Python
+    literals).  The logit is ROUND-6 before the sigmoid so the
+    exp() input is the same double everywhere; exp's own last ulp
+    then sits under the final ROUND-6 except at rounding boundaries
+    (the accepted nelson_aalen exp-chain risk).  NULL features make a
+    NULL score (standard SQL propagation) — impute upstream.
+
+    100 TB: a narrow map, no exchange, no UDF.
+    """
+    if not weights:
+        raise ValueError("apply_logistic needs at least one feature weight")
+    z = F.lit(float(intercept))
+    for name in sorted(weights):
+        z = z + F.col(name).cast("double") * F.lit(float(weights[name]))
+    z6 = F.round(z, 6) + F.lit(0.0)
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z6))
+    return df.withColumn(out_col, F.round(score, 6) + F.lit(0.0))

@@ -274,6 +274,14 @@ def triangle_count(
     100 TB: normalization is one distinct; degrees one groupBy; the
     wedge enumeration and the closing check are plain key-equi joins
     (no cartesian anywhere) whose sizes the orientation bounds.
+
+    DENSITY CONTRACT: O(m^1.5) is the best exact bound known for
+    distributed wedge counting, and on dense graphs it is a real
+    wall — the sf1 supplier co-purchase fixture (~6M edges, avg
+    degree ~160) runs ~450 s; at 100× the exact path is days.  When
+    the graph is dense and an estimate suffices, use
+    :func:`triangle_count_sampled` (deterministic DOULION edge
+    sampling — seconds at the same scale, oracle-replayable).
     """
     lim = 1 << 31
     s, d = F.col(src).cast("bigint"), F.col(dst).cast("bigint")

@@ -2900,3 +2900,88 @@ def x_mantel_haenszel(spark, sf_dir):
         "o",
         "source",
     )
+
+
+def _boot_sql(keys_sql: str, replicates: int = 40, seed: int = 7) -> str:
+    """Oracle twin of behavioral.poisson_bootstrap over orders: the
+    SAME md5 base, Mersenne universal-hash uniforms, POISSON1_CDF
+    literal thresholds, HUGEINT-exact per-replicate sums, ROUND-6
+    means, and ⌈0.025B⌉/⌈0.975B⌉ order statistics — generated from the
+    identical Python literals the Spark plan embeds."""
+    from pigout_spark.pipeline.behavioral import POISSON1_CDF, _boot_params
+
+    P = 2_147_483_647
+    params = _boot_params(replicates, seed)
+
+    def w(b):
+        a, c = params[b]
+        u = (f"(CAST((x * {a} + {c}) % {P} AS DOUBLE) / {float(P)!r})")
+        cases = " + ".join(
+            f"(CASE WHEN {u} >= {t!r} THEN 1 ELSE 0 END)"
+            for t in POISSON1_CDF
+        )
+        return f"({cases})"
+
+    agg_cols = ",\n        ".join(
+        f"SUM(CAST({w(b)} * v AS HUGEINT)) AS sw{b},\n"
+        f"        CAST(SUM({w(b)}) AS BIGINT) AS nw{b}"
+        for b in range(replicates)
+    )
+    means = ", ".join(
+        f"ROUND(CAST(sw{b} AS DOUBLE) / CAST(nw{b} AS DOUBLE), 6) + 0.0"
+        for b in range(replicates)
+    )
+    minw = "LEAST(" + ", ".join(f"nw{b}" for b in range(replicates)) + ")"
+    lo = max(1, -(-replicates * 25 // 1000))
+    hi = -(-replicates * 975 // 1000)
+    return f"""
+    WITH d AS (
+      SELECT {keys_sql} AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             ('0x' || substring(md5('{seed}' || '|'
+                 || CAST(o_orderkey AS VARCHAR)), 1, 7))::BIGINT AS x
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ), g AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+        SUM(CAST(v AS HUGEINT)) AS s,
+        {agg_cols}
+      FROM d GROUP BY k
+    )
+    SELECT k AS o_orderpriority, n,
+           ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0.0 AS mean6,
+           CASE WHEN {minw} > 0
+                THEN list_sort([{means}])[{lo}] END AS boot_lo6,
+           CASE WHEN {minw} > 0
+                THEN list_sort([{means}])[{hi}] END AS boot_hi6
+    FROM g
+    """
+
+
+@query(
+    "x_boot_ci",
+    extra=True,  # r12 addition — r13 rotation candidate
+    sql=_boot_sql("o_orderpriority"),
+)
+def x_boot_ci(spark, sf_dir):
+    """Poisson-bootstrap 95% CI for mean order value (cents) per
+    orderpriority (behavioral.py:poisson_bootstrap — the one-pass
+    B=40-replicate bootstrap: per-row deterministic Poisson(1)
+    pseudo-counts from one md5 base + Mersenne universal hashes, all
+    2B+2 aggregates in ONE map-side-combined exchange; Chamandy et
+    al. 2012).  Both engines replay identical weights, so the
+    percentile interval hash-matches exactly."""
+    from pigout_spark.pipeline.behavioral import poisson_bootstrap
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
+    return poisson_bootstrap(
+        o.select(
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+            "o_orderkey",
+        ),
+        "cents",
+        ["o_orderkey"],
+        keys=["o_orderpriority"],
+    )

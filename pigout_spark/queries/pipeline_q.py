@@ -5005,3 +5005,93 @@ def x_benford(spark, sf_dir):
         .alias("cents"),
     )
     return benford_test(li, "cents", keys=["l_returnflag"])
+
+
+@query(
+    "x_temp_mixture",
+    extra=True,  # r12 addition — r13 rotation candidate
+    sql="""
+    WITH c AS (
+      SELECT source AS domain, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents WHERE source IS NOT NULL GROUP BY source
+    ), t AS (
+      SELECT domain, n,
+             CAST(ROUND(sqrt(CAST(n AS DOUBLE)), 6) + 0.0
+                  AS DECIMAL(20,6)) AS tt
+      FROM c
+    ), s AS (SELECT SUM(tt) AS tot FROM t)
+    SELECT domain, n,
+           ROUND(CAST(tt AS DOUBLE) / CAST(tot AS DOUBLE), 6) + 0.0 AS w6
+    FROM t, s
+    """,
+)
+def x_temp_mixture(spark, sf_dir):
+    """Temperature-scaled (α = 0.5) mixing weights per document source
+    (curation.py:temperature_weights — w_d ∝ √n_d, the
+    head-domain-flattening recipe rule; sqrt is correctly rounded in
+    every IEEE engine so the oracle replays it exactly; feeds
+    mixture_sample as target_weights)."""
+    from pigout_spark.pipeline.curation import temperature_weights
+
+    d = t(spark, sf_dir, "documents").filter(F.col("source").isNotNull())
+    return temperature_weights(d, "source", alpha=0.5)
+
+
+#: quality-scorer coefficients pinned as plan literals (the _PCA_AXES
+#: discipline): an offline-trained logistic model's weights — inference
+#: is the engine's job, training is not
+_LOGIT_W = {"len_k": 0.8, "upper_ratio": -2.5, "digit_ratio": -1.5}
+_LOGIT_B = -0.25
+
+
+@query(
+    "x_quality_logit",
+    extra=True,  # r12 addition — r13 rotation candidate
+    sql=f"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(n_chars AS DOUBLE) / 1000.0 AS len_k,
+             CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+               / CAST(GREATEST(length(text), 1) AS DOUBLE) AS upper_ratio,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+               / CAST(GREATEST(length(text), 1) AS DOUBLE) AS digit_ratio
+      FROM documents
+      WHERE text IS NOT NULL AND n_chars IS NOT NULL
+    )
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + exp(-(ROUND({_LOGIT_B!r}
+                 + digit_ratio * {_LOGIT_W['digit_ratio']!r}
+                 + len_k * {_LOGIT_W['len_k']!r}
+                 + upper_ratio * {_LOGIT_W['upper_ratio']!r}, 6) + 0.0))),
+                 6) + 0.0 AS score
+    FROM f
+    """,
+)
+def x_quality_logit(spark, sf_dir):
+    """Fixed logistic quality scorer over cheap text features
+    (features.py:apply_logistic — the CCNet/fastText-style linear
+    classifier APPLICATION step; weights are plan literals, the
+    weighted sum folds in sorted-feature order in both engines, logit
+    ROUND-6 before the sigmoid so exp sees identical doubles).
+    Features: chars/1000, uppercase ratio, digit ratio."""
+    from pigout_spark.pipeline.features import apply_logistic
+
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    ln = F.greatest(F.length("text"), F.lit(1)).cast("double")
+    feats = d.select(
+        "doc_id",
+        (F.col("n_chars").cast("double") / F.lit(1000.0)).alias("len_k"),
+        (
+            F.length(F.regexp_replace("text", "[^A-Z]", "")).cast("double")
+            / ln
+        ).alias("upper_ratio"),
+        (
+            F.length(F.regexp_replace("text", "[^0-9]", "")).cast("double")
+            / ln
+        ).alias("digit_ratio"),
+    )
+    return apply_logistic(feats, _LOGIT_W, _LOGIT_B, "score").select(
+        "doc_id", "score"
+    )

@@ -1708,3 +1708,43 @@ def test_new_stats_invariances(spark):
     )
     t2 = welch_ttest(shifted, "g", "v").first().t6
     assert t2 > t1
+
+
+def test_poisson_bootstrap_hand_checked(spark):
+    """Constant values pin the whole machinery: every replicate mean of
+    a constant-5 column is exactly 5.0, so mean and both bounds read
+    5.0; the interval brackets the mean on real data; weights are
+    deterministic (re-run identical); fractional values and missing
+    id_cols fail loudly; key-name collisions fail loudly."""
+    import pytest
+
+    from pigout_spark.pipeline.behavioral import poisson_bootstrap
+
+    const = spark.createDataFrame(
+        [("a", 5, i) for i in range(200)], "k string, v long, id long"
+    )
+    r = poisson_bootstrap(const, "v", ["id"], keys=["k"]).first()
+    assert r.n == 200 and r.mean6 == 5.0
+    assert r.boot_lo6 == 5.0 and r.boot_hi6 == 5.0
+
+    varied = spark.createDataFrame(
+        [("a", i % 50, i) for i in range(400)], "k string, v long, id long"
+    )
+    r1 = poisson_bootstrap(varied, "v", ["id"], keys=["k"]).first()
+    r2 = poisson_bootstrap(varied, "v", ["id"], keys=["k"]).first()
+    assert (r1.boot_lo6, r1.boot_hi6) == (r2.boot_lo6, r2.boot_hi6)
+    assert r1.boot_lo6 <= r1.mean6 <= r1.boot_hi6
+    assert r1.boot_lo6 < r1.boot_hi6
+
+    # keyless single-readout form
+    g = poisson_bootstrap(varied.select("v", "id"), "v", ["id"]).first()
+    assert g.n == 400 and g.boot_lo6 <= g.mean6 <= g.boot_hi6
+
+    frac = spark.createDataFrame([("a", 1.5, 1)], "k string, v double, id long")
+    with pytest.raises(Exception, match="integral"):
+        poisson_bootstrap(frac, "v", ["id"], keys=["k"]).collect()
+    with pytest.raises(ValueError, match="id_cols"):
+        poisson_bootstrap(const, "v", [], keys=["k"])
+    bad = spark.createDataFrame([(1, 2, 3)], "n long, v long, id long")
+    with pytest.raises(ValueError, match="collide"):
+        poisson_bootstrap(bad, "v", ["id"], keys=["n"])

@@ -3544,3 +3544,44 @@ def test_benford_hand_checked(spark):
     rows = benford_test(df2, "v", keys=["k"]).collect()
     assert {r.k for r in rows} == {"a", "b"}
     assert all(r.chi2_6 is not None for r in rows)
+
+
+def test_temperature_weights(spark):
+    """α=0.5 weights are √n-proportional and sum to ~1; α=1 recovers
+    proportional mixing; the flattening property holds (tail domain's
+    weight share exceeds its row share)."""
+    from pigout_spark.pipeline.curation import temperature_weights
+
+    df = spark.createDataFrame(
+        [("web",)] * 900 + [("code",)] * 100, "source string"
+    )
+    w = {r.domain: (r.n, r.w6) for r in
+         temperature_weights(df, "source", 0.5).collect()}
+    assert w["web"][0] == 900 and w["code"][0] == 100
+    tot = w["web"][1] + w["code"][1]
+    assert abs(tot - 1.0) < 1e-5
+    assert abs(w["web"][1] / w["code"][1] - 3.0) < 1e-4  # √900/√100
+    assert w["code"][1] > 0.1  # flattened above the 10% row share
+
+    w1 = {r.domain: r.w6 for r in
+          temperature_weights(df, "source", 1.0).collect()}
+    assert abs(w1["web"] - 0.9) < 1e-5
+
+
+def test_apply_logistic(spark):
+    """σ(0) = 0.5 exactly; monotone in a positive-weight feature;
+    NULL features propagate NULL; empty weights raise."""
+    import pytest
+
+    from pigout_spark.pipeline.features import apply_logistic
+
+    df = spark.createDataFrame(
+        [(0.0,), (1.0,), (None,)], "x double"
+    )
+    out = {r.x: r.score for r in
+           apply_logistic(df, {"x": 2.0}, 0.0).collect()}
+    assert out[0.0] == 0.5
+    assert out[1.0] == round(1 / (1 + 2.718281828459045 ** -2.0), 6)
+    assert out[None] is None
+    with pytest.raises(ValueError, match="weight"):
+        apply_logistic(df, {}, 0.0)

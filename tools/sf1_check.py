@@ -95,8 +95,20 @@ def main() -> int:
     only = set(sys.argv[4:])
 
     spark = get_spark("sf1-check")
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    qs = dict(entrymod.queries())
+    oracles = dict(entrymod.oracle_sql())
+    # explicitly-named queries may live outside the current driver
+    # window (r12: the sf3 sweep wants the heaviest data-proportional
+    # queries regardless of which round's window they anchor)
+    if only:
+        import pigout_spark.queries as qmod
+
+        for n in only:
+            if n not in qs and n in qmod.EXTRA_REGISTRY:
+                spec = qmod.EXTRA_REGISTRY[n]
+                qs[n] = spec.fn
+                if spec.sql:
+                    oracles[n] = spec.sql
     results: dict[str, dict] = {}
     green = dnf = mismatch = 0
     for name, fn in qs.items():
