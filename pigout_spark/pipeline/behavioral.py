@@ -2965,3 +2965,230 @@ def poisson_bootstrap(
         F.when(ok, F.element_at(sorted_means, lo_ix)).alias("boot_lo6"),
         F.when(ok, F.element_at(sorted_means, hi_ix)).alias("boot_hi6"),
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    treated_col: str,
+    post_col: str,
+    value_col: str,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """2×2 difference-in-differences estimator per key — the
+    parallel-trends causal readout the A/B family lacks when treatment
+    wasn't randomized (an observational rollout, a staged launch):
+
+        DiD = (ȳ_treated,post − ȳ_treated,pre)
+            − (ȳ_control,post − ȳ_control,pre)
+
+    ``treated_col`` and ``post_col`` are BOOLEAN (explicit — no
+    label-order convention to misread); NULL flag or value rows are
+    EXCLUDED (the r8 NULL discipline).  ``value_col`` must be
+    INTEGER-VALUED (cents — the trend_fit contract, asserted on the
+    scan), so all four cell sums are DECIMAL-exact and each cell mean
+    is ONE IEEE division; the estimator is three subtractions of
+    ROUND-6 means, readout ROUND-6 (+0.0).  A key missing ANY of the
+    four cells reads NULL did6 (no extrapolation).
+
+    Output: one row per key —
+    (*keys, n, n_tpost, n_tpre, n_cpost, n_cpre, did6).
+
+    100 TB: ONE map-side-combined exchange on the keys (8 conditional
+    aggregates); the estimator is a per-row readout chain.
+    """
+    keys = list(keys or [])
+    _check_keys(
+        keys,
+        ("n", "n_tpost", "n_tpre", "n_cpost", "n_cpre", "did6"),
+        "diff_in_diff",
+    )
+    if not keys:
+        tagged = df.withColumn("__one", F.lit(1))
+        out = diff_in_diff(tagged, treated_col, post_col, value_col, ["__one"])
+        return out.drop("__one")
+    tr, po, v = F.col(treated_col), F.col(post_col), F.col(value_col)
+    d = df.filter(
+        tr.isNotNull() & po.isNotNull() & v.isNotNull()
+    ).filter(
+        F.assert_true(
+            v == F.floor(v),
+            F.lit(
+                "diff_in_diff: values must be integral (cents, counts) "
+                "— integerize upstream"
+            ),
+        ).isNull()
+    ).select(*keys, tr.alias("__t"), po.alias("__p"),
+             v.cast("bigint").alias("__v"))
+
+    def cell(t: bool, p: bool, what: str):
+        cond = (F.col("__t") == F.lit(t)) & (F.col("__p") == F.lit(p))
+        if what == "n":
+            return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+        return F.sum(F.when(cond, F.col("__v")).otherwise(F.lit(0))
+                     .cast("decimal(38,0)"))
+
+    g = d.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        cell(True, True, "n").alias("n_tpost"),
+        cell(True, False, "n").alias("n_tpre"),
+        cell(False, True, "n").alias("n_cpost"),
+        cell(False, False, "n").alias("n_cpre"),
+        cell(True, True, "s").alias("__s_tpost"),
+        cell(True, False, "s").alias("__s_tpre"),
+        cell(False, True, "s").alias("__s_cpost"),
+        cell(False, False, "s").alias("__s_cpre"),
+    )
+
+    def mean(s: str, n: str):
+        return F.round(
+            F.col(s).cast("double") / F.col(n).cast("double"), 6
+        ) + F.lit(0.0)
+
+    have_all = (
+        (F.col("n_tpost") > 0) & (F.col("n_tpre") > 0)
+        & (F.col("n_cpost") > 0) & (F.col("n_cpre") > 0)
+    )
+    did = F.round(
+        (mean("__s_tpost", "n_tpost") - mean("__s_tpre", "n_tpre"))
+        - (mean("__s_cpost", "n_cpost") - mean("__s_cpre", "n_cpre")),
+        6,
+    ) + F.lit(0.0)
+    return g.select(
+        *keys, "n", "n_tpost", "n_tpre", "n_cpost", "n_cpre",
+        F.when(have_all, did).alias("did6"),
+    )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str] | None = None,
+    trim: float = 0.1,
+) -> DataFrame:
+    """Symmetric trimmed mean per key: drop the lowest and highest
+    ⌈trim·n⌉ observations by rank, average the rest — the robust
+    location estimate between the mean (trim=0) and the median
+    (trim→0.5), the standard guard for metric means under heavy tails
+    (:func:`operators.sorting.winsorize` CAPS the tails instead;
+    trimming EXCLUDES them).
+
+    ``value_col`` must be INTEGER-VALUED (cents — asserted): the kept
+    sum is then DECIMAL-exact in any engine regardless of which of
+    several TIED boundary rows the rank window happens to trim (tied
+    values are interchangeable — the sum is rank-count-determined, not
+    tie-order-determined), and the mean is ONE IEEE division ROUND-6.
+    NULL values are EXCLUDED before ranking.  Keys where trimming
+    leaves nothing (n ≤ 2·⌈trim·n⌉) read NULL tmean6.
+
+    Output: one row per key — (*keys, n, n_trim, tmean6).
+
+    100 TB: ONE exchange on the keys (rank window + the aggregate
+    share the key partitioning).
+    """
+    if not (0.0 <= trim < 0.5):
+        raise ValueError(f"trim must be in [0, 0.5), got {trim}")
+    keys = list(keys or [])
+    _check_keys(keys, ("n", "n_trim", "tmean6"), "trimmed_mean")
+    if not keys:
+        tagged = df.withColumn("__one", F.lit(1))
+        out = trimmed_mean(tagged, value_col, ["__one"], trim)
+        return out.drop("__one")
+    v = F.col(value_col)
+    d = df.filter(v.isNotNull()).filter(
+        F.assert_true(
+            v == F.floor(v),
+            F.lit(
+                "trimmed_mean: values must be integral (cents, counts) "
+                "— integerize upstream"
+            ),
+        ).isNull()
+    ).select(*keys, v.cast("bigint").alias("__v"))
+    w = Window.partitionBy(*keys).orderBy("__v")
+    wk = Window.partitionBy(*keys)
+    from decimal import Decimal
+
+    k = F.ceil(F.lit(Decimal(str(trim))) * F.col("__n")).cast("bigint")
+    ranked = (
+        d.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wk))
+    )
+    kept = (F.col("__rn") > k) & (F.col("__rn") <= F.col("__n") - k)
+    g = ranked.groupBy(*keys).agg(
+        F.max("__n").alias("n"),
+        F.max(k).alias("n_trim"),
+        F.sum(F.when(kept, F.col("__v")).otherwise(F.lit(0))
+              .cast("decimal(38,0)")).alias("__s"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("__nk"),
+    )
+    return g.select(
+        *keys,
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_trim").cast("bigint").alias("n_trim"),
+        F.when(
+            F.col("__nk") > 0,
+            F.round(
+                F.col("__s").cast("double") / F.col("__nk").cast("double"), 6
+            ) + F.lit(0.0),
+        ).alias("tmean6"),
+    )
+
+
+def conformal_quantile(
+    df: DataFrame,
+    score_col: str,
+    keys: list[str] | None = None,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split-conformal calibration threshold per key: the
+    ⌈(n+1)(1−α)⌉-th order statistic of the calibration scores — the
+    q̂ that makes "predict the set of labels whose nonconformity ≤ q̂"
+    cover with probability ≥ 1−α on exchangeable data (Vovk et al.;
+    the distribution-free guarantee every model-serving pipeline can
+    afford because it is ONE quantile over a held-out scan).
+
+    The selected value is an ACTUAL data element by integer rank
+    arithmetic (the mad_outliers selection discipline — no
+    interpolation, so both engines pick the bit-identical score; the
+    rank formula uses exact DECIMAL multiplication, never float
+    (n+1)·(1−α)).  NULL scores are EXCLUDED.  Keys where the rank
+    exceeds n (n < (1−α)/α, e.g. n < 9 at α = 0.1) read NULL qhat6 —
+    finite-sample coverage is unattainable there, a fact the output
+    should state rather than clamp.
+
+    Output: one row per key — (*keys, n, qhat6).
+
+    100 TB: ONE exchange on the keys (rank window + readout share the
+    partitioning); calibration sets are usually sampled upstream —
+    chain :func:`operators.relational.hash_sample` for the split.
+    """
+    if not (0.0 < alpha < 1.0):
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    keys = list(keys or [])
+    _check_keys(keys, ("n", "qhat6"), "conformal_quantile")
+    if not keys:
+        tagged = df.withColumn("__one", F.lit(1))
+        out = conformal_quantile(tagged, score_col, ["__one"], alpha)
+        return out.drop("__one")
+    from decimal import Decimal
+
+    s = F.col(score_col)
+    d = df.filter(s.isNotNull()).select(
+        *keys, s.cast("double").alias("__s")
+    )
+    w = Window.partitionBy(*keys).orderBy("__s")
+    wk = Window.partitionBy(*keys)
+    ranked = (
+        d.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wk))
+    )
+    rank = F.ceil(
+        F.lit(Decimal(str(1.0 - alpha))) * (F.col("__n") + 1)
+    ).cast("bigint")
+    return ranked.groupBy(*keys).agg(
+        F.max("__n").cast("bigint").alias("n"),
+        (
+            F.round(
+                F.min(F.when(F.col("__rn") == rank, F.col("__s"))), 6
+            ) + F.lit(0.0)
+        ).alias("qhat6"),
+    )

@@ -2985,3 +2985,161 @@ def x_boot_ci(spark, sf_dir):
         ["o_orderkey"],
         keys=["o_orderpriority"],
     )
+
+
+@query(
+    "x_did",
+    extra=True,  # r12 addition — r13 rotation candidate
+    sql="""
+    WITH d AS (
+      SELECT event_type,
+             ('0x' || substring(md5('did' || '|'
+                 || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 AS t,
+             ts >= TIMESTAMP '2024-01-16 00:00:00' AS p,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+    ), g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN t AND p THEN 1 ELSE 0 END) AS BIGINT) AS n_tpost,
+        CAST(SUM(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS n_tpre,
+        CAST(SUM(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS BIGINT) AS n_cpost,
+        CAST(SUM(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS n_cpre,
+        SUM(CASE WHEN t AND p THEN CAST(v AS HUGEINT) ELSE 0 END) AS s_tpost,
+        SUM(CASE WHEN t AND NOT p THEN CAST(v AS HUGEINT) ELSE 0 END) AS s_tpre,
+        SUM(CASE WHEN NOT t AND p THEN CAST(v AS HUGEINT) ELSE 0 END) AS s_cpost,
+        SUM(CASE WHEN NOT t AND NOT p THEN CAST(v AS HUGEINT) ELSE 0 END) AS s_cpre
+      FROM d GROUP BY event_type
+    )
+    SELECT event_type, n, n_tpost, n_tpre, n_cpost, n_cpre,
+      CASE WHEN n_tpost > 0 AND n_tpre > 0 AND n_cpost > 0 AND n_cpre > 0
+           THEN ROUND(
+             (ROUND(CAST(s_tpost AS DOUBLE) / n_tpost, 6) + 0.0
+              - (ROUND(CAST(s_tpre AS DOUBLE) / n_tpre, 6) + 0.0))
+             - (ROUND(CAST(s_cpost AS DOUBLE) / n_cpost, 6) + 0.0
+                - (ROUND(CAST(s_cpre AS DOUBLE) / n_cpre, 6) + 0.0)),
+             6) + 0.0 END AS did6
+    FROM g
+    """,
+)
+def x_did(spark, sf_dir):
+    """2×2 difference-in-differences of event value (cents) per event
+    type: md5-deterministic user-half treatment, post = second half of
+    January (behavioral.py:diff_in_diff — four DECIMAL-exact cell sums
+    in ONE exchange; the observational-causal companion to
+    x_ab_lift)."""
+    from pigout_spark.pipeline.behavioral import diff_in_diff
+
+    e = t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws("|", F.lit("did"), F.col("user_id").cast("string"))
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    d = e.select(
+        "event_type",
+        (u % 2 == 0).alias("t"),
+        (
+            F.col("ts")
+            >= F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+        ).alias("p"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    return diff_in_diff(d, "t", "p", "v", keys=["event_type"])
+
+
+@query(
+    "x_trimmed_mean",
+    extra=True,  # r12 addition — r13 rotation candidate
+    sql="""
+    WITH d AS (
+      SELECT l_returnflag AS k,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), r AS (
+      SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY v) AS rn,
+             COUNT(*) OVER (PARTITION BY k) AS n
+      FROM d
+    ), g AS (
+      SELECT k, CAST(MAX(n) AS BIGINT) AS n,
+        CAST(MAX(CAST(ceil(0.05 * n) AS BIGINT)) AS BIGINT) AS n_trim,
+        SUM(CASE WHEN rn > ceil(0.05 * n) AND rn <= n - ceil(0.05 * n)
+                 THEN CAST(v AS HUGEINT) ELSE 0 END) AS s,
+        CAST(SUM(CASE WHEN rn > ceil(0.05 * n) AND rn <= n - ceil(0.05 * n)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS nk
+      FROM r GROUP BY k
+    )
+    SELECT k AS l_returnflag, n, n_trim,
+           CASE WHEN nk > 0
+                THEN ROUND(CAST(s AS DOUBLE) / nk, 6) + 0.0 END AS tmean6
+    FROM g
+    """,
+)
+def x_trimmed_mean(spark, sf_dir):
+    """5%-trimmed mean of extendedprice (cents) per returnflag
+    (behavioral.py:trimmed_mean — rank-window trim, DECIMAL-exact kept
+    sum invariant to tie order, ONE key exchange; the robust-location
+    companion to winsorize's capping)."""
+    from pigout_spark.pipeline.behavioral import trimmed_mean
+
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
+    return trimmed_mean(
+        li.select(
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        ),
+        "cents",
+        keys=["l_returnflag"],
+        trim=0.05,
+    )
+
+
+@query(
+    "x_conformal",
+    extra=True,  # r12 addition — r13 rotation candidate
+    sql="""
+    WITH d AS (
+      SELECT source AS k, CAST(n_chars AS DOUBLE) AS s
+      FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL
+    ), r AS (
+      SELECT k, s, row_number() OVER (PARTITION BY k ORDER BY s) AS rn,
+             COUNT(*) OVER (PARTITION BY k) AS n
+      FROM d
+    )
+    SELECT k AS source, CAST(MAX(n) AS BIGINT) AS n,
+           ROUND(MIN(CASE WHEN rn = ceil(0.9 * (n + 1)) THEN s END), 6)
+             + 0.0 AS qhat6
+    FROM r GROUP BY k
+    """,
+)
+def x_conformal(spark, sf_dir):
+    """Split-conformal calibration threshold (α = 0.1) of document
+    length per source (behavioral.py:conformal_quantile — the
+    ⌈(n+1)(1−α)⌉-th order statistic by exact integer-rank selection;
+    the distribution-free coverage quantile a serving pipeline
+    computes over its held-out scores)."""
+    from pigout_spark.pipeline.behavioral import conformal_quantile
+
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("source").isNotNull()
+    )
+    return conformal_quantile(
+        d.select("source", F.col("n_chars").cast("double").alias("s")),
+        "s",
+        keys=["source"],
+        alpha=0.1,
+    )

@@ -1748,3 +1748,97 @@ def test_poisson_bootstrap_hand_checked(spark):
     bad = spark.createDataFrame([(1, 2, 3)], "n long, v long, id long")
     with pytest.raises(ValueError, match="collide"):
         poisson_bootstrap(bad, "v", ["id"], keys=["n"])
+
+
+def test_diff_in_diff_hand_checked(spark):
+    """Hand computation: treated pre 10→post 30 (+20), control pre
+    5→post 10 (+5) ⇒ DiD = 15; a key missing a cell reads NULL;
+    fractional values raise; key collisions raise."""
+    import pytest
+
+    from pigout_spark.pipeline.behavioral import diff_in_diff
+
+    rows = [
+        ("a", True, False, 10), ("a", True, True, 30),
+        ("a", False, False, 5), ("a", False, True, 10),
+        ("b", True, True, 7),  # no pre / no control cells
+    ]
+    df = spark.createDataFrame(rows, "k string, t boolean, p boolean, v long")
+    out = {r.k: r for r in diff_in_diff(df, "t", "p", "v", ["k"]).collect()}
+    assert out["a"].did6 == 15.0
+    assert out["a"].n_tpost == 1 and out["a"].n_cpre == 1
+    assert out["b"].did6 is None
+
+    # keyless single-readout form
+    one = diff_in_diff(
+        df.filter("k = 'a'").select("t", "p", "v"), "t", "p", "v"
+    ).first()
+    assert one.did6 == 15.0
+
+    frac = spark.createDataFrame(
+        [("a", True, True, 1.5)], "k string, t boolean, p boolean, v double"
+    )
+    with pytest.raises(Exception, match="integral"):
+        diff_in_diff(frac, "t", "p", "v", ["k"]).collect()
+    bad = spark.createDataFrame(
+        [(1, True, True, 1)], "did6 long, t boolean, p boolean, v long"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        diff_in_diff(bad, "t", "p", "v", ["did6"])
+
+
+def test_trimmed_mean_hand_checked(spark):
+    """1..10 at trim 0.1 drops 1 and 10 → mean(2..9) = 5.5; an outlier
+    in the trimmed zone cannot move the estimate; trim 0 equals the
+    plain mean; over-trimmed keys read NULL; trim bounds enforced."""
+    import pytest
+
+    from pigout_spark.pipeline.behavioral import trimmed_mean
+
+    df = spark.createDataFrame(
+        [("a", v) for v in range(1, 11)], "k string, v long"
+    )
+    r = trimmed_mean(df, "v", ["k"], trim=0.1).first()
+    assert (r.n, r.n_trim, r.tmean6) == (10, 1, 5.5)
+
+    spiked = spark.createDataFrame(
+        [("a", v) for v in range(1, 10)] + [("a", 100000)],
+        "k string, v long",
+    )
+    assert trimmed_mean(spiked, "v", ["k"], trim=0.1).first().tmean6 == 5.5
+
+    assert trimmed_mean(df, "v", ["k"], trim=0.0).first().tmean6 == 5.5
+
+    tiny = spark.createDataFrame([("a", 1), ("a", 2)], "k string, v long")
+    assert trimmed_mean(tiny, "v", ["k"], trim=0.45).first().tmean6 is None
+
+    with pytest.raises(ValueError, match="trim"):
+        trimmed_mean(df, "v", ["k"], trim=0.5)
+
+
+def test_conformal_quantile_hand_checked(spark):
+    """Scores 1..9 at α=0.1: rank ⌈0.9·10⌉ = 9 → q̂ = 9; with n = 19,
+    rank ⌈0.9·20⌉ = 18; n below the coverage bound reads NULL; alpha
+    bounds enforced."""
+    import pytest
+
+    from pigout_spark.pipeline.behavioral import conformal_quantile
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 10)], "k string, s double"
+    )
+    r = conformal_quantile(df, "s", ["k"], alpha=0.1).first()
+    assert (r.n, r.qhat6) == (9, 9.0)
+
+    df19 = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 20)], "k string, s double"
+    )
+    assert conformal_quantile(df19, "s", ["k"], 0.1).first().qhat6 == 18.0
+
+    small = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 6)], "k string, s double"
+    )
+    assert conformal_quantile(small, "s", ["k"], 0.1).first().qhat6 is None
+
+    with pytest.raises(ValueError, match="alpha"):
+        conformal_quantile(df, "s", ["k"], alpha=1.0)
