@@ -439,3 +439,22 @@ def test_evaluation_family_plans(spark, sf_dir):
     for name in ("x_roc_auc", "x_uplift"):
         plan = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in plan
+
+
+def test_r12_grouped_ops_single_key_exchange(spark, sf_dir):
+    """The r12 grouped ops keep the one-exchange-per-keys contract:
+    poisson_bootstrap's 2B+2 aggregates and diff_in_diff's 8 cells are
+    ONE hash-partitioned exchange each (map-side combined); trimmed
+    mean and the conformal quantile ride one key exchange shared by
+    rank window and readout; none plan a SinglePartition data pass."""
+    for name, key in [
+        ("x_boot_ci", "o_orderpriority"),
+        ("x_did", "event_type"),
+        ("x_trimmed_mean", "l_returnflag"),
+        ("x_conformal", "source"),
+    ]:
+        plan = plan_of(spark, sf_dir, name)
+        assert plan.count(f"Exchange hashpartitioning({key}") <= 2, name
+        assert f"Exchange hashpartitioning({key}" in plan, name
+        assert "Exchange SinglePartition" not in plan, name
+        assert "CartesianProduct" not in plan, name
