@@ -3192,3 +3192,103 @@ def conformal_quantile(
             ) + F.lit(0.0)
         ).alias("qhat6"),
     )
+
+
+def psm_match(
+    df: DataFrame,
+    treated_col: str,
+    score_col: str,
+    id_col: str,
+    keys: list[str] | None = None,
+    caliper: float | None = None,
+) -> DataFrame:
+    """Propensity-score matching (nearest, WITH replacement): attach to
+    every treated row the control row with the closest score — the
+    matched-cohort construction that makes an observational comparison
+    honest before :func:`ab_lift`-style readouts (and the estimator
+    companion to :func:`diff_in_diff`: DiD needs parallel trends, PSM
+    needs overlap — a pipeline checks both).  Greedy 1:1 WITHOUT
+    replacement is inherently sequential; with-replacement nearest
+    matching is the standard distributed variant (Abadie & Imbens) and
+    is what SQL can replay.
+
+    Spark-first: the asof_join UNION-MARKER device on the SCORE axis —
+    union controls and treated per key, ONE sort by (score, marker,
+    id) with controls first at equal scores, forward-fill the last
+    control ≤ and backward-fill the first control > each treated row,
+    keep the closer side (ties → the backward/≤ side, the asof
+    convention; equal-score controls fill at distance 0).  One key
+    exchange, never an all-pairs product — the oracle replays the
+    naive argmin formulation as an independent algorithm.
+
+    Determinism: among equal-score controls the fills select the
+    largest id on the ≤ side and the smallest id on the > side (the
+    (score, marker, id) sort is total); distances are one IEEE
+    subtraction of the same doubles, readout ROUND-6.  ``caliper``
+    (same units as the score) NULLs matches farther than it — the
+    standard overlap guard.  NULL score or treated-flag rows are
+    EXCLUDED.
+
+    Output: one row per TREATED row — (*keys, id, score, match_id,
+    match_score, dist6); unmatched treated rows (no control in key, or
+    outside the caliper) read NULL match columns.
+
+    100 TB: ONE exchange on the keys; both fills share the single
+    sort.  Keys default to a constant (global match pool) —
+    partition by stratum keys to match within strata.
+    """
+    keys = list(keys or [])
+    _check_keys(
+        keys, ("id", "score", "match_id", "match_score", "dist6"),
+        "psm_match",
+    )
+    if not keys:
+        tagged = df.withColumn("__one", F.lit(1))
+        out = psm_match(
+            tagged, treated_col, score_col, id_col, ["__one"], caliper
+        )
+        return out.drop("__one")
+    tr, s, i = F.col(treated_col), F.col(score_col), F.col(id_col)
+    d = df.filter(tr.isNotNull() & s.isNotNull() & i.isNotNull()).select(
+        *keys,
+        tr.alias("__t"),
+        s.cast("double").alias("score"),
+        i.alias("id"),
+    )
+    u = d.select(
+        *keys,
+        "score",
+        "id",
+        F.when(F.col("__t"), 1).otherwise(0).alias("__m"),
+        F.when(~F.col("__t"), F.col("id")).alias("__cid"),
+        F.when(~F.col("__t"), F.col("score")).alias("__cs"),
+    )
+    w = Window.partitionBy(*keys).orderBy("score", "__m", "id")
+    wb = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    filled = (
+        u.withColumn("__pid", F.last("__cid", ignorenulls=True).over(wb))
+        .withColumn("__ps", F.last("__cs", ignorenulls=True).over(wb))
+        .withColumn("__nid", F.first("__cid", ignorenulls=True).over(wf))
+        .withColumn("__ns", F.first("__cs", ignorenulls=True).over(wf))
+    )
+    tr_rows = filled.filter(F.col("__m") == 1)
+    dp = F.abs(F.col("score") - F.col("__ps"))
+    dn = F.abs(F.col("__ns") - F.col("score"))
+    use_prev = F.col("__ps").isNotNull() & (
+        F.col("__ns").isNull() | (dp <= dn)
+    )
+    mid = F.when(use_prev, F.col("__pid")).otherwise(F.col("__nid"))
+    ms = F.when(use_prev, F.col("__ps")).otherwise(F.col("__ns"))
+    dist = F.abs(F.col("score") - ms)
+    if caliper is not None:
+        ok = dist <= F.lit(float(caliper))
+        mid, ms = F.when(ok, mid), F.when(ok, ms)
+    return tr_rows.select(
+        *keys,
+        "id",
+        "score",
+        mid.alias("match_id"),
+        ms.alias("match_score"),
+        (F.round(F.abs(F.col("score") - ms), 6) + F.lit(0.0)).alias("dist6"),
+    )

@@ -3143,3 +3143,68 @@ def x_conformal(spark, sf_dir):
         keys=["source"],
         alpha=0.1,
     )
+
+
+@query(
+    "x_psm",
+    extra=True,  # r12 addition — r13 rotation candidate
+    sql="""
+    WITH d AS (
+      SELECT source, doc_id AS id, CAST(n_chars AS DOUBLE) AS s,
+             lang = 'en' AS t
+      FROM documents
+      WHERE n_chars IS NOT NULL AND source IS NOT NULL
+        AND lang IS NOT NULL AND doc_id IS NOT NULL
+    ), tr AS (
+      SELECT source, id, s FROM d WHERE t
+    ), c AS (
+      SELECT source, id AS cid, s AS cs FROM d WHERE NOT t
+    ), j AS (
+      SELECT tr.source, tr.id, tr.s, c.cid, c.cs, abs(tr.s - c.cs) AS ad
+      FROM tr JOIN c USING (source)
+      WHERE abs(tr.s - c.cs) <= 50.0
+    ), best AS (
+      SELECT * FROM j
+      QUALIFY row_number() OVER (
+        PARTITION BY source, id
+        ORDER BY ad,
+                 CASE WHEN cs <= s THEN 0 ELSE 1 END,
+                 CASE WHEN cs <= s THEN -cid ELSE cid END
+      ) = 1
+    )
+    SELECT tr.source, tr.id, tr.s AS score,
+           b.cid AS match_id, b.cs AS match_score,
+           CASE WHEN b.cid IS NOT NULL
+                THEN ROUND(abs(tr.s - b.cs), 6) + 0.0 END AS dist6
+    FROM tr LEFT JOIN best b ON tr.source = b.source AND tr.id = b.id
+    """,
+)
+def x_psm(spark, sf_dir):
+    """Propensity-style nearest matching: every English doc matched to
+    the closest non-English doc by length within its source, caliper
+    50 chars (behavioral.py:psm_match — union-marker two-fill on the
+    score axis, ONE key exchange, never all-pairs; the oracle replays
+    the naive argmin over the caliper-bounded product as an
+    INDEPENDENT algorithm, tie rules aligned: backward side first,
+    largest-id below / smallest-id above)."""
+    from pigout_spark.pipeline.behavioral import psm_match
+
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+        & F.col("source").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("doc_id").isNotNull()
+    )
+    return psm_match(
+        d.select(
+            "source",
+            (F.col("lang") == "en").alias("t"),
+            F.col("n_chars").cast("double").alias("s"),
+            F.col("doc_id").alias("did"),
+        ),
+        "t",
+        "s",
+        "did",
+        keys=["source"],
+        caliper=50.0,
+    )

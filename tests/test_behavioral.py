@@ -1842,3 +1842,43 @@ def test_conformal_quantile_hand_checked(spark):
 
     with pytest.raises(ValueError, match="alpha"):
         conformal_quantile(df, "s", ["k"], alpha=1.0)
+
+
+def test_psm_match_hand_checked(spark):
+    """Controls at 0.1/0.5: treated 0.3 ties both sides → backward
+    (0.1); treated 0.45 → 0.5; an equal-score control matches at
+    distance 0 picking the LARGEST control id below; caliper NULLs
+    far matches; a key with no controls reads NULL; key collisions
+    raise."""
+    import pytest
+
+    from pigout_spark.pipeline.behavioral import psm_match
+
+    rows = [
+        ("a", False, 0.1, 1), ("a", False, 0.5, 2),
+        ("a", True, 0.3, 10), ("a", True, 0.45, 11),
+        ("b", False, 0.3, 3), ("b", False, 0.3, 4), ("b", True, 0.3, 12),
+        ("c", True, 0.9, 13),
+    ]
+    df = spark.createDataFrame(rows, "k string, t boolean, s double, id long")
+    out = {r.id: r for r in psm_match(df, "t", "s", "id", ["k"]).collect()}
+    assert out[10].match_id == 1 and out[10].dist6 == 0.2  # tie → backward
+    assert out[11].match_id == 2 and round(out[11].dist6, 6) == 0.05
+    assert out[12].match_id == 4 and out[12].dist6 == 0.0  # max id below
+    assert out[13].match_id is None and out[13].dist6 is None
+    assert set(out) == {10, 11, 12, 13}  # treated rows only
+
+    capped = {r.id: r for r in
+              psm_match(df, "t", "s", "id", ["k"], caliper=0.1).collect()}
+    assert capped[10].match_id is None  # 0.2 > caliper
+    assert capped[11].match_id == 2    # 0.05 <= caliper
+
+    # keyless global pool
+    g = psm_match(df.drop("k"), "t", "s", "id").collect()
+    assert len(g) == 4
+
+    bad = spark.createDataFrame(
+        [(1, True, 0.1, 2)], "score long, t boolean, s double, i long"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        psm_match(bad, "t", "s", "i", ["score"])
