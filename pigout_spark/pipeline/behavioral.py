@@ -3292,3 +3292,155 @@ def psm_match(
         ms.alias("match_score"),
         (F.round(F.abs(F.col("score") - ms), 6) + F.lit(0.0)).alias("dist6"),
     )
+
+
+def jackknife_ratio(
+    df: DataFrame,
+    num_col: str,
+    den_col: str,
+    id_cols: list[str],
+    keys: list[str] | None = None,
+    buckets: int = 32,
+    seed: int = 5,
+) -> DataFrame:
+    """Delete-one-bucket jackknife standard error for a RATIO metric —
+    the uncertainty tool :func:`poisson_bootstrap` (means) does not
+    cover: CTR = Σclicks/Σviews, revenue-per-session, tokens-per-doc
+    are ratios of sums, where per-row resampling understates variance
+    because rows of one unit correlate.  Units (``id_cols`` — usually
+    the user) are hashed into B buckets; θ̂ᵢ recomputes the ratio with
+    bucket i's sums REMOVED, and
+
+        se² = (B−1)/B · Σᵢ (θ̂ᵢ − θ̄)²
+
+    (Quenouille/Tukey; the deleted-block form is the standard
+    large-scale practice precisely because it falls out of ONE pass).
+
+    Bucketing is the deterministic md5 idiom (NULL-safe sentinel key),
+    so any engine reproduces the identical buckets.  ``num_col`` /
+    ``den_col`` must be INTEGER-VALUED (asserted — the cents
+    discipline): all 2B+2 sums are DECIMAL-exact, each θ̂ᵢ is ONE IEEE
+    division ROUND-6, θ̄ and the squared-deviation sum go through
+    DECIMAL(20,6)/(30,12) (order-free), and se is one sqrt ROUND-6
+    (correctly rounded in every IEEE engine).  Keys where any
+    leave-one-out denominator is 0 read NULL se6 (a bucket carries
+    the whole denominator — the estimate is degenerate); a zero TOTAL
+    denominator also reads NULL ratio6.
+
+    Output: one row per key — (*keys, n, ratio6, se6).
+
+    100 TB: ONE map-side-combined exchange on the keys (2B+2
+    aggregates); the θ̂ᵢ fan-out is a per-row readout chain.
+    """
+    keys = list(keys or [])
+    _check_keys(keys, ("n", "ratio6", "se6"), "jackknife_ratio")
+    if not id_cols:
+        raise ValueError(
+            "jackknife_ratio needs id_cols — buckets must block on the "
+            "exchangeability unit (the user), not the row"
+        )
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    if not keys:
+        tagged = df.withColumn("__one", F.lit(1))
+        out = jackknife_ratio(
+            tagged, num_col, den_col, id_cols, ["__one"], buckets, seed
+        )
+        return out.drop("__one")
+    nu, de = F.col(num_col), F.col(den_col)
+    d = df.filter(nu.isNotNull() & de.isNotNull()).filter(
+        F.assert_true(
+            (nu == F.floor(nu)) & (de == F.floor(de)),
+            F.lit(
+                "jackknife_ratio: numerator and denominator must be "
+                "integral (cents, counts) — integerize upstream"
+            ),
+        ).isNull()
+    )
+    key = F.concat_ws(
+        "|",
+        F.lit(str(seed)),
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+            for c in id_cols
+        ],
+    )
+    b = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+        % buckets
+    )
+    d = d.select(
+        *keys,
+        nu.cast("bigint").alias("__nu"),
+        de.cast("bigint").alias("__de"),
+        b.alias("__b"),
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("__nu").cast("decimal(38,0)")).alias("__sn"),
+        F.sum(F.col("__de").cast("decimal(38,0)")).alias("__sd"),
+    ]
+    for i in range(buckets):
+        cond = F.col("__b") == i
+        aggs.append(
+            F.sum(F.when(cond, F.col("__nu")).otherwise(F.lit(0))
+                  .cast("decimal(38,0)")).alias(f"__sn{i}")
+        )
+        aggs.append(
+            F.sum(F.when(cond, F.col("__de")).otherwise(F.lit(0))
+                  .cast("decimal(38,0)")).alias(f"__sd{i}")
+        )
+    g = d.groupBy(*keys).agg(*aggs)
+    thetas = [
+        (
+            F.round(
+                (F.col("__sn") - F.col(f"__sn{i}")).cast("double")
+                / (F.col("__sd") - F.col(f"__sd{i}")).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        )
+        for i in range(buckets)
+    ]
+    tbar = (
+        sum(
+            (t.cast("decimal(20,6)") for t in thetas[1:]),
+            thetas[0].cast("decimal(20,6)"),
+        ).cast("double")
+        / F.lit(float(buckets))
+    )
+    tbar6 = F.round(tbar, 6) + F.lit(0.0)
+    # squared deviations sum as a FIXED-ORDER double left fold, not a
+    # decimal chain: Spark's decimal `+` promotion grows the integer
+    # part per addition and, at the precision-38 cap, truncates scale
+    # to its floor of 6 — which zeroes ~1e-9 deviations (measured:
+    # 32 chained DECIMAL(30,12) adds → 0.0).  Each term is ROUND-12,
+    # so both engines fold identical doubles in identical order —
+    # bit-identical without decimals.
+    devs = [
+        (F.round((t - tbar6) * (t - tbar6), 12) + F.lit(0.0))
+        for t in thetas
+    ]
+    ss = devs[0]
+    for dv in devs[1:]:
+        ss = ss + dv
+    se = F.round(
+        F.sqrt(F.lit((buckets - 1) / buckets) * ss), 6
+    ) + F.lit(0.0)
+    degenerate = None
+    for i in range(buckets):
+        c = (F.col("__sd") - F.col(f"__sd{i}")) == 0
+        degenerate = c if degenerate is None else (degenerate | c)
+    ratio = F.when(
+        F.col("__sd") > 0,
+        F.round(
+            F.col("__sn").cast("double") / F.col("__sd").cast("double"), 6
+        )
+        + F.lit(0.0),
+    )
+    return g.select(
+        *keys,
+        "n",
+        ratio.alias("ratio6"),
+        F.when(~degenerate & (F.col("__sd") > 0), se).alias("se6"),
+    )

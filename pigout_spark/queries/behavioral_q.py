@@ -3208,3 +3208,99 @@ def x_psm(spark, sf_dir):
         keys=["source"],
         caliper=50.0,
     )
+
+
+def _jk_sql(buckets: int = 32, seed: int = 5) -> str:
+    """Oracle twin of behavioral.jackknife_ratio over lineitem: same
+    md5 unit-bucketing, HUGEINT-exact sums, ROUND-6 leave-one-out
+    ratios, DECIMAL-folded mean and squared deviations, one sqrt."""
+    B = buckets
+    cells = ",\n        ".join(
+        f"SUM(CASE WHEN b = {i} THEN CAST(nu AS HUGEINT) ELSE 0 END) AS sn{i},\n"
+        f"        SUM(CASE WHEN b = {i} THEN CAST(de AS HUGEINT) ELSE 0 END) AS sd{i}"
+        for i in range(B)
+    )
+    th = ", ".join(
+        f"ROUND(CAST(sn - sn{i} AS DOUBLE) / CAST(sd - sd{i} AS DOUBLE), 6)"
+        f" + 0.0 AS th{i}"
+        for i in range(B)
+    )
+    tsum = " + ".join(f"CAST(th{i} AS DECIMAL(20,6))" for i in range(B))
+    # fixed-order double fold (the Spark side's decimal-promotion
+    # workaround — see jackknife_ratio): left-assoc `+` over ROUND-12
+    # terms is the identical IEEE chain in both engines
+    dev = " + ".join(
+        f"(ROUND((th{i} - tb) * (th{i} - tb), 12) + 0.0)"
+        for i in range(B)
+    )
+    degen = " OR ".join(f"(sd - sd{i}) = 0" for i in range(B))
+    return f"""
+    WITH d AS (
+      SELECT l_returnflag AS k,
+             CAST(round(l_extendedprice * l_discount * 100) AS BIGINT) AS nu,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS de,
+             ('0x' || substring(md5('{seed}' || '|'
+                 || CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT % {B} AS b
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+        AND l_orderkey IS NOT NULL
+    ), g AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+        SUM(CAST(nu AS HUGEINT)) AS sn, SUM(CAST(de AS HUGEINT)) AS sd,
+        {cells}
+      FROM d GROUP BY k
+    ), t AS (
+      SELECT k, n, sn, sd, {degen} AS degen, {th}
+      FROM g
+    ), m AS (
+      SELECT *, ROUND(CAST(({tsum}) AS DOUBLE) / {float(B)!r}, 6) + 0.0 AS tb
+      FROM t
+    )
+    SELECT k AS l_returnflag, n,
+           CASE WHEN sd > 0
+                THEN ROUND(CAST(sn AS DOUBLE) / CAST(sd AS DOUBLE), 6) + 0.0
+           END AS ratio6,
+           CASE WHEN NOT degen AND sd > 0
+                THEN ROUND(sqrt({(buckets - 1) / buckets!r}
+                     * ({dev})), 6) + 0.0
+           END AS se6
+    FROM m
+    """
+
+
+@query(
+    "x_jackknife",
+    extra=True,  # r12 addition — r13 rotation candidate
+    sql=_jk_sql(),
+)
+def x_jackknife(spark, sf_dir):
+    """Order-blocked jackknife SE of the effective discount RATE
+    (Σ discount-cents / Σ price-cents) per returnflag
+    (behavioral.py:jackknife_ratio — the ratio-metric uncertainty
+    poisson_bootstrap's per-row weights understate: units = orders
+    hashed into 32 md5 buckets, 2B+2 DECIMAL-exact sums in ONE
+    exchange, leave-one-bucket ratios ROUND-6, Quenouille/Tukey
+    variance)."""
+    from pigout_spark.pipeline.behavioral import jackknife_ratio
+
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+        & F.col("l_discount").isNotNull()
+        & F.col("l_orderkey").isNotNull()
+    )
+    return jackknife_ratio(
+        li.select(
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * F.col("l_discount") * 100)
+            .cast("bigint")
+            .alias("nu"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("de"),
+            "l_orderkey",
+        ),
+        "nu",
+        "de",
+        ["l_orderkey"],
+        keys=["l_returnflag"],
+    )

@@ -1882,3 +1882,44 @@ def test_psm_match_hand_checked(spark):
     )
     with pytest.raises(ValueError, match="collide"):
         psm_match(bad, "t", "s", "i", ["score"])
+
+
+def test_jackknife_ratio_hand_checked(spark):
+    """A corpus where numerator == denominator everywhere has every
+    leave-one-out ratio exactly 1 → se6 = 0; heterogeneous units give
+    a strictly positive SE; a single-unit key is degenerate (some
+    leave-one-out denominator empties) → NULL se6; fractional values
+    and guards raise."""
+    import pytest
+
+    from pigout_spark.pipeline.behavioral import jackknife_ratio
+
+    same = spark.createDataFrame(
+        [("a", 5, 5, i) for i in range(300)], "k string, nu long, de long, u long"
+    )
+    r = jackknife_ratio(same, "nu", "de", ["u"], keys=["k"]).first()
+    assert (r.n, r.ratio6, r.se6) == (300, 1.0, 0.0)
+
+    varied = spark.createDataFrame(
+        [("a", (i * 7) % 13, 10, i) for i in range(400)],
+        "k string, nu long, de long, u long",
+    )
+    rv = jackknife_ratio(varied, "nu", "de", ["u"], keys=["k"]).first()
+    assert rv.se6 is not None and 0 < rv.se6 < 0.2
+    assert abs(rv.ratio6 - 6.0 / 10.0) < 0.1
+
+    single = spark.createDataFrame(
+        [("a", 1, 2, 42)], "k string, nu long, de long, u long"
+    )
+    rs = jackknife_ratio(single, "nu", "de", ["u"], keys=["k"]).first()
+    assert rs.ratio6 == 0.5 and rs.se6 is None
+
+    frac = spark.createDataFrame(
+        [("a", 1.5, 2.0, 1)], "k string, nu double, de double, u long"
+    )
+    with pytest.raises(Exception, match="integral"):
+        jackknife_ratio(frac, "nu", "de", ["u"], keys=["k"]).collect()
+    with pytest.raises(ValueError, match="id_cols"):
+        jackknife_ratio(single, "nu", "de", [], keys=["k"])
+    with pytest.raises(ValueError, match="buckets"):
+        jackknife_ratio(single, "nu", "de", ["u"], keys=["k"], buckets=1)
