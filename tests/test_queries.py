@@ -39,7 +39,14 @@ def test_query_runs(spark, sf_dir, name):
 #: the full registry size, pinned (r9 verdict #5: SURVEY prose said 208
 #: when the import said 207 — docs must not drift from code again).
 #: Update this constant WITH the SURVEY §7.4 number when adding queries.
-REGISTRY_TOTAL_PINNED = 223  # r11: 212 at r10 close + the two streaming
+REGISTRY_TOTAL_PINNED = 233  # r12: 223 at r11 close + the sampled
+# triangle estimate (x_triangles_sampled) + the pinned-axes PCA
+# projection (x_pca_project) + the one-pass Poisson bootstrap
+# (x_boot_ci) + temperature mixing weights (x_temp_mixture) + the
+# logistic quality scorer (x_quality_logit) + the observational-causal
+# family (x_did, x_psm) + robust/conformal stats (x_trimmed_mean,
+# x_conformal) + the ratio-metric jackknife (x_jackknife).
+# r11 history: 212 at r10 close + the two streaming
 # batch-replay attestations (x_funnel_replay, x_transitions_replay) +
 # the parametric mean tests (x_anova_f, x_welch_ttest) + the proportion
 # z and robust-slope tests (x_two_prop_z, x_theil_sen) + the embedding
@@ -57,24 +64,26 @@ def test_registry_size_pinned():
     )
 
 
-def test_r11_window_landed():
-    """The r11 explicit window (queries/__init__.py): the driver-facing
-    set is exactly _WINDOW_R11 in order, every entry has a SQL oracle,
+def test_r12_window_landed():
+    """The r12 explicit window (queries/__init__.py): the driver-facing
+    set is exactly _WINDOW_R12 in order, every entry has a SQL oracle,
     and everything displaced kept its local oracle as an extra."""
-    from pigout_spark.queries import _WINDOW_R11
+    from pigout_spark.queries import _WINDOW_R12
 
     q = entrymod.queries()
     o = entrymod.oracle_sql()
-    assert list(q) == _WINDOW_R11
+    assert list(q) == _WINDOW_R12
     assert len(q) == qmod.DRIVER_QUERY_CAP
     for name in q:
         assert name in o, f"{name} in window without a SQL oracle"
     extras = qmod.extra_oracle_sql()
     # spot-check displaced rows kept their oracle (rows-only pair has
     # no SQL by design — it lives in extra_queries, not the oracle map)
+    # — incl. the r11-window rows that ceded slots this round
     for name in ("x_semantic_pairs", "x_twa", "x_bpe_encode",
-                 "x_attribution_last", "q39_string_funcs3",
-                 "x_upsert_replay"):
+                 "x_attribution_last", "x_grouped_kruskal",
+                 "x_funnel_replay", "x_kmv_estimate", "q10_rank",
+                 "stream_sliding", "x_triangles"):
         assert name not in q and name in extras
     assert "x_sample_bernoulli" in qmod.extra_queries()
     assert "x_sample_bernoulli" not in extras
