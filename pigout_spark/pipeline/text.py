@@ -866,7 +866,15 @@ def bigram_lm_score(
             ).alias("__s"),
         )
     )
-    scored = bg.join(model, ["__w1", "__w2"]).select(F.col(id_col), "__s")
+    # broadcast the MODEL side explicitly: it is bigram-TYPE-sized
+    # (vocab-sparse — 9.3k rows on the sf1 fixture) at any corpus
+    # scale, while the stream side grows with data; without the hint
+    # Catalyst's size estimate at bench scale picked the 2.6M-row
+    # STREAM as the broadcast build side (r12 plan audit), which
+    # inverts exactly the side that stays small at 100 TB
+    scored = bg.join(F.broadcast(model), ["__w1", "__w2"]).select(
+        F.col(id_col), "__s"
+    )
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         (F.sum("__s") / F.count(F.lit(1))).alias("mean_bigram_surprisal"),
