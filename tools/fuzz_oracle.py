@@ -394,8 +394,10 @@ def gen_query(rng: random.Random):
         return gen_r7(rng)
     if r < 0.994:
         return gen_r8(rng)
-    if r < 0.998:
+    if r < 0.996:
         return gen_r9(rng)
+    if r < 0.999:
+        return gen_r12(rng)
     table = rng.choice(list(TABLES))
     strs, nums, doubles, ints = TABLES[table]
     preds, fexprs = [], []
@@ -3507,3 +3509,156 @@ def _gen_uplift(rng: random.Random):
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+# ---------------------------------------------------------------- r12 ---
+def gen_r12(rng: random.Random):
+    """Differential-fuzz the round-12 operators: trimmed mean
+    (tie-heavy integers, random trim, over-trimmed tiny keys),
+    conformal quantile (random alpha, NULL below the coverage bound),
+    diff-in-differences (random 2x2 with deliberately missing cells),
+    temperature weights (alpha=0.5 sqrt path, single-domain corpora)."""
+    kind = rng.choice(["tmean", "conf", "did", "tempw"])
+    return {
+        "tmean": _gen_tmean,
+        "conf": _gen_conf,
+        "did": _gen_did,
+        "tempw": _gen_tempw,
+    }[kind](rng)
+
+
+def _gen_tmean(rng: random.Random):
+    trim = rng.choice([0.0, 0.05, 0.1, 0.25, 0.4])
+    keys = [f"k{i}" for i in range(rng.randint(1, 3))]
+    rows = [
+        (rng.choice(keys), rng.randint(-5, 20))
+        for _ in range(rng.randint(1, 60))
+    ]
+    vals = ", ".join(f"('{k}', {v})" for k, v in rows)
+    sql = f"""
+    WITH d AS (SELECT * FROM (VALUES {vals}) t(k, v)),
+    r AS (SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY v) AS rn,
+            COUNT(*) OVER (PARTITION BY k) AS n FROM d),
+    g AS (SELECT k, CAST(MAX(n) AS BIGINT) AS n,
+        CAST(MAX(CAST(ceil({trim} * n) AS BIGINT)) AS BIGINT) AS n_trim,
+        SUM(CASE WHEN rn > ceil({trim} * n) AND rn <= n - ceil({trim} * n)
+                 THEN CAST(v AS HUGEINT) ELSE 0 END) AS s,
+        CAST(SUM(CASE WHEN rn > ceil({trim} * n)
+                      AND rn <= n - ceil({trim} * n)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS nk
+      FROM r GROUP BY k)
+    SELECT k, n, n_trim,
+           CASE WHEN nk > 0
+                THEN ROUND(CAST(s AS DOUBLE) / nk, 6) + 0.0 END AS tmean6
+    FROM g
+    """
+
+    def build(spark, sf_dir, rows=rows, trim=trim):
+        from pigout_spark.pipeline.behavioral import trimmed_mean
+
+        df = spark.createDataFrame(rows, "k string, v long")
+        return trimmed_mean(df, "v", ["k"], trim=trim)
+
+    return build, sql
+
+
+def _gen_conf(rng: random.Random):
+    alpha = rng.choice([0.05, 0.1, 0.2, 0.5])
+    keys = [f"k{i}" for i in range(rng.randint(1, 3))]
+    rows = [
+        (rng.choice(keys), float(rng.randint(0, 15)))
+        for _ in range(rng.randint(1, 50))
+    ]
+    vals = ", ".join(f"('{k}', {repr(s)})" for k, s in rows)
+    sql = f"""
+    WITH d AS (SELECT * FROM (VALUES {vals}) t(k, s)),
+    r AS (SELECT k, s, row_number() OVER (PARTITION BY k ORDER BY s) AS rn,
+            COUNT(*) OVER (PARTITION BY k) AS n FROM d)
+    SELECT k, CAST(MAX(n) AS BIGINT) AS n,
+           ROUND(MIN(CASE WHEN rn = ceil({1.0 - alpha!r} * (n + 1))
+                          THEN s END), 6) + 0.0 AS qhat6
+    FROM r GROUP BY k
+    """
+
+    def build(spark, sf_dir, rows=rows, alpha=alpha):
+        from pigout_spark.pipeline.behavioral import conformal_quantile
+
+        df = spark.createDataFrame(rows, "k string, s double")
+        return conformal_quantile(df, "s", ["k"], alpha=alpha)
+
+    return build, sql
+
+
+def _gen_did(rng: random.Random):
+    keys = [f"k{i}" for i in range(rng.randint(1, 2))]
+    rows = []
+    for _ in range(rng.randint(1, 50)):
+        # bias cell coverage so missing-cell NULLs actually occur
+        t = rng.random() < 0.6
+        p = rng.random() < 0.6
+        rows.append((rng.choice(keys), t, p, rng.randint(-10, 100)))
+    vals = ", ".join(
+        f"('{k}', {str(t).upper()}, {str(p).upper()}, {v})"
+        for k, t, p, v in rows
+    )
+    sql = f"""
+    WITH d AS (SELECT * FROM (VALUES {vals}) x(k, t, p, v)),
+    g AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN t AND p THEN 1 ELSE 0 END) AS BIGINT) AS n_tpost,
+        CAST(SUM(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS n_tpre,
+        CAST(SUM(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS BIGINT) AS n_cpost,
+        CAST(SUM(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS n_cpre,
+        SUM(CASE WHEN t AND p THEN CAST(v AS HUGEINT) ELSE 0 END) AS s_tpost,
+        SUM(CASE WHEN t AND NOT p THEN CAST(v AS HUGEINT) ELSE 0 END) AS s_tpre,
+        SUM(CASE WHEN NOT t AND p THEN CAST(v AS HUGEINT) ELSE 0 END) AS s_cpost,
+        SUM(CASE WHEN NOT t AND NOT p THEN CAST(v AS HUGEINT) ELSE 0 END) AS s_cpre
+      FROM d GROUP BY k)
+    SELECT k, n, n_tpost, n_tpre, n_cpost, n_cpre,
+      CASE WHEN n_tpost > 0 AND n_tpre > 0 AND n_cpost > 0 AND n_cpre > 0
+           THEN ROUND(
+             (ROUND(CAST(s_tpost AS DOUBLE) / n_tpost, 6) + 0.0
+              - (ROUND(CAST(s_tpre AS DOUBLE) / n_tpre, 6) + 0.0))
+             - (ROUND(CAST(s_cpost AS DOUBLE) / n_cpost, 6) + 0.0
+                - (ROUND(CAST(s_cpre AS DOUBLE) / n_cpre, 6) + 0.0)),
+             6) + 0.0 END AS did6
+    FROM g
+    """
+
+    def build(spark, sf_dir, rows=rows):
+        from pigout_spark.pipeline.behavioral import diff_in_diff
+
+        df = spark.createDataFrame(
+            rows, "k string, t boolean, p boolean, v long"
+        )
+        return diff_in_diff(df, "t", "p", "v", ["k"])
+
+    return build, sql
+
+
+def _gen_tempw(rng: random.Random):
+    domains = [f"d{i}" for i in range(rng.randint(1, 5))]
+    rows = [(rng.choice(domains),) for _ in range(rng.randint(1, 80))]
+    vals = ", ".join(f"('{d}')" for (d,) in rows)
+    sql = f"""
+    WITH c AS (
+      SELECT col0 AS domain, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (VALUES {vals}) t(col0) GROUP BY col0
+    ), w AS (
+      SELECT domain, n,
+             CAST(ROUND(sqrt(CAST(n AS DOUBLE)), 6) + 0.0
+                  AS DECIMAL(20,6)) AS tt
+      FROM c
+    ), s AS (SELECT SUM(tt) AS tot FROM w)
+    SELECT domain, n,
+           ROUND(CAST(tt AS DOUBLE) / CAST(tot AS DOUBLE), 6) + 0.0 AS w6
+    FROM w, s
+    """
+
+    def build(spark, sf_dir, rows=rows):
+        from pigout_spark.pipeline.curation import temperature_weights
+
+        df = spark.createDataFrame(rows, "src string")
+        return temperature_weights(df, "src", alpha=0.5)
+
+    return build, sql
