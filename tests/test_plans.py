@@ -452,6 +452,8 @@ def test_r12_grouped_ops_single_key_exchange(spark, sf_dir):
         ("x_did", "event_type"),
         ("x_trimmed_mean", "l_returnflag"),
         ("x_conformal", "source"),
+        ("x_jackknife", "l_returnflag"),
+        ("x_psm", "source"),
     ]:
         plan = plan_of(spark, sf_dir, name)
         assert plan.count(f"Exchange hashpartitioning({key}") <= 2, name
