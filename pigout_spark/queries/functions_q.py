@@ -213,15 +213,17 @@ def q22_distinct_agg(spark, sf_dir):
     WITH s AS (
       SELECT l_returnflag,
              COUNT(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,4))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy,
-             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(26,4))) AS DOUBLE) AS sxy
+             CAST(SUM(CAST(CAST(l_quantity AS BIGINT) AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) AS HUGEINT)) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(CAST(l_quantity AS BIGINT)
+                           * CAST(round(l_extendedprice * 100) AS BIGINT) AS HUGEINT)) AS DOUBLE) AS sxy
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
-           (n * sxy - sx * sy) / (n * (n - 1)) AS cov_samp,
+           (n * sxy - sx * sy) / (n * (n - 1)) / 100.0 AS cov_samp,
            (n * sxy - sx * sy)
              / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr
     FROM s
@@ -230,28 +232,37 @@ def q22_distinct_agg(spark, sf_dir):
 )
 def q33_corr_cov(spark, sf_dir):
     """Pig COR/COV builtins (quantity vs extendedprice per returnflag).
-    Computed from decimal-exact component sums cast to double, then one
-    deterministic IEEE formula — identical in both engines (the native
-    corr()/covar() aggregates stream differently per engine and would
-    not hash-match)."""
+    Component sums are SCALE-0 integers (quantity integral; price in
+    cents — the trend_fit integerized contract), summed exactly, then
+    one deterministic IEEE formula; cov_samp reads out in original
+    dollar units via one shared /100 (correlation is scale-invariant).
+    r12 fix: the previous DECIMAL(·,4) sums hash-matched up to sf0.1
+    but diverged at sf1 in the LAST ULP of one corr — once the scaled
+    integer exceeds 2^53, DuckDB's decimal→double (int128 cast, then
+    /10⁴ — two roundings) can differ from Java BigDecimal's single
+    correctly-rounded conversion; scale-0 sums make the cast ONE
+    rounding of an exact integer in both engines at any n.  (The
+    native corr()/covar() aggregates stream differently per engine
+    and would not hash-match at all.)"""
     from pyspark.sql import functions as F  # noqa: F811
 
     li = t(spark, sf_dir, "lineitem")
-    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    qc = F.col("l_quantity").cast("bigint")
+    pc = F.round(F.col("l_extendedprice") * 100).cast("bigint")
     s = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(q.cast("decimal(20,4)")).cast("double").alias("sx"),
-        F.sum(p.cast("decimal(20,4)")).cast("double").alias("sy"),
-        F.sum((q * q).cast("decimal(24,4)")).cast("double").alias("sxx"),
-        F.sum((p * p).cast("decimal(28,4)")).cast("double").alias("syy"),
-        F.sum((q * p).cast("decimal(26,4)")).cast("double").alias("sxy"),
+        F.sum(qc.cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(pc.cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum((qc * qc).cast("decimal(38,0)")).cast("double").alias("sxx"),
+        F.sum((pc * pc).cast("decimal(38,0)")).cast("double").alias("syy"),
+        F.sum((qc * pc).cast("decimal(38,0)")).cast("double").alias("sxy"),
     )
     n = F.col("n")
     num = n * F.col("sxy") - F.col("sx") * F.col("sy")
     return s.select(
         "l_returnflag",
         "n",
-        (num / (n * (n - 1))).alias("cov_samp"),
+        (num / (n * (n - 1)) / F.lit(100.0)).alias("cov_samp"),
         (
             num
             / (
