@@ -374,6 +374,13 @@ assert len(_WINDOW_R11) == len(set(_WINDOW_R11)) == 50
 # rotated out keeps its local oracle (tools/selfcheck.py +
 # tests/test_queries.py) per the standing policy; every rotated-out
 # query has held a green driver row r1-r11.
+# r13 rotation candidates (added after the r12 window was fixed,
+# selfcheck-green at sf0.01+sf0.1 as added but not yet driver-checked):
+# x_boot_ci (Poisson-bootstrap CI), x_jackknife (ratio-metric SE),
+# x_did (diff-in-differences), x_psm (propensity matching),
+# x_trimmed_mean, x_conformal (split-conformal quantile),
+# x_temp_mixture (temperature mixing weights), x_quality_logit
+# (logistic scorer application).
 _WINDOW_R12 = [
     "q01_group_agg",  # flagship
     # (a) the pinned r12 queue — never driver-checked
