@@ -691,3 +691,86 @@ def temperature_weights(
             ).alias("w6"),
         )
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    value_col: str,
+    total_n: int,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: n_h ∝ N_h·S_h —
+    the sampling-design step before :func:`stratified_sample` when the
+    goal is estimating a mean/total with minimum variance at a fixed
+    budget (survey sampling's classic result; in a data pipeline: how
+    many eval examples to draw per source so the overall quality
+    estimate is tightest).  High-variance strata get more than their
+    proportional share; near-constant strata almost none.
+
+    ``value_col`` must be INTEGER-VALUED (cents — the trend_fit
+    contract, asserted): per-stratum sums are DECIMAL-exact, the
+    sample s.d. is one sqrt of an exact-input IEEE chain (correctly
+    rounded in every engine), each weight term N_h·S_h is ROUND-6 and
+    the cross-strata total folds as DECIMAL(30,6) (order-free — the
+    temperature_weights shape; Spark's decimal floor scale of 6 keeps
+    it exact).  Allocations are round(total_n·w_h/Σw) per stratum —
+    they can differ from ``total_n`` by a few units (largest-remainder
+    reconciliation is a driver-side concern at #strata size; the
+    per-stratum rule is what distributes).  Single-row strata have
+    undefined S_h and read alloc 0 with NULL sd6 (no variance signal —
+    sample them by hand if they matter).
+
+    Output: (stratum, n_rows, sd6, alloc).
+
+    100 TB: ONE map-side-combined exchange to the #strata-sized moment
+    relation; the weight total is a broadcast scalar.
+    """
+    if total_n < 1:
+        raise ValueError(f"total_n must be >= 1, got {total_n}")
+    v = F.col(value_col)
+    d = df.filter(v.isNotNull() & F.col(stratum_col).isNotNull()).filter(
+        F.assert_true(
+            v == F.floor(v),
+            F.lit(
+                "neyman_allocation: values must be integral (cents, "
+                "counts) — integerize upstream"
+            ),
+        ).isNull()
+    )
+    g = d.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(v.cast("bigint").cast("decimal(38,0)")).alias("__s"),
+        F.sum((v.cast("bigint") * v.cast("bigint")).cast("decimal(38,0)"))
+        .alias("__ss"),
+    )
+    n = F.col("n_rows").cast("double")
+    var = (
+        n * F.col("__ss").cast("double")
+        - F.col("__s").cast("double") * F.col("__s").cast("double")
+    ) / (n * (n - F.lit(1.0)))
+    sd6 = F.when(
+        F.col("n_rows") > 1,
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 6) + F.lit(0.0),
+    )
+    terms = g.select(
+        "stratum",
+        "n_rows",
+        sd6.alias("sd6"),
+        F.coalesce(
+            (F.round(n * sd6, 6) + F.lit(0.0)).cast("decimal(30,6)"),
+            F.lit(0).cast("decimal(30,6)"),
+        ).alias("__w"),
+    )
+    tot = terms.agg(F.sum("__w").alias("__tot"))
+    alloc = F.when(
+        F.col("__tot").cast("double") > 0,
+        F.round(
+            F.lit(float(total_n))
+            * F.col("__w").cast("double")
+            / F.col("__tot").cast("double"),
+            0,
+        ).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    return terms.crossJoin(F.broadcast(tot)).select(
+        "stratum", "n_rows", "sd6", alloc.alias("alloc")
+    )

@@ -5095,3 +5095,63 @@ def x_quality_logit(spark, sf_dir):
     return apply_logistic(feats, _LOGIT_W, _LOGIT_B, "score").select(
         "doc_id", "score"
     )
+
+
+@query(
+    "x_neyman",
+    extra=True,  # r12 addition — r13 rotation candidate
+    sql="""
+    WITH d AS (
+      SELECT o_orderpriority AS stratum,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+    ), g AS (
+      SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             SUM(CAST(v AS HUGEINT)) AS s,
+             SUM(CAST(v * v AS HUGEINT)) AS ss
+      FROM d GROUP BY stratum
+    ), t AS (
+      SELECT stratum, n_rows,
+        CASE WHEN n_rows > 1 THEN
+          ROUND(sqrt(GREATEST(
+            (n_rows * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+            / (CAST(n_rows AS DOUBLE) * (CAST(n_rows AS DOUBLE) - 1.0)),
+            0.0)), 6) + 0.0 END AS sd6
+      FROM g
+    ), w AS (
+      SELECT stratum, n_rows, sd6,
+             COALESCE(CAST(ROUND(CAST(n_rows AS DOUBLE) * sd6, 6) + 0.0
+                           AS DECIMAL(30,6)),
+                      CAST(0 AS DECIMAL(30,6))) AS wt
+      FROM t
+    ), s2 AS (SELECT SUM(wt) AS tot FROM w)
+    SELECT stratum, n_rows, sd6,
+           CASE WHEN CAST(tot AS DOUBLE) > 0
+                THEN CAST(ROUND(10000.0 * CAST(wt AS DOUBLE)
+                                / CAST(tot AS DOUBLE), 0) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS alloc
+    FROM w, s2
+    """,
+)
+def x_neyman(spark, sf_dir):
+    """Neyman-optimal allocation of a 10,000-row eval budget across
+    order priorities by order-value dispersion
+    (curation.py:neyman_allocation — exact integer moments in ONE
+    map-side-combined exchange, n_h·S_h weights ROUND-6
+    decimal-folded; the minimum-variance sampling design ahead of
+    stratified_sample)."""
+    from pigout_spark.pipeline.curation import neyman_allocation
+
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderpriority").isNotNull()
+    )
+    return neyman_allocation(
+        o.select(
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        ),
+        "o_orderpriority",
+        "cents",
+        total_n=10_000,
+    )

@@ -3585,3 +3585,33 @@ def test_apply_logistic(spark):
     assert out[None] is None
     with pytest.raises(ValueError, match="weight"):
         apply_logistic(df, {}, 0.0)
+
+
+def test_neyman_allocation_hand_checked(spark):
+    """Two strata, equal sizes, one with 10x the spread → its
+    allocation ≈ 10x; a constant stratum gets sd 0 and alloc 0; a
+    singleton stratum reads NULL sd and alloc 0; budget guard."""
+    import pytest
+
+    from pigout_spark.pipeline.curation import neyman_allocation
+
+    rows = (
+        [("wide", v) for v in (0, 100) * 50]       # sd ~50.25
+        + [("narrow", v) for v in (50, 60) * 50]   # sd ~5.02
+        + [("const", 7)] * 40
+        + [("single", 3)]
+    )
+    df = spark.createDataFrame(rows, "s string, v long")
+    out = {r.stratum: r for r in
+           neyman_allocation(df, "s", "v", 1000).collect()}
+    assert out["const"].sd6 == 0.0 and out["const"].alloc == 0
+    assert out["single"].sd6 is None and out["single"].alloc == 0
+    ratio = out["wide"].alloc / max(out["narrow"].alloc, 1)
+    assert 9 <= ratio <= 11
+    assert 900 <= out["wide"].alloc + out["narrow"].alloc <= 1000
+
+    with pytest.raises(ValueError, match="total_n"):
+        neyman_allocation(df, "s", "v", 0)
+    frac = spark.createDataFrame([("a", 1.5)], "s string, v double")
+    with pytest.raises(Exception, match="integral"):
+        neyman_allocation(frac, "s", "v", 10).collect()
