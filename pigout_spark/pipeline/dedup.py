@@ -357,6 +357,105 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    max_df: int | None = DEFAULT_MAX_DF,
+) -> DataFrame:
+    """Exact token-set CONTAINMENT pairs — Broder's asymmetric
+    near-dup measure c = |A∩B| / |A| with A the SMALLER doc: "is the
+    small document (near-)subsumed by the big one".  Jaccard misses
+    exactly this case (a tweet quoted inside an article scores tiny
+    Jaccard but containment ≈ 1), and subsumption is the common shape
+    of boilerplate, quotation, and version-extended duplicates in a
+    training corpus.
+
+    Candidate generation: the prefix filter applies to the SMALL side
+    only (c ≥ t needs overlap ≥ t·|A|, so A must share one of its
+    first ⌊(1−t)·|A|⌋+1 canonical-order tokens — the ppjoin argument
+    verbatim), while the big side indexes its FULL token set (no
+    length-ratio bound exists for containment — B may be any size).
+    Join volume is Σ_tok prefix_df·df, which ``max_df`` bounds exactly
+    as in :func:`ngram_jaccard_pairs` (ON BY DEFAULT; containment is
+    then over the capped vocabulary, same caveat).  Orientation
+    (smaller=a) is decided INSIDE the join condition ((sz, id)
+    lexicographic — deterministic for equal sizes); verification joins
+    both full arrays and computes the exact intersection.
+
+    Output: (doc_small, doc_big, containment) for pairs ≥ threshold.
+
+    100 TB: one (tok) equi-join shuffle whose volume the prefix+max_df
+    filters bound; verification is candidate-sized.  The same
+    `_pin_partitions` guard as the other pair joins (AQE sizes by
+    input, these amplify on output).
+    """
+    arr = df.select(F.col(id_col), ws_tokens(text_col).alias("__toks"))
+    if max_df is not None:
+        toks0 = arr.select(F.col(id_col), F.explode("__toks").alias("tok"))
+        dfreq = toks0.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        dropped = dfreq.filter(F.col("df") > max_df).agg(
+            F.collect_list("tok").alias("__dropped")
+        )
+        arr = arr.crossJoin(F.broadcast(dropped)).select(
+            F.col(id_col),
+            F.array_except("__toks", F.coalesce("__dropped", F.array())).alias(
+                "__toks"
+            ),
+        )
+    sized = arr.select(
+        F.col(id_col), "__toks", F.size("__toks").alias("sz")
+    ).filter(F.col("sz") > 0)
+    prefix = sized.select(
+        F.col(id_col),
+        "sz",
+        F.explode(
+            F.slice(
+                F.expr("transform(sort_array(transform(__toks, "
+                       "t -> struct(md5(t) AS h, t AS tok))), s -> s.tok)"),
+                F.lit(1),
+                (F.floor((1.0 - threshold) * F.col("sz") + 1e-9) + 1).cast("int"),
+            )
+        ).alias("tok"),
+    )
+    full = sized.select(
+        F.col(id_col), "sz", F.explode("__toks").alias("tok")
+    )
+    prefix = _pin_partitions(prefix, "tok")
+    full = _pin_partitions(full, "tok")
+    a = prefix.alias("a")
+    b = full.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (
+                (F.col("a.sz") < F.col("b.sz"))
+                | (
+                    (F.col("a.sz") == F.col("b.sz"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                )
+            ),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_small"),
+            F.col(f"b.{id_col}").alias("doc_big"),
+        )
+        .agg(F.first(F.col("a.sz")).alias("na"))
+    )
+    ta = sized.select(F.col(id_col).alias("doc_small"), F.col("__toks").alias("__ta"))
+    tb = sized.select(F.col(id_col).alias("doc_big"), F.col("__toks").alias("__tb"))
+    return (
+        cand.join(ta, "doc_small")
+        .join(tb, "doc_big")
+        .withColumn("inter", F.size(F.array_intersect("__ta", "__tb")))
+        .withColumn("containment", F.col("inter") / F.col("na"))
+        .filter(F.col("containment") >= threshold)
+        .select("doc_small", "doc_big", "containment")
+    )
+
+
 def jaccard_maxdf_stats(
     df: DataFrame,
     id_col: str,

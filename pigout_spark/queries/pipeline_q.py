@@ -5155,3 +5155,47 @@ def x_neyman(spark, sf_dir):
         "cents",
         total_n=10_000,
     )
+
+
+@query(
+    "x_containment",
+    extra=True,  # r12 addition — r13 rotation candidate
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_DTOKS}) AS tok FROM documents
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), oriented AS (
+      SELECT CASE WHEN (sa.sz, da) < (sb.sz, db) THEN da ELSE db END
+               AS doc_small,
+             CASE WHEN (sa.sz, da) < (sb.sz, db) THEN db ELSE da END
+               AS doc_big,
+             i,
+             LEAST(sa.sz, sb.sz) AS na
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = da
+      JOIN sizes sb ON sb.doc_id = db
+      WHERE da < db
+    )
+    SELECT doc_small, doc_big, i / CAST(na AS DOUBLE) AS containment
+    FROM oriented
+    WHERE i / CAST(na AS DOUBLE) >= 0.9
+    """,
+)
+def x_containment(spark, sf_dir):
+    """Asymmetric near-dup: small-doc containment ≥ 0.9 in a larger
+    doc (pipeline/dedup.py:containment_pairs — prefix filter on the
+    SMALL side only, full index on the big side, exact
+    array_intersect verification; Broder containment catches the
+    quotation/boilerplate/version-extension duplicates Jaccard's
+    symmetric denominator hides).  The oracle replays the naive full
+    inverted-index argmin as an independent algorithm."""
+    from pigout_spark.pipeline.dedup import containment_pairs
+
+    return containment_pairs(
+        tf(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.9
+    )

@@ -3615,3 +3615,27 @@ def test_neyman_allocation_hand_checked(spark):
     frac = spark.createDataFrame([("a", 1.5)], "s string, v double")
     with pytest.raises(Exception, match="integral"):
         neyman_allocation(frac, "s", "v", 10).collect()
+
+
+def test_containment_pairs_hand_checked(spark):
+    """A 3-token doc fully inside a 10-token doc reads containment 1.0
+    regardless of the big doc's size (where Jaccard reads 0.3); a
+    disjoint doc pairs with nothing; equal-size duplicate docs orient
+    by id; threshold excludes partial overlap below it."""
+    from pigout_spark.pipeline.dedup import containment_pairs
+
+    big = "a b c d e f g h i j"
+    rows = [
+        (1, "a b c"),           # contained in 3
+        (2, "x y z"),           # disjoint
+        (3, big),
+        (4, big),               # exact dup of 3 — equal size, id orients
+        (5, "a b q"),           # 2/3 = 0.67 < 0.9
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.doc_small, r.doc_big): r.containment
+           for r in containment_pairs(df, "doc_id", "text", 0.9).collect()}
+    assert out[(1, 3)] == 1.0 and out[(1, 4)] == 1.0
+    assert out[(3, 4)] == 1.0          # equal sizes → smaller id first
+    assert (5, 3) not in out and (2, 3) not in out
+    assert all(k[0] != 2 and k[1] != 2 for k in out)
