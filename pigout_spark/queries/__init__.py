@@ -380,7 +380,9 @@ assert len(_WINDOW_R11) == len(set(_WINDOW_R11)) == 50
 # x_did (diff-in-differences), x_psm (propensity matching),
 # x_trimmed_mean, x_conformal (split-conformal quantile),
 # x_temp_mixture (temperature mixing weights), x_quality_logit
-# (logistic scorer application).
+# (logistic scorer application), x_neyman (Neyman-optimal stratified
+# allocation), x_containment (asymmetric Broder containment
+# near-dup).
 _WINDOW_R12 = [
     "q01_group_agg",  # flagship
     # (a) the pinned r12 queue — never driver-checked
