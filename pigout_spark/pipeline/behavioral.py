@@ -3444,3 +3444,91 @@ def jackknife_ratio(
         ratio.alias("ratio6"),
         F.when(~degenerate & (F.col("__sd") > 0), se).alias("se6"),
     )
+
+
+def emp_bernstein_ci(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str] | None = None,
+    delta: float = 0.05,
+    value_range: float | None = None,
+) -> DataFrame:
+    """Empirical-Bernstein confidence interval for a bounded mean
+    (Maurer & Pontil 2009) — the variance-adaptive finite-sample bound
+    that beats Hoeffding whenever the data's spread is smaller than
+    its range (the usual case for quality scores, rates, capped
+    metrics):
+
+        mean ± √(2·V̂·ln(2/δ)/n) + 7·R·ln(2/δ) / (3(n−1))
+
+    with V̂ the sample variance and R = ``value_range`` the KNOWN
+    value bound (required — it is an assumption of the inequality,
+    not a statistic; rows outside [0, R] fail LOUDLY on the scan).
+    Unlike the asymptotic normal CI this holds at every finite n with
+    no distributional assumption beyond boundedness; unlike
+    :func:`poisson_bootstrap` it needs no replicates at all.
+
+    Determinism: ``value_col`` must be INTEGER-VALUED (cents —
+    asserted); moments are DECIMAL-exact; **ln(2/δ) is a
+    PYTHON-computed literal** (δ is a parameter, so no engine log
+    ever runs — the POISSON1_CDF discipline), sqrt is correctly
+    rounded — the whole readout is a shared IEEE chain, ROUND-6.
+    Keys with n < 2 read NULL bounds (V̂ undefined).
+
+    Output: one row per key — (*keys, n, mean6, eb_lo6, eb_hi6).
+
+    100 TB: ONE map-side-combined exchange (count + two moment sums);
+    the bound is a per-key readout chain.
+    """
+    import math
+
+    keys = list(keys or [])
+    _check_keys(keys, ("n", "mean6", "eb_lo6", "eb_hi6"), "emp_bernstein_ci")
+    if value_range is None or value_range <= 0:
+        raise ValueError(
+            "emp_bernstein_ci requires value_range > 0 — the bound R is "
+            "an ASSUMPTION of the inequality (pass the known cap, e.g. "
+            "100 for a percentage in integer points)"
+        )
+    if not (0.0 < delta < 1.0):
+        raise ValueError(f"delta must be in (0, 1), got {delta}")
+    if not keys:
+        tagged = df.withColumn("__one", F.lit(1))
+        out = emp_bernstein_ci(
+            tagged, value_col, ["__one"], delta, value_range
+        )
+        return out.drop("__one")
+    ln_term = math.log(2.0 / delta)  # Python literal — no engine ln
+    v = F.col(value_col)
+    d = df.filter(v.isNotNull()).filter(
+        F.assert_true(
+            (v == F.floor(v)) & (v >= 0) & (v <= F.lit(float(value_range))),
+            F.lit(
+                f"emp_bernstein_ci: values must be integral in "
+                f"[0, {value_range}] — the bound assumes it"
+            ),
+        ).isNull()
+    ).select(*keys, v.cast("bigint").alias("__v"))
+    g = d.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("__v").cast("decimal(38,0)")).alias("__s"),
+        F.sum((F.col("__v") * F.col("__v")).cast("decimal(38,0)"))
+        .alias("__ss"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("__s").cast("double") / n
+    var = (
+        n * F.col("__ss").cast("double")
+        - F.col("__s").cast("double") * F.col("__s").cast("double")
+    ) / (n * (n - F.lit(1.0)))
+    width = F.sqrt(
+        F.lit(2.0) * F.greatest(var, F.lit(0.0)) * F.lit(ln_term) / n
+    ) + F.lit(7.0 * value_range * ln_term / 3.0) / (n - F.lit(1.0))
+    ok = F.col("n") > 1
+    return g.select(
+        *keys,
+        "n",
+        (F.round(mean, 6) + F.lit(0.0)).alias("mean6"),
+        F.when(ok, F.round(mean - width, 6) + F.lit(0.0)).alias("eb_lo6"),
+        F.when(ok, F.round(mean + width, 6) + F.lit(0.0)).alias("eb_hi6"),
+    )

@@ -3304,3 +3304,71 @@ def x_jackknife(spark, sf_dir):
         ["l_orderkey"],
         keys=["l_returnflag"],
     )
+
+
+def _eb_sql(delta: float = 0.05, value_range: float = 100_000.0) -> str:
+    """Oracle twin of behavioral.emp_bernstein_ci over events: the
+    SAME Python-computed ln(2/δ) literal, HUGEINT-exact moments,
+    correctly-rounded sqrt, shared IEEE readout chain."""
+    import math
+
+    ln_term = math.log(2.0 / delta)
+    c2 = 7.0 * value_range * ln_term / 3.0
+    return f"""
+    WITH d AS (
+      SELECT event_type AS k, CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ), g AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(v AS HUGEINT)) AS s,
+             SUM(CAST(v * v AS HUGEINT)) AS ss
+      FROM d GROUP BY k
+    )
+    SELECT k AS event_type, n,
+      ROUND(CAST(s AS DOUBLE) / n, 6) + 0.0 AS mean6,
+      CASE WHEN n > 1 THEN
+        ROUND(CAST(s AS DOUBLE) / n
+              - (sqrt(2.0 * GREATEST(
+                    (n * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 0.0)
+                    * {ln_term!r} / n)
+                 + {c2!r} / (CAST(n AS DOUBLE) - 1.0)), 6) + 0.0
+      END AS eb_lo6,
+      CASE WHEN n > 1 THEN
+        ROUND(CAST(s AS DOUBLE) / n
+              + (sqrt(2.0 * GREATEST(
+                    (n * CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 0.0)
+                    * {ln_term!r} / n)
+                 + {c2!r} / (CAST(n AS DOUBLE) - 1.0)), 6) + 0.0
+      END AS eb_hi6
+    FROM g
+    """
+
+
+@query(
+    "x_eb_ci",
+    extra=True,  # r12 addition — r13 rotation candidate
+    sql=_eb_sql(),
+)
+def x_eb_ci(spark, sf_dir):
+    """Empirical-Bernstein 95% bound on mean event value (cents,
+    R = 100,000 — headroom over the fixture max ~56k) per event type (behavioral.py:emp_bernstein_ci —
+    variance-adaptive finite-sample CI, ln(2/δ) a Python literal so
+    NO engine transcendental runs; one moment exchange, no
+    replicates; the anytime-honest companion to x_boot_ci)."""
+    from pigout_spark.pipeline.behavioral import emp_bernstein_ci
+
+    e = t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    return emp_bernstein_ci(
+        e.select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        ),
+        "cents",
+        keys=["event_type"],
+        delta=0.05,
+        value_range=100_000.0,
+    )

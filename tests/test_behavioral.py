@@ -1923,3 +1923,48 @@ def test_jackknife_ratio_hand_checked(spark):
         jackknife_ratio(single, "nu", "de", [], keys=["k"])
     with pytest.raises(ValueError, match="buckets"):
         jackknife_ratio(single, "nu", "de", ["u"], keys=["k"], buckets=1)
+
+
+def test_emp_bernstein_ci_hand_checked(spark):
+    """Constant data has zero variance — the interval collapses to the
+    7R·ln(2/δ)/(3(n−1)) linear term, hand-computable; the interval
+    always brackets the mean and shrinks with n; n=1 reads NULL
+    bounds; range/delta/integrality guards raise."""
+    import math
+
+    import pytest
+
+    from pigout_spark.pipeline.behavioral import emp_bernstein_ci
+
+    const = spark.createDataFrame(
+        [("a", 5)] * 101, "k string, v long"
+    )
+    r = emp_bernstein_ci(const, "v", ["k"], 0.05, 10.0).first()
+    lin = 7.0 * 10.0 * math.log(2.0 / 0.05) / 3.0 / 100.0
+    assert r.mean6 == 5.0
+    assert abs((r.eb_hi6 - r.eb_lo6) / 2 - lin) < 1e-6
+
+    varied = spark.createDataFrame(
+        [("a", i % 10) for i in range(50)]
+        + [("b", i % 10) for i in range(500)],
+        "k string, v long",
+    )
+    out = {x.k: x for x in
+           emp_bernstein_ci(varied, "v", ["k"], 0.05, 9.0).collect()}
+    for x in out.values():
+        assert x.eb_lo6 < x.mean6 < x.eb_hi6
+    assert (out["b"].eb_hi6 - out["b"].eb_lo6) < (
+        out["a"].eb_hi6 - out["a"].eb_lo6
+    )
+
+    single = spark.createDataFrame([("a", 3)], "k string, v long")
+    rs = emp_bernstein_ci(single, "v", ["k"], 0.05, 10.0).first()
+    assert rs.eb_lo6 is None and rs.eb_hi6 is None
+
+    with pytest.raises(ValueError, match="value_range"):
+        emp_bernstein_ci(const, "v", ["k"], 0.05, None)
+    with pytest.raises(ValueError, match="delta"):
+        emp_bernstein_ci(const, "v", ["k"], 1.5, 10.0)
+    over = spark.createDataFrame([("a", 99)], "k string, v long")
+    with pytest.raises(Exception, match="integral in"):
+        emp_bernstein_ci(over, "v", ["k"], 0.05, 10.0).collect()
