@@ -3532,3 +3532,93 @@ def emp_bernstein_ci(
         F.when(ok, F.round(mean - width, 6) + F.lit(0.0)).alias("eb_lo6"),
         F.when(ok, F.round(mean + width, 6) + F.lit(0.0)).alias("eb_hi6"),
     )
+
+
+def cochran_armitage(
+    df: DataFrame,
+    score_col: str,
+    success_col: str,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Cochran–Armitage trend test per key — "does the success RATE
+    move monotonically with an ordered dose" (ordered severity tiers,
+    price bands, exposure levels): more powerful than the unordered
+    chi-square of :func:`categorical_association` exactly when the
+    alternative is a trend.
+
+        T  = Σᵢ sᵢ(rᵢ − nᵢ·p̄),   p̄ = R/N
+        V  = p̄(1−p̄)·[Σᵢ sᵢ²nᵢ − (Σᵢ sᵢnᵢ)²/N]
+        z  = T/√V
+
+    over dose groups i with integer scores sᵢ (``score_col`` —
+    asserted integral; the standard equally-spaced choice is 0..k−1,
+    but any monotone integer scoring is valid and the caller owns
+    it), nᵢ trials and rᵢ successes.  NULL score/success rows are
+    EXCLUDED.  Keys where V = 0 (all successes, no successes, or a
+    single dose) read NULL z6.
+
+    Determinism: every sum is an exact integer (scores and counts —
+    DECIMAL(38,0) folds, the moment discipline); T, V, z are one
+    shared IEEE chain, ROUND-6 (+0.0); the two-sided p replays from
+    the rounded z via :func:`normal_two_sided_p` (erf-free
+    Abramowitz–Stegun, the mann_whitney discipline), ROUND-6.
+
+    Output: one row per key — (*keys, n, n_succ, z6, p6).
+
+    100 TB: ONE map-side-combined exchange on the keys (five moment
+    aggregates); the statistic is a per-key readout chain.
+    """
+    keys = list(keys or [])
+    _check_keys(keys, ("n", "n_succ", "z6", "p6"), "cochran_armitage")
+    if not keys:
+        tagged = df.withColumn("__one", F.lit(1))
+        out = cochran_armitage(tagged, score_col, success_col, ["__one"])
+        return out.drop("__one")
+    sc, su = F.col(score_col), F.col(success_col)
+    d = df.filter(sc.isNotNull() & su.isNotNull()).filter(
+        F.assert_true(
+            sc == F.floor(sc),
+            F.lit(
+                "cochran_armitage: dose scores must be integers "
+                "(0..k-1 or any monotone integer scoring)"
+            ),
+        ).isNull()
+    ).select(
+        *keys,
+        sc.cast("bigint").alias("__s"),
+        F.when(su, 1).otherwise(0).cast("bigint").alias("__r"),
+    )
+    dec = "decimal(38,0)"
+    g = d.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("__r").cast(dec)).alias("__R"),
+        F.sum(F.col("__s").cast(dec)).alias("__sn"),
+        F.sum((F.col("__s") * F.col("__s")).cast(dec)).alias("__ssn"),
+        F.sum((F.col("__s") * F.col("__r")).cast(dec)).alias("__sr"),
+    )
+    n = F.col("n").cast("double")
+    R = F.col("__R").cast("double")
+    pbar = R / n
+    t = F.col("__sr").cast("double") - F.col("__sn").cast("double") * pbar
+    var = (
+        pbar
+        * (F.lit(1.0) - pbar)
+        * (
+            F.col("__ssn").cast("double")
+            - F.col("__sn").cast("double")
+            * F.col("__sn").cast("double")
+            / n
+        )
+    )
+    z6 = F.round(t / F.sqrt(var), 6) + F.lit(0.0)
+    ok = var > 0
+    z = F.when(ok, z6)
+    return g.select(
+        *keys,
+        "n",
+        F.col("__R").cast("bigint").alias("n_succ"),
+        z.alias("z6"),
+        F.when(
+            ok, F.round(normal_two_sided_p(z6), 6) + F.lit(0.0)
+        ).alias("p6"),
+    )

@@ -3372,3 +3372,77 @@ def x_eb_ci(spark, sf_dir):
         delta=0.05,
         value_range=100_000.0,
     )
+
+
+_CA_P = """ROUND(LEAST(1.0, 2.0 * (exp(-abs(z6) * abs(z6) / 2.0)
+          * 0.3989422804014327
+          * ((1.0 / (1.0 + 0.2316419 * abs(z6)))
+             * (0.319381530 + (1.0 / (1.0 + 0.2316419 * abs(z6)))
+               * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * abs(z6)))
+                 * (1.781477937 + (1.0 / (1.0 + 0.2316419 * abs(z6)))
+                   * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * abs(z6)))
+                     * 1.330274429))))))), 6) + 0.0"""
+
+
+@query(
+    "x_cochran",
+    extra=True,  # r12 addition — r13 rotation candidate
+    sql=f"""
+    WITH d AS (
+      SELECT o_orderstatus AS k,
+             CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS s,
+             CASE WHEN round(o_totalprice * 100) > 15000000
+                  THEN 1 ELSE 0 END AS r
+      FROM orders
+      WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+        AND o_orderstatus IS NOT NULL
+    ), g AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(r AS HUGEINT)) AS R,
+             SUM(CAST(s AS HUGEINT)) AS sn,
+             SUM(CAST(s * s AS HUGEINT)) AS ssn,
+             SUM(CAST(s * r AS HUGEINT)) AS sr
+      FROM d GROUP BY k
+    ), zz AS (
+      SELECT k, n, CAST(R AS BIGINT) AS n_succ,
+        CASE WHEN (CAST(R AS DOUBLE) / n) * (1.0 - CAST(R AS DOUBLE) / n)
+                  * (CAST(ssn AS DOUBLE)
+                     - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE) / n) > 0
+             THEN ROUND(
+               (CAST(sr AS DOUBLE)
+                - CAST(sn AS DOUBLE) * (CAST(R AS DOUBLE) / n))
+               / sqrt((CAST(R AS DOUBLE) / n)
+                      * (1.0 - CAST(R AS DOUBLE) / n)
+                      * (CAST(ssn AS DOUBLE)
+                         - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE) / n)),
+               6) + 0.0 END AS z6
+      FROM g
+    )
+    SELECT k AS o_orderstatus, n, n_succ, z6,
+           CASE WHEN z6 IS NOT NULL THEN {_CA_P} END AS p6
+    FROM zz
+    """,
+)
+def x_cochran(spark, sf_dir):
+    """Cochran–Armitage trend of high-value-order rate across the
+    ordered priority tiers (dose = the priority digit 1..5), per
+    order status (behavioral.py:cochran_armitage — five exact integer
+    moments in ONE exchange, shared IEEE z chain, Abramowitz–Stegun p;
+    the trend-powered alternative to the unordered chi-square)."""
+    from pigout_spark.pipeline.behavioral import cochran_armitage
+
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+        & F.col("o_orderstatus").isNotNull()
+    )
+    return cochran_armitage(
+        o.select(
+            "o_orderstatus",
+            F.substring("o_orderpriority", 1, 1).cast("bigint").alias("s"),
+            (F.round(F.col("o_totalprice") * 100) > 15_000_000).alias("hi"),
+        ),
+        "s",
+        "hi",
+        keys=["o_orderstatus"],
+    )

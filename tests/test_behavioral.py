@@ -1968,3 +1968,42 @@ def test_emp_bernstein_ci_hand_checked(spark):
     over = spark.createDataFrame([("a", 99)], "k string, v long")
     with pytest.raises(Exception, match="integral in"):
         emp_bernstein_ci(over, "v", ["k"], 0.05, 10.0).collect()
+
+
+def test_cochran_armitage_hand_checked(spark):
+    """A perfect positive dose-response (rate 0→0.5→1 over doses
+    0/1/2) gives a large positive z; reversing doses flips the sign
+    exactly; a flat response gives z ≈ 0; degenerate keys (all
+    success, single dose) read NULL; fractional scores raise."""
+    import pytest
+
+    from pigout_spark.pipeline.behavioral import cochran_armitage
+
+    def mk(rates, key="a"):
+        rows = []
+        for dose, rate in enumerate(rates):
+            k = int(rate * 20)
+            rows += [(key, dose, True)] * k + [(key, dose, False)] * (20 - k)
+        return rows
+
+    up = spark.createDataFrame(mk([0.0, 0.5, 1.0]), "k string, s long, y boolean")
+    zu = cochran_armitage(up, "s", "y", ["k"]).first()
+    assert zu.n == 60 and zu.n_succ == 30 and zu.z6 > 5
+
+    down_rows = [(k, 2 - s, y) for k, s, y in mk([0.0, 0.5, 1.0])]
+    down = spark.createDataFrame(down_rows, "k string, s long, y boolean")
+    zd = cochran_armitage(down, "s", "y", ["k"]).first()
+    assert zd.z6 == -zu.z6
+
+    flat = spark.createDataFrame(mk([0.5, 0.5, 0.5]), "k string, s long, y boolean")
+    assert abs(cochran_armitage(flat, "s", "y", ["k"]).first().z6) < 1e-9
+
+    allsucc = spark.createDataFrame(
+        [("a", 0, True), ("a", 1, True)], "k string, s long, y boolean"
+    )
+    r = cochran_armitage(allsucc, "s", "y", ["k"]).first()
+    assert r.z6 is None and r.p6 is None
+
+    frac = spark.createDataFrame([("a", 1.5, True)], "k string, s double, y boolean")
+    with pytest.raises(Exception, match="integer"):
+        cochran_armitage(frac, "s", "y", ["k"]).collect()
