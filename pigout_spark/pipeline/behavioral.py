@@ -3622,3 +3622,84 @@ def cochran_armitage(
             ok, F.round(normal_two_sided_p(z6), 6) + F.lit(0.0)
         ).alias("p6"),
     )
+
+
+def by_fdr(
+    df: DataFrame,
+    p_col: str,
+    family_cols: list[str] | None = None,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini–Yekutieli FDR adjustment — :func:`bh_fdr` under
+    ARBITRARY dependence between the tests:
+
+        q_(i) = min_{j ≥ i} ( p_(j) · m · c(m) / j ) ∧ 1,
+        c(m) = Σ_{i=1..m} 1/i
+
+    BH's guarantee assumes independent or positively-dependent tests;
+    when per-key tests share data (overlapping cohorts, a common
+    denominator, correlated metrics) the harmonic-number inflation is
+    the price of validity.  Use BH when independence is defensible —
+    BY costs a factor c(m) ≈ ln m + 0.577 in power.
+
+    Determinism: c(m) is computed from the family's OWN rank column
+    (each rank 1..m contributes one ROUND-12 1/i term, summed as a
+    window aggregate over DECIMAL(30,12) — an aggregate Sum keeps its
+    scale exactly, unlike the chained decimal `+` the jackknife
+    documented); the raw chain is ((p·m)/j)·c in one fixed
+    association both engines replay; ties collapse through the
+    suffix-min exactly as in BH.  Same guards (NULL p excluded,
+    out-of-range p fails loudly).
+
+    Output: input columns + (m, q6, reject).
+
+    100 TB: identical shape to bh_fdr — the relation is #tests-sized
+    by construction; one family window carries rank, count, harmonic
+    sum, and suffix-min.
+    """
+    fam = list(family_cols or [])
+    p = F.col(p_col)
+    d = df.filter(
+        F.assert_true(
+            p.isNull() | p.between(0.0, 1.0),
+            F.lit(f"by_fdr: {p_col} must lie in [0, 1]"),
+        ).isNull()
+    )
+    keep = d.filter(p.isNotNull())
+    wm = Window.partitionBy(*fam) if fam else Window.partitionBy()
+    wrk = (
+        Window.partitionBy(*fam).orderBy(F.col(p_col).desc())
+        if fam
+        else Window.orderBy(F.col(p_col).desc())
+    )
+    ranked = keep.withColumn("m", F.count(F.lit(1)).over(wm)).withColumn(
+        "__rk_desc", F.row_number().over(wrk)
+    )
+    cm = (
+        F.sum(
+            (
+                F.round(
+                    F.lit(1.0) / F.col("__rk_desc").cast("double"), 12
+                )
+                + F.lit(0.0)
+            ).cast("decimal(30,12)")
+        )
+        .over(wm)
+        .cast("double")
+    )
+    raw = (
+        p
+        * F.col("m").cast("double")
+        / (F.col("m") - F.col("__rk_desc") + 1).cast("double")
+        * cm
+    )
+    q = F.least(
+        F.lit(1.0),
+        F.min(raw).over(
+            wrk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    out = ranked.withColumn("q6", F.round(q, 6) + F.lit(0.0)).withColumn(
+        "reject", F.col("q6") <= F.lit(float(alpha))
+    )
+    return out.drop("__rk_desc")

@@ -3446,3 +3446,61 @@ def x_cochran(spark, sf_dir):
         "hi",
         keys=["o_orderstatus"],
     )
+
+
+@query(
+    "x_by_fdr",
+    extra=True,  # r12 addition — r13 rotation candidate
+    sql="""
+    WITH p AS (
+      SELECT source,
+             ROUND((('0x' || substring(md5('byp|' || source), 1, 8))::BIGINT)
+                   / 4294967296.0, 6) + 0.0 AS p6
+      FROM (SELECT DISTINCT source FROM documents
+            WHERE source IS NOT NULL)
+    ), ranked AS (
+      SELECT source, p6, CAST(COUNT(*) OVER () AS BIGINT) AS m,
+             row_number() OVER (ORDER BY p6 DESC, source DESC) AS rkd
+      FROM p
+    ), cm AS (
+      SELECT *, CAST(SUM(CAST(ROUND(1.0 / rkd, 12) + 0.0
+                              AS DECIMAL(30,12))) OVER () AS DOUBLE) AS c
+      FROM ranked
+    )
+    SELECT source, p6, m,
+      ROUND(LEAST(1.0, MIN(p6 * m / (m - rkd + 1) * c)
+            OVER (ORDER BY p6 DESC, source DESC
+                  ROWS UNBOUNDED PRECEDING)), 6) + 0.0 AS q6,
+      ROUND(LEAST(1.0, MIN(p6 * m / (m - rkd + 1) * c)
+            OVER (ORDER BY p6 DESC, source DESC
+                  ROWS UNBOUNDED PRECEDING)), 6) + 0.0 <= 0.05 AS reject
+    FROM cm
+    """,
+)
+def x_by_fdr(spark, sf_dir):
+    """Benjamini–Yekutieli adjustment over a deterministic per-source
+    p-value fixture (md5-uniform — both engines share the identical
+    inputs, so the ADJUSTMENT math is what the hash checks:
+    behavioral.py:by_fdr — harmonic c(m) from the family's own rank
+    column as a decimal window aggregate, ((p·m)/j)·c suffix-min; the
+    arbitrary-dependence-safe sibling of x_bh_fdr)."""
+    from pigout_spark.pipeline.behavioral import by_fdr
+
+    src = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("source").isNotNull())
+        .select("source")
+        .distinct()
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit("byp"), F.col("source"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    withp = src.select(
+        "source",
+        (F.round(u / F.lit(4294967296.0), 6) + F.lit(0.0)).alias("p6"),
+    )
+    return by_fdr(withp, "p6")

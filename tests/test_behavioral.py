@@ -2007,3 +2007,33 @@ def test_cochran_armitage_hand_checked(spark):
     frac = spark.createDataFrame([("a", 1.5, True)], "k string, s double, y boolean")
     with pytest.raises(Exception, match="integer"):
         cochran_armitage(frac, "s", "y", ["k"]).collect()
+
+
+def test_by_fdr_vs_bh(spark):
+    """BY is BH inflated by exactly the harmonic number c(m): on the
+    same p relation every BY q equals min(1, BH-chain with the extra
+    factor) and is ≥ the BH q; at m=1 (c=1) the two coincide; the
+    monotone suffix-min property holds; out-of-range p raises."""
+    import pytest
+
+    from pigout_spark.pipeline.behavioral import bh_fdr, by_fdr
+
+    ps = [0.001, 0.008, 0.02, 0.04, 0.2, 0.9]
+    df = spark.createDataFrame([(f"t{i}", p) for i, p in enumerate(ps)],
+                               "t string, p double")
+    bh = {r.t: r.q6 for r in bh_fdr(df, "p").collect()}
+    by = {r.t: r.q6 for r in by_fdr(df, "p").collect()}
+    c6 = sum(round(1.0 / i, 12) for i in range(1, 7))
+    for t_ in bh:
+        assert by[t_] >= bh[t_]
+        assert by[t_] <= min(1.0, round(bh[t_] * c6, 5) + 1e-5)
+
+    one = spark.createDataFrame([("x", 0.03)], "t string, p double")
+    assert by_fdr(one, "p").first().q6 == bh_fdr(one, "p").first().q6 == 0.03
+
+    qs = sorted((r.p, r.q6) for r in by_fdr(df, "p").collect())
+    assert all(qs[i][1] <= qs[i + 1][1] for i in range(len(qs) - 1))
+
+    bad = spark.createDataFrame([("x", 1.5)], "t string, p double")
+    with pytest.raises(Exception, match="lie in"):
+        by_fdr(bad, "p").collect()
