@@ -382,7 +382,9 @@ assert len(_WINDOW_R11) == len(set(_WINDOW_R11)) == 50
 # x_temp_mixture (temperature mixing weights), x_quality_logit
 # (logistic scorer application), x_neyman (Neyman-optimal stratified
 # allocation), x_containment (asymmetric Broder containment
-# near-dup).
+# near-dup), x_eb_ci (empirical-Bernstein bounded-mean CI),
+# x_cochran (Cochran-Armitage trend), x_by_fdr
+# (Benjamini-Yekutieli).
 _WINDOW_R12 = [
     "q01_group_agg",  # flagship
     # (a) the pinned r12 queue — never driver-checked

@@ -1276,3 +1276,98 @@ def x_funnel_replay(spark, sf_dir):
         F.unix_timestamp("step_2_ts").alias("s2"),
         F.unix_timestamp("step_3_ts").alias("s3"),
     )
+
+
+@query(
+    "x_cusum_replay",
+    sql="""
+    WITH ch AS (
+      SELECT user_id % 200 AS kk, event_id AS ord,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+        AND value IS NOT NULL
+    ), c AS (
+      SELECT kk, ord, v,
+        SUM(v - 12000 - 2000) OVER (PARTITION BY kk ORDER BY ord
+            ROWS UNBOUNDED PRECEDING) AS c_hi,
+        SUM(12000 - v - 2000) OVER (PARTITION BY kk ORDER BY ord
+            ROWS UNBOUNDED PRECEDING) AS c_lo
+      FROM ch
+    ), s AS (
+      SELECT kk, ord, v,
+        c_hi - LEAST(CAST(0 AS BIGINT), MIN(c_hi) OVER (PARTITION BY kk
+            ORDER BY ord ROWS UNBOUNDED PRECEDING)) AS s_hi,
+        c_lo - LEAST(CAST(0 AS BIGINT), MIN(c_lo) OVER (PARTITION BY kk
+            ORDER BY ord ROWS UNBOUNDED PRECEDING)) AS s_lo
+      FROM c
+    )
+    SELECT kk AS k, ord AS "order", v AS value,
+           CAST(s_hi AS BIGINT) AS s_hi, CAST(s_lo AS BIGINT) AS s_lo,
+           (s_hi > 100000 OR s_lo > 100000) AS alarm
+    FROM s
+    """,
+    extra=True,  # r12 addition — built this round, r13 rotation candidate
+)
+def x_cusum_replay(spark, sf_dir):
+    """Batch-replay equality for the STREAMING CUSUM monitor: every
+    event's exact int64 (s_hi, s_lo, alarm) from the REAL
+    applyInPandasWithState operator (streaming/stateful.py:
+    cusum_stateful — two longs of state crossing the micro-batch
+    boundary, target 12,000 cents / k 2,000 / h 100,000) over two
+    event-id-ordered micro-batches, hash-matched against the batch
+    reflection closed form (windows.py:cusum_flags semantics) replayed
+    in SQL.  Integer arithmetic end-to-end — bit-identical, no
+    rounding discipline needed."""
+    import shutil
+
+    from pigout_spark.streaming.stateful import (
+        await_stream_drain,
+        cusum_stateful,
+    )
+
+    ch = (
+        t(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("event_id").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .select(
+            (F.col("user_id") % 200).alias("k"),
+            F.col("event_id").cast("long").alias("order"),
+            F.round(F.col("value") * 100).cast("long").alias("value"),
+            F.col("event_id").cast("long").alias("__ord"),
+        )
+    )
+    src = _write_ordered_halves(ch)
+    _REPLAY_SEQ[0] += 1
+    sink = f"x_cusum_replay_mem_{_REPLAY_SEQ[0]}"
+    try:
+        stream = (
+            spark.readStream.schema("k long, order long, value long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = cusum_stateful(
+            stream,
+            key_col="k",
+            order_col="order",
+            value_col="value",
+            target=12_000,
+            k=2_000,
+            h=100_000,
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert await_stream_drain(q), "x_cusum_replay: stream never drained"
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    return spark.table(sink).select(
+        "k", "order", "value", "s_hi", "s_lo", "alarm"
+    )

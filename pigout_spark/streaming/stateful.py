@@ -513,3 +513,105 @@ def upsert_state_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def _cusum_fn(key_col: str, order_col: str, value_col: str,
+              target: int, k: int, h: int):
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (key_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        rows = sorted(
+            (int(o), int(v))
+            for pdf in pdfs
+            for o, v in zip(pdf[order_col], pdf[value_col])
+            if not pd.isna(o) and not pd.isna(v)
+        )
+        if not rows:
+            return
+        if state.exists:
+            s_hi, s_lo = state.get
+        else:
+            s_hi, s_lo = 0, 0
+        oo, vv, hh, ll, al = [], [], [], [], []
+        for o, v in rows:
+            s_hi = max(0, s_hi + (v - target - k))
+            s_lo = max(0, s_lo + (target - v - k))
+            oo.append(o)
+            vv.append(v)
+            hh.append(s_hi)
+            ll.append(s_lo)
+            al.append(s_hi > h or s_lo > h)
+        state.update((s_hi, s_lo))
+        state.setTimeoutDuration(86_400_000)
+        yield pd.DataFrame(
+            {
+                key_col: [key_id] * len(oo),
+                "order": oo,
+                "value": vv,
+                "s_hi": hh,
+                "s_lo": ll,
+                "alarm": al,
+            }
+        )
+
+    return fn
+
+
+def cusum_stateful(
+    events: DataFrame,
+    key_col: str = "user_id",
+    order_col: str = "order",
+    value_col: str = "value",
+    target: int = 0,
+    k: int = 0,
+    h: int = 0,
+) -> DataFrame:
+    """Streaming tabular CUSUM monitor: per key, the exact int64
+    Lindley recursions
+
+        s⁺ = max(0, s⁺ + (v − target − k)),
+        s⁻ = max(0, s⁻ + (target − v − k))
+
+    advance across micro-batches through TWO longs of state per key,
+    emitting one (order, value, s_hi, s_lo, alarm) row per event —
+    the batch ``streaming/windows.py:cusum_flags`` (same recursion in
+    reflection closed form) is the oracle-checkable truth on any
+    prefix, bit-identical because everything is integer arithmetic.
+    Alarms do NOT reset the statistic (matching the batch op —
+    resetting is a policy choice layered downstream).
+
+    Streaming caveat (the funnel/transitions contract): events are
+    ordered within a micro-batch but not retro-fitted across batches
+    — a late event older than already-folded ones enters the
+    recursion in arrival order.
+
+    100 TB: state is two longs per key; emission is input-sized; the
+    only exchange is the groupBy key hash — identical to every other
+    applyInPandasWithState op here.
+    """
+    from pyspark.sql.types import BooleanType, LongType
+
+    out_schema = StructType(
+        [
+            _key_field(events, key_col),
+            StructField("order", LongType()),
+            StructField("value", LongType()),
+            StructField("s_hi", LongType()),
+            StructField("s_lo", LongType()),
+            StructField("alarm", BooleanType()),
+        ]
+    )
+    return events.groupBy(key_col).applyInPandasWithState(
+        _cusum_fn(key_col, order_col, value_col,
+                  int(target), int(k), int(h)),
+        outputStructType=out_schema,
+        stateStructType="s_hi long, s_lo long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

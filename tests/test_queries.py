@@ -39,7 +39,7 @@ def test_query_runs(spark, sf_dir, name):
 #: the full registry size, pinned (r9 verdict #5: SURVEY prose said 208
 #: when the import said 207 — docs must not drift from code again).
 #: Update this constant WITH the SURVEY §7.4 number when adding queries.
-REGISTRY_TOTAL_PINNED = 238  # r12: 223 at r11 close + the sampled
+REGISTRY_TOTAL_PINNED = 239  # r12: 223 at r11 close + the sampled
 # triangle estimate (x_triangles_sampled) + the pinned-axes PCA
 # projection (x_pca_project) + the one-pass Poisson bootstrap
 # (x_boot_ci) + temperature mixing weights (x_temp_mixture) + the
@@ -49,7 +49,8 @@ REGISTRY_TOTAL_PINNED = 238  # r12: 223 at r11 close + the sampled
 # Neyman-optimal stratified allocation (x_neyman) + asymmetric
 # containment near-dup (x_containment) + the empirical-Bernstein
 # bounded-mean CI (x_eb_ci) + the Cochran-Armitage trend test
-# (x_cochran) + Benjamini-Yekutieli FDR (x_by_fdr).
+# (x_cochran) + Benjamini-Yekutieli FDR (x_by_fdr) + the streaming
+# CUSUM batch-replay attestation (x_cusum_replay).
 # r11 history: 212 at r10 close + the two streaming
 # batch-replay attestations (x_funnel_replay, x_transitions_replay) +
 # the parametric mean tests (x_anova_f, x_welch_ttest) + the proportion

@@ -1085,3 +1085,59 @@ def test_await_drain_timeout_returns_false():
     q = _FakeStream([(999.0, True, {"batchId": 1, "numInputRows": 5})])
     assert not await_stream_drain(q, timeout_seconds=1.0, poll=0.2)
     assert q.stopped
+
+
+def test_cusum_stateful_crosses_batches(spark, tmp_path):
+    """The CUSUM state (two longs) must CARRY across micro-batches: a
+    drift split across the boundary alarms only because s_hi
+    accumulated in batch 1 survives into batch 2 — identical to the
+    batch closed form over the concatenated prefix."""
+    import pandas as pd
+
+    from pigout_spark.streaming.stateful import (
+        await_stream_drain,
+        cusum_stateful,
+    )
+    from pigout_spark.streaming.windows import cusum_flags
+
+    # key 1: steady 10s then a +5 drift; split mid-drift
+    rows = [(1, o, 10) for o in range(1, 6)] + [
+        (1, o, 15) for o in range(6, 16)
+    ]
+    src = tmp_path / "cusum_src"
+    src.mkdir()
+    half1 = pd.DataFrame(rows[:8], columns=["k", "order", "value"])
+    half2 = pd.DataFrame(rows[8:], columns=["k", "order", "value"])
+    half1.to_parquet(src / "part-0.parquet")
+    half2.to_parquet(src / "part-1.parquet")
+
+    stream = (
+        spark.readStream.schema("k long, order long, value long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = cusum_stateful(stream, "k", "order", "value",
+                         target=10, k=1, h=20)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cusum_state_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert await_stream_drain(q)
+    got = {
+        r.order: (r.s_hi, r.s_lo, r.alarm)
+        for r in spark.table("cusum_state_test").collect()
+    }
+
+    batch = spark.createDataFrame(rows, "k long, order long, value long")
+    want = {
+        r.order: (r.s_hi, r.s_lo, r.alarm)
+        for r in cusum_flags(batch, ["k"], "order", "value",
+                             target=10, k=1, h=20).collect()
+    }
+    assert got == want
+    # the drift accumulates 4/step: alarm fires mid-second-batch only
+    # because batch-1 state survived
+    assert got[15][2] and not got[6][2]
