@@ -383,8 +383,8 @@ assert len(_WINDOW_R11) == len(set(_WINDOW_R11)) == 50
 # (logistic scorer application), x_neyman (Neyman-optimal stratified
 # allocation), x_containment (asymmetric Broder containment
 # near-dup), x_eb_ci (empirical-Bernstein bounded-mean CI),
-# x_cochran (Cochran-Armitage trend), x_by_fdr
-# (Benjamini-Yekutieli).
+# x_cochran (Cochran-Armitage trend), x_by_fdr (Benjamini-Yekutieli),
+# x_cusum_replay (streaming CUSUM batch-replay attestation).
 _WINDOW_R12 = [
     "q01_group_agg",  # flagship
     # (a) the pinned r12 queue — never driver-checked
