@@ -214,17 +214,38 @@ def main() -> None:
     # contended.  Threshold 8.0 on the 1-min average: clean r11 passes
     # started at 4-6 on this 32-cpu box, the flagged one at 10.5.
     load_threshold = float(os.environ.get("BENCH_LOAD_THRESHOLD", "8.0"))
-    if os.environ.get("BENCH_REQUIRE_QUIET"):
-        deadline = time.time() + 600
+    # r13 (VERDICT r12 #2): waiting for a quiet box is now the DEFAULT,
+    # not an opt-in — the r12 driver artifact recorded ratio 2.01 with
+    # load_ok=false (start load 8.5) because an unattended run could
+    # still start contended.  Every run now waits up to
+    # BENCH_QUIET_WAIT_S (default 600 s) for the 1-min load to drop
+    # under the threshold, then proceeds EITHER WAY and records load_ok
+    # honestly — an unattended driver run always produces an artifact,
+    # it just can't start contended when quiet was reachable.
+    # BENCH_REQUIRE_QUIET=1 keeps the strict durability contract
+    # (refuse, exit 3, if the box never quiets); BENCH_NO_WAIT=1 skips
+    # the wait entirely for quick local iteration.
+    wait_budget = float(os.environ.get("BENCH_QUIET_WAIT_S", "600"))
+    if not os.environ.get("BENCH_NO_WAIT"):
+        deadline = time.time() + wait_budget
         while os.getloadavg()[0] > load_threshold:
             if time.time() > deadline:
+                if os.environ.get("BENCH_REQUIRE_QUIET"):
+                    print(
+                        f"bench: start load {os.getloadavg()[0]:.2f} stayed "
+                        f"above threshold {load_threshold} for "
+                        f"{wait_budget:.0f} s — refusing the durability "
+                        "pass (BENCH_REQUIRE_QUIET)",
+                        file=sys.stderr,
+                    )
+                    raise SystemExit(3)
                 print(
-                    f"bench: start load {os.getloadavg()[0]:.2f} stayed "
-                    f"above threshold {load_threshold} for 600 s — "
-                    "refusing the durability pass (BENCH_REQUIRE_QUIET)",
+                    f"bench: start load {os.getloadavg()[0]:.2f} still "
+                    f"above {load_threshold} after {wait_budget:.0f} s — "
+                    "proceeding; artifact will record load_ok=false",
                     file=sys.stderr,
                 )
-                raise SystemExit(3)
+                break
             time.sleep(15)
     load_start = os.getloadavg()
     load_ok = load_start[0] <= load_threshold

@@ -827,6 +827,16 @@ class PigSession:
                     path, ns or os.path.splitext(os.path.basename(path))[0]
                 )
                 return
+            if (engine or "").lower() in ("javascript", "groovy", "jruby"):
+                # D8: Pig's non-Python scripting engines have no analog
+                # in a PySpark host — say so loudly instead of a generic
+                # syntax error, so a migrating user knows to port.
+                raise PigSyntaxError(
+                    f"REGISTER USING {engine}: JavaScript/Groovy/JRuby "
+                    "scripting UDFs are not supported in this PySpark "
+                    "host (divergence D8, COVERAGE.md) — port the UDF "
+                    "to Python and REGISTER the .py file instead"
+                )
             raise PigSyntaxError(
                 "REGISTER supports Python UDF files (.py, run as native "
                 "CPython — the Jython/streaming_python analog); external "

@@ -1483,67 +1483,97 @@ def logrank_test(
         F.sum(F.when(ev, 1).otherwise(0)).cast("bigint").alias("d"),
         F.count(F.lit(1)).cast("bigint").alias("leave"),
     )
-    # exactly-two-groups contract, asserted on the tiny per relation
-    per = per.withColumn(
-        "__ng", F.size(F.collect_set("__g").over(Window.partitionBy()))
-    ).filter(
+    # exactly-two-groups contract, asserted via a 1-row broadcast (r13:
+    # replaces the keyless collect_set/min windows — same tiny relation,
+    # no WindowExec in the plan)
+    gstats = per.agg(
+        F.count_distinct(F.col("__g")).alias("__ng"),
+        F.min("__g").alias("__g1"),
+    )
+    per = per.crossJoin(F.broadcast(gstats)).filter(
         F.assert_true(
             F.col("__ng") == 2,
             F.lit("logrank_test: exactly two groups required"),
         ).isNull()
     )
-    g1 = F.min("__g").over(Window.partitionBy())
-    per = per.withColumn("__is1", (F.col("__g") == g1).cast("int"))
+    per = per.withColumn("__is1", (F.col("__g") == F.col("__g1")).cast("int"))
     byt = per.groupBy("t").agg(
         F.sum("d").alias("d_all"),
         F.sum("leave").alias("l_all"),
         F.sum(F.col("d") * F.col("__is1")).alias("d1"),
         F.sum(F.col("leave") * F.col("__is1")).alias("l1"),
     )
-    wk = Window.orderBy("t")
-    wtot = Window.partitionBy()
-    prev_all = F.coalesce(
-        F.sum("l_all").over(
-            wk.rowsBetween(Window.unboundedPreceding, -1)
-        ),
-        F.lit(0).cast("bigint"),
+    # Risk-set walk as ONE in-task JVM `aggregate` fold over the
+    # time-sorted array (r13 — the qdigest_quantiles shape): the byt
+    # relation is event-time-sized, the same boundedness contract the
+    # old keyless cumulative windows leaned on, but the fold plans a
+    # map-side-combined collect_list instead of a single-partition
+    # WindowExec (this was the last "No Partition Defined" source in
+    # the bench tail).  At-risk counts come from the REMAINING totals:
+    # n_all(t) = Σ l_all − prefix(l_all before t), walked downward.
+    # t is unique in byt, so sort_array over struct(t, …) is the old
+    # orderBy(t).  Decimal accumulators replicate F.sum(decimal(20,6))
+    # → decimal(30,6) exactly (decimal addition is exact; only the
+    # per-time ROUND-6 terms touch IEEE, the same chain as before).
+    arr = byt.agg(
+        F.sum("l_all").cast("bigint").alias("__tot_all"),
+        F.sum("l1").cast("bigint").alias("__tot1"),
+        F.sum("d_all").cast("bigint").alias("n_events"),
+        F.sort_array(
+            F.collect_list(F.struct("t", "d_all", "l_all", "d1", "l1"))
+        ).alias("__ts"),
     )
-    prev_1 = F.coalesce(
-        F.sum("l1").over(wk.rowsBetween(Window.unboundedPreceding, -1)),
-        F.lit(0).cast("bigint"),
-    )
-    c = byt.withColumn(
-        "n_all", F.sum("l_all").over(wtot) - prev_all
-    ).withColumn("n1", F.sum("l1").over(wtot) - prev_1)
-    n_all = F.col("n_all").cast("double")
-    n1 = F.col("n1").cast("double")
-    d_all = F.col("d_all").cast("double")
-    oe = (
-        F.round(F.col("d1") - n1 * d_all / n_all, 6) + F.lit(0.0)
-    ).cast("decimal(20,6)")
-    v = F.when(
-        F.col("n_all") > 1,
-        (
-            F.round(
-                d_all
-                * (n1 / n_all)
-                * (1.0 - n1 / n_all)
-                * (n_all - d_all)
-                / (n_all - 1.0),
-                6,
-            )
-            + F.lit(0.0)
-        ).cast("decimal(20,6)"),
-    ).otherwise(F.lit(0).cast("decimal(20,6)"))
+    dec0 = F.lit(0).cast("decimal(30,6)")
+
+    def _step(acc, x):
+        n_all = acc["rem_all"].cast("double")
+        n1 = acc["rem1"].cast("double")
+        d_all = x["d_all"].cast("double")
+        oe_t = (
+            F.round(x["d1"] - n1 * d_all / n_all, 6) + F.lit(0.0)
+        ).cast("decimal(20,6)")
+        v_t = F.when(
+            acc["rem_all"] > 1,
+            (
+                F.round(
+                    d_all
+                    * (n1 / n_all)
+                    * (1.0 - n1 / n_all)
+                    * (n_all - d_all)
+                    / (n_all - 1.0),
+                    6,
+                )
+                + F.lit(0.0)
+            ).cast("decimal(20,6)"),
+        ).otherwise(F.lit(0).cast("decimal(20,6)"))
+        return F.struct(
+            (acc["rem_all"] - x["l_all"]).cast("bigint").alias("rem_all"),
+            (acc["rem1"] - x["l1"]).cast("bigint").alias("rem1"),
+            (acc["oe"] + oe_t).cast("decimal(30,6)").alias("oe"),
+            (acc["v"] + v_t).cast("decimal(30,6)").alias("v"),
+        )
+
     # no event-time filter needed: at a censoring-only time d_all = 0
     # makes both the O−E term (d1 = 0, expectation 0) and the variance
     # term identically zero — summing every time keeps n = Σ leave
     # exact and the plan fully lazy (no driver-side count action)
-    s = c.agg(
-        F.sum("l_all").cast("bigint").alias("n"),
-        F.sum("d_all").cast("bigint").alias("n_events"),
-        F.sum(oe).cast("double").alias("o_minus_e6"),
-        F.sum(v).cast("double").alias("var6"),
+    walk = F.aggregate(
+        "__ts",
+        F.struct(
+            F.col("__tot_all").alias("rem_all"),
+            F.col("__tot1").alias("rem1"),
+            dec0.alias("oe"),
+            dec0.alias("v"),
+        ),
+        _step,
+    )
+    # empty input: the old F.sum readouts were NULL, not 0 — keep that
+    notnull = F.col("__tot_all").isNotNull()
+    s = arr.select(
+        F.col("__tot_all").alias("n"),
+        "n_events",
+        F.when(notnull, walk["oe"].cast("double")).alias("o_minus_e6"),
+        F.when(notnull, walk["v"].cast("double")).alias("var6"),
     )
     return s.select(
         "n",

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from pigout_spark.operators.sorting import row_rank
+
 
 def roc_auc(
     df: DataFrame,
@@ -36,21 +38,24 @@ def roc_auc(
 
     Output: ONE row (n_pos, n_neg, auc6).
 
-    100 TB: one global rank window over the score — a MODEL EVAL is
-    single-key by definition (one model, one dataset); for per-segment
-    AUCs run per key upstream and feed :func:`~pigout_spark.pipeline.
-    behavioral.bh_fdr` style fan-out, never a keyless window over
-    unbounded fact data.
+    100 TB: NO keyless data-sized window.  Ranks come from
+    :func:`~pigout_spark.operators.sorting.row_rank`'s two-pass counter
+    (range-partitioned sort + per-partition offsets — the same plan
+    percentile_rank and rank_by ride), and the tie credit is a window
+    partitioned BY THE SCORE VALUE — an ordinary hash exchange whose
+    groups are tied-score runs: SQL rank = MIN(row_number) within the
+    score group, doubled average rank = 2·rank + cnt − 1.  A 10B-row
+    eval set never passes through a single partition.
     """
     y, s = F.col(label_col), F.col(score_col)
     d = df.filter(y.isNotNull() & s.isNotNull()).select(
         y.cast("boolean").alias("__y"), s.alias("__s")
     )
-    wr = Window.orderBy("__s")
+    rr = row_rank(d, "__s", out="__rn")
     wt = Window.partitionBy("__s")
-    r = d.select(
+    r = rr.select(
         "__y",
-        (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1)
+        (2 * F.min("__rn").over(wt) + F.count(F.lit(1)).over(wt) - 1)
         .cast("bigint")
         .alias("__r2"),
     )
@@ -177,9 +182,12 @@ def uplift_deciles(
     Output: (bucket, n, n_t, n_c, y_t, y_c, rate_t6, rate_c6, qini6) —
     all columns CUMULATIVE through the bucket.
 
-    100 TB: one global sort (single-model readout, the roc_auc
-    contract) into a row_number, one bucket groupBy, one running-sum
-    window over the B-sized bucket relation.
+    100 TB: NO keyless data-sized window — row numbers come from
+    :func:`~pigout_spark.operators.sorting.row_rank`'s two-pass counter
+    (range-partitioned sort, per-partition offsets), the population
+    total is a 1-row aggregate broadcast back (not a count window over
+    every row), then one bucket groupBy and one running-sum window over
+    the B-sized bucket relation.
     """
     if tiebreak_cols is None:
         raise ValueError(
@@ -196,10 +204,8 @@ def uplift_deciles(
         *tiebreak_cols,
     )
     order = [F.col("__s").desc()] + [F.col(c).asc() for c in tiebreak_cols]
-    w = Window.orderBy(*order)
-    ranked = d.withColumn("__rn", F.row_number().over(w)).withColumn(
-        "__n", F.count(F.lit(1)).over(Window.partitionBy())
-    )
+    total = d.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    ranked = row_rank(d, *order, out="__rn").crossJoin(F.broadcast(total))
     bucket = F.ceil(
         F.lit(int(n_buckets)) * F.col("__rn") / F.col("__n")
     ).cast("bigint")

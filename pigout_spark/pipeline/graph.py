@@ -247,7 +247,11 @@ def pagerank(
 
 
 def triangle_count(
-    edges: DataFrame, src: str = "src", dst: str = "dst", per_node: bool = False
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    per_node: bool = False,
+    max_wedges: float | None = 2e9,
 ) -> DataFrame:
     """Exact triangle count of the UNDIRECTED SIMPLE graph underlying
     an edge relation (direction, duplicates, and self-loops are
@@ -275,13 +279,21 @@ def triangle_count(
     wedge enumeration and the closing check are plain key-equi joins
     (no cartesian anywhere) whose sizes the orientation bounds.
 
-    DENSITY CONTRACT: O(m^1.5) is the best exact bound known for
-    distributed wedge counting, and on dense graphs it is a real
+    DENSITY CONTRACT (enforced): O(m^1.5) is the best exact bound known
+    for distributed wedge counting, and on dense graphs it is a real
     wall — the sf1 supplier co-purchase fixture (~6M edges, avg
-    degree ~160) runs ~450 s; at 100× the exact path is days.  When
-    the graph is dense and an estimate suffices, use
-    :func:`triangle_count_sampled` (deterministic DOULION edge
-    sampling — seconds at the same scale, oracle-replayable).
+    degree ~160) runs ~450 s; at 100× the exact path is days.  Before
+    building the wedge relation this function computes its EXACT size,
+    Σ_v C(d⁺_v, 2) over the oriented out-degrees (a cheap aggregate —
+    the pre-wedge joins only, never the wedges themselves), and raises
+    ``ValueError`` if it exceeds ``max_wedges`` (default 2e9; the sf0.1
+    fixture enumerates 1.35e8 and passes, the sf1 dense fixture ~1e10
+    and trips) so a user cannot SILENTLY run a multi-hour exact count
+    on a dense graph.  When the graph is dense and an estimate
+    suffices, use :func:`triangle_count_sampled` (deterministic DOULION
+    edge sampling — seconds at the same scale, oracle-replayable);
+    to insist on the exact path pass ``max_wedges=None`` (or a bigger
+    budget) consciously.
     """
     lim = 1 << 31
     s, d = F.col(src).cast("bigint"), F.col(dst).cast("bigint")
@@ -317,6 +329,32 @@ def triangle_count(
         F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("d"),
         F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("kd"),
     )
+    if max_wedges is not None:
+        # Exact wedge-relation size from the oriented out-degrees —
+        # runs only the cheap pre-wedge stages (normalize, degree,
+        # orientation joins), never materializes a wedge.  One bounded
+        # 1-row collect (the codebook/centroid discipline).
+        probe = (
+            oriented.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("__od"))
+            .agg(
+                F.sum(
+                    F.col("__od") * (F.col("__od") - 1) / 2
+                ).alias("__wedges")
+            )
+            .first()
+        )
+        n_wedges = float(probe["__wedges"] or 0.0)
+        if n_wedges > float(max_wedges):
+            raise ValueError(
+                f"triangle_count: this graph enumerates "
+                f"{n_wedges:.3g} wedges (> max_wedges={max_wedges:.3g}) "
+                "— the exact degree-ordered path is O(m^1.5) and this "
+                "graph is too dense for it to finish in reasonable "
+                "time.  Use triangle_count_sampled (DOULION estimate, "
+                "deterministic and oracle-replayable) or pass a larger "
+                "max_wedges / max_wedges=None to insist on exact."
+            )
     e1 = oriented.select(F.col("s"), F.col("d").alias("v"), F.col("kd").alias("kv"))
     e2 = oriented.select(F.col("s"), F.col("d").alias("w"), F.col("kd").alias("kw"))
     wedges = e1.join(e2, "s").filter(F.col("kv") < F.col("kw")).select("s", "v", "w")

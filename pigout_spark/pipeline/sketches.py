@@ -531,10 +531,16 @@ def qdigest_quantiles(
     ≤ levels·⌊n/k⌋ ranks away).  Output: (keys…, q, est) per requested
     q per key group.
 
-    The window cumsum runs over the DIGEST (≤ 3k rows per group — a
-    deliberate, bounded sort, partitioned by ``keys`` when given, not
-    a data-sized one).  An empty digest yields (q, NULL) per requested
-    q in global mode and no rows in keyed mode.
+    The rank walk runs over the DIGEST as ONE in-task JVM
+    ``aggregate`` fold per group (≤ 3k nodes collected into a sorted
+    array — bounded by the digest's own compression contract, never
+    data-sized): one map-side-combined groupBy replaces the old
+    per-quantile window scans, all requested quantiles read from the
+    same fold, and no WindowExec (keyless or otherwise) appears in the
+    plan (r13 — this was the bench tail's "No Partition Defined"
+    warning source, 108 warnings per run, all over a 192-row
+    relation).  An empty digest yields (q, NULL) per requested q in
+    global mode and no rows in keyed mode.
     """
     keys = list(keys or [])
     cap = 1 << int(levels)
@@ -548,28 +554,43 @@ def qdigest_quantiles(
         val = (F.col("nid") + 1) * F.lit(width) - F.lit(1) - F.lit(cap)
         expr = F.when(cond, val) if expr is None else expr.when(cond, val)
     d = d.withColumn("__rend", expr)
-    from pyspark.sql import Window
-
-    w = (Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0)))
-    w = w.orderBy("__rend", "nid").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # (__rend, nid) is unique per group, so lexicographic sort_array
+    # over struct(__rend, nid, cnt) IS the old orderBy(__rend, nid)
+    arr = d.groupBy(*keys).agg(
+        F.sort_array(
+            F.collect_list(F.struct("__rend", "nid", "cnt"))
+        ).alias("__nodes")
     )
-    cum = d.withColumn("__cum", F.sum("cnt").over(w))
-    tot = cum.groupBy(*keys).agg(F.max("__cum").alias("__n")) if keys else (
-        cum.agg(F.max("__cum").alias("__n"))
+    arr = arr.withColumn(
+        "__n",
+        F.aggregate(
+            "__nodes",
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x["cnt"],
+        ),
     )
-    rows = None
+    zero = F.lit(0).cast("bigint")
+    nul = F.lit(None).cast("bigint")
+    ests = []
     for q in qs:
         target = F.ceil(F.lit(float(q)) * F.col("__n")).cast("bigint")
-        joined = (
-            cum.join(F.broadcast(tot), on=keys) if keys
-            else cum.crossJoin(F.broadcast(tot))
+        # fold: first right endpoint whose cumulative count ≥ ⌈q·n⌉
+        walk = F.aggregate(
+            "__nodes",
+            F.struct(zero.alias("cum"), nul.alias("est")),
+            lambda acc, x: F.struct(
+                (acc["cum"] + x["cnt"]).alias("cum"),
+                F.when(acc["est"].isNotNull(), acc["est"])
+                .otherwise(
+                    F.when(
+                        acc["cum"] + x["cnt"] >= target, x["__rend"]
+                    ).otherwise(nul)
+                )
+                .alias("est"),
+            ),
+            lambda acc: acc["est"],
         )
-        est = (
-            joined.filter(F.col("__cum") >= target)
-            .groupBy(*keys)
-            .agg(F.min("__rend").alias("est"))
-            .select(*keys, F.lit(float(q)).alias("q"), "est")
-        )
-        rows = est if rows is None else rows.unionByName(est)
-    return rows
+        ests.append(F.struct(F.lit(float(q)).alias("q"), walk.alias("est")))
+    return arr.select(
+        *keys, F.explode(F.array(*ests)).alias("__qe")
+    ).select(*keys, F.col("__qe.q").alias("q"), F.col("__qe.est").alias("est"))

@@ -443,7 +443,79 @@ _WINDOW_R12 = [
     "x_sessionize",
 ]
 assert len(_WINDOW_R12) == len(set(_WINDOW_R12)) == 50
-_window = set(_WINDOW_R12)
+
+# r13 rotation (VERDICT r12 task 1): the pinned 14-query queue — every
+# registered query that has NEVER held a driver CORRECTNESS row — takes
+# slots 2-15 (selfcheck-green at sf0.01+sf0.1 since r12; the r12 judge
+# re-verified all fourteen; this round additionally hardened four of
+# their oracles per ADVICE: _jk_sql degenerate-bucket gating,
+# x_containment's max_df mirror, x_eb_ci's R=1e6 headroom,
+# x_cusum_replay's (ord, v) tiebreak).  Slots 16-20 re-anchor the five
+# stalest remaining driver rows, all r1-era (q35_string_funcs2,
+# sim_ann_buckets, sim_ivf_cells, text_rolling_hash, text_tokens —
+# computed from CORRECTNESS_r01..r12).  The 30 settled per-family
+# anchors carry over from r12 unchanged.  Everything rotated out keeps
+# its local oracle (tools/selfcheck.py + tests/test_queries.py) per the
+# standing policy; every rotated-out query has held a green driver row
+# in r1-r12.  Queries built THIS round register extra=True and queue
+# for r14 — the 14-slot attestation queue is this round's priority.
+_WINDOW_R13 = [
+    "q01_group_agg",  # flagship
+    # (a) the pinned r13 queue — never driver-checked (VERDICT r12 #1)
+    "x_boot_ci",
+    "x_jackknife",
+    "x_did",
+    "x_psm",
+    "x_trimmed_mean",
+    "x_conformal",
+    "x_temp_mixture",
+    "x_quality_logit",
+    "x_neyman",
+    "x_containment",
+    "x_eb_ci",
+    "x_cochran",
+    "x_by_fdr",
+    "x_cusum_replay",
+    # (c) stale re-anchors (oldest driver rows: all r1)
+    "q35_string_funcs2",
+    "sim_ann_buckets",
+    "sim_ivf_cells",
+    "text_rolling_hash",
+    "text_tokens",
+    # (d) settled anchors — one per operator family (same set as r12)
+    "q02_filter_project",
+    "q03_join_agg",
+    "q04_outer_join",
+    "q05_broadcast_join",
+    "q06_semi_anti",
+    "q07_cross_theta",
+    "q08_union_distinct",
+    "q09_order_limit",
+    "q11_cube",
+    "q12_rollup",
+    "q13_flatten_tokenize",
+    "q14_cogroup",
+    "q15_nested_topk",
+    "q16_split",
+    "q19_date_funcs",
+    "q22_distinct_agg",
+    "q24_pandas_udf",
+    "q25_udaf",
+    "q38_bloom_join",
+    "x_latin_q01",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash_pairs",
+    "sim_ann_topk",
+    "sim_ivf_topk",
+    "text_quality",
+    "mm_binary_meta",
+    "stream_tumbling",
+    "x_asof_join",
+    "x_sessionize",
+]
+assert len(_WINDOW_R13) == len(set(_WINDOW_R13)) == 50
+_window = set(_WINDOW_R13)
 for _k in list(REGISTRY):
     if _k not in _window:
         EXTRA_REGISTRY[_k] = REGISTRY.pop(_k)
@@ -455,7 +527,7 @@ assert not _missing, f"window names not registered anywhere: {_missing}"
 
 # Window order == list order (new-this-round rows right after the
 # flagship, settled anchors last).
-_ordered = {k: REGISTRY[k] for k in _WINDOW_R12}
+_ordered = {k: REGISTRY[k] for k in _WINDOW_R13}
 REGISTRY.clear()
 REGISTRY.update(_ordered)
 

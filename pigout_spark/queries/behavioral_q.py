@@ -3220,9 +3220,16 @@ def _jk_sql(buckets: int = 32, seed: int = 5) -> str:
         f"        SUM(CASE WHEN b = {i} THEN CAST(de AS HUGEINT) ELSE 0 END) AS sd{i}"
         for i in range(B)
     )
+    # Each th{i} is gated on its own bucket's leave-one-out denominator:
+    # on a degenerate key (one bucket holds the entire denominator) the
+    # raw division yields inf/nan and the downstream DECIMAL cast would
+    # abort the whole oracle query, where the Spark operator emits the
+    # documented NULL-se6 row.  Gated, the NULL propagates through
+    # tsum/tb/dev and se6 degrades to NULL exactly like the operator.
     th = ", ".join(
+        f"CASE WHEN (sd - sd{i}) <> 0 THEN "
         f"ROUND(CAST(sn - sn{i} AS DOUBLE) / CAST(sd - sd{i} AS DOUBLE), 6)"
-        f" + 0.0 AS th{i}"
+        f" + 0.0 END AS th{i}"
         for i in range(B)
     )
     tsum = " + ".join(f"CAST(th{i} AS DECIMAL(20,6))" for i in range(B))
@@ -3253,7 +3260,8 @@ def _jk_sql(buckets: int = 32, seed: int = 5) -> str:
       SELECT k, n, sn, sd, {degen} AS degen, {th}
       FROM g
     ), m AS (
-      SELECT *, ROUND(CAST(({tsum}) AS DOUBLE) / {float(B)!r}, 6) + 0.0 AS tb
+      SELECT *, CASE WHEN NOT degen THEN
+             ROUND(CAST(({tsum}) AS DOUBLE) / {float(B)!r}, 6) + 0.0 END AS tb
       FROM t
     )
     SELECT k AS l_returnflag, n,
@@ -3306,7 +3314,7 @@ def x_jackknife(spark, sf_dir):
     )
 
 
-def _eb_sql(delta: float = 0.05, value_range: float = 100_000.0) -> str:
+def _eb_sql(delta: float = 0.05, value_range: float = 1_000_000.0) -> str:
     """Oracle twin of behavioral.emp_bernstein_ci over events: the
     SAME Python-computed ln(2/δ) literal, HUGEINT-exact moments,
     correctly-rounded sqrt, shared IEEE readout chain."""
@@ -3353,7 +3361,10 @@ def _eb_sql(delta: float = 0.05, value_range: float = 100_000.0) -> str:
 )
 def x_eb_ci(spark, sf_dir):
     """Empirical-Bernstein 95% bound on mean event value (cents,
-    R = 100,000 — headroom over the fixture max ~56k) per event type (behavioral.py:emp_bernstein_ci —
+    R = 1,000,000 — ~18x headroom over the fixture max ~56k cents, so
+    the operator's range assertion cannot abort at a larger scale
+    factor; widening R only loosens the interval linearly via the
+    7R·ln(2/d)/3(n-1) term) per event type (behavioral.py:emp_bernstein_ci —
     variance-adaptive finite-sample CI, ln(2/δ) a Python literal so
     NO engine transcendental runs; one moment exchange, no
     replicates; the anytime-honest companion to x_boot_ci)."""
@@ -3370,7 +3381,7 @@ def x_eb_ci(spark, sf_dir):
         "cents",
         keys=["event_type"],
         delta=0.05,
-        value_range=100_000.0,
+        value_range=1_000_000.0,
     )
 
 

@@ -5161,8 +5161,17 @@ def x_neyman(spark, sf_dir):
     "x_containment",
     extra=True,  # r12 addition — r13 rotation candidate
     sql=f"""
-    WITH toks AS (
+    WITH toks0 AS (
       SELECT doc_id, unnest({_SQL_DTOKS}) AS tok FROM documents
+    ), hub AS (
+      -- mirror containment_pairs' DEFAULT_MAX_DF=10000 hub-token cap
+      -- (dedup.py:170): tokens present in >10k docs are excluded from
+      -- BOTH engines' vocabulary, so containment is computed over the
+      -- identical token set at every scale factor.
+      SELECT tok FROM toks0 GROUP BY tok HAVING COUNT(*) > 10000
+    ), toks AS (
+      SELECT t.doc_id, t.tok FROM toks0 t
+      ANTI JOIN hub h ON t.tok = h.tok
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id
     ), inter AS (

@@ -1289,17 +1289,17 @@ def x_funnel_replay(spark, sf_dir):
         AND value IS NOT NULL
     ), c AS (
       SELECT kk, ord, v,
-        SUM(v - 12000 - 2000) OVER (PARTITION BY kk ORDER BY ord
+        SUM(v - 12000 - 2000) OVER (PARTITION BY kk ORDER BY ord, v
             ROWS UNBOUNDED PRECEDING) AS c_hi,
-        SUM(12000 - v - 2000) OVER (PARTITION BY kk ORDER BY ord
+        SUM(12000 - v - 2000) OVER (PARTITION BY kk ORDER BY ord, v
             ROWS UNBOUNDED PRECEDING) AS c_lo
       FROM ch
     ), s AS (
       SELECT kk, ord, v,
         c_hi - LEAST(CAST(0 AS BIGINT), MIN(c_hi) OVER (PARTITION BY kk
-            ORDER BY ord ROWS UNBOUNDED PRECEDING)) AS s_hi,
+            ORDER BY ord, v ROWS UNBOUNDED PRECEDING)) AS s_hi,
         c_lo - LEAST(CAST(0 AS BIGINT), MIN(c_lo) OVER (PARTITION BY kk
-            ORDER BY ord ROWS UNBOUNDED PRECEDING)) AS s_lo
+            ORDER BY ord, v ROWS UNBOUNDED PRECEDING)) AS s_lo
       FROM c
     )
     SELECT kk AS k, ord AS "order", v AS value,

@@ -274,6 +274,11 @@ def test_register_python_udfs(pig, tmp_path):
     bad.write_text("def untyped(x):\n    return x\n")
     with pytest.raises(PigSyntaxError, match="outputSchema"):
         pig.execute(f"REGISTER '{bad}' AS b;")
+    # D8: non-Python scripting engines fail with a loud, specific
+    # message naming the divergence, not a generic syntax error
+    for eng in ("javascript", "groovy", "jruby"):
+        with pytest.raises(PigSyntaxError, match="D8"):
+            pig.execute(f"REGISTER 'udfs.js' USING {eng} AS j;")
 
 
 def test_default_param_does_not_override(spark, sf_dir):

@@ -2338,6 +2338,27 @@ def test_triangle_count_known_graphs(spark):
     assert tc([(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10), (5, 6)]) == 2
 
 
+def test_triangle_count_density_guard(spark):
+    """r13 (VERDICT r12 #6): the exact path refuses LOUDLY when the
+    oriented wedge relation exceeds max_wedges, names the sampled
+    alternative, and still runs when the user consciously raises the
+    budget or disables the guard."""
+    import pytest
+
+    from pigout_spark.pipeline.graph import triangle_count
+
+    # K6: 15 edges, oriented out-degrees 5,4,3,2,1,0 (equal degrees,
+    # id-minor tiebreak) → Σ C(d,2) = 10+6+3+1 = 20 wedges
+    k6 = spark.createDataFrame(
+        [(a, b) for a in range(6) for b in range(a + 1, 6)],
+        "src bigint, dst bigint",
+    )
+    with pytest.raises(Exception, match="triangle_count_sampled"):
+        triangle_count(k6, max_wedges=19).collect()
+    assert triangle_count(k6, max_wedges=20).first().triangles == 20
+    assert triangle_count(k6, max_wedges=None).first().triangles == 20
+
+
 def test_triangle_count_sampled(spark):
     """DOULION estimate: p=1 (kept == buckets) must equal the exact
     count with est6 == triangles exactly; fractional p selects a

@@ -430,8 +430,12 @@ def test_grouped_mw_fdr_single_key_exchange(spark, sf_dir):
 
 def test_evaluation_family_plans(spark, sf_dir):
     """Evaluation ops: calibration is a bins-sized groupBy with a
-    map-side partial (no window, no join); ROC-AUC and uplift use the
-    documented single-model global windows but never a cartesian."""
+    map-side partial (no window, no join).  ROC-AUC and uplift (r13,
+    VERDICT r12 #3) ride row_rank's two-pass counter: the score order
+    is RANGE-partitioned, and every Exchange SinglePartition moves
+    aggregate outputs (immediate child a HashAggregate — row_rank's
+    per-partition counts / uplift's 1-row total), never data rows.  No
+    keyless data-sized WindowExec remains anywhere in the library."""
     plan = plan_of(spark, sf_dir, "x_calibration")
     assert "Join" not in plan and "Window" not in plan
     assert plan.count("HashAggregate") >= 2
@@ -439,6 +443,14 @@ def test_evaluation_family_plans(spark, sf_dir):
     for name in ("x_roc_auc", "x_uplift"):
         plan = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in plan
+        final = plan.split("== Initial Plan ==")[0]
+        assert "rangepartitioning" in final.lower(), name
+        lines = final.splitlines()
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" in line:
+                assert "HashAggregate" in lines[i + 1], (
+                    name + "\n" + "\n".join(lines[i:i + 2])
+                )
 
 
 def test_r12_grouped_ops_single_key_exchange(spark, sf_dir):
