@@ -44,32 +44,52 @@ def _user_item_lists(
     user_col: str,
     item_col: str,
     max_items_per_user: int | None,
+    hub_safe: bool = False,
 ) -> DataFrame:
     """(user, items): the user's DISTINCT items as a sorted array,
     capped to the FIRST ``max_items_per_user`` in item order —
     deterministic and mirrorable in SQL (QUALIFY row_number ≤ cap over
     item order selects the same set).
 
-    The cap is applied BEFORE any per-user materialization (r8 advice):
-    dense_rank over item order ≤ cap, THEN collect_set — so a
-    pathological 10⁸-distinct-item account never materializes its full
-    set in task memory (the old collect_set-then-slice shape did): the
-    post-filter set holds at most cap distinct values.  Still ONE
-    exchange: the explicit repartition on the USER key up front
-    satisfies the rank window and the final aggregation alike, and
-    Catalyst plans the rank filter as WindowGroupLimit, so the window
-    sort itself retains only the cap-lowest items per user per
-    partition.  Uncapped callers keep the sort-free one-pass
-    collect_set shape and its documented full-set memory note.  The
-    round-robin repartition after the agg is load-bearing either way:
-    the list relation is small in bytes, AQE coalesces it, and the
-    ~cap²/2 explode would otherwise run on one thread."""
+    Two capped shapes, same selection (r13, VERDICT r12 #4 — A/B
+    measured at sf1 on a quiet box, 3 warm runs each over the full
+    item-cf pipeline):
+
+    - default (``hub_safe=False``): one map-side-combined
+      ``collect_set`` then sort+slice — no sort of event rows, no
+      window, ONE exchange whose volume the partial aggregation
+      already shrinks.  37.7 s → 29.3 s warm at sf1 (−22%).  Memory
+      contract: each user's full DISTINCT item set materializes once
+      in the final-merge task — the SAME contract the uncapped path
+      below has always had; fine wherever per-user distinct items fit
+      task memory (every non-adversarial workload).
+    - ``hub_safe=True``: the r8 dense_rank shape — repartition on the
+      user key, rank window ≤ cap (Catalyst plans WindowGroupLimit, so
+      the sort retains only the cap-lowest items per user per
+      partition), THEN collect_set.  A pathological 10⁸-distinct-item
+      bot account never materializes its full set in task memory.
+      Costs the per-group window iteration (~8 s of the sf1 wall —
+      the r11 decomposition's dominant term at 100×).
+
+    Pick ``hub_safe=True`` when the user population is adversarial
+    (open crawl accounts); the default everywhere else.  Uncapped
+    callers keep the sort-free one-pass collect_set shape and its
+    documented full-set memory note.  The round-robin repartition
+    after the agg is load-bearing in every shape: the list relation is
+    small in bytes, AQE coalesces it, and the ~cap²/2 explode would
+    otherwise run on one thread."""
     u, it = F.col(user_col), F.col(item_col)
     npart = events.sparkSession.sparkContext.defaultParallelism
     filtered = events.filter(u.isNotNull() & it.isNotNull())
     if max_items_per_user is None:
         lists = filtered.groupBy(u.alias("__u")).agg(
             F.sort_array(F.collect_set(it)).alias("items")
+        )
+    elif not hub_safe:
+        lists = filtered.groupBy(u.alias("__u")).agg(
+            F.slice(
+                F.sort_array(F.collect_set(it)), 1, int(max_items_per_user)
+            ).alias("items")
         )
     else:
         wn = Window.partitionBy("__u").orderBy("__i")
@@ -104,6 +124,7 @@ def item_cooccurrence(
     user_col: str,
     item_col: str,
     max_items_per_user: int | None = None,
+    hub_safe: bool = False,
 ) -> DataFrame:
     """Unordered-pair co-occurrence counts over per-user DISTINCT item
     sets: (item_a, item_b, n_ab) with item_a < item_b.
@@ -117,7 +138,9 @@ def item_cooccurrence(
     array, one exchange onto the pair key for the count — the pair
     relation never exists unaggregated outside its own exchange.
     """
-    lists = _user_item_lists(events, user_col, item_col, max_items_per_user)
+    lists = _user_item_lists(
+        events, user_col, item_col, max_items_per_user, hub_safe
+    )
     return _pair_counts(lists)
 
 
@@ -128,6 +151,7 @@ def item_cf_topk(
     k: int = 10,
     min_cooc: int = 1,
     max_items_per_user: int | None = None,
+    hub_safe: bool = False,
 ) -> DataFrame:
     """Top-k cosine-nearest items per item:
 
@@ -148,7 +172,9 @@ def item_cf_topk(
     explode, no new data pass), is item-sized, and AQE-broadcasts into
     the score joins; ranking is one window on the item key.
     """
-    lists = _user_item_lists(events, user_col, item_col, max_items_per_user)
+    lists = _user_item_lists(
+        events, user_col, item_col, max_items_per_user, hub_safe
+    )
     # the list relation feeds BOTH the pair explosion and the item
     # counts; DataFrame plans don't share subplans, so without a
     # checkpoint the scan→join→distinct→agg chain runs twice (measured

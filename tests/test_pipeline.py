@@ -3001,13 +3001,15 @@ def test_item_cf_topk_cosine_and_cap(spark):
 
 
 def test_item_cf_hot_user_capped_before_agg(spark):
-    """A pathological hot user (50k distinct items) must be capped
-    BEFORE any per-user materialization: the capped plan ranks items
+    """The hub_safe shape caps a pathological hot user (50k distinct
+    items) BEFORE any per-user materialization: the plan ranks items
     (dense_rank ≤ cap, planned as WindowGroupLimit so even the sort
     retains only cap rows per user per partition) before the set
     aggregation, so the post-filter set holds ≤ cap values — and the
     hot user contributes exactly its FIRST cap items in item order
-    (the oracle's QUALIFY selection)."""
+    (the oracle's QUALIFY selection).  The r13 default shape
+    (collect_set then slice — 22% faster at sf1) must select the SAME
+    sets, and must plan NO window at all (the speed is structural)."""
     from pigout_spark.pipeline.recsys import (
         _user_item_lists,
         item_cooccurrence,
@@ -3019,7 +3021,7 @@ def test_item_cf_hot_user_capped_before_agg(spark):
     normal = spark.createDataFrame([(1, 3), (1, 5)], "u long, i long")
     ev = hot.union(normal)
 
-    lists = _user_item_lists(ev, "u", "i", max_items_per_user=10)
+    lists = _user_item_lists(ev, "u", "i", max_items_per_user=10, hub_safe=True)
     plan = lists._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     # the rank filter must sit BELOW the aggregation (bounded buffer)
@@ -3028,6 +3030,13 @@ def test_item_cf_hot_user_capped_before_agg(spark):
     got = {r["__u"]: list(r["items"]) for r in lists.collect()}
     assert got[7] == list(range(10))  # first 10 in item order
     assert got[1] == [3, 5]
+
+    # default (fast) shape: identical selection, window-free plan
+    fast = _user_item_lists(ev, "u", "i", max_items_per_user=10)
+    fplan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in fplan and "collect_set" in fplan
+    fgot = {r["__u"]: list(r["items"]) for r in fast.collect()}
+    assert fgot == got
 
     # hot user's first-10 items yield C(10,2)=45 pairs; user 1's (3,5)
     # coincides with one of them, so 45 distinct pairs with n_ab=2 there

@@ -384,8 +384,10 @@ def test_r9_stats_and_features_plans(spark, sf_dir):
     encoding joins the category relation by broadcast (never shuffles
     the fact table); feature hashing is a map-side-combined narrow agg;
     robust scaling shares one key exchange across window + bounds +
-    join; BH-FDR plans no cartesian; item CF's capped list build plans
-    WindowGroupLimit below the set aggregation."""
+    join; BH-FDR plans no cartesian; item CF's top-k ranking plans
+    WindowGroupLimit (r13: the capped list build is window-free by
+    default — collect_set+slice; the hub_safe shape keeps the
+    WindowGroupLimit cap, pinned in test_pipeline)."""
     plan = plan_of(spark, sf_dir, "x_spearman")
     final = plan.split("== Initial Plan ==")[0]
     # one exchange for the key (rank windows + agg) — the scan itself
