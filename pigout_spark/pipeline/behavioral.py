@@ -3733,3 +3733,144 @@ def by_fdr(
         "reject", F.col("q6") <= F.lit(float(alpha))
     )
     return out.drop("__rk_desc")
+
+
+def msprt(
+    df: DataFrame,
+    time_col: str,
+    treated_col: str,
+    value_col: str,
+    tau2: float,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Mixture Sequential Probability Ratio Test (mSPRT) — the
+    always-valid A/B readout (Johari, Pekelis & Walsh's "peeking
+    problem" fix, public since the 2017 paper): a p-value you may look
+    at after EVERY batch without inflating false positives, because
+
+        Λ_n = √(V_n / (V_n + τ²)) · exp(τ²·Δ̂_n² / (2·V_n·(V_n + τ²)))
+        p_n = min(p_{n−1}, 1/Λ_n)
+
+    is a nonnegative martingale under H₀ (Δ = 0); the running minimum
+    is the always-valid p.  Δ̂_n is the cumulative treated−control mean
+    difference through time ``time_col``, V_n = s²_n·(1/n_t + 1/n_c)
+    its plugin variance (pooled within-arm s², the Welch/ab_lift
+    convention), and τ² the ONE design parameter — the prior scale of
+    the effect you power for, in squared value units.
+
+    Input: integral values (cents/counts — asserted, the
+    jackknife/diff_in_diff discipline), boolean ``treated_col``,
+    orderable integral ``time_col`` (period ids — pre-bucket
+    timestamps upstream); NULL time/arm/value rows are EXCLUDED.
+
+    Output: one row PER (keys…, t) period — (t, n_t, n_c, delta6,
+    lam6, p_av6) — the full inspection trajectory, NULL-valued where
+    the statistic is undefined (an arm still empty, dof < 1, V ≤ 0).
+    The LAST row's p_av6 is the current always-valid p; qualifying on
+    p_av6 ≤ α gives the stopping time.
+
+    Determinism: per-period cells and cumulative moments are exact
+    integers (DECIMAL(38,0) folds); Δ̂, V, and the Λ readout are one
+    IEEE chain from those exact integers; exp is the engine
+    transcendental so λ and 1/λ are ROUND-6 (+0.0) BEFORE the running
+    min (the vocab_kl ln convention) — the minimum of rounded values
+    is engine-stable.
+
+    100 TB: one (keys…, t) cell aggregation (map-side combined — the
+    corpus never reaches a window), then cumulative windows over the
+    PERIOD relation partitioned by the experiment keys — an ordinary
+    hash exchange whose per-key row count is the number of inspection
+    periods (hundreds), never the number of observations.
+    """
+    keys = list(keys or [])
+    _check_keys(
+        keys, ("t", "n_t", "n_c", "delta6", "lam6", "p_av6"), "msprt"
+    )
+    if not (float(tau2) > 0.0):
+        raise ValueError(f"msprt: tau2 must be > 0, got {tau2}")
+    tt, tr, v = F.col(time_col), F.col(treated_col), F.col(value_col)
+    d = df.filter(
+        tt.isNotNull() & tr.isNotNull() & v.isNotNull()
+    ).filter(
+        F.assert_true(
+            (v == F.floor(v)) & (tt == F.floor(tt)),
+            F.lit(
+                "msprt: values and period ids must be integral "
+                "(cents/counts, period buckets) — integerize upstream"
+            ),
+        ).isNull()
+    ).select(
+        *keys,
+        tt.cast("bigint").alias("__t"),
+        tr.cast("boolean").alias("__tr"),
+        v.cast("bigint").alias("__v"),
+    )
+    dec = "decimal(38,0)"
+
+    def cell(is_t: bool, what: str):
+        cond = F.col("__tr") == F.lit(is_t)
+        if what == "n":
+            return F.sum(F.when(cond, 1).otherwise(0)).cast(dec)
+        if what == "s":
+            return F.sum(
+                F.when(cond, F.col("__v")).otherwise(F.lit(0)).cast(dec)
+            )
+        return F.sum(
+            F.when(cond, F.col("__v") * F.col("__v"))
+            .otherwise(F.lit(0))
+            .cast(dec)
+        )
+
+    per = d.groupBy(*keys, "__t").agg(
+        cell(True, "n").alias("__nt"),
+        cell(True, "s").alias("__st"),
+        cell(True, "ss").alias("__sst"),
+        cell(False, "n").alias("__nc"),
+        cell(False, "s").alias("__sc"),
+        cell(False, "ss").alias("__ssc"),
+    )
+    w = (
+        Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
+    ).orderBy("__t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per.select(
+        *keys,
+        F.col("__t").alias("t"),
+        F.sum("__nt").over(w).alias("cnt"),
+        F.sum("__st").over(w).alias("cst"),
+        F.sum("__sst").over(w).alias("csst"),
+        F.sum("__nc").over(w).alias("cnc"),
+        F.sum("__sc").over(w).alias("csc"),
+        F.sum("__ssc").over(w).alias("cssc"),
+    )
+    nt, nc = F.col("cnt").cast("double"), F.col("cnc").cast("double")
+    st, sc = F.col("cst").cast("double"), F.col("csc").cast("double")
+    sst, ssc = F.col("csst").cast("double"), F.col("cssc").cast("double")
+    dof = nt + nc - 2.0
+    s2 = (sst - st * st / nt + ssc - sc * sc / nc) / dof
+    vn = s2 * (1.0 / nt + 1.0 / nc)
+    delta = st / nt - sc / nc
+    t2 = F.lit(float(tau2))
+    lam = F.sqrt(vn / (vn + t2)) * F.exp(
+        t2 * delta * delta / (2.0 * vn * (vn + t2))
+    )
+    ok = (F.col("cnt") > 0) & (F.col("cnc") > 0) & (dof >= 1.0)
+    lam6 = F.when(ok & (vn > 0), F.round(lam, 6) + F.lit(0.0))
+    inv6 = F.when(
+        lam6.isNotNull() & (lam6 > 0),
+        F.least(F.lit(1.0), F.round(1.0 / lam6, 6) + F.lit(0.0)),
+    )
+    scored = cum.select(
+        *keys,
+        "t",
+        F.col("cnt").cast("bigint").alias("n_t"),
+        F.col("cnc").cast("bigint").alias("n_c"),
+        F.when(ok, F.round(delta, 6) + F.lit(0.0)).alias("delta6"),
+        lam6.alias("lam6"),
+        inv6.alias("__inv"),
+    )
+    wmin = (
+        Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
+    ).orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return scored.withColumn(
+        "p_av6", F.min("__inv").over(wmin)
+    ).drop("__inv")

@@ -1493,3 +1493,180 @@ def url_normalize(
     return d.withColumn(
         out, F.when(u.isNotNull() & (F.col("__sch") != ""), norm)
     ).drop("__sch", "__hp", "__pth", "__q")
+
+
+def token_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution,
+
+        H = −Σ_t (c_t/n)·ln(c_t/n)    (nats)
+
+    — the repetitiveness signal the ratio heuristics in
+    :func:`quality_features` approximate: spam/keyword-stuffed and
+    template docs score LOW entropy for their length, natural prose
+    sits near ln(n_distinct).  Zero-token docs are dropped (entropy of
+    an empty distribution is undefined, not 0).
+
+    Output: (id, n_tokens, n_distinct, entropy6).
+
+    Determinism: each −(c/n)·ln(c/n) term is ROUND-6 (the vocab_kl ln
+    convention — libm vs JVM ln differ in the last ulp) and summed
+    through DECIMAL(20,6) — exact, associative, order-free.
+
+    100 TB: ONE exchange — an explicit repartition on the doc id
+    satisfies the (doc, token) count aggregate, the per-doc total
+    window, and the final per-doc fold alike (hash(doc) clusters every
+    one of those keys); nothing is vocabulary- or corpus-keyed, so
+    stopword skew never concentrates (contrast unigram_logprob's
+    token-keyed model join — here the "model" is each doc itself).
+    """
+    d = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.explode(ws_tokens(text_col, distinct=False)).alias("__tok")
+    )
+    npart = df.sparkSession.sparkContext.defaultParallelism
+    cnt = (
+        d.repartition(npart, id_col)
+        .groupBy(id_col, "__tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    wd = Window.partitionBy(id_col)
+    p = F.col("__c").cast("double") / F.col("__n").cast("double")
+    term = (F.round(-p * F.log(p), 6) + F.lit(0.0)).cast("decimal(20,6)")
+    return (
+        cnt.withColumn("__n", F.sum("__c").over(wd))
+        .groupBy(id_col)
+        .agg(
+            F.max("__n").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(term).cast("double").alias("entropy6"),
+        )
+    )
+
+
+def good_turing_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    max_r: int | None = None,
+) -> DataFrame:
+    """Good–Turing frequency-of-frequencies table with the smoothed
+    count estimate
+
+        r* = (r+1) · N_{r+1} / N_r
+
+    over the corpus unigram counts — the classical unseen-mass
+    estimator (P₀ = N₁/N) and the smoothing table a held-out-free LM
+    needs.  ``max_r`` truncates the table (the usual Katz cutoff is
+    small, e.g. 5–10); by default every observed r is reported.  The
+    largest r (no r+1 neighbor) reads NULL r_star6, as does any gap in
+    the count spectrum — honest NULLs where the estimator is
+    undefined, smoothing choices (fit-and-extrapolate) stay upstream.
+
+    Output: (r, n_r, r_star6), one row per observed frequency r.
+
+    Determinism: r, N_r exact integers; r* is one IEEE divide ROUND-6.
+
+    100 TB: the corpus pass is :func:`word_frequencies` (map-side
+    combined, vocabulary-sized output); counts-of-counts is a second
+    tiny aggregation over the vocab relation; the r+1 lookup is a
+    self-join on the counts-of-counts table — tens of rows.
+    """
+    freq = word_frequencies(df, text_col)
+    nr = freq.groupBy(F.col("n").cast("bigint").alias("r")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_r")
+    )
+    if max_r is not None:
+        nr = nr.filter(F.col("r") <= int(max_r))
+    nxt = nr.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("__n_r1"))
+    star = (
+        F.round(
+            (F.col("r") + 1).cast("double")
+            * F.col("__n_r1").cast("double")
+            / F.col("n_r").cast("double"),
+            6,
+        )
+        + F.lit(0.0)
+    )
+    return (
+        nr.join(nxt, "r", "left")
+        .select("r", "n_r", F.when(F.col("__n_r1").isNotNull(), star).alias("r_star6"))
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_v: int = 10_000,
+) -> DataFrame:
+    """Zipf's-law fit over the top-``top_v`` corpus unigrams: OLS of
+    ln(freq) on ln(rank) (rank 1 = most frequent; ties broken by token
+    ascending — deterministic), reporting the slope (Zipf exponent ≈
+    −1 for natural language — a corpus whose exponent drifts far off
+    is template-heavy or deduplicated into unnaturalness), intercept,
+    and r².
+
+    Output: ONE row (n_terms, slope6, intercept6, r2_6).
+
+    Determinism: ranks are exact integers from the two-pass counter;
+    ln(rank)/ln(freq) land as INTEGER MICRO-UNITS (ROUND(ln·10⁶) — the
+    embedding_covariance micro-unit discipline), every moment is an
+    exact DECIMAL(38,0) sum of int64 products, and the closed-form OLS
+    readout is one IEEE chain ROUND-6 from those exact integers.
+    Degenerate spectra (fewer than 2 terms, or zero ln-rank variance)
+    read NULL fit columns.
+
+    100 TB: the corpus pass is :func:`word_frequencies`; ranking the
+    top-V terms is a TakeOrderedAndProject-sized truncation ONLY when
+    V is driver-safe — here it rides the scalable two-pass
+    :func:`~pigout_spark.operators.sorting.row_rank` over the
+    vocabulary relation (never a keyless window), then V-sized moment
+    aggregation.
+    """
+    from pigout_spark.operators.sorting import row_rank
+
+    freq = word_frequencies(df, text_col)
+    ranked = row_rank(
+        freq, F.col("n").desc(), F.col("word").asc(), out="__rank"
+    ).filter(F.col("__rank") <= int(top_v))
+    dec = "decimal(38,0)"
+    lx = F.round(F.log(F.col("__rank").cast("double")) * 1e6, 0).cast("bigint")
+    ly = F.round(F.log(F.col("n").cast("double")) * 1e6, 0).cast("bigint")
+    t = ranked.select(lx.alias("__x"), ly.alias("__y"))
+    m = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum(F.col("__x").cast(dec)).alias("sx"),
+        F.sum(F.col("__y").cast(dec)).alias("sy"),
+        F.sum((F.col("__x") * F.col("__y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("__x") * F.col("__x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("__y") * F.col("__y")).cast(dec)).alias("syy"),
+    )
+    # readout: exact integer micro-moments → one IEEE chain.  Units:
+    # sx, sy are micros (1e-6), the second moments micro² (1e-12) —
+    # the 1e-12 factors cancel inside slope/r² and divide out of the
+    # intercept explicitly.
+    n = F.col("n_terms").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    ok = (F.col("n_terms") > 1) & (vx > 0)
+    slope = F.when(ok, F.round(cov / vx, 6) + F.lit(0.0))
+    intercept = F.when(
+        ok, F.round((sy - (cov / vx) * sx) / n / 1e6, 6) + F.lit(0.0)
+    )
+    r2 = F.when(
+        ok & (vy > 0), F.round(cov * cov / (vx * vy), 6) + F.lit(0.0)
+    )
+    return m.select(
+        "n_terms",
+        slope.alias("slope6"),
+        intercept.alias("intercept6"),
+        r2.alias("r2_6"),
+    )

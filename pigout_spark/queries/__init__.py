@@ -459,6 +459,12 @@ assert len(_WINDOW_R12) == len(set(_WINDOW_R12)) == 50
 # standing policy; every rotated-out query has held a green driver row
 # in r1-r12.  Queries built THIS round register extra=True and queue
 # for r14 — the 14-slot attestation queue is this round's priority.
+# r14 rotation candidates (added after the r13 window was fixed,
+# selfcheck-green at sf0.01+sf0.1 as added but not yet driver-checked):
+# x_token_entropy (per-doc Shannon entropy quality signal),
+# x_good_turing (frequency-of-frequencies smoothing table),
+# x_zipf_fit (corpus Zipf exponent via micro-unit OLS),
+# x_rrf_fusion (hybrid BM25+dense Reciprocal Rank Fusion).
 _WINDOW_R13 = [
     "q01_group_agg",  # flagship
     # (a) the pinned r13 queue — never driver-checked (VERDICT r12 #1)

@@ -3515,3 +3515,101 @@ def x_by_fdr(spark, sf_dir):
         (F.round(u / F.lit(4294967296.0), 6) + F.lit(0.0)).alias("p6"),
     )
     return by_fdr(withp, "p6")
+
+
+@query(
+    "x_msprt",
+    """
+    WITH d AS (
+      SELECT event_type AS k,
+             CAST(floor(event_id / 200) AS BIGINT) AS t,
+             (user_id % 2) = 0 AS tr,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+      WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+        AND value IS NOT NULL AND event_type IS NOT NULL
+    ), per AS (
+      SELECT k, t,
+        SUM(CASE WHEN tr THEN 1 ELSE 0 END)::HUGEINT AS nt,
+        SUM(CASE WHEN tr THEN CAST(v AS HUGEINT) ELSE 0 END) AS st,
+        SUM(CASE WHEN tr THEN CAST(v * v AS HUGEINT) ELSE 0 END) AS sst,
+        SUM(CASE WHEN NOT tr THEN 1 ELSE 0 END)::HUGEINT AS nc,
+        SUM(CASE WHEN NOT tr THEN CAST(v AS HUGEINT) ELSE 0 END) AS sc,
+        SUM(CASE WHEN NOT tr THEN CAST(v * v AS HUGEINT) ELSE 0 END) AS ssc
+      FROM d GROUP BY k, t
+    ), c AS (
+      SELECT k, t,
+        SUM(nt) OVER w AS cnt, SUM(st) OVER w AS cst,
+        SUM(sst) OVER w AS csst,
+        SUM(nc) OVER w AS cnc, SUM(sc) OVER w AS csc,
+        SUM(ssc) OVER w AS cssc
+      FROM per
+      WINDOW w AS (PARTITION BY k ORDER BY t ROWS UNBOUNDED PRECEDING)
+    ), r AS (
+      SELECT k, t,
+        CAST(cnt AS BIGINT) AS n_t, CAST(cnc AS BIGINT) AS n_c,
+        CAST(cnt AS DOUBLE) AS dnt, CAST(cnc AS DOUBLE) AS dnc,
+        CAST(cst AS DOUBLE) AS dst, CAST(csc AS DOUBLE) AS dsc,
+        CAST(csst AS DOUBLE) AS dsst, CAST(cssc AS DOUBLE) AS dssc
+      FROM c
+    ), s AS (
+      SELECT k, t, n_t, n_c,
+        (dnt + dnc - 2.0) AS dof,
+        (dst / dnt - dsc / dnc) AS delta,
+        (dsst - dst * dst / dnt + dssc - dsc * dsc / dnc)
+          / (dnt + dnc - 2.0)
+          * (1.0 / dnt + 1.0 / dnc) AS vn
+      FROM r
+    ), l AS (
+      SELECT k, t, n_t, n_c,
+        (n_t > 0 AND n_c > 0 AND dof >= 1.0) AS ok, delta, vn,
+        CASE WHEN (n_t > 0 AND n_c > 0 AND dof >= 1.0) AND vn > 0 THEN
+          ROUND(sqrt(vn / (vn + 250000.0))
+                * exp(250000.0 * delta * delta
+                      / (2.0 * vn * (vn + 250000.0))), 6) + 0.0
+        END AS lam6
+      FROM s
+    ), i AS (
+      SELECT k, t, n_t, n_c,
+        CASE WHEN ok THEN ROUND(delta, 6) + 0.0 END AS delta6,
+        lam6,
+        CASE WHEN lam6 IS NOT NULL AND lam6 > 0 THEN
+          LEAST(1.0, ROUND(1.0 / lam6, 6) + 0.0)
+        END AS inv6
+      FROM l
+    )
+    SELECT k AS event_type, t, n_t, n_c, delta6, lam6,
+           MIN(inv6) OVER (PARTITION BY k ORDER BY t
+                           ROWS UNBOUNDED PRECEDING) AS p_av6
+    FROM i
+    """,
+    extra=True,  # r13 addition — r14 rotation candidate
+)
+def x_msprt(spark, sf_dir):
+    """Always-valid sequential A/B p-value (mSPRT, τ² = 250,000 cents²
+    — a $5 prior effect scale) on the user-parity split of event value
+    per event type, inspected every 200-event-id period
+    (behavioral.py:msprt — per-period exact-integer cells, cumulative
+    keyed windows over the PERIOD relation, λ and 1/λ ROUND-6 before
+    the running min; the peeking-safe companion to x_ab_lift/x_cuped)."""
+    from pigout_spark.pipeline.behavioral import msprt
+
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_id").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    return msprt(
+        e.select(
+            "event_type",
+            F.floor(F.col("event_id") / 200).cast("bigint").alias("period"),
+            ((F.col("user_id") % 2) == 0).alias("arm"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        ),
+        "period",
+        "arm",
+        "cents",
+        tau2=250_000.0,
+        keys=["event_type"],
+    )

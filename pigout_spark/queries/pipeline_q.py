@@ -5208,3 +5208,212 @@ def x_containment(spark, sf_dir):
     return containment_pairs(
         tf(spark, sf_dir, "documents"), "doc_id", "text", threshold=0.9
     )
+
+
+@query(
+    "x_token_entropy",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+    ), c AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY doc_id, tok
+    ), t AS (
+      SELECT doc_id, c,
+             CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+      FROM c
+    ), s AS (
+      SELECT doc_id, n,
+             CAST(ROUND(-(c / CAST(n AS DOUBLE))
+                        * ln(c / CAST(n AS DOUBLE)), 6) + 0.0
+                  AS DECIMAL(20,6)) AS term
+      FROM t
+    )
+    SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(term) AS DOUBLE) AS entropy6
+    FROM s GROUP BY doc_id
+    """,
+    extra=True,  # r13 addition — r14 rotation candidate
+)
+def x_token_entropy(spark, sf_dir):
+    """Per-doc Shannon entropy of the token distribution — the
+    repetitiveness/quality signal (spam and template docs score low
+    for their length); pipeline/text.py:token_entropy — ONE exchange
+    on the doc key serves the (doc, token) counts, the per-doc total
+    window, and the final fold; per-term −p·ln p ROUND-6
+    decimal-summed (the vocab_kl ln convention)."""
+    from pigout_spark.pipeline.text import token_entropy
+
+    return token_entropy(tf(spark, sf_dir, "documents"))
+
+
+@query(
+    "x_good_turing",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_SQL_TOKS}) AS tok FROM documents
+    ), f AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY tok
+    ), nr AS (
+      SELECT n AS r, CAST(COUNT(*) AS BIGINT) AS n_r FROM f GROUP BY n
+    )
+    SELECT a.r, a.n_r,
+           CASE WHEN b.n_r IS NOT NULL THEN
+             ROUND((a.r + 1) * CAST(b.n_r AS DOUBLE)
+                   / CAST(a.n_r AS DOUBLE), 6) + 0.0
+           END AS r_star6
+    FROM nr a LEFT JOIN nr b ON b.r = a.r + 1
+    """,
+    extra=True,  # r13 addition — r14 rotation candidate
+)
+def x_good_turing(spark, sf_dir):
+    """Good-Turing frequency-of-frequencies with the smoothed count
+    r* = (r+1)·N_{r+1}/N_r — the classical unseen-mass/LM-smoothing
+    table (pipeline/text.py:good_turing_counts: corpus pass =
+    word_frequencies, then counts-of-counts — a tens-of-rows
+    relation; honest NULL r* where the spectrum has no r+1)."""
+    from pigout_spark.pipeline.text import good_turing_counts
+
+    return good_turing_counts(tf(spark, sf_dir, "documents"))
+
+
+@query(
+    "x_zipf_fit",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_SQL_TOKS}) AS tok FROM documents
+    ), f AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY tok
+    ), rk AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS r
+      FROM f QUALIFY r <= 10000
+    ), mi AS (
+      SELECT CAST(ROUND(ln(CAST(r AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+             CAST(ROUND(ln(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+      FROM rk
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+      FROM mi
+    )
+    SELECT n_terms,
+      CASE WHEN n_terms > 1 AND (n_terms * sxx - sx * sx) > 0 THEN
+        ROUND((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6) + 0.0
+      END AS slope6,
+      CASE WHEN n_terms > 1 AND (n_terms * sxx - sx * sx) > 0 THEN
+        ROUND((sy - ((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx))
+                    * sx) / n_terms / 1000000.0, 6) + 0.0
+      END AS intercept6,
+      CASE WHEN n_terms > 1 AND (n_terms * sxx - sx * sx) > 0
+                AND (n_terms * syy - sy * sy) > 0 THEN
+        ROUND((n_terms * sxy - sx * sy) * (n_terms * sxy - sx * sy)
+              / ((n_terms * sxx - sx * sx) * (n_terms * syy - sy * sy)), 6)
+        + 0.0
+      END AS r2_6
+    FROM m
+    """,
+    extra=True,  # r13 addition — r14 rotation candidate
+)
+def x_zipf_fit(spark, sf_dir):
+    """Zipf's-law exponent of the corpus unigram spectrum: OLS of
+    ln(freq) on ln(rank) over the top-10k terms (pipeline/text.py:
+    zipf_fit — ranks from the two-pass row_rank, ln terms as integer
+    micro-units, DECIMAL(38,0)-exact moments, one IEEE readout;
+    a corpus whose exponent drifts far from −1 is template-heavy)."""
+    from pigout_spark.pipeline.text import zipf_fit
+
+    return zipf_fit(tf(spark, sf_dir, "documents"))
+
+
+@query(
+    "x_rrf_fusion",
+    f"""
+    WITH f AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM f
+    ), st AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ), tfq AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tfn
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM f)
+      WHERE tok IN {tuple(_BM25_TERMS)!r}
+      GROUP BY doc_id, tok
+    ), dfc AS (
+      SELECT tok, CAST(COUNT(*) AS DOUBLE) AS dfn FROM tfq GROUP BY tok
+    ), c AS (
+      SELECT tfq.doc_id,
+             CAST(ROUND(
+               ln((st.n - dfc.dfn + 0.5) / (dfc.dfn + 0.5) + 1)
+               * tfq.tfn * (1.2 + 1)
+               / (tfq.tfn + 1.2 * (1.0 - 0.75
+                    + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl)), 6)
+             AS DECIMAL(20,6)) AS c
+      FROM tfq JOIN dfc USING (tok) JOIN dl USING (doc_id), st
+    ), s AS (
+      SELECT doc_id, CAST(SUM(c) AS DECIMAL(27,6)) AS sc
+      FROM c GROUP BY doc_id
+    ), bm AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id) AS rank
+      FROM s QUALIFY rank <= 20
+    ), e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), qv AS (
+      SELECT v AS qv FROM e WHERE vec_id = 0
+    ), cosr AS (
+      SELECT e.vec_id AS doc_id,
+             {_sql_dot('qv.qv', 'e.v')}
+               / (sqrt({_sql_dot('qv.qv', 'qv.qv')})
+                  * sqrt({_sql_dot('e.v', 'e.v')})) AS cos
+      FROM e, qv WHERE e.vec_id <> 0
+    ), dn AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rank
+      FROM cosr QUALIFY rank <= 20
+    ), u AS (
+      SELECT doc_id,
+             CAST(ROUND(1.0 / (60.0 + rank), 6) + 0.0 AS DECIMAL(20,6)) AS c
+      FROM bm
+      UNION ALL
+      SELECT doc_id,
+             CAST(ROUND(1.0 / (60.0 + rank), 6) + 0.0 AS DECIMAL(20,6)) AS c
+      FROM dn
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+           CAST(SUM(c) AS DOUBLE) AS rrf6
+    FROM u GROUP BY doc_id
+    """,
+    extra=True,  # r13 addition — r14 rotation candidate
+)
+def x_rrf_fusion(spark, sf_dir):
+    """HYBRID retrieval fusion: BM25 top-20 (lexical, the 4-term
+    x_bm25_topk query) and exact-cosine top-20 around probe vector 0
+    (dense; embeddings are doc-aligned in this fixture) fused by
+    Reciprocal Rank Fusion, k = 60 (pipeline/retrieval.py:rrf_fuse —
+    ROUND-6 decimal-summed 1/(k+rank) votes, candidate-sized
+    throughout; ranks for the 20-row lists ride the two-pass row_rank,
+    never a keyless window)."""
+    from pigout_spark.operators.sorting import row_rank
+    from pigout_spark.pipeline.retrieval import rrf_fuse
+    from pigout_spark.pipeline.similarity import brute_force_topk
+    from pigout_spark.pipeline.text import bm25_topk
+
+    docs = tf(spark, sf_dir, "documents")
+    bm = row_rank(
+        bm25_topk(docs, list(_BM25_TERMS), k=20),
+        F.col("score").desc(),
+        F.col("doc_id").asc(),
+        out="rank",
+    ).select("doc_id", "rank")
+    emb = tf(spark, sf_dir, "embeddings")
+    dn = (
+        brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=20)
+        .select(F.col("neighbor_id").alias("doc_id"), F.col("rn").alias("rank"))
+    )
+    return rrf_fuse([bm, dn], id_col="doc_id", rank_col="rank", k=60)

@@ -2037,3 +2037,53 @@ def test_by_fdr_vs_bh(spark):
     bad = spark.createDataFrame([("x", 1.5)], "t string, p double")
     with pytest.raises(Exception, match="lie in"):
         by_fdr(bad, "p").collect()
+
+
+def test_msprt_hand_checked(spark):
+    """mSPRT trajectory on a tiny two-period experiment, the λ chain
+    replicated in plain Python; the always-valid p is the running min
+    and never increases; an empty arm reads honest NULLs; non-integral
+    values fail loudly."""
+    import math
+
+    import pytest
+
+    from pigout_spark.pipeline.behavioral import msprt
+
+    rows = [
+        (1, True, 100), (1, True, 120), (1, False, 90), (1, False, 110),
+        (2, True, 130), (2, False, 80),
+    ]
+    df = spark.createDataFrame(rows, "t long, arm boolean, v long")
+    got = {r.t: r for r in msprt(df, "t", "arm", "v", tau2=100.0).collect()}
+
+    def expect(nt, st, sst, nc, sc, ssc, tau2=100.0):
+        dof = nt + nc - 2.0
+        s2 = (sst - st * st / nt + ssc - sc * sc / nc) / dof
+        vn = s2 * (1.0 / nt + 1.0 / nc)
+        delta = st / nt - sc / nc
+        lam = math.sqrt(vn / (vn + tau2)) * math.exp(
+            tau2 * delta * delta / (2.0 * vn * (vn + tau2))
+        )
+        lam6 = round(lam, 6)
+        return round(delta, 6), lam6, min(1.0, round(1.0 / lam6, 6))
+
+    d1, l1, i1 = expect(2, 220, 24400, 2, 200, 20200)
+    d2, l2, i2 = expect(3, 350, 41300, 3, 280, 26600)
+    assert (got[1].n_t, got[1].n_c) == (2, 2)
+    assert got[1].delta6 == d1 and got[1].lam6 == l1 and got[1].p_av6 == i1
+    assert got[2].delta6 == d2 and got[2].lam6 == l2
+    assert got[2].p_av6 == min(i1, i2)  # running min, never increases
+
+    # keyed mode + an arm still empty in the first period -> NULLs there
+    kd = spark.createDataFrame(
+        [("a", 1, True, 10), ("a", 2, False, 12), ("a", 2, True, 14)],
+        "k string, t long, arm boolean, v long",
+    )
+    kg = {r.t: r for r in msprt(kd, "t", "arm", "v", 50.0, keys=["k"]).collect()}
+    assert kg[1].lam6 is None and kg[1].p_av6 is None
+    bad = spark.createDataFrame([(1, True, 1.5)], "t long, arm boolean, v double")
+    with pytest.raises(Exception, match="integral"):
+        msprt(bad, "t", "arm", "v", 100.0).collect()
+    with pytest.raises(ValueError, match="tau2"):
+        msprt(df, "t", "arm", "v", 0.0)

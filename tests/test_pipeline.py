@@ -3669,3 +3669,94 @@ def test_containment_pairs_hand_checked(spark):
     assert out[(3, 4)] == 1.0          # equal sizes → smaller id first
     assert (5, 3) not in out and (2, 3) not in out
     assert all(k[0] != 2 and k[1] != 2 for k in out)
+
+
+def test_token_entropy_hand_checked(spark):
+    """Per-doc Shannon entropy: hand-computed ROUND-6 term sums; a
+    single-token doc reads exactly 0.0; zero-token docs are dropped;
+    the plan holds ONE exchange (the doc-key repartition serves counts,
+    total window, and final fold alike)."""
+    from pigout_spark.pipeline.text import token_entropy
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "x"), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in token_entropy(df).collect()}
+    assert set(rows) == {1, 2}
+    r1 = rows[1]
+    assert (r1.n_tokens, r1.n_distinct) == (3, 2)
+    # round(-(2/3)ln(2/3),6) + round(-(1/3)ln(1/3),6) = .270310 + .366204
+    assert r1.entropy6 == 0.636514
+    assert rows[2].entropy6 == 0.0 and rows[2].n_distinct == 1
+    plan = token_entropy(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_good_turing_hand_checked(spark):
+    """Counts-of-counts and r* on a known spectrum; the top r and any
+    spectrum gap read honest NULLs."""
+    from pigout_spark.pipeline.text import good_turing_counts
+
+    df = spark.createDataFrame(
+        [(1, "a a a b c d d")], "doc_id long, text string"
+    )
+    got = {r.r: (r.n_r, r.r_star6) for r in good_turing_counts(df).collect()}
+    # spectrum: r=1 (b, c), r=2 (d), r=3 (a)
+    assert got[1] == (2, 1.0)  # (1+1) * N2/N1 = 2 * 1/2
+    assert got[2] == (1, 3.0)  # (2+1) * N3/N2 = 3 * 1/1
+    assert got[3] == (1, None)  # no N4 — honest NULL
+    assert set(got) == {1, 2, 3}
+
+
+def test_zipf_fit_hand_checked(spark):
+    """OLS over the integer micro-unit ln moments replicated in plain
+    Python — the exact readout chain; degenerate single-term corpus
+    reads NULL fit."""
+    import math
+
+    from pigout_spark.pipeline.text import zipf_fit
+
+    df = spark.createDataFrame(
+        [(1, "a a a a b b c")], "doc_id long, text string"
+    )
+    r = zipf_fit(df).first()
+    assert r.n_terms == 3
+    xs = [round(math.log(i) * 1e6) for i in (1, 2, 3)]
+    ys = [round(math.log(n) * 1e6) for n in (4, 2, 1)]
+    n = 3.0
+    sx, sy = float(sum(xs)), float(sum(ys))
+    sxy = float(sum(x * y for x, y in zip(xs, ys)))
+    sxx = float(sum(x * x for x in xs))
+    syy = float(sum(y * y for y in ys))
+    vx, vy, cov = n * sxx - sx * sx, n * syy - sy * sy, n * sxy - sx * sy
+    assert r.slope6 == round(cov / vx, 6) + 0.0
+    assert r.intercept6 == round((sy - (cov / vx) * sx) / n / 1e6, 6) + 0.0
+    assert r.r2_6 == round(cov * cov / (vx * vy), 6) + 0.0
+    solo = spark.createDataFrame([(1, "a a")], "doc_id long, text string")
+    s = zipf_fit(solo).first()
+    assert s.n_terms == 1 and s.slope6 is None
+
+
+def test_rrf_fuse_hand_checked(spark):
+    """Weighted RRF: exact ROUND-6 decimal sums, n_lists vote count,
+    loud assert on a non-1-based rank, weight count mismatch raises."""
+    import pytest
+
+    from pigout_spark.pipeline.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (20, 2)], "doc_id long, rank long")
+    b = spark.createDataFrame([(20, 1), (30, 2)], "doc_id long, rank long")
+    got = {r.doc_id: (r.n_lists, r.rrf6) for r in rrf_fuse([a, b]).collect()}
+    assert got[20] == (2, round(1 / 61, 6) + round(1 / 62, 6))
+    assert got[10] == (1, round(1 / 61, 6))
+    assert got[30] == (1, round(1 / 62, 6))
+    # weights tilt one ranker
+    w = {r.doc_id: r.rrf6 for r in rrf_fuse([a, b], weights=[2.0, 1.0]).collect()}
+    assert w[10] == round(2 / 61, 6)
+    with pytest.raises(ValueError, match="weights"):
+        rrf_fuse([a, b], weights=[1.0])
+    bad = spark.createDataFrame([(1, 0)], "doc_id long, rank long")
+    with pytest.raises(Exception, match="1-based"):
+        rrf_fuse([bad]).collect()

@@ -39,7 +39,12 @@ def test_query_runs(spark, sf_dir, name):
 #: the full registry size, pinned (r9 verdict #5: SURVEY prose said 208
 #: when the import said 207 — docs must not drift from code again).
 #: Update this constant WITH the SURVEY §7.4 number when adding queries.
-REGISTRY_TOTAL_PINNED = 239  # r12: 223 at r11 close + the sampled
+REGISTRY_TOTAL_PINNED = 244  # r13: 239 at r12 close + per-doc token
+# entropy (x_token_entropy) + the Good-Turing smoothing table
+# (x_good_turing) + the Zipf exponent fit (x_zipf_fit) + hybrid
+# Reciprocal Rank Fusion (x_rrf_fusion) + the always-valid sequential
+# mSPRT (x_msprt).
+# r12 history: 223 at r11 close + the sampled
 # triangle estimate (x_triangles_sampled) + the pinned-axes PCA
 # projection (x_pca_project) + the one-pass Poisson bootstrap
 # (x_boot_ci) + temperature mixing weights (x_temp_mixture) + the
@@ -69,15 +74,15 @@ def test_registry_size_pinned():
     )
 
 
-def test_r12_window_landed():
-    """The r12 explicit window (queries/__init__.py): the driver-facing
-    set is exactly _WINDOW_R12 in order, every entry has a SQL oracle,
+def test_r13_window_landed():
+    """The r13 explicit window (queries/__init__.py): the driver-facing
+    set is exactly _WINDOW_R13 in order, every entry has a SQL oracle,
     and everything displaced kept its local oracle as an extra."""
-    from pigout_spark.queries import _WINDOW_R12
+    from pigout_spark.queries import _WINDOW_R13
 
     q = entrymod.queries()
     o = entrymod.oracle_sql()
-    assert list(q) == _WINDOW_R12
+    assert list(q) == _WINDOW_R13
     assert len(q) == qmod.DRIVER_QUERY_CAP
     for name in q:
         assert name in o, f"{name} in window without a SQL oracle"
