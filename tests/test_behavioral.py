@@ -1071,6 +1071,15 @@ def test_logrank_test_against_reference(spark):
     with _pytest.raises(Exception, match="two groups"):
         logrank_test(three, "t", "e", "g").collect()
 
+    # r13 fold rewrite: empty input keeps the all-NULL readout (the old
+    # F.sum semantics), and the plan stays window-free
+    empty = spark.createDataFrame([], "g string, t double, e boolean")
+    er = logrank_test(empty, "t", "e", "g").collect()[0]
+    assert (er.n, er.o_minus_e6, er.var6, er.z6) == (None, None, None, None)
+    plan = logrank_test(df, "t", "e", "g")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Window" not in plan
+
 
 def test_odds_ratio_textbook(spark):
     """Classic 2x2: a=20 b=80 c=10 d=90 -> OR 2.25, RR 2.0; CI bounds
