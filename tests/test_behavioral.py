@@ -2096,3 +2096,64 @@ def test_msprt_hand_checked(spark):
         msprt(bad, "t", "arm", "v", 100.0).collect()
     with pytest.raises(ValueError, match="tau2"):
         msprt(df, "t", "arm", "v", 0.0)
+
+
+def test_jackknife_degenerate_key_oracle_parity(spark, tmp_path):
+    """r13 ADVICE #1 pinned cross-engine: a key whose denominator lives
+    entirely in one md5 bucket (here: a single-order key) must read
+    NULL se6 from BOTH the Spark operator and the DuckDB oracle — the
+    ungated oracle used to abort the whole query on the inf→DECIMAL
+    cast instead of degrading like the operator."""
+    import duckdb
+    import pandas as pd
+
+    from pigout_spark.queries.behavioral_q import _jk_sql
+
+    rows = [
+        # key 'A': 200 orders — healthy spread over 32 buckets
+        *[("A", float(100 + i), 0.10, i) for i in range(200)],
+        # key 'Z': ONE order — its bucket holds the whole denominator
+        ("Z", 500.0, 0.20, 9_999),
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=["l_returnflag", "l_extendedprice", "l_discount", "l_orderkey"],
+    )
+    pdf.to_parquet(tmp_path / "lineitem.parquet")
+
+    from pigout_spark.pipeline.behavioral import jackknife_ratio
+
+    sdf = spark.read.parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        r.l_returnflag: r
+        for r in jackknife_ratio(
+            sdf.select(
+                "l_returnflag",
+                F.round(F.col("l_extendedprice") * F.col("l_discount") * 100)
+                .cast("bigint")
+                .alias("nu"),
+                F.round(F.col("l_extendedprice") * 100)
+                .cast("bigint")
+                .alias("de"),
+                "l_orderkey",
+            ),
+            "nu",
+            "de",
+            ["l_orderkey"],
+            keys=["l_returnflag"],
+        ).collect()
+    }
+    assert got["Z"].se6 is None and got["Z"].ratio6 is not None
+    assert got["A"].se6 is not None
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"'{tmp_path / 'lineitem.parquet'}'"
+    )
+    # the gated oracle must RUN (no inf->decimal abort) and agree
+    ora = {r[0]: r for r in con.execute(_jk_sql()).fetchall()}
+    assert ora["Z"][3] is None  # se6
+    assert ora["Z"][2] == got["Z"].ratio6
+    assert ora["A"][3] == got["A"].se6
+    assert ora["A"][2] == got["A"].ratio6
