@@ -3752,11 +3752,22 @@ def msprt(
         p_n = min(p_{n−1}, 1/Λ_n)
 
     is a nonnegative martingale under H₀ (Δ = 0); the running minimum
-    is the always-valid p.  Δ̂_n is the cumulative treated−control mean
-    difference through time ``time_col``, V_n = s²_n·(1/n_t + 1/n_c)
-    its plugin variance (pooled within-arm s², the Welch/ab_lift
-    convention), and τ² the ONE design parameter — the prior scale of
-    the effect you power for, in squared value units.
+    of 1/Λ is the always-valid p.  Δ̂_n is the cumulative
+    treated−control mean difference through time ``time_col``,
+    V_n = s²_n·(1/n_t + 1/n_c) its plugin variance (pooled within-arm
+    s², the Welch/ab_lift convention), and τ² the ONE design
+    parameter — the prior scale of the effect you power for, in
+    squared value units.
+
+    The reported statistic is **ln Λ** (not Λ): the likelihood ratio
+    grows without bound as evidence accumulates (≈10⁸ on the sf3
+    fixture), and hashing a 6-decimal rendering of an unbounded exp()
+    output amplifies cross-engine libm ulp differences past the ROUND
+    (measured: 154/75,000 rows flipped at sf3).  ln Λ =
+    ½·ln(V/(V+τ²)) + τ²Δ̂²/(2V(V+τ²)) needs only one bounded ln — the
+    second term is pure arithmetic on exact integers — and the p-value
+    exponentiates the ALREADY-ROUNDED running max, so both engines
+    feed exp() the bit-identical argument.
 
     Input: integral values (cents/counts — asserted, the
     jackknife/diff_in_diff discipline), boolean ``treated_col``,
@@ -3764,17 +3775,18 @@ def msprt(
     timestamps upstream); NULL time/arm/value rows are EXCLUDED.
 
     Output: one row PER (keys…, t) period — (t, n_t, n_c, delta6,
-    lam6, p_av6) — the full inspection trajectory, NULL-valued where
-    the statistic is undefined (an arm still empty, dof < 1, V ≤ 0).
-    The LAST row's p_av6 is the current always-valid p; qualifying on
-    p_av6 ≤ α gives the stopping time.
+    loglam6, p_av6) — the full inspection trajectory, NULL-valued
+    where the statistic is undefined (an arm still empty, dof < 1,
+    V ≤ 0).  The LAST row's p_av6 is the current always-valid p;
+    qualifying on p_av6 ≤ α gives the stopping time.
 
     Determinism: per-period cells and cumulative moments are exact
-    integers (DECIMAL(38,0) folds); Δ̂, V, and the Λ readout are one
-    IEEE chain from those exact integers; exp is the engine
-    transcendental so λ and 1/λ are ROUND-6 (+0.0) BEFORE the running
-    min (the vocab_kl ln convention) — the minimum of rounded values
-    is engine-stable.
+    integers (DECIMAL(38,0) folds); Δ̂, V, and the ln Λ readout are one
+    IEEE chain from those exact integers with ONE bounded ln, ROUND-6
+    (+0.0) before the running max (the vocab_kl ln convention);
+    p_av6 = ROUND(exp(−max(running, 0)), 6) exponentiates the rounded
+    max — a [0, 1]-bounded value whose 6-decimal rendering is
+    engine-stable.
 
     100 TB: one (keys…, t) cell aggregation (map-side combined — the
     corpus never reaches a window), then cumulative windows over the
@@ -3784,7 +3796,7 @@ def msprt(
     """
     keys = list(keys or [])
     _check_keys(
-        keys, ("t", "n_t", "n_c", "delta6", "lam6", "p_av6"), "msprt"
+        keys, ("t", "n_t", "n_c", "delta6", "loglam6", "p_av6"), "msprt"
     )
     if not (float(tau2) > 0.0):
         raise ValueError(f"msprt: tau2 must be > 0, got {tau2}")
@@ -3850,27 +3862,25 @@ def msprt(
     vn = s2 * (1.0 / nt + 1.0 / nc)
     delta = st / nt - sc / nc
     t2 = F.lit(float(tau2))
-    lam = F.sqrt(vn / (vn + t2)) * F.exp(
-        t2 * delta * delta / (2.0 * vn * (vn + t2))
+    loglam = 0.5 * F.log(vn / (vn + t2)) + t2 * delta * delta / (
+        2.0 * vn * (vn + t2)
     )
     ok = (F.col("cnt") > 0) & (F.col("cnc") > 0) & (dof >= 1.0)
-    lam6 = F.when(ok & (vn > 0), F.round(lam, 6) + F.lit(0.0))
-    inv6 = F.when(
-        lam6.isNotNull() & (lam6 > 0),
-        F.least(F.lit(1.0), F.round(1.0 / lam6, 6) + F.lit(0.0)),
-    )
+    loglam6 = F.when(ok & (vn > 0), F.round(loglam, 6) + F.lit(0.0))
     scored = cum.select(
         *keys,
         "t",
         F.col("cnt").cast("bigint").alias("n_t"),
         F.col("cnc").cast("bigint").alias("n_c"),
         F.when(ok, F.round(delta, 6) + F.lit(0.0)).alias("delta6"),
-        lam6.alias("lam6"),
-        inv6.alias("__inv"),
+        loglam6.alias("loglam6"),
     )
-    wmin = (
+    wmax = (
         Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(0))
     ).orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return scored.withColumn(
-        "p_av6", F.min("__inv").over(wmin)
-    ).drop("__inv")
+    running = F.max("loglam6").over(wmax)
+    p = F.when(
+        running.isNotNull(),
+        F.round(F.exp(-F.greatest(running, F.lit(0.0))), 6) + F.lit(0.0),
+    )
+    return scored.withColumn("p_av6", p)

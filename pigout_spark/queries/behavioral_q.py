@@ -3562,25 +3562,25 @@ def x_by_fdr(spark, sf_dir):
       FROM r
     ), l AS (
       SELECT k, t, n_t, n_c,
-        (n_t > 0 AND n_c > 0 AND dof >= 1.0) AS ok, delta, vn,
+        (n_t > 0 AND n_c > 0 AND dof >= 1.0) AS ok, delta,
         CASE WHEN (n_t > 0 AND n_c > 0 AND dof >= 1.0) AND vn > 0 THEN
-          ROUND(sqrt(vn / (vn + 250000.0))
-                * exp(250000.0 * delta * delta
-                      / (2.0 * vn * (vn + 250000.0))), 6) + 0.0
-        END AS lam6
+          ROUND(0.5 * ln(vn / (vn + 250000.0))
+                + 250000.0 * delta * delta
+                  / (2.0 * vn * (vn + 250000.0)), 6) + 0.0
+        END AS loglam6
       FROM s
     ), i AS (
       SELECT k, t, n_t, n_c,
         CASE WHEN ok THEN ROUND(delta, 6) + 0.0 END AS delta6,
-        lam6,
-        CASE WHEN lam6 IS NOT NULL AND lam6 > 0 THEN
-          LEAST(1.0, ROUND(1.0 / lam6, 6) + 0.0)
-        END AS inv6
+        loglam6,
+        MAX(loglam6) OVER (PARTITION BY k ORDER BY t
+                           ROWS UNBOUNDED PRECEDING) AS run
       FROM l
     )
-    SELECT k AS event_type, t, n_t, n_c, delta6, lam6,
-           MIN(inv6) OVER (PARTITION BY k ORDER BY t
-                           ROWS UNBOUNDED PRECEDING) AS p_av6
+    SELECT k AS event_type, t, n_t, n_c, delta6, loglam6,
+           CASE WHEN run IS NOT NULL THEN
+             ROUND(exp(-GREATEST(run, 0.0)), 6) + 0.0
+           END AS p_av6
     FROM i
     """,
     extra=True,  # r13 addition — r14 rotation candidate
@@ -3590,8 +3590,11 @@ def x_msprt(spark, sf_dir):
     — a $5 prior effect scale) on the user-parity split of event value
     per event type, inspected every 200-event-id period
     (behavioral.py:msprt — per-period exact-integer cells, cumulative
-    keyed windows over the PERIOD relation, λ and 1/λ ROUND-6 before
-    the running min; the peeking-safe companion to x_ab_lift/x_cuped)."""
+    keyed windows over the PERIOD relation; reports ln Λ, ROUND-6
+    BEFORE the running max, and p = exp(−max(·,0)) of the rounded max
+    so the unbounded likelihood ratio never meets a cross-engine exp
+    ulp at 1e8 magnitude — the sf3-found fix; the peeking-safe
+    companion to x_ab_lift/x_cuped)."""
     from pigout_spark.pipeline.behavioral import msprt
 
     e = t(spark, sf_dir, "events").filter(

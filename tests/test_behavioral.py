@@ -2071,18 +2071,20 @@ def test_msprt_hand_checked(spark):
         s2 = (sst - st * st / nt + ssc - sc * sc / nc) / dof
         vn = s2 * (1.0 / nt + 1.0 / nc)
         delta = st / nt - sc / nc
-        lam = math.sqrt(vn / (vn + tau2)) * math.exp(
-            tau2 * delta * delta / (2.0 * vn * (vn + tau2))
+        loglam = 0.5 * math.log(vn / (vn + tau2)) + tau2 * delta * delta / (
+            2.0 * vn * (vn + tau2)
         )
-        lam6 = round(lam, 6)
-        return round(delta, 6), lam6, min(1.0, round(1.0 / lam6, 6))
+        return round(delta, 6), round(loglam, 6)
 
-    d1, l1, i1 = expect(2, 220, 24400, 2, 200, 20200)
-    d2, l2, i2 = expect(3, 350, 41300, 3, 280, 26600)
+    d1, l1 = expect(2, 220, 24400, 2, 200, 20200)
+    d2, l2 = expect(3, 350, 41300, 3, 280, 26600)
     assert (got[1].n_t, got[1].n_c) == (2, 2)
-    assert got[1].delta6 == d1 and got[1].lam6 == l1 and got[1].p_av6 == i1
-    assert got[2].delta6 == d2 and got[2].lam6 == l2
-    assert got[2].p_av6 == min(i1, i2)  # running min, never increases
+    assert got[1].delta6 == d1 and got[1].loglam6 == l1
+    assert got[1].p_av6 == round(math.exp(-max(l1, 0.0)), 6)
+    assert got[2].delta6 == d2 and got[2].loglam6 == l2
+    # running max of ln-lambda -> p never increases
+    assert got[2].p_av6 == round(math.exp(-max(l1, l2, 0.0)), 6)
+    assert got[2].p_av6 <= got[1].p_av6
 
     # keyed mode + an arm still empty in the first period -> NULLs there
     kd = spark.createDataFrame(
@@ -2090,7 +2092,7 @@ def test_msprt_hand_checked(spark):
         "k string, t long, arm boolean, v long",
     )
     kg = {r.t: r for r in msprt(kd, "t", "arm", "v", 50.0, keys=["k"]).collect()}
-    assert kg[1].lam6 is None and kg[1].p_av6 is None
+    assert kg[1].loglam6 is None and kg[1].p_av6 is None
     bad = spark.createDataFrame([(1, True, 1.5)], "t long, arm boolean, v double")
     with pytest.raises(Exception, match="integral"):
         msprt(bad, "t", "arm", "v", 100.0).collect()
