@@ -1485,14 +1485,20 @@ def logrank_test(
     )
     # exactly-two-groups contract, asserted via a 1-row broadcast (r13:
     # replaces the keyless collect_set/min windows — same tiny relation,
-    # no WindowExec in the plan)
+    # no WindowExec in the plan).  The assert predicate must reference
+    # BOTH join sides (__g is never NULL in per): a gstats-only
+    # condition is pushable below the crossJoin, where Catalyst would
+    # evaluate it on the aggregate row even when per is EMPTY — firing
+    # "exactly two groups" on zero groups (caught by the closing r13
+    # suite; plan-dependent, surfaced only under the fixture session's
+    # conf).
     gstats = per.agg(
         F.count_distinct(F.col("__g")).alias("__ng"),
         F.min("__g").alias("__g1"),
     )
     per = per.crossJoin(F.broadcast(gstats)).filter(
         F.assert_true(
-            F.col("__ng") == 2,
+            (F.col("__ng") == 2) | F.col("__g").isNull(),
             F.lit("logrank_test: exactly two groups required"),
         ).isNull()
     )
