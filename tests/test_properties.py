@@ -685,3 +685,103 @@ def test_roc_auc_properties(spark, rows):
             df.withColumn("s", F.col("s") * 10 + 3), "y", "s"
         ).first()
         assert mono.auc6 == a.auc6
+
+
+def test_token_entropy_properties(spark):
+    """Entropy invariants: a uniform k-token doc reads ln(k) exactly
+    (ROUND-6); repeating the same tokens leaves entropy unchanged
+    (scale-free in multiplicity proportions); permuting tokens is a
+    no-op; entropy is bounded by ln(n_distinct)."""
+    import math
+
+    from pigout_spark.pipeline.text import token_entropy
+
+    k = 7
+    uni = " ".join(f"w{i}" for i in range(k))
+    df = spark.createDataFrame(
+        [
+            (1, uni),
+            (2, " ".join([uni] * 3)),          # same proportions ×3
+            (3, " ".join(reversed(uni.split()))),  # permutation
+            (4, "a a a b"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in token_entropy(df).collect()}
+    expected_uniform = round(k * round(-(1 / k) * math.log(1 / k), 6), 6)
+    assert abs(got[1].entropy6 - expected_uniform) <= 1e-9
+    assert got[2].entropy6 == got[1].entropy6
+    assert got[3].entropy6 == got[1].entropy6
+    assert got[4].entropy6 <= math.log(got[4].n_distinct) + 1e-9
+
+
+def test_zipf_fit_scale_invariance(spark):
+    """Duplicating the corpus doubles every frequency: the Zipf slope
+    and r² are invariant (ln-shift of y), the intercept moves by
+    exactly +ln 2 at ROUND-6 resolution."""
+    import math
+
+    from pigout_spark.pipeline.text import zipf_fit
+
+    base = [(i, "alpha " * (20 - i) + "beta gamma") for i in range(10)]
+    df = spark.createDataFrame(base, "doc_id long, text string")
+    df2 = df.unionByName(
+        spark.createDataFrame(
+            [(100 + i, t) for i, t in base], "doc_id long, text string"
+        )
+    )
+    a, b = zipf_fit(df).first(), zipf_fit(df2).first()
+    assert a.n_terms == b.n_terms
+    # micro-unit rounding of each ln term leaves ~1e-6-scale residue
+    assert abs(a.slope6 - b.slope6) <= 5e-5
+    assert abs((b.intercept6 - a.intercept6) - math.log(2.0)) <= 5e-5
+    assert abs(a.r2_6 - b.r2_6) <= 5e-5
+
+
+def test_rrf_fuse_properties(spark):
+    """RRF invariants: fusing a list with itself doubles every score;
+    list order does not matter; a doc ranked 1 in both lists dominates
+    any doc ranked 1 in only one."""
+    from pigout_spark.pipeline.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(10, 1), (40, 2)], "doc_id long, rank long"
+    )
+    twice = {r.doc_id: r.rrf6 for r in rrf_fuse([a, a]).collect()}
+    once = {r.doc_id: r.rrf6 for r in rrf_fuse([a]).collect()}
+    assert all(abs(twice[d] - 2 * once[d]) <= 1e-9 for d in once)
+    ab = {r.doc_id: r.rrf6 for r in rrf_fuse([a, b]).collect()}
+    ba = {r.doc_id: r.rrf6 for r in rrf_fuse([b, a]).collect()}
+    assert ab == ba
+    assert ab[10] > max(v for d, v in ab.items() if d != 10)
+
+
+def test_msprt_properties(spark):
+    """mSPRT invariants: under a null (identical arms) the always-valid
+    p stays high; under a strong constant effect it decays toward 0;
+    p is non-increasing along every trajectory."""
+    from pigout_spark.pipeline.behavioral import msprt
+
+    null_rows = [
+        (t, arm, 100 + (t % 3)) for t in range(1, 21) for arm in (True, False)
+    ]
+    strong = [
+        (t, True, 200) for t in range(1, 21)
+    ] + [(t, False, 100) for t in range(1, 21)] + [
+        (t, True, 201) for t in range(1, 21)
+    ] + [(t, False, 99) for t in range(1, 21)]
+    for rows, check in (
+        (null_rows, lambda tr: tr[-1] > 0.2),
+        (strong, lambda tr: tr[-1] < 0.05),
+    ):
+        df = spark.createDataFrame(rows, "t long, arm boolean, v long")
+        out = sorted(
+            msprt(df, "t", "arm", "v", tau2=400.0).collect(),
+            key=lambda r: r.t,
+        )
+        traj = [r.p_av6 for r in out if r.p_av6 is not None]
+        assert all(x >= y for x, y in zip(traj, traj[1:]))  # non-increasing
+        assert check(traj), traj[-5:]
