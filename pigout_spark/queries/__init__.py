@@ -464,7 +464,8 @@ assert len(_WINDOW_R12) == len(set(_WINDOW_R12)) == 50
 # x_token_entropy (per-doc Shannon entropy quality signal),
 # x_good_turing (frequency-of-frequencies smoothing table),
 # x_zipf_fit (corpus Zipf exponent via micro-unit OLS),
-# x_rrf_fusion (hybrid BM25+dense Reciprocal Rank Fusion).
+# x_rrf_fusion (hybrid BM25+dense Reciprocal Rank Fusion),
+# x_fuzzy_pairs (blocked-Levenshtein fuzzy near-dup).
 _WINDOW_R13 = [
     "q01_group_agg",  # flagship
     # (a) the pinned r13 queue — never driver-checked (VERDICT r12 #1)

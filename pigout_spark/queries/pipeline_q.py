@@ -5417,3 +5417,43 @@ def x_rrf_fusion(spark, sf_dir):
         .select(F.col("neighbor_id").alias("doc_id"), F.col("rn").alias("rank"))
     )
     return rrf_fuse([bm, dn], id_col="doc_id", rank_col="rank", k=60)
+
+
+@query(
+    "x_fuzzy_pairs",
+    """
+    WITH p AS (
+      SELECT p_partkey AS id, p_name AS s FROM part
+      WHERE p_partkey IS NOT NULL AND p_name IS NOT NULL
+    ), k AS (
+      SELECT id, s, 'p' AS side, substring(s, 1, 4) AS bk FROM p
+      UNION ALL
+      SELECT id, s, 's' AS side, substring(s, length(s) - 3, 4) AS bk
+      FROM p WHERE length(s) >= 4
+    ), big AS (
+      SELECT side, bk FROM k GROUP BY side, bk HAVING COUNT(*) > 10000
+    ), k2 AS (
+      SELECT k.* FROM k ANTI JOIN big USING (side, bk)
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+      FROM k2 a JOIN k2 b ON a.side = b.side AND a.bk = b.bk
+                         AND a.id < b.id
+    )
+    SELECT id_a, id_b, CAST(levenshtein(sa, sb) AS BIGINT) AS dist
+    FROM cand
+    WHERE abs(length(sa) - length(sb)) <= 2 AND levenshtein(sa, sb) <= 2
+    """,
+    extra=True,  # r13 addition — r14 rotation candidate
+)
+def x_fuzzy_pairs(spark, sf_dir):
+    """Fuzzy-string near-dup pairs over PART NAMES: exact Levenshtein
+    ≤ 2 on redundant prefix4/suffix4 blocked candidates
+    (pipeline/dedup.py:fuzzy_pairs — the record-linkage workhorse the
+    token-set family misses: one-character typos are edit distance 1
+    but move no Jaccard).  p_name is ASCII by fixture construction,
+    where Spark's char-based and DuckDB's byte-based levenshtein
+    agree exactly (the documented unicode caveat at the op)."""
+    from pigout_spark.pipeline.dedup import fuzzy_pairs
+
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return fuzzy_pairs(p, "p_partkey", "p_name", max_dist=2)

@@ -3760,3 +3760,39 @@ def test_rrf_fuse_hand_checked(spark):
     bad = spark.createDataFrame([(1, 0)], "doc_id long, rank long")
     with pytest.raises(Exception, match="1-based"):
         rrf_fuse([bad]).collect()
+
+
+def test_fuzzy_pairs_hand_checked(spark):
+    """Blocked Levenshtein near-dup: a one-char typo pair is found with
+    its exact distance; the thresholded levenshtein's -1 sentinel never
+    leaks (a shared-prefix pair at distance 3 > d is excluded, not
+    emitted as -1); the documented recall contract (edits touching BOTH
+    prefix and suffix block keys -> miss) holds; an oversized block is
+    dropped by the cap."""
+    from pigout_spark.pipeline.dedup import fuzzy_pairs
+
+    rows = [
+        (1, "chocolate lace"),
+        (2, "chocolate lace"),      # exact dup -> dist 0
+        (3, "chocolate lacy"),      # suffix typo -> dist 1 (prefix block)
+        (4, "chocolate XXce"),      # dist 2 vs 1 (prefix block)
+        (5, "chocolate YYYe"),      # dist 3 vs 1 -> excluded (not -1)
+        (6, "Xhocolate lacX"),      # edits at BOTH keys -> missed by contract
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {(r.id_a, r.id_b): r.dist for r in fuzzy_pairs(df, "id", "s").collect()}
+    assert got[(1, 2)] == 0
+    assert got[(1, 3)] == 1 and got[(2, 3)] == 1
+    assert got[(1, 4)] == 2
+    assert (1, 5) not in got and (2, 5) not in got  # no -1 leak
+    assert all(0 <= v <= 2 for v in got.values())
+    assert not any(6 in p for p in got)  # the documented block miss
+
+    # cap: a degenerate shared prefix block above max_block is dropped
+    many = spark.createDataFrame(
+        [(i, f"aaaa{i:04d}") for i in range(30)], "id long, s string"
+    )
+    capped = fuzzy_pairs(many, "id", "s", max_dist=2, max_block=10)
+    # prefix block 'aaaa' (30 > 10) dropped; suffix keys are all
+    # distinct 4-char tails -> no candidates survive
+    assert capped.count() == 0

@@ -39,11 +39,12 @@ def test_query_runs(spark, sf_dir, name):
 #: the full registry size, pinned (r9 verdict #5: SURVEY prose said 208
 #: when the import said 207 — docs must not drift from code again).
 #: Update this constant WITH the SURVEY §7.4 number when adding queries.
-REGISTRY_TOTAL_PINNED = 244  # r13: 239 at r12 close + per-doc token
+REGISTRY_TOTAL_PINNED = 245  # r13: 239 at r12 close + per-doc token
 # entropy (x_token_entropy) + the Good-Turing smoothing table
 # (x_good_turing) + the Zipf exponent fit (x_zipf_fit) + hybrid
 # Reciprocal Rank Fusion (x_rrf_fusion) + the always-valid sequential
-# mSPRT (x_msprt).
+# mSPRT (x_msprt) + blocked-Levenshtein fuzzy near-dup pairs
+# (x_fuzzy_pairs).
 # r12 history: 223 at r11 close + the sampled
 # triangle estimate (x_triangles_sampled) + the pinned-axes PCA
 # projection (x_pca_project) + the one-pass Poisson bootstrap
