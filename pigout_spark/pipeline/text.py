@@ -1574,12 +1574,15 @@ def good_turing_counts(
     self-join on the counts-of-counts table — tens of rows.
     """
     freq = word_frequencies(df, text_col)
-    nr = freq.groupBy(F.col("n").cast("bigint").alias("r")).agg(
+    nr0 = freq.groupBy(F.col("n").cast("bigint").alias("r")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_r")
     )
-    if max_r is not None:
-        nr = nr.filter(F.col("r") <= int(max_r))
-    nxt = nr.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("__n_r1"))
+    # the N_{r+1} lookup reads the FULL spectrum even under a cutoff:
+    # Katz truncation limits which r rows are REPORTED, not which
+    # neighbor counts exist — capping before the self-join would zero
+    # the boundary r's estimator (found by the r13 differential fuzz).
+    nr = nr0.filter(F.col("r") <= int(max_r)) if max_r is not None else nr0
+    nxt = nr0.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("__n_r1"))
     star = (
         F.round(
             (F.col("r") + 1).cast("double")

@@ -3708,6 +3708,15 @@ def test_good_turing_hand_checked(spark):
     assert got[2] == (1, 3.0)  # (2+1) * N3/N2 = 3 * 1/1
     assert got[3] == (1, None)  # no N4 — honest NULL
     assert set(got) == {1, 2, 3}
+    # Katz cutoff: the boundary r's estimator reads N_{r+1} from the
+    # FULL spectrum (r13 fuzz find: capping before the self-join
+    # zeroed it)
+    capped = {
+        r.r: (r.n_r, r.r_star6)
+        for r in good_turing_counts(df, max_r=2).collect()
+    }
+    assert set(capped) == {1, 2}
+    assert capped[2] == (1, 3.0)  # needs N_3, which the cap excludes
 
 
 def test_zipf_fit_hand_checked(spark):

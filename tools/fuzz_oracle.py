@@ -576,6 +576,131 @@ def _gen_semantic(rng: random.Random):
     return build, sql
 
 
+def _gen_r13(rng: random.Random, kind: str, rows, cte: str, mkdf):
+    """r13 pipeline additions: token entropy (ln on NULL/unicode/empty
+    corpora), Good-Turing counts-of-counts (spectrum gaps), and
+    blocked-Levenshtein fuzzy pairs (ASCII mutation corpus — the
+    char-vs-byte engine divergence makes unicode out of contract)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    if kind == "entropy":
+        sql = (
+            cte
+            + f"""
+            , toks AS (SELECT doc_id, unnest({_P_TOKS}) AS tok
+                       FROM documents),
+            c AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM toks GROUP BY doc_id, tok),
+            t AS (SELECT doc_id, c,
+                         CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT)
+                           AS n FROM c),
+            s AS (SELECT doc_id, n,
+                         CAST(ROUND(-(c / CAST(n AS DOUBLE))
+                                    * ln(c / CAST(n AS DOUBLE)), 6) + 0.0
+                              AS DECIMAL(20,6)) AS term FROM t)
+            SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   CAST(SUM(term) AS DOUBLE) AS entropy6
+            FROM s GROUP BY doc_id
+            """
+        )
+
+        def build(spark, sf_dir):
+            from pigout_spark.pipeline.text import token_entropy
+
+            return token_entropy(mkdf(spark))
+
+        return build, sql
+    if kind == "gturing":
+        max_r = rng.choice([None, rng.randint(1, 6)])
+        cap = "" if max_r is None else f"WHERE r <= {max_r}"
+        sql = (
+            cte
+            + f"""
+            , toks AS (SELECT unnest({_P_TOKS}) AS tok FROM documents),
+            f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM toks GROUP BY tok),
+            nr0 AS (SELECT n AS r, CAST(COUNT(*) AS BIGINT) AS n_r
+                    FROM f GROUP BY n),
+            nr AS (SELECT * FROM nr0 {cap})
+            SELECT a.r, a.n_r,
+                   CASE WHEN b.n_r IS NOT NULL THEN
+                     ROUND((a.r + 1) * CAST(b.n_r AS DOUBLE)
+                           / CAST(a.n_r AS DOUBLE), 6) + 0.0
+                   END AS r_star6
+            FROM nr a LEFT JOIN nr0 b ON b.r = a.r + 1
+            """
+        )
+
+        def build(spark, sf_dir):
+            from pigout_spark.pipeline.text import good_turing_counts
+
+            return good_turing_counts(mkdf(spark), max_r=max_r)
+
+        return build, sql
+    # fuzzy: a DEDICATED ASCII mutation corpus — random base strings,
+    # random single-char substitutions/inserts/deletes at random sites
+    # (prefix, middle, suffix), so the block-miss contract and the -1
+    # sentinel path both get adversarial coverage.
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    bases = [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(4, 14)))
+        for _ in range(rng.randint(2, 5))
+    ]
+    strs = []
+    for i in range(rng.randint(6, 30)):
+        b = rng.choice(bases)
+        for _ in range(rng.randint(0, 3)):
+            pos = rng.randrange(max(1, len(b)))
+            op = rng.random()
+            if op < 0.34 and len(b) > 2:
+                b = b[:pos] + b[pos + 1:]
+            elif op < 0.67:
+                b = b[:pos] + rng.choice(alpha) + b[pos:]
+            else:
+                b = b[:pos] + rng.choice(alpha) + b[pos + 1:]
+        strs.append((i, b))
+    d = rng.randint(1, 3)
+    bl = rng.randint(2, 5)
+    mb = rng.choice([None, rng.randint(3, 40)])
+    vals = ", ".join(f"({i}, '{t}')" for i, t in strs)
+    cap_cte = (
+        """, k2 AS (SELECT * FROM k)""" if mb is None else f"""
+        , big AS (SELECT side, bk FROM k GROUP BY side, bk
+                  HAVING COUNT(*) > {mb}),
+        k2 AS (SELECT k.* FROM k ANTI JOIN big USING (side, bk))"""
+    )
+    fsql = f"""
+    WITH p AS (SELECT * FROM (VALUES {vals}) AS __p(id, s)),
+    k AS (
+      SELECT id, s, 'p' AS side, substring(s, 1, {bl}) AS bk FROM p
+      UNION ALL
+      SELECT id, s, 's' AS side,
+             substring(s, length(s) - {bl - 1}, {bl}) AS bk
+      FROM p WHERE length(s) >= {bl}
+    ){cap_cte},
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+      FROM k2 a JOIN k2 b ON a.side = b.side AND a.bk = b.bk
+                         AND a.id < b.id
+    )
+    SELECT id_a, id_b, CAST(levenshtein(sa, sb) AS BIGINT) AS dist
+    FROM cand
+    WHERE abs(length(sa) - length(sb)) <= {d}
+      AND levenshtein(sa, sb) <= {d}
+    """
+
+    def build(spark, sf_dir):
+        from pigout_spark.pipeline.dedup import fuzzy_pairs
+
+        df = spark.createDataFrame(strs, "id long, s string")
+        return fuzzy_pairs(
+            df, "id", "s", max_dist=d, block_len=bl, max_block=mb
+        )
+
+    return build, fsql
+
+
 def _gen_r6(rng: random.Random, kind: str, rows, cte: str, mkdf):
     """r6 pipeline additions: weighted sampling (pow), surprisal (ln),
     z-order keys (integer bit ops), incremental dedup (band probe) —
@@ -744,10 +869,13 @@ def gen_pipeline(rng: random.Random):
     kind = rng.choice(
         ["spans", "stats", "mixture", "corpus", "dsir", "tfidf", "pmi",
          "repn", "semantic", "bpe",
-         "wsample", "surprisal", "zorder", "incr"]
+         "wsample", "surprisal", "zorder", "incr",
+         "entropy", "gturing", "fuzzy"]
     )
     if kind == "semantic":
         return _gen_semantic(rng)
+    if kind in ("entropy", "gturing", "fuzzy"):
+        return _gen_r13(rng, kind, rows, cte, mkdf)
     if kind in ("wsample", "surprisal", "zorder", "incr"):
         return _gen_r6(rng, kind, rows, cte, mkdf)
     if kind in ("spans", "stats"):
