@@ -3635,9 +3635,6 @@ def _gen_uplift(rng: random.Random):
     return build, sql
 
 
-if __name__ == "__main__":
-    raise SystemExit(main())
-
 
 # ---------------------------------------------------------------- r12 ---
 def gen_r12(rng: random.Random):
@@ -3790,3 +3787,7 @@ def _gen_tempw(rng: random.Random):
         return temperature_weights(df, "src", alpha=0.5)
 
     return build, sql
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
