@@ -226,6 +226,18 @@ def main() -> None:
     # (refuse, exit 3, if the box never quiets); BENCH_NO_WAIT=1 skips
     # the wait entirely for quick local iteration.
     wait_budget = float(os.environ.get("BENCH_QUIET_WAIT_S", "600"))
+    # r13 ADVICE: BENCH_NO_WAIT=1 + BENCH_REQUIRE_QUIET=1 used to
+    # silently drop the strict exit-3 contract (the whole wait loop —
+    # including the refuse branch — was skipped).  The flags contradict
+    # each other; error out instead of guessing.
+    if os.environ.get("BENCH_NO_WAIT") and os.environ.get("BENCH_REQUIRE_QUIET"):
+        print(
+            "bench: BENCH_NO_WAIT=1 and BENCH_REQUIRE_QUIET=1 conflict — "
+            "NO_WAIT skips the wait loop that REQUIRE_QUIET's refuse-on-"
+            "contended (exit 3) contract lives in; unset one",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
     if not os.environ.get("BENCH_NO_WAIT"):
         deadline = time.time() + wait_budget
         while os.getloadavg()[0] > load_threshold:

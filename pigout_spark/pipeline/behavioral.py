@@ -1485,20 +1485,24 @@ def logrank_test(
     )
     # exactly-two-groups contract, asserted via a 1-row broadcast (r13:
     # replaces the keyless collect_set/min windows — same tiny relation,
-    # no WindowExec in the plan).  The assert predicate must reference
-    # BOTH join sides (__g is never NULL in per): a gstats-only
-    # condition is pushable below the crossJoin, where Catalyst would
-    # evaluate it on the aggregate row even when per is EMPTY — firing
-    # "exactly two groups" on zero groups (caught by the closing r13
-    # suite; plan-dependent, surfaced only under the fixture session's
-    # conf).
+    # no WindowExec in the plan).  The assert predicate must stay
+    # correct EVEN IF Catalyst pushes it below the crossJoin onto the
+    # gstats side (it will, whenever the predicate is gstats-only): the
+    # r13 `| __g.isNull()` form kept it join-side only while __g was
+    # nullable, but NullPropagation folds isNull→false on a
+    # non-nullable group column and the pushed gstats-only remnant then
+    # fires "exactly two groups" on EMPTY input (r13 ADVICE, reproduced
+    # with a non-nullable schema + AQE off).  Pushdown-safe by
+    # construction instead: allow __ng == 0 — an empty per yields
+    # __ng = 0 and no output rows regardless, so the relaxation never
+    # lets a 1- or 3-group misuse through.
     gstats = per.agg(
         F.count_distinct(F.col("__g")).alias("__ng"),
         F.min("__g").alias("__g1"),
     )
     per = per.crossJoin(F.broadcast(gstats)).filter(
         F.assert_true(
-            (F.col("__ng") == 2) | F.col("__g").isNull(),
+            (F.col("__ng") == 2) | (F.col("__ng") == 0),
             F.lit("logrank_test: exactly two groups required"),
         ).isNull()
     )
@@ -2329,20 +2333,22 @@ def fisher_exact(
     (p_less = P(K ≤ a), p_greater = P(K ≥ a)).
 
     Built DISTRIBUTIVELY, no scipy/driver math: ln-factorials come
-    from a cumulative ln window over a row_number relation derived
-    from the input itself (lnfact(i) = Σ_{j≤i} ln j — a sequential
-    fold, so the doubles are engine-identical), the k-terms are a
-    relation joined 6× against that broadcast table, and the tail
-    sums are exact DECIMAL(22,12) folds of ROUND-12 terms (the
-    vocab_kl discipline — summation order can never reorder floats).
+    from a cumulative ln window over a generated ``range(1, n)``
+    relation sized by a one-aggregate pre-count of the cells table
+    (lnfact(i) = Σ_{j≤i} ln j — a sequential fold, so the doubles are
+    engine-identical), the k-terms are a relation joined 6× against
+    that broadcast table, and the tail sums are exact DECIMAL(22,12)
+    folds of ROUND-12 terms (the vocab_kl discipline — summation
+    order can never reorder floats).
 
     Contracts: boolean columns, NULL rows EXCLUDED; TOTAL n (across
-    every key) is asserted ≤ ``max_n`` LOUDLY (the lnfact table is
+    every key) is asserted ≤ ``max_n`` LOUDLY on the 1-row pre-count
+    BEFORE any data-sized pass (r13 verdict #6 — the lnfact table is
     n-sized and broadcast; an exact test on larger n is statistically
-    pointless — use chi²) — the global row_number window that builds
-    it is the conscious bounded partition (mann_whitney_u contract).
-    Empty input or an empty margin reads p = 1 (the degenerate table
-    carries no evidence).
+    pointless — use chi²).  The only global window is the n-sized
+    (≤ max_n, contract-bounded) cumulative lnfact fold.  Empty input
+    or an empty margin reads p = 1 (the degenerate table carries no
+    evidence).
 
     Output: ONE row (a, b, c, d, p_two6, p_less6, p_greater6), or one
     row per key — (*keys, a, …, p_greater6) — in the grouped form
@@ -2372,19 +2378,38 @@ def fisher_exact(
         cell(~e & o, "c"),
         cell(~e & ~o, "d"),
     )
-    # ln-factorial table 0..n from the data itself (no eager count):
-    # row_number gives 1..n; the union row is lnfact(0) = 0.
-    wseq = Window.orderBy(F.lit(1))
-    ints = d0.select(F.row_number().over(wseq).cast("bigint").alias("i"))
-    ints = ints.filter(
-        F.assert_true(
-            F.col("i") <= int(max_n),
-            F.lit(
-                f"fisher_exact: n exceeds max_n={max_n} — the exact "
-                "test is margin-bounded by design; use "
-                "categorical_association (chi-square) at this size"
-            ),
-        ).isNull()
+    # ln-factorial table 0..n, sized by a ONE-AGGREGATE pre-count of the
+    # cells relation joined against a generated range (r13 verdict #6:
+    # the old row_number-over-the-data ladder single-partitioned the
+    # FULL input before its own max_n assert could fire, so a misuse on
+    # a 10B-row frame paid a data-sized shuffle before failing).  Now
+    # the guard rides a 1-row broadcast — it fires whether or not
+    # Catalyst pushes it, and the only remaining global window is the
+    # n-sized (≤ max_n, contract-bounded) cumulative lnfact fold below.
+    # Float identity: lnfact(i) is the same sequential Σ ln j fold in
+    # the same order, so the doubles are unchanged.
+    nrel = cells.agg(
+        F.coalesce(
+            F.sum(F.col("a") + F.col("b") + F.col("c") + F.col("d")),
+            F.lit(0),
+        ).cast("bigint").alias("__n")
+    )
+    ints = (
+        d0.sparkSession.range(1, int(max_n) + 1)
+        .select(F.col("id").cast("bigint").alias("i"))
+        .crossJoin(F.broadcast(nrel))
+        .filter(
+            F.assert_true(
+                F.col("__n") <= int(max_n),
+                F.lit(
+                    f"fisher_exact: n exceeds max_n={max_n} — the exact "
+                    "test is margin-bounded by design; use "
+                    "categorical_association (chi-square) at this size"
+                ),
+            ).isNull()
+        )
+        .filter(F.col("i") <= F.col("__n"))
+        .select("i")
     )
     lf = ints.withColumn(
         "lf",

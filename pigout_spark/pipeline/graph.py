@@ -284,16 +284,25 @@ def triangle_count(
     wall — the sf1 supplier co-purchase fixture (~6M edges, avg
     degree ~160) runs ~450 s; at 100× the exact path is days.  Before
     building the wedge relation this function computes its EXACT size,
-    Σ_v C(d⁺_v, 2) over the oriented out-degrees (a cheap aggregate —
-    the pre-wedge joins only, never the wedges themselves), and raises
-    ``ValueError`` if it exceeds ``max_wedges`` (default 2e9; the sf0.1
-    fixture enumerates 1.35e8 and passes, the sf1 dense fixture ~1e10
-    and trips) so a user cannot SILENTLY run a multi-hour exact count
-    on a dense graph.  When the graph is dense and an estimate
-    suffices, use :func:`triangle_count_sampled` (deterministic DOULION
-    edge sampling — seconds at the same scale, oracle-replayable);
-    to insist on the exact path pass ``max_wedges=None`` (or a bigger
-    budget) consciously.
+    Σ_v C(d⁺_v, 2) over the oriented out-degrees (the pre-wedge joins
+    only, never the wedges themselves), and raises ``ValueError`` if
+    it exceeds ``max_wedges`` (default 2e9; the sf0.1 fixture
+    enumerates 1.35e8 and passes, the sf1 dense fixture ~1e10 and
+    trips) so a user cannot SILENTLY run a multi-hour exact count on a
+    dense graph.
+
+    EAGER when ``max_wedges`` is set (r13 ADVICE, now documented): the
+    probe runs a Spark job AT CALL TIME — normalize + degree +
+    orientation execute before this function returns, unlike the rest
+    of the lazy builder API.  The oriented edge relation is
+    local-checkpointed first, so those stages run ONCE (the probe's
+    action materializes the checkpoint and the returned plan reuses
+    it, instead of recomputing the pre-wedge chain).  When the graph
+    is dense and an estimate suffices, use
+    :func:`triangle_count_sampled` (deterministic DOULION edge
+    sampling — seconds at the same scale, oracle-replayable); to
+    insist on the exact path — or to keep construction fully lazy —
+    pass ``max_wedges=None`` (or a bigger budget) consciously.
     """
     lim = 1 << 31
     s, d = F.col(src).cast("bigint"), F.col(dst).cast("bigint")
@@ -333,7 +342,11 @@ def triangle_count(
         # Exact wedge-relation size from the oriented out-degrees —
         # runs only the cheap pre-wedge stages (normalize, degree,
         # orientation joins), never materializes a wedge.  One bounded
-        # 1-row collect (the codebook/centroid discipline).
+        # 1-row collect (the codebook/centroid discipline).  Eager at
+        # construction (docstring contract); the checkpoint makes the
+        # probe's materialization REUSED by the returned plan instead
+        # of the pre-wedge chain computing twice (r13 ADVICE).
+        oriented = oriented.localCheckpoint(eager=False)
         probe = (
             oriented.groupBy("s")
             .agg(F.count(F.lit(1)).alias("__od"))

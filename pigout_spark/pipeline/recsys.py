@@ -133,6 +133,16 @@ def item_cooccurrence(
     ``max_wedge_degree`` discipline): a user with m items contributes
     m²/2 pairs, so one crawler/bot account can dominate the shuffle.
 
+    MEMORY CONTRACT OF THE CAP (changed r13; r13 ADVICE): the capped
+    default builds each user's FULL distinct item set in the
+    final-merge task before slicing (collect_set → sort → slice — the
+    fast shape, −22% at sf1).  On adversarial user populations (open
+    crawls, bot accounts with ~10⁸ distinct items) pass
+    ``hub_safe=True`` to restore the r8 bounded-memory dense_rank
+    shape, which never materializes more than ``max_items_per_user``
+    items per user per partition.  See :func:`_user_item_lists` for
+    the measured tradeoff.
+
     100 TB: one exchange onto the user key (the set aggregation,
     map-side combined), pairs generated in-task from each ≤cap-sized
     array, one exchange onto the pair key for the count — the pair
@@ -166,6 +176,13 @@ def item_cf_topk(
 
     Output: (item, rec_item, n_ab, score, rank), rank 1..k, both
     directions of every pair (a recommends b AND b recommends a).
+
+    MEMORY CONTRACT OF THE CAP (changed r13; r13 ADVICE): the capped
+    default materializes each user's full distinct item set once in
+    the final-merge task (fast collect_set→slice shape); on
+    adversarial user populations pass ``hub_safe=True`` for the
+    bounded-memory dense_rank shape — see :func:`item_cooccurrence`
+    and :func:`_user_item_lists`.
 
     100 TB: pair counts per :func:`item_cooccurrence`; the item-count
     relation comes from the SAME list aggregation (one extra in-task

@@ -5423,8 +5423,8 @@ def x_rrf_fusion(spark, sf_dir):
     "x_fuzzy_pairs",
     """
     WITH p AS (
-      SELECT p_partkey AS id, p_name AS s FROM part
-      WHERE p_partkey IS NOT NULL AND p_name IS NOT NULL
+      SELECT c_custkey AS id, c_name AS s FROM customer
+      WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL
     ), k AS (
       SELECT id, s, 'p' AS side, substring(s, 1, 4) AS bk FROM p
       UNION ALL
@@ -5441,19 +5441,37 @@ def x_rrf_fusion(spark, sf_dir):
     )
     SELECT id_a, id_b, CAST(levenshtein(sa, sb) AS BIGINT) AS dist
     FROM cand
-    WHERE abs(length(sa) - length(sb)) <= 2 AND levenshtein(sa, sb) <= 2
+    WHERE abs(length(sa) - length(sb)) <= 1 AND levenshtein(sa, sb) <= 1
     """,
     extra=True,  # r13 addition — r14 rotation candidate
 )
 def x_fuzzy_pairs(spark, sf_dir):
-    """Fuzzy-string near-dup pairs over PART NAMES: exact Levenshtein
-    ≤ 2 on redundant prefix4/suffix4 blocked candidates
+    """Fuzzy-string near-dup pairs over CUSTOMER NAMES: exact
+    Levenshtein ≤ 1 on redundant prefix4/suffix4 blocked candidates
     (pipeline/dedup.py:fuzzy_pairs — the record-linkage workhorse the
-    token-set family misses: one-character typos are edit distance 1
-    but move no Jaccard).  p_name is ASCII by fixture construction,
-    where Spark's char-based and DuckDB's byte-based levenshtein
-    agree exactly (the documented unicode caveat at the op)."""
+    token-set family misses: a one-character typo is edit distance 1
+    but moves no Jaccard).  c_name is ASCII by fixture construction,
+    where Spark's char-based and DuckDB's byte-based levenshtein agree
+    exactly (the documented unicode caveat at the op).
+
+    FIXTURE CHOICE (r14, closes the r13 verdict's vacuity finding):
+    the r13 variant ran over part names, whose vocabulary is 64
+    distinct strings at EVERY scale factor — at sf1 each prefix block
+    exceeds DEFAULT_MAX_BLOCK, the cap drops all of them, and both
+    engines hash-agree on 0 rows (a proof of the cap, not the
+    pipeline); an uncapped run is result-quadratic in the duplicate
+    multiplicity (~312M dist-0 pairs at sf1) and oracle-infeasible.
+    Customer names scale in CARDINALITY with the data (ID-like
+    zero-padded strings — the canonical record-linkage shape): the
+    driver reads 19.5k pairs at sf0.01, and the sf1/sf3 sweeps read
+    1.17M / 11.0M NON-EMPTY pairs with the oracle completing in
+    1.5 s / 13 s.  max_dist=1 keeps the driver-side relation compact;
+    the op's max_dist=2 path stays covered by tests/test_pipeline.py.
+    At sf≥0.1 the 'Cust'-prefix block exceeds max_block and drops —
+    candidates then flow through suffix-4 blocks alone, exercising
+    the cap and the redundant-blocking recall contract on the SAME
+    run that produces non-empty pairs."""
     from pigout_spark.pipeline.dedup import fuzzy_pairs
 
-    p = t(spark, sf_dir, "part").select("p_partkey", "p_name")
-    return fuzzy_pairs(p, "p_partkey", "p_name", max_dist=2)
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return fuzzy_pairs(c, "c_custkey", "c_name", max_dist=1)

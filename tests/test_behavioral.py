@@ -1076,6 +1076,33 @@ def test_logrank_test_against_reference(spark):
     empty = spark.createDataFrame([], "g string, t double, e boolean")
     er = logrank_test(empty, "t", "e", "g").collect()[0]
     assert (er.n, er.o_minus_e6, er.var6, er.z6) == (None, None, None, None)
+
+    # r13 ADVICE regression: with a NON-NULLABLE group column and AQE
+    # off, NullPropagation used to fold the old `| __g.isNull()` escape
+    # to false, the then-gstats-only assert was pushed below the
+    # crossJoin, and EMPTY input aborted with "exactly two groups".
+    # The r14 predicate ((__ng == 2) | (__ng == 0)) is gstats-only and
+    # pushdown-safe by construction, so this must read all-NULL too.
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    empty_nn = (
+        spark.createDataFrame([("a", 1.0, True)], "g string, t double, e boolean")
+        .select(
+            F.coalesce("g", F.lit("x")).alias("g"),  # non-nullable g
+            F.col("t"),
+            F.col("e"),
+        )
+        .filter(F.lit(False))
+    )
+    assert not empty_nn.schema["g"].nullable
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        er2 = logrank_test(empty_nn, "t", "e", "g").collect()[0]
+        assert (er2.n, er2.o_minus_e6, er2.var6, er2.z6) == (None, None, None, None)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
     plan = logrank_test(df, "t", "e", "g")._jdf.queryExecution(
     ).executedPlan().toString()
     assert "Window" not in plan
@@ -1273,6 +1300,22 @@ def test_fisher_exact_tea_tasting(spark):
     )
     ro = fisher_exact(onem, "e", "o").first()
     assert (ro.p_two6, ro.p_less6, ro.p_greater6) == (1.0, 1.0, 1.0)
+
+    # r13 verdict #6: the max_n guard rides a 1-row pre-count broadcast,
+    # so a violation fails loudly without a data-sized single-partition
+    # pass — and the ONLY window left in the plan is the n-sized lnfact
+    # fold over the generated Range relation (no row_number over the
+    # input remains).
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="max_n"):
+        fisher_exact(df, "e", "o", max_n=4).first()
+    plan = fisher_exact(df, "e", "o")._jdf.queryExecution(
+    ).executedPlan().toString()
+    # the lnfact fold lives behind the localCheckpoint (Scan
+    # ExistingRDD); the data-facing plan carries NO window at all
+    assert "row_number" not in plan
+    assert "Window" not in plan
 
 
 def test_grouped_stats_equal_perkey_loop(spark):
