@@ -522,7 +522,86 @@ _WINDOW_R13 = [
     "x_sessionize",
 ]
 assert len(_WINDOW_R13) == len(set(_WINDOW_R13)) == 50
-_window = set(_WINDOW_R13)
+
+# r14 rotation (VERDICT r13 task 1): the pinned 6-query queue — every
+# hash-checkable registered query that has NEVER held a driver
+# CORRECTNESS row, verified by set-union over CORRECTNESS_r01..r13
+# (x_sample_bernoulli / x_bpe_encode_trained stay extras: genuinely
+# rows-only by nature, their deterministic twins carry the hash
+# checks) — takes slots 2-7.  x_fuzzy_pairs enters AFTER the verdict's
+# #2 precondition was met this round: its sf1 attestation is now
+# non-vacuous (customer-name fixture, 1.17M pairs hash-green at sf1,
+# 11.0M at sf3 — SCALE.md r14).  x_msprt/x_rrf_fusion/x_token_entropy/
+# x_good_turing/x_zipf_fit were pre-verified at sf1+sf3 in r13
+# (SF1_R14_CANDIDATES_r13.json).  The remaining 43 slots re-anchor the
+# STALEST driver rows, per the verdict's prescription ("re-anchor the
+# oldest settled families with the remaining slots") and the r11
+# precedent — computed from CORRECTNESS_r01..r13: every still-
+# registered query whose newest green row is r5 or older (34 queries:
+# q18_string_funcs r3; dedup_embedding/dedup_jaccard/dedup_simhash/
+# q21_scalar_projection/sim_cosine_topk/text_fingerprint r4; the 27
+# r5-era pipeline/stream/latin rows) plus the 9 alphabetically-first
+# r6 rows.  The r13 settled anchors rotate out — every one of them
+# holds a FRESH r13 green row, the newest possible, and keeps its
+# local oracle (tools/selfcheck.py + tests/test_queries.py) per the
+# standing policy.
+_WINDOW_R14 = [
+    "q01_group_agg",  # flagship
+    # (a) the pinned r14 queue — never driver-checked (VERDICT r13 #1)
+    "x_token_entropy",
+    "x_good_turing",
+    "x_zipf_fit",
+    "x_rrf_fusion",
+    "x_msprt",
+    "x_fuzzy_pairs",
+    # (b) stale re-anchors: newest green row r5 or older (r3/r4 first)
+    "q18_string_funcs",
+    "dedup_embedding",
+    "dedup_jaccard",
+    "dedup_simhash",
+    "q21_scalar_projection",
+    "sim_cosine_topk",
+    "text_fingerprint",
+    "sim_quant_topk",
+    "x_bpe_pairs",
+    "x_corpus_stats",
+    "x_decontaminate",
+    "x_dedup_clusters",
+    "x_dedup_passages",
+    "x_dedup_retain",
+    "x_dsir_sample",
+    "x_dsir_weights",
+    "x_emb_quantize",
+    "x_funnel",
+    "x_kmv_merge",
+    "x_latin_topk",
+    "x_mixture_sample",
+    "x_passage_stats",
+    "x_pq_topk",
+    "x_range_join",
+    "x_rank_by_scalable",
+    "x_rollup_timeseries",
+    "x_row_rank_two_pass",
+    "x_stream_dedup",
+    "x_stream_join",
+    "x_text_chunks",
+    "x_text_pack",
+    "x_text_pii",
+    "x_text_repetition",
+    "x_token_budget",
+    # (c) stale re-anchors: the 9 alphabetically-first r6 rows
+    "q27_stream_through",
+    "x_bpe_encode",
+    "x_cms_sketch",
+    "x_cohort_retention",
+    "x_events_resample",
+    "x_interp",
+    "x_ivfpq_topk",
+    "x_kmv_sketch",
+    "x_latin_udf",
+]
+assert len(_WINDOW_R14) == len(set(_WINDOW_R14)) == 50
+_window = set(_WINDOW_R14)
 for _k in list(REGISTRY):
     if _k not in _window:
         EXTRA_REGISTRY[_k] = REGISTRY.pop(_k)
@@ -534,7 +613,7 @@ assert not _missing, f"window names not registered anywhere: {_missing}"
 
 # Window order == list order (new-this-round rows right after the
 # flagship, settled anchors last).
-_ordered = {k: REGISTRY[k] for k in _WINDOW_R13}
+_ordered = {k: REGISTRY[k] for k in _WINDOW_R14}
 REGISTRY.clear()
 REGISTRY.update(_ordered)
 

@@ -75,26 +75,29 @@ def test_registry_size_pinned():
     )
 
 
-def test_r13_window_landed():
-    """The r13 explicit window (queries/__init__.py): the driver-facing
-    set is exactly _WINDOW_R13 in order, every entry has a SQL oracle,
+def test_r14_window_landed():
+    """The r14 explicit window (queries/__init__.py): the driver-facing
+    set is exactly _WINDOW_R14 in order, every entry has a SQL oracle,
     and everything displaced kept its local oracle as an extra."""
-    from pigout_spark.queries import _WINDOW_R13
+    from pigout_spark.queries import _WINDOW_R14
 
     q = entrymod.queries()
     o = entrymod.oracle_sql()
-    assert list(q) == _WINDOW_R13
+    assert list(q) == _WINDOW_R14
     assert len(q) == qmod.DRIVER_QUERY_CAP
     for name in q:
         assert name in o, f"{name} in window without a SQL oracle"
     extras = qmod.extra_oracle_sql()
     # spot-check displaced rows kept their oracle (rows-only pair has
     # no SQL by design — it lives in extra_queries, not the oracle map)
-    # — incl. the r11-window rows that ceded slots this round
-    for name in ("x_semantic_pairs", "x_twa", "x_bpe_encode",
-                 "x_attribution_last", "x_grouped_kruskal",
-                 "x_funnel_replay", "x_kmv_estimate", "q10_rank",
-                 "stream_sliding", "x_triangles"):
+    # — incl. r13 settled anchors that ceded slots to the r14 stale
+    # re-anchors (every one holds a fresh r13 driver row)
+    for name in ("x_semantic_pairs", "x_twa", "x_attribution_last",
+                 "x_grouped_kruskal", "x_funnel_replay",
+                 "x_kmv_estimate", "q10_rank", "stream_sliding",
+                 "x_triangles", "q02_filter_project", "q03_join_agg",
+                 "dedup_minhash", "text_quality", "x_sessionize",
+                 "x_boot_ci", "x_containment"):
         assert name not in q and name in extras
     assert "x_sample_bernoulli" in qmod.extra_queries()
     assert "x_sample_bernoulli" not in extras
