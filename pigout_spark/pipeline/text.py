@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pigout_spark.pipeline.dedup import ws_tokens
+from pigout_spark.plans.partitioning import fan_out
 
 #: Per-language stopword profiles (whole-token hits) for Latin-script
 #: language ID.  Order = tie-break precedence.  Chinese is NOT here —
@@ -821,8 +822,20 @@ def bigram_lm_score(
     vocab — all model-sized) and the document-scale bigram stream
     joins ONCE on (w1, w2) instead of twice ((w1, w2) then a full
     re-shuffle onto w1); the log computes per type, not per instance.
+
+    r14 floor work (r13 verdict #5): the prescribed semi-join prune is
+    a NO-OP by construction here — the model is built from the same
+    stream it scores, so every model type is observed (and per-doc
+    type dedup before the join measured only 3.5% duplication at sf1 —
+    recorded negative results).  The real lever was PARALLELISM: the
+    tokenize→explode chain runs ~3× (c2 build, vocab, score join) at
+    SCAN granularity — 2 tasks at sf1 / 5 at sf3 on a 32-thread box —
+    so the guarded :func:`fan_out` respray in front of it is worth
+    ~3× at sf3 (15.0 s → 4.9-5.1 s warm; sf1 6.5 s → 3.2-4.1 s) and is
+    a no-op at production scan widths where splits already exceed the
+    session parallelism.
     """
-    toks = df.select(
+    toks = fan_out(df).select(
         F.col(id_col),
         ws_tokens(text_col, distinct=False).alias("__toks"),
     )
