@@ -335,3 +335,259 @@ def sample_frames(df: DataFrame, payload_col: str = "payload",
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
+def encode_wav(
+    sample_rate: int,
+    channels: int,
+    bits_per_sample: int,
+    frames: bytes,
+) -> bytes:
+    """Canonical PCM WAV (RIFF/WAVE) encoder — like :func:`encode_ppm`,
+    the format is simple enough to implement from its public spec
+    (Microsoft/IBM RIFF, 1991; the 44-byte canonical PCM header) in a
+    few lines, making it this engine's dependency-free REAL audio
+    format (r13 verdict #8: the audio analog of the PPM codec).
+    ``frames`` is the raw sample data: n_frames · channels samples,
+    frame-interleaved, 8-bit unsigned or 16-bit signed little-endian
+    per the spec."""
+    if bits_per_sample not in (8, 16):
+        raise ValueError(
+            f"encode_wav: bits_per_sample must be 8 or 16 (PCM), got "
+            f"{bits_per_sample}"
+        )
+    if channels < 1:
+        raise ValueError(f"encode_wav: channels must be >= 1, got {channels}")
+    block_align = channels * (bits_per_sample // 8)
+    if len(frames) % block_align:
+        raise ValueError(
+            f"encode_wav: frame data ({len(frames)} bytes) is not a "
+            f"multiple of block_align={block_align}"
+        )
+    byte_rate = sample_rate * block_align
+
+    def le(n: int, width: int) -> bytes:
+        return int(n).to_bytes(width, "little")
+
+    fmt = (
+        b"fmt " + le(16, 4) + le(1, 2) + le(channels, 2)
+        + le(sample_rate, 4) + le(byte_rate, 4)
+        + le(block_align, 2) + le(bits_per_sample, 2)
+    )
+    data = b"data" + le(len(frames), 4) + frames
+    body = b"WAVE" + fmt + data
+    return b"RIFF" + le(len(body), 4) + body
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Pure-Python PCM WAV (RIFF/WAVE) decode → header fields plus
+    exact per-channel integer sample sums (the hash-stable audio
+    statistic, mirroring decode_ppm's ch_sums):
+
+        {sample_rate, channels, bits_per_sample, n_frames,
+         duration_us, ch_sums [ch0, ch1, ...]}
+
+    ``duration_us`` is exact integer micro-units (n_frames · 10⁶ //
+    sample_rate — the vocab_kl no-float discipline).  The chunk walk
+    follows the RIFF spec: 4-byte id + LE32 size, chunks word-aligned
+    (odd sizes padded), unknown chunks (LIST, fact, ...) skipped.
+    Only format code 1 (integer PCM) at 8/16 bits is supported —
+    compressed/float formats raise NotImplementedError naming the
+    format, and truncated or malformed payloads raise ValueError
+    naming the defect (a corrupt crawl byte-range must fail loudly,
+    not read garbage stats)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF":
+        raise ValueError("decode_wav: not a RIFF container (magic != RIFF)")
+    if payload[8:12] != b"WAVE":
+        raise ValueError("decode_wav: RIFF form type is not WAVE")
+    riff_size = int.from_bytes(payload[4:8], "little")
+    if 8 + riff_size > len(payload):
+        raise ValueError(
+            f"decode_wav: truncated container (header claims "
+            f"{8 + riff_size} bytes, payload has {len(payload)})"
+        )
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        csize = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + csize]
+        if len(body) != csize:
+            raise ValueError(
+                f"decode_wav: truncated {cid!r} chunk "
+                f"({len(body)} of {csize} bytes)"
+            )
+        if cid == b"fmt ":
+            if csize < 16:
+                raise ValueError("decode_wav: fmt chunk shorter than 16 bytes")
+            fmt = {
+                "audio_format": int.from_bytes(body[0:2], "little"),
+                "channels": int.from_bytes(body[2:4], "little"),
+                "sample_rate": int.from_bytes(body[4:8], "little"),
+                "block_align": int.from_bytes(body[12:14], "little"),
+                "bits_per_sample": int.from_bytes(body[14:16], "little"),
+            }
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize & 1)  # word alignment per the spec
+    if fmt is None:
+        raise ValueError("decode_wav: missing fmt chunk")
+    if data is None:
+        raise ValueError("decode_wav: missing data chunk")
+    if fmt["audio_format"] != 1:
+        raise NotImplementedError(
+            f"decode_wav: only integer PCM (format 1) is supported, got "
+            f"format {fmt['audio_format']} — decode compressed/float "
+            "audio with a real codec on a real cluster"
+        )
+    bits, ch = fmt["bits_per_sample"], fmt["channels"]
+    if bits not in (8, 16):
+        raise NotImplementedError(
+            f"decode_wav: only 8/16-bit PCM is supported, got {bits}"
+        )
+    if ch < 1:
+        raise ValueError("decode_wav: channels must be >= 1")
+    want_align = ch * (bits // 8)
+    if fmt["block_align"] != want_align:
+        raise ValueError(
+            f"decode_wav: block_align {fmt['block_align']} does not match "
+            f"channels x bytes/sample = {want_align}"
+        )
+    if len(data) % want_align:
+        raise ValueError(
+            f"decode_wav: data chunk ({len(data)} bytes) is not a "
+            f"multiple of block_align={want_align}"
+        )
+    n_frames = len(data) // want_align
+    sums = [0] * ch
+    if bits == 8:  # unsigned per the spec
+        for i, b in enumerate(data):
+            sums[i % ch] += b
+    else:  # 16-bit signed little-endian
+        for i in range(0, len(data), 2):
+            v = int.from_bytes(data[i : i + 2], "little", signed=True)
+            sums[(i // 2) % ch] += v
+    sr = fmt["sample_rate"]
+    if sr <= 0:
+        raise ValueError(f"decode_wav: sample_rate {sr} must be positive")
+    return {
+        "sample_rate": sr,
+        "channels": ch,
+        "bits_per_sample": bits,
+        "n_frames": n_frames,
+        "duration_us": n_frames * 1_000_000 // sr,
+        "ch_sums": sums,
+    }
+
+
+def synth_wav(key: int) -> bytes:
+    """Deterministic PCM WAV fixture from an integer key — the audio
+    analog of binarize()'s text payloads: every field and sample is
+    pure integer arithmetic on ``key``, so a SQL oracle can replay the
+    header fields AND the exact channel sums without parsing a byte.
+
+    Law (mirrored in the x_wav_meta oracle):
+        sample_rate     = 8000 + (key % 5) · 2000
+        channels        = 1 + (key % 2)
+        bits            = 8 when key % 3 == 0 else 16
+        n_frames        = 50 + (key % 100)
+        8-bit sample    = (key·7 + i·13 + c·31) % 256        (unsigned)
+        16-bit sample   = (key·7 + i·13 + c·31) % 201 − 100  (signed)
+    """
+    key = int(key)
+    sr = 8000 + (key % 5) * 2000
+    ch = 1 + (key % 2)
+    bits = 8 if key % 3 == 0 else 16
+    nf = 50 + (key % 100)
+    if bits == 8:
+        frames = bytes(
+            (key * 7 + i * 13 + c * 31) % 256
+            for i in range(nf)
+            for c in range(ch)
+        )
+    else:
+        buf = bytearray()
+        for i in range(nf):
+            for c in range(ch):
+                v = (key * 7 + i * 13 + c * 31) % 201 - 100
+                buf += int(v).to_bytes(2, "little", signed=True)
+        frames = bytes(buf)
+    return encode_wav(sr, ch, bits, frames)
+
+
+def synth_wav_payloads(
+    df: DataFrame, id_col: str = "doc_id", out: str = "payload"
+) -> DataFrame:
+    """Attach a deterministic WAV payload column derived from the id
+    (:func:`synth_wav`) — an Arrow-batched narrow map (mapInPandas, no
+    shuffle; the binarize() pattern for audio)."""
+    cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+    schema = f"{cols}, {out} binary"
+
+    def run(batches: Iterable) -> Iterator:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out] = [synth_wav(int(k)) for k in pdf[id_col]]
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def decode_wav_audio(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REAL audio metadata extraction without an audio library: an
+    Arrow-batched narrow map (mapInPandas — no shuffle, scales with
+    the scan) running :func:`decode_wav` per payload, the audio
+    parallel of :func:`decode_ppm_images`.  Output carries the RIFF
+    header fields, the exact integer micro-unit duration, and EXACT
+    per-channel sample sums — means/levels belong downstream in JVM
+    expressions so the rounding discipline matches the oracle engine.
+
+    Schema: (id, sample_rate, channels, bits, n_frames, duration_us,
+    sum_ch0, sum_ch1) — sum_ch1 is NULL for mono payloads; channels
+    beyond the second fold into neither column (sums for arbitrary
+    channel counts come from decode_wav directly)."""
+    schema = (
+        f"{id_col} long, sample_rate int, channels int, bits int, "
+        "n_frames long, duration_us long, sum_ch0 long, sum_ch1 long"
+    )
+
+    def run(batches: Iterable) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            metas = [decode_wav(bytes(b)) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "sample_rate": pd.Series(
+                        [m["sample_rate"] for m in metas], dtype="int32"
+                    ),
+                    "channels": pd.Series(
+                        [m["channels"] for m in metas], dtype="int32"
+                    ),
+                    "bits": pd.Series(
+                        [m["bits_per_sample"] for m in metas], dtype="int32"
+                    ),
+                    "n_frames": pd.Series(
+                        [m["n_frames"] for m in metas], dtype="int64"
+                    ),
+                    "duration_us": pd.Series(
+                        [m["duration_us"] for m in metas], dtype="int64"
+                    ),
+                    "sum_ch0": pd.Series(
+                        [m["ch_sums"][0] for m in metas], dtype="int64"
+                    ),
+                    "sum_ch1": pd.Series(
+                        [
+                            m["ch_sums"][1] if len(m["ch_sums"]) > 1 else None
+                            for m in metas
+                        ],
+                        dtype="Int64",
+                    ),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)

@@ -598,7 +598,11 @@ _WINDOW_R14 = [
     "x_interp",
     "x_ivfpq_topk",
     "x_kmv_sketch",
-    "x_latin_udf",
+    # (d) built this round (the standing pattern): WAV/RIFF audio
+    # metadata — the r13 verdict #8 gap.  x_latin_udf (the would-be
+    # 9th r6 re-anchor) cedes the slot; its family keeps fresh rows
+    # via x_latin_topk (this window) and x_latin_q01 (r13).
+    "x_wav_meta",
 ]
 assert len(_WINDOW_R14) == len(set(_WINDOW_R14)) == 50
 _window = set(_WINDOW_R14)

@@ -1133,6 +1133,66 @@ def x_mm_decode(spark, sf_dir):
     return decode_images(d, use="fake")
 
 
+# Audio (WAV/RIFF) metadata — the r13 verdict #8 gap: payloads are
+# REAL canonical PCM WAV bytes built by synth_wav (deterministic
+# integer law), parsed back by the dependency-free RIFF chunk walker;
+# the oracle replays the generator law in pure SQL, so a header-walk
+# or sample-sum bug on either side hash-mismatches.
+@query(
+    "x_wav_meta",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             8000 + (doc_id % 5) * 2000 AS sr,
+             1 + (doc_id % 2) AS ch,
+             CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits,
+             50 + (doc_id % 100) AS nf
+      FROM documents
+    ), ix AS (
+      SELECT doc_id, sr, ch, bits, nf, unnest(range(0, nf)) AS i FROM d
+    ), s AS (
+      SELECT doc_id,
+             SUM(CASE WHEN bits = 8 THEN (doc_id*7 + i*13) % 256
+                      ELSE (doc_id*7 + i*13) % 201 - 100 END) AS s0,
+             SUM(CASE WHEN ch = 2 THEN
+                   CASE WHEN bits = 8 THEN (doc_id*7 + i*13 + 31) % 256
+                        ELSE (doc_id*7 + i*13 + 31) % 201 - 100 END
+                 END) AS s1
+      FROM ix GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(d.sr AS INT) AS sample_rate,
+           CAST(d.ch AS INT) AS channels,
+           CAST(d.bits AS INT) AS bits,
+           CAST(d.nf AS BIGINT) AS n_frames,
+           CAST(d.nf * 1000000 // d.sr AS BIGINT) AS duration_us,
+           CAST(s.s0 AS BIGINT) AS sum_ch0,
+           CAST(s.s1 AS BIGINT) AS sum_ch1
+    FROM d JOIN s USING (doc_id)
+    """,
+    extra=True,  # r14 addition — takes a window slot in its build round
+)
+def x_wav_meta(spark, sf_dir):
+    """Audio-column metadata: deterministic PCM WAV payloads
+    (pipeline/multimodal.py:synth_wav — real RIFF bytes, integer
+    sample law) decoded by the dependency-free chunk walker
+    (decode_wav_audio: sample rate, channels, bit depth, frame count,
+    exact micro-unit duration, exact per-channel sample sums) over an
+    Arrow-batched narrow map.  The oracle replays the generator law in
+    pure SQL — the WAV bytes exist only on the Spark side, so the
+    check covers the ENCODER and DECODER round-trip, not just the
+    arithmetic."""
+    from pigout_spark.pipeline.multimodal import (
+        decode_wav_audio,
+        synth_wav_payloads,
+    )
+
+    d = synth_wav_payloads(
+        t(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
+    return decode_wav_audio(d, "payload", "doc_id")
+
+
 # mapInPandas row multiplication — against a pure-SQL byte-math oracle.
 @query(
     "x_mm_frames",

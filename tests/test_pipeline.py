@@ -3453,6 +3453,97 @@ def test_ppm_codec_real_decode_without_pillow(spark):
     assert (got[2].width, got[2].height, got[2].mode) == (3, 1, "L")
 
 
+def test_wav_codec_round_trip_and_errors(spark):
+    """r14 (r13 verdict #8): PCM WAV decodes for REAL in pure Python —
+    no audio library, no skip.  Byte-exact roundtrip for 8/16-bit,
+    mono/stereo, word-aligned unknown-chunk skip, loud failures on
+    malformed payloads, and the Spark mapInPandas stage against the
+    synth_wav fixture law."""
+    from pigout_spark.pipeline.multimodal import (
+        decode_wav,
+        decode_wav_audio,
+        encode_wav,
+        synth_wav,
+        synth_wav_payloads,
+    )
+
+    # 16-bit stereo, hand-placed samples (incl. negatives)
+    frames = b"".join(
+        int(v).to_bytes(2, "little", signed=True)
+        for v in (100, -5, 7, 7, -100, 0)  # 3 frames x 2 channels
+    )
+    w = encode_wav(16000, 2, 16, frames)
+    m = decode_wav(w)
+    assert (m["sample_rate"], m["channels"], m["bits_per_sample"]) == (16000, 2, 16)
+    assert m["n_frames"] == 3
+    assert m["duration_us"] == 3 * 1_000_000 // 16000
+    assert m["ch_sums"] == [100 + 7 - 100, -5 + 7 + 0]
+
+    # 8-bit mono (unsigned per the spec)
+    w8 = encode_wav(8000, 1, 8, bytes([0, 128, 255]))
+    m8 = decode_wav(w8)
+    assert (m8["bits_per_sample"], m8["ch_sums"]) == (8, [0 + 128 + 255])
+
+    # unknown chunks are skipped with word alignment: inject an
+    # odd-sized LIST chunk (3 bytes -> 1 pad byte) between fmt and data
+    fmt_end = 12 + 8 + 16
+    listed = (
+        w[:fmt_end]
+        + b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"
+        + w[fmt_end:]
+    )
+    listed = b"RIFF" + (len(listed) - 8).to_bytes(4, "little") + listed[8:]
+    assert decode_wav(listed)["ch_sums"] == m["ch_sums"]
+
+    # loud failures
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS" + bytes(20))
+    with _pytest.raises(ValueError, match="WAVE"):
+        decode_wav(b"RIFF" + (4).to_bytes(4, "little") + b"AVI ")
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_wav(w[:-1])
+    with _pytest.raises(ValueError, match="missing data"):
+        headless = w[:fmt_end]
+        decode_wav(
+            b"RIFF" + (len(headless) - 8).to_bytes(4, "little") + headless[8:]
+        )
+    with _pytest.raises(NotImplementedError, match="format 3"):
+        # float PCM (format code 3) is out of scope, loudly
+        bad = bytearray(w)
+        bad[20:22] = (3).to_bytes(2, "little")
+        decode_wav(bytes(bad))
+    with _pytest.raises(ValueError, match="multiple of block_align"):
+        encode_wav(8000, 2, 16, b"\x00\x01\x02")
+
+    # the fixture law round-trips for keys covering all branches
+    for key in (0, 1, 2, 3, 7, 99, 12345):
+        mk = decode_wav(synth_wav(key))
+        assert mk["sample_rate"] == 8000 + (key % 5) * 2000
+        assert mk["channels"] == 1 + (key % 2)
+        assert mk["bits_per_sample"] == (8 if key % 3 == 0 else 16)
+        assert mk["n_frames"] == 50 + (key % 100)
+        want0 = sum(
+            (key * 7 + i * 13) % 256 if key % 3 == 0
+            else (key * 7 + i * 13) % 201 - 100
+            for i in range(mk["n_frames"])
+        )
+        assert mk["ch_sums"][0] == want0
+
+    # the distributed stage: synth -> decode, NULL sum_ch1 for mono
+    df = spark.createDataFrame([(2,), (7,)], "doc_id long")
+    got = {
+        r.doc_id: r
+        for r in decode_wav_audio(synth_wav_payloads(df)).collect()
+    }
+    assert (got[2].channels, got[2].sum_ch1) == (1, None)
+    assert got[7].channels == 2
+    m7 = decode_wav(synth_wav(7))
+    assert (got[7].sum_ch0, got[7].sum_ch1) == tuple(m7["ch_sums"])
+    assert got[7].duration_us == m7["duration_us"]
+
+
 def test_embedding_covariance_matches_numpy(spark):
     """Exact match to numpy's population covariance of the SAME
     micro-quantized doubles (the operator's contract: quantize →
