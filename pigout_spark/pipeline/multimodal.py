@@ -591,3 +591,203 @@ def decode_wav_audio(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
+def encode_avi_header(
+    width: int,
+    height: int,
+    total_frames: int,
+    us_per_frame: int,
+    streams: int = 1,
+) -> bytes:
+    """Minimal RIFF/AVI container with a spec-shaped header: the
+    ``LIST hdrl`` holding the 56-byte ``avih`` main header (public
+    AVI RIFF form, Microsoft Video for Windows spec) plus an empty
+    ``LIST movi`` body — the video analog of :func:`encode_wav`.
+    Carries NO frame data (frame decode belongs to a real codec on a
+    real cluster); the container metadata is the part a 100 TB crawl
+    pipeline actually reads (dimensions, frame count, frame rate)."""
+    if us_per_frame <= 0:
+        raise ValueError(
+            f"encode_avi_header: us_per_frame must be positive, got "
+            f"{us_per_frame}"
+        )
+
+    def le(n: int, width_b: int) -> bytes:
+        return int(n).to_bytes(width_b, "little")
+
+    avih_body = (
+        le(us_per_frame, 4)        # dwMicroSecPerFrame
+        + le(0, 4)                 # dwMaxBytesPerSec
+        + le(0, 4)                 # dwPaddingGranularity
+        + le(0x10, 4)              # dwFlags (AVIF_HASINDEX)
+        + le(total_frames, 4)      # dwTotalFrames
+        + le(0, 4)                 # dwInitialFrames
+        + le(streams, 4)           # dwStreams
+        + le(0, 4)                 # dwSuggestedBufferSize
+        + le(width, 4)             # dwWidth
+        + le(height, 4)            # dwHeight
+        + le(0, 4) * 4             # dwReserved[4]
+    )
+    avih = b"avih" + le(len(avih_body), 4) + avih_body
+    hdrl = b"LIST" + le(4 + len(avih), 4) + b"hdrl" + avih
+    movi = b"LIST" + le(4, 4) + b"movi"
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + le(len(body), 4) + body
+
+
+def decode_avi_meta(payload: bytes) -> dict:
+    """Pure-Python AVI container metadata → the ``avih`` main-header
+    fields a pipeline filters on:
+
+        {width, height, total_frames, us_per_frame, streams,
+         duration_us, fps_milli}
+
+    ``duration_us`` = total_frames · us_per_frame (exact integers);
+    ``fps_milli`` = 10⁹ // us_per_frame (frame rate in exact
+    milli-fps — the micro-unit no-float discipline).  The walk
+    follows the RIFF spec shared with :func:`decode_wav` (LE32 sizes,
+    word alignment): form type must be ``AVI ``, and the ``avih``
+    header is found inside the ``LIST hdrl`` chunk.  Malformed or
+    truncated payloads raise ValueError naming the defect."""
+    if len(payload) < 12 or payload[:4] != b"RIFF":
+        raise ValueError("decode_avi_meta: not a RIFF container (magic != RIFF)")
+    if payload[8:12] != b"AVI ":
+        raise ValueError("decode_avi_meta: RIFF form type is not 'AVI '")
+    riff_size = int.from_bytes(payload[4:8], "little")
+    if 8 + riff_size > len(payload):
+        raise ValueError(
+            f"decode_avi_meta: truncated container (header claims "
+            f"{8 + riff_size} bytes, payload has {len(payload)})"
+        )
+    pos, avih = 12, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        csize = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + csize]
+        if len(body) != csize:
+            raise ValueError(
+                f"decode_avi_meta: truncated {cid!r} chunk "
+                f"({len(body)} of {csize} bytes)"
+            )
+        if cid == b"LIST" and body[:4] == b"hdrl":
+            # walk the list's children for the main header
+            ipos = 4
+            while ipos + 8 <= len(body):
+                iid = body[ipos : ipos + 4]
+                isize = int.from_bytes(body[ipos + 4 : ipos + 8], "little")
+                ibody = body[ipos + 8 : ipos + 8 + isize]
+                if iid == b"avih":
+                    if isize < 40:
+                        raise ValueError(
+                            "decode_avi_meta: avih chunk shorter than the "
+                            "40 header bytes read"
+                        )
+                    avih = ibody
+                    break
+                ipos += 8 + isize + (isize & 1)
+        pos += 8 + csize + (csize & 1)
+    if avih is None:
+        raise ValueError("decode_avi_meta: missing LIST hdrl / avih chunk")
+    upf = int.from_bytes(avih[0:4], "little")
+    if upf <= 0:
+        raise ValueError(
+            f"decode_avi_meta: dwMicroSecPerFrame {upf} must be positive"
+        )
+    frames = int.from_bytes(avih[16:20], "little")
+    return {
+        "width": int.from_bytes(avih[32:36], "little"),
+        "height": int.from_bytes(avih[36:40], "little"),
+        "total_frames": frames,
+        "us_per_frame": upf,
+        "streams": int.from_bytes(avih[24:28], "little"),
+        "duration_us": frames * upf,
+        "fps_milli": 1_000_000_000 // upf,
+    }
+
+
+def synth_avi(key: int) -> bytes:
+    """Deterministic AVI container fixture from an integer key — the
+    video analog of :func:`synth_wav`; every field is integer
+    arithmetic on ``key`` so a SQL oracle replays the metadata without
+    parsing a byte.
+
+    Law (mirrored in the x_avi_meta oracle):
+        width        = 160 · (1 + key % 4)
+        height       = 120 · (1 + key % 4)
+        total_frames = 24 + (key % 240)
+        us_per_frame = 33333 when key % 2 == 0 else 41666  (≈30/24 fps)
+        streams      = 1 + (key % 2)
+    """
+    key = int(key)
+    return encode_avi_header(
+        width=160 * (1 + key % 4),
+        height=120 * (1 + key % 4),
+        total_frames=24 + (key % 240),
+        us_per_frame=33333 if key % 2 == 0 else 41666,
+        streams=1 + (key % 2),
+    )
+
+
+def decode_avi_videos(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Container-metadata extraction for a binary AVI column: an
+    Arrow-batched narrow map (mapInPandas — no shuffle, scales with
+    the scan) running :func:`decode_avi_meta` per payload.
+
+    Schema: (id, width, height, total_frames, us_per_frame, streams,
+    duration_us, fps_milli)."""
+    schema = (
+        f"{id_col} long, width int, height int, total_frames long, "
+        "us_per_frame long, streams int, duration_us long, fps_milli long"
+    )
+
+    def run(batches: Iterable) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            metas = [decode_avi_meta(bytes(b)) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "width": pd.Series([m["width"] for m in metas], dtype="int32"),
+                    "height": pd.Series([m["height"] for m in metas], dtype="int32"),
+                    "total_frames": pd.Series(
+                        [m["total_frames"] for m in metas], dtype="int64"
+                    ),
+                    "us_per_frame": pd.Series(
+                        [m["us_per_frame"] for m in metas], dtype="int64"
+                    ),
+                    "streams": pd.Series(
+                        [m["streams"] for m in metas], dtype="int32"
+                    ),
+                    "duration_us": pd.Series(
+                        [m["duration_us"] for m in metas], dtype="int64"
+                    ),
+                    "fps_milli": pd.Series(
+                        [m["fps_milli"] for m in metas], dtype="int64"
+                    ),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
+def synth_avi_payloads(
+    df: DataFrame, id_col: str = "doc_id", out: str = "payload"
+) -> DataFrame:
+    """Attach a deterministic AVI payload column derived from the id
+    (:func:`synth_avi`) — the synth_wav_payloads pattern for video."""
+    cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+    schema = f"{cols}, {out} binary"
+
+    def run(batches: Iterable) -> Iterator:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out] = [synth_avi(int(k)) for k in pdf[id_col]]
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)

@@ -1508,6 +1508,69 @@ def url_normalize(
     ).drop("__sch", "__hp", "__pth", "__q")
 
 
+def readability_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Classic readability quality signals per document — Flesch
+    Reading Ease and Flesch-Kincaid grade level (Kincaid et al. 1975,
+    public formulas), the curation-ladder step between raw
+    length/punct ratios and LM surprisal:
+
+        flesch   = 206.835 − 1.015·(W/S) − 84.6·(Y/W)
+        fk_grade = 0.39·(W/S) + 11.8·(Y/W) − 15.59
+
+    with W whitespace words, S sentence-ending punctuation runs
+    ([.!?]+, floored at 1 so headline-style fragments still score),
+    and Y syllable groups approximated as maximal [aeiouy]+ runs of
+    the lowercased text (the standard dictionary-free heuristic —
+    vowel groups cannot span whitespace, so the whole-text count
+    equals the per-word sum).  Counts are exact integers; each score
+    is ONE fixed IEEE chain on those integers, ROUND-6 — engine-
+    replayable, the repo-wide hash discipline.  Zero-word docs read
+    NULL scores (no evidence, not zero).
+
+    Output: (id, n_words, n_sentences, n_syllables, flesch6,
+    fk_grade6).
+
+    100 TB: a narrow map — regex counts + arithmetic inside
+    whole-stage codegen; no shuffle, no UDF, scales with the scan.
+    """
+    c = F.col(text_col)
+    words = F.size(ws_tokens(c, distinct=False)).cast("bigint")
+    sents = F.greatest(
+        F.lit(1).cast("bigint"),
+        F.size(F.regexp_extract_all(c, F.lit(r"[.!?]+"), 0)).cast("bigint"),
+    )
+    syll = F.size(
+        F.regexp_extract_all(F.lower(c), F.lit(r"[aeiouy]+"), 0)
+    ).cast("bigint")
+    wps = words.cast("double") / sents.cast("double")
+    spw = syll.cast("double") / words.cast("double")
+    nz = words > 0
+    return df.select(
+        F.col(id_col),
+        words.alias("n_words"),
+        sents.alias("n_sentences"),
+        syll.alias("n_syllables"),
+        F.when(
+            nz,
+            F.round(
+                F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6
+            )
+            + F.lit(0.0),
+        ).alias("flesch6"),
+        F.when(
+            nz,
+            F.round(
+                F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6
+            )
+            + F.lit(0.0),
+        ).alias("fk_grade6"),
+    )
+
+
 def token_entropy(
     df: DataFrame,
     text_col: str = "text",

@@ -1133,6 +1133,44 @@ def x_mm_decode(spark, sf_dir):
     return decode_images(d, use="fake")
 
 
+# Readability (Flesch / Flesch-Kincaid) — dictionary-free syllable
+# heuristic over exact regex counts; one narrow map, ROUND-6 IEEE.
+@query(
+    "x_readability",
+    f"""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(len({_SQL_TOKS}) AS BIGINT) AS w,
+             CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+                  AS BIGINT) AS s,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS y
+      FROM documents
+    )
+    SELECT doc_id, w AS n_words, s AS n_sentences, y AS n_syllables,
+           CASE WHEN w > 0 THEN
+             ROUND(206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+                           - 84.6 * (CAST(y AS DOUBLE) / w), 6)
+           END AS flesch6,
+           CASE WHEN w > 0 THEN
+             ROUND(0.39 * (CAST(w AS DOUBLE) / s)
+                   + 11.8 * (CAST(y AS DOUBLE) / w) - 15.59, 6)
+           END AS fk_grade6
+    FROM c
+    """,
+    extra=True,  # r14 addition — r15 rotation candidate
+)
+def x_readability(spark, sf_dir):
+    """Flesch Reading Ease + Flesch-Kincaid grade per document
+    (pipeline/text.py:readability_scores — exact integer word /
+    sentence-run / vowel-group counts, one ROUND-6 IEEE chain each;
+    the classic curation signal between punct ratios and LM
+    surprisal).  Pure whole-stage-codegen regex counts — no UDF."""
+    from pigout_spark.pipeline.text import readability_scores
+
+    return readability_scores(tf(spark, sf_dir, "documents"))
+
+
 # Audio (WAV/RIFF) metadata — the r13 verdict #8 gap: payloads are
 # REAL canonical PCM WAV bytes built by synth_wav (deterministic
 # integer law), parsed back by the dependency-free RIFF chunk walker;
@@ -1191,6 +1229,51 @@ def x_wav_meta(spark, sf_dir):
         t(spark, sf_dir, "documents").select("doc_id"), "doc_id"
     )
     return decode_wav_audio(d, "payload", "doc_id")
+
+
+# Video (AVI/RIFF) container metadata — with x_wav_meta this closes the
+# last brief-named multimodal hole (audio/video columns): payloads are
+# REAL spec-shaped AVI containers (LIST hdrl / avih main header) built
+# by synth_avi, parsed back by the shared RIFF chunk walker; the oracle
+# replays the generator law in pure SQL.
+@query(
+    "x_avi_meta",
+    """
+    SELECT doc_id,
+           CAST(160 * (1 + doc_id % 4) AS INT) AS width,
+           CAST(120 * (1 + doc_id % 4) AS INT) AS height,
+           CAST(24 + (doc_id % 240) AS BIGINT) AS total_frames,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 33333 ELSE 41666 END
+                AS BIGINT) AS us_per_frame,
+           CAST(1 + (doc_id % 2) AS INT) AS streams,
+           CAST((24 + (doc_id % 240))
+                * (CASE WHEN doc_id % 2 = 0 THEN 33333 ELSE 41666 END)
+                AS BIGINT) AS duration_us,
+           CAST(1000000000
+                // (CASE WHEN doc_id % 2 = 0 THEN 33333 ELSE 41666 END)
+                AS BIGINT) AS fps_milli
+    FROM documents
+    """,
+    extra=True,  # r14 addition — r15 rotation candidate
+)
+def x_avi_meta(spark, sf_dir):
+    """Video-container metadata: deterministic AVI payloads
+    (pipeline/multimodal.py:synth_avi — real RIFF 'AVI ' bytes with a
+    spec-shaped LIST hdrl/avih main header) decoded by the
+    dependency-free chunk walker (decode_avi_videos: dimensions, frame
+    count, exact integer duration and milli-fps) over an Arrow-batched
+    narrow map.  The oracle replays the generator law in pure SQL —
+    the AVI bytes exist only on the Spark side, so the check covers
+    the container encoder and header walk, not just the arithmetic."""
+    from pigout_spark.pipeline.multimodal import (
+        decode_avi_videos,
+        synth_avi_payloads,
+    )
+
+    d = synth_avi_payloads(
+        t(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
+    return decode_avi_videos(d, "payload", "doc_id")
 
 
 # mapInPandas row multiplication — against a pure-SQL byte-math oracle.

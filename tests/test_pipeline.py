@@ -3544,6 +3544,89 @@ def test_wav_codec_round_trip_and_errors(spark):
     assert got[7].duration_us == m7["duration_us"]
 
 
+def test_avi_container_codec(spark):
+    """r14: AVI container metadata decodes for REAL in pure Python —
+    spec-shaped LIST hdrl/avih round-trip, the synth_avi law, loud
+    failures, and the Spark mapInPandas stage."""
+    from pigout_spark.pipeline.multimodal import (
+        decode_avi_meta,
+        decode_avi_videos,
+        encode_avi_header,
+        synth_avi,
+        synth_avi_payloads,
+    )
+
+    b = encode_avi_header(640, 480, 300, 33333, streams=2)
+    m = decode_avi_meta(b)
+    assert (m["width"], m["height"], m["total_frames"]) == (640, 480, 300)
+    assert (m["us_per_frame"], m["streams"]) == (33333, 2)
+    assert m["duration_us"] == 300 * 33333
+    assert m["fps_milli"] == 1_000_000_000 // 33333  # 30000 milli-fps
+
+    for key in (0, 1, 5, 239, 240, 1000):
+        mk = decode_avi_meta(synth_avi(key))
+        assert mk["width"] == 160 * (1 + key % 4)
+        assert mk["height"] == 120 * (1 + key % 4)
+        assert mk["total_frames"] == 24 + (key % 240)
+        assert mk["us_per_frame"] == (33333 if key % 2 == 0 else 41666)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="RIFF"):
+        decode_avi_meta(b"\x00\x00\x00\x00")
+    with _pytest.raises(ValueError, match="AVI"):
+        from pigout_spark.pipeline.multimodal import synth_wav
+
+        decode_avi_meta(synth_wav(1))  # a WAV is RIFF but not 'AVI '
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_avi_meta(b[:-1])
+    with _pytest.raises(ValueError, match="missing LIST hdrl"):
+        nohdr = b"RIFF" + (4).to_bytes(4, "little") + b"AVI "
+        decode_avi_meta(nohdr)
+    with _pytest.raises(ValueError, match="us_per_frame"):
+        encode_avi_header(1, 1, 1, 0)
+
+    df = spark.createDataFrame([(3,), (8,)], "doc_id long")
+    got = {
+        r.doc_id: r
+        for r in decode_avi_videos(synth_avi_payloads(df)).collect()
+    }
+    assert (got[3].width, got[3].us_per_frame) == (640, 41666)
+    assert (got[8].width, got[8].streams) == (160, 1)
+    assert got[8].duration_us == (24 + 8) * 33333
+
+
+def test_readability_hand_checked(spark):
+    """Flesch / FK against hand-computed counts; sentence floor at 1;
+    zero-word docs read NULL scores; plan carries no UDF/shuffle."""
+    from pigout_spark.pipeline.text import readability_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat. It ran!"),
+            (2, "no punctuation here"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in readability_scores(df).collect()}
+    r1 = got[1]
+    # words 5, sentence runs 2 ('.', '!'), vowel groups:
+    # the->e, cat->a, sat->a, it->i, ran->a = 5
+    assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (5, 2, 5)
+    assert r1.flesch6 == round(206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5), 6)
+    assert r1.fk_grade6 == round(0.39 * (5 / 2) + 11.8 * (5 / 5) - 15.59, 6)
+    # floor: no [.!?] at all still scores with S=1
+    assert got[2].n_sentences == 1 and got[2].flesch6 is not None
+    # empty: zero words -> NULL scores, not zero
+    r3 = got[3]
+    assert (r3.n_words, r3.flesch6, r3.fk_grade6) == (0, None, None)
+
+    plan = readability_scores(df)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan and "PythonUDF" not in plan
+
+
 def test_embedding_covariance_matches_numpy(spark):
     """Exact match to numpy's population covariance of the SAME
     micro-quantized doubles (the operator's contract: quantize →
