@@ -701,6 +701,161 @@ def _gen_r13(rng: random.Random, kind: str, rows, cte: str, mkdf):
     return build, fsql
 
 
+def _gen_r14(rng: random.Random, kind: str, rows, cte: str, mkdf):
+    """r14 pipeline additions: readability (regex-count formulas over
+    random punctuation/unicode/empty corpora) and the WAV/AVI RIFF
+    codecs (random header fields + random raw samples: the oracle
+    computes channel sums from a VALUES relation of the SAME samples,
+    so the encoder+decoder round-trip is the thing under differential
+    test, not the arithmetic)."""
+    if kind == "readability":
+        sql = (
+            cte
+            + f"""
+            , c AS (
+              SELECT doc_id,
+                     CAST(len({_P_TOKS}) AS BIGINT) AS w,
+                     CAST(greatest(1, len(regexp_extract_all(text,
+                          '[.!?]+'))) AS BIGINT) AS s,
+                     CAST(len(regexp_extract_all(lower(text),
+                          '[aeiouy]+')) AS BIGINT) AS y
+              FROM documents
+            )
+            SELECT doc_id, w AS n_words, s AS n_sentences,
+                   y AS n_syllables,
+                   CASE WHEN w > 0 THEN
+                     ROUND(206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+                                   - 84.6 * (CAST(y AS DOUBLE) / w), 6)
+                   END AS flesch6,
+                   CASE WHEN w > 0 THEN
+                     ROUND(0.39 * (CAST(w AS DOUBLE) / s)
+                           + 11.8 * (CAST(y AS DOUBLE) / w) - 15.59, 6)
+                   END AS fk_grade6
+            FROM c
+            """
+        )
+
+        def build(spark, sf_dir):
+            from pigout_spark.pipeline.text import readability_scores
+
+            return readability_scores(mkdf(spark))
+
+        return build, sql
+    if kind == "wav":
+        # random PCM payloads; oracle sums the SAME samples from a
+        # VALUES relation — differential over encode_wav ∘ decode_wav
+        cases = []
+        sample_rows = []
+        for i in range(rng.randint(2, 6)):
+            sr = rng.choice([8000, 11025, 16000, 22050, 44100])
+            ch = rng.randint(1, 2)
+            bits = rng.choice([8, 16])
+            nf = rng.randint(0, 40)  # zero-frame payloads in contract
+            samples = []
+            for f_i in range(nf):
+                for c_i in range(ch):
+                    v = (
+                        rng.randint(0, 255) if bits == 8
+                        else rng.randint(-32768, 32767)
+                    )
+                    samples.append((f_i, c_i, v))
+                    sample_rows.append((i, c_i, v))
+            cases.append((i, sr, ch, bits, nf, samples))
+        hdr_vals = ", ".join(
+            f"({i}, {sr}, {ch}, {bits}, {nf})"
+            for i, sr, ch, bits, nf, _ in cases
+        )
+        samp_vals = ", ".join(
+            f"({d}, {c}, {v})" for d, c, v in sample_rows
+        ) or "(0, 0, 0)"
+        samp_where = "" if sample_rows else " WHERE FALSE"
+        sql = f"""
+        WITH h AS (SELECT * FROM (VALUES {hdr_vals})
+                   AS __h(doc_id, sr, ch, bits, nf)),
+        sm AS (SELECT * FROM (VALUES {samp_vals})
+               AS __s(doc_id, c, v){samp_where}),
+        agg AS (
+          SELECT doc_id,
+                 SUM(CASE WHEN c = 0 THEN v END) AS s0,
+                 SUM(CASE WHEN c = 1 THEN v END) AS s1
+          FROM sm GROUP BY doc_id
+        )
+        SELECT h.doc_id,
+               CAST(sr AS INT) AS sample_rate,
+               CAST(ch AS INT) AS channels,
+               CAST(bits AS INT) AS bits,
+               CAST(nf AS BIGINT) AS n_frames,
+               CAST(nf * 1000000 // sr AS BIGINT) AS duration_us,
+               CAST(COALESCE(agg.s0, 0) AS BIGINT) AS sum_ch0,
+               CAST(CASE WHEN ch = 2 THEN COALESCE(agg.s1, 0) END
+                    AS BIGINT) AS sum_ch1
+        FROM h LEFT JOIN agg USING (doc_id)
+        """
+
+        def build(spark, sf_dir):
+            from pigout_spark.pipeline.multimodal import (
+                decode_wav_audio,
+                encode_wav,
+            )
+
+            payloads = []
+            for i, sr, ch, bits, nf, samples in cases:
+                buf = bytearray()
+                for _fi, _ci, v in samples:
+                    if bits == 8:
+                        buf.append(v)
+                    else:
+                        buf += int(v).to_bytes(2, "little", signed=True)
+                payloads.append((i, bytearray(encode_wav(sr, ch, bits, bytes(buf)))))
+            df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+            return decode_wav_audio(df)
+
+        return build, sql
+    # avi: random header fields, oracle replays them from VALUES
+    cases = [
+        (
+            i,
+            rng.randint(1, 4096),
+            rng.randint(1, 4096),
+            rng.randint(0, 100000),
+            rng.randint(1, 10_000_000),
+            rng.randint(1, 4),
+        )
+        for i in range(rng.randint(2, 8))
+    ]
+    vals = ", ".join(
+        f"({i}, {w}, {h}, {tf}, {upf}, {st})"
+        for i, w, h, tf, upf, st in cases
+    )
+    sql = f"""
+    WITH h AS (SELECT * FROM (VALUES {vals})
+               AS __h(doc_id, w, ht, tf, upf, st))
+    SELECT doc_id,
+           CAST(w AS INT) AS width, CAST(ht AS INT) AS height,
+           CAST(tf AS BIGINT) AS total_frames,
+           CAST(upf AS BIGINT) AS us_per_frame,
+           CAST(st AS INT) AS streams,
+           CAST(tf * upf AS BIGINT) AS duration_us,
+           CAST(1000000000 // upf AS BIGINT) AS fps_milli
+    FROM h
+    """
+
+    def build(spark, sf_dir):
+        from pigout_spark.pipeline.multimodal import (
+            decode_avi_videos,
+            encode_avi_header,
+        )
+
+        payloads = [
+            (i, bytearray(encode_avi_header(w, h, tf, upf, streams=st)))
+            for i, w, h, tf, upf, st in cases
+        ]
+        df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+        return decode_avi_videos(df)
+
+    return build, sql
+
+
 def _gen_r6(rng: random.Random, kind: str, rows, cte: str, mkdf):
     """r6 pipeline additions: weighted sampling (pow), surprisal (ln),
     z-order keys (integer bit ops), incremental dedup (band probe) —
@@ -870,12 +1025,15 @@ def gen_pipeline(rng: random.Random):
         ["spans", "stats", "mixture", "corpus", "dsir", "tfidf", "pmi",
          "repn", "semantic", "bpe",
          "wsample", "surprisal", "zorder", "incr",
-         "entropy", "gturing", "fuzzy"]
+         "entropy", "gturing", "fuzzy",
+         "readability", "wav", "avi"]
     )
     if kind == "semantic":
         return _gen_semantic(rng)
     if kind in ("entropy", "gturing", "fuzzy"):
         return _gen_r13(rng, kind, rows, cte, mkdf)
+    if kind in ("readability", "wav", "avi"):
+        return _gen_r14(rng, kind, rows, cte, mkdf)
     if kind in ("wsample", "surprisal", "zorder", "incr"):
         return _gen_r6(rng, kind, rows, cte, mkdf)
     if kind in ("spans", "stats"):
