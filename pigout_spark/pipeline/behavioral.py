@@ -2533,6 +2533,120 @@ def fisher_exact(
     )
 
 
+#: standard normal quantiles at 6 dp — the public z-table values every
+#: power calculator uses; restricting alpha/power to these keeps the
+#: op free of an inverse-normal-CDF approximation that two engines
+#: would have to replicate bit-for-bit.
+_ALPHA_Z = {0.10: 1.644854, 0.05: 1.959964, 0.01: 2.575829}
+_POWER_Z = {0.80: 0.841621, 0.90: 1.281552, 0.95: 1.644854}
+
+
+def ab_power_mde(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    alpha: float = 0.05,
+    power: float = 0.80,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """A/B experiment sizing from observed cohorts — the planning
+    companion to :func:`welch_ttest`: given two labeled groups, what
+    effect could this experiment detect, and how many subjects per arm
+    would the OBSERVED effect need?
+
+        mde       = (z_{1−α/2} + z_{power}) · √(v_a/n_a + v_b/n_b)
+        n_per_arm = ⌈(z_{1−α/2} + z_{power})² · (v_a + v_b) / δ²⌉
+
+    with v the sample variances, δ = |m_a − m_b| the observed absolute
+    effect, and z from the standard two-sided normal table (the public
+    6-dp constants; ``alpha`` ∈ {0.10, 0.05, 0.01} and ``power`` ∈
+    {0.80, 0.90, 0.95} are enforced — supporting arbitrary levels
+    would require an inverse-normal approximation both engines would
+    have to replicate bit-for-bit, an avoidable divergence surface).
+
+    Group identity is deterministic (group_a = smaller label, the
+    welch_ttest convention).  NULL group/value rows are EXCLUDED.
+    Degenerate inputs read NULL: group count ≠ 2 or either n < 2
+    NULLs everything; ``mde_rel6`` additionally NULLs when m_a = 0 and
+    ``n_per_arm`` when δ = 0 (no observed effect to size against).
+
+    Output: one row per key — (*keys, group_a, group_b, n_a, n_b,
+    mde6, mde_rel6, n_per_arm).
+
+    100 TB: identical physical shape to welch_ttest — ONE exchange on
+    (*keys, group) for the exact decimal moment fold; the readout is a
+    #keys-sized relation.
+    """
+    a, pw = round(float(alpha), 2), round(float(power), 2)
+    if a not in _ALPHA_Z:
+        raise ValueError(
+            f"ab_power_mde: alpha must be one of {sorted(_ALPHA_Z)}, got "
+            f"{alpha} (see docstring for why the table is closed)"
+        )
+    if pw not in _POWER_Z:
+        raise ValueError(
+            f"ab_power_mde: power must be one of {sorted(_POWER_Z)}, got "
+            f"{power} (see docstring for why the table is closed)"
+        )
+    z = _ALPHA_Z[a] + _POWER_Z[pw]
+    keys = list(keys or [])
+    _check_keys(
+        keys,
+        ("group_a", "group_b", "n_a", "n_b", "mde6", "mde_rel6", "n_per_arm"),
+        "ab_power_mde",
+    )
+    g, v = F.col(group_col), F.col(value_col)
+    d = df.filter(g.isNotNull() & v.isNotNull()).select(
+        *keys, g.alias("__g"), v.alias("__v")
+    )
+    dec = "decimal(38,6)"
+    per_g = d.groupBy(*keys, "__g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__ng"),
+        F.sum(F.col("__v").cast(dec)).cast("double").alias("__sv"),
+        F.sum((F.col("__v") * F.col("__v")).cast(dec))
+        .cast("double")
+        .alias("__svv"),
+    )
+    wg = Window.partitionBy(*keys).orderBy("__g")
+    ranked = per_g.withColumn("__rn", F.row_number().over(wg))
+
+    def pick(rn: int, col: str):
+        return F.max(F.when(F.col("__rn") == rn, F.col(col)))
+
+    s = ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("bigint").alias("__k"),
+        pick(1, "__g").alias("group_a"),
+        pick(2, "__g").alias("group_b"),
+        pick(1, "__ng").alias("n_a"),
+        pick(2, "__ng").alias("n_b"),
+        pick(1, "__sv").alias("__sva"),
+        pick(2, "__sv").alias("__svb"),
+        pick(1, "__svv").alias("__qa"),
+        pick(2, "__svv").alias("__qb"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ma, mb = F.col("__sva") / na, F.col("__svb") / nb
+    va = (F.col("__qa") - F.col("__sva") * F.col("__sva") / na) / (na - 1.0)
+    vb = (F.col("__qb") - F.col("__svb") * F.col("__svb") / nb) / (nb - 1.0)
+    se = F.sqrt(va / na + vb / nb)
+    delta = F.abs(ma - mb)
+    zl = F.lit(float(z))
+    ok = (F.col("__k") == 2) & (F.col("n_a") >= 2) & (F.col("n_b") >= 2)
+    return s.select(
+        *keys,
+        "group_a", "group_b", "n_a", "n_b",
+        F.when(ok, F.round(zl * se, 6) + F.lit(0.0)).alias("mde6"),
+        F.when(
+            ok & (ma != 0.0),
+            F.round(zl * se / F.abs(ma), 6) + F.lit(0.0),
+        ).alias("mde_rel6"),
+        F.when(
+            ok & (delta > 0.0),
+            F.ceil(zl * zl * (va + vb) / (delta * delta)).cast("bigint"),
+        ).alias("n_per_arm"),
+    )
+
+
 def two_prop_ztest(
     df: DataFrame,
     group_col: str,

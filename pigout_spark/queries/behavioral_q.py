@@ -2633,6 +2633,80 @@ def x_welch_ttest(spark, sf_dir):
 
 
 @query(
+    "x_power_mde",
+    extra=True,  # r14 addition — r15 rotation candidate
+    sql="""
+    WITH d AS (
+      SELECT source, lang = 'en' AS g, CAST(n_chars AS DOUBLE) AS v
+      FROM documents
+      WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        AND source IS NOT NULL
+    ), pg AS (
+      SELECT source, g, CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS sv,
+             CAST(SUM(CAST(v * v AS DECIMAL(38,6))) AS DOUBLE) AS svv
+      FROM d GROUP BY source, g
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY source ORDER BY g) AS rn
+      FROM pg
+    ), s AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS k,
+             MAX(CASE WHEN rn = 1 THEN g END) AS group_a,
+             MAX(CASE WHEN rn = 2 THEN g END) AS group_b,
+             MAX(CASE WHEN rn = 1 THEN ng END) AS n_a,
+             MAX(CASE WHEN rn = 2 THEN ng END) AS n_b,
+             MAX(CASE WHEN rn = 1 THEN sv END) AS sva,
+             MAX(CASE WHEN rn = 2 THEN sv END) AS svb,
+             MAX(CASE WHEN rn = 1 THEN svv END) AS qa,
+             MAX(CASE WHEN rn = 2 THEN svv END) AS qb
+      FROM r GROUP BY source
+    ), c AS (
+      SELECT source, k, group_a, group_b, n_a, n_b,
+             sva / CAST(n_a AS DOUBLE) AS ma,
+             svb / CAST(n_b AS DOUBLE) AS mb,
+             (qa - sva * sva / CAST(n_a AS DOUBLE))
+               / (CAST(n_a AS DOUBLE) - 1.0) AS va,
+             (qb - svb * svb / CAST(n_b AS DOUBLE))
+               / (CAST(n_b AS DOUBLE) - 1.0) AS vb
+      FROM s
+    ), z AS (
+      SELECT *, 1.959964 + 0.841621 AS zz,
+             sqrt(va / CAST(n_a AS DOUBLE) + vb / CAST(n_b AS DOUBLE)) AS se,
+             abs(ma - mb) AS delta
+      FROM c
+    )
+    SELECT source, group_a, group_b, n_a, n_b,
+      CASE WHEN k = 2 AND n_a >= 2 AND n_b >= 2 THEN
+        ROUND(zz * se, 6) + 0.0 END AS mde6,
+      CASE WHEN k = 2 AND n_a >= 2 AND n_b >= 2 AND ma <> 0 THEN
+        ROUND(zz * se / abs(ma), 6) + 0.0 END AS mde_rel6,
+      CASE WHEN k = 2 AND n_a >= 2 AND n_b >= 2 AND delta > 0 THEN
+        CAST(ceil(zz * zz * (va + vb) / (delta * delta)) AS BIGINT)
+      END AS n_per_arm
+    FROM z
+    """,
+)
+def x_power_mde(spark, sf_dir):
+    """A/B experiment sizing per source cohort: minimum detectable
+    effect at current n and required per-arm n for the observed
+    en-vs-non-en n_chars gap at alpha=0.05 / power=0.80
+    (pipeline/behavioral.py:ab_power_mde — welch_ttest's exact decimal
+    moment fold, public 6-dp z-table constants, ONE key exchange)."""
+    from pigout_spark.pipeline.behavioral import ab_power_mde
+
+    d = t(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("source").isNotNull()
+    ).select(
+        "source",
+        (F.col("lang") == "en").alias("g"),
+        F.col("n_chars").cast("double").alias("v"),
+    )
+    return ab_power_mde(d, "g", "v", alpha=0.05, power=0.80, keys=["source"])
+
+
+@query(
     "x_two_prop_z",
     extra=True,  # r11 addition — r12 rotation candidate
     sql="""

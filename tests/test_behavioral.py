@@ -1449,6 +1449,46 @@ def test_anova_f_hand_checked(spark):
     assert got["k1"] == got["k2"]
 
 
+def test_ab_power_mde_hand_checked(spark):
+    """MDE and required-n against hand-computed variances; the closed
+    z-table contract raises on non-standard alpha/power; degenerate
+    inputs read NULL."""
+    import math
+
+    import pytest as _pytest
+
+    from pigout_spark.pipeline.behavioral import ab_power_mde
+
+    rows = [("a", v) for v in (10.0, 12.0, 14.0, 16.0)] + [
+        ("b", v) for v in (11.0, 15.0, 19.0)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ab_power_mde(df, "g", "v", alpha=0.05, power=0.80).collect()[0]
+    # a: n=4, mean=13, var=20/3; b: n=3, mean=15, var=16
+    na, nb, va, vb, ma = 4, 3, 20 / 3, 16.0, 13.0
+    z = 1.959964 + 0.841621
+    se = math.sqrt(va / na + vb / nb)
+    assert (r.group_a, r.group_b, r.n_a, r.n_b) == ("a", "b", 4, 3)
+    assert r.mde6 == round(z * se, 6)
+    assert r.mde_rel6 == round(z * se / ma, 6)
+    assert r.n_per_arm == math.ceil(z * z * (va + vb) / (2.0 * 2.0))
+
+    with _pytest.raises(ValueError, match="alpha"):
+        ab_power_mde(df, "g", "v", alpha=0.07)
+    with _pytest.raises(ValueError, match="power"):
+        ab_power_mde(df, "g", "v", power=0.85)
+
+    # degenerate: one group -> NULL readout; zero effect -> NULL n
+    one = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, v double")
+    r1 = ab_power_mde(one, "g", "v").collect()[0]
+    assert (r1.mde6, r1.mde_rel6, r1.n_per_arm) == (None, None, None)
+    same = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0)], "g string, v double"
+    )
+    r2 = ab_power_mde(same, "g", "v").collect()[0]
+    assert r2.mde6 is not None and r2.n_per_arm is None
+
+
 def test_welch_ttest_hand_checked(spark):
     """Welch t on {1,2,3,4,5} vs {2,4,6,8,10,12}: means 3 and 7,
     sample variances 2.5 and 14; t and the Welch–Satterthwaite dof

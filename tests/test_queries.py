@@ -39,12 +39,14 @@ def test_query_runs(spark, sf_dir, name):
 #: the full registry size, pinned (r9 verdict #5: SURVEY prose said 208
 #: when the import said 207 — docs must not drift from code again).
 #: Update this constant WITH the SURVEY §7.4 number when adding queries.
-REGISTRY_TOTAL_PINNED = 248  # r14: 245 at r13 close + WAV/RIFF audio
+REGISTRY_TOTAL_PINNED = 249  # r14: 245 at r13 close + WAV/RIFF audio
 # metadata (x_wav_meta — deterministic PCM payloads round-tripped
 # through the dependency-free RIFF codec, r13 verdict #8) + AVI/RIFF
 # video-container metadata (x_avi_meta — the video analog, closing the
 # audio/video multimodal hole) + Flesch/Flesch-Kincaid readability
-# (x_readability — exact regex counts, ROUND-6 IEEE chains).
+# (x_readability — exact regex counts, ROUND-6 IEEE chains) + A/B
+# experiment sizing (x_power_mde — MDE + required per-arm n from the
+# welch moment fold and the public 6-dp z-table).
 # r13 history: 239 at r12 close + per-doc token
 # entropy (x_token_entropy) + the Good-Turing smoothing table
 # (x_good_turing) + the Zipf exponent fit (x_zipf_fit) + hybrid
