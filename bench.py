@@ -100,6 +100,10 @@ EXTENDED = [
     # grouped statistical tests
     "x_grouped_mw_fdr",
     "x_anova_f",
+    # r14 data-proportional additions (extended_total grows vs r13 by
+    # exactly these two rows — noted for series comparability)
+    "x_fuzzy_pairs",
+    "x_readability",
 ]
 
 TABLES = (
