@@ -545,6 +545,11 @@ assert len(_WINDOW_R13) == len(set(_WINDOW_R13)) == 50
 # holds a FRESH r13 green row, the newest possible, and keeps its
 # local oracle (tools/selfcheck.py + tests/test_queries.py) per the
 # standing policy.
+# r15 rotation candidates (added after the r14 window was fixed,
+# selfcheck-green at sf0.01+sf0.1 AND hash-green at sf1+sf3 as added,
+# but not yet driver-checked): x_avi_meta (AVI/RIFF video-container
+# metadata), x_readability (Flesch / Flesch-Kincaid), x_power_mde
+# (A/B MDE + required per-arm n).
 _WINDOW_R14 = [
     "q01_group_agg",  # flagship
     # (a) the pinned r14 queue — never driver-checked (VERDICT r13 #1)
