@@ -22,6 +22,7 @@ import random
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 #: Mersenne prime modulus for the MinHash permutation family.
 MINHASH_P = 2_147_483_647
@@ -744,7 +745,18 @@ def dedup_clusters(
     100 TB: every step is a key-equi join or partial agg on doc ids —
     no broadcast of anything data-sized, no driver materialization;
     state per round is one (id, lbl) row per doc in any pair.
+    Checkpoint storage is DISK_ONLY (r14): checkpoint blocks are the
+    ONLY copy of their data (lineage is truncated), so the block
+    manager can never evict them — with the default memory-first
+    level, a large edge relation plus one label snapshot per round
+    pins unified memory until EXECUTION cannot acquire a page (the
+    sf3 sweep reproduced exactly that: SparkOutOfMemoryError
+    UNABLE_TO_ACQUIRE_MEMORY on the 130M-edge symmetric list).
+    Disk-backed checkpoints cost one serialized write/read per round
+    and keep the whole memory region for the joins; on a real cluster
+    the same reasoning picks reliable (HDFS/object-store) checkpoints.
     """
+    disk = StorageLevel.DISK_ONLY
     e = pairs.select(F.col(left).alias("u"), F.col(right).alias("v"))
     # materialize the symmetric edge list ONCE: it is joined every
     # round, and without the checkpoint the whole upstream pair
@@ -753,12 +765,12 @@ def dedup_clusters(
     edges = (
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=disk)
     )
     labels = (
         edges.select("u").distinct()
         .select(F.col("u").alias("id"), F.col("u").alias("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=disk)
     )
 
     def _total(lbls: DataFrame):
@@ -797,7 +809,7 @@ def dedup_clusters(
             .union(jump)
             .groupBy("id")
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint()
+            .localCheckpoint(storageLevel=disk)
         )
         if numeric_probe:
             total = _total(new_labels)
