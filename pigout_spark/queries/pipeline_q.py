@@ -110,16 +110,28 @@ def _minhash_sql(num_hashes: int, rows_per_band: int, src: str = "documents") ->
     )
 
 
-def _clusters_sql(src: str = "documents", rounds: int = 6) -> str:
+def _clusters_sql(src: str = "documents", rounds: int = 10) -> str:
     """Connected components of the MinHash pair graph as UNROLLED
     min-label propagation + pointer jumping — the true SQL twin of the
     Spark algorithm.  (The r1–r5 oracle used a recursive-CTE transitive
     closure, whose O(Σ|component|²) reach relation exceeded 5 minutes
     on the sf0.1 duplicate graph; per-round intermediates here are
-    node-sized, and the label-of-label jump halves path lengths so
-    ``rounds``=6 covers diameters far beyond any LSH near-dup graph.)
-    Label propagation past the fixpoint is a no-op, so over-unrolling
-    is exact — the same argument as the k-core oracle."""
+    node-sized, and the label-of-label jump halves path lengths so a
+    fixed unroll covers large diameters.)  Label propagation past the
+    fixpoint is a no-op, so over-unrolling is exact.
+
+    UNDER-unrolling is NOT (r14 find): the r13 default ``rounds``=6
+    under-merged the sf3 duplicate graph by exactly 3 clusters
+    (2707 vs the converged 2704 — caught by the sf3 sweep's rowcount
+    gate on x_dedup_retain; Spark iterates to its Σ-label fixpoint and
+    was right).  Two fixes: the oracle carries the k-core-style LOUD
+    convergence guard — if the LAST round still changed any label it
+    error()s instead of returning half-merged clusters, so a deeper
+    graph at a larger SF can never silently pass (the guard needs
+    rounds ≥ convergence+1 to stay quiet: it proved rounds=8 was
+    still moving labels at sf3 even though the CLUSTER COUNT had
+    already stabilized — count-stable ≠ label-converged) — and the
+    default is now 10, which passes the guard at sf3."""
     parts = [
         "pairs AS MATERIALIZED (\n" + _minhash_sql(_MH_HASHES, _MH_ROWS, src) + "\n)",
         "edges AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs"
@@ -139,9 +151,19 @@ def _clusters_sql(src: str = "documents", rounds: int = 6) -> str:
             f"  FROM q{i} q JOIN q{i} q2 ON q2.node = q.lab\n"
             f")"
         )
+    parts.append(
+        "chk AS (\n"
+        f"  SELECT CASE WHEN (SELECT COUNT(*) FROM l{rounds} a\n"
+        f"                    JOIN l{rounds - 1} b ON a.node = b.node\n"
+        "                    WHERE a.lab <> b.lab) = 0 THEN 1\n"
+        f"         ELSE CAST(error('clusters oracle: {rounds}-round "
+        "unroll did not converge — raise rounds') AS INT) END AS ok\n"
+        ")"
+    )
     return (
         "WITH " + ",\n".join(parts)
-        + f"\nSELECT node AS doc_id, CAST(lab AS BIGINT) AS cluster_id FROM l{rounds}"
+        + f"\nSELECT node AS doc_id, CAST(lab AS BIGINT) AS cluster_id"
+        f" FROM l{rounds}, chk WHERE chk.ok = 1"
     )
 
 
