@@ -2845,6 +2845,121 @@ def theil_sen(
     )
 
 
+#: Mann–Kendall S in-task: signed pair comparisons over the sorted
+#: point array (the theil_sen _SLOPE_EXPR idiom), folded to one bigint
+#: — pairs never leave the task and nothing is exploded
+_MK_S_EXPR = (
+    "aggregate(flatten(transform(__pts, (p, ix) -> "
+    "transform(slice(__pts, ix + 2, size(__pts) - ix - 1), "
+    "q -> CASE WHEN q.__y > p.__y THEN 1L "
+    "WHEN q.__y < p.__y THEN -1L ELSE 0L END))), 0L, (a, s) -> a + s)"
+)
+
+#: tie-correction term Σ t·(t−1)·(2t+5) over the distinct y values of
+#: the capped point array — O(distinct · n) in-task work, bounded by
+#: the cap² the pair stage already pays
+_MK_TIE_EXPR = (
+    "aggregate(transform(array_distinct(transform(__pts, p -> p.__y)), "
+    "v -> CAST(size(filter(transform(__pts, p -> p.__y), e -> e = v)) "
+    "AS BIGINT)), 0L, (acc, t) -> acc + t * (t - 1) * (2 * t + 5))"
+)
+
+
+def mann_kendall(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    keys: list[str] | None = None,
+    max_points_per_key: int = 200,
+) -> DataFrame:
+    """Mann–Kendall trend test per key — the nonparametric
+    significance companion to :func:`theil_sen` (same sequence, same
+    cap discipline): S = Σ_{i<j} sgn(y_j − y_i) over the points in
+    (x, y) sequence order, with the tie-corrected normal
+    approximation (Mann 1945; Kendall 1975; the Hirsch–Slack form
+    used for hydrologic trend monitoring)
+
+        Var(S) = [n(n−1)(2n+5) − Σ_v t_v(t_v−1)(2t_v+5)] / 18
+        z = (S − sgn(S)) / √Var(S)        (continuity-corrected)
+
+    theil_sen answers "how steep", mann_kendall answers "is it a
+    trend at all" — run on the same capped sequence they share one
+    contract.
+
+    Sequence order is the TOTAL (x, y) order (the theil_sen cap
+    order): ties in the time index are ordered by value and counted
+    as regular pairs, and the tie correction is over y values only —
+    the common implementation convention (pair semantics differ from
+    theil_sen's equal-x EXCLUSION because sgn is defined where a
+    slope is not).  Points per key capped to the FIRST
+    ``max_points_per_key`` under that order (SQL-mirrorable as
+    QUALIFY row_number ≤ cap); NULL x or y excluded before the cap
+    rank.
+
+    Determinism: S, n and the variance NUMERATOR var_num =
+    n(n−1)(2n+5) − Σt(t−1)(2t+5) are exact integers (the readout
+    carries var_num, not the /18 quotient); z is one IEEE chain
+    ROUND-6 (+0.0); p6 via :func:`normal_two_sided_p`.  Keys with
+    n < 2 or var_num = 0 (all y tied) read NULL z6/p6 — the test is
+    undefined there, no convention invented.
+
+    Output: one row per key — (*keys, n_points, s_stat, var_num,
+    z6, p6).
+
+    100 TB: ONE exchange on the keys (the cap window, reused by the
+    array build); S and the tie term fold IN-TASK over the ≤cap-sized
+    array (no pair explode, no self-join, no keyless window) — the
+    readout relation is key-cardinality-sized.
+    """
+    keys = list(keys or [])
+    _check_keys(
+        keys, ("n_points", "s_stat", "var_num", "z6", "p6"), "mann_kendall"
+    )
+    if not keys:
+        tagged = df.withColumn("__one", F.lit(1))
+        out = mann_kendall(tagged, x_col, y_col, ["__one"],
+                           max_points_per_key)
+        return out.drop("__one")
+    x, y = F.col(x_col), F.col(y_col)
+    d = df.filter(x.isNotNull() & y.isNotNull()).select(
+        *keys,
+        x.cast("double").alias("__x"),
+        y.cast("double").alias("__y"),
+    )
+    wc = Window.partitionBy(*keys).orderBy("__x", "__y")
+    capped = (
+        d.withColumn("__rn", F.row_number().over(wc))
+        .filter(F.col("__rn") <= int(max_points_per_key))
+    )
+    base = (
+        capped.groupBy(*keys)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("__x", "__y"))).alias("__pts")
+        )
+        .select(
+            *keys,
+            F.size("__pts").cast("bigint").alias("n_points"),
+            F.expr(_MK_S_EXPR).alias("s_stat"),
+            F.expr(_MK_TIE_EXPR).alias("__ties"),
+        )
+    )
+    n = F.col("n_points")
+    var_num = (n * (n - 1) * (2 * n + 5) - F.col("__ties")).cast("bigint")
+    var_s = var_num.cast("double") / 18.0
+    s = F.col("s_stat").cast("double")
+    z_raw = F.when(F.col("s_stat") > 0, (s - 1.0) / F.sqrt(var_s)).when(
+        F.col("s_stat") < 0, (s + 1.0) / F.sqrt(var_s)
+    ).otherwise(F.lit(0.0))
+    z6 = F.when(
+        (n >= 2) & (var_num > 0), F.round(z_raw, 6) + F.lit(0.0)
+    )
+    out = base.select(
+        *keys, "n_points", "s_stat", var_num.alias("var_num"),
+        z6.alias("z6"),
+    )
+    return out.withColumn("p6", normal_two_sided_p(F.col("z6")))
+
+
 def nelson_aalen(
     df: DataFrame,
     duration_col: str,

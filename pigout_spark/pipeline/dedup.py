@@ -1146,3 +1146,153 @@ def fuzzy_pairs(
         .select("id_a", "id_b", dist.cast("bigint").alias("dist"))
         .filter((F.col("dist") >= 0) & (F.col("dist") <= dd))
     )
+
+
+def fs_linkage_weights(
+    records: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    field_cols: list[str],
+    m_probs: dict[str, float] | None = None,
+    default_m: float = 0.95,
+) -> DataFrame:
+    """Fellegi–Sunter match weights over candidate record pairs — the
+    probabilistic record-linkage scorer (Fellegi & Sunter 1969) that
+    turns :func:`fuzzy_pairs`-style blocking output into a ranked
+    linkage decision: per comparison field f,
+
+        w_f(agree)    = log₂(m_f / u_f)
+        w_f(disagree) = log₂((1 − m_f) / (1 − u_f))
+
+    and a pair's weight is the sum over its observed fields.  The
+    u-probabilities (chance agreement between two RANDOM records) are
+    estimated from the field's value distribution, u_f = Σ_v (c_v/N)²
+    — the exact probability two independently drawn records share a
+    value.  The m-probabilities (agreement probability GIVEN a true
+    match) come from the caller (``m_probs`` / ``default_m``), the
+    standard practice absent labeled pairs; EM refinement stays
+    upstream where labels exist.
+
+    Missing data: a field NULL on either side contributes 0 — the
+    missing-at-random convention (no evidence either way); ``n_known``
+    counts the fields actually compared so downstream thresholds can
+    condition on evidence volume.  A field that is CONSTANT over the
+    records (u_f = 1) or all-NULL carries no discriminating power and
+    raises loudly — silently scoring it would emit ±∞/NULL weights.
+
+    Determinism: u_f = Σc_v²/N² from exact integer counts; each field
+    weight is ROUND-6'd IN SPARK (one log₂ IEEE chain) before the
+    bounded k-row collect (the codebook discipline), pair terms are
+    those quantized literals summed EXACTLY in DECIMAL(38,6), readout
+    ROUND-6 (+0.0).
+
+    Output: (id_a, id_b, n_known, n_agree, weight6).
+
+    100 TB: u-estimation is ONE melted (field, value) exchange with
+    map-side combine over the records (k·|records| rows in, k rows
+    out); pair scoring is two id-keyed hash joins of the pairs
+    relation against the k-column record projection, and every weight
+    term is a literal CASE expression — whole-stage codegen, no UDF,
+    no window, nothing pair-quadratic beyond the caller's own
+    blocking.
+    """
+    if not field_cols:
+        raise ValueError("fs_linkage_weights needs at least one field")
+    m_probs = dict(m_probs or {})
+    for f in field_cols:
+        m = float(m_probs.get(f, default_m))
+        if not (0.0 < m < 1.0):
+            raise ValueError(
+                f"fs_linkage_weights: m probability for {f!r} must be "
+                f"in (0, 1), got {m}"
+            )
+        m_probs[f] = m
+    melted = (
+        records.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(f).alias("__f"),
+                            F.col(f).cast("string").alias("__v"),
+                        )
+                        for f in field_cols
+                    ]
+                )
+            ).alias("__fv")
+        )
+        .select("__fv.__f", "__fv.__v")
+        .filter(F.col("__v").isNotNull())
+    )
+    per_val = melted.groupBy("__f", "__v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__c")
+    )
+    per_field = per_val.groupBy("__f").agg(
+        F.sum(F.col("__c") * F.col("__c")).cast("bigint").alias("__num"),
+        F.sum("__c").cast("bigint").alias("__nn"),
+    )
+    # ROUND-6 the log2 chain IN-ENGINE so the collected literals are
+    # the same quantized doubles the oracle's ROUND(log2(·), 6)
+    # produces — no Python banker's rounding in the weight path
+    u = F.col("__num").cast("double") / (
+        F.col("__nn").cast("double") * F.col("__nn").cast("double")
+    )
+    m_col = F.element_at(
+        F.create_map(
+            *[x for f in field_cols for x in (F.lit(f), F.lit(m_probs[f]))]
+        ),
+        F.col("__f"),
+    )
+    wtab = {
+        r["__f"]: r
+        for r in per_field.select(
+            "__f",
+            u.alias("__u"),
+            (F.round(F.log2(m_col / u), 6) + F.lit(0.0)).alias("__wa"),
+            # gated so a constant field (u = 1) reaches the LOUD guard
+            # below instead of an ANSI divide-by-zero inside codegen
+            F.when(
+                u < 1.0,
+                F.round(F.log2((1.0 - m_col) / (1.0 - u)), 6) + F.lit(0.0),
+            ).alias("__wd"),
+        ).collect()
+    }
+    for f in field_cols:
+        r = wtab.get(f)
+        if r is None:
+            raise ValueError(
+                f"fs_linkage_weights: field {f!r} has no observed "
+                "values — drop it or fix the projection"
+            )
+        if r["__u"] >= 1.0:
+            raise ValueError(
+                f"fs_linkage_weights: field {f!r} is constant over the "
+                "records (u = 1) — it carries no discriminating power"
+            )
+    ra = records.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f).cast("string").alias(f"__a_{f}") for f in field_cols],
+    )
+    rb = records.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f).cast("string").alias(f"__b_{f}") for f in field_cols],
+    )
+    p = pairs.select("id_a", "id_b").join(ra, "id_a").join(rb, "id_b")
+    known, agree, terms = [], [], []
+    for f in field_cols:
+        av, bv = F.col(f"__a_{f}"), F.col(f"__b_{f}")
+        is_known = av.isNotNull() & bv.isNotNull()
+        is_agree = is_known & (av == bv)
+        known.append(F.when(is_known, 1).otherwise(0))
+        agree.append(F.when(is_agree, 1).otherwise(0))
+        terms.append(
+            F.when(~is_known, F.lit(0.0))
+            .when(is_agree, F.lit(float(wtab[f]["__wa"])))
+            .otherwise(F.lit(float(wtab[f]["__wd"])))
+            .cast("decimal(38,6)")
+        )
+    n_known = sum(known[1:], known[0]).cast("bigint").alias("n_known")
+    n_agree = sum(agree[1:], agree[0]).cast("bigint").alias("n_agree")
+    total = sum(terms[1:], terms[0])
+    w6 = (F.round(total.cast("double"), 6) + F.lit(0.0)).alias("weight6")
+    return p.select("id_a", "id_b", n_known, n_agree, w6)

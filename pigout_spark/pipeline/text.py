@@ -1674,6 +1674,68 @@ def good_turing_counts(
     )
 
 
+def chao1_richness(
+    df: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Chao1 vocabulary-richness estimate over the corpus unigrams —
+    "how many word types does the POPULATION this corpus samples
+    have?", the lower-bound estimator (Chao 1984, bias-corrected
+    form) built from the same frequency-of-frequencies spectrum
+    :func:`good_turing_counts` reads:
+
+        Ŝ = V + f₁·(f₁ − 1) / (2·(f₂ + 1))
+
+    (V = observed vocabulary, f₁ = singletons, f₂ = doubletons — the
+    bias-corrected form is defined even when f₂ = 0, so no special
+    case).  Alongside it, Good's sample-coverage estimate
+    Ĉ = 1 − f₁/N (the fraction of the population's token mass the
+    observed vocabulary accounts for — the Good–Turing P₀ complement).
+    Together they answer the corpus-curation question "is the crawl's
+    vocabulary saturating, or does unseen long tail dominate?" —
+    dedup/filter stages that crater Ĉ or spike Ŝ/V are destroying
+    tail vocabulary.
+
+    Output: ONE row — (n_tokens, vocab, f1, f2, chao1_6, coverage6).
+    n_tokens = 0 reads NULL estimates (no convention invented).
+
+    Determinism: N, V, f₁, f₂ are exact integers off the vocab
+    relation; each estimate is one IEEE chain ROUND-6 (+0.0).
+
+    100 TB: the ONLY corpus-sized pass is :func:`word_frequencies`
+    (map-side combined token shuffle); everything after is one
+    aggregate over the vocabulary relation folding to a single row —
+    no second shuffle, no window.
+    """
+    freq = word_frequencies(df, text_col)
+    agg = freq.agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.coalesce(
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)), F.lit(0)
+        ).cast("bigint").alias("f1"),
+        F.coalesce(
+            F.sum(F.when(F.col("n") == 2, 1).otherwise(0)), F.lit(0)
+        ).cast("bigint").alias("f2"),
+    )
+    v = F.col("vocab").cast("double")
+    f1 = F.col("f1").cast("double")
+    f2 = F.col("f2").cast("double")
+    ntok = F.col("n_tokens").cast("double")
+    chao1 = F.when(
+        F.col("n_tokens") > 0,
+        F.round(v + f1 * (f1 - 1.0) / (2.0 * (f2 + 1.0)), 6) + F.lit(0.0),
+    )
+    cov = F.when(
+        F.col("n_tokens") > 0,
+        F.round(1.0 - f1 / ntok, 6) + F.lit(0.0),
+    )
+    return agg.select(
+        "n_tokens", "vocab", "f1", "f2",
+        chao1.alias("chao1_6"), cov.alias("coverage6"),
+    )
+
+
 def zipf_fit(
     df: DataFrame,
     text_col: str = "text",

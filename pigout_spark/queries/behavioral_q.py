@@ -3690,3 +3690,106 @@ def x_msprt(spark, sf_dir):
         tau2=250_000.0,
         keys=["event_type"],
     )
+
+
+@query(
+    "x_mann_kendall",
+    extra=True,  # r14 addition — r15 rotation candidate
+    sql="""
+    WITH d AS (
+      SELECT o_orderpriority AS rf,
+             CAST(date_diff('day', TIMESTAMP '1992-01-01 00:00:00',
+                            o_orderdate) AS DOUBLE) AS x,
+             CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE) AS y
+      FROM orders
+      WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+    ), r AS (
+      SELECT rf, x, y, row_number() OVER (PARTITION BY rf ORDER BY x, y)
+             AS rn
+      FROM d
+    ), c AS (
+      SELECT * FROM r WHERE rn <= 200
+    ), base AS (
+      SELECT rf, CAST(COUNT(*) AS BIGINT) AS n_points FROM c GROUP BY rf
+    ), s AS (
+      SELECT a.rf,
+             CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                           WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+      FROM c a JOIN c b ON a.rf = b.rf AND a.rn < b.rn
+      GROUP BY a.rf
+    ), tv AS (
+      SELECT rf, y, CAST(COUNT(*) AS BIGINT) AS t FROM c GROUP BY rf, y
+    ), ties AS (
+      SELECT rf, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      FROM tv GROUP BY rf
+    ), j AS (
+      SELECT base.rf, base.n_points,
+             COALESCE(s.s_stat, 0) AS s_stat,
+             CAST(base.n_points * (base.n_points - 1)
+                  * (2 * base.n_points + 5) - ties.tie_term AS BIGINT)
+               AS var_num
+      FROM base
+      JOIN ties ON base.rf = ties.rf
+      LEFT JOIN s ON base.rf = s.rf
+    ), z AS (
+      SELECT rf, n_points, s_stat, var_num,
+        CASE WHEN n_points >= 2 AND var_num > 0 THEN
+          ROUND(CASE WHEN s_stat > 0
+                       THEN (s_stat - 1.0)
+                            / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+                     WHEN s_stat < 0
+                       THEN (s_stat + 1.0)
+                            / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+                     ELSE 0.0 END, 6) + 0.0
+        END AS z6
+      FROM j
+    )
+    SELECT rf AS o_orderpriority, n_points, s_stat, var_num, z6,
+      CASE WHEN z6 IS NOT NULL THEN
+        ROUND(LEAST(1.0, 2.0 * (exp(-abs(z6) * abs(z6) / 2.0)
+          * 0.3989422804014327
+          * ((1.0 / (1.0 + 0.2316419 * abs(z6)))
+             * (0.319381530 + (1.0 / (1.0 + 0.2316419 * abs(z6)))
+               * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * abs(z6)))
+                 * (1.781477937 + (1.0 / (1.0 + 0.2316419 * abs(z6)))
+                   * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * abs(z6)))
+                     * 1.330274429))))))), 6) + 0.0
+      END AS p6
+    FROM z
+    """,
+)
+def x_mann_kendall(spark, sf_dir):
+    """Mann–Kendall trend test per orderpriority on the IDENTICAL
+    capped (day, cents) sequence x_theil_sen measures
+    (behavioral.py:mann_kendall) — theil_sen reads the slope,
+    mann_kendall reads its significance: S and the tie-corrected
+    variance numerator fold IN-TASK over the sorted point array
+    (no pair explode), z continuity-corrected ROUND-6, p via the
+    Abramowitz–Stegun 26.2.17 twin both engines replay
+    token-for-token."""
+    from pigout_spark.pipeline.behavioral import mann_kendall
+
+    d = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+    )
+    return mann_kendall(
+        d.select(
+            "o_orderpriority",
+            F.datediff(
+                "o_orderdate",
+                F.lit("1992-01-01 00:00:00").cast("timestamp_ntz"),
+            )
+            .cast("double")
+            .alias("x"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .cast("double")
+            .alias("y"),
+        ),
+        "x",
+        "y",
+        keys=["o_orderpriority"],
+        max_points_per_key=200,
+    )

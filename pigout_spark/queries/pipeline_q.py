@@ -5444,6 +5444,48 @@ def x_good_turing(spark, sf_dir):
 
 
 @query(
+    "x_chao1",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_SQL_TOKS}) AS tok FROM documents
+    ), f AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY tok
+    ), a AS (
+      SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS vocab,
+             CAST(COALESCE(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS f1,
+             CAST(COALESCE(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS f2
+      FROM f
+    )
+    SELECT n_tokens, vocab, f1, f2,
+      CASE WHEN n_tokens > 0 THEN
+        ROUND(CAST(vocab AS DOUBLE)
+              + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)
+                / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)), 6) + 0.0
+      END AS chao1_6,
+      CASE WHEN n_tokens > 0 THEN
+        ROUND(1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+          + 0.0
+      END AS coverage6
+    FROM a
+    """,
+    extra=True,  # r14 addition — r15 rotation candidate
+)
+def x_chao1(spark, sf_dir):
+    """Chao1 vocabulary-richness lower bound + Good's sample coverage
+    over the corpus unigrams (pipeline/text.py:chao1_richness) —
+    the vocabulary-saturation readout for crawl curation, sharing
+    word_frequencies' single corpus pass with x_good_turing /
+    x_zipf_fit; exact integer spectrum, one ROUND-6 IEEE chain per
+    estimate."""
+    from pigout_spark.pipeline.text import chao1_richness
+
+    return chao1_richness(tf(spark, sf_dir, "documents"))
+
+
+@query(
     "x_zipf_fit",
     f"""
     WITH toks AS (
@@ -5640,3 +5682,166 @@ def x_fuzzy_pairs(spark, sf_dir):
 
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return fuzzy_pairs(c, "c_custkey", "c_name", max_dist=1)
+
+
+@query(
+    "x_fs_linkage",
+    """
+    WITH r AS (
+      SELECT p_partkey, p_brand, p_size,
+             p_type AS f_type,
+             string_split(p_name, ' ')[1] AS f_color,
+             CAST(CAST(FLOOR(p_retailprice / 10) AS BIGINT) AS VARCHAR)
+               AS f_price
+      FROM part
+    ), tu AS (
+      SELECT CAST(SUM(c * c) AS DOUBLE)
+             / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)) AS u
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM r
+            WHERE f_type IS NOT NULL GROUP BY f_type)
+    ), cu AS (
+      SELECT CAST(SUM(c * c) AS DOUBLE)
+             / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)) AS u
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM r
+            WHERE f_color IS NOT NULL GROUP BY f_color)
+    ), mu AS (
+      SELECT CAST(SUM(c * c) AS DOUBLE)
+             / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE)) AS u
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM r
+            WHERE f_price IS NOT NULL GROUP BY f_price)
+    ), w AS (
+      SELECT ROUND(log2(0.95 / tu.u), 6) + 0.0 AS t_wa,
+             ROUND(log2((1.0 - 0.95) / (1.0 - tu.u)), 6) + 0.0 AS t_wd,
+             ROUND(log2(0.95 / cu.u), 6) + 0.0 AS c_wa,
+             ROUND(log2((1.0 - 0.95) / (1.0 - cu.u)), 6) + 0.0 AS c_wd,
+             ROUND(log2(0.95 / mu.u), 6) + 0.0 AS m_wa,
+             ROUND(log2((1.0 - 0.95) / (1.0 - mu.u)), 6) + 0.0 AS m_wd
+      FROM tu, cu, mu
+    ), pr AS (
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+             a.f_type AS at, b.f_type AS bt,
+             a.f_color AS ac, b.f_color AS bc,
+             a.f_price AS am, b.f_price AS bm
+      FROM r a
+      JOIN r b
+        ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+       AND a.p_partkey < b.p_partkey
+    )
+    SELECT id_a, id_b,
+      CAST((CASE WHEN at IS NOT NULL AND bt IS NOT NULL THEN 1 ELSE 0 END)
+         + (CASE WHEN ac IS NOT NULL AND bc IS NOT NULL THEN 1 ELSE 0 END)
+         + (CASE WHEN am IS NOT NULL AND bm IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_known,
+      CAST((CASE WHEN at IS NOT NULL AND bt IS NOT NULL AND at = bt
+                 THEN 1 ELSE 0 END)
+         + (CASE WHEN ac IS NOT NULL AND bc IS NOT NULL AND ac = bc
+                 THEN 1 ELSE 0 END)
+         + (CASE WHEN am IS NOT NULL AND bm IS NOT NULL AND am = bm
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+      ROUND(CAST(
+          CAST(CASE WHEN at IS NULL OR bt IS NULL THEN 0.0
+                    WHEN at = bt THEN w.t_wa ELSE w.t_wd END
+               AS DECIMAL(38,6))
+        + CAST(CASE WHEN ac IS NULL OR bc IS NULL THEN 0.0
+                    WHEN ac = bc THEN w.c_wa ELSE w.c_wd END
+               AS DECIMAL(38,6))
+        + CAST(CASE WHEN am IS NULL OR bm IS NULL THEN 0.0
+                    WHEN am = bm THEN w.m_wa ELSE w.m_wd END
+               AS DECIMAL(38,6)) AS DOUBLE), 6) + 0.0 AS weight6
+    FROM pr, w
+    """,
+    extra=True,  # r14 addition — r15 rotation candidate
+)
+def x_fs_linkage(spark, sf_dir):
+    """Fellegi-Sunter probabilistic record-linkage weights over
+    brand+size blocked part pairs (pipeline/dedup.py:
+    fs_linkage_weights): u-probabilities estimated exactly from the
+    field value distributions (sum of squared count shares), m = 0.95
+    per field, agreement/disagreement log2 weights ROUND-6'd
+    in-engine and decimal-summed per pair over (type, name color
+    word, $10 price bucket) — the scorer that ranks a blocking
+    stage's candidates for linkage decisions."""
+    from pigout_spark.pipeline.dedup import fs_linkage_weights
+
+    parts = t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size",
+        F.col("p_type").alias("f_type"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("f_color"),
+        F.floor(F.col("p_retailprice") / 10)
+        .cast("bigint").cast("string").alias("f_price"),
+    )
+    a = parts.select(
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_brand").alias("__kb"),
+        F.col("p_size").alias("__ks"),
+    )
+    b = parts.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_brand").alias("__kb"),
+        F.col("p_size").alias("__ks"),
+    )
+    pairs = (
+        a.join(b, ["__kb", "__ks"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return fs_linkage_weights(
+        parts,
+        pairs,
+        "p_partkey",
+        ["f_type", "f_color", "f_price"],
+        default_m=0.95,
+    )
+
+
+@query(
+    "x_png_meta",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             8 + (doc_id % 9) AS w,
+             8 + (doc_id % 7) AS h,
+             CASE WHEN doc_id % 4 = 0 THEN 0 ELSE 2 END AS ct
+      FROM documents
+    ), ix AS (
+      SELECT doc_id, w, h, ct, unnest(range(0, w * h)) AS i FROM d
+    ), s AS (
+      SELECT doc_id,
+             SUM((doc_id*7 + i*13) % 256) AS s0,
+             SUM(CASE WHEN ct = 2
+                      THEN (doc_id*7 + i*13 + 31) % 256 END) AS s1,
+             SUM(CASE WHEN ct = 2
+                      THEN (doc_id*7 + i*13 + 62) % 256 END) AS s2
+      FROM ix GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(d.w AS INT) AS width,
+           CAST(d.h AS INT) AS height,
+           CAST(d.ct AS INT) AS color_type,
+           CAST(3 AS INT) AS n_chunks,
+           CAST(d.w * d.h AS BIGINT) AS n_pixels,
+           CAST(s.s0 AS BIGINT) AS sum_c0,
+           CAST(s.s1 AS BIGINT) AS sum_c1,
+           CAST(s.s2 AS BIGINT) AS sum_c2
+    FROM d JOIN s USING (doc_id)
+    """,
+    extra=True,  # r14 addition — r15 rotation candidate
+)
+def x_png_meta(spark, sf_dir):
+    """Image-column metadata via a REAL PNG round-trip
+    (pipeline/multimodal.py:synth_png / decode_png_images): spec-true
+    chunk+CRC-32 layout, DEFLATE via stdlib zlib, and per-row scanline
+    filters cycling through ALL FIVE spec filter types (None / Sub /
+    Up / Average / Paeth) by the generator law — so the oracle's
+    law-replayed pixel sums certify the encoder's filtering and the
+    decoder's CRC walk + inflate + unfilter end to end, not just
+    header arithmetic."""
+    from pigout_spark.pipeline.multimodal import (
+        decode_png_images,
+        synth_png_payloads,
+    )
+
+    d = synth_png_payloads(
+        t(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
+    return decode_png_images(d, "payload", "doc_id")

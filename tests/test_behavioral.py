@@ -2242,3 +2242,129 @@ def test_jackknife_degenerate_key_oracle_parity(spark, tmp_path):
     assert ora["Z"][2] == got["Z"].ratio6
     assert ora["A"][3] == got["A"].se6
     assert ora["A"][2] == got["A"].ratio6
+
+
+def test_mann_kendall_hand_checked(spark):
+    """r14: S, tie-corrected var_num and z against hand arithmetic —
+    monotone sequences hit |S| = n(n-1)/2, ties reduce var_num by the
+    documented term, all-tied and single-point inputs read NULL z."""
+    from pigout_spark.pipeline.behavioral import mann_kendall
+
+    # strictly increasing: S = C(5,2) = 10, no ties
+    inc = spark.createDataFrame(
+        [(float(i), float(i) * 3.0) for i in range(5)], "x double, y double"
+    )
+    r = mann_kendall(inc, "x", "y").first()
+    assert (r.n_points, r.s_stat) == (5, 10)
+    assert r.var_num == 5 * 4 * 15  # n(n-1)(2n+5), no tie term
+    import math
+    want_z = round((10 - 1.0) / math.sqrt(300 / 18.0), 6)
+    assert r.z6 == want_z
+
+    # strictly decreasing mirrors the sign
+    dec = spark.createDataFrame(
+        [(float(i), -float(i)) for i in range(5)], "x double, y double"
+    )
+    rd = mann_kendall(dec, "x", "y").first()
+    assert rd.s_stat == -10 and rd.z6 == -want_z
+
+    # one tied pair of y values: tie term t=2 -> 2*1*9 = 18
+    tied = spark.createDataFrame(
+        [(0.0, 1.0), (1.0, 2.0), (2.0, 2.0), (3.0, 5.0)],
+        "x double, y double",
+    )
+    rt = mann_kendall(tied, "x", "y").first()
+    # pairs: (1,2)+ (1,2)+ (1,5)+ (2,2)0 (2,5)+ (2,5)+ -> S = 5
+    assert rt.s_stat == 5
+    assert rt.var_num == 4 * 3 * 13 - 18
+
+    # all y tied -> S = 0, var_num = 0 -> NULL z/p
+    flat = spark.createDataFrame(
+        [(float(i), 7.0) for i in range(4)], "x double, y double"
+    )
+    rf = mann_kendall(flat, "x", "y").first()
+    assert (rf.s_stat, rf.var_num, rf.z6, rf.p6) == (0, 0, None, None)
+
+    # single point -> NULL; NULLs excluded before the cap
+    one = spark.createDataFrame([(1.0, 1.0)], "x double, y double")
+    assert mann_kendall(one, "x", "y").first().z6 is None
+    nulls = spark.createDataFrame(
+        [(None, 9.0), (0.0, 0.0), (1.0, 1.0), (2.0, 2.0)],
+        "x double, y double",
+    )
+    assert mann_kendall(nulls, "x", "y").first().n_points == 3
+
+    # per-key + cap: keys stay independent, cap takes the FIRST n
+    two = spark.createDataFrame(
+        [("a", float(i), float(i)) for i in range(6)]
+        + [("b", float(i), -float(i)) for i in range(4)],
+        "k string, x double, y double",
+    )
+    got = {r.k: r for r in mann_kendall(two, "x", "y", ["k"]).collect()}
+    assert got["a"].s_stat == 15 and got["b"].s_stat == -6
+    capped = {
+        r.k: r
+        for r in mann_kendall(
+            two, "x", "y", ["k"], max_points_per_key=3
+        ).collect()
+    }
+    assert capped["a"].n_points == 3 and capped["a"].s_stat == 3
+
+
+def test_fs_linkage_weights_hand_checked(spark):
+    """r14: Fellegi-Sunter weights against hand arithmetic — u from
+    the exact value distribution, agreement/disagreement log2 terms,
+    NULL fields contribute zero and n_known counts evidence; constant
+    and all-NULL fields raise loudly."""
+    import math
+
+    import pytest as _pytest
+
+    from pigout_spark.pipeline.dedup import fs_linkage_weights
+
+    recs = spark.createDataFrame(
+        [(1, "x", "p"), (2, "x", "q"), (3, "y", None), (4, "z", "q")],
+        "id long, f1 string, f2 string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (3, 4)], "id_a long, id_b long"
+    )
+    out = {
+        (r.id_a, r.id_b): r
+        for r in fs_linkage_weights(
+            recs, pairs, "id", ["f1", "f2"], default_m=0.9
+        ).collect()
+    }
+    # f1 counts: x=2, y=1, z=1 over N=4 -> u1 = 6/16; f2: p=1, q=2
+    # over N=3 -> u2 = 5/9
+    u1, u2 = 6 / 16, 5 / 9
+    wa1 = round(math.log2(0.9 / u1), 6)
+    wd1 = round(math.log2(0.1 / (1 - u1)), 6)
+    wa2 = round(math.log2(0.9 / u2), 6)
+    wd2 = round(math.log2(0.1 / (1 - u2)), 6)
+    # (1,2): f1 agree, f2 disagree
+    r12 = out[(1, 2)]
+    assert (r12.n_known, r12.n_agree) == (2, 1)
+    assert r12.weight6 == round(wa1 + wd2, 6)
+    # (1,3): f1 disagree, f2 unknown (NULL side) -> contributes 0
+    r13 = out[(1, 3)]
+    assert (r13.n_known, r13.n_agree) == (1, 0)
+    assert r13.weight6 == round(wd1 + 0.0, 6)
+    # (3,4): f1 disagree, f2 unknown
+    assert out[(3, 4)].weight6 == round(wd1 + 0.0, 6)
+
+    # loud contracts
+    const = spark.createDataFrame(
+        [(1, "same"), (2, "same")], "id long, f1 string"
+    )
+    with _pytest.raises(ValueError, match="constant"):
+        fs_linkage_weights(const, pairs, "id", ["f1"])
+    allnull = spark.createDataFrame(
+        [(1, None), (2, None)], "id long, f1 string"
+    )
+    with _pytest.raises(ValueError, match="no observed"):
+        fs_linkage_weights(allnull, pairs, "id", ["f1"])
+    with _pytest.raises(ValueError, match="at least one field"):
+        fs_linkage_weights(recs, pairs, "id", [])
+    with _pytest.raises(ValueError, match="in \\(0, 1\\)"):
+        fs_linkage_weights(recs, pairs, "id", ["f1"], default_m=1.0)

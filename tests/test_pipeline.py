@@ -3979,3 +3979,111 @@ def test_fuzzy_pairs_hand_checked(spark):
     # prefix block 'aaaa' (30 > 10) dropped; suffix keys are all
     # distinct 4-char tails -> no candidates survive
     assert capped.count() == 0
+
+
+def test_png_codec_round_trip_and_errors(spark):
+    """r14: PNG decodes for REAL in pure Python + stdlib zlib — CRC
+    verification on every chunk, all five scanline filters round-trip
+    (synth_png cycles them row by row), loud failures on malformed
+    payloads, and the Spark mapInPandas stage against the fixture
+    law."""
+    import zlib
+
+    import pytest as _pytest
+
+    from pigout_spark.pipeline.multimodal import (
+        decode_png,
+        decode_png_images,
+        encode_png,
+        synth_png,
+        synth_png_payloads,
+    )
+
+    # every filter type on a hand-built RGB image
+    w, h = 5, 5
+    pixels = bytes((y * 31 + x * 7 + c * 13) % 256
+                   for y in range(h) for x in range(w) for c in range(3))
+    png = encode_png(w, h, pixels, color_type=2,
+                     row_filters=[0, 1, 2, 3, 4])
+    m = decode_png(png)
+    assert (m["width"], m["height"], m["color_type"]) == (5, 5, 2)
+    assert m["n_pixels"] == 25 and m["n_chunks"] == 3
+    want = [sum(pixels[i] for i in range(c, len(pixels), 3))
+            for c in range(3)]
+    assert m["ch_sums"] == want
+
+    # greyscale
+    g = encode_png(3, 2, bytes([0, 128, 255, 1, 2, 3]), color_type=0,
+                   row_filters=[4, 1])
+    mg = decode_png(g)
+    assert (mg["color_type"], mg["ch_sums"]) == (0, [0 + 128 + 255 + 1 + 2 + 3])
+
+    # loud failures: signature, CRC corruption, truncation, size lies
+    with _pytest.raises(ValueError, match="signature"):
+        decode_png(b"GIF89a" + bytes(30))
+    bad = bytearray(png)
+    bad[40] ^= 0xFF  # inside IHDR/IDAT body -> CRC must catch it
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    with _pytest.raises(ValueError, match="truncated|missing"):
+        decode_png(png[:-8])
+    with _pytest.raises(ValueError, match="pixel buffer"):
+        encode_png(4, 4, b"\x00" * 10)
+    # unsupported features fail loudly, naming the feature
+    ihdr = (3).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes(
+        [8, 3, 0, 0, 0]  # color type 3 = palette
+    )
+    pal = (b"\x89PNG\r\n\x1a\n"
+           + len(ihdr).to_bytes(4, "big") + b"IHDR" + ihdr
+           + zlib.crc32(b"IHDR" + ihdr).to_bytes(4, "big")
+           + (0).to_bytes(4, "big") + b"IEND"
+           + zlib.crc32(b"IEND").to_bytes(4, "big"))
+    with _pytest.raises(NotImplementedError, match="color type 3"):
+        decode_png(pal)
+
+    # fixture law round-trips across grey/RGB and all filter rows
+    for key in (0, 1, 2, 3, 4, 8, 63, 1234):
+        mk = decode_png(synth_png(key))
+        ww, hh = 8 + key % 9, 8 + key % 7
+        bpp = 1 if key % 4 == 0 else 3
+        assert (mk["width"], mk["height"]) == (ww, hh)
+        assert mk["color_type"] == (0 if key % 4 == 0 else 2)
+        assert mk["ch_sums"] == [
+            sum((key * 7 + i * 13 + c * 31) % 256 for i in range(ww * hh))
+            for c in range(bpp)
+        ]
+
+    # the distributed stage: NULL sum_c1/c2 for greyscale
+    df = spark.createDataFrame([(4,), (5,)], "doc_id long")
+    got = {r.doc_id: r
+           for r in decode_png_images(synth_png_payloads(df)).collect()}
+    assert (got[4].color_type, got[4].sum_c1, got[4].sum_c2) == (0, None, None)
+    m5 = decode_png(synth_png(5))
+    assert (got[5].sum_c0, got[5].sum_c1, got[5].sum_c2) == tuple(m5["ch_sums"])
+
+
+def test_chao1_richness_hand_checked(spark):
+    """r14: Chao1 + Good's coverage against hand arithmetic on a tiny
+    corpus with known singleton/doubleton structure; empty corpus
+    reads zero counts and NULL estimates."""
+    from pigout_spark.pipeline.text import chao1_richness
+
+    # tokens: a a a b b c d -> V=4, f1=2 (c,d), f2=1 (b), N=7
+    df = spark.createDataFrame([("a a a b b c d",)], "text string")
+    r = chao1_richness(df).first()
+    assert (r.n_tokens, r.vocab, r.f1, r.f2) == (7, 4, 2, 1)
+    assert r.chao1_6 == round(4 + 2 * 1 / (2 * (1 + 1)), 6)  # 4.5
+    assert r.coverage6 == round(1 - 2 / 7, 6)
+
+    # no doubletons: the bias-corrected form stays defined (f2 = 0)
+    d2 = spark.createDataFrame([("a b c",)], "text string")
+    r2 = chao1_richness(d2).first()
+    assert (r2.f1, r2.f2) == (3, 0)
+    assert r2.chao1_6 == round(3 + 3 * 2 / 2.0, 6)  # 6.0
+    assert r2.coverage6 == 0.0  # all singletons
+
+    # empty corpus -> exact zeros, NULL estimates
+    e = spark.createDataFrame([], "text string")
+    re_ = chao1_richness(e).first()
+    assert (re_.n_tokens, re_.vocab, re_.f1, re_.f2) == (0, 0, 0, 0)
+    assert re_.chao1_6 is None and re_.coverage6 is None
