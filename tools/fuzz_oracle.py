@@ -1026,7 +1026,8 @@ def gen_pipeline(rng: random.Random):
          "repn", "semantic", "bpe",
          "wsample", "surprisal", "zorder", "incr",
          "entropy", "gturing", "fuzzy",
-         "readability", "wav", "avi"]
+         "readability", "wav", "avi",
+         "mk", "chao1f", "fs", "png"]
     )
     if kind == "semantic":
         return _gen_semantic(rng)
@@ -1034,6 +1035,8 @@ def gen_pipeline(rng: random.Random):
         return _gen_r13(rng, kind, rows, cte, mkdf)
     if kind in ("readability", "wav", "avi"):
         return _gen_r14(rng, kind, rows, cte, mkdf)
+    if kind in ("mk", "chao1f", "fs", "png"):
+        return _gen_r14b(rng, kind, rows, cte, mkdf)
     if kind in ("wsample", "surprisal", "zorder", "incr"):
         return _gen_r6(rng, kind, rows, cte, mkdf)
     if kind in ("spans", "stats"):
@@ -3949,3 +3952,259 @@ def _gen_tempw(rng: random.Random):
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+def _gen_r14b(rng: random.Random, kind: str, rows, cte: str, mkdf):
+    """r14 late additions: Mann-Kendall (random point clouds with ties
+    and NULLs), Chao1 (random corpora), Fellegi-Sunter (random records
+    + candidate pairs, random m), and the PNG codec (random pixels AND
+    random per-row filter types: the oracle sums the SAME pixels from
+    a VALUES relation, so encode_png ∘ decode_png is the thing under
+    differential test)."""
+    if kind == "mk":
+        cap = rng.choice([3, 5, 50])
+        nk = rng.randint(1, 3)
+        pts = []
+        for i in range(rng.randint(2, 30)):
+            k = f"k{rng.randint(0, nk - 1)}"
+            x = None if rng.random() < 0.1 else rng.randint(0, 8)
+            y = None if rng.random() < 0.1 else rng.randint(-3, 3)
+            pts.append((k, x, y))
+        vals = ", ".join(
+            f"('{k}', {'NULL' if x is None else x}, "
+            f"{'NULL' if y is None else y})"
+            for k, x, y in pts
+        )
+        sql = f"""
+        WITH pts0 AS (SELECT * FROM (VALUES {vals}) AS __p(k, x, y)),
+        d AS (SELECT k, CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y
+              FROM pts0 WHERE x IS NOT NULL AND y IS NOT NULL),
+        r AS (SELECT k, x, y,
+                     row_number() OVER (PARTITION BY k ORDER BY x, y)
+                       AS rn
+              FROM d),
+        c AS (SELECT * FROM r WHERE rn <= {cap}),
+        base AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_points
+                 FROM c GROUP BY k),
+        s AS (SELECT a.k,
+                     CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                                   WHEN b.y < a.y THEN -1 ELSE 0 END)
+                          AS BIGINT) AS s_stat
+              FROM c a JOIN c b ON a.k = b.k AND a.rn < b.rn
+              GROUP BY a.k),
+        tv AS (SELECT k, y, CAST(COUNT(*) AS BIGINT) AS t
+               FROM c GROUP BY k, y),
+        ties AS (SELECT k, CAST(SUM(t * (t - 1) * (2 * t + 5))
+                               AS BIGINT) AS tie_term
+                 FROM tv GROUP BY k),
+        j AS (SELECT base.k, base.n_points,
+                     COALESCE(s.s_stat, 0) AS s_stat,
+                     CAST(base.n_points * (base.n_points - 1)
+                          * (2 * base.n_points + 5) - ties.tie_term
+                          AS BIGINT) AS var_num
+              FROM base
+              JOIN ties ON base.k = ties.k
+              LEFT JOIN s ON base.k = s.k),
+        z AS (SELECT k, n_points, s_stat, var_num,
+                CASE WHEN n_points >= 2 AND var_num > 0 THEN
+                  ROUND(CASE WHEN s_stat > 0
+                               THEN (s_stat - 1.0)
+                                    / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+                             WHEN s_stat < 0
+                               THEN (s_stat + 1.0)
+                                    / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+                             ELSE 0.0 END, 6) + 0.0
+                END AS z6
+              FROM j)
+        SELECT k, n_points, s_stat, var_num, z6,
+          CASE WHEN z6 IS NOT NULL THEN
+            ROUND(LEAST(1.0, 2.0 * (exp(-abs(z6) * abs(z6) / 2.0)
+              * 0.3989422804014327
+              * ((1.0 / (1.0 + 0.2316419 * abs(z6)))
+                 * (0.319381530 + (1.0 / (1.0 + 0.2316419 * abs(z6)))
+                   * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * abs(z6)))
+                     * (1.781477937 + (1.0 / (1.0 + 0.2316419 * abs(z6)))
+                       * (-1.821255978
+                          + (1.0 / (1.0 + 0.2316419 * abs(z6)))
+                          * 1.330274429))))))), 6) + 0.0
+          END AS p6
+        FROM z
+        """
+
+        def build(spark, sf_dir):
+            from pigout_spark.pipeline.behavioral import mann_kendall
+
+            df = spark.createDataFrame(pts, "k string, x int, y int")
+            return mann_kendall(
+                df, "x", "y", ["k"], max_points_per_key=cap
+            )
+
+        return build, sql
+    if kind == "chao1f":
+        sql = (
+            cte
+            + f"""
+            , toks AS (
+              SELECT unnest({_P_TOKS}) AS tok FROM documents
+              WHERE text IS NOT NULL
+            ), f AS (
+              SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+              FROM toks GROUP BY tok
+            ), a AS (
+              SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_tokens,
+                     CAST(COUNT(*) AS BIGINT) AS vocab,
+                     CAST(COALESCE(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END),
+                                   0) AS BIGINT) AS f1,
+                     CAST(COALESCE(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END),
+                                   0) AS BIGINT) AS f2
+              FROM f
+            )
+            SELECT n_tokens, vocab, f1, f2,
+              CASE WHEN n_tokens > 0 THEN
+                ROUND(CAST(vocab AS DOUBLE)
+                      + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)
+                        / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)), 6) + 0.0
+              END AS chao1_6,
+              CASE WHEN n_tokens > 0 THEN
+                ROUND(1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE),
+                      6) + 0.0
+              END AS coverage6
+            FROM a
+            """
+        )
+
+        def build(spark, sf_dir):
+            from pigout_spark.pipeline.text import chao1_richness
+
+            return chao1_richness(mkdf(spark))
+
+        return build, sql
+    if kind == "fs":
+        m = round(rng.uniform(0.55, 0.98), 3)
+        alpha = ["u", "v", "w", "x"]
+        recs = []
+        for i in range(rng.randint(4, 20)):
+            f1 = None if rng.random() < 0.15 else rng.choice(alpha)
+            f2 = None if rng.random() < 0.15 else rng.choice(alpha[:2])
+            recs.append((i, f1, f2))
+        # guarantee >= 2 distinct observed values per field (the op's
+        # loud constant/all-NULL contract is tested in pytest, not here)
+        recs += [(1000, "zz1", "qq1"), (1001, "zz2", "qq2")]
+        ids = [r[0] for r in recs]
+        pairs = set()
+        for _ in range(rng.randint(1, 25)):
+            a, b = rng.sample(ids, 2)
+            pairs.add((min(a, b), max(a, b)))
+        pairs = sorted(pairs)
+        rvals = ", ".join(
+            f"({i}, {('NULL' if a is None else chr(39) + a + chr(39))}, "
+            f"{('NULL' if b is None else chr(39) + b + chr(39))})"
+            for i, a, b in recs
+        )
+        pvals = ", ".join(f"({a}, {b})" for a, b in pairs)
+        sql = f"""
+        WITH r AS (SELECT * FROM (VALUES {rvals}) AS __r(id, f1, f2)),
+        p AS (SELECT * FROM (VALUES {pvals}) AS __p(id_a, id_b)),
+        u1 AS (SELECT CAST(SUM(c * c) AS DOUBLE)
+                      / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE))
+                        AS u
+               FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM r
+                     WHERE f1 IS NOT NULL GROUP BY f1)),
+        u2 AS (SELECT CAST(SUM(c * c) AS DOUBLE)
+                      / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) AS DOUBLE))
+                        AS u
+               FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM r
+                     WHERE f2 IS NOT NULL GROUP BY f2)),
+        w AS (SELECT ROUND(log2({m} / u1.u), 6) + 0.0 AS w1a,
+                     ROUND(log2((1.0 - {m}) / (1.0 - u1.u)), 6) + 0.0
+                       AS w1d,
+                     ROUND(log2({m} / u2.u), 6) + 0.0 AS w2a,
+                     ROUND(log2((1.0 - {m}) / (1.0 - u2.u)), 6) + 0.0
+                       AS w2d
+              FROM u1, u2),
+        j AS (SELECT p.id_a, p.id_b,
+                     a.f1 AS a1, b.f1 AS b1, a.f2 AS a2, b.f2 AS b2
+              FROM p JOIN r a ON p.id_a = a.id
+                     JOIN r b ON p.id_b = b.id)
+        SELECT id_a, id_b,
+          CAST((CASE WHEN a1 IS NOT NULL AND b1 IS NOT NULL
+                     THEN 1 ELSE 0 END)
+             + (CASE WHEN a2 IS NOT NULL AND b2 IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_known,
+          CAST((CASE WHEN a1 IS NOT NULL AND b1 IS NOT NULL AND a1 = b1
+                     THEN 1 ELSE 0 END)
+             + (CASE WHEN a2 IS NOT NULL AND b2 IS NOT NULL AND a2 = b2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+          ROUND(CAST(
+              CAST(CASE WHEN a1 IS NULL OR b1 IS NULL THEN 0.0
+                        WHEN a1 = b1 THEN w.w1a ELSE w.w1d END
+                   AS DECIMAL(38,6))
+            + CAST(CASE WHEN a2 IS NULL OR b2 IS NULL THEN 0.0
+                        WHEN a2 = b2 THEN w.w2a ELSE w.w2d END
+                   AS DECIMAL(38,6)) AS DOUBLE), 6) + 0.0 AS weight6
+        FROM j, w
+        """
+
+        def build(spark, sf_dir):
+            from pigout_spark.pipeline.dedup import fs_linkage_weights
+
+            rdf = spark.createDataFrame(
+                recs, "id long, f1 string, f2 string"
+            )
+            pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+            return fs_linkage_weights(
+                rdf, pdf, "id", ["f1", "f2"], default_m=m
+            )
+
+        return build, sql
+    # png: random dimensions/colortype/pixels AND random row filters
+    cases = []
+    pix_rows = []
+    for i in range(rng.randint(2, 5)):
+        w = rng.randint(1, 12)
+        h = rng.randint(1, 10)
+        ct = rng.choice([0, 2])
+        bpp = 1 if ct == 0 else 3
+        pix = [rng.randint(0, 255) for _ in range(w * h * bpp)]
+        filt = [rng.randint(0, 4) for _ in range(h)]
+        cases.append((i, w, h, ct, bytes(pix), filt))
+        for j, v in enumerate(pix):
+            pix_rows.append((i, j % bpp, v))
+    hdr_vals = ", ".join(
+        f"({i}, {w}, {h}, {ct})" for i, w, h, ct, _, _ in cases
+    )
+    pix_vals = ", ".join(f"({d}, {c}, {v})" for d, c, v in pix_rows)
+    sql = f"""
+    WITH hd AS (SELECT * FROM (VALUES {hdr_vals})
+                AS __h(doc_id, w, h, ct)),
+    px AS (SELECT * FROM (VALUES {pix_vals}) AS __x(doc_id, c, v)),
+    agg AS (SELECT doc_id,
+                   SUM(CASE WHEN c = 0 THEN v END) AS s0,
+                   SUM(CASE WHEN c = 1 THEN v END) AS s1,
+                   SUM(CASE WHEN c = 2 THEN v END) AS s2
+            FROM px GROUP BY doc_id)
+    SELECT hd.doc_id,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(ct AS INT) AS color_type, CAST(3 AS INT) AS n_chunks,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(agg.s0 AS BIGINT) AS sum_c0,
+           CAST(CASE WHEN ct = 2 THEN agg.s1 END AS BIGINT) AS sum_c1,
+           CAST(CASE WHEN ct = 2 THEN agg.s2 END AS BIGINT) AS sum_c2
+    FROM hd JOIN agg USING (doc_id)
+    """
+
+    def build(spark, sf_dir):
+        from pigout_spark.pipeline.multimodal import (
+            decode_png_images,
+            encode_png,
+        )
+
+        payloads = [
+            (i, bytearray(encode_png(w, h, pix, color_type=ct,
+                                     row_filters=filt)))
+            for i, w, h, ct, pix, filt in cases
+        ]
+        df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+        return decode_png_images(df)
+
+    return build, sql
