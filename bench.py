@@ -104,6 +104,10 @@ EXTENDED = [
     # exactly these two rows — noted for series comparability)
     "x_fuzzy_pairs",
     "x_readability",
+    # r14 late additions (post-series: the n=5 BASELINE.md series
+    # predates these two rows — compare extended_total accordingly)
+    "x_fs_linkage",
+    "x_png_meta",
 ]
 
 TABLES = (

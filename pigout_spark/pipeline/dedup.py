@@ -1054,6 +1054,62 @@ def semantic_dedup(
 DEFAULT_MAX_BLOCK = 10_000
 
 
+def _blocked_string_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_len: int,
+    max_block: int | None,
+) -> DataFrame:
+    """Redundant prefix/suffix key blocking shared by the string
+    near-dup verifiers (:func:`fuzzy_pairs`, :func:`jw_pairs`): each
+    string emits its first- and last-``block_len``-chars keys, a pair
+    is a candidate when it shares EITHER key (the stated recall
+    contract), oversized blocks are dropped under ``max_block`` (the
+    max_df discipline).  Returns (id_a, id_b, __sa, __sb) with
+    id_a < id_b, deduplicated across the two key families."""
+    if int(block_len) < 1:
+        raise ValueError(f"block_len must be >= 1, got {block_len}")
+    bl = int(block_len)
+    d = df.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(F.col(id_col).alias("__id"), F.col(text_col).alias("__s"))
+    pre = d.select(
+        "__id", "__s",
+        F.lit("p").alias("__side"),
+        F.substring("__s", 1, bl).alias("__bk"),
+    )
+    suf = d.filter(F.length("__s") >= bl).select(
+        "__id", "__s",
+        F.lit("s").alias("__side"),
+        F.substring("__s", -bl, bl).alias("__bk"),
+    )
+    keys = pre.unionByName(suf)
+    if max_block is not None:
+        big = (
+            keys.groupBy("__side", "__bk")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > int(max_block))
+            .select("__side", "__bk")
+        )
+        keys = keys.join(F.broadcast(big), ["__side", "__bk"], "left_anti")
+    keys = _pin_partitions(keys, "__bk")
+    a = keys.select(
+        F.col("__side"), F.col("__bk"),
+        F.col("__id").alias("id_a"), F.col("__s").alias("__sa"),
+    )
+    b = keys.select(
+        F.col("__side"), F.col("__bk"),
+        F.col("__id").alias("id_b"), F.col("__s").alias("__sb"),
+    )
+    return (
+        a.join(b, ["__side", "__bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sa", "__sb")
+        .distinct()
+    )
+
+
 def fuzzy_pairs(
     df: DataFrame,
     id_col: str,
@@ -1095,45 +1151,8 @@ def fuzzy_pairs(
     """
     if int(max_dist) < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
-    if int(block_len) < 1:
-        raise ValueError(f"block_len must be >= 1, got {block_len}")
-    bl = int(block_len)
-    d = df.filter(
-        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
-    ).select(F.col(id_col).alias("__id"), F.col(text_col).alias("__s"))
-    pre = d.select(
-        "__id", "__s",
-        F.lit("p").alias("__side"),
-        F.substring("__s", 1, bl).alias("__bk"),
-    )
-    suf = d.filter(F.length("__s") >= bl).select(
-        "__id", "__s",
-        F.lit("s").alias("__side"),
-        F.substring("__s", -bl, bl).alias("__bk"),
-    )
-    keys = pre.unionByName(suf)
-    if max_block is not None:
-        big = (
-            keys.groupBy("__side", "__bk")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > int(max_block))
-            .select("__side", "__bk")
-        )
-        keys = keys.join(F.broadcast(big), ["__side", "__bk"], "left_anti")
-    keys = _pin_partitions(keys, "__bk")
-    a = keys.select(
-        F.col("__side"), F.col("__bk"),
-        F.col("__id").alias("id_a"), F.col("__s").alias("__sa"),
-    )
-    b = keys.select(
-        F.col("__side"), F.col("__bk"),
-        F.col("__id").alias("id_b"), F.col("__s").alias("__sb"),
-    )
-    cand = (
-        a.join(b, ["__side", "__bk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__sa", "__sb")
-        .distinct()
+    cand = _blocked_string_candidates(
+        df, id_col, text_col, block_len, max_block
     )
     dd = int(max_dist)
     # thresholded levenshtein returns -1 ABOVE the threshold (Spark
@@ -1296,3 +1315,114 @@ def fs_linkage_weights(
     total = sum(terms[1:], terms[0])
     w6 = (F.round(total.cast("double"), 6) + F.lit(0.0)).alias("weight6")
     return p.select("id_a", "id_b", n_known, n_agree, w6)
+
+
+def _jaro(s1: str, s2: str) -> float:
+    """Jaro similarity, DuckDB-convention edge cases (either side
+    empty → 0.0): standard matching window ⌊max/2⌋−1, greedy
+    left-to-right match flags, half-transposition count.  Verified
+    bit-identical to DuckDB's jaro_similarity over 30k random strings
+    (the oracle engine for :func:`jw_pairs`)."""
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    window = max(l1, l2) // 2 - 1
+    if window < 0:
+        window = 0
+    m1 = [False] * l1
+    m2 = [False] * l2
+    m = 0
+    for i in range(l1):
+        lo = max(0, i - window)
+        hi = min(l2, i + window + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s1[i] == s2[j]:
+                m1[i] = m2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (m / l1 + m / l2 + (m - t) / m) / 3.0
+
+
+def _jaro_winkler(s1: str, s2: str) -> float:
+    """Jaro–Winkler: prefix boost l·0.1·(1−jaro), prefix capped at 4,
+    applied only above the classic 0.7 boost threshold — the DuckDB
+    jaro_winkler_similarity convention, verified bit-identical over
+    30k random strings."""
+    j = _jaro(s1, s2)
+    if j > 0.7:
+        length = 0
+        for a, b in zip(s1, s2):
+            if a == b and length < 4:
+                length += 1
+            else:
+                break
+        j = j + length * 0.1 * (1.0 - j)
+    return j
+
+
+def jw_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_sim: float = 0.9,
+    block_len: int = 4,
+    max_block: int | None = DEFAULT_MAX_BLOCK,
+) -> DataFrame:
+    """Jaro–Winkler near-dup pairs over blocked candidates — the
+    name-matching companion to :func:`fuzzy_pairs` (Winkler 1990;
+    built for census name linkage): where Levenshtein counts edits,
+    JW rewards shared prefixes and tolerates transpositions, the
+    right scorer for person/org/title strings.  Shares fuzzy_pairs'
+    redundant prefix/suffix blocking (same recall contract, same
+    ``max_block`` degenerate-key cap).
+
+    Spark has no Jaro–Winkler builtin, so verification is the
+    documented slow path CONFINED to the candidate relation: an
+    Arrow-batched pandas UDF over the blocked pairs (never the
+    corpus), computing the DuckDB-convention JW (:func:`_jaro_winkler`
+    — empty→0, window ⌊max/2⌋−1, boost>0.7, prefix≤4, p=0.1, verified
+    bit-identical over 30k random strings).  The readout is ROUND-6
+    (+0.0) IN THE JVM after the UDF so the rounding discipline matches
+    the oracle engine.
+
+    Output: (id_a, id_b, jw6), id_a < id_b, jw6 ≥ round(min_sim, 6).
+
+    100 TB: candidate generation is the shared one (side, key)
+    equi-join bounded by ``max_block``; the Python stage is
+    Arrow-batched and candidate-sized — at web scale the candidate
+    relation is orders of magnitude below the corpus, and the UDF is
+    a narrow map over it (no shuffle of its own).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if not (0.0 <= float(min_sim) <= 1.0):
+        raise ValueError(f"min_sim must be in [0, 1], got {min_sim}")
+    cand = _blocked_string_candidates(
+        df, id_col, text_col, block_len, max_block
+    )
+
+    @pandas_udf("double")
+    def _jw_udf(sa, sb):
+        import pandas as pd
+
+        return pd.Series(
+            [_jaro_winkler(x, y) for x, y in zip(sa, sb)], dtype="float64"
+        )
+
+    sim6 = F.round(_jw_udf(F.col("__sa"), F.col("__sb")), 6) + F.lit(0.0)
+    return (
+        cand.select("id_a", "id_b", sim6.alias("jw6"))
+        .filter(F.col("jw6") >= round(float(min_sim), 6))
+    )

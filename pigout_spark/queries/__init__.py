@@ -549,7 +549,12 @@ assert len(_WINDOW_R13) == len(set(_WINDOW_R13)) == 50
 # selfcheck-green at sf0.01+sf0.1 AND hash-green at sf1+sf3 as added,
 # but not yet driver-checked): x_avi_meta (AVI/RIFF video-container
 # metadata), x_readability (Flesch / Flesch-Kincaid), x_power_mde
-# (A/B MDE + required per-arm n).
+# (A/B MDE + required per-arm n), x_mann_kendall (tie-corrected trend
+# test on theil_sen's capped sequence), x_chao1 (vocabulary-richness
+# lower bound + Good's coverage), x_fs_linkage (Fellegi-Sunter
+# record-linkage weights; sf3 oracle DNF >360 s while Spark scores
+# the 152.8M-pair relation in 118 s), x_png_meta (real PNG codec:
+# CRC-verified chunks, all five scanline filters).
 _WINDOW_R14 = [
     "q01_group_agg",  # flagship
     # (a) the pinned r14 queue — never driver-checked (VERDICT r13 #1)

@@ -5845,3 +5845,45 @@ def x_png_meta(spark, sf_dir):
         t(spark, sf_dir, "documents").select("doc_id"), "doc_id"
     )
     return decode_png_images(d, "payload", "doc_id")
+
+
+@query(
+    "x_jw_pairs",
+    """
+    WITH p AS (
+      SELECT c_custkey AS id, c_name AS s FROM customer
+      WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL
+    ), k AS (
+      SELECT id, s, 'p' AS side, substring(s, 1, 4) AS bk FROM p
+      UNION ALL
+      SELECT id, s, 's' AS side, substring(s, length(s) - 3, 4) AS bk
+      FROM p WHERE length(s) >= 4
+    ), big AS (
+      SELECT side, bk FROM k GROUP BY side, bk HAVING COUNT(*) > 10000
+    ), k2 AS (
+      SELECT k.* FROM k ANTI JOIN big USING (side, bk)
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+      FROM k2 a JOIN k2 b ON a.side = b.side AND a.bk = b.bk
+                         AND a.id < b.id
+    )
+    SELECT id_a, id_b,
+           ROUND(jaro_winkler_similarity(sa, sb), 6) + 0.0 AS jw6
+    FROM cand
+    WHERE ROUND(jaro_winkler_similarity(sa, sb), 6) + 0.0 >= 0.95
+    """,
+    extra=True,  # r14 addition — r15 rotation candidate
+)
+def x_jw_pairs(spark, sf_dir):
+    """Jaro-Winkler near-dup pairs over CUSTOMER NAMES
+    (pipeline/dedup.py:jw_pairs): the census name-matching scorer
+    (prefix boost, transposition tolerance) on the SAME blocked
+    candidates as x_fuzzy_pairs — Spark lacks the builtin, so the
+    score is the documented candidate-confined Arrow UDF, implemented
+    to DuckDB's exact convention (empty->0, window floor(max/2)-1,
+    boost only above 0.7, prefix cap 4) and verified bit-identical
+    over 30k random strings; readout ROUND-6 in the JVM."""
+    from pigout_spark.pipeline.dedup import jw_pairs
+
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return jw_pairs(c, "c_custkey", "c_name", min_sim=0.95)

@@ -4087,3 +4087,48 @@ def test_chao1_richness_hand_checked(spark):
     re_ = chao1_richness(e).first()
     assert (re_.n_tokens, re_.vocab, re_.f1, re_.f2) == (0, 0, 0, 0)
     assert re_.chao1_6 is None and re_.coverage6 is None
+
+
+def test_jw_pairs_matches_duckdb_convention(spark):
+    """r14: the pure-Python Jaro-Winkler twin is bit-identical to
+    DuckDB's jaro_winkler_similarity (the oracle engine) on edge cases
+    and random strings, and jw_pairs emits blocked pairs >= min_sim
+    with the ROUND-6 readout."""
+    import random
+
+    import duckdb
+
+    from pigout_spark.pipeline.dedup import _jaro_winkler, jw_pairs
+
+    con = duckdb.connect()
+    rng = random.Random(31)
+    cases = [("", ""), ("", "a"), ("a", "b"), ("abc", "abc"),
+             ("martha", "marhta"), ("dixon", "dicksonx"),
+             ("aaaaab", "aaaaac"), ("ab", "az"), ("crate", "trace")]
+    cases += [
+        ("".join(rng.choice("abc") for _ in range(rng.randint(0, 7))),
+         "".join(rng.choice("abc") for _ in range(rng.randint(0, 7))))
+        for _ in range(500)
+    ]
+    for a, b in cases:
+        want = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+        ).fetchone()[0]
+        assert _jaro_winkler(a, b) == want, (a, b)
+
+    df = spark.createDataFrame(
+        [(1, "jonathan smith"), (2, "jonathon smith"), (4, "betty jones"),
+         (5, "betti jones"), (6, "zzz")],
+        "id long, s string",
+    )
+    got = {(r.id_a, r.id_b): r.jw6
+           for r in jw_pairs(df, "id", "s", min_sim=0.9).collect()}
+    assert got[(1, 2)] == round(_jaro_winkler(
+        "jonathan smith", "jonathon smith"), 6)
+    assert (6, 1) not in got and (1, 6) not in got
+    # min_sim filters: raise the bar and the betty pair drops
+    high = jw_pairs(df, "id", "s", min_sim=0.97).collect()
+    assert all(r.jw6 >= 0.97 for r in high)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="min_sim"):
+        jw_pairs(df, "id", "s", min_sim=1.5)

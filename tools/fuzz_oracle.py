@@ -1027,7 +1027,7 @@ def gen_pipeline(rng: random.Random):
          "wsample", "surprisal", "zorder", "incr",
          "entropy", "gturing", "fuzzy",
          "readability", "wav", "avi",
-         "mk", "chao1f", "fs", "png"]
+         "mk", "chao1f", "fs", "png", "jw"]
     )
     if kind == "semantic":
         return _gen_semantic(rng)
@@ -1035,7 +1035,7 @@ def gen_pipeline(rng: random.Random):
         return _gen_r13(rng, kind, rows, cte, mkdf)
     if kind in ("readability", "wav", "avi"):
         return _gen_r14(rng, kind, rows, cte, mkdf)
-    if kind in ("mk", "chao1f", "fs", "png"):
+    if kind in ("mk", "chao1f", "fs", "png", "jw"):
         return _gen_r14b(rng, kind, rows, cte, mkdf)
     if kind in ("wsample", "surprisal", "zorder", "incr"):
         return _gen_r6(rng, kind, rows, cte, mkdf)
@@ -4154,6 +4154,51 @@ def _gen_r14b(rng: random.Random, kind: str, rows, cte: str, mkdf):
             pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
             return fs_linkage_weights(
                 rdf, pdf, "id", ["f1", "f2"], default_m=m
+            )
+
+        return build, sql
+    if kind == "jw":
+        # random short strings over a tiny alphabet: exercises the
+        # matching window, transpositions, prefix boost and threshold;
+        # the oracle is DuckDB's OWN jaro_winkler_similarity
+        ms = rng.choice([0.0, 0.5, 0.8, 0.9])
+        bl = rng.choice([1, 2, 3])
+        strs = [
+            (
+                i,
+                "".join(
+                    rng.choice("abcd")
+                    for _ in range(rng.randint(0, 8))
+                ),
+            )
+            for i in range(rng.randint(3, 14))
+        ]
+        svals = ", ".join(f"({i}, '{s_}')" for i, s_ in strs)
+        sql = f"""
+        WITH p AS (SELECT * FROM (VALUES {svals}) AS __v(id, s)),
+        k AS (
+          SELECT id, s, 'p' AS side, substring(s, 1, {bl}) AS bk FROM p
+          UNION ALL
+          SELECT id, s, 's' AS side,
+                 substring(s, length(s) - {bl - 1}, {bl}) AS bk
+          FROM p WHERE length(s) >= {bl}
+        ), cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+          FROM k a JOIN k b ON a.side = b.side AND a.bk = b.bk
+                           AND a.id < b.id
+        )
+        SELECT id_a, id_b,
+               ROUND(jaro_winkler_similarity(sa, sb), 6) + 0.0 AS jw6
+        FROM cand
+        WHERE ROUND(jaro_winkler_similarity(sa, sb), 6) + 0.0 >= {ms}
+        """
+
+        def build(spark, sf_dir):
+            from pigout_spark.pipeline.dedup import jw_pairs
+
+            df = spark.createDataFrame(strs, "id long, s string")
+            return jw_pairs(
+                df, "id", "s", min_sim=ms, block_len=bl, max_block=None
             )
 
         return build, sql
