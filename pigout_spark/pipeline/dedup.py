@@ -1426,3 +1426,73 @@ def jw_pairs(
         cand.select("id_a", "id_b", sim6.alias("jw6"))
         .filter(F.col("jw6") >= round(float(min_sim), 6))
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every token ``k``-gram,
+    slide a window of ``w`` consecutive hashes, select each window's
+    MINIMUM (rightmost occurrence on ties — the paper's robust
+    winnowing rule), and emit the distinct selected (position, hash)
+    fingerprints.  The guarantee that makes it the standard
+    code/document-overlap detector: any shared substring of at least
+    w + k − 1 tokens shares at least one fingerprint, while only
+    ~2/(w+1) of positions are kept.
+
+    Token k-gram hashes are the house md5 idiom (first 7 hex chars →
+    int64 — exact in both engines); the entire select is higher-order
+    array expressions IN-TASK (sequence/transform/slice/array_min/
+    reverse + array_position for the rightmost-tie rule) — zero
+    Python, zero shuffle, whole-stage codegen.  Documents with fewer
+    than k tokens emit nothing; documents with 1 ≤ m < w k-grams are
+    winnowed as ONE window of size m (the global minimum — the
+    standard short-document convention, keeping the ≥1-fingerprint
+    guarantee for every doc of ≥ k tokens).
+
+    Output: (id, pos, fp) — one row per distinct selected fingerprint,
+    ``pos`` the 0-based k-gram index it was selected at.
+
+    100 TB: a narrow map over the corpus (the fingerprint relation is
+    ~2/(w+1) of the k-gram count); downstream overlap detection joins
+    on fp — an equi-join on a hash key, the passage-dedup shape.
+    """
+    if int(k) < 1 or int(w) < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    kk, ww = int(k), int(w)
+    toks = ws_tokens(text_col, distinct=False)
+    hs_expr = (
+        f"transform(sequence(0, size(__toks) - {kk}), i -> "
+        f"CAST(conv(substring(md5(array_join(slice(__toks, i + 1, {kk})"
+        f", ' ')), 1, 7), 16, 10) AS BIGINT))"
+    )
+    # w_eff = least(w, m): short docs winnow as one window of size m
+    sel_expr = (
+        f"array_distinct(transform(sequence(0, size(__hs) - __we), j -> "
+        f"named_struct("
+        f"'pos', j + __we - array_position(reverse(slice(__hs, j + 1, "
+        f"__we)), array_min(slice(__hs, j + 1, __we))), "
+        f"'fp', array_min(slice(__hs, j + 1, __we)))))"
+    )
+    d = (
+        df.filter(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), toks.alias("__toks"))
+        .filter(F.size("__toks") >= kk)
+        .select("id", F.expr(hs_expr).alias("__hs"))
+        .select(
+            "id", "__hs",
+            F.least(F.lit(ww), F.size("__hs")).alias("__we"),
+        )
+        .select("id", F.explode(F.expr(sel_expr)).alias("__s"))
+        .select(
+            "id",
+            F.col("__s.pos").cast("bigint").alias("pos"),
+            F.col("__s.fp").alias("fp"),
+        )
+    )
+    return d

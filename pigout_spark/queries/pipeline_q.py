@@ -5887,3 +5887,84 @@ def x_jw_pairs(spark, sf_dir):
 
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return jw_pairs(c, "c_custkey", "c_name", min_sim=0.95)
+
+
+@query(
+    "x_winnow",
+    """
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+               AS toks
+      FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ), kg AS (
+      SELECT doc_id,
+        list_transform(range(0, len(toks) - 2), i ->
+          ('0x' || substr(md5(array_to_string(
+             list_slice(toks, i + 1, i + 3), ' ')), 1, 7))::BIGINT) AS hs
+      FROM d WHERE len(toks) >= 3
+    ), we AS (
+      SELECT doc_id, hs, least(4, len(hs)) AS w FROM kg
+    ), sel AS (
+      SELECT doc_id,
+        list_transform(range(0, len(hs) - w + 1), j ->
+          struct_pack(
+            pos := j + w - list_position(
+              list_reverse(list_slice(hs, j + 1, j + w)),
+              list_min(list_slice(hs, j + 1, j + w))),
+            fp := list_min(list_slice(hs, j + 1, j + w)))) AS sels
+      FROM we
+    ), ex AS (
+      SELECT doc_id, unnest(sels) AS s FROM sel
+    ), fps AS (
+      SELECT DISTINCT doc_id, CAST(s.pos AS BIGINT) AS pos, s.fp AS fp
+      FROM ex
+    ), per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fps
+      FROM fps GROUP BY doc_id
+    ), df2 AS (
+      SELECT DISTINCT doc_id, fp FROM fps
+    ), nd AS (
+      SELECT fp, COUNT(DISTINCT doc_id) AS ndocs FROM df2 GROUP BY fp
+    ), sh AS (
+      SELECT df2.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM df2 JOIN nd USING (fp) WHERE nd.ndocs >= 2
+      GROUP BY df2.doc_id
+    )
+    SELECT per_doc.doc_id, n_fps,
+           CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS n_shared_fps
+    FROM per_doc LEFT JOIN sh ON per_doc.doc_id = sh.doc_id
+    """,
+    extra=True,  # r14 addition — r15 rotation candidate
+)
+def x_winnow(spark, sf_dir):
+    """Winnowing fingerprints (MOSS; Schleimer-Wilkerson-Aiken 2003)
+    over documents (pipeline/dedup.py:winnowing_fingerprints): k=3
+    token-gram md5 hashes, window w=4, rightmost-min selection — per
+    doc the fingerprint count and how many of its distinct
+    fingerprints appear in OTHER docs too (the overlap-detection
+    readout; any shared >= w+k-1 = 6-token run guarantees a shared
+    fingerprint).  The winnow itself is in-task higher-order arrays,
+    zero Python; sharing is one fp-keyed exchange."""
+    from pigout_spark.pipeline.dedup import winnowing_fingerprints
+
+    fps = winnowing_fingerprints(
+        tf(spark, sf_dir, "documents"), "doc_id", "text", k=3, w=4
+    )
+    per_doc = fps.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fps")
+    )
+    df2 = fps.select(F.col("id").alias("doc_id"), "fp").distinct()
+    nd = df2.groupBy("fp").agg(
+        F.count_distinct("doc_id").alias("__ndocs")
+    )
+    sh = (
+        df2.join(nd, "fp")
+        .filter(F.col("__ndocs") >= 2)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__n_shared"))
+    )
+    return per_doc.join(sh, "doc_id", "left").select(
+        "doc_id", "n_fps",
+        F.coalesce(F.col("__n_shared"), F.lit(0))
+        .cast("bigint").alias("n_shared_fps"),
+    )

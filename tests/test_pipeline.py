@@ -4132,3 +4132,53 @@ def test_jw_pairs_matches_duckdb_convention(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="min_sim"):
         jw_pairs(df, "id", "s", min_sim=1.5)
+
+
+def test_winnowing_fingerprints_reference(spark):
+    """r14: winnowing (MOSS) against a pure-Python reference — the
+    rightmost-min tie rule, the short-doc single-window convention,
+    sub-k docs emitting nothing, and the w+k-1 shared-substring
+    guarantee."""
+    import hashlib
+
+    from pigout_spark.pipeline.dedup import winnowing_fingerprints
+
+    def ref(text, k=3, w=4):
+        toks = [t for t in text.split(" ") if t]
+        if len(toks) < k:
+            return set()
+        hs = [
+            int(hashlib.md5(" ".join(toks[i:i + k]).encode())
+                .hexdigest()[:7], 16)
+            for i in range(len(toks) - k + 1)
+        ]
+        m = len(hs)
+        we = min(w, m)
+        out = set()
+        for j in range(m - we + 1):
+            win = hs[j:j + we]
+            mn = min(win)
+            out.add((j + max(i for i, v in enumerate(win) if v == mn), mn))
+        return out
+
+    texts = [
+        (1, "a b c d e f g h a b c d"),
+        (2, "a b"),
+        (3, "a b c"),
+        (4, "x x x x x x x"),
+        (5, "p q r s t u v w x y z p q r"),
+        (6, "one two three four five six seven"),
+        (7, "zz one two three four five six seven yy"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {}
+    for r in winnowing_fingerprints(df, "doc_id", "text", k=3, w=4).collect():
+        got.setdefault(r.id, set()).add((r.pos, r.fp))
+    for i, t_ in texts:
+        assert got.get(i, set()) == ref(t_), f"doc {i}"
+    # guarantee: docs 6 and 7 share a 7-token run >= w+k-1=6 ->
+    # at least one shared fingerprint VALUE
+    assert {fp for _, fp in got[6]} & {fp for _, fp in got[7]}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k and w"):
+        winnowing_fingerprints(df, "doc_id", "text", k=0)

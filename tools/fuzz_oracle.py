@@ -1027,7 +1027,7 @@ def gen_pipeline(rng: random.Random):
          "wsample", "surprisal", "zorder", "incr",
          "entropy", "gturing", "fuzzy",
          "readability", "wav", "avi",
-         "mk", "chao1f", "fs", "png", "jw"]
+         "mk", "chao1f", "fs", "png", "jw", "winnow"]
     )
     if kind == "semantic":
         return _gen_semantic(rng)
@@ -1035,7 +1035,7 @@ def gen_pipeline(rng: random.Random):
         return _gen_r13(rng, kind, rows, cte, mkdf)
     if kind in ("readability", "wav", "avi"):
         return _gen_r14(rng, kind, rows, cte, mkdf)
-    if kind in ("mk", "chao1f", "fs", "png", "jw"):
+    if kind in ("mk", "chao1f", "fs", "png", "jw", "winnow"):
         return _gen_r14b(rng, kind, rows, cte, mkdf)
     if kind in ("wsample", "surprisal", "zorder", "incr"):
         return _gen_r6(rng, kind, rows, cte, mkdf)
@@ -4155,6 +4155,53 @@ def _gen_r14b(rng: random.Random, kind: str, rows, cte: str, mkdf):
             return fs_linkage_weights(
                 rdf, pdf, "id", ["f1", "f2"], default_m=m
             )
+
+        return build, sql
+    if kind == "winnow":
+        # random k/w over the random corpus: rightmost-min ties are
+        # frequent on tiny alphabets, short docs hit the single-window
+        # convention, sub-k docs the empty case
+        k = rng.randint(1, 4)
+        w = rng.randint(1, 5)
+        sql = (
+            cte
+            + f"""
+            , dd AS (
+              SELECT doc_id, {_P_TOKS} AS toks
+              FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+            ), kg AS (
+              SELECT doc_id,
+                list_transform(range(0, len(toks) - {k - 1}), i ->
+                  ('0x' || substr(md5(array_to_string(
+                     list_slice(toks, i + 1, i + {k}), ' ')), 1,
+                     7))::BIGINT) AS hs
+              FROM dd WHERE len(toks) >= {k}
+            ), we AS (
+              SELECT doc_id, hs, least({w}, len(hs)) AS w FROM kg
+            ), sel AS (
+              SELECT doc_id,
+                list_transform(range(0, len(hs) - w + 1), j ->
+                  struct_pack(
+                    pos := j + w - list_position(
+                      list_reverse(list_slice(hs, j + 1, j + w)),
+                      list_min(list_slice(hs, j + 1, j + w))),
+                    fp := list_min(list_slice(hs, j + 1, j + w)))) AS sels
+              FROM we
+            ), ex AS (
+              SELECT doc_id, unnest(sels) AS s FROM sel
+            )
+            SELECT DISTINCT doc_id AS id, CAST(s.pos AS BIGINT) AS pos,
+                   s.fp AS fp
+            FROM ex
+            """
+        )
+
+        def build(spark, sf_dir):
+            from pigout_spark.pipeline.dedup import winnowing_fingerprints
+
+            return winnowing_fingerprints(
+                mkdf(spark), "doc_id", "text", k=k, w=w
+            ).withColumnRenamed("id", "id")
 
         return build, sql
     if kind == "jw":
