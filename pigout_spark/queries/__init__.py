@@ -554,7 +554,10 @@ assert len(_WINDOW_R13) == len(set(_WINDOW_R13)) == 50
 # lower bound + Good's coverage), x_fs_linkage (Fellegi-Sunter
 # record-linkage weights; sf3 oracle DNF >360 s while Spark scores
 # the 152.8M-pair relation in 118 s), x_png_meta (real PNG codec:
-# CRC-verified chunks, all five scanline filters).
+# CRC-verified chunks, all five scanline filters), x_jw_pairs
+# (Jaro-Winkler on the shared blocking; scorer verified bit-identical
+# to the oracle engine's over 30k strings), x_winnow (MOSS winnowing
+# fingerprints, in-task rightmost-min selection).
 _WINDOW_R14 = [
     "q01_group_agg",  # flagship
     # (a) the pinned r14 queue — never driver-checked (VERDICT r13 #1)
