@@ -1496,3 +1496,104 @@ def winnowing_fingerprints(
         )
     )
     return d
+
+
+def dhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    byte_cols: list[str] | None = None,
+    max_dist: int = 4,
+    max_block: int | None = DEFAULT_MAX_BLOCK,
+) -> DataFrame:
+    """Near-duplicate image pairs by Hamming distance over 64-bit
+    perceptual hashes carried as EIGHT byte columns (the
+    :func:`pigout_spark.pipeline.multimodal.dhash_png_images` shape) —
+    the simhash pigeonhole discipline applied to images: two hashes
+    within Hamming distance d ≤ 7 must agree on at least one of the 8
+    byte blocks, so candidates come from an equi-join on
+    (block_index, byte value), never all pairs.  ``max_dist`` > 7
+    raises loudly (the pigeonhole guarantee breaks; widen the blocks
+    upstream instead of silently losing recall).  ``max_block`` drops
+    degenerate buckets (e.g. the all-zero row byte of flat images) —
+    the fuzzy_pairs/max_df stated-cap contract.
+
+    Verification is exact and JVM-side: Σ_j bit_count(xor(aⱼ, bⱼ)) ≤
+    max_dist over the eight byte pairs — whole-stage codegen, no UDF.
+
+    Output: (id_a, id_b, dist), id_a < id_b, 0 ≤ dist ≤ max_dist.
+
+    100 TB: one narrow explode to (id, block, byte), a capped bucket
+    equi-join, and a candidate-sized bitwise verify — the
+    dedup_simhash_pairs shape with bytes for blocks.
+    """
+    byte_cols = list(byte_cols or [f"b{j}" for j in range(8)])
+    if len(byte_cols) != 8:
+        raise ValueError(
+            f"dhash_hamming_pairs expects 8 byte columns, got "
+            f"{len(byte_cols)}"
+        )
+    if not (0 <= int(max_dist) <= 7):
+        raise ValueError(
+            f"max_dist must be in [0, 7] (8-block pigeonhole coverage), "
+            f"got {max_dist}"
+        )
+    d = df.select(
+        F.col(id_col).alias("__id"),
+        *[F.col(c).cast("int").alias(f"__b{j}")
+          for j, c in enumerate(byte_cols)],
+    ).filter(F.col("__id").isNotNull())
+    blocks = d.select(
+        "__id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("blk"), F.col(f"__b{j}").alias("bv")
+                    )
+                    for j in range(8)
+                ]
+            )
+        ).alias("__k"),
+    ).select("__id", "__k.blk", "__k.bv")
+    if max_block is not None:
+        big = (
+            blocks.groupBy("blk", "bv")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > int(max_block))
+            .select("blk", "bv")
+        )
+        blocks = blocks.join(F.broadcast(big), ["blk", "bv"], "left_anti")
+    blocks = _pin_partitions(blocks, "bv")
+    cand = (
+        blocks.select("blk", "bv", F.col("__id").alias("id_a"))
+        .join(
+            blocks.select("blk", "bv", F.col("__id").alias("id_b")),
+            ["blk", "bv"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ha = d.select(
+        F.col("__id").alias("id_a"),
+        *[F.col(f"__b{j}").alias(f"__a{j}") for j in range(8)],
+    )
+    hb = d.select(
+        F.col("__id").alias("id_b"),
+        *[F.col(f"__b{j}").alias(f"__c{j}") for j in range(8)],
+    )
+    dist = sum(
+        [
+            F.bit_count(
+                F.expr(f"CAST(__a{j} AS INT) ^ CAST(__c{j} AS INT)")
+            )
+            for j in range(1, 8)
+        ],
+        F.bit_count(F.expr("CAST(__a0 AS INT) ^ CAST(__c0 AS INT)")),
+    ).cast("bigint")
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select("id_a", "id_b", dist.alias("dist"))
+        .filter(F.col("dist") <= int(max_dist))
+    )

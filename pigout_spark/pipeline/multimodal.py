@@ -897,7 +897,8 @@ def decode_png(payload: bytes) -> dict:
     statistic):
 
         {width, height, bit_depth, color_type, n_chunks, n_pixels,
-         ch_sums [c0, (c1, c2)]}
+         ch_sums [c0, (c1, c2)], pixels (the unfiltered raw bytes —
+         downstream perceptual hashing reads them)}
 
     The chunk walk verifies EVERY chunk's CRC-32 (a corrupt crawl
     byte-range fails loudly, never reads garbage stats), inflates the
@@ -964,6 +965,7 @@ def decode_png(payload: bytes) -> dict:
             f"{(stride + 1) * height}"
         )
     sums = [0] * bpp
+    pixels = bytearray()
     prev = bytearray(stride)
     for y in range(height):
         ft = raw[y * (stride + 1)]
@@ -984,6 +986,7 @@ def decode_png(payload: bytes) -> dict:
                 line[i] = (line[i] + _paeth(a, b, c)) % 256
             sums[i % bpp] += line[i]
         prev = line
+        pixels += line
     return {
         "width": width,
         "height": height,
@@ -992,6 +995,7 @@ def decode_png(payload: bytes) -> dict:
         "n_chunks": n_chunks,
         "n_pixels": width * height,
         "ch_sums": sums,
+        "pixels": bytes(pixels),
     }
 
 
@@ -1100,5 +1104,95 @@ def decode_png_images(
                     ),
                 }
             )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)
+
+
+def dhash_rows(width: int, height: int, bpp: int, pixels: bytes) -> list[int]:
+    """Difference-hash (dHash) row bytes from raw pixels — the classic
+    perceptual image fingerprint (a 2010s-folklore standard, e.g.
+    Krawetz's HackerFactor writeup): downsample to a 9×8 luma grid by
+    integer block averaging, then one bit per horizontal neighbor
+    comparison (grid[x] > grid[x+1]), packed MSB-first into one byte
+    per row.  Returned as EIGHT per-row bytes, not one int64 — the
+    block-bucket pairing key AND sign-safe in engines whose BIGINT
+    shifts are arithmetic.
+
+    Integer determinism end-to-end: luma = (r+g+b)//3 (bpp 3) or the
+    sample itself (bpp 1); cell bounds x₀ = ⌊gx·w/9⌋ with a minimum
+    width of one pixel (images narrower than the grid reuse pixels —
+    deterministic, no interpolation); cell value = sum // count.
+    """
+    if width < 1 or height < 1 or bpp not in (1, 3):
+        raise ValueError(
+            f"dhash_rows: bad raster ({width}x{height}, bpp={bpp})"
+        )
+    if len(pixels) != width * height * bpp:
+        raise ValueError(
+            f"dhash_rows: raster is {len(pixels)} bytes, expected "
+            f"{width * height * bpp}"
+        )
+
+    def luma(x: int, y: int) -> int:
+        i = (y * width + x) * bpp
+        if bpp == 1:
+            return pixels[i]
+        return (pixels[i] + pixels[i + 1] + pixels[i + 2]) // 3
+
+    def cell(gx: int, gy: int) -> int:
+        x0 = gx * width // 9
+        x1 = max(x0 + 1, (gx + 1) * width // 9)
+        y0 = gy * height // 8
+        y1 = max(y0 + 1, (gy + 1) * height // 8)
+        s = cnt = 0
+        for y in range(y0, y1):
+            for x in range(x0, x1):
+                s += luma(x, y)
+                cnt += 1
+        return s // cnt
+
+    grid = [[cell(gx, gy) for gy in range(8)] for gx in range(9)]
+    return [
+        sum(
+            (1 << (7 - gx)) if grid[gx][gy] > grid[gx + 1][gy] else 0
+            for gx in range(8)
+        )
+        for gy in range(8)
+    ]
+
+
+def dhash_png_images(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perceptual dHash over a PNG payload column: the full
+    :func:`decode_png` (CRC walk, inflate, unfilter) feeds
+    :func:`dhash_rows` in ONE Arrow-batched narrow map — no shuffle,
+    scales with the scan.  Output: (id, b0..b7 int) — the eight row
+    bytes, ready for :func:`pigout_spark.pipeline.dedup.
+    dhash_hamming_pairs`' block-bucketed Hamming join."""
+    schema = (
+        f"{id_col} long, b0 int, b1 int, b2 int, b3 int, "
+        "b4 int, b5 int, b6 int, b7 int"
+    )
+
+    def run(batches: Iterable) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for b in pdf[payload_col]:
+                m = decode_png(bytes(b))
+                bpp = 1 if m["color_type"] == 0 else 3
+                rows.append(
+                    dhash_rows(m["width"], m["height"], bpp, m["pixels"])
+                )
+            out = {id_col: pdf[id_col].astype("int64")}
+            for j in range(8):
+                out[f"b{j}"] = pd.Series(
+                    [r[j] for r in rows], dtype="int32"
+                )
+            yield pd.DataFrame(out)
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=schema)

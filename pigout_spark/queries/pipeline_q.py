@@ -5968,3 +5968,106 @@ def x_winnow(spark, sf_dir):
         F.coalesce(F.col("__n_shared"), F.lit(0))
         .cast("bigint").alias("n_shared_fps"),
     )
+
+
+@query(
+    "x_img_dhash",
+    """
+    WITH d AS (
+      SELECT doc_id, 8 + (doc_id % 9) AS w, 8 + (doc_id % 7) AS h,
+             CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 3 END AS bpp
+      FROM documents
+    ), g AS (
+      SELECT d.*, gx, gy
+      FROM d, (SELECT unnest(range(0, 9)) AS gx),
+              (SELECT unnest(range(0, 8)) AS gy)
+    ), cb AS (
+      SELECT doc_id, w, h, bpp, gx, gy,
+             (gx * w) // 9 AS x0,
+             greatest((gx * w) // 9 + 1, ((gx + 1) * w) // 9) AS x1,
+             (gy * h) // 8 AS y0,
+             greatest((gy * h) // 8 + 1, ((gy + 1) * h) // 8) AS y1
+      FROM g
+    ), pxx AS (
+      SELECT doc_id, w, bpp, gx, gy, y0, y1,
+             unnest(range(x0, x1)) AS x FROM cb
+    ), pxy AS (
+      SELECT doc_id, w, bpp, gx, gy, x,
+             unnest(range(y0, y1)) AS y FROM pxx
+    ), lum AS (
+      SELECT doc_id, gx, gy,
+        CASE WHEN bpp = 1 THEN (doc_id*7 + (y*w + x)*13) % 256
+             ELSE ((doc_id*7 + (y*w + x)*13) % 256
+                 + (doc_id*7 + (y*w + x)*13 + 31) % 256
+                 + (doc_id*7 + (y*w + x)*13 + 62) % 256) // 3 END AS v
+      FROM pxy
+    ), cavg AS (
+      SELECT doc_id, gx, gy, SUM(v) // COUNT(*) AS a
+      FROM lum GROUP BY doc_id, gx, gy
+    ), bits AS (
+      SELECT l.doc_id, l.gy,
+             CAST(SUM(CASE WHEN l.a > r.a
+                           THEN (1 << (7 - l.gx)) ELSE 0 END) AS INT) AS b
+      FROM cavg l
+      JOIN cavg r ON l.doc_id = r.doc_id AND l.gy = r.gy
+                 AND r.gx = l.gx + 1
+      WHERE l.gx < 8
+      GROUP BY l.doc_id, l.gy
+    ), blk AS (
+      SELECT doc_id, gy AS blk, b FROM bits
+    ), keep AS (
+      SELECT blk, b FROM blk GROUP BY blk, b HAVING COUNT(*) <= 10000
+    ), blk2 AS (
+      SELECT blk.* FROM blk JOIN keep USING (blk, b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM blk2 a JOIN blk2 b ON a.blk = b.blk AND a.b = b.b
+                             AND a.doc_id < b.doc_id
+    ), dh AS (
+      SELECT doc_id,
+             MAX(CASE WHEN gy = 0 THEN b END) AS b0,
+             MAX(CASE WHEN gy = 1 THEN b END) AS b1,
+             MAX(CASE WHEN gy = 2 THEN b END) AS b2,
+             MAX(CASE WHEN gy = 3 THEN b END) AS b3,
+             MAX(CASE WHEN gy = 4 THEN b END) AS b4,
+             MAX(CASE WHEN gy = 5 THEN b END) AS b5,
+             MAX(CASE WHEN gy = 6 THEN b END) AS b6,
+             MAX(CASE WHEN gy = 7 THEN b END) AS b7
+      FROM bits GROUP BY doc_id
+    )
+    SELECT c.id_a, c.id_b,
+      CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+         + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+         + bit_count(xor(x.b4, y.b4)) + bit_count(xor(x.b5, y.b5))
+         + bit_count(xor(x.b6, y.b6)) + bit_count(xor(x.b7, y.b7))
+           AS BIGINT) AS dist
+    FROM cand c
+    JOIN dh x ON c.id_a = x.doc_id
+    JOIN dh y ON c.id_b = y.doc_id
+    WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+        + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+        + bit_count(xor(x.b4, y.b4)) + bit_count(xor(x.b5, y.b5))
+        + bit_count(xor(x.b6, y.b6)) + bit_count(xor(x.b7, y.b7)) <= 4
+    """,
+    extra=True,  # r14 addition — r15 rotation candidate
+)
+def x_img_dhash(spark, sf_dir):
+    """Image near-dup pairs by perceptual dHash (multimodal.py:
+    dhash_png_images -> dedup.py:dhash_hamming_pairs): REAL PNG
+    payloads decoded (CRC walk + inflate + unfilter), 9x8 integer
+    block-average luma grid, horizontal-comparison bits packed per
+    row, then the simhash-style pigeonhole block join with exact
+    bit_count(xor) verification at Hamming <= 4.  The oracle replays
+    the pixel law through the SAME grid/bit/pair arithmetic in pure
+    SQL — so codec, hash, and pairing are all under the check."""
+    from pigout_spark.pipeline.dedup import dhash_hamming_pairs
+    from pigout_spark.pipeline.multimodal import (
+        dhash_png_images,
+        synth_png_payloads,
+    )
+
+    d = synth_png_payloads(
+        tf(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
+    hashes = dhash_png_images(d, "payload", "doc_id")
+    return dhash_hamming_pairs(hashes, "doc_id", max_dist=4)

@@ -4182,3 +4182,88 @@ def test_winnowing_fingerprints_reference(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="k and w"):
         winnowing_fingerprints(df, "doc_id", "text", k=0)
+
+
+def test_img_dhash_and_hamming_pairs(spark):
+    """r14: dHash row bytes against a pure-Python grid reference, the
+    decode->hash Arrow stage, and the pigeonhole Hamming pair join
+    (coverage guarantee at d <= 7, exact bit_count verify, loud
+    max_dist guard)."""
+    import pytest as _pytest
+
+    from pigout_spark.pipeline.dedup import dhash_hamming_pairs
+    from pigout_spark.pipeline.multimodal import (
+        decode_png,
+        dhash_png_images,
+        dhash_rows,
+        synth_png,
+        synth_png_payloads,
+    )
+
+    def ref_rows(key):
+        m = decode_png(synth_png(key))
+        bpp = 1 if m["color_type"] == 0 else 3
+        w, h, px = m["width"], m["height"], m["pixels"]
+
+        def luma(x, y):
+            i = (y * w + x) * bpp
+            return px[i] if bpp == 1 else (
+                px[i] + px[i + 1] + px[i + 2]) // 3
+
+        def cell(gx, gy):
+            x0 = gx * w // 9
+            x1 = max(x0 + 1, (gx + 1) * w // 9)
+            y0 = gy * h // 8
+            y1 = max(y0 + 1, (gy + 1) * h // 8)
+            vals = [luma(x, y) for y in range(y0, y1)
+                    for x in range(x0, x1)]
+            return sum(vals) // len(vals)
+
+        grid = [[cell(gx, gy) for gy in range(8)] for gx in range(9)]
+        return [
+            sum((1 << (7 - gx)) if grid[gx][gy] > grid[gx + 1][gy] else 0
+                for gx in range(8))
+            for gy in range(8)
+        ]
+
+    for key in (0, 1, 4, 7, 36, 100):
+        m = decode_png(synth_png(key))
+        bpp = 1 if m["color_type"] == 0 else 3
+        assert dhash_rows(
+            m["width"], m["height"], bpp, m["pixels"]
+        ) == ref_rows(key), key
+
+    with _pytest.raises(ValueError, match="bad raster"):
+        dhash_rows(0, 4, 3, b"")
+    with _pytest.raises(ValueError, match="raster is"):
+        dhash_rows(4, 4, 3, b"\x00" * 10)
+
+    # the distributed stage agrees with the local reference
+    df = spark.createDataFrame([(3,), (11,)], "doc_id long")
+    got = {
+        r.doc_id: [r.b0, r.b1, r.b2, r.b3, r.b4, r.b5, r.b6, r.b7]
+        for r in dhash_png_images(synth_png_payloads(df)).collect()
+    }
+    assert got[3] == ref_rows(3) and got[11] == ref_rows(11)
+
+    # hamming pairs: hand-built hashes — (1,2) differ by 2 bits,
+    # (1,3) by way more than 4, (1,4) identical
+    rows = [
+        (1, [1, 0, 0, 0, 0, 0, 0, 0]),
+        (2, [2, 0, 0, 0, 0, 0, 0, 0]),   # 1^2 = 3 -> 2 bits
+        (3, [255, 255, 255, 255, 0, 0, 0, 0]),
+        (4, [1, 0, 0, 0, 0, 0, 0, 0]),
+    ]
+    hdf = spark.createDataFrame(
+        [(i, *bs) for i, bs in rows],
+        "id long, b0 int, b1 int, b2 int, b3 int, b4 int, b5 int, "
+        "b6 int, b7 int",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.dist
+        for r in dhash_hamming_pairs(hdf, "id", max_dist=4).collect()
+    }
+    assert pairs[(1, 2)] == 2 and pairs[(1, 4)] == 0 and pairs[(2, 4)] == 2
+    assert (1, 3) not in pairs
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        dhash_hamming_pairs(hdf, "id", max_dist=9)
