@@ -105,9 +105,11 @@ EXTENDED = [
     "x_fuzzy_pairs",
     "x_readability",
     # r14 late additions (post-series: the n=5 BASELINE.md series
-    # predates these two rows — compare extended_total accordingly)
+    # predates these four rows — compare extended_total accordingly)
     "x_fs_linkage",
     "x_png_meta",
+    "x_winnow",
+    "x_img_dhash",
 ]
 
 TABLES = (

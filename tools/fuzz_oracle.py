@@ -1027,7 +1027,7 @@ def gen_pipeline(rng: random.Random):
          "wsample", "surprisal", "zorder", "incr",
          "entropy", "gturing", "fuzzy",
          "readability", "wav", "avi",
-         "mk", "chao1f", "fs", "png", "jw", "winnow"]
+         "mk", "chao1f", "fs", "png", "jw", "winnow", "dhash"]
     )
     if kind == "semantic":
         return _gen_semantic(rng)
@@ -1035,7 +1035,7 @@ def gen_pipeline(rng: random.Random):
         return _gen_r13(rng, kind, rows, cte, mkdf)
     if kind in ("readability", "wav", "avi"):
         return _gen_r14(rng, kind, rows, cte, mkdf)
-    if kind in ("mk", "chao1f", "fs", "png", "jw", "winnow"):
+    if kind in ("mk", "chao1f", "fs", "png", "jw", "winnow", "dhash"):
         return _gen_r14b(rng, kind, rows, cte, mkdf)
     if kind in ("wsample", "surprisal", "zorder", "incr"):
         return _gen_r6(rng, kind, rows, cte, mkdf)
@@ -4155,6 +4155,91 @@ def _gen_r14b(rng: random.Random, kind: str, rows, cte: str, mkdf):
             return fs_linkage_weights(
                 rdf, pdf, "id", ["f1", "f2"], default_m=m
             )
+
+        return build, sql
+    if kind == "dhash":
+        # random rasters (dims 1..14, grey/RGB, random pixels) through
+        # encode_png -> decode -> dhash_rows; the oracle recomputes the
+        # 9x8 grid/bits from a VALUES relation of the SAME pixels
+        cases = []
+        lum_rows = []
+        for i in range(rng.randint(2, 5)):
+            w = rng.randint(1, 14)
+            h = rng.randint(1, 12)
+            ct = rng.choice([0, 2])
+            bpp = 1 if ct == 0 else 3
+            pix = [rng.randint(0, 255) for _ in range(w * h * bpp)]
+            filt = [rng.randint(0, 4) for _ in range(h)]
+            cases.append((i, w, h, ct, bytes(pix), filt))
+            for y in range(h):
+                for x in range(w):
+                    j = (y * w + x) * bpp
+                    v = pix[j] if bpp == 1 else (
+                        pix[j] + pix[j + 1] + pix[j + 2]) // 3
+                    lum_rows.append((i, w, h, x, y, v))
+        lvals = ", ".join(
+            f"({d}, {w}, {h}, {x}, {y}, {v})"
+            for d, w, h, x, y, v in lum_rows
+        )
+        sql = f"""
+        WITH lum0 AS (SELECT * FROM (VALUES {lvals})
+                      AS __l(doc_id, w, h, x, y, v)),
+        g AS (
+          SELECT DISTINCT doc_id, w, h FROM lum0
+        ), cb AS (
+          SELECT g.doc_id, g.w, g.h, gx.gx, gy.gy,
+                 (gx * w) // 9 AS x0,
+                 greatest((gx * w) // 9 + 1, ((gx + 1) * w) // 9) AS x1,
+                 (gy * h) // 8 AS y0,
+                 greatest((gy * h) // 8 + 1, ((gy + 1) * h) // 8) AS y1
+          FROM g, (SELECT unnest(range(0, 9)) AS gx) gx,
+                  (SELECT unnest(range(0, 8)) AS gy) gy
+        ), cavg AS (
+          SELECT cb.doc_id, cb.gx, cb.gy,
+                 SUM(l.v) // COUNT(*) AS a
+          FROM cb JOIN lum0 l
+            ON l.doc_id = cb.doc_id
+           AND l.x >= cb.x0 AND l.x < cb.x1
+           AND l.y >= cb.y0 AND l.y < cb.y1
+          GROUP BY cb.doc_id, cb.gx, cb.gy
+        ), bits AS (
+          SELECT l.doc_id, l.gy,
+                 CAST(SUM(CASE WHEN l.a > r.a
+                               THEN (1 << (7 - l.gx)) ELSE 0 END)
+                      AS INT) AS b
+          FROM cavg l
+          JOIN cavg r ON l.doc_id = r.doc_id AND l.gy = r.gy
+                     AND r.gx = l.gx + 1
+          WHERE l.gx < 8
+          GROUP BY l.doc_id, l.gy
+        )
+        SELECT doc_id,
+               MAX(CASE WHEN gy = 0 THEN b END) AS b0,
+               MAX(CASE WHEN gy = 1 THEN b END) AS b1,
+               MAX(CASE WHEN gy = 2 THEN b END) AS b2,
+               MAX(CASE WHEN gy = 3 THEN b END) AS b3,
+               MAX(CASE WHEN gy = 4 THEN b END) AS b4,
+               MAX(CASE WHEN gy = 5 THEN b END) AS b5,
+               MAX(CASE WHEN gy = 6 THEN b END) AS b6,
+               MAX(CASE WHEN gy = 7 THEN b END) AS b7
+        FROM bits GROUP BY doc_id
+        """
+
+        def build(spark, sf_dir):
+            from pigout_spark.pipeline.multimodal import (
+                dhash_png_images,
+                encode_png,
+            )
+
+            payloads = [
+                (i, bytearray(encode_png(w, h, pix, color_type=ct,
+                                         row_filters=filt)))
+                for i, w, h, ct, pix, filt in cases
+            ]
+            df = spark.createDataFrame(
+                payloads, "doc_id long, payload binary"
+            )
+            return dhash_png_images(df)
 
         return build, sql
     if kind == "winnow":
