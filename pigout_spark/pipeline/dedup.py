@@ -1502,29 +1502,44 @@ def dhash_hamming_pairs(
     df: DataFrame,
     id_col: str,
     byte_cols: list[str] | None = None,
-    max_dist: int = 4,
+    max_dist: int = 3,
     max_block: int | None = DEFAULT_MAX_BLOCK,
+    block_bits: int = 16,
 ) -> DataFrame:
     """Near-duplicate image pairs by Hamming distance over 64-bit
     perceptual hashes carried as EIGHT byte columns (the
     :func:`pigout_spark.pipeline.multimodal.dhash_png_images` shape) —
     the simhash pigeonhole discipline applied to images: two hashes
-    within Hamming distance d ≤ 7 must agree on at least one of the 8
-    byte blocks, so candidates come from an equi-join on
-    (block_index, byte value), never all pairs.  ``max_dist`` > 7
-    raises loudly (the pigeonhole guarantee breaks; widen the blocks
-    upstream instead of silently losing recall).  ``max_block`` drops
-    degenerate buckets (e.g. the all-zero row byte of flat images) —
-    the fuzzy_pairs/max_df stated-cap contract.
+    within Hamming distance d must agree on at least one block, so
+    candidates come from an equi-join on (block_index, block value),
+    never all pairs.
+
+    ``block_bits`` picks the block width and with it the
+    selectivity/coverage tradeoff — THE scale lever:
+
+    - 8 (eight 1-byte blocks): coverage d ≤ 7, but only 256·8 = 2048
+      distinct bucket keys — at corpus scale every bucket saturates
+      any cap (measured: the sf1 fixture grinds).  Small corpora
+      only.
+    - 16 (four 2-byte blocks, the default): coverage d ≤ 3, 65536·4
+      distinct keys — multiplicities drop ~256×, the join stays
+      bucket-selective at millions of images.  At billions, the same
+      reasoning moves to 2×32-bit (d ≤ 1) or multi-probe; the
+      pigeonhole arithmetic is stated, not hidden.
+
+    ``max_dist`` beyond the chosen coverage raises loudly (silently
+    losing recall is the failure mode this guard exists for).
+    ``max_block`` drops degenerate buckets (e.g. the all-zero rows of
+    flat images) — the fuzzy_pairs/max_df stated-cap contract.
 
     Verification is exact and JVM-side: Σ_j bit_count(xor(aⱼ, bⱼ)) ≤
     max_dist over the eight byte pairs — whole-stage codegen, no UDF.
 
     Output: (id_a, id_b, dist), id_a < id_b, 0 ≤ dist ≤ max_dist.
 
-    100 TB: one narrow explode to (id, block, byte), a capped bucket
+    100 TB: one narrow explode to (id, block, value), a capped bucket
     equi-join, and a candidate-sized bitwise verify — the
-    dedup_simhash_pairs shape with bytes for blocks.
+    dedup_simhash_pairs shape with hash blocks for buckets.
     """
     byte_cols = list(byte_cols or [f"b{j}" for j in range(8)])
     if len(byte_cols) != 8:
@@ -1532,25 +1547,36 @@ def dhash_hamming_pairs(
             f"dhash_hamming_pairs expects 8 byte columns, got "
             f"{len(byte_cols)}"
         )
-    if not (0 <= int(max_dist) <= 7):
+    if int(block_bits) not in (8, 16):
         raise ValueError(
-            f"max_dist must be in [0, 7] (8-block pigeonhole coverage), "
-            f"got {max_dist}"
+            f"block_bits must be 8 or 16, got {block_bits}"
+        )
+    n_blocks = 8 if int(block_bits) == 8 else 4
+    if not (0 <= int(max_dist) <= n_blocks - 1):
+        raise ValueError(
+            f"max_dist must be in [0, {n_blocks - 1}] ({n_blocks}-block "
+            f"pigeonhole coverage at block_bits={block_bits}), got "
+            f"{max_dist}"
         )
     d = df.select(
         F.col(id_col).alias("__id"),
         *[F.col(c).cast("int").alias(f"__b{j}")
           for j, c in enumerate(byte_cols)],
     ).filter(F.col("__id").isNotNull())
+    if n_blocks == 8:
+        key_exprs = [F.col(f"__b{j}") for j in range(8)]
+    else:
+        key_exprs = [
+            F.col(f"__b{2 * j}") * 256 + F.col(f"__b{2 * j + 1}")
+            for j in range(4)
+        ]
     blocks = d.select(
         "__id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(j).alias("blk"), F.col(f"__b{j}").alias("bv")
-                    )
-                    for j in range(8)
+                    F.struct(F.lit(j).alias("blk"), e.alias("bv"))
+                    for j, e in enumerate(key_exprs)
                 ]
             )
         ).alias("__k"),

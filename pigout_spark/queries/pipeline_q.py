@@ -6013,16 +6013,6 @@ def x_winnow(spark, sf_dir):
                  AND r.gx = l.gx + 1
       WHERE l.gx < 8
       GROUP BY l.doc_id, l.gy
-    ), blk AS (
-      SELECT doc_id, gy AS blk, b FROM bits
-    ), keep AS (
-      SELECT blk, b FROM blk GROUP BY blk, b HAVING COUNT(*) <= 10000
-    ), blk2 AS (
-      SELECT blk.* FROM blk JOIN keep USING (blk, b)
-    ), cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM blk2 a JOIN blk2 b ON a.blk = b.blk AND a.b = b.b
-                             AND a.doc_id < b.doc_id
     ), dh AS (
       SELECT doc_id,
              MAX(CASE WHEN gy = 0 THEN b END) AS b0,
@@ -6034,6 +6024,19 @@ def x_winnow(spark, sf_dir):
              MAX(CASE WHEN gy = 6 THEN b END) AS b6,
              MAX(CASE WHEN gy = 7 THEN b END) AS b7
       FROM bits GROUP BY doc_id
+    ), blk AS (
+      SELECT doc_id, 0 AS blk, b0 * 256 + b1 AS b FROM dh
+      UNION ALL SELECT doc_id, 1, b2 * 256 + b3 FROM dh
+      UNION ALL SELECT doc_id, 2, b4 * 256 + b5 FROM dh
+      UNION ALL SELECT doc_id, 3, b6 * 256 + b7 FROM dh
+    ), keep AS (
+      SELECT blk, b FROM blk GROUP BY blk, b HAVING COUNT(*) <= 10000
+    ), blk2 AS (
+      SELECT blk.* FROM blk JOIN keep USING (blk, b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM blk2 a JOIN blk2 b ON a.blk = b.blk AND a.b = b.b
+                             AND a.doc_id < b.doc_id
     )
     SELECT c.id_a, c.id_b,
       CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
@@ -6047,7 +6050,7 @@ def x_winnow(spark, sf_dir):
     WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
         + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
         + bit_count(xor(x.b4, y.b4)) + bit_count(xor(x.b5, y.b5))
-        + bit_count(xor(x.b6, y.b6)) + bit_count(xor(x.b7, y.b7)) <= 4
+        + bit_count(xor(x.b6, y.b6)) + bit_count(xor(x.b7, y.b7)) <= 3
     """,
     extra=True,  # r14 addition — r15 rotation candidate
 )
@@ -6056,8 +6059,9 @@ def x_img_dhash(spark, sf_dir):
     dhash_png_images -> dedup.py:dhash_hamming_pairs): REAL PNG
     payloads decoded (CRC walk + inflate + unfilter), 9x8 integer
     block-average luma grid, horizontal-comparison bits packed per
-    row, then the simhash-style pigeonhole block join with exact
-    bit_count(xor) verification at Hamming <= 4.  The oracle replays
+    row, then the simhash-style pigeonhole block join (16-bit blocks —
+    the corpus-scale bucket width) with exact bit_count(xor)
+    verification at Hamming <= 3.  The oracle replays
     the pixel law through the SAME grid/bit/pair arithmetic in pure
     SQL — so codec, hash, and pairing are all under the check."""
     from pigout_spark.pipeline.dedup import dhash_hamming_pairs
@@ -6070,4 +6074,4 @@ def x_img_dhash(spark, sf_dir):
         tf(spark, sf_dir, "documents").select("doc_id"), "doc_id"
     )
     hashes = dhash_png_images(d, "payload", "doc_id")
-    return dhash_hamming_pairs(hashes, "doc_id", max_dist=4)
+    return dhash_hamming_pairs(hashes, "doc_id", max_dist=3)

@@ -4261,9 +4261,21 @@ def test_img_dhash_and_hamming_pairs(spark):
     )
     pairs = {
         (r.id_a, r.id_b): r.dist
-        for r in dhash_hamming_pairs(hdf, "id", max_dist=4).collect()
+        for r in dhash_hamming_pairs(hdf, "id", max_dist=3).collect()
     }
     assert pairs[(1, 2)] == 2 and pairs[(1, 4)] == 0 and pairs[(2, 4)] == 2
     assert (1, 3) not in pairs
+    # 8-bit block mode widens coverage to d <= 7 (small corpora)
+    pairs8 = {
+        (r.id_a, r.id_b): r.dist
+        for r in dhash_hamming_pairs(
+            hdf, "id", max_dist=7, block_bits=8
+        ).collect()
+    }
+    assert pairs8[(1, 2)] == 2 and (1, 3) not in pairs8
     with _pytest.raises(ValueError, match="pigeonhole"):
         dhash_hamming_pairs(hdf, "id", max_dist=9)
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        dhash_hamming_pairs(hdf, "id", max_dist=4)  # 16-bit covers <= 3
+    with _pytest.raises(ValueError, match="block_bits"):
+        dhash_hamming_pairs(hdf, "id", block_bits=12)
