@@ -1421,7 +1421,12 @@ def jw_pairs(
             [_jaro_winkler(x, y) for x, y in zip(sa, sb)], dtype="float64"
         )
 
-    sim6 = F.round(_jw_udf(F.col("__sa"), F.col("__sb")), 6) + F.lit(0.0)
+    # asNondeterministic stops Catalyst substituting the UDF into the
+    # min_sim filter below (which would run the Python scorer TWICE per
+    # candidate — plan-pinned in tests/test_plans.py); the function is
+    # pure, the marking only restricts that optimizer move.
+    _jw_once = _jw_udf.asNondeterministic()
+    sim6 = F.round(_jw_once(F.col("__sa"), F.col("__sb")), 6) + F.lit(0.0)
     return (
         cand.select("id_a", "id_b", sim6.alias("jw6"))
         .filter(F.col("jw6") >= round(float(min_sim), 6))

@@ -474,3 +474,30 @@ def test_r12_grouped_ops_single_key_exchange(spark, sf_dir):
         assert f"Exchange hashpartitioning({key}" in plan, name
         assert "Exchange SinglePartition" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_r14_late_op_plans(spark, sf_dir):
+    """The r14 late additions hold their stated plan shapes: no
+    cartesian anywhere; mann_kendall's cap plans as WindowGroupLimit
+    (the rank filter prunes per-partition before the sort's shuffle);
+    jw_pairs' ONLY Python stage is the candidate-confined scorer;
+    fs_linkage's pair scoring carries no Python stage at all (the
+    weights are literals)."""
+    for name in ("x_mann_kendall", "x_chao1", "x_fs_linkage",
+                 "x_winnow", "x_img_dhash", "x_jw_pairs"):
+        plan = plan_of(spark, sf_dir, name)
+        final = plan.split("== Initial Plan ==")[0]
+        assert "CartesianProduct" not in final, name
+
+    mk = plan_of(spark, sf_dir, "x_mann_kendall")
+    assert "WindowGroupLimit" in mk
+
+    fs = plan_of(spark, sf_dir, "x_fs_linkage")
+    assert "EvalPython" not in fs  # literal weights, no UDF
+
+    jw = plan_of(spark, sf_dir, "x_jw_pairs")
+    # exactly one Arrow Python stage — the scorer over candidates
+    assert jw.count("ArrowEvalPython") == 1
+
+    wn = plan_of(spark, sf_dir, "x_winnow")
+    assert "EvalPython" not in wn  # pure higher-order arrays
