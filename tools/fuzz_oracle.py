@@ -3950,8 +3950,6 @@ def _gen_tempw(rng: random.Random):
     return build, sql
 
 
-if __name__ == "__main__":
-    raise SystemExit(main())
 
 
 def _gen_r14b(rng: random.Random, kind: str, rows, cte: str, mkdf):
@@ -4385,3 +4383,7 @@ def _gen_r14b(rng: random.Random, kind: str, rows, cte: str, mkdf):
         return decode_png_images(df)
 
     return build, sql
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
