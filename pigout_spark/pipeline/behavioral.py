@@ -4144,3 +4144,209 @@ def msprt(
         F.round(F.exp(-F.greatest(running, F.lit(0.0))), 6) + F.lit(0.0),
     )
     return scored.withColumn("p_av6", p)
+
+
+def cox_ph_binary(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    newton_steps: int = 4,
+) -> DataFrame:
+    """Cox proportional-hazards fit for ONE binary covariate — the
+    effect-SIZE companion to :func:`logrank_test` ("how much higher is
+    cohort A's hazard", where logrank answers "is it different"):
+    maximizes the Breslow-ties partial likelihood
+
+        L(β) = Π_events  e^{β·xᵢ} / Σ_{j at risk} e^{β·xⱼ}
+
+    by a FIXED ``newton_steps``-step Newton schedule from β₀ = 0 —
+    with a binary covariate the risk-set sums collapse to counts, so
+    each step needs only the per-time relation
+
+        U(β) = Σ_t [d1_t − d_t·p_t],   I(β) = Σ_t d_t·p_t·(1−p_t),
+        p_t  = n1_t·e^β / (n1_t·e^β + n0_t),   β ← β + U/I
+
+    (score and information of the Breslow log-likelihood).  Newton on
+    this concave 1-D likelihood converges quadratically; four steps
+    land within the ROUND-6 readout quantum for any |β| the guard
+    admits, and the FIXED schedule (not a tolerance loop) is what
+    makes the chain SQL-replayable step for step.
+
+    Same contract as logrank_test: integer durations (asserted),
+    boolean events, NULLs excluded, exactly two non-NULL groups
+    (pushdown-safe assert) — group 1 = the LEXICOGRAPHICALLY SMALLEST
+    group value, so β > 0 means that group has the higher hazard.
+
+    Determinism: risk sets are exact integers off the (group,
+    duration) compression; each step's per-time U/I terms are ROUND-6
+    + decimal-summed (the vocab_kl discipline) and β is re-ROUND-6'd
+    after every update, so both engines replay the identical
+    quantized chain.  Honest NULLs: I ≤ 0 at any step, or an update
+    stepping past |β| > 30, reads NULL fit columns; empty input
+    likewise.  NOTE the fixed schedule is an estimator CONTRACT, not
+    an MLE solver: under complete separation the true MLE is ±∞ and
+    the op reports the (large, finite) 4-step iterate until an update
+    crosses the guard — downstream screens on |β̂| or SE catch those
+    rows, exactly as they would for any regularized fit.
+
+    Output: ONE row — (n, n_events, beta6, hr6, se6, z6, p6): log
+    hazard ratio, hazard ratio e^β, Wald SE = 1/√I(β̂), z = β̂·√I,
+    two-sided normal p.
+
+    100 TB: subjects compress to the (group, duration) relation in
+    one exchange (the kaplan_meier shape); the risk-set walk is the
+    logrank in-task fold over the time-sorted array; each Newton step
+    is ONE aggregation over the event-time-sized relation — the fit
+    costs ~``newton_steps`` tiny passes after the single corpus
+    exchange, no iteration over subjects.
+    """
+    if int(newton_steps) < 1:
+        raise ValueError(
+            f"newton_steps must be >= 1, got {newton_steps}"
+        )
+    dur, ev, grp = F.col(duration_col), F.col(event_col), F.col(group_col)
+    d = df.filter(
+        dur.isNotNull() & ev.isNotNull() & grp.isNotNull()
+    ).filter(
+        F.assert_true(
+            dur == F.floor(dur),
+            F.lit("cox_ph_binary: duration must be an integer time unit"),
+        ).isNull()
+    )
+    per = d.groupBy(dur.cast("bigint").alias("t"), grp.alias("__g")).agg(
+        F.sum(F.when(ev, 1).otherwise(0)).cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("leave"),
+    )
+    gstats = per.agg(
+        F.count_distinct(F.col("__g")).alias("__ng"),
+        F.min("__g").alias("__g1"),
+    )
+    # the logrank pushdown-safe two-groups contract (r13 ADVICE form)
+    per = per.crossJoin(F.broadcast(gstats)).filter(
+        F.assert_true(
+            (F.col("__ng") == 2) | (F.col("__ng") == 0),
+            F.lit("cox_ph_binary: exactly two groups required"),
+        ).isNull()
+    )
+    per = per.withColumn("__is1", (F.col("__g") == F.col("__g1")).cast("int"))
+    byt = per.groupBy("t").agg(
+        F.sum("d").alias("d_all"),
+        F.sum("leave").alias("l_all"),
+        F.sum(F.col("d") * F.col("__is1")).alias("d1"),
+        F.sum(F.col("leave") * F.col("__is1")).alias("l1"),
+    )
+    arr = byt.agg(
+        F.sum("l_all").cast("bigint").alias("__tot_all"),
+        F.sum("l1").cast("bigint").alias("__tot1"),
+        F.coalesce(F.sum("d_all"), F.lit(0)).cast("bigint").alias(
+            "n_events"
+        ),
+        F.sort_array(
+            F.collect_list(F.struct("t", "d_all", "l_all", "d1", "l1"))
+        ).alias("__ts"),
+    )
+
+    # risk-set walk (the logrank in-task fold): emit the per-event-time
+    # relation (t, d_all, d1, n1, n0) as an array, then explode — the
+    # Newton steps re-aggregate it, so it must be a relation, not a
+    # one-shot fold readout
+    def _walk(acc, x):
+        rec = F.struct(
+            x["t"].alias("t"),
+            x["d_all"].alias("d_all"),
+            x["d1"].alias("d1"),
+            acc["rem1"].alias("n1"),
+            (acc["rem_all"] - acc["rem1"]).alias("n0"),
+        )
+        return F.struct(
+            (acc["rem_all"] - x["l_all"]).cast("bigint").alias("rem_all"),
+            (acc["rem1"] - x["l1"]).cast("bigint").alias("rem1"),
+            F.when(
+                x["d_all"] > 0, F.array_append(acc["pt"], rec)
+            ).otherwise(acc["pt"]).alias("pt"),
+        )
+
+    walked = arr.select(
+        "__tot_all",
+        "n_events",
+        F.aggregate(
+            "__ts",
+            F.struct(
+                F.col("__tot_all").alias("rem_all"),
+                F.col("__tot1").alias("rem1"),
+                F.expr(
+                    "CAST(array() AS array<struct<t:bigint,d_all:bigint,"
+                    "d1:bigint,n1:bigint,n0:bigint>>)"
+                ).alias("pt"),
+            ),
+            _walk,
+        )["pt"].alias("__pt"),
+    )
+    pt = walked.select(
+        F.col("__tot_all").alias("n"), "n_events",
+        F.explode_outer("__pt").alias("__e")
+    ).select(
+        "n", "n_events",
+        F.col("__e.d_all").alias("d_all"), F.col("__e.d1").alias("d1"),
+        F.col("__e.n1").alias("n1"), F.col("__e.n0").alias("n0"),
+    )
+
+    # U(β_k) needs β_k which needs U(β_{k−1}) — the steps are
+    # inherently sequential, so chain ``newton_steps`` aggregations,
+    # each over the (bounded) event-time relation
+    base = pt.groupBy("n", "n_events").agg(
+        F.count(F.lit(1)).alias("__nt")
+    ).select("n", "n_events")
+    state = base.withColumn("__b", F.lit(0.0) + F.lit(0.0))
+    for _k in range(int(newton_steps)):
+        j = pt.crossJoin(F.broadcast(state.select("__b")))
+        r = F.exp(F.col("__b"))
+        n1, n0 = F.col("n1").cast("double"), F.col("n0").cast("double")
+        p = (n1 * r) / (n1 * r + n0)
+        u_t = (
+            F.round(F.col("d1") - F.col("d_all") * p, 6) + F.lit(0.0)
+        ).cast("decimal(20,6)")
+        i_t = (
+            F.round(F.col("d_all") * p * (1.0 - p), 6) + F.lit(0.0)
+        ).cast("decimal(20,6)")
+        stepagg = j.groupBy("n", "n_events", "__b").agg(
+            F.sum(u_t).cast("double").alias("__u"),
+            F.sum(i_t).cast("double").alias("__i"),
+        )
+        nxt = F.col("__b") + F.col("__u") / F.col("__i")
+        state = stepagg.select(
+            "n", "n_events",
+            F.when(
+                F.col("__b").isNotNull()
+                & (F.col("__i") > 0)
+                & (F.abs(nxt) <= 30.0),
+                F.round(nxt, 6) + F.lit(0.0),
+            ).alias("__b"),
+        )
+    # final information at beta-hat for the Wald readout
+    fin = pt.crossJoin(F.broadcast(state.select("__b")))
+    r = F.exp(F.col("__b"))
+    n1, n0 = F.col("n1").cast("double"), F.col("n0").cast("double")
+    p = (n1 * r) / (n1 * r + n0)
+    i_t = (
+        F.round(F.col("d_all") * p * (1.0 - p), 6) + F.lit(0.0)
+    ).cast("decimal(20,6)")
+    out = fin.groupBy("n", "n_events", "__b").agg(
+        F.sum(i_t).cast("double").alias("__ifin"),
+    )
+    ok = F.col("__b").isNotNull() & (F.col("__ifin") > 0)
+    beta6 = F.when(ok, F.col("__b"))
+    hr6 = F.when(ok, F.round(F.exp(F.col("__b")), 6) + F.lit(0.0))
+    se6 = F.when(
+        ok, F.round(1.0 / F.sqrt(F.col("__ifin")), 6) + F.lit(0.0)
+    )
+    z6 = F.when(
+        ok, F.round(F.col("__b") * F.sqrt(F.col("__ifin")), 6) + F.lit(0.0)
+    )
+    res = out.select(
+        "n", "n_events",
+        beta6.alias("beta6"), hr6.alias("hr6"),
+        se6.alias("se6"), z6.alias("z6"),
+    )
+    return res.withColumn("p6", normal_two_sided_p(F.col("z6")))

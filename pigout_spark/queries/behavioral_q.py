@@ -3793,3 +3793,191 @@ def x_mann_kendall(spark, sf_dir):
         keys=["o_orderpriority"],
         max_points_per_key=200,
     )
+
+
+@query(
+    "x_cox_ph",
+    """
+    WITH u AS (
+      SELECT user_id % 2 AS g,
+             date_diff('day',
+                       MIN(CAST(date_trunc('second', ts) AS TIMESTAMP)),
+                       MAX(CAST(date_trunc('second', ts) AS TIMESTAMP)))
+               AS dur,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+               AS e
+      FROM events GROUP BY user_id
+    ), per AS (
+      SELECT dur AS t, g,
+             CAST(SUM(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS leave
+      FROM u GROUP BY dur, g
+    ), byt AS (
+      SELECT t, SUM(d) AS d_all, SUM(leave) AS l_all,
+             SUM(CASE WHEN g = 0 THEN d ELSE 0 END) AS d1,
+             SUM(CASE WHEN g = 0 THEN leave ELSE 0 END) AS l1
+      FROM per GROUP BY t
+    ), c AS (
+      SELECT t, d_all, d1,
+             SUM(l_all) OVER ()
+               - coalesce(SUM(l_all) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_all,
+             SUM(l1) OVER ()
+               - coalesce(SUM(l1) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n1,
+             l_all
+      FROM byt
+    ), pt AS (
+      SELECT t, d_all, d1, n1, n_all - n1 AS n0 FROM c WHERE d_all > 0
+    ), tot AS (
+      SELECT CAST(SUM(l_all) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(d_all), 0) AS BIGINT) AS n_events
+      FROM byt
+    ), s0 AS (SELECT 0.0 AS b)
+    , s1 AS (
+      SELECT CASE WHEN i_ > 0 AND abs(b_ + u_ / i_) <= 30
+                  THEN ROUND(b_ + u_ / i_, 6) + 0.0 END AS b
+      FROM (
+        SELECT s0.b AS b_,
+          CAST(SUM(CAST(ROUND(CAST(d1 AS DOUBLE)
+            - CAST(d_all AS DOUBLE)
+              * ((CAST(n1 AS DOUBLE) * exp(s0.b))
+                 / (CAST(n1 AS DOUBLE) * exp(s0.b)
+                    + CAST(n0 AS DOUBLE))), 6) + 0.0
+            AS DECIMAL(20,6))) AS DOUBLE) AS u_,
+          CAST(SUM(CAST(ROUND(CAST(d_all AS DOUBLE)
+            * ((CAST(n1 AS DOUBLE) * exp(s0.b))
+               / (CAST(n1 AS DOUBLE) * exp(s0.b)
+                  + CAST(n0 AS DOUBLE)))
+            * (1.0 - ((CAST(n1 AS DOUBLE) * exp(s0.b))
+               / (CAST(n1 AS DOUBLE) * exp(s0.b)
+                  + CAST(n0 AS DOUBLE)))), 6) + 0.0
+            AS DECIMAL(20,6))) AS DOUBLE) AS i_
+        FROM pt, s0 GROUP BY s0.b
+      )
+    )
+    , s2 AS (
+      SELECT CASE WHEN i_ > 0 AND abs(b_ + u_ / i_) <= 30
+                  THEN ROUND(b_ + u_ / i_, 6) + 0.0 END AS b
+      FROM (
+        SELECT s1.b AS b_,
+          CAST(SUM(CAST(ROUND(CAST(d1 AS DOUBLE)
+            - CAST(d_all AS DOUBLE)
+              * ((CAST(n1 AS DOUBLE) * exp(s1.b))
+                 / (CAST(n1 AS DOUBLE) * exp(s1.b)
+                    + CAST(n0 AS DOUBLE))), 6) + 0.0
+            AS DECIMAL(20,6))) AS DOUBLE) AS u_,
+          CAST(SUM(CAST(ROUND(CAST(d_all AS DOUBLE)
+            * ((CAST(n1 AS DOUBLE) * exp(s1.b))
+               / (CAST(n1 AS DOUBLE) * exp(s1.b)
+                  + CAST(n0 AS DOUBLE)))
+            * (1.0 - ((CAST(n1 AS DOUBLE) * exp(s1.b))
+               / (CAST(n1 AS DOUBLE) * exp(s1.b)
+                  + CAST(n0 AS DOUBLE)))), 6) + 0.0
+            AS DECIMAL(20,6))) AS DOUBLE) AS i_
+        FROM pt, s1 GROUP BY s1.b
+      )
+    )
+    , s3 AS (
+      SELECT CASE WHEN i_ > 0 AND abs(b_ + u_ / i_) <= 30
+                  THEN ROUND(b_ + u_ / i_, 6) + 0.0 END AS b
+      FROM (
+        SELECT s2.b AS b_,
+          CAST(SUM(CAST(ROUND(CAST(d1 AS DOUBLE)
+            - CAST(d_all AS DOUBLE)
+              * ((CAST(n1 AS DOUBLE) * exp(s2.b))
+                 / (CAST(n1 AS DOUBLE) * exp(s2.b)
+                    + CAST(n0 AS DOUBLE))), 6) + 0.0
+            AS DECIMAL(20,6))) AS DOUBLE) AS u_,
+          CAST(SUM(CAST(ROUND(CAST(d_all AS DOUBLE)
+            * ((CAST(n1 AS DOUBLE) * exp(s2.b))
+               / (CAST(n1 AS DOUBLE) * exp(s2.b)
+                  + CAST(n0 AS DOUBLE)))
+            * (1.0 - ((CAST(n1 AS DOUBLE) * exp(s2.b))
+               / (CAST(n1 AS DOUBLE) * exp(s2.b)
+                  + CAST(n0 AS DOUBLE)))), 6) + 0.0
+            AS DECIMAL(20,6))) AS DOUBLE) AS i_
+        FROM pt, s2 GROUP BY s2.b
+      )
+    )
+    , s4 AS (
+      SELECT CASE WHEN i_ > 0 AND abs(b_ + u_ / i_) <= 30
+                  THEN ROUND(b_ + u_ / i_, 6) + 0.0 END AS b
+      FROM (
+        SELECT s3.b AS b_,
+          CAST(SUM(CAST(ROUND(CAST(d1 AS DOUBLE)
+            - CAST(d_all AS DOUBLE)
+              * ((CAST(n1 AS DOUBLE) * exp(s3.b))
+                 / (CAST(n1 AS DOUBLE) * exp(s3.b)
+                    + CAST(n0 AS DOUBLE))), 6) + 0.0
+            AS DECIMAL(20,6))) AS DOUBLE) AS u_,
+          CAST(SUM(CAST(ROUND(CAST(d_all AS DOUBLE)
+            * ((CAST(n1 AS DOUBLE) * exp(s3.b))
+               / (CAST(n1 AS DOUBLE) * exp(s3.b)
+                  + CAST(n0 AS DOUBLE)))
+            * (1.0 - ((CAST(n1 AS DOUBLE) * exp(s3.b))
+               / (CAST(n1 AS DOUBLE) * exp(s3.b)
+                  + CAST(n0 AS DOUBLE)))), 6) + 0.0
+            AS DECIMAL(20,6))) AS DOUBLE) AS i_
+        FROM pt, s3 GROUP BY s3.b
+      )
+    )
+    , fin AS (
+      SELECT s4.b AS b,
+        CAST(SUM(CAST(ROUND(CAST(d_all AS DOUBLE)
+          * ((CAST(n1 AS DOUBLE) * exp(s4.b))
+             / (CAST(n1 AS DOUBLE) * exp(s4.b) + CAST(n0 AS DOUBLE)))
+          * (1.0 - ((CAST(n1 AS DOUBLE) * exp(s4.b))
+             / (CAST(n1 AS DOUBLE) * exp(s4.b)
+                + CAST(n0 AS DOUBLE)))), 6) + 0.0
+          AS DECIMAL(20,6))) AS DOUBLE) AS i_
+      FROM pt, s4 GROUP BY s4.b
+    ), res AS (
+      SELECT tot.n, tot.n_events,
+        CASE WHEN fin.b IS NOT NULL AND fin.i_ > 0 THEN fin.b END
+          AS beta6,
+        CASE WHEN fin.b IS NOT NULL AND fin.i_ > 0
+             THEN ROUND(exp(fin.b), 6) + 0.0 END AS hr6,
+        CASE WHEN fin.b IS NOT NULL AND fin.i_ > 0
+             THEN ROUND(1.0 / sqrt(fin.i_), 6) + 0.0 END AS se6,
+        CASE WHEN fin.b IS NOT NULL AND fin.i_ > 0
+             THEN ROUND(fin.b * sqrt(fin.i_), 6) + 0.0 END AS z6
+      FROM tot, fin
+    )
+    SELECT n, n_events, beta6, hr6, se6, z6,
+      CASE WHEN z6 IS NOT NULL THEN
+        ROUND(LEAST(1.0, 2.0 * (exp(-abs(z6) * abs(z6) / 2.0)
+          * 0.3989422804014327
+          * ((1.0 / (1.0 + 0.2316419 * abs(z6)))
+             * (0.319381530 + (1.0 / (1.0 + 0.2316419 * abs(z6)))
+               * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * abs(z6)))
+                 * (1.781477937 + (1.0 / (1.0 + 0.2316419 * abs(z6)))
+                   * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * abs(z6)))
+                     * 1.330274429))))))), 6) + 0.0
+      END AS p6
+    FROM res
+""",
+    extra=True,  # r14 addition — r15 rotation candidate
+)
+def x_cox_ph(spark, sf_dir):
+    """Cox proportional-hazards log hazard ratio between even/odd
+    user cohorts' time-to-churn (behavioral.py:cox_ph_binary) — the
+    effect-size companion to x_logrank on the IDENTICAL risk-table
+    framing: Breslow-ties partial likelihood, FOUR quantized Newton
+    steps from beta=0 (each step's per-time score/information terms
+    ROUND-6 decimal-summed, beta re-ROUND-6'd), Wald SE/z/p at the
+    fitted beta.  The oracle unrolls the same four steps in SQL, so
+    both engines replay the identical quantized chain."""
+    from pigout_spark.pipeline.behavioral import cox_ph_binary
+
+    ev = _events_s(spark, sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.datediff(F.max("ts"), F.min("ts")).cast("double").alias("dur"),
+        (
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            == 1
+        ).alias("e"),
+    ).withColumn("g", F.col("user_id") % 2)
+    return cox_ph_binary(u, "dur", "e", "g")

@@ -2368,3 +2368,100 @@ def test_fs_linkage_weights_hand_checked(spark):
         fs_linkage_weights(recs, pairs, "id", [])
     with _pytest.raises(ValueError, match="in \\(0, 1\\)"):
         fs_linkage_weights(recs, pairs, "id", ["f1"], default_m=1.0)
+
+
+def test_cox_ph_binary_reference_and_guards(spark):
+    """r14: the quantized 4-step Newton chain against a pure-Python
+    replica; beta sign follows the orientation contract (group 1 =
+    lexicographic min); loud two-group / integer-duration contracts;
+    honest NULLs on separation and empty input."""
+    import math
+    import random
+    from decimal import Decimal
+
+    import pytest as _pytest
+
+    from pigout_spark.pipeline.behavioral import cox_ph_binary
+
+    def ref(rows, steps=4):
+        g1 = min(g for _, _, g in rows)
+        times = sorted({t for t, e, _ in rows if e})
+        pts = []
+        for t in times:
+            d_all = sum(1 for tt, e, _ in rows if tt == t and e)
+            d1 = sum(1 for tt, e, g in rows if tt == t and e and g == g1)
+            n1 = sum(1 for tt, _, g in rows if tt >= t and g == g1)
+            n0 = sum(1 for tt, _, g in rows if tt >= t and g != g1)
+            pts.append((d_all, d1, n1, n0))
+        b = 0.0
+        for _ in range(steps):
+            if b is None:
+                break
+            U = Decimal(0)
+            I = Decimal(0)
+            r = math.exp(b)
+            for d_all, d1, n1, n0 in pts:
+                p = (n1 * r) / (n1 * r + n0)
+                U += Decimal(str(round(d1 - d_all * p, 6) + 0.0)
+                             ).quantize(Decimal("0.000001"))
+                I += Decimal(str(round(d_all * p * (1 - p), 6) + 0.0)
+                             ).quantize(Decimal("0.000001"))
+            U, I = float(U), float(I)
+            nxt = b + U / I if I > 0 else None
+            b = (round(nxt, 6) + 0.0
+                 if nxt is not None and abs(nxt) <= 30 else None)
+        if b is None:
+            return None
+        r = math.exp(b)
+        I = float(sum(
+            Decimal(str(round(d_all * ((n1 * r) / (n1 * r + n0))
+                              * (1 - (n1 * r) / (n1 * r + n0)), 6) + 0.0))
+            for d_all, d1, n1, n0 in pts
+        ))
+        return (b, round(math.exp(b), 6) + 0.0,
+                round(1 / math.sqrt(I), 6) + 0.0,
+                round(b * math.sqrt(I), 6) + 0.0)
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(80):
+        g = "a" if i % 2 == 0 else "b"
+        lam = 2.0 if g == "a" else 1.0
+        t = max(1, int(-math.log(rng.random()) / lam * 10))
+        rows.append((t, rng.random() < 0.8, g))
+    df = spark.createDataFrame(rows, "t int, e boolean, g string")
+    got = cox_ph_binary(df, "t", "e", "g").first()
+    want = ref(rows)
+    assert (got.beta6, got.hr6, got.se6, got.z6) == want
+    assert got.beta6 > 0  # 'a' (lexicographic min) has the 2x hazard
+    assert got.n == 80
+
+    # loud contracts
+    three = spark.createDataFrame(
+        [(1, True, "a"), (2, True, "b"), (3, True, "c")],
+        "t int, e boolean, g string",
+    )
+    with _pytest.raises(Exception, match="exactly two groups"):
+        cox_ph_binary(three, "t", "e", "g").collect()
+    frac = spark.createDataFrame(
+        [(1.5, True, "a"), (2.0, True, "b")],
+        "t double, e boolean, g string",
+    )
+    with _pytest.raises(Exception, match="integer time unit"):
+        cox_ph_binary(frac, "t", "e", "g").collect()
+
+    # complete separation (all events in one group): the true MLE is
+    # +inf; the FIXED schedule reports the large finite 4-step
+    # iterate (documented contract) with a correspondingly huge SE
+    sep = spark.createDataFrame(
+        [(1, True, "a")] * 20 + [(100, False, "b")] * 20,
+        "t int, e boolean, g string",
+    )
+    rs = cox_ph_binary(sep, "t", "e", "g").first()
+    assert rs.beta6 is not None and rs.beta6 > 4.0
+    assert rs.se6 > 1.0  # the separation signature downstream screens use
+
+    # empty input: one row of honest NULLs, zero events
+    empty = spark.createDataFrame([], "t int, e boolean, g string")
+    re_ = cox_ph_binary(empty, "t", "e", "g").first()
+    assert re_.n_events == 0 and re_.beta6 is None
