@@ -1027,7 +1027,8 @@ def gen_pipeline(rng: random.Random):
          "wsample", "surprisal", "zorder", "incr",
          "entropy", "gturing", "fuzzy",
          "readability", "wav", "avi",
-         "mk", "chao1f", "fs", "png", "jw", "winnow", "dhash"]
+         "mk", "chao1f", "fs", "png", "jw", "winnow", "dhash",
+         "cox"]
     )
     if kind == "semantic":
         return _gen_semantic(rng)
@@ -1035,7 +1036,8 @@ def gen_pipeline(rng: random.Random):
         return _gen_r13(rng, kind, rows, cte, mkdf)
     if kind in ("readability", "wav", "avi"):
         return _gen_r14(rng, kind, rows, cte, mkdf)
-    if kind in ("mk", "chao1f", "fs", "png", "jw", "winnow", "dhash"):
+    if kind in ("mk", "chao1f", "fs", "png", "jw", "winnow", "dhash",
+                "cox"):
         return _gen_r14b(rng, kind, rows, cte, mkdf)
     if kind in ("wsample", "surprisal", "zorder", "incr"):
         return _gen_r6(rng, kind, rows, cte, mkdf)
@@ -3952,6 +3954,31 @@ def _gen_tempw(rng: random.Random):
 
 
 
+_COX_STEP = """
+        , s{K} AS (
+          SELECT CASE WHEN i_ > 0 AND abs(b_ + u_ / i_) <= 30
+                      THEN ROUND(b_ + u_ / i_, 6) + 0.0 END AS b
+          FROM (
+            SELECT s{P}.b AS b_,
+              CAST(SUM(CAST(ROUND(CAST(d1 AS DOUBLE)
+                - CAST(d_all AS DOUBLE)
+                  * ((CAST(n1 AS DOUBLE) * exp(s{P}.b))
+                     / (CAST(n1 AS DOUBLE) * exp(s{P}.b)
+                        + CAST(n0 AS DOUBLE))), 6) + 0.0
+                AS DECIMAL(20,6))) AS DOUBLE) AS u_,
+              CAST(SUM(CAST(ROUND(CAST(d_all AS DOUBLE)
+                * ((CAST(n1 AS DOUBLE) * exp(s{P}.b))
+                   / (CAST(n1 AS DOUBLE) * exp(s{P}.b)
+                      + CAST(n0 AS DOUBLE)))
+                * (1.0 - ((CAST(n1 AS DOUBLE) * exp(s{P}.b))
+                   / (CAST(n1 AS DOUBLE) * exp(s{P}.b)
+                      + CAST(n0 AS DOUBLE)))), 6) + 0.0
+                AS DECIMAL(20,6))) AS DOUBLE) AS i_
+            FROM pt, s{P} GROUP BY s{P}.b
+          )
+        )"""
+
+
 def _gen_r14b(rng: random.Random, kind: str, rows, cte: str, mkdf):
     """r14 late additions: Mann-Kendall (random point clouds with ties
     and NULLs), Chao1 (random corpora), Fellegi-Sunter (random records
@@ -4153,6 +4180,102 @@ def _gen_r14b(rng: random.Random, kind: str, rows, cte: str, mkdf):
             return fs_linkage_weights(
                 rdf, pdf, "id", ["f1", "f2"], default_m=m
             )
+
+        return build, sql
+    if kind == "cox":
+        # random two-group survival sets: heavy ties, all-censored
+        # groups, single-subject groups — the quantized Newton chain
+        # must hash-agree whatever the likelihood surface looks like
+        subs = []
+        for i in range(rng.randint(4, 40)):
+            g = rng.choice(["a", "b"])
+            t = rng.randint(1, 8)
+            e = rng.random() < 0.7
+            subs.append((t, e, g))
+        subs += [(9, False, "a"), (9, False, "b")]  # both groups present
+        vals = ", ".join(
+            f"({t}, {str(e).upper()}, '{g}')" for t, e, g in subs
+        )
+        steps = "".join(
+            _COX_STEP.format(K=k, P=k - 1) for k in range(1, 5)
+        )
+        sql = f"""
+        WITH uv AS (SELECT * FROM (VALUES {vals}) AS __u(t, e, g)),
+        per AS (
+          SELECT t, g,
+                 CAST(SUM(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
+                 CAST(COUNT(*) AS BIGINT) AS leave
+          FROM uv GROUP BY t, g
+        ), byt AS (
+          SELECT t, SUM(d) AS d_all, SUM(leave) AS l_all,
+                 SUM(CASE WHEN g = (SELECT MIN(g) FROM per)
+                          THEN d ELSE 0 END) AS d1,
+                 SUM(CASE WHEN g = (SELECT MIN(g) FROM per)
+                          THEN leave ELSE 0 END) AS l1
+          FROM per GROUP BY t
+        ), c AS (
+          SELECT t, d_all, d1,
+                 SUM(l_all) OVER ()
+                   - coalesce(SUM(l_all) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS n_all,
+                 SUM(l1) OVER ()
+                   - coalesce(SUM(l1) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS n1,
+                 l_all
+          FROM byt
+        ), pt AS (
+          SELECT t, d_all, d1, n1, n_all - n1 AS n0
+          FROM c WHERE d_all > 0
+        ), tot AS (
+          SELECT CAST(SUM(l_all) AS BIGINT) AS n,
+                 CAST(COALESCE(SUM(d_all), 0) AS BIGINT) AS n_events
+          FROM byt
+        ), s0 AS (SELECT 0.0 AS b){steps}
+        , fin AS (
+          SELECT s4.b AS b,
+            CAST(SUM(CAST(ROUND(CAST(d_all AS DOUBLE)
+              * ((CAST(n1 AS DOUBLE) * exp(s4.b))
+                 / (CAST(n1 AS DOUBLE) * exp(s4.b)
+                    + CAST(n0 AS DOUBLE)))
+              * (1.0 - ((CAST(n1 AS DOUBLE) * exp(s4.b))
+                 / (CAST(n1 AS DOUBLE) * exp(s4.b)
+                    + CAST(n0 AS DOUBLE)))), 6) + 0.0
+              AS DECIMAL(20,6))) AS DOUBLE) AS i_
+          FROM pt, s4 GROUP BY s4.b
+        ), res AS (
+          SELECT tot.n, tot.n_events,
+            CASE WHEN fin.b IS NOT NULL AND fin.i_ > 0 THEN fin.b END
+              AS beta6,
+            CASE WHEN fin.b IS NOT NULL AND fin.i_ > 0
+                 THEN ROUND(exp(fin.b), 6) + 0.0 END AS hr6,
+            CASE WHEN fin.b IS NOT NULL AND fin.i_ > 0
+                 THEN ROUND(1.0 / sqrt(fin.i_), 6) + 0.0 END AS se6,
+            CASE WHEN fin.b IS NOT NULL AND fin.i_ > 0
+                 THEN ROUND(fin.b * sqrt(fin.i_), 6) + 0.0 END AS z6
+          FROM tot, fin
+        )
+        SELECT n, n_events, beta6, hr6, se6, z6,
+          CASE WHEN z6 IS NOT NULL THEN
+            ROUND(LEAST(1.0, 2.0 * (exp(-abs(z6) * abs(z6) / 2.0)
+              * 0.3989422804014327
+              * ((1.0 / (1.0 + 0.2316419 * abs(z6)))
+                 * (0.319381530 + (1.0 / (1.0 + 0.2316419 * abs(z6)))
+                   * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * abs(z6)))
+                     * (1.781477937 + (1.0 / (1.0 + 0.2316419 * abs(z6)))
+                       * (-1.821255978
+                          + (1.0 / (1.0 + 0.2316419 * abs(z6)))
+                          * 1.330274429))))))), 6) + 0.0
+          END AS p6
+        FROM res
+        """
+
+        def build(spark, sf_dir):
+            from pigout_spark.pipeline.behavioral import cox_ph_binary
+
+            df = spark.createDataFrame(subs, "t int, e boolean, g string")
+            return cox_ph_binary(df, "t", "e", "g")
 
         return build, sql
     if kind == "dhash":
