@@ -557,7 +557,10 @@ assert len(_WINDOW_R13) == len(set(_WINDOW_R13)) == 50
 # CRC-verified chunks, all five scanline filters), x_jw_pairs
 # (Jaro-Winkler on the shared blocking; scorer verified bit-identical
 # to the oracle engine's over 30k strings), x_winnow (MOSS winnowing
-# fingerprints, in-task rightmost-min selection).
+# fingerprints, in-task rightmost-min selection), x_img_dhash
+# (perceptual dHash image near-dup; 16-bit pigeonhole blocks — the
+# measured scale lever), x_cox_ph (Cox PH binary-covariate hazard
+# ratio; quantized 4-step Newton, oracle-unrolled).
 _WINDOW_R14 = [
     "q01_group_agg",  # flagship
     # (a) the pinned r14 queue — never driver-checked (VERDICT r13 #1)
