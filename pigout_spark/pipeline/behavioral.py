@@ -4350,3 +4350,154 @@ def cox_ph_binary(
         se6.alias("se6"), z6.alias("z6"),
     )
     return res.withColumn("p6", normal_two_sided_p(F.col("z6")))
+
+
+def logrank_test_stratified(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    strata_col: str,
+) -> DataFrame:
+    """Stratified (Mantel–Cox) log-rank test — the two-group
+    :func:`logrank_test` with risk sets formed WITHIN each stratum and
+    the O−E / variance contributions pooled across strata:
+
+        z = Σ_s Σ_t (d₁ₛₜ − n₁ₛₜ·dₛₜ/nₛₜ) / √(Σ_s Σ_t vₛₜ)
+
+    — the adjustment that removes a confounder (site, cohort, device
+    class) from the comparison: each stratum contributes only
+    comparisons between ITS OWN at-risk subjects, so imbalanced strata
+    cannot fake or mask a group effect.  Same contracts as
+    logrank_test: integer durations (asserted), boolean events, NULLs
+    (in any of the four columns) excluded, exactly two non-NULL groups
+    GLOBALLY (pushdown-safe assert; group 1 = the lexicographically
+    smallest value — strata missing a group simply contribute that
+    side's zeros).
+
+    Determinism: per-stratum risk sets are exact integers; each
+    (stratum, time) O−E / v term is ROUND-6 + decimal-summed inside
+    the stratum's in-task fold (the logrank walk, one per stratum),
+    and the cross-strata pool is an EXACT decimal sum — only the final
+    z divide is IEEE.  Times with nₛ = 1 contribute zero variance.
+
+    Output: ONE row — (n, n_events, n_strata, o_minus_e6, var6, z6).
+
+    100 TB: ONE exchange on (stratum, duration, group) compresses
+    subjects; the per-stratum walk is the logrank in-task fold keyed
+    by stratum (a groupBy, never a keyless window), and the pool is a
+    strata-sized aggregation.
+    """
+    dur, ev = F.col(duration_col), F.col(event_col)
+    grp, st = F.col(group_col), F.col(strata_col)
+    d = df.filter(
+        dur.isNotNull() & ev.isNotNull() & grp.isNotNull() & st.isNotNull()
+    ).filter(
+        F.assert_true(
+            dur == F.floor(dur),
+            F.lit(
+                "logrank_test_stratified: duration must be an integer "
+                "time unit"
+            ),
+        ).isNull()
+    )
+    per = d.groupBy(
+        st.alias("__s"), dur.cast("bigint").alias("t"), grp.alias("__g")
+    ).agg(
+        F.sum(F.when(ev, 1).otherwise(0)).cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("leave"),
+    )
+    gstats = per.agg(
+        F.count_distinct(F.col("__g")).alias("__ng"),
+        F.min("__g").alias("__g1"),
+    )
+    per = per.crossJoin(F.broadcast(gstats)).filter(
+        F.assert_true(
+            (F.col("__ng") == 2) | (F.col("__ng") == 0),
+            F.lit(
+                "logrank_test_stratified: exactly two groups required"
+            ),
+        ).isNull()
+    )
+    per = per.withColumn("__is1", (F.col("__g") == F.col("__g1")).cast("int"))
+    byt = per.groupBy("__s", "t").agg(
+        F.sum("d").alias("d_all"),
+        F.sum("leave").alias("l_all"),
+        F.sum(F.col("d") * F.col("__is1")).alias("d1"),
+        F.sum(F.col("leave") * F.col("__is1")).alias("l1"),
+    )
+    arr = byt.groupBy("__s").agg(
+        F.sum("l_all").cast("bigint").alias("__tot_all"),
+        F.sum("l1").cast("bigint").alias("__tot1"),
+        F.sum("d_all").cast("bigint").alias("__ev"),
+        F.sort_array(
+            F.collect_list(F.struct("t", "d_all", "l_all", "d1", "l1"))
+        ).alias("__ts"),
+    )
+    dec0 = F.lit(0).cast("decimal(30,6)")
+
+    def _step(acc, x):
+        n_all = acc["rem_all"].cast("double")
+        n1 = acc["rem1"].cast("double")
+        d_all = x["d_all"].cast("double")
+        oe_t = (
+            F.round(x["d1"] - n1 * d_all / n_all, 6) + F.lit(0.0)
+        ).cast("decimal(20,6)")
+        v_t = F.when(
+            acc["rem_all"] > 1,
+            (
+                F.round(
+                    d_all
+                    * (n1 / n_all)
+                    * (1.0 - n1 / n_all)
+                    * (n_all - d_all)
+                    / (n_all - 1.0),
+                    6,
+                )
+                + F.lit(0.0)
+            ).cast("decimal(20,6)"),
+        ).otherwise(F.lit(0).cast("decimal(20,6)"))
+        return F.struct(
+            (acc["rem_all"] - x["l_all"]).cast("bigint").alias("rem_all"),
+            (acc["rem1"] - x["l1"]).cast("bigint").alias("rem1"),
+            (acc["oe"] + oe_t).cast("decimal(30,6)").alias("oe"),
+            (acc["v"] + v_t).cast("decimal(30,6)").alias("v"),
+        )
+
+    walk = F.aggregate(
+        "__ts",
+        F.struct(
+            F.col("__tot_all").alias("rem_all"),
+            F.col("__tot1").alias("rem1"),
+            dec0.alias("oe"),
+            dec0.alias("v"),
+        ),
+        _step,
+    )
+    per_str = arr.select(
+        "__s", "__tot_all", "__ev",
+        walk["oe"].alias("__oe"),
+        walk["v"].alias("__v"),
+    )
+    pooled = per_str.agg(
+        F.coalesce(F.sum("__tot_all"), F.lit(0)).cast("bigint").alias("n"),
+        F.coalesce(F.sum("__ev"), F.lit(0)).cast("bigint").alias(
+            "n_events"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("__oe").alias("__oe_sum"),
+        F.sum("__v").alias("__v_sum"),
+    )
+    return pooled.select(
+        "n", "n_events", "n_strata",
+        F.col("__oe_sum").cast("double").alias("o_minus_e6"),
+        F.col("__v_sum").cast("double").alias("var6"),
+        F.when(
+            F.col("__v_sum").cast("double") > 0,
+            F.round(
+                F.col("__oe_sum").cast("double")
+                / F.sqrt(F.col("__v_sum").cast("double")),
+                6,
+            ),
+        ).alias("z6"),
+    )

@@ -3981,3 +3981,97 @@ def x_cox_ph(spark, sf_dir):
         ).alias("e"),
     ).withColumn("g", F.col("user_id") % 2)
     return cox_ph_binary(u, "dur", "e", "g")
+
+
+@query(
+    "x_logrank_strat",
+    """
+    WITH u AS (
+      SELECT user_id % 2 AS g, user_id % 5 AS s,
+             date_diff('day',
+                       MIN(CAST(date_trunc('second', ts) AS TIMESTAMP)),
+                       MAX(CAST(date_trunc('second', ts) AS TIMESTAMP)))
+               AS dur,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+               AS e
+      FROM events GROUP BY user_id
+    ), per AS (
+      SELECT s, dur AS t, g,
+             CAST(SUM(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS leave
+      FROM u GROUP BY s, dur, g
+    ), byt AS (
+      SELECT s, t, SUM(d) AS d_all, SUM(leave) AS l_all,
+             SUM(CASE WHEN g = 0 THEN d ELSE 0 END) AS d1,
+             SUM(CASE WHEN g = 0 THEN leave ELSE 0 END) AS l1
+      FROM per GROUP BY s, t
+    ), c AS (
+      SELECT s, t, d_all, d1, l_all,
+             SUM(l_all) OVER (PARTITION BY s)
+               - coalesce(SUM(l_all) OVER (PARTITION BY s ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_all,
+             SUM(l1) OVER (PARTITION BY s)
+               - coalesce(SUM(l1) OVER (PARTITION BY s ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n1
+      FROM byt
+    )
+    SELECT CAST(COALESCE(SUM(l_all), 0) AS BIGINT) AS n,
+           CAST(COALESCE(SUM(d_all), 0) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT s) AS BIGINT) AS n_strata,
+           CAST(SUM(CAST(ROUND(d1 - CAST(n1 AS DOUBLE) * d_all / n_all, 6)
+                         + 0.0 AS DECIMAL(20,6))) AS DOUBLE)
+             AS o_minus_e6,
+           CAST(SUM(CASE WHEN n_all > 1 THEN
+                 CAST(ROUND(CAST(d_all AS DOUBLE)
+                      * (CAST(n1 AS DOUBLE) / n_all)
+                      * (1 - CAST(n1 AS DOUBLE) / n_all)
+                      * (n_all - CAST(d_all AS DOUBLE)) / (n_all - 1), 6)
+                      + 0.0 AS DECIMAL(20,6))
+                 ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE) AS var6,
+           CASE WHEN CAST(SUM(CASE WHEN n_all > 1 THEN
+                 CAST(ROUND(CAST(d_all AS DOUBLE)
+                      * (CAST(n1 AS DOUBLE) / n_all)
+                      * (1 - CAST(n1 AS DOUBLE) / n_all)
+                      * (n_all - CAST(d_all AS DOUBLE)) / (n_all - 1), 6)
+                      + 0.0 AS DECIMAL(20,6))
+                 ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE) > 0
+                THEN ROUND(
+                  CAST(SUM(CAST(ROUND(d1 - CAST(n1 AS DOUBLE) * d_all
+                                      / n_all, 6)
+                                + 0.0 AS DECIMAL(20,6))) AS DOUBLE)
+                  / sqrt(CAST(SUM(CASE WHEN n_all > 1 THEN
+                      CAST(ROUND(CAST(d_all AS DOUBLE)
+                           * (CAST(n1 AS DOUBLE) / n_all)
+                           * (1 - CAST(n1 AS DOUBLE) / n_all)
+                           * (n_all - CAST(d_all AS DOUBLE))
+                           / (n_all - 1), 6)
+                           + 0.0 AS DECIMAL(20,6))
+                      ELSE CAST(0 AS DECIMAL(20,6)) END) AS DOUBLE)),
+                  6) END AS z6
+    FROM c
+    """,
+    extra=True,  # r14 addition — r15 rotation candidate
+)
+def x_logrank_strat(spark, sf_dir):
+    """Stratified (Mantel-Cox) log-rank between even/odd user cohorts
+    with user_id%5 strata (behavioral.py:logrank_test_stratified) —
+    risk sets formed WITHIN each stratum, per-(stratum,time) O-E and
+    variance terms ROUND-6 decimal-summed in per-stratum in-task
+    folds, pooled by an EXACT decimal sum (associativity makes the
+    oracle's single global decimal sum the same number), one final
+    IEEE divide."""
+    from pigout_spark.pipeline.behavioral import logrank_test_stratified
+
+    ev = _events_s(spark, sf_dir)
+    u = ev.groupBy("user_id").agg(
+        F.datediff(F.max("ts"), F.min("ts")).cast("double").alias("dur"),
+        (
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            == 1
+        ).alias("e"),
+    ).withColumn("g", F.col("user_id") % 2).withColumn(
+        "s", F.col("user_id") % 5
+    )
+    return logrank_test_stratified(u, "dur", "e", "g", "s")

@@ -2465,3 +2465,68 @@ def test_cox_ph_binary_reference_and_guards(spark):
     empty = spark.createDataFrame([], "t int, e boolean, g string")
     re_ = cox_ph_binary(empty, "t", "e", "g").first()
     assert re_.n_events == 0 and re_.beta6 is None
+
+
+def test_logrank_stratified_reference(spark):
+    """r14: the stratified log-rank pools per-stratum O-E/variance —
+    with ONE stratum it must equal plain logrank_test; with two
+    strata it must equal the sum of the per-stratum statistics; loud
+    two-group and integer-duration contracts; missing-group strata
+    contribute zeros."""
+    import pytest as _pytest
+
+    from pigout_spark.pipeline.behavioral import (
+        logrank_test,
+        logrank_test_stratified,
+    )
+
+    rows = [
+        (1, True, "a"), (2, True, "a"), (3, False, "a"), (5, True, "a"),
+        (2, True, "b"), (4, False, "b"), (6, True, "b"), (7, True, "b"),
+    ]
+    one = spark.createDataFrame(
+        [(t, e, g, "s0") for t, e, g in rows],
+        "t int, e boolean, g string, s string",
+    )
+    plain = logrank_test(
+        spark.createDataFrame(rows, "t int, e boolean, g string"),
+        "t", "e", "g",
+    ).first()
+    strat = logrank_test_stratified(one, "t", "e", "g", "s").first()
+    assert strat.n_strata == 1
+    assert (strat.o_minus_e6, strat.var6, strat.z6) == (
+        plain.o_minus_e6, plain.var6, plain.z6,
+    )
+
+    # two disjoint strata: pooled O-E/V = sums of the per-stratum runs
+    rows2 = [(t + 1, not e, g) for t, e, g in rows]
+    both = spark.createDataFrame(
+        [(t, e, g, "s0") for t, e, g in rows]
+        + [(t, e, g, "s1") for t, e, g in rows2],
+        "t int, e boolean, g string, s string",
+    )
+    p1 = logrank_test(
+        spark.createDataFrame(rows2, "t int, e boolean, g string"),
+        "t", "e", "g",
+    ).first()
+    got = logrank_test_stratified(both, "t", "e", "g", "s").first()
+    assert got.n_strata == 2 and got.n == 16
+    assert got.o_minus_e6 == round(plain.o_minus_e6 + p1.o_minus_e6, 6)
+    assert got.var6 == round(plain.var6 + p1.var6, 6)
+
+    # a stratum missing one group contributes that side's zeros, not
+    # an error (the two-group contract is GLOBAL)
+    lop = spark.createDataFrame(
+        [(t, e, g, "s0") for t, e, g in rows]
+        + [(1, True, "a", "s9"), (2, True, "a", "s9")],
+        "t int, e boolean, g string, s string",
+    )
+    gl = logrank_test_stratified(lop, "t", "e", "g", "s").first()
+    assert gl.n_strata == 2  # s9 contributes O-E = 0 terms (all group a)
+
+    three = spark.createDataFrame(
+        [(1, True, "a", "x"), (2, True, "b", "x"), (3, True, "c", "x")],
+        "t int, e boolean, g string, s string",
+    )
+    with _pytest.raises(Exception, match="exactly two groups"):
+        logrank_test_stratified(three, "t", "e", "g", "s").collect()

@@ -39,9 +39,9 @@ def test_query_runs(spark, sf_dir, name):
 #: the full registry size, pinned (r9 verdict #5: SURVEY prose said 208
 #: when the import said 207 — docs must not drift from code again).
 #: Update this constant WITH the SURVEY §7.4 number when adding queries.
-REGISTRY_TOTAL_PINNED = 257  # r14: 249 mid-round + the 5 late
+REGISTRY_TOTAL_PINNED = 258  # r14: 249 mid-round + the 5 late
 # additions (x_mann_kendall, x_chao1, x_fs_linkage, x_png_meta,
-# x_jw_pairs) + x_winnow + x_img_dhash + x_cox_ph
+# x_jw_pairs) + x_winnow + x_img_dhash + x_cox_ph + x_logrank_strat
 # metadata (x_wav_meta — deterministic PCM payloads round-tripped
 # through the dependency-free RIFF codec, r13 verdict #8) + AVI/RIFF
 # video-container metadata (x_avi_meta — the video analog, closing the
