@@ -253,11 +253,23 @@ def importance_weights(
     ctoks = (
         corpus.select(F.col(id_col), F.explode(ws_tokens(text_col, distinct=False)).alias("__tok"))
     )
-    cf = ctoks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cf"))
+    # r14 (guide §2.4/§5): the two frequency tables are VOCAB-sized
+    # (tiny next to the token stream) but feed three consumers each
+    # (vocab count, N scalar, the scoring join) — without a
+    # localCheckpoint Catalyst plans the full explode→groupBy subtree
+    # once PER consumer (the before-plan held 44 HashAggregates and 14
+    # parquet scans for this one operator).  Checkpointing caps each at
+    # one computation; everything downstream of them is vocab-sized.
+    cf = (
+        ctoks.groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__cf"))
+        .localCheckpoint(eager=False)
+    )
     tf_ = (
         target.select(F.explode(ws_tokens(ttext, distinct=False)).alias("__tok"))
         .groupBy("__tok")
         .agg(F.count(F.lit(1)).alias("__tf"))
+        .localCheckpoint(eager=False)
     )
     vocab = (
         cf.select("__tok").union(tf_.select("__tok")).distinct()
@@ -273,12 +285,20 @@ def importance_weights(
         F.log((F.coalesce(F.col("__tf"), F.lit(0)) + a) / (F.col("__nt") + a * F.col("__v")))
         - F.log((F.col("__cf") + a) / (F.col("__nc") + a * F.col("__v")))
     )
-    scored = (
-        ctoks.join(cf, "__tok")
-        .join(tf_, "__tok", "left")
+    # r14 (guide §1.2 step 1): evaluate the log-ratio once per token
+    # TYPE (a vocab-sized projection folded together with the scalars),
+    # not once per token OCCURRENCE, and join the stream against that
+    # single weight table.  The per-occurrence addend is the identical
+    # double for every occurrence of a type, so each doc's sum is over
+    # the same multiset of values — bit-compatible with the previous
+    # shape (and the DuckDB twin) under the query's ROUND-6 contract.
+    wt = (
+        cf.join(tf_, "__tok", "left")
         .crossJoin(F.broadcast(scalars))
-        .select(F.col(id_col), lr.alias("__lr"))
+        .select("__tok", lr.alias("__lr"))
+        .localCheckpoint(eager=False)
     )
+    scored = ctoks.join(wt, "__tok").select(F.col(id_col), "__lr")
     return scored.groupBy(id_col).agg(
         F.sum("__lr").alias("log_weight"),
         F.count(F.lit(1)).cast("long").alias("n_tokens"),

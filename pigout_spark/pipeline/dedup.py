@@ -916,22 +916,37 @@ def duplicate_passage_spans(
     position; ``ndocs`` is the corpus-wide distinct-document frequency
     of that shingle.
 
-    100 TB: token-proportional all the way — positional shingle explode
-    (narrow), one groupBy(sh) with map-side partial count-distinct, one
-    key-equi join back on sh.  Never doc×doc.  A ubiquitous boilerplate
-    shingle is a skewed join key — AQE skew-join splits it; the output
-    size is inherent to the spec (every duplicated position is the
-    deliverable).  Count-distinct over doc ids per shingle is the one
-    memory-bound term; its partial aggregation keys on (sh, id) pairs,
-    both shuffle-friendly.
+    100 TB (r14, guide §2.4): token-proportional all the way, ONE
+    explode and ONE exchange.  The former shape exploded + md5'd the
+    stream twice (once for the count-distinct, once for the re-attach
+    join) and broadcast the duplicated-shingle table — a corpus-derived
+    relation with no size bound.  Now the positioned stream is hash-
+    exchanged by ``sh`` once (AQE-coalescible); per-(sh, doc) start
+    positions fold into a list on that partitioning, the distinct-doc
+    count is a count-over-Window on the SAME partitioning (no second
+    exchange, no broadcast), and surviving positions re-explode
+    in-task.  Never doc×doc.  A ubiquitous boilerplate shingle is a
+    skewed partition — bounded by the corpus duplication rate, and the
+    output size is inherent to the spec (every duplicated position is
+    the deliverable).
     """
     sh = _positioned_shingles(df, id_col, text_col, n)
-    counts = (
-        sh.groupBy("sh")
-        .agg(F.count_distinct(F.col(id_col)).alias("ndocs"))
-        .filter(F.col("ndocs") >= min_docs)
+    per = (
+        sh.repartition("sh")
+        .groupBy("sh", id_col)
+        .agg(F.collect_list("start").alias("__starts"))
     )
-    return sh.join(counts, "sh").select(id_col, "start", "sh", "ndocs")
+    w = Window.partitionBy("sh")
+    return (
+        per.withColumn("ndocs", F.count(F.lit(1)).over(w))
+        .filter(F.col("ndocs") >= min_docs)
+        .select(
+            F.col(id_col),
+            F.explode("__starts").alias("start"),
+            F.col("sh"),
+            F.col("ndocs"),
+        )
+    )
 
 
 def passage_dup_stats(
@@ -948,21 +963,34 @@ def passage_dup_stats(
 
     Docs with fewer than ``n`` tokens have no shingles and are emitted
     with zero counts and fraction 0.0 (they cannot carry a duplicated
-    passage).  Same shuffle profile as
-    :func:`duplicate_passage_spans` plus one groupBy(id).
+    passage).
+
+    100 TB (r14, guide §2.4): positions are irrelevant here (unlike
+    :func:`duplicate_passage_spans`) — only per-(shingle, doc)
+    occurrence counts matter — so the shingle stream is exploded ONCE,
+    exchanged ONCE (hash by ``sh``; AQE-coalescible), and everything
+    corpus-wide rides that single partitioning: the (sh, doc) count
+    aggregate, then a count-over-Window partitioned by the same key in
+    place of the former stream-sized re-attach join (whose plan
+    exploded + md5'd the whole corpus twice and shuffled it twice).
+    The window's partitions are per-shingle doc lists — bounded by the
+    corpus duplication rate, never data-sized.  All counts integer —
+    bit-identical results.
     """
-    sh = _positioned_shingles(df, id_col, text_col, n)
-    counts = (
-        sh.groupBy("sh")
-        .agg(F.count_distinct(F.col(id_col)).alias("__ndocs"))
+    sh = _positioned_shingles(df, id_col, text_col, n).select(id_col, "sh")
+    per = (
+        sh.repartition("sh")
+        .groupBy("sh", id_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
     )
+    w = Window.partitionBy("sh")
     per_doc = (
-        sh.join(counts, "sh")
+        per.withColumn("__ndocs", F.count(F.lit(1)).over(w))
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("__c").alias("n_shingles"),
             F.sum(
-                F.when(F.col("__ndocs") >= min_docs, 1).otherwise(0)
+                F.when(F.col("__ndocs") >= min_docs, F.col("__c")).otherwise(F.lit(0))
             ).alias("n_dup_shingles"),
         )
     )
@@ -1017,8 +1045,10 @@ def semantic_dedup_pairs(
         F.col("nrm").alias("nb"), "cell",
     )
     pairs = (
-        _pin_partitions(a, "cell")
-        .join(_pin_partitions(b, "cell"), "cell")
+        # r14: SHUFFLE_HASH measured faster than merge here (1.18 vs
+        # 1.49 s sf0.1) — cell-sized build tables, no wide-row sort.
+        _pin_partitions(a, "cell", join_hint="shuffle_hash")
+        .join(_pin_partitions(b, "cell", join_hint="shuffle_hash"), "cell")
         .filter(F.col("a") < F.col("b"))
         .withColumn("cos", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
         .filter(F.col("cos") >= threshold)
@@ -1093,7 +1123,9 @@ def _blocked_string_candidates(
             .select("__side", "__bk")
         )
         keys = keys.join(F.broadcast(big), ["__side", "__bk"], "left_anti")
-    keys = _pin_partitions(keys, "__bk")
+    # r14: SHUFFLE_HASH measured faster than merge on the block join
+    # (0.93 vs 1.05 s sf0.1) — short string keys, bounded blocks.
+    keys = _pin_partitions(keys, "__bk", join_hint="shuffle_hash")
     a = keys.select(
         F.col("__side"), F.col("__bk"),
         F.col("__id").alias("id_a"), F.col("__s").alias("__sa"),
@@ -1594,7 +1626,7 @@ def dhash_hamming_pairs(
             .select("blk", "bv")
         )
         blocks = blocks.join(F.broadcast(big), ["blk", "bv"], "left_anti")
-    blocks = _pin_partitions(blocks, "bv")
+    blocks = _pin_partitions(blocks, "bv", join_hint="shuffle_hash")
     cand = (
         blocks.select("blk", "bv", F.col("__id").alias("id_a"))
         .join(

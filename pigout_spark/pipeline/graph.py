@@ -865,7 +865,12 @@ def bfs_distances(
         e = e.unionByName(
             e.select(F.col("__d").alias("__s"), F.col("__s").alias("__d"))
         )
-    e = e.distinct().localCheckpoint(eager=False)
+    # r14 (guide §2.4): land the deduped edge list ON the source key
+    # before checkpointing — the docstring's "shuffles ONCE onto the
+    # source key" contract.  distinct() leaves (__s, __d) partitioning,
+    # which no round join can reuse; one extra exchange here saves one
+    # e-sized exchange in EVERY round.
+    e = e.distinct().repartition("__s").localCheckpoint(eager=False)
     spark = edges.sparkSession
     seeds = spark.createDataFrame(
         [(int(x),) for x in sources], "node bigint"

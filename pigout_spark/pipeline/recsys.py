@@ -38,6 +38,19 @@ _PAIR_EXPR = (
     "y -> struct(x AS a, y AS b))))"
 )
 
+#: BOTH directions of every unordered pair, emitted in-task (r14): the
+#: symmetrized neighbor relation used to come from a post-aggregation
+#: self-union, which re-ran the whole explode→exchange→count pipeline
+#: twice (two identical aggregation subtrees in the plan).  Emitting
+#: (a,b) AND (b,a) at generation time doubles the exploded row count —
+#: the same total volume the two passes shuffled — but aggregates it in
+#: ONE pipeline; n_ab per direction equals the undirected count.
+_SYM_PAIR_EXPR = (
+    "flatten(transform(items, (x, ix) -> flatten("
+    "transform(slice(items, ix + 2, size(items) - ix - 1), "
+    "y -> array(struct(x AS a, y AS b), struct(y AS a, x AS b))))))"
+)
+
 
 def _user_item_lists(
     events: DataFrame,
@@ -198,22 +211,29 @@ def item_cf_topk(
     # ~0.7 s of the query's 2.6 s at sf0.1).  It is user-count-sized
     # (≤ cap items per row) — cheap to materialize, 100 TB-safe.
     lists = lists.localCheckpoint(eager=False)
-    pairs = _pair_counts(lists).filter(F.col("n_ab") >= int(min_cooc))
+    # r14: the symmetrized pair relation is aggregated in ONE pipeline
+    # (both directions emitted in-task — _SYM_PAIR_EXPR) instead of the
+    # former post-aggregation self-union, which planned the entire
+    # explode→exchange→count subtree TWICE; and the item-count relation
+    # is checkpointed (item-sized — tiny) because it feeds two score
+    # joins and would otherwise also compute twice.  Both changes are
+    # plan-shape only: counts and scores are bit-identical.
+    npart = lists.sparkSession.sparkContext.defaultParallelism
+    sym = (
+        lists.select(F.explode(F.expr(_SYM_PAIR_EXPR)).alias("__p"))
+        .select(
+            F.col("__p.a").alias("item"), F.col("__p.b").alias("rec_item")
+        )
+        .repartition(npart, "item", "rec_item")
+        .groupBy("item", "rec_item")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= int(min_cooc))
+    )
     ni = (
         lists.select(F.explode("items").alias("item"))
         .groupBy("item")
         .agg(F.count(F.lit(1)).alias("n_i"))
-    )
-    sym = pairs.select(
-        F.col("item_a").alias("item"),
-        F.col("item_b").alias("rec_item"),
-        "n_ab",
-    ).unionByName(
-        pairs.select(
-            F.col("item_b").alias("item"),
-            F.col("item_a").alias("rec_item"),
-            "n_ab",
-        )
+        .localCheckpoint(eager=False)
     )
     scored = (
         sym.join(ni, "item")

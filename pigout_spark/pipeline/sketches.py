@@ -44,29 +44,52 @@ def cms_build(
     shards' sketches (counts add — the property that makes CMS a
     distributed-aggregation native), or broadcast-join for estimates.
 
-    100 TB: ONE explode of the token stream into depth (row, bucket)
-    pairs and ONE groupBy with map-side combine — shuffle volume is
-    bounded by depth×width per task after partial aggregation, not by
-    token count.
+    100 TB: ONE explode of the token stream, ONE token-keyed groupBy
+    with map-side combine, then all ``depth`` salted hashes are
+    computed once per token TYPE on the vocab-sized count relation
+    (r14, guide §1.2 step 2: the hashes were the per-task wall at
+    depth× per OCCURRENCE; type/occurrence ratios make this ~an order
+    of magnitude less hashing) — cell counts are sums of type counts,
+    bit-identical to counting occurrences directly.
     """
     tok = F.explode(ws_tokens(text_col, distinct=False)).alias("__tok")
-    base = df.select(tok)
+    counts = df.select(tok).groupBy("__tok").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return cms_build_from_counts(counts, "__tok", "__n", depth, width)
+
+
+def cms_build_from_counts(
+    counts: DataFrame,
+    token_col: str,
+    count_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Build the CMS from a pre-aggregated (token, count) relation —
+    the shared tail of :func:`cms_build`, public so a pipeline that
+    already holds term counts (or wants to reuse them for the query
+    side, as x_cms_estimate does) skips the token-stream pass."""
     rows = F.explode(
         F.array(
             *[
                 F.struct(
                     F.lit(d).alias("row"),
-                    _cms_bucket(F.col("__tok"), d, width).alias("bucket"),
+                    _cms_bucket(F.col(token_col), d, width).alias("bucket"),
                 )
                 for d in range(depth)
             ]
         )
     ).alias("__rb")
     return (
-        base.select(rows)
-        .select(F.col("__rb.row").alias("row"), F.col("__rb.bucket").alias("bucket"))
+        counts.select(rows, F.col(count_col))
+        .select(
+            F.col("__rb.row").alias("row"),
+            F.col("__rb.bucket").alias("bucket"),
+            F.col(count_col),
+        )
         .groupBy("row", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum(count_col).alias("cnt"))
     )
 
 

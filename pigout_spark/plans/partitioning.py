@@ -11,7 +11,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def pin_partitions(df: DataFrame, *keys: str) -> DataFrame:
+def pin_partitions(
+    df: DataFrame, *keys: str, join_hint: str | None = "merge"
+) -> DataFrame:
     """Repartition by the upcoming join keys with an EXPLICIT partition
     count (spark.sql.shuffle.partitions).
 
@@ -23,9 +25,29 @@ def pin_partitions(df: DataFrame, *keys: str) -> DataFrame:
     exchange.  When BOTH sides of a self-join derive from the same
     pinned node, the physical plan gets one Exchange + one
     ReusedExchange: the upstream subtree executes once.
+
+    ``join_hint`` (r14, guide §3.1): at bench scale the planner's size
+    estimate puts the pinned relation under the broadcast threshold and
+    silently converts the pair join to BroadcastHashJoin — which ADDS a
+    BroadcastExchange on top of the pinned shuffle, defeats exchange
+    reuse, and so computes the (expensive: minhash folds, simhash
+    folds, hyperplane projections) fingerprint subtree once PER JOIN
+    SIDE.  Measured at sf0.1: every pair self-join in the library
+    planned as BHJ with zero reuse.  The MERGE hint keeps the join on
+    the pinned exchanges, restoring the one-subtree shape — which is
+    also the only shape that survives 100 TB, where a corpus-derived
+    build side cannot be broadcast.  Hint A/B at sf0.1 (best-of-5,
+    quiet box): merge beats both the BHJ default and SHUFFLE_HASH on
+    every benched pair query (simhash 1.27 vs 1.72/2.33; minhash 1.06
+    vs 1.17/1.32; embedding 0.58 vs ~1.33/0.61) — the sorted runs
+    stream through the amplifying condition without per-partition hash
+    tables of wide (vector/signature) rows.  Pass ``join_hint=None``
+    where a genuinely broadcast-sized OTHER relation joins the pinned
+    one.
     """
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    return df.repartition(n, *[F.col(k) for k in keys])
+    out = df.repartition(n, *[F.col(k) for k in keys])
+    return out.hint(join_hint) if join_hint else out
 
 
 def _parse_bytes(v: str) -> int:

@@ -2206,13 +2206,28 @@ def x_cms_estimate(spark, sf_dir):
     """CMS point queries for every distinct corpus token: min over the
     4 salted rows — estimates (≥ truth by construction) hash-checked
     against the identical SQL sketch."""
-    from pigout_spark.pipeline.sketches import cms_build, cms_estimate
+    from pigout_spark.pipeline.dedup import ws_tokens
+    from pigout_spark.pipeline.sketches import (
+        cms_build_from_counts,
+        cms_estimate,
+    )
 
+    # r14 (guide §2.4): ONE tokenize + ONE token-keyed aggregate feed
+    # BOTH the sketch build and the probe set (the vocab relation is
+    # checkpointed — vocab-sized, tiny).  The former shape tokenized
+    # the corpus twice (once per side) and salted-hashed every token
+    # OCCURRENCE; the probe set is provably the same term set (global
+    # distinct non-empty whitespace tokens either way), so estimates
+    # are bit-identical.
     d = t(spark, sf_dir, "documents")
-    sk = cms_build(d, depth=4, width=1024)
-    q = d.select(
-        F.explode_outer(F.array_distinct(F.split("text", " "))).alias("term")
-    ).filter(F.col("term") != "").distinct()
+    vocab = (
+        d.select(F.explode(ws_tokens("text", distinct=False)).alias("__tok"))
+        .groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=False)
+    )
+    sk = cms_build_from_counts(vocab, "__tok", "__n", depth=4, width=1024)
+    q = vocab.select(F.col("__tok").alias("term"))
     return cms_estimate(sk, q, depth=4, width=1024)
 
 
@@ -5947,18 +5962,27 @@ def x_winnow(spark, sf_dir):
     zero Python; sharing is one fp-keyed exchange."""
     from pigout_spark.pipeline.dedup import winnowing_fingerprints
 
+    from pyspark.sql import Window
+
+    # r14 (guide §2.4): the winnow narrow map (md5 per k-gram + window
+    # mins) used to compute THREE times — once per consumer (per-doc
+    # count, the fp-frequency aggregate, and the share join's probe).
+    # One hash exchange by fp up front is shared by every consumer
+    # (identical exchange → executed once); the (doc, fp) distinct and
+    # the distinct-doc count both ride that partitioning (the count as
+    # a fp-keyed Window instead of a self-join), so the fingerprint
+    # relation is computed and shuffled exactly once.
     fps = winnowing_fingerprints(
         tf(spark, sf_dir, "documents"), "doc_id", "text", k=3, w=4
-    )
-    per_doc = fps.groupBy(F.col("id").alias("doc_id")).agg(
+    ).select(F.col("id").alias("doc_id"), "pos", "fp").repartition("fp")
+    per_doc = fps.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_fps")
     )
-    df2 = fps.select(F.col("id").alias("doc_id"), "fp").distinct()
-    nd = df2.groupBy("fp").agg(
-        F.count_distinct("doc_id").alias("__ndocs")
-    )
+    df2 = fps.dropDuplicates(["doc_id", "fp"]).select("doc_id", "fp")
     sh = (
-        df2.join(nd, "fp")
+        df2.withColumn(
+            "__ndocs", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
         .filter(F.col("__ndocs") >= 2)
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("__n_shared"))

@@ -1,0 +1,56 @@
+"""Time individual queries exactly the way bench.py does (noop sink,
+min-of-N on a warmed session) without the full headline sweep — the
+optimization-round iteration tool.
+
+Usage: python tools/time_query.py [-n N] [--sf DIR] query [query ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from bench import REBUILD_PER_RUN, _warmup  # noqa: E402
+from pigout_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-n", type=int, default=3)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("queries", nargs="+")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entrymod
+    from pigout_spark import queries as qmod
+
+    qs = {**qmod.extra_queries(), **entrymod.queries()}
+    spark = get_spark(
+        "pigout-time", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    _warmup(spark, args.sf)
+    for name in args.queries:
+        fn = qs[name]
+        if name in REBUILD_PER_RUN:
+            fn = getattr(fn, "__wrapped__", fn)
+        runs = []
+        for _ in range(args.n):
+            spark.sparkContext.setJobDescription(f"time: {name}")
+            t0 = time.perf_counter()
+            df = fn(spark, args.sf)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        print(
+            f"{name:26s} best={min(runs):7.3f}  runs="
+            + " ".join(f"{r:.3f}" for r in runs),
+            flush=True,
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
