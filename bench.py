@@ -116,10 +116,20 @@ TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
 
-#: Queries whose plans materialize localCheckpoints mid-build — timed
-#: against a fresh plan every run (see the loop in main()).  r9 adds
-#: item CF (list-relation checkpoint) and bigram LM (model checkpoint).
-REBUILD_PER_RUN = {"x_pagerank", "x_item_cf", "x_bigram_lm"}
+#: r14 MEASUREMENT-BUG FIX (optimization round; kept loud on purpose):
+#: this set used to name the only queries rebuilt from scratch each
+#: timed run; every other query re-ran its prepared-plan-cache handle,
+#: which is only honest while the plan holds no localCheckpoint — a
+#: checkpointed plan re-executes by READING the persisted RDD, i.e.
+#: runs 2..N timed a result cache, not the computation.  The set was
+#: correct when written (r9) but silently rotted as checkpoints spread
+#: (x_dsir_weights, x_cms_estimate r14; the graph family x_bfs_hops /
+#: x_sssp / x_kcore / x_label_prop since their build rounds; and
+#: x_split_safe, whose honest wall was ~30-45 s where the artifact
+#: recorded a 0.1 s checkpoint read).  Every timed run now rebuilds its
+#: plan (see time_set) — symmetric with DuckDB, which re-parses and
+#: re-executes its SQL every run.  Old artifacts BENCH_r10..r13 carry
+#: the stale numbers for the affected queries; see OPTIMIZATION_r14.md.
 
 #: best-of-N per query, BOTH engines: single-run wall times on this box
 #: swing ±50% run-to-run (shared machine); min-of-3 reports the
@@ -276,16 +286,28 @@ def main() -> None:
         timings: dict[str, float] = {}
         duck: dict[str, float] = {}
         for name in set_names:
-            # Checkpoint-based iterative queries (pagerank) materialize
-            # their per-round localCheckpoints on the first action;
-            # re-running the same plan handle would time a checkpoint
-            # *read*, not the iterations.  Bypass the prepared-plan cache
-            # so every timed run rebuilds and re-executes the full
-            # iteration chain — symmetric with DuckDB re-running its
-            # unrolled CTEs each time.
-            fn = qs[name]
-            if name in REBUILD_PER_RUN:
-                fn = getattr(fn, "__wrapped__", fn)
+            # Checkpoint-bearing plans materialize their
+            # localCheckpoints on the first action; re-running the same
+            # plan handle would time a checkpoint *read*, not the
+            # computation.  r14: instead of the hand-maintained
+            # REBUILD_PER_RUN set (see the note above — it rotted),
+            # AUTO-DETECT: build the plan once (untimed probe) and scan
+            # the analyzed plan for LogicalRDD nodes, the footprint
+            # every localCheckpoint leaves.  Detected queries rebuild
+            # from scratch inside every timed run (full recompute from
+            # the parquet inputs); pure plans keep the r1–r13
+            # prepared-statement methodology (build once, execute per
+            # run — every run still pays JVM-side optimization,
+            # scheduling and the full computation).
+            raw = getattr(qs[name], "__wrapped__", qs[name])
+            probe = raw(spark, sf_dir)
+            try:
+                has_ckpt = (
+                    "LogicalRDD" in probe._jdf.queryExecution().analyzed().toString()
+                )
+            except Exception:
+                has_ckpt = True  # can't prove it's pure — rebuild honestly
+            fn = raw if has_ckpt else (lambda s, d, _df=probe: _df)
             best = None
             best_d = None
             # Interleave the two engines' samples (S,D,S,D,...) so a

@@ -757,14 +757,41 @@ def dedup_clusters(
     the same reasoning picks reliable (HDFS/object-store) checkpoints.
     """
     disk = StorageLevel.DISK_ONLY
-    e = pairs.select(F.col(left).alias("u"), F.col(right).alias("v"))
+    npart = int(
+        pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
     # materialize the symmetric edge list ONCE: it is joined every
     # round, and without the checkpoint the whole upstream pair
     # generation (minhash/jaccard/simhash) would re-execute per round —
-    # measured 28 s → 12 s on the sf0.1 minhash graph (2M edges)
+    # measured 28 s → 12 s on the sf0.1 minhash graph (2M edges).
+    # r14 (guide §2.3/§2.4), three shape changes, output-identical:
+    # - BOTH edge directions are emitted IN-TASK (explode of a 2-array)
+    #   instead of union-of-two-projections, which planned the entire
+    #   upstream pair generation TWICE (no common-subexpression reuse
+    #   across union branches) — one pass over the pair relation, not
+    #   two.
+    # - The edge relation is LANDED ON THE JOIN KEY (explicit-count
+    #   repartition on u, AQE-coalesce-exempt) before the checkpoint.
+    # - The former ``.distinct()`` (a second full-width exchange) is
+    #   gone: min-label CC is idempotent to parallel edges, so dedup of
+    #   a pair relation that generators already emit exactly-once was
+    #   pure overhead — duplicate-heavy inputs just add message volume
+    #   that the map-side partial min absorbs.
     edges = (
-        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(left).alias("u"), F.col(right).alias("v")
+                    ),
+                    F.struct(
+                        F.col(right).alias("u"), F.col(left).alias("v")
+                    ),
+                )
+            ).alias("__e")
+        )
+        .select(F.col("__e.u").alias("u"), F.col("__e.v").alias("v"))
+        .repartition(npart, "u")
         .localCheckpoint(storageLevel=disk)
     )
     labels = (
@@ -794,22 +821,44 @@ def dedup_clusters(
     # correct for ANY orderable id type.
     prev_total = _total(labels)
     numeric_probe = prev_total is not None or labels.isEmpty()
+    # Delta messaging (r14, guide §2.3 — shuffle fewer bytes): a node
+    # whose label did NOT change last round already delivered that
+    # label to its neighbors in an earlier round (labels are monotone
+    # non-increasing and min is idempotent), so only CHANGED nodes need
+    # to send.  Per-round label states are bit-identical to the
+    # all-nodes scheme (round 0 sends everything); what shrinks is the
+    # message relation — after the first round it is delta-sized, not
+    # edge-sized, which at corpus scale is the difference between
+    # re-shuffling the whole graph every round and shuffling only the
+    # frontier.
+    changed = labels
     for _ in range(max_iter):
-        msgs = edges.join(labels, edges["u"] == labels["id"]).select(
-            F.col("v").alias("id"), F.col("lbl")
-        )
+        # r14 (guide §3.1): the sender side is node-sized (delta-sized
+        # after round 0); SHUFFLE_HASH builds that small slice per
+        # partition (never a broadcast of a node-sized relation) and
+        # STREAMS the checkpointed edges — no per-round sort of the
+        # edge list, which the default sort-merge paid every round.
+        msgs = edges.join(
+            changed.hint("shuffle_hash"), edges["u"] == changed["id"]
+        ).select(F.col("v").alias("id"), F.col("lbl"))
         jump = (
             labels.alias("a")
             .join(labels.alias("b"), F.col("a.lbl") == F.col("b.id"))
             .select(F.col("a.id").alias("id"), F.col("b.lbl").alias("lbl"))
         )
+        # eager=False (r14): the convergence probe right below is the
+        # round's first action and materializes the checkpoint as a
+        # side effect — ONE Spark job per round instead of two (the
+        # eager default materialized in its own job, then the probe ran
+        # a second; at bench scale the per-job fixed cost was ~half the
+        # round wall).
         new_labels = (
             labels.select("id", "lbl")
             .union(msgs)
             .union(jump)
             .groupBy("id")
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint(storageLevel=disk)
+            .localCheckpoint(eager=False, storageLevel=disk)
         )
         if numeric_probe:
             total = _total(new_labels)
@@ -824,6 +873,15 @@ def dedup_clusters(
                 .count()
                 == 0
             )
+        # next round's senders: nodes whose label shrank this round
+        # (node-sized join of two checkpointed label frames, evaluated
+        # lazily inside next round's single job)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .select(F.col("n.id").alias("id"), F.col("n.lbl").alias("lbl"))
+        )
         labels = new_labels
         if converged:
             return labels.select(

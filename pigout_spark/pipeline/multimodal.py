@@ -21,6 +21,8 @@ from typing import Iterable, Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pigout_spark.plans.partitioning import fan_out
+
 #: chunk size for the frame-sampling stub (stands in for video frames)
 CHUNK = 64
 
@@ -522,6 +524,13 @@ def synth_wav_payloads(
     shuffle; the binarize() pattern for audio)."""
     cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
     schema = f"{cols}, {out} binary"
+    # r14 optimization (guide §2.6/§4): the id relation of a synthetic
+    # payload column is tiny on disk, so the scan is 1-2 tasks and the
+    # per-row Python encoder ran single-threaded while 31 cores idled.
+    # The GUARDED fan_out spreads the rows first (no-op at production
+    # scan widths); payloads are a pure per-row function of the id, so
+    # the result is partition-layout-independent.
+    df = fan_out(df)
 
     def run(batches: Iterable) -> Iterator:
         for pdf in batches:
@@ -783,6 +792,12 @@ def synth_avi_payloads(
     (:func:`synth_avi`) — the synth_wav_payloads pattern for video."""
     cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
     schema = f"{cols}, {out} binary"
+    # r14 optimization note: unlike synth_wav/synth_png (real per-row
+    # compute — sample loops, scanline filters + DEFLATE), the AVI
+    # payload is a header-only container build (~µs/row), so the
+    # fan_out respray measured NET-NEGATIVE here (0.28 s -> 0.74 s at
+    # sf0.1: the exchange costs more than the idle cores recover).
+    # Deliberately NOT fanned out — see OPTIMIZATION_r14.md.
 
     def run(batches: Iterable) -> Iterator:
         for pdf in batches:
@@ -1034,6 +1049,13 @@ def synth_png_payloads(
     (:func:`synth_png`) — the synth_wav_payloads pattern for images."""
     cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
     schema = f"{cols}, {out} binary"
+    # r14 optimization (guide §2.6/§4): the id relation of a synthetic
+    # payload column is tiny on disk, so the scan is 1-2 tasks and the
+    # per-row Python encoder ran single-threaded while 31 cores idled.
+    # The GUARDED fan_out spreads the rows first (no-op at production
+    # scan widths); payloads are a pure per-row function of the id, so
+    # the result is partition-layout-independent.
+    df = fan_out(df)
 
     def run(batches: Iterable) -> Iterator:
         for pdf in batches:

@@ -22,7 +22,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from bench import HEADLINE, REBUILD_PER_RUN, TABLES, _warmup  # noqa: E402
+from bench import HEADLINE, TABLES, _warmup  # noqa: E402
 from pigout_spark.session import get_spark  # noqa: E402
 
 _DUCK_RUNNER = r"""
@@ -81,9 +81,9 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     for name in names:
-        fn = qs[name]
-        if name in REBUILD_PER_RUN:
-            fn = getattr(fn, "__wrapped__", fn)
+        # r14: every run rebuilds the plan (bench.py parity — a cached
+        # checkpoint-bearing handle would time a checkpoint READ)
+        fn = getattr(qs[name], "__wrapped__", qs[name])
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
