@@ -495,7 +495,7 @@ def k_core(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 40,
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 1,  # r14 interleaved A/B at sf0.1: cadence 1 beats 4 here (k_core 1.79 vs 2.72 s - its per-ROUND probe action re-executes everything since the last checkpoint; label_prop 2.44 vs 2.85 s).  bfs/sssp/hits keep 4 (no per-round action; identical duplicated subtrees get ReusedExchange, so extra checkpoints are pure barrier overhead - measured 2.03 vs 2.66 / 3.23 vs 3.76 s).
 ) -> DataFrame:
     """Nodes of the k-CORE of the undirected simple graph: the maximal
     subgraph where every node keeps degree ≥ k — computed by iterative
@@ -554,7 +554,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     rounds: int = 5,
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 1,  # r14 interleaved A/B at sf0.1: cadence 1 beats 4 here (k_core 1.79 vs 2.72 s - its per-ROUND probe action re-executes everything since the last checkpoint; label_prop 2.44 vs 2.85 s).  bfs/sssp/hits keep 4 (no per-round action; identical duplicated subtrees get ReusedExchange, so extra checkpoints are pure barrier overhead - measured 2.03 vs 2.66 / 3.23 vs 3.76 s).
 ) -> DataFrame:
     """SYNCHRONOUS label propagation (community detection): every node
     starts with its own id as label; each round all nodes
@@ -703,7 +703,7 @@ def hits(
     src: str = "src",
     dst: str = "dst",
     iterations: int = 3,
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 4,  # r14 interleaved A/B at sf0.1: 4 beats 1 here (bfs 2.03 vs 2.66 s, sssp 3.23 vs 3.76 s) - no per-round action, and identical duplicated subtrees get ReusedExchange, so per-round checkpoints are pure barrier overhead.  k_core/label_prop keep 1 (see k_core).
 ) -> DataFrame:
     """Fixed-iteration HITS (Kleinberg hubs & authorities) over a
     DIRECTED edge relation: per round
@@ -822,7 +822,7 @@ def bfs_distances(
     dst: str = "dst",
     max_hops: int = 5,
     directed: bool = True,
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 4,  # r14 interleaved A/B at sf0.1: 4 beats 1 here (bfs 2.03 vs 2.66 s, sssp 3.23 vs 3.76 s) - no per-round action, and identical duplicated subtrees get ReusedExchange, so per-round checkpoints are pure barrier overhead.  k_core/label_prop keep 1 (see k_core).
 ) -> DataFrame:
     """Multi-source BFS: the minimum HOP COUNT from the nearest source
     to every node reachable within ``max_hops`` edges.  The reach/
@@ -904,7 +904,7 @@ def shortest_paths(
     weight_col: str | None = None,
     iterations: int = 5,
     directed: bool = True,
-    checkpoint_every: int = 4,
+    checkpoint_every: int = 4,  # r14 interleaved A/B at sf0.1: 4 beats 1 here (bfs 2.03 vs 2.66 s, sssp 3.23 vs 3.76 s) - no per-round action, and identical duplicated subtrees get ReusedExchange, so per-round checkpoints are pure barrier overhead.  k_core/label_prop keep 1 (see k_core).
 ) -> DataFrame:
     """Fixed-iteration Bellman-Ford: the minimum WEIGHTED distance
     from the nearest source to every node, over paths of at most

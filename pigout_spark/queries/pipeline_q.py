@@ -3681,13 +3681,21 @@ def x_split_safe(spark, sf_dir):
     dedup_clusters).  The hash pins every doc's split label, and the
     cluster keying is what a doc-keyed split cannot give."""
     from pigout_spark.pipeline.curation import split_by_cluster
+    from pigout_spark.pipeline.dedup import minhash_lsh_star_edges
 
     d = t(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(
+    # r14 (guide §2.3): the split needs only the CLUSTERS, so the CC
+    # input is the star-contracted bucket relation (13.5k edges at
+    # sf0.1) instead of the full pair cliques (2.09M) — bit-identical
+    # components by construction (see minhash_lsh_star_edges; pinned by
+    # test_minhash_star_edges_same_clusters), oracle unchanged (it
+    # still replays the pair-clique CC).  Honest warm wall 12-13 s →
+    # ~3 s at sf0.1.
+    edges = minhash_lsh_star_edges(
         d, "doc_id", "text", num_hashes=_MH_HASHES, rows_per_band=_MH_ROWS
     )
     return split_by_cluster(
-        d.select("doc_id"), dedup_clusters(pairs), _SPLIT_W, seed="13"
+        d.select("doc_id"), dedup_clusters(edges), _SPLIT_W, seed="13"
     )
 
 

@@ -648,6 +648,56 @@ def test_dedup_clusters_topologies(spark):
     assert len(got) == 64 + 6 + 4
 
 
+def test_minhash_star_edges_same_clusters(spark):
+    """r14 optimization pin: CC over the star-contracted bucket
+    relation (minhash_lsh_star_edges) is BIT-IDENTICAL to CC over the
+    full pair cliques (minhash_lsh_pairs) — a clique and a star on the
+    same bucket membership have the same transitive closure.  Fuzzed
+    corpus: duplicate families of varying size, chained near-dups,
+    singletons."""
+    import random
+
+    from pigout_spark.pipeline.dedup import (
+        dedup_clusters,
+        minhash_lsh_pairs,
+        minhash_lsh_star_edges,
+    )
+
+    rng = random.Random(1414)
+    rows, did = [], 0
+    vocab = [f"w{i}" for i in range(60)]
+    for fam in range(12):
+        base = rng.sample(vocab, 12)
+        for _ in range(rng.randint(1, 6)):
+            did += 1
+            txt = list(base)
+            if rng.random() < 0.5:  # near-dup: perturb one token
+                txt[rng.randrange(len(txt))] = rng.choice(vocab)
+            rows.append((did, " ".join(txt)))
+    for _ in range(10):  # singletons
+        did += 1
+        rows.append((did, " ".join(rng.sample(vocab, 8))))
+    df = docs(spark, rows)
+    via_pairs = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup_clusters(
+            minhash_lsh_pairs(df, "doc_id", "text")
+        ).collect()
+    }
+    via_star = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup_clusters(
+            minhash_lsh_star_edges(df, "doc_id", "text")
+        ).collect()
+    }
+    assert via_pairs == via_star
+    # star edges must be a (weak) subset of connectivity work: every
+    # bucket contributes |bucket|-1 rows, so count(star) <= count(pairs)
+    n_star = minhash_lsh_star_edges(df, "doc_id", "text").count()
+    n_pairs = minhash_lsh_pairs(df, "doc_id", "text").count()
+    assert n_star <= max(n_pairs, 1) or n_pairs == 0
+
+
 def test_dedup_clusters_merges_across_pair_sources(spark):
     """Components bridge pairs that no single generator would link
     transitively: a-b and b-c pairs put a,c in one cluster."""
