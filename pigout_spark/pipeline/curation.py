@@ -271,14 +271,16 @@ def importance_weights(
         .agg(F.count(F.lit(1)).alias("__tf"))
         .localCheckpoint(eager=False)
     )
-    vocab = (
-        cf.select("__tok").union(tf_.select("__tok")).distinct()
-        .agg(F.count(F.lit(1)).cast("double").alias("__v"))
-    )
-    scalars = (
-        cf.agg(F.sum("__cf").cast("double").alias("__nc"))
-        .crossJoin(tf_.agg(F.sum("__tf").cast("double").alias("__nt")))
-        .crossJoin(vocab)
+    # r14 (guide §2.4): |V|, N_c and N_t in ONE aggregate over a full
+    # outer join of the two per-token-distinct tables (the join IS the
+    # vocabulary union; integer sums and the row count are exact, so
+    # the three scalars are bit-identical to the former three-pass
+    # union/distinct + two separate sums, which read each frequency
+    # table twice).
+    scalars = cf.join(tf_, "__tok", "full_outer").agg(
+        F.count(F.lit(1)).cast("double").alias("__v"),
+        F.sum("__cf").cast("double").alias("__nc"),
+        F.sum("__tf").cast("double").alias("__nt"),
     )
     a = F.lit(float(alpha))
     lr = (
@@ -298,7 +300,14 @@ def importance_weights(
         .select("__tok", lr.alias("__lr"))
         .localCheckpoint(eager=False)
     )
-    scored = ctoks.join(wt, "__tok").select(F.col(id_col), "__lr")
+    # r14 (guide §3.1): broadcast the WEIGHT side explicitly — it is
+    # token-TYPE-sized (vocabulary; Heaps-law-bounded at any corpus
+    # scale — the bigram_lm model-side convention, and that table is
+    # strictly larger).  Without the hint the planner's estimate at
+    # bench scale broadcast the exploded token STREAM (the side that
+    # grows with data — plan-audited BuildLeft on the Generate), which
+    # inverts exactly the side that stays small at 100 TB.
+    scored = ctoks.join(F.broadcast(wt), "__tok").select(F.col(id_col), "__lr")
     return scored.groupBy(id_col).agg(
         F.sum("__lr").alias("log_weight"),
         F.count(F.lit(1)).cast("long").alias("n_tokens"),

@@ -1719,11 +1719,22 @@ def dhash_hamming_pairs(
             f"pigeonhole coverage at block_bits={block_bits}), got "
             f"{max_dist}"
         )
-    d = df.select(
-        F.col(id_col).alias("__id"),
-        *[F.col(c).cast("int").alias(f"__b{j}")
-          for j, c in enumerate(byte_cols)],
-    ).filter(F.col("__id").isNotNull())
+    # r14 (guide §2.4 — single computation): the hash relation feeds
+    # FOUR plan consumers (both sides of the block self-join, the
+    # max_block bucket census, and the two distance-readout joins);
+    # without a checkpoint each consumer re-executes the upstream —
+    # for PNG inputs that is four runs of the whole Python decode
+    # chain.  The relation is id + 8 ints (~72 B/row at any corpus
+    # size) — cheap to materialize, 100 TB-safe.
+    d = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            *[F.col(c).cast("int").alias(f"__b{j}")
+              for j, c in enumerate(byte_cols)],
+        )
+        .filter(F.col("__id").isNotNull())
+        .localCheckpoint(eager=False)
+    )
     if n_blocks == 8:
         key_exprs = [F.col(f"__b{j}") for j in range(8)]
     else:
