@@ -6103,7 +6103,9 @@ def x_img_dhash(spark, sf_dir):
     )
 
     d = synth_png_payloads(
-        tf(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+        # t(), not tf(): synth_png_payloads fans out internally (r14) —
+        # the former site-level tf() now planned a second respray
+        t(spark, sf_dir, "documents").select("doc_id"), "doc_id"
     )
     hashes = dhash_png_images(d, "payload", "doc_id")
     return dhash_hamming_pairs(hashes, "doc_id", max_dist=3)
