@@ -137,6 +137,48 @@ TABLES = (
 N_RUNS = 3
 
 
+def _sweep_persisted(spark) -> None:
+    """Unpersist every RDD still registered with the block manager.
+
+    r15 (ADVICE r14 bench.py:304): checkpoint-bearing queries leak their
+    DISK_ONLY/memory checkpoint blocks until Python GC plus the JVM
+    ContextCleaner get around to them — measured cross-pollution of up
+    to 5× on queries timed AFTER a checkpoint-heavy one in the same
+    session (dedup_minhash read 7.3 s following x_split_safe's leaked
+    blocks vs ~1.4 s clean).  Called OUTSIDE every timed region, only
+    around checkpoint-bearing (rebuild-per-run) queries: pure prepared
+    plans persist nothing, and their cached handle must not be touched.
+    Safe by construction: between queries the only persisted RDDs are
+    the previous build's checkpoints, which no live handle will ever
+    re-execute."""
+    import gc
+
+    gc.collect()  # drop py4j refs so the JVM side can release the plans
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in jmap.values().toArray():
+            jrdd.unpersist(False)
+    except Exception:
+        pass  # best-effort hygiene — never fail the bench over it
+
+
+def _needs_rebuild(probe) -> bool:
+    """True when a prepared handle would NOT honestly re-time the
+    computation: localCheckpoint leaves a LogicalRDD in the analyzed
+    plan (re-running the handle reads the persisted RDD), and
+    persist()/cache() leaves an InMemoryRelation in the optimized plan
+    (runs 2..N would read the cache) — the r15 ADVICE hole in the r14
+    LogicalRDD-only auto-detect.  Unprovable plans rebuild honestly."""
+    try:
+        qe = probe._jdf.queryExecution()
+        return (
+            "LogicalRDD" in qe.analyzed().toString()
+            or "InMemoryRelation" in qe.optimizedPlan().toString()
+        )
+    except Exception:
+        return True
+
+
 def _duckdb_con(sf_dir: str):
     """DuckDB connection with the fixture views — the baseline side of
     the ≤2× gate (BASELINE.md), timed in the same process INTERLEAVED
@@ -301,13 +343,17 @@ def main() -> None:
             # scheduling and the full computation).
             raw = getattr(qs[name], "__wrapped__", qs[name])
             probe = raw(spark, sf_dir)
-            try:
-                has_ckpt = (
-                    "LogicalRDD" in probe._jdf.queryExecution().analyzed().toString()
-                )
-            except Exception:
-                has_ckpt = True  # can't prove it's pure — rebuild honestly
+            has_ckpt = _needs_rebuild(probe)
             fn = raw if has_ckpt else (lambda s, d, _df=probe: _df)
+            if has_ckpt:
+                # r15 (ADVICE bench.py:304): drop the probe handle and
+                # its leaked checkpoint blocks NOW — an eager-checkpoint
+                # query (dedup_clusters, k_core) fully executed during
+                # the probe's plan build, and its persisted blocks would
+                # otherwise squat on block-manager memory through every
+                # timed run below.
+                del probe
+                _sweep_persisted(spark)
             best = None
             best_d = None
             # Interleave the two engines' samples (S,D,S,D,...) so a
@@ -325,6 +371,11 @@ def main() -> None:
                     con.execute(oracles[name]).fetchall()
                     dd = time.perf_counter() - t0
                     best_d = dd if best_d is None else min(best_d, dd)
+                if has_ckpt:
+                    # untimed: release this run's checkpoint blocks so
+                    # they never pollute the next run or the next query
+                    del df
+                    _sweep_persisted(spark)
             timings[name] = round(best, 3)
             if best_d is not None:
                 duck[name] = round(best_d, 3)

@@ -22,7 +22,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from bench import HEADLINE, TABLES, _warmup  # noqa: E402
+from bench import HEADLINE, TABLES, _sweep_persisted, _warmup  # noqa: E402
 from pigout_spark.session import get_spark  # noqa: E402
 
 _DUCK_RUNNER = r"""
@@ -90,6 +90,9 @@ def main() -> int:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            # r15 (ADVICE bench.py:304): every run rebuilds here, so a
+            # checkpoint-bearing run leaks its blocks — sweep untimed
+            _sweep_persisted(spark)
         timings[name] = round(best, 3)
         print(f"spark {name}: {timings[name]}", flush=True)
 

@@ -14,7 +14,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from bench import _warmup  # noqa: E402
+from bench import _needs_rebuild, _sweep_persisted, _warmup  # noqa: E402
 from pigout_spark.session import get_spark  # noqa: E402
 
 
@@ -40,14 +40,13 @@ def main() -> None:
         # methodology.
         raw = getattr(qs[name], "__wrapped__", qs[name])
         probe = raw(spark, args.sf)
-        try:
-            has_ckpt = (
-                "LogicalRDD"
-                in probe._jdf.queryExecution().analyzed().toString()
-            )
-        except Exception:
-            has_ckpt = True
+        has_ckpt = _needs_rebuild(probe)
         fn = raw if has_ckpt else (lambda s, d, _df=probe: _df)
+        if has_ckpt:
+            # r15 (ADVICE bench.py:304): release the probe's leaked
+            # checkpoint blocks before timing — see bench._sweep_persisted
+            del probe
+            _sweep_persisted(spark)
         runs = []
         for _ in range(args.n):
             spark.sparkContext.setJobDescription(f"time: {name}")
@@ -55,6 +54,9 @@ def main() -> None:
             df = fn(spark, args.sf)
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
+            if has_ckpt:
+                del df
+                _sweep_persisted(spark)
         print(
             f"{name:26s} best={min(runs):7.3f}  runs="
             + " ".join(f"{r:.3f}" for r in runs),
