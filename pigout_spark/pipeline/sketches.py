@@ -568,15 +568,22 @@ def qdigest_quantiles(
     keys = list(keys or [])
     cap = 1 << int(levels)
     d = _assert_qdigest_params(digest, k, levels, keys)
-    # right endpoint in value space, branchless per level: node at
-    # level ℓ covers 2^(levels-ℓ) leaves ending at (nid+1)·2^(levels-ℓ)−1−cap
-    expr = None
-    for lev in range(int(levels), -1, -1):
-        width = cap >> lev
-        cond = F.col("nid") >= (1 << lev)
-        val = (F.col("nid") + 1) * F.lit(width) - F.lit(1) - F.lit(cap)
-        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
-    d = d.withColumn("__rend", expr)
+    # right endpoint in value space: node at level ℓ covers
+    # 2^(levels-ℓ) leaves ending at (nid+1)·2^(levels-ℓ)−1−cap, with
+    # ℓ = floor(log2(nid)) = length(bin(nid))−1 — EXACT integer
+    # arithmetic (bin() is a string length, never a float log).
+    # r15 (VERDICT r14 #7, guide §4 — driver-side Python is still
+    # Python): this and the folds below used to be built as a
+    # (levels+1)-deep ``F.when`` chain plus one nested two-lambda
+    # ``F.aggregate`` PER QUANTILE — hundreds of py4j round trips,
+    # ~1.5 s of pure plan-construction wall per fresh plan.  The same
+    # expressions as SQL strings parse JVM-side in one call each;
+    # value-identical (same integer ops, same double ⌈q·n⌉ targets, so
+    # the oracle hash is unchanged — selfcheck-pinned).
+    d = d.withColumn(
+        "__rend",
+        F.expr(f"(nid + 1) * shiftright({cap}, length(bin(nid)) - 1) - 1 - {cap}"),
+    )
     # (__rend, nid) is unique per group, so lexicographic sort_array
     # over struct(__rend, nid, cnt) IS the old orderBy(__rend, nid)
     arr = d.groupBy(*keys).agg(
@@ -586,34 +593,24 @@ def qdigest_quantiles(
     )
     arr = arr.withColumn(
         "__n",
-        F.aggregate(
-            "__nodes",
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x["cnt"],
-        ),
+        F.expr("aggregate(__nodes, cast(0 as bigint), (acc, x) -> acc + x.cnt)"),
     )
-    zero = F.lit(0).cast("bigint")
-    nul = F.lit(None).cast("bigint")
-    ests = []
-    for q in qs:
-        target = F.ceil(F.lit(float(q)) * F.col("__n")).cast("bigint")
-        # fold: first right endpoint whose cumulative count ≥ ⌈q·n⌉
-        walk = F.aggregate(
-            "__nodes",
-            F.struct(zero.alias("cum"), nul.alias("est")),
-            lambda acc, x: F.struct(
-                (acc["cum"] + x["cnt"]).alias("cum"),
-                F.when(acc["est"].isNotNull(), acc["est"])
-                .otherwise(
-                    F.when(
-                        acc["cum"] + x["cnt"] >= target, x["__rend"]
-                    ).otherwise(nul)
-                )
-                .alias("est"),
-            ),
-            lambda acc: acc["est"],
-        )
-        ests.append(F.struct(F.lit(float(q)).alias("q"), walk.alias("est")))
+    # per requested q: fold to the first right endpoint whose
+    # cumulative count ≥ ⌈q·n⌉ (the ``D`` suffix keeps the literal a
+    # DOUBLE — a bare SQL decimal literal would change ⌈q·n⌉ rounding)
+    ests = ", ".join(
+        f"""named_struct('q', {float(q)!r}D, 'est', aggregate(
+          __nodes,
+          named_struct('cum', cast(0 as bigint), 'est', cast(null as bigint)),
+          (acc, x) -> named_struct(
+            'cum', acc.cum + x.cnt,
+            'est', case when acc.est is not null then acc.est
+                        when acc.cum + x.cnt >= cast(ceil({float(q)!r}D * __n) as bigint)
+                             then x.__rend
+                        else cast(null as bigint) end),
+          acc -> acc.est))"""
+        for q in qs
+    )
     return arr.select(
-        *keys, F.explode(F.array(*ests)).alias("__qe")
+        *keys, F.expr(f"explode(array({ests}))").alias("__qe")
     ).select(*keys, F.col("__qe.q").alias("q"), F.col("__qe.est").alias("est"))
