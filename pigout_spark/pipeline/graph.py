@@ -220,7 +220,18 @@ def pagerank(
                 F.expr("(__r0s * __w) div __deg").alias("__c"),
             )
         else:
-            contrib = e.join(sums, e["__s"] == sums["__n"], "left").select(
+            # r15 (VERDICT r14 #5, guide §3.1): SHUFFLE_HASH on the
+            # node-sized sums side — the default sort-merge re-SORTED
+            # the degree-annotated edge list every round (the exchange
+            # below it is identical across rounds and runtime-reused,
+            # but each round's SMJ re-sorted its output; the r14 plan
+            # held one edge-list Sort per iteration).  The build side
+            # is the per-partition slice of the rank vector — bounded
+            # by nodes/partitions at any scale, never a broadcast.
+            # LeftOuter + BuildRight is the supported SHJ shape.
+            contrib = e.join(
+                sums.hint("shuffle_hash"), e["__s"] == sums["__n"], "left"
+            ).select(
                 F.col("__d").alias("node"),
                 F.expr(f"({rank_expr} * __w) div __deg").alias("__c"),
             )
@@ -236,7 +247,9 @@ def pagerank(
     )
     return (
         attach(nodes)
-        .join(sums, F.col("node") == sums["__n"], "left")
+        # same §3.1 call as the in-loop join: both sides node-sized,
+        # hash build beats sorting both
+        .join(sums.hint("shuffle_hash"), F.col("node") == sums["__n"], "left")
         .select(
             "node",
             (final_rank.cast("double") / F.lit(float(PAGERANK_UNIT))).alias(
