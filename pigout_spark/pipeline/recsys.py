@@ -235,14 +235,24 @@ def item_cf_topk(
         .agg(F.count(F.lit(1)).alias("n_i"))
         .localCheckpoint(eager=False)
     )
+    # r15 (VERDICT r14 #4, guide §2.4/§3.1): join rec_item FIRST, item
+    # LAST — the per-item top-k window below partitions by item, so the
+    # second join's exchange doubles as the window's (3 pair-relation
+    # exchanges → 2; inner joins commute, scores bit-identical).  The
+    # item-count side carries SHUFFLE_HASH: it was planned SortMergeJoin
+    # (the checkpointed n_i relation has no stats, so no auto
+    # broadcast), which SORTED the multi-million-row pair relation once
+    # per join; the hash build is the per-partition slice of the item
+    # counts — bounded by items/partitions at any scale, never a
+    # broadcast of an item-catalog-sized relation.
     scored = (
-        sym.join(ni, "item")
-        .join(
+        sym.join(
             ni.select(
                 F.col("item").alias("rec_item"), F.col("n_i").alias("n_j")
-            ),
+            ).hint("shuffle_hash"),
             "rec_item",
         )
+        .join(ni.hint("shuffle_hash"), "item")
         .withColumn(
             "score",
             F.col("n_ab")
