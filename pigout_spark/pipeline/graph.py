@@ -508,7 +508,7 @@ def k_core(
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 40,
-    checkpoint_every: int = 1,  # r14 interleaved A/B at sf0.1: cadence 1 beats 4 here (k_core 1.79 vs 2.72 s - its per-ROUND probe action re-executes everything since the last checkpoint; label_prop 2.44 vs 2.85 s).  bfs/sssp/hits keep 4 (no per-round action; identical duplicated subtrees get ReusedExchange, so extra checkpoints are pure barrier overhead - measured 2.03 vs 2.66 / 3.23 vs 3.76 s).
+    checkpoint_every: int = 1,  # measured default - rationale in docstring
 ) -> DataFrame:
     """Nodes of the k-CORE of the undirected simple graph: the maximal
     subgraph where every node keeps degree ≥ k — computed by iterative
@@ -529,6 +529,14 @@ def k_core(
     is localCheckpoint'ed every ``checkpoint_every`` rounds to keep
     lineage constant-depth.  Convergence probe is one `limit(1)` scan
     of the weak-node relation per round (driver sees 0/1 rows).
+
+    ``checkpoint_every`` default 1 (r14, measured): the per-round
+    convergence probe is an ACTION, and every un-checkpointed round
+    makes that action re-execute everything since the last checkpoint
+    — interleaved A/B at sf0.1: 1.79 s at cadence 1 vs 2.72 s at 4.
+    The reasoning (probe cost ∝ lineage depth) is scale-independent,
+    not a bench-box tuning; bfs/sssp, which run NO per-round action,
+    measure the other way and default to 4.
     """
     s, d = F.col(src).cast("bigint"), F.col(dst).cast("bigint")
     live = (
@@ -567,7 +575,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     rounds: int = 5,
-    checkpoint_every: int = 1,  # r14 interleaved A/B at sf0.1: cadence 1 beats 4 here (k_core 1.79 vs 2.72 s - its per-ROUND probe action re-executes everything since the last checkpoint; label_prop 2.44 vs 2.85 s).  bfs/sssp/hits keep 4 (no per-round action; identical duplicated subtrees get ReusedExchange, so extra checkpoints are pure barrier overhead - measured 2.03 vs 2.66 / 3.23 vs 3.76 s).
+    checkpoint_every: int = 1,  # measured default - rationale in docstring
 ) -> DataFrame:
     """SYNCHRONOUS label propagation (community detection): every node
     starts with its own id as label; each round all nodes
@@ -597,6 +605,12 @@ def label_propagation(
     join against the node relation.  Labels are localCheckpoint'ed
     every ``checkpoint_every`` rounds — the dedup_clusters lineage
     discipline.
+
+    ``checkpoint_every`` default 1 (r14, measured): interleaved A/B at
+    sf0.1 read 2.44 s at cadence 1 vs 2.85 s at 4 — per-round plan
+    truncation beats compiling a rounds-deep Catalyst plan (the cost is
+    driver-side plan depth, not data volume, so the choice is not a
+    bench-box tuning; override per deployment if measured otherwise).
     """
     from pyspark.sql import Window
 
@@ -716,10 +730,20 @@ def hits(
     src: str = "src",
     dst: str = "dst",
     iterations: int = 3,
-    checkpoint_every: int = 4,  # r14 interleaved A/B at sf0.1: 4 beats 1 here (bfs 2.03 vs 2.66 s, sssp 3.23 vs 3.76 s) - no per-round action, and identical duplicated subtrees get ReusedExchange, so per-round checkpoints are pure barrier overhead.  k_core/label_prop keep 1 (see k_core).
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Fixed-iteration HITS (Kleinberg hubs & authorities) over a
     DIRECTED edge relation: per round
+
+    ``checkpoint_every`` default 1 (r15, measured): each round's L1
+    rescale computes a broadcast total over the CURRENT scores, so an
+    un-checkpointed round re-executes the whole score lineage since the
+    last checkpoint inside that broadcast — the k_core per-round-action
+    situation, not the bfs/sssp one the r14 default assumed by shape
+    analogy.  Interleaved A/B at sf0.1 (4 pairs, 2-round run): cadence
+    1 won every pair, best 10.4 s vs 13.3 s (~20%).  The reasoning is
+    scale-independent (driver-side lineage depth, not data volume);
+    override per deployment if a cluster measurement says otherwise.
 
         auth(v) = Σ_{u→v} hub(u)      then rescale toward L1 = 10^12
         hub(u)  = Σ_{u→v} auth(v)     then rescale toward L1 = 10^12
@@ -835,7 +859,7 @@ def bfs_distances(
     dst: str = "dst",
     max_hops: int = 5,
     directed: bool = True,
-    checkpoint_every: int = 4,  # r14 interleaved A/B at sf0.1: 4 beats 1 here (bfs 2.03 vs 2.66 s, sssp 3.23 vs 3.76 s) - no per-round action, and identical duplicated subtrees get ReusedExchange, so per-round checkpoints are pure barrier overhead.  k_core/label_prop keep 1 (see k_core).
+    checkpoint_every: int = 4,  # measured default - rationale in docstring
 ) -> DataFrame:
     """Multi-source BFS: the minimum HOP COUNT from the nearest source
     to every node reachable within ``max_hops`` edges.  The reach/
@@ -867,6 +891,14 @@ def bfs_distances(
     grows monotonically and is localCheckpoint'ed every
     ``checkpoint_every`` rounds (constant-depth lineage, the k_core
     discipline).  The driver holds only the seed literals.
+
+    ``checkpoint_every`` default 4 (r14, measured): no per-round
+    action runs here, and identical duplicated subtrees get
+    ReusedExchange at runtime, so per-round checkpoints are pure
+    barrier overhead — interleaved A/B at sf0.1: 2.03 s at cadence 4
+    vs 2.66 s at 1 (sssp 3.23 vs 3.76).  k_core/label_prop/hits, which
+    do run (or embed) a per-round action, measure the other way and
+    default to 1.
     """
     if not sources:
         raise ValueError("bfs_distances: sources must be a non-empty list")
@@ -917,7 +949,7 @@ def shortest_paths(
     weight_col: str | None = None,
     iterations: int = 5,
     directed: bool = True,
-    checkpoint_every: int = 4,  # r14 interleaved A/B at sf0.1: 4 beats 1 here (bfs 2.03 vs 2.66 s, sssp 3.23 vs 3.76 s) - no per-round action, and identical duplicated subtrees get ReusedExchange, so per-round checkpoints are pure barrier overhead.  k_core/label_prop keep 1 (see k_core).
+    checkpoint_every: int = 4,  # measured default - rationale in docstring
 ) -> DataFrame:
     """Fixed-iteration Bellman-Ford: the minimum WEIGHTED distance
     from the nearest source to every node, over paths of at most
@@ -943,6 +975,10 @@ def shortest_paths(
     exchange (the transpose onto dst), the pagerank shape.  The
     distance relation is node-sized, checkpointed every
     ``checkpoint_every`` rounds.  No driver-side state beyond seeds.
+
+    ``checkpoint_every`` default 4: same measured reasoning as
+    :func:`bfs_distances` (no per-round action; A/B sssp 3.23 s at
+    cadence 4 vs 3.76 s at 1).
     """
     if not sources:
         raise ValueError("shortest_paths: sources must be a non-empty list")
