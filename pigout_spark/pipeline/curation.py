@@ -218,6 +218,16 @@ def mixture_sample(
     )
 
 
+#: Vocabulary-type ceiling for broadcasting the DSIR weight table
+#: (r15, ADVICE r14).  A weight row is a token string + one double
+#: (~50-100 B framed), so 5M types is a few hundred MB — comfortably
+#: inside driver/executor memory on any reasonable deployment and far
+#: under Spark's 8 GB / 512M-row broadcast hard cap, while real noisy
+#: web vocabularies (10^8+) correctly fall back to the shuffle-hash
+#: path.  A ROW bound, not a local[32] byte tuning.
+_DSIR_BROADCAST_MAX_TYPES = 5_000_000
+
+
 def importance_weights(
     corpus: DataFrame,
     target: DataFrame,
@@ -307,7 +317,22 @@ def importance_weights(
     # bench scale broadcast the exploded token STREAM (the side that
     # grows with data — plan-audited BuildLeft on the Generate), which
     # inverts exactly the side that stays small at 100 TB.
-    scored = ctoks.join(F.broadcast(wt), "__tok").select(F.col(id_col), "__lr")
+    # r15 (ADVICE r14 curation.py:309): the broadcast is GUARDED by the
+    # actual type count — a noisy web-scale whitespace vocabulary
+    # (typos, URLs, numbers) can reach 10^8..10^9 types, past Spark's
+    # 8 GB / 512M-row broadcast hard cap.  The count is measured on the
+    # materialized checkpoint (its first consumer would have paid that
+    # materialization anyway, so the probe adds one cheap
+    # read-the-blocks job, never a stats guess — LogicalRDD carries no
+    # usable estimate).  Past the bound the join degrades to
+    # SHUFFLE_HASH with the weight table as build side (per-partition
+    # vocab slice — bounded), never to the planner's default, which is
+    # what broadcast the token stream in the first place.
+    if wt.count() <= _DSIR_BROADCAST_MAX_TYPES:
+        wt = F.broadcast(wt)
+    else:
+        wt = wt.hint("shuffle_hash")
+    scored = ctoks.join(wt, "__tok").select(F.col(id_col), "__lr")
     return scored.groupBy(id_col).agg(
         F.sum("__lr").alias("log_weight"),
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
