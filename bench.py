@@ -264,6 +264,17 @@ def main() -> None:
         spark.conf.set("spark.ui.showConsoleProgress", "false")
     except Exception:
         pass
+    # r15 (VERDICT r14 #3): TWO warmup passes.  The r14 driver artifact
+    # recorded q01_group_agg at 1.37 s (2× the quiet-box band) with no
+    # code change on that path; re-measurement this round put the first
+    # post-warmup executions of a fresh JVM at 2-4× steady state (C2
+    # JIT still compiling codegen'd stages) with q01 — the FIRST
+    # headline row — eating the residual ramp.  A second pass over the
+    # same throwaway warmup plans (never the benchmarked queries) lets
+    # the JIT finish before the first timed run; this amortizes the
+    # session fixed cost the bench has excluded by declared design
+    # since r1, symmetric with DuckDB paying no session cost at all.
+    _warmup(spark, sf_dir)
     _warmup(spark, sf_dir)
     con = _duckdb_con(sf_dir)
     oracles = {**qmod.extra_oracle_sql(), **entrymod.oracle_sql()}
